@@ -1,13 +1,593 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql`.
+  *
+  * The energy-domain operators (EnergyAnalytics / TimeSeries) are
+  * exercised here over the driver's `events` table (user_id ~ HomeID,
+  * event_type ~ ApplianceType, value ~ EnergyConsumption, ts ~ Date) —
+  * same operator, same plan shape, oracle-checkable data. The
+  * training-data-pipeline operators (Dedup / TextAnalysis / Similarity)
+  * run over `documents` and `embeddings`.
+  *
+  * Output discipline (driver hashes values after sorting columns by
+  * name): every aggregate/computed column is aliased identically on
+  * both sides; doubles are rounded at the final projection only;
+  * integer-ish outputs are cast to BIGINT to match DuckDB's types;
+  * dates are true DATE on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 — the reference's richest pipeline
+    * (EP3 anomaly features: rollup -> densify -> rolling window -> dow)
+    * as one Catalyst DAG. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    anomalyFeatures(spark, "/root/testdata/sf0.001")
+
+  private def anomalyFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    TimeSeries.anomalyFeatures(ev, "user_id", to_date(col("ts")), "value", "event_type")
+      .select(
+        col("user_id"),
+        col("Date").as("d"),
+        round(col("total_kwh"), 2).as("total_kwh"),
+        col("unique_appliances").cast("long").as("unique_types"),
+        round(col("rolling_7_mean"), 4).as("rolling_7_mean"),
+        col("dow").cast("long").as("dow"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- 2.2 projections / filters / 2.4 aggregations ----------------
+
+    // A1/A6 family: TPC-H-Q1-shaped pricing summary (multi-agg group-by)
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // P1/P5/P8: projection + equality filter + date-range filter,
+    // all pushed into the parquet scan by Catalyst
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === lit("O")
+          && to_date(col("o_orderdate")).between("1995-01-01", "1997-12-31")
+          && col("o_totalprice") > 1000.0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_orderdate"))
+    }),
+
+    // J1 at star-schema shape: fact ⋈ broadcast dims, grouped rollup
+    "q03_region_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // O1: top-K by aggregate (TakeOrderedAndProject — no global sort)
+    "q04_topk_parts" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_partkey"))
+        .limit(5)
+    }),
+
+    // A3: daily rollup over the event stream table
+    "q05_daily_rollup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("n"))
+    }),
+
+    // A5: multi-key multi-agg w/ exact distinct (pandas nunique parity)
+    "q06_user_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      TimeSeries.dailyRollup(ev, "user_id", to_date(col("ts")), "value", "event_type")
+        .select(col("user_id"), col("Date").as("d"),
+          round(col("total_kwh"), 2).as("total"),
+          col("unique_appliances").cast("long").as("unique_types"))
+    }),
+
+    // W1: trailing 7-row mean per key (rolling(7, min_periods=1) parity)
+    "q07_rolling_mean" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(sum("value").as("total"))
+      TimeSeries.rollingMean7(daily, "user_id", "d", "total")
+        .select(col("user_id"), col("d"),
+          round(col("total"), 2).as("total"),
+          round(col("rolling_7_mean"), 4).as("rolling_7_mean"))
+    }),
+
+    // W2/J2: calendar densification (sequence+explode+left join+fill)
+    "q08_densify" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("Date"))
+        .agg(sum("value").as("total_kwh"))
+      TimeSeries.densify(daily, "user_id", Seq("total_kwh"))
+        .select(col("user_id"), col("Date").as("d"),
+          round(col("total_kwh"), 2).as("total"))
+    }),
+
+    // W3: weekday profile, Monday=0 (pandas dt.dayofweek parity)
+    "q09_dow_profile" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(weekday(to_date(col("ts"))).cast("long").as("dow"))
+        .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("n"))
+    }),
+
+    // U1: vertical union of two filtered projections
+    "q10_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"),
+          lit("buy").as("tag"))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value"),
+          lit("err").as("tag"))
+      a.unionByName(b)
+    }),
+
+    // P9/A9: declarative good/bad split with counts (ingest validation)
+    "q11_validate_split" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
+      val valid = col("value").isNotNull && col("k").isNotNull && col("k") >= 10
+      ev.groupBy(when(valid, "good").otherwise("bad").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    }),
+
+    // F2/F3: null-on-error cast semantics (try_cast parity)
+    "q12_casts" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang").try_cast("double").as("lang_as_double"),
+          col("n_chars").try_cast("double").as("chars_as_double"),
+          substring(col("text"), 1, 3).try_cast("int").cast("long").as("prefix_as_int"))
+    }),
+
+    // A2: seasonal/monthly category rollup
+    "q13_monthly_type" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(month(to_date(col("ts"))).cast("long").as("m"), col("event_type"))
+        .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("n"))
+    }),
+
+    // A6/A7: global scalar KPI row
+    "q14_kpis" -> ((s, dir) => {
+      Tables.events(s, dir).agg(
+        round(sum("value"), 2).as("total_value"),
+        round(avg("value"), 4).as("avg_value"),
+        count(lit(1)).as("n_records"),
+        countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // J1 exact reference shape: per-key totals ⋈ broadcast global avgs
+    "q15_user_vs_global" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val user = ev.groupBy("user_id", "event_type")
+        .agg(sum("value").as("user_total"))
+      val glob = ev.groupBy("event_type")
+        .agg(avg("value").as("global_avg"))
+      user.join(broadcast(glob), Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          round(col("user_total"), 2).as("user_total"),
+          round(col("global_avg"), 4).as("global_avg"))
+    }),
+
+    // M3 composite: the full EP3 feature pipeline as one DAG
+    "q16_anomaly_features" -> ((s, dir) => anomalyFeatures(s, dir)),
+
+    // ---- dedup pack --------------------------------------------------
+
+    "q17_dedup_exact_keep" -> ((s, dir) => {
+      Dedup.dropExactDups(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    "q18_dedup_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    "q19_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.2)
+    }),
+
+    "q20_minhash_lsh" -> ((s, dir) => {
+      Dedup.lshCandidates(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, rowsPerBand = 2, n = 3, minEstJaccard = 0.25)
+    }),
+
+    "q21_simhash" -> ((s, dir) => {
+      Dedup.withSimhash(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("simhash"))
+    }),
+
+    // ---- text analysis pack ------------------------------------------
+
+    "q22_token_stats" -> ((s, dir) => {
+      TextAnalysis.qualityScore(
+        TextAnalysis.tokenStats(Tables.documents(s, dir), "text"), "text")
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_chars").cast("long").as("n_chars"),
+          round(col("mean_token_len"), 4).as("mean_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"))
+    }),
+
+    "q23_langid" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("lang_pred"),
+          col("score_en").cast("long").as("score_en"),
+          col("score_es").cast("long").as("score_es"),
+          col("score_de").cast("long").as("score_de"),
+          col("score_fr").cast("long").as("score_fr"))
+    }),
+
+    "q24_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("fingerprint"))
+    }),
+
+    // ---- similarity pack ---------------------------------------------
+
+    "q25_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 8), emb, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    }),
+
+    "q26_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroids(Tables.embeddings(s, dir))
+        .select(col("label").cast("long").as("label"),
+          col("dim").cast("long").as("dim"),
+          round(col("mean_v"), 6).as("mean_v"),
+          col("n"))
+    }),
+
+    // IVF ANN — approximate by construction: rows-only driver check;
+    // recall vs exact top-k is asserted in SimilaritySpec instead.
+    "q27_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, centroids,
+        k = 5, nProbe = 2)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_discount),4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+        |  AND o_totalprice > 1000.0""".stripMargin,
+
+    "q03_region_revenue" ->
+      """SELECT r_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q04_topk_parts" ->
+      """SELECT l_partkey,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |ORDER BY revenue DESC, l_partkey ASC
+        |LIMIT 5""".stripMargin,
+
+    "q05_daily_rollup" ->
+      """SELECT CAST(ts AS DATE) AS d, round(sum(value),2) AS total, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q06_user_daily" ->
+      """SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value),2) AS total,
+        |  count(DISTINCT event_type) AS unique_types
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q07_rolling_mean" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, d, round(total,2) AS total,
+        |  round(avg(total) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS rolling_7_mean
+        |FROM daily""".stripMargin,
+
+    "q08_densify" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS total
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+        |dense AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spine)
+        |SELECT de.user_id, de.d, round(coalesce(da.total, 0),2) AS total
+        |FROM dense de LEFT JOIN daily da
+        |  ON de.user_id = da.user_id AND de.d = da.d""".stripMargin,
+
+    "q09_dow_profile" ->
+      """SELECT isodow(CAST(ts AS DATE)) - 1 AS dow,
+        |  round(sum(value),2) AS total, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q10_union" ->
+      """SELECT event_id, user_id, round(value,2) AS value, 'buy' AS tag
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, round(value,2) AS value, 'err' AS tag
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q11_validate_split" ->
+      """WITH ev AS (
+        |  SELECT *, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT CASE WHEN value IS NOT NULL AND k IS NOT NULL AND k >= 10
+        |         THEN 'good' ELSE 'bad' END AS bucket,
+        |  count(*) AS n, round(sum(value),2) AS total
+        |FROM ev GROUP BY 1""".stripMargin,
+
+    "q12_casts" ->
+      """SELECT doc_id,
+        |  TRY_CAST(lang AS DOUBLE) AS lang_as_double,
+        |  TRY_CAST(n_chars AS DOUBLE) AS chars_as_double,
+        |  TRY_CAST(TRY_CAST(substr(text,1,3) AS INTEGER) AS BIGINT) AS prefix_as_int
+        |FROM documents""".stripMargin,
+
+    "q13_monthly_type" ->
+      """SELECT CAST(month(CAST(ts AS DATE)) AS BIGINT) AS m, event_type,
+        |  round(sum(value),2) AS total, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_kpis" ->
+      """SELECT round(sum(value),2) AS total_value, round(avg(value),4) AS avg_value,
+        |  count(*) AS n_records, count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
+
+    "q15_user_vs_global" ->
+      """WITH u AS (
+        |  SELECT user_id, event_type, sum(value) AS user_total
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, avg(value) AS global_avg FROM events GROUP BY 1)
+        |SELECT u.user_id, u.event_type, round(u.user_total,2) AS user_total,
+        |  round(g.global_avg,4) AS global_avg
+        |FROM u JOIN g ON u.event_type = g.event_type""".stripMargin,
+
+    "q16_anomaly_features" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS total,
+        |    count(DISTINCT event_type) AS ut
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+        |dense AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM spine),
+        |filled AS (
+        |  SELECT de.user_id, de.d, coalesce(da.total, 0) AS total,
+        |    coalesce(da.ut, 0) AS ut
+        |  FROM dense de LEFT JOIN daily da
+        |    ON de.user_id = da.user_id AND de.d = da.d)
+        |SELECT user_id, d, round(total,2) AS total_kwh, ut AS unique_types,
+        |  round(avg(total) OVER (PARTITION BY user_id ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS rolling_7_mean,
+        |  isodow(d) - 1 AS dow
+        |FROM filled""".stripMargin,
+
+    "q17_dedup_exact_keep" ->
+      """SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_chars) AS n_chars
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q18_dedup_exact_groups" ->
+      """SELECT sha256(text) AS text_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q19_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common), 6) AS jaccard
+        |FROM pairs p
+        |JOIN counts ca ON p.doc_a = ca.doc_id
+        |JOIN counts cb ON p.doc_b = cb.doc_id
+        |WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2""".stripMargin,
+
+    "q20_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+        |    min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+        |    min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
+        |    min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
+        |  FROM sh GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, band_idx,
+        |    CASE band_idx
+        |      WHEN 0 THEN md5(mh_0 || '|' || mh_1) WHEN 1 THEN md5(mh_2 || '|' || mh_3)
+        |      WHEN 2 THEN md5(mh_4 || '|' || mh_5) ELSE md5(mh_6 || '|' || mh_7)
+        |    END AS band_key,
+        |    mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ((CASE WHEN a.mh_0=b.mh_0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_1=b.mh_1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_2=b.mh_2 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_3=b.mh_3 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_4=b.mh_4 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_5=b.mh_5 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_6=b.mh_6 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_7=b.mh_7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.25""".stripMargin,
+
+    "q21_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, tok,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, i.range AS i,
+        |    sum(CASE WHEN (h // CAST(2 ** i.range AS BIGINT)) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM th, range(32) i GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  sum(CASE WHEN vote > 0 THEN CAST(2 ** i AS BIGINT) ELSE 0 END) AS simhash
+        |FROM bits GROUP BY 1""".stripMargin,
+
+    "q22_token_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(t), 4)
+        |    AS mean_token_len,
+        |  round(CAST(len(list_filter(t, x -> list_contains(
+        |    ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(t), 6)
+        |    AS stopword_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / length(text), 6) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text), 6) AS alpha_ratio
+        |FROM base""".stripMargin,
+
+    "q23_langid" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','and','of','is'], x))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(t, x -> list_contains(['el','la','de','que'], x))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(t, x -> list_contains(['der','die','und','ist'], x))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(t, x -> list_contains(['le','la','et','est'], x))) AS BIGINT) AS score_fr
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+        |    WHEN score_es > greatest(score_de, score_en) THEN 'es'
+        |    WHEN score_en > score_de THEN 'en'
+        |    ELSE 'de' END AS lang_pred,
+        |  score_en, score_es, score_de, score_fr
+        |FROM scored""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q25_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [q.v[i+1] * c.v[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [q.v[i+1] * q.v[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [c.v[i+1] * c.v[i+1] for i in generate_series(0, len(c.v)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q26_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i.range AS BIGINT) AS dim,
+        |  round(avg(CAST(embedding[i.range + 1] AS DOUBLE)), 6) AS mean_v,
+        |  count(*) AS n
+        |FROM embeddings, range(64) i
+        |GROUP BY 1, 2""".stripMargin
+    // q27_ivf_ann: approximate — intentionally no oracle (rows-only check)
+  )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` entry reads through here so that the scan
+  * options (and any future bucketing / caching decisions) live in one
+  * place. Parquet + Catalyst give projection/predicate pushdown for free;
+  * at 100 TB the same code reads a cloud-storage prefix instead of a
+  * local dir — nothing else changes.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects outright; read it as nanos-since-epoch long
+    * (`nanosAsLong`, set in [[configure]]) and convert with exact
+    * integer division (a double path would lose precision above 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // Set defensively at runtime: the driver calls entry()/queries with
+    // its own (unconfigured) session and the conf is session-scoped.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Session defaults shared by Verify / Bench / tests.
+    *
+    * - ANSI off: the reference's ingest semantics are null-on-bad-cast
+    *   (`blobToCosmos.py:62-70`); Spark 4 defaults ANSI on, which would
+    *   throw instead.
+    * - shuffle.partitions sized to the local core count; on a real
+    *   cluster this is executor-count-aware (AQE coalesces anyway).
+    */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}

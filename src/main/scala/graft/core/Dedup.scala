@@ -1,0 +1,151 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline:
+  *
+  *  - exact dedup (hash group-by)
+  *  - n-gram Jaccard near-dup via an inverted shingle index (NEVER a
+  *    cross join: candidate pairs come from a shingle-key equi-join,
+  *    which shuffles by shingle and scales linearly in total shingle
+  *    instances)
+  *  - MinHash + LSH banding (signature = k lexicographic minima of
+  *    seeded md5s — portable across engines, unlike murmur3)
+  *  - SimHash (bitwise majority of token-hash bits)
+  *
+  * All plans are shuffle-by-key only; nothing collects to the driver.
+  * At 100 TB: exact dedup is one hash aggregate; MinHash/LSH is
+  * explode -> two key-partitioned aggregates -> a self-equi-join on
+  * band keys whose fan-out is controlled by the band width.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (default 3-grams), distinct
+    * per document.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact dedup: group identical texts by sha2, keep the smallest id
+    * as canonical. One hash aggregate; at scale the 256-bit key keeps
+    * group skew at true-duplicate skew only.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Drop exact duplicates, keeping the min-id row per distinct text. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Candidate near-dup pairs by n-gram Jaccard similarity.
+    *
+    * Inverted-index plan: explode distinct shingles, self-join on the
+    * shingle (id_a < id_b), count common shingles per pair, then
+    * |A∩B| / (|A| + |B| − |A∩B|). The shingle join replaces the O(n²)
+    * cross join with a shuffle keyed on shingle text.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: component i = lexicographic MIN over shingles of
+    * md5(i || '|' || shingle). Equivalent to k independent permutations
+    * (Broder '97) but built from md5 so any engine reproduces it
+    * bit-for-bit. Output: doc, sig array<string>(k).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"mh_$i"))
+    sh.groupBy("doc").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures: rows/band consecutive
+    * signature components hashed together; docs sharing any band key
+    * become candidate pairs. Estimated Jaccard = fraction of equal
+    * signature components. bands * rowsPerBand must equal k.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+                    minEstJaccard: Double = 0.0): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val sigs = minhashSignatures(df, idCol, textCol, k, n)
+    val bands = k / rowsPerBand
+    val banded = sigs.select(
+      col("doc") +:
+        (0 until bands).map { b =>
+          val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+          md5(concat_ws("|", cols: _*)).as(s"band_$b")
+        } :+ array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"): _*)
+    val exploded = banded.select(col("doc"), col("sig"),
+      posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "band_key")))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash (Charikar '02): 32-bit fingerprint where bit i is the
+    * majority vote of bit i across all token rolling-hashes. Built
+    * entirely from higher-order array expressions — no UDF, no shuffle
+    * beyond the final projection's parent plan.
+    */
+  def simhash32(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val hashes = transform(toks, t => TextAnalysis.rollingHash(t))
+    // bit i of h == floor(h / 2^i) % 2 — arithmetic instead of shift
+    // builtins because shiftleft/shiftright take a literal Int, not a
+    // lambda-bound Column; exact in doubles for h < 2^53.
+    def pow2(i: Column): Column = pow(lit(2.0), i)
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, i) => {
+        val vote = aggregate(hashes, lit(0L),
+          (s, h) => s + when(pmod(floor(h / pow2(i)).cast("long"), lit(2L)) === 1L, 1L)
+            .otherwise(-1L))
+        acc + when(vote > 0, pow2(i).cast("long")).otherwise(0L)
+      })
+  }
+
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", simhash32(col(textCol)))
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions (no
+  * UDFs) so whole-stage codegen keeps the scan -> score pipeline in one
+  * pass; all hashes are engine-portable (polynomial char hash / md5),
+  * never Spark's murmur3, so an external oracle can reproduce them.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of already-lowercased synthetic text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Portable 64-bit-safe polynomial rolling hash over a string's
+    * characters: fold(acc = (acc * 31 + ascii(char)) mod 1e9+7).
+    * Sequential left fold => deterministic and reproducible in any
+    * engine with ascii() + a list fold. Used for token hashes,
+    * document fingerprints and SimHash bit sources.
+    */
+  def rollingHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c)),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Per-document token/char statistics (quality features). */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t))
+      .withColumn("n_chars", length(col(textCol)))
+      .withColumn("mean_token_len",
+        (length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / size(t)))
+  }
+
+  /** Quality scoring: stopword ratio, punctuation ratio, alpha ratio.
+    * A low-stopword or punctuation-heavy doc is low quality — the
+    * standard cheap pre-filter before expensive dedup/embedding stages.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val stopArr = array(StopWords.map(lit): _*)
+    df.withColumn("n_tokens", size(t))
+      .withColumn("stopword_ratio",
+        size(filter(t, tok => array_contains(stopArr, tok))).cast("double") / size(t))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col(textCol), "[^.,;:!?]", "")).cast("double")
+          / length(col(textCol)))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double")
+          / length(col(textCol)))
+      .withColumn("quality_score",
+        round(col("stopword_ratio") * 0.4 + col("alpha_ratio") * 0.6
+          - col("punct_ratio") * 0.5, 6))
+  }
+
+  /** Language-ID heuristic: marker-word hit counts per language, argmax
+    * wins (ties broken by language code order). N-gram-free variant of
+    * the classic stopword profiler — fully declarative, one pass.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"))
+
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = LangMarkers.toSeq.sortBy(_._1).foldLeft(df) { case (d, (lang, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      d.withColumn(s"score_$lang", size(filter(t, tok => array_contains(arr, tok))))
+    }
+    val langs = LangMarkers.keys.toSeq.sorted
+    val best = langs.tail.foldLeft(
+      struct(col(s"score_${langs.head}").as("s"), lit(langs.head).as("l"))) { (acc, lang) =>
+      when(col(s"score_$lang") > acc.getField("s"),
+        struct(col(s"score_$lang").as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", best.getField("l"))
+  }
+
+  /** Document fingerprint: rolling hash over the full text — a compact
+    * order-sensitive signature (exact-dup detection without storing
+    * text; the reference has no equivalent, this is the training-data
+    * pipeline extension).
+    */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fingerprint", rollingHash(col(textCol)))
+}

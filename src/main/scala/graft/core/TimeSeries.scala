@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators: calendar densification, rolling windows,
+  * weekday features — the shapes behind the reference's ML feature
+  * pipeline (`/root/reference/function-app/ml_forecast_anomaly.py:193-215`).
+  *
+  * The reference densifies per home in an O(n_homes) driver-side Python
+  * loop (`ml_forecast_anomaly.py:199-208`); here the whole thing is one
+  * distributed plan. The groupBy and the window both partition by the
+  * same key, so Catalyst reuses a single exchange (SURVEY §3 EP3).
+  */
+object TimeSeries {
+
+  /** A5 — multi-key multi-agg daily rollup
+    * (`ml_forecast_anomaly.py:193-196`):
+    * `groupby([key, date]).agg(sum, nunique)`. `countDistinct` matches
+    * pandas `nunique` (nulls ignored). For approximate mode at scale,
+    * callers can swap in `approx_count_distinct`.
+    */
+  def dailyRollup(df: DataFrame, key: String, dateCol: Column,
+                  value: String, category: String): DataFrame =
+    df.groupBy(col(key), dateCol.as("Date"))
+      .agg(
+        sum(value).as("total_kwh"),
+        countDistinct(col(category)).as("unique_appliances"))
+
+  /** W2 — calendar densification (`ml_forecast_anomaly.py:199-208`):
+    * per-key dense date spine [min, max], missing days zero-filled.
+    * `sequence + explode` generates the spine distributed; the left
+    * join is key-partitioned on both sides.
+    */
+  def densify(daily: DataFrame, key: String, fillCols: Seq[String]): DataFrame = {
+    val spine = daily
+      .groupBy(key)
+      .agg(min(col("Date")).as("lo"), max(col("Date")).as("hi"))
+      .select(col(key), explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("Date"))
+    spine
+      .join(daily, Seq(key, "Date"), "left")
+      .na.fill(0, fillCols)
+  }
+
+  /** W1 — trailing 7-row mean per key (`ml_forecast_anomaly.py:211`).
+    * pandas `rolling(7, min_periods=1)` == Spark's shrinking frame
+    * `rowsBetween(-6, 0)` at partition start (SURVEY §7.4 #3).
+    */
+  def rollingMean7(df: DataFrame, key: String, order: String, value: String): DataFrame =
+    df.withColumn(
+      "rolling_7_mean",
+      avg(col(value)).over(
+        Window.partitionBy(col(key)).orderBy(col(order)).rowsBetween(-6, 0)))
+
+  /** W3 — day-of-week, Monday=0 (`ml_forecast_anomaly.py:212`). Spark's
+    * `weekday` matches pandas `dt.dayofweek`; `dayofweek` (Sun=1) does
+    * NOT (SURVEY §7.4 #3).
+    */
+  def withDow(df: DataFrame, dateCol: String): DataFrame =
+    df.withColumn("dow", weekday(col(dateCol)))
+
+  /** M3 — the full anomaly feature pipeline
+    * (`ml_forecast_anomaly.py:193-215`): rollup -> densify -> rolling
+    * mean -> dow -> fillna(0). Input: readings-shaped rows; output one
+    * row per (key, day) with features
+    * [total_kwh, unique_appliances, rolling_7_mean, dow].
+    */
+  def anomalyFeatures(df: DataFrame, key: String, dateCol: Column,
+                      value: String, category: String): DataFrame = {
+    val daily = dailyRollup(df, key, dateCol, value, category)
+    val dense = densify(daily, key, Seq("total_kwh", "unique_appliances"))
+    withDow(rollingMean7(dense, key, "Date", "total_kwh"), "Date")
+  }
+}
