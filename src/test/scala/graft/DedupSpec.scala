@@ -1,0 +1,54 @@
+package graft
+
+import graft.core.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different text with other words here entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text") {
+    val kept = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near dups high, distinct absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash LSH: exact dups collide on every band with est_jaccard 1.0") {
+    val cand = Dedup.lshCandidates(docs, "doc_id", "text", k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(cand((1L, 2L)) == 1.0)
+  }
+
+  test("simhash: identical texts identical hash; near dups close in hamming") {
+    val hashed = Dedup.withSimhash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(hashed(1L) == hashed(2L))
+    val nearDist = java.lang.Long.bitCount(hashed(1L) ^ hashed(3L))
+    val farDist = java.lang.Long.bitCount(hashed(1L) ^ hashed(4L))
+    assert(nearDist < farDist)
+  }
+
+  test("rolling hash is order-sensitive and stable") {
+    val h = Seq("ab", "ba", "ab").toDF("s")
+      .select(TextAnalysis.rollingHash(col("s")).as("h")).as[Long].collect()
+    assert(h(0) != h(1))
+    assert(h(0) == h(2))
+  }
+}

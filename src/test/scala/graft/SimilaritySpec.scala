@@ -1,0 +1,41 @@
+package graft
+
+import graft.core.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical vectors rank first with cosine 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),  // same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs.filter($"vec_id" === 1), vecs, k = 3)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2L)
+    assert(top(0).getAs[Double]("cosine") == 1.0)
+    assert(top.last.getAs[Long]("neighbor_id") == 4L)
+    assert(top.last.getAs[Double]("cosine") == -1.0)
+  }
+
+  test("IVF ANN recall vs brute force on sf0.001 embeddings >= 0.6") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity.cosineTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val centroids = emb.filter($"vec_id" % 97 === 3)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val approx = Similarity.ivfTopK(queries, emb, centroids, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall was $recall")
+    // probing every bucket must recover brute force exactly
+    val nBuckets = centroids.count().toInt
+    val full = Similarity.ivfTopK(queries, emb, centroids, k = 5, nProbe = nBuckets)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM, one session). */
+object TestSession {
+  lazy val spark: SparkSession = Tables.configure(
+    SparkSession.builder().master("local[8]"), "8").getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = TestSession.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val Sf0001 = "/root/testdata/sf0.001"
+  val RefCsv = "/root/reference/home_energy_consumption_data.csv"
+}

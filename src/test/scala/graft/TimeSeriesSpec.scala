@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.core.TimeSeries
+
+/** Densification/rolling/weekday invariants (SURVEY §5.3, §7.4 #3). */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def daily = Seq(
+    ("h1", Date.valueOf("2023-01-01"), 1.0),
+    ("h1", Date.valueOf("2023-01-03"), 3.0), // gap on the 2nd
+    ("h1", Date.valueOf("2023-01-10"), 10.0),
+    ("h2", Date.valueOf("2023-02-05"), 5.0)
+  ).toDF("HomeID", "Date", "total_kwh")
+
+  test("densify: rows per key == (max-min).days + 1, gaps zero-filled") {
+    val dense = TimeSeries.densify(daily, "HomeID", Seq("total_kwh"))
+    val counts = dense.groupBy("HomeID").count().as[(String, Long)].collect().toMap
+    assert(counts("h1") == 10L) // Jan 1..10
+    assert(counts("h2") == 1L)
+    val gap = dense.filter($"HomeID" === "h1" && $"Date" === Date.valueOf("2023-01-02")).head()
+    assert(gap.getAs[Double]("total_kwh") == 0.0)
+    // no duplicate days
+    assert(dense.groupBy("HomeID", "Date").count().filter($"count" > 1).isEmpty)
+  }
+
+  test("rolling 7 mean: shrinking frame matches pandas min_periods=1") {
+    val dense = TimeSeries.densify(daily, "HomeID", Seq("total_kwh"))
+    val rolled = TimeSeries.rollingMean7(dense, "HomeID", "Date", "total_kwh")
+      .filter($"HomeID" === "h1").orderBy("Date")
+      .select("total_kwh", "rolling_7_mean").as[(Double, Double)].collect()
+    // day1: mean(1)=1; day2: mean(1,0)=0.5; day3: mean(1,0,3)=4/3
+    assert(rolled(0)._2 == 1.0)
+    assert(rolled(1)._2 == 0.5)
+    assert(math.abs(rolled(2)._2 - 4.0 / 3.0) < 1e-12)
+    // day8 (0): trailing 7 days = days 2..8 -> mean(0,3,0,0,0,0,0)=3/7
+    assert(math.abs(rolled(7)._2 - 3.0 / 7.0) < 1e-12)
+  }
+
+  test("weekday is Monday=0 (pandas dt.dayofweek parity)") {
+    // 2023-01-02 was a Monday, 2023-01-08 a Sunday
+    val df = Seq(Date.valueOf("2023-01-02"), Date.valueOf("2023-01-08")).toDF("Date")
+    val dows = TimeSeries.withDow(df, "Date").orderBy("Date")
+      .select("dow").as[Int].collect().toSeq
+    assert(dows == Seq(0, 6))
+  }
+
+  test("anomalyFeatures: composite pipeline invariants on reference-shaped data") {
+    val readings = Seq(
+      ("h1", "Oven", 1.5, "01-01-2023"),
+      ("h1", "TV", 0.5, "01-01-2023"),
+      ("h1", "Oven", 2.0, "04-01-2023")
+    ).toDF("HomeID", "ApplianceType", "EnergyConsumption", "Date")
+    val feats = TimeSeries.anomalyFeatures(readings, "HomeID",
+      to_date($"Date", "dd-MM-yyyy"), "EnergyConsumption", "ApplianceType")
+      .orderBy("Date").collect()
+    assert(feats.length == 4) // Jan 1..4 dense
+    val d1 = feats(0)
+    assert(d1.getAs[Double]("total_kwh") == 2.0)
+    assert(d1.getAs[Long]("unique_appliances") == 2L)
+    assert(d1.getAs[Double]("rolling_7_mean") == 2.0)
+    assert(d1.getAs[Int]("dow") == 6) // 2023-01-01 was a Sunday
+    val d2 = feats(1)
+    assert(d2.getAs[Double]("total_kwh") == 0.0)
+    assert(d2.getAs[Long]("unique_appliances") == 0L)
+  }
+}
