@@ -280,6 +280,34 @@ object SparkEntry {
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, centroids,
         k = 5, nProbe = 2)
+    }),
+
+    // M2/M3: the reference's DetectAnomalies endpoint shape — feature
+    // pipeline + broadcast IsolationForest scorer (200-tree ensemble
+    // from the reference artifact). Not SQL-expressible: rows-only.
+    "q28_anomaly_scores" -> ((s, dir) => {
+      // value/100 puts the per-day totals in the scorer's training
+      // range (~[0,8] kWh) — otherwise every row saturates at the
+      // ensemble's minimum score and the check is vacuous
+      val ev = Tables.events(s, dir)
+        .withColumn("value", col("value") / 100.0)
+      val feats = TimeSeries.anomalyFeatures(ev, "user_id",
+        to_date(col("ts")), "value", "event_type")
+      graft.ml.IsoForestScorer.scoreFeatures(feats)
+        .select(col("user_id"), col("Date").as("d"),
+          round(col("total_kwh"), 2).as("total_kwh"),
+          col("unique_appliances").cast("long").as("unique_types"),
+          round(col("score"), 6).as("score"), col("anomaly"))
+    }),
+
+    // M1: Prophet closed-form forecast from the reference's model
+    // artifact (trend parity proven against the artifact's own fitted
+    // trend in MlScorerSpec). Not SQL-expressible: rows-only.
+    "q29_forecast" -> ((s, _) => {
+      graft.ml.ProphetScorer.forecast(s, days = 30)
+        .select(col("ds"), round(col("yhat"), 4).as("yhat"),
+          round(col("yhat_lower"), 4).as("yhat_lower"),
+          round(col("yhat_upper"), 4).as("yhat_upper"))
     })
   )
 

@@ -1,0 +1,103 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import graft.api.EnergyApi
+import graft.ml.{IsoForestScorer, ProphetScorer}
+
+/** Model-scorer parity (SURVEY §5.4).
+  *
+  * IsoForest: fixed vectors vs decision_function values from an
+  * independent numpy implementation of the same public sklearn
+  * formulas (`tools/export_isoforest.py` fixture).
+  * Prophet: trend vs the artifact's own embedded fitted trend (exact
+  * in-sample oracle), plus forecast-shape and L-1 invariants.
+  */
+class MlScorerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("isoforest: decision_function matches numpy reference on 24 fixtures") {
+    val in = getClass.getResourceAsStream("/isoforest_fixture.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val model = IsoForestScorer.bundled
+    (0 until root.get("vectors").size).foreach { i =>
+      val v = (0 until 4).map(j => root.get("vectors").get(i).get(j).asDouble).toArray
+      val expected = root.get("decision_function").get(i).asDouble
+      val got = model.decisionFunction(v)
+      assert(math.abs(got - expected) < 1e-9, s"vec $i: got $got expected $expected")
+      val predicted = if (got < 0) -1 else 1
+      assert(predicted == root.get("predict").get(i).asInt)
+    }
+  }
+
+  test("isoforest: Spark UDF path flags ~contamination share on training-like data") {
+    val readings = graft.core.EnergyIngest.ingest(spark, RefCsv)._1
+    val scored = EnergyApi.detectAnomalies(readings)
+    val n = scored.count()
+    // densification is per-home min..max (reference parity, NOT a
+    // global grid): expected rows = sum over homes of span days
+    val expected = readings
+      .groupBy("HomeID")
+      .agg((datediff(max(to_date($"Date", "dd-MM-yyyy")),
+        min(to_date($"Date", "dd-MM-yyyy"))) + 1).as("span"))
+      .agg(sum("span")).head().getLong(0)
+    assert(n == expected, s"dense grid rows: $n vs $expected")
+    // the model trained on ~38k OBSERVED (home, day) rows at
+    // contamination 0.05 — on observed rows the flagged share must sit
+    // near that; zero-filled densified days score off-distribution, so
+    // the overall share only gets a loose ceiling
+    val observed = scored.filter($"total_kwh" > 0)
+    val shareObs = observed.filter($"anomaly").count().toDouble / observed.count()
+    assert(shareObs > 0.01 && shareObs < 0.10, s"observed anomaly share $shareObs")
+    val shareAll = scored.filter($"anomaly").count().toDouble / n
+    assert(shareAll < 0.2, s"overall anomaly share $shareAll")
+    assert(scored.columns.toSeq == Seq("HomeID", "Date", "total_kwh",
+      "unique_appliances", "rolling_7_mean", "dow", "score", "anomaly"))
+  }
+
+  test("prophet: trend matches the artifact's embedded fitted trend") {
+    val in = getClass.getResourceAsStream("/prophet_model.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val m = ProphetScorer.bundled
+    val hist = new ObjectMapper().readTree(root.get("history").asText).get("data")
+    val trendRef = root.get("params").get("trend").get(0)
+    (0 until hist.size by 10).foreach { i =>
+      val t = hist.get(i).get("t").asDouble
+      val got = m.trendScaled(t)
+      val exp = trendRef.get(i).asDouble
+      assert(math.abs(got - exp) < 1e-5, s"t=$t got $got exp $exp")
+    }
+  }
+
+  test("prophet: in-sample yhat tracks history (MAE well under data scale)") {
+    val in = getClass.getResourceAsStream("/prophet_model.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val m = ProphetScorer.bundled
+    val hist = new ObjectMapper().readTree(root.get("history").asText).get("data")
+    var mae = 0.0; var mean = 0.0
+    (0 until hist.size).foreach { i =>
+      val ds = java.time.LocalDate.parse(hist.get(i).get("ds").asText.take(10))
+      val y = hist.get(i).get("y").asDouble
+      mae += math.abs(m.yhat(ds.toEpochDay * 86400.0) - y)
+      mean += y
+    }
+    mae /= hist.size; mean /= hist.size
+    assert(mae < 0.1 * mean, s"MAE $mae vs mean $mean")
+  }
+
+  test("prophet: forecast shape, ordering, interval sanity, L-1 homeId-independence") {
+    val f = EnergyApi.forecast(spark, days = 14).orderBy("ds").collect()
+    assert(f.length == 14)
+    val first = f.head.getDate(0).toLocalDate
+    assert(first == ProphetScorer.bundled.historyEnd.plusDays(1))
+    f.foreach { r =>
+      val (yhat, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(lo < yhat && yhat < hi, s"interval ($lo, $hi) must bracket $yhat")
+    }
+    // L-1: forecast ignores homeId
+    val withHome = EnergyApi.forecast(spark, days = 14, homeId = Some("430"))
+      .orderBy("ds").collect()
+    assert(f.map(_.getDouble(1)).toSeq == withHome.map(_.getDouble(1)).toSeq)
+    assert(f.map(_.getDouble(2)).toSeq == withHome.map(_.getDouble(2)).toSeq)
+  }
+}
