@@ -223,8 +223,7 @@ object SparkEntry {
     }),
 
     "q21_simhash" -> ((s, dir) => {
-      Dedup.withSimhash(Tables.documents(s, dir), "text")
-        .select(col("doc_id"), col("simhash"))
+      Dedup.simhashTable(Tables.documents(s, dir), "doc_id", "text")
     }),
 
     // ---- text analysis pack ------------------------------------------
@@ -489,13 +488,21 @@ object SparkEntry {
         |    [array_to_string(t[i+1:i+3], ' ')
         |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
         |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h
+        |  FROM sh),
         |sig AS (
         |  SELECT doc_id,
-        |    min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
-        |    min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
-        |    min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5,
-        |    min(md5('6|' || shingle)) AS mh_6, min(md5('7|' || shingle)) AS mh_7
-        |  FROM sh GROUP BY 1),
+        |    min((h*1299721 + 15485863) % 1000000007) AS mh_0,
+        |    min((h*1299743 + 15485867) % 1000000007) AS mh_1,
+        |    min((h*1299763 + 15485917) % 1000000007) AS mh_2,
+        |    min((h*1299791 + 15485927) % 1000000007) AS mh_3,
+        |    min((h*1299811 + 15485933) % 1000000007) AS mh_4,
+        |    min((h*1299817 + 15485941) % 1000000007) AS mh_5,
+        |    min((h*1299821 + 15485959) % 1000000007) AS mh_6,
+        |    min((h*1299827 + 15485989) % 1000000007) AS mh_7
+        |  FROM hashed GROUP BY 1),
         |banded AS (
         |  SELECT doc_id, band_idx,
         |    CASE band_idx

@@ -58,8 +58,15 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+    // join key stays the shingle STRING: hashing every exploded row to
+    // a long first (tried) costs more in md5 than it saves in shuffle
+    // bytes at these shingle lengths
     val inv = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val pairs = inv.as("a").join(inv.as("b"),
+    // shuffle-hash, NOT broadcast: the exploded inverted index is huge
+    // (|docs| x |shingles/doc|); broadcasting it builds a driver-side
+    // hash relation of millions of keys. Shuffling by shingle lets
+    // Catalyst reuse one exchange for both sides of the self-join.
+    val pairs = inv.as("a").hint("shuffle_hash").join(inv.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
@@ -72,16 +79,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: component i = lexicographic MIN over shingles of
-    * md5(i || '|' || shingle). Equivalent to k independent permutations
-    * (Broder '97) but built from md5 so any engine reproduces it
-    * bit-for-bit. Output: doc, sig array<string>(k).
+  /** Affine mixing constants for the k MinHash "permutations"
+    * (h_i = (A_i·h + B_i) mod P over an md5-derived base hash). Fixed
+    * and engine-portable — an external oracle reproduces them exactly.
+    */
+  val MinhashP = 1000000007L
+  val MinhashA: Seq[Long] = Seq(1299721L, 1299743L, 1299763L, 1299791L,
+    1299811L, 1299817L, 1299821L, 1299827L)
+  val MinhashB: Seq[Long] = Seq(15485863L, 15485867L, 15485917L, 15485927L,
+    15485933L, 15485941L, 15485959L, 15485989L)
+
+  /** Portable 60-bit base hash of a shingle: first 15 hex chars of its
+    * md5, as an integer, reduced mod P. ONE md5 per shingle; the k
+    * signature components are cheap affine mixes of it (an earlier
+    * k-md5s-per-shingle formulation spent 8x the hashing work for the
+    * same statistical behavior).
+    */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
+
+  /** MinHash signature (Broder '97): component i = MIN over shingles of
+    * (A_i·h + B_i) mod P. Output: doc, mh_0..mh_{k-1}.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, n: Int = 3): DataFrame = {
+    require(k <= MinhashA.length, s"at most ${MinhashA.length} components")
     val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
+      .withColumn("h", shingleHash(col("shingle")))
     val mins = (0 until k).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"mh_$i"))
+      min((col("h") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"mh_$i"))
     sh.groupBy("doc").agg(mins.head, mins.tail: _*)
   }
 
@@ -99,7 +125,8 @@ object Dedup {
     val banded = sigs.select(
       col("doc") +:
         (0 until bands).map { b =>
-          val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+          val cols = (0 until rowsPerBand)
+            .map(r => col(s"mh_${b * rowsPerBand + r}").cast("string"))
           md5(concat_ws("|", cols: _*)).as(s"band_$b")
         } :+ array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"): _*)
     val exploded = banded.select(col("doc"), col("sig"),
@@ -124,26 +151,33 @@ object Dedup {
     * entirely from higher-order array expressions — no UDF, no shuffle
     * beyond the final projection's parent plan.
     */
-  def simhash32(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val hashes = transform(toks, t => TextAnalysis.rollingHash(t))
-    // bit i of h == floor(h / 2^i) % 2 — arithmetic instead of shift
-    // builtins because shiftleft/shiftright take a literal Int, not a
-    // lambda-bound Column; exact in doubles for h < 2^53.
-    def pow2(i: Column): Column = pow(lit(2.0), i)
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, i) => {
-        val vote = aggregate(hashes, lit(0L),
-          (s, h) => s + when(pmod(floor(h / pow2(i)).cast("long"), lit(2L)) === 1L, 1L)
-            .otherwise(-1L))
-        acc + when(vote > 0, pow2(i).cast("long")).otherwise(0L)
-      })
+  /** Per-doc 32-bit SimHash as explode -> one grouped aggregation.
+    *
+    * Each token's rolling hash is computed exactly once on its own row
+    * (an earlier array-lambda formulation re-evaluated every token
+    * hash once per bit — a measured 10x slowdown, because nested
+    * higher-order-function lambdas re-evaluate their input per outer
+    * iteration and CollapseProject inlines single-use projections).
+    * The 32 bit-votes are plain literal-shift aggregates, so the whole
+    * thing is two codegen'd stages: scan+explode+hash, then
+    * partial/final HashAggregate keyed by doc — shuffle only carries
+    * 32 longs per doc.
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .withColumn("__h", TextAnalysis.rollingHash(col("__tok")))
+    val votes = (0 until 32).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"__v$i")
+    }
+    val simhash = (0 until 32).map { i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), simhash.as("simhash"))
   }
-
-  def withSimhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("simhash", simhash32(col(textCol)))
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -37,8 +37,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical texts identical hash; near dups close in hamming") {
-    val hashed = Dedup.withSimhash(docs, "text")
-      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val hashed = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
     assert(hashed(1L) == hashed(2L))
     val nearDist = java.lang.Long.bitCount(hashed(1L) ^ hashed(3L))
     val farDist = java.lang.Long.bitCount(hashed(1L) ^ hashed(4L))
