@@ -307,6 +307,73 @@ object SparkEntry {
         .select(col("ds"), round(col("yhat"), 4).as("yhat"),
           round(col("yhat_lower"), 4).as("yhat_lower"),
           round(col("yhat_upper"), 4).as("yhat_upper"))
+    }),
+
+    // ---- engine-completeness pack (beyond the reference's surface) ---
+
+    // O2/O3: multi-key sort with mixed direction + limit
+    "q30_sort" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          to_date(col("o_orderdate")).as("d"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // grouping sets via CUBE: (type x dow) with subtotals and total
+    "q31_cube" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .cube(col("event_type"), weekday(to_date(col("ts"))).cast("long").as("dow"))
+        .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("n"))
+    }),
+
+    // semi + anti joins (EXISTS / NOT EXISTS)
+    "q32_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 50000.0)
+      val withBig = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big").as("tag"))
+      val without = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_big").as("tag"))
+      withBig.unionByName(without)
+    }),
+
+    // ranking + lead/lag: top-2 purchases per user with gap to previous
+    "q33_rank_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+      ev.withColumn("rnk", row_number().over(w))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("user_id"), col("rnk").cast("long").as("rnk"),
+          col("event_id"), round(col("value"), 2).as("value"),
+          round(col("prev_value"), 2).as("prev_value"))
+    }),
+
+    // exact percentiles (median / p90, linear interpolation)
+    "q34_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
+    // pivot: per-dow totals, one column per event type
+    "q35_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(weekday(to_date(col("ts"))).cast("long").as("dow"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 2))
+    }),
+
+    // distinct key enumeration (A10)
+    "q36_distinct" -> ((s, dir) => {
+      Tables.events(s, dir).select("user_id", "event_type").distinct()
     })
   )
 
@@ -622,7 +689,63 @@ object SparkEntry {
         |  round(avg(CAST(embedding[i.range + 1] AS DOUBLE)), 6) AS mean_v,
         |  count(*) AS n
         |FROM embeddings, range(64) i
-        |GROUP BY 1, 2""".stripMargin
-    // q27_ivf_ann: approximate — intentionally no oracle (rows-only check)
+        |GROUP BY 1, 2""".stripMargin,
+    // q27-q29: approximate / model-scoring — intentionally no oracle
+    // (rows-only checks; parity proven in the test suite instead)
+
+    "q30_sort" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS d
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY round(o_totalprice,2) DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q31_cube" ->
+      """WITH e AS (
+        |  SELECT event_type, isodow(CAST(ts AS DATE)) - 1 AS dow, value
+        |  FROM events)
+        |SELECT event_type, dow, round(sum(value),2) AS total, count(*) AS n
+        |FROM e GROUP BY CUBE(event_type, dow)""".stripMargin,
+
+    "q32_semi_anti" ->
+      """SELECT c_custkey, 'has_big' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 50000.0)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 50000.0)""".stripMargin,
+
+    "q33_rank_lag" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER w AS rnk, lag(value) OVER w AS prev_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC))
+        |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id,
+        |  round(value,2) AS value, round(prev_value,2) AS prev_value
+        |FROM p WHERE rnk <= 2""".stripMargin,
+
+    "q34_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q35_pivot" ->
+      """WITH e AS (
+        |  SELECT isodow(CAST(ts AS DATE)) - 1 AS dow, event_type, value
+        |  FROM events)
+        |SELECT dow,
+        |  round(sum(CASE WHEN event_type='click' THEN value END),2) AS click,
+        |  round(sum(CASE WHEN event_type='error' THEN value END),2) AS error,
+        |  round(sum(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+        |  round(sum(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+        |  round(sum(CASE WHEN event_type='view' THEN value END),2) AS view
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q36_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin
   )
 }

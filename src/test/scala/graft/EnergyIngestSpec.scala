@@ -59,6 +59,26 @@ class EnergyIngestSpec extends SparkSpec {
     assert(sizes.isNullAt(0)) // int("x") -> null, row kept
   }
 
+  test("JSON array ingest (legacy path): multiLine array reads as rows") {
+    // the process_etl.py output shape (FIXTURES.md §6): one file holding
+    // a JSON ARRAY of records, all 8 CSV columns, fillna('')
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val json =
+      """[{"Home ID": "430", "Appliance Type": "Oven", "Energy Consumption (kWh)": 0.83,
+        |  "Time": "19:48", "Date": "02-04-2023", "Outdoor Temperature (?C)": 7.7,
+        |  "Season": "Spring", "Household Size": 1},
+        | {"Home ID": "363", "Appliance Type": "Dishwasher", "Energy Consumption (kWh)": 1.09,
+        |  "Time": "3:28", "Date": "11-03-2023", "Outdoor Temperature (?C)": 23,
+        |  "Season": "", "Household Size": 5}]""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/records.json"), json.getBytes)
+    val df = EnergyIngest.readJsonArray(spark, s"$dir/records.json")
+    assert(df.count() == 2L)
+    assert(df.columns.contains("Home ID"))
+    // JSON-lines sink (S5) round-trips through the normal reader
+    df.write.mode("overwrite").json(s"$dir/out")
+    assert(spark.read.json(s"$dir/out").count() == 2L)
+  }
+
   test("deterministic ids: re-ingest produces identical ids (idempotency)") {
     val (good, _) = ingested
     val ids1 = good.select("id").limit(100).collect().map(_.getString(0)).toSet
