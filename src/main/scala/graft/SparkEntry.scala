@@ -374,6 +374,19 @@ object SparkEntry {
     // distinct key enumeration (A10)
     "q36_distinct" -> ((s, dir) => {
       Tables.events(s, dir).select("user_id", "event_type").distinct()
+    }),
+
+    // multimodal plumbing, oracle-checkable slice: treat text bytes as
+    // an opaque payload and extract chunked-fingerprint features —
+    // the same shape Multimodal.extractFeatures emits for binary
+    // payloads (its codec stub is exercised in MultimodalSpec)
+    "q37_chunk_features" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val chunkLen = greatest(floor(length(col("text")) / 4).cast("int"), lit(1))
+      val feats = transform(sequence(lit(0), lit(3)),
+        i => TextAnalysis.rollingHash(col("text").substr(i * chunkLen + 1, chunkLen)))
+      d.select(col("doc_id"), posexplode(feats).as(Seq("dim", "feature")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature"))
     })
   )
 
@@ -746,6 +759,20 @@ object SparkEntry {
         |FROM e GROUP BY 1""".stripMargin,
 
     "q36_distinct" ->
-      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q37_chunk_features" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    greatest(length(text) // 4, 1) AS cl
+        |  FROM documents)
+        |SELECT doc_id, CAST(i.range AS BIGINT) AS dim,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        regexp_split_to_array(substr(text, i.range * cl + 1, cl), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS feature
+        |FROM base, range(4) i""".stripMargin
   )
 }

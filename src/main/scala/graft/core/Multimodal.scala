@@ -1,0 +1,133 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * as opaque BINARY payloads + a typed metadata struct, with
+  * decode / feature-extraction / resize / frame-sampling operators.
+  *
+  * The container ships no codec libraries, so the DECODE step is a
+  * clearly-marked deterministic STUB (`StubCodec`) — a fake header
+  * parse + byte-chunk features. Everything around it is the real
+  * plumbing this pipeline needs at 100 TB:
+  *
+  *  - schema: payload stays an opaque `BinaryType` column; metadata is
+  *    a typed struct; operators never round-trip through strings.
+  *  - batch shape: heavy per-row decode runs through `mapPartitions`
+  *    (the JVM analogue of a vectorized batch UDF) so a real codec
+  *    amortizes init (decoder handles, GPU context) once per
+  *    partition, not once per row.
+  *  - partitioning: payload tables are processed embarrassingly
+  *    parallel; feature output is a flat (id, dim, value) or
+  *    fixed-width array column that feeds Similarity.* directly.
+  *  - frame sampling: explode-with-stride — one row per sampled frame,
+  *    distributed, no driver loop.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** STUB codec — stands in for a real image/audio decoder.
+    * "Header": byte 0 -> width/16, byte 1 -> height/16, byte 2 ->
+    * frame count; "features": k chunked polynomial byte-hashes scaled
+    * to [0,1). Deterministic in the payload alone, so tests and
+    * oracles can reproduce it; swap this object for a real codec and
+    * nothing else changes.
+    */
+  object StubCodec {
+    def width(payload: Array[Byte]): Int = 16 * ((payload(0) & 0xff) % 64 + 1)
+    def height(payload: Array[Byte]): Int = 16 * ((payload(1) & 0xff) % 64 + 1)
+    def nFrames(payload: Array[Byte]): Int = (payload(2) & 0xff) % 30 + 1
+
+    /** k features: chunk the payload into k spans, polynomial-hash each
+      * span mod 1e9+7, scale into [0,1).
+      */
+    def features(payload: Array[Byte], k: Int): Array[Float] = {
+      val out = new Array[Float](k)
+      val span = math.max(1, payload.length / k)
+      var i = 0
+      while (i < k) {
+        var h = 0L
+        var j = i * span
+        val end = math.min(payload.length, (i + 1) * span)
+        while (j < end) { h = (h * 31 + (payload(j) & 0xff)) % 1000000007L; j += 1 }
+        out(i) = (h.toDouble / 1000000007.0).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Decode metadata from the payload (stub header parse). Batch-shaped:
+    * one `mapPartitions` pass, schema-preserving + meta overwrite.
+    */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    val out: Dataset[Row] = media.select("media_id", "kind", "payload", "meta")
+      .mapPartitions { rows =>
+        // per-partition init happens HERE in a real codec
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getLong(0), r.getString(1), payload,
+            Row(StubCodec.width(payload), StubCodec.height(payload),
+              StubCodec.nFrames(payload), 16000))
+        }
+      }(enc)
+    out
+  }
+
+  /** Fixed-dimension feature vector per payload (stub features). */
+  def extractFeatures(media: DataFrame, k: Int = 8): DataFrame = {
+    val featUdf = udf((payload: Array[Byte]) => StubCodec.features(payload, k))
+    media.withColumn("features", featUdf(col("payload")))
+  }
+
+  /** "Resize": metadata-level transform (a real impl re-encodes the
+    * payload; the stub scales the header dims). Shows the
+    * schema-stable transform shape.
+    */
+  def resize(media: DataFrame, maxSide: Int): DataFrame =
+    media.withColumn("meta", struct(
+      least(col("meta.width"), lit(maxSide)).as("width"),
+      least(col("meta.height"), lit(maxSide)).as("height"),
+      col("meta.n_frames").as("n_frames"),
+      col("meta.sample_rate").as("sample_rate")))
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * index (stride `every`), distributed via sequence+explode — the
+    * W2 calendar-densification idiom applied to frames.
+    */
+  def sampleFrames(media: DataFrame, every: Int): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every))))
+
+  /** Deterministic synthetic media table (test/bench input): payload
+    * bytes are a keyed xorshift stream — no external data needed.
+    */
+  def synthesize(spark: org.apache.spark.sql.SparkSession, n: Int,
+                 bytesPerRow: Int = 256): DataFrame = {
+    import spark.implicits._
+    val kinds = Seq("image", "audio", "video")
+    spark.range(n).map { id =>
+      val rnd = new java.util.Random(id * 2654435761L + 7)
+      val payload = new Array[Byte](bytesPerRow)
+      rnd.nextBytes(payload)
+      (id, kinds((id % 3).toInt), payload)
+    }.toDF("media_id", "kind", "payload")
+      .withColumn("meta", lit(null).cast(mediaSchema("meta").dataType))
+  }
+}

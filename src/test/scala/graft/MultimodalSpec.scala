@@ -1,0 +1,58 @@
+package graft
+
+import graft.core.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: schema, partition-batched decode,
+  * feature extraction feeding similarity search, frame sampling.
+  * The codec is a deterministic stub (no image/audio libs in this
+  * container) — the Spark-side shapes are the real thing.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.synthesize(spark, 60)
+
+  test("decodeMeta: mapPartitions decode fills the typed meta struct deterministically") {
+    val decoded = Multimodal.decodeMeta(media)
+    assert(decoded.schema("payload").dataType.typeName == "binary")
+    assert(decoded.filter($"meta.width".isNull).count() == 0)
+    val twice = Multimodal.decodeMeta(media)
+    val a = decoded.select("media_id", "meta.width", "meta.height").collect().toSet
+    val b = twice.select("media_id", "meta.width", "meta.height").collect().toSet
+    assert(a == b)
+    val w = decoded.select(min("meta.width"), max("meta.width")).head()
+    assert(w.getInt(0) >= 16 && w.getInt(1) <= 1024)
+  }
+
+  test("extractFeatures: fixed-dim vectors in [0,1) feed cosine top-k directly") {
+    val feats = Multimodal.extractFeatures(media, k = 8)
+      .select($"media_id".as("vec_id"), $"features".as("embedding"))
+    assert(feats.filter(size($"embedding") =!= 8).count() == 0)
+    val top = Similarity.cosineTopK(feats.filter($"vec_id" < 3), feats, k = 2)
+    assert(top.count() == 6)
+    assert(top.filter($"cosine" > 1.0001 || $"cosine" < -1.0001).count() == 0)
+  }
+
+  test("resize caps meta dims, payload untouched") {
+    val decoded = Multimodal.decodeMeta(media)
+    val resized = Multimodal.resize(decoded, maxSide = 64)
+    assert(resized.filter($"meta.width" > 64 || $"meta.height" > 64).count() == 0)
+    val before = decoded.select("media_id", "payload").as[(Long, Array[Byte])]
+      .collect().map { case (i, p) => i -> p.toSeq }.toMap
+    val after = resized.select("media_id", "payload").as[(Long, Array[Byte])]
+      .collect().map { case (i, p) => i -> p.toSeq }.toMap
+    assert(before == after)
+  }
+
+  test("sampleFrames: one row per stride-sampled frame, video only") {
+    val decoded = Multimodal.decodeMeta(media)
+    val frames = Multimodal.sampleFrames(decoded, every = 5)
+    assert(frames.select("kind").distinct().as[String].collect().toSeq == Seq("video"))
+    // expected rows per video = ceil(n_frames / 5) = floor((n-1)/5)+1
+    val expected = decoded.filter($"kind" === "video")
+      .select(floor(($"meta.n_frames" - 1) / 5) + 1)
+      .as[Long].collect().sum
+    assert(frames.count() == expected)
+  }
+}
