@@ -18,13 +18,23 @@ object TextAnalysis {
 
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  /** Portable 64-bit-safe polynomial rolling hash over a string's
-    * characters: fold(acc = (acc * 31 + ascii(char)) mod 1e9+7).
-    * Sequential left fold => deterministic and reproducible in any
-    * engine with ascii() + a list fold. Used for token hashes,
-    * document fingerprints and SimHash bit sources.
+  /** Portable polynomial rolling hash over a string's characters:
+    * fold(acc = (acc * 31 + codepoint) mod 1e9+7). Deterministic and
+    * reproducible in any engine with ascii() + a list fold. Used for
+    * token hashes, document fingerprints and SimHash bit sources.
+    * Backed by a native codegen Expression
+    * ([[graft.expressions.RollingHash]]); [[rollingHashHof]] is the
+    * built-ins-only formulation kept as its semantic oracle.
     */
   def rollingHash(s: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.expressions.RollingHash(org.apache.spark.sql.GraftShim.expression(s)))
+
+  /** Higher-order-function formulation of [[rollingHash]] — identical
+    * semantics, interpreted execution (ArrayAggregate is
+    * CodegenFallback). Used in tests to pin the native expression.
+    */
+  def rollingHashHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c)),
       lit(0L),
