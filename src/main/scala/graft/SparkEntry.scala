@@ -570,7 +570,11 @@ object SparkEntry {
         |  FROM toks),
         |hashed AS (
         |  SELECT doc_id,
-        |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1000000007 AS h
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(shingle, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
         |  FROM sh),
         |sig AS (
         |  SELECT doc_id,

@@ -22,9 +22,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles of a text column (default 3-grams), distinct
-    * per document.
+    * per document. Native single-pass expression
+    * ([[graft.expressions.ShingleArray]]); [[shinglesHof]] is the
+    * built-ins-only formulation kept as its semantic oracle.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.expressions.ShingleArray(
+        org.apache.spark.sql.GraftShim.expression(text), n))
+
+  /** HOF formulation of [[shingles]] — identical semantics, but the
+    * lambda re-evaluates the tokenization per window position (kept
+    * only as the test oracle for the native expression).
+    */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(text)
     array_distinct(
       transform(
@@ -58,18 +69,30 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    // join key stays the shingle STRING: hashing every exploded row to
-    // a long first (tried) costs more in md5 than it saves in shuffle
-    // bytes at these shingle lengths
     val inv = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
-    // shuffle-hash, NOT broadcast: the exploded inverted index is huge
-    // (|docs| x |shingles/doc|); broadcasting it builds a driver-side
-    // hash relation of millions of keys. Shuffling by shingle lets
-    // Catalyst reuse one exchange for both sides of the self-join.
-    val pairs = inv.as("a").hint("shuffle_hash").join(inv.as("b").hint("shuffle_hash"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+    // Single-pass inverted index instead of a self-join: group the
+    // postings by shingle, emit each posting list's pair combinations
+    // with an array expression, then count per pair. One exchange on
+    // shingle + one on the pair key — the self-join variant scanned and
+    // shingled the corpus twice and shuffled three times. Posting-list
+    // skew is bounded: a stop-shingle with document frequency d emits
+    // d^2/2 combos, so extreme-DF shingles should be filtered upstream
+    // by the caller at web scale (maxDf hook below).
+    val byShingle = inv.groupBy("shingle")
+      .agg(collect_list(struct(col("doc"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(array_sort(col("ds")).as("ds"))
+    val combos = byShingle.select(explode(flatten(
+      transform(sequence(lit(0), size(col("ds")) - 2), i =>
+        transform(sequence(i + 1, size(col("ds")) - 1), j =>
+          struct(
+            col("ds")(i).getField("doc").as("doc_a"),
+            col("ds")(j).getField("doc").as("doc_b"),
+            col("ds")(i).getField("n_sh").as("n_a"),
+            col("ds")(j).getField("n_sh").as("n_b")))))).as("p"))
+    val pairs = combos
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
       .withColumn("jaccard",
@@ -89,14 +112,13 @@ object Dedup {
   val MinhashB: Seq[Long] = Seq(15485863L, 15485867L, 15485917L, 15485927L,
     15485933L, 15485941L, 15485959L, 15485989L)
 
-  /** Portable 60-bit base hash of a shingle: first 15 hex chars of its
-    * md5, as an integer, reduced mod P. ONE md5 per shingle; the k
-    * signature components are cheap affine mixes of it (an earlier
-    * k-md5s-per-shingle formulation spent 8x the hashing work for the
-    * same statistical behavior).
+  /** Portable base hash of a shingle: the engine's codegen'd
+    * polynomial rolling hash (already in [0, P)). Replaced an
+    * md5+hex-parse base hash — one cheap single-pass fold instead of a
+    * digest per shingle, same portability (any engine with ascii() +
+    * a list fold reproduces it).
     */
-  def shingleHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % MinhashP
+  def shingleHash(shingle: Column): Column = TextAnalysis.rollingHash(shingle)
 
   /** MinHash signature (Broder '97): component i = MIN over shingles of
     * (A_i·h + B_i) mod P. Output: doc, mh_0..mh_{k-1}.

@@ -30,6 +30,21 @@ class RollingHashExprSpec extends SparkSpec {
     assert(RollingHash.hash(g) == 0x1F600L)
   }
 
+  test("native ShingleArray == HOF formulation on real document text") {
+    val docs = Tables.documents(spark, Sf0001)
+    val mismatches = docs
+      .withColumn("a", graft.core.Dedup.shingles($"text", 3))
+      .withColumn("b", graft.core.Dedup.shinglesHof($"text", 3))
+      .filter(!($"a" <=> $"b"))
+      .count()
+    assert(mismatches == 0L)
+    // short-text edge cases: fewer tokens than n, single token
+    val edge = Seq("one two", "solo", " padded  spaces ").toDF("text")
+    val pairs = edge.select(graft.core.Dedup.shingles($"text", 3).as("a"),
+      graft.core.Dedup.shinglesHof($"text", 3).as("b")).collect()
+    pairs.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+  }
+
   test("SQL registration: graft_rolling_hash usable from spark.sql") {
     GraftShim.registerFunction(spark, "graft_rolling_hash",
       exprs => RollingHash(exprs.head))
