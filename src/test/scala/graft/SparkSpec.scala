@@ -6,7 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM, one session). */
 object TestSession {
   lazy val spark: SparkSession = Tables.configure(
-    SparkSession.builder().master("local[8]"), "8").getOrCreate()
+    SparkSession.builder().master("local[8]")
+      // fresh warehouse per JVM: saveAsTable locations must not
+      // survive into the next test run (LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString),
+    "8").getOrCreate()
 }
 
 trait SparkSpec extends AnyFunSuite {
