@@ -34,6 +34,16 @@ object LayoutSmoke {
     val jplan = j.queryExecution.executedPlan.toString
     println("[layout-smoke] shuffle-free=" + !jplan.contains("Exchange hashpartitioning")
       + " sortMerge=" + jplan.contains("SortMergeJoin"))
+
+    // skew: salted join vs plain join on a hot key
+    val big = spark.range(200000).select(
+      when($"id" < 190000, "hot").otherwise(concat(lit("k"), $"id" % 5)).as("key"),
+      $"id".as("rid"))
+    val small = Seq(("hot", 1.0), ("k1", 2.0)).toDF("key", "w")
+    val plainN = big.join(small, "key").count()
+    val saltedN = graft.core.Skew.saltedJoin(big, small, "key", $"rid", 16).count()
+    println(s"[layout-smoke] salted join parity: plain=$plainN salted=$saltedN " +
+      s"match=${plainN == saltedN}")
     spark.stop()
   }
 }

@@ -376,6 +376,17 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "event_type").distinct()
     }),
 
+    // gap-based sessionization: lag -> flag -> running sum, one
+    // exchange shared by both windows
+    "q38_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      TimeSeries.sessionize(ev, "user_id", "ts", gapMinutes = 60)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"),
+          min(to_date(col("ts"))).as("start_day"))
+    }),
+
     // multimodal plumbing, oracle-checkable slice: treat text bytes as
     // an opaque payload and extract chunked-fingerprint features —
     // the same shape Multimodal.extractFeatures emits for binary
@@ -764,6 +775,24 @@ object SparkEntry {
 
     "q36_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q38_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value),2) AS session_value,
+        |  min(CAST(ts AS DATE)) AS start_day
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
 
     "q37_chunk_features" ->
       """WITH base AS (

@@ -65,8 +65,17 @@ object Dedup {
     * |A∩B| / (|A| + |B| − |A∩B|). The shingle join replaces the O(n²)
     * cross join with a shuffle keyed on shingle text.
     */
+  /** `maxDf` drops stop-shingles (document frequency above the cap)
+    * from candidate generation — at web scale a shingle appearing in
+    * millions of docs contributes d^2/2 combos while carrying no
+    * near-dup signal. Denominators still count all shingles, so capped
+    * Jaccard is a LOWER BOUND of the exact value (pairs only ever
+    * drop out, never gain). Default: no cap (exact Jaccard; the
+    * driver-gate oracle uses this).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
@@ -80,7 +89,7 @@ object Dedup {
     // by the caller at web scale (maxDf hook below).
     val byShingle = inv.groupBy("shingle")
       .agg(collect_list(struct(col("doc"), col("n_sh"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
       .select(array_sort(col("ds")).as("ds"))
     val combos = byShingle.select(explode(flatten(
       transform(sequence(lit(0), size(col("ds")) - 2), i =>

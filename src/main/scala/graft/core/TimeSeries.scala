@@ -60,6 +60,24 @@ object TimeSeries {
   def withDow(df: DataFrame, dateCol: String): DataFrame =
     df.withColumn("dow", weekday(col(dateCol)))
 
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event (per key) exceeds `gapMinutes`. Classic
+    * lag -> boolean -> running-sum window composition; one shuffle on
+    * the key, both windows share the exchange.
+    */
+  def sessionize(df: DataFrame, key: String, tsCol: String,
+                 gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new_session")
+  }
+
   /** M3 — the full anomaly feature pipeline
     * (`ml_forecast_anomaly.py:193-215`): rollup -> densify -> rolling
     * mean -> dow -> fillna(0). Input: readings-shaped rows; output one
