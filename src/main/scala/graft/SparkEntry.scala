@@ -376,6 +376,17 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "event_type").distinct()
     }),
 
+    // embedding-cosine near-dup, exact O(n^2) baseline (oracle-checked)
+    "q39_cosine_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+    }),
+
+    // multi-table hyperplane-LSH near-dup — approximate: rows-only;
+    // recall vs the exact variant is asserted in SimilaritySpec
+    "q40_lsh_neardup" -> ((s, dir) => {
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+    }),
+
     // gap-based sessionization: lag -> flag -> running sum, one
     // exchange shared by both windows
     "q38_sessionize" -> ((s, dir) => {
@@ -775,6 +786,32 @@ object SparkEntry {
 
     "q36_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q39_cosine_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [a.v[i+1] * b.v[i+1] for i in generate_series(0, len(a.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [a.v[i+1] * a.v[i+1] for i in generate_series(0, len(a.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [b.v[i+1] * b.v[i+1] for i in generate_series(0, len(b.v)-1)]),
+        |         (acc, x) -> acc + x))), 6) AS cosine
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [a.v[i+1] * b.v[i+1] for i in generate_series(0, len(a.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [a.v[i+1] * a.v[i+1] for i in generate_series(0, len(a.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [b.v[i+1] * b.v[i+1] for i in generate_series(0, len(b.v)-1)]),
+        |         (acc, x) -> acc + x))) >= 0.4""".stripMargin,
 
     "q38_sessionize" ->
       """WITH flagged AS (

@@ -21,10 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns in double
-    * precision.
+  /** Sequential-fold dot product of two numeric-array columns in
+    * double precision — native expression
+    * ([[graft.expressions.DotProduct]]); [[dotHof]] is the
+    * built-ins-only formulation kept as its semantic oracle.
     */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftShim.column(graft.expressions.DotProduct(
+      org.apache.spark.sql.GraftShim.expression(a),
+      org.apache.spark.sql.GraftShim.expression(b)))
+
+  /** HOF formulation of [[dot]] — identical semantics, interpreted
+    * per-element execution (test oracle only).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -39,11 +49,13 @@ object Similarity {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_n"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_n"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -88,6 +100,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs
+    * with cosine >= threshold. O(n^2) scoring — the correctness
+    * baseline and oracle target; use [[lshNearDupPairs]] at scale.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    // norms are per-VECTOR: compute them once per side, never per pair
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Scale path for near-dup: multi-table random-hyperplane LSH
+    * (Charikar '02). Each of `nTables` tables keys vectors by
+    * `bitsPerTable` sign bits against deterministic pseudo-random
+    * hyperplanes; only within-bucket pairs are scored. A pair at angle
+    * θ collides in one table w.p. (1 − θ/π)^k, so recall is
+    * 1 − (1 − (1−θ/π)^k)^L — tunable; tested against the exact
+    * variant. Hyperplane components derive from rollingHash("bit:dim")
+    * (materialized as literals — they're row-independent), so any
+    * engine can reproduce the bucketing.
+    */
+  def lshNearDupPairs(emb: DataFrame, threshold: Double,
+                      bitsPerTable: Int = 4, nTables: Int = 8,
+                      dim: Int = 64, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    def plane(bit: Int): Column = array((0 until dim).map { d =>
+      lit(graft.expressions.RollingHash.hash(s"$bit:$d") % 1000L / 1000.0 - 0.5)
+    }: _*)
+    def bucket(t: Int): Column = concat_ws("", (0 until bitsPerTable).map { j =>
+      when(dot(col(vecCol), plane(t * bitsPerTable + j)) >= 0, lit(1)).otherwise(lit(0))
+    }: _*)
+    val bucketed = emb.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+      posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
+      .distinct()
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
   /** Per-label centroid: mean embedding by label, emitted flat as

@@ -38,4 +38,29 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(full == exact)
   }
+
+  test("native DotProduct == HOF fold on real embeddings, bit-identical") {
+    val emb = Tables.embeddings(spark, Sf0001).limit(100)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val mism = a.crossJoin(b)
+      .withColumn("d1", Similarity.dot($"va", $"vb"))
+      .withColumn("d2", Similarity.dotHof($"va", $"vb"))
+      .filter($"d1" =!= $"d2") // exact double equality, not approximate
+      .count()
+    assert(mism == 0L)
+  }
+
+  test("LSH near-dup pairs: subset of exact with recall >= 0.5 at t=0.4") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(emb, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must never invent pairs")
+    if (exact.nonEmpty) {
+      val recall = (lsh intersect exact).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall over ${exact.size} pairs")
+    }
+  }
 }
