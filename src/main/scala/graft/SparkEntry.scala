@@ -376,6 +376,19 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "event_type").distinct()
     }),
 
+    // TF-IDF: top-3 terms per doc. Ranked on INTEGERS (tf desc, term
+    // asc) so cross-engine float rounding can't flip ranks; the float
+    // score is display-only, rounded.
+    "q41_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.tfidf(Tables.documents(s, dir), "doc_id", "text")
+      val w = Window.partitionBy("doc_id").orderBy(desc("tf"), asc("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"),
+          col("tf"), round(col("score"), 6).as("score"))
+    }),
+
     // embedding-cosine near-dup, exact O(n^2) baseline (oracle-checked)
     "q39_cosine_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
@@ -786,6 +799,25 @@ object SparkEntry {
 
     "q36_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q41_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, tf.term ASC) AS rnk
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf,
+        |  round(score, 6) AS score
+        |FROM scored WHERE rnk <= 3""".stripMargin,
 
     "q39_cosine_neardup" ->
       """WITH e AS (

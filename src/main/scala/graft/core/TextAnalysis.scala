@@ -95,6 +95,23 @@ object TextAnalysis {
     scored.withColumn("lang_pred", best.getField("l"))
   }
 
+  /** TF-IDF per (doc, term): tf = in-doc term count, idf =
+    * ln((1+N)/(1+df)) + 1 (smooth). Two grouped aggregations plus a
+    * broadcast of the tiny df table; the corpus size N is a scalar
+    * cross join, not a collect.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Document fingerprint: rolling hash over the full text — a compact
     * order-sensitive signature (exact-dup detection without storing
     * text; the reference has no equivalent, this is the training-data

@@ -60,6 +60,20 @@ object TimeSeries {
   def withDow(df: DataFrame, dateCol: String): DataFrame =
     df.withColumn("dow", weekday(col(dateCol)))
 
+  /** Approximate variant of [[dailyRollup]] for the 100 TB regime:
+    * `approx_count_distinct` (HyperLogLog++, default 5% rsd) replaces
+    * the exact-distinct expand+double-shuffle — one aggregation pass,
+    * mergeable sketches, at the cost of bounded error on the
+    * distinct-count column.
+    */
+  def dailyRollupApprox(df: DataFrame, key: String, dateCol: Column,
+                        value: String, category: String,
+                        rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(key), dateCol.as("Date"))
+      .agg(
+        sum(value).as("total_kwh"),
+        approx_count_distinct(col(category), rsd).as("unique_appliances"))
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event (per key) exceeds `gapMinutes`. Classic
     * lag -> boolean -> running-sum window composition; one shuffle on

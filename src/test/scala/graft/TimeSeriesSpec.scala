@@ -47,6 +47,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(dows == Seq(0, 6))
   }
 
+  test("approx daily rollup: totals exact, distinct within HLL error") {
+    val ev = Tables.events(spark, Sf0001)
+    val exact = TimeSeries.dailyRollup(ev, "user_id", to_date($"ts"), "value", "event_type")
+    val approx = TimeSeries.dailyRollupApprox(ev, "user_id", to_date($"ts"), "value", "event_type")
+    val joined = exact.as("e").join(approx.as("a"), Seq("user_id", "Date"))
+    assert(joined.filter($"e.total_kwh" =!= $"a.total_kwh").count() == 0)
+    // distinct event types per (user, day) <= 5 — HLL at 5% rsd should
+    // land within +-1 at these cardinalities
+    val offByMore = joined
+      .filter(abs($"e.unique_appliances" - $"a.unique_appliances") > 1).count()
+    assert(offByMore == 0L)
+  }
+
   test("anomalyFeatures: composite pipeline invariants on reference-shaped data") {
     val readings = Seq(
       ("h1", "Oven", 1.5, "01-01-2023"),
