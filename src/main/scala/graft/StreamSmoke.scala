@@ -43,6 +43,30 @@ object StreamSmoke {
     println(s"[stream-smoke] after late blob rows=" + spark.read.parquet(s"$base/table").count())
 
     spark.read.parquet(s"$base/table").orderBy("HomeID").show(10, false)
+
+    // stateful streaming sessionization over a live MemoryStream
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.streaming.SessionStream
+    import graft.streaming.SessionStream.Event
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val sq = SessionStream.sessionize(input.toDS(), gapMinutes = 60)
+      .writeStream.format("memory").queryName("smoke_sessions")
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(Event(1, t("2024-01-01 10:00:00"), 1.0),
+      Event(1, t("2024-01-01 10:20:00"), 2.0))
+    sq.processAllAvailable()
+    input.addData(Event(1, t("2024-01-01 13:00:00"), 4.0)) // gap -> close
+    sq.processAllAvailable()
+    input.addData(Event(2, t("2024-01-01 18:00:00"), 1.0)) // watermark -> timeout
+    sq.processAllAvailable()
+    input.addData(Event(2, t("2024-01-01 18:00:30"), 1.0))
+    sq.processAllAvailable()
+    println("[stream-smoke] closed sessions:")
+    spark.table("smoke_sessions").orderBy("user_id", "start").show(10, false)
+    sq.stop()
     spark.stop()
   }
 }
