@@ -376,6 +376,25 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "event_type").distinct()
     }),
 
+    // backward as-of join (composed: tag+union+window — SURVEY custom-
+    // operator preference (a)): each event picks the most recent order
+    // of the same customer at or before its timestamp
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_totalprice").as("best_price"))
+      Joins.asofBackward(
+        ev.select(col("event_id"), col("user_id"), col("ts")), o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = col("ts"), rightTs = col("o_orderdate"),
+        valueCols = Seq("o_orderdate", "best_price"))
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("d"),
+          to_date(col("o_orderdate")).as("order_d"),
+          round(col("best_price"), 2).as("best_price"))
+    }),
+
     // TF-IDF: top-3 terms per doc. Ranked on INTEGERS (tf desc, term
     // asc) so cross-engine float rounding can't flip ranks; the float
     // score is display-only, rounded.
@@ -799,6 +818,16 @@ object SparkEntry {
 
     "q36_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q42_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_totalprice) AS best_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d,
+        |  CAST(o.o_orderdate AS DATE) AS order_d,
+        |  round(o.best_price, 2) AS best_price
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
     "q41_tfidf" ->
       """WITH terms AS (

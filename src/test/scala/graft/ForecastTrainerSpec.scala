@@ -1,0 +1,56 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.ml.ForecastTrainer
+import org.apache.spark.sql.functions._
+
+class ForecastTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recovers a known trend + weekly signal almost exactly") {
+    // y = 10 + 0.5*day + 3*sin(2*pi*d/7) + 2*cos(2*pi*2d/7)
+    val rows = (0 until 200).map { d =>
+      val day = 19000 + d
+      val y = 10.0 + 0.05 * d +
+        3.0 * math.sin(2 * math.Pi * day / 7.0) +
+        2.0 * math.cos(2 * math.Pi * 2 * day / 7.0)
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day)), y)
+    }.toDF("ds", "y")
+    val m = ForecastTrainer.fit(rows, $"ds", $"y", order = 3, period = 7.0)
+    // in-sample prediction error ~ ridge-only
+    val errs = (0 until 200).map { d =>
+      val day = 19000 + d
+      val expect = 10.0 + 0.05 * d +
+        3.0 * math.sin(2 * math.Pi * day / 7.0) +
+        2.0 * math.cos(2 * math.Pi * 2 * day / 7.0)
+      math.abs(m.predict(day.toDouble) - expect)
+    }
+    // tolerance = ridge-shrinkage bias at lambda 1e-3, not noise
+    assert(errs.max < 0.05, s"max err ${errs.max}")
+    assert(m.sigma < 0.05)
+  }
+
+  test("fit on the reference model's embedded history: MAE comparable to Prophet") {
+    val in = getClass.getResourceAsStream("/prophet_model.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val hist = new ObjectMapper().readTree(root.get("history").asText).get("data")
+    val rows = (0 until hist.size).map { i =>
+      (java.sql.Date.valueOf(hist.get(i).get("ds").asText.take(10)),
+        hist.get(i).get("y").asDouble)
+    }.toDF("ds", "y")
+    val m = ForecastTrainer.fit(rows, $"ds", $"y")
+    val mae = (0 until hist.size).map { i =>
+      val d = java.time.LocalDate.parse(hist.get(i).get("ds").asText.take(10)).toEpochDay
+      math.abs(m.predict(d.toDouble) - hist.get(i).get("y").asDouble)
+    }.sum / hist.size
+    // the frozen Prophet artifact fits its own history at MAE ~26.9
+    assert(mae < 35.0, s"MAE $mae")
+
+    // forecast surface: spine, ordering, intervals
+    val f = ForecastTrainer.forecast(spark, m,
+      java.time.LocalDate.parse("2023-05-31"), days = 14).orderBy("ds").collect()
+    assert(f.length == 14)
+    assert(f.head.getDate(0).toLocalDate == java.time.LocalDate.parse("2023-06-01"))
+    f.foreach(r => assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3)))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import java.sql.Timestamp
+import graft.core.Joins
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asofBackward: latest right row at or before left ts, per key") {
+    val quotes = Seq(
+      ("A", t("2024-01-01 10:00:00"), 100.0),
+      ("A", t("2024-01-01 10:05:00"), 101.0),
+      ("A", t("2024-01-01 10:10:00"), 102.0),
+      ("B", t("2024-01-01 10:03:00"), 50.0)
+    ).toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", t("2024-01-01 10:04:00"), 1L), // -> 100.0
+      ("A", t("2024-01-01 10:05:00"), 2L), // exact tie -> 101.0 (<=)
+      ("A", t("2024-01-01 10:20:00"), 3L), // -> 102.0
+      ("B", t("2024-01-01 10:00:00"), 4L), // before any quote -> null
+      ("C", t("2024-01-01 10:00:00"), 5L)  // no quotes at all -> null
+    ).toDF("sym", "tts", "trade_id")
+
+    val got = Joins.asofBackward(trades, quotes,
+      leftKey = "sym", rightKey = "sym",
+      leftTs = $"tts", rightTs = $"qts", valueCols = Seq("px"))
+      .select($"trade_id", $"px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(1L -> Some(100.0), 2L -> Some(101.0),
+      3L -> Some(102.0), 4L -> None, 5L -> None))
+  }
+}
