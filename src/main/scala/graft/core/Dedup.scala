@@ -91,17 +91,16 @@ object Dedup {
       .agg(collect_list(struct(col("doc"), col("n_sh"))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
       .select(array_sort(col("ds")).as("ds"))
-    val combos = byShingle.select(explode(flatten(
-      transform(sequence(lit(0), size(col("ds")) - 2), i =>
-        transform(sequence(i + 1, size(col("ds")) - 1), j =>
-          struct(
-            col("ds")(i).getField("doc").as("doc_a"),
-            col("ds")(j).getField("doc").as("doc_b"),
-            col("ds")(i).getField("n_sh").as("n_a"),
-            col("ds")(j).getField("n_sh").as("n_b")))))).as("p"))
+    // custom Generator: emits the d(d-1)/2 pairs of each sorted posting
+    // list in one pass (the nested-transform + flatten + explode
+    // formulation re-evaluated interpreted lambdas per (i,j))
+    val combos = byShingle.select(
+      org.apache.spark.sql.GraftShim.column(
+        graft.expressions.PairCombinations(
+          org.apache.spark.sql.GraftShim.expression(col("ds"))))
+        .as(Seq("doc_a", "n_a", "doc_b", "n_b")))
     val pairs = combos
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
       .withColumn("jaccard",
