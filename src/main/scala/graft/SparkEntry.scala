@@ -376,6 +376,17 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "event_type").distinct()
     }),
 
+    // full dedup resolution: near-dup pairs -> connected components ->
+    // survivor per cluster (iterative min-label propagation; the
+    // oracle computes the same closure with a recursive CTE)
+    "q43_dedup_resolve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.resolveSurvivors(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("survivor_id"), col("is_survivor"))
+    }),
+
     // backward as-of join (composed: tag+union+window — SURVEY custom-
     // operator preference (a)): each event picks the most recent order
     // of the same customer at or before its timestamp
@@ -818,6 +829,39 @@ object SparkEntry {
 
     "q36_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q43_dedup_resolve" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM cand p
+        |  JOIN counts ca ON p.doc_a = ca.doc_id
+        |  JOIN counts cb ON p.doc_b = cb.doc_id
+        |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (
+        |  SELECT src AS doc, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS doc, cc.lbl FROM cc JOIN edges e ON cc.doc = e.src),
+        |labels AS (SELECT doc, min(lbl) AS cluster_id FROM cc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(l.cluster_id, d.doc_id) AS survivor_id,
+        |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_survivor
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc""".stripMargin,
 
     "q42_asof_join" ->
       """WITH o AS (

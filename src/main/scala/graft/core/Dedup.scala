@@ -176,6 +176,61 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Connected components over near-dup candidate pairs: docs linked
+    * by any pair form a duplicate cluster; every doc gets the MIN doc
+    * id of its component as `cluster_id`.
+    *
+    * Iterative min-label propagation (alternating large-star/small-star
+    * style): each round joins current labels across the edge list and
+    * keeps the minimum; converges in O(log n) rounds for typical dup
+    * clusters (chains of length L need ~log L doublings; `maxIter`
+    * bounds pathological chains). Each round is one shuffle on doc id —
+    * no driver-side graph.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+    val nodes = edges.select(col("src").as("doc")).distinct()
+    var labels = nodes.withColumn("cluster_id", col("doc"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc", "src")
+          .withColumnRenamed("cluster_id", "nl"), "src")
+        .groupBy(col("dst").as("doc"))
+        .agg(min(col("nl")).as("nl"))
+      val updated = labels.join(neighborLabels, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      val changed = updated.as("u")
+        .join(labels.as("l"), "doc")
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Resolve near-dup clusters to survivors: every doc mapped to its
+    * cluster's canonical (min-id) doc; docs in no pair survive as
+    * themselves.
+    */
+  def resolveSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .withColumnRenamed("doc", idCol)
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("survivor_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("is_survivor", col("survivor_id") === col(idCol))
+      .drop("cluster_id")
+  }
+
   /** SimHash (Charikar '02): 32-bit fingerprint where bit i is the
     * majority vote of bit i across all token rolling-hashes. Built
     * entirely from higher-order array expressions — no UDF, no shuffle

@@ -45,6 +45,26 @@ class DedupSpec extends SparkSpec {
     assert(nearDist < farDist)
   }
 
+  test("duplicate clusters: chains collapse to min-id components") {
+    // components: {1,2,3,4} (chain), {10,11}, isolated pair graph node 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("resolveSurvivors: clustered docs keep one survivor, others self-survive") {
+    val all = (1L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val r = Dedup.resolveSurvivors(all, "doc_id", pairs)
+      .select("doc_id", "survivor_id", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(r == Set((1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
+      (3L, 3L, true), (4L, 4L, true), (6L, 6L, true)))
+  }
+
   test("rolling hash is order-sensitive and stable") {
     val h = Seq("ab", "ba", "ab").toDF("s")
       .select(TextAnalysis.rollingHash(col("s")).as("h")).as[Long].collect()
