@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+
+/** Single-pass uniform sampling for training pipelines.
+  *
+  * `reservoir(df, n)`: classic per-partition reservoir (Vitter's
+  * algorithm R) + a weighted driver-side merge — ONE scan, no sort, no
+  * shuffle; only `numPartitions x n` candidate rows ever reach the
+  * driver. Replaces the `orderBy(rand).limit(n)` idiom, which is a
+  * FULL global sort of the corpus at scale.
+  *
+  * Deterministic for a fixed seed and input partitioning (each
+  * partition's RNG is seeded by partition id; parquet splits are
+  * stable for unchanged inputs).
+  */
+object Sampling {
+
+  def reservoirDoubles(df: DataFrame, featureCols: Seq[String], n: Int,
+                       seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.col
+    val proj = df.select(featureCols.map(c => col(c).cast("double")): _*)
+    implicit val enc = Encoders.kryo[(Long, Array[Array[Double]])]
+    val perPartition = proj
+      .mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val rng = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        val res = new Array[Array[Double]](n)
+        var seen = 0L
+        rows.foreach { r =>
+          val v = Array.tabulate(featureCols.length)(i => r.getDouble(i))
+          if (seen < n) res(seen.toInt) = v
+          else {
+            val j = (rng.nextDouble() * (seen + 1)).toLong
+            if (j < n) res(j.toInt) = v
+          }
+          seen += 1
+        }
+        Iterator.single((seen, res.take(math.min(seen, n.toLong).toInt)))
+      }(enc)
+      .collect()
+
+    // weighted merge: each partition's reservoir represents `count`
+    // rows; draw n slots from the combined stream weight-proportionally
+    val total = perPartition.map(_._1).sum
+    require(total > 0, "empty input")
+    val rng = new java.util.Random(seed)
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Double]](n)
+    val weights = perPartition.map(_._1.toDouble).toArray
+    val cursors = Array.fill(perPartition.length)(0)
+    val remaining = weights.clone()
+    var need = math.min(n.toLong, total).toInt
+    while (need > 0) {
+      // pick a partition proportional to remaining weight
+      val wSum = remaining.sum
+      var pick = rng.nextDouble() * wSum
+      var p = 0
+      while (p < remaining.length - 1 && pick > remaining(p)) {
+        pick -= remaining(p); p += 1
+      }
+      val res = perPartition(p)._2
+      if (cursors(p) < res.length) {
+        out += res(cursors(p))
+        cursors(p) += 1
+        remaining(p) = math.max(0.0, remaining(p) - weights(p) / res.length)
+        need -= 1
+      } else {
+        remaining(p) = 0.0
+        if (remaining.forall(_ <= 0.0)) need = 0
+      }
+    }
+    out.toArray
+  }
+}

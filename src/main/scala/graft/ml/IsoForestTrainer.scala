@@ -40,13 +40,11 @@ object IsoForestTrainer {
       if (s == 0.0 || s.isNaN) 1.0 else s
     }).toArray
 
-    // seeded distributed shuffle -> the tree subsamples (tiny collect)
+    // single-pass distributed reservoir -> the tree subsamples (an
+    // orderBy(rand).limit here would be a FULL global sort at scale)
     val need = nTrees * maxSamples
-    val rows = df.select(features.map(f => col(f).cast("double")): _*)
-      .orderBy(rand(seed), col(features.head))
-      .limit(need)
-      .collect()
-      .map(r => features.indices.map(i => (r.getDouble(i) - mean(i)) / scale(i)).toArray)
+    val rows = graft.core.Sampling.reservoirDoubles(df, features, need, seed)
+      .map(r => features.indices.map(i => (r(i) - mean(i)) / scale(i)).toArray)
     require(rows.length >= maxSamples, s"need >= $maxSamples rows, got ${rows.length}")
 
     val rng = new Random(seed)
