@@ -187,7 +187,35 @@ object Dedup {
     * bounds pathological chains). Each round is one shuffle on doc id —
     * no driver-side graph.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10,
+                        driverThreshold: Long = 1000000L): DataFrame = {
+    // Candidate pairs are COMPACT even for a huge corpus (near-dup
+    // rate x docs, post-threshold) — when they fit comfortably on the
+    // driver, path-compressed union-find beats a multi-job iterative
+    // plan (each distributed round costs ~2 job launches regardless of
+    // data size). The distributed loop below remains the path for
+    // genuinely large edge sets.
+    if (pairs.limit((driverThreshold + 1).toInt).count() <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      return labels.toDF("doc", "cluster_id")
+    }
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -55,6 +55,18 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicate clusters: distributed label-propagation path agrees with union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain of 6
+      (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaDistributed = Dedup.duplicateClusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDistributed == viaDriver)
+    assert(viaDistributed(6L) == 1L) // 5-hop chain fully collapsed
+  }
+
   test("resolveSurvivors: clustered docs keep one survivor, others self-survive") {
     val all = (1L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
