@@ -67,6 +67,20 @@ object StreamSmoke {
     println("[stream-smoke] closed sessions:")
     spark.table("smoke_sessions").orderBy("user_id", "start").show(10, false)
     sq.stop()
+
+    // continuous daily rollup: stream -> watermarked windows -> MERGE
+    val rinput = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String, Double)]
+    val revents = rinput.toDF().toDF("user_id", "ts", "event_type", "value")
+    rinput.addData(
+      (1L, t("2024-01-01 01:00:00"), "a", 1.0),
+      (1L, t("2024-01-01 05:00:00"), "b", 2.0),
+      (2L, t("2024-01-02 09:00:00"), "a", 7.0),
+      (9L, t("2024-01-10 00:00:00"), "a", 0.5))
+    graft.streaming.DailyRollupStream.start(spark, revents,
+      s"$base/daily", s"$base/rckpt").awaitTermination()
+    println("[stream-smoke] merged daily table:")
+    spark.read.parquet(s"$base/daily").orderBy("user_id", "Date").show(10, false)
     spark.stop()
   }
 }
