@@ -233,6 +233,7 @@ object SparkEntry {
         TextAnalysis.tokenStats(Tables.documents(s, dir), "text"), "text")
         .select(col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
+          col("n_tokens_bpeish").cast("long").as("n_tokens_bpeish"),
           col("n_chars").cast("long").as("n_chars"),
           round(col("mean_token_len"), 4).as("mean_token_len"),
           round(col("stopword_ratio"), 6).as("stopword_ratio"),
@@ -701,6 +702,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_tokens_bpeish,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(t), 4)
         |    AS mean_token_len,
@@ -715,14 +718,26 @@ object SparkEntry {
 
     "q23_langid" ->
       """WITH base AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(t, x -> list_contains(['the','and','of','is'], x))) AS BIGINT) AS score_en,
-        |    CAST(len(list_filter(t, x -> list_contains(['el','la','de','que'], x))) AS BIGINT) AS score_es,
-        |    CAST(len(list_filter(t, x -> list_contains(['der','die','und','ist'], x))) AS BIGINT) AS score_de,
-        |    CAST(len(list_filter(t, x -> list_contains(['le','la','et','est'], x))) AS BIGINT) AS score_fr
+        |    CAST(len(list_filter(t, x -> list_contains(['the','and','of','is'], x)))
+        |      + (length(text) - length(replace(text, 'th', ''))) / 2
+        |      + (length(text) - length(replace(text, 'ing', ''))) / 3
+        |      + (length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(t, x -> list_contains(['el','la','de','que'], x)))
+        |      + (length(text) - length(replace(text, 'ión', ''))) / 3
+        |      + (length(text) - length(replace(text, 'os ', ''))) / 3
+        |      + (length(text) - length(replace(text, 'que', ''))) / 3 AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(t, x -> list_contains(['der','die','und','ist'], x)))
+        |      + (length(text) - length(replace(text, 'sch', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ein', ''))) / 3
+        |      + (length(text) - length(replace(text, 'und', ''))) / 3 AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(t, x -> list_contains(['le','la','et','est'], x)))
+        |      + (length(text) - length(replace(text, 'eau', ''))) / 3
+        |      + (length(text) - length(replace(text, 'oux', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT) AS score_fr
         |  FROM base)
         |SELECT doc_id,
         |  CASE

@@ -40,10 +40,22 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
 
-  /** Per-document token/char statistics (quality features). */
+  /** BPE-ish tokenization regex: letter runs, digit runs, single
+    * punctuation marks — the cheap approximation of subword tokenizer
+    * piece counts (letters dominate; digits and punctuation split
+    * off, as GPT-style pre-tokenizers do). Plain character classes so
+    * Java regex and RE2 engines agree.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-document token/char statistics (quality features):
+    * whitespace token count, BPE-ish regex token count, char count,
+    * mean token length.
+    */
   def tokenStats(df: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     df.withColumn("n_tokens", size(t))
+      .withColumn("n_tokens_bpeish", regexp_count(col(textCol), lit(BpeishPattern)))
       .withColumn("n_chars", length(col(textCol)))
       .withColumn("mean_token_len",
         (length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / size(t)))
@@ -70,9 +82,13 @@ object TextAnalysis {
           - col("punct_ratio") * 0.5, 6))
   }
 
-  /** Language-ID heuristic: marker-word hit counts per language, argmax
-    * wins (ties broken by language code order). N-gram-free variant of
-    * the classic stopword profiler — fully declarative, one pass.
+  /** Language-ID heuristic (n-gram profile + marker words): score per
+    * language = marker-word hits + occurrence count of that language's
+    * characteristic char trigrams (the classic Cavnar-Trenkle n-gram
+    * profile, reduced to a fixed top-profile set); argmax wins, ties
+    * broken by language code order. Fully declarative, one pass;
+    * trigram occurrences are counted with length arithmetic
+    * ((len − len(remove(text, g))) / len(g)), portable to any engine.
     */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "is"),
@@ -80,11 +96,26 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "ist"),
     "fr" -> Seq("le", "la", "et", "est"))
 
+  /** Characteristic char trigram profiles per language. */
+  val LangTrigrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "ing", "he "),
+    "es" -> Seq("ión", "os ", "que"),
+    "de" -> Seq("sch", "ein", "und"),
+    "fr" -> Seq("eau", "oux", "ent"))
+
+  private def occurrences(text: Column, g: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(g), "")))
+      / g.length).cast("long")
+
   def langId(df: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val scored = LangMarkers.toSeq.sortBy(_._1).foldLeft(df) { case (d, (lang, markers)) =>
       val arr = array(markers.map(lit): _*)
-      d.withColumn(s"score_$lang", size(filter(t, tok => array_contains(arr, tok))))
+      val markerScore = size(filter(t, tok => array_contains(arr, tok))).cast("long")
+      val trigramScore = LangTrigrams(lang)
+        .map(g => occurrences(col(textCol), g))
+        .reduce(_ + _)
+      d.withColumn(s"score_$lang", markerScore + trigramScore)
     }
     val langs = LangMarkers.keys.toSeq.sorted
     val best = langs.tail.foldLeft(
