@@ -32,7 +32,10 @@ object StreamSmoke {
       "430,Oven,0.83,19:48,02-04-2023,7.7,Spring,1")
 
     IngestStream.start(spark, landing, s"$base/table", s"$base/ckpt",
-      Some(s"$base/rejects")).awaitTermination()
+      Some(s"$base/rejects"),
+      onBatchMetrics = Some((id, g, b) =>
+        println(s"[stream-smoke] batch=$id transformed_count=$g skipped_count=$b")))
+      .awaitTermination()
     println(s"[stream-smoke] table rows=" + spark.read.parquet(s"$base/table").count())
     println(s"[stream-smoke] reject rows=" + spark.read.parquet(s"$base/rejects").count())
 

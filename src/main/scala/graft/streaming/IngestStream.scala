@@ -20,9 +20,15 @@ import graft.sources.ParquetMerge
   */
 object IngestStream {
 
+  /** @param onBatchMetrics optional per-batch operational counters
+    *   (batchId, transformed_count, skipped_count) — the reference's
+    *   log counters (`blobToCosmos.py:80-81`) as a callback. Costs one
+    *   extra cached pass over the (bounded) micro-batch.
+    */
   def start(spark: SparkSession, landingDir: String, tableDir: String,
             checkpointDir: String, rejectDir: Option[String] = None,
-            maxFilesPerTrigger: Int = 16): StreamingQuery = {
+            maxFilesPerTrigger: Int = 16,
+            onBatchMetrics: Option[(Long, Long, Long) => Unit] = None): StreamingQuery = {
     val raw = spark.readStream
       .option("header", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -33,10 +39,16 @@ object IngestStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (good, bad) = EnergyIngest.validate(EnergyIngest.transform(batch))
+        val typed = EnergyIngest.transform(batch)
+        onBatchMetrics.foreach { cb => typed.persist() }
+        val (good, bad) = EnergyIngest.validate(typed)
         // deterministic ids make replayed batches a no-op (E3)
         ParquetMerge.upsert(batch.sparkSession, tableDir, good, "id")
         rejectDir.foreach(d => bad.write.mode("append").parquet(d))
+        onBatchMetrics.foreach { cb =>
+          cb(batchId, good.count(), bad.count())
+          typed.unpersist()
+        }
         ()
       }
       .start()

@@ -30,13 +30,18 @@ class StreamingIngestSpec extends SparkSpec {
       "154,Heater,3.6,5:53,12-02-2023,0.6,Winter,4",
       "430,Oven,0.83,19:48,02-04-2023,7.7,Spring,1"))     // dup of blob1 row
 
-    val q = IngestStream.start(spark, landing, table, ckpt, Some(rejects))
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = IngestStream.start(spark, landing, table, ckpt, Some(rejects),
+      onBatchMetrics = Some((id, g, b) => metrics.synchronized { metrics += ((id, g, b)) }))
     q.awaitTermination()
 
     val got = spark.read.parquet(table)
     // 4 good rows minus 1 cross-blob duplicate (deterministic id) = 3
     assert(got.count() == 3L)
     assert(spark.read.parquet(rejects).count() == 1L)
+    // operational counters (A9): totals across batches match the sinks
+    assert(metrics.map(_._2).sum == 4L) // transformed (pre-merge-dedup)
+    assert(metrics.map(_._3).sum == 1L) // skipped
 
     // replay the same landing dir from a fresh checkpoint: counts stable
     val q2 = IngestStream.start(spark, landing, table, s"$base/ckpt2", None)
