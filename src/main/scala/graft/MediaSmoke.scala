@@ -30,6 +30,13 @@ object MediaSmoke {
     val ann = Similarity.cosineTopK(feats.filter($"vec_id" < 4), feats, k = 3)
     ann.show(12, false)
     println(s"[media-smoke] ann rows=${ann.count()} OK")
+
+    // frame-level search: sample frames, embed each, nearest frames
+    val frameVecs = Multimodal.frameFeatureTable(decoded, every = 6)
+    println(s"[media-smoke] frame vectors=${frameVecs.count()}")
+    val fvecs = frameVecs.select(
+      concat_ws(":", $"media_id", $"frame_idx").as("vec_id"), $"embedding")
+    Similarity.cosineTopK(fvecs.limit(2), fvecs, k = 2).show(4, false)
     spark.stop()
   }
 }

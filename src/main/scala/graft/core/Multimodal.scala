@@ -52,15 +52,26 @@ object Multimodal {
     /** k features: chunk the payload into k spans, polynomial-hash each
       * span mod 1e9+7, scale into [0,1).
       */
-    def features(payload: Array[Byte], k: Int): Array[Float] = {
+    def features(payload: Array[Byte], k: Int): Array[Float] =
+      frameFeatures(payload, 0, k)
+
+    /** Per-frame variant: the "decode frame f" stub reads the payload
+      * rotated by the frame index, so distinct frames of one video get
+      * distinct (but deterministic) vectors.
+      */
+    def frameFeatures(payload: Array[Byte], frame: Int, k: Int): Array[Float] = {
       val out = new Array[Float](k)
-      val span = math.max(1, payload.length / k)
+      val n = payload.length
+      val span = math.max(1, n / k)
       var i = 0
       while (i < k) {
         var h = 0L
-        var j = i * span
-        val end = math.min(payload.length, (i + 1) * span)
-        while (j < end) { h = (h * 31 + (payload(j) & 0xff)) % 1000000007L; j += 1 }
+        var j = 0
+        while (j < span) {
+          val idx = (i * span + j + frame) % n
+          h = (h * 31 + (payload(idx) & 0xff)) % 1000000007L
+          j += 1
+        }
         out(i) = (h.toDouble / 1000000007.0).toFloat
         i += 1
       }
@@ -114,6 +125,19 @@ object Multimodal {
       .filter(col("kind") === "video")
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(every))))
+
+  /** Frame-level feature table for video search: sample frames, then
+    * one feature vector per (media, frame) — rows keyed
+    * (media_id, frame_idx) feed Similarity.* directly, e.g. "find the
+    * video frame most similar to this one" via cosineTopK.
+    */
+  def frameFeatureTable(media: DataFrame, every: Int, k: Int = 8): DataFrame = {
+    val featUdf = udf((payload: Array[Byte], frame: Int) =>
+      StubCodec.frameFeatures(payload, frame, k))
+    sampleFrames(media, every)
+      .select(col("media_id"), col("frame_idx"),
+        featUdf(col("payload"), col("frame_idx")).as("embedding"))
+  }
 
   /** Deterministic synthetic media table (test/bench input): payload
     * bytes are a keyed xorshift stream — no external data needed.

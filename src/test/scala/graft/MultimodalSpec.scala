@@ -45,6 +45,22 @@ class MultimodalSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("frame features: per-frame vectors are distinct and ANN-ready") {
+    val decoded = Multimodal.decodeMeta(media)
+    val frames = Multimodal.frameFeatureTable(decoded, every = 3, k = 8)
+    assert(frames.filter(size($"embedding") =!= 8).count() == 0)
+    // frames of the same video differ (the stub rotates by frame_idx)
+    val perVideo = frames.groupBy("media_id")
+      .agg(countDistinct($"embedding").as("nd"), count(lit(1)).as("n"))
+    assert(perVideo.filter($"nd" =!= $"n").count() == 0)
+    // frame-level similarity search: top-2 neighbors per query frame
+    val vecs = frames.select(
+      concat_ws(":", $"media_id", $"frame_idx").as("vec_id"), $"embedding")
+    val q = vecs.limit(3)
+    val top = graft.core.Similarity.cosineTopK(q, vecs, k = 2)
+    assert(top.count() == 6)
+  }
+
   test("sampleFrames: one row per stride-sampled frame, video only") {
     val decoded = Multimodal.decodeMeta(media)
     val frames = Multimodal.sampleFrames(decoded, every = 5)
