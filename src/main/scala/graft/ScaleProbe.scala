@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical 10x scale probe: synthesizes an sf~1 dataset by
+  * replicating sf0.1 with shifted keys (documents keep their text, so
+  * the corpus becomes heavily duplicated — a worst-case for the dedup
+  * pack), then times the heavy queries. The point is the SCALING
+  * RATIO vs sf0.1, not the absolute numbers: linear operators should
+  * land near 10x on 10x data (modulo fixed overhead), and nothing
+  * should blow up quadratically. Local tool; writes under /tmp.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val out = "/tmp/graft_sf1"
+    val spark = Tables.configure(
+      SparkSession.builder().master("local[32]"), "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      println("[scale-probe] generating 10x dataset at " + out)
+      val copies = spark.range(10).select(col("id").as("copy"))
+      def rep(table: String, keyShifts: Map[String, Long]): Unit = {
+        val src = Tables.load(spark, "/root/testdata/sf0.1", table)
+        val big = src.crossJoin(copies)
+        val shifted = keyShifts.foldLeft(big) { case (d, (c, base)) =>
+          d.withColumn(c, col(c) + col("copy") * base)
+        }
+        shifted.drop("copy").write.mode(SaveMode.Overwrite)
+          .parquet(s"$out/$table.parquet")
+      }
+      rep("lineitem", Map("l_orderkey" -> 10000000L))
+      rep("orders", Map("o_orderkey" -> 10000000L))
+      rep("events", Map("event_id" -> 10000000L, "user_id" -> 1000L))
+      rep("documents", Map("doc_id" -> 1000000L))
+      rep("embeddings", Map("vec_id" -> 1000000L))
+      Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+        Tables.load(spark, "/root/testdata/sf0.1", t)
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+      }
+    }
+
+    val probes = Seq("q01_pricing_summary", "q06_user_daily",
+      "q16_anomaly_features", "q19_ngram_jaccard", "q20_minhash_lsh",
+      "q21_simhash", "q39_cosine_neardup", "q43_dedup_resolve")
+    probes.foreach { name =>
+      def time(dir: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time("/root/testdata/sf0.1") // warm
+      val small = time("/root/testdata/sf0.1")
+      val big = time(out)
+      println(f"[scale-probe] $name%-22s sf0.1=$small%6.2fs 10x=$big%7.2fs ratio=${big / small}%5.1f")
+    }
+
+    // the scale-path variants of the two exact baselines that are
+    // (by design) quadratic on a duplicate-heavy corpus:
+    def timed(label: String)(mk: String => org.apache.spark.sql.DataFrame): Unit = {
+      def run(dir: String): Double = {
+        val t0 = System.nanoTime()
+        mk(dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run("/root/testdata/sf0.1")
+      val s = run("/root/testdata/sf0.1"); val b = run(out)
+      println(f"[scale-probe] $label%-22s sf0.1=$s%6.2fs 10x=$b%7.2fs ratio=${b / s}%5.1f")
+    }
+    timed("jaccard maxDf=30") { dir =>
+      graft.core.Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
+        "doc_id", "text", n = 3, threshold = 0.2, maxDf = 30)
+    }
+    timed("q40_lsh_neardup") { dir =>
+      SparkEntry.queries("q40_lsh_neardup")(spark, dir)
+    }
+    spark.stop()
+  }
+}

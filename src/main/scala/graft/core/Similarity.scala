@@ -130,25 +130,41 @@ object Similarity {
     * (materialized as literals — they're row-independent), so any
     * engine can reproduce the bucketing.
     */
+  /** `bitsPerTable = 0` (default) sizes buckets to the corpus:
+    * ceil(log2(n / 64)) bits, min 4 — without this, bucket count is
+    * CONSTANT while corpus grows, and within-bucket pair counts grow
+    * quadratically (measured 64x on a 10x corpus before the fix).
+    */
   def lshNearDupPairs(emb: DataFrame, threshold: Double,
-                      bitsPerTable: Int = 4, nTables: Int = 8,
+                      bitsPerTable: Int = 0, nTables: Int = 8,
                       dim: Int = 64, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = emb.count().toDouble
+        math.max(4, math.ceil(math.log(math.max(n, 64.0) / 64.0) / math.log(2.0)).toInt)
+      }
     def plane(bit: Int): Column = array((0 until dim).map { d =>
       lit(graft.expressions.RollingHash.hash(s"$bit:$d") % 1000L / 1000.0 - 0.5)
     }: _*)
-    def bucket(t: Int): Column = concat_ws("", (0 until bitsPerTable).map { j =>
-      when(dot(col(vecCol), plane(t * bitsPerTable + j)) >= 0, lit(1)).otherwise(lit(0))
+    def bucket(t: Int): Column = concat_ws("", (0 until bits).map { j =>
+      when(dot(col(vecCol), plane(t * bits + j)) >= 0, lit(1)).otherwise(lit(0))
     }: _*)
-    val bucketed = emb.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+    val bucketed = emb.select(col(idCol),
       posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("tbl", "bucket")))
-    val a = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("va"), col("nrm").as("na"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
-      .distinct()
+    val a = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    // candidate ids only — dedup across tables BEFORE vectors are
+    // attached, so the distinct's shuffle carries 16 bytes per pair,
+    // not two embeddings
+    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
