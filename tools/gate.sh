@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Full local gate: compile, tests, t1-style raw-session smoke,
+# t2 correctness (Verify at sf0.01 + DuckDB oracle replay), bench.
+# Usage: tools/gate.sh [--bench]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== compile + test =="
+sbt -batch test | grep -E "Tests: |error" | tail -2
+
+echo "== smoke (raw session, sf0.001) =="
+sbt -batch "runMain graft.Smoke" 2>&1 | grep -E "\[smoke\] (entry|ALL|.*FAIL)" | tail -3
+
+echo "== verify + oracle (sf0.01) =="
+out=$(mktemp -d)
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out" > /dev/null 2>&1
+python3 tools/check_oracle.py /root/testdata/sf0.01 "$out" | tail -2
+
+if [[ "${1:-}" == "--bench" ]]; then
+  echo "== bench (sf0.1) =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+fi
+echo "== gate complete =="
