@@ -377,6 +377,35 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "event_type").distinct()
     }),
 
+    // set operations: INTERSECT / EXCEPT (beyond the reference's U1)
+    "q44_setops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id")
+      val errorers = ev.filter(col("event_type") === "error").select("user_id")
+      val both = buyers.intersect(errorers).withColumn("tag", lit("both"))
+      val buyOnly = buyers.except(errorers).withColumn("tag", lit("buy_only"))
+      both.unionByName(buyOnly)
+    }),
+
+    // scalar-function sampler: string / conditional / math surface
+    "q45_scalars" -> ((s, dir) => {
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        lower(col("p_brand")).as("brand_lower"),
+        length(trim(col("p_type"))).cast("long").as("type_len"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        concat_ws("-", col("p_brand"), col("p_size")).as("brand_size"),
+        when(col("p_retailprice") > 1500, "premium")
+          .when(col("p_retailprice") > 1000, "standard")
+          .otherwise("budget").as("tier"),
+        coalesce(nullif(col("p_type"), lit("")), lit("unknown")).as("type_or_unknown"),
+        round(sqrt(abs(col("p_retailprice"))), 4).as("sqrt_price"),
+        round(pow(col("p_size").cast("double"), 2.0), 1).as("size_sq"),
+        floor(col("p_retailprice") / 100).cast("long").as("price_bucket"),
+        round(exp(col("p_size") / lit(25.0)), 6).as("exp_size"))
+    }),
+
     // full dedup resolution: near-dup pairs -> connected components ->
     // survivor per cluster (iterative min-label propagation; the
     // oracle computes the same closure with a recursive CTE)
@@ -844,6 +873,34 @@ object SparkEntry {
 
     "q36_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q44_setops" ->
+      """SELECT user_id, 'both' AS tag FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT user_id, 'buy_only' AS tag FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error')""".stripMargin,
+
+    "q45_scalars" ->
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 8)) AS name_prefix,
+        |  lower(p_brand) AS brand_lower,
+        |  CAST(length(trim(p_type)) AS BIGINT) AS type_len,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  p_brand || '-' || CAST(p_size AS VARCHAR) AS brand_size,
+        |  CASE WHEN p_retailprice > 1500 THEN 'premium'
+        |       WHEN p_retailprice > 1000 THEN 'standard'
+        |       ELSE 'budget' END AS tier,
+        |  coalesce(nullif(p_type, ''), 'unknown') AS type_or_unknown,
+        |  round(sqrt(abs(p_retailprice)), 4) AS sqrt_price,
+        |  round(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
+        |  CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+        |  round(exp(p_size / 25.0), 6) AS exp_size
+        |FROM part""".stripMargin,
 
     "q43_dedup_resolve" ->
       """WITH RECURSIVE toks AS (
