@@ -406,6 +406,40 @@ object SparkEntry {
         round(exp(col("p_size") / lit(25.0)), 6).as("exp_size"))
     }),
 
+    // array + JSON scalar surface
+    "q46_arrays_json" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_v"),
+        round(array_min(col("embedding")).cast("double"), 6).as("min_v"),
+        round(element_at(array_sort(col("embedding")), 2).cast("double"), 6).as("second_smallest"))
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          round(avg("k"), 4).as("k_avg"))
+        .withColumn("vec_id", lit(-1L))
+      emb.join(ev, Seq("vec_id"), "full_outer")
+    }),
+
+    // datetime function pack
+    "q47_datetime" -> ((s, dir) => {
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        datediff(lit("1998-12-31").cast("date"), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_eoy"))
+        .filter(col("o_orderkey") % 10 === 0)
+    }),
+
     // full dedup resolution: near-dup pairs -> connected components ->
     // survivor per cluster (iterative min-label propagation; the
     // oracle computes the same closure with a recursive CTE)
@@ -873,6 +907,37 @@ object SparkEntry {
 
     "q36_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    "q46_arrays_json" ->
+      """WITH emb AS (
+        |  SELECT vec_id,
+        |    CAST(len(embedding) AS BIGINT) AS dim,
+        |    round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+        |    round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
+        |    round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,
+        |    round(CAST(list_sort(embedding)[2] AS DOUBLE), 6) AS second_smallest
+        |  FROM embeddings),
+        |ev AS (
+        |  SELECT CAST(-1 AS BIGINT) AS vec_id, count(*) AS n,
+        |    sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |    round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+        |  FROM events)
+        |SELECT coalesce(emb.vec_id, ev.vec_id) AS vec_id, emb.dim,
+        |  emb.first_v, emb.max_v, emb.min_v,
+        |  emb.second_smallest, ev.n, ev.k_sum, ev.k_avg
+        |FROM emb FULL OUTER JOIN ev ON emb.vec_id = ev.vec_id""".stripMargin,
+
+    "q47_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+        |    AS days_to_eoy
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
 
     "q44_setops" ->
       """SELECT user_id, 'both' AS tag FROM (
