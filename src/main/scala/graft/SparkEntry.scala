@@ -377,6 +377,26 @@ object SparkEntry {
       Tables.events(s, dir).select("user_id", "event_type").distinct()
     }),
 
+    // the SAME as-of semantics through the custom plan node
+    // (AsofJoin LogicalPlan -> AsofJoinStrategy -> AsofJoinExec
+    // sort-merge): DuckDB's native ASOF JOIN oracle now checks the
+    // custom physical operator directly
+    "q48_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_totalprice").as("best_price"))
+      Joins.asofBackwardNative(
+        ev.select(col("event_id"), col("user_id"), col("ts")), o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = col("ts"), rightTs = col("o_orderdate"),
+        valueCols = Seq("o_orderdate", "best_price"))
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("d"),
+          to_date(col("o_orderdate")).as("order_d"),
+          round(col("best_price"), 2).as("best_price"))
+    }),
+
     // set operations: INTERSECT / EXCEPT (beyond the reference's U1)
     "q44_setops" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -518,6 +538,19 @@ object SparkEntry {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature"))
     })
   )
+
+  /** Shared by q42 (composed as-of) and q48 (custom-plan as-of): both
+    * implementations must match DuckDB's native ASOF JOIN.
+    */
+  private val AsofOracleSql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate, max(o_totalprice) AS best_price
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d,
+      |  CAST(o.o_orderdate AS DATE) AS order_d,
+      |  round(o.best_price, 2) AS best_price
+      |FROM events e ASOF LEFT JOIN o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1000,15 +1033,8 @@ object SparkEntry {
         |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_survivor
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc""".stripMargin,
 
-    "q42_asof_join" ->
-      """WITH o AS (
-        |  SELECT o_custkey, o_orderdate, max(o_totalprice) AS best_price
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d,
-        |  CAST(o.o_orderdate AS DATE) AS order_d,
-        |  round(o.best_price, 2) AS best_price
-        |FROM events e ASOF LEFT JOIN o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q42_asof_join" -> AsofOracleSql,
+    "q48_asof_native" -> AsofOracleSql,
 
     "q41_tfidf" ->
       """WITH terms AS (

@@ -54,4 +54,33 @@ object Joins {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
     carried.filter(col("__side") === 1).drop("__key", "__ts", "__side")
   }
+
+  /** Same semantics as [[asofBackward]] through the custom plan node
+    * ([[graft.plans.AsofJoin]] + AsofJoinExec): one hash exchange per
+    * side, per-partition streaming merge. Registers the planner
+    * strategy on the session at first use (idempotent).
+    */
+  def asofBackwardNative(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: Column, rightTs: Column,
+                         valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    val lPlan = GraftShim.logicalPlan(
+      left.withColumn("__lts", leftTs.cast("timestamp")))
+    val rPlan = GraftShim.logicalPlan(
+      right.withColumn("__rts", rightTs.cast("timestamp")))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val plan = graft.plans.AsofJoin(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, "__lts"), attr(rPlan, "__rts"),
+      valueCols.map(c => attr(rPlan, c)))
+    GraftShim.ofRows(spark, plan).drop("__lts")
+  }
 }

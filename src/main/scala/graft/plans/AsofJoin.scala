@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator custom node (SURVEY custom-operator preference (c)):
+  * backward as-of join as a first-class plan — logical node, planner
+  * strategy, and a sort-merge physical exec.
+  *
+  * Semantics: for each left row, attach the single most recent right
+  * row with equal key and right.ts <= left.ts (nulls when none) —
+  * identical to `Joins.asofBackward` (the composed form, which the
+  * driver-gate q42 uses and DuckDB's native ASOF JOIN verifies); the
+  * equivalence of the two implementations is asserted in tests.
+  *
+  * Physical shape: both children hash-clustered on the key and sorted
+  * by (key, ts); one streaming merge pass per partition carrying the
+  * latest right row — the same exchange+sort cost as the composed
+  * union+window form, but with no union row-widening and no window
+  * buffer.
+  */
+case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Expression, rightKey: Expression,
+                    leftTs: Expression, rightTs: Expression,
+                    rightValues: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression,
+                        rightValues: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTs = BindReferences.bindReference(leftTs, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTs = BindReferences.bindReference(rightTs, right.output)
+    val rVals = rightValues.map(a => BindReferences.bindReference(a: Expression, right.output))
+    val nRight = rightValues.length
+    val keyType = leftKey.dataType
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // codegen'd projections/orderings are NOT serializable —
+      // generate them per partition, on the executor
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(Seq(keyType))
+      val keyProjL = UnsafeProjection.create(Seq(lKey))
+      val keyProjR = UnsafeProjection.create(Seq(rKey))
+      val valProj = UnsafeProjection.create(rVals)
+      // bind against NULLABLE right attrs: the carried side is null on
+      // no-match rows even when the source column was non-nullable
+      // (a non-nullable binding would skip null checks and read 0.0)
+      val outProj = UnsafeProjection.create(output,
+        left.output ++ rightValues.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = InternalRow.fromSeq(Seq.fill(nRight)(null))
+
+      val rBuf = rIter.buffered
+      var carriedKey: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+      var carriedVal: InternalRow = null
+
+      lIter.map { lRow =>
+        val lk = keyProjL(lRow)
+        val lt = lTs.eval(lRow).asInstanceOf[Long]
+        // drop carried state from a previous (smaller) key
+        if (carriedKey != null && keyOrd.compare(carriedKey, lk) != 0) {
+          carriedKey = null; carriedVal = null
+        }
+        // advance the right side through keys < lk, and through rows
+        // with key == lk and ts <= lt, carrying the latest value
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val head = rBuf.head
+          val rk = keyProjR(head)
+          val cmp = keyOrd.compare(rk, lk)
+          if (cmp < 0) { rBuf.next() }
+          else if (cmp == 0) {
+            val rt = rTs.eval(head).asInstanceOf[Long]
+            if (rt <= lt) {
+              carriedKey = rk.copy()
+              carriedVal = valProj(rBuf.next()).copy()
+            } else advancing = false
+          } else advancing = false
+        }
+        val rightPart =
+          if (carriedKey != null && keyOrd.compare(carriedKey, lk) == 0) carriedVal
+          else nullRight
+        outProj(joined(lRow, rightPart))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: register via `spark.experimental.extraStrategies`
+  * (runtime, any session) or `GraftExtensions` (at session build).
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt, rv) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv) :: Nil
+    case _ => Nil
+  }
+}
+
+/** SparkSessionExtensions entry point: sessions built with
+  * `.withExtensions(new GraftExtensions)` get the as-of strategy.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+}

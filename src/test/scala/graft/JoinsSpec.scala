@@ -24,12 +24,37 @@ class JoinsSpec extends SparkSpec {
       ("C", t("2024-01-01 10:00:00"), 5L)  // no quotes at all -> null
     ).toDF("sym", "tts", "trade_id")
 
+    val expected = Map(1L -> Some(100.0), 2L -> Some(101.0),
+      3L -> Some(102.0), 4L -> None, 5L -> None)
     val got = Joins.asofBackward(trades, quotes,
       leftKey = "sym", rightKey = "sym",
       leftTs = $"tts", rightTs = $"qts", valueCols = Seq("px"))
       .select($"trade_id", $"px").as[(Long, Option[Double])]
       .collect().toMap
-    assert(got == Map(1L -> Some(100.0), 2L -> Some(101.0),
-      3L -> Some(102.0), 4L -> None, 5L -> None))
+    assert(got == expected)
+
+    // custom-plan implementation: identical semantics
+    val native = Joins.asofBackwardNative(trades, quotes,
+      leftKey = "sym", rightKey = "sym",
+      leftTs = $"tts", rightTs = $"qts", valueCols = Seq("px"))
+      .select($"trade_id", $"px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(native == expected)
+  }
+
+  test("native as-of exec == composed as-of on the sf0.001 tables") {
+    val ev = Tables.events(spark, Sf0001).select($"event_id", $"user_id", $"ts")
+    val o = Tables.orders(spark, Sf0001)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max("o_totalprice").as("best_price"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"best_price").as[(Long, Option[Double])]
+      .collect().toMap
+    val composed = canon(Joins.asofBackward(ev, o, "user_id", "o_custkey",
+      $"ts", $"o_orderdate", Seq("o_orderdate", "best_price")))
+    val native = canon(Joins.asofBackwardNative(ev, o, "user_id", "o_custkey",
+      $"ts", $"o_orderdate", Seq("o_orderdate", "best_price")))
+    assert(native == composed)
+    assert(native.size == 1000)
   }
 }
