@@ -53,4 +53,24 @@ class ForecastTrainerSpec extends SparkSpec {
     assert(f.head.getDate(0).toLocalDate == java.time.LocalDate.parse("2023-06-01"))
     f.foreach(r => assert(r.getDouble(2) < r.getDouble(1) && r.getDouble(1) < r.getDouble(3)))
   }
+
+  test("interval calibration: 80% band covers ~80% of held-out history") {
+    val in = getClass.getResourceAsStream("/prophet_model.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val hist = new ObjectMapper().readTree(root.get("history").asText).get("data")
+    val all = (0 until hist.size).map { i =>
+      (java.sql.Date.valueOf(hist.get(i).get("ds").asText.take(10)),
+        hist.get(i).get("y").asDouble)
+    }
+    val (train, holdout) = all.splitAt(120) // 120 train, 31 held out
+    val m = ForecastTrainer.fit(train.toDF("ds", "y"), $"ds", $"y")
+    val z = 1.2816
+    val covered = holdout.count { case (d, y) =>
+      val yhat = m.predict(d.toLocalDate.toEpochDay.toDouble)
+      y >= yhat - z * m.sigma && y <= yhat + z * m.sigma
+    }
+    val rate = covered.toDouble / holdout.size
+    // 31 points at nominal 0.8: 3-sigma binomial band is ~ +-0.22
+    assert(rate >= 0.55 && rate <= 1.0, s"held-out coverage $rate")
+  }
 }

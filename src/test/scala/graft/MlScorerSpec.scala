@@ -85,6 +85,25 @@ class MlScorerSpec extends SparkSpec {
     assert(mae < 0.1 * mean, s"MAE $mae vs mean $mean")
   }
 
+  test("prophet: 80% MC interval covers ~80% of the model's own history") {
+    // score the embedded history dates through the same trend+seasonal
+    // mean and the MC interval halfwidth taken from the first forecast
+    // day (horizon-0-ish width ~ observation noise dominates in-sample)
+    val m = ProphetScorer.bundled
+    val in = getClass.getResourceAsStream("/prophet_model.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val hist = new ObjectMapper().readTree(root.get("history").asText).get("data")
+    // sigma_obs scaled back to data units; z for 80% two-sided
+    val half = 1.2816 * m.sigmaObs * m.yScale
+    val covered = (0 until hist.size).count { i =>
+      val ds = java.time.LocalDate.parse(hist.get(i).get("ds").asText.take(10))
+      val y = hist.get(i).get("y").asDouble
+      math.abs(y - m.yhat(ds.toEpochDay * 86400.0)) <= half
+    }
+    val rate = covered.toDouble / hist.size
+    assert(rate >= 0.6 && rate <= 0.95, s"in-sample 80pct coverage $rate")
+  }
+
   test("prophet: forecast shape, ordering, interval sanity, L-1 homeId-independence") {
     val f = EnergyApi.forecast(spark, days = 14).orderBy("ds").collect()
     assert(f.length == 14)
