@@ -44,6 +44,18 @@ object LayoutSmoke {
     val saltedN = graft.core.Skew.saltedJoin(big, small, "key", $"rid", 16).count()
     println(s"[layout-smoke] salted join parity: plain=$plainN salted=$saltedN " +
       s"match=${plainN == saltedN}")
+
+    // snapshot table: versioned commits, time travel, keyed upsert
+    import graft.sources.SnapshotTable
+    val st = Files.createTempDirectory("graft_snap_smoke").toString + "/readings"
+    SnapshotTable.append(ev.limit(500), st)
+    SnapshotTable.append(ev.limit(800).except(ev.limit(500)), st)
+    SnapshotTable.upsert(spark, ev.limit(100)
+      .withColumn("value", $"value" * 0), st, "event_id")
+    println(s"[layout-smoke] snapshot versions=0..${SnapshotTable.currentVersion(st).get} " +
+      s"latest=${SnapshotTable.read(spark, st).count()} " +
+      s"v0=${SnapshotTable.read(spark, st, Some(0)).count()} " +
+      s"zeroed=${SnapshotTable.read(spark, st).filter($"value" === 0).count()}")
     spark.stop()
   }
 }
