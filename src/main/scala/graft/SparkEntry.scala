@@ -789,7 +789,8 @@ object SparkEntry {
         |        THEN 1 ELSE -1 END) AS vote
         |  FROM th, range(32) i GROUP BY 1, 2)
         |SELECT doc_id,
-        |  sum(CASE WHEN vote > 0 THEN CAST(2 ** i AS BIGINT) ELSE 0 END) AS simhash
+        |  CAST(sum(CASE WHEN vote > 0 THEN CAST(2 ** i AS BIGINT) ELSE 0 END)
+        |    AS BIGINT) AS simhash
         |FROM bits GROUP BY 1""".stripMargin,
 
     "q22_token_stats" ->
@@ -952,7 +953,8 @@ object SparkEntry {
         |  FROM embeddings),
         |ev AS (
         |  SELECT CAST(-1 AS BIGINT) AS vec_id, count(*) AS n,
-        |    sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |    CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |      AS BIGINT) AS k_sum,
         |    round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
         |  FROM events)
         |SELECT coalesce(emb.vec_id, ev.vec_id) AS vec_id, emb.dim,

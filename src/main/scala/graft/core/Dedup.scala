@@ -180,12 +180,14 @@ object Dedup {
     * by any pair form a duplicate cluster; every doc gets the MIN doc
     * id of its component as `cluster_id`.
     *
-    * Iterative min-label propagation (alternating large-star/small-star
-    * style): each round joins current labels across the edge list and
-    * keeps the minimum; converges in O(log n) rounds for typical dup
-    * clusters (chains of length L need ~log L doublings; `maxIter`
-    * bounds pathological chains). Each round is one shuffle on doc id —
-    * no driver-side graph.
+    * Iterative min-label propagation: each round joins current labels
+    * across the edge list and keeps the minimum. Convergence is
+    * O(component diameter) rounds — near-dup clusters are dense
+    * (diameter 1-2 in practice), so `maxIter` rounds cover chains up to
+    * `maxIter` hops; non-convergence THROWS rather than returning stale
+    * labels (a large-star/small-star contraction would give O(log n),
+    * at the cost of two alternating shuffles per round). Each round is
+    * one shuffle on doc id — no driver-side graph.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 10,
                         driverThreshold: Long = 1000000L): DataFrame = {
@@ -195,11 +197,16 @@ object Dedup {
     // plan (each distributed round costs ~2 job launches regardless of
     // data size). The distributed loop below remains the path for
     // genuinely large edge sets.
-    if (pairs.limit((driverThreshold + 1).toInt).count() <= driverThreshold) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .as[(Long, Long)].collect()
+    // One action probes AND fetches: collect up to threshold+1 edges in
+    // a single job, then branch on how many came back. (An earlier
+    // limit().count() probe followed by a separate collect() executed
+    // the full upstream candidate pipeline twice — at q43 scale that
+    // doubled the most expensive subplan in the suite.)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgePairs = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+    val es = edgePairs.limit((driverThreshold + 1).toInt).as[(Long, Long)].collect()
+    if (es.length <= driverThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -216,9 +223,13 @@ object Dedup {
       val labels = parent.keys.map(k => (k, find(k))).toSeq
       return labels.toDF("doc", "cluster_id")
     }
+    // Large edge set: persist the pair pipeline once so the iterative
+    // loop's repeated scans don't re-run candidate generation per round.
+    val cached = edgePairs.toDF("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = cached.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(cached.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
     val nodes = edges.select(col("src").as("doc")).distinct()
     var labels = nodes.withColumn("cluster_id", col("doc"))
@@ -243,6 +254,15 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    cached.unpersist()
+    if (!converged)
+      // Min-label propagation converges in O(component diameter)
+      // rounds; a chain longer than maxIter hops would exit here with
+      // stale labels. Surface it rather than silently returning wrong
+      // cluster ids.
+      throw new IllegalStateException(
+        s"duplicateClusters: label propagation did not converge in $maxIter " +
+          "rounds (a component's diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -31,28 +31,40 @@ object Joins {
                    leftTs: Column, rightTs: Column,
                    valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left
+    // Row-atomic carry: the right side's value columns travel as ONE
+    // struct per right row (non-null for every right row, even when
+    // individual fields are null), and the window takes the last
+    // non-null STRUCT. Carrying each column independently with
+    // last(ignoreNulls) would back-fill a null field from an OLDER
+    // right row — mixing columns from different right rows, diverging
+    // from AsofJoinExec and DuckDB ASOF semantics.
+    val carryType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    val lTagged = left
       .withColumn("__key", col(leftKey))
       .withColumn("__ts", leftTs.cast("timestamp"))
       .withColumn("__side", lit(1))
-    // null placeholders must carry the OTHER side's real types or the
-    // union rejects the NullType columns
-    val lTagged = valueCols.foldLeft(l)((d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-    val r = right
-      .withColumn("__key", col(rightKey))
-      .withColumn("__ts", rightTs.cast("timestamp"))
-      .withColumn("__side", lit(0))
-    val rTagged = leftCols.foldLeft(r)((d, c) =>
-      if (valueCols.contains(c)) d
-      else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lTagged.select(("__key" +: "__ts" +: "__side" +: (leftCols ++ valueCols)).distinct.map(col): _*)
-      .unionByName(rTagged.select(("__key" +: "__ts" +: "__side" +: (leftCols ++ valueCols)).distinct.map(col): _*))
+      .withColumn("__carry", lit(null).cast(carryType))
+    val rTagged = leftCols.foldLeft(
+        right
+          .withColumn("__key", col(rightKey))
+          .withColumn("__ts", rightTs.cast("timestamp"))
+          .withColumn("__side", lit(0))
+          .withColumn("__carry", struct(valueCols.map(col): _*)))((d, c) =>
+        if (valueCols.contains(c)) d
+        // null placeholders must carry the OTHER side's real types or
+        // the union rejects the NullType columns
+        else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val sel = ("__key" +: "__ts" +: "__side" +: "__carry" +: leftCols).distinct.map(col)
+    val unioned = lTagged.select(sel: _*).unionByName(rTagged.select(sel: _*))
     val w = Window.partitionBy("__key").orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1).drop("__key", "__ts", "__side")
+    val carried = unioned
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+    val unpacked = valueCols.foldLeft(carried)((d, c) =>
+      d.withColumn(c, col("__carry").getField(c)))
+    unpacked.filter(col("__side") === 1).drop("__key", "__ts", "__side", "__carry")
   }
 
   /** Same semantics as [[asofBackward]] through the custom plan node

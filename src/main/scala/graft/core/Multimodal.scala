@@ -55,6 +55,14 @@ object Multimodal {
     def features(payload: Array[Byte], k: Int): Array[Float] =
       frameFeatures(payload, 0, k)
 
+    /** Vectorized-call shape: one codec invocation per BATCH of
+      * payloads — a real decoder (or a GPU feature extractor) takes
+      * the whole batch in one native/device call; the stub just maps.
+      * Deterministically identical to per-row [[features]].
+      */
+    def featuresBatch(payloads: Array[Array[Byte]], k: Int): Array[Array[Float]] =
+      payloads.map(features(_, k))
+
     /** Per-frame variant: the "decode frame f" stub reads the payload
       * rotated by the frame index, so distinct frames of one video get
       * distinct (but deterministic) vectors.
@@ -99,10 +107,40 @@ object Multimodal {
     out
   }
 
-  /** Fixed-dimension feature vector per payload (stub features). */
+  /** Fixed-dimension feature vector per payload (stub features),
+    * per-row UDF shape — kept as the semantic oracle for
+    * [[extractFeaturesBatch]].
+    */
   def extractFeatures(media: DataFrame, k: Int = 8): DataFrame = {
     val featUdf = udf((payload: Array[Byte]) => StubCodec.features(payload, k))
     media.withColumn("features", featUdf(col("payload")))
+  }
+
+  /** Columnar-batch feature extraction: the JVM analogue of
+    * `mapInArrow` — one `mapPartitions` pass that (a) does
+    * per-PARTITION codec init (decoder handles, GPU context) and then
+    * (b) hands the codec `batchSize` payloads per CALL
+    * ([[StubCodec.featuresBatch]]), so per-call overhead (JNI
+    * crossing, device transfer) amortizes over the batch instead of
+    * being paid per row. Output is bit-identical to
+    * [[extractFeatures]]; schema = input + `features`.
+    */
+  def extractFeaturesBatch(media: DataFrame, k: Int = 8,
+                           batchSize: Int = 64): DataFrame = {
+    val inSchema = media.schema
+    val outSchema = inSchema.add(StructField("features", ArrayType(FloatType), nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val payloadIdx = inSchema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE in a real codec
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = StubCodec.featuresBatch(
+          batch.iterator.map(_.getAs[Array[Byte]](payloadIdx)).toArray, k)
+        batch.iterator.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ feats(i).toSeq)
+        }
+      }
+    }(enc)
   }
 
   /** "Resize": metadata-level transform (a real impl re-encodes the

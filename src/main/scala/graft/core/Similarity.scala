@@ -134,15 +134,33 @@ object Similarity {
     * ceil(log2(n / 64)) bits, min 4 — without this, bucket count is
     * CONSTANT while corpus grows, and within-bucket pair counts grow
     * quadratically (measured 64x on a 10x corpus before the fix).
+    *
+    * Corpus size for the auto-sizing comes from (in order):
+    * `corpusSize` if the caller knows it (at 100 TB: from table stats /
+    * a manifest, not a scan); otherwise the optimizer's sizeInBytes
+    * statistic divided by an estimated row width (4·dim payload +
+    * ~128 B of id/offset/metadata overhead — matches the generated
+    * parquet within ~5%) — bit sizing only needs the order of
+    * magnitude, so a stats estimate replaces what was previously a
+    * full `count()` action per call; a genuine `count()` runs only
+    * when no statistic is available at all.
     */
   def lshNearDupPairs(emb: DataFrame, threshold: Double,
                       bitsPerTable: Int = 0, nTables: Int = 8,
                       dim: Int = 64, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      corpusSize: Long = 0L): DataFrame = {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
-        val n = emb.count().toDouble
+        val n =
+          if (corpusSize > 0L) corpusSize.toDouble
+          else {
+            val statBytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+            if (statBytes > 0 && statBytes < BigInt(Long.MaxValue))
+              statBytes.toDouble / (4.0 * dim + 128.0)
+            else emb.count().toDouble
+          }
         math.max(4, math.ceil(math.log(math.max(n, 64.0) / 64.0) / math.log(2.0)).toInt)
       }
     def plane(bit: Int): Column = array((0 until dim).map { d =>

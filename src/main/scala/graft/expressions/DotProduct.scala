@@ -41,10 +41,17 @@ case class DotProduct(left: Expression, right: Expression)
   @transient private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // Mismatched lengths yield NULL, matching the zip_with oracle above
+  // (zip_with pads the shorter array with nulls, and the padded
+  // product poisons the aggregate to NULL) — never a silently
+  // truncated partial dot product.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {

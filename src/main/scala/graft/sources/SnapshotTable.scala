@@ -1,10 +1,11 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
 
 /** Minimal snapshot-isolated table format over plain parquet — the
   * core idea of log-structured lakehouse formats (Delta Lake, VLDB'20)
@@ -13,56 +14,195 @@ import org.apache.spark.sql.functions.col
   *  - data lives in immutable parquet files under `data/`;
   *  - a version's content is EXACTLY the file list in
   *    `_manifests/v{N}.json`; the current version is the highest N;
-  *  - a commit writes new data files, then publishes a new manifest by
-  *    ATOMIC rename — readers resolve a manifest first and only ever
-  *    see a complete, committed snapshot (no partial writes, no
-  *    torn directory listings);
-  *  - old versions stay readable (time travel) until vacuumed.
+  *  - a commit writes new data files, then publishes a new manifest
+  *    with PUT-IF-ABSENT semantics (hard-link-into-place, which fails
+  *    if v{N}.json already exists) — two racing committers can never
+  *    both claim version N; the loser retries against the winner's
+  *    snapshot (appends/overwrites) or recomputes its merge (upsert).
+  *    Readers resolve a manifest first and only ever see a complete,
+  *    committed snapshot;
+  *  - each manifest entry carries per-file column min/max stats read
+  *    from the parquet FOOTERS at commit time (no extra scan), so a
+  *    predicate read opens only files whose range intersects —
+  *    the same data-skipping contract as Delta's stats / Iceberg's
+  *    manifest ranges. At 100 TB a point query on the layout key
+  *    touches O(matching files), not the table;
+  *  - old versions stay readable (time travel) until vacuumed;
+  *    reading a vacuumed version raises a clear error.
   *
   * This upgrades `ParquetMerge`'s whole-directory swap: commits are
-  * O(new data) instead of O(table), concurrent readers are never
-  * blocked, and every historical version remains addressable. At
-  * cloud-storage scale the manifest would also carry per-file
-  * min/max stats for pruning — the commit protocol is the load-bearing
-  * part and is what's implemented here.
+  * O(new data) instead of O(table) and concurrent readers are never
+  * blocked.
   */
 object SnapshotTable {
+
+  private val mapper = new ObjectMapper()
+
+  /** Per-file column statistics: min/max as Long, Double or String
+    * (whatever the parquet footer's typed statistics carry). Columns
+    * without usable footer stats are simply absent — absence always
+    * means "cannot skip".
+    */
+  final case class ColStats(min: Any, max: Any)
+
+  final case class FileEntry(name: String, stats: Map[String, ColStats])
+
+  /** Closed value range for pruning: keep files whose [min,max]
+    * intersects [lower,upper] on `column`. Bounds are inclusive;
+    * `None` means unbounded on that side. Values compare numerically
+    * for numeric columns and lexicographically for strings (ISO dates
+    * stored as strings prune correctly under the same ordering).
+    */
+  final case class ColRange(column: String,
+                            lower: Option[Any] = None,
+                            upper: Option[Any] = None)
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def dataDir(table: String): Path = Paths.get(table, "data")
 
-  def currentVersion(table: String): Option[Int] = {
+  private def manifestVersions(table: String): Seq[Int] = {
     val md = manifestDir(table)
-    if (!Files.exists(md)) None
-    else {
-      val vs = Files.list(md).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toInt }
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
+    if (!Files.exists(md)) Nil
+    else Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toSeq
+  }
+
+  def currentVersion(table: String): Option[Int] = {
+    val vs = manifestVersions(table)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def statVal(n: com.fasterxml.jackson.databind.JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else n.asText()
+
+  private def readManifest(table: String, version: Int): Seq[FileEntry] = {
+    val p = manifestDir(table).resolve(s"v$version.json")
+    if (!Files.exists(p)) {
+      val live = manifestVersions(table).sorted
+      throw new IllegalArgumentException(
+        s"version $version of $table does not exist " +
+          (if (live.isEmpty) "(table has no committed versions)"
+           else s"(it was vacuumed or never committed; live versions: ${live.mkString(", ")})"))
     }
+    val node = mapper.readTree(Files.readString(p))
+    node.get("files").elements().asScala.map { f =>
+      if (f.isTextual) FileEntry(f.asText(), Map.empty) // pre-stats manifests
+      else {
+        val stats = Option(f.get("stats")).map { s =>
+          s.properties().asScala.map { e =>
+            e.getKey -> ColStats(statVal(e.getValue.get("min")),
+              statVal(e.getValue.get("max")))
+          }.toMap
+        }.getOrElse(Map.empty[String, ColStats])
+        FileEntry(f.get("name").asText(), stats)
+      }
+    }.toSeq
   }
 
-  private def readManifest(table: String, version: Int): Seq[String] = {
-    val txt = Files.readString(manifestDir(table).resolve(s"v$version.json"))
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-    (0 until node.get("files").size).map(node.get("files").get(_).asText)
+  private def putStat(o: ObjectNode, k: String, v: Any): Unit = v match {
+    case l: Long => o.put(k, l)
+    case d: Double => o.put(k, d)
+    case s: String => o.put(k, s)
+    case other => o.put(k, other.toString)
   }
 
-  private def writeManifest(table: String, version: Int, files: Seq[String]): Unit = {
+  /** Publish v{N}.json with put-if-absent semantics. Returns false if
+    * version N was already committed by a concurrent writer (the tmp
+    * file is cleaned up either way). Files.createLink fails with
+    * FileAlreadyExistsException when the target exists — unlike
+    * ATOMIC_MOVE, which silently replaces on POSIX rename and would
+    * let a later committer clobber an earlier commit.
+    */
+  private def publishManifest(table: String, version: Int,
+                              files: Seq[FileEntry]): Boolean = {
     Files.createDirectories(manifestDir(table))
-    val json = files.map(f => "\"" + f + "\"").mkString(
-      s"""{"version": $version, "files": [""", ",", "]}")
-    val tmp = manifestDir(table).resolve(s".v$version.json.tmp")
-    Files.writeString(tmp, json)
-    // atomic publish: the manifest appears fully-written or not at all
-    Files.move(tmp, manifestDir(table).resolve(s"v$version.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val root = mapper.createObjectNode()
+    root.put("version", version)
+    val arr: ArrayNode = root.putArray("files")
+    files.foreach { fe =>
+      val f = arr.addObject()
+      f.put("name", fe.name)
+      if (fe.stats.nonEmpty) {
+        val s = f.putObject("stats")
+        fe.stats.foreach { case (c, cs) =>
+          val o = s.putObject(c)
+          putStat(o, "min", cs.min); putStat(o, "max", cs.max)
+        }
+      }
+    }
+    val tmp = manifestDir(table).resolve(
+      s".v$version-${java.util.UUID.randomUUID()}.json.tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    try {
+      Files.createLink(manifestDir(table).resolve(s"v$version.json"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
-  /** Write `df` as new immutable data files; returns their names. */
-  private def writeData(df: DataFrame, table: String): Seq[String] = {
+  /** Column min/max from the just-written file's parquet footer —
+    * stats parquet already maintains per row group; merged across row
+    * groups here. Only top-level primitive columns with non-null typed
+    * statistics are recorded.
+    */
+  private def footerStats(file: Path): Map[String, ColStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.HashMap.empty[String, ColStats]
+      def cmp(a: Any, b: Any): Int = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case _ => 0
+      }
+      for (block <- reader.getFooter.getBlocks.asScala;
+           chunk <- block.getColumns.asScala) {
+        val st = chunk.getStatistics
+        if (st != null && !st.isEmpty && st.hasNonNullValue) {
+          val path = chunk.getPath.toDotString
+          val isString = st.`type`().getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          def conv(v: Any): Option[Any] = v match {
+            case i: java.lang.Integer => Some(i.longValue())
+            case l: java.lang.Long => Some(l.longValue())
+            case f: java.lang.Float => Some(f.doubleValue())
+            case d: java.lang.Double => Some(d.doubleValue())
+            case b: Binary if isString => Some(b.toStringUsingUTF8)
+            case _ => None // int96/decimal/raw-binary: skip, never mis-prune
+          }
+          (conv(st.genericGetMin()), conv(st.genericGetMax())) match {
+            case (Some(mn), Some(mx)) =>
+              val merged = acc.get(path) match {
+                case Some(prev) => ColStats(
+                  if (cmp(mn, prev.min) < 0) mn else prev.min,
+                  if (cmp(mx, prev.max) > 0) mx else prev.max)
+                case None => ColStats(mn, mx)
+              }
+              acc(path) = merged
+            case _ =>
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  }
+
+  /** Write `df` as new immutable data files; returns manifest entries
+    * with footer-derived stats.
+    */
+  private def writeData(df: DataFrame, table: String): Seq[FileEntry] = {
     val staging = Paths.get(table, s".staging-${java.util.UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     Files.createDirectories(dataDir(table))
@@ -70,67 +210,136 @@ object SnapshotTable {
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val name = s"${java.util.UUID.randomUUID()}.parquet"
-        Files.move(p, dataDir(table).resolve(name))
-        name
+        val dest = dataDir(table).resolve(name)
+        Files.move(p, dest)
+        FileEntry(name, footerStats(dest))
       }.toSeq
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.delete(p))
     moved
   }
 
-  /** Append: new files + manifest(previous files ++ new files). */
-  def append(df: DataFrame, table: String): Int = {
-    val newFiles = writeData(df, table)
-    val v = currentVersion(table).getOrElse(-1) + 1
-    val prev = if (v == 0) Nil else readManifest(table, v - 1)
-    writeManifest(table, v, prev ++ newFiles)
-    v
+  private val MaxCommitRetries = 10
+
+  /** Optimistic-concurrency commit: re-derive the manifest from the
+    * freshly-read previous snapshot each attempt, publish put-if-
+    * absent, and retry at the next version on conflict.
+    */
+  private def commitLoop(table: String)
+                        (filesFor: Seq[FileEntry] => Seq[FileEntry]): Int = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val v = currentVersion(table).getOrElse(-1) + 1
+      val prev = if (v == 0) Nil else readManifest(table, v - 1)
+      if (publishManifest(table, v, filesFor(prev))) return v
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the commit race on $table $MaxCommitRetries times")
   }
 
-  /** Overwrite: new files only. */
+  /** Append: new files + previous snapshot's files. Appends are
+    * position-independent, so a lost race retries cheaply against the
+    * winner's manifest (blind-append auto-retry, as in Delta).
+    */
+  def append(df: DataFrame, table: String): Int = {
+    val newFiles = writeData(df, table)
+    commitLoop(table)(prev => prev ++ newFiles)
+  }
+
+  /** Overwrite: new files only (content independent of the previous
+    * snapshot; conflict retry just claims the next version).
+    */
   def overwrite(df: DataFrame, table: String): Int = {
     val newFiles = writeData(df, table)
-    val v = currentVersion(table).getOrElse(-1) + 1
-    writeManifest(table, v, newFiles)
-    v
+    commitLoop(table)(_ => newFiles)
   }
 
   /** Keyed MERGE (last-write-wins within `updates`, like ParquetMerge):
     * survivors of the current snapshot + deduped updates become the
     * next version's files. O(table) rewrite like any copy-on-write
     * merge, but readers keep the old snapshot until the atomic publish.
+    * A lost commit race RECOMPUTES the merge against the winner's
+    * snapshot — the orphaned loser files stay unreferenced until
+    * vacuum.
     */
   def upsert(spark: SparkSession, df: DataFrame, table: String, key: String): Int = {
     val deduped = df.dropDuplicates(key)
-    val merged = currentVersion(table) match {
-      case None => deduped
-      case Some(v) =>
-        read(spark, table, Some(v))
-          .join(deduped.select(key).distinct(), Seq(key), "left_anti")
-          .unionByName(deduped)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = currentVersion(table)
+      val merged = base match {
+        case None => deduped
+        case Some(v) =>
+          read(spark, table, Some(v))
+            .join(deduped.select(key).distinct(), Seq(key), "left_anti")
+            .unionByName(deduped)
+      }
+      // materialize before writing: `merged` reads the files we replace
+      val out = merged.localCheckpoint()
+      val newFiles = writeData(out, table)
+      val v = base.getOrElse(-1) + 1
+      if (publishManifest(table, v, newFiles)) return v
+      attempt += 1 // someone else committed base+1: re-merge from their snapshot
     }
-    // materialize before writing: `merged` reads the files we replace
-    val out = merged.localCheckpoint()
-    overwrite(out, table)
+    throw new java.util.ConcurrentModificationException(
+      s"lost the upsert race on $table $MaxCommitRetries times")
   }
 
-  /** Read the table at `version` (default: latest snapshot). */
-  def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
+  private def rangeKeeps(stats: Map[String, ColStats], r: ColRange): Boolean =
+    stats.get(r.column) match {
+      case None => true // no stats for the column: cannot skip
+      case Some(cs) =>
+        def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+          case (x: Number, y: Number) =>
+            Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+          case (x: String, y: String) => Some(x.compareTo(y))
+          case _ => None // incomparable: cannot skip
+        }
+        val belowLower = r.lower.flatMap(l => cmp(cs.max, l)).exists(_ < 0)
+        val aboveUpper = r.upper.flatMap(u => cmp(cs.min, u)).exists(_ > 0)
+        !belowLower && !aboveUpper
+    }
+
+  /** Read the table at `version` (default: latest snapshot), opening
+    * only the files whose footer-stat ranges intersect every `prune`
+    * range. The pruning is conservative: files lacking stats are kept.
+    */
+  def read(spark: SparkSession, table: String, version: Option[Int] = None,
+           prune: Seq[ColRange] = Nil): DataFrame = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
     val files = readManifest(table, v)
+      .filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(
-      files.map(f => dataDir(table).resolve(f).toString): _*)
+      files.map(fe => dataDir(table).resolve(fe.name).toString): _*)
+  }
+
+  /** The files a pruned read would open — exposed so tests and PLANS.md
+    * can assert data-skipping without inspecting the scan.
+    */
+  def filesForRead(table: String, version: Option[Int] = None,
+                   prune: Seq[ColRange] = Nil): Seq[String] = {
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
+    readManifest(table, v)
+      .filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
+      .map(_.name)
   }
 
   /** Drop data files not referenced by the latest `keepVersions`
-    * manifests, and the older manifests themselves.
+    * manifests, and the older manifests themselves. The keep range is
+    * intersected with the manifests actually present, so re-vacuuming
+    * after an earlier, tighter vacuum never trips over already-deleted
+    * manifests.
     */
   def vacuum(table: String, keepVersions: Int = 1): Unit = {
     val latest = currentVersion(table).getOrElse(return)
+    val present = manifestVersions(table).toSet
     val keep = (math.max(0, latest - keepVersions + 1) to latest)
-    val referenced = keep.flatMap(readManifest(table, _)).toSet
+      .filter(present.contains)
+    val referenced = keep.flatMap(readManifest(table, _).map(_.name)).toSet
     Files.list(dataDir(table)).iterator().asScala
       .filter(p => !referenced.contains(p.getFileName.toString))
       .foreach(Files.delete)

@@ -42,6 +42,33 @@ class JoinsSpec extends SparkSpec {
     assert(native == expected)
   }
 
+  test("asofBackward is row-atomic when right value columns hold nulls") {
+    // The matched (latest) quote for trade 1 has px=NULL, bid=49.0 —
+    // the as-of must emit that ROW's null px, never back-fill px from
+    // the older 10:00 quote (which would mix columns of two rows).
+    val quotes = Seq(
+      ("A", t("2024-01-01 10:00:00"), Some(100.0), Some(48.0)),
+      ("A", t("2024-01-01 10:05:00"), None, Some(49.0))
+    ).toDF("sym", "qts", "px", "bid")
+    val trades = Seq(
+      ("A", t("2024-01-01 10:06:00"), 1L),
+      ("A", t("2024-01-01 10:01:00"), 2L)  // -> (100.0, 48.0)
+    ).toDF("sym", "tts", "trade_id")
+    val expected = Map(
+      1L -> (None, Some(49.0)),
+      2L -> (Some(100.0), Some(48.0)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"trade_id", $"px", $"bid")
+      .as[(Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val composed = canon(Joins.asofBackward(trades, quotes,
+      "sym", "sym", $"tts", $"qts", Seq("px", "bid")))
+    assert(composed == expected, s"composed mixed rows: $composed")
+    val native = canon(Joins.asofBackwardNative(trades, quotes,
+      "sym", "sym", $"tts", $"qts", Seq("px", "bid")))
+    assert(native == expected, s"native mixed rows: $native")
+  }
+
   test("native as-of exec == composed as-of on the sf0.001 tables") {
     val ev = Tables.events(spark, Sf0001).select($"event_id", $"user_id", $"ts")
     val o = Tables.orders(spark, Sf0001)

@@ -51,6 +51,20 @@ class SimilaritySpec extends SparkSpec {
     assert(mism == 0L)
   }
 
+  test("DotProduct on mismatched lengths is NULL (matches HOF null-pad oracle)") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f)),       // mismatched
+      (2L, Array(1.0f, 2.0f), Array(3.0f, 4.0f))              // matched
+    ).toDF("id", "a", "b")
+    val out = df.select($"id",
+        Similarity.dot($"a", $"b").as("d1"),
+        Similarity.dotHof($"a", $"b").as("d2"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1), "native must be NULL on length mismatch")
+    assert(out(0).isNullAt(2), "HOF oracle is NULL on length mismatch")
+    assert(out(1).getDouble(1) == 11.0 && out(1).getDouble(2) == 11.0)
+  }
+
   test("LSH near-dup pairs: subset of exact with recall >= 0.5 at t=0.4") {
     val emb = Tables.embeddings(spark, Sf0001)
     val exact = Similarity.cosineNearDupPairs(emb, 0.4)

@@ -38,6 +38,58 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.vacuum(t, keepVersions = 1)
     // latest still reads fine; old version is gone
     assert(SnapshotTable.read(spark, t).count() == 3)
-    intercept[Exception](SnapshotTable.read(spark, t, Some(0)).count())
+    val err = intercept[IllegalArgumentException](
+      SnapshotTable.read(spark, t, Some(0)).count())
+    assert(err.getMessage.contains("vacuumed"), err.getMessage)
+    // vacuuming again with a wider keep window must not trip over the
+    // manifests the first vacuum already deleted
+    SnapshotTable.vacuum(t, keepVersions = 10)
+    assert(SnapshotTable.read(spark, t).count() == 3)
+  }
+
+  test("manifest min/max stats prune files a filtered read never opens") {
+    val t = Files.createTempDirectory("graft_snap3").toString + "/t"
+    // three commits -> three disjoint id ranges in separate files
+    SnapshotTable.append(
+      spark.range(0, 100).selectExpr("id", "concat('lo_', id) AS v").coalesce(1), t)
+    SnapshotTable.append(
+      spark.range(100, 200).selectExpr("id", "concat('mid_', id) AS v").coalesce(1), t)
+    SnapshotTable.append(
+      spark.range(200, 300).selectExpr("id", "concat('hi_', id) AS v").coalesce(1), t)
+    val all = SnapshotTable.filesForRead(t)
+    assert(all.size == 3)
+    // point-range predicate on id: only the middle file may survive
+    val pr = Seq(SnapshotTable.ColRange("id", lower = Some(150L), upper = Some(160L)))
+    val pruned = SnapshotTable.filesForRead(t, prune = pr)
+    assert(pruned.size == 1, s"expected 1 file, got $pruned")
+    assert(pruned.size < all.size)
+    // the pruned read still returns exactly the right rows
+    val rows = SnapshotTable.read(spark, t, prune = pr)
+      .filter($"id".between(150, 160)).count()
+    assert(rows == 11)
+    // string column stats prune too
+    val sPr = Seq(SnapshotTable.ColRange("v", lower = Some("lo_"), upper = Some("lo_~")))
+    assert(SnapshotTable.filesForRead(t, prune = sPr).size == 1)
+    // a column with no recorded stats never skips
+    val unknown = Seq(SnapshotTable.ColRange("nope", lower = Some(1L)))
+    assert(SnapshotTable.filesForRead(t, prune = unknown).size == 3)
+  }
+
+  test("commit publish is put-if-absent: racing manifests never clobber") {
+    val t = Files.createTempDirectory("graft_snap4").toString + "/t"
+    SnapshotTable.append(Seq((1, "a")).toDF("id", "v"), t)
+    // simulate a concurrent writer that claimed v1 between our
+    // currentVersion read and publish: pre-create v1.json manually
+    val winner = java.nio.file.Paths.get(t, "_manifests", "v1.json")
+    java.nio.file.Files.writeString(winner,
+      """{"version": 1, "files": []}""")
+    // append must NOT clobber v1 — it retries and lands on v2
+    val v = SnapshotTable.append(Seq((2, "b")).toDF("id", "v"), t)
+    assert(v == 2, s"append should have skipped the taken version, got v$v")
+    assert(java.nio.file.Files.readString(winner).contains("\"files\": []"),
+      "winner's manifest was clobbered")
+    // v2 = winner's (empty) snapshot + our new rows
+    assert(SnapshotTable.read(spark, t, Some(2)).as[(Int, String)]
+      .collect().toSet == Set((2, "b")))
   }
 }
