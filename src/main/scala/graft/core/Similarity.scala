@@ -145,11 +145,23 @@ object Similarity {
     * full `count()` action per call; a genuine `count()` runs only
     * when no statistic is available at all.
     */
+  /** `multiProbe = P > 0` additionally probes, per table, the P buckets
+    * obtained by flipping the P sign bits with the smallest |margin|
+    * (query-directed multi-probe, Lv et al. VLDB'07): a vector near a
+    * hyperplane is the one whose neighbors land on the other side, so
+    * flipping exactly those bits recovers most cross-boundary pairs.
+    * One flipped bucket ~ doubles per-table recall near the boundary,
+    * so P=1 with L tables ≈ the recall of 2L single-probe tables while
+    * hashing (and shuffling) half the rows: probes multiply the probe
+    * SIDE only (L·(P+1) rows) while the indexed side stays at L rows,
+    * vs 2L on BOTH sides for doubled tables.
+    */
   def lshNearDupPairs(emb: DataFrame, threshold: Double,
                       bitsPerTable: Int = 0, nTables: Int = 8,
                       dim: Int = 64, idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      corpusSize: Long = 0L): DataFrame = {
+                      corpusSize: Long = 0L,
+                      multiProbe: Int = 0): DataFrame = {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
@@ -163,21 +175,49 @@ object Similarity {
           }
         math.max(4, math.ceil(math.log(math.max(n, 64.0) / 64.0) / math.log(2.0)).toInt)
       }
+    require(multiProbe >= 0 && multiProbe <= bits, s"multiProbe in [0, $bits]")
     def plane(bit: Int): Column = array((0 until dim).map { d =>
       lit(graft.expressions.RollingHash.hash(s"$bit:$d") % 1000L / 1000.0 - 0.5)
     }: _*)
-    def bucket(t: Int): Column = concat_ws("", (0 until bits).map { j =>
-      when(dot(col(vecCol), plane(t * bits + j)) >= 0, lit(1)).otherwise(lit(0))
-    }: _*)
-    val bucketed = emb.select(col(idCol),
-      posexplode(array((0 until nTables).map(bucket): _*)).as(Seq("tbl", "bucket")))
-    val a = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    // one margin vector per table, materialized by the Generate so each
+    // DotProduct evaluates exactly once per (row, plane) — bucket
+    // strings below only re-read the exploded attribute
+    def tableMargins(t: Int): Column =
+      array((0 until bits).map(j => dot(col(vecCol), plane(t * bits + j))): _*)
+    val margins = emb.select(col(idCol),
+      posexplode(array((0 until nTables).map(tableMargins): _*))
+        .as(Seq("tbl", "margins")))
+    def bucketFlipping(flip: Column): Column = concat_ws("",
+      transform(col("margins"), (m, i) =>
+        when((m >= 0) =!= (i === flip), lit(1)).otherwise(lit(0))))
+    val base = bucketFlipping(lit(-1))
+    val a = margins.select(col("tbl"), base.as("bucket"), col(idCol).as("id_a"))
+    val b =
+      if (multiProbe == 0)
+        margins.select(col("tbl"), base.as("bucket"), col(idCol).as("id_b"))
+      else {
+        // indices of the multiProbe smallest |margins|: sort (|m|, i)
+        // pairs once per row, slice — bits is small (<= ~20)
+        val ranked = slice(array_sort(transform(col("margins"),
+          (m, i) => struct(abs(m).as("a"), i.as("i")))), 1, multiProbe)
+        val probes = concat(array(base),
+          transform(ranked, r => bucketFlipping(r.getField("i"))))
+        margins.select(col("tbl"), explode(probes).as("bucket"),
+          col(idCol).as("id_b"))
+      }
     // candidate ids only — dedup across tables BEFORE vectors are
     // attached, so the distinct's shuffle carries 16 bytes per pair,
-    // not two embeddings
-    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // not two embeddings. Symmetric (P=0) joins see both orientations,
+    // so keep only id_a < id_b pre-shuffle; probed matches can surface
+    // in one orientation only, so canonicalize via least/greatest.
+    val joined = a.join(b, Seq("tbl", "bucket"))
+    val cand = (if (multiProbe == 0)
+      joined.filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    else
+      joined.filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+      ).distinct()
     val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na"))
     val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),

@@ -104,6 +104,33 @@ class MlScorerSpec extends SparkSpec {
     assert(rate >= 0.6 && rate <= 0.95, s"in-sample 80pct coverage $rate")
   }
 
+  test("prophet: yhat and 80% band match independent numpy prophet-1.1.7 reimpl fixture") {
+    // Fixture: tools/gen_prophet_fixture.py — an independent numpy
+    // reimplementation of prophet-1.1.7 predict() over the reference
+    // artifact (prophet itself can't run here: no egress). yhat is
+    // closed-form => exact; band edges are quasi-exact 200k-sample
+    // quantiles with a per-edge tolerance = 4x the std-dev of
+    // 1000-sample replicate edges (any single prophet run's band —
+    // prophet's own RNG is unseeded — lies inside w.p. ~0.9999).
+    val in = getClass.getResourceAsStream("/prophet_forecast_fixture.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val rows = root.get("rows")
+    val got = ProphetScorer.forecast(spark, days = root.get("days").asInt)
+      .orderBy("ds").collect()
+    assert(got.length == rows.size)
+    (0 until rows.size).foreach { i =>
+      val exp = rows.get(i)
+      assert(got(i).getDate(0).toString == exp.get("ds").asText)
+      val dy = math.abs(got(i).getDouble(1) - exp.get("yhat").asDouble)
+      assert(dy < 1e-6, s"day $i yhat off by $dy")
+      val tol = exp.get("edge_tol").asDouble
+      val dLo = math.abs(got(i).getDouble(2) - exp.get("yhat_lower").asDouble)
+      val dHi = math.abs(got(i).getDouble(3) - exp.get("yhat_upper").asDouble)
+      assert(dLo <= tol, s"day $i lower off by $dLo (tol $tol)")
+      assert(dHi <= tol, s"day $i upper off by $dHi (tol $tol)")
+    }
+  }
+
   test("prophet: forecast shape, ordering, interval sanity, L-1 homeId-independence") {
     val f = EnergyApi.forecast(spark, days = 14).orderBy("ds").collect()
     assert(f.length == 14)
