@@ -536,6 +536,25 @@ object SparkEntry {
         i => TextAnalysis.rollingHash(col("text").substr(i * chunkLen + 1, chunkLen)))
       d.select(col("doc_id"), posexplode(feats).as(Seq("dim", "feature")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("feature"))
+    }),
+
+    // deterministic prefix of the IVF ANN pipeline (q27): coarse
+    // quantization — every vector's nearest centroid. Fully
+    // oracle-checkable even though the end-to-end ANN is approximate.
+    "q49_ivf_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.assignBuckets(emb, centroids)
+        .select(col("vec_id"), col("bucket"))
+    }),
+
+    // deterministic prefix of the LSH near-dup pipeline (q40):
+    // hyperplane-bucket candidate pairs for fixed bits/tables — the
+    // literal planes make the bucketing engine-portable.
+    "q50_lsh_candidates" -> ((s, dir) => {
+      Similarity.lshCandidatePairs(Tables.embeddings(s, dir),
+        bitsPerTable = 8, nTables = 2)
     })
   )
 
@@ -1113,6 +1132,61 @@ object SparkEntry {
         |        regexp_split_to_array(substr(text, i.range * cl + 1, cl), ''),
         |        c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS feature
-        |FROM base, range(4) i""".stripMargin
+        |FROM base, range(4) i""".stripMargin,
+
+    "q49_ivf_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 97 = 3),
+        |scored AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [e.v[i+1] * c.cv[i+1] for i in generate_series(0, len(e.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [e.v[i+1] * e.v[i+1] for i in generate_series(0, len(e.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [c.cv[i+1] * c.cv[i+1] for i in generate_series(0, len(c.cv)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, centroid_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, centroid_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT vec_id, centroid_id AS bucket FROM ranked WHERE rnk = 1""".stripMargin,
+
+    "q50_lsh_candidates" -> q50OracleSql
   )
+
+  /** q50's oracle embeds the identical hyperplane literals the engine
+    * uses (Similarity.planeComponent), so DuckDB reproduces the exact
+    * bucketing: margin fold order matches DotProduct's sequential fold.
+    */
+  private lazy val q50OracleSql: String = {
+    val (dim, bits, nTables) = (64, 8, 2)
+    val planeRows = (for (t <- 0 until nTables; j <- 0 until bits) yield {
+      val comps = (0 until dim)
+        .map(d => Similarity.planeComponent(t * bits + j, d)).mkString(", ")
+      s"($t, $j, [$comps]::DOUBLE[])"
+    }).mkString(",\n")
+    s"""WITH planes(tbl, bit, p) AS (VALUES
+       |$planeRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (
+       |  SELECT e.vec_id, pl.tbl, pl.bit,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [e.v[i+1] * pl.p[i+1] for i in generate_series(0, len(e.v)-1)]),
+       |      (acc, x) -> acc + x) AS margin
+       |  FROM e, planes pl),
+       |b AS (
+       |  SELECT vec_id, tbl,
+       |    string_agg(CASE WHEN margin >= 0 THEN '1' ELSE '0' END, ''
+       |      ORDER BY bit) AS bucket
+       |  FROM m GROUP BY vec_id, tbl)
+       |SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |WHERE a.vec_id < b2.vec_id""".stripMargin
+  }
 }

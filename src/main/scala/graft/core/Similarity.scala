@@ -162,6 +162,31 @@ object Similarity {
                       vecCol: String = "embedding",
                       corpusSize: Long = 0L,
                       multiProbe: Int = 0): DataFrame = {
+    val cand = lshCandidatePairs(emb, bitsPerTable, nTables, dim, idCol,
+      vecCol, corpusSize, multiProbe)
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** The deterministic candidate-generation prefix of
+    * [[lshNearDupPairs]]: distinct id pairs sharing any (table, bucket)
+    * key. Exposed separately because — unlike the thresholded output,
+    * whose recall is probabilistic — this stage is exactly reproducible
+    * by an external engine from the literal hyperplanes, so the driver
+    * oracle can hash-check it (q50).
+    */
+  def lshCandidatePairs(emb: DataFrame,
+                        bitsPerTable: Int = 0, nTables: Int = 8,
+                        dim: Int = 64, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        corpusSize: Long = 0L,
+                        multiProbe: Int = 0): DataFrame = {
     val bits =
       if (bitsPerTable > 0) bitsPerTable
       else {
@@ -177,7 +202,7 @@ object Similarity {
       }
     require(multiProbe >= 0 && multiProbe <= bits, s"multiProbe in [0, $bits]")
     def plane(bit: Int): Column = array((0 until dim).map { d =>
-      lit(graft.expressions.RollingHash.hash(s"$bit:$d") % 1000L / 1000.0 - 0.5)
+      lit(planeComponent(bit, d))
     }: _*)
     // one margin vector per table, materialized by the Generate so each
     // DotProduct evaluates exactly once per (row, plane) — bucket
@@ -211,22 +236,21 @@ object Similarity {
     // so keep only id_a < id_b pre-shuffle; probed matches can surface
     // in one orientation only, so canonicalize via least/greatest.
     val joined = a.join(b, Seq("tbl", "bucket"))
-    val cand = (if (multiProbe == 0)
+    (if (multiProbe == 0)
       joined.filter(col("id_a") < col("id_b")).select("id_a", "id_b")
     else
       joined.filter(col("id_a") =!= col("id_b"))
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
       ).distinct()
-    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      norm(col(vecCol)).as("na"))
-    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"))
-    cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** The hyperplane component for global bit index `bit`, dimension
+    * `d` — public so the q50 oracle SQL can embed the identical
+    * literals.
+    */
+  def planeComponent(bit: Int, d: Int): Double =
+    graft.expressions.RollingHash.hash(s"$bit:$d") % 1000L / 1000.0 - 0.5
 
   /** Per-label centroid: mean embedding by label, emitted flat as
     * (label, dim, value) rows so results stay scalar-typed.
