@@ -129,9 +129,50 @@ object AsofJoinStrategy extends SparkStrategy {
 }
 
 /** SparkSessionExtensions entry point: sessions built with
-  * `.withExtensions(new GraftExtensions)` get the as-of strategy.
+  * `.withExtensions(new GraftExtensions)` (or started with
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) get the as-of
+  * strategy AND the engine's native expressions as SQL functions —
+  * `rolling_hash(text)`, `shingles(text, n)`, `dot_product(a, b)`,
+  * `pair_combinations(arr)` — so pure-SQL users reach the same
+  * codegen/one-pass-per-row implementations the DataFrame API uses.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(name: String, clazz: Class[_], arity: Int,
+                 build: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity argument(s)")
+        build(args)
+      })
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectFunction(fn("rolling_hash",
+      classOf[graft.expressions.RollingHash], 1,
+      args => graft.expressions.RollingHash(args.head)))
+    e.injectFunction(fn("dot_product",
+      classOf[graft.expressions.DotProduct], 2,
+      args => graft.expressions.DotProduct(args.head, args(1))))
+    e.injectFunction(fn("pair_combinations",
+      classOf[graft.expressions.PairCombinations], 1,
+      args => graft.expressions.PairCombinations(args.head)))
+    e.injectFunction(fn("shingles",
+      classOf[graft.expressions.ShingleArray], 2,
+      args => {
+        val n = args(1) match {
+          case l if l.foldable => l.eval() match {
+            case i: Int => i
+            case i: Long => i.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingles(text, n): n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "shingles(text, n): n must be a literal")
+        }
+        graft.expressions.ShingleArray(args.head, n)
+      }))
+  }
 }

@@ -10,7 +10,11 @@ object TestSession {
       // fresh warehouse per JVM: saveAsTable locations must not
       // survive into the next test run (LOCATION_ALREADY_EXISTS)
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString),
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // exercises the library's session-build-time registration path;
+      // driver-contract queries must NOT depend on it (the driver's
+      // session is raw — Joins injects the strategy at runtime)
+      .withExtensions(new graft.plans.GraftExtensions),
     "8").getOrCreate()
 }
 
