@@ -43,7 +43,8 @@ object ScaleProbe {
 
     val probes = Seq("q01_pricing_summary", "q06_user_daily",
       "q16_anomaly_features", "q19_ngram_jaccard", "q20_minhash_lsh",
-      "q21_simhash", "q39_cosine_neardup", "q43_dedup_resolve")
+      "q21_simhash", "q39_cosine_neardup", "q43_dedup_resolve",
+      "q49_ivf_assign", "q50_lsh_candidates")
     probes.foreach { name =>
       def time(dir: String): Double = {
         val t0 = System.nanoTime()
@@ -75,6 +76,10 @@ object ScaleProbe {
     }
     timed("q40_lsh_neardup") { dir =>
       SparkEntry.queries("q40_lsh_neardup")(spark, dir)
+    }
+    timed("lsh L=4 multiProbe=1") { dir =>
+      graft.core.Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
+        threshold = 0.4, nTables = 4, multiProbe = 1)
     }
     spark.stop()
   }

@@ -555,6 +555,17 @@ object SparkEntry {
     "q50_lsh_candidates" -> ((s, dir) => {
       Similarity.lshCandidatePairs(Tables.embeddings(s, dir),
         bitsPerTable = 8, nTables = 2)
+    }),
+
+    // composed corpus-curation pipeline: quality gate -> exact dedup ->
+    // near-dup resolution, emitted as a per-doc audit. Every stage is
+    // separately oracle-checked (q22/q23/q17/q19/q43); this checks the
+    // COMPOSITION end-to-end.
+    "q51_curation" -> ((s, dir) => {
+      graft.core.Curation.curate(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang_pred"), col("quality_score"),
+          col("quality_ok"), col("kept_exact"),
+          col("survivor_id"), col("is_survivor"))
     })
   )
 
@@ -1157,7 +1168,94 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, centroid_id AS bucket FROM ranked WHERE rnk = 1""".stripMargin,
 
-    "q50_lsh_candidates" -> q50OracleSql
+    "q50_lsh_candidates" -> q50OracleSql,
+
+    "q51_curation" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, text, t,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+        |      / len(t) AS sw,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha
+        |  FROM base),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','and','of','is'], x)))
+        |      + (length(text) - length(replace(text, 'th', ''))) / 2
+        |      + (length(text) - length(replace(text, 'ing', ''))) / 3
+        |      + (length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(t, x -> list_contains(['el','la','de','que'], x)))
+        |      + (length(text) - length(replace(text, 'ión', ''))) / 3
+        |      + (length(text) - length(replace(text, 'os ', ''))) / 3
+        |      + (length(text) - length(replace(text, 'que', ''))) / 3 AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(t, x -> list_contains(['der','die','und','ist'], x)))
+        |      + (length(text) - length(replace(text, 'sch', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ein', ''))) / 3
+        |      + (length(text) - length(replace(text, 'und', ''))) / 3 AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(t, x -> list_contains(['le','la','et','est'], x)))
+        |      + (length(text) - length(replace(text, 'eau', ''))) / 3
+        |      + (length(text) - length(replace(text, 'oux', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT) AS score_fr
+        |  FROM base),
+        |qual AS (
+        |  SELECT doc_id, text, t,
+        |    round(sw * 0.4 + alpha * 0.6 - punct * 0.5, 6) AS quality_score
+        |  FROM ratios),
+        |gated AS (
+        |  SELECT doc_id, text, t, quality_score,
+        |    quality_score >= 0.51 AS quality_ok
+        |  FROM qual),
+        |keptx AS (
+        |  SELECT doc_id, text, t,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM gated WHERE quality_ok),
+        |kept AS (SELECT doc_id, text, t FROM keptx WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM kept),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM cand p
+        |  JOIN counts ca ON p.doc_a = ca.doc_id
+        |  JOIN counts cb ON p.doc_b = cb.doc_id
+        |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (
+        |  SELECT src AS doc, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS doc, cc.lbl FROM cc JOIN edges e ON cc.doc = e.src),
+        |labels AS (SELECT doc, min(lbl) AS cluster_id FROM cc GROUP BY 1),
+        |resolved AS (
+        |  SELECT k.doc_id, coalesce(l.cluster_id, k.doc_id) AS survivor_id
+        |  FROM kept k LEFT JOIN labels l ON k.doc_id = l.doc)
+        |SELECT g.doc_id,
+        |  CASE
+        |    WHEN lg.score_fr > greatest(lg.score_de, lg.score_en, lg.score_es) THEN 'fr'
+        |    WHEN lg.score_es > greatest(lg.score_de, lg.score_en) THEN 'es'
+        |    WHEN lg.score_en > lg.score_de THEN 'en'
+        |    ELSE 'de' END AS lang_pred,
+        |  g.quality_score, g.quality_ok,
+        |  (r.doc_id IS NOT NULL) AS kept_exact,
+        |  r.survivor_id,
+        |  coalesce(r.survivor_id = g.doc_id, FALSE) AS is_survivor
+        |FROM gated g
+        |JOIN lang lg ON g.doc_id = lg.doc_id
+        |LEFT JOIN resolved r ON g.doc_id = r.doc_id""".stripMargin
   )
 
   /** q50's oracle embeds the identical hyperplane literals the engine

@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed pipeline a training-data
+  * run actually executes over raw documents:
+  *
+  *   1. quality score + language ID   (one scan, zero shuffles)
+  *   2. quality gate                  (cheap filter FIRST — at 100 TB
+  *                                     this drops rows before anything
+  *                                     pays a shuffle)
+  *   3. exact dedup                   (one exchange on text hash)
+  *   4. n-gram Jaccard near-dup       (inverted index, two exchanges)
+  *   5. cluster resolution            (bounded label propagation)
+  *
+  * Output is a full per-document audit, not just the survivors: every
+  * input doc appears once with its disposition at each stage, so the
+  * drop reasons are queryable (the shape lineage/debugging needs).
+  * Downstream corpus = `.filter(col("is_survivor"))`.
+  *
+  * Stage composition mirrors the reference pipeline's separation of
+  * ingest-validate-transform (`/root/reference/process_etl.py`,
+  * `blobToCosmos.py:53-77`) scaled to corpus curation; every stage is
+  * individually oracle-checked (q22/q23/q17/q19/q43), and the composed
+  * audit is oracle-checked end-to-end (q51).
+  */
+object Curation {
+
+  /** @param minQuality  quality gate on `TextAnalysis.qualityScore`
+    * @param n           shingle size for near-dup candidate generation
+    * @param jaccardThreshold near-dup pair threshold
+    * @param maxDf       stop-shingle document-frequency cap (see
+    *                    [[Dedup.ngramJaccardPairs]]; cap at web scale)
+    */
+  def curate(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", minQuality: Double = 0.51,
+             n: Int = 3, jaccardThreshold: Double = 0.2,
+             maxDf: Int = Int.MaxValue): DataFrame = {
+    val scored = TextAnalysis.langId(
+      TextAnalysis.qualityScore(docs, textCol), textCol)
+      .withColumn("quality_ok", col("quality_score") >= minQuality)
+    val kept = Dedup.dropExactDups(
+      scored.filter(col("quality_ok")), idCol, textCol)
+    val pairs = Dedup.ngramJaccardPairs(
+      kept, idCol, textCol, n, jaccardThreshold, maxDf)
+    val resolved = Dedup.resolveSurvivors(kept, idCol, pairs)
+      .select(col(idCol), col("survivor_id"), col("is_survivor"),
+        lit(true).as("kept_exact"))
+    scored
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("quality_ok"))
+      .join(resolved, Seq(idCol), "left")
+      .withColumn("kept_exact", coalesce(col("kept_exact"), lit(false)))
+      // docs dropped by the quality gate or exact dedup do not survive:
+      // non-null false (survivor_id stays NULL — no surviving row)
+      .withColumn("is_survivor", coalesce(col("is_survivor"), lit(false)))
+  }
+}
