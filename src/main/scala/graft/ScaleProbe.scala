@@ -81,6 +81,18 @@ object ScaleProbe {
       graft.core.Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
         threshold = 0.4, nTables = 4, multiProbe = 1)
     }
+    // q49's gate config derives centroids from the corpus (k grows with
+    // n -> O(n*k) probe ratio is a parameterization artifact). With k
+    // FIXED (copy-0 centroids only; replicas shift vec_id by 1e6) the
+    // assignment is linear:
+    timed("ivf assign k=const") { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = emb
+        .filter(col("vec_id") % 97 === 3 && col("vec_id") < 1000000L)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.core.Similarity.assignBuckets(emb, centroids)
+        .select("vec_id", "bucket")
+    }
     spark.stop()
   }
 }

@@ -137,13 +137,15 @@ object Similarity {
     *
     * Corpus size for the auto-sizing comes from (in order):
     * `corpusSize` if the caller knows it (at 100 TB: from table stats /
-    * a manifest, not a scan); otherwise the optimizer's sizeInBytes
-    * statistic divided by an estimated row width (4·dim payload +
-    * ~128 B of id/offset/metadata overhead — matches the generated
-    * parquet within ~5%) — bit sizing only needs the order of
-    * magnitude, so a stats estimate replaces what was previously a
-    * full `count()` action per call; a genuine `count()` runs only
-    * when no statistic is available at all.
+    * a manifest, not a scan); the optimizer's ROW COUNT statistic when
+    * present (CBO/ANALYZE); otherwise one exact `count()` (on a parquet
+    * scan this is footer-metadata cheap). A sizeInBytes/row-width
+    * heuristic was tried and REVERTED: byte size is compression-
+    * dependent, and a duplicate-heavy corpus (the exact case dedup
+    * exists for) RLE-compresses so well that it underestimated n and
+    * under-sized the buckets — measured 97x vs 46x on the 10x probe.
+    * Underestimating n is quadratic blowup; an extra count() job is
+    * noise next to that.
     */
   /** `multiProbe = P > 0` additionally probes, per table, the P buckets
     * obtained by flipping the P sign bits with the smallest |margin|
@@ -192,12 +194,9 @@ object Similarity {
       else {
         val n =
           if (corpusSize > 0L) corpusSize.toDouble
-          else {
-            val statBytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-            if (statBytes > 0 && statBytes < BigInt(Long.MaxValue))
-              statBytes.toDouble / (4.0 * dim + 128.0)
-            else emb.count().toDouble
-          }
+          else emb.queryExecution.optimizedPlan.stats.rowCount
+            .map(_.toDouble)
+            .getOrElse(emb.count().toDouble)
         math.max(4, math.ceil(math.log(math.max(n, 64.0) / 64.0) / math.log(2.0)).toInt)
       }
     require(multiProbe >= 0 && multiProbe <= bits, s"multiProbe in [0, $bits]")
