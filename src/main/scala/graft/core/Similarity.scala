@@ -247,9 +247,21 @@ object Similarity {
   /** The hyperplane component for global bit index `bit`, dimension
     * `d` — public so the q50 oracle SQL can embed the identical
     * literals.
+    *
+    * The raw rolling hash is POLYNOMIAL — linear in the trailing
+    * character — so `hash("b:0"), hash("b:1"), ...` differ by exactly 1
+    * and the planes came out as consecutive ramps, heavily correlated
+    * across bits (spotted in the q50 plan's literals). A splitmix-style
+    * avalanche finalizer decorrelates them; plane quality directly sets
+    * how independent the per-table sign bits are.
     */
-  def planeComponent(bit: Int, d: Int): Double =
-    graft.expressions.RollingHash.hash(s"$bit:$d") % 1000L / 1000.0 - 0.5
+  def planeComponent(bit: Int, d: Int): Double = {
+    var h = graft.expressions.RollingHash.hash(s"$bit:$d")
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^= (h >>> 31)
+    (((h % 1000L) + 1000L) % 1000L) / 1000.0 - 0.5
+  }
 
   /** Per-label centroid: mean embedding by label, emitted flat as
     * (label, dim, value) rows so results stay scalar-typed.
