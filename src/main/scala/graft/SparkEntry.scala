@@ -566,6 +566,59 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"), col("quality_score"),
           col("quality_ok"), col("kept_exact"),
           col("survivor_id"), col("is_survivor"))
+    }),
+
+    // benchmark decontamination: training docs sharing any 5-gram with
+    // the held-out eval slice (doc_id % 10 == 0) are flagged. The eval
+    // shingle set broadcasts; the training side never shuffles payloads.
+    "q52_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val eval = d.filter(col("doc_id") % 10 === 0)
+      val train = d.filter(col("doc_id") % 10 =!= 0)
+      graft.core.Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }),
+
+    // Gopher-style repetition stats: duplicate-token fraction plus the
+    // token share covered by the most frequent bigram
+    "q53_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text", n = 2)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("dup_token_ratio"), col("top_ngram_count"), col("top_ngram_ratio"))
+    }),
+
+    // PII scrubbing: redact + count emails/phones/id runs. Test PII is
+    // derived deterministically from doc_id IN the query (both engines
+    // build the identical augmented text), so the oracle exercises real
+    // redactions, not just the no-op path.
+    "q54_pii_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aug = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call "),
+            (col("doc_id") % 700 + 200).cast("string"), lit("-"),
+            (col("doc_id") % 800 + 100).cast("string"), lit("-"),
+            (col("doc_id") % 9000 + 1000).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" acct "),
+            (col("doc_id") + 100000000L).cast("string"))).otherwise(lit("")))
+      TextAnalysis.scrubPii(d.withColumn("aug_text", aug), "aug_text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ids").cast("long").as("n_ids"), col("scrubbed"))
+    }),
+
+    // per-source quota (corpus balancing): keep the 15 lowest-id docs
+    // per source, emit the full audit
+    "q55_source_quota" -> ((s, dir) => {
+      graft.core.Sampling.groupQuota(Tables.documents(s, dir),
+          "source", "doc_id", cap = 15)
+        .select(col("doc_id"), col("source"),
+          col("src_rank").cast("long").as("src_rank"), col("quota_kept"))
     })
   )
 
@@ -1255,7 +1308,78 @@ object SparkEntry {
         |  coalesce(r.survivor_id = g.doc_id, FALSE) AS is_survivor
         |FROM gated g
         |JOIN lang lg ON g.doc_id = lg.doc_id
-        |LEFT JOIN resolved r ON g.doc_id = r.doc_id""".stripMargin
+        |LEFT JOIN resolved r ON g.doc_id = r.doc_id""".stripMargin,
+
+    "q52_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+5], ' ')
+        |     for i in generate_series(0, greatest(len(t)-5, 0))])) AS shingle
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS n_hits
+        |  FROM sh s JOIN ev USING (shingle)
+        |  WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 10 <> 0""".stripMargin,
+
+    "q53_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |      AS dup_token_ratio,
+        |    unnest([array_to_string(t[i+1:i+2], ' ')
+        |      for i in generate_series(0, greatest(len(t)-2, 0))]) AS gram
+        |  FROM toks),
+        |gc AS (
+        |  SELECT doc_id, n_tokens, dup_token_ratio, gram, count(*) AS c
+        |  FROM base GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, n_tokens, dup_token_ratio,
+        |  CAST(max(c) AS BIGINT) AS top_ngram_count,
+        |  round(least(1.0, CAST(max(c) * 2 AS DOUBLE) / n_tokens), 6)
+        |    AS top_ngram_ratio
+        |FROM gc GROUP BY 1, 2, 3""".stripMargin,
+
+    "q54_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |       THEN ' contact u' || doc_id || '@mail.example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |       THEN ' call ' || (doc_id % 700 + 200) || '-'
+        |         || (doc_id % 800 + 100) || '-' || (doc_id % 9000 + 1000)
+        |       ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |       THEN ' acct ' || (doc_id + 100000000) ELSE '' END AS aug_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(aug_text,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(aug_text, '[0-9]{9,}')) AS BIGINT) AS n_ids,
+        |  regexp_replace(regexp_replace(regexp_replace(aug_text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{9,}', '<ID>', 'g') AS scrubbed
+        |FROM aug""".stripMargin,
+
+    "q55_source_quota" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
+        |    AS quota_kept
+        |FROM documents""".stripMargin
   )
 
   /** q50's oracle embeds the identical hyperplane literals the engine

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Single-pass uniform sampling for training pipelines.
   *
@@ -15,6 +17,28 @@ import org.apache.spark.sql.{DataFrame, Encoders}
   * stable for unchanged inputs).
   */
 object Sampling {
+
+  /** Per-group quota (source balancing): keep at most `cap` rows per
+    * `groupCol`, chosen deterministically by `orderCol` — the corpus
+    * mixing step that stops one over-represented domain/source from
+    * dominating a training mix. One window over the group key (a
+    * single exchange on `groupCol`); rank and the audit columns come
+    * from the same window partition so no second shuffle. Skewed
+    * groups sort only within their own partition — at 100 TB a
+    * pathological mega-source should be pre-filtered or the rank
+    * replaced by a per-group reservoir, but the quota semantics here
+    * are exact, which is what the audit requires.
+    *
+    * Output: every input row plus `src_rank` (1-based position within
+    * its group) and `quota_kept` (src_rank <= cap). Filter on
+    * `quota_kept` for the balanced corpus.
+    */
+  def groupQuota(df: DataFrame, groupCol: String, orderCol: String,
+                 cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("src_rank", row_number().over(w))
+      .withColumn("quota_kept", col("src_rank") <= cap)
+  }
 
   def reservoirDoubles(df: DataFrame, featureCols: Seq[String], n: Int,
                        seed: Long): Array[Array[Double]] = {

@@ -143,6 +143,90 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** ALL word n-grams of a text, one per window position (duplicates
+    * kept — [[Dedup.shingles]] is the distinct variant). Same edge
+    * semantics: a doc shorter than n words yields its single partial
+    * gram. Native single-pass expression; [[ngramsAllHof]] is the
+    * built-ins-only semantic oracle (its lambda re-splits the text per
+    * window position — measured 2x+ slower end-to-end).
+    */
+  def ngramsAll(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.expressions.ShingleArray(
+        org.apache.spark.sql.GraftShim.expression(text), n, distinct = false))
+
+  /** HOF formulation of [[ngramsAll]], kept as its test oracle. */
+  def ngramsAllHof(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Repetition statistics (Gopher-style quality rules, Rae et al.
+    * 2021 §A1.1): natural text repeats itself far less than
+    * boilerplate/spam, so the fraction of the doc covered by its most
+    * frequent n-gram and the duplicate-token fraction are strong cheap
+    * quality signals.
+    *
+    * `dup_token_ratio` is pure array math (one codegen'd pass, no
+    * shuffle). The top-n-gram count needs a per-(doc, gram) frequency:
+    * explode -> two key-partitioned aggregations — the same shape as
+    * [[Dedup.simhashTable]], scales as total gram instances.
+    *
+    * Output per doc: `n_tokens`, `dup_token_ratio` (1 − distinct/total
+    * tokens), `top_ngram_count` (occurrences of the most frequent
+    * n-gram), `top_ngram_ratio` (token share covered by it, ≈ n ×
+    * count / n_tokens, capped at 1.0 for the short-doc edge).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    // Two independent branches joined on the doc key. Do NOT select the
+    // scalar stats next to the explode: Spark projects non-generator
+    // expressions ABOVE the Generate, so split/array_distinct would
+    // re-run once per emitted gram row — measured 12x slower on the
+    // composed form (same CollapseProject re-inlining class of failure
+    // as the simhash/shingle incidents in ROUND_NOTES).
+    val stats = df.select(col(idCol),
+      size(tokens(col(textCol))).as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(tokens(col(textCol)))).cast("double")
+        / size(tokens(col(textCol))), 6).as("dup_token_ratio"))
+    val grams = df.select(col(idCol), explode(ngramsAll(col(textCol), n)).as("__gram"))
+    val top = grams
+      .groupBy(col(idCol), col("__gram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("top_ngram_count"))
+    // every doc emits >= 1 gram (short docs yield their partial gram),
+    // so the join is total; inner join keeps the null-free schema
+    stats.join(top, Seq(idCol))
+      .withColumn("top_ngram_ratio",
+        round(least(lit(1.0),
+          col("top_ngram_count") * n / col("n_tokens")), 6))
+  }
+
+  /** PII scrubbing: redact emails, dashed US-style phone numbers and
+    * long digit runs (ids / account numbers), and count each class.
+    * Patterns use only plain character classes so the Java regex
+    * engine (Spark) and RE2 (oracle engines) agree exactly. Counts are
+    * taken on the ORIGINAL text; replacements apply email → phone →
+    * id so a redaction never creates a new match for a later pattern.
+    * One codegen'd projection — at 100 TB this runs inside the scan's
+    * WholeStageCodegen span, no shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val IdPattern = "[0-9]{9,}"
+
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)))
+      .withColumn("n_ids", regexp_count(col(textCol), lit(IdPattern)))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+            PhonePattern, "<PHONE>"),
+          IdPattern, "<ID>"))
+
   /** Document fingerprint: rolling hash over the full text — a compact
     * order-sensitive signature (exact-dup detection without storing
     * text; the reference has no equivalent, this is the training-data

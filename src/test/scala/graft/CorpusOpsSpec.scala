@@ -1,0 +1,104 @@
+package graft
+
+import graft.core.{Decontaminate, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Decontamination, repetition stats, PII scrubbing and per-source
+  * quota — the corpus-hygiene operators (q52–q55).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: flags docs sharing an n-gram with eval, spares the rest") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram prefix with eval 100
+      (2L, "one two three four five six seven"),   // clean
+      (3L, "alpha beta gamma delta epsilon other") // shares the same 5-gram
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon final")
+    ).toDF("doc_id", "text")
+    val flagged = Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 5)
+      .select("doc_id", "n_hits", "contaminated")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(flagged(1L) == (1L, true))
+    assert(flagged(2L) == (0L, false))
+    assert(flagged(3L) == (1L, true))
+    val clean = Decontaminate.clean(train, eval, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+    // clean keeps the original schema
+    assert(Decontaminate.clean(train, eval, "doc_id", "text", n = 5).columns.toSeq
+      == train.columns.toSeq)
+  }
+
+  test("decontaminate: minHits threshold requires that many shared shingles") {
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e f")).toDF("doc_id", "text") // 4 shared 3-grams
+    def hits(minHits: Int) =
+      Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 3, minHits = minHits)
+        .select("contaminated").as[Boolean].head()
+    assert(hits(4))
+    assert(!hits(5))
+  }
+
+  test("repetition stats: ratios match hand computation") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),        // all dup; top bigram "spam spam" x3
+      (2L, "all words here are distinct") // no repetition
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text", n = 2)
+      .collect().map(row => row.getLong(0) -> row).toMap
+    val spam = r(1L)
+    assert(spam.getAs[Int]("n_tokens") == 4)
+    assert(spam.getAs[Double]("dup_token_ratio") == 0.75) // 1 - 1/4
+    assert(spam.getAs[Long]("top_ngram_count") == 3L)
+    assert(spam.getAs[Double]("top_ngram_ratio") == 1.0)  // capped 3*2/4
+    val clean = r(2L)
+    assert(clean.getAs[Double]("dup_token_ratio") == 0.0)
+    assert(clean.getAs[Long]("top_ngram_count") == 1L)
+    assert(clean.getAs[Double]("top_ngram_ratio") == 0.4) // 1*2/5
+  }
+
+  test("repetition stats: doc shorter than n yields its single partial gram") {
+    val r = TextAnalysis.repetitionStats(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text", n = 2).head()
+    assert(r.getAs[Long]("top_ngram_count") == 1L)
+    assert(r.getAs[Double]("top_ngram_ratio") == 1.0) // capped
+  }
+
+  test("pii scrub: redacts emails, phones and id runs; counts on original") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call 415-555-0199 acct 123456789 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co and c.d@e-f.org plus 12345678 short digits")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_emails") == 1 && r1.getAs[Int]("n_phones") == 1
+      && r1.getAs[Int]("n_ids") == 1)
+    assert(r1.getAs[String]("scrubbed")
+      == "mail <EMAIL> or call <PHONE> acct <ID> ok")
+    val r2 = out(2L)
+    assert(r2.getAs[Int]("n_emails") == 0 && r2.getAs[String]("scrubbed") == "no pii here at all")
+    val r3 = out(3L)
+    assert(r3.getAs[Int]("n_emails") == 2)
+    assert(r3.getAs[Int]("n_ids") == 0) // 8 digits: below the id-run floor
+    assert(r3.getAs[String]("scrubbed")
+      == "two mails <EMAIL> and <EMAIL> plus 12345678 short digits")
+  }
+
+  test("group quota: deterministic per-group cap with full audit") {
+    val docs = Seq(
+      (10L, "s1"), (11L, "s1"), (12L, "s1"),
+      (20L, "s2"), (21L, "s2")
+    ).toDF("doc_id", "source")
+    val q = Sampling.groupQuota(docs, "source", "doc_id", cap = 2)
+    val kept = q.filter(col("quota_kept")).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 20L, 21L))
+    val ranks = q.collect().map(r => r.getLong(0) -> r.getAs[Int]("src_rank")).toMap
+    assert(ranks(10L) == 1 && ranks(12L) == 3 && ranks(20L) == 1)
+    assert(q.count() == docs.count()) // audit keeps every row
+  }
+}

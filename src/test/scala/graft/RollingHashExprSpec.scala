@@ -45,6 +45,21 @@ class RollingHashExprSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
   }
 
+  test("native non-distinct ShingleArray == HOF formulation, order included") {
+    val docs = Tables.documents(spark, Sf0001)
+    val mismatches = docs
+      .withColumn("a", TextAnalysis.ngramsAll($"text", 2))
+      .withColumn("b", TextAnalysis.ngramsAllHof($"text", 2))
+      .filter(!($"a" <=> $"b"))
+      .count()
+    assert(mismatches == 0L)
+    val edge = Seq("spam spam spam", "solo", "one two").toDF("text")
+      .select(TextAnalysis.ngramsAll($"text", 2).as("a")).as[Seq[String]].collect()
+    assert(edge(0) == Seq("spam spam", "spam spam")) // duplicates kept
+    assert(edge(1) == Seq("solo"))
+    assert(edge(2) == Seq("one two"))
+  }
+
   test("SQL registration: graft_rolling_hash usable from spark.sql") {
     GraftShim.registerFunction(spark, "graft_rolling_hash",
       exprs => RollingHash(exprs.head))
