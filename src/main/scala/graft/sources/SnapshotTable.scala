@@ -328,6 +328,96 @@ object SnapshotTable {
       .map(_.name)
   }
 
+  /** Compaction (OPTIMIZE): bin-pack the current snapshot's
+    * small files into files of ~`targetFileBytes`, commit the result
+    * as a new version with IDENTICAL content. Files already at or
+    * above the target are carried over untouched — compaction cost is
+    * O(small-file bytes), not O(table). The small-file problem is the
+    * classic failure mode of streaming/micro-batch ingest at scale
+    * (thousands of KB-sized files per day turn every scan into a
+    * metadata storm); bin-packing restores scan efficiency while
+    * snapshot isolation keeps concurrent readers on their version.
+    *
+    * A lost commit race recomputes against the winner's snapshot (the
+    * set of small files may have changed); orphaned rewrite output
+    * stays unreferenced until vacuum, like a lost upsert.
+    *
+    * @return the committed version, or None when nothing needed
+    *         compacting (fewer than 2 sub-target files)
+    */
+  def compact(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Option[Int] = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = currentVersion(table).getOrElse(return None)
+      val entries = readManifest(table, base)
+      val sized = entries.map(fe =>
+        fe -> Files.size(dataDir(table).resolve(fe.name)))
+      val (small, big) = sized.partition(_._2 < targetFileBytes)
+      if (small.length < 2) return None
+      val smallBytes = small.map(_._2).sum
+      val bins = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+      val packed = spark.read.parquet(
+          small.map(s => dataDir(table).resolve(s._1.name).toString): _*)
+        .repartition(bins)
+      // safe to read lazily: compaction deletes nothing — the source
+      // files stay on disk (and referenced by older manifests) until a
+      // later vacuum
+      val newFiles = writeData(packed, table)
+      if (publishManifest(table, base + 1, big.map(_._1) ++ newFiles))
+        return Some(base + 1)
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the compaction race on $table $MaxCommitRetries times")
+  }
+
+  /** File names added by `version` relative to `version - 1` (the
+    * manifest diff).
+    */
+  def addedFiles(table: String, version: Int): Seq[String] = {
+    val cur = readManifest(table, version).map(_.name)
+    if (version == 0) cur
+    else {
+      val prev = readManifest(table, version - 1).map(_.name).toSet
+      cur.filterNot(prev)
+    }
+  }
+
+  /** Incremental read (change feed, file granularity): the rows of
+    * every data file added in versions (`sinceVersion`, `toVersion`],
+    * each tagged with `_commit_version`. For an append-only table this
+    * is EXACTLY the rows committed after `sinceVersion` — the shape an
+    * incremental downstream consumer (sync, index build, streaming
+    * backfill) reads instead of re-scanning the table. For
+    * upsert/overwrite/compaction commits the diff is file-level, so
+    * rewritten rows reappear with the rewriting commit's version —
+    * callers needing row-level change semantics should consume an
+    * append-only table (the same contract as file-diff CDC on
+    * lakehouse tables without a change-data column).
+    */
+  def readChanges(spark: SparkSession, table: String, sinceVersion: Int,
+                  toVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val hi = toVersion.orElse(currentVersion(table))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
+    require(sinceVersion <= hi,
+      s"sinceVersion $sinceVersion is beyond latest version $hi")
+    val parts = ((sinceVersion + 1) to hi).flatMap { v =>
+      val added = addedFiles(table, v)
+      if (added.isEmpty) None
+      else Some(spark.read.parquet(
+          added.map(n => dataDir(table).resolve(n).toString): _*)
+        .withColumn("_commit_version", lit(v)))
+    }
+    if (parts.isEmpty) {
+      // preserve the table schema (plus the version tag) for an empty diff
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, table, Some(hi)).schema
+          .add("_commit_version", org.apache.spark.sql.types.IntegerType))
+    } else parts.reduce(_ unionByName _)
+  }
+
   /** Drop data files not referenced by the latest `keepVersions`
     * manifests, and the older manifests themselves. The keep range is
     * intersected with the manifests actually present, so re-vacuuming

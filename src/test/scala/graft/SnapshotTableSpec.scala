@@ -92,4 +92,47 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t, Some(2)).as[(Int, String)]
       .collect().toSet == Set((2, "b")))
   }
+
+  test("compaction bin-packs small files; content identical; old snapshot intact") {
+    val t = Files.createTempDirectory("graft_snap5").toString + "/t"
+    // 4 appends x 2 files each = 8 small files
+    (0 until 4).foreach(i =>
+      SnapshotTable.append(
+        spark.range(i * 100, (i + 1) * 100).selectExpr("id").repartition(2), t))
+    val before = SnapshotTable.filesForRead(t)
+    assert(before.size == 8)
+    val v = SnapshotTable.compact(spark, t, targetFileBytes = 512L * 1024 * 1024)
+    assert(v.contains(4))
+    val after = SnapshotTable.filesForRead(t)
+    assert(after.size == 1, s"expected 1 packed file, got ${after.size}")
+    // identical content, and the pre-compaction snapshot still reads
+    assert(SnapshotTable.read(spark, t).as[Long].collect().sorted.toSeq
+      == (0L until 400L))
+    assert(SnapshotTable.read(spark, t, Some(3)).count() == 400)
+    // nothing left to compact: no new version
+    assert(SnapshotTable.compact(spark, t).isEmpty)
+    // compaction keeps footer stats usable for pruning on the new file
+    val pr = Seq(SnapshotTable.ColRange("id", lower = Some(0L), upper = Some(399L)))
+    assert(SnapshotTable.filesForRead(t, prune = pr).size == 1)
+  }
+
+  test("readChanges: file-diff change feed tags rows with the commit version") {
+    val t = Files.createTempDirectory("graft_snap6").toString + "/t"
+    SnapshotTable.append(Seq((1, "a")).toDF("id", "v"), t)  // v0
+    SnapshotTable.append(Seq((2, "b")).toDF("id", "v"), t)  // v1
+    SnapshotTable.append(Seq((3, "c"), (4, "d")).toDF("id", "v"), t) // v2
+    val changes = SnapshotTable.readChanges(spark, t, sinceVersion = 0)
+      .as[(Int, String, Int)].collect().toSet
+    assert(changes == Set((2, "b", 1), (3, "c", 2), (4, "d", 2)))
+    // bounded upper version
+    val v1only = SnapshotTable.readChanges(spark, t, 0, toVersion = Some(1))
+      .as[(Int, String, Int)].collect().toSet
+    assert(v1only == Set((2, "b", 1)))
+    // empty diff keeps the schema
+    val empty = SnapshotTable.readChanges(spark, t, 2)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "v", "_commit_version"))
+    // since == latest is fine; beyond it errors clearly
+    intercept[IllegalArgumentException](SnapshotTable.readChanges(spark, t, 99))
+  }
 }
