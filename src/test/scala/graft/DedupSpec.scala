@@ -55,7 +55,7 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("duplicate clusters: distributed label-propagation path agrees with union-find") {
+  test("duplicate clusters: distributed star-contraction path agrees with union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain of 6
       (10L, 11L), (11L, 12L), (20L, 21L))
       .toDF("doc_a", "doc_b")
@@ -65,6 +65,34 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(viaDistributed == viaDriver)
     assert(viaDistributed(6L) == 1L) // 5-hop chain fully collapsed
+  }
+
+  test("star contraction: 100-hop chain converges in O(log n) rounds") {
+    // diameter 100 >> maxIter 12: min-label propagation (one hop per
+    // round) would fail; large-star/small-star halves heights per round
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponentsStar(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 101)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("star contraction: random graph parity with union-find, reversed ids") {
+    val rng = new scala.util.Random(7)
+    // ids descending/shuffled so min-id roots aren't positional artifacts
+    val raw = (1 to 300).map { _ =>
+      (rng.nextInt(120).toLong * 7 + 3, rng.nextInt(120).toLong * 7 + 3)
+    }
+    val pairs = raw.toDF("doc_a", "doc_b")
+    val viaStar = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaDriver = Dedup.duplicateClusters(pairs) // driver union-find path
+      .as[(Long, Long)].collect().toMap
+    // union-find path skips pure self-loop nodes; star keeps them as
+    // their own singleton labels — compare on the union-find domain and
+    // check the extras are self-labeled
+    viaDriver.foreach { case (doc, lbl) => assert(viaStar(doc) == lbl, s"doc $doc") }
+    (viaStar.keySet -- viaDriver.keySet).foreach(d => assert(viaStar(d) == d))
   }
 
   test("resolveSurvivors: clustered docs keep one survivor, others self-survive") {
