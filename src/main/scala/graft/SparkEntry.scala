@@ -619,8 +619,36 @@ object SparkEntry {
           "source", "doc_id", cap = 15)
         .select(col("doc_id"), col("source"),
           col("src_rank").cast("long").as("src_rank"), col("quota_kept"))
+    }),
+
+    // product-quantization ENCODE under deterministic hash codebooks —
+    // the oracle-able stage of the PQ pipeline (trained codebooks are
+    // covered by ProductQuantizerSpec; the encode math is identical)
+    "q56_pq_encode" -> ((s, dir) => {
+      graft.core.ProductQuantizer.encodeFlat(
+        Tables.embeddings(s, dir), PqOracleModel)
+    }),
+
+    // PQ ADC top-k under the same hash codebooks: with literal
+    // codebooks the WHOLE approximate pipeline is deterministic float
+    // math (sequential folds both sides), so even the top-k ranking
+    // hash-matches DuckDB
+    "q57_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 1)
+      val enc = graft.core.ProductQuantizer.encode(emb, PqOracleModel)
+      graft.core.ProductQuantizer.adcTopK(queries, enc, PqOracleModel, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos_approx"))
     })
   )
+
+  /** Fixed data-independent PQ codebooks shared by q56/q57 and their
+    * oracles (m=8 subspaces × 16 codes × 8 dims — 1024 literals, the
+    * same scale the q50 oracle embeds).
+    */
+  private lazy val PqOracleModel =
+    graft.core.ProductQuantizer.hashCodebooks(m = 8, ks = 16, subDim = 8)
 
   /** Shared by q42 (composed as-of) and q48 (custom-plan as-of): both
     * implementations must match DuckDB's native ASOF JOIN.
@@ -1379,8 +1407,92 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank,
         |  row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
         |    AS quota_kept
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q56_pq_encode" -> pqEncodeOracleSql,
+
+    "q57_pq_adc" -> pqAdcOracleSql
   )
+
+  /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the
+    * identical codewords the engine embeds (ProductQuantizer
+    * .hashCodebooks), and the encode stage reproduces the argmin-L2
+    * code with the same sequential fold and the same smaller-code
+    * tie-break.
+    */
+  private lazy val pqBooksCte: String = {
+    val m = PqOracleModel.m
+    val rows = (for (j <- 0 until m; r <- 0 until PqOracleModel.ks) yield {
+      val comps = PqOracleModel.codebooks(j)(r).mkString(", ")
+      s"($j, $r, [$comps]::DOUBLE[])"
+    }).mkString(",\n")
+    s"""books(j, r, c) AS (VALUES
+       |$rows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |subs AS (
+       |  SELECT e.vec_id, b.j, b.r, b.c,
+       |    e.v[b.j*${PqOracleModel.subDim}+1 : b.j*${PqOracleModel.subDim}+${PqOracleModel.subDim}] AS s
+       |  FROM e, books b),
+       |scored AS (
+       |  SELECT vec_id, j, r,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [s[i+1] * c[i+1] for i in generate_series(0, len(s)-1)]),
+       |      (acc, x) -> acc + x)
+       |    - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        [c[i+1] * c[i+1] for i in generate_series(0, len(c)-1)]),
+       |        (acc, x) -> acc + x) / 2 AS score
+       |  FROM subs),
+       |codes AS (
+       |  SELECT vec_id, j, r AS code
+       |  FROM (SELECT vec_id, j, r, row_number() OVER (
+       |          PARTITION BY vec_id, j ORDER BY score DESC, r ASC) AS rnk
+       |        FROM scored)
+       |  WHERE rnk = 1)""".stripMargin
+  }
+
+  private lazy val pqEncodeOracleSql: String =
+    s"""WITH $pqBooksCte
+       |SELECT vec_id, CAST(j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+       |FROM codes""".stripMargin
+
+  private lazy val pqAdcOracleSql: String =
+    s"""WITH $pqBooksCte,
+       |q AS (SELECT vec_id AS query_id, v,
+       |        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          [v[i+1] * v[i+1] for i in generate_series(0, len(v)-1)]),
+       |          (acc, x) -> acc + x)) AS q_n
+       |      FROM e WHERE vec_id % 50 = 1),
+       |vn AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          [v[i+1] * v[i+1] for i in generate_series(0, len(v)-1)]),
+       |          (acc, x) -> acc + x)) AS vnorm
+       |       FROM e),
+       |lut AS (
+       |  SELECT q.query_id, b2.j, b2.r,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [q.v[b2.j*${PqOracleModel.subDim} + i + 1] * b2.c[i+1]
+       |       for i in generate_series(0, len(b2.c)-1)]),
+       |      (acc, x) -> acc + x) AS sub_dot
+       |  FROM q, books b2),
+       |adc AS (
+       |  -- sum the m sub-products in subspace order (j ascending) so
+       |  -- the float fold matches the engine's sequential aggregate
+       |  SELECT l.query_id, cd.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.sub_dot ORDER BY l.j)), (acc, x) -> acc + x) AS dot_approx
+       |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.r = cd.code
+       |  WHERE l.query_id <> cd.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT a.query_id, a.vec_id AS neighbor_id,
+       |    a.dot_approx / (q.q_n * vn.vnorm) AS cos_approx,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY a.dot_approx / (q.q_n * vn.vnorm) DESC, a.vec_id ASC) AS rnk
+       |  FROM adc a
+       |  JOIN q ON a.query_id = q.query_id
+       |  JOIN vn ON a.vec_id = vn.vec_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+       |  round(cos_approx, 6) AS cos_approx
+       |FROM ranked WHERE rnk <= 10""".stripMargin
 
   /** q50's oracle embeds the identical hyperplane literals the engine
     * uses (Similarity.planeComponent), so DuckDB reproduces the exact

@@ -45,24 +45,30 @@ object KMeansTrainer {
 
   private def centLit(c: Array[Double]): Column = array(c.map(lit): _*)
 
-  /** Per-row (bucket, score) against literal centroids: argmax of
-    * cosine, ties to the smaller centroid id via struct-ordered max
-    * over (score, -id).
+  /** Per-row (bucket, score) against literal centroids, ties to the
+    * smaller centroid id via struct-ordered max over (score, -id).
+    *
+    * `cosine = true`: score = cosine similarity (spherical k-means).
+    * `cosine = false`: score = dot(v,c) − ‖c‖²/2, which is monotone in
+    * −‖v−c‖² (argmax ⇔ L2 argmin; the ‖v‖² term is row-constant) — the
+    * Euclidean quantizer product quantization needs.
     */
-  private def assignment(vecCol: String, cents: Array[Array[Double]]): Column = {
+  private def assignment(vecCol: String, cents: Array[Array[Double]],
+                         cosine: Boolean = true): Column = {
     val vnorm = Similarity.norm(col(vecCol))
     val scored = cents.indices.map { i =>
-      val cn = math.sqrt(cents(i).map(x => x * x).sum)
-      struct(
-        (Similarity.dot(col(vecCol), centLit(cents(i))) / (vnorm * lit(cn))).as("s"),
-        lit(-i).as("ni"))
+      val cn2 = cents(i).map(x => x * x).sum
+      val d = Similarity.dot(col(vecCol), centLit(cents(i)))
+      val s = if (cosine) d / (vnorm * lit(math.sqrt(cn2)))
+              else d - lit(cn2 / 2.0)
+      struct(s.as("s"), lit(-i).as("ni"))
     }
     array_max(array(scored: _*))
   }
 
   def train(emb: DataFrame, k: Int, vecCol: String = "embedding",
             idCol: String = "vec_id", maxIter: Int = 10,
-            tol: Double = 1e-6): KMeansModel = {
+            tol: Double = 1e-6, cosine: Boolean = true): KMeansModel = {
     require(k >= 1, "k must be >= 1")
     import emb.sparkSession.implicits._
     var cents: Array[Array[Double]] = emb
@@ -81,10 +87,14 @@ object KMeansTrainer {
       // stage 1 (projection): bucket + score per row; stage 2 explodes
       // the vector SEPARATELY so the per-row assignment isn't
       // re-evaluated per dimension above the Generate
-      val best = assignment(vecCol, cents)
+      val best = assignment(vecCol, cents, cosine)
+      // residual for the trace: cosine → 1−s; L2 → ‖v−c‖² = ‖v‖²−2s
+      val resid =
+        if (cosine) lit(1.0) - best.getField("s")
+        else Similarity.dot(col(vecCol), col(vecCol)) - lit(2.0) * best.getField("s")
       val assigned = emb.select(col(vecCol),
         (-best.getField("ni")).as("bucket"),
-        (lit(1.0) - best.getField("s")).as("resid"))
+        resid.as("resid"))
       val stats = assigned
         .select(col("bucket"), col("resid"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy(col("bucket"), col("dim"))
