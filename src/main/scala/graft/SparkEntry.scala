@@ -640,6 +640,23 @@ object SparkEntry {
       graft.core.ProductQuantizer.adcTopK(queries, enc, PqOracleModel, k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos_approx"))
+    }),
+
+    // bucketed range join: every event inside the 2-hour window opened
+    // by each purchase of the same user — candidate join on (key,
+    // hour-bucket), exact predicate after
+    "q58_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val anchors = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("anchor_id"), col("user_id"),
+          col("ts").as("a_ts"))
+        .withColumn("a_end", col("a_ts") + expr("INTERVAL 2 HOURS"))
+      graft.core.Joins.rangeJoin(ev, anchors, "user_id", "user_id",
+          "ts", "a_ts", "a_end", bucketSeconds = 3600L)
+        .select(col("event_id"), col("user_id"), col("anchor_id"),
+          col("event_type"),
+          expr("(unix_timestamp(ts) - unix_timestamp(a_ts)) DIV 60")
+            .as("minutes_after"))
     })
   )
 
@@ -1411,7 +1428,18 @@ object SparkEntry {
 
     "q56_pq_encode" -> pqEncodeOracleSql,
 
-    "q57_pq_adc" -> pqAdcOracleSql
+    "q57_pq_adc" -> pqAdcOracleSql,
+
+    "q58_range_join" ->
+      """WITH anchors AS (
+        |  SELECT event_id AS anchor_id, user_id, ts AS a_ts,
+        |    ts + INTERVAL 2 HOUR AS a_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, a.anchor_id, e.event_type,
+        |  (epoch_us(e.ts) // 1000000 - epoch_us(a.a_ts) // 1000000) // 60
+        |    AS minutes_after
+        |FROM events e JOIN anchors a
+        |  ON e.user_id = a.user_id AND e.ts >= a.a_ts AND e.ts < a.a_end""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -67,6 +67,47 @@ object Joins {
     unpacked.filter(col("__side") === 1).drop("__key", "__ts", "__side", "__carry")
   }
 
+  /** All-matches range (interval containment) join: every `points` row
+    * paired with every `intervals` row of the same key whose half-open
+    * window `[start, end)` contains the point's timestamp.
+    *
+    * The naive formulation — equi-join on key plus a range filter —
+    * degenerates at scale: a hot key becomes a per-key cartesian
+    * product that the range filter prunes only AFTER materializing.
+    * This implementation buckets time into `bucketSeconds`-wide epochs:
+    * each point lands in exactly ONE bucket, each interval explodes
+    * into the buckets it overlaps, and the join runs on (key, bucket)
+    * before the exact predicate — so the shuffle fan-out is bounded by
+    * interval-length/bucketSeconds instead of per-key row counts, and
+    * every true match is found exactly once (no post-join dedup,
+    * because the point's bucket is unique). Pick `bucketSeconds` near
+    * the typical interval length: shorter buckets shrink false
+    * candidates but grow the interval explosion.
+    *
+    * Bucketing uses second-truncated epochs on BOTH sides (truncation
+    * is monotone, so a contained point's bucket always falls inside the
+    * interval's bucket span); the exact predicate then uses the raw
+    * timestamps. `intervals`' key column is renamed internally, so its
+    * other columns must not clash with `points`'.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointKey: String, intervalKey: String,
+                tsCol: String, startCol: String, endCol: String,
+                bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val p = points.withColumn("__pb",
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+    val iv = intervals
+      .withColumnRenamed(intervalKey, "__ivk")
+      .withColumn("__ib", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / bucketSeconds),
+        floor(unix_timestamp(col(endCol)) / bucketSeconds))))
+    p.join(iv,
+        col(pointKey) === col("__ivk") && col("__pb") === col("__ib") &&
+          col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__ivk", "__pb", "__ib")
+  }
+
   /** Same semantics as [[asofBackward]] through the custom plan node
     * ([[graft.plans.AsofJoin]] + AsofJoinExec): one hash exchange per
     * side, per-partition streaming merge. Registers the planner

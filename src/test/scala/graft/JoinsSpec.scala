@@ -69,6 +69,43 @@ class JoinsSpec extends SparkSpec {
     assert(native == expected, s"native mixed rows: $native")
   }
 
+  test("rangeJoin: bucketed join == naive equi-join+filter, any bucket width") {
+    val ev = Tables.events(spark, Sf0001)
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"))
+      .withColumn("a_end", col("a_ts") + expr("INTERVAL 2 HOURS"))
+    val naive = ev.join(anchors,
+        col("user_id") === col("a_user") &&
+          col("ts") >= col("a_ts") && col("ts") < col("a_end"))
+      .select("event_id", "anchor_id").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+    for (width <- Seq(60L, 3600L, 86400L)) {
+      val got = graft.core.Joins.rangeJoin(ev,
+          anchors.withColumnRenamed("a_user", "user_id"),
+          "user_id", "user_id", "ts", "a_ts", "a_end", bucketSeconds = width)
+        .select("event_id", "anchor_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate matches at width $width")
+      assert(got.toSet == naive, s"mismatch at bucket width $width")
+    }
+  }
+
+  test("rangeJoin boundary semantics: start inclusive, end exclusive") {
+    val pts = Seq((1L, "k", "2024-01-01 10:00:00"),
+      (2L, "k", "2024-01-01 11:00:00"),
+      (3L, "k", "2024-01-01 10:30:00"),
+      (4L, "other", "2024-01-01 10:30:00"))
+      .toDF("pid", "key", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val iv = Seq(("w1", "k", "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("wid", "key", "s", "e")
+      .withColumn("s", col("s").cast("timestamp"))
+      .withColumn("e", col("e").cast("timestamp"))
+    val got = graft.core.Joins.rangeJoin(pts, iv, "key", "key", "ts", "s", "e",
+        bucketSeconds = 600L)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 3L)) // 2 excluded (end), 4 excluded (key)
+  }
+
   test("native as-of exec == composed as-of on the sf0.001 tables") {
     val ev = Tables.events(spark, Sf0001).select($"event_id", $"user_id", $"ts")
     val o = Tables.orders(spark, Sf0001)
