@@ -177,6 +177,32 @@ object Multimodal {
         featUdf(col("payload"), col("frame_idx")).as("embedding"))
   }
 
+  /** Ingest a directory/glob of raw media FILES into the multimodal
+    * schema via Spark's `binaryFile` source — the 100 TB entry point:
+    * the scan is split across executors, payloads never touch the
+    * driver, and `pathGlobFilter`/length pushdown prune at the source.
+    * `media_id` is a deterministic hash of the file path (stable across
+    * re-ingests); `kind` derives from the extension; the original path
+    * and byte length are kept for lineage.
+    */
+  def ingestFiles(spark: org.apache.spark.sql.SparkSession, glob: String,
+                  globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    val ext = lower(regexp_extract(col("path"), "\\.([^./\\\\]+)$", 1))
+    globFilter.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .load(glob)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+          .otherwise("binary").as("kind"),
+        col("content").as("payload"),
+        lit(null).cast(mediaSchema("meta").dataType).as("meta"),
+        col("path").as("source_path"),
+        col("length").as("n_bytes"))
+  }
+
   /** Deterministic synthetic media table (test/bench input): payload
     * bytes are a keyed xorshift stream — no external data needed.
     */

@@ -61,6 +61,37 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 6)
   }
 
+  test("ingestFiles: binaryFile source -> multimodal schema, kind by extension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    val img = Array[Byte](17, 42, 3, 9, 100, -5, 8, 77)
+    val wav = Array.tabulate(32)(i => (i * 7 + 1).toByte)
+    java.nio.file.Files.write(dir.resolve("a.png"), img)
+    java.nio.file.Files.write(dir.resolve("b.wav"), wav)
+    java.nio.file.Files.write(dir.resolve("c.mp4"), Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "hi".getBytes)
+    val media = graft.core.Multimodal.ingestFiles(spark, dir.toString)
+    val byKind = media.select("kind", "payload", "n_bytes")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Array[Byte]](1), r.getLong(2))).toMap
+    assert(byKind.keySet == Set("image", "audio", "video", "binary"))
+    assert(byKind("image")._1.toSeq == img.toSeq && byKind("image")._2 == img.length)
+    assert(byKind("audio")._1.toSeq == wav.toSeq)
+    // ids are deterministic across re-ingests
+    val again = graft.core.Multimodal.ingestFiles(spark, dir.toString)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(again == media.select("media_id").as[Long].collect().sorted.toSeq)
+    // glob filter prunes at the source
+    val onlyPng = graft.core.Multimodal.ingestFiles(spark, dir.toString,
+      globFilter = Some("*.png"))
+    assert(onlyPng.count() == 1)
+    // ingested rows run straight through the codec operators
+    val feats = graft.core.Multimodal.extractFeatures(
+      graft.core.Multimodal.decodeMeta(
+        onlyPng.select("media_id", "kind", "payload", "meta")), k = 4)
+      .select("features").as[Seq[Float]].head()
+    assert(feats == graft.core.Multimodal.StubCodec.features(img, 4).toSeq)
+  }
+
   test("sampleFrames: one row per stride-sampled frame, video only") {
     val decoded = Multimodal.decodeMeta(media)
     val frames = Multimodal.sampleFrames(decoded, every = 5)
