@@ -44,7 +44,12 @@ object ScaleProbe {
     val probes = Seq("q01_pricing_summary", "q06_user_daily",
       "q16_anomaly_features", "q19_ngram_jaccard", "q20_minhash_lsh",
       "q21_simhash", "q39_cosine_neardup", "q43_dedup_resolve",
-      "q49_ivf_assign", "q50_lsh_candidates")
+      "q49_ivf_assign", "q50_lsh_candidates",
+      // round-2 additions: corpus hygiene, PQ, range join. q52's eval
+      // slice and q57's query count both grow with the corpus (gate
+      // parameterization); fixed-size variants are probed below.
+      "q52_decontaminate", "q53_repetition", "q54_pii_scrub",
+      "q55_source_quota", "q56_pq_encode", "q57_pq_adc", "q58_range_join")
     probes.foreach { name =>
       def time(dir: String): Double = {
         val t0 = System.nanoTime()
@@ -92,6 +97,24 @@ object ScaleProbe {
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       graft.core.Similarity.assignBuckets(emb, centroids)
         .select("vec_id", "bucket")
+    }
+    // decontamination with a FIXED eval set (copy-0 slice only): the
+    // production shape — benchmark sets don't grow with the corpus
+    timed("decontam eval=const") { dir =>
+      val d = Tables.documents(spark, dir)
+      val eval = d.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000000L)
+      val train = d.filter(col("doc_id") % 10 =!= 0)
+      graft.core.Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }
+    // ADC with a FIXED query set (copy-0 queries): corpus side scales,
+    // query side doesn't
+    timed("pq adc q=const") { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 1 && col("vec_id") < 1000000L)
+      val model = graft.core.ProductQuantizer.hashCodebooks(8, 16, 8)
+      val enc = graft.core.ProductQuantizer.encode(emb, model)
+      graft.core.ProductQuantizer.adcTopK(queries, enc, model, k = 10)
     }
     spark.stop()
   }

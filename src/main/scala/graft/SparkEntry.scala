@@ -657,6 +657,24 @@ object SparkEntry {
           col("event_type"),
           expr("(unix_timestamp(ts) - unix_timestamp(a_ts)) DIV 60")
             .as("minutes_after"))
+    }),
+
+    // markup stripping over deterministically-derived HTML (both
+    // engines wrap the same text in the same tags, so the oracle
+    // exercises real scrubbing: script elision, tag drop, entity
+    // decode, whitespace collapse)
+    "q59_strip_markup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aug = concat(
+        lit("<html><body data-id=\""), col("doc_id").cast("string"),
+        lit("\"><h1>T&amp;C</h1><script type=\"text/js\">var x = 1;</script><p>"),
+        col("text"),
+        lit("</p>"),
+        when(col("doc_id") % 2 === 0,
+          lit("<style>p { color: red }</style>&lt;EOF&gt;")).otherwise(lit("")),
+        lit("</body></html>"))
+      TextAnalysis.stripMarkup(d.withColumn("html", aug), "html")
+        .select(col("doc_id"), col("clean_text"))
     })
   )
 
@@ -1439,7 +1457,29 @@ object SparkEntry {
         |  (epoch_us(e.ts) // 1000000 - epoch_us(a.a_ts) // 1000000) // 60
         |    AS minutes_after
         |FROM events e JOIN anchors a
-        |  ON e.user_id = a.user_id AND e.ts >= a.a_ts AND e.ts < a.a_end""".stripMargin
+        |  ON e.user_id = a.user_id AND e.ts >= a.a_ts AND e.ts < a.a_end""".stripMargin,
+
+    "q59_strip_markup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    '<html><body data-id="' || doc_id
+        |    || '"><h1>T&amp;C</h1><script type="text/js">var x = 1;</script><p>'
+        |    || text || '</p>'
+        |    || CASE WHEN doc_id % 2 = 0
+        |       THEN '<style>p { color: red }</style>&lt;EOF&gt;' ELSE '' END
+        |    || '</body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(
+        |        regexp_replace(html,
+        |          '<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM aug""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -40,6 +40,29 @@ object Sampling {
       .withColumn("quota_kept", col("src_rank") <= cap)
   }
 
+  /** Deterministic stratified Bernoulli sample: keep a row iff the
+    * [0,1) value of a portable hash of its `idCol` falls below its
+    * stratum's fraction. Unlike `df.stat.sampleBy` (partition-seeded
+    * RNG), the decision is a pure function of the ROW — identical
+    * samples across re-runs, repartitions and engines, which is what
+    * reproducible corpus mixes need. Unlisted strata default to
+    * `defaultFraction`. One codegen'd filter, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       seed: Long = 42L): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val u = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double")
+      / 1000000.0)
+    val frac = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultFraction)) { case (acc, (s, f)) =>
+        when(col(strataCol) === s, lit(f)).otherwise(acc)
+      }
+    df.filter(u < frac)
+  }
+
   def reservoirDoubles(df: DataFrame, featureCols: Seq[String], n: Int,
                        seed: Long): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.col

@@ -227,6 +227,26 @@ object TextAnalysis {
             PhonePattern, "<PHONE>"),
           IdPattern, "<ID>"))
 
+  /** Markup stripping (web-corpus cleaning): drop `<script>`/`<style>`
+    * elements WITH their contents, drop remaining tags, decode the
+    * five core HTML entities, collapse runs of whitespace. Plain
+    * regexes (no backreferences, no lookahead) so Java regex and RE2
+    * agree; one codegen'd projection, no shuffle. A real boilerplate
+    * extractor (readability scoring, DOM segmentation) would slot in
+    * at the same operator position.
+    */
+  def stripMarkup(df: DataFrame, textCol: String,
+                  outCol: String = "clean_text"): DataFrame = {
+    val noScript = regexp_replace(col(textCol),
+      "<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    // &amp; decodes LAST so "&amp;lt;" becomes "&lt;" (one level), not "<"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    df.withColumn(outCol, trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
   /** Document fingerprint: rolling hash over the full text — a compact
     * order-sensitive signature (exact-dup detection without storing
     * text; the reference has no equivalent, this is the training-data

@@ -89,6 +89,45 @@ class CorpusOpsSpec extends SparkSpec {
       == "two mails <EMAIL> and <EMAIL> plus 12345678 short digits")
   }
 
+  test("stratified sample: per-stratum rates, deterministic, partition-independent") {
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "big" else "small"))
+      .toDF("doc_id", "source")
+    val s = Sampling.stratifiedSample(docs, "source", "doc_id",
+      Map("big" -> 0.2, "small" -> 0.8))
+    val rates = s.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(rates("big") / 2000.0 - 0.2) < 0.05, rates.toString)
+    assert(math.abs(rates("small") / 2000.0 - 0.8) < 0.05, rates.toString)
+    // decision is a pure row function: repartitioned input, same sample
+    val again = Sampling.stratifiedSample(docs.repartition(13), "source", "doc_id",
+      Map("big" -> 0.2, "small" -> 0.8))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == s.select("doc_id").as[Long].collect().toSet)
+    // unlisted strata drop by default; different seed, different sample
+    val withDefault = Sampling.stratifiedSample(docs, "source", "doc_id",
+      Map("big" -> 0.2))
+    assert(withDefault.filter($"source" === "small").count() == 0)
+    val otherSeed = Sampling.stratifiedSample(docs, "source", "doc_id",
+      Map("big" -> 0.2, "small" -> 0.8), seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(otherSeed != again)
+  }
+
+  test("strip markup: scripts/styles elided, tags dropped, entities decoded once") {
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p><script>evil()</script>"),
+      (2L, "a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+      (3L, "plain   text with    spaces"),
+      (4L, "<style type=\"css\">p{}</style>keep<br/>this")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripMarkup(docs, "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "Hello world")
+    // &amp;lt; decodes ONE level to &lt; — never double-decodes to <
+    assert(got(2L) == "a &lt; b <tag> \"q\" 's'")
+    assert(got(3L) == "plain text with spaces")
+    assert(got(4L) == "keep this")
+  }
+
   test("group quota: deterministic per-group cap with full audit") {
     val docs = Seq(
       (10L, "s1"), (11L, "s1"), (12L, "s1"),
