@@ -40,6 +40,14 @@ object Curation {
     val scored = TextAnalysis.langId(
       TextAnalysis.qualityScore(docs, textCol), textCol)
       .withColumn("quality_ok", col("quality_score") >= minQuality)
+    // `kept` feeds both the near-dup candidate action and the final
+    // audit join. Checkpointing it was MEASURED SLOWER (2.7s -> 3.3s
+    // at sf0.1): materializing every column breaks scan pruning and
+    // codegen fusion for the shingle branch, costing more than the
+    // duplicated (cheap, column-pruned) scan+score+window subtree. At
+    // real scale a curation run persists the post-gate corpus as its
+    // own table anyway — the caller owns that boundary, not this
+    // function.
     val kept = Dedup.dropExactDups(
       scored.filter(col("quality_ok")), idCol, textCol)
     val pairs = Dedup.ngramJaccardPairs(
