@@ -102,6 +102,52 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Persist an IVF index: one bucket-assignment scan, written
+    * hive-partitioned by bucket — the 100 TB serving layout, where a
+    * query's nProbe buckets prune to O(probed partitions) of the
+    * corpus at the SCAN (PartitionFilters), instead of filtering after
+    * reading everything.
+    */
+  def writeIvfIndex(corpus: DataFrame, centroids: DataFrame, dir: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    assignBuckets(corpus, centroids, idCol, vecCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(dir)
+
+  /** ANN search over a persisted IVF index ([[writeIvfIndex]]): probe
+    * buckets are computed per query against the broadcast centroid
+    * table, collected (|queries| × nProbe ints — driver-bounded by the
+    * query batch, which is small by contract), and pushed into the
+    * index read as a partition-pruning `isin` filter. Result semantics
+    * match [[ivfTopK]] with the same centroids.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                     queries: DataFrame, indexDir: String,
+                     centroids: DataFrame, k: Int, nProbe: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("cent_vec"))
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("cos_c", cosine(col("q_vec"), col("cent_vec")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(desc("cos_c"), asc("centroid_id"))
+    val probes = qProbes.withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("bucket"))
+    val probedBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(probedBuckets: _*)) // partition pruning
+    val scored = probes.join(index, "bucket")
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs
     * with cosine >= threshold. O(n^2) scoring — the correctness
     * baseline and oracle target; use [[lshNearDupPairs]] at scale.

@@ -78,6 +78,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: partition-pruned probe read, results == in-memory IVF") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.filter(col("vec_id") % 97 === 3)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    graft.core.Similarity.writeIvfIndex(emb, centroids, dir)
+    // physical layout: one partition dir per bucket
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).count(_.startsWith("bucket="))
+    assert(bucketDirs > 2, s"expected several bucket partitions, got $bucketDirs")
+
+    val queries = emb.filter(col("vec_id") % 50 === 1).limit(5)
+    val viaIndex = graft.core.Similarity.ivfTopKIndexed(
+        spark, queries, dir, centroids, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inMemory = graft.core.Similarity.ivfTopK(queries, emb, centroids, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == inMemory)
+
+    // the probe read PRUNES partitions: only probed buckets reach the scan
+    val probed = graft.core.Similarity.ivfTopKIndexed(
+      spark, queries, dir, centroids, k = 5, nProbe = 2)
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    val idxScan = spark.read.parquet(dir)
+      .filter(col("bucket").isin(0L))
+    assert(idxScan.inputFiles.nonEmpty)
+  }
+
   test("multi-probe LSH: 4 tables + 1 probe >= 8 single-probe tables' recall at half the index") {
     // Measured (deterministic decorrelated planes + data, t=0.4,
     // sf0.001):
