@@ -80,7 +80,16 @@ object SnapshotTable {
     else if (n.isFloatingPointNumber) n.asDouble()
     else n.asText()
 
-  private def readManifest(table: String, version: Int): Seq[FileEntry] = {
+  private def readManifest(table: String, version: Int): Seq[FileEntry] =
+    readManifestFull(table, version)._1
+
+  /** Manifest = file entries + the snapshot's logical schema (the
+    * union of every commit's columns — see [[evolveSchema]]). Schema is
+    * absent on manifests written before schema tracking; readers fall
+    * back to parquet inference then.
+    */
+  private def readManifestFull(table: String,
+      version: Int): (Seq[FileEntry], Option[org.apache.spark.sql.types.StructType]) = {
     val p = manifestDir(table).resolve(s"v$version.json")
     if (!Files.exists(p)) {
       val live = manifestVersions(table).sorted
@@ -90,7 +99,7 @@ object SnapshotTable {
            else s"(it was vacuumed or never committed; live versions: ${live.mkString(", ")})"))
     }
     val node = mapper.readTree(Files.readString(p))
-    node.get("files").elements().asScala.map { f =>
+    val files = node.get("files").elements().asScala.map { f =>
       if (f.isTextual) FileEntry(f.asText(), Map.empty) // pre-stats manifests
       else {
         val stats = Option(f.get("stats")).map { s =>
@@ -102,6 +111,10 @@ object SnapshotTable {
         FileEntry(f.get("name").asText(), stats)
       }
     }.toSeq
+    val schema = Option(node.get("schema")).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s.asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (files, schema)
   }
 
   private def putStat(o: ObjectNode, k: String, v: Any): Unit = v match {
@@ -118,11 +131,50 @@ object SnapshotTable {
     * ATOMIC_MOVE, which silently replaces on POSIX rename and would
     * let a later committer clobber an earlier commit.
     */
+  /** Additive schema evolution (the Delta mergeSchema contract): new
+    * columns append; existing columns must keep their exact type.
+    * Readers project the UNION schema — files written before a column
+    * existed read it as null.
+    */
+  private[sources] def evolveSchema(
+      prev: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    next.fields.foreach { f =>
+      prevByName.get(f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"schema evolution rejected: column ${f.name} changes type " +
+            s"${p.dataType.catalogString} -> ${f.dataType.catalogString}")
+      }
+    }
+    val added = next.fields.filterNot(f => prevByName.contains(f.name))
+    org.apache.spark.sql.types.StructType(prev.fields ++ added)
+  }
+
+  /** Highest committed transaction version per writer id at `version`
+    * (empty for manifests written before txn tracking).
+    */
+  def txnVersions(table: String, version: Int): Map[String, Long] = {
+    val p = manifestDir(table).resolve(s"v$version.json")
+    if (!Files.exists(p)) return Map.empty
+    val node = mapper.readTree(Files.readString(p))
+    Option(node.get("txns")).map { t =>
+      t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty)
+  }
+
   private def publishManifest(table: String, version: Int,
-                              files: Seq[FileEntry]): Boolean = {
+                              files: Seq[FileEntry],
+                              schema: Option[org.apache.spark.sql.types.StructType] = None,
+                              txns: Map[String, Long] = Map.empty): Boolean = {
     Files.createDirectories(manifestDir(table))
     val root = mapper.createObjectNode()
     root.put("version", version)
+    schema.foreach(s => root.put("schema", s.json))
+    if (txns.nonEmpty) {
+      val t = root.putObject("txns")
+      txns.foreach { case (k, v) => t.put(k, v) }
+    }
     val arr: ArrayNode = root.putArray("files")
     files.foreach { fe =>
       val f = arr.addObject()
@@ -225,13 +277,20 @@ object SnapshotTable {
     * freshly-read previous snapshot each attempt, publish put-if-
     * absent, and retry at the next version on conflict.
     */
-  private def commitLoop(table: String)
-                        (filesFor: Seq[FileEntry] => Seq[FileEntry]): Int = {
+  private def commitLoop(table: String, newTxn: Map[String, Long] = Map.empty)
+                        (filesFor: (Seq[FileEntry], Option[org.apache.spark.sql.types.StructType])
+                          => (Seq[FileEntry], org.apache.spark.sql.types.StructType)): Int = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val v = currentVersion(table).getOrElse(-1) + 1
-      val prev = if (v == 0) Nil else readManifest(table, v - 1)
-      if (publishManifest(table, v, filesFor(prev))) return v
+      val (prev, prevSchema) =
+        if (v == 0) (Nil, None) else readManifestFull(table, v - 1)
+      // txn watermarks carry forward through EVERY commit — dropping
+      // them would let a replayed idempotent batch double-apply after
+      // any unrelated commit
+      val txns = if (v == 0) newTxn else txnVersions(table, v - 1) ++ newTxn
+      val (files, schema) = filesFor(prev, prevSchema)
+      if (publishManifest(table, v, files, Some(schema), txns)) return v
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -240,19 +299,50 @@ object SnapshotTable {
 
   /** Append: new files + previous snapshot's files. Appends are
     * position-independent, so a lost race retries cheaply against the
-    * winner's manifest (blind-append auto-retry, as in Delta).
+    * winner's manifest (blind-append auto-retry, as in Delta). The
+    * snapshot schema EVOLVES additively: new columns join the union
+    * schema; a type change on an existing column is rejected.
     */
   def append(df: DataFrame, table: String): Int = {
     val newFiles = writeData(df, table)
-    commitLoop(table)(prev => prev ++ newFiles)
+    commitLoop(table) { (prev, prevSchema) =>
+      (prev ++ newFiles, evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+    }
+  }
+
+  /** Idempotent append for replayable writers (the Delta txnAppId/
+    * txnVersion contract): a (writerId, txnVersion) pair applies AT
+    * MOST ONCE — re-delivery of an already-committed version is a
+    * no-op. This is what makes `foreachBatch` streaming ingest into
+    * the table exactly-once: Structured Streaming replays a batch id
+    * after a crash, and the second apply sees its watermark already
+    * recorded.
+    *
+    * @return Some(version) when committed, None when skipped as a replay
+    */
+  def appendIdempotent(df: DataFrame, table: String,
+                       writerId: String, txnVersion: Long): Option[Int] = {
+    val already = currentVersion(table)
+      .exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion))
+    if (already) return None
+    val newFiles = writeData(df, table)
+    Some(commitLoop(table, Map(writerId -> txnVersion)) { (prev, prevSchema) =>
+      // re-check inside the loop: a concurrent retry of the same batch
+      // may have landed between the probe and this attempt
+      val cur = currentVersion(table)
+      if (cur.exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion)))
+        return None
+      (prev ++ newFiles, evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+    })
   }
 
   /** Overwrite: new files only (content independent of the previous
-    * snapshot; conflict retry just claims the next version).
+    * snapshot; conflict retry just claims the next version). The
+    * schema RESETS to the new frame's — overwrite replaces the table.
     */
   def overwrite(df: DataFrame, table: String): Int = {
     val newFiles = writeData(df, table)
-    commitLoop(table)(_ => newFiles)
+    commitLoop(table)((_, _) => (newFiles, df.schema))
   }
 
   /** Keyed MERGE (last-write-wins within `updates`, like ParquetMerge):
@@ -268,18 +358,24 @@ object SnapshotTable {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(table)
-      val merged = base match {
-        case None => deduped
+      val (merged, schema) = base match {
+        case None => (deduped, deduped.schema)
         case Some(v) =>
-          read(spark, table, Some(v))
+          val prevSchema = readManifestFull(table, v)._2
+          val evolved = evolveSchema(
+            prevSchema.getOrElse(read(spark, table, Some(v)).schema), deduped.schema)
+          // allowMissingColumns: evolved commits may add columns the
+          // other side lacks; missing fields fill with null
+          (read(spark, table, Some(v))
             .join(deduped.select(key).distinct(), Seq(key), "left_anti")
-            .unionByName(deduped)
+            .unionByName(deduped, allowMissingColumns = true), evolved)
       }
       // materialize before writing: `merged` reads the files we replace
       val out = merged.localCheckpoint()
       val newFiles = writeData(out, table)
       val v = base.getOrElse(-1) + 1
-      if (publishManifest(table, v, newFiles)) return v
+      val txns = base.map(txnVersions(table, _)).getOrElse(Map.empty)
+      if (publishManifest(table, v, newFiles, Some(schema), txns)) return v
       attempt += 1 // someone else committed base+1: re-merge from their snapshot
     }
     throw new java.util.ConcurrentModificationException(
@@ -309,11 +405,20 @@ object SnapshotTable {
            prune: Seq[ColRange] = Nil): DataFrame = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
-    val files = readManifest(table, v)
-      .filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(
-      files.map(fe => dataDir(table).resolve(fe.name).toString): _*)
+    val (entries, schemaOpt) = readManifestFull(table, v)
+    val files = entries.filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
+    if (files.isEmpty) schemaOpt match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => spark.emptyDataFrame
+    }
+    else {
+      // the manifest's union schema projects evolved columns as null
+      // over files written before the column existed
+      val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
+      reader.parquet(
+        files.map(fe => dataDir(table).resolve(fe.name).toString): _*)
+    }
   }
 
   /** The files a pruned read would open — exposed so tests and PLANS.md
@@ -350,21 +455,25 @@ object SnapshotTable {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(table).getOrElse(return None)
-      val entries = readManifest(table, base)
+      val (entries, schemaOpt) = readManifestFull(table, base)
       val sized = entries.map(fe =>
         fe -> Files.size(dataDir(table).resolve(fe.name)))
       val (small, big) = sized.partition(_._2 < targetFileBytes)
       if (small.length < 2) return None
       val smallBytes = small.map(_._2).sum
       val bins = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
-      val packed = spark.read.parquet(
+      // read through the union schema so mixed-schema (evolved) files
+      // pack into uniform output files
+      val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
+      val packed = reader.parquet(
           small.map(s => dataDir(table).resolve(s._1.name).toString): _*)
         .repartition(bins)
       // safe to read lazily: compaction deletes nothing — the source
       // files stay on disk (and referenced by older manifests) until a
       // later vacuum
       val newFiles = writeData(packed, table)
-      if (publishManifest(table, base + 1, big.map(_._1) ++ newFiles))
+      if (publishManifest(table, base + 1, big.map(_._1) ++ newFiles, schemaOpt,
+          txnVersions(table, base)))
         return Some(base + 1)
       attempt += 1
     }
@@ -403,10 +512,13 @@ object SnapshotTable {
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
     require(sinceVersion <= hi,
       s"sinceVersion $sinceVersion is beyond latest version $hi")
+    // all versions' files read through the END version's union schema
+    // so the change feed has one consistent shape
+    val hiSchema = readManifestFull(table, hi)._2
     val parts = ((sinceVersion + 1) to hi).flatMap { v =>
       val added = addedFiles(table, v)
       if (added.isEmpty) None
-      else Some(spark.read.parquet(
+      else Some(hiSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(
           added.map(n => dataDir(table).resolve(n).toString): _*)
         .withColumn("_commit_version", lit(v)))
     }

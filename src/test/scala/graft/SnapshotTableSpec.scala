@@ -116,6 +116,84 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.filesForRead(t, prune = pr).size == 1)
   }
 
+  test("schema evolution: appended columns project as null over old files") {
+    val t = Files.createTempDirectory("graft_snap7").toString + "/t"
+    SnapshotTable.append(Seq((1, "a")).toDF("id", "v"), t)              // v0
+    SnapshotTable.append(Seq((2, "b", 9.5)).toDF("id", "v", "score"), t) // v1 adds score
+    val cur = SnapshotTable.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "v", "score"))
+    val rows = cur.as[(Int, String, Option[Double])].collect().toSet
+    assert(rows == Set((1, "a", None), (2, "b", Some(9.5))))
+    // time travel to v0 keeps the ORIGINAL two-column schema
+    assert(SnapshotTable.read(spark, t, Some(0)).columns.toSeq == Seq("id", "v"))
+    // type change on an existing column is rejected
+    val err = intercept[IllegalArgumentException](
+      SnapshotTable.append(Seq(("x", "y")).toDF("id", "v"), t))
+    assert(err.getMessage.contains("schema evolution rejected"), err.getMessage)
+    // upsert with the evolved schema merges; missing columns null-fill
+    SnapshotTable.upsert(spark,
+      Seq((1, "A", 1.5), (3, "c", 3.5)).toDF("id", "v", "score"), t, "id")
+    val merged = SnapshotTable.read(spark, t)
+      .as[(Int, String, Option[Double])].collect().toSet
+    assert(merged == Set((1, "A", Some(1.5)), (2, "b", Some(9.5)), (3, "c", Some(3.5))))
+    // compaction packs mixed-schema files through the union schema
+    val v = SnapshotTable.compact(spark, t, targetFileBytes = 512L * 1024 * 1024)
+    if (v.nonEmpty)
+      assert(SnapshotTable.read(spark, t)
+        .as[(Int, String, Option[Double])].collect().toSet == merged)
+  }
+
+  test("appendIdempotent: a (writer, version) pair applies at most once") {
+    val t = Files.createTempDirectory("graft_snap8").toString + "/t"
+    assert(SnapshotTable.appendIdempotent(
+      Seq((1, "a")).toDF("id", "v"), t, "ing", 0L).contains(0))
+    // replay of batch 0 is a no-op
+    assert(SnapshotTable.appendIdempotent(
+      Seq((1, "a")).toDF("id", "v"), t, "ing", 0L).isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == 1)
+    // next batch commits; an UNRELATED commit in between must not
+    // erase the writer's watermark
+    SnapshotTable.append(Seq((9, "z")).toDF("id", "v"), t)
+    assert(SnapshotTable.appendIdempotent(
+      Seq((2, "b")).toDF("id", "v"), t, "ing", 1L).isDefined)
+    assert(SnapshotTable.appendIdempotent(
+      Seq((2, "b")).toDF("id", "v"), t, "ing", 1L).isEmpty)
+    // an older batch id replayed late is also a no-op (watermark is max)
+    assert(SnapshotTable.appendIdempotent(
+      Seq((1, "a")).toDF("id", "v"), t, "ing", 0L).isEmpty)
+    // a DIFFERENT writer id has its own watermark
+    assert(SnapshotTable.appendIdempotent(
+      Seq((7, "w")).toDF("id", "v"), t, "other", 0L).isDefined)
+    assert(SnapshotTable.read(spark, t).count() == 4)
+  }
+
+  test("SnapshotSink: streamed ingest lands exactly once, batch replay safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = Files.createTempDirectory("graft_snap9").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_snap9_ckpt").toString
+    val input = MemoryStream[(Long, Double)]
+    input.addData((1L, 1.0), (2L, 2.0), (3L, 3.0))
+    val q = graft.streaming.SnapshotSink.start(
+      input.toDF().toDF("id", "value"), t, ckpt, "snap_ingest")
+    q.processAllAvailable(); q.stop()
+    assert(SnapshotTable.read(spark, t).count() == 3)
+    // simulate the at-least-once failure mode: the same batch content
+    // re-applied with its original batch id must not duplicate
+    val replayed = SnapshotTable.appendIdempotent(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "value"),
+      t, "snap_ingest", 0L)
+    assert(replayed.isEmpty)
+    assert(SnapshotTable.read(spark, t).count() == 3)
+    // a restarted stream with the same checkpoint continues, new data lands
+    val input2 = input
+    input2.addData((4L, 4.0))
+    val q2 = graft.streaming.SnapshotSink.start(
+      input2.toDF().toDF("id", "value"), t, ckpt, "snap_ingest")
+    q2.processAllAvailable(); q2.stop()
+    assert(SnapshotTable.read(spark, t).count() == 4)
+  }
+
   test("readChanges: file-diff change feed tags rows with the commit version") {
     val t = Files.createTempDirectory("graft_snap6").toString + "/t"
     SnapshotTable.append(Seq((1, "a")).toDF("id", "v"), t)  // v0
