@@ -73,6 +73,22 @@ object ProductQuantizer {
 
   private def centLit(c: Array[Double]): Column = array(c.map(lit): _*)
 
+  /** Native lookup-sum ([[graft.expressions.AdcScore]]); [[adcScoreHof]]
+    * is the built-ins-only formulation kept as its semantic oracle.
+    */
+  def adcScore(codes: Column, lut: Column): Column =
+    org.apache.spark.sql.GraftShim.column(graft.expressions.AdcScore(
+      org.apache.spark.sql.GraftShim.expression(codes),
+      org.apache.spark.sql.GraftShim.expression(lut)))
+
+  /** HOF formulation of [[adcScore]] — identical semantics, interpreted
+    * per-element execution (test oracle only).
+    */
+  def adcScoreHof(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (code, row) => element_at(row, code + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** The argmin-‖v_j − c‖² code for subspace j, ties to the smaller
     * code: struct-ordered max over (dot − ‖c‖²/2, −code).
     */
@@ -123,11 +139,7 @@ object ProductQuantizer {
       Similarity.norm(col(vecCol)).as("q_n"))
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("adc",
-        aggregate(
-          zip_with(col("codes"), col("lut"),
-            (code, row) => element_at(row, code + 1)),
-          lit(0.0), (acc, v) => acc + v))
+      .withColumn("adc", adcScore(col("codes"), col("lut")))
       .withColumn("cos_approx", col("adc") / (col("q_n") * col("vnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos_approx"), asc(idCol))

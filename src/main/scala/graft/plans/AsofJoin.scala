@@ -159,6 +159,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(fn("pair_combinations",
       classOf[graft.expressions.PairCombinations], 1,
       args => graft.expressions.PairCombinations(args.head)))
+    e.injectFunction(fn("adc_score",
+      classOf[graft.expressions.AdcScore], 2,
+      args => graft.expressions.AdcScore(args.head, args(1))))
     e.injectFunction(fn("shingles",
       classOf[graft.expressions.ShingleArray], 2,
       args => {

@@ -40,6 +40,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("adc_score SQL function: lookup sum and NULL on bad code") {
+    val r = spark.sql(
+      """SELECT adc_score(array(1, 0), array(array(1.0D, 2.0D), array(3.0D, 4.0D))) AS s,
+        |       adc_score(array(5), array(array(1.0D))) AS bad""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 5.0) // lut[0][1] + lut[1][0]
+    assert(r.isNullAt(1))
+  }
+
   test("pair_combinations SQL generator explodes unordered pairs") {
     val rows = spark.sql(
       """SELECT pair_combinations(array(

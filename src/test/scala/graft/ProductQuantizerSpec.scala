@@ -66,6 +66,32 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall@10 too low: $recall")
   }
 
+  test("native AdcScore == HOF lookup-sum; NULL on malformed input") {
+    val model = ProductQuantizer.hashCodebooks(M, Ks, 64 / M)
+    val enc = ProductQuantizer.encode(emb, model)
+    val q = emb.filter($"vec_id" % 100 === 7).limit(3)
+    val lut = array((0 until model.m).map { j =>
+      array(model.codebooks(j).map(c =>
+        Similarity.dot(slice(col("embedding"), j * model.subDim + 1, model.subDim),
+          array(c.map(lit): _*))).toIndexedSeq: _*)
+    }: _*)
+    val pairs = enc.crossJoin(broadcast(q.select(lut.as("lut"))))
+    val mism = pairs
+      .withColumn("a", ProductQuantizer.adcScore(col("codes"), col("lut")))
+      .withColumn("b", ProductQuantizer.adcScoreHof(col("codes"), col("lut")))
+      .filter(!(col("a") <=> col("b")))
+      .count()
+    assert(mism == 0L)
+    // malformed: out-of-range code and length mismatch are NULL
+    val bad = Seq(
+      (Array(99), Seq(Seq(1.0, 2.0))),          // code out of range
+      (Array(0, 0), Seq(Seq(1.0)))              // m mismatch
+    ).toDF("codes", "lut")
+      .select(ProductQuantizer.adcScore(col("codes"), col("lut")).as("s"))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("ADC approximates the exact cosine with bounded error") {
     val model = ProductQuantizer.train(emb, M, Ks, maxIter = 6)
     val queries = emb.filter($"vec_id" % 100 === 7).limit(5)
