@@ -1,0 +1,53 @@
+package graft
+
+import graft.core.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min: estimates >= exact, heavy hitters have no false negatives") {
+    val toks = Tables.documents(spark, Sf0001)
+      .select(explode(split(trim($"text"), "\\s+")).as("tok"))
+    val exact = toks.groupBy("tok").count().as[(String, Long)].collect().toMap
+    val cms = Sketches.countMin(toks, "tok")
+    // CMS never undercounts
+    exact.foreach { case (t, c) =>
+      assert(cms.estimateCount(t) >= c, s"undercount for $t")
+    }
+    val minCount = exact.values.toSeq.sorted.reverse.take(5).last
+    val hh = Sketches.heavyHitters(toks, "tok", minCount, cms)
+      .as[(String, Long)].collect().toMap
+    val trueHeavy = exact.filter(_._2 >= minCount).keySet
+    assert(trueHeavy.subsetOf(hh.keySet), "CMS heavy hitters missed a true one")
+  }
+
+  test("bloom: no false negatives; pre-filter keeps all joining rows") {
+    val ev = Tables.events(spark, Sf0001)
+    val keys = ev.filter($"event_type" === "purchase")
+      .select("user_id").distinct()
+    val bf = Sketches.bloom(keys, "user_id", expectedItems = 1000)
+    val keySet = keys.as[Long].collect().toSet
+    keySet.foreach(k => assert(bf.mightContainLong(k)))
+    // the filtered fact side retains every row that would join
+    val kept = Sketches.mightContain(ev, "user_id", bf)
+    val joining = ev.join(keys, "user_id").count()
+    assert(kept.join(keys, "user_id").count() == joining)
+    assert(kept.count() <= ev.count())
+  }
+
+  test("approx quantiles within relative-error bound of exact percentiles") {
+    val ev = Tables.events(spark, Sf0001)
+    val approx = Sketches.approxQuantiles(ev, "value",
+      Array(0.25, 0.5, 0.75, 0.99), relativeError = 0.01)
+    val n = ev.count()
+    // the GK guarantee is on RANK error (<= relativeError * n), NOT on
+    // value proximity — in a heavy tail a tiny rank slip is a large
+    // value gap, so check the empirical CDF at the approximate values
+    approx.zip(Seq(0.25, 0.5, 0.75, 0.99)).foreach { case (v, p) =>
+      val rank = ev.filter($"value" <= v).count().toDouble / n
+      assert(math.abs(rank - p) <= 0.011 + 1.0 / n,
+        s"quantile $p: approx value $v has empirical rank $rank")
+    }
+  }
+}
