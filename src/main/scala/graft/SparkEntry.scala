@@ -675,6 +675,15 @@ object SparkEntry {
         lit("</body></html>"))
       TextAnalysis.stripMarkup(d.withColumn("html", aug), "html")
         .select(col("doc_id"), col("clean_text"))
+    }),
+
+    // portable hash train/val/test split: the assignment is a pure
+    // function of (id, seed) via the engine's rolling hash, so the
+    // oracle reproduces the exact split
+    "q60_hash_split" -> ((s, dir) => {
+      graft.core.Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
     })
   )
 
@@ -1479,7 +1488,21 @@ object SparkEntry {
         |      '&lt;', '<', 'g'), '&gt;', '>', 'g'),
         |      '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g'),
         |    '\s+', ' ', 'g')) AS clean_text
-        |FROM aug""".stripMargin
+        |FROM aug""".stripMargin,
+
+    "q60_hash_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(doc_id || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN hv % 1000000 < 800000 THEN 'train'
+        |       WHEN hv % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -63,6 +63,33 @@ object Sampling {
     df.filter(u < frac)
   }
 
+  /** Deterministic train/val/test split by PORTABLE hash: the split
+    * label is a pure function of the row id and seed via the engine's
+    * polynomial rolling hash — reproducible across re-runs,
+    * repartitions AND engines (unlike `randomSplit`, whose assignment
+    * depends on partitioning, and unlike xxhash64, which only Spark
+    * computes). Fractions must sum to <= 1; any remainder falls into
+    * the LAST split.
+    *
+    * One codegen'd projection — the assignment adds a column, so the
+    * same split is cheaply recomputed anywhere instead of materialized
+    * and joined.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0)
+      && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must be non-negative and sum to <= 1")
+    val u = pmod(TextAnalysis.rollingHash(
+      concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))),
+      lit(1000000L)).cast("double") / 1000000.0
+    val (label, _) = splits.init.foldLeft(
+      (lit(splits.last._1), 0.0)) { case ((acc, cum), (name, frac)) =>
+      (when(u >= cum && u < cum + frac, name).otherwise(acc), cum + frac)
+    }
+    df.withColumn("split", label)
+  }
+
   def reservoirDoubles(df: DataFrame, featureCols: Seq[String], n: Int,
                        seed: Long): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.col

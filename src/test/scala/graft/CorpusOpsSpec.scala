@@ -112,6 +112,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(otherSeed != again)
   }
 
+  test("hash split: complete, disjoint, near-target fractions, repartition-stable") {
+    val docs = (0L until 5000L).map(i => Tuple1(i)).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s = Sampling.hashSplit(docs, "doc_id", splits)
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 5000L) // complete and disjoint
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03, counts.toString)
+    assert(math.abs(counts("val") / 5000.0 - 0.1) < 0.02, counts.toString)
+    // pure row function: identical assignment after repartition
+    val again = Sampling.hashSplit(docs.repartition(17), "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(again == s.as[(Long, String)].collect().toMap)
+    // different seed reshuffles membership
+    val reseeded = Sampling.hashSplit(docs, "doc_id", splits, seed = 7L)
+      .as[(Long, String)].collect().toMap
+    assert(reseeded != again)
+  }
+
   test("strip markup: scripts/styles elided, tags dropped, entities decoded once") {
     val docs = Seq(
       (1L, "<p>Hello <b>world</b></p><script>evil()</script>"),
