@@ -9,15 +9,15 @@ import org.apache.spark.sql.functions._
   * benchmark numbers measure generalization, not memorization).
   *
   * Plan shape, chosen for the 100 TB asymmetry (train is huge, the
-  * benchmark set is tiny): build the DISTINCT eval shingle set once,
-  * broadcast it, and stream the training corpus through one
-  * explode -> broadcast-semi-hash-join -> per-doc count. The training
-  * side never shuffles except the final per-doc aggregation of HITS
-  * (rows that matched an eval shingle — a tiny fraction of the
-  * corpus), so the expensive side stays a single scan. If the eval
-  * shingle set outgrows the broadcast threshold Spark falls back to a
-  * shuffled hash join on the shingle key automatically — the code
-  * declares the join, AQE picks the physical strategy.
+  * benchmark set is tiny): build the DISTINCT eval shingle set once
+  * and stream the training corpus through one explode -> semi-join ->
+  * per-doc count. The join carries no hint on purpose: AQE broadcasts
+  * the eval side from its MEASURED size when it is small (the common
+  * case — the training side then never shuffles except the final
+  * per-doc aggregation of hits), and degrades to a shuffled hash join
+  * on the shingle key when an outsized eval suite would blow the
+  * broadcast limit. The code declares the join; the optimizer picks
+  * the physical strategy.
   *
   * The reference pipeline has no decontamination analogue; this is a
   * training-data extension (shingle machinery shared with
@@ -45,11 +45,14 @@ object Decontaminate {
       .distinct()
     val trainShingles = train
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
-    // inner join against the broadcast eval set = semi-join with a hit
-    // count; eval shingles are distinct so each (doc, shingle) match
-    // counts once
+    // inner join against the eval set = semi-join with a hit count;
+    // eval shingles are distinct so each (doc, shingle) match counts
+    // once. NO broadcast hint: a hint would FORCE broadcast even when
+    // a huge eval suite exceeds the broadcast limit and the job should
+    // degrade to a shuffled join — AQE broadcasts small sides from
+    // their measured runtime size instead.
     val hits = trainShingles
-      .join(broadcast(evalShingles), "shingle")
+      .join(evalShingles, "shingle")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
     train.join(hits, Seq(idCol), "left")

@@ -131,9 +131,13 @@ object Similarity {
       .crossJoin(broadcast(c))
       .withColumn("cos_c", cosine(col("q_vec"), col("cent_vec")))
     val wq = Window.partitionBy(col("query_id")).orderBy(desc("cos_c"), asc("centroid_id"))
+    // |queries| × nProbe rows — tiny by contract. Materialize ONCE so
+    // the bucket collect below and the main join don't each re-run the
+    // query-centroid scoring pipeline.
     val probes = qProbes.withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") <= nProbe)
       .select(col("query_id"), col("q_vec"), col("centroid_id").as("bucket"))
+      .localCheckpoint()
     val probedBuckets = probes.select("bucket").distinct()
       .collect().map(_.getLong(0))
     val index = spark.read.parquet(indexDir)

@@ -58,12 +58,24 @@ object Sketches {
 
   /** Filter `df` to rows whose `column` might be in the filter —
     * broadcast-applied before any shuffle; false positives only, so
-    * follow with an exact join when exactness matters.
+    * follow with an exact join when exactness matters. Dispatches on
+    * the column's type the same way `bloomFilter` hashed it at build
+    * time (long for integral keys, string otherwise) — a silent
+    * cast-to-long of a string key would null-drop every row.
     */
   def mightContain(df: DataFrame, column: String, bf: BloomFilter): DataFrame = {
     val bcast = df.sparkSession.sparkContext.broadcast(bf)
-    val mc = udf((v: Long) => bcast.value.mightContainLong(v))
-    df.filter(mc(col(column).cast("long")))
+    import org.apache.spark.sql.types._
+    df.schema(column).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val mc = udf((v: Long) => bcast.value.mightContainLong(v))
+        df.filter(mc(col(column).cast("long")))
+      case StringType =>
+        val mc = udf((v: String) => v != null && bcast.value.mightContainString(v))
+        df.filter(mc(col(column)))
+      case other => throw new IllegalArgumentException(
+        s"bloom membership supports integral and string keys, got ${other.catalogString}")
+    }
   }
 
   /** One-pass approximate quantiles (Greenwald-Khanna). */

@@ -33,13 +33,17 @@ object KMeansTrainer {
 
   /** @param centroids  k × dim (mean vector per cluster, unnormalized —
     *                   cosine assignment is scale-invariant)
-    * @param inertia    per-iteration mean (1 − cosine) to the assigned
+    * @param inertia    per-iteration mean residual to the assigned
     *                   centroid — non-increasing over Lloyd iterations
     * @param iterations Lloyd rounds actually run
+    * @param cosine     the TRAINING metric, recorded so downstream
+    *                   assignment scores with the same geometry the
+    *                   quantizer was fit under
     */
   final case class KMeansModel(centroids: Array[Array[Double]],
                                inertia: Seq[Double],
-                               iterations: Int) {
+                               iterations: Int,
+                               cosine: Boolean = true) {
     def k: Int = centroids.length
   }
 
@@ -125,7 +129,7 @@ object KMeansTrainer {
       shifted = maxShift > tol
       iter += 1
     }
-    KMeansModel(cents, inertiaTrace.toSeq, iter)
+    KMeansModel(cents, inertiaTrace.toSeq, iter, cosine)
   }
 
   /** The trained centroids as the (centroid_id, vec) table
@@ -146,7 +150,10 @@ object KMeansTrainer {
     */
   def assign(emb: DataFrame, model: KMeansModel,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val best = assignment(vecCol, model.centroids)
+    // score with the metric the model was TRAINED under — a cosine
+    // assignment over an L2-trained codebook maps same-direction,
+    // different-magnitude vectors to the wrong centroid
+    val best = assignment(vecCol, model.centroids, model.cosine)
     emb.select(col(idCol), col(vecCol),
       (-best.getField("ni")).cast("long").as("bucket"))
   }

@@ -84,12 +84,14 @@ object SnapshotTable {
     readManifestFull(table, version)._1
 
   /** Manifest = file entries + the snapshot's logical schema (the
-    * union of every commit's columns — see [[evolveSchema]]). Schema is
+    * union of every commit's columns — see [[evolveSchema]]) + the
+    * per-writer txn watermarks, all from ONE read+parse. Schema is
     * absent on manifests written before schema tracking; readers fall
     * back to parquet inference then.
     */
   private def readManifestFull(table: String,
-      version: Int): (Seq[FileEntry], Option[org.apache.spark.sql.types.StructType]) = {
+      version: Int): (Seq[FileEntry], Option[org.apache.spark.sql.types.StructType],
+        Map[String, Long]) = {
     val p = manifestDir(table).resolve(s"v$version.json")
     if (!Files.exists(p)) {
       val live = manifestVersions(table).sorted
@@ -114,7 +116,10 @@ object SnapshotTable {
     val schema = Option(node.get("schema")).map(s =>
       org.apache.spark.sql.types.DataType.fromJson(s.asText())
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    (files, schema)
+    val txns = Option(node.get("txns")).map { t =>
+      t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    (files, schema, txns)
   }
 
   private def putStat(o: ObjectNode, k: String, v: Any): Unit = v match {
@@ -152,16 +157,12 @@ object SnapshotTable {
   }
 
   /** Highest committed transaction version per writer id at `version`
-    * (empty for manifests written before txn tracking).
+    * (empty for manifests written before txn tracking, or vacuumed
+    * versions).
     */
-  def txnVersions(table: String, version: Int): Map[String, Long] = {
-    val p = manifestDir(table).resolve(s"v$version.json")
-    if (!Files.exists(p)) return Map.empty
-    val node = mapper.readTree(Files.readString(p))
-    Option(node.get("txns")).map { t =>
-      t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-    }.getOrElse(Map.empty)
-  }
+  def txnVersions(table: String, version: Int): Map[String, Long] =
+    if (!Files.exists(manifestDir(table).resolve(s"v$version.json"))) Map.empty
+    else readManifestFull(table, version)._3
 
   private def publishManifest(table: String, version: Int,
                               files: Seq[FileEntry],
@@ -283,12 +284,13 @@ object SnapshotTable {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val v = currentVersion(table).getOrElse(-1) + 1
-      val (prev, prevSchema) =
-        if (v == 0) (Nil, None) else readManifestFull(table, v - 1)
+      val (prev, prevSchema, prevTxns) =
+        if (v == 0) (Nil, None, Map.empty[String, Long])
+        else readManifestFull(table, v - 1)
       // txn watermarks carry forward through EVERY commit — dropping
       // them would let a replayed idempotent batch double-apply after
       // any unrelated commit
-      val txns = if (v == 0) newTxn else txnVersions(table, v - 1) ++ newTxn
+      val txns = prevTxns ++ newTxn
       val (files, schema) = filesFor(prev, prevSchema)
       if (publishManifest(table, v, files, Some(schema), txns)) return v
       attempt += 1
@@ -358,24 +360,23 @@ object SnapshotTable {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(table)
-      val (merged, schema) = base match {
-        case None => (deduped, deduped.schema)
+      val (merged, schema, prevTxns) = base match {
+        case None => (deduped, deduped.schema, Map.empty[String, Long])
         case Some(v) =>
-          val prevSchema = readManifestFull(table, v)._2
+          val (_, prevSchema, txns) = readManifestFull(table, v)
           val evolved = evolveSchema(
             prevSchema.getOrElse(read(spark, table, Some(v)).schema), deduped.schema)
           // allowMissingColumns: evolved commits may add columns the
           // other side lacks; missing fields fill with null
           (read(spark, table, Some(v))
             .join(deduped.select(key).distinct(), Seq(key), "left_anti")
-            .unionByName(deduped, allowMissingColumns = true), evolved)
+            .unionByName(deduped, allowMissingColumns = true), evolved, txns)
       }
       // materialize before writing: `merged` reads the files we replace
       val out = merged.localCheckpoint()
       val newFiles = writeData(out, table)
       val v = base.getOrElse(-1) + 1
-      val txns = base.map(txnVersions(table, _)).getOrElse(Map.empty)
-      if (publishManifest(table, v, newFiles, Some(schema), txns)) return v
+      if (publishManifest(table, v, newFiles, Some(schema), prevTxns)) return v
       attempt += 1 // someone else committed base+1: re-merge from their snapshot
     }
     throw new java.util.ConcurrentModificationException(
@@ -405,7 +406,7 @@ object SnapshotTable {
            prune: Seq[ColRange] = Nil): DataFrame = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
-    val (entries, schemaOpt) = readManifestFull(table, v)
+    val (entries, schemaOpt, _) = readManifestFull(table, v)
     val files = entries.filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
     if (files.isEmpty) schemaOpt match {
       case Some(s) => spark.createDataFrame(
@@ -455,7 +456,7 @@ object SnapshotTable {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(table).getOrElse(return None)
-      val (entries, schemaOpt) = readManifestFull(table, base)
+      val (entries, schemaOpt, prevTxns) = readManifestFull(table, base)
       val sized = entries.map(fe =>
         fe -> Files.size(dataDir(table).resolve(fe.name)))
       val (small, big) = sized.partition(_._2 < targetFileBytes)
@@ -473,7 +474,7 @@ object SnapshotTable {
       // later vacuum
       val newFiles = writeData(packed, table)
       if (publishManifest(table, base + 1, big.map(_._1) ++ newFiles, schemaOpt,
-          txnVersions(table, base)))
+          prevTxns))
         return Some(base + 1)
       attempt += 1
     }

@@ -36,6 +36,19 @@ class SketchesSpec extends SparkSpec {
     assert(kept.count() <= ev.count())
   }
 
+  test("bloom on a STRING key column filters by string hash, not a null cast") {
+    val docs = Tables.documents(spark, Sf0001)
+    val keys = docs.filter($"source".isin("src0", "src1")).select("source").distinct()
+    val bf = Sketches.bloom(keys, "source", expectedItems = 10)
+    val kept = Sketches.mightContain(docs, "source", bf)
+    // every truly-matching row survives (a cast-to-long would null-drop ALL)
+    val joining = docs.join(keys, "source").count()
+    assert(joining > 0)
+    assert(kept.join(keys, "source").count() == joining)
+    intercept[IllegalArgumentException](
+      Sketches.mightContain(docs.select($"n_chars".cast("double").as("d")), "d", bf))
+  }
+
   test("approx quantiles within relative-error bound of exact percentiles") {
     val ev = Tables.events(spark, Sf0001)
     val approx = Sketches.approxQuantiles(ev, "value",
