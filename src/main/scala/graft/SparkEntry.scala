@@ -684,6 +684,17 @@ object SparkEntry {
       graft.core.Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
+    }),
+
+    // per-entity linear trend: one closed-form model per user, the
+    // whole fleet fitted in a single key-partitioned aggregation
+    "q61_per_key_trend" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(sum("value").as("total"))
+      TimeSeries.perKeyTrend(daily, "user_id", col("d"), "total")
+        .select(col("user_id"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"), col("n_obs"))
     })
   )
 
@@ -1502,7 +1513,27 @@ object SparkEntry {
         |  CASE WHEN hv % 1000000 < 800000 THEN 'train'
         |       WHEN hv % 1000000 < 900000 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "q61_per_key_trend" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS total
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT user_id, total,
+        |    CAST(date_diff('day', min(d) OVER (PARTITION BY user_id), d)
+        |      AS DOUBLE) AS xd
+        |  FROM daily),
+        |agg AS (
+        |  SELECT user_id, covar_pop(xd, total) AS cov, var_pop(xd) AS v,
+        |    avg(xd) AS mx, avg(total) AS my, count(*) AS n_obs
+        |  FROM x GROUP BY 1)
+        |SELECT user_id,
+        |  round(CASE WHEN v > 0 THEN cov / v ELSE 0 END, 6) AS slope,
+        |  round(my - CASE WHEN v > 0 THEN cov / v ELSE 0 END * mx, 6)
+        |    AS intercept,
+        |  n_obs
+        |FROM agg""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -60,6 +60,42 @@ object TimeSeries {
   def withDow(df: DataFrame, dateCol: String): DataFrame =
     df.withColumn("dow", weekday(col(dateCol)))
 
+  /** Per-key linear trend (one tiny model per entity, millions at
+    * once): closed-form OLS over (x = days since the key's first
+    * observation, y = value) via the `covar_pop`/`var_pop`/`avg`
+    * sufficient statistics — ONE key-partitioned aggregation fits
+    * every key's model simultaneously; no per-key iteration, no
+    * driver involvement. The 100 TB shape of "fit a model per home":
+    * the reference fits one Prophet per REQUEST
+    * (`ml_forecast_anomaly.py`); an engine fits per-entity trends for
+    * the whole fleet in one pass.
+    *
+    * Output per key: `slope` (value/day), `intercept` (fitted value at
+    * the key's first day), `n_obs`. Keys with a single observation (or
+    * zero x-variance) get slope 0, intercept = mean.
+    */
+  def perKeyTrend(df: DataFrame, key: String, dateCol: Column,
+                  value: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val xy = df
+      .withColumn("__d", dateCol)
+      .withColumn("__x", datediff(col("__d"), min(col("__d")).over(w)).cast("double"))
+      .withColumn("__y", col(value).cast("double"))
+    xy.groupBy(col(key))
+      .agg(
+        covar_pop(col("__x"), col("__y")).as("__cov"),
+        var_pop(col("__x")).as("__var"),
+        avg(col("__x")).as("__mx"),
+        avg(col("__y")).as("__my"),
+        count(lit(1)).as("n_obs"))
+      .select(col(key),
+        when(col("__var") > 0, col("__cov") / col("__var"))
+          .otherwise(lit(0.0)).as("slope"),
+        (col("__my") - when(col("__var") > 0, col("__cov") / col("__var"))
+          .otherwise(lit(0.0)) * col("__mx")).as("intercept"),
+        col("n_obs"))
+  }
+
   /** Approximate variant of [[dailyRollup]] for the 100 TB regime:
     * `approx_count_distinct` (HyperLogLog++, default 5% rsd) replaces
     * the exact-distinct expand+double-shuffle — one aggregation pass,

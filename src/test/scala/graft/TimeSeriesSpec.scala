@@ -6,6 +6,28 @@ import graft.core.TimeSeries
 
 /** Densification/rolling/weekday invariants (SURVEY §5.3, §7.4 #3). */
 class TimeSeriesSpec extends SparkSpec {
+
+  test("perKeyTrend: exact OLS per key; degenerate keys get slope 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      // key "up": y = 2x + 1 exactly over 4 days
+      ("up", "2024-01-01", 1.0), ("up", "2024-01-02", 3.0),
+      ("up", "2024-01-03", 5.0), ("up", "2024-01-04", 7.0),
+      // key "noisy": symmetric around a flat mean -> slope 0
+      ("flat", "2024-01-01", 4.0), ("flat", "2024-01-03", 4.0),
+      // key "solo": one observation
+      ("solo", "2024-01-05", 9.0)
+    ).toDF("k", "d", "y").withColumn("d", to_date($"d"))
+    val got = graft.core.TimeSeries.perKeyTrend(df, "k", $"d", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(math.abs(got("up")._1 - 2.0) < 1e-12)
+    assert(math.abs(got("up")._2 - 1.0) < 1e-12)
+    assert(got("up")._3 == 4L)
+    assert(math.abs(got("flat")._1) < 1e-12 && got("flat")._2 == 4.0)
+    assert(got("solo") == (0.0, 9.0, 1L)) // var 0 -> slope 0, intercept = mean
+  }
   import spark.implicits._
 
   private def daily = Seq(
