@@ -30,6 +30,34 @@ class ForecastTrainerSpec extends SparkSpec {
     assert(m.sigma < 0.05)
   }
 
+  test("fitPerKey == per-slice global fit, for keys with different signals") {
+    // two keys with DIFFERENT planted signals and different date ranges
+    def series(key: String, start: Int, days: Int, slope: Double,
+               amp: Double): Seq[(String, java.sql.Date, Double)] =
+      (0 until days).map { d =>
+        val day = start + d
+        val y = 5.0 + slope * d + amp * math.sin(2 * math.Pi * day / 7.0)
+        (key, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day)), y)
+      }
+    val df = (series("a", 19000, 120, 0.05, 3.0)
+      ++ series("b", 19050, 90, -0.02, 1.5)).toDF("k", "ds", "y")
+    val grouped = ForecastTrainer.fitPerKey(df, "k", $"ds", $"y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(grouped.keySet == Set("a", "b"))
+    for (k <- Seq("a", "b")) {
+      val solo = ForecastTrainer.fit(df.filter($"k" === k), $"ds", $"y")
+      val row = grouped(k)
+      val beta = row.getAs[collection.Seq[Double]]("beta")
+      solo.beta.zip(beta).foreach { case (e, g) =>
+        assert(math.abs(e - g) < 1e-8, s"key $k beta: $e vs $g")
+      }
+      assert(math.abs(solo.sigma - row.getAs[Double]("sigma")) < 1e-8)
+      // reconstructed model predicts the same values as the solo fit
+      val m = ForecastTrainer.modelFromRow(row)
+      assert(math.abs(m.predict(19100.0) - solo.predict(19100.0)) < 1e-8)
+    }
+  }
+
   test("fit on the reference model's embedded history: MAE comparable to Prophet") {
     val in = getClass.getResourceAsStream("/prophet_model.json")
     val root = new ObjectMapper().readTree(in); in.close()
