@@ -695,6 +695,17 @@ object SparkEntry {
       TimeSeries.perKeyTrend(daily, "user_id", col("d"), "total")
         .select(col("user_id"), round(col("slope"), 6).as("slope"),
           round(col("intercept"), 6).as("intercept"), col("n_obs"))
+    }),
+
+    // fleet-wide anomaly detection: every user's days scored against
+    // that user's OWN trend model, flagged at 2 sigma
+    "q62_trend_anomalies" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(sum("value").as("total"))
+      TimeSeries.perKeyTrendAnomalies(daily, "user_id", col("d"), "total")
+        .select(col("user_id"), col("d"),
+          round(col("resid"), 4).as("resid"), col("is_anomaly"))
     })
   )
 
@@ -1533,7 +1544,34 @@ object SparkEntry {
         |  round(my - CASE WHEN v > 0 THEN cov / v ELSE 0 END * mx, 6)
         |    AS intercept,
         |  n_obs
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    "q62_trend_anomalies" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS total
+        |  FROM events GROUP BY 1, 2),
+        |x AS (
+        |  SELECT user_id, d, total,
+        |    CAST(date_diff('day', min(d) OVER (PARTITION BY user_id), d)
+        |      AS DOUBLE) AS xd
+        |  FROM daily),
+        |agg AS (
+        |  SELECT user_id, covar_pop(xd, total) AS cov, var_pop(xd) AS v,
+        |    avg(xd) AS mx, avg(total) AS my
+        |  FROM x GROUP BY 1),
+        |m AS (
+        |  SELECT user_id,
+        |    CASE WHEN v > 0 THEN cov / v ELSE 0 END AS slope,
+        |    my - CASE WHEN v > 0 THEN cov / v ELSE 0 END * mx AS intercept
+        |  FROM agg),
+        |r AS (
+        |  SELECT x.user_id, x.d,
+        |    x.total - (m.intercept + m.slope * x.xd) AS resid
+        |  FROM x JOIN m ON x.user_id = m.user_id),
+        |sd AS (SELECT user_id, stddev_pop(resid) AS rsd FROM r GROUP BY 1)
+        |SELECT r.user_id, r.d, round(r.resid, 4) AS resid,
+        |  (sd.rsd > 0 AND abs(r.resid) > 2 * sd.rsd) AS is_anomaly
+        |FROM r JOIN sd ON r.user_id = sd.user_id""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

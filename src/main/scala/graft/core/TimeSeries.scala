@@ -96,6 +96,34 @@ object TimeSeries {
         col("n_obs"))
   }
 
+  /** Fleet-wide anomaly flags from the per-key trend models: each
+    * observation's residual against ITS key's fitted line, flagged
+    * when |residual| exceeds `zThreshold` × the key's residual
+    * std-dev. The 100 TB shape of the reference's anomaly endpoint
+    * (one global IsoForest per request): per-entity baselines for
+    * every entity at once — [[perKeyTrend]]'s aggregation, a broadcast
+    * of the per-key models back onto the observations, and one more
+    * per-key variance aggregation. Fully closed-form, so an external
+    * engine reproduces every flag.
+    */
+  def perKeyTrendAnomalies(df: DataFrame, key: String, dateCol: Column,
+                           value: String, zThreshold: Double = 2.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val models = perKeyTrend(df, key, dateCol, value)
+      .select(col(key), col("slope"), col("intercept"))
+    val withResid = df
+      .withColumn("__d", dateCol)
+      .withColumn("__x", datediff(col("__d"), min(col("__d")).over(w)).cast("double"))
+      .join(models, Seq(key))
+      .withColumn("resid",
+        col(value).cast("double") - (col("intercept") + col("slope") * col("__x")))
+    val residStats = withResid.groupBy(col(key))
+      .agg(stddev_pop(col("resid")).as("resid_sd"))
+    withResid.join(residStats, Seq(key))
+      .withColumn("is_anomaly",
+        col("resid_sd") > 0 && abs(col("resid")) > col("resid_sd") * zThreshold)
+  }
+
   /** Approximate variant of [[dailyRollup]] for the 100 TB regime:
     * `approx_count_distinct` (HyperLogLog++, default 5% rsd) replaces
     * the exact-distinct expand+double-shuffle — one aggregation pass,

@@ -37,6 +37,26 @@ class TimeSeriesSpec extends SparkSpec {
     ("h2", Date.valueOf("2023-02-05"), 5.0)
   ).toDF("HomeID", "Date", "total_kwh")
 
+  test("perKeyTrendAnomalies: planted spike flagged against its own key's baseline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key "a": clean line y=x with one big spike; key "b": clean line,
+    // different slope — the spike must only flag on "a"
+    val rows = (0 until 30).map { d =>
+      val y = if (d == 15) 100.0 else d.toDouble
+      ("a", java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000 + d)), y)
+    } ++ (0 until 30).map { d =>
+      ("b", java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000 + d)), 50.0 - d)
+    }
+    val got = graft.core.TimeSeries
+      .perKeyTrendAnomalies(rows.toDF("k", "d", "y"), "k", $"d", "y")
+      .select("k", "d", "is_anomaly").collect()
+    val flagged = got.filter(_.getBoolean(2))
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay)).toSet
+    assert(flagged.contains(("a", 19015L)), s"spike not flagged: $flagged")
+    assert(!flagged.exists(_._1 == "b"), s"clean key flagged: $flagged")
+  }
+
   test("densify: rows per key == (max-min).days + 1, gaps zero-filled") {
     val dense = TimeSeries.densify(daily, "HomeID", Seq("total_kwh"))
     val counts = dense.groupBy("HomeID").count().as[(String, Long)].collect().toMap
