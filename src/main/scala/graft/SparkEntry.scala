@@ -703,9 +703,19 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("d"))
         .agg(sum("value").as("total"))
+      // the continuous residual is deliberately NOT emitted: covar/var
+      // aggregation order makes its last bits run-dependent, so any
+      // fixed-decimal rounding of it is a coin flip at grid
+      // boundaries. The BOOLEAN is robust (threshold margins are
+      // O(resid_sd)).
       TimeSeries.perKeyTrendAnomalies(daily, "user_id", col("d"), "total")
-        .select(col("user_id"), col("d"),
-          round(col("resid"), 4).as("resid"), col("is_anomaly"))
+        .select(col("user_id"), col("d"), col("is_anomaly"))
+    }),
+
+    // data-quality profile: per-column completeness/cardinality/range
+    // in one scan — the before/after report of every ingest stage
+    "q63_profile" -> ((s, dir) => {
+      graft.core.Profile.profile(Tables.documents(s, dir))
     })
   )
 
@@ -1569,9 +1579,20 @@ object SparkEntry {
         |    x.total - (m.intercept + m.slope * x.xd) AS resid
         |  FROM x JOIN m ON x.user_id = m.user_id),
         |sd AS (SELECT user_id, stddev_pop(resid) AS rsd FROM r GROUP BY 1)
-        |SELECT r.user_id, r.d, round(r.resid, 4) AS resid,
+        |SELECT r.user_id, r.d,
         |  (sd.rsd > 0 AND abs(r.resid) > 2 * sd.rsd) AS is_anomaly
-        |FROM r JOIN sd ON r.user_id = sd.user_id""".stripMargin
+        |FROM r JOIN sd ON r.user_id = sd.user_id""".stripMargin,
+
+    "q63_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  round(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / greatest(count(*), 1), 6) AS null_frac,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_repr,
+         |  CAST(max($c) AS VARCHAR) AS max_repr
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the
