@@ -12,7 +12,9 @@ object Explain {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q03_region_revenue", "q04_topk_parts",
-        "q16_anomaly_features", "q19_ngram_jaccard", "q25_cosine_topk")
+        "q16_anomaly_features", "q19_ngram_jaccard", "q25_cosine_topk",
+        "q52_decontaminate", "q53_repetition", "q57_pq_adc",
+        "q58_range_join", "q62_trend_anomalies")
     val spark = Tables.configure(
       SparkSession.builder().master("local[8]"), "8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -108,20 +108,29 @@ object TimeSeries {
     */
   def perKeyTrendAnomalies(df: DataFrame, key: String, dateCol: Column,
                            value: String, zThreshold: Double = 2.0): DataFrame = {
+    // Every per-key statistic — the OLS sufficient stats, the fitted
+    // model, the residual spread — is a WINDOW aggregate over the same
+    // key partitioning, so the whole pipeline is ONE scan + one
+    // exchange + a chain of Window operators sharing that exchange.
+    // (A first formulation fit models with perKeyTrend and joined them
+    // back: three scans of the fact table in the plan.)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-    val models = perKeyTrend(df, key, dateCol, value)
-      .select(col(key), col("slope"), col("intercept"))
-    val withResid = df
+    df
       .withColumn("__d", dateCol)
       .withColumn("__x", datediff(col("__d"), min(col("__d")).over(w)).cast("double"))
-      .join(models, Seq(key))
+      .withColumn("__y", col(value).cast("double"))
+      .withColumn("__cov", covar_pop(col("__x"), col("__y")).over(w))
+      .withColumn("__var", var_pop(col("__x")).over(w))
+      .withColumn("slope",
+        when(col("__var") > 0, col("__cov") / col("__var")).otherwise(lit(0.0)))
+      .withColumn("intercept",
+        avg(col("__y")).over(w) - col("slope") * avg(col("__x")).over(w))
       .withColumn("resid",
-        col(value).cast("double") - (col("intercept") + col("slope") * col("__x")))
-    val residStats = withResid.groupBy(col(key))
-      .agg(stddev_pop(col("resid")).as("resid_sd"))
-    withResid.join(residStats, Seq(key))
+        col("__y") - (col("intercept") + col("slope") * col("__x")))
+      .withColumn("resid_sd", stddev_pop(col("resid")).over(w))
       .withColumn("is_anomaly",
         col("resid_sd") > 0 && abs(col("resid")) > col("resid_sd") * zThreshold)
+      .drop("__d", "__x", "__y", "__cov", "__var")
   }
 
   /** Approximate variant of [[dailyRollup]] for the 100 TB regime:
