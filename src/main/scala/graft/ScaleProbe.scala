@@ -49,7 +49,9 @@ object ScaleProbe {
       // slice and q57's query count both grow with the corpus (gate
       // parameterization); fixed-size variants are probed below.
       "q52_decontaminate", "q53_repetition", "q54_pii_scrub",
-      "q55_source_quota", "q56_pq_encode", "q57_pq_adc", "q58_range_join")
+      "q55_source_quota", "q56_pq_encode", "q57_pq_adc", "q58_range_join",
+      "q59_strip_markup", "q60_hash_split", "q61_per_key_trend",
+      "q62_trend_anomalies", "q63_profile")
     probes.foreach { name =>
       def time(dir: String): Double = {
         val t0 = System.nanoTime()
