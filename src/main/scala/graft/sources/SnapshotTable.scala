@@ -531,6 +531,43 @@ object SnapshotTable {
     } else parts.reduce(_ unionByName _)
   }
 
+  /** Restore the table to the content of `version`, committed as a NEW
+    * version (like Delta RESTORE): pure metadata — the old manifest's
+    * file list is re-published at version latest+1, no data moves, and
+    * the intervening versions stay time-travelable until vacuum. The
+    * restored commit re-publishes the old snapshot's schema and keeps
+    * the CURRENT txn watermarks (idempotent writers must not re-apply
+    * batches that were committed in the rolled-back range).
+    */
+  def restore(table: String, version: Int): Int = {
+    val (files, schema, _) = readManifestFull(table, version)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val latest = currentVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version in $table"))
+      if (publishManifest(table, latest + 1, files, schema,
+          txnVersions(table, latest)))
+        return latest + 1
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the restore race on $table $MaxCommitRetries times")
+  }
+
+  /** Version history: (version, n_files, total_bytes) for every
+    * manifest still present — the audit surface for time travel,
+    * vacuum and restore decisions.
+    */
+  def history(table: String): Seq[(Int, Int, Long)] =
+    manifestVersions(table).sorted.map { v =>
+      val files = readManifest(table, v)
+      val bytes = files.map { fe =>
+        val p = dataDir(table).resolve(fe.name)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum
+      (v, files.size, bytes)
+    }
+
   /** Drop data files not referenced by the latest `keepVersions`
     * manifests, and the older manifests themselves. The keep range is
     * intersected with the manifests actually present, so re-vacuuming

@@ -143,6 +143,31 @@ class SnapshotTableSpec extends SparkSpec {
         .as[(Int, String, Option[Double])].collect().toSet == merged)
   }
 
+  test("restore: metadata-only rollback as a new version; history audits it") {
+    val t = Files.createTempDirectory("graft_snap10").toString + "/t"
+    SnapshotTable.append(Seq((1, "a")).toDF("id", "v"), t)           // v0
+    SnapshotTable.append(Seq((2, "b")).toDF("id", "v"), t)           // v1
+    SnapshotTable.overwrite(Seq((9, "z")).toDF("id", "v"), t)        // v2 clobbers
+    assert(SnapshotTable.read(spark, t).count() == 1)
+    val rv = SnapshotTable.restore(t, 1)
+    assert(rv == 3)
+    // restored content == v1's, and the clobbering v2 is still readable
+    assert(SnapshotTable.read(spark, t).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b")))
+    assert(SnapshotTable.read(spark, t, Some(2)).count() == 1)
+    // no data was copied: v3 references v1's files exactly
+    assert(SnapshotTable.filesForRead(t, Some(3)).toSet
+      == SnapshotTable.filesForRead(t, Some(1)).toSet)
+    // restore keeps CURRENT txn watermarks so replays stay no-ops
+    SnapshotTable.appendIdempotent(Seq((5, "e")).toDF("id", "v"), t, "w", 0L)
+    SnapshotTable.restore(t, 1)
+    assert(SnapshotTable.appendIdempotent(
+      Seq((5, "e")).toDF("id", "v"), t, "w", 0L).isEmpty)
+    val hist = SnapshotTable.history(t)
+    assert(hist.map(_._1) == (0 to 5))
+    assert(hist.forall { case (_, n, bytes) => n >= 1 && bytes > 0 })
+  }
+
   test("appendIdempotent: a (writer, version) pair applies at most once") {
     val t = Files.createTempDirectory("graft_snap8").toString + "/t"
     assert(SnapshotTable.appendIdempotent(
