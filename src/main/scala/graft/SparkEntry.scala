@@ -716,6 +716,28 @@ object SparkEntry {
     // in one scan — the before/after report of every ingest stage
     "q63_profile" -> ((s, dir) => {
       graft.core.Profile.profile(Tables.documents(s, dir))
+    }),
+
+    // lakehouse DSv2 read path: orders committed to a SnapshotTable in
+    // three date-disjoint commits, read back through
+    // spark.read.format("graft-snapshot") — the pushed date predicate
+    // prunes manifest files via footer stats BEFORE the scan plans
+    // (only the 1996 commit's files are opened), then Spark's parquet
+    // scan handles row-group skip + column pruning. Oracle runs the
+    // same aggregation over the raw orders table.
+    "q64_snapshot_scan" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val t = java.nio.file.Files.createTempDirectory("graft_q64").toString + "/orders_snap"
+      Seq(("1992-01-01", "1995-01-01"), ("1995-01-01", "1997-01-01"),
+          ("1997-01-01", "1999-01-01")).foreach { case (lo, hi) =>
+        graft.sources.SnapshotTable.append(
+          orders.filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi)), t)
+      }
+      s.read.format("graft-snapshot").load(t)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -1592,7 +1614,14 @@ object SparkEntry {
          |  CAST(min($c) AS VARCHAR) AS min_repr,
          |  CAST(max($c) AS VARCHAR) AS max_repr
          |FROM documents""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    }.mkString("\nUNION ALL\n"),
+
+    "q64_snapshot_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -422,6 +422,30 @@ object SnapshotTable {
     }
   }
 
+  /** The snapshot's logical schema (manifest union schema when
+    * recorded; parquet inference over the snapshot's files otherwise).
+    * Metadata-only when the manifest carries a schema — the DSv2
+    * connector calls this at planning time.
+    */
+  def schemaOf(spark: SparkSession, table: String,
+               version: Option[Int] = None): org.apache.spark.sql.types.StructType = {
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
+    val (entries, schemaOpt, _) = readManifestFull(table, v)
+    schemaOpt.getOrElse {
+      require(entries.nonEmpty, s"$table v$v has no files and no recorded schema")
+      spark.read.parquet(dataDir(table).resolve(entries.head.name).toString).schema
+    }
+  }
+
+  /** Absolute paths of the files a pruned read would open — the DSv2
+    * scan builds its file index from exactly this list.
+    */
+  def filePathsForRead(table: String, version: Option[Int] = None,
+                       prune: Seq[ColRange] = Nil): Seq[String] =
+    filesForRead(table, version, prune)
+      .map(n => dataDir(table).resolve(n).toAbsolutePath.toString)
+
   /** The files a pruned read would open — exposed so tests and PLANS.md
     * can assert data-skipping without inspecting the scan.
     */
