@@ -9,7 +9,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.catalog.SupportsWrite
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -60,7 +63,9 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // writes hand the incoming frame's schema to getTable directly (a
+  // first write DEFINES the schema; an evolving append carries its own)
+  override def supportsExternalMetadata(): Boolean = true
 
   private def tablePath(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
@@ -70,9 +75,16 @@ class SnapshotDataSource extends TableProvider with DataSourceRegister {
   private def tableVersion(options: CaseInsensitiveStringMap): Option[Int] =
     Option(options.get("version")).map(_.toInt)
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotDataSource.nullableCopy(
-      SnapshotTable.schemaOf(SparkSession.active, tablePath(options), tableVersion(options)))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = tablePath(options)
+    // a not-yet-created table has no schema: report empty so a WRITE
+    // can proceed (the insert defines the schema); a read of an empty
+    // table fails at scan time with the clear no-committed-version error
+    if (SnapshotTable.currentVersion(path).isEmpty && tableVersion(options).isEmpty)
+      new StructType()
+    else SnapshotDataSource.nullableCopy(
+      SnapshotTable.schemaOf(SparkSession.active, path, tableVersion(options)))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -105,7 +117,7 @@ object SnapshotDataSource {
 
 private[v2] class SnapshotV2Table(path: String, version: Option[Int],
                                   tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     s"graft_snapshot.`$path`" + version.map(v => s"@v$v").getOrElse("")
@@ -113,10 +125,30 @@ private[v2] class SnapshotV2Table(path: String, version: Option[Int],
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(SparkSession.active, path, version, tableSchema, options)
+
+  /** Write path via the V1Write bridge: the insert maps straight onto
+    * the format's transactional commits — `append` (blind-append with
+    * conflict retry + additive schema evolution) or `overwrite`
+    * (truncate-and-replace as a new snapshot version). Data files are
+    * written by the cluster exactly as in the programmatic API; only
+    * the manifest publish is driver-side, O(files), put-if-absent.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, ov: Boolean) =>
+            if (overwrite || ov) SnapshotTable.overwrite(data, path)
+            else SnapshotTable.append(data, path)
+      }
+    }
 }
 
 /** Two-stage scan builder: pushed filters first prune the MANIFEST

@@ -117,6 +117,33 @@ class SnapshotDsv2Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
   }
 
+  test("write path: save modes map onto snapshot commits") {
+    val t = newTable("dsv2_write")
+    // DSv2 sources only take explicit append/overwrite; the default
+    // ErrorIfExists is rejected up-front by Spark (never a silent write)
+    intercept[Exception] {
+      Seq((9, "x")).toDF("id", "v").write.format("graft-snapshot").save(t)
+    }
+    assert(SnapshotTable.currentVersion(t).isEmpty, "rejected mode must not commit")
+
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.format("graft-snapshot").mode("append").save(t)
+    assert(SnapshotTable.currentVersion(t).contains(0))
+
+    Seq((3, "c")).toDF("id", "v")
+      .write.format("graft-snapshot").mode("append").save(t)
+    assert(SnapshotTable.currentVersion(t).contains(1))
+    assert(spark.read.format("graft-snapshot").load(t).count() == 3)
+
+    Seq((9, "z")).toDF("id", "v")
+      .write.format("graft-snapshot").mode("overwrite").save(t)
+    assert(spark.read.format("graft-snapshot").load(t)
+      .as[(Int, String)].collect().toSeq == Seq((9, "z")))
+    // overwrite committed a new version: time travel still sees v1
+    assert(spark.read.format("graft-snapshot").option("version", "1").load(t)
+      .count() == 3)
+  }
+
   test("schema evolution: files written before a column read it as null") {
     val t = newTable("dsv2_evo")
     SnapshotTable.append(Seq((1, "a")).toDF("id", "v"), t)
