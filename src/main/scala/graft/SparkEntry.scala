@@ -264,8 +264,11 @@ object SparkEntry {
           col("neighbor_id"), col("cosine"))
     }),
 
+    // native VectorSum aggregate (one group per label pre-shuffle);
+    // the posexplode formulation is its semantic oracle in
+    // SimilaritySpec, and DuckDB pins both here
     "q26_label_centroids" -> ((s, dir) => {
-      Similarity.labelCentroids(Tables.embeddings(s, dir))
+      Similarity.labelCentroidsNative(Tables.embeddings(s, dir))
         .select(col("label").cast("long").as("label"),
           col("dim").cast("long").as("dim"),
           round(col("mean_v"), 6).as("mean_v"),

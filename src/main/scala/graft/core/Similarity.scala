@@ -322,4 +322,29 @@ object Similarity {
       .select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col(labelCol), col("dim"))
       .agg(avg(col("v").cast("double")).as("mean_v"), count(lit(1)).as("n"))
+
+  /** Elementwise-sum aggregate over an `array<double>` column — native
+    * [[graft.expressions.VectorSum]] (map-side combine on whole
+    * vectors; the exchange carries groups×dim doubles, not rows×dim
+    * exploded rows).
+    */
+  def vectorSum(vec: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.expressions.VectorSum(
+        org.apache.spark.sql.GraftShim.expression(vec)).toAggregateExpression())
+
+  /** [[labelCentroids]] on the native aggregate: ONE group per label
+    * pre-shuffle (vs one per label×dim), exploded to the same flat
+    * (label, dim, mean_v, n) shape only AFTER aggregation — identical
+    * results (q26's oracle pins both), ~dim× less exchange traffic.
+    */
+  def labelCentroidsNative(embeddings: DataFrame, labelCol: String = "label",
+                           vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .groupBy(col(labelCol))
+      .agg(vectorSum(col(vecCol).cast("array<double>")).as("sv"),
+        count(col(vecCol)).as("n"))
+      .select(col(labelCol), posexplode(col("sv")).as(Seq("dim", "sv")),
+        col("n"))
+      .select(col(labelCol), col("dim"), (col("sv") / col("n")).as("mean_v"), col("n"))
 }

@@ -99,10 +99,14 @@ object KMeansTrainer {
       val assigned = emb.select(col(vecCol),
         (-best.getField("ni")).as("bucket"),
         resid.as("resid"))
+      // native VectorSum aggregate: map-side combine reduces each
+      // partition to <= k whole-vector buffers before the exchange —
+      // the shuffle carries k×dim doubles, not rows×dim exploded rows
+      // (the posexplode formulation this replaced is VectorSumSpec's
+      // parity oracle)
       val stats = assigned
-        .select(col("bucket"), col("resid"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy(col("bucket"), col("dim"))
-        .agg(sum(col("v").cast("double")).as("sv"),
+        .groupBy(col("bucket"))
+        .agg(Similarity.vectorSum(col(vecCol).cast("array<double>")).as("sv"),
           count(lit(1)).as("n"),
           sum(col("resid")).as("sr"))
         .collect()
@@ -111,9 +115,9 @@ object KMeansTrainer {
       val counts = new Array[Long](k)
       var residTotal = 0.0
       stats.foreach { r =>
-        val b = r.getAs[Int]("bucket"); val d = r.getAs[Int]("dim")
-        sums(b)(d) = r.getAs[Double]("sv")
-        if (d == 0) counts(b) = r.getAs[Long]("n")
+        val b = r.getAs[Int]("bucket")
+        r.getAs[scala.collection.Seq[Double]]("sv").copyToArray(sums(b))
+        counts(b) = r.getAs[Long]("n")
         residTotal += r.getAs[Double]("sr")
       }
       val nDocs = counts.sum

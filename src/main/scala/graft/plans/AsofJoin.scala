@@ -159,6 +159,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(fn("pair_combinations",
       classOf[graft.expressions.PairCombinations], 1,
       args => graft.expressions.PairCombinations(args.head)))
+    e.injectFunction(fn("vector_sum",
+      classOf[graft.expressions.VectorSum], 1,
+      args => graft.expressions.VectorSum(args.head)))
     e.injectFunction(fn("adc_score",
       classOf[graft.expressions.AdcScore], 2,
       args => graft.expressions.AdcScore(args.head, args(1))))
