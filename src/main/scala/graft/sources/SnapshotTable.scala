@@ -458,6 +458,18 @@ object SnapshotTable {
       .map(_.name)
   }
 
+  /** Absolute paths of the data files present in `toVersion`'s
+    * manifest but not in `sinceVersion`'s (the streaming micro-batch
+    * file set; `sinceVersion < 0` means everything in `toVersion`).
+    */
+  def addedPathsBetween(table: String, sinceVersion: Int, toVersion: Int): Seq[String] = {
+    val cur = readManifest(table, toVersion).map(_.name)
+    val prev =
+      if (sinceVersion < 0) Set.empty[String]
+      else readManifest(table, sinceVersion).map(_.name).toSet
+    cur.filterNot(prev).map(n => dataDir(table).resolve(n).toAbsolutePath.toString)
+  }
+
   /** Compaction (OPTIMIZE): bin-pack the current snapshot's
     * small files into files of ~`targetFileBytes`, commit the result
     * as a new version with IDENTICAL content. Files already at or

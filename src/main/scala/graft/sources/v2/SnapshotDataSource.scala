@@ -125,8 +125,9 @@ private[v2] class SnapshotV2Table(path: String, version: Option[Int],
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(SparkSession.active, path, version, tableSchema, options)
@@ -206,7 +207,8 @@ private[v2] class SnapshotScanBuilder(spark: SparkSession, table: String,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     ensureInner().supportCompletePushDown(aggregation)
 
-  override def build(): Scan = ensureInner().build()
+  override def build(): Scan =
+    SnapshotScan(spark, table, tableSchema, options, ensureInner().build())
 }
 
 /** Catalyst predicate → manifest [[ColRange]] translation. Strict

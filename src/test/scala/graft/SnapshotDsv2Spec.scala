@@ -27,7 +27,7 @@ class SnapshotDsv2Spec extends SparkSpec {
   private def scanOf(df: DataFrame): ParquetScan =
     df.queryExecution.optimizedPlan.collectFirst {
       case r: DataSourceV2ScanRelation => r.scan
-    }.get.asInstanceOf[ParquetScan]
+    }.get.asInstanceOf[graft.sources.v2.SnapshotScan].inner
 
   private def scannedFiles(df: DataFrame): Int = scanOf(df).fileIndex.inputFiles.length
 
@@ -110,7 +110,8 @@ class SnapshotDsv2Spec extends SparkSpec {
       val agg = spark.read.format("graft-snapshot").load(t)
         .agg(count(lit(1)).as("c"), min($"id").as("mn"), max($"n").as("mx"))
       val pushed = agg.queryExecution.optimizedPlan.collectFirst {
-        case r: DataSourceV2ScanRelation => r.scan.asInstanceOf[ParquetScan].pushedAggregate
+        case r: DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[graft.sources.v2.SnapshotScan].inner.pushedAggregate
       }.get
       assert(pushed.isDefined, "COUNT/MIN/MAX should push into the parquet footers")
       assert(agg.as[(Long, Int, Long)].collect().head == ((1000L, 1, 2000L)))
