@@ -458,6 +458,56 @@ object SnapshotTable {
       .map(_.name)
   }
 
+  /** Row-level DELETE (copy-on-write, Delta-style): rows matching
+    * `condition` leave the table as a NEW snapshot version. File
+    * pruning does the heavy lifting — `condition` translates to
+    * manifest stat ranges (same translation the DSv2 scan uses), and
+    * only files whose [min,max] MIGHT contain matches are rewritten;
+    * every other file carries into the new manifest untouched, stats
+    * and all. At 100 TB a delete keyed on the clustering column
+    * rewrites O(matching files), not the table.
+    *
+    * SQL three-valued logic: DELETE removes rows where the condition
+    * is TRUE; FALSE and NULL rows stay.
+    *
+    * @return Some(newVersion), or None when no file could contain a
+    *         match (metadata-only no-op)
+    */
+  def delete(spark: SparkSession, table: String,
+             condition: org.apache.spark.sql.Column): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val keep = not(coalesce(condition, lit(false)))
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = currentVersion(table).getOrElse(return None)
+      val (entries, schemaOpt, prevTxns) = readManifestFull(table, base)
+      // resolve + constant-fold the condition against the snapshot's
+      // schema (the raw Column holds unresolved nodes), then translate
+      // the conjuncts to stat ranges exactly like the DSv2 scan does
+      val resolvedConds = read(spark, table, Some(base)).filter(condition)
+        .queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      val ranges = graft.sources.v2.SnapshotPredicates.ranges(resolvedConds)
+      val (candidates, untouched) =
+        entries.partition(fe => ranges.forall(r => rangeKeeps(fe.stats, r)))
+      if (candidates.isEmpty) return None
+      val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
+      val survivors = reader.parquet(
+          candidates.map(fe => dataDir(table).resolve(fe.name).toString): _*)
+        .filter(keep)
+      // materialize before the rewrite: survivors read the files being
+      // replaced only logically — writeData stages to new files, but a
+      // lost race must re-filter against a DIFFERENT snapshot anyway
+      val newFiles = writeData(survivors.localCheckpoint(), table)
+      if (publishManifest(table, base + 1, untouched ++ newFiles, schemaOpt, prevTxns))
+        return Some(base + 1)
+      attempt += 1 // concurrent commit won: re-prune + re-filter its snapshot
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the delete race on $table $MaxCommitRetries times")
+  }
+
   /** Absolute paths of the data files present in `toVersion`'s
     * manifest but not in `sinceVersion`'s (the streaming micro-batch
     * file set; `sinceVersion < 0` means everything in `toVersion`).

@@ -217,7 +217,7 @@ private[v2] class SnapshotScanBuilder(spark: SparkSession, table: String,
   * literals. Unsupported shapes translate to nothing — never wrong,
   * just non-pruning.
   */
-private[v2] object SnapshotPredicates {
+private[graft] object SnapshotPredicates {
 
   private def litVal(e: Expression): Option[Any] = e match {
     case Literal(v: Byte, _) => Some(v.toLong)

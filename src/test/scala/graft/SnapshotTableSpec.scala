@@ -219,6 +219,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 4)
   }
 
+  test("delete: copy-on-write rewrites only stat-intersecting files") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft_del").toString + "/t"
+    // three commits with disjoint id ranges -> three files with
+    // disjoint footer stats
+    SnapshotTable.append((1 to 100).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), t)
+    SnapshotTable.append((101 to 200).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), t)
+    SnapshotTable.append((201 to 300).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), t)
+    val before = SnapshotTable.filesForRead(t).toSet
+
+    val v = SnapshotTable.delete(spark, t, col("id") >= 150 && col("id") < 160)
+    assert(v.contains(3))
+    val after = SnapshotTable.filesForRead(t).toSet
+    // files 1 and 3 carry over by NAME; only the middle file rewrote
+    assert((before & after).size == 2, s"expected 2 untouched files: $before -> $after")
+    val ids = SnapshotTable.read(spark, t).select("id").as[Int].collect().toSet
+    assert(ids == ((1 to 149) ++ (160 to 300)).toSet)
+    // pre-delete snapshot still time-travels
+    assert(SnapshotTable.read(spark, t, Some(2)).count() == 300)
+
+    // no file can contain a match -> metadata-only no-op
+    assert(SnapshotTable.delete(spark, t, col("id") > 5000).isEmpty)
+    assert(SnapshotTable.currentVersion(t).contains(3))
+
+    // NULL condition rows stay (three-valued logic)
+    val t2 = Files.createTempDirectory("graft_del2").toString + "/t"
+    SnapshotTable.append(Seq((1, Some(1.0)), (2, None), (3, Some(3.0)))
+      .toDF("id", "x"), t2)
+    SnapshotTable.delete(spark, t2, col("x") > 2.0)
+    assert(SnapshotTable.read(spark, t2).select("id").as[Int].collect().toSet == Set(1, 2))
+  }
+
   test("readChanges: file-diff change feed tags rows with the commit version") {
     val t = Files.createTempDirectory("graft_snap6").toString + "/t"
     SnapshotTable.append(Seq((1, "a")).toDF("id", "v"), t)  // v0
