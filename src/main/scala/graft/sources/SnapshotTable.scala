@@ -299,6 +299,17 @@ object SnapshotTable {
       s"lost the commit race on $table $MaxCommitRetries times")
   }
 
+  /** Create an empty table (v0 manifest carrying just the schema) —
+    * the catalog's CREATE TABLE. Fails if the table already has
+    * commits.
+    */
+  def create(table: String, schema: org.apache.spark.sql.types.StructType): Int = {
+    require(currentVersion(table).isEmpty, s"$table already exists")
+    require(publishManifest(table, 0, Nil, Some(schema)),
+      s"lost the create race on $table")
+    0
+  }
+
   /** Append: new files + previous snapshot's files. Appends are
     * position-independent, so a lost race retries cheaply against the
     * winner's manifest (blind-append auto-retry, as in Delta). The
@@ -506,6 +517,118 @@ object SnapshotTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the delete race on $table $MaxCommitRetries times")
+  }
+
+  /** Conditional MERGE (the Delta `MERGE INTO` contract, reduced to
+    * the keyed form): for each target row whose `key` appears in
+    * `updates` — apply `whenMatchedUpdate` columns (SET col = expr,
+    * expressions may reference target columns and `_src.*` columns) or
+    * drop it when `whenMatchedDelete` holds; source rows matching no
+    * target row insert when `whenNotMatchedInsert`.
+    *
+    * Scale shape: the source's key bounds prune the TARGET's files
+    * through manifest stats — only files whose [min,max] key range
+    * intersects the source's key envelope join and rewrite; every
+    * other file carries over by name. Matching against the candidate
+    * subset is EXACT, not approximate: a file outside the key envelope
+    * cannot contain a matched key (its stats exclude it), so
+    * not-matched detection over candidates alone is complete. A merge
+    * of a day's worth of keys into a key-clustered 100 TB table
+    * rewrites O(that day's files).
+    *
+    * Last-write-wins within `updates` on duplicate keys (same as
+    * [[upsert]]).
+    */
+  def merge(spark: SparkSession, table: String, updates: DataFrame, key: String,
+            whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+            whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+            whenNotMatchedInsert: Boolean = true): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct}
+    val deduped = updates.dropDuplicates(key).localCheckpoint()
+    // the source key envelope: one tiny agg, reused every retry
+    val bounds = deduped.agg(
+      org.apache.spark.sql.functions.min(col(key)),
+      org.apache.spark.sql.functions.max(col(key))).head()
+    val keyRange =
+      if (bounds.isNullAt(0)) None
+      else Some(ColRange(key, Some(toStatVal(bounds.get(0))), Some(toStatVal(bounds.get(1)))))
+
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = currentVersion(table)
+      val (entries, schemaOpt, prevTxns) = base match {
+        case None => (Nil, None, Map.empty[String, Long])
+        case Some(v) => readManifestFull(table, v)
+      }
+      val (candidates, untouched) =
+        entries.partition(fe => keyRange.forall(r => rangeKeeps(fe.stats, r)))
+      val tgtSchema = schemaOpt.getOrElse(
+        if (entries.nonEmpty) read(spark, table, base).schema else deduped.schema)
+      val targetCols = tgtSchema.fieldNames.toSeq
+
+      val candidateDf =
+        if (candidates.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            tgtSchema)
+        else {
+          val reader = spark.read.schema(tgtSchema)
+          reader.parquet(candidates.map(fe => dataDir(table).resolve(fe.name).toString): _*)
+        }
+
+      // one full-outer-shaped pass: candidates LEFT JOIN source decides
+      // update/delete/keep; source LEFT ANTI candidates decides inserts
+      val src = deduped.withColumn("_src_present", lit(true))
+      val srcStruct = struct(src.columns.map(col): _*)
+      val joined = candidateDf.join(
+        src.select(col(key).as("_src_key"), srcStruct.as("_src")),
+        candidateDf(key) === col("_src_key"), "left")
+      val matched = col("_src_key").isNotNull
+      val deleteCond = whenMatchedDelete
+        .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+      val kept = joined.filter(not(matched) || not(deleteCond))
+      val updatedCols = targetCols.map { c =>
+        whenMatchedUpdate.get(c) match {
+          case Some(expr) =>
+            org.apache.spark.sql.functions.when(matched, expr)
+              .otherwise(candidateDf(c)).as(c)
+          case None => candidateDf(c).as(c)
+        }
+      }
+      val rewritten = kept.select(updatedCols: _*)
+
+      val inserts =
+        if (!whenNotMatchedInsert) None
+        else {
+          val unmatched = deduped.join(candidateDf.select(col(key)), Seq(key), "left_anti")
+          // inserts project onto the target schema; missing columns null
+          val projected = unmatched.select(targetCols.map(c =>
+            if (unmatched.columns.contains(c)) col(c)
+            else lit(null).cast(tgtSchema(c).dataType).as(c)): _*)
+          Some(projected)
+        }
+      val output = inserts.fold(rewritten)(ins => rewritten.unionByName(ins))
+      val newFiles = writeData(output.localCheckpoint(), table)
+      val v = base.getOrElse(-1) + 1
+      if (publishManifest(table, v, untouched ++ newFiles, Some(tgtSchema), prevTxns))
+        return v
+      attempt += 1 // lost the race: re-prune + re-merge against the winner
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the merge race on $table $MaxCommitRetries times")
+  }
+
+  private def toStatVal(v: Any): Any = v match {
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long => l
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case f: java.lang.Float => f.doubleValue()
+    case d: java.lang.Double => d
+    case s: String => s
+    case d: java.sql.Date => d.toLocalDate.toEpochDay // matches parquet date stats (days)
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L // micros, matches footer stats
+    case other => other
   }
 
   /** Absolute paths of the data files present in `toVersion`'s

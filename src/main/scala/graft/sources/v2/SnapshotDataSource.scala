@@ -117,7 +117,23 @@ object SnapshotDataSource {
 
 private[v2] class SnapshotV2Table(path: String, version: Option[Int],
                                   tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => FilterColumns.toColumn(f).isDefined)
+
+  /** `DELETE FROM <catalog>.<table> WHERE ...` — compiles the pushed
+    * filters back to a Column and runs the stat-pruned copy-on-write
+    * delete; an empty filter set truncates (rewrites to empty).
+    */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.flatMap(FilterColumns.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    SnapshotTable.delete(SparkSession.active, path, cond)
+    ()
+  }
 
   override def name(): String =
     s"graft_snapshot.`$path`" + version.map(v => s"@v$v").getOrElse("")

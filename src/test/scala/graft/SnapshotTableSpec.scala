@@ -251,6 +251,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t2).select("id").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("merge: update/delete/insert clauses with source-key-range file pruning") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = Files.createTempDirectory("graft_merge").toString + "/t"
+    SnapshotTable.append((1 to 100).map(i => (i, i * 10, "keep")).toDF("id", "n", "tag")
+      .coalesce(1), t)
+    SnapshotTable.append((101 to 200).map(i => (i, i * 10, "keep")).toDF("id", "n", "tag")
+      .coalesce(1), t)
+    val before = SnapshotTable.filesForRead(t).toSet
+
+    // source keys all land in the second file's range (plus one insert)
+    val src = Seq((150, 0, "x"), (160, 0, "x"), (250, 0, "x")).toDF("id", "n", "tag")
+    SnapshotTable.merge(spark, t, src, "id",
+      whenMatchedUpdate = Map(
+        "n" -> col("_src.n"), "tag" -> lit("updated")),
+      whenMatchedDelete = Some(col("id") === 160),
+      whenNotMatchedInsert = true)
+
+    val after = SnapshotTable.filesForRead(t).toSet
+    assert((before & after).size == 1, "file outside the source key envelope carries over")
+
+    val rows = SnapshotTable.read(spark, t)
+      .select("id", "n", "tag").as[(Int, Int, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(rows.length == 200) // 200 - 1 delete + 1 insert
+    assert(byId(150) == ((150, 0, "updated")))
+    assert(!byId.contains(160), "whenMatchedDelete must drop the row")
+    assert(byId(250) == ((250, 0, "x")), "whenNotMatchedInsert adds source rows")
+    assert(byId(50) == ((50, 500, "keep")) && byId(199) == ((199, 1990, "keep")))
+
+    // whenNotMatchedInsert=false: unmatched source rows are ignored
+    SnapshotTable.merge(spark, t, Seq((999, 1, "z")).toDF("id", "n", "tag"), "id",
+      whenNotMatchedInsert = false)
+    assert(SnapshotTable.read(spark, t).filter(col("id") === 999).isEmpty)
+  }
+
   test("readChanges: file-diff change feed tags rows with the commit version") {
     val t = Files.createTempDirectory("graft_snap6").toString + "/t"
     SnapshotTable.append(Seq((1, "a")).toDF("id", "v"), t)  // v0
