@@ -118,6 +118,49 @@ object ScaleProbe {
       val enc = graft.core.ProductQuantizer.encode(emb, model)
       graft.core.ProductQuantizer.adcTopK(queries, enc, model, k = 10)
     }
+
+    // ---- lakehouse ops (SnapshotTable + DSv2 connector) ----
+    // write is linear in new data; the PRUNED ops must scale with
+    // matching files, not table size. The table is range-clustered on
+    // o_orderdate at write, so one month's predicate opens a constant
+    // FRACTION of files at any scale (delete/merge share the same
+    // stat-pruning path).
+    def timedU(label: String)(work: String => Unit): Unit = {
+      def run(dir: String): Double = {
+        val t0 = System.nanoTime(); work(dir); (System.nanoTime() - t0) / 1e9
+      }
+      val s = run("/root/testdata/sf0.1"); val b = run(out)
+      println(f"[scale-probe] $label%-22s sf0.1=$s%6.2fs 10x=$b%7.2fs ratio=${b / s}%5.1f")
+    }
+    val snapDirs = scala.collection.mutable.Map.empty[String, String]
+    timedU("snap clustered write") { dir =>
+      val t = java.nio.file.Files.createTempDirectory("probe_snap").toString + "/t"
+      snapDirs(dir) = t
+      graft.sources.SnapshotTable.append(
+        Tables.load(spark, dir, "orders")
+          .repartitionByRange(32, col("o_orderdate")), t)
+    }
+    timedU("snap pruned scan") { dir =>
+      val t = snapDirs(dir)
+      spark.read.format("graft-snapshot").load(t)
+        .filter(col("o_orderdate") >= lit("1996-03-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .agg(count(lit(1))).collect()
+    }
+    snapDirs.foreach { case (dir, t) =>
+      import graft.sources.SnapshotTable.ColRange
+      val total = graft.sources.SnapshotTable.filesForRead(t).size
+      // o_orderdate rewrites as TIMESTAMP_MICROS on append: bounds in
+      // micros (1996-03-01 / 1996-04-01), matching the footer stats
+      val us = 86400L * 1000000L
+      val pruned = graft.sources.SnapshotTable.filesForRead(t, prune = Seq(
+        ColRange("o_orderdate", Some(9556L * us), Some(9587L * us)))).size
+      println(s"[scale-probe]   pruned scan on $dir: $pruned of $total files")
+    }
+    timedU("snap delete month") { dir =>
+      graft.sources.SnapshotTable.delete(spark, snapDirs(dir),
+        col("o_orderdate") >= lit("1997-06-01") && col("o_orderdate") < lit("1997-07-01"))
+    }
     spark.stop()
   }
 }

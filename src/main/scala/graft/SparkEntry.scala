@@ -741,6 +741,30 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // conditional MERGE, end-to-end against a relational oracle:
+    // pre-1996 orders become a snapshot table; the source doubles the
+    // price of every key%97 row (matched UPDATE), drops key%(97*5)
+    // rows (matched DELETE), and re-adds the updates under shifted
+    // keys (NOT MATCHED INSERT). The oracle reproduces the same
+    // disposition with a LEFT JOIN + UNION in plain SQL.
+    "q65_snapshot_merge" -> ((s, dir) => {
+      val t = java.nio.file.Files.createTempDirectory("graft_q65").toString + "/t"
+      val tgt = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1996-01-01"))
+      graft.sources.SnapshotTable.append(tgt, t)
+      val updates = tgt.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = updates
+        .withColumn("o_orderkey", col("o_orderkey") + lit(30000000L))
+      graft.sources.SnapshotTable.merge(s, t, updates.unionByName(inserts), "o_orderkey",
+        whenMatchedUpdate = Map("o_totalprice" -> col("_src.o_totalprice")),
+        whenMatchedDelete = Some(col("o_orderkey") % 485 === 0),
+        whenNotMatchedInsert = true)
+      graft.sources.SnapshotTable.read(s, t)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          round(sum("o_totalprice"), 2).as("total_price"))
     })
   )
 
@@ -1624,7 +1648,26 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders
         |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q65_snapshot_merge" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderdate < DATE '1996-01-01'),
+        |src AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS new_price FROM tgt
+        |  WHERE o_orderkey % 97 = 0),
+        |merged AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+        |         ELSE t.o_totalprice END AS price
+        |  FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR t.o_orderkey % 485 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, new_price FROM src)
+        |SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+        |  round(sum(price), 2) AS total_price
+        |FROM merged""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -47,15 +47,19 @@ object SnapshotTable {
 
   final case class FileEntry(name: String, stats: Map[String, ColStats])
 
-  /** Closed value range for pruning: keep files whose [min,max]
-    * intersects [lower,upper] on `column`. Bounds are inclusive;
-    * `None` means unbounded on that side. Values compare numerically
-    * for numeric columns and lexicographically for strings (ISO dates
-    * stored as strings prune correctly under the same ordering).
+  /** Value range for pruning: keep files whose [min,max] intersects
+    * the range on `column`. Bounds are inclusive by default (strict
+    * `<`/`>` predicates set the *Inclusive flag false so an adjacent
+    * file whose min/max EQUALS the bound still skips); `None` means
+    * unbounded on that side. Values compare numerically for numeric
+    * columns and lexicographically for strings (ISO dates stored as
+    * strings prune correctly under the same ordering).
     */
   final case class ColRange(column: String,
                             lower: Option[Any] = None,
-                            upper: Option[Any] = None)
+                            upper: Option[Any] = None,
+                            lowerInclusive: Boolean = true,
+                            upperInclusive: Boolean = true)
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def dataDir(table: String): Path = Paths.get(table, "data")
@@ -254,10 +258,20 @@ object SnapshotTable {
 
   /** Write `df` as new immutable data files; returns manifest entries
     * with footer-derived stats.
+    *
+    * Timestamps write as INT64 TIMESTAMP_MICROS, never the legacy
+    * INT96 default: INT96 column chunks carry NO footer statistics, so
+    * a timestamp-clustered table would silently lose all data
+    * skipping (and INT96 is deprecated in the parquet spec anyway).
     */
   private def writeData(df: DataFrame, table: String): Seq[FileEntry] = {
     val staging = Paths.get(table, s".staging-${java.util.UUID.randomUUID()}")
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val conf = df.sparkSession.conf
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.get(tsKey)
+    conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    finally conf.set(tsKey, prev)
     Files.createDirectories(dataDir(table))
     val moved = Files.list(staging).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -404,8 +418,10 @@ object SnapshotTable {
           case (x: String, y: String) => Some(x.compareTo(y))
           case _ => None // incomparable: cannot skip
         }
-        val belowLower = r.lower.flatMap(l => cmp(cs.max, l)).exists(_ < 0)
-        val aboveUpper = r.upper.flatMap(u => cmp(cs.min, u)).exists(_ > 0)
+        val belowLower = r.lower.flatMap(l => cmp(cs.max, l))
+          .exists(c => if (r.lowerInclusive) c < 0 else c <= 0)
+        val aboveUpper = r.upper.flatMap(u => cmp(cs.min, u))
+          .exists(c => if (r.upperInclusive) c > 0 else c >= 0)
         !belowLower && !aboveUpper
     }
 
@@ -586,11 +602,14 @@ object SnapshotTable {
       val deleteCond = whenMatchedDelete
         .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
       val kept = joined.filter(not(matched) || not(deleteCond))
+      // every output column casts onto the target schema type: a
+      // clause (or unionByName widening on the source) must never
+      // write files whose physical types drift from the manifest schema
       val updatedCols = targetCols.map { c =>
         whenMatchedUpdate.get(c) match {
           case Some(expr) =>
             org.apache.spark.sql.functions.when(matched, expr)
-              .otherwise(candidateDf(c)).as(c)
+              .otherwise(candidateDf(c)).cast(tgtSchema(c).dataType).as(c)
           case None => candidateDf(c).as(c)
         }
       }
@@ -600,9 +619,10 @@ object SnapshotTable {
         if (!whenNotMatchedInsert) None
         else {
           val unmatched = deduped.join(candidateDf.select(col(key)), Seq(key), "left_anti")
-          // inserts project onto the target schema; missing columns null
+          // inserts project onto the target schema (typed); missing
+          // columns null
           val projected = unmatched.select(targetCols.map(c =>
-            if (unmatched.columns.contains(c)) col(c)
+            if (unmatched.columns.contains(c)) col(c).cast(tgtSchema(c).dataType).as(c)
             else lit(null).cast(tgtSchema(c).dataType).as(c)): _*)
           Some(projected)
         }

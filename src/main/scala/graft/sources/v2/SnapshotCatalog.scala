@@ -74,6 +74,20 @@ class SnapshotCatalog extends TableCatalog {
         SnapshotTable.schemaOf(SparkSession.active, path)))
   }
 
+  /** `SELECT ... FROM snap.t VERSION AS OF n` — SQL time travel onto
+    * the manifest log.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"snapshot versions are integers; got '$version'")
+    }
+    new SnapshotV2Table(path, Some(v),
+      SnapshotDataSource.nullableCopy(
+        SnapshotTable.schemaOf(SparkSession.active, path, Some(v))))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

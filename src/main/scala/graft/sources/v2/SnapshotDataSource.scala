@@ -256,9 +256,11 @@ private[graft] object SnapshotPredicates {
   private def rangesOf(e: Expression): Seq[ColRange] = e match {
     case And(l, r) => rangesOf(l) ++ rangesOf(r)
     case EqualTo(a, v) => point(a, v) ++ point(v, a)
-    case GreaterThan(a, v) => bound(a, v, lower = true) ++ bound(v, a, lower = false)
+    case GreaterThan(a, v) =>
+      bound(a, v, lower = true, incl = false) ++ bound(v, a, lower = false, incl = false)
     case GreaterThanOrEqual(a, v) => bound(a, v, lower = true) ++ bound(v, a, lower = false)
-    case LessThan(a, v) => bound(a, v, lower = false) ++ bound(v, a, lower = true)
+    case LessThan(a, v) =>
+      bound(a, v, lower = false, incl = false) ++ bound(v, a, lower = true, incl = false)
     case LessThanOrEqual(a, v) => bound(a, v, lower = false) ++ bound(v, a, lower = true)
     case In(a, vs) =>
       (attrName(a), vs.map(litVal)) match {
@@ -283,10 +285,12 @@ private[graft] object SnapshotPredicates {
       case _ => Nil
     }
 
-  private def bound(a: Expression, v: Expression, lower: Boolean): Seq[ColRange] =
+  private def bound(a: Expression, v: Expression, lower: Boolean,
+                    incl: Boolean = true): Seq[ColRange] =
     (attrName(a), litVal(v)) match {
       case (Some(n), Some(value)) =>
-        Seq(if (lower) ColRange(n, lower = Some(value)) else ColRange(n, upper = Some(value)))
+        Seq(if (lower) ColRange(n, lower = Some(value), lowerInclusive = incl)
+            else ColRange(n, upper = Some(value), upperInclusive = incl))
       case _ => Nil
     }
 }

@@ -53,6 +53,16 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE snap.ow")
   }
 
+  test("SQL time travel: VERSION AS OF reads an old snapshot") {
+    base
+    spark.sql("CREATE TABLE snap.tt (id BIGINT)")
+    spark.sql("INSERT INTO snap.tt VALUES (1), (2)") // v1
+    spark.sql("INSERT INTO snap.tt VALUES (3)")      // v2
+    assert(spark.sql("SELECT count(*) FROM snap.tt VERSION AS OF 1").as[Long].head() == 2L)
+    assert(spark.sql("SELECT count(*) FROM snap.tt").as[Long].head() == 3L)
+    spark.sql("DROP TABLE snap.tt")
+  }
+
   test("catalog and path API are the same table") {
     base
     spark.sql("CREATE TABLE snap.shared (id BIGINT)")

@@ -87,6 +87,22 @@ class SnapshotDsv2Spec extends SparkSpec {
     assert(all.filter($"k".isin("alpha", "zulu")).count() == 2) // envelope spans files, still correct
   }
 
+  test("timestamp predicates prune on micros footer stats") {
+    val t = newTable("dsv2_ts")
+    def day(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    SnapshotTable.append(Seq((1, day("2024-01-01")), (2, day("2024-01-31")))
+      .toDF("id", "ts").coalesce(1), t)
+    SnapshotTable.append(Seq((3, day("2024-02-01")), (4, day("2024-02-28")))
+      .toDF("id", "ts").coalesce(1), t)
+    SnapshotTable.append(Seq((5, day("2024-03-01")), (6, day("2024-03-31")))
+      .toDF("id", "ts").coalesce(1), t)
+
+    val all = spark.read.format("graft-snapshot").load(t)
+    val feb = all.filter($"ts" >= lit("2024-02-01") && $"ts" < lit("2024-03-01"))
+    assert(scannedFiles(feb) == 1, "month query must open only February's file")
+    assert(feb.select($"id").as[Int].collect().toSet == Set(3, 4))
+  }
+
   test("column pruning and parquet row-group pushdown reach the inner scan") {
     val t = newTable("dsv2_cols")
     SnapshotTable.append((1 to 50).map(i => (i, s"v$i", i * 1.5)).toDF("id", "v", "x"), t)
