@@ -41,7 +41,9 @@ object ScaleProbe {
       }
     }
 
-    val probes = Seq("q01_pricing_summary", "q06_user_daily",
+    // `runMain graft.ScaleProbe snap` re-probes only the lakehouse ops
+    val snapOnly = args.contains("snap")
+    val probes = if (snapOnly) Nil else Seq("q01_pricing_summary", "q06_user_daily",
       "q16_anomaly_features", "q19_ngram_jaccard", "q20_minhash_lsh",
       "q21_simhash", "q39_cosine_neardup", "q43_dedup_resolve",
       "q49_ivf_assign", "q50_lsh_candidates",
@@ -68,6 +70,7 @@ object ScaleProbe {
     // the scale-path variants of the two exact baselines that are
     // (by design) quadratic on a duplicate-heavy corpus:
     def timed(label: String)(mk: String => org.apache.spark.sql.DataFrame): Unit = {
+      if (snapOnly) return
       def run(dir: String): Double = {
         val t0 = System.nanoTime()
         mk(dir).write.format("noop").mode("overwrite").save()

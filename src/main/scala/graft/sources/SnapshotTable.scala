@@ -535,6 +535,56 @@ object SnapshotTable {
       s"lost the delete race on $table $MaxCommitRetries times")
   }
 
+  /** Row-level UPDATE (copy-on-write, same pruning as [[delete]]):
+    * rows matching `condition` get `set`'s columns re-computed (the
+    * expressions may reference the row's current columns); only files
+    * whose stats intersect the condition rewrite. Updates cast onto
+    * the existing column types — an UPDATE never drifts the physical
+    * schema.
+    *
+    * @return Some(newVersion), or None when no file could contain a
+    *         match
+    */
+  def update(spark: SparkSession, table: String,
+             condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column]): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val cond = coalesce(condition, lit(false))
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val base = currentVersion(table).getOrElse(return None)
+      val (entries, schemaOpt, prevTxns) = readManifestFull(table, base)
+      val resolvedConds = read(spark, table, Some(base)).filter(condition)
+        .queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      val ranges = graft.sources.v2.SnapshotPredicates.ranges(resolvedConds)
+      val (candidates, untouched) =
+        entries.partition(fe => ranges.forall(r => rangeKeeps(fe.stats, r)))
+      if (candidates.isEmpty) return None
+      val tgtSchema = schemaOpt.getOrElse(read(spark, table, Some(base)).schema)
+      set.keys.foreach(c => require(tgtSchema.fieldNames.contains(c),
+        s"UPDATE SET references unknown column $c"))
+      val reader = spark.read.schema(tgtSchema)
+      val rewritten = reader.parquet(
+          candidates.map(fe => dataDir(table).resolve(fe.name).toString): _*)
+        .select(tgtSchema.fieldNames.toSeq.map { c =>
+          set.get(c) match {
+            case Some(expr) =>
+              when(cond, expr).otherwise(col(c)).cast(tgtSchema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      val newFiles = writeData(rewritten.localCheckpoint(), table)
+      if (publishManifest(table, base + 1, untouched ++ newFiles, schemaOpt, prevTxns))
+        return Some(base + 1)
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the update race on $table $MaxCommitRetries times")
+  }
+
   /** Conditional MERGE (the Delta `MERGE INTO` contract, reduced to
     * the keyed form): for each target row whose `key` appears in
     * `updates` — apply `whenMatchedUpdate` columns (SET col = expr,

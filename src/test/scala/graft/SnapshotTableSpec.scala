@@ -251,6 +251,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t2).select("id").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("update: copy-on-write SET over pruned candidate files") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = Files.createTempDirectory("graft_upd").toString + "/t"
+    SnapshotTable.append((1 to 100).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1), t)
+    SnapshotTable.append((101 to 200).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1), t)
+    val before = SnapshotTable.filesForRead(t).toSet
+
+    val v = SnapshotTable.update(spark, t, col("id") <= 50,
+      Map("x" -> (col("x") * 10 + col("id"))))
+    assert(v.contains(2))
+    assert((before & SnapshotTable.filesForRead(t).toSet).size == 1,
+      "file outside the condition range carries over")
+    val byId = SnapshotTable.read(spark, t).as[(Int, Double)].collect().toMap
+    assert(byId(10) == 110.0 && byId(50) == 550.0)
+    assert(byId(51) == 51.0 && byId(200) == 200.0)
+
+    // no candidate file -> None
+    assert(SnapshotTable.update(spark, t, col("id") > 9999,
+      Map("x" -> lit(0.0))).isEmpty)
+  }
+
   test("merge: update/delete/insert clauses with source-key-range file pruning") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = Files.createTempDirectory("graft_merge").toString + "/t"
