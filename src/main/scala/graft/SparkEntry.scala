@@ -765,6 +765,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("o_orderkey")).as("n_keys"),
           round(sum("o_totalprice"), 2).as("total_price"))
+    }),
+
+    // sub-document dedup: 12-word chunks, corpus-wide first-occurrence
+    // wins, docs reassembled — catches repeated boilerplate inside
+    // otherwise-distinct documents
+    "q66_chunk_dedup" -> ((s, dir) => {
+      TextAnalysis.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 12)
+        .orderBy("doc_id")
     })
   )
 
@@ -1667,7 +1675,29 @@ object SparkEntry {
         |  SELECT o_orderkey + 30000000, new_price FROM src)
         |SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
         |  round(sum(price), 2) AS total_price
-        |FROM merged""".stripMargin
+        |FROM merged""".stripMargin,
+
+    "q66_chunk_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    [array_to_string(list_slice(words, i*12 + 1, i*12 + 12), ' ')
+        |     for i in generate_series(0, (len(words) - 1) // 12)]
+        |      AS chunks
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, unnest(chunks) AS chunk,
+        |    generate_subscripts(chunks, 1) - 1 AS pos
+        |  FROM l),
+        |f AS (
+        |  SELECT doc_id, chunk, pos,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+        |FROM f WHERE rn = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

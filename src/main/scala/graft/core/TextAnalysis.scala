@@ -252,6 +252,49 @@ object TextAnalysis {
     * text; the reference has no equivalent, this is the training-data
     * pipeline extension).
     */
+  /** Corpus-wide chunk-level dedup (the C4/RefinedWeb paragraph-dedup
+    * shape): documents split into fixed `chunkWords`-word windows, a
+    * chunk's FIRST occurrence in (doc, position) order survives, every
+    * later repeat — within the same doc or any other — is dropped, and
+    * the surviving chunks reassemble per document in original order.
+    * Sub-document granularity catches boilerplate (headers, footers,
+    * license blocks) that whole-document dedup can't: the containing
+    * docs differ, the paragraph repeats.
+    *
+    * Windows stand in for paragraphs here because the synthetic corpus
+    * has no newline structure; with real text, pass the split column
+    * directly (same pipeline from `posexplode` down).
+    *
+    * Shapes: one exchange keyed on the chunk STRING for the
+    * first-occurrence window (string keys keep the DuckDB oracle
+    * exact; at 100 TB shuffle (hash, doc, pos) and re-join the
+    * winning text instead), one exchange on the doc id for
+    * reassembly. Output: (id, n_kept, text_dedup) — a document whose
+    * every chunk was seen earlier drops out entirely.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkWords >= 1, "chunkWords must be >= 1")
+    val words = tokens(col(textCol))
+    val chunks = transform(
+      sequence(lit(0), ((size(words) - 1) / chunkWords).cast("int")),
+      i => concat_ws(" ", slice(words, i * chunkWords + 1, lit(chunkWords))))
+    val exploded = df
+      .select(col(idCol), posexplode(chunks).as(Seq("pos", "chunk")))
+    val firstWins = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("pos"))
+    val kept = exploded
+      .withColumn("rn", row_number().over(firstWins))
+      .filter(col("rn") === 1)
+    kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk"))).as("text_dedup"))
+  }
+
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
 }

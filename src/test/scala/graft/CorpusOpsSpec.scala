@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkDedup: first occurrence wins across and within documents") {
+    // 2-word chunks: doc 1 = [a b][c d]; doc 2 repeats [a b] then adds
+    // [x y]; doc 3 repeats [c d] twice -> drops out entirely; doc 4
+    // repeats its own chunk internally
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d c d"),
+      (4L, "p q p q r")).toDF("doc_id", "text")
+    val out = graft.core.TextAnalysis.chunkDedup(docs, "doc_id", "text", 2)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1) == ((2L, "a b c d")))
+    assert(out(2) == ((1L, "x y")), "cross-doc repeat of [a b] dropped")
+    assert(!out.contains(3L), "all-duplicate doc drops out")
+    assert(out(4) == ((2L, "p q r")), "within-doc repeat dropped, short tail kept")
+  }
+
   test("decontaminate: flags docs sharing an n-gram with eval, spares the rest") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram prefix with eval 100
