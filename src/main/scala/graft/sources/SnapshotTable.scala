@@ -264,13 +264,27 @@ object SnapshotTable {
     * a timestamp-clustered table would silently lose all data
     * skipping (and INT96 is deprecated in the parquet spec anyway).
     */
-  private def writeData(df: DataFrame, table: String): Seq[FileEntry] = {
+  private def writeData(df: DataFrame, table: String,
+                        bloomColumns: Seq[String] = Nil): Seq[FileEntry] = {
     val staging = Paths.get(table, s".staging-${java.util.UUID.randomUUID()}")
     val conf = df.sparkSession.conf
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prev = conf.get(tsKey)
     conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // parquet-level bloom filters: row-group skipping for EQUALITY
+    // probes on scattered high-cardinality columns, where min/max
+    // ranges span everything and prune nothing. The reader side is
+    // free: parquet-mr consults blooms during pushed-filter evaluation
+    // on any scan (programmatic or DSv2). Dictionary encoding is
+    // disabled on indexed columns — parquet drops the bloom when a
+    // chunk stays fully dictionary-encoded (the dictionary already
+    // answers membership), and a bloom-worthy column is high-cardinality
+    // by definition
+    val writer = bloomColumns.foldLeft(df.write.mode(SaveMode.Overwrite)) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    try writer.parquet(staging.toString)
     finally conf.set(tsKey, prev)
     Files.createDirectories(dataDir(table))
     val moved = Files.list(staging).iterator().asScala
@@ -330,8 +344,14 @@ object SnapshotTable {
     * snapshot schema EVOLVES additively: new columns join the union
     * schema; a type change on an existing column is rejected.
     */
-  def append(df: DataFrame, table: String): Int = {
-    val newFiles = writeData(df, table)
+  /** @param bloomColumns columns to index with parquet bloom filters
+    *                      in the new files (equality-probe row-group
+    *                      skipping; orthogonal to the min/max manifest
+    *                      stats)
+    */
+  def append(df: DataFrame, table: String,
+             bloomColumns: Seq[String] = Nil): Int = {
+    val newFiles = writeData(df, table, bloomColumns)
     commitLoop(table) { (prev, prevSchema) =>
       (prev ++ newFiles, evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
     }
@@ -730,8 +750,16 @@ object SnapshotTable {
     * @return the committed version, or None when nothing needed
     *         compacting (fewer than 2 sub-target files)
     */
+  /** @param sortBy when non-empty, the packed output range-partitions
+    *                and sorts on these columns instead of hash
+    *                bin-packing — compaction then RESTORES clustering
+    *                (tight disjoint footer stats on the sort key) for
+    *                files whose stats had degraded under streaming
+    *                ingest, instead of merely merging them
+    */
   def compact(spark: SparkSession, table: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Option[Int] = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              sortBy: Seq[String] = Nil): Option[Int] = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(table).getOrElse(return None)
@@ -745,9 +773,13 @@ object SnapshotTable {
       // read through the union schema so mixed-schema (evolved) files
       // pack into uniform output files
       val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
-      val packed = reader.parquet(
-          small.map(s => dataDir(table).resolve(s._1.name).toString): _*)
-        .repartition(bins)
+      val smallDf = reader.parquet(
+        small.map(s => dataDir(table).resolve(s._1.name).toString): _*)
+      val packed =
+        if (sortBy.isEmpty) smallDf.repartition(bins)
+        else smallDf
+          .repartitionByRange(bins, sortBy.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
       // safe to read lazily: compaction deletes nothing — the source
       // files stay on disk (and referenced by older manifests) until a
       // later vacuum

@@ -251,6 +251,58 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t2).select("id").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("bloom-indexed append writes parquet bloom filters") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft_bloom").toString + "/t"
+    SnapshotTable.append((1 to 5000).map(i => (i, s"u${i % 977}"))
+      .toDF("id", "user").coalesce(1), t, bloomColumns = Seq("user"))
+
+    val file = java.nio.file.Paths.get(t, "data",
+      SnapshotTable.filesForRead(t).head)
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), new org.apache.hadoop.conf.Configuration()))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      import scala.jdk.CollectionConverters._
+      val byPath = rg.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+      val bloomReader = reader.getBloomFilterDataReader(rg)
+      assert(bloomReader.readBloomFilter(byPath("user")) != null,
+        "indexed column must carry a bloom filter")
+      assert(bloomReader.readBloomFilter(byPath("id")) == null,
+        "non-indexed column must not")
+    } finally reader.close()
+
+    // equality probe stays correct through the bloom-enabled reader
+    assert(SnapshotTable.read(spark, t).filter(col("user") === "u7").count() == 6)
+  }
+
+  test("sorted compaction restores disjoint clustering stats") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft_sortcomp").toString + "/t"
+    // interleaved streaming-style commits: every file spans the whole
+    // key range, so nothing prunes
+    (0 until 4).foreach { k =>
+      SnapshotTable.append((1 to 400).filter(_ % 4 == k)
+        .map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), t)
+    }
+    val noPrune = SnapshotTable.filesForRead(t, prune = Seq(
+      SnapshotTable.ColRange("id", Some(10L), Some(20L))))
+    assert(noPrune.size == 4, "degraded layout: every file intersects")
+
+    val v = SnapshotTable.compact(spark, t, targetFileBytes = 4096, sortBy = Seq("id"))
+    assert(v.isDefined)
+    val total = SnapshotTable.filesForRead(t).size
+    val pruned = SnapshotTable.filesForRead(t, prune = Seq(
+      SnapshotTable.ColRange("id", Some(10L), Some(20L))))
+    assert(pruned.size < total,
+      s"range-clustered compaction must restore pruning ($pruned of $total)")
+    // content identical
+    assert(SnapshotTable.read(spark, t).select("id").as[Int].collect().sorted.toSeq ==
+      (1 to 400))
+  }
+
   test("update: copy-on-write SET over pruned candidate files") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = Files.createTempDirectory("graft_upd").toString + "/t"
