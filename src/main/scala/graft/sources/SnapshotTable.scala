@@ -267,10 +267,6 @@ object SnapshotTable {
   private def writeData(df: DataFrame, table: String,
                         bloomColumns: Seq[String] = Nil): Seq[FileEntry] = {
     val staging = Paths.get(table, s".staging-${java.util.UUID.randomUUID()}")
-    val conf = df.sparkSession.conf
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prev = conf.get(tsKey)
-    conf.set(tsKey, "TIMESTAMP_MICROS")
     // parquet-level bloom filters: row-group skipping for EQUALITY
     // probes on scattered high-cardinality columns, where min/max
     // ranges span everything and prune nothing. The reader side is
@@ -284,8 +280,12 @@ object SnapshotTable {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.enable.dictionary#$c", "false")
     }
-    try writer.parquet(staging.toString)
-    finally conf.set(tsKey, prev)
+    // TIMESTAMP_MICROS as a per-write OPTION (merged into this job's
+    // hadoop conf), never a session-conf mutation — a concurrent
+    // writer on the same session would race a set/restore and
+    // silently fall back to INT96, which carries no footer stats
+    writer.option("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .parquet(staging.toString)
     Files.createDirectories(dataDir(table))
     val moved = Files.list(staging).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -433,6 +433,10 @@ object SnapshotTable {
       case None => true // no stats for the column: cannot skip
       case Some(cs) =>
         def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+          // exact integral compare first: a Double collapse of 64-bit
+          // keys above 2^53 would make EXCLUSIVE bounds mis-prune a
+          // file whose max equals bound+1
+          case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
           case (x: Number, y: Number) =>
             Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
           case (x: String, y: String) => Some(x.compareTo(y))
@@ -631,6 +635,11 @@ object SnapshotTable {
             whenNotMatchedInsert: Boolean = true): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct}
     val deduped = updates.dropDuplicates(key).localCheckpoint()
+    // empty source: nothing can match or insert — without this guard a
+    // null key envelope would make EVERY file a rewrite candidate and
+    // copy the whole table for a no-op (an empty foreachBatch batch)
+    if (deduped.isEmpty)
+      return currentVersion(table).getOrElse(create(table, deduped.schema))
     // the source key envelope: one tiny agg, reused every retry
     val bounds = deduped.agg(
       org.apache.spark.sql.functions.min(col(key)),
@@ -663,10 +672,9 @@ object SnapshotTable {
 
       // one full-outer-shaped pass: candidates LEFT JOIN source decides
       // update/delete/keep; source LEFT ANTI candidates decides inserts
-      val src = deduped.withColumn("_src_present", lit(true))
-      val srcStruct = struct(src.columns.map(col): _*)
+      val srcStruct = struct(deduped.columns.map(col): _*)
       val joined = candidateDf.join(
-        src.select(col(key).as("_src_key"), srcStruct.as("_src")),
+        deduped.select(col(key).as("_src_key"), srcStruct.as("_src")),
         candidateDf(key) === col("_src_key"), "left")
       val matched = col("_src_key").isNotNull
       val deleteCond = whenMatchedDelete

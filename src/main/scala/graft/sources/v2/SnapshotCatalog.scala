@@ -49,7 +49,14 @@ class SnapshotCatalog extends TableCatalog {
   private def pathOf(ident: Identifier): String = {
     require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("default")),
       s"snapshot catalog is single-level; got namespace ${ident.namespace().mkString(".")}")
-    Paths.get(base, ident.name()).toString
+    val n = ident.name()
+    // a table name is a single directory entry, never a path: without
+    // this, DROP TABLE snap.`..` would recursively delete the parent
+    // of the data root
+    require(n.nonEmpty && n != "." && n != ".." &&
+        !n.contains('/') && !n.contains('\\'),
+      s"illegal table name '$n' (must be a plain directory name)")
+    Paths.get(base, n).toString
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
