@@ -276,16 +276,22 @@ object SnapshotTable {
     // chunk stays fully dictionary-encoded (the dictionary already
     // answers membership), and a bloom-worthy column is high-cardinality
     // by definition
-    val writer = bloomColumns.foldLeft(df.write.mode(SaveMode.Overwrite)) {
+    // TIMESTAMP_MICROS must be pinned on the SESSION conf — parquet's
+    // prepareWrite re-reads it from the session and overwrites any
+    // writer option, so an option-only spelling silently falls back to
+    // INT96 (no footer stats). A cloned session keeps the pin isolated:
+    // no set/restore race with concurrent writers on the caller's
+    // session, and the clone shares the SparkContext so the write is
+    // the same distributed job.
+    val writeSession = org.apache.spark.sql.GraftShim.cloneSession(df.sparkSession)
+    writeSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val pinned = org.apache.spark.sql.GraftShim.ofRows(
+      writeSession, org.apache.spark.sql.GraftShim.logicalPlan(df))
+    val writer = bloomColumns.foldLeft(pinned.write.mode(SaveMode.Overwrite)) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.enable.dictionary#$c", "false")
     }
-    // TIMESTAMP_MICROS as a per-write OPTION (merged into this job's
-    // hadoop conf), never a session-conf mutation — a concurrent
-    // writer on the same session would race a set/restore and
-    // silently fall back to INT96, which carries no footer stats
-    writer.option("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .parquet(staging.toString)
+    writer.parquet(staging.toString)
     Files.createDirectories(dataDir(table))
     val moved = Files.list(staging).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))

@@ -30,4 +30,12 @@ object GraftShim {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Fork of the session with an isolated copy of the session state
+    * (confs, temp views) sharing the same SparkContext. Lets a write
+    * path pin a session conf (e.g. parquet output timestamp type)
+    * without mutating — or racing — the caller's session.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }
