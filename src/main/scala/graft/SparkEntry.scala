@@ -773,6 +773,25 @@ object SparkEntry {
     "q66_chunk_dedup" -> ((s, dir) => {
       TextAnalysis.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 12)
         .orderBy("doc_id")
+    }),
+
+    // SemDeDup (cluster-bucketed semantic dedup): fixed corpus-row
+    // centroids (vec_id % 97 == 3, ordered) stand in for a trained
+    // quantizer so the whole pipeline — literal-centroid assignment,
+    // within-cluster cosine pairs, component resolution — is
+    // deterministic and oracle-checkable end-to-end. Trained-centroid
+    // behavior (recall vs exact) is covered in SimilaritySpec.
+    "q67_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 97 === 3)
+        .orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .as[Array[Double]].collect()
+      val model = graft.ml.KMeansTrainer.KMeansModel(cents, Nil, 0, cosine = true)
+      Similarity.semDedup(emb, model, tau = 0.82)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
+          col("survivor_id"), col("is_survivor"))
     })
   )
 
@@ -1697,7 +1716,63 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_kept,
         |  string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
         |FROM f WHERE rn = 1
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q67: assignment reproduces the engine's literal-centroid argmax
+    // (same sequential-fold cosine, ties to the smaller bucket);
+    // duplicate groups via the same recursive-CTE components as q43.
+    "q67_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS centroid_id, v AS cv,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS bucket
+        |  FROM e WHERE vec_id % 97 = 3),
+        |scored AS (
+        |  SELECT e.vec_id, c.bucket,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [e.v[i+1] * c.cv[i+1] for i in generate_series(0, len(e.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [e.v[i+1] * e.v[i+1] for i in generate_series(0, len(e.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [c.cv[i+1] * c.cv[i+1] for i in generate_series(0, len(c.cv)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM e, c),
+        |assigned AS (
+        |  SELECT vec_id, bucket FROM (
+        |    SELECT vec_id, bucket,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, bucket ASC) AS rnk
+        |    FROM scored) WHERE rnk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM assigned a
+        |  JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [ea.v[i+1] * eb.v[i+1] for i in generate_series(0, len(ea.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [ea.v[i+1] * ea.v[i+1] for i in generate_series(0, len(ea.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [eb.v[i+1] * eb.v[i+1] for i in generate_series(0, len(eb.v)-1)]),
+        |         (acc, x) -> acc + x))) >= 0.82),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (
+        |  SELECT src AS doc, src AS lbl FROM edges
+        |  UNION
+        |  SELECT g.dst AS doc, cc.lbl FROM cc JOIN edges g ON cc.doc = g.src),
+        |labels AS (SELECT doc, min(lbl) AS cluster_id FROM cc GROUP BY 1)
+        |SELECT a.vec_id, a.bucket,
+        |  coalesce(l.cluster_id, a.vec_id) AS survivor_id,
+        |  coalesce(l.cluster_id, a.vec_id) = a.vec_id AS is_survivor
+        |FROM assigned a LEFT JOIN labels l ON a.vec_id = l.doc""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -313,6 +313,57 @@ object Similarity {
     (((h % 1000L) + 1000L) % 1000L) / 1000.0 - 0.5
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): semantic
+    * near-duplicate detection by clustering embeddings and comparing
+    * ONLY within-cluster pairs.
+    *
+    * Scale shape: assignment is ONE codegen'd corpus scan against
+    * literal centroids ([[graft.ml.KMeansTrainer.assign]] — no
+    * crossJoin, no window); the self-join shuffles both sides once on
+    * `bucket`, so pair work is Σᵢ cᵢ² for cluster sizes cᵢ instead of
+    * n² — with k sized so clusters hold ~10³–10⁴ docs, a 100 TB corpus
+    * pays k · (n/k)² = n²/k comparisons spread across bucket
+    * partitions. Cross-cluster near-dups are missed by construction
+    * (the paper's accepted trade); recall vs the exact O(n²) variant
+    * is asserted in SimilaritySpec.
+    *
+    * Returns within-cluster pairs (id_a < id_b) with cosine >= tau.
+    */
+  def semDedupPairs(emb: DataFrame, model: graft.ml.KMeansTrainer.KMeansModel,
+                    tau: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = graft.ml.KMeansTrainer.assign(emb, model, idCol, vecCol)
+    // norms are per-vector: computed on each side pre-join, never per pair
+    val a = assigned.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+    val b = assigned.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("bucket"), col("id_a"), col("id_b"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Full SemDeDup audit: every vector with its cluster, its
+    * semantic-duplicate group's canonical exemplar (component min id —
+    * the library-wide deterministic keep rule), and whether it
+    * survives. Duplicate groups are connected components of the
+    * within-cluster >= tau graph ([[graft.core.Dedup.resolveSurvivors]]
+    * — driver union-find under a bounded edge count, star-contraction
+    * rounds beyond it).
+    */
+  def semDedup(emb: DataFrame, model: graft.ml.KMeansTrainer.KMeansModel,
+               tau: Double, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val pairs = semDedupPairs(emb, model, tau, idCol, vecCol)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val assigned = graft.ml.KMeansTrainer.assign(emb, model, idCol, vecCol)
+      .select(col(idCol), col("bucket"))
+    Dedup.resolveSurvivors(assigned, idCol, pairs)
+  }
+
   /** Per-label centroid: mean embedding by label, emitted flat as
     * (label, dim, value) rows so results stay scalar-typed.
     */

@@ -137,4 +137,44 @@ class SimilaritySpec extends SparkSpec {
     assert(candMulti <= (candSingle * 1.4).toLong,
       s"multi candidates $candMulti exceed 1.4x single $candSingle")
   }
+
+  test("SemDeDup: within-cluster pairs are a subset of exact, cosines bit-match") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val model = graft.ml.KMeansTrainer.train(emb, k = 4, maxIter = 5)
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select($"id_a", $"id_b", $"cosine").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sem = Similarity.semDedupPairs(emb, model, 0.4)
+      .select($"id_a", $"id_b", $"cosine").as[(Long, Long, Double)].collect()
+    assert(sem.nonEmpty)
+    sem.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"($a,$b) not in exact pair set")
+      assert(exact((a, b)) == c, s"cosine mismatch on ($a,$b)")
+    }
+    // cluster-bucketing must retain most same-meaning pairs: the loss
+    // is exactly the cross-cluster pairs (the paper's accepted trade)
+    val recall = sem.length.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("SemDeDup audit: one survivor per duplicate group, min id wins, partition-invariant") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val model = graft.ml.KMeansTrainer.train(emb, k = 4, maxIter = 5)
+    val audit = Similarity.semDedup(emb, model, 0.4)
+    assert(audit.count() == emb.count(), "audit covers every vector")
+    val rows = audit.select($"vec_id", $"survivor_id", $"is_survivor")
+      .as[(Long, Long, Boolean)].collect()
+    rows.foreach { case (id, surv, isSurv) =>
+      assert(surv <= id, "exemplar is the component min id")
+      assert(isSurv == (surv == id))
+    }
+    // every named survivor actually survives
+    val survives = rows.filter(_._3).map(_._1).toSet
+    rows.foreach { case (_, surv, _) => assert(survives.contains(surv)) }
+    // partitioning must not change the outcome
+    val re = Similarity.semDedup(emb.repartition(13), model, 0.4)
+      .select($"vec_id", $"survivor_id", $"is_survivor")
+      .as[(Long, Long, Boolean)].collect()
+    assert(re.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
 }
