@@ -792,6 +792,28 @@ object SparkEntry {
       Similarity.semDedup(emb, model, tau = 0.82)
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
           col("survivor_id"), col("is_survivor"))
+    }),
+
+    // bigram-LM perplexity filter: train on the doc_id%7 slice,
+    // score the whole corpus. All outputs are exact integers —
+    // ll_scaled is a BIGINT sum of per-token floor(1e6·ln P) terms, so
+    // the order-sensitive float-sum trap can't bite (integer addition
+    // commutes) and the oracle hash-matches.
+    "q68_lm_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val lm = LanguageModel.trainBigram(d.filter(col("doc_id") % 7 === 0))
+      LanguageModel.scoreBigram(d, lm)
+    }),
+
+    // DSIR importance resampling: target = the doc_id%10 slice, raw =
+    // the rest; hashed unigram+bigram bucket log-ratios (fixed point),
+    // Gumbel-top-k selection keyed on BIGINTs — the entire sampling
+    // decision is deterministic and engine-portable.
+    "q69_dsir" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val target = d.filter(col("doc_id") % 10 === 0)
+      val raw = d.filter(col("doc_id") % 10 =!= 0)
+      LanguageModel.dsirResample(raw, target, k = 100, buckets = 512)
     })
   )
 
@@ -1772,7 +1794,106 @@ object SparkEntry {
         |SELECT a.vec_id, a.bucket,
         |  coalesce(l.cluster_id, a.vec_id) AS survivor_id,
         |  coalesce(l.cluster_id, a.vec_id) = a.vec_id AS is_survivor
-        |FROM assigned a LEFT JOIN labels l ON a.vec_id = l.doc""".stripMargin
+        |FROM assigned a LEFT JOIN labels l ON a.vec_id = l.doc""".stripMargin,
+
+    "q68_lm_score" ->
+      """WITH tr AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |lm AS (
+        |  SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c FROM (
+        |    SELECT unnest([{'w1': t[i+1], 'w2': t[i+2]}
+        |      for i in generate_series(0, len(t)-2)]) AS p
+        |    FROM tr WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_ctx FROM lm GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT tok) AS v
+        |        FROM (SELECT unnest(t) AS tok FROM tr)),
+        |sc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, unnest([{'w1': t[i+1], 'w2': t[i+2]}
+        |    for i in generate_series(0, len(t)-2)]) AS p
+        |  FROM sc WHERE len(t) >= 2),
+        |terms AS (
+        |  SELECT pr.doc_id, coalesce(lm.c, 0) AS c,
+        |    coalesce(ctx.c_ctx, 0) AS cctx
+        |  FROM pr
+        |  LEFT JOIN lm ON pr.p['w1'] = lm.w1 AND pr.p['w2'] = lm.w2
+        |  LEFT JOIN ctx ON pr.p['w1'] = ctx.w1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |    CAST(sum(CAST(floor(1e6 * ln(
+        |      CAST(c + 1 AS DOUBLE) /
+        |      CAST(cctx + (SELECT v FROM voc) AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |      AS ll_scaled
+        |  FROM terms GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.n_oov, 0) AS n_oov,
+        |  coalesce(a.ll_scaled, 0) AS ll_scaled
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // q69: hash(s) = fold((acc*31 + ascii) % 1e9+7) — the same portable
+    // rolling hash as q24; buckets = hash % 512; per-bucket fixed-point
+    // log-ratio with add-one smoothing; Gumbel noise from
+    // hash('dsir:'||id); selection compares BIGINTs only.
+    "q69_dsir" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_concat(t,
+        |    [t[i+1] || ' ' || t[i+2] for i in generate_series(0, len(t)-2)]))
+        |    AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(gram, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 512 AS bucket
+        |  FROM grams),
+        |ct AS (SELECT bucket, count(*) AS c FROM hashed
+        |       WHERE doc_id % 10 = 0 GROUP BY 1),
+        |cr AS (SELECT bucket, count(*) AS c FROM hashed
+        |       WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ct) AS tt,
+        |         (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM cr) AS tr),
+        |lr AS (
+        |  SELECT b.range AS bucket,
+        |    CAST(floor(1e6 * ln(
+        |      CAST((coalesce(ct.c, 0) + 1) * (tot.tr + 512) AS DOUBLE) /
+        |      CAST((coalesce(cr.c, 0) + 1) * (tot.tt + 512) AS DOUBLE)))
+        |      AS BIGINT) AS lr_scaled
+        |  FROM range(512) b
+        |  LEFT JOIN ct ON b.range = ct.bucket
+        |  LEFT JOIN cr ON b.range = cr.bucket
+        |  CROSS JOIN tot),
+        |w AS (
+        |  SELECT h.doc_id,
+        |    CAST(sum(lr.lr_scaled) AS BIGINT) AS weight_scaled,
+        |    count(*) AS n_grams
+        |  FROM hashed h JOIN lr ON h.bucket = lr.bucket
+        |  WHERE h.doc_id % 10 <> 0
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, weight_scaled,
+        |    weight_scaled + CAST(floor(1000000.0 *
+        |      (-ln(-ln((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array('dsir:' || CAST(doc_id AS VARCHAR), ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 31 + c) % 1000000007) + 1)
+        |        / 1000000008.0)))) AS BIGINT) AS score_scaled
+        |  FROM w),
+        |ranked AS (
+        |  SELECT row_number() OVER (ORDER BY score_scaled DESC, doc_id ASC)
+        |    AS rank, doc_id, weight_scaled, score_scaled
+        |  FROM scored)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight_scaled,
+        |  score_scaled
+        |FROM ranked WHERE rank <= 100""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the
