@@ -814,6 +814,22 @@ object SparkEntry {
       val target = d.filter(col("doc_id") % 10 === 0)
       val raw = d.filter(col("doc_id") % 10 =!= 0)
       LanguageModel.dsirResample(raw, target, k = 100, buckets = 512)
+    }),
+
+    // incremental dedup against a persisted MinHash band index: the
+    // corpus (two appended increments — exercising the transactional
+    // index-growth path) is indexed ONCE; the new batch broadcasts
+    // into one index scan. The oracle reproduces the equivalent
+    // monolithic band join, so the incremental path is pinned to the
+    // same semantics.
+    "q70_index_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = java.nio.file.Files.createTempDirectory("graft_q70").toString + "/idx"
+      Dedup.writeBandIndex(d.filter(col("doc_id") % 3 === 0), "doc_id", "text", t)
+      Dedup.writeBandIndex(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", t)
+      Dedup.dedupAgainstIndex(s, d.filter(col("doc_id") % 3 === 1), t,
+          "doc_id", "text", minEstJaccard = 0.5)
+        .select(col("doc_id"), col("is_dup"), col("dup_of"), col("est_jaccard"))
     })
   )
 
@@ -1893,7 +1909,70 @@ object SparkEntry {
         |  FROM scored)
         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight_scaled,
         |  score_scaled
-        |FROM ranked WHERE rank <= 100""".stripMargin
+        |FROM ranked WHERE rank <= 100""".stripMargin,
+
+    // q70: the q20 minhash/banding CTEs, restricted to (new-batch,
+    // corpus) pairs — the monolithic equivalent of the incremental
+    // index path.
+    "q70_index_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(shingle, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min((h*1299721 + 15485863) % 1000000007) AS mh_0,
+        |    min((h*1299743 + 15485867) % 1000000007) AS mh_1,
+        |    min((h*1299763 + 15485917) % 1000000007) AS mh_2,
+        |    min((h*1299791 + 15485927) % 1000000007) AS mh_3,
+        |    min((h*1299811 + 15485933) % 1000000007) AS mh_4,
+        |    min((h*1299817 + 15485941) % 1000000007) AS mh_5,
+        |    min((h*1299821 + 15485959) % 1000000007) AS mh_6,
+        |    min((h*1299827 + 15485989) % 1000000007) AS mh_7
+        |  FROM hashed GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, band_idx,
+        |    CASE band_idx
+        |      WHEN 0 THEN md5(mh_0 || '|' || mh_1) WHEN 1 THEN md5(mh_2 || '|' || mh_3)
+        |      WHEN 2 THEN md5(mh_4 || '|' || mh_5) ELSE md5(mh_6 || '|' || mh_7)
+        |    END AS band_key,
+        |    mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS dup_of,
+        |    ((CASE WHEN n.mh_0=c.mh_0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n.mh_1=c.mh_1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n.mh_2=c.mh_2 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n.mh_3=c.mh_3 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n.mh_4=c.mh_4 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n.mh_5=c.mh_5 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n.mh_6=c.mh_6 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN n.mh_7=c.mh_7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+        |  FROM banded n
+        |  JOIN banded c ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+        |  WHERE n.doc_id % 3 = 1 AND c.doc_id % 3 <> 1),
+        |best AS (
+        |  SELECT doc_id, dup_of, est_jaccard,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY est_jaccard DESC, dup_of ASC) AS rnk
+        |  FROM cand WHERE est_jaccard >= 0.5)
+        |SELECT d.doc_id, b.dup_of IS NOT NULL AS is_dup, b.dup_of,
+        |  round(b.est_jaccard, 6) AS est_jaccard
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b ON d.doc_id = b.doc_id
+        |WHERE d.doc_id % 3 = 1""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -141,14 +141,16 @@ object Dedup {
     sh.groupBy("doc").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding over MinHash signatures: rows/band consecutive
-    * signature components hashed together; docs sharing any band key
-    * become candidate pairs. Estimated Jaccard = fraction of equal
-    * signature components. bands * rowsPerBand must equal k.
+  /** The banded MinHash rows LSH operates on, exposed as a TABLE:
+    * (doc, sig array<long>, band_idx, band_key). One row per (doc,
+    * band); `band_key` = md5 over that band's `rowsPerBand` signature
+    * components. This is both the intermediate of [[lshCandidates]]
+    * and the persisted format of the incremental band INDEX
+    * ([[writeBandIndex]]/[[dedupAgainstIndex]]).
     */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
-                    minEstJaccard: Double = 0.0): DataFrame = {
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, rowsPerBand: Int = 2,
+                       n: Int = 3): DataFrame = {
     require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
     val sigs = minhashSignatures(df, idCol, textCol, k, n)
     val bands = k / rowsPerBand
@@ -159,8 +161,20 @@ object Dedup {
             .map(r => col(s"mh_${b * rowsPerBand + r}").cast("string"))
           md5(concat_ws("|", cols: _*)).as(s"band_$b")
         } :+ array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"): _*)
-    val exploded = banded.select(col("doc"), col("sig"),
-      posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)).as(Seq("band_idx", "band_key")))
+    banded.select(col("doc"), col("sig"),
+      posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+  }
+
+  /** LSH banding over MinHash signatures: rows/band consecutive
+    * signature components hashed together; docs sharing any band key
+    * become candidate pairs. Estimated Jaccard = fraction of equal
+    * signature components. bands * rowsPerBand must equal k.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+                    minEstJaccard: Double = 0.0): DataFrame = {
+    val exploded = bandedSignatures(df, idCol, textCol, k, rowsPerBand, n)
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -174,6 +188,73 @@ object Dedup {
           .cast("double") / k)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  // ---- incremental dedup against a persisted band index --------------
+
+  /** Create/extend a persisted MinHash band index
+    * ([[bandedSignatures]] rows in a transactional
+    * [[graft.sources.SnapshotTable]]): the structure that makes dedup
+    * INCREMENTAL — a new crawl batch is checked against the
+    * accumulated corpus without recomputing or rescanning the corpus
+    * text. Pass (`txnAppId`, `txnVersion`) to make the append
+    * replay-safe (exactly-once under pipeline retries).
+    */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
+                     indexDir: String, k: Int = 8, rowsPerBand: Int = 2,
+                     n: Int = 3, txnAppId: String = null,
+                     txnVersion: Long = -1L): Unit = {
+    val rows = bandedSignatures(df, idCol, textCol, k, rowsPerBand, n)
+    if (txnAppId == null) graft.sources.SnapshotTable.append(rows, indexDir)
+    else graft.sources.SnapshotTable.appendIdempotent(rows, indexDir,
+      txnAppId, txnVersion)
+  }
+
+  /** Flag each NEW-batch doc against the persisted index: does it
+    * near-duplicate anything already in the corpus?
+    *
+    * Scale shape — the reason this beats re-running [[lshCandidates]]
+    * over corpus+batch: the batch's banded rows (batch × bands, ids +
+    * 16-byte keys + k longs) are tiny next to the corpus, so they
+    * BROADCAST into one scan of the index — the corpus side never
+    * shuffles, never recomputes shingles, and grows by one appended
+    * commit per batch. (At index sizes where even one scan hurts,
+    * bucket the index table by band_key and co-locate the join —
+    * md5 keys carry no min/max skip value, so stats pruning cannot
+    * help here by construction.)
+    *
+    * Output: one row per new doc — `is_dup`, best-match `dup_of`
+    * (highest estimated Jaccard, ties to the smallest corpus doc id)
+    * and `est_jaccard`, both NULL for clean docs.
+    */
+  def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                        newDocs: DataFrame, indexDir: String,
+                        idCol: String, textCol: String,
+                        k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+                        minEstJaccard: Double = 0.0): DataFrame = {
+    val newBands = bandedSignatures(newDocs, idCol, textCol, k, rowsPerBand, n)
+      .select(col("doc").as("new_doc"), col("sig").as("new_sig"),
+        col("band_idx"), col("band_key"))
+    val idx = graft.sources.SnapshotTable.read(spark, indexDir)
+    val hits = idx.join(broadcast(newBands), Seq("band_idx", "band_key"))
+      .filter(col("doc") =!= col("new_doc"))
+      .select(col("new_doc"), col("doc").as("dup_of"),
+        col("new_sig"), col("sig"))
+      .distinct() // candidate (new, corpus) pairs — band multiplicity dropped
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("new_sig"), col("sig"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_doc"))
+      .orderBy(desc("est_jaccard"), asc("dup_of"))
+    val best = hits.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("new_doc").as(idCol), col("dup_of"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+    newDocs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
   /** Connected components over near-dup candidate pairs: docs linked
