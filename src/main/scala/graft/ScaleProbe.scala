@@ -53,7 +53,11 @@ object ScaleProbe {
       "q52_decontaminate", "q53_repetition", "q54_pii_scrub",
       "q55_source_quota", "q56_pq_encode", "q57_pq_adc", "q58_range_join",
       "q59_strip_markup", "q60_hash_split", "q61_per_key_trend",
-      "q62_trend_anomalies", "q63_profile")
+      "q62_trend_anomalies", "q63_profile",
+      // round-3 additions. q67's gate centroid count grows with the
+      // corpus (vec_id%97 — same artifact as q49) and q70's batch is a
+      // corpus slice; fixed-parameter variants are probed below.
+      "q67_semdedup", "q68_lm_score", "q69_dsir", "q70_index_dedup")
     probes.foreach { name =>
       def time(dir: String): Double = {
         val t0 = System.nanoTime()
@@ -120,6 +124,41 @@ object ScaleProbe {
       val model = graft.core.ProductQuantizer.hashCodebooks(8, 16, 8)
       val enc = graft.core.ProductQuantizer.encode(emb, model)
       graft.core.ProductQuantizer.adcTopK(queries, enc, model, k = 10)
+    }
+    // SemDeDup with FIXED k (copy-0 centroids): one literal-centroid
+    // scan + bucket self-join. On the 10x replica corpus every vector
+    // has 10 true duplicates, so within-cluster pair OUTPUT grows ~10x
+    // per copy — linear in the duplication level, not n².
+    timed("semdedup k=const") { dir =>
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val cents = emb
+        .filter(col("vec_id") % 97 === 3 && col("vec_id") < 1000000L)
+        .orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .as[Array[Double]].collect()
+      val model = graft.ml.KMeansTrainer.KMeansModel(cents, Nil, 0, cosine = true)
+      graft.core.Similarity.semDedup(emb, model, tau = 0.82)
+    }
+    // incremental index dedup with a FIXED batch (copy-0 slice): the
+    // production shape — the index is built ONCE (outside the timing,
+    // as in production), per-batch cost is the index scan + broadcast
+    // probe, never a corpus-shingle recompute
+    if (!snapOnly) {
+      val bidx = scala.collection.mutable.Map.empty[String, String]
+      Seq("/root/testdata/sf0.1", out).foreach { dir =>
+        val t = java.nio.file.Files.createTempDirectory("probe_bidx").toString + "/idx"
+        graft.core.Dedup.writeBandIndex(
+          Tables.documents(spark, dir).filter(col("doc_id") % 3 =!= 1),
+          "doc_id", "text", t)
+        bidx(dir) = t
+      }
+      timed("index dedup b=const") { dir =>
+        graft.core.Dedup.dedupAgainstIndex(spark,
+          Tables.documents(spark, dir)
+            .filter(col("doc_id") % 3 === 1 && col("doc_id") < 1000000L),
+          bidx(dir), "doc_id", "text", minEstJaccard = 0.5)
+      }
     }
 
     // ---- lakehouse ops (SnapshotTable + DSv2 connector) ----

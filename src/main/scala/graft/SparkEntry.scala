@@ -1859,7 +1859,8 @@ object SparkEntry {
     "q69_dsir" ->
       """WITH grams AS (
         |  SELECT doc_id, unnest(list_concat(t,
-        |    [t[i+1] || ' ' || t[i+2] for i in generate_series(0, len(t)-2)]))
+        |    [array_to_string(t[i+1:i+2], ' ')
+        |     for i in generate_series(0, greatest(len(t)-2, 0))]))
         |    AS gram
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |        FROM documents)),

@@ -41,16 +41,27 @@ object LanguageModel {
     * smoothing.
     */
   final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
-                            vocabSize: Long)
+                            vocabSize: Long) {
+    /** Release the persisted model tables (see [[trainBigram]]). */
+    def unpersist(): Unit = { bigrams.unpersist(); contexts.unpersist() }
+  }
 
   /** Adjacent token pairs of a text column as array<struct<w1,w2>>
     * (empty when the doc has fewer than 2 tokens).
+    *
+    * Built from two ALIGNED SLICES zipped elementwise — not
+    * `transform(sequence(...), i => element_at(t, i))`: a lambda that
+    * references the tokens array per index re-evaluates the inlined
+    * `split` once per element (CollapseProject inlines single-use
+    * projections into HOF lambdas), which is O(tokens²) per document
+    * — measured 6.4s → 0.5s on the sf0.1 corpus for this expression
+    * alone. Same failure class as the simhash/q53 lessons.
     */
   def bigramsOf(text: Column): Column = {
     val t = TextAnalysis.tokens(text)
     when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
   }
 
@@ -62,8 +73,13 @@ object LanguageModel {
   def trainBigram(docs: DataFrame, textCol: String = "text"): BigramLm = {
     val pairs = docs.select(explode(bigramsOf(col(textCol))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val contexts = bigrams.groupBy("w1").agg(sum("c").as("c_ctx"))
+    // the model is a TABLE consumed by (at least) two scoring joins:
+    // persist so the training corpus is exploded/aggregated once, not
+    // once per consumer. (At real scale the caller writes the LM to a
+    // table between train and score; persist is the in-session
+    // equivalent.)
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c")).persist()
+    val contexts = bigrams.groupBy("w1").agg(sum("c").as("c_ctx")).persist()
     val vocab = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok"))).head().getLong(0)
@@ -115,13 +131,13 @@ object LanguageModel {
     */
   def hashedGrams(docs: DataFrame, idCol: String, textCol: String,
                   buckets: Int): DataFrame = {
-    val t = TextAnalysis.tokens(col(textCol))
+    // bigram strings come from the native ShingleArray generator
+    // (position-ordered, one pass over the text) — the HOF
+    // formulation re-evaluated the token split per element (see
+    // [[bigramsOf]])
     val grams = concat(
-      t,
-      when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-        .otherwise(array().cast("array<string>")))
+      TextAnalysis.tokens(col(textCol)),
+      TextAnalysis.ngramsAll(col(textCol), 2))
     docs.select(col(idCol), explode(grams).as("gram"))
       .select(col(idCol),
         pmod(TextAnalysis.rollingHash(col("gram")), lit(buckets.toLong))
@@ -142,20 +158,27 @@ object LanguageModel {
   def dsirBucketRatios(raw: DataFrame, target: DataFrame, idCol: String,
                        textCol: String, buckets: Int): DataFrame = {
     val spark = raw.sparkSession
-    def counts(df: DataFrame): DataFrame =
+    import spark.implicits._
+    // one aggregation scan per corpus, collected as B rows; totals and
+    // per-bucket log-ratios are driver math on those B longs (a naive
+    // all-DataFrame formulation paid FIVE corpus scans here: two total
+    // head() actions plus both count aggs recomputed inside the final
+    // plan — measured 14.5s -> 3.4s on the q69 gate at sf0.1).
+    // math.log is the same function Spark's log expression evaluates,
+    // so the fixed-point values are bit-identical to the in-plan form.
+    def counts(df: DataFrame): Map[Long, Long] =
       hashedGrams(df, idCol, textCol, buckets)
         .groupBy("bucket").agg(count(lit(1)).as("c"))
-    val ct = counts(target).withColumnRenamed("c", "ct")
-    val cr = counts(raw).withColumnRenamed("c", "cr")
-    val tt = ct.agg(sum("ct")).head().getLong(0)
-    val tr = cr.agg(sum("cr")).head().getLong(0)
-    val all = spark.range(buckets).select(col("id").as("bucket"))
-    all.join(ct, Seq("bucket"), "left").join(cr, Seq("bucket"), "left")
-      .select(col("bucket"),
-        floor(lit(1e6) * log(
-          ((coalesce(col("ct"), lit(0L)) + lit(1L)) * lit(tr + buckets)).cast("double") /
-          ((coalesce(col("cr"), lit(0L)) + lit(1L)) * lit(tt + buckets)).cast("double")))
-          .cast("long").as("lr_scaled"))
+        .as[(Long, Long)].collect().toMap
+    val ct = counts(target)
+    val cr = counts(raw)
+    val tt = ct.valuesIterator.sum
+    val tr = cr.valuesIterator.sum
+    (0L until buckets.toLong).map { b =>
+      val num = (ct.getOrElse(b, 0L) + 1L) * (tr + buckets)
+      val den = (cr.getOrElse(b, 0L) + 1L) * (tt + buckets)
+      (b, math.floor(1e6 * math.log(num.toDouble / den.toDouble)).toLong)
+    }.toDF("bucket", "lr_scaled")
   }
 
   /** Per-raw-doc DSIR importance weight: Σ lr[bucket(gram)] over the
