@@ -830,6 +830,16 @@ object SparkEntry {
       Dedup.dedupAgainstIndex(s, d.filter(col("doc_id") % 3 === 1), t,
           "doc_id", "text", minEstJaccard = 0.5)
         .select(col("doc_id"), col("is_dup"), col("dup_of"), col("est_jaccard"))
+    }),
+
+    // quality-classifier inference in its production shape: quantized
+    // fixed-point weights over hashed gram features, exact BIGINT
+    // scores. Weights derive from the portable hash so the oracle
+    // reproduces the full scoring decision; TRAINING (distributed
+    // gradient descent) is covered by QualityClassifierSpec.
+    "q71_quality_score" -> ((s, dir) => {
+      graft.ml.QualityClassifier.scoreFixedPoint(Tables.documents(s, dir),
+        graft.ml.QualityClassifier.hashWeights(s, 512), 512)
     })
   )
 
@@ -1973,7 +1983,43 @@ object SparkEntry {
         |  round(b.est_jaccard, 6) AS est_jaccard
         |FROM documents d
         |LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b ON d.doc_id = b.doc_id
-        |WHERE d.doc_id % 3 = 1""".stripMargin
+        |WHERE d.doc_id % 3 = 1""".stripMargin,
+
+    // q71: q69's gram/bucket CTEs with hash-derived fixed-point
+    // weights — the classifier's full scoring decision on BIGINTs.
+    "q71_quality_score" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_concat(t,
+        |    [array_to_string(t[i+1:i+2], ' ')
+        |     for i in generate_series(0, greatest(len(t)-2, 0))]))
+        |    AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(gram, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 512 AS bucket
+        |  FROM grams),
+        |wt AS (
+        |  SELECT b.range AS bucket,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array('w:' || CAST(b.range AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1000001 - 500000
+        |      AS w_scaled
+        |  FROM range(512) b),
+        |s AS (
+        |  SELECT h.doc_id, CAST(sum(w.w_scaled) AS BIGINT) AS score_scaled,
+        |    count(*) AS n_grams
+        |  FROM hashed h JOIN wt w ON h.bucket = w.bucket
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.score_scaled, 0) AS score_scaled,
+        |  coalesce(s.n_grams, 0) AS n_grams,
+        |  coalesce(s.score_scaled, 0) > 0 AS label
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the
