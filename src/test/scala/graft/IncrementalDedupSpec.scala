@@ -64,6 +64,54 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest loop: band index as cross-batch near-dup state") {
+    // the streaming shape the index exists for: each micro-batch is
+    // gated against everything ingested so far, and its CLEAN docs
+    // join the index (idempotent, keyed by batch id) — near-dup state
+    // lives in the TABLE, not in an executor state store, so it
+    // survives restarts and is shared by batch jobs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    Dedup.writeBandIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val audit = Dedup.dedupAgainstIndex(spark, batch, dir,
+          "doc_id", "text", minEstJaccard = 0.9).cache()
+        flagged.synchronized {
+          flagged ++= audit.select("doc_id", "is_dup")
+            .as[(Long, Boolean)].collect()
+        }
+        val clean = batch.join(
+          audit.filter(!col("is_dup")).select("doc_id"), "doc_id")
+        Dedup.writeBandIndex(clean, "doc_id", "text", dir,
+          txnAppId = "stream-dedup", txnVersion = id)
+        audit.unpersist(); ()
+      }
+      .start()
+    // batch 1: a dup of the seed + a genuinely new doc
+    input.addData(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely novel sentence about spark catalyst planning"))
+    q.processAllAvailable()
+    // batch 2: a dup of batch 1's CLEAN doc — visible only if the
+    // index grew between batches
+    input.addData((20L, "completely novel sentence about spark catalyst planning"))
+    q.processAllAvailable()
+    q.stop()
+    val byId = flagged.toMap
+    assert(byId(10L), "seed dup must flag")
+    assert(!byId(11L), "novel doc must pass")
+    assert(byId(20L), "dup of a previous batch's clean doc must flag")
+    // the dup never entered the index: only seed + doc 11 band rows
+    val idx = graft.sources.SnapshotTable.read(spark, dir)
+    assert(idx.select("doc").distinct().count() == 2)
+  }
+
   test("clean new docs pass with null match columns") {
     val dir = tmp()
     Dedup.writeBandIndex(Seq((1L, "alpha beta gamma delta epsilon zeta"))
