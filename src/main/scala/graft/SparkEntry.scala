@@ -840,6 +840,14 @@ object SparkEntry {
     "q71_quality_score" -> ((s, dir) => {
       graft.ml.QualityClassifier.scoreFixedPoint(Tables.documents(s, dir),
         graft.ml.QualityClassifier.hashWeights(s, 512), 512)
+    }),
+
+    // exact-substring duplication spans: 8-token sliding windows,
+    // corpus-global occurrence flagging, per-doc interval-union
+    // coverage — the bounded-width form of suffix-array substring
+    // dedup
+    "q72_dup_spans" -> ((s, dir) => {
+      TextAnalysis.dupSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
     })
   )
 
@@ -2019,7 +2027,47 @@ object SparkEntry {
         |  coalesce(s.score_scaled, 0) AS score_scaled,
         |  coalesce(s.n_grams, 0) AS n_grams,
         |  coalesce(s.score_scaled, 0) > 0 AS label
-        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin,
+
+    "q72_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+        |    unnest(ws) AS win
+        |  FROM (SELECT doc_id,
+        |          [array_to_string(t[i+1:i+8], ' ')
+        |           for i in generate_series(0, greatest(len(t)-8, 0))] AS ws
+        |        FROM toks)),
+        |hashed AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(win, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM wins),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt
+        |    FROM hashed)
+        |  WHERE cnt >= 2),
+        |cov AS (
+        |  SELECT doc_id, count(*) AS n_dup_windows,
+        |    CAST(sum(CASE WHEN nxt IS NULL THEN 8
+        |              ELSE least(8, nxt - pos) END) AS BIGINT) AS dup_raw
+        |  FROM (SELECT doc_id, pos,
+        |          lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |        FROM flagged)
+        |  GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(greatest(len(t.t) - 8, 0) + 1 AS BIGINT) AS n_windows,
+        |  coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+        |  least(coalesce(c.dup_raw, 0), len(t.t)) AS dup_tokens,
+        |  round(CAST(least(coalesce(c.dup_raw, 0), len(t.t)) AS DOUBLE)
+        |    / len(t.t), 6) AS dup_ratio
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -295,6 +295,56 @@ object TextAnalysis {
           s => s.getField("chunk"))).as("text_dedup"))
   }
 
+  /** Exact-substring duplication signal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" use
+    * suffix arrays for unbounded-length exact substrings; this is the
+    * bounded-width Spark-native equivalent): every n-token sliding
+    * window (stride 1 — the native ShingleArray generator), hashed
+    * portably; a window occurring anywhere else in the corpus (≥ 2
+    * occurrences globally) marks its token span as duplicated, and
+    * per-doc coverage is the interval UNION of flagged spans.
+    *
+    * Plan shape: one Generate → ONE exchange on the window hash (a
+    * count-over-window, not an agg-plus-self-join — flagging reuses
+    * the same exchange) → one exchange on the doc for the
+    * interval-union lead() and the rollup. Shuffles carry (id, pos,
+    * hash) — never window text. Output per doc: token/window counts,
+    * duplicated-window count, covered-token count and ratio; docs with
+    * no duplicated span report zeros.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "window width must be >= 1")
+    val wins = df.select(col(idCol),
+        posexplode(ngramsAll(col(textCol), n)).as(Seq("pos", "win")))
+      .select(col(idCol), col("pos"), rollingHash(col("win")).as("h"))
+    val byH = Window.partitionBy(col("h"))
+    val flagged = wins
+      .withColumn("cnt", count(lit(1)).over(byH))
+      .filter(col("cnt") >= 2)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // interval union of [pos, pos+n): each span contributes up to the
+    // next flagged start; the last runs its full width (clamped to the
+    // doc below, for the one truncated window of a short doc)
+    val cov = flagged
+      .withColumn("nxt", lead(col("pos"), 1).over(byDoc))
+      .withColumn("covered",
+        when(col("nxt").isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong), (col("nxt") - col("pos")).cast("long"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"), sum("covered").as("dup_raw"))
+    val t = tokens(col(textCol))
+    df.select(col(idCol), size(t).cast("long").as("n_tokens"),
+        size(ngramsAll(col(textCol), n)).cast("long").as("n_windows"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        least(coalesce(col("dup_raw"), lit(0L)), col("n_tokens")).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
 }

@@ -176,4 +176,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ranks(10L) == 1 && ranks(12L) == 3 && ranks(20L) == 1)
     assert(q.count() == docs.count()) // audit keeps every row
   }
+
+  test("dupSpans: interval union of cross-doc shared windows, hand-checked") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // shares "c d e f" with doc 2
+      (2L, "x y c d e f z w"),
+      (3L, "p q r p q r p q r"),          // fully self-repeating
+      (4L, "totally unique words only here")
+    ).toDF("doc_id", "text")
+    val out = graft.core.TextAnalysis.dupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // docs 1/2: flagged windows at pos 2 ("c d e") and 3 ("d e f");
+    // union covers exactly the 4 shared tokens
+    Seq(0, 1).foreach { i =>
+      assert(out(i).getAs[Long]("n_dup_windows") == 2L)
+      assert(out(i).getAs[Long]("dup_tokens") == 4L)
+      assert(out(i).getAs[Double]("dup_ratio") == 0.5)
+    }
+    // doc 3: every window repeats internally -> full coverage
+    assert(out(2).getAs[Long]("dup_tokens") == 9L)
+    assert(out(2).getAs[Double]("dup_ratio") == 1.0)
+    // doc 4: clean
+    assert(out(3).getAs[Long]("n_dup_windows") == 0L)
+    assert(out(3).getAs[Long]("dup_tokens") == 0L)
+    assert(out(3).getAs[Double]("dup_ratio") == 0.0)
+    // window bookkeeping: len-n+1 full windows
+    assert(out(0).getAs[Long]("n_windows") == 6L)
+  }
+
+  test("dupSpans: short docs clamp coverage to the doc length") {
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = graft.core.TextAnalysis.dupSpans(docs, "doc_id", "text", n = 5)
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_windows") == 1L) // one truncated window
+      assert(r.getAs[Long]("dup_tokens") == 2L) // clamped, not 5
+      assert(r.getAs[Double]("dup_ratio") == 1.0)
+    }
+  }
 }
