@@ -848,6 +848,21 @@ object SparkEntry {
     // dedup
     "q72_dup_spans" -> ((s, dir) => {
       TextAnalysis.dupSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+    }),
+
+    // the full modern curation composition: quality + repetition +
+    // span gates -> exact dedup -> self-trained LM perplexity gate
+    // (fixed-point compare, threshold between the corpus p95/p99 so
+    // the gate demonstrably FIRES) -> near-dup resolution. Stages are
+    // individually oracled (q22/23/53/72/17/68/19/43); this pins the
+    // composition.
+    "q73_curation_full" -> ((s, dir) => {
+      graft.core.Curation.curateFull(Tables.documents(s, dir),
+          maxNllMicro = 3450000L)
+        .select(col("doc_id"), col("lang_pred"), col("quality_score"),
+          col("quality_ok"), col("rep_ok"), col("span_ok"),
+          col("n_bigrams"), col("ll_scaled"), col("lm_ok"),
+          col("kept_exact"), col("survivor_id"), col("is_survivor"))
     })
   )
 
@@ -2067,7 +2082,176 @@ object SparkEntry {
         |  least(coalesce(c.dup_raw, 0), len(t.t)) AS dup_tokens,
         |  round(CAST(least(coalesce(c.dup_raw, 0), len(t.t)) AS DOUBLE)
         |    / len(t.t), 6) AS dup_ratio
-        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id""".stripMargin,
+
+    // q73: the q51 skeleton with the round-3 stages spliced in —
+    // each stage's CTEs are scoped to the previous stage's survivors.
+    "q73_curation_full" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, text, t,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+        |      / len(t) AS sw,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS alpha
+        |  FROM base),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','and','of','is'], x)))
+        |      + (length(text) - length(replace(text, 'th', ''))) / 2
+        |      + (length(text) - length(replace(text, 'ing', ''))) / 3
+        |      + (length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(t, x -> list_contains(['el','la','de','que'], x)))
+        |      + (length(text) - length(replace(text, 'ión', ''))) / 3
+        |      + (length(text) - length(replace(text, 'os ', ''))) / 3
+        |      + (length(text) - length(replace(text, 'que', ''))) / 3 AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(t, x -> list_contains(['der','die','und','ist'], x)))
+        |      + (length(text) - length(replace(text, 'sch', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ein', ''))) / 3
+        |      + (length(text) - length(replace(text, 'und', ''))) / 3 AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(t, x -> list_contains(['le','la','et','est'], x)))
+        |      + (length(text) - length(replace(text, 'eau', ''))) / 3
+        |      + (length(text) - length(replace(text, 'oux', ''))) / 3
+        |      + (length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT) AS score_fr
+        |  FROM base),
+        |qual AS (
+        |  SELECT doc_id, text, t,
+        |    round(sw * 0.4 + alpha * 0.6 - punct * 0.5, 6) AS quality_score
+        |  FROM ratios),
+        |rep AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |      AS dup_token_ratio
+        |  FROM base),
+        |gated AS (
+        |  SELECT q.doc_id, q.text, q.t, q.quality_score,
+        |    q.quality_score >= 0.51 AS quality_ok,
+        |    r.dup_token_ratio <= 0.6 AS rep_ok
+        |  FROM qual q JOIN rep r ON q.doc_id = r.doc_id),
+        |g1 AS (SELECT doc_id, text, t FROM gated WHERE quality_ok AND rep_ok),
+        |wins AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+        |    unnest(ws) AS win
+        |  FROM (SELECT doc_id,
+        |          [array_to_string(t[i+1:i+8], ' ')
+        |           for i in generate_series(0, greatest(len(t)-8, 0))] AS ws
+        |        FROM g1)),
+        |whash AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(win, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM wins),
+        |wflag AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt
+        |    FROM whash)
+        |  WHERE cnt >= 2),
+        |wcov AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN nxt IS NULL THEN 8
+        |              ELSE least(8, nxt - pos) END) AS BIGINT) AS dup_raw
+        |  FROM (SELECT doc_id, pos,
+        |          lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |        FROM wflag)
+        |  GROUP BY 1),
+        |spans AS (
+        |  SELECT g.doc_id,
+        |    round(CAST(least(coalesce(c.dup_raw, 0), len(g.t)) AS DOUBLE)
+        |      / len(g.t), 6) <= 0.8 AS span_ok
+        |  FROM g1 g LEFT JOIN wcov c ON g.doc_id = c.doc_id),
+        |g2 AS (
+        |  SELECT g.doc_id, g.text, g.t
+        |  FROM g1 g JOIN spans s ON g.doc_id = s.doc_id WHERE s.span_ok),
+        |keptx AS (
+        |  SELECT doc_id, text, t,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM g2),
+        |kept AS (SELECT doc_id, text, t FROM keptx WHERE rn = 1),
+        |lmp AS (
+        |  SELECT doc_id, unnest([{'w1': t[i+1], 'w2': t[i+2]}
+        |    for i in generate_series(0, len(t)-2)]) AS p
+        |  FROM kept WHERE len(t) >= 2),
+        |lm AS (
+        |  SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c
+        |  FROM lmp GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_ctx FROM lm GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT tok) AS v
+        |        FROM (SELECT unnest(t) AS tok FROM kept)),
+        |lterm AS (
+        |  SELECT l0.doc_id, coalesce(lm.c, 0) AS c,
+        |    coalesce(ctx.c_ctx, 0) AS cctx
+        |  FROM lmp l0
+        |  LEFT JOIN lm ON l0.p['w1'] = lm.w1 AND l0.p['w2'] = lm.w2
+        |  LEFT JOIN ctx ON l0.p['w1'] = ctx.w1),
+        |lscore AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(floor(1e6 * ln(
+        |      CAST(c + 1 AS DOUBLE) /
+        |      CAST(cctx + (SELECT v FROM voc) AS DOUBLE))) AS BIGINT)) AS BIGINT)
+        |      AS ll_scaled
+        |  FROM lterm GROUP BY 1),
+        |lmg AS (
+        |  SELECT k.doc_id,
+        |    coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(s.ll_scaled, 0) AS ll_scaled,
+        |    coalesce(s.ll_scaled, 0) >= -3450000 * coalesce(s.n_bigrams, 0)
+        |      AS lm_ok
+        |  FROM kept k LEFT JOIN lscore s ON k.doc_id = s.doc_id),
+        |g3 AS (
+        |  SELECT k.doc_id, k.text, k.t
+        |  FROM kept k JOIN lmg ON k.doc_id = lmg.doc_id WHERE lmg.lm_ok),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM g3),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM cand p
+        |  JOIN counts ca ON p.doc_a = ca.doc_id
+        |  JOIN counts cb ON p.doc_b = cb.doc_id
+        |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |cc AS (
+        |  SELECT src AS doc, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS doc, cc.lbl FROM cc JOIN edges e ON cc.doc = e.src),
+        |labels AS (SELECT doc, min(lbl) AS cluster_id FROM cc GROUP BY 1),
+        |resolved AS (
+        |  SELECT k.doc_id, coalesce(l.cluster_id, k.doc_id) AS survivor_id
+        |  FROM g3 k LEFT JOIN labels l ON k.doc_id = l.doc)
+        |SELECT g.doc_id,
+        |  CASE
+        |    WHEN lg.score_fr > greatest(lg.score_de, lg.score_en, lg.score_es) THEN 'fr'
+        |    WHEN lg.score_es > greatest(lg.score_de, lg.score_en) THEN 'es'
+        |    WHEN lg.score_en > lg.score_de THEN 'en'
+        |    ELSE 'de' END AS lang_pred,
+        |  g.quality_score, g.quality_ok, g.rep_ok,
+        |  coalesce(s.span_ok, FALSE) AS span_ok,
+        |  lmg.n_bigrams, lmg.ll_scaled,
+        |  coalesce(lmg.lm_ok, FALSE) AS lm_ok,
+        |  (r.doc_id IS NOT NULL) AS kept_exact,
+        |  r.survivor_id,
+        |  coalesce(r.survivor_id = g.doc_id, FALSE) AS is_survivor
+        |FROM gated g
+        |JOIN lang lg ON g.doc_id = lg.doc_id
+        |LEFT JOIN spans s ON g.doc_id = s.doc_id
+        |LEFT JOIN lmg ON g.doc_id = lmg.doc_id
+        |LEFT JOIN resolved r ON g.doc_id = r.doc_id""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -64,4 +64,82 @@ object Curation {
       // non-null false (survivor_id stays NULL — no surviving row)
       .withColumn("is_survivor", coalesce(col("is_survivor"), lit(false)))
   }
+
+  /** The full modern curation composition — what a C4/Gopher/LLaMA-era
+    * pipeline actually runs, stage-ordered so each gate shrinks the
+    * input of everything costlier after it:
+    *
+    *   1. quality + language ID + Gopher repetition gates
+    *      (per-doc scans; repetition adds its two keyed aggs)
+    *   2. exact-substring span gate ([[TextAnalysis.dupSpans]] over the
+    *      gate survivors — one hash exchange)
+    *   3. exact dedup (one exchange on the text hash)
+    *   4. bigram-LM perplexity gate: the LM TRAINS ON the surviving
+    *      corpus itself and drops docs whose per-bigram log-likelihood
+    *      falls under a FIXED threshold — an integer fixed-point
+    *      compare (`ll_scaled >= -maxNllMicro × n_bigrams`), never a
+    *      float quantile, so the decision is engine-exact
+    *   5. n-gram Jaccard near-dup resolution on what remains
+    *
+    * Output: one audit row per input doc — per-stage booleans, the LM
+    * evidence, survivor mapping. Downstream corpus =
+    * `.filter(col("is_survivor"))`. Every stage is individually
+    * oracle-checked (q22/q23/q53/q72/q17/q68/q19/q43); q73 pins this
+    * COMPOSITION end-to-end.
+    *
+    * Composition effect worth knowing: a tight span gate SUBSUMES much
+    * of the Jaccard stage — on the gate corpus, every heavy-overlap
+    * doc dies at stage 2 and the near-dup resolution is a no-op. At
+    * production thresholds (span gate at 0.9+, Jaccard at 0.8) the
+    * stages separate again; the audit columns make the attribution
+    * visible either way.
+    */
+  def curateFull(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", minQuality: Double = 0.51,
+                 maxDupTokenRatio: Double = 0.6,
+                 spanN: Int = 8, maxDupSpanRatio: Double = 0.8,
+                 maxNllMicro: Long = 9000000L,
+                 n: Int = 3, jaccardThreshold: Double = 0.2,
+                 maxDf: Int = Int.MaxValue): DataFrame = {
+    // stage 1: per-doc gates
+    val rep = TextAnalysis.repetitionStats(docs, idCol, textCol, 2)
+      .select(col(idCol), col("dup_token_ratio"))
+    val scored = TextAnalysis.langId(
+        TextAnalysis.qualityScore(docs, textCol), textCol)
+      .withColumn("quality_ok", col("quality_score") >= minQuality)
+      .join(rep, Seq(idCol))
+      .withColumn("rep_ok", col("dup_token_ratio") <= maxDupTokenRatio)
+    // stage 2: span gate over stage-1 survivors
+    val g1 = scored.filter(col("quality_ok") && col("rep_ok"))
+    val spans = TextAnalysis.dupSpans(g1, idCol, textCol, spanN)
+      .select(col(idCol), col("dup_ratio").as("span_ratio"))
+      .withColumn("span_ok", col("span_ratio") <= maxDupSpanRatio)
+    val g2 = g1.join(spans.filter(col("span_ok")).select(col(idCol)), Seq(idCol))
+    // stage 3: exact dedup
+    val kept = Dedup.dropExactDups(g2, idCol, textCol)
+    // stage 4: self-trained LM perplexity gate (fixed-point compare)
+    val lm = LanguageModel.trainBigram(kept, textCol)
+    val lmScores = LanguageModel.scoreBigram(kept, lm, idCol, textCol)
+      .withColumn("lm_ok",
+        col("ll_scaled") >= lit(-maxNllMicro) * col("n_bigrams"))
+    val g3 = kept.join(
+      lmScores.filter(col("lm_ok")).select(col(idCol)), Seq(idCol))
+    // stage 5: near-dup resolution
+    val pairs = Dedup.ngramJaccardPairs(g3, idCol, textCol, n,
+      jaccardThreshold, maxDf)
+    val resolved = Dedup.resolveSurvivors(g3, idCol, pairs)
+      .select(col(idCol), col("survivor_id"), col("is_survivor"),
+        lit(true).as("kept_exact"))
+    scored
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("quality_ok"), col("rep_ok"))
+      .join(spans.select(col(idCol), col("span_ok")), Seq(idCol), "left")
+      .join(lmScores.select(col(idCol), col("n_bigrams"),
+        col("ll_scaled"), col("lm_ok")), Seq(idCol), "left")
+      .join(resolved, Seq(idCol), "left")
+      .withColumn("span_ok", coalesce(col("span_ok"), lit(false)))
+      .withColumn("lm_ok", coalesce(col("lm_ok"), lit(false)))
+      .withColumn("kept_exact", coalesce(col("kept_exact"), lit(false)))
+      .withColumn("is_survivor", coalesce(col("is_survivor"), lit(false)))
+  }
 }

@@ -53,4 +53,37 @@ class CurationSpec extends SparkSpec {
     val got = corpus.select("doc_id").as[Long].collect().toSet
     assert(got == expected)
   }
+
+  test("curateFull: stage gates are monotone, every gate fires, audit covers all docs") {
+    // sf0.01: large enough that every gate demonstrably fires (the
+    // sf0.001 slice has no span-gate candidates)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val full = Curation.curateFull(docs, maxNllMicro = 3450000L).cache()
+    assert(full.count() == docs.count())
+    // monotone: a doc passing a later stage passed every earlier one
+    assert(full.filter($"span_ok" && !($"quality_ok" && $"rep_ok")).count() == 0)
+    assert(full.filter($"lm_ok" && !$"span_ok").count() == 0)
+    assert(full.filter($"kept_exact" && !$"lm_ok").count() == 0)
+    assert(full.filter($"is_survivor" && !$"kept_exact").count() == 0)
+    // each gate drops someone on this corpus (no vacuous stages)
+    assert(full.filter(!$"quality_ok").count() > 0)
+    assert(full.filter($"quality_ok" && !$"rep_ok").count() > 0)
+    assert(full.filter($"quality_ok" && $"rep_ok" && !$"span_ok").count() > 0)
+    // LM-scored docs (n_bigrams non-null = survived to the LM stage)
+    // that the perplexity gate rejected
+    assert(full.filter($"n_bigrams".isNotNull && !$"lm_ok").count() > 0)
+    // the near-dup stage is a NO-OP on this corpus — the 8-token span
+    // gate at 0.8 already removed every heavily-overlapping doc before
+    // Jaccard ran (near-dup firing in isolation is pinned by q43/q51).
+    // Assert the stage ran consistently rather than that it fired.
+    assert(full.filter($"kept_exact" && $"survivor_id".isNull).count() == 0)
+    // survivors exist and reference surviving exemplars
+    val survivors = full.filter($"is_survivor")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty)
+    full.filter($"survivor_id".isNotNull)
+      .select("survivor_id").as[Long].collect()
+      .foreach(s => assert(survivors.contains(s)))
+    full.unpersist()
+  }
 }
