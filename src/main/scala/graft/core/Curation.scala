@@ -101,6 +101,16 @@ object Curation {
                  maxNllMicro: Long = 9000000L,
                  n: Int = 3, jaccardThreshold: Double = 0.2,
                  maxDf: Int = Int.MaxValue): DataFrame = {
+    // Stage boundaries PERSIST (narrow projections): unlike the
+    // two-stage `curate` — where a checkpoint was measured slower than
+    // recomputation — this composition re-enters each stage's lineage
+    // ~8x (later stages, the audit joins, the LM's own actions), and
+    // the re-derivation multiplied across five stages dominated the
+    // runtime (measured 7.8s -> 4.2s at sf0.1, now ~the sum of the
+    // individual stage queries). At 100 TB a curation
+    // run writes these same boundaries as tables between stages; the
+    // caches are the in-session equivalent.
+    //
     // stage 1: per-doc gates
     val rep = TextAnalysis.repetitionStats(docs, idCol, textCol, 2)
       .select(col(idCol), col("dup_token_ratio"))
@@ -109,19 +119,23 @@ object Curation {
       .withColumn("quality_ok", col("quality_score") >= minQuality)
       .join(rep, Seq(idCol))
       .withColumn("rep_ok", col("dup_token_ratio") <= maxDupTokenRatio)
+      .persist()
     // stage 2: span gate over stage-1 survivors
     val g1 = scored.filter(col("quality_ok") && col("rep_ok"))
+      .select(col(idCol), col(textCol))
     val spans = TextAnalysis.dupSpans(g1, idCol, textCol, spanN)
       .select(col(idCol), col("dup_ratio").as("span_ratio"))
       .withColumn("span_ok", col("span_ratio") <= maxDupSpanRatio)
+      .persist()
     val g2 = g1.join(spans.filter(col("span_ok")).select(col(idCol)), Seq(idCol))
     // stage 3: exact dedup
-    val kept = Dedup.dropExactDups(g2, idCol, textCol)
+    val kept = Dedup.dropExactDups(g2, idCol, textCol).persist()
     // stage 4: self-trained LM perplexity gate (fixed-point compare)
     val lm = LanguageModel.trainBigram(kept, textCol)
     val lmScores = LanguageModel.scoreBigram(kept, lm, idCol, textCol)
       .withColumn("lm_ok",
         col("ll_scaled") >= lit(-maxNllMicro) * col("n_bigrams"))
+      .persist()
     val g3 = kept.join(
       lmScores.filter(col("lm_ok")).select(col(idCol)), Seq(idCol))
     // stage 5: near-dup resolution
