@@ -863,6 +863,31 @@ object SparkEntry {
           col("quality_ok"), col("rep_ok"), col("span_ok"),
           col("n_bigrams"), col("ll_scaled"), col("lm_ok"),
           col("kept_exact"), col("survivor_id"), col("is_survivor"))
+    }),
+
+    // sequence packing, the map stage: global token prefix sum
+    // (two-phase, never a one-partition window) placing every doc's
+    // token interval, then the (doc, sequence)-intersection slices at
+    // L=512. The artifact a 100 TB run persists for shard assembly.
+    "q74_pack_map" -> ((s, dir) => {
+      graft.core.Packing.packCompositions(
+        Tables.documents(s, dir), "doc_id", "text", seqLen = 512)
+    }),
+
+    // sequence packing, assembled: fixed-length training sequences
+    // with doc counts — documents span boundaries, short docs share
+    // windows, the corpus tail window is visibly short.
+    "q75_pack_seqs" -> ((s, dir) => {
+      graft.core.Packing.packSequences(
+        Tables.documents(s, dir), "doc_id", "text", seqLen = 512)
+    }),
+
+    // corpus-wide top-k n-grams: boilerplate discovery / stop-gram
+    // tuning. Map-side combine collapses the Zipfian head before the
+    // exchange; only (gram, count) shuffles, only k rows reach the
+    // driver.
+    "q76_top_ngrams" -> ((s, dir) => {
+      TextAnalysis.topNgrams(Tables.documents(s, dir), "text", n = 3, k = 100)
     })
   )
 
@@ -2251,7 +2276,73 @@ object SparkEntry {
         |JOIN lang lg ON g.doc_id = lg.doc_id
         |LEFT JOIN spans s ON g.doc_id = s.doc_id
         |LEFT JOIN lmg ON g.doc_id = lmg.doc_id
-        |LEFT JOIN resolved r ON g.doc_id = r.doc_id""".stripMargin
+        |LEFT JOIN resolved r ON g.doc_id = r.doc_id""".stripMargin,
+
+    // q74/q75: the global cumulative token sum places every doc at
+    // interval [s, e); a doc intersects sequences s/L .. (e-1)/L.
+    // `//` integer division (DuckDB CAST rounds, `//` truncates like
+    // Spark); every sum CAST to BIGINT (HUGEINT otherwise).
+    "q74_pack_map" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM tok),
+        |placed AS (SELECT doc_id, n, e - n AS s, e FROM cum WHERE n > 0),
+        |ex AS (
+        |  SELECT doc_id, s, e,
+        |    unnest(generate_series(s // 512, (e - 1) // 512)) AS seq_id
+        |  FROM placed)
+        |SELECT doc_id, seq_id,
+        |  greatest(s, seq_id * 512) - seq_id * 512 AS seq_off,
+        |  greatest(seq_id * 512 - s, 0) AS doc_off,
+        |  least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS n_toks
+        |FROM ex""".stripMargin,
+
+    "q75_pack_seqs" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM tok),
+        |placed AS (SELECT doc_id, n, e - n AS s, e FROM cum WHERE n > 0),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    unnest(generate_series(s // 512, (e - 1) // 512)) AS seq_id
+        |  FROM placed),
+        |slices AS (
+        |  SELECT m.seq_id,
+        |    greatest(m.s, m.seq_id * 512) - m.seq_id * 512 AS seq_off,
+        |    least(m.e, (m.seq_id + 1) * 512) - greatest(m.s, m.seq_id * 512)
+        |      AS n_toks,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(trim(d.text), '\s+'),
+        |      greatest(m.seq_id * 512 - m.s, 0) + 1,
+        |      greatest(m.seq_id * 512 - m.s, 0)
+        |        + least(m.e, (m.seq_id + 1) * 512)
+        |        - greatest(m.s, m.seq_id * 512)), ' ') AS piece
+        |  FROM m JOIN documents d ON m.doc_id = d.doc_id)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  string_agg(piece, ' ' ORDER BY seq_off) AS text
+        |FROM slices GROUP BY 1""".stripMargin,
+
+    // q76: same n-gram comprehension the q72/q73 oracles pin against
+    // ShingleArray (short docs yield their single partial gram).
+    "q76_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT unnest([array_to_string(t[i+1:i+3], ' ')
+        |    for i in generate_series(0, greatest(len(t)-3, 0))]) AS ngram
+        |  FROM w)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g GROUP BY 1
+        |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

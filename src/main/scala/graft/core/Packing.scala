@@ -1,0 +1,126 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step that turns a curated corpus into
+  * fixed-length training sequences: concatenate every document's
+  * tokens in a deterministic order and chop the stream into
+  * `seqLen`-token windows (the "concatenate and chunk" regime of
+  * GPT-style pretraining; documents may span window boundaries, and a
+  * window may hold many short documents).
+  *
+  * The load-bearing primitive is a GLOBAL token prefix sum in id
+  * order. A naive `Window.orderBy(id)` computes it on ONE partition —
+  * the canonical driver-bottleneck anti-pattern. This implementation
+  * is the classic two-phase distributed prefix sum, fully
+  * declarative:
+  *
+  *   1. range-partition by id (contiguous id ranges per partition —
+  *      AQE may coalesce, but only ADJACENT ranges, so contiguity
+  *      survives);
+  *   2. partition-local running sums (window keyed on the range
+  *      partition id — the shuffle carries only (id, n_tokens));
+  *   3. per-partition totals (one tiny P-row aggregate) turned into
+  *      partition prefix offsets by a P-row window — the only
+  *      single-partition step, over ≤ a few thousand rows at any
+  *      scale — broadcast-joined back.
+  *
+  * Every downstream shape is embarrassingly parallel: a doc spanning
+  * token interval [s, e) lands in sequences s/L .. (e-1)/L via
+  * sequence+explode (fan-out = ceil(doc_len/L) + 1 rows max), and
+  * window assembly is one hash aggregation on seq_id.
+  *
+  * Reference anchor: the reference pipeline's transform stage emits
+  * row-shaped JSON for consumers (`/root/reference/process_etl.py`);
+  * packing is the corpus-scale analogue of that "reshape for the
+  * downstream consumer" step for LM training.
+  */
+object Packing {
+
+  /** Per-document token interval [tok_start, tok_end) in the global
+    * id-ordered token stream. Zero-token docs cannot occur under
+    * whitespace tokenization (an empty text still yields one empty
+    * token — same convention as DuckDB's regexp_split_to_array, which
+    * keeps the oracle exact); callers filtering tokens upstream get
+    * correct intervals regardless.
+    */
+  def tokenOffsets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counted = df.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val ranged = counted.repartitionByRange(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    // PERSIST: the per-partition totals below must see the SAME _pid
+    // assignment as this branch. Without it, Catalyst builds a second
+    // scan + range exchange for the totals branch, which (a) doubles
+    // the corpus scan and (b) only agrees on partition boundaries
+    // because range-boundary sampling happens to be deterministic —
+    // a coincidence this function must not lean on. The cached rows
+    // are (id, count, pid) — three words per doc.
+    val local = ranged.withColumn("_local_end",
+      sum("n_tokens").over(
+        Window.partitionBy("_pid").orderBy(col(idCol))))
+      .persist()
+    val prefixes = local.groupBy("_pid")
+      .agg(sum("n_tokens").as("_ptotal"))
+      .withColumn("_offset",
+        coalesce(sum("_ptotal").over(
+          Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    local.join(broadcast(prefixes), Seq("_pid"))
+      .select(col(idCol), col("n_tokens"),
+        (col("_local_end") + col("_offset") - col("n_tokens")).as("tok_start"),
+        (col("_local_end") + col("_offset")).as("tok_end"))
+  }
+
+  /** The packing MAP — which documents contribute which token slices
+    * to which sequence. One row per (doc, sequence) intersection:
+    * `seq_off` (where in the sequence the slice starts), `doc_off`
+    * (where in the doc it starts), `n_toks` (slice length). This is
+    * the scale-path artifact: it never materializes text, shuffles
+    * only offsets, and is what a 100 TB run persists so that workers
+    * can assemble their own shards.
+    */
+  def packCompositions(df: DataFrame, idCol: String, textCol: String,
+                       seqLen: Int): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val L = lit(seqLen.toLong)
+    tokenOffsets(df, idCol, textCol)
+      .filter(col("n_tokens") > 0)
+      .withColumn("seq_id", explode(sequence(
+        (col("tok_start") / L).cast("long"),
+        ((col("tok_end") - 1) / L).cast("long"))))
+      .select(col(idCol), col("seq_id"),
+        (greatest(col("tok_start"), col("seq_id") * L) - col("seq_id") * L)
+          .as("seq_off"),
+        greatest(col("seq_id") * L - col("tok_start"), lit(0L)).as("doc_off"),
+        (least(col("tok_end"), (col("seq_id") + 1) * L)
+          - greatest(col("tok_start"), col("seq_id") * L)).as("n_toks"))
+  }
+
+  /** Assembled fixed-length sequences: joins the composition map back
+    * to the doc text (the map side carries offsets only until this
+    * final join), slices each doc's contribution, and concatenates in
+    * sequence order — one hash aggregation keyed on seq_id. The final
+    * sequence of the corpus may be shorter than `seqLen` (`n_tokens`
+    * makes that visible; padding policy belongs to the consumer).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int): DataFrame = {
+    val comp = packCompositions(df, idCol, textCol, seqLen)
+    val words = TextAnalysis.tokens(col(textCol))
+    val pieces = comp.join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col("seq_id"), col("seq_off"), col("n_toks"),
+        concat_ws(" ", slice(words, (col("doc_off") + 1).cast("int"),
+          col("n_toks").cast("int"))).as("piece"))
+    pieces.groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seq_off"), col("piece")))),
+          s => s.getField("piece"))).as("text"))
+  }
+}

@@ -347,4 +347,25 @@ object TextAnalysis {
 
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
+
+  /** Corpus-wide top-k n-grams by occurrence count (ties broken by the
+    * gram itself, so the result is total-order deterministic). The
+    * frequency head of a corpus is the working set for boilerplate
+    * discovery, stop-gram (`maxDf`-style) cap tuning, and contamination
+    * triage.
+    *
+    * Plan: one Generate (native ShingleArray, duplicates kept) →
+    * partial hash aggregate BEFORE the exchange (map-side combine does
+    * the heavy lifting — Zipfian gram counts collapse hardest exactly
+    * where volume is worst) → final aggregate →
+    * TakeOrderedAndProject(k). Nothing but (gram, count) ever
+    * shuffles, and only k rows reach the driver.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be >= 1")
+    df.select(explode(ngramsAll(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.core.{Packing, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing (q74/q75) and corpus top-k n-grams (q76). */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs4 = Seq(
+    (1L, "a b c d e"),        // 5 tokens -> [0, 5)
+    (2L, "f g h"),            // 3 tokens -> [5, 8)
+    (3L, "i j k l m n o p"),  // 8 tokens -> [8, 16)
+    (4L, "q r")               // 2 tokens -> [16, 18)
+  ).toDF("doc_id", "text")
+
+  test("tokenOffsets: contiguous intervals in id order from zero") {
+    val off = Packing.tokenOffsets(docs4, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(off.toSeq == Seq(
+      (1L, 5L, 0L, 5L), (2L, 3L, 5L, 8L),
+      (3L, 8L, 8L, 16L), (4L, 2L, 16L, 18L)))
+  }
+
+  test("packCompositions: docs tile sequences exactly, boundary docs split") {
+    // L=4: seq0=[a b c d], seq1=[e f g h], seq2=[i j k l],
+    // seq3=[m n o p], seq4=[q r]
+    val m = Packing.packCompositions(docs4, "doc_id", "text", 4)
+      .orderBy("seq_id", "seq_off")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m == Seq(
+      (1L, 0L, 0L, 0L, 4L),   // doc1 tokens 0-3 fill seq0
+      (1L, 1L, 0L, 4L, 1L),   // doc1 token 4 opens seq1
+      (2L, 1L, 1L, 0L, 3L),   // doc2 completes seq1
+      (3L, 2L, 0L, 0L, 4L),   // doc3 first half
+      (3L, 3L, 0L, 4L, 4L),   // doc3 second half
+      (4L, 4L, 0L, 0L, 2L)))  // doc4: short tail sequence
+  }
+
+  test("packSequences: reassembly reproduces the concatenated corpus") {
+    for (l <- Seq(3, 4, 7, 100)) {
+      val seqs = Packing.packSequences(docs4, "doc_id", "text", l)
+        .orderBy("seq_id").as[(Long, Long, Long, String)].collect()
+      val corpus = ("a b c d e f g h i j k l m n o p q r").split(" ")
+      assert(seqs.map(_._4).mkString(" ") == corpus.mkString(" "),
+        s"L=$l reassembly")
+      assert(seqs.map(_._3).sum == corpus.length, s"L=$l token total")
+      assert(seqs.dropRight(1).forall(_._3 == l), s"L=$l full windows")
+    }
+  }
+
+  test("packing is partition-count invariant (the prefix sum is global)") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val a = Packing.packCompositions(d, "doc_id", "text", 512)
+    val b = Packing.packCompositions(d.repartition(13), "doc_id", "text", 512)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("packCompositions: per-sequence slice lengths sum to seqLen") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val bySeq = Packing.packCompositions(d, "doc_id", "text", 512)
+      .groupBy("seq_id").agg(sum("n_toks").as("filled"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    assert(bySeq.dropRight(1).forall(_._2 == 512L), "every non-tail window full")
+    assert(bySeq.last._2 <= 512L)
+  }
+
+  test("topNgrams: counts and deterministic tie order") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
+    // bigrams: doc1 [a b][b a][a b]; doc2 [a b][b c]; doc3 short -> [z]
+    val top = TextAnalysis.topNgrams(d, "text", 2, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L), ("z", 1L)))
+  }
+}
