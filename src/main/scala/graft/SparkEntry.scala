@@ -888,6 +888,17 @@ object SparkEntry {
     // driver.
     "q76_top_ngrams" -> ((s, dir) => {
       TextAnalysis.topNgrams(Tables.documents(s, dir), "text", n = 3, k = 100)
+    }),
+
+    // temperature-flattened source mixing at alpha=0.5: rate
+    // sqrt(n_min/n_s) per source, portable value-hash Bernoulli —
+    // sqrt and division are IEEE-exact, so even the quantized
+    // threshold is engine-identical. Full audit, no corpus shuffle.
+    "q77_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureSample(Tables.documents(s, dir), "source",
+          "doc_id", alpha = 0.5, seed = 42L)
+        .select(col("doc_id"), col("source"), col("n_source"),
+          col("keep_below"), col("mix_hash"), col("mix_kept"))
     })
   )
 
@@ -2342,7 +2353,32 @@ object SparkEntry {
         |  FROM w)
         |SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
         |FROM g GROUP BY 1
-        |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
+        |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin,
+
+    // q77: sqrt/division are IEEE-correctly-rounded, so the
+    // floor(rate * 2^20) threshold matches Spark bit-for-bit; the
+    // hash is the engine's portable polynomial rolling hash (q24/q60
+    // recipe).
+    "q77_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n_source) AS n_min FROM counts),
+        |rates AS (
+        |  SELECT source, n_source,
+        |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_source) * 1048576)
+        |      AS BIGINT) AS keep_below
+        |  FROM counts, mn),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(doc_id || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1048576 AS mix_hash
+        |  FROM documents)
+        |SELECT h.doc_id, h.source, r.n_source, r.keep_below, h.mix_hash,
+        |  h.mix_hash < r.keep_below AS mix_kept
+        |FROM h JOIN rates r ON h.source = r.source""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

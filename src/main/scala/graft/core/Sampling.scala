@@ -90,6 +90,47 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Temperature-flattened source mixing (the multilingual/multi-source
+    * sampling rule of mT5/XLM-R shape): keep source s at rate
+    * (n_min / n_s)^(1−α) — α = 1 keeps the natural distribution,
+    * α = 0 flattens every source to the smallest one's expected
+    * count, in between damps the head sources' dominance.
+    *
+    * Decisions are the same portable value-hash Bernoulli as
+    * [[hashSplit]]: a pure function of (id, seed), reproducible
+    * across re-runs, repartitions and engines. Rates quantize to an
+    * integer threshold out of 2^20, so the kept set is an exact
+    * integer compare. At α = 0.5 the rate is sqrt(n_min/n_s) —
+    * division and sqrt are both correctly rounded under IEEE 754, so
+    * even the threshold is bit-identical across engines (general α
+    * goes through pow, whose last ulp is libm's business — fine for
+    * sampling, not for an oracle).
+    *
+    * Plan: one tiny per-source count aggregate + 1-row min, broadcast
+    * back as a rate table; the corpus side is one codegen'd
+    * projection + filter-free audit (`mix_kept`), no corpus shuffle.
+    */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
+                        alpha: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_source"))
+    val ratio = counts.crossJoin(
+        broadcast(counts.agg(min(col("n_source")).as("n_min"))))
+      .withColumn("_r", col("n_min").cast("double") / col("n_source"))
+    val rate =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(col("_r"))
+      else if (alpha == 0.0) col("_r")
+      else pow(col("_r"), lit(1.0 - alpha))
+    val rates = ratio.select(col(sourceCol), col("n_source"),
+      floor(rate * lit(1048576L)).cast("long").as("keep_below"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("mix_hash", pmod(TextAnalysis.rollingHash(
+        concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))),
+        lit(1048576L)))
+      .withColumn("mix_kept", col("mix_hash") < col("keep_below"))
+  }
+
   def reservoirDoubles(df: DataFrame, featureCols: Seq[String], n: Int,
                        seed: Long): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.col

@@ -177,6 +177,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(q.count() == docs.count()) // audit keeps every row
   }
 
+  test("temperature mix: alpha endpoints, flattening, determinism") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val n = d.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val nMin = n.values.min
+
+    // alpha=1: natural distribution — every row kept
+    val a1 = Sampling.temperatureSample(d, "source", "doc_id", alpha = 1.0)
+    assert(a1.filter(!col("mix_kept")).count() == 0)
+
+    // alpha=0.5: smallest source keeps everything; each source's
+    // threshold is exactly floor(sqrt(nmin/ns) * 2^20)
+    val a05 = Sampling.temperatureSample(d, "source", "doc_id", alpha = 0.5)
+    val thresholds = a05.select("source", "keep_below").distinct()
+      .as[(String, Long)].collect().toMap
+    for ((s, ns) <- n) {
+      val expect = math.floor(math.sqrt(nMin.toDouble / ns) * 1048576L).toLong
+      assert(thresholds(s) == expect, s"threshold for $s")
+    }
+    val minSource = n.minBy(_._2)._1
+    assert(a05.filter(col("source") === minSource && !col("mix_kept"))
+      .count() == 0, "smallest source fully kept")
+
+    // alpha=0: expected kept counts flatten toward n_min — every
+    // source's keep rate is n_min/n_s, so realized counts concentrate
+    // near n_min (hash Bernoulli, generous 3-sigma-ish bound)
+    val a0 = Sampling.temperatureSample(d, "source", "doc_id", alpha = 0.0)
+    val kept0 = a0.filter(col("mix_kept")).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    for ((s, k) <- kept0) {
+      val sd = 3 * math.sqrt(nMin.toDouble) + 3
+      assert(math.abs(k - nMin) <= sd, s"$s kept $k vs flat target $nMin")
+    }
+
+    // decisions are a pure row function: repartitioning changes nothing
+    val again = Sampling.temperatureSample(d.repartition(13), "source", "doc_id", alpha = 0.5)
+      .select("doc_id", "mix_kept")
+    assert(a05.select("doc_id", "mix_kept").exceptAll(again).isEmpty)
+  }
+
   test("dupSpans: interval union of cross-doc shared windows, hand-checked") {
     val docs = Seq(
       (1L, "a b c d e f g h"),            // shares "c d e f" with doc 2
