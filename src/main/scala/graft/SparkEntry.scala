@@ -899,6 +899,21 @@ object SparkEntry {
           "doc_id", alpha = 0.5, seed = 42L)
         .select(col("doc_id"), col("source"), col("n_source"),
           col("keep_below"), col("mix_hash"), col("mix_kept"))
+    }),
+
+    // in-engine BPE: train 100 merges from the distributed
+    // word-frequency dict (driver solves the bounded dict problem,
+    // never the corpus), then distributed encode with memoized
+    // greedy rank merges. The merge loop is an iterated
+    // argmax-rewrite fixpoint — not SQL-expressible, so this gate is
+    // rows-only; BpeSpec pins the published worked example, an
+    // independent reference implementation, reconstruction, and
+    // partition invariance.
+    "q78_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = Bpe.train(docs, "text", numMerges = 100)
+      Bpe.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"))
     })
   )
 

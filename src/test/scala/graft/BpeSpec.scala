@@ -1,0 +1,119 @@
+package graft
+
+import graft.core.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE trainer + distributed encoder (q78). The trainer is pinned to
+  * the worked example of Sennrich et al. 2016 §3.2 and to an
+  * INDEPENDENTLY written reference implementation (recomputes
+  * everything from scratch each iteration, immutable collections —
+  * deliberately nothing like the engine's incremental loop).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE: naive, from-scratch-per-iteration. */
+  private def refTrain(dict: Map[String, Long], k: Int,
+                       minFreq: Long = 2L): List[(String, String)] = {
+    def pairsOf(w: List[String]): List[(String, String)] =
+      w.zip(w.drop(1))
+    def applyMerge(w: List[String], p: (String, String)): List[String] =
+      w match {
+        case a :: b :: rest if (a, b) == p =>
+          (a + b) :: applyMerge(rest, p)
+        case a :: rest => a :: applyMerge(rest, p)
+        case Nil => Nil
+      }
+    var words: Map[List[String], Long] = dict.map { case (w, c) =>
+      (w.map(_.toString).toList :+ Bpe.EndOfWord) -> c
+    }
+    var merges = List.empty[(String, String)]
+    var i = 0
+    var stop = false
+    while (i < k && !stop) {
+      val counts = words.toList
+        .flatMap { case (w, c) => pairsOf(w).map(_ -> c) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) stop = true
+      else {
+        val best = counts.toList.minBy { case ((a, b), c) => (-c, a, b) }
+        if (best._2 < minFreq) stop = true
+        else {
+          merges = merges :+ best._1
+          words = words.toList
+            .map { case (w, c) => applyMerge(w, best._1) -> c }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+      i += 1
+    }
+    merges
+  }
+
+  test("trainer reproduces the Sennrich worked example") {
+    val dict = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val m = Bpe.trainFromDict(dict, 5).merges
+    assert(m == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+    // the canonical demonstration: an UNSEEN word segments into a
+    // learned stem + suffix unit
+    val model = Bpe.Model(m)
+    assert(Bpe.encodeWord("lowest", model.ranks).toSeq ==
+      Seq("low", "est</w>"))
+    assert(Bpe.encodeWord("low", model.ranks).toSeq == Seq("low", "</w>"))
+  }
+
+  test("trainer matches the independent reference on the real corpus") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val dict = Bpe.wordCounts(d, "text").filter(col("cnt") >= 2)
+      .as[(String, Long)].collect()
+    val engine = Bpe.trainFromDict(dict, 60).merges
+    val ref = refTrain(dict.toMap, 60)
+    assert(engine == ref)
+  }
+
+  test("distributed encode: reconstruction, counts, partition invariance") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val model = Bpe.train(d, "text", numMerges = 80)
+    assert(model.merges.length == 80)
+
+    val enc = Bpe.encode(d, "doc_id", "text", model)
+    val joined = enc.join(d.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), col("pieces"), col("n_pieces"),
+        col("n_words"), col("text"))
+      .as[(Long, Seq[String], Long, Long, String)].collect()
+    assert(joined.nonEmpty)
+    for ((_, pieces, nPieces, nWords, text) <- joined) {
+      assert(pieces.length.toLong == nPieces)
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      assert(nWords == words.length.toLong)
+      // dropping the end-of-word symbols and re-splitting on them
+      // reconstructs the original words exactly
+      val rebuilt = pieces.mkString("").split(java.util.regex.Pattern
+        .quote(Bpe.EndOfWord)).filter(_.nonEmpty)
+      assert(rebuilt.toSeq == words.toSeq, "lossless reconstruction")
+      // merges learned with minFrequency=2 compress the corpus: fewer
+      // pieces than characters
+      assert(nPieces <= text.replaceAll("\\s+", "").length + nWords)
+    }
+
+    val again = Bpe.encode(d.repartition(7), "doc_id", "text", model)
+      .select("doc_id", "n_pieces")
+    assert(enc.select("doc_id", "n_pieces").exceptAll(again).isEmpty,
+      "partition-count invariant")
+  }
+
+  test("training is deterministic and compression improves with merges") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val m1 = Bpe.train(d, "text", 40)
+    val m2 = Bpe.train(d, "text", 40)
+    assert(m1.merges == m2.merges)
+    val p0 = Bpe.encode(d, "doc_id", "text", Bpe.Model(Nil))
+      .agg(sum("n_pieces")).as[Long].head()
+    val p40 = Bpe.encode(d, "doc_id", "text", m1)
+      .agg(sum("n_pieces")).as[Long].head()
+    val p80 = Bpe.encode(d, "doc_id", "text", Bpe.train(d, "text", 80))
+      .agg(sum("n_pieces")).as[Long].head()
+    assert(p40 < p0 && p80 < p40, s"monotone compression: $p0 > $p40 > $p80")
+  }
+}
