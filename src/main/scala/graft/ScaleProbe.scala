@@ -57,7 +57,13 @@ object ScaleProbe {
       // round-3 additions. q67's gate centroid count grows with the
       // corpus (vec_id%97 — same artifact as q49) and q70's batch is a
       // corpus slice; fixed-parameter variants are probed below.
-      "q67_semdedup", "q68_lm_score", "q69_dsir", "q70_index_dedup")
+      "q67_semdedup", "q68_lm_score", "q69_dsir", "q70_index_dedup",
+      // round-3 continuation: packing (global prefix sum must stay
+      // two-phase), n-gram head, temperature mix, BPE (the 10x corpus
+      // is replicated text, so the word dict — and training — stay
+      // CONSTANT while encode scales with tokens)
+      "q74_pack_map", "q75_pack_seqs", "q76_top_ngrams",
+      "q77_temperature_mix", "q78_bpe_encode")
     probes.foreach { name =>
       def time(dir: String): Double = {
         val t0 = System.nanoTime()

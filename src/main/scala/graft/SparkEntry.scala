@@ -914,6 +914,16 @@ object SparkEntry {
       val model = Bpe.train(docs, "text", numMerges = 100)
       Bpe.encode(docs, "doc_id", "text", model)
         .select(col("doc_id"), col("n_words"), col("n_pieces"))
+    }),
+
+    // packing under a different cost model: placement by CHARACTER
+    // budget (embedding-model chunking shape) — same two-phase prefix
+    // sum, weight column instead of tokenization
+    "q79_pack_by_cost" -> ((s, dir) => {
+      Packing.packCompositionsBy(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_tokens")),
+        "doc_id", seqLen = 4096)
     })
   )
 
@@ -2393,7 +2403,24 @@ object SparkEntry {
         |  FROM documents)
         |SELECT h.doc_id, h.source, r.n_source, r.keep_below, h.mix_hash,
         |  h.mix_hash < r.keep_below AS mix_kept
-        |FROM h JOIN rates r ON h.source = r.source""".stripMargin
+        |FROM h JOIN rates r ON h.source = r.source""".stripMargin,
+
+    // q79: the q74 placement algebra under the n_chars cost model.
+    "q79_pack_by_cost" ->
+      """WITH cum AS (
+        |  SELECT doc_id, n_chars AS n,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM documents),
+        |placed AS (SELECT doc_id, n, e - n AS s, e FROM cum WHERE n > 0),
+        |ex AS (
+        |  SELECT doc_id, s, e,
+        |    unnest(generate_series(s // 4096, (e - 1) // 4096)) AS seq_id
+        |  FROM placed)
+        |SELECT doc_id, seq_id,
+        |  greatest(s, seq_id * 4096) - seq_id * 4096 AS seq_off,
+        |  greatest(seq_id * 4096 - s, 0) AS doc_off,
+        |  least(e, (seq_id + 1) * 4096) - greatest(s, seq_id * 4096) AS n_toks
+        |FROM ex""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

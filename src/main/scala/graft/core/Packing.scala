@@ -46,9 +46,18 @@ object Packing {
     * keeps the oracle exact); callers filtering tokens upstream get
     * correct intervals regardless.
     */
-  def tokenOffsets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counted = df.select(col(idCol),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+  def tokenOffsets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    offsetsBy(df.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol)
+
+  /** The prefix sum over an arbitrary non-negative integer cost
+    * column named `n_tokens` — whitespace tokens are ONE cost model;
+    * packing by characters (embedding-model chunking), bytes, or
+    * learned-tokenizer piece counts ([[Bpe.encode]]'s `n_pieces`) is
+    * the same placement problem with a different weight.
+    */
+  def offsetsBy(counted: DataFrame, idCol: String): DataFrame = {
     val ranged = counted.repartitionByRange(col(idCol))
       .withColumn("_pid", spark_partition_id())
     // PERSIST: the per-partition totals below must see the SAME _pid
@@ -84,10 +93,21 @@ object Packing {
     * can assemble their own shards.
     */
   def packCompositions(df: DataFrame, idCol: String, textCol: String,
-                       seqLen: Int): DataFrame = {
+                       seqLen: Int): DataFrame =
+    compositionsFrom(tokenOffsets(df, idCol, textCol), idCol, seqLen)
+
+  /** Composition map under any cost model: `counted` must carry
+    * (idCol, n_tokens ≥ 0). Same slicing math, weight-agnostic.
+    */
+  def packCompositionsBy(counted: DataFrame, idCol: String,
+                         seqLen: Int): DataFrame =
+    compositionsFrom(offsetsBy(counted, idCol), idCol, seqLen)
+
+  private def compositionsFrom(offsets: DataFrame, idCol: String,
+                               seqLen: Int): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
     val L = lit(seqLen.toLong)
-    tokenOffsets(df, idCol, textCol)
+    offsets
       .filter(col("n_tokens") > 0)
       .withColumn("seq_id", explode(sequence(
         (col("tok_start") / L).cast("long"),

@@ -66,6 +66,15 @@ class PackingSpec extends SparkSpec {
     assert(bySeq.last._2 <= 512L)
   }
 
+  test("packCompositionsBy: cost-column path matches the text path when weights agree") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val counted = d.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val byCol = Packing.packCompositionsBy(counted, "doc_id", 512)
+    val byText = Packing.packCompositions(d, "doc_id", "text", 512)
+    assert(byCol.exceptAll(byText).isEmpty && byText.exceptAll(byCol).isEmpty)
+  }
+
   test("topNgrams: counts and deterministic tie order") {
     val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
     // bigrams: doc1 [a b][b a][a b]; doc2 [a b][b c]; doc3 short -> [z]
