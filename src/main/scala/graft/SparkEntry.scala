@@ -924,6 +924,28 @@ object SparkEntry {
         Tables.documents(s, dir)
           .select(col("doc_id"), col("n_chars").cast("long").as("n_tokens")),
         "doc_id", seqLen = 4096)
+    }),
+
+    // the full training-data pipeline in one query: curate (5-stage
+    // audit) -> survivors -> BPE train+encode on the CURATED corpus
+    // -> pack by learned-token counts. Every stage is individually
+    // oracled (q73/q78-parity-spec/q79); the composition is rows-only
+    // (BPE counts aren't SQL-computable).
+    "q80_corpus_to_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val survivors = Curation.curateFull(docs, maxNllMicro = 3450000L)
+        .filter(col("is_survivor")).select("doc_id")
+      // persist the curated-corpus boundary: three independent
+      // consumers (BPE's dict aggregation, the encode scan, packing)
+      // would otherwise each re-derive the curation's non-cacheable
+      // resolution tail (measured 8.8s -> ~5s at sf0.1). This is the
+      // between-pipeline table a production run writes.
+      val corpus = docs.join(survivors, Seq("doc_id")).persist()
+      val model = Bpe.train(corpus, "text", numMerges = 100)
+      val enc = Bpe.encode(corpus, "doc_id", "text", model)
+      Packing.packCompositionsBy(
+        enc.select(col("doc_id"), col("n_pieces").as("n_tokens")),
+        "doc_id", seqLen = 512)
     })
   )
 

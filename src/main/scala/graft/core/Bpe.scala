@@ -190,4 +190,51 @@ object Bpe {
       }
     }.toDF(idCol, "pieces", "n_pieces", "n_words")
   }
+
+  /** Deterministic piece→id vocabulary: the corpus' distinct base
+    * characters (sorted) take ids 0..C−1, then `EndOfWord`, then one
+    * id per merge product in LEARNED ORDER — so growing the merge
+    * list only APPENDS ids, it never renumbers an existing piece
+    * (the property checkpoint-compatible tokenizer upgrades need).
+    * The char scan is one distinct aggregate; the id window runs over
+    * the ≤ |alphabet| + merges result — trivially bounded.
+    */
+  def vocab(df: DataFrame, textCol: String, model: Model): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = df
+      .select(explode(split(regexp_replace(col(textCol), "\\s+", ""), ""))
+        .as("piece"))
+      .filter(length(col("piece")) > 0).distinct()
+      .withColumn("piece_id",
+        row_number().over(Window.orderBy(col("piece"))).cast("long") - 1)
+    val base = chars.count()
+    val learned = (EndOfWord +: model.merges.map(m => m._1 + m._2))
+      .zipWithIndex.map { case (p, i) => (p, base + i) }
+      .toDF("piece", "piece_id")
+    chars.unionByName(learned)
+  }
+
+  /** Encode straight to id arrays (unknown piece → −1, possible only
+    * when the vocab was built on a different corpus than the text).
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+                model: Model, vocabIds: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = model.ranks
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val memo = mutable.HashMap.empty[String, Array[Long]]
+        rows.map { case (id, text) =>
+          val words = Option(text).map(_.trim).filter(_.nonEmpty)
+            .map(_.split("\\s+")).getOrElse(Array.empty[String])
+          val ids = words.flatMap(w => memo.getOrElseUpdate(w,
+            encodeWord(w, ranks).map(p => vocabIds.getOrElse(p, -1L))))
+          (id, ids, ids.length.toLong)
+        }
+      }.toDF(idCol, "piece_ids", "n_pieces")
+  }
 }

@@ -103,6 +103,30 @@ class BpeSpec extends SparkSpec {
       "partition-count invariant")
   }
 
+  test("vocab ids: bijective, append-only under merge growth, round-trip") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val m40 = Bpe.train(d, "text", 40)
+    val m80 = Bpe.train(d, "text", 80)
+    assert(m80.merges.take(40) == m40.merges, "merge list grows by appending")
+
+    val v40 = Bpe.vocab(d, "text", m40).as[(String, Long)].collect().toMap
+    val v80 = Bpe.vocab(d, "text", m80).as[(String, Long)].collect().toMap
+    assert(v40.values.toSeq.sorted == (0L until v40.size).toSeq, "dense ids")
+    assert(v40.forall { case (p, id) => v80.get(p).contains(id) },
+      "growing merges never renumbers an existing piece")
+
+    val enc = Bpe.encode(d, "doc_id", "text", m40)
+      .select("doc_id", "pieces").as[(Long, Seq[String])].collect().toMap
+    val ids = Bpe.encodeIds(d, "doc_id", "text", m40, v40)
+      .select("doc_id", "piece_ids").as[(Long, Seq[Long])].collect()
+    val inv = v40.map(_.swap)
+    assert(ids.nonEmpty)
+    for ((docId, ps) <- ids) {
+      assert(!ps.contains(-1L), "same-corpus vocab has no unknowns")
+      assert(ps.map(inv) == enc(docId), "id sequence decodes to the pieces")
+    }
+  }
+
   test("training is deterministic and compression improves with merges") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val m1 = Bpe.train(d, "text", 40)
