@@ -946,6 +946,19 @@ object SparkEntry {
       Packing.packCompositionsBy(
         enc.select(col("doc_id"), col("n_pieces").as("n_tokens")),
         "doc_id", seqLen = 512)
+    }),
+
+    // deterministic per-epoch shuffle keys: different permutation
+    // each epoch, each exactly reproducible and partitioning/engine
+    // independent (what orderBy(rand) is not). Keys pin the
+    // permutation; materializing it is one range exchange.
+    "q81_epoch_shuffle" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.epochShuffle(docs, "doc_id", epoch = 0)
+        .select(col("doc_id"), col("shuffle_key").as("key_epoch0"))
+        .join(Sampling.epochShuffle(docs, "doc_id", epoch = 1)
+          .select(col("doc_id"), col("shuffle_key").as("key_epoch1")),
+          Seq("doc_id"))
     })
   )
 
@@ -2442,7 +2455,22 @@ object SparkEntry {
         |  greatest(s, seq_id * 4096) - seq_id * 4096 AS seq_off,
         |  greatest(seq_id * 4096 - s, 0) AS doc_off,
         |  least(e, (seq_id + 1) * 4096) - greatest(s, seq_id * 4096) AS n_toks
-        |FROM ex""".stripMargin
+        |FROM ex""".stripMargin,
+
+    // q81: the portable rolling hash of (id, '#', epoch, ':', seed).
+    "q81_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(doc_id || '#0:42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1000000007 AS k0,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(doc_id || '#1:42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1000000007 AS k1
+        |  FROM documents)
+        |SELECT doc_id, k0 AS key_epoch0, k1 AS key_epoch1 FROM k""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

@@ -131,6 +131,21 @@ object Sampling {
       .withColumn("mix_kept", col("mix_hash") < col("keep_below"))
   }
 
+  /** Deterministic per-epoch shuffle order: a portable pseudo-random
+    * sort key per (row, epoch). Training runs need a DIFFERENT order
+    * each epoch that is nonetheless exactly reproducible (resume from
+    * step k, re-generate shard n) and engine/partitioning-independent
+    * — `orderBy(rand(seed))` is neither. The key is the engine's
+    * polynomial rolling hash of (id, epoch, seed); materializing the
+    * order is then one range exchange (`orderBy(shuffle_key, id)`),
+    * which is exactly the shuffle a distributed sort costs anyway.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   seed: Long = 42L): DataFrame =
+    df.withColumn("shuffle_key", pmod(TextAnalysis.rollingHash(
+      concat(col(idCol).cast("string"), lit("#"), lit(epoch.toString),
+        lit(":"), lit(seed.toString))), lit(1000000007L)))
+
   def reservoirDoubles(df: DataFrame, featureCols: Seq[String], n: Int,
                        seed: Long): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.col

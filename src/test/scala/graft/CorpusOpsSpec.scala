@@ -217,6 +217,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a05.select("doc_id", "mix_kept").exceptAll(again).isEmpty)
   }
 
+  test("epoch shuffle: reproducible keys, distinct permutations per epoch") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val e0 = Sampling.epochShuffle(d, "doc_id", 0)
+      .select("doc_id", "shuffle_key")
+    val e0again = Sampling.epochShuffle(d.repartition(9), "doc_id", 0)
+      .select("doc_id", "shuffle_key")
+    assert(e0.exceptAll(e0again).isEmpty, "partition-independent keys")
+    val o0 = e0.orderBy("shuffle_key", "doc_id")
+      .select("doc_id").as[Long].collect()
+    val o1 = Sampling.epochShuffle(d, "doc_id", 1)
+      .orderBy("shuffle_key", "doc_id").select("doc_id").as[Long].collect()
+    assert(o0.toSeq != o1.toSeq, "epochs produce different permutations")
+    assert(o0.sorted.toSeq == o1.sorted.toSeq, "same row set")
+  }
+
   test("dupSpans: interval union of cross-doc shared windows, hand-checked") {
     val docs = Seq(
       (1L, "a b c d e f g h"),            // shares "c d e f" with doc 2
