@@ -103,6 +103,26 @@ class BpeSpec extends SparkSpec {
       "partition-count invariant")
   }
 
+  test("property: random corpora — trainer==reference, encode reconstructs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      // tiny alphabet forces deep merge chains and repeated-symbol
+      // runs (the 'a a a' edge where pairing order matters)
+      val dict: Map[String, Long] = (1 to (5 + rnd.nextInt(20))).map { _ =>
+        val w = Seq.fill(1 + rnd.nextInt(8))("ab" (rnd.nextInt(2))).mkString
+        w -> (1L + rnd.nextInt(9))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val k = 1 + rnd.nextInt(12)
+      val engine = Bpe.trainFromDict(dict.toSeq.sortBy(_._1).toArray, k).merges
+      assert(engine == refTrain(dict, k), s"trial $trial k=$k dict=$dict")
+      val ranks = Bpe.Model(engine).ranks
+      for (w <- dict.keys) {
+        val pieces = Bpe.encodeWord(w, ranks)
+        assert(pieces.mkString("") == w + Bpe.EndOfWord, s"reconstruct $w")
+      }
+    }
+  }
+
   test("vocab ids: bijective, append-only under merge growth, round-trip") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val m40 = Bpe.train(d, "text", 40)

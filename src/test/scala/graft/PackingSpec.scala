@@ -75,6 +75,36 @@ class PackingSpec extends SparkSpec {
     assert(byCol.exceptAll(byText).isEmpty && byText.exceptAll(byCol).isEmpty)
   }
 
+  test("property: random corpora match an independent sequential simulation") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val nDocs = 1 + rnd.nextInt(40)
+      val corpus = (1 to nDocs).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)("w" + rnd.nextInt(9)).mkString(" "))
+      }
+      val seqLen = 1 + rnd.nextInt(17)
+      // sequential reference: walk the corpus in id order, place every
+      // doc, emit each (doc, window) intersection
+      val expected = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+      var off = 0L
+      for ((id, text) <- corpus) {
+        val n = text.split("\\s+").length.toLong
+        val s = off; val e = off + n; off = e
+        var seq = s / seqLen
+        while (seq * seqLen < e) {
+          val a = math.max(s, seq * seqLen); val b = math.min(e, (seq + 1) * seqLen)
+          if (b > a) expected += ((id, seq, a - seq * seqLen, a - s, b - a))
+          seq += 1
+        }
+      }
+      val got = Packing.packCompositions(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", seqLen)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"trial $trial (docs=$nDocs L=$seqLen)")
+    }
+  }
+
   test("topNgrams: counts and deterministic tie order") {
     val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
     // bigrams: doc1 [a b][b a][a b]; doc2 [a b][b c]; doc3 short -> [z]
