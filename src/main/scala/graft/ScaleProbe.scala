@@ -63,7 +63,11 @@ object ScaleProbe {
       // is replicated text, so the word dict — and training — stay
       // CONSTANT while encode scales with tokens)
       "q74_pack_map", "q75_pack_seqs", "q76_top_ngrams",
-      "q77_temperature_mix", "q78_bpe_encode")
+      "q77_temperature_mix", "q78_bpe_encode", "q79_pack_by_cost",
+      // q80 composes curation (whose exact-Jaccard stage is
+      // quadratic-by-design on this replicated corpus — see q19/q43
+      // above and their maxDf-capped linear variants)
+      "q80_corpus_to_sequences", "q81_epoch_shuffle")
     probes.foreach { name =>
       def time(dir: String): Double = {
         val t0 = System.nanoTime()
