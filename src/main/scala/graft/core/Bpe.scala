@@ -191,6 +191,68 @@ object Bpe {
     }.toDF(idCol, "pieces", "n_pieces", "n_words")
   }
 
+  /** The distributed merge loop — the principled fallback when the
+    * word dictionary exceeds what a driver should hold (agglutinative
+    * corpora, byte-level dicts, no min-frequency floor). The dict
+    * lives as a (symbols, cnt) TABLE; each merge is
+    *
+    *   1. adjacent-pair explode (aligned-slice zip_with — never
+    *      per-index element_at, the nested-HOF re-evaluation trap) →
+    *      map-side-combined sum → a ONE-ROW deterministic argmax
+    *      (count desc, pair asc) to the driver;
+    *   2. one rewrite pass applying the merge (leftmost
+    *      non-overlapping, same semantics as the driver loop).
+    *
+    * Per merge the driver sees exactly one row. The dict persists
+    * each round (previous round unpersisted) and localCheckpoints
+    * every `checkpointEvery` merges so lineage stays flat across
+    * hundreds of iterations — the duplicateClusters discipline.
+    * k merges cost k small jobs over a table that only SHRINKS; use
+    * [[train]] whenever the dict fits (it almost always does — dict
+    * size is a property of the language, not the corpus).
+    */
+  def trainDistributed(df: DataFrame, textCol: String, numMerges: Int,
+                       minFrequency: Long = 2L,
+                       checkpointEvery: Int = 8): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var dict = wordCounts(df, textCol)
+      .filter(col("cnt") >= minFrequency)
+      .select(concat(split(col("word"), ""), array(lit(EndOfWord)))
+        .as("symbols"), col("cnt"))
+      .persist()
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var continue = numMerges > 0
+    while (continue) {
+      val best = dict.select(explode(zip_with(
+          slice(col("symbols"), lit(1), size(col("symbols")) - 1),
+          slice(col("symbols"), lit(2), size(col("symbols")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("cnt"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).select(col("a"), col("b"), col("c").cast("long"))
+        .as[(String, String, Long)].collect()
+      best.headOption match {
+        case Some((a, b, c)) if c >= minFrequency =>
+          val pair = (a, b)
+          merges += pair
+          val applyMerge = udf((s: Seq[String]) =>
+            mergePair(s.toArray, pair).toSeq)
+          val prev = dict
+          dict = dict.select(applyMerge(col("symbols")).as("symbols"),
+            col("cnt"))
+          if (merges.length % checkpointEvery == 0)
+            dict = dict.localCheckpoint(true)
+          dict = dict.persist()
+          prev.unpersist()
+          continue = merges.length < numMerges
+        case _ => continue = false
+      }
+    }
+    dict.unpersist()
+    Model(merges.toSeq)
+  }
+
   /** Deterministic piece→id vocabulary: the corpus' distinct base
     * characters (sorted) take ids 0..C−1, then `EndOfWord`, then one
     * id per merge product in LEARNED ORDER — so growing the merge

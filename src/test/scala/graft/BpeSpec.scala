@@ -147,6 +147,17 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("distributed merge loop matches the driver loop exactly") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val driver = Bpe.train(d, "text", numMerges = 20)
+    val dist = Bpe.trainDistributed(d, "text", numMerges = 20)
+    assert(dist.merges == driver.merges)
+    // checkpoint cadence must not affect the result
+    val dist3 = Bpe.trainDistributed(d, "text", numMerges = 20,
+      checkpointEvery = 3)
+    assert(dist3.merges == driver.merges)
+  }
+
   test("training is deterministic and compression improves with merges") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val m1 = Bpe.train(d, "text", 40)
