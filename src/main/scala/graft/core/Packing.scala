@@ -127,6 +127,25 @@ object Packing {
     * sequence of the corpus may be shorter than `seqLen` (`n_tokens`
     * makes that visible; padding policy belongs to the consumer).
     */
+  /** Materialize packed sequences as TRAINING SHARDS: range-cluster
+    * on seq_id into `shards` contiguous slices and commit to a
+    * transactional snapshot table. Because each file then carries a
+    * tight seq_id min/max in the manifest, a trainer fetching shard k
+    * (a seq_id range) opens O(its files) — the same stats-pruning
+    * contract every other snapshot consumer gets, plus time travel
+    * and idempotent re-writes for free. This closes the
+    * corpus→sequences→shards loop inside the engine.
+    *
+    * @return committed snapshot version
+    */
+  def writeShards(seqs: DataFrame, table: String, shards: Int): Int = {
+    require(shards >= 1, "shards must be >= 1")
+    val clustered = seqs
+      .repartitionByRange(shards, col("seq_id"))
+      .sortWithinPartitions("seq_id")
+    graft.sources.SnapshotTable.append(clustered, table)
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int): DataFrame = {
     val comp = packCompositions(df, idCol, textCol, seqLen)

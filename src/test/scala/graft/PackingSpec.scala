@@ -105,6 +105,31 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("writeShards: clustered commit, shard reads open only their files") {
+    import graft.sources.SnapshotTable
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val seqs = Packing.packSequences(d, "doc_id", "text", 64)
+    val table = java.nio.file.Files.createTempDirectory("graft_shards")
+      .toString + "/seqs"
+    val v = Packing.writeShards(seqs, table, shards = 8)
+    val total = SnapshotTable.filesForRead(table).length
+    assert(total >= 8, s"one file per range slice at least (got $total)")
+
+    // a trainer fetching one shard = a seq_id range: pruned read must
+    // open strictly fewer files and return exactly the direct filter
+    val maxSeq = seqs.agg(max("seq_id")).as[Long].head()
+    val lo = 0L; val hi = maxSeq / 8
+    val range = Seq(SnapshotTable.ColRange("seq_id",
+      lower = Some(lo), upper = Some(hi)))
+    assert(SnapshotTable.filesForRead(table, prune = range).length < total,
+      "shard read prunes at the manifest")
+    val pruned = SnapshotTable.read(spark, table, prune = range)
+      .filter(col("seq_id").between(lo, hi))
+    val direct = seqs.filter(col("seq_id").between(lo, hi))
+    assert(pruned.exceptAll(direct).isEmpty && direct.exceptAll(pruned).isEmpty)
+    assert(v >= 0)
+  }
+
   test("topNgrams: counts and deterministic tie order") {
     val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
     // bigrams: doc1 [a b][b a][a b]; doc2 [a b][b c]; doc3 short -> [z]
