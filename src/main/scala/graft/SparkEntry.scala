@@ -2457,20 +2457,22 @@ object SparkEntry {
         |  least(e, (seq_id + 1) * 4096) - greatest(s, seq_id * 4096) AS n_toks
         |FROM ex""".stripMargin,
 
-    // q81: the portable rolling hash of (id, '#', epoch, ':', seed).
+    // q81: base id hash, then the per-epoch Lehmer scramble
+    // key_e = h * 48271^(e+1) + e (mod p). p^2 < 2^63 so the products
+    // are exact BIGINT in both engines.
     "q81_epoch_shuffle" ->
-      """WITH k AS (
+      """WITH h AS (
         |  SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_split_to_array(doc_id || '#0:42', ''),
+        |      list_transform(regexp_split_to_array(doc_id || ':42', ''),
         |        c -> CAST(ascii(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1000000007 AS k0,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_split_to_array(doc_id || '#1:42', ''),
-        |        c -> CAST(ascii(c) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1000000007 AS k1
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1000000007 AS hv
         |  FROM documents)
-        |SELECT doc_id, k0 AS key_epoch0, k1 AS key_epoch1 FROM k""".stripMargin
+        |SELECT doc_id,
+        |  (hv * 48271) % 1000000007 AS key_epoch0,
+        |  ((hv * ((CAST(48271 AS BIGINT) * 48271) % 1000000007))
+        |    % 1000000007 + 1) % 1000000007 AS key_epoch1
+        |FROM h""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

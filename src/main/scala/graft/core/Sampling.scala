@@ -135,16 +135,35 @@ object Sampling {
     * sort key per (row, epoch). Training runs need a DIFFERENT order
     * each epoch that is nonetheless exactly reproducible (resume from
     * step k, re-generate shard n) and engine/partitioning-independent
-    * — `orderBy(rand(seed))` is neither. The key is the engine's
-    * polynomial rolling hash of (id, epoch, seed); materializing the
-    * order is then one range exchange (`orderBy(shuffle_key, id)`),
-    * which is exactly the shuffle a distributed sort costs anyway.
+    * — `orderBy(rand(seed))` is neither. Materializing the order is
+    * one range exchange (`orderBy(shuffle_key, id)`), exactly the
+    * shuffle a distributed sort costs anyway.
+    *
+    * The epoch must NOT enter as an extra hashed character: the
+    * polynomial rolling hash is AFFINE in any single character, so
+    * hash(id + epoch) differs from hash(id + epoch') by the same
+    * constant mod p for every row — epoch "shuffles" that are the
+    * identical permutation (caught by the spec; a one-partition-sort
+    * test would never see it). Instead each epoch applies a
+    * multiplicative Lehmer scramble to the base id hash: key =
+    * h·g^(epoch+1) + epoch (mod p) with the MINSTD multiplier
+    * g = 48271 — a bijection on the residue ring with no usable
+    * order structure, exact in BIGINT (p² < 2^63), and replayable in
+    * any engine by iterating `(k * 48271) % p`.
     */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
-                   seed: Long = 42L): DataFrame =
-    df.withColumn("shuffle_key", pmod(TextAnalysis.rollingHash(
-      concat(col(idCol).cast("string"), lit("#"), lit(epoch.toString),
-        lit(":"), lit(seed.toString))), lit(1000000007L)))
+                   seed: Long = 42L): DataFrame = {
+    require(epoch >= 0, "epoch must be >= 0")
+    val P = 1000000007L
+    val g = 48271L
+    var gE = g
+    for (_ <- 0 until epoch) gE = gE * g % P
+    val h = pmod(TextAnalysis.rollingHash(
+      concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))),
+      lit(P))
+    df.withColumn("shuffle_key",
+      pmod(h * lit(gE) + lit(epoch.toLong), lit(P)))
+  }
 
   def reservoirDoubles(df: DataFrame, featureCols: Seq[String], n: Int,
                        seed: Long): Array[Array[Double]] = {

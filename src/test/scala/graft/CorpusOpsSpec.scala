@@ -228,8 +228,15 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     val o1 = Sampling.epochShuffle(d, "doc_id", 1)
       .orderBy("shuffle_key", "doc_id").select("doc_id").as[Long].collect()
-    assert(o0.toSeq != o1.toSeq, "epochs produce different permutations")
     assert(o0.sorted.toSeq == o1.sorted.toSeq, "same row set")
+    // not merely different: DECORRELATED. The first implementation
+    // appended the epoch as a hashed suffix character — the polynomial
+    // hash is affine in any one character, so every key shifted by the
+    // same constant and the "new" permutation was bit-identical. The
+    // Lehmer scramble must move most rows to genuinely new positions.
+    val moved = o0.zip(o1).count { case (a, b) => a != b }
+    assert(moved > o0.length / 2,
+      s"epochs decorrelate: only $moved/${o0.length} positions changed")
   }
 
   test("dupSpans: interval union of cross-doc shared windows, hand-checked") {
