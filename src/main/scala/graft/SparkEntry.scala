@@ -933,8 +933,8 @@ object SparkEntry {
     // (BPE counts aren't SQL-computable).
     "q80_corpus_to_sequences" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val survivors = Curation.curateFull(docs, maxNllMicro = 3450000L)
-        .filter(col("is_survivor")).select("doc_id")
+      val survivors = Curation.curateFullSurvivorIds(docs,
+        maxNllMicro = 3450000L)
       // persist the curated-corpus boundary: three independent
       // consumers (BPE's dict aggregation, the encode scan, packing)
       // would otherwise each re-derive the curation's non-cacheable

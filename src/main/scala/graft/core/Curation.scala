@@ -94,6 +94,25 @@ object Curation {
     * stages separate again; the audit columns make the attribution
     * visible either way.
     */
+  /** Survivor ids only — the stage pipeline without the final audit
+    * joins. The corpus-consuming path (q80's curate→tokenize→pack)
+    * needs just the kept set; skipping the 4-way all-docs audit join
+    * keeps the composition's tail at resolution cost.
+    */
+  def curateFullSurvivorIds(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            minQuality: Double = 0.51,
+                            maxDupTokenRatio: Double = 0.6,
+                            spanN: Int = 8, maxDupSpanRatio: Double = 0.8,
+                            maxNllMicro: Long = 9000000L,
+                            n: Int = 3, jaccardThreshold: Double = 0.2,
+                            maxDf: Int = Int.MaxValue): DataFrame = {
+    val (_, _, _, resolved) = curateFullStages(docs, idCol, textCol,
+      minQuality, maxDupTokenRatio, spanN, maxDupSpanRatio, maxNllMicro,
+      n, jaccardThreshold, maxDf)
+    resolved.filter(col("is_survivor")).select(col(idCol))
+  }
+
   def curateFull(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", minQuality: Double = 0.51,
                  maxDupTokenRatio: Double = 0.6,
@@ -101,6 +120,31 @@ object Curation {
                  maxNllMicro: Long = 9000000L,
                  n: Int = 3, jaccardThreshold: Double = 0.2,
                  maxDf: Int = Int.MaxValue): DataFrame = {
+    val (scored, spans, lmScores, resolved) = curateFullStages(docs,
+      idCol, textCol, minQuality, maxDupTokenRatio, spanN,
+      maxDupSpanRatio, maxNllMicro, n, jaccardThreshold, maxDf)
+    scored
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("quality_ok"), col("rep_ok"))
+      .join(spans.select(col(idCol), col("span_ok")), Seq(idCol), "left")
+      .join(lmScores.select(col(idCol), col("n_bigrams"),
+        col("ll_scaled"), col("lm_ok")), Seq(idCol), "left")
+      .join(resolved, Seq(idCol), "left")
+      .withColumn("span_ok", coalesce(col("span_ok"), lit(false)))
+      .withColumn("lm_ok", coalesce(col("lm_ok"), lit(false)))
+      .withColumn("kept_exact", coalesce(col("kept_exact"), lit(false)))
+      .withColumn("is_survivor", coalesce(col("is_survivor"), lit(false)))
+  }
+
+  /** The shared 5-stage pipeline: (scored, spans, lmScores, resolved). */
+  private def curateFullStages(docs: DataFrame, idCol: String,
+                               textCol: String, minQuality: Double,
+                               maxDupTokenRatio: Double,
+                               spanN: Int, maxDupSpanRatio: Double,
+                               maxNllMicro: Long,
+                               n: Int, jaccardThreshold: Double,
+                               maxDf: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // Stage boundaries PERSIST (narrow projections): unlike the
     // two-stage `curate` — where a checkpoint was measured slower than
     // recomputation — this composition re-enters each stage's lineage
@@ -144,16 +188,6 @@ object Curation {
     val resolved = Dedup.resolveSurvivors(g3, idCol, pairs)
       .select(col(idCol), col("survivor_id"), col("is_survivor"),
         lit(true).as("kept_exact"))
-    scored
-      .select(col(idCol), col("lang_pred"), col("quality_score"),
-        col("quality_ok"), col("rep_ok"))
-      .join(spans.select(col(idCol), col("span_ok")), Seq(idCol), "left")
-      .join(lmScores.select(col(idCol), col("n_bigrams"),
-        col("ll_scaled"), col("lm_ok")), Seq(idCol), "left")
-      .join(resolved, Seq(idCol), "left")
-      .withColumn("span_ok", coalesce(col("span_ok"), lit(false)))
-      .withColumn("lm_ok", coalesce(col("lm_ok"), lit(false)))
-      .withColumn("kept_exact", coalesce(col("kept_exact"), lit(false)))
-      .withColumn("is_survivor", coalesce(col("is_survivor"), lit(false)))
+    (scored, spans, lmScores, resolved)
   }
 }

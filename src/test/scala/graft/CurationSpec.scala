@@ -84,6 +84,10 @@ class CurationSpec extends SparkSpec {
     full.filter($"survivor_id".isNotNull)
       .select("survivor_id").as[Long].collect()
       .foreach(s => assert(survivors.contains(s)))
+    // the audit-free survivor path returns exactly the audit's survivors
+    val fast = Curation.curateFullSurvivorIds(docs, maxNllMicro = 3450000L)
+      .as[Long].collect().toSet
+    assert(fast == survivors)
     full.unpersist()
   }
 }
