@@ -34,4 +34,63 @@ object NgramStream {
       .groupBy(window(col(tsCol), windowDuration), col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+
+  /** The CONSTANT-STATE fallback for web-scale gram cardinality,
+    * where exact (window, ngram) aggregation state would grow with
+    * the vocabulary of the stream: a Count-Min sketch accumulated
+    * across micro-batches (`foreachBatch` driver loop), plus a
+    * bounded candidate head (per-batch exact top-K — CMS can
+    * estimate any gram but cannot ENUMERATE, and a gram that never
+    * cracks a batch's top-K at candidate time is not a stream heavy
+    * hitter). State is eps×confidence grid + K strings, independent
+    * of stream length; estimates only ever overcount, so
+    * `minCount`-thresholded hitters have no false negatives among
+    * candidates. The per-batch sketch is built DISTRIBUTED
+    * (tree-merged partials, exactly the batch [[graft.core.Sketches]]
+    * path) — the driver only merges one sketch per batch.
+    * `CountMinSketch.writeTo/readFrom` make the state checkpointable
+    * alongside the stream's offsets for restart-safety (the
+    * band-index-as-state pattern, sketch-shaped).
+    */
+  final class CmsHeavyHitters(n: Int, topKPerBatch: Int = 1000,
+                              eps: Double = 0.001,
+                              confidence: Double = 0.99,
+                              seed: Int = 42) extends Serializable {
+    private var cms: org.apache.spark.util.sketch.CountMinSketch = _
+    private val candidates = scala.collection.mutable.Set.empty[String]
+
+    /** foreachBatch body. */
+    def update(batch: DataFrame, textCol: String): Unit = {
+      val grams = batch.select(
+        explode(TextAnalysis.ngramsAll(col(textCol), n)).as("ngram"))
+      grams.persist()
+      try {
+        val batchCms = grams.stat.countMinSketch(
+          col("ngram"), eps, confidence, seed)
+        cms = if (cms == null) batchCms
+        else { cms.mergeInPlace(batchCms); cms }
+        candidates ++= grams.groupBy("ngram").count()
+          .orderBy(col("count").desc, col("ngram"))
+          .limit(topKPerBatch)
+          .collect().map(_.getString(0))
+      } finally grams.unpersist()
+    }
+
+    /** Stream-so-far heavy hitters: candidates whose CMS estimate
+      * clears the threshold (overestimates only — no false negatives
+      * within the candidate set).
+      */
+    def heavyHitters(minCount: Long): Seq[(String, Long)] =
+      if (cms == null) Nil
+      else candidates.toSeq
+        .map(g => (g, cms.estimateCount(g)))
+        .filter(_._2 >= minCount)
+        .sortBy { case (g, c) => (-c, g) }
+
+    def sketchBytes: Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      cms.writeTo(out)
+      out.toByteArray
+    }
+  }
 }

@@ -48,4 +48,30 @@ class NgramStreamSpec extends SparkSpec {
       assert(spark.table("hh_out").count() == 1, "late data dropped")
     } finally q.stop()
   }
+
+  test("CMS accumulator: cross-batch hitters, no false negatives, overcount only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val acc = new graft.streaming.NgramStream.CmsHeavyHitters(
+      n = 2, topKPerBatch = 100)
+    val q = input.toDF().toDF("text").writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.update(b, "text"))
+      .start()
+    try {
+      // "buy now" reaches 4 only ACROSS batches — per-batch exact
+      // counting would never see it clear the threshold
+      input.addData("buy now please", "buy now friend")
+      q.processAllAvailable()
+      assert(acc.heavyHitters(4L).isEmpty, "not hot yet")
+      input.addData("why buy now", "always buy now")
+      q.processAllAvailable()
+      val hot = acc.heavyHitters(4L)
+      assert(hot.map(_._1) == Seq("buy now"), s"got $hot")
+      assert(hot.head._2 >= 4L, "CMS only ever overcounts")
+      // exact stream counts for every candidate are a lower bound
+      assert(acc.heavyHitters(5L).isEmpty, "threshold respected")
+      assert(acc.sketchBytes.nonEmpty, "state is checkpointable")
+    } finally q.stop()
+  }
 }
