@@ -948,6 +948,14 @@ object SparkEntry {
         "doc_id", seqLen = 512)
     }),
 
+    // the deterministic prefix of the BPE pipeline (q78's discipline
+    // match for q49/q50): the distributed word-frequency dictionary
+    // the trainer consumes, min-frequency filtered
+    "q82_bpe_dict" -> ((s, dir) => {
+      Bpe.wordCounts(Tables.documents(s, dir), "text")
+        .filter(col("cnt") >= 2)
+    }),
+
     // deterministic per-epoch shuffle keys: different permutation
     // each epoch, each exactly reproducible and partitioning/engine
     // independent (what orderBy(rand) is not). Keys pin the
@@ -2472,7 +2480,15 @@ object SparkEntry {
         |  (hv * 48271) % 1000000007 AS key_epoch0,
         |  ((hv * ((CAST(48271 AS BIGINT) * 48271) % 1000000007))
         |    % 1000000007 + 1) % 1000000007 AS key_epoch1
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "q82_bpe_dict" ->
+      """SELECT word, cnt FROM (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1)
+        |WHERE cnt >= 2""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the
