@@ -40,16 +40,15 @@ object Curation {
     val scored = TextAnalysis.langId(
       TextAnalysis.qualityScore(docs, textCol), textCol)
       .withColumn("quality_ok", col("quality_score") >= minQuality)
+      .persist()
     // `kept` feeds both the near-dup candidate action and the final
-    // audit join. Checkpointing it was MEASURED SLOWER (2.7s -> 3.3s
+    // audit join. CHECKPOINTING it was measured slower (2.7s -> 3.3s
     // at sf0.1): materializing every column breaks scan pruning and
-    // codegen fusion for the shingle branch, costing more than the
-    // duplicated (cheap, column-pruned) scan+score+window subtree. At
-    // real scale a curation run persists the post-gate corpus as its
-    // own table anyway — the caller owns that boundary, not this
-    // function.
+    // codegen fusion for the shingle branch. PERSISTING the stage
+    // boundaries (in-memory, pruned lazily per consumer) has neither
+    // problem — the curateFull measurement (7.8 -> 4.2s) transfers.
     val kept = Dedup.dropExactDups(
-      scored.filter(col("quality_ok")), idCol, textCol)
+      scored.filter(col("quality_ok")), idCol, textCol).persist()
     val pairs = Dedup.ngramJaccardPairs(
       kept, idCol, textCol, n, jaccardThreshold, maxDf)
     val resolved = Dedup.resolveSurvivors(kept, idCol, pairs)
