@@ -948,6 +948,24 @@ object SparkEntry {
         "doc_id", seqLen = 512)
     }),
 
+    // packing meets the table format, oracle-checked end-to-end:
+    // pack -> writeShards (range-clustered snapshot commit) -> a
+    // trainer's shard fetch (stat-pruned seq_id range read). The
+    // oracle recomputes the same window slice relationally — so the
+    // whole materialize-and-refetch loop, table format included, must
+    // reproduce the declarative answer.
+    "q83_pack_shards" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val seqs = Packing.packSequences(
+        Tables.documents(s, dir), "doc_id", "text", seqLen = 512)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_q83").toString + "/seqs"
+      Packing.writeShards(seqs, table, shards = 8)
+      SnapshotTable.read(s, table, prune = Seq(
+          SnapshotTable.ColRange("seq_id", upper = Some(3L))))
+        .filter(col("seq_id") <= 3)
+    }),
+
     // the deterministic prefix of the BPE pipeline (q78's discipline
     // match for q49/q50): the distributed word-frequency dictionary
     // the trainer consumes, min-frequency filtered
@@ -2488,7 +2506,43 @@ object SparkEntry {
         |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
         |    FROM documents)
         |  WHERE length(word) > 0 GROUP BY 1)
-        |WHERE cnt >= 2""".stripMargin
+        |WHERE cnt >= 2""".stripMargin,
+
+    // q83: the q75 window algebra restricted to the fetched shard
+    // range — the engine's answer went through a clustered snapshot
+    // commit and a stat-pruned read and must still match.
+    "q83_pack_shards" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM tok),
+        |placed AS (SELECT doc_id, n, e - n AS s, e FROM cum WHERE n > 0),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    unnest(generate_series(s // 512, (e - 1) // 512)) AS seq_id
+        |  FROM placed),
+        |slices AS (
+        |  SELECT m.seq_id,
+        |    greatest(m.s, m.seq_id * 512) - m.seq_id * 512 AS seq_off,
+        |    least(m.e, (m.seq_id + 1) * 512) - greatest(m.s, m.seq_id * 512)
+        |      AS n_toks,
+        |    array_to_string(list_slice(
+        |      regexp_split_to_array(trim(d.text), '\s+'),
+        |      greatest(m.seq_id * 512 - m.s, 0) + 1,
+        |      greatest(m.seq_id * 512 - m.s, 0)
+        |        + least(m.e, (m.seq_id + 1) * 512)
+        |        - greatest(m.s, m.seq_id * 512)), ' ') AS piece
+        |  FROM m JOIN documents d ON m.doc_id = d.doc_id
+        |  WHERE m.seq_id <= 3),
+        |assembled AS (
+        |  SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    string_agg(piece, ' ' ORDER BY seq_off) AS text
+        |  FROM slices GROUP BY 1)
+        |SELECT * FROM assembled""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the
