@@ -93,6 +93,28 @@ class SnapshotTableSpec extends SparkSpec {
       .collect().toSet == Set((2, "b")))
   }
 
+  test("true concurrent appends: every commit lands, versions dense, no lost rows") {
+    val t = Files.createTempDirectory("graft_snap_conc").toString + "/t"
+    val writers = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (1 to writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            SnapshotTable.append(Seq((i, s"w$i")).toDF("id", "v"), t)
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // put-if-absent + retry: all writers commit, on DISTINCT dense
+      // versions (first commit on an empty table is v0)
+      assert(versions.toSet == (0 until writers).toSet,
+        s"dense distinct versions, got $versions")
+      val all = SnapshotTable.read(spark, t).as[(Int, String)].collect().toSet
+      assert(all == (1 to writers).map(i => (i, s"w$i")).toSet,
+        "no lost updates under contention")
+    } finally pool.shutdownNow()
+  }
+
   test("compaction bin-packs small files; content identical; old snapshot intact") {
     val t = Files.createTempDirectory("graft_snap5").toString + "/t"
     // 4 appends x 2 files each = 8 small files
