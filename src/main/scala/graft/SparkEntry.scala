@@ -1147,9 +1147,16 @@ object SparkEntry {
         |  isodow(d) - 1 AS dow
         |FROM filled""".stripMargin,
 
+    // keep the min-id ROW wholesale (the engine's exemplar
+    // semantics), NOT independent per-column minima: a duplicate
+    // group whose min-id copy carries lang 'zh' while another copy
+    // carries 'en' must report 'zh'. (Independent min(lang) passed at
+    // sf0.01 by luck and failed the sf0.1 audit.)
     "q17_dedup_exact_keep" ->
-      """SELECT min(doc_id) AS doc_id, min(lang) AS lang, min(n_chars) AS n_chars
-        |FROM documents GROUP BY text""".stripMargin,
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
 
     "q18_dedup_exact_groups" ->
       """SELECT sha256(text) AS text_hash, count(*) AS n_copies,
