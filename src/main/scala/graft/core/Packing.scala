@@ -146,6 +146,33 @@ object Packing {
     graft.sources.SnapshotTable.append(clustered, table)
   }
 
+  /** Assembled TOKEN-ID sequences — the artifact a trainer actually
+    * consumes: feed [[Bpe.encodeIds]] output (idCol, piece_ids,
+    * n_pieces) and get back (seq_id, n_docs, n_tokens, token_ids)
+    * fixed-length id arrays, documents split across boundaries
+    * exactly as the composition map dictates. Same shapes as the text
+    * path: placement never moves ids, ids move once for the final
+    * seq-keyed aggregation.
+    */
+  def packIdSequences(encoded: DataFrame, idCol: String,
+                      seqLen: Int): DataFrame = {
+    val comp = packCompositionsBy(
+      encoded.select(col(idCol), col("n_pieces").as("n_tokens")),
+      idCol, seqLen)
+    comp.join(encoded.select(col(idCol), col("piece_ids")), Seq(idCol))
+      .select(col("seq_id"), col("seq_off"),
+        slice(col("piece_ids"), (col("doc_off") + 1).cast("int"),
+          col("n_toks").cast("int")).as("ids"),
+        col("n_toks"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("seq_off"), col("ids")))),
+          s => s.getField("ids"))).as("token_ids"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int): DataFrame = {
     val comp = packCompositions(df, idCol, textCol, seqLen)

@@ -105,6 +105,27 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packIdSequences: global id stream reassembles across boundaries") {
+    import graft.core.Bpe
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val model = Bpe.train(d, "text", 40)
+    val vocabIds = Bpe.vocab(d, "text", model)
+      .as[(String, Long)].collect().toMap
+    val enc = Bpe.encodeIds(d, "doc_id", "text", model, vocabIds).persist()
+    val L = 256
+    val seqs = Packing.packIdSequences(enc, "doc_id", L)
+      .orderBy("seq_id")
+      .as[(Long, Long, Long, Seq[Long])].collect()
+    // the concatenated sequences equal the concatenated per-doc id
+    // streams in id order — boundary splits lose and reorder nothing
+    val expected = enc.orderBy("doc_id")
+      .select("piece_ids").as[Seq[Long]].collect().flatten.toSeq
+    assert(seqs.flatMap(_._4).toSeq == expected)
+    assert(seqs.dropRight(1).forall(_._4.length == L), "full windows")
+    assert(seqs.forall(s => s._3 == s._4.length), "n_tokens consistent")
+    enc.unpersist()
+  }
+
   test("writeShards: clustered commit, shard reads open only their files") {
     import graft.sources.SnapshotTable
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
