@@ -927,25 +927,35 @@ object SparkEntry {
     }),
 
     // the full training-data pipeline in one query: curate (5-stage
-    // audit) -> survivors -> BPE train+encode on the CURATED corpus
-    // -> pack by learned-token counts. Every stage is individually
-    // oracled (q73/q78-parity-spec/q79); the composition is rows-only
-    // (BPE counts aren't SQL-computable).
+    // gates) -> survivors -> BPE train + id-encode on the CURATED
+    // corpus -> packed fixed-length TOKEN-ID sequences — the exact
+    // artifact a trainer loads. Every stage is individually oracled
+    // or reference-pinned (q73/q82/BpeSpec/q74-q79); the composition
+    // is rows-only (BPE output isn't SQL-computable).
     "q80_corpus_to_sequences" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val survivors = Curation.curateFullSurvivorIds(docs,
         maxNllMicro = 3450000L)
-      // persist the curated-corpus boundary: three independent
-      // consumers (BPE's dict aggregation, the encode scan, packing)
-      // would otherwise each re-derive the curation's non-cacheable
-      // resolution tail (measured 8.8s -> ~5s at sf0.1). This is the
-      // between-pipeline table a production run writes.
+      // persist the curated-corpus boundary: four independent
+      // consumers (BPE's dict aggregation, the vocab char scan, the
+      // encode scan, packing) would otherwise each re-derive the
+      // curation's non-cacheable resolution tail (measured 8.8s ->
+      // ~5s at sf0.1). This is the between-pipeline table a
+      // production run writes.
       val corpus = docs.join(survivors, Seq("doc_id")).persist()
       val model = Bpe.train(corpus, "text", numMerges = 100)
-      val enc = Bpe.encode(corpus, "doc_id", "text", model)
-      Packing.packCompositionsBy(
-        enc.select(col("doc_id"), col("n_pieces").as("n_tokens")),
-        "doc_id", seqLen = 512)
+      val vocabIds = Bpe.vocab(corpus, "text", model)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the encoded boundary is deliberately NOT persisted: caching
+      // the wide piece_ids arrays was measured SLOWER (11.0 -> 13.4s)
+      // than letting the placement pass and the assembly join each
+      // run the memoized encode — Zipf-memoized CPU is cheaper than
+      // materializing hundreds of MB of ids. (At 100 TB the encode
+      // output is written as a table between stages and read twice.)
+      val enc = Bpe.encodeIds(corpus, "doc_id", "text", model, vocabIds)
+      Packing.packIdSequences(enc, "doc_id", seqLen = 512)
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          col("token_ids"))
     }),
 
     // packing meets the table format, oracle-checked end-to-end:
