@@ -41,9 +41,13 @@ object ScaleProbe {
       }
     }
 
-    // `runMain graft.ScaleProbe snap` re-probes only the lakehouse ops
+    // `runMain graft.ScaleProbe snap` re-probes only the lakehouse ops;
+    // `runMain graft.ScaleProbe enc` only the q80 encode-boundary pair
     val snapOnly = args.contains("snap")
-    val probes = if (snapOnly) Nil else Seq("q01_pricing_summary", "q06_user_daily",
+    val encOnly = args.contains("enc")
+    val probes = if (snapOnly) Nil
+    else if (encOnly) Seq("q80_corpus_to_sequences")
+    else Seq("q01_pricing_summary", "q06_user_daily",
       "q16_anomaly_features", "q19_ngram_jaccard", "q20_minhash_lsh",
       "q21_simhash", "q39_cosine_neardup", "q43_dedup_resolve",
       "q49_ivf_assign", "q50_lsh_candidates",
@@ -67,9 +71,19 @@ object ScaleProbe {
       // q80 composes curation (whose exact-Jaccard stage is
       // quadratic-by-design on this replicated corpus — see q19/q43
       // above and their maxDf-capped linear variants)
-      "q80_corpus_to_sequences", "q81_epoch_shuffle")
+      "q80_corpus_to_sequences", "q81_epoch_shuffle",
+      // round-4: real-image decode is embarrassingly parallel — one
+      // mapPartitions encode + one decode per row, no shuffle at all
+      "q84_image_features")
     probes.foreach { name =>
       def time(dir: String): Double = {
+        // enc mode compares two execution SHAPES of the same pipeline:
+        // cross-run cache reuse (plan-equal persisted stages from a
+        // prior run) would make the later shape read the earlier one's
+        // caches — clear like Bench does. The ratio sweep deliberately
+        // keeps the legacy warm-cache methodology for comparability
+        // with the recorded round-1..3 ratios.
+        if (encOnly) spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
@@ -84,8 +98,9 @@ object ScaleProbe {
     // the scale-path variants of the two exact baselines that are
     // (by design) quadratic on a duplicate-heavy corpus:
     def timed(label: String)(mk: String => org.apache.spark.sql.DataFrame): Unit = {
-      if (snapOnly) return
+      if (snapOnly || (encOnly && !label.startsWith("q80 enc"))) return
       def run(dir: String): Double = {
+        if (encOnly) spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         mk(dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -100,6 +115,15 @@ object ScaleProbe {
     }
     timed("q40_lsh_neardup") { dir =>
       SparkEntry.queries("q40_lsh_neardup")(spark, dir)
+    }
+    // q80 with the encode boundary MATERIALIZED as a SnapshotTable
+    // (the shape a run whose encode output exceeds memory uses) vs the
+    // in-line form probed above — PLANS.md "q80 encode boundary"
+    // records the crossover reasoning from these two numbers.
+    timed("q80 enc=table") { dir =>
+      val t = java.nio.file.Files
+        .createTempDirectory("probe_encmat").toString + "/enc"
+      SparkEntry.corpusToSequences(spark, dir, encodeTable = Some(t))
     }
     timed("lsh L=4 multiProbe=1") { dir =>
       graft.core.Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
@@ -154,7 +178,7 @@ object ScaleProbe {
     // production shape — the index is built ONCE (outside the timing,
     // as in production), per-batch cost is the index scan + broadcast
     // probe, never a corpus-shingle recompute
-    if (!snapOnly) {
+    if (!snapOnly && !encOnly) {
       val bidx = scala.collection.mutable.Map.empty[String, String]
       Seq("/root/testdata/sf0.1", out).foreach { dir =>
         val t = java.nio.file.Files.createTempDirectory("probe_bidx").toString + "/idx"
@@ -178,6 +202,7 @@ object ScaleProbe {
     // FRACTION of files at any scale (delete/merge share the same
     // stat-pruning path).
     def timedU(label: String)(work: String => Unit): Unit = {
+      if (encOnly) return
       def run(dir: String): Double = {
         val t0 = System.nanoTime(); work(dir); (System.nanoTime() - t0) / 1e9
       }

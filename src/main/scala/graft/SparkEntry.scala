@@ -150,10 +150,18 @@ object SparkEntry {
       a.unionByName(b)
     }),
 
-    // P9/A9: declarative good/bad split with counts (ingest validation)
+    // P9/A9: declarative good/bad split with counts (ingest validation).
+    // from_json with an explicit schema, NOT get_json_object: the
+    // schema'd parse is a single Jackson pass straight into an
+    // UnsafeRow, while get_json_object re-tokenizes the document per
+    // path access — the r03 bench flagged this query at 5s cold
+    // (see PLANS.md "q11 spike").
     "q11_validate_split" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").try_cast("long"))
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k string"))
+            .getField("k").try_cast("long"))
       val valid = col("value").isNotNull && col("k").isNotNull && col("k") >= 10
       ev.groupBy(when(valid, "good").otherwise("bad").as("bucket"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
@@ -275,14 +283,20 @@ object SparkEntry {
           col("n"))
     }),
 
-    // IVF ANN — approximate by construction: rows-only driver check;
-    // recall vs exact top-k is asserted in SimilaritySpec instead.
+    // IVF ANN — approximate RELATIVE TO exact top-k (recall asserted
+    // in SimilaritySpec), but fully DETERMINISTIC as an algorithm:
+    // fixed centroids (vec_id % 97 = 3), fixed probe order, exact
+    // within-probe ranking. So the whole pipeline is oracle-able by
+    // replaying assignment + probing + ranking relationally (the q49
+    // pattern extended end-to-end).
     "q27_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val centroids = emb.filter(col("vec_id") % 97 === 3)
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, centroids,
         k = 5, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
     }),
 
     // M2/M3: the reference's DetectAnomalies endpoint shape — feature
@@ -511,10 +525,17 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
     }),
 
-    // multi-table hyperplane-LSH near-dup — approximate: rows-only;
-    // recall vs the exact variant is asserted in SimilaritySpec
+    // multi-table hyperplane-LSH near-dup. Recall vs the exact variant
+    // is probabilistic (asserted in SimilaritySpec), but the PIPELINE
+    // is deterministic for fixed planes: the gate pins 8 bits x 4
+    // tables of literal hyperplanes (q50's two tables plus two more
+    // from the same planeComponent stream) so the oracle can replay
+    // candidate generation AND the cosine-verify filter end-to-end.
+    // (The corpus-auto-sized and multi-probe variants stay
+    // spec-covered.)
     "q40_lsh_neardup" -> ((s, dir) => {
-      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4,
+        bitsPerTable = 8, nTables = 4)
     }),
 
     // gap-based sessionization: lag -> flag -> running sum, one
@@ -932,31 +953,15 @@ object SparkEntry {
     // artifact a trainer loads. Every stage is individually oracled
     // or reference-pinned (q73/q82/BpeSpec/q74-q79); the composition
     // is rows-only (BPE output isn't SQL-computable).
-    "q80_corpus_to_sequences" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val survivors = Curation.curateFullSurvivorIds(docs,
-        maxNllMicro = 3450000L)
-      // persist the curated-corpus boundary: four independent
-      // consumers (BPE's dict aggregation, the vocab char scan, the
-      // encode scan, packing) would otherwise each re-derive the
-      // curation's non-cacheable resolution tail (measured 8.8s ->
-      // ~5s at sf0.1). This is the between-pipeline table a
-      // production run writes.
-      val corpus = docs.join(survivors, Seq("doc_id")).persist()
-      val model = Bpe.train(corpus, "text", numMerges = 100)
-      val vocabIds = Bpe.vocab(corpus, "text", model)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      // the encoded boundary is deliberately NOT persisted: caching
-      // the wide piece_ids arrays was measured SLOWER (11.0 -> 13.4s)
-      // than letting the placement pass and the assembly join each
-      // run the memoized encode — Zipf-memoized CPU is cheaper than
-      // materializing hundreds of MB of ids. (At 100 TB the encode
-      // output is written as a table between stages and read twice.)
-      val enc = Bpe.encodeIds(corpus, "doc_id", "text", model, vocabIds)
-      Packing.packIdSequences(enc, "doc_id", seqLen = 512)
-        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
-          col("token_ids"))
-    }),
+    // encode boundary MATERIALIZED (written SnapshotTable, read by
+    // both packing consumers): measured 10.3s vs 14.5s for the
+    // re-run-encode form under the bench methodology, 11.6s vs 18.8s
+    // cold-cache (see PLANS.md "q80 encode boundary") — and it is the
+    // only shape that works when encode output exceeds memory, so the
+    // gate runs the same code path production would.
+    "q80_corpus_to_sequences" -> ((s, dir) => corpusToSequences(s, dir,
+      encodeTable = Some(java.nio.file.Files
+        .createTempDirectory("graft_q80enc").toString + "/enc"))),
 
     // packing meets the table format, oracle-checked end-to-end:
     // pack -> writeShards (range-clustered snapshot commit) -> a
@@ -995,8 +1000,72 @@ object SparkEntry {
         .join(Sampling.epochShuffle(docs, "doc_id", epoch = 1)
           .select(col("doc_id"), col("shuffle_key").as("key_epoch1")),
           Seq("doc_id"))
+    }),
+
+    // REAL image decode, oracle-checked end-to-end: deterministic
+    // gradient PNGs generated per doc_id, ENCODED with the JDK's
+    // ImageIO on the executors, decoded back with the real
+    // javax.imageio codec (not the stub), then mean-luminance strip
+    // features from the decoded pixels. The oracle replays the
+    // generator arithmetic relationally — PNG is lossless, so the
+    // encode->decode roundtrip must reproduce the exact pixel values
+    // or the hashes diverge.
+    "q84_image_features" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeGradientPngs(ids)
+      graft.core.Multimodal.imageGridFeatures(media, k = 4)
+        .select(col("media_id").as("doc_id"), col("dim"),
+          round(col("feature"), 6).as("feature"))
     })
   )
+
+  /** The q80 flagship pipeline — curate (5-stage gates) -> survivors
+    * -> BPE train + id-encode on the CURATED corpus -> packed
+    * fixed-length token-id sequences — parameterized over the encode
+    * boundary:
+    *
+    *  - `encodeTable = Some(dir)` (the gate, and production): the
+    *    encode output is WRITTEN as a SnapshotTable between stages and
+    *    read twice. Measured FASTER than re-running the encode per
+    *    consumer at every methodology tried (10.3s vs 14.5s bench,
+    *    11.6s vs 18.8s cold-cache at sf0.1 — PLANS.md "q80 encode
+    *    boundary"), and the only shape that works when encode output
+    *    exceeds memory. (An in-memory `.persist()` of the wide
+    *    piece_ids arrays was ALSO slower than both in round 3 —
+    *    11.0 -> 13.4s — columnar parquet + lazy column pruning beats
+    *    row-cache materialization here.)
+    *  - `encodeTable = None`: re-run the memoized encode per consumer
+    *    — the zero-side-effect form for one-shot jobs on small corpora
+    *    (PackingSpec pins equality of the two forms).
+    *
+    * Gate projection is SCALAR-only: the driver's checker sorts
+    * columns in pandas, and an array<bigint> column crashes it
+    * (unhashable ndarray — the r03 q80 red row). Library callers get
+    * the raw token_ids via [[Packing.packIdSequences]]; the gate pins
+    * the same content as an order-sensitive digest.
+    */
+  def corpusToSequences(s: SparkSession, dir: String,
+                        encodeTable: Option[String] = None): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val survivors = Curation.curateFullSurvivorIds(docs,
+      maxNllMicro = 3450000L)
+    // persist the curated-corpus boundary: four independent consumers
+    // (BPE's dict aggregation, the vocab char scan, the encode scan,
+    // packing) would otherwise each re-derive the curation's
+    // non-cacheable resolution tail (measured 8.8s -> ~5s at sf0.1).
+    // This is the between-pipeline table a production run writes.
+    val corpus = docs.join(survivors, Seq("doc_id")).persist()
+    val model = Bpe.train(corpus, "text", numMerges = 100)
+    val vocabIds = Bpe.vocab(corpus, "text", model)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enc = Bpe.encodeIds(corpus, "doc_id", "text", model, vocabIds)
+    val packed = encodeTable match {
+      case Some(t) => Packing.packIdSequencesMaterialized(enc, t, "doc_id", 512)
+      case None => Packing.packIdSequences(enc, "doc_id", seqLen = 512)
+    }
+    packed.select(col("seq_id"), col("n_docs"), col("n_tokens"),
+      xxhash64(concat_ws(",", col("token_ids"))).as("ids_hash"))
+  }
 
   /** Fixed data-independent PQ codebooks shared by q56/q57 and their
     * oracles (m=8 subspaces × 16 codes × 8 dims — 1024 literals, the
@@ -1357,7 +1426,12 @@ object SparkEntry {
         |  count(*) AS n
         |FROM embeddings, range(64) i
         |GROUP BY 1, 2""".stripMargin,
-    // q27-q29: approximate / model-scoring — intentionally no oracle
+    // q27: deterministic-by-construction ANN — the full IVF pipeline
+    // (assign -> probe -> exact within-probe rank) replayed
+    // relationally, the q49 prefix extended end-to-end.
+    "q27_ivf_ann" -> q27OracleSql,
+
+    // q28-q29: model-scoring — intentionally no oracle
     // (rows-only checks; parity proven in the test suite instead)
 
     "q30_sort" ->
@@ -1555,6 +1629,33 @@ object SparkEntry {
         |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |         [b.v[i+1] * b.v[i+1] for i in generate_series(0, len(b.v)-1)]),
         |         (acc, x) -> acc + x))) >= 0.4""".stripMargin,
+
+    // q40: q50's literal-plane candidate CTEs extended through the
+    // cosine-verify filter at the fixed 0.4 threshold
+    "q40_lsh_neardup" -> q40OracleSql,
+
+    // q84: the gradient-PNG generator arithmetic replayed relationally
+    // — pixel(x,y) = (id*31 + 7x + 13y) % 256 over w=4+id%5, h=3+id%4,
+    // k=4 vertical strips, feature = sum(r+g+b)/(3*255*n). The engine
+    // side must get the identical values THROUGH a real PNG
+    // encode->decode roundtrip (javax.imageio).
+    "q84_image_features" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, i.range AS dim,
+        |    (i.range * w) // 4 AS x0, ((i.range + 1) * w) // 4 AS x1
+        |  FROM ids, range(4) i),
+        |px AS (
+        |  SELECT c.doc_id, c.dim,
+        |    sum(3 * ((c.doc_id * 31 + 7 * x.range + 13 * y.range) % 256)) AS s,
+        |    count(*) AS n
+        |  FROM cells c, range(8) x, range(6) y
+        |  WHERE x.range >= c.x0 AND x.range < c.x1 AND y.range < c.h
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, dim, round(s / (3.0 * 255.0 * n), 6) AS feature
+        |FROM px""".stripMargin,
 
     "q38_sessionize" ->
       """WITH flagged AS (
@@ -2642,18 +2743,77 @@ object SparkEntry {
        |  round(cos_approx, 6) AS cos_approx
        |FROM ranked WHERE rnk <= 10""".stripMargin
 
-  /** q50's oracle embeds the identical hyperplane literals the engine
-    * uses (Similarity.planeComponent), so DuckDB reproduces the exact
+  /** DuckDB text of the engine's cosine: sequential-fold dot product
+    * over the array (list_reduce folds left in element order, matching
+    * DotProduct's fold), divided by the product of the two sqrt-norms
+    * in the same operation order — bit-identical IEEE doubles.
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [$a[i+1] * $b[i+1] for i in generate_series(0, len($a)-1)]),
+       |      (acc, x) -> acc + x)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         [$a[i+1] * $a[i+1] for i in generate_series(0, len($a)-1)]),
+       |         (acc, x) -> acc + x))
+       |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         [$b[i+1] * $b[i+1] for i in generate_series(0, len($b)-1)]),
+       |         (acc, x) -> acc + x)))""".stripMargin
+
+  /** q27's oracle: the deterministic IVF ANN pipeline replayed
+    * relationally — corpus->centroid assignment (exactly q49), then
+    * nProbe=2 probe selection per query, then exact cosine ranking
+    * within the probed buckets. Same fixed centroids (vec_id % 97 = 3),
+    * same tie-breaks (centroid/neighbor id ascending).
+    */
+  private lazy val q27OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 97 = 3),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id AS bucket FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckCos("e.v", "c.cv")}
+       |        DESC, c.centroid_id ASC) AS rnk
+       |    FROM e, c) WHERE rnk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |probes AS (
+       |  SELECT query_id, centroid_id AS bucket FROM (
+       |    SELECT q.query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${duckCos("q.qv", "c.cv")}
+       |        DESC, c.centroid_id ASC) AS rnk
+       |    FROM q, c) WHERE rnk <= 2),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    ${duckCos("q.qv", "e.v")} AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON p.bucket = a.bucket
+       |  JOIN q ON p.query_id = q.query_id
+       |  JOIN e ON a.vec_id = e.vec_id
+       |  WHERE p.query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id AS neighbor_id,
+       |  round(cos, 6) AS cosine
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** The shared candidate-generation CTE chain for q50/q40: embeds the
+    * identical hyperplane literals the engine uses
+    * (Similarity.planeComponent), so DuckDB reproduces the exact
     * bucketing: margin fold order matches DotProduct's sequential fold.
     */
-  private lazy val q50OracleSql: String = {
-    val (dim, bits, nTables) = (64, 8, 2)
+  private def lshCandCtes(nTables: Int): String = {
+    val (dim, bits) = (64, 8)
     val planeRows = (for (t <- 0 until nTables; j <- 0 until bits) yield {
       val comps = (0 until dim)
         .map(d => Similarity.planeComponent(t * bits + j, d)).mkString(", ")
       s"($t, $j, [$comps]::DOUBLE[])"
     }).mkString(",\n")
-    s"""WITH planes(tbl, bit, p) AS (VALUES
+    s"""planes(tbl, bit, p) AS (VALUES
        |$planeRows),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |m AS (
@@ -2666,9 +2826,29 @@ object SparkEntry {
        |  SELECT vec_id, tbl,
        |    string_agg(CASE WHEN margin >= 0 THEN '1' ELSE '0' END, ''
        |      ORDER BY bit) AS bucket
-       |  FROM m GROUP BY vec_id, tbl)
-       |SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-       |FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
-       |WHERE a.vec_id < b2.vec_id""".stripMargin
+       |  FROM m GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       |  WHERE a.vec_id < b2.vec_id)""".stripMargin
   }
+
+  private lazy val q50OracleSql: String =
+    s"""WITH ${lshCandCtes(nTables = 2)}
+       |SELECT id_a, id_b FROM cand""".stripMargin
+
+  /** q40's oracle: q50's candidates verified by exact cosine at the
+    * fixed 0.4 threshold — the filter applies to the FULL-precision
+    * cosine (as the engine does), rounding only the emitted column.
+    */
+  private lazy val q40OracleSql: String =
+    s"""WITH ${lshCandCtes(nTables = 4)},
+       |scored AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    ${duckCos("ea.v", "eb.v")} AS cos
+       |  FROM cand
+       |  JOIN e ea ON cand.id_a = ea.vec_id
+       |  JOIN e eb ON cand.id_b = eb.vec_id)
+       |SELECT id_a, id_b, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= 0.4""".stripMargin
 }

@@ -272,7 +272,13 @@ object Bpe {
       .withColumn("piece_id",
         row_number().over(Window.orderBy(col("piece"))).cast("long") - 1)
     val base = chars.count()
+    // Two merges can yield the SAME product string (('a','bc') and
+    // ('ab','c') both make "abc"): keep the first occurrence only —
+    // .distinct preserves order, so ids stay dense, bijective, AND
+    // append-only under merge-list growth (a later duplicate never
+    // displaces an assigned id).
     val learned = (EndOfWord +: model.merges.map(m => m._1 + m._2))
+      .distinct
       .zipWithIndex.map { case (p, i) => (p, base + i) }
       .toDF("piece", "piece_id")
     chars.unionByName(learned)

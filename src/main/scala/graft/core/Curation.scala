@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Handle over the stage caches a curation run pins. Call
+    * [[unpersist]] AFTER materializing the returned audit (write /
+    * collect) — the caches are what keep the five stages from
+    * re-deriving each other while the plan executes. Without release,
+    * caches accumulate for the session (the reason `Bench` has to
+    * `clearCache()` between queries).
+    */
+  final class StageCaches private[core] (releases: Seq[() => Unit]) {
+    def unpersist(): Unit = releases.foreach(_())
+  }
+
   /** @param minQuality  quality gate on `TextAnalysis.qualityScore`
     * @param n           shingle size for near-dup candidate generation
     * @param jaccardThreshold near-dup pair threshold
@@ -36,7 +47,17 @@ object Curation {
   def curate(docs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text", minQuality: Double = 0.51,
              n: Int = 3, jaccardThreshold: Double = 0.2,
-             maxDf: Int = Int.MaxValue): DataFrame = {
+             maxDf: Int = Int.MaxValue): DataFrame =
+    curateReleasable(docs, idCol, textCol, minQuality, n,
+      jaccardThreshold, maxDf)._1
+
+  /** [[curate]] plus the cache handle — use this form when the session
+    * outlives the query (services, notebooks, multi-query jobs).
+    */
+  def curateReleasable(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", minQuality: Double = 0.51,
+                       n: Int = 3, jaccardThreshold: Double = 0.2,
+                       maxDf: Int = Int.MaxValue): (DataFrame, StageCaches) = {
     val scored = TextAnalysis.langId(
       TextAnalysis.qualityScore(docs, textCol), textCol)
       .withColumn("quality_ok", col("quality_score") >= minQuality)
@@ -54,7 +75,7 @@ object Curation {
     val resolved = Dedup.resolveSurvivors(kept, idCol, pairs)
       .select(col(idCol), col("survivor_id"), col("is_survivor"),
         lit(true).as("kept_exact"))
-    scored
+    val audit = scored
       .select(col(idCol), col("lang_pred"), col("quality_score"),
         col("quality_ok"))
       .join(resolved, Seq(idCol), "left")
@@ -62,6 +83,8 @@ object Curation {
       // docs dropped by the quality gate or exact dedup do not survive:
       // non-null false (survivor_id stays NULL — no surviving row)
       .withColumn("is_survivor", coalesce(col("is_survivor"), lit(false)))
+    (audit, new StageCaches(Seq(() => { scored.unpersist(); () },
+      () => { kept.unpersist(); () })))
   }
 
   /** The full modern curation composition — what a C4/Gopher/LLaMA-era
@@ -106,10 +129,24 @@ object Curation {
                             maxNllMicro: Long = 9000000L,
                             n: Int = 3, jaccardThreshold: Double = 0.2,
                             maxDf: Int = Int.MaxValue): DataFrame = {
-    val (_, _, _, resolved) = curateFullStages(docs, idCol, textCol,
+    val (_, _, _, resolved, _) = curateFullStages(docs, idCol, textCol,
       minQuality, maxDupTokenRatio, spanN, maxDupSpanRatio, maxNllMicro,
       n, jaccardThreshold, maxDf)
     resolved.filter(col("is_survivor")).select(col(idCol))
+  }
+
+  /** [[curateFullSurvivorIds]] plus the cache handle. */
+  def curateFullSurvivorIdsReleasable(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minQuality: Double = 0.51, maxDupTokenRatio: Double = 0.6,
+      spanN: Int = 8, maxDupSpanRatio: Double = 0.8,
+      maxNllMicro: Long = 9000000L, n: Int = 3,
+      jaccardThreshold: Double = 0.2,
+      maxDf: Int = Int.MaxValue): (DataFrame, StageCaches) = {
+    val (_, _, _, resolved, caches) = curateFullStages(docs, idCol,
+      textCol, minQuality, maxDupTokenRatio, spanN, maxDupSpanRatio,
+      maxNllMicro, n, jaccardThreshold, maxDf)
+    (resolved.filter(col("is_survivor")).select(col(idCol)), caches)
   }
 
   def curateFull(docs: DataFrame, idCol: String = "doc_id",
@@ -118,11 +155,25 @@ object Curation {
                  spanN: Int = 8, maxDupSpanRatio: Double = 0.8,
                  maxNllMicro: Long = 9000000L,
                  n: Int = 3, jaccardThreshold: Double = 0.2,
-                 maxDf: Int = Int.MaxValue): DataFrame = {
-    val (scored, spans, lmScores, resolved) = curateFullStages(docs,
+                 maxDf: Int = Int.MaxValue): DataFrame =
+    curateFullReleasable(docs, idCol, textCol, minQuality,
+      maxDupTokenRatio, spanN, maxDupSpanRatio, maxNllMicro, n,
+      jaccardThreshold, maxDf)._1
+
+  /** [[curateFull]] plus the cache handle — release after the audit is
+    * materialized.
+    */
+  def curateFullReleasable(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", minQuality: Double = 0.51,
+                 maxDupTokenRatio: Double = 0.6,
+                 spanN: Int = 8, maxDupSpanRatio: Double = 0.8,
+                 maxNllMicro: Long = 9000000L,
+                 n: Int = 3, jaccardThreshold: Double = 0.2,
+                 maxDf: Int = Int.MaxValue): (DataFrame, StageCaches) = {
+    val (scored, spans, lmScores, resolved, caches) = curateFullStages(docs,
       idCol, textCol, minQuality, maxDupTokenRatio, spanN,
       maxDupSpanRatio, maxNllMicro, n, jaccardThreshold, maxDf)
-    scored
+    val audit = scored
       .select(col(idCol), col("lang_pred"), col("quality_score"),
         col("quality_ok"), col("rep_ok"))
       .join(spans.select(col(idCol), col("span_ok")), Seq(idCol), "left")
@@ -133,9 +184,12 @@ object Curation {
       .withColumn("lm_ok", coalesce(col("lm_ok"), lit(false)))
       .withColumn("kept_exact", coalesce(col("kept_exact"), lit(false)))
       .withColumn("is_survivor", coalesce(col("is_survivor"), lit(false)))
+    (audit, caches)
   }
 
-  /** The shared 5-stage pipeline: (scored, spans, lmScores, resolved). */
+  /** The shared 5-stage pipeline:
+    * (scored, spans, lmScores, resolved, caches).
+    */
   private def curateFullStages(docs: DataFrame, idCol: String,
                                textCol: String, minQuality: Double,
                                maxDupTokenRatio: Double,
@@ -143,7 +197,7 @@ object Curation {
                                maxNllMicro: Long,
                                n: Int, jaccardThreshold: Double,
                                maxDf: Int)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, StageCaches) = {
     // Stage boundaries PERSIST (narrow projections): unlike the
     // two-stage `curate` — where a checkpoint was measured slower than
     // recomputation — this composition re-enters each stage's lineage
@@ -187,6 +241,12 @@ object Curation {
     val resolved = Dedup.resolveSurvivors(g3, idCol, pairs)
       .select(col(idCol), col("survivor_id"), col("is_survivor"),
         lit(true).as("kept_exact"))
-    (scored, spans, lmScores, resolved)
+    val caches = new StageCaches(Seq(
+      () => { scored.unpersist(); () },
+      () => { spans.unpersist(); () },
+      () => { kept.unpersist(); () },
+      () => { lmScores.unpersist(); () },
+      () => lm.unpersist()))
+    (scored, spans, lmScores, resolved, caches)
   }
 }

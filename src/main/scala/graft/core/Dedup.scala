@@ -231,12 +231,23 @@ object Dedup {
                         newDocs: DataFrame, indexDir: String,
                         idCol: String, textCol: String,
                         k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
-                        minEstJaccard: Double = 0.0): DataFrame = {
+                        minEstJaccard: Double = 0.0,
+                        broadcastMaxDocs: Long = 2000000L): DataFrame = {
     val newBands = bandedSignatures(newDocs, idCol, textCol, k, rowsPerBand, n)
       .select(col("doc").as("new_doc"), col("sig").as("new_sig"),
         col("band_idx"), col("band_key"))
     val idx = graft.sources.SnapshotTable.read(spark, indexDir)
-    val hits = idx.join(broadcast(newBands), Seq("band_idx", "band_key"))
+    // Broadcasting the batch keeps the corpus-side index scan
+    // shuffle-free, but a batch beyond driver/broadcast limits must
+    // NOT be forced: above `broadcastMaxDocs` (≈ a few hundred MB of
+    // banded rows) fall back to a plain shuffle join on the band key —
+    // slower, never fatal. Count on newDocs (one column, parquet-cheap),
+    // not on the wider banded rows.
+    val batchDocs = newDocs.select(col(idCol)).count()
+    val hits = (if (batchDocs <= broadcastMaxDocs)
+        idx.join(broadcast(newBands), Seq("band_idx", "band_key"))
+      else
+        idx.join(newBands, Seq("band_idx", "band_key")))
       .filter(col("doc") =!= col("new_doc"))
       .select(col("new_doc"), col("doc").as("dup_of"),
         col("new_sig"), col("sig"))

@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * as opaque BINARY payloads + a typed metadata struct, with
   * decode / feature-extraction / resize / frame-sampling operators.
   *
-  * The container ships no codec libraries, so the DECODE step is a
-  * clearly-marked deterministic STUB (`StubCodec`) — a fake header
-  * parse + byte-chunk features. Everything around it is the real
-  * plumbing this pipeline needs at 100 TB:
+  * The IMAGE path decodes for real: [[ImageIoCodec]] wraps the JDK's
+  * `javax.imageio` (PNG/BMP/GIF/JPEG — pure-JVM, headless, no external
+  * libs), sniffed by magic bytes; payloads that aren't decodable
+  * images (and the audio/video kinds, whose codecs the container
+  * doesn't ship) fall back to the clearly-marked deterministic STUB
+  * (`StubCodec`) — a fake header parse + byte-chunk features.
+  * Everything around the codec seam is the real plumbing this
+  * pipeline needs at 100 TB:
   *
   *  - schema: payload stays an opaque `BinaryType` column; metadata is
   *    a typed struct; operators never round-trip through strings.
@@ -87,7 +91,136 @@ object Multimodal {
     }
   }
 
-  /** Decode metadata from the payload (stub header parse). Batch-shaped:
+  /** REAL image codec over the JDK's `javax.imageio` — public,
+    * bundled, headless-safe. PNG/BMP/GIF/JPEG are sniffed by magic
+    * bytes before attempting a decode, so non-image payloads never pay
+    * for a reader probe and deterministic stub behavior is preserved
+    * for them bit-for-bit.
+    */
+  object ImageIoCodec {
+
+    /** Magic-byte sniff for the formats the JDK decodes natively. */
+    def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 8 && (
+        // PNG: 89 50 4E 47 0D 0A 1A 0A
+        ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        // BMP: "BM"
+        (p(0) == 'B' && p(1) == 'M') ||
+        // GIF: "GIF8"
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        // JPEG: FF D8 FF
+        ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff))
+
+    /** Decode to a BufferedImage; None when the payload isn't a
+      * decodable image (sniff fails or the reader rejects it).
+      */
+    def decode(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!looksLikeImage(p)) None
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+
+    /** k mean-luminance features over vertical strips of REAL pixels:
+      * strip i covers columns [i*w/k, (i+1)*w/k) × all rows; the
+      * feature is sum(r+g+b) / (3 * 255 * nPixels) ∈ [0,1]. Integer
+      * sums are exact, so the single double division is reproducible
+      * by any engine from the pixel values (the q84 oracle replays it
+      * relationally from the generator arithmetic).
+      */
+    def gridFeatures(img: java.awt.image.BufferedImage, k: Int): Array[Double] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Double](k)
+      var i = 0
+      while (i < k) {
+        val x0 = i * w / k
+        val x1 = (i + 1) * w / k
+        var sum = 0L
+        var x = x0
+        while (x < x1) {
+          var y = 0
+          while (y < h) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            y += 1
+          }
+          x += 1
+        }
+        val n = (x1 - x0).toLong * h
+        out(i) = if (n == 0) 0.0 else sum.toDouble / (3.0 * 255.0 * n)
+        i += 1
+      }
+      out
+    }
+
+    /** Encode a deterministic grayscale gradient PNG for id:
+      * w = 4 + id%5, h = 3 + id%4, pixel(x,y) = (id*31 + 7x + 13y) % 256
+      * — the shared generator both the engine-side q84 query and its
+      * DuckDB oracle derive pixels from (PNG is lossless, so decode
+      * returns exactly these values).
+      */
+    def gradientPng(id: Long): Array[Byte] = {
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val v = (((id * 31 + 7L * x + 13L * y) % 256 + 256) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          y += 1
+        }
+        x += 1
+      }
+      encode(img, "png")
+    }
+
+    /** Encode any BufferedImage via an ImageIO writer ("png", "bmp"…). */
+    def encode(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, baos),
+        s"no ImageIO writer for format $format")
+      baos.toByteArray
+    }
+  }
+
+  /** Codec dispatch: decodable image payloads take the REAL
+    * `javax.imageio` path; everything else (audio/video kinds, opaque
+    * test payloads) keeps the deterministic stub. One seam, used by
+    * every operator below, so swapping in further real codecs (audio,
+    * video) touches nothing downstream.
+    */
+  object MediaCodec {
+    /** (width, height, n_frames, sample_rate) */
+    def meta(kind: String, payload: Array[Byte]): (Int, Int, Int, Int) =
+      (if (kind == "image") ImageIoCodec.decode(payload) else None) match {
+        case Some(img) => (img.getWidth, img.getHeight, 1, 16000)
+        case None => (StubCodec.width(payload), StubCodec.height(payload),
+          StubCodec.nFrames(payload), 16000)
+      }
+
+    def features(kind: String, payload: Array[Byte], k: Int): Array[Float] =
+      (if (kind == "image") ImageIoCodec.decode(payload) else None) match {
+        case Some(img) => ImageIoCodec.gridFeatures(img, k).map(_.toFloat)
+        case None => StubCodec.features(payload, k)
+      }
+
+    /** Batch-call shape (see [[extractFeaturesBatch]]); identical
+      * output to per-row [[features]].
+      */
+    def featuresBatch(kinds: Array[String], payloads: Array[Array[Byte]],
+                      k: Int): Array[Array[Float]] = {
+      val out = new Array[Array[Float]](payloads.length)
+      var i = 0
+      while (i < payloads.length) {
+        out(i) = features(kinds(i), payloads(i), k)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Decode metadata from the payload (real `javax.imageio` parse for
+    * image payloads, stub header parse otherwise). Batch-shaped:
     * one `mapPartitions` pass, schema-preserving + meta overwrite.
     */
   def decodeMeta(media: DataFrame): DataFrame = {
@@ -99,21 +232,21 @@ object Multimodal {
         // per-partition init happens HERE in a real codec
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getLong(0), r.getString(1), payload,
-            Row(StubCodec.width(payload), StubCodec.height(payload),
-              StubCodec.nFrames(payload), 16000))
+          val (w, h, nf, sr) = MediaCodec.meta(r.getString(1), payload)
+          Row(r.getLong(0), r.getString(1), payload, Row(w, h, nf, sr))
         }
       }(enc)
     out
   }
 
-  /** Fixed-dimension feature vector per payload (stub features),
-    * per-row UDF shape — kept as the semantic oracle for
-    * [[extractFeaturesBatch]].
+  /** Fixed-dimension feature vector per payload (real pixels for
+    * decodable images, stub features otherwise), per-row UDF shape —
+    * kept as the semantic oracle for [[extractFeaturesBatch]].
     */
   def extractFeatures(media: DataFrame, k: Int = 8): DataFrame = {
-    val featUdf = udf((payload: Array[Byte]) => StubCodec.features(payload, k))
-    media.withColumn("features", featUdf(col("payload")))
+    val featUdf = udf((kind: String, payload: Array[Byte]) =>
+      MediaCodec.features(kind, payload, k))
+    media.withColumn("features", featUdf(col("kind"), col("payload")))
   }
 
   /** Columnar-batch feature extraction: the JVM analogue of
@@ -131,16 +264,56 @@ object Multimodal {
     val outSchema = inSchema.add(StructField("features", ArrayType(FloatType), nullable = true))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val payloadIdx = inSchema.fieldIndex("payload")
+    val kindIdx = inSchema.fieldIndex("kind")
     media.mapPartitions { rows =>
       // per-partition init happens HERE in a real codec
       rows.grouped(batchSize).flatMap { batch =>
-        val feats = StubCodec.featuresBatch(
+        val feats = MediaCodec.featuresBatch(
+          batch.iterator.map(_.getString(kindIdx)).toArray,
           batch.iterator.map(_.getAs[Array[Byte]](payloadIdx)).toArray, k)
         batch.iterator.zipWithIndex.map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ feats(i).toSeq)
         }
       }
     }(enc)
+  }
+
+  /** Deterministic REAL-image table: one gradient PNG per id in `ids`
+    * ([[ImageIoCodec.gradientPng]]), encoded on the executors — the
+    * payload column holds genuine PNG bytes that any image tool can
+    * open. Input for codec tests and the q84 gate.
+    */
+  def synthesizeGradientPngs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, "image", ImageIoCodec.gradientPng(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Real-pixel strip features in long form (media_id, dim, feature):
+    * decode every payload with the REAL codec and emit k
+    * mean-luminance features per image ([[ImageIoCodec.gridFeatures]]).
+    * Rows whose payload isn't a decodable image are dropped (they have
+    * no pixels to feature). One mapPartitions pass — decoder init
+    * amortizes per partition, payloads never leave the executor.
+    */
+  def imageGridFeatures(media: DataFrame, k: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init point for a real batched decoder
+        it.flatMap { case (id, payload) =>
+          ImageIoCodec.decode(payload) match {
+            case Some(img) =>
+              ImageIoCodec.gridFeatures(img, k).iterator.zipWithIndex
+                .map { case (f, d) => (id, d.toLong, f) }
+            case None => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "dim", "feature")
   }
 
   /** "Resize": metadata-level transform (a real impl re-encodes the

@@ -173,6 +173,27 @@ object Packing {
           s => s.getField("ids"))).as("token_ids"))
   }
 
+  /** [[packIdSequences]] with a MATERIALIZED encode boundary: write
+    * `encoded` once to a SnapshotTable at `table`, then pack from the
+    * READ. Functionally identical output (PackingSpec pins it); the
+    * difference is pure execution shape — packing consumes the encode
+    * output twice (the placement pass and the assembly join), so the
+    * in-line form re-runs the encode lineage per consumer while this
+    * form pays one write and two columnar scans. At bench SF the
+    * memoized CPU encode wins (see PLANS.md "q80 encode boundary");
+    * at 100 TB — where the encode output doesn't fit memory and
+    * recompute means re-reading the raw corpus — the written table is
+    * the only shape that works, and THIS is the function a production
+    * run calls.
+    */
+  def packIdSequencesMaterialized(encoded: DataFrame, table: String,
+                                  idCol: String, seqLen: Int): DataFrame = {
+    graft.sources.SnapshotTable.overwrite(encoded, table)
+    packIdSequences(
+      graft.sources.SnapshotTable.read(encoded.sparkSession, table),
+      idCol, seqLen)
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int): DataFrame = {
     val comp = packCompositions(df, idCol, textCol, seqLen)

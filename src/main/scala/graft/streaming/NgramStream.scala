@@ -55,7 +55,8 @@ object NgramStream {
   final class CmsHeavyHitters(n: Int, topKPerBatch: Int = 1000,
                               eps: Double = 0.001,
                               confidence: Double = 0.99,
-                              seed: Int = 42) extends Serializable {
+                              seed: Int = 42,
+                              capFactor: Int = 4) extends Serializable {
     private var cms: org.apache.spark.util.sketch.CountMinSketch = _
     private val candidates = scala.collection.mutable.Set.empty[String]
 
@@ -73,6 +74,21 @@ object NgramStream {
           .orderBy(col("count").desc, col("ngram"))
           .limit(topKPerBatch)
           .collect().map(_.getString(0))
+        // Bound the candidate head: without eviction it grows by up
+        // to topKPerBatch per micro-batch, breaking the constant-state
+        // contract. Keep the `capFactor` × topK candidates with the
+        // highest CMS estimates — a dropped gram was below ~cap-K
+        // stream-so-far, and if it heats up later it re-enters through
+        // a batch top-K (the same admission path as any hitter).
+        val cap = capFactor * topKPerBatch
+        if (candidates.size > cap) {
+          val keep = candidates.toSeq
+            .map(g => (g, cms.estimateCount(g)))
+            .sortBy { case (g, c) => (-c, g) }
+            .take(cap).map(_._1)
+          candidates.clear()
+          candidates ++= keep
+        }
       } finally grams.unpersist()
     }
 
@@ -87,7 +103,11 @@ object NgramStream {
         .filter(_._2 >= minCount)
         .sortBy { case (g, c) => (-c, g) }
 
+    /** Current candidate-head size (bounded by capFactor × topK). */
+    def candidateCount: Int = candidates.size
+
     def sketchBytes: Array[Byte] = {
+      require(cms != null, "no batch processed yet — nothing to checkpoint")
       val out = new java.io.ByteArrayOutputStream()
       cms.writeTo(out)
       out.toByteArray

@@ -90,4 +90,22 @@ class CurationSpec extends SparkSpec {
     assert(fast == survivors)
     full.unpersist()
   }
+
+  test("releasable forms: the cache handle releases every stage cache") {
+    val docs = Tables.documents(spark, Sf0001)
+    spark.sharedState.cacheManager.clearCache()
+    val (audit2, caches) = Curation.curateReleasable(docs)
+    audit2.write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "stage caches pinned while the audit materializes")
+    caches.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "handle released every stage cache")
+    val (ids, caches2) = Curation.curateFullSurvivorIdsReleasable(docs)
+    ids.write.format("noop").mode("overwrite").save()
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    caches2.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "full-pipeline handle releases the LM tables too")
+  }
 }

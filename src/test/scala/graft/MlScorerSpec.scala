@@ -3,7 +3,7 @@ package graft
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.functions._
 import graft.api.EnergyApi
-import graft.ml.{IsoForestScorer, ProphetScorer}
+import graft.ml.{IsoForestScorer, ProphetScorer, TrendSim}
 
 /** Model-scorer parity (SURVEY §5.4).
   *
@@ -102,6 +102,39 @@ class MlScorerSpec extends SparkSpec {
     }
     val rate = covered.toDouble / hist.size
     assert(rate >= 0.6 && rate <= 0.95, s"in-sample 80pct coverage $rate")
+  }
+
+  test("prophet: MC band matches analytic normal approx; tight in-sample coverage") {
+    // The round-2/3 agenda item, quantified: in-sample (t <= 1) no
+    // future changepoint fires, so the MC 80% band reduces to the
+    // observation-noise quantiles — which for N(0, sigma_obs) have the
+    // closed form ±z_.9 · sigma_obs · y_scale. Assert (a) the seeded
+    // 1000-path MC edges land within 10% of that analytic width (MC
+    // percentile noise at n=1000 is ~3-4%), and (b) the MC band covers
+    // the artifact's own 151-row history at 80% ± 8pp (measured
+    // 0.795 analytic — residual std 33.57 vs sigma·y_scale 33.52, the
+    // fit's noise estimate is honest).
+    val m = ProphetScorer.bundled
+    val in = getClass.getResourceAsStream("/prophet_model.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val hist = new ObjectMapper().readTree(root.get("history").asText).get("data")
+    val horizonT = ((m.historyEnd.plusDays(30).toEpochDay * 86400.0) - m.start) / m.tScale
+    val sims = TrendSim.draw(m, horizonT, seed = 42L)
+    val sortedNoise = sims.map(_.noiseDraw * m.yScale).sorted
+    val lo = TrendSim.percentile(sortedNoise, 0.1)
+    val hi = TrendSim.percentile(sortedNoise, 0.9)
+    val analytic = 1.2815515655446004 * m.sigmaObs * m.yScale
+    assert(math.abs(-lo - analytic) / analytic < 0.10,
+      s"MC lower edge $lo vs analytic ±$analytic")
+    assert(math.abs(hi - analytic) / analytic < 0.10,
+      s"MC upper edge $hi vs analytic ±$analytic")
+    val covered = (0 until hist.size).count { i =>
+      val ds = java.time.LocalDate.parse(hist.get(i).get("ds").asText.take(10))
+      val r = hist.get(i).get("y").asDouble - m.yhat(ds.toEpochDay * 86400.0)
+      r >= lo && r <= hi
+    }
+    val rate = covered.toDouble / hist.size
+    assert(rate >= 0.72 && rate <= 0.88, s"in-sample MC 80pct coverage $rate")
   }
 
   test("prophet: yhat and 80% band match independent numpy prophet-1.1.7 reimpl fixture") {

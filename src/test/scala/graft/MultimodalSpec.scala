@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: schema, partition-batched decode,
   * feature extraction feeding similarity search, frame sampling.
-  * The codec is a deterministic stub (no image/audio libs in this
-  * container) — the Spark-side shapes are the real thing.
+  * The IMAGE path decodes for real (javax.imageio: PNG/BMP round
+  * trips with exact pixels); audio/video and non-image payloads use
+  * the deterministic stub (no such codec libs in this container).
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -90,6 +91,75 @@ class MultimodalSpec extends SparkSpec {
         onlyPng.select("media_id", "kind", "payload", "meta")), k = 4)
       .select("features").as[Seq[Float]].head()
     assert(feats == graft.core.Multimodal.StubCodec.features(img, 4).toSeq)
+  }
+
+  test("real codec: gradient PNG decodes via javax.imageio with exact pixels") {
+    val id = 7L
+    val png = Multimodal.ImageIoCodec.gradientPng(id)
+    // genuine PNG magic — any image tool could open this payload
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = Multimodal.ImageIoCodec.decode(png).get
+    assert(img.getWidth == (4 + id % 5).toInt && img.getHeight == (3 + id % 4).toInt)
+    // every decoded pixel equals the generator formula (lossless roundtrip)
+    for (x <- 0 until img.getWidth; y <- 0 until img.getHeight) {
+      val v = ((id * 31 + 7 * x + 13 * y) % 256).toInt
+      assert((img.getRGB(x, y) & 0xff) == v, s"pixel ($x,$y)")
+    }
+    // strip features match an independent scala computation
+    val feats = Multimodal.ImageIoCodec.gridFeatures(img, 4)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val expect = (0 until 4).map { i =>
+      val vals = for (x <- (i * w / 4) until ((i + 1) * w / 4); y <- 0 until h)
+        yield ((id * 31 + 7 * x + 13 * y) % 256).toDouble
+      vals.sum / (255.0 * vals.size)
+    }
+    feats.zip(expect).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("real codec: BMP decodes too; dispatch keeps the stub for non-images") {
+    val img = new java.awt.image.BufferedImage(6, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 6; y <- 0 until 5)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 50) << 8) | 17)
+    val bmp = Multimodal.ImageIoCodec.encode(img, "bmp")
+    val (w, h, nf, _) = Multimodal.MediaCodec.meta("image", bmp)
+    assert((w, h, nf) == (6, 5, 1))
+    val viaDispatch = Multimodal.MediaCodec.features("image", bmp, 3).toSeq
+    val direct = Multimodal.ImageIoCodec
+      .gridFeatures(Multimodal.ImageIoCodec.decode(bmp).get, 3).map(_.toFloat).toSeq
+    assert(viaDispatch == direct)
+    // non-image payload falls back to the stub byte-for-byte
+    val junk = Array.tabulate[Byte](32)(i => (i * 11 + 3).toByte)
+    assert(Multimodal.MediaCodec.features("image", junk, 4).toSeq ==
+      Multimodal.StubCodec.features(junk, 4).toSeq)
+    assert(Multimodal.MediaCodec.meta("audio", junk) ==
+      (Multimodal.StubCodec.width(junk), Multimodal.StubCodec.height(junk),
+        Multimodal.StubCodec.nFrames(junk), 16000))
+  }
+
+  test("real codec distributed: synthesized PNGs -> real meta + features, batch == per-row") {
+    val ids = spark.range(1, 21).toDF("doc_id")
+    val pngs = Multimodal.synthesizeGradientPngs(ids)
+      .withColumn("meta", lit(null).cast(Multimodal.mediaSchema("meta").dataType))
+    // decodeMeta takes the REAL path: generator dims are 4..8 x 3..6,
+    // which the stub (multiples of 16, >= 16) can never produce
+    val metas = Multimodal.decodeMeta(pngs)
+      .select($"meta.width", $"meta.height", $"meta.n_frames").collect()
+    assert(metas.forall(r =>
+      r.getInt(0) >= 4 && r.getInt(0) <= 8 && r.getInt(1) >= 3 && r.getInt(1) <= 6
+        && r.getInt(2) == 1))
+    // per-row and batch feature extraction agree bit-for-bit on real images
+    val perRow = Multimodal.extractFeatures(pngs, k = 4)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    val batched = Multimodal.extractFeaturesBatch(pngs, k = 4, batchSize = 7)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(perRow == batched)
+    // and both equal the double-precision grid features (to float)
+    val grid = Multimodal.imageGridFeatures(pngs, k = 4)
+      .groupBy("media_id").agg(collect_list(struct($"dim", $"feature")).as("fs"))
+      .as[(Long, Seq[(Long, Double)])].collect()
+      .map { case (id, fs) => id -> fs.sortBy(_._1).map(_._2.toFloat).toSeq }.toMap
+    assert(perRow == grid)
   }
 
   test("sampleFrames: one row per stride-sampled frame, video only") {

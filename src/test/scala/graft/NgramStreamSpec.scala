@@ -74,4 +74,27 @@ class NgramStreamSpec extends SparkSpec {
       assert(acc.sketchBytes.nonEmpty, "state is checkpointable")
     } finally q.stop()
   }
+
+  test("CMS accumulator: candidate head is bounded by capFactor x topK; pre-batch guard") {
+    implicit val sqlCtx = spark.sqlContext
+    val acc = new graft.streaming.NgramStream.CmsHeavyHitters(
+      n = 1, topKPerBatch = 2, capFactor = 2)
+    // checkpoint before any batch: clear error, not an NPE
+    intercept[IllegalArgumentException](acc.sketchBytes)
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("text").writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.update(b, "text"))
+      .start()
+    try {
+      // 4 batches of distinct unigrams admit 2 candidates each; without
+      // eviction the head would reach 8 — the cap holds it at 4
+      input.addData("a1 a2 a3"); q.processAllAvailable()
+      input.addData("b1 b2 b3"); q.processAllAvailable()
+      input.addData("c1 c2 c3"); q.processAllAvailable()
+      input.addData("d1 d2 d3"); q.processAllAvailable()
+      assert(acc.candidateCount <= 4,
+        s"candidate head ${acc.candidateCount} exceeds cap")
+    } finally q.stop()
+  }
 }

@@ -126,6 +126,26 @@ class PackingSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("packIdSequencesMaterialized: identical sequences via the written encode boundary") {
+    import graft.core.Bpe
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val model = Bpe.train(d, "text", 40)
+    val vocabIds = Bpe.vocab(d, "text", model)
+      .as[(String, Long)].collect().toMap
+    val enc = Bpe.encodeIds(d, "doc_id", "text", model, vocabIds)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_encmat").toString + "/enc"
+    val inline = Packing.packIdSequences(enc, "doc_id", 256)
+      .orderBy("seq_id").as[(Long, Long, Long, Seq[Long])].collect().toSeq
+    val materialized = Packing
+      .packIdSequencesMaterialized(enc, table, "doc_id", 256)
+      .orderBy("seq_id").as[(Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(materialized == inline,
+      "written-boundary form must reproduce the in-line form exactly")
+    // and the boundary really is a readable table (not a side effect)
+    assert(graft.sources.SnapshotTable.read(spark, table).count() == d.count())
+  }
+
   test("writeShards: clustered commit, shard reads open only their files") {
     import graft.sources.SnapshotTable
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")

@@ -18,7 +18,11 @@ python3 tools/check_oracle.py /root/testdata/sf0.01 "$out" | tail -2
 
 if [[ "${1:-}" == "--bench" ]]; then
   echo "== bench (sf0.1) =="
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+  line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"')
+  echo "$line"
+  if [[ -f BENCH_BUDGET.json ]]; then
+    echo "$line" | python3 tools/check_budget.py BENCH_BUDGET.json
+  fi
 fi
 echo "== gate complete =="
