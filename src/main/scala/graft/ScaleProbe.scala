@@ -72,9 +72,10 @@ object ScaleProbe {
       // quadratic-by-design on this replicated corpus — see q19/q43
       // above and their maxDf-capped linear variants)
       "q80_corpus_to_sequences", "q81_epoch_shuffle",
-      // round-4: real-image decode is embarrassingly parallel — one
-      // mapPartitions encode + one decode per row, no shuffle at all
-      "q84_image_features")
+      // round-4: real-image/audio decode is embarrassingly parallel —
+      // one mapPartitions encode + one decode per row, no shuffle at
+      // all; fixed-model BPE encode is the q78 shape minus training
+      "q84_image_features", "q85_bpe_encode_fixed", "q86_audio_features")
     probes.foreach { name =>
       def time(dir: String): Double = {
         // enc mode compares two execution SHAPES of the same pipeline:

@@ -1016,8 +1016,73 @@ object SparkEntry {
       graft.core.Multimodal.imageGridFeatures(media, k = 4)
         .select(col("media_id").as("doc_id"), col("dim"),
           round(col("feature"), 6).as("feature"))
+    }),
+
+    // BPE ENCODE under a full oracle: the merge LOOP (training) is the
+    // only non-SQL-expressible part of BPE, so pin a fixed
+    // library-constant model (trained once over an embedded dictionary
+    // — a model is a parameter of encode exactly as PQ codebooks are
+    // of q56/q57) and the greedy rank-merge ENCODE itself becomes
+    // oracle-checkable: the DuckDB side replays best-rank selection +
+    // leftmost-non-overlapping merge-all as a recursive CTE over the
+    // literal merge table, per distinct word, reassembled per doc.
+    // (q78 keeps the corpus-trained model rows-only; q82 oracles its
+    // dict; BpeSpec pins its loop.)
+    "q85_bpe_encode_fixed" -> ((s, dir) => {
+      Bpe.encode(Tables.documents(s, dir), "doc_id", "text", FixedBpeModel)
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          concat_ws(" ", col("pieces")).as("encoded"))
+    }),
+
+    // REAL audio decode, oracle-checked end-to-end (the q84 discipline
+    // for sound): deterministic test tones encoded as genuine PCM WAV
+    // via javax.sound.sampled on the executors, decoded back with the
+    // real codec, mean-|amplitude| window features from the decoded
+    // samples. PCM is lossless — the oracle replays the generator
+    // arithmetic, so header parsing, sample extraction, and windowing
+    // must all be exact.
+    "q86_audio_features" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeToneWavs(ids)
+      graft.core.Multimodal.audioWindowFeatures(media, k = 4)
+        .select(col("media_id").as("doc_id"), col("dim"),
+          round(col("feature"), 6).as("feature"))
+    }),
+
+    // IVF + PQ serving composition (IVFADC): coarse-probe pruning AND
+    // compressed-domain ADC ranking in one query — q27's probe
+    // discipline over q56/q57's codes. Deterministic for the fixed
+    // centroids + literal codebooks, so fully oracle-checkable.
+    "q87_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.core.ProductQuantizer.ivfPqTopK(
+        emb.filter(col("vec_id") < 8), emb, centroids, PqOracleModel,
+        k = 5, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cos_approx"))
     })
   )
+
+  /** Fixed, library-constant BPE model for the q85 oracle-checkable
+    * encode gate: trained once (deterministically) over an embedded
+    * dictionary of common data-engineering tokens — the domain
+    * vocabulary the synthetic corpus speaks — so the learned merges
+    * actually fire on real documents. The model is a PARAMETER of
+    * encode the way PQ codebooks are for q56/q57; its merge list is
+    * embedded as literals in the DuckDB oracle.
+    */
+  lazy val FixedBpeModel: Bpe.Model = Bpe.trainFromDict(Array(
+    ("the", 50L), ("data", 40L), ("table", 35L), ("query", 30L),
+    ("row", 28L), ("scan", 25L), ("hash", 24L), ("join", 22L),
+    ("merge", 20L), ("order", 18L), ("filter", 17L), ("stream", 16L),
+    ("window", 15L), ("vector", 14L), ("group", 13L), ("batch", 12L),
+    ("value", 11L), ("column", 10L), ("sort", 9L), ("fast", 8L),
+    ("slow", 7L), ("small", 6L), ("customer", 5L), ("spark", 5L),
+    ("line", 4L), ("key", 4L), ("part", 3L), ("agg", 3L),
+    ("big", 2L), ("dup", 2L), ("a", 2L)),
+    numMerges = 60, minFrequency = 1L)
 
   /** The q80 flagship pipeline — curate (5-stage gates) -> survivors
     * -> BPE train + id-encode on the CURATED corpus -> packed
@@ -1656,6 +1721,36 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT doc_id, dim, round(s / (3.0 * 255.0 * n), 6) AS feature
         |FROM px""".stripMargin,
+
+    // q85: recursive-CTE replay of greedy rank-merge BPE encode over
+    // the fixed model's literal merge table (see q85OracleSql doc)
+    "q85_bpe_encode_fixed" -> q85OracleSql,
+
+    // q86: the tone-WAV generator arithmetic replayed relationally —
+    // sample(t) = (id*31 + t*17) % 4093 - 2046 over n = 400 + id%100,
+    // k=4 windows, feature = sum(|s|)/(32768*n). The engine side must
+    // get identical values THROUGH a real WAV encode->decode roundtrip
+    // (javax.sound.sampled).
+    "q86_audio_features" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |cells AS (
+        |  SELECT doc_id, n, i.range AS dim,
+        |    (i.range * n) // 4 AS t0, ((i.range + 1) * n) // 4 AS t1
+        |  FROM ids, range(4) i),
+        |px AS (
+        |  SELECT c.doc_id, c.dim,
+        |    sum(abs((c.doc_id * 31 + t.range * 17) % 4093 - 2046)) AS s,
+        |    count(*) AS cnt
+        |  FROM cells c, range(500) t
+        |  WHERE t.range >= c.t0 AND t.range < c.t1
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, dim, round(s / (32768.0 * cnt), 6) AS feature
+        |FROM px""".stripMargin,
+
+    // q87: q27's assign/probe CTEs + q57's LUT/ADC CTEs, composed —
+    // ADC ranks only the probed candidates
+    "q87_ivfpq_ann" -> q87OracleSql,
 
     "q38_sessionize" ->
       """WITH flagged AS (
@@ -2742,6 +2837,141 @@ object SparkEntry {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
        |  round(cos_approx, 6) AS cos_approx
        |FROM ranked WHERE rnk <= 10""".stripMargin
+
+  /** q87's oracle: IVFADC replayed relationally — coarse assignment
+    * and probe selection exactly as q27's oracle, PQ codes and the
+    * query LUT exactly as q56/q57's, with ADC ranking restricted to
+    * the probed candidates. Sub-dot fold order (j ascending) matches
+    * the engine's sequential AdcScore aggregate.
+    */
+  private lazy val q87OracleSql: String =
+    s"""WITH $pqBooksCte,
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+       |  WHERE vec_id % 97 = 3),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id AS bucket FROM (
+       |    SELECT e.vec_id, cents.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckCos("e.v", "cents.cv")}
+       |        DESC, cents.centroid_id ASC) AS rnk
+       |    FROM e, cents) WHERE rnk = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv,
+       |        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          [v[i+1] * v[i+1] for i in generate_series(0, len(v)-1)]),
+       |          (acc, x) -> acc + x)) AS q_n
+       |      FROM e WHERE vec_id < 8),
+       |probes AS (
+       |  SELECT query_id, centroid_id AS bucket FROM (
+       |    SELECT q.query_id, cents.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${duckCos("q.qv", "cents.cv")}
+       |        DESC, cents.centroid_id ASC) AS rnk
+       |    FROM q, cents) WHERE rnk <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+       |  WHERE p.query_id <> a.vec_id),
+       |vn AS (SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          [v[i+1] * v[i+1] for i in generate_series(0, len(v)-1)]),
+       |          (acc, x) -> acc + x)) AS vnorm FROM e),
+       |lut AS (
+       |  SELECT q.query_id, b2.j, b2.r,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [q.qv[b2.j*${PqOracleModel.subDim} + i + 1] * b2.c[i+1]
+       |       for i in generate_series(0, len(b2.c)-1)]),
+       |      (acc, x) -> acc + x) AS sub_dot
+       |  FROM q, books b2),
+       |adc AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.sub_dot ORDER BY l.j)), (acc, x) -> acc + x) AS dot_approx
+       |  FROM cand
+       |  JOIN codes cd ON cand.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cand.query_id
+       |    AND l.j = cd.j AND l.r = cd.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT a.query_id, a.vec_id AS neighbor_id,
+       |    a.dot_approx / (q.q_n * vn.vnorm) AS cos_approx,
+       |    row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY a.dot_approx / (q.q_n * vn.vnorm) DESC, a.vec_id ASC) AS rnk
+       |  FROM adc a
+       |  JOIN q ON a.query_id = q.query_id
+       |  JOIN vn ON a.vec_id = vn.vec_id)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+       |  round(cos_approx, 6) AS cos_approx
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** q85's oracle: the greedy rank-merge BPE encode replayed as a
+    * recursive CTE over the literal merge table of [[FixedBpeModel]].
+    * Per distinct word, the state is the pieces list; each step joins
+    * the merge whose rank equals the minimum rank present among
+    * adjacent pairs (map lookup over 'a|b' keys), and rewrites the
+    * list with leftmost-NON-OVERLAPPING merge-all semantics — the
+    * run-parity trick: a match position is merged iff an even number
+    * of consecutive match positions immediately precede it (runs only
+    * arise for self-pairs like (a,a) on "aaa"). Fixpoint rows (no
+    * rank present) are each word's final encoding, reassembled per
+    * document in word order.
+    */
+  private lazy val q85OracleSql: String = {
+    val mergeRows = FixedBpeModel.merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(",\n")
+    // leftmost-non-overlap keep test for match position `i` (1-based)
+    // against pair (mg.a, mg.b) over list `sv`
+    def kept(sv: String, i: String) =
+      s"""($i >= 1 AND $i < len($sv) AND $sv[$i] = mg.a AND $sv[$i + 1] = mg.b
+         |      AND ((($i - 1) - coalesce(list_max([j for j in
+         |        generate_series(1, $i - 1)
+         |        if NOT ($sv[j] = mg.a AND $sv[j + 1] = mg.b)]), 0)) % 2 = 0))""".stripMargin
+    s"""WITH RECURSIVE mg_t(rank, a, b) AS (VALUES
+       |$mergeRows),
+       |mmap AS (SELECT map_from_entries(list(struct_pack(k := a || '|' || b,
+       |    v := rank))) AS m FROM mg_t),
+       |docs AS (SELECT doc_id,
+       |    CASE WHEN text IS NULL OR trim(text) = ''
+       |         THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT unnest(words) AS word FROM docs),
+       |enc(word, s) AS (
+       |  SELECT word, list_append(regexp_split_to_array(word, ''), '</w>')
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT e.word,
+       |    list_filter([CASE WHEN ${kept("e.s", "i")}
+       |                        THEN e.s[i] || e.s[i + 1]
+       |                      WHEN i > 1 AND ${kept("e.s", "(i - 1)")}
+       |                        THEN NULL
+       |                      ELSE e.s[i] END
+       |                 for i in generate_series(1, len(e.s))],
+       |                x -> x IS NOT NULL)
+       |  FROM enc e, mmap, mg_t mg
+       |  WHERE mg.rank = coalesce(list_min([coalesce(
+       |      map_extract(mmap.m, e.s[i] || '|' || e.s[i + 1])[1], 1000000)
+       |      for i in generate_series(1, len(e.s) - 1)]), 1000000)
+       |),
+       |fin AS (
+       |  SELECT word, s FROM enc, mmap
+       |  WHERE coalesce(list_min([coalesce(
+       |      map_extract(mmap.m, s[i] || '|' || s[i + 1])[1], 1000000)
+       |      for i in generate_series(1, len(s) - 1)]), 1000000) = 1000000),
+       |wenc AS (SELECT word, array_to_string(s, ' ') AS enc_str,
+       |    len(s) AS n_p FROM fin),
+       |dwords AS (SELECT doc_id, i.range AS pos, words[i.range + 1] AS word
+       |  FROM docs, range(400) i WHERE i.range < len(words)),
+       |agg AS (
+       |  SELECT d.doc_id, count(*) AS n_words,
+       |    CAST(sum(w.n_p) AS BIGINT) AS n_pieces,
+       |    string_agg(w.enc_str, ' ' ORDER BY d.pos) AS encoded
+       |  FROM dwords d JOIN wenc w ON d.word = w.word
+       |  GROUP BY 1)
+       |SELECT docs.doc_id,
+       |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  coalesce(a.encoded, '') AS encoded
+       |FROM docs LEFT JOIN agg a ON docs.doc_id = a.doc_id""".stripMargin
+  }
 
   /** DuckDB text of the engine's cosine: sequential-fold dot product
     * over the array (list_reduce folds left in element order, matching

@@ -183,25 +183,123 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec over the JDK's `javax.sound.sampled` — public,
+    * bundled, headless-safe. PCM WAV (RIFF) is sniffed by magic bytes
+    * before attempting a decode; non-WAV payloads fall back to the
+    * stub exactly like the image path.
+    */
+  object AudioIoCodec {
+
+    /** RIFF....WAVE magic. */
+    def looksLikeWav(p: Array[Byte]): Boolean =
+      p.length >= 12 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    /** Decode 16-bit PCM WAV to (sampleRate, samples) — mono: channel
+      * 0 only. None when the payload isn't decodable WAV.
+      */
+    def decode(p: Array[Byte]): Option[(Int, Array[Short])] =
+      if (!looksLikeWav(p)) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val bytes = in.readAllBytes()
+            val ch = fmt.getChannels
+            val n = bytes.length / (2 * ch)
+            val out = new Array[Short](n)
+            val bo = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                     else java.nio.ByteOrder.LITTLE_ENDIAN
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(bo)
+            var i = 0
+            while (i < n) { out(i) = bb.getShort(i * 2 * ch); i += 1 }
+            Some((fmt.getSampleRate.toInt, out))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** k mean-|amplitude| features over contiguous sample windows:
+      * window i covers samples [i*n/k, (i+1)*n/k); the feature is
+      * sum(|s|) / (32768 * count) ∈ [0,1). Integer sums are exact, so
+      * the single double division is engine-reproducible (the q86
+      * oracle replays it from the generator arithmetic).
+      */
+    def windowFeatures(samples: Array[Short], k: Int): Array[Double] = {
+      val n = samples.length
+      val out = new Array[Double](k)
+      var i = 0
+      while (i < k) {
+        val x0 = i * n / k
+        val x1 = (i + 1) * n / k
+        var sum = 0L
+        var x = x0
+        while (x < x1) { sum += math.abs(samples(x).toLong); x += 1 }
+        out(i) = if (x1 == x0) 0.0 else sum.toDouble / (32768.0 * (x1 - x0))
+        i += 1
+      }
+      out
+    }
+
+    /** Deterministic test tone for id, encoded as a genuine 16-bit PCM
+      * mono WAV through `AudioSystem.write`: n = 400 + id%100 samples
+      * at 8 kHz, sample(t) = (id*31 + t*17) % 4093 − 2046 — the shared
+      * generator both the engine-side q86 query and its DuckDB oracle
+      * derive samples from (PCM is lossless).
+      */
+    def toneWav(id: Long): Array[Byte] = {
+      val n = (400 + id % 100).toInt
+      val data = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var t = 0
+      while (t < n) {
+        val s = (((id * 31 + t.toLong * 17) % 4093 + 4093) % 4093 - 2046).toShort
+        bb.putShort(t * 2, s)
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
   /** Codec dispatch: decodable image payloads take the REAL
-    * `javax.imageio` path; everything else (audio/video kinds, opaque
+    * `javax.imageio` path, decodable PCM-WAV audio payloads the REAL
+    * `javax.sound.sampled` path; everything else (video kinds, opaque
     * test payloads) keeps the deterministic stub. One seam, used by
-    * every operator below, so swapping in further real codecs (audio,
-    * video) touches nothing downstream.
+    * every operator below, so swapping in further real codecs (video)
+    * touches nothing downstream.
     */
   object MediaCodec {
     /** (width, height, n_frames, sample_rate) */
     def meta(kind: String, payload: Array[Byte]): (Int, Int, Int, Int) =
       (if (kind == "image") ImageIoCodec.decode(payload) else None) match {
         case Some(img) => (img.getWidth, img.getHeight, 1, 16000)
-        case None => (StubCodec.width(payload), StubCodec.height(payload),
-          StubCodec.nFrames(payload), 16000)
+        case None =>
+          (if (kind == "audio") AudioIoCodec.decode(payload) else None) match {
+            case Some((rate, samples)) => (0, 0, samples.length, rate)
+            case None => (StubCodec.width(payload), StubCodec.height(payload),
+              StubCodec.nFrames(payload), 16000)
+          }
       }
 
     def features(kind: String, payload: Array[Byte], k: Int): Array[Float] =
       (if (kind == "image") ImageIoCodec.decode(payload) else None) match {
         case Some(img) => ImageIoCodec.gridFeatures(img, k).map(_.toFloat)
-        case None => StubCodec.features(payload, k)
+        case None =>
+          (if (kind == "audio") AudioIoCodec.decode(payload) else None) match {
+            case Some((_, samples)) =>
+              AudioIoCodec.windowFeatures(samples, k).map(_.toFloat)
+            case None => StubCodec.features(payload, k)
+          }
       }
 
     /** Batch-call shape (see [[extractFeaturesBatch]]); identical
@@ -309,6 +407,41 @@ object Multimodal {
           ImageIoCodec.decode(payload) match {
             case Some(img) =>
               ImageIoCodec.gridFeatures(img, k).iterator.zipWithIndex
+                .map { case (f, d) => (id, d.toLong, f) }
+            case None => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "dim", "feature")
+  }
+
+  /** Deterministic REAL-audio table: one tone WAV per id in `ids`
+    * ([[AudioIoCodec.toneWav]]), encoded on the executors — genuine
+    * RIFF/WAVE payloads any audio tool can play. Input for codec tests
+    * and the q86 gate.
+    */
+  def synthesizeToneWavs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, "audio", AudioIoCodec.toneWav(id))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Real-sample window features in long form (media_id, dim, feature):
+    * decode every payload with the REAL WAV codec and emit k
+    * mean-|amplitude| features ([[AudioIoCodec.windowFeatures]]).
+    * Non-decodable payloads are dropped. One mapPartitions pass.
+    */
+  def audioWindowFeatures(media: DataFrame, k: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          AudioIoCodec.decode(payload) match {
+            case Some((_, samples)) =>
+              AudioIoCodec.windowFeatures(samples, k).iterator.zipWithIndex
                 .map { case (f, d) => (id, d.toLong, f) }
             case None => Iterator.empty
           }

@@ -149,6 +149,58 @@ object ProductQuantizer {
         round(col("cos_approx"), 6).as("cos_approx"))
   }
 
+  /** IVF + PQ serving composition (IVFADC, Jégou et al. TPAMI 2011 —
+    * the standard billion-scale ANN layout): coarse-quantize the
+    * corpus to `centroids` buckets, PQ-encode every vector, then
+    * answer queries by probing the `nProbe` nearest buckets and
+    * ADC-ranking ONLY the probed candidates. Candidate scoring
+    * touches m small ints + one stored norm per row — never a raw
+    * vector — and bucket pruning cuts the candidate set before any
+    * scoring happens. At 100 TB the encoded table is written
+    * partitioned by bucket ([[Similarity.writeIvfIndex]]'s layout with
+    * codes instead of vectors), so a probe reads O(probed partitions).
+    *
+    * Deterministic end-to-end for fixed centroids + codebooks — the
+    * q87 gate oracle replays assignment, probing, encoding, and ADC
+    * ranking relationally.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                model: PQModel, k: Int, nProbe: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = Similarity.assignBuckets(corpus, centroids, idCol, vecCol)
+    // the serving index: (id, codes, vnorm, bucket) — one scan
+    val enc = bucketed.select(col(idCol),
+      array((0 until model.m).map(j => codeFor(col(vecCol), model, j)): _*).as("codes"),
+      Similarity.norm(col(vecCol)).as("vnorm"), col("bucket"))
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("cent_vec"))
+    val qProbes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("cos_c", Similarity.cosine(col("q_vec"), col("cent_vec")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_c"), asc("centroid_id"))
+    val probes = qProbes.withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("bucket"))
+    val lut = array((0 until model.m).map { j =>
+      array(model.codebooks(j).map(cb =>
+        Similarity.dot(sub(col(vecCol), j, model.subDim), centLit(cb))).toIndexedSeq: _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), lut.as("lut"),
+      Similarity.norm(col(vecCol)).as("q_n"))
+    val scored = probes.join(enc, "bucket")
+      .filter(col("query_id") =!= col(idCol))
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_approx",
+        adcScore(col("codes"), col("lut")) / (col("q_n") * col("vnorm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_approx"), asc(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
+        round(col("cos_approx"), 6).as("cos_approx"))
+  }
+
   /** Reconstruction (decode) of the codes back to a vector — test/
     * diagnostics surface for quantization error.
     */

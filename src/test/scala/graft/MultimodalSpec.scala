@@ -162,6 +162,32 @@ class MultimodalSpec extends SparkSpec {
     assert(perRow == grid)
   }
 
+  test("real audio codec: tone WAV roundtrips exact samples; dispatch + fallback") {
+    val id = 11L
+    val wav = Multimodal.AudioIoCodec.toneWav(id)
+    assert(Multimodal.AudioIoCodec.looksLikeWav(wav))
+    val (rate, samples) = Multimodal.AudioIoCodec.decode(wav).get
+    assert(rate == 8000)
+    assert(samples.length == (400 + id % 100).toInt)
+    samples.zipWithIndex.foreach { case (s, t) =>
+      assert(s == ((id * 31 + t * 17) % 4093 - 2046).toShort, s"sample $t")
+    }
+    // MediaCodec dispatch: real meta + features for decodable audio
+    val (_, _, nf, sr) = Multimodal.MediaCodec.meta("audio", wav)
+    assert(nf == samples.length && sr == 8000)
+    val f = Multimodal.MediaCodec.features("audio", wav, 4).toSeq
+    assert(f == Multimodal.AudioIoCodec
+      .windowFeatures(samples, 4).map(_.toFloat).toSeq)
+    // non-WAV payload falls back to the stub byte-for-byte
+    val junk = Array.tabulate[Byte](32)(i => (i * 5 + 1).toByte)
+    assert(Multimodal.MediaCodec.features("audio", junk, 4).toSeq ==
+      Multimodal.StubCodec.features(junk, 4).toSeq)
+    // distributed: synthesized WAVs -> features via the real decode path
+    val feats = Multimodal.audioWindowFeatures(
+      Multimodal.synthesizeToneWavs(spark.range(1, 11).toDF("doc_id")), k = 4)
+    assert(feats.count() == 40)
+  }
+
   test("sampleFrames: one row per stride-sampled frame, video only") {
     val decoded = Multimodal.decodeMeta(media)
     val frames = Multimodal.sampleFrames(decoded, every = 5)

@@ -92,6 +92,42 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(bad.forall(_.isNullAt(0)))
   }
 
+  test("ivfPqTopK == independent recomposition (probe filter over full ADC ranking)") {
+    val model = ProductQuantizer.hashCodebooks(M, 16, 64 / M)
+    val centroids = emb.filter($"vec_id" % 97 === 3)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val queries = emb.filter($"vec_id" < 8)
+    val got = ProductQuantizer.ivfPqTopK(queries, emb, centroids, model,
+      k = 5, nProbe = 2)
+      .select("query_id", "rank", "neighbor_id", "cos_approx")
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+    // independent recomposition: rank the WHOLE corpus by ADC, then
+    // keep only candidates inside each query's probed buckets, re-rank
+    val n = emb.count().toInt
+    val full = ProductQuantizer.adcTopK(queries,
+      ProductQuantizer.encode(emb, model), model, k = n)
+    val buckets = Similarity.assignBuckets(emb, centroids)
+      .select($"vec_id".as("neighbor_id"), $"bucket")
+    val c = centroids.select($"centroid_id", $"embedding".as("cent_vec"))
+    val probes = queries.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("cos_c", Similarity.cosine($"q_vec", $"cent_vec"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy(desc("cos_c"), asc("centroid_id"))
+    val probed = probes.withColumn("rnk", row_number().over(wq))
+      .filter($"rnk" <= 2).select($"query_id", $"centroid_id".as("bucket"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy(desc("cos_approx"), asc("neighbor_id"))
+    val expected = full.join(buckets, "neighbor_id")
+      .join(probed, Seq("query_id", "bucket"))
+      .withColumn("rank2", row_number().over(w2))
+      .filter($"rank2" <= 5)
+      .select($"query_id", $"rank2".cast("int"), $"neighbor_id", $"cos_approx")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
   test("ADC approximates the exact cosine with bounded error") {
     val model = ProductQuantizer.train(emb, M, Ks, maxIter = 6)
     val queries = emb.filter($"vec_id" % 100 === 7).limit(5)
