@@ -1062,6 +1062,27 @@ object SparkEntry {
         k = 5, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cos_approx"))
+    }),
+
+    // Prophet's predictive MEAN under a full oracle (q29 keeps the
+    // complete forecast rows-only — its Monte-Carlo intervals are not
+    // SQL-expressible — but yhat is closed-form: piecewise-linear
+    // trend + Fourier seasonality over LITERAL fitted parameters).
+    // The engine side is a pure codegen'd Column expression (no UDF,
+    // no broadcast) that MlScorerSpec pins bit-equal to the
+    // sequential Model.yhat loop q29 ships, so the oracle transitively
+    // pins q29's mean path. Day counts come from datediff (integer,
+    // timezone-free), never from a timestamp cast.
+    "q88_prophet_yhat" -> ((s, dir) => {
+      val m = graft.ml.ProphetScorer.bundled
+      val first = m.historyEnd.plusDays(1).toString
+      val last = m.historyEnd.plusDays(120).toString
+      s.range(1)
+        .select(explode(sequence(to_date(lit(first)), to_date(lit(last)),
+          expr("interval 1 day"))).as("ds"))
+        .withColumn("d", datediff(col("ds"), lit("1970-01-01")).cast("double"))
+        .select(col("ds"),
+          round(graft.ml.ProphetScorer.yhatColumn(m, col("d")), 6).as("yhat"))
     })
   )
 
@@ -1751,6 +1772,11 @@ object SparkEntry {
     // q87: q27's assign/probe CTEs + q57's LUT/ADC CTEs, composed —
     // ADC ranks only the probed candidates
     "q87_ivfpq_ann" -> q87OracleSql,
+
+    // q88: closed-form Prophet yhat over the literal fitted params —
+    // generated from the SAME model object as the engine expression,
+    // term-for-term (see ProphetScorer.yhatSqlExpr)
+    "q88_prophet_yhat" -> q88OracleSql,
 
     "q38_sessionize" ->
       """WITH flagged AS (
@@ -2971,6 +2997,33 @@ object SparkEntry {
        |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
        |  coalesce(a.encoded, '') AS encoded
        |FROM docs LEFT JOIN agg a ON docs.doc_id = a.doc_id""".stripMargin
+  }
+
+  /** q88's oracle: the closed-form Prophet mean replayed in DuckDB
+    * from the SAME literal parameters the engine expression embeds
+    * (`ProphetScorer.yhatSqlExpr` mirrors `yhatColumn` term-for-term,
+    * explicit parens reproducing the fold's association order). The
+    * only cross-engine divergence left is sin/cos ulp — absorbed by
+    * the shared `round(..., 6)` at the FINAL projection.
+    */
+  private lazy val q88OracleSql: String = {
+    val m = graft.ml.ProphetScorer.bundled
+    val first = m.historyEnd.plusDays(1)
+    val last = m.historyEnd.plusDays(120)
+    s"""WITH spine AS (
+       |  SELECT CAST(unnest(generate_series(DATE '$first', DATE '$last',
+       |    INTERVAL 1 DAY)) AS DATE) AS ds),
+       |dd AS (
+       |  SELECT ds, CAST(date_diff('day', DATE '1970-01-01', ds) AS DOUBLE) AS d
+       |  FROM spine),
+       |tt AS (
+       |  SELECT ds, d,
+       |    ((d * 86400.0 - ${graft.ml.ProphetScorer.sqlLit(m.start)})
+       |      / ${graft.ml.ProphetScorer.sqlLit(m.tScale)}) AS t
+       |  FROM dd)
+       |SELECT ds,
+       |  round(${graft.ml.ProphetScorer.yhatSqlExpr(m, "d", "t")}, 6) AS yhat
+       |FROM tt""".stripMargin
   }
 
   /** DuckDB text of the engine's cosine: sequential-fold dot product

@@ -2,7 +2,7 @@ package graft.ml
 
 import java.time.LocalDate
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Prophet forecast scoring (SURVEY §2.9 M1) — the reference's
@@ -97,6 +97,66 @@ object ProphetScorer {
       period = seas.get("period").asDouble,
       fourierOrder = seas.get("fourier_order").asInt,
       historyEnd = LocalDate.parse(lastDs.take(10)))
+  }
+
+  /** Closed-form yhat as a pure `Column` expression built from the
+    * model's LITERAL parameters — whole-stage-codegen'd, no UDF, no
+    * broadcast. `d` = days since 1970-01-01 (integer-derived via
+    * `datediff`, so timezone-free, unlike an epoch from a timestamp
+    * cast). Every term reproduces `Model.yhat`'s sequential
+    * accumulation order bit-for-bit (the fold adds 0.0 for skipped
+    * changepoints, and `a - b` == `a + (-(b))` in IEEE), which
+    * `MlScorerSpec` asserts exactly; `yhatSqlExpr` mirrors it
+    * term-for-term for the DuckDB oracle (q88), where the only
+    * cross-engine divergence is sin/cos ulp, absorbed by the final
+    * round.
+    */
+  def yhatColumn(m: Model, d: Column): Column = {
+    val t = (d * lit(86400.0) - lit(m.start)) / lit(m.tScale)
+    val kT = m.changepointsT.zip(m.delta).foldLeft(lit(m.k)) {
+      case (acc, (cp, dl)) => acc + when(lit(cp) <= t, lit(dl)).otherwise(lit(0.0))
+    }
+    val mT = m.changepointsT.zip(m.delta).foldLeft(lit(m.m)) {
+      case (acc, (cp, dl)) => acc + when(lit(cp) <= t, lit(-(cp * dl))).otherwise(lit(0.0))
+    }
+    val seasonal = (1 to m.fourierOrder).map { n =>
+      // ang = ((2π·n)·d)/period — the literal is (2π)·n exactly as the
+      // scorer loop computes it, preserving its rounding order
+      val twoPiN = 2.0 * math.Pi * n
+      lit(m.beta(2 * (n - 1))) * sin(lit(twoPiN) * d / lit(m.period)) +
+        lit(m.beta(2 * (n - 1) + 1)) * cos(lit(twoPiN) * d / lit(m.period))
+    }.reduceLeft(_ + _)
+    lit(m.yScale) * (kT * t + mT + seasonal)
+  }
+
+  /** A double as a DuckDB literal. `Double.toString` round-trips, so
+    * the oracle parses back the identical bits.
+    */
+  def sqlLit(x: Double): String = {
+    val s = x.toString
+    if (s.contains(".") || s.contains("E") || s.contains("e")) s else s + ".0"
+  }
+
+  /** The DuckDB mirror of `yhatColumn`: same literals, same
+    * association order (explicit parens reproduce the fold). `d` and
+    * `t` are column names of days-since-epoch (DOUBLE) and the
+    * pre-scaled time `(d*86400 - start)/t_scale`.
+    */
+  def yhatSqlExpr(m: Model, d: String, t: String): String = {
+    val kT = m.changepointsT.zip(m.delta).foldLeft(sqlLit(m.k)) {
+      case (acc, (cp, dl)) =>
+        s"($acc + CASE WHEN ${sqlLit(cp)} <= $t THEN ${sqlLit(dl)} ELSE 0.0 END)"
+    }
+    val mT = m.changepointsT.zip(m.delta).foldLeft(sqlLit(m.m)) {
+      case (acc, (cp, dl)) =>
+        s"($acc + CASE WHEN ${sqlLit(cp)} <= $t THEN ${sqlLit(-(cp * dl))} ELSE 0.0 END)"
+    }
+    val seasonal = (1 to m.fourierOrder).map { n =>
+      val twoPiN = 2.0 * math.Pi * n
+      val ang = s"((${sqlLit(twoPiN)} * $d) / ${sqlLit(m.period)})"
+      s"(${sqlLit(m.beta(2 * (n - 1)))} * sin($ang) + ${sqlLit(m.beta(2 * (n - 1) + 1))} * cos($ang))"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    s"(${sqlLit(m.yScale)} * ((($kT * $t) + $mT) + $seasonal))"
   }
 
   /** Forecast the next `days` daily totals after the model's embedded

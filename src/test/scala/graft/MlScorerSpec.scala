@@ -69,6 +69,28 @@ class MlScorerSpec extends SparkSpec {
     }
   }
 
+  test("prophet: codegen'd yhat Column is bit-equal to the scorer loop") {
+    // the q88 gate expression must BE q29's mean path — not an
+    // approximation of it: same literals, same accumulation order,
+    // so the doubles match exactly over a full year of horizon
+    import org.apache.spark.sql.functions._
+    val m = ProphetScorer.bundled
+    val first = m.historyEnd.plusDays(1).toString
+    val last = m.historyEnd.plusDays(365).toString
+    val rows = spark.range(1)
+      .select(explode(sequence(to_date(lit(first)), to_date(lit(last)),
+        expr("interval 1 day"))).as("ds"))
+      .withColumn("d", datediff(col("ds"), lit("1970-01-01")).cast("double"))
+      .select(col("d"), ProphetScorer.yhatColumn(m, col("d")).as("yhat"))
+      .collect()
+    assert(rows.length == 365)
+    rows.foreach { r =>
+      val d = r.getDouble(0)
+      val exp = m.yhat(d * 86400.0)
+      assert(r.getDouble(1) == exp, s"d=$d col=${r.getDouble(1)} loop=$exp")
+    }
+  }
+
   test("prophet: in-sample yhat tracks history (MAE well under data scale)") {
     val in = getClass.getResourceAsStream("/prophet_model.json")
     val root = new ObjectMapper().readTree(in); in.close()
