@@ -1083,6 +1083,25 @@ object SparkEntry {
         .withColumn("d", datediff(col("ds"), lit("1970-01-01")).cast("double"))
         .select(col("ds"),
           round(graft.ml.ProphetScorer.yhatColumn(m, col("d")), 6).as("yhat"))
+    }),
+
+    // Isolation-forest scoring under a full oracle (q28 keeps the
+    // 200-tree sklearn export rows-only — embedding ~150k parameters
+    // in SQL is not an oracle, it's a transcript). A deterministic
+    // 16-tree fixed ensemble (integer-derived structure the DuckDB
+    // side REGENERATES and walks with a recursive CTE) goes through
+    // the exact decisionFunction path q28 uses, so traversal, c(n)
+    // depth correction, and the 2^(-x) score are all hash-pinned.
+    // Features are exact integer arithmetic over doc_id: both engines
+    // compute bit-identical doubles, so every tree path is identical
+    // by construction, not by tolerance.
+    "q89_isoforest_fixed" -> ((s, dir) => {
+      import graft.ml.IsoForestScorer
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val feats = IsoForestScorer.fixedFeatures(docs, col("doc_id"))
+      IsoForestScorer.scoreFeatures(feats, Seq("f0", "f1", "f2", "f3"),
+          IsoForestScorer.fixedEnsemble)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
     })
   )
 
@@ -1777,6 +1796,10 @@ object SparkEntry {
     // generated from the SAME model object as the engine expression,
     // term-for-term (see ProphetScorer.yhatSqlExpr)
     "q88_prophet_yhat" -> q88OracleSql,
+
+    // q89: the fixed isolation forest regenerated relationally and
+    // walked by a recursive CTE (see IsoForestScorer.fixedOracleSql)
+    "q89_isoforest_fixed" -> graft.ml.IsoForestScorer.fixedOracleSql(),
 
     "q38_sessionize" ->
       """WITH flagged AS (

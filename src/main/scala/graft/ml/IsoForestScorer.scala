@@ -95,14 +95,111 @@ object IsoForestScorer {
       trees, root.get("max_samples").asInt, root.get("offset").asDouble)
   }
 
+  /** Deterministic, library-constant isolation forest for the q89
+    * oracle gate: `numTrees` complete binary trees of `depth` in heap
+    * layout (left = 2i+1, right = 2i+2), every parameter
+    * integer-derived —
+    *   feature(t, i)   = (t*7 + i*3) % 4
+    *   threshold(t, i) = (((t*31 + i*17) % 201) - 100) / 50.0
+    *   n_samples(leaf) = 2 + (t*13 + i*7) % 120
+    * — so the DuckDB oracle REGENERATES the identical ensemble
+    * arithmetically (a recursive CTE walks the same heap) instead of
+    * embedding ~1000 literals. Scoring goes through the exact
+    * `decisionFunction` path q28's production model uses, so the
+    * oracle transitively pins the traversal + c(n) + 2^(-x) math.
+    */
+  def fixedModel(numTrees: Int = 16, depth: Int = 5): Model = {
+    val internal = (1 << depth) - 1
+    val total = (1 << (depth + 1)) - 1
+    val trees = Array.tabulate(numTrees) { t =>
+      Tree(
+        left = Array.tabulate(total)(i => if (i < internal) 2 * i + 1 else -1),
+        right = Array.tabulate(total)(i => if (i < internal) 2 * i + 2 else -1),
+        feature = Array.tabulate(total)(i => if (i < internal) (t * 7 + i * 3) % 4 else -2),
+        threshold = Array.tabulate(total)(i =>
+          if (i < internal) (((t * 31 + i * 17) % 201) - 100) / 50.0 else 0.0),
+        nNodeSamples = Array.tabulate(total)(i =>
+          if (i >= internal) 2 + (t * 13 + i * 7) % 120 else 0))
+    }
+    Model(Array("f0", "f1", "f2", "f3"),
+      mean = Array(48.0, 49.0, 50.0, 51.0),
+      scale = Array(28.0, 29.0, 30.0, 31.0),
+      trees = trees, maxSamples = 256, offset = -0.5)
+  }
+
+  lazy val fixedEnsemble: Model = fixedModel()
+
+  /** Deterministic gate features from an integer id: exact integer
+    * arithmetic divided by 10.0 — bit-identical across engines.
+    * Mirrored textually inside `fixedOracleSql`.
+    */
+  def fixedFeatures(df: DataFrame, id: Column): DataFrame =
+    df.withColumn("f0", ((id * 17 + 3) % 1000) / lit(10.0))
+      .withColumn("f1", ((id * 29 + 7) % 1000) / lit(10.0))
+      .withColumn("f2", ((id * 41 + 11) % 1000) / lit(10.0))
+      .withColumn("f3", ((id * 53 + 13) % 1000) / lit(10.0))
+
+  /** The q89 oracle: the fixed ensemble regenerated and walked
+    * relationally in DuckDB — a recursive CTE descends the heap
+    * (same integer formulas as `fixedModel`), leaf depths get the
+    * same c(n) correction, and the per-doc score is
+    * -2^(-Σdepths/(T·c(256))) - offset. Tree-path arithmetic is
+    * all-integer (bit-identical across engines); ln/pow ulp and the
+    * unordered 16-way sum are absorbed by the shared round(..., 6).
+    */
+  def fixedOracleSql(numTrees: Int = 16, depth: Int = 5): String = {
+    val internal = (1 << depth) - 1
+    val m = fixedEnsemble
+    val cNorm = m.cNorm
+    s"""WITH RECURSIVE feats AS (
+       |  SELECT doc_id,
+       |    [ ((doc_id * 17 + 3) % 1000) / 10.0,
+       |      ((doc_id * 29 + 7) % 1000) / 10.0,
+       |      ((doc_id * 41 + 11) % 1000) / 10.0,
+       |      ((doc_id * 53 + 13) % 1000) / 10.0 ] AS x
+       |  FROM documents),
+       |zs AS (
+       |  SELECT doc_id,
+       |    [ (x[1] - 48.0) / 28.0, (x[2] - 49.0) / 29.0,
+       |      (x[3] - 50.0) / 30.0, (x[4] - 51.0) / 31.0 ] AS z
+       |  FROM feats),
+       |walk AS (
+       |  SELECT doc_id, t.range AS tree, CAST(0 AS BIGINT) AS node,
+       |    0 AS depth, z
+       |  FROM zs, range($numTrees) t
+       |  UNION ALL
+       |  SELECT doc_id, tree,
+       |    CASE WHEN z[CAST((tree * 7 + node * 3) % 4 AS INT) + 1]
+       |              <= (((tree * 31 + node * 17) % 201) - 100) / 50.0
+       |         THEN 2 * node + 1 ELSE 2 * node + 2 END,
+       |    depth + 1, z
+       |  FROM walk
+       |  WHERE node < $internal),
+       |paths AS (
+       |  SELECT doc_id, tree, depth,
+       |    2 + (tree * 13 + node * 7) % 120 AS n
+       |  FROM walk WHERE node >= $internal),
+       |scored AS (
+       |  SELECT doc_id,
+       |    sum(depth + CASE WHEN n = 2 THEN 1.0
+       |      ELSE 2.0 * (ln(n - 1.0) + 0.5772156649015329)
+       |           - 2.0 * (n - 1.0) / n END) AS depths
+       |  FROM paths GROUP BY 1)
+       |SELECT doc_id,
+       |  round(-pow(2.0, -depths / ($numTrees * ${ProphetScorer.sqlLit(cNorm)}))
+       |        - (${ProphetScorer.sqlLit(m.offset)}), 6) AS score
+       |FROM scored""".stripMargin
+  }
+
   /** Append `score` (decision_function) and `anomaly` columns.
     * Feature columns must match the model's training order
     * ([total_kwh, unique_appliances, rolling_7_mean, dow]).
     */
   def scoreFeatures(df: DataFrame, features: Seq[String] = Seq(
-      "total_kwh", "unique_appliances", "rolling_7_mean", "dow")): DataFrame = {
+      "total_kwh", "unique_appliances", "rolling_7_mean", "dow"),
+      model: Model = bundled): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(bundled)
+    val bc = spark.sparkContext.broadcast(model)
     val scoreUdf = udf { (a: Double, b: Double, c: Double, d: Double) =>
       bc.value.decisionFunction(Array(a, b, c, d))
     }

@@ -55,6 +55,34 @@ class MlScorerSpec extends SparkSpec {
       "unique_appliances", "rolling_7_mean", "dow", "score", "anomaly"))
   }
 
+  test("isoforest: fixed ensemble hand-walked on a 1-tree depth-2 case") {
+    // t=0, depth 2: node0 (f0, thr -2.0) -> node2 (f2, thr -1.32) for
+    // z=0 (both comparisons false -> right); leaf node6, depth 2,
+    // n = 2 + 6*7 % 120 = 44
+    val m = IsoForestScorer.fixedModel(numTrees = 1, depth = 2)
+    val x = Array(48.0, 49.0, 50.0, 51.0) // z = (0,0,0,0)
+    val c44 = 2.0 * (math.log(43.0) + 0.5772156649015329) - 2.0 * 43.0 / 44.0
+    val path = 2.0 + c44
+    val expected = -math.pow(2.0, -path / (1 * m.cNorm)) - m.offset
+    assert(m.decisionFunction(x) == expected)
+    // left-at-root coverage: z0 <= -2 needs x0 <= 48 - 56
+    val xLeft = Array(-10.0, 49.0, 50.0, 51.0)
+    // node0 -> node1 (f3, thr -1.66): z3=0 > thr -> right -> leaf 4,
+    // n = 2 + 4*7 % 120 = 30
+    val c30 = 2.0 * (math.log(29.0) + 0.5772156649015329) - 2.0 * 29.0 / 30.0
+    val expLeft = -math.pow(2.0, -(2.0 + c30) / (1 * m.cNorm)) - m.offset
+    assert(m.decisionFunction(xLeft) == expLeft)
+  }
+
+  test("isoforest: fixed ensemble discriminates across the id range") {
+    val scores = (0L until 200L).map(id => IsoForestScorer.fixedEnsemble
+      .decisionFunction(Array(((id * 17 + 3) % 1000) / 10.0,
+        ((id * 29 + 7) % 1000) / 10.0, ((id * 41 + 11) % 1000) / 10.0,
+        ((id * 53 + 13) % 1000) / 10.0)))
+    assert(scores.distinct.size > 50, s"only ${scores.distinct.size} distinct")
+    assert(scores.forall(s => s > -1.0 && s < 1.0))
+  }
+
   test("prophet: trend matches the artifact's embedded fitted trend") {
     val in = getClass.getResourceAsStream("/prophet_model.json")
     val root = new ObjectMapper().readTree(in); in.close()
