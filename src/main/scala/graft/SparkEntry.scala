@@ -1102,6 +1102,23 @@ object SparkEntry {
       IsoForestScorer.scoreFeatures(feats, Seq("f0", "f1", "f2", "f3"),
           IsoForestScorer.fixedEnsemble)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // REAL video frame sampling, oracle-checked end-to-end: the q84/
+    // q86 discipline for moving pictures. Deterministic gradient
+    // frames are encoded as genuine multi-frame animated GIFs (the one
+    // video container the JDK writes AND reads natively) on the
+    // executors, decoded back frame-by-frame with the real codec,
+    // stride-sampled (every 2nd frame), and featured from REAL pixels.
+    // GIF's LZW + full-gray palette is lossless, so the oracle replays
+    // the generator arithmetic — container framing, palette, LZW, and
+    // frame indexing must all roundtrip exactly or the hash diverges.
+    "q90_video_frames" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeGradientGifs(ids)
+      graft.core.Multimodal.videoFrameFeatures(media, every = 2, k = 4)
+        .select(col("media_id").as("doc_id"), col("frame_idx"), col("dim"),
+          round(col("feature"), 6).as("feature"))
     })
   )
 
@@ -1800,6 +1817,35 @@ object SparkEntry {
     // q89: the fixed isolation forest regenerated relationally and
     // walked by a recursive CTE (see IsoForestScorer.fixedOracleSql)
     "q89_isoforest_fixed" -> graft.ml.IsoForestScorer.fixedOracleSql(),
+
+    // q90: the gradient-GIF generator arithmetic replayed relationally
+    // — pixel(x,y,f) = (id*31 + 7x + 13y + 19f) % 256 over
+    // w=4+id%5, h=3+id%4, nf=2+id%4 frames, sampled every 2nd frame,
+    // k=4 vertical strips. The engine must reproduce identical values
+    // THROUGH a real animated-GIF encode->decode roundtrip.
+    "q90_video_frames" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    2 + doc_id % 4 AS nf
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, w, h, f.range AS frame_idx
+        |  FROM ids, range(5) f
+        |  WHERE f.range < nf AND f.range % 2 = 0),
+        |cells AS (
+        |  SELECT doc_id, w, h, frame_idx, i.range AS dim,
+        |    (i.range * w) // 4 AS x0, ((i.range + 1) * w) // 4 AS x1
+        |  FROM frames, range(4) i),
+        |px AS (
+        |  SELECT c.doc_id, c.frame_idx, c.dim,
+        |    sum(3 * ((c.doc_id * 31 + 7 * x.range + 13 * y.range
+        |              + 19 * c.frame_idx) % 256)) AS s,
+        |    count(*) AS n
+        |  FROM cells c, range(8) x, range(6) y
+        |  WHERE x.range >= c.x0 AND x.range < c.x1 AND y.range < c.h
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, frame_idx, dim, round(s / (3.0 * 255.0 * n), 6) AS feature
+        |FROM px""".stripMargin,
 
     "q38_sessionize" ->
       """WITH flagged AS (

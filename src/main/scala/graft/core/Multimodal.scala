@@ -181,6 +181,102 @@ object Multimodal {
         s"no ImageIO writer for format $format")
       baos.toByteArray
     }
+
+    /** Encode a frame sequence as a genuine multi-frame (animated) GIF
+      * through the JDK's sequence writer — the one VIDEO container the
+      * JDK both writes and reads natively, which makes the video
+      * frame-sampling path REAL end-to-end (no stub): payloads are
+      * standard GIF89a files any player opens. Grayscale frames use
+      * ≤256 distinct colors, so the GIF palette encodes them
+      * losslessly and decode returns exact pixel values.
+      */
+    def encodeAnimatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        // the JDK writer defaults to INTERLACED output, which the
+        // reader mis-deinterlaces for small frame heights (rows land
+        // shuffled/zeroed) — force progressive off so the roundtrip
+        // is row-exact
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        frames.foreach { f =>
+          val meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(f), param)
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, meta), param)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      baos.toByteArray
+    }
+
+    /** Decode ALL frames of a GIF payload (1 for a still). None when
+      * the payload isn't GIF. The reader counts frames from the stream
+      * (`getNumImages(true)`), so n_frames metadata is real, not a
+      * header guess.
+      */
+    def decodeFrames(p: Array[Byte]): Option[Array[java.awt.image.BufferedImage]] =
+      if (!(p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')) None
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false)
+            val n = reader.getNumImages(true)
+            Some(Array.tabulate(n)(reader.read))
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      } catch { case _: Exception => None }
+
+    /** Full 256-entry grayscale palette: every frame carries the same
+      * complete gray color table, so the GIF writer never quantizes —
+      * without this, frames after the first get snapped to the FIRST
+      * frame's palette and the roundtrip silently stops being
+      * lossless.
+      */
+    private lazy val grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate[Byte](256)(i => i.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Deterministic grayscale gradient frames for id — the q90 video
+      * twin of [[gradientPng]]: n_frames = 2 + id%4, w = 4 + id%5,
+      * h = 3 + id%4, pixel(x,y,f) = (id*31 + 7x + 13y + 19f) % 256.
+      * Shared generator for the engine query and its DuckDB oracle.
+      */
+    def gradientGifFrames(id: Long): Seq[java.awt.image.BufferedImage] = {
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val nf = (2 + id % 4).toInt
+      (0 until nf).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            val v = (((id * 31 + 7L * x + 13L * y + 19L * f) % 256 + 256) % 256).toInt
+            img.getRaster.setSample(x, y, 0, v)
+            y += 1
+          }
+          x += 1
+        }
+        img
+      }
+    }
   }
 
   /** REAL audio codec over the JDK's `javax.sound.sampled` — public,
@@ -284,10 +380,15 @@ object Multimodal {
       (if (kind == "image") ImageIoCodec.decode(payload) else None) match {
         case Some(img) => (img.getWidth, img.getHeight, 1, 16000)
         case None =>
-          (if (kind == "audio") AudioIoCodec.decode(payload) else None) match {
-            case Some((rate, samples)) => (0, 0, samples.length, rate)
-            case None => (StubCodec.width(payload), StubCodec.height(payload),
-              StubCodec.nFrames(payload), 16000)
+          (if (kind == "video") ImageIoCodec.decodeFrames(payload) else None) match {
+            case Some(frames) if frames.nonEmpty =>
+              (frames(0).getWidth, frames(0).getHeight, frames.length, 16000)
+            case _ =>
+              (if (kind == "audio") AudioIoCodec.decode(payload) else None) match {
+                case Some((rate, samples)) => (0, 0, samples.length, rate)
+                case None => (StubCodec.width(payload), StubCodec.height(payload),
+                  StubCodec.nFrames(payload), 16000)
+              }
           }
       }
 
@@ -447,6 +548,52 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "dim", "feature")
+  }
+
+  /** Deterministic REAL-video table: one multi-frame animated GIF per
+    * id ([[ImageIoCodec.gradientGifFrames]] +
+    * [[ImageIoCodec.encodeAnimatedGif]]), encoded on the executors —
+    * genuine GIF89a payloads any player opens. Input for codec tests
+    * and the q90 gate.
+    */
+  def synthesizeGradientGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, "video",
+        ImageIoCodec.encodeAnimatedGif(ImageIoCodec.gradientGifFrames(id)))))
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** REAL frame-sampled video features in long form
+    * (media_id, frame_idx, dim, feature): decode every GIF payload's
+    * frames with the real codec, keep every `every`-th frame (stride
+    * sampling happens AFTER a real decode — the decoder must touch all
+    * frames to count them, exactly like a real video container), and
+    * emit k mean-luminance strip features per sampled frame. One
+    * mapPartitions pass, payloads never leave their executor;
+    * non-decodable payloads are dropped.
+    */
+  def videoFrameFeatures(media: DataFrame, every: Int = 2, k: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init point for a real batched decoder
+        it.flatMap { case (id, payload) =>
+          ImageIoCodec.decodeFrames(payload) match {
+            case Some(frames) =>
+              frames.iterator.zipWithIndex
+                .filter { case (_, f) => f % every == 0 }
+                .flatMap { case (img, f) =>
+                  ImageIoCodec.gridFeatures(img, k).iterator.zipWithIndex
+                    .map { case (v, d) => (id, f.toLong, d.toLong, v) }
+                }
+            case None => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "frame_idx", "dim", "feature")
   }
 
   /** "Resize": metadata-level transform (a real impl re-encodes the

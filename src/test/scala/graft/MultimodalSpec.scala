@@ -137,6 +137,49 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.StubCodec.nFrames(junk), 16000))
   }
 
+  test("real video codec: animated GIF roundtrips every frame's exact pixels") {
+    val id = 11L
+    val frames = Multimodal.ImageIoCodec.gradientGifFrames(id)
+    val gif = Multimodal.ImageIoCodec.encodeAnimatedGif(frames)
+    // genuine GIF89a magic — any player could open this payload
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F' && gif(3) == '8')
+    val decoded = Multimodal.ImageIoCodec.decodeFrames(gif).get
+    assert(decoded.length == (2 + id % 4).toInt, "real frame count from the stream")
+    val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+    for (f <- decoded.indices; x <- 0 until w; y <- 0 until h) {
+      val v = ((id * 31 + 7 * x + 13 * y + 19 * f) % 256).toInt
+      assert((decoded(f).getRGB(x, y) & 0xff) == v, s"frame $f pixel ($x,$y)")
+    }
+    // meta dispatch: video kind gets the REAL frame count, not the stub
+    val (mw, mh, nf, _) = Multimodal.MediaCodec.meta("video", gif)
+    assert((mw, mh, nf) == (w, h, decoded.length))
+    // non-GIF video payload still falls back to the stub header parse
+    val junk = Array.tabulate[Byte](32)(i => (i * 13 + 5).toByte)
+    assert(Multimodal.MediaCodec.meta("video", junk) ==
+      (Multimodal.StubCodec.width(junk), Multimodal.StubCodec.height(junk),
+        Multimodal.StubCodec.nFrames(junk), 16000))
+  }
+
+  test("real video distributed: frame-sampled features from real GIF decode") {
+    import spark.implicits._
+    val ids = spark.range(0, 24).select(col("id").as("doc_id"))
+    val media = Multimodal.synthesizeGradientGifs(ids)
+    val feats = Multimodal.videoFrameFeatures(media, every = 2, k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    // every id contributes ceil(nf/2) sampled frames x k dims
+    val expectRows = (0L until 24L).map(id => ((2 + id % 4) + 1) / 2 * 4).sum
+    assert(feats.length == expectRows)
+    // sampled frame indices are even; features match an independent
+    // per-pixel computation from the generator formula
+    assert(feats.forall(_._2 % 2 == 0))
+    feats.filter(r => r._1 == 5L).foreach { case (id, f, d, v) =>
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      val vals = for (x <- (d.toInt * w / 4) until ((d.toInt + 1) * w / 4); y <- 0 until h)
+        yield ((id * 31 + 7 * x + 13 * y + 19 * f) % 256).toDouble
+      assert(math.abs(v - vals.sum / (255.0 * vals.size)) < 1e-12)
+    }
+  }
+
   test("real codec distributed: synthesized PNGs -> real meta + features, batch == per-row") {
     val ids = spark.range(1, 21).toDF("doc_id")
     val pngs = Multimodal.synthesizeGradientPngs(ids)
