@@ -1119,6 +1119,22 @@ object SparkEntry {
       graft.core.Multimodal.videoFrameFeatures(media, every = 2, k = 4)
         .select(col("media_id").as("doc_id"), col("frame_idx"), col("dim"),
           round(col("feature"), 6).as("feature"))
+    }),
+
+    // Per-source quality-QUANTILE gate (FineWeb/CCNet: "keep each
+    // source's top 25% by quality") — exact rank variant: the rounded
+    // quality score is bit-identical across engines (exact integer
+    // ratios through one mul/add chain), so ordering, ranking, and the
+    // ceil(n/4) cutoff all hash-match. The percentile_approx scale
+    // variant (no per-source sort, threshold table broadcast back) is
+    // spec-pinned against this exact gate in CorpusOpsSpec.
+    "q91_quality_quantile_gate" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      Sampling.topFractionByGroup(scored, "source", "quality_score", "doc_id",
+          fraction = 0.25)
+        .filter(col("kept"))
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("grp_rank").cast("long").as("grp_rank"))
     })
   )
 
@@ -1846,6 +1862,35 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT doc_id, frame_idx, dim, round(s / (3.0 * 255.0 * n), 6) AS feature
         |FROM px""".stripMargin,
+
+    // q91: q22's quality-score arithmetic (identical ratio/mul/add
+    // order) ranked per source, keep rank <= ceil(n/4) — rounding
+    // before the rank makes the sort keys bit-identical across
+    // engines, so the kept SET is exact, not approximate
+    "q91_quality_quantile_gate" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(len(list_filter(t, x -> list_contains(
+        |        ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+        |        / len(t) * 0.4
+        |      + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / length(text) * 0.6
+        |      - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / length(text) * 0.5, 6) AS quality_score
+        |  FROM base),
+        |ranked AS (
+        |  SELECT doc_id, source, quality_score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality_score DESC, doc_id) AS grp_rank,
+        |    count(*) OVER (PARTITION BY source) AS grp_n
+        |  FROM scored)
+        |SELECT doc_id, source, quality_score, CAST(grp_rank AS BIGINT) AS grp_rank
+        |FROM ranked
+        |WHERE grp_rank <= ceil(grp_n * 0.25)""".stripMargin,
 
     "q38_sessionize" ->
       """WITH flagged AS (

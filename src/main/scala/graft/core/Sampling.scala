@@ -40,6 +40,49 @@ object Sampling {
       .withColumn("quota_kept", col("src_rank") <= cap)
   }
 
+  /** Per-group quality-QUANTILE gate, exact variant (the FineWeb /
+    * CCNet shape: "keep each source's top 25% by quality"): rank rows
+    * within `groupCol` by (`scoreCol` desc, `idCol` asc — the
+    * deterministic tie-break) and keep rank <= ceil(fraction·n). One
+    * window exchange on the group key; rank and group size come from
+    * the same partition so no second shuffle. Exact and fully
+    * order-deterministic, so it oracles (q91). At 100 TB the
+    * per-source sort is the cost — use [[thresholdGateByGroup]]
+    * there.
+    *
+    * Output: every input row + `grp_rank`, `grp_n`, `kept`.
+    */
+  def topFractionByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                         idCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, "fraction must be in (0,1]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("grp_rank", row_number().over(w))
+      .withColumn("grp_n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("kept", col("grp_rank") <= ceil(col("grp_n") * lit(fraction)))
+  }
+
+  /** Per-group quality-quantile gate, SCALE variant: two passes, no
+    * window, no per-group sort. Pass 1 partial-aggregates an
+    * approximate per-group score quantile (`percentile_approx` — S
+    * tiny rows, S = #groups); pass 2 broadcast-joins the thresholds
+    * back and keeps `score >= threshold`. The 100 TB shape: rows
+    * never shuffle, only the S-row threshold table moves. Keeps
+    * APPROXIMATELY the top (1-quantile) share per group — boundary
+    * rows may differ from [[topFractionByGroup]], which is the price
+    * of not sorting each source.
+    */
+  def thresholdGateByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                           quantile: Double, accuracy: Int = 10000): DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0, "quantile must be in (0,1)")
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), lit(quantile), lit(accuracy))
+        .as("q_threshold"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .withColumn("kept", col(scoreCol) >= col("q_threshold"))
+  }
+
   /** Deterministic stratified Bernoulli sample: keep a row iff the
     * [0,1) value of a portable hash of its `idCol` falls below its
     * stratum's fraction. Unlike `df.stat.sampleBy` (partition-seeded

@@ -177,6 +177,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(q.count() == docs.count()) // audit keeps every row
   }
 
+  test("quantile gate: exact rank variant keeps ceil(fraction*n) per group") {
+    // group A: 6 rows, scores 10..60 -> keep ceil(1.5)=2 (60, 50);
+    // group B: 3 rows with a TIE at the cutoff -> doc_id breaks it
+    val df = Seq(
+      ("A", 1L, 10.0), ("A", 2L, 20.0), ("A", 3L, 30.0),
+      ("A", 4L, 40.0), ("A", 5L, 50.0), ("A", 6L, 60.0),
+      ("B", 7L, 5.0), ("B", 8L, 5.0), ("B", 9L, 1.0))
+      .toDF("source", "doc_id", "score")
+    val kept = Sampling.topFractionByGroup(df, "source", "score", "doc_id", 0.25)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    // A: ceil(6*0.25)=2 -> ids 6,5; B: ceil(3*0.25)=1 -> tie 5.0/5.0
+    // broken by doc_id asc -> id 7
+    assert(kept == Set(6L, 5L, 7L))
+  }
+
+  test("quantile gate: threshold scale variant tracks the exact gate") {
+    // 400 rows, 2 sources, distinct scores: the approx-quantile
+    // threshold keeps ~top 25% per source and agrees with the exact
+    // gate away from the boundary
+    val df = (0L until 400L).map(i =>
+      (if (i % 2 == 0) "web" else "book", i, (i * 7919 % 401).toDouble))
+      .toDF("source", "doc_id", "score")
+    val exact = Sampling.topFractionByGroup(df, "source", "score", "doc_id", 0.25)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val approx = Sampling.thresholdGateByGroup(df, "source", "score", 0.75)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    // per-source kept counts within one row of exact
+    assert(math.abs(approx.size - exact.size) <= 2,
+      s"approx ${approx.size} vs exact ${exact.size}")
+    // high-score core agrees: any exact-kept row whose score clears
+    // every source's threshold must be approx-kept
+    assert((exact -- approx).size <= 2)
+    // both gates keep strict supersets of the very top rows
+    val topRows = df.filter(col("score") >= 390).select("doc_id")
+      .as[Long].collect().toSet
+    assert(topRows.subsetOf(exact) && topRows.subsetOf(approx))
+  }
+
   test("temperature mix: alpha endpoints, flattening, determinism") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val n = d.groupBy("source").count()
