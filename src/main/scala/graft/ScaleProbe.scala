@@ -45,7 +45,9 @@ object ScaleProbe {
     // `runMain graft.ScaleProbe enc` only the q80 encode-boundary pair
     val snapOnly = args.contains("snap")
     val encOnly = args.contains("enc")
-    val probes = if (snapOnly) Nil
+    // any qNN args = probe only those gate queries (local iteration)
+    val nameArgs = args.filter(_.startsWith("q")).toSet
+    val allProbes = if (snapOnly) Nil
     else if (encOnly) Seq("q80_corpus_to_sequences")
     else Seq("q01_pricing_summary", "q06_user_daily",
       "q16_anomaly_features", "q19_ngram_jaccard", "q20_minhash_lsh",
@@ -75,7 +77,16 @@ object ScaleProbe {
       // round-4: real-image/audio decode is embarrassingly parallel —
       // one mapPartitions encode + one decode per row, no shuffle at
       // all; fixed-model BPE encode is the q78 shape minus training
-      "q84_image_features", "q85_bpe_encode_fixed", "q86_audio_features")
+      "q84_image_features", "q85_bpe_encode_fixed", "q86_audio_features",
+      // round-4 continuation: real video frame decode (same shape as
+      // q84, x frames per row); fixed-ensemble scoring is one codegen
+      // projection + a broadcast-model UDF; the quantile gate is one
+      // window exchange on source. q88's spine is constant-size (120
+      // rows) — probed only to confirm flatness.
+      "q88_prophet_yhat", "q89_isoforest_fixed", "q90_video_frames",
+      "q91_quality_quantile_gate")
+    val probes =
+      if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
       def time(dir: String): Double = {
         // enc mode compares two execution SHAPES of the same pipeline:
@@ -100,6 +111,7 @@ object ScaleProbe {
     // (by design) quadratic on a duplicate-heavy corpus:
     def timed(label: String)(mk: String => org.apache.spark.sql.DataFrame): Unit = {
       if (snapOnly || (encOnly && !label.startsWith("q80 enc"))) return
+      if (nameArgs.nonEmpty && !nameArgs(label)) return
       def run(dir: String): Double = {
         if (encOnly) spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
