@@ -620,11 +620,20 @@ object Multimodal {
   /** Frame-level feature table for video search: sample frames, then
     * one feature vector per (media, frame) — rows keyed
     * (media_id, frame_idx) feed Similarity.* directly, e.g. "find the
-    * video frame most similar to this one" via cosineTopK.
+    * video frame most similar to this one" via cosineTopK. Decodable
+    * GIF payloads take the REAL codec (strip features of the actual
+    * frame's pixels); opaque payloads keep the stub — the same
+    * dispatch discipline as [[MediaCodec]]. Per-row UDF shape
+    * (re-decodes per sampled frame); for the decode-once long form
+    * use [[videoFrameFeatures]].
     */
   def frameFeatureTable(media: DataFrame, every: Int, k: Int = 8): DataFrame = {
     val featUdf = udf((payload: Array[Byte], frame: Int) =>
-      StubCodec.frameFeatures(payload, frame, k))
+      ImageIoCodec.decodeFrames(payload) match {
+        case Some(frames) if frame < frames.length =>
+          ImageIoCodec.gridFeatures(frames(frame), k).map(_.toFloat)
+        case _ => StubCodec.frameFeatures(payload, frame, k)
+      })
     sampleFrames(media, every)
       .select(col("media_id"), col("frame_idx"),
         featUdf(col("payload"), col("frame_idx")).as("embedding"))

@@ -180,6 +180,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameFeatureTable: real GIF frames agree with videoFrameFeatures") {
+    import spark.implicits._
+    val ids = spark.range(0, 8).select(col("id").as("doc_id"))
+    val media = Multimodal.decodeMeta(
+      Multimodal.synthesizeGradientGifs(ids).withColumn("meta",
+        lit(null).cast(Multimodal.mediaSchema("meta").dataType)))
+    // meta carries the REAL frame count, so sampleFrames strides over
+    // actual frames and the per-row UDF decodes the same pixels the
+    // long-form operator does
+    val viaTable = Multimodal.frameFeatureTable(media, every = 2, k = 4)
+      .select(col("media_id"), col("frame_idx"),
+        posexplode(col("embedding")).as(Seq("dim", "feature")))
+      .as[(Long, Int, Int, Float)].collect()
+      .map { case (m, f, d, v) => ((m, f.toLong, d.toLong), v) }.toMap
+    val viaLong = Multimodal.videoFrameFeatures(media, every = 2, k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(viaLong.nonEmpty && viaLong.length == viaTable.size)
+    viaLong.foreach { case (m, f, d, v) =>
+      assert(math.abs(viaTable((m, f, d)) - v) < 1e-6, s"($m,$f,$d)")
+    }
+  }
+
   test("real codec distributed: synthesized PNGs -> real meta + features, batch == per-row") {
     val ids = spark.range(1, 21).toDF("doc_id")
     val pngs = Multimodal.synthesizeGradientPngs(ids)
