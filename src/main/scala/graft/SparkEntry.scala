@@ -1135,6 +1135,29 @@ object SparkEntry {
         .filter(col("kept"))
         .select(col("doc_id"), col("source"), col("quality_score"),
           col("grp_rank").cast("long").as("grp_rank"))
+    }),
+
+    // Tokenizer FERTILITY by source (tokens/word, chars/token — the
+    // standard tokenizer-eval metrics from the multilingual-LM
+    // literature): q85's fixed-model encode aggregated per source.
+    // Integer sums are exact, the two ratios divide them once at the
+    // end — fully oracle-checkable through the same recursive-CTE
+    // encode replay q85 pins.
+    "q92_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.encode(docs, "doc_id", "text", FixedBpeModel)
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").cast("long").as("total_words"),
+          sum("n_pieces").cast("long").as("total_pieces"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .select(col("source"), col("n_docs"),
+          col("total_words"), col("total_pieces"),
+          round(col("total_pieces").cast("double") / col("total_words"), 6)
+            .as("fertility"),
+          round(col("total_chars").cast("double") / col("total_pieces"), 6)
+            .as("chars_per_piece"))
     })
   )
 
@@ -1862,6 +1885,11 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT doc_id, frame_idx, dim, round(s / (3.0 * 255.0 * n), 6) AS feature
         |FROM px""".stripMargin,
+
+    // q92: q85's per-doc encode replay (the same recursive CTE, as a
+    // derived table) aggregated per source; BIGINT sums exact, ratios
+    // divided once at the end
+    "q92_tokenizer_fertility" -> q92OracleSql,
 
     // q91: q22's quality-score arithmetic (identical ratio/mul/add
     // order) ranked per source, keep rank <= ceil(n/4) — rounding
@@ -3112,6 +3140,26 @@ object SparkEntry {
        |  coalesce(a.encoded, '') AS encoded
        |FROM docs LEFT JOIN agg a ON docs.doc_id = a.doc_id""".stripMargin
   }
+
+  /** q92's oracle: q85's per-doc encode replay as a derived table
+    * (DuckDB allows WITH RECURSIVE inside a subquery), joined back to
+    * documents for source/n_chars and aggregated. The fertility and
+    * chars-per-piece ratios divide exact BIGINT sums once, so the
+    * doubles are bit-identical across engines.
+    */
+  private lazy val q92OracleSql: String =
+    s"""SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(t.n_words) AS BIGINT) AS total_words,
+       |  CAST(sum(t.n_pieces) AS BIGINT) AS total_pieces,
+       |  round(CAST(sum(t.n_pieces) AS DOUBLE) / sum(t.n_words), 6)
+       |    AS fertility,
+       |  round(CAST(sum(d.n_chars) AS DOUBLE) / sum(t.n_pieces), 6)
+       |    AS chars_per_piece
+       |FROM (
+       |$q85OracleSql
+       |) t JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
 
   /** q88's oracle: the closed-form Prophet mean replayed in DuckDB
     * from the SAME literal parameters the engine expression embeds
