@@ -84,7 +84,9 @@ object ScaleProbe {
       // window exchange on source. q88's spine is constant-size (120
       // rows) — probed only to confirm flatness.
       "q88_prophet_yhat", "q89_isoforest_fixed", "q90_video_frames",
-      "q91_quality_quantile_gate")
+      "q91_quality_quantile_gate",
+      // q85-shaped encode + one co-keyed join + one agg
+      "q92_tokenizer_fertility")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
