@@ -216,13 +216,49 @@ object Multimodal {
       baos.toByteArray
     }
 
-    /** Decode ALL frames of a GIF payload (1 for a still). None when
-      * the payload isn't GIF. The reader counts frames from the stream
-      * (`getNumImages(true)`), so n_frames metadata is real, not a
-      * header guess.
+    /** Encode a frame sequence as a multi-page TIFF (JDK-native since
+      * 9, uncompressed by default → lossless) — the SECOND real
+      * multi-frame container, proving the codec-seam claim: decode,
+      * stride sampling and features are untouched; supporting it is a
+      * sniff line in [[looksLikeMultiFrame]], not a new operator.
+      */
+    def encodeMultipageTiff(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      baos.toByteArray
+    }
+
+    /** Multi-frame container sniff: GIF8 or TIFF (II*\0 / MM\0*) —
+      * the two frame-sequence containers the JDK reads natively.
+      */
+    def looksLikeMultiFrame(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 0x49 && p(1) == 0x49 && p(2) == 0x2a && p(3) == 0x00) ||
+        (p(0) == 0x4d && p(1) == 0x4d && p(2) == 0x00 && p(3) == 0x2a))
+
+    /** Decode ALL frames of a multi-frame payload (1 for a still):
+      * GIF or multi-page TIFF — the same reader loop handles both,
+      * which is the point of the codec seam (a further container is a
+      * sniff line, not a new operator). None when the payload isn't a
+      * readable multi-frame container. The reader counts frames from
+      * the stream (`getNumImages(true)`), so n_frames metadata is
+      * real, not a header guess.
       */
     def decodeFrames(p: Array[Byte]): Option[Array[java.awt.image.BufferedImage]] =
-      if (!(p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')) None
+      if (!looksLikeMultiFrame(p)) None
       else try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(p))

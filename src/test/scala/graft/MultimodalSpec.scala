@@ -180,6 +180,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("codec seam: multi-page TIFF payloads flow through the SAME video operators") {
+    import spark.implicits._
+    val id = 9L
+    val frames = Multimodal.ImageIoCodec.gradientGifFrames(id)
+    val tiff = Multimodal.ImageIoCodec.encodeMultipageTiff(frames)
+    assert(tiff(0) == 0x49 || tiff(0) == 0x4d, "genuine TIFF magic")
+    // exact per-frame pixel roundtrip through the shared decodeFrames
+    val dec = Multimodal.ImageIoCodec.decodeFrames(tiff).get
+    assert(dec.length == frames.length)
+    val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+    for (f <- dec.indices; x <- 0 until w; y <- 0 until h)
+      assert((dec(f).getRGB(x, y) & 0xff) ==
+        ((id * 31 + 7 * x + 13 * y + 19 * f) % 256).toInt, s"frame $f ($x,$y)")
+    // identical features whether the container is GIF or TIFF —
+    // videoFrameFeatures never changed for the second container
+    val ids = spark.range(0, 6).select(col("id").as("doc_id"))
+    val asTiff = ids.select(col("doc_id").cast("long")).as[Long]
+      .map(i => (i, "video",
+        Multimodal.ImageIoCodec.encodeMultipageTiff(
+          Multimodal.ImageIoCodec.gradientGifFrames(i))))
+      .toDF("media_id", "kind", "payload")
+    val viaTiff = Multimodal.videoFrameFeatures(asTiff, every = 2, k = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2, r._3))
+    val viaGif = Multimodal.videoFrameFeatures(
+        Multimodal.synthesizeGradientGifs(ids), every = 2, k = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2, r._3))
+    assert(viaTiff.nonEmpty && viaTiff.toSeq == viaGif.toSeq)
+  }
+
   test("frameFeatureTable: real GIF frames agree with videoFrameFeatures") {
     import spark.implicits._
     val ids = spark.range(0, 8).select(col("id").as("doc_id"))
