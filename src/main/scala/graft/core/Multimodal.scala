@@ -691,7 +691,7 @@ object Multimodal {
       .load(glob)
       .select(
         xxhash64(col("path")).as("media_id"),
-        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp", "tif", "tiff"), "image")
           .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
           .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
           .otherwise("binary").as("kind"),

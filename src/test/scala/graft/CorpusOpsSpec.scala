@@ -192,6 +192,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(6L, 5L, 7L))
   }
 
+  test("quantile gate: randomized parity with an independent reference") {
+    // 3 seeds x (random groups, duplicate-heavy scores): the engine's
+    // kept set must equal a plain-Scala reimplementation of
+    // "top ceil(f*n) by (score desc, id asc)"
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0L until 300L).map(i =>
+        (s"s${rng.nextInt(5)}", i, rng.nextInt(40).toDouble))
+      val expect = rows.groupBy(_._1).flatMap { case (_, g) =>
+        val k = math.ceil(g.size * 0.3).toLong
+        g.sortBy(r => (-r._3, r._2)).take(k.toInt)
+      }.map(_._2).toSet
+      val got = Sampling.topFractionByGroup(
+          rows.toDF("source", "doc_id", "score"),
+          "source", "score", "doc_id", 0.3)
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("quantile gate: threshold scale variant tracks the exact gate") {
     // 400 rows, 2 sources, distinct scores: the approx-quantile
     // threshold keeps ~top 25% per source and agrees with the exact
