@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Packing
+import graft.sources.SnapshotTable
+import graft.streaming.PackStream
+
+/** Continuous sequence packing: stream == batch parity over the same
+  * corpus, tail continuation across batches, exactly-once replay, and
+  * the foreachBatch wiring.
+  */
+class PackStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(ids: Range) = ids.map { i =>
+    (i.toLong, (0 until (3 + i % 5)).map(j => (i * 10 + j).toLong))
+  }
+
+  private def encoded(ids: Range) =
+    docs(ids).toDF("doc_id", "piece_ids")
+      .withColumn("n_pieces", size(col("piece_ids")).cast("long"))
+
+  private def allTokens(ids: Range): Seq[Long] =
+    docs(ids).flatMap(_._2)
+
+  test("3 micro-batches == one batch pack; the tail is the dropped partial") {
+    val dir = Files.createTempDirectory("packstream").toString + "/t"
+    val L = 16
+    PackStream.packBatch(encoded(0 until 7), dir, L, 0L)
+    PackStream.packBatch(encoded(7 until 13), dir, L, 1L)
+    PackStream.packBatch(encoded(13 until 20), dir, L, 2L)
+    val got = PackStream.sequences(spark, dir)
+      .select(col("seq_id"), col("token_ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val exp = Packing.packIdSequences(encoded(0 until 20), "doc_id", L)
+      .select(col("seq_id"), col("token_ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // the stream emits every FULL sequence the batch form emits; the
+    // batch form's final PARTIAL sequence is the stream's open tail
+    // (more data may still arrive) — that is the one semantic delta
+    assert(got == exp.filter(_._2.length == L),
+      s"stream ${got.keySet} vs batch-full ${exp.filter(_._2.length == L).keySet}")
+    // every emitted sequence is exactly L tokens, ids contiguous from 0
+    assert(got.keySet == (0L until got.size.toLong).toSet)
+    assert(got.values.forall(_.length == L))
+    // the tail holds exactly the batch form's trailing partial
+    val toks = allTokens(0 until 20)
+    val expTail = toks.drop((toks.length / L) * L)
+    assert(exp.values.find(_.length < L).contains(expTail))
+    val tailIds = PackStream.tail(spark, dir)
+      .select(col("token_ids")).as[Seq[Long]].collect()(0)
+    assert(tailIds == expTail)
+  }
+
+  test("replayed batch id is a FULL no-op (sequences and tail)") {
+    val dir = Files.createTempDirectory("packstream_replay").toString + "/t"
+    val L = 8
+    PackStream.packBatch(encoded(0 until 5), dir, L, 0L)
+    PackStream.packBatch(encoded(5 until 9), dir, L, 1L)
+    val v = SnapshotTable.currentVersion(dir)
+    val before = PackStream.sequences(spark, dir).count()
+    // crash-replay of batch 1: same id, same data
+    PackStream.packBatch(encoded(5 until 9), dir, L, 1L)
+    assert(SnapshotTable.currentVersion(dir) == v, "no new commit")
+    assert(PackStream.sequences(spark, dir).count() == before)
+  }
+
+  test("foreachBatch wiring: stream increments continue a batch bootstrap") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("packstream_stream").toString + "/t"
+    val L = 16
+    // batch bootstrap: first half of the corpus
+    PackStream.packBatch(encoded(0 until 10), dir, L, -1L)
+    // stream the second half in
+    val input = MemoryStream[(Long, Seq[Long])]
+    val q = input.toDF().toDF("doc_id", "piece_ids")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        PackStream.packBatch(df, dir, L, id))
+      .start()
+    try {
+      input.addData(docs(10 until 15): _*)
+      q.processAllAvailable()
+      input.addData(docs(15 until 20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = PackStream.sequences(spark, dir)
+      .select(col("seq_id"), col("token_ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val exp = Packing.packIdSequences(encoded(0 until 20), "doc_id", L)
+      .select(col("seq_id"), col("token_ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == exp.filter(_._2.length == L))
+  }
+}
