@@ -86,7 +86,9 @@ object ScaleProbe {
       "q88_prophet_yhat", "q89_isoforest_fixed", "q90_video_frames",
       "q91_quality_quantile_gate",
       // q85-shaped encode + one co-keyed join + one agg
-      "q92_tokenizer_fertility")
+      "q92_tokenizer_fertility",
+      // two idempotent snapshot commits + offsets prefix sum per batch
+      "q93_stream_pack")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

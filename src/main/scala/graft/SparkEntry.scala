@@ -1158,6 +1158,33 @@ object SparkEntry {
             .as("fertility"),
           round(col("total_chars").cast("double") / col("total_pieces"), 6)
             .as("chars_per_piece"))
+    }),
+
+    // The STREAMING sequence packer under a full oracle: deterministic
+    // per-doc token ids (pure arithmetic — packing, not BPE, is under
+    // test) run through TWO PackStream.packBatch calls into a real
+    // snapshot table (batch boundary at the id midpoint), sequences
+    // read back from the table. The DuckDB oracle replays the
+    // concatenated packing relationally and drops the trailing
+    // partial — which the stream holds as its tail by design — so
+    // batch-boundary continuation, the tail carry, and the idempotent
+    // table commits are all hash-pinned end-to-end.
+    "q93_stream_pack" -> ((s, dir) => {
+      val L = 64
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("piece_ids",
+          transform(sequence(lit(0), (col("doc_id") % 5 + 2).cast("int")),
+            j => col("doc_id") * 10 + j))
+      val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+      val table = java.nio.file.Files
+        .createTempDirectory("q93_stream_pack").toString + "/t"
+      graft.streaming.PackStream.packBatch(
+        docs.filter(col("doc_id") <= mid), table, L, 0L)
+      graft.streaming.PackStream.packBatch(
+        docs.filter(col("doc_id") > mid), table, L, 1L)
+      graft.streaming.PackStream.sequences(s, table)
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          concat_ws(",", col("token_ids")).as("ids_str"))
     })
   )
 
@@ -1890,6 +1917,32 @@ object SparkEntry {
     // derived table) aggregated per source; BIGINT sums exact, ratios
     // divided once at the end
     "q92_tokenizer_fertility" -> q92OracleSql,
+
+    // q93: the concatenated packing replayed relationally — one
+    // running-sum window for offsets, position/L bucketing, trailing
+    // partial dropped (it is the stream's TAIL, not an emitted
+    // sequence)
+    "q93_stream_pack" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id % 5 + 3 AS n FROM documents),
+        |offs AS (
+        |  SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+        |      AS tok_start
+        |  FROM ids),
+        |toks AS (
+        |  SELECT doc_id, tok_start + j.range AS pos,
+        |    doc_id * 10 + j.range AS token_id
+        |  FROM offs, range(7) j WHERE j.range < n),
+        |tot AS (SELECT sum(n) AS nt FROM ids)
+        |SELECT CAST(pos // 64 AS BIGINT) AS seq_id,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pos) AS ids_str
+        |FROM toks, tot
+        |WHERE pos < (nt // 64) * 64
+        |GROUP BY 1""".stripMargin,
 
     // q91: q22's quality-score arithmetic (identical ratio/mul/add
     // order) ranked per source, keep rank <= ceil(n/4) — rounding
