@@ -751,7 +751,7 @@ object SparkEntry {
     // same aggregation over the raw orders table.
     "q64_snapshot_scan" -> ((s, dir) => {
       val orders = Tables.orders(s, dir)
-      val t = java.nio.file.Files.createTempDirectory("graft_q64").toString + "/orders_snap"
+      val t = scratchDir("graft_q64") + "/orders_snap"
       Seq(("1992-01-01", "1995-01-01"), ("1995-01-01", "1997-01-01"),
           ("1997-01-01", "1999-01-01")).foreach { case (lo, hi) =>
         graft.sources.SnapshotTable.append(
@@ -771,7 +771,7 @@ object SparkEntry {
     // keys (NOT MATCHED INSERT). The oracle reproduces the same
     // disposition with a LEFT JOIN + UNION in plain SQL.
     "q65_snapshot_merge" -> ((s, dir) => {
-      val t = java.nio.file.Files.createTempDirectory("graft_q65").toString + "/t"
+      val t = scratchDir("graft_q65") + "/t"
       val tgt = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1996-01-01"))
       graft.sources.SnapshotTable.append(tgt, t)
       val updates = tgt.filter(col("o_orderkey") % 97 === 0)
@@ -845,7 +845,7 @@ object SparkEntry {
     // same semantics.
     "q70_index_dedup" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val t = java.nio.file.Files.createTempDirectory("graft_q70").toString + "/idx"
+      val t = scratchDir("graft_q70") + "/idx"
       Dedup.writeBandIndex(d.filter(col("doc_id") % 3 === 0), "doc_id", "text", t)
       Dedup.writeBandIndex(d.filter(col("doc_id") % 3 === 2), "doc_id", "text", t)
       Dedup.dedupAgainstIndex(s, d.filter(col("doc_id") % 3 === 1), t,
@@ -929,12 +929,19 @@ object SparkEntry {
     // argmax-rewrite fixpoint — not SQL-expressible, so this gate is
     // rows-only; BpeSpec pins the published worked example, an
     // independent reference implementation, reconstruction, and
-    // partition invariance.
-    "q78_bpe_encode" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val model = Bpe.train(docs, "text", numMerges = 100)
-      Bpe.encode(docs, "doc_id", "text", model)
-        .select(col("doc_id"), col("n_words"), col("n_pieces"))
+    // partition invariance. The PROJECTION is the corpus-trained merge
+    // list itself — deterministic and table-shaped even though the
+    // loop that produces it isn't SQL-computable — so the rows-only
+    // surface shrinks from "the encoded corpus" to "the model": every
+    // other piece of the BPE machinery is hash-pinned elsewhere (dict
+    // q82, encode q85, first merge step q96 FULL oracle, fertility
+    // q92, trainDistributed parity in BpeSpec).
+    "q78_bpe_merges" -> ((s, dir) => {
+      val model = Bpe.train(Tables.documents(s, dir), "text", numMerges = 100)
+      import s.implicits._
+      model.merges.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("merge_rank", "lhs", "rhs")
     }),
 
     // packing under a different cost model: placement by CHARACTER
@@ -960,8 +967,7 @@ object SparkEntry {
     // only shape that works when encode output exceeds memory, so the
     // gate runs the same code path production would.
     "q80_corpus_to_sequences" -> ((s, dir) => corpusToSequences(s, dir,
-      encodeTable = Some(java.nio.file.Files
-        .createTempDirectory("graft_q80enc").toString + "/enc"))),
+      encodeTable = Some(scratchDir("graft_q80enc") + "/enc"))),
 
     // packing meets the table format, oracle-checked end-to-end:
     // pack -> writeShards (range-clustered snapshot commit) -> a
@@ -973,8 +979,7 @@ object SparkEntry {
       import graft.sources.SnapshotTable
       val seqs = Packing.packSequences(
         Tables.documents(s, dir), "doc_id", "text", seqLen = 512)
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_q83").toString + "/seqs"
+      val table = scratchDir("graft_q83") + "/seqs"
       Packing.writeShards(seqs, table, shards = 8)
       SnapshotTable.read(s, table, prune = Seq(
           SnapshotTable.ColRange("seq_id", upper = Some(3L))))
@@ -1176,8 +1181,7 @@ object SparkEntry {
           transform(sequence(lit(0), (col("doc_id") % 5 + 2).cast("int")),
             j => col("doc_id") * 10 + j))
       val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
-      val table = java.nio.file.Files
-        .createTempDirectory("q93_stream_pack").toString + "/t"
+      val table = scratchDir("q93_stream_pack") + "/t"
       graft.streaming.PackStream.packBatch(
         docs.filter(col("doc_id") <= mid), table, L, 0L)
       graft.streaming.PackStream.packBatch(
@@ -1185,6 +1189,61 @@ object SparkEntry {
       graft.streaming.PackStream.sequences(s, table)
         .select(col("seq_id"), col("n_docs"), col("n_tokens"),
           concat_ws(",", col("token_ids")).as("ids_str"))
+    }),
+
+    // q20's LINEAR-SCALE path under its own full oracle: band buckets
+    // above maxBandSize are dropped from candidate generation (the
+    // web-scale guard against hot template bands — same lower-bound
+    // contract as q95's maxDf). maxBandSize=2 is the strictest cap, so
+    // any bucket a dup-cluster inflates past two docs provably bites
+    // here: the capped plan, not just the exact one, is hash-verified.
+    "q94_lsh_banded_cap" -> ((s, dir) => {
+      Dedup.lshCandidates(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, rowsPerBand = 2, n = 3, minEstJaccard = 0.25,
+        maxBandSize = 2)
+    }),
+
+    // q19's LINEAR-SCALE path under its own full oracle: shingles with
+    // document frequency above maxDf are dropped from candidate
+    // generation (denominators still count them — capped Jaccard is a
+    // lower bound of exact). This makes the plan a 100 TB run would
+    // actually use the hash-verified one, not just the exact-quadratic
+    // baseline.
+    "q95_jaccard_maxdf" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.2, maxDf = 4)
+    }),
+
+    // The BPE trainer's FIRST merge step under a full oracle: the
+    // first-round pair-count table (top 50 by the trainer's exact
+    // tie-break: count desc, pair lexicographic) computed
+    // relationally, with `is_first_merge` pinning the DRIVER LOOP's
+    // argmax ([[Bpe.train]] with numMerges=1, embedded as a literal)
+    // against the relational rank-1 row — if the loop's pair-count or
+    // tie-break ever diverged from the declared semantics, the hashes
+    // diverge. This is the oracle-expressible prefix of the q78 loop.
+    "q96_bpe_first_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dict = Bpe.wordCounts(Tables.documents(s, dir), "text")
+        .filter(col("cnt") >= 2)
+      val sym = dict.select(
+        concat(split(col("word"), ""), array(lit(Bpe.EndOfWord))).as("s"),
+        col("cnt"))
+      val counts = sym.select(explode(zip_with(
+          slice(col("s"), lit(1), size(col("s")) - 1),
+          slice(col("s"), lit(2), size(col("s")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+      val first = Bpe.train(Tables.documents(s, dir), "text",
+        numMerges = 1).merges.head
+      // global window over the top-50 only (bounded by the limit)
+      counts.orderBy(col("c").desc, col("a"), col("b")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("a"), col("b"))).cast("long"))
+        .select(col("rank"), col("a"), col("b"), col("c"),
+          (col("a") === lit(first._1) && col("b") === lit(first._2))
+            .as("is_first_merge"))
     })
   )
 
@@ -1196,6 +1255,23 @@ object SparkEntry {
     * encode the way PQ codebooks are for q56/q57; its merge list is
     * embedded as literals in the DuckDB oracle.
     */
+  /** Temp dir for gate closures that exercise the table format: same
+    * contract as `Files.createTempDirectory` plus a JVM shutdown hook
+    * that deletes the tree — repeated bench/probe iterations would
+    * otherwise accumulate full encode/pack tables under /tmp for the
+    * life of the machine, not just the session.
+    */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(d.toFile)
+    }))
+    d.toString
+  }
+
   lazy val FixedBpeModel: Bpe.Model = Bpe.trainFromDict(Array(
     ("the", 50L), ("data", 40L), ("table", 35L), ("query", 30L),
     ("row", 28L), ("scan", 25L), ("hash", 24L), ("join", 22L),
@@ -1235,8 +1311,8 @@ object SparkEntry {
   def corpusToSequences(s: SparkSession, dir: String,
                         encodeTable: Option[String] = None): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val survivors = Curation.curateFullSurvivorIds(docs,
-      maxNllMicro = 3450000L)
+    val (survivors, curCaches) = Curation.curateFullSurvivorIdsReleasable(
+      docs, maxNllMicro = 3450000L)
     // persist the curated-corpus boundary: four independent consumers
     // (BPE's dict aggregation, the vocab char scan, the encode scan,
     // packing) would otherwise each re-derive the curation's
@@ -1248,8 +1324,23 @@ object SparkEntry {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val enc = Bpe.encodeIds(corpus, "doc_id", "text", model, vocabIds)
     val packed = encodeTable match {
-      case Some(t) => Packing.packIdSequencesMaterialized(enc, t, "doc_id", 512)
-      case None => Packing.packIdSequences(enc, "doc_id", seqLen = 512)
+      case Some(t) =>
+        // the write MATERIALIZES the encode (and with it every use of
+        // the curation stages and the corpus cache), so a long-lived
+        // session — the production service/notebook shape — releases
+        // all upstream caches here instead of pinning ~6 of them per
+        // invocation; packing below reads only the written table.
+        graft.sources.SnapshotTable.overwrite(enc, t)
+        curCaches.unpersist()
+        corpus.unpersist()
+        Packing.packIdSequences(
+          graft.sources.SnapshotTable.read(s, t), "doc_id", seqLen = 512)
+      case None =>
+        // zero-side-effect small-corpus form: the result is lazy, so
+        // the caches must outlive this call — one-shot jobs only
+        // (session teardown reclaims them; long-lived callers should
+        // pass an encodeTable)
+        Packing.packIdSequences(enc, "doc_id", seqLen = 512)
     }
     packed.select(col("seq_id"), col("n_docs"), col("n_tokens"),
       xxhash64(concat_ws(",", col("token_ids"))).as("ids_hash"))
@@ -1501,6 +1592,120 @@ object SparkEntry {
         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
         |    AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.25""".stripMargin,
+
+    // q20's CTEs with the band-bucket cap: buckets of more than
+    // maxBandSize (=2) docs are excluded from candidate generation.
+    "q94_lsh_banded_cap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(shingle, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min((h*1299721 + 15485863) % 1000000007) AS mh_0,
+        |    min((h*1299743 + 15485867) % 1000000007) AS mh_1,
+        |    min((h*1299763 + 15485917) % 1000000007) AS mh_2,
+        |    min((h*1299791 + 15485927) % 1000000007) AS mh_3,
+        |    min((h*1299811 + 15485933) % 1000000007) AS mh_4,
+        |    min((h*1299817 + 15485941) % 1000000007) AS mh_5,
+        |    min((h*1299821 + 15485959) % 1000000007) AS mh_6,
+        |    min((h*1299827 + 15485989) % 1000000007) AS mh_7
+        |  FROM hashed GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, band_idx,
+        |    CASE band_idx
+        |      WHEN 0 THEN md5(mh_0 || '|' || mh_1) WHEN 1 THEN md5(mh_2 || '|' || mh_3)
+        |      WHEN 2 THEN md5(mh_4 || '|' || mh_5) ELSE md5(mh_6 || '|' || mh_7)
+        |    END AS band_key,
+        |    mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_idx)),
+        |capped AS (
+        |  SELECT * FROM banded
+        |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) BETWEEN 2 AND 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ((CASE WHEN a.mh_0=b.mh_0 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_1=b.mh_1 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_2=b.mh_2 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_3=b.mh_3 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_4=b.mh_4 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_5=b.mh_5 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_6=b.mh_6 THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.mh_7=b.mh_7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+        |  FROM capped a JOIN capped b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.25""".stripMargin,
+
+    // q19's CTEs with the stop-shingle cap: shingles whose document
+    // frequency exceeds maxDf (=4) generate no candidate pairs, while
+    // per-doc shingle counts (the Jaccard denominators) still include
+    // them — the capped Jaccard is a lower bound of the exact one.
+    "q95_jaccard_maxdf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |keepsh AS (
+        |  SELECT shingle FROM sh GROUP BY 1
+        |  HAVING count(*) > 1 AND count(*) <= 4),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  JOIN keepsh k ON a.shingle = k.shingle
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common), 6) AS jaccard
+        |FROM pairs p
+        |JOIN counts ca ON p.doc_a = ca.doc_id
+        |JOIN counts cb ON p.doc_b = cb.doc_id
+        |WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2""".stripMargin,
+
+    // the BPE trainer's first merge step, replayed relationally from
+    // the corpus word dictionary: char-split + end-of-word symbol,
+    // adjacent-pair counts weighted by word frequency, trainer
+    // tie-break (count desc, pair lexicographic). rank-1 IS the first
+    // merge — the Spark side embeds the driver loop's actual argmax as
+    // a literal, so the hashes pin loop == relational semantics.
+    "q96_bpe_first_merge" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |dict AS (
+        |  SELECT word, count(*) AS cnt FROM toks
+        |  WHERE length(word) > 0 GROUP BY 1 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT list_append(regexp_split_to_array(word, ''), '</w>') AS s, cnt
+        |  FROM dict),
+        |expl AS (
+        |  SELECT unnest([{'a': s[i], 'b': s[i+1]}
+        |                 for i in generate_series(1, len(s)-1)],
+        |                recursive := true), cnt
+        |  FROM sym),
+        |pc AS (
+        |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM expl GROUP BY 1, 2),
+        |top AS (
+        |  SELECT a, b, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, a, b) AS BIGINT) AS rank
+        |  FROM pc QUALIFY rank <= 50)
+        |SELECT rank, a, b, c, (rank = 1) AS is_first_merge FROM top""".stripMargin,
 
     "q21_simhash" ->
       """WITH toks AS (

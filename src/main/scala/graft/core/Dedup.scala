@@ -170,11 +170,39 @@ object Dedup {
     * signature components hashed together; docs sharing any band key
     * become candidate pairs. Estimated Jaccard = fraction of equal
     * signature components. bands * rowsPerBand must equal k.
+    *
+    * `maxBandSize` is the LSH analog of [[ngramJaccardPairs]]'s
+    * `maxDf`: a band bucket shared by d docs fans out d^2/2 candidate
+    * pairs, and at web scale boilerplate-heavy docs that survive exact
+    * dedup (same template, different payload) can share band keys by
+    * the thousands. Buckets above the cap are DROPPED from candidate
+    * generation — pairs only ever drop out, never gain, so the capped
+    * output is a SUBSET of the exact one (same lower-bound contract as
+    * `maxDf`, `Dedup.scala` maxDf doc above). Hot docs usually share
+    * several bands, so a pair lost to one oversized bucket commonly
+    * survives via another, narrower band. Default: no cap (exact; the
+    * q20 driver-gate oracle uses this), and the uncapped plan is
+    * byte-identical to before — the bucket-size window only enters
+    * the plan when a cap is set.
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
-                    minEstJaccard: Double = 0.0): DataFrame = {
-    val exploded = bandedSignatures(df, idCol, textCol, k, rowsPerBand, n)
+                    minEstJaccard: Double = 0.0,
+                    maxBandSize: Int = Int.MaxValue): DataFrame = {
+    val banded = bandedSignatures(df, idCol, textCol, k, rowsPerBand, n)
+    val exploded =
+      if (maxBandSize == Int.MaxValue) banded
+      else {
+        // one count per bucket; the window shuffles on exactly the
+        // band key the self-join below hashes on. Singleton buckets
+        // (the vast majority) are dropped too — they can produce no
+        // pair, so this is free pruning of the join's build side.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))
+        banded.withColumn("__d", count(lit(1)).over(w))
+          .filter(col("__d") > 1 && col("__d") <= maxBandSize)
+          .drop("__d")
+      }
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
@@ -226,24 +254,53 @@ object Dedup {
     * Output: one row per new doc — `is_dup`, best-match `dup_of`
     * (highest estimated Jaccard, ties to the smallest corpus doc id)
     * and `est_jaccard`, both NULL for clean docs.
+    *
+    * `maxBandSize` caps the INDEX-side bucket size exactly as in
+    * [[lshCandidates]] — a hot band key accumulated across the whole
+    * corpus otherwise fans out (index docs in bucket) hits per probing
+    * doc. The cap is applied AFTER restricting the index to the probed
+    * band keys (a broadcast semi-join against the batch's bands), so
+    * the bucket-size window runs over the probed subset only — the
+    * corpus never shuffles, which is the point of this function.
+    * Lower-bound contract: dup flags can only flip dup→clean, never
+    * the reverse. Default: no cap, plan unchanged.
+    *
+    * `batchDocsHint`: pass the batch size when the caller already
+    * knows it — the broadcast-vs-shuffle decision otherwise pays one
+    * `count()` that re-executes `newDocs`' upstream lineage, roughly
+    * doubling the work when the batch is an expensive derived frame.
     */
   def dedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                         newDocs: DataFrame, indexDir: String,
                         idCol: String, textCol: String,
                         k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
                         minEstJaccard: Double = 0.0,
-                        broadcastMaxDocs: Long = 2000000L): DataFrame = {
+                        broadcastMaxDocs: Long = 2000000L,
+                        maxBandSize: Int = Int.MaxValue,
+                        batchDocsHint: Option[Long] = None): DataFrame = {
     val newBands = bandedSignatures(newDocs, idCol, textCol, k, rowsPerBand, n)
       .select(col("doc").as("new_doc"), col("sig").as("new_sig"),
         col("band_idx"), col("band_key"))
-    val idx = graft.sources.SnapshotTable.read(spark, indexDir)
+    val idxAll = graft.sources.SnapshotTable.read(spark, indexDir)
+    val idx =
+      if (maxBandSize == Int.MaxValue) idxAll
+      else {
+        val probedKeys = newBands.select("band_idx", "band_key").distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))
+        idxAll.join(broadcast(probedKeys), Seq("band_idx", "band_key"),
+            "left_semi")
+          .withColumn("__d", count(lit(1)).over(w))
+          .filter(col("__d") <= maxBandSize)
+          .drop("__d")
+      }
     // Broadcasting the batch keeps the corpus-side index scan
     // shuffle-free, but a batch beyond driver/broadcast limits must
     // NOT be forced: above `broadcastMaxDocs` (≈ a few hundred MB of
     // banded rows) fall back to a plain shuffle join on the band key —
     // slower, never fatal. Count on newDocs (one column, parquet-cheap),
-    // not on the wider banded rows.
-    val batchDocs = newDocs.select(col(idCol)).count()
+    // not on the wider banded rows — or take the caller's hint for free.
+    val batchDocs = batchDocsHint.getOrElse(newDocs.select(col(idCol)).count())
     val hits = (if (batchDocs <= broadcastMaxDocs)
         idx.join(broadcast(newBands), Seq("band_idx", "band_key"))
       else

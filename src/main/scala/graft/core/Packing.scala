@@ -57,7 +57,19 @@ object Packing {
     * learned-tokenizer piece counts ([[Bpe.encode]]'s `n_pieces`) is
     * the same placement problem with a different weight.
     */
-  def offsetsBy(counted: DataFrame, idCol: String): DataFrame = {
+  def offsetsBy(counted: DataFrame, idCol: String): DataFrame =
+    offsetsByReleasable(counted, idCol)._1
+
+  /** [[offsetsBy]] plus a release handle for its internal persist —
+    * the (id, count, pid) cache must live until the caller's plans
+    * over the offsets have MATERIALIZED, which a one-shot batch job
+    * does implicitly at action time but a long-running caller (a
+    * foreachBatch loop — [[graft.streaming.PackStream]]) must end
+    * explicitly, or cached blocks accumulate without bound across
+    * batches. Same contract as [[Curation.StageCaches]].
+    */
+  def offsetsByReleasable(counted: DataFrame,
+                          idCol: String): (DataFrame, () => Unit) = {
     val ranged = counted.repartitionByRange(col(idCol))
       .withColumn("_pid", spark_partition_id())
     // PERSIST: the per-partition totals below must see the SAME _pid
@@ -78,10 +90,11 @@ object Packing {
           Window.orderBy("_pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_pid"), col("_offset"))
-    local.join(broadcast(prefixes), Seq("_pid"))
+    val out = local.join(broadcast(prefixes), Seq("_pid"))
       .select(col(idCol), col("n_tokens"),
         (col("_local_end") + col("_offset") - col("n_tokens")).as("tok_start"),
         (col("_local_end") + col("_offset")).as("tok_end"))
+    (out, () => { local.unpersist(); () })
   }
 
   /** The packing MAP — which documents contribute which token slices

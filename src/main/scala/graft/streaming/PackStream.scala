@@ -48,6 +48,16 @@ object PackStream {
   /** Pack one micro-batch of encoded docs (idCol, piece_ids) into
     * `table`. Call from `foreachBatch`; `batchId` must be the stream's
     * monotone batch id.
+    *
+    * Per-batch driver work is TWO actions regardless of table size:
+    * the single state-recovery aggregate ([[recoverState]] — confined
+    * to the last commit's files in steady state) and the idempotent
+    * append itself. The sequence cut is computed in-plan from a
+    * broadcast one-row total, not with a count action, and every
+    * per-batch cache (the union of positioned tokens, the prefix-sum
+    * intermediate inside [[Packing.offsetsByReleasable]]) is released
+    * before returning — a long-running stream holds no cached blocks
+    * between batches.
     */
   def packBatch(batch: DataFrame, table: String, seqLen: Int,
                 batchId: Long, idCol: String = "doc_id"): Unit = {
@@ -57,38 +67,11 @@ object PackStream {
       SnapshotTable.txnVersions(table, v).get(Writer).exists(_ >= batchId))
     if (already) return
 
-    val existing = SnapshotTable.currentVersion(table)
-      .map(_ => SnapshotTable.read(spark, table))
-    // prior state: latest tail row -> (pos, token_id, doc_id) + count;
-    // seq high-water mark. Three bounded scalar reads, never row data.
-    val (tailToks, nOpen, nextSeq) = existing match {
-      case None => (emptyTail(spark), 0L, 0L)
-      case Some(t) =>
-        val tailRow = t.filter(col("kind") === "tail")
-          .orderBy(col("batch_id").desc).limit(1)
-          .select(col("token_ids"), col("doc_ids"), col("n_tokens"))
-          .collect()
-        val (toks, n) = tailRow.headOption match {
-          case Some(r) if !r.isNullAt(0) =>
-            val ids = r.getSeq[Long](0)
-            val docs = r.getSeq[Long](1)
-            val df = spark.createDataFrame(
-              spark.sparkContext.parallelize(
-                ids.indices.map(i => (i.toLong, ids(i), docs(i))), 1))
-              .toDF("pos", "token_id", "doc_id")
-            (df, r.getLong(2))
-          case _ => (emptyTail(spark), 0L)
-        }
-        val hi = t.filter(col("kind") === "seq")
-          .agg(max(col("seq_id"))).collect()(0)
-        (toks, n, if (hi.isNullAt(0)) 0L else hi.getLong(0) + 1L)
-    }
+    val (tailToks, nOpen, nextSeq) = recoverState(spark, table, batchId)
 
     val counted = batch.select(col(idCol).cast("long").as("doc_id"),
       col("piece_ids"), size(col("piece_ids")).cast("long").as("n_tokens"))
-    val nBatch = counted.agg(coalesce(sum("n_tokens"), lit(0L)))
-      .collect()(0).getLong(0)
-    val offs = Packing.offsetsBy(
+    val (offs, releaseOffs) = Packing.offsetsByReleasable(
       counted.select(col("doc_id"), col("n_tokens")), "doc_id")
     val batchToks = counted.join(offs, Seq("doc_id"))
       .select(col("doc_id"), col("tok_start"),
@@ -96,12 +79,19 @@ object PackStream {
       .select(col("doc_id"),
         (lit(nOpen) + col("tok_start") + col("i")).as("pos"), col("token_id"))
 
+    // every positioned token of this batch (carried tail + new),
+    // persisted: the total, the sequence branch, and the tail branch
+    // each scan it once inside the SINGLE append action
     val all = tailToks.select("pos", "token_id", "doc_id")
       .unionByName(batchToks.select("pos", "token_id", "doc_id"))
-    val fullSeqs = (nOpen + nBatch) / seqLen
-    val cut = fullSeqs * seqLen
+      .persist()
+    // pos is dense 0..n-1, so the token total is max(pos)+1 — derived
+    // in-plan via a broadcast one-row frame instead of a driver count
+    val tot = all.agg((coalesce(max(col("pos")), lit(-1L)) + 1L).as("_total"))
+    val withCut = all.crossJoin(broadcast(tot))
+      .withColumn("_cut", (col("_total") / seqLen).cast("long") * lit(seqLen.toLong))
 
-    val seqs = all.filter(col("pos") < cut)
+    val seqs = withCut.filter(col("pos") < col("_cut"))
       .withColumn("sl", (col("pos") / seqLen).cast("long"))
       .groupBy(col("sl"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -113,23 +103,88 @@ object PackStream {
         col("n_docs"), col("n_tokens"), col("token_ids"),
         lit(null).cast("array<bigint>").as("doc_ids"))
 
-    // the new tail: one bounded row (< seqLen tokens), re-based to 0
-    val tail = all.filter(col("pos") >= cut)
-      .agg(count(lit(1)).as("n_tokens"),
-        coalesce(countDistinct(col("doc_id")), lit(0L)).as("n_docs"),
-        transform(array_sort(collect_list(
-            struct(col("pos"), col("token_id"), col("doc_id")))),
+    // the new tail: one bounded row (< seqLen tokens), re-based to 0.
+    // Conditional aggregates over the UNfiltered token set so the row
+    // exists even when the tail is empty; its seq_id field carries the
+    // NEXT sequence id, which is what lets recovery read one row
+    // instead of aggregating every seq row ever written.
+    val tailStruct = when(col("pos") >= col("_cut"),
+      struct(col("pos"), col("token_id"), col("doc_id")))
+    val tail = withCut
+      .agg(
+        coalesce(sum(when(col("pos") >= col("_cut"), 1L)), lit(0L))
+          .as("n_tokens"),
+        countDistinct(when(col("pos") >= col("_cut"), col("doc_id")))
+          .as("n_docs"),
+        transform(array_sort(collect_list(tailStruct)),
           s => s.getField("token_id")).as("token_ids"),
-        transform(array_sort(collect_list(
-            struct(col("pos"), col("token_id"), col("doc_id")))),
-          s => s.getField("doc_id")).as("doc_ids"))
-      .select(lit(null).cast("bigint").as("seq_id"),
+        transform(array_sort(collect_list(tailStruct)),
+          s => s.getField("doc_id")).as("doc_ids"),
+        first(col("_cut")).as("_cutv"))
+      .select(
+        (lit(nextSeq) +
+          coalesce((col("_cutv") / seqLen).cast("long"), lit(0L)))
+          .as("seq_id"),
         lit("tail").as("kind"), lit(batchId).as("batch_id"),
         col("n_docs"), col("n_tokens"), col("token_ids"), col("doc_ids"))
 
-    SnapshotTable.appendIdempotent(seqs.unionByName(tail), table,
+    try SnapshotTable.appendIdempotent(seqs.unionByName(tail), table,
       Writer, batchId)
+    finally { all.unpersist(); releaseOffs() }
     ()
+  }
+
+  /** State recovery for [[packBatch]]: (carried tail tokens as (pos,
+    * token_id, doc_id) rows, open-token count, next sequence id) in
+    * ONE driver action.
+    *
+    * The latest tail row carries the seq high-water mark in its
+    * `seq_id` field, and `batch_id` file stats confine the read to the
+    * last commit's files when batch ids are contiguous (the
+    * foreachBatch contract) — so steady-state recovery is O(one
+    * commit), not O(table). A table whose pruned slice has no
+    * usable tail (fresh checkpoint with non-contiguous ids, or a tail
+    * written before the high-water field existed) falls back to the
+    * same single aggregate over the full table, where max(seq_id)
+    * over the seq rows recovers the high-water mark.
+    */
+  private def recoverState(spark: SparkSession, table: String,
+                           batchId: Long): (DataFrame, Long, Long) = {
+    if (SnapshotTable.currentVersion(table).isEmpty)
+      return (emptyTail(spark), 0L, 0L)
+
+    def stateOf(t: DataFrame): org.apache.spark.sql.Row =
+      t.agg(
+        max(when(col("kind") === "seq", col("seq_id"))).as("hi_seq"),
+        max_by(
+          struct(col("n_tokens"), col("token_ids"), col("doc_ids"),
+            col("seq_id")),
+          when(col("kind") === "tail", col("batch_id"))).as("tl"))
+        .collect()(0)
+
+    val pruned = stateOf(SnapshotTable.read(spark, table,
+      prune = Seq(SnapshotTable.ColRange("batch_id",
+        lower = Some(batchId - 1)))))
+    val st =
+      if (!pruned.isNullAt(1) && !pruned.getStruct(1).isNullAt(3)) pruned
+      else stateOf(SnapshotTable.read(spark, table))
+
+    val hiSeq = if (st.isNullAt(0)) None else Some(st.getLong(0))
+    val tl = if (st.isNullAt(1)) None else Some(st.getStruct(1))
+    val (toks, nOpen) = tl match {
+      case Some(r) if !r.isNullAt(1) && r.getLong(0) > 0 =>
+        val ids = r.getSeq[Long](1)
+        val docs = r.getSeq[Long](2)
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ids.indices.map(i => (i.toLong, ids(i), docs(i))), 1))
+          .toDF("pos", "token_id", "doc_id")
+        (df, r.getLong(0))
+      case _ => (emptyTail(spark), 0L)
+    }
+    val nextSeq = tl.filter(r => !r.isNullAt(3)).map(_.getLong(3))
+      .getOrElse(hiSeq.map(_ + 1L).getOrElse(0L))
+    (toks, nOpen, nextSeq)
   }
 
   /** The packed training sequences committed so far. */

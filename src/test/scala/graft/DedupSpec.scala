@@ -111,4 +111,57 @@ class DedupSpec extends SparkSpec {
     assert(h(0) != h(1))
     assert(h(0) == h(2))
   }
+
+  // a pathological shared-band corpus: 6 identical "template" docs
+  // (every band bucket they occupy has size 6 — the boilerplate
+  // pattern that survives exact dedup at web scale when payloads
+  // differ, here made exact for determinism) plus one small near-dup
+  // pair whose buckets have size 2
+  private def templateCorpus = (
+    (1L to 6L).map(i =>
+      (i, "aaa bbb ccc ddd eee fff ggg hhh iii jjj")) ++ Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonight"),
+      (21L, "the quick brown fox jumps over the lazy dog today"))
+    ).toDF("doc_id", "text")
+
+  test("lsh maxBandSize: oversized buckets emit no pairs; small buckets unaffected") {
+    val uncapped = Dedup.lshCandidates(templateCorpus, "doc_id", "text",
+        k = 8, rowsPerBand = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the template cluster fans out all 6*5/2 pairs uncapped
+    assert(uncapped.count { case (a, b) => a <= 6 && b <= 6 } == 15)
+    val capped = Dedup.lshCandidates(templateCorpus, "doc_id", "text",
+        k = 8, rowsPerBand = 2, maxBandSize = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // lower-bound contract: exactly the uncapped pairs minus those
+    // that only arise from buckets above the cap
+    assert(capped == uncapped.filterNot { case (a, b) => a <= 6 && b <= 6 },
+      s"capped $capped vs uncapped $uncapped")
+  }
+
+  test("dedupAgainstIndex maxBandSize caps hot index buckets; hint preserves results") {
+    val dir = java.nio.file.Files.createTempDirectory("bandidx_cap")
+      .toString + "/idx"
+    Dedup.writeBandIndex(templateCorpus.filter($"doc_id" <= 6),
+      "doc_id", "text", dir)
+    val newDocs = Seq(
+      (100L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"), // hits the hot bucket
+      (101L, "totally unrelated fresh content never indexed before at all")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.dedupAgainstIndex(spark, newDocs, dir,
+      "doc_id", "text")
+    assert(uncapped.filter(col("is_dup")).select("doc_id")
+      .as[Long].collect().toSet == Set(100L))
+    // the 6-doc template bucket exceeds the cap -> dropped from
+    // candidate generation; 100 reads clean (documented lower bound)
+    val capped = Dedup.dedupAgainstIndex(spark, newDocs, dir,
+      "doc_id", "text", maxBandSize = 2)
+    assert(capped.filter(col("is_dup")).count() == 0)
+    // the size hint changes the join strategy decision input, never
+    // the result
+    val hinted = Dedup.dedupAgainstIndex(spark, newDocs, dir,
+      "doc_id", "text", batchDocsHint = Some(2L))
+    assert(hinted.filter(col("is_dup")).select("doc_id")
+      .as[Long].collect().toSet == Set(100L))
+  }
 }

@@ -96,4 +96,58 @@ class PackStreamSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(got == exp.filter(_._2.length == L))
   }
+
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(800) } // listener delivery is async
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("per-batch driver work is constant: jobs don't grow with table size, " +
+      "state recovery reads only the last commit's files") {
+    val dir = Files.createTempDirectory("packstream_const").toString + "/t"
+    val L = 8
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    PackStream.packBatch(encoded(0 until 4), dir, L, 0L)
+    val early = countJobs(PackStream.packBatch(encoded(4 until 8), dir, L, 1L))
+    (2 until 10).foreach(b =>
+      PackStream.packBatch(encoded(b * 4 until b * 4 + 4), dir, L, b.toLong))
+    val late = countJobs(
+      PackStream.packBatch(encoded(40 until 44), dir, L, 10L))
+    assert(late <= early,
+      s"late-batch jobs $late vs early-batch $early — per-batch driver " +
+        "work must not grow with accumulated table size")
+    // the mechanism: batch_id file stats confine the recovery read to
+    // the last commit's files
+    val pruned = SnapshotTable.read(spark, dir, prune = Seq(
+      SnapshotTable.ColRange("batch_id", lower = Some(10L)))).inputFiles.length
+    val all = SnapshotTable.read(spark, dir).inputFiles.length
+    assert(pruned < all, s"pruned=$pruned all=$all")
+    // and no cached blocks survive a batch (offsets + token caches
+    // are released before packBatch returns; other specs may hold
+    // their own caches in the shared session, so compare, not ==0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "packBatch must release every per-batch cache")
+  }
+
+  test("tail row carries the seq high-water mark for O(last-commit) recovery") {
+    val dir = Files.createTempDirectory("packstream_hiwater").toString + "/t"
+    val L = 8
+    PackStream.packBatch(encoded(0 until 10), dir, L, 0L)
+    val nSeqs = PackStream.sequences(spark, dir).count()
+    val tailSeqId = SnapshotTable.read(spark, dir)
+      .filter(col("kind") === "tail")
+      .orderBy(col("batch_id").desc).limit(1)
+      .select(col("seq_id")).as[Long].collect()(0)
+    assert(tailSeqId == nSeqs,
+      s"tail.seq_id $tailSeqId must equal the next sequence id $nSeqs")
+  }
 }
