@@ -45,7 +45,14 @@ object SnapshotTable {
     */
   final case class ColStats(min: Any, max: Any)
 
-  final case class FileEntry(name: String, stats: Map[String, ColStats])
+  /** `size` = the data file's byte length, recorded at write time.
+    * With every entry sized, [[read]] hands the planner a
+    * manifest-built file index (zero storage round-trips at plan
+    * time); -1 marks entries from pre-size manifests, which fall back
+    * to a listed read.
+    */
+  final case class FileEntry(name: String, stats: Map[String, ColStats],
+                             size: Long = -1L)
 
   /** Value range for pruning: keep files whose [min,max] intersects
     * the range on `column`. Bounds are inclusive by default (strict
@@ -114,7 +121,8 @@ object SnapshotTable {
               statVal(e.getValue.get("max")))
           }.toMap
         }.getOrElse(Map.empty[String, ColStats])
-        FileEntry(f.get("name").asText(), stats)
+        val size = Option(f.get("size")).map(_.asLong()).getOrElse(-1L)
+        FileEntry(f.get("name").asText(), stats, size)
       }
     }.toSeq
     val schema = Option(node.get("schema")).map(s =>
@@ -184,6 +192,7 @@ object SnapshotTable {
     files.foreach { fe =>
       val f = arr.addObject()
       f.put("name", fe.name)
+      if (fe.size >= 0L) f.put("size", fe.size)
       if (fe.stats.nonEmpty) {
         val s = f.putObject("stats")
         fe.stats.foreach { case (c, cs) =>
@@ -299,7 +308,7 @@ object SnapshotTable {
         val name = s"${java.util.UUID.randomUUID()}.parquet"
         val dest = dataDir(table).resolve(name)
         Files.move(p, dest)
-        FileEntry(name, footerStats(dest))
+        FileEntry(name, footerStats(dest), Files.size(dest))
       }.toSeq
     Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.delete(p))
@@ -470,9 +479,21 @@ object SnapshotTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => spark.emptyDataFrame
     }
-    else {
-      // the manifest's union schema projects evolved columns as null
-      // over files written before the column existed
+    else if (schemaOpt.isDefined && files.forall(_.size >= 0L)) {
+      // the manifest IS the file index: schema + per-file sizes are
+      // already known, so the planner gets them directly — zero
+      // storage round-trips at plan time. `spark.read.parquet(paths*)`
+      // stats every path to build its InMemoryFileIndex, O(files)
+      // driver I/O that measured 16.7 s just to PLAN a 10k-file read
+      // (ManifestProbe, PLANS.md round 5); this path is flat.
+      org.apache.spark.sql.GraftShim.manifestParquet(spark,
+        files.map(fe =>
+          (dataDir(table).resolve(fe.name).toAbsolutePath.toString, fe.size)),
+        schemaOpt.get)
+    } else {
+      // pre-size or pre-schema manifests: listed read. The manifest's
+      // union schema (when present) projects evolved columns as null
+      // over files written before the column existed.
       val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
       reader.parquet(
         files.map(fe => dataDir(table).resolve(fe.name).toString): _*)

@@ -38,4 +38,47 @@ object GraftShim {
     */
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** DataFrame over an EXPLICIT parquet file list with KNOWN sizes:
+    * the caller's (manifest-derived) file index is handed to the
+    * planner as-is, so planning performs ZERO storage round-trips —
+    * `spark.read.parquet(paths*)` stats every path to build its
+    * InMemoryFileIndex, which is O(files) driver I/O (measured
+    * ~1.7 ms/file: 16.7 s to merely PLAN a 10k-file read). This is how
+    * Delta/Iceberg natively plan scans: the transaction log already
+    * knows every file's size. Split planning, column pruning, filter
+    * pushdown and AQE stats (sizeInBytes = manifest sum) all behave
+    * exactly as with a listed index.
+    */
+  def manifestParquet(spark: SparkSession,
+                      files: Seq[(String, Long)],
+                      schema: types.StructType): DataFrame = {
+    import org.apache.spark.sql.execution.datasources._
+    val statuses = files.map { case (p, len) =>
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
+        new org.apache.hadoop.fs.Path(p))
+    }
+    val index = new FileIndex {
+      override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+        statuses.map(_.getPath)
+      override def listFiles(
+          partitionFilters: Seq[Expression],
+          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(
+          org.apache.spark.sql.catalyst.InternalRow.empty, statuses.toArray))
+      override def inputFiles: Array[String] =
+        statuses.map(_.getPath.toString).toArray
+      override def refresh(): Unit = ()
+      override def sizeInBytes: Long = files.map(_._2).sum
+      override def partitionSchema: types.StructType = new types.StructType()
+    }
+    // file-based reads always relax the schema to nullable (a file
+    // written before an appended column must project it as null) —
+    // DataSource.resolveRelation does this for spark.read; a direct
+    // relation must do it itself
+    val relation = HadoopFsRelation(index, new types.StructType(),
+      schema.asNullable, None, new parquet.ParquetFileFormat(), Map.empty)(
+      spark.asInstanceOf[classic.SparkSession])
+    ofRows(spark, LogicalRelation(relation, isStreaming = false))
+  }
 }

@@ -1,7 +1,10 @@
 #!/usr/bin/env bash
 # Full local gate: compile, tests, t1-style raw-session smoke,
 # t2 correctness (Verify at sf0.01 + DuckDB oracle replay), bench.
-# Usage: tools/gate.sh [--bench]
+# Usage: tools/gate.sh [--bench] [--sf0.1]
+#   --bench  also run the sf0.1 bench and check BENCH_BUDGET drift
+#   --sf0.1  also replay EVERY oracle at sf0.1 (the second-SF audit —
+#            scale coverage enforced, not remembered)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -16,13 +19,21 @@ out=$(mktemp -d)
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $out" > /dev/null 2>&1
 python3 tools/check_oracle.py /root/testdata/sf0.01 "$out" | tail -2
 
-if [[ "${1:-}" == "--bench" ]]; then
-  echo "== bench (sf0.1) =="
-  line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"')
-  echo "$line"
-  if [[ -f BENCH_BUDGET.json ]]; then
-    echo "$line" | python3 tools/check_budget.py BENCH_BUDGET.json
+for arg in "$@"; do
+  if [[ "$arg" == "--sf0.1" ]]; then
+    echo "== verify + oracle (sf0.1 second-SF audit) =="
+    out1=$(mktemp -d)
+    sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $out1" > /dev/null 2>&1
+    python3 tools/check_oracle.py /root/testdata/sf0.1 "$out1" | tail -2
   fi
-fi
+  if [[ "$arg" == "--bench" ]]; then
+    echo "== bench (sf0.1) =="
+    line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"')
+    echo "$line"
+    if [[ -f BENCH_BUDGET.json ]]; then
+      echo "$line" | python3 tools/check_budget.py BENCH_BUDGET.json
+    fi
+  fi
+done
 echo "== gate complete =="
