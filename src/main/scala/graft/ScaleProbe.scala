@@ -69,7 +69,7 @@ object ScaleProbe {
       // is replicated text, so the word dict — and training — stay
       // CONSTANT while encode scales with tokens)
       "q74_pack_map", "q75_pack_seqs", "q76_top_ngrams",
-      "q77_temperature_mix", "q78_bpe_encode", "q79_pack_by_cost",
+      "q77_temperature_mix", "q78_bpe_merges", "q79_pack_by_cost",
       // q80 composes curation (whose exact-Jaccard stage is
       // quadratic-by-design on this replicated corpus — see q19/q43
       // above and their maxDf-capped linear variants)
@@ -88,7 +88,12 @@ object ScaleProbe {
       // q85-shaped encode + one co-keyed join + one agg
       "q92_tokenizer_fertility",
       // two idempotent snapshot commits + offsets prefix sum per batch
-      "q93_stream_pack")
+      "q93_stream_pack",
+      // round-5: the capped (linear-path) dedup variants — on this
+      // replicated 10x corpus the caps are exactly the machinery that
+      // keeps them off the quadratic curve the exact baselines ride;
+      // q96 is dict-bounded (word types ~constant under replication)
+      "q94_lsh_banded_cap", "q95_jaccard_maxdf", "q96_bpe_first_merge")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
