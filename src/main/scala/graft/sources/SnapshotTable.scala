@@ -524,6 +524,20 @@ object SnapshotTable {
     filesForRead(table, version, prune)
       .map(n => dataDir(table).resolve(n).toAbsolutePath.toString)
 
+  /** (absolute path, byte size) of the files a pruned read would open;
+    * size is −1 for entries from pre-size manifests. When every entry
+    * is sized, readers can build their file index from the manifest
+    * alone — no storage listing.
+    */
+  def sizedFilesForRead(table: String, version: Option[Int] = None,
+                        prune: Seq[ColRange] = Nil): Seq[(String, Long)] = {
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
+    readManifest(table, v)
+      .filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
+      .map(fe => (dataDir(table).resolve(fe.name).toAbsolutePath.toString, fe.size))
+  }
+
   /** The files a pruned read would open — exposed so tests and PLANS.md
     * can assert data-skipping without inspecting the scan.
     */

@@ -190,11 +190,16 @@ private[v2] class SnapshotScanBuilder(spark: SparkSession, table: String,
   private def ensureInner(): ParquetScanBuilder = {
     if (inner == null) {
       val ranges = SnapshotPredicates.ranges(filterExprs)
-      val files = SnapshotTable.filePathsForRead(table, version, ranges)
-        .map(new HadoopPath(_))
-      val index = new InMemoryFileIndex(spark, files, Map.empty,
-        Some(tableSchema), org.apache.spark.sql.execution.datasources.NoopCache,
-        None, None)
+      val sized = SnapshotTable.sizedFilesForRead(table, version, ranges)
+      // manifest-built index when every entry carries its size (zero
+      // storage round-trips at plan time — the programmatic read()'s
+      // contract); pre-size manifests fall back to a listed index
+      val index =
+        if (sized.nonEmpty && sized.forall(_._2 >= 0L))
+          org.apache.spark.sql.GraftShim.manifestFileIndex(spark, sized)
+        else new InMemoryFileIndex(spark, sized.map(f => new HadoopPath(f._1)),
+          Map.empty, Some(tableSchema),
+          org.apache.spark.sql.execution.datasources.NoopCache, None, None)
       inner = ParquetScanBuilder(spark, index, tableSchema, tableSchema, options)
       if (filterExprs.nonEmpty) inner.pushFilters(filterExprs)
     }

@@ -81,4 +81,40 @@ object GraftShim {
       spark.asInstanceOf[classic.SparkSession])
     ofRows(spark, LogicalRelation(relation, isStreaming = false))
   }
+
+  /** [[manifestParquet]]'s index as the RICHER
+    * `PartitioningAwareFileIndex` the DSv2 `ParquetScanBuilder`
+    * requires — same zero-storage-round-trip contract: leaf files and
+    * their lengths come straight from the caller's manifest, no
+    * listing, no per-file stat.
+    */
+  def manifestFileIndex(spark: SparkSession, files: Seq[(String, Long)])
+      : org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex = {
+    import org.apache.spark.sql.execution.datasources._
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    // PartitioningAwareFileIndex qualifies root paths through the
+    // filesystem before looking them up in leafFiles/
+    // leafDirToChildrenFiles — the recorded statuses must carry the
+    // SAME qualified form (file:/… locally) or every lookup misses and
+    // the scan silently reads nothing
+    val hconf = spark.sessionState.newHadoopConf()
+    val statuses = files.map { case (p, len) =>
+      val hp = new HPath(p)
+      val q = hp.getFileSystem(hconf).makeQualified(hp)
+      new FileStatus(len, false, 1, 134217728L, 0L, q)
+    }
+    new PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
+      override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+      override def leafFiles
+          : scala.collection.mutable.LinkedHashMap[HPath, FileStatus] = {
+        val m = scala.collection.mutable.LinkedHashMap.empty[HPath, FileStatus]
+        statuses.foreach(s => m += (s.getPath -> s))
+        m
+      }
+      override def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+        statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+      override def rootPaths: Seq[HPath] = statuses.map(_.getPath)
+      override def refresh(): Unit = ()
+    }
+  }
 }
