@@ -139,6 +139,46 @@ class DedupSpec extends SparkSpec {
       s"capped $capped vs uncapped $uncapped")
   }
 
+  test("property: capped LSH is a lower bound with unchanged estimates, " +
+      "and cap=MaxValue is exact") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      // dup-heavy corpus: a few template clusters + singletons
+      val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa")
+      var id = 0L
+      val docs = (1 to 4).flatMap { c =>
+        val base = Seq.fill(8 + rnd.nextInt(6))(words(rnd.nextInt(words.length)))
+        val copies = 1 + rnd.nextInt(5)
+        (1 to copies).map { _ =>
+          id += 1
+          // occasional one-word mutation keeps some pairs near- not exact-dup
+          val t = if (rnd.nextBoolean()) base
+            else base.updated(rnd.nextInt(base.length), words(rnd.nextInt(words.length)))
+          (id, t.mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+      def pairs(cap: Int) =
+        Dedup.lshCandidates(docs, "doc_id", "text", k = 8, rowsPerBand = 2,
+            maxBandSize = cap)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard"))
+          .toMap
+      val exact = pairs(Int.MaxValue)
+      val uncappedViaWindow = pairs(1000000) // cap present but never binding
+      assert(uncappedViaWindow == exact,
+        "a non-binding cap must not change the result")
+      for (cap <- Seq(2, 3)) {
+        val capped = pairs(cap)
+        assert(capped.keySet.subsetOf(exact.keySet),
+          s"cap=$cap produced pairs absent from the exact result")
+        capped.foreach { case (k, v) =>
+          assert(v == exact(k), s"cap=$cap changed est_jaccard for $k")
+        }
+      }
+    }
+  }
+
   test("dedupAgainstIndex maxBandSize caps hot index buckets; hint preserves results") {
     val dir = java.nio.file.Files.createTempDirectory("bandidx_cap")
       .toString + "/idx"

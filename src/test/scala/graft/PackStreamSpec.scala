@@ -138,6 +138,47 @@ class PackStreamSpec extends SparkSpec {
       "packBatch must release every per-batch cache")
   }
 
+  test("property: random batch splits reproduce the batch pack exactly") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val dir = Files.createTempDirectory(s"packstream_prop$trial")
+        .toString + "/t"
+      val L = 4 + rnd.nextInt(24)
+      val nDocs = 8 + rnd.nextInt(20)
+      // random split of [0, nDocs) into 2-4 contiguous batches
+      val cuts = (Seq(0, nDocs) ++
+        Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(nDocs + 1)))
+        .distinct.sorted
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        PackStream.packBatch(encoded(a until b), dir, L, i.toLong)
+      }
+      val got = PackStream.sequences(spark, dir)
+        .select(col("seq_id"), col("token_ids"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val exp = Packing.packIdSequences(encoded(0 until nDocs), "doc_id", L)
+        .select(col("seq_id"), col("token_ids"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(got == exp.filter(_._2.length == L),
+        s"trial $trial (L=$L, cuts=$cuts)")
+      // stream tail + emitted sequences = the full token stream
+      val tailToks = PackStream.tail(spark, dir)
+        .select(col("token_ids")).as[Seq[Long]].collect()
+        .headOption.getOrElse(Nil)
+      val streamed = got.toSeq.sortBy(_._1).flatMap(_._2) ++ tailToks
+      assert(streamed == allTokens(0 until nDocs), s"trial $trial token stream")
+      // an EMPTY micro-batch (idle trigger) must be a pure tail
+      // re-commit: no new sequences, tail content unchanged
+      PackStream.packBatch(encoded(0 until 0), dir, L, cuts.size.toLong + 1)
+      assert(PackStream.sequences(spark, dir)
+        .as[(Long, Long, Long, Seq[Long])].collect().length == got.size,
+        s"trial $trial: empty batch must emit no sequences")
+      val tailAfter = PackStream.tail(spark, dir)
+        .select(col("token_ids")).as[Seq[Long]].collect()
+        .headOption.getOrElse(Nil)
+      assert(tailAfter == tailToks, s"trial $trial: empty batch changed tail")
+    }
+  }
+
   test("tail row carries the seq high-water mark for O(last-commit) recovery") {
     val dir = Files.createTempDirectory("packstream_hiwater").toString + "/t"
     val L = 8
