@@ -88,10 +88,29 @@ object Bench {
         name -> math.min(t, redo)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def obj(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val qs = obj(results)
+    // in-suite numbers BEFORE the isolated re-measure: the gate checks
+    // the min, but cross-query interference (a cache/memory leak in an
+    // earlier query slowing later ones) manifests only here — keeping
+    // the first-pass vector in the artifact means that drift stays
+    // visible even when the re-measured value passes
+    val fp = obj(firstPass)
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"first_pass":$fp,"sf":"$sfDir"}"""
+    println(line)
+    // persist the complete vector to a file: the driver captures only a
+    // stdout TAIL, which has truncated the queries object mid-round —
+    // the artifact file survives independent of console buffering
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_last.json")
+    val f = new java.io.File(outPath)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.println(line) finally w.close()
     spark.stop()
   }
 }

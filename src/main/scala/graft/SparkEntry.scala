@@ -1261,14 +1261,23 @@ object SparkEntry {
     * otherwise accumulate full encode/pack tables under /tmp for the
     * life of the machine, not just the session.
     */
-  private def scratchDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  // ONE hook for the JVM's lifetime: a hook per scratchDir call would
+  // accumulate unbounded hook threads (each pinning its path) across
+  // repeated bench/probe iterations in a long-lived JVM
+  private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
       }
-      del(d.toFile)
+      scratchDirs.forEach(del(_))
     }))
+  }
+  private def scratchDir(prefix: String): String = {
+    scratchHook
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d.toFile)
     d.toString
   }
 

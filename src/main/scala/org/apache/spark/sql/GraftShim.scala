@@ -54,9 +54,14 @@ object GraftShim {
                       files: Seq[(String, Long)],
                       schema: types.StructType): DataFrame = {
     import org.apache.spark.sql.execution.datasources._
+    // qualify exactly as manifestFileIndex does: against a non-local
+    // defaultFS an unqualified path would resolve differently from the
+    // listed-read fallback, and the two manifest paths must agree
+    val hconf = spark.sessionState.newHadoopConf()
     val statuses = files.map { case (p, len) =>
-      new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
-        new org.apache.hadoop.fs.Path(p))
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val q = hp.getFileSystem(hconf).makeQualified(hp)
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L, q)
     }
     val index = new FileIndex {
       override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
@@ -82,6 +87,13 @@ object GraftShim {
     ofRows(spark, LogicalRelation(relation, isStreaming = false))
   }
 
+  /** Drain the async SparkListener bus (it is `private[spark]`) — for
+    * tests that count jobs via a listener: a fixed sleep undercounts
+    * under load, while a drain is exact.
+    */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** [[manifestParquet]]'s index as the RICHER
     * `PartitioningAwareFileIndex` the DSv2 `ParquetScanBuilder`
     * requires — same zero-storage-round-trip contract: leaf files and
@@ -104,15 +116,22 @@ object GraftShim {
       new FileStatus(len, false, 1, 134217728L, 0L, q)
     }
     new PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
-      override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
-      override def leafFiles
-          : scala.collection.mutable.LinkedHashMap[HPath, FileStatus] = {
+      // planning calls these accessors repeatedly — build both
+      // collections ONCE (O(files) per call would tax exactly the
+      // large-table path this index exists to speed up)
+      private val cachedLeafFiles = {
         val m = scala.collection.mutable.LinkedHashMap.empty[HPath, FileStatus]
         statuses.foreach(s => m += (s.getPath -> s))
         m
       }
-      override def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+      private val cachedDirToChildren: Map[HPath, Array[FileStatus]] =
         statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+      override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+      override def leafFiles
+          : scala.collection.mutable.LinkedHashMap[HPath, FileStatus] =
+        cachedLeafFiles
+      override def leafDirToChildrenFiles: Map[HPath, Array[FileStatus]] =
+        cachedDirToChildren
       override def rootPaths: Seq[HPath] = statuses.map(_.getPath)
       override def refresh(): Unit = ()
     }

@@ -106,7 +106,12 @@ class PackStreamSpec extends SparkSpec {
       }
     }
     spark.sparkContext.addSparkListener(l)
-    try { body; Thread.sleep(800) } // listener delivery is async
+    // listener delivery is async — drain the bus rather than sleep (a
+    // fixed sleep undercounts under CI load and flakes the assertion)
+    try {
+      body
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark, 30000L)
+    }
     finally spark.sparkContext.removeSparkListener(l)
     n.get()
   }

@@ -2,11 +2,14 @@
 """Flag per-query bench drift against the committed budget.
 
 Usage:
+    python3 tools/check_budget.py BENCH_BUDGET.json target/bench_last.json
     sbt ... "runMain graft.Bench" | grep '"metric"' \
         | python3 tools/check_budget.py BENCH_BUDGET.json
 
-Reads the bench JSON line from stdin, compares each query's seconds to
-its budgeted seconds, and exits 1 on drift — so a regression is a GATE
+Reads the bench JSON line from the artifact file Bench.scala writes
+(second arg; preferred — survives stdout truncation) or from stdin,
+compares each query's seconds to its budgeted seconds, and exits 1 on
+drift — so a regression is a GATE
 failure, not a judge discovery. Drift = more than FACTOR x budget AND
 more than ABS_SLACK seconds over it (the absolute guard keeps sub-second
 queries from tripping on scheduler jitter). Queries without a budget are
