@@ -1322,26 +1322,49 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val (survivors, curCaches) = Curation.curateFullSurvivorIdsReleasable(
       docs, maxNllMicro = 3450000L)
-    // persist the curated-corpus boundary: four independent consumers
-    // (BPE's dict aggregation, the vocab char scan, the encode scan,
-    // packing) would otherwise each re-derive the curation's
-    // non-cacheable resolution tail (measured 8.8s -> ~5s at sf0.1).
-    // This is the between-pipeline table a production run writes.
-    val corpus = docs.join(survivors, Seq("doc_id")).persist()
-    val model = Bpe.train(corpus, "text", numMerges = 100)
-    val vocabIds = Bpe.vocab(corpus, "text", model)
+    // docs ⋈ broadcast(id list) — measured FASTER than pulling the
+    // texts out of the stage caches (g3 ⋈ ids chained two text
+    // shuffles; this is one broadcast hash join over the raw scan:
+    // 9.4 vs 10.8 s bench)
+    val curated = docs.join(survivors, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    // The curated-corpus boundary. ProfileQ80/JobProfile attribution:
+    // over half of q80's wall time was DRIVER-side gaps between ~54
+    // jobs — every downstream action re-analyzed the five-stage
+    // curation lineage, and each AQE stage re-optimized it. Writing
+    // the boundary as a table (the between-pipeline table a production
+    // run writes anyway) makes every downstream plan a manifest-
+    // planned scan leaf, and releases the curation caches HERE rather
+    // than pinning them until the encode write. The in-memory persist
+    // remains the zero-side-effect small-corpus form.
+    val corpus = encodeTable match {
+      case Some(t) =>
+        graft.sources.SnapshotTable.overwrite(curated, t + "_corpus")
+        curCaches.unpersist()
+        graft.sources.SnapshotTable.read(s, t + "_corpus")
+      case None => curated.persist()
+    }
+    // ONE corpus scan feeds BOTH the training dict and the vocabulary:
+    // the persisted word-frequency table is the training input (filter
+    // + cap exactly as Bpe.train), and the char vocabulary derives
+    // from word TYPES (Bpe.vocabFromCounts — identical char set, |word
+    // types| rows scanned instead of a second corpus pass).
+    val wc = Bpe.wordCounts(corpus, "text").persist()
+    val dict = wc.filter(col("cnt") >= 2L)
+      .orderBy(col("cnt").desc, col("word")).limit(2000000)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val model = Bpe.trainFromDict(dict, numMerges = 100, minFrequency = 2L)
+    val vocabIds = Bpe.vocabFromCounts(wc, model)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    wc.unpersist()
     val enc = Bpe.encodeIds(corpus, "doc_id", "text", model, vocabIds)
     val packed = encodeTable match {
       case Some(t) =>
-        // the write MATERIALIZES the encode (and with it every use of
-        // the curation stages and the corpus cache), so a long-lived
-        // session — the production service/notebook shape — releases
-        // all upstream caches here instead of pinning ~6 of them per
-        // invocation; packing below reads only the written table.
+        // the encode boundary stays MATERIALIZED (measured faster than
+        // re-running the encode per packing consumer at every
+        // methodology tried — PLANS.md "q80 encode boundary" — and the
+        // only shape that works when encode output exceeds memory).
         graft.sources.SnapshotTable.overwrite(enc, t)
-        curCaches.unpersist()
-        corpus.unpersist()
         Packing.packIdSequences(
           graft.sources.SnapshotTable.read(s, t), "doc_id", seqLen = 512)
       case None =>

@@ -261,13 +261,25 @@ object Bpe {
     * The char scan is one distinct aggregate; the id window runs over
     * the ≤ |alphabet| + merges result — trivially bounded.
     */
-  def vocab(df: DataFrame, textCol: String, model: Model): DataFrame = {
+  def vocab(df: DataFrame, textCol: String, model: Model): DataFrame =
+    vocabFromCounts(wordCounts(df, textCol), model)
+
+  /** [[vocab]] built from an ALREADY-AGGREGATED word dictionary
+    * ([[wordCounts]] output) instead of a second corpus scan. The char
+    * sets are identical by construction — words are whitespace-split,
+    * so the distinct characters of all word types ARE the corpus'
+    * distinct non-whitespace characters — but the scan here runs over
+    * |word types| rows (Zipf-bounded), not the corpus. A pipeline that
+    * already aggregated the dictionary for training (q80) persists it
+    * once and derives BOTH the training dict and the vocabulary from
+    * it: one corpus scan total, not two.
+    */
+  def vocabFromCounts(wordCounts: DataFrame, model: Model): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
+    val spark = wordCounts.sparkSession
     import spark.implicits._
-    val chars = df
-      .select(explode(split(regexp_replace(col(textCol), "\\s+", ""), ""))
-        .as("piece"))
+    val chars = wordCounts
+      .select(explode(split(col("word"), "")).as("piece"))
       .filter(length(col("piece")) > 0).distinct()
       .withColumn("piece_id",
         row_number().over(Window.orderBy(col("piece"))).cast("long") - 1)
