@@ -18,13 +18,20 @@ import graft.sources.SnapshotTable
   *  - pruned file count (stat skipping must stay intact at depth);
   *  - txn-watermark read time (the streaming source's commit-log tail).
   *
-  * Usage: runMain graft.ManifestProbe [commits] [filesPerCommit]
+  * Usage: runMain graft.ManifestProbe [commits] [filesPerCommit] [synthetic]
   * Prints one JSON line per checkpoint.
+  *
+  * `synthetic` mode commits pre-built manifest ENTRIES (no parquet
+  * writes — the `appendEntries` seam), so the probe reaches the
+  * 100k–1M-file regime in seconds: commit cost, chunk roll/compaction,
+  * root size and PLAN time are all real; only the data bytes are not,
+  * which planning never touches anyway.
   */
 object ManifestProbe {
   def main(args: Array[String]): Unit = {
     val commits = if (args.length > 0) args(0).toInt else 100
     val filesPerCommit = if (args.length > 1) args(1).toInt else 100
+    val synthetic = args.length > 2 && args(2) == "synthetic"
     val spark = Tables.configure(
       SparkSession.builder().master("local[8]"), "8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,17 +44,32 @@ object ManifestProbe {
       (a, (System.nanoTime() - t0) / 1e6)
     }
 
+    val synthSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.LongType)))
     val checkpoints = Set(1, 10, 25, 50, commits / 2, commits)
     (1 to commits).foreach { c =>
       // seq_id ranges are disjoint per commit, so a tight prune should
       // open ~filesPerCommit files no matter how many commits exist
       val lo = (c - 1).toLong * filesPerCommit
-      val df = spark.range(lo, lo + filesPerCommit)
-        .select(col("id").as("seq_id"),
-          (col("id") % 7).as("payload"))
-        .repartitionByRange(filesPerCommit, col("seq_id"))
-      val (_, tCommit) = msOf(
-        SnapshotTable.appendIdempotent(df, table, "probe", c.toLong))
+      val (_, tCommit) =
+        if (synthetic) {
+          val entries = (0 until filesPerCommit).map { i =>
+            SnapshotTable.FileEntry(s"s-${lo + i}.parquet",
+              Map("seq_id" -> SnapshotTable.ColStats(lo + i, lo + i)),
+              4096L)
+          }
+          msOf(SnapshotTable.appendEntries(table, entries, synthSchema,
+            Map("probe" -> c.toLong)))
+        } else msOf {
+          val df = spark.range(lo, lo + filesPerCommit)
+            .select(col("id").as("seq_id"),
+              (col("id") % 7).as("payload"))
+            .repartitionByRange(filesPerCommit, col("seq_id"))
+          SnapshotTable.appendIdempotent(df, table, "probe", c.toLong)
+        }
       if (checkpoints.contains(c)) {
         val nFiles = c * filesPerCommit
         val (planned, tPlanFull) = msOf(SnapshotTable.read(spark, table))

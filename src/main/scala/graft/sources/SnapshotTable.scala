@@ -69,7 +69,35 @@ object SnapshotTable {
                             upperInclusive: Boolean = true)
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
+  private def chunksDir(table: String): Path = manifestDir(table).resolve("chunks")
   private def dataDir(table: String): Path = Paths.get(table, "data")
+
+  /** A chunk of the manifest's file list, stored as its own immutable
+    * JSON file under `_manifests/chunks/` and referenced from the root
+    * manifest by name — the Iceberg manifest-list shape. `stats` holds
+    * the chunk-level column ranges (min of mins / max of maxes over
+    * the chunk's files, recorded only for columns EVERY file carries),
+    * so a pruned plan skips whole chunks before parsing a single file
+    * entry. Chunks are immutable and SHARED across versions: an append
+    * commit reuses every previous chunk ref and writes one new chunk —
+    * commit cost is O(new files + #chunks), never O(table), and the
+    * root manifest stays a few KB at any file count.
+    */
+  final case class ChunkRef(name: String, count: Long,
+                            stats: Map[String, ColStats])
+
+  /** Append commits buffer new files inline in the root until the
+    * buffer exceeds this, then roll it into a chunk.
+    */
+  private val InlineMaxEntries = 512
+
+  /** Entries per chunk when chunking a large file list (rewrites) and
+    * the target size when compacting small chunks.
+    */
+  private val ChunkTargetEntries = 8192
+
+  /** Compact when this many sub-half-target chunks accumulate. */
+  private val CompactSmallChunksAt = 16
 
   private def manifestVersions(table: String): Seq[Int] = {
     val md = manifestDir(table)
@@ -94,6 +122,117 @@ object SnapshotTable {
   private def readManifest(table: String, version: Int): Seq[FileEntry] =
     readManifestFull(table, version)._1
 
+  private def parseEntry(f: com.fasterxml.jackson.databind.JsonNode): FileEntry =
+    if (f.isTextual) FileEntry(f.asText(), Map.empty) // pre-stats manifests
+    else {
+      val stats = Option(f.get("stats")).map { s =>
+        s.properties().asScala.map { e =>
+          e.getKey -> ColStats(statVal(e.getValue.get("min")),
+            statVal(e.getValue.get("max")))
+        }.toMap
+      }.getOrElse(Map.empty[String, ColStats])
+      val size = Option(f.get("size")).map(_.asLong()).getOrElse(-1L)
+      FileEntry(f.get("name").asText(), stats, size)
+    }
+
+  private def entryNode(arr: ArrayNode, fe: FileEntry): Unit = {
+    val f = arr.addObject()
+    f.put("name", fe.name)
+    if (fe.size >= 0L) f.put("size", fe.size)
+    if (fe.stats.nonEmpty) {
+      val s = f.putObject("stats")
+      fe.stats.foreach { case (c, cs) =>
+        val o = s.putObject(c)
+        putStat(o, "min", cs.min); putStat(o, "max", cs.max)
+      }
+    }
+  }
+
+  private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Number, y: Number) =>
+      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Chunk-level ranges: a column participates only when EVERY file in
+    * the chunk carries comparable stats for it — partial coverage must
+    * never let the chunk skip.
+    */
+  private def aggregateStats(entries: Seq[FileEntry]): Map[String, ColStats] = {
+    if (entries.isEmpty) return Map.empty
+    val cols = entries.map(_.stats.keySet).reduce(_ intersect _)
+    cols.iterator.flatMap { c =>
+      val ss = entries.map(_.stats(c))
+      val agg = ss.tail.foldLeft(Option(ss.head)) {
+        case (Some(acc), s) =>
+          (cmpStat(s.min, acc.min), cmpStat(s.max, acc.max)) match {
+            case (Some(cl), Some(cu)) => Some(ColStats(
+              if (cl < 0) s.min else acc.min, if (cu > 0) s.max else acc.max))
+            case _ => None // incomparable types: drop the column
+          }
+        case (None, _) => None
+      }
+      agg.map(c -> _)
+    }.toMap
+  }
+
+  /** Writes one immutable chunk file; orphans from lost commit races
+    * are cleaned by [[vacuum]].
+    */
+  private def writeChunkFile(table: String,
+                             entries: Seq[FileEntry]): ChunkRef = {
+    Files.createDirectories(chunksDir(table))
+    val name = s"${java.util.UUID.randomUUID()}.json"
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("files")
+    entries.foreach(entryNode(arr, _))
+    Files.writeString(chunksDir(table).resolve(name),
+      mapper.writeValueAsString(root))
+    ChunkRef(name, entries.size.toLong, aggregateStats(entries))
+  }
+
+  // chunk files are immutable, so a parse is cacheable forever — a
+  // bounded LRU keeps repeated plans over the same snapshot from
+  // re-parsing the same JSON (keyed by absolute path; eviction only
+  // bounds memory)
+  private val chunkCache =
+    new java.util.LinkedHashMap[String, Seq[FileEntry]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[FileEntry]]): Boolean = size() > 64
+    }
+
+  private def readChunkFile(table: String, name: String): Seq[FileEntry] = {
+    val key = chunksDir(table).resolve(name).toAbsolutePath.toString
+    chunkCache.synchronized {
+      val hit = chunkCache.get(key)
+      if (hit != null) return hit
+    }
+    val node = mapper.readTree(Files.readString(Paths.get(key)))
+    val entries = node.get("files").elements().asScala.map(parseEntry).toSeq
+    chunkCache.synchronized { chunkCache.put(key, entries) }
+    entries
+  }
+
+  /** Resolve many chunks concurrently (order preserved): at 1M files a
+    * full-plan resolution parses ~120 chunk JSONs — independent work,
+    * and Jackson parse is CPU-bound, so a parallel map cuts the one
+    * remaining O(table) driver step by ~the core count. ObjectMapper
+    * is thread-safe for reads.
+    */
+  private def resolveChunks(table: String,
+                            refs: Seq[ChunkRef]): Seq[FileEntry] =
+    if (refs.size <= 2) refs.flatMap(c => readChunkFile(table, c.name))
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(
+        Future.traverse(refs.toList)(c =>
+          Future(readChunkFile(table, c.name))), Duration.Inf).flatten
+    }
+
   /** Manifest = file entries + the snapshot's logical schema (the
     * union of every commit's columns — see [[evolveSchema]]) + the
     * per-writer txn watermarks, all from ONE read+parse. Schema is
@@ -103,6 +242,20 @@ object SnapshotTable {
   private def readManifestFull(table: String,
       version: Int): (Seq[FileEntry], Option[org.apache.spark.sql.types.StructType],
         Map[String, Long]) = {
+    val (chunks, inline, schema, txns) = readManifestChunked(table, version)
+    (resolveChunks(table, chunks) ++ inline, schema, txns)
+  }
+
+  /** The ROOT manifest alone: chunk refs + inline entries + schema +
+    * txn watermarks, one small read+parse regardless of table size.
+    * Callers that need every file entry resolve the chunks (see
+    * [[readManifestFull]]); callers that only need the schema, the txn
+    * watermarks, or a PRUNED file list stop here and touch only what
+    * survives chunk-level pruning.
+    */
+  private def readManifestChunked(table: String, version: Int)
+      : (Seq[ChunkRef], Seq[FileEntry],
+         Option[org.apache.spark.sql.types.StructType], Map[String, Long]) = {
     val p = manifestDir(table).resolve(s"v$version.json")
     if (!Files.exists(p)) {
       val live = manifestVersions(table).sorted
@@ -112,26 +265,26 @@ object SnapshotTable {
            else s"(it was vacuumed or never committed; live versions: ${live.mkString(", ")})"))
     }
     val node = mapper.readTree(Files.readString(p))
-    val files = node.get("files").elements().asScala.map { f =>
-      if (f.isTextual) FileEntry(f.asText(), Map.empty) // pre-stats manifests
-      else {
-        val stats = Option(f.get("stats")).map { s =>
+    val inline = Option(node.get("files"))
+      .map(_.elements().asScala.map(parseEntry).toSeq).getOrElse(Nil)
+    val chunks = Option(node.get("chunks")).map { cs =>
+      cs.elements().asScala.map { c =>
+        val stats = Option(c.get("stats")).map { s =>
           s.properties().asScala.map { e =>
             e.getKey -> ColStats(statVal(e.getValue.get("min")),
               statVal(e.getValue.get("max")))
           }.toMap
         }.getOrElse(Map.empty[String, ColStats])
-        val size = Option(f.get("size")).map(_.asLong()).getOrElse(-1L)
-        FileEntry(f.get("name").asText(), stats, size)
-      }
-    }.toSeq
+        ChunkRef(c.get("name").asText(), c.get("count").asLong(), stats)
+      }.toSeq
+    }.getOrElse(Nil)
     val schema = Option(node.get("schema")).map(s =>
       org.apache.spark.sql.types.DataType.fromJson(s.asText())
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val txns = Option(node.get("txns")).map { t =>
       t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    (files, schema, txns)
+    (chunks, inline, schema, txns)
   }
 
   private def putStat(o: ObjectNode, k: String, v: Any): Unit = v match {
@@ -174,12 +327,29 @@ object SnapshotTable {
     */
   def txnVersions(table: String, version: Int): Map[String, Long] =
     if (!Files.exists(manifestDir(table).resolve(s"v$version.json"))) Map.empty
-    else readManifestFull(table, version)._3
+    else readManifestChunked(table, version)._4
 
+  /** Full-list publish (rewrite ops): small lists stay inline in the
+    * root; large lists chunk at [[ChunkTargetEntries]], so a rewrite of
+    * a million-file table publishes a root of ~hundred chunk refs
+    * instead of a hundred-MB JSON.
+    */
   private def publishManifest(table: String, version: Int,
                               files: Seq[FileEntry],
                               schema: Option[org.apache.spark.sql.types.StructType] = None,
-                              txns: Map[String, Long] = Map.empty): Boolean = {
+                              txns: Map[String, Long] = Map.empty): Boolean =
+    if (files.size <= InlineMaxEntries)
+      publishManifestRefs(table, version, Nil, files, schema, txns)
+    else
+      publishManifestRefs(table, version,
+        files.grouped(ChunkTargetEntries).map(writeChunkFile(table, _)).toSeq,
+        Nil, schema, txns)
+
+  private def publishManifestRefs(table: String, version: Int,
+                                  chunks: Seq[ChunkRef],
+                                  inline: Seq[FileEntry],
+                                  schema: Option[org.apache.spark.sql.types.StructType] = None,
+                                  txns: Map[String, Long] = Map.empty): Boolean = {
     Files.createDirectories(manifestDir(table))
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -189,15 +359,19 @@ object SnapshotTable {
       txns.foreach { case (k, v) => t.put(k, v) }
     }
     val arr: ArrayNode = root.putArray("files")
-    files.foreach { fe =>
-      val f = arr.addObject()
-      f.put("name", fe.name)
-      if (fe.size >= 0L) f.put("size", fe.size)
-      if (fe.stats.nonEmpty) {
-        val s = f.putObject("stats")
-        fe.stats.foreach { case (c, cs) =>
-          val o = s.putObject(c)
-          putStat(o, "min", cs.min); putStat(o, "max", cs.max)
+    inline.foreach(entryNode(arr, _))
+    if (chunks.nonEmpty) {
+      val cs = root.putArray("chunks")
+      chunks.foreach { cr =>
+        val c = cs.addObject()
+        c.put("name", cr.name)
+        c.put("count", cr.count)
+        if (cr.stats.nonEmpty) {
+          val s = c.putObject("stats")
+          cr.stats.foreach { case (col, st) =>
+            val o = s.putObject(col)
+            putStat(o, "min", st.min); putStat(o, "max", st.max)
+          }
         }
       }
     }
@@ -317,29 +491,58 @@ object SnapshotTable {
 
   private val MaxCommitRetries = 10
 
-  /** Optimistic-concurrency commit: re-derive the manifest from the
-    * freshly-read previous snapshot each attempt, publish put-if-
-    * absent, and retry at the next version on conflict.
+  /** Optimistic-concurrency commit for APPEND-shaped writes: re-read
+    * the previous ROOT each attempt (chunk refs are carried forward by
+    * reference, never resolved — commit cost is O(new files + #chunks)
+    * at any table size), publish put-if-absent, retry at the next
+    * version on conflict. After `advance`, the inline buffer rolls
+    * into a chunk past [[InlineMaxEntries]], and accumulated small
+    * chunks compact toward [[ChunkTargetEntries]] — the only step that
+    * parses (small) chunk files, amortized O(1) commits.
     */
   private def commitLoop(table: String, newTxn: Map[String, Long] = Map.empty)
-                        (filesFor: (Seq[FileEntry], Option[org.apache.spark.sql.types.StructType])
-                          => (Seq[FileEntry], org.apache.spark.sql.types.StructType)): Int = {
+                        (advance: (Seq[ChunkRef], Seq[FileEntry], Option[org.apache.spark.sql.types.StructType])
+                          => (Seq[ChunkRef], Seq[FileEntry], org.apache.spark.sql.types.StructType)): Int = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val v = currentVersion(table).getOrElse(-1) + 1
-      val (prev, prevSchema, prevTxns) =
-        if (v == 0) (Nil, None, Map.empty[String, Long])
-        else readManifestFull(table, v - 1)
+      val (prevChunks, prevInline, prevSchema, prevTxns) =
+        if (v == 0) (Nil, Nil, None, Map.empty[String, Long])
+        else readManifestChunked(table, v - 1)
       // txn watermarks carry forward through EVERY commit — dropping
       // them would let a replayed idempotent batch double-apply after
       // any unrelated commit
       val txns = prevTxns ++ newTxn
-      val (files, schema) = filesFor(prev, prevSchema)
-      if (publishManifest(table, v, files, Some(schema), txns)) return v
+      val (chunks, inline, schema) = advance(prevChunks, prevInline, prevSchema)
+      val (nChunks, nInline) = normalizeChunks(table, chunks, inline)
+      if (publishManifestRefs(table, v, nChunks, nInline, Some(schema), txns))
+        return v
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the commit race on $table $MaxCommitRetries times")
+  }
+
+  /** Roll an over-full inline buffer into a chunk; compact small
+    * chunks once enough accumulate. Lost-race orphan chunk files are
+    * reclaimed by [[vacuum]].
+    */
+  private def normalizeChunks(table: String, chunks0: Seq[ChunkRef],
+                              inline0: Seq[FileEntry])
+      : (Seq[ChunkRef], Seq[FileEntry]) = {
+    var chunks = chunks0
+    var inline = inline0
+    if (inline.size > InlineMaxEntries) {
+      chunks = chunks :+ writeChunkFile(table, inline)
+      inline = Nil
+    }
+    val (small, big) = chunks.partition(_.count < ChunkTargetEntries / 2)
+    if (small.size >= CompactSmallChunksAt) {
+      val merged = small.flatMap(c => readChunkFile(table, c.name))
+        .grouped(ChunkTargetEntries).map(writeChunkFile(table, _)).toSeq
+      chunks = big ++ merged
+    }
+    (chunks, inline)
   }
 
   /** Create an empty table (v0 manifest carrying just the schema) —
@@ -367,8 +570,9 @@ object SnapshotTable {
   def append(df: DataFrame, table: String,
              bloomColumns: Seq[String] = Nil): Int = {
     val newFiles = writeData(df, table, bloomColumns)
-    commitLoop(table) { (prev, prevSchema) =>
-      (prev ++ newFiles, evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+    commitLoop(table) { (chunks, inline, prevSchema) =>
+      (chunks, inline ++ newFiles,
+        evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
     }
   }
 
@@ -388,14 +592,41 @@ object SnapshotTable {
       .exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion))
     if (already) return None
     val newFiles = writeData(df, table)
-    Some(commitLoop(table, Map(writerId -> txnVersion)) { (prev, prevSchema) =>
+    Some(commitLoop(table, Map(writerId -> txnVersion)) { (chunks, inline, prevSchema) =>
       // re-check inside the loop: a concurrent retry of the same batch
       // may have landed between the probe and this attempt
       val cur = currentVersion(table)
       if (cur.exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion)))
         return None
-      (prev ++ newFiles, evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+      (chunks, inline ++ newFiles,
+        evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
     })
+  }
+
+  /** Append PRE-BUILT manifest entries (no data write) — the seam the
+    * chunked-manifest spec and `ManifestProbe`'s synthetic mode use to
+    * exercise commit/plan cost at file counts that would take hours to
+    * write for real. Entries must reference files under `data/` if the
+    * table will be READ; planning alone never touches storage.
+    */
+  private[graft] def appendEntries(table: String, entries: Seq[FileEntry],
+      schema: org.apache.spark.sql.types.StructType,
+      txn: Map[String, Long] = Map.empty): Int =
+    commitLoop(table, txn) { (chunks, inline, prevSchema) =>
+      (chunks, inline ++ entries,
+        evolveSchema(prevSchema.getOrElse(schema), schema))
+    }
+
+  /** Root-manifest shape at `version`: (chunk count, inline entry
+    * count, per-chunk entry counts) — the observability surface for
+    * chunk roll/compaction asserts and the probe.
+    */
+  private[graft] def manifestShape(table: String,
+                                   version: Option[Int] = None): (Int, Int, Seq[Long]) = {
+    val v = version.orElse(currentVersion(table))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
+    val (chunks, inline, _, _) = readManifestChunked(table, v)
+    (chunks.size, inline.size, chunks.map(_.count))
   }
 
   /** Overwrite: new files only (content independent of the previous
@@ -404,7 +635,7 @@ object SnapshotTable {
     */
   def overwrite(df: DataFrame, table: String): Int = {
     val newFiles = writeData(df, table)
-    commitLoop(table)((_, _) => (newFiles, df.schema))
+    commitLoop(table)((_, _, _) => (Nil, newFiles, df.schema))
   }
 
   /** Keyed MERGE (last-write-wins within `updates`, like ParquetMerge):
@@ -472,7 +703,12 @@ object SnapshotTable {
            prune: Seq[ColRange] = Nil): DataFrame = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
-    val (entries, schemaOpt, _) = readManifestFull(table, v)
+    val (chunks, inline, schemaOpt, _) = readManifestChunked(table, v)
+    // chunk-level pruning FIRST: a chunk whose aggregated range misses
+    // every predicate is skipped without parsing its file entries — at
+    // 1M files a keyed read parses O(matching chunks), not the table
+    val entries = resolveChunks(table,
+      chunks.filter(cr => prune.forall(r => rangeKeeps(cr.stats, r)))) ++ inline
     val files = entries.filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
     if (files.isEmpty) schemaOpt match {
       case Some(s) => spark.createDataFrame(
@@ -509,8 +745,9 @@ object SnapshotTable {
                version: Option[Int] = None): org.apache.spark.sql.types.StructType = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
-    val (entries, schemaOpt, _) = readManifestFull(table, v)
+    val (_, _, schemaOpt, _) = readManifestChunked(table, v)
     schemaOpt.getOrElse {
+      val entries = readManifest(table, v)
       require(entries.nonEmpty, s"$table v$v has no files and no recorded schema")
       spark.read.parquet(dataDir(table).resolve(entries.head.name).toString).schema
     }
@@ -530,24 +767,26 @@ object SnapshotTable {
     * alone — no storage listing.
     */
   def sizedFilesForRead(table: String, version: Option[Int] = None,
-                        prune: Seq[ColRange] = Nil): Seq[(String, Long)] = {
-    val v = version.orElse(currentVersion(table))
-      .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
-    readManifest(table, v)
-      .filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
+                        prune: Seq[ColRange] = Nil): Seq[(String, Long)] =
+    prunedEntries(table, version, prune)
       .map(fe => (dataDir(table).resolve(fe.name).toAbsolutePath.toString, fe.size))
-  }
 
   /** The files a pruned read would open — exposed so tests and PLANS.md
     * can assert data-skipping without inspecting the scan.
     */
   def filesForRead(table: String, version: Option[Int] = None,
-                   prune: Seq[ColRange] = Nil): Seq[String] = {
+                   prune: Seq[ColRange] = Nil): Seq[String] =
+    prunedEntries(table, version, prune).map(_.name)
+
+  /** Shared chunk-then-file pruning for every pruned-list surface. */
+  private def prunedEntries(table: String, version: Option[Int],
+                            prune: Seq[ColRange]): Seq[FileEntry] = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
-    readManifest(table, v)
+    val (chunks, inline, _, _) = readManifestChunked(table, v)
+    (resolveChunks(table,
+      chunks.filter(cr => prune.forall(r => rangeKeeps(cr.stats, r)))) ++ inline)
       .filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
-      .map(_.name)
   }
 
   /** Row-level DELETE (copy-on-write, Delta-style): rows matching
@@ -950,5 +1189,14 @@ object SnapshotTable {
           !keep.contains(n.stripPrefix("v").stripSuffix(".json").toInt)
       }
       .foreach(Files.delete)
+    // chunk files referenced by no kept root: dropped versions' chunks
+    // plus lost-commit-race / superseded-compaction orphans
+    if (Files.exists(chunksDir(table))) {
+      val refChunks = keep
+        .flatMap(v => readManifestChunked(table, v)._1.map(_.name)).toSet
+      Files.list(chunksDir(table)).iterator().asScala
+        .filter(p => !refChunks.contains(p.getFileName.toString))
+        .foreach(Files.delete)
+    }
   }
 }
