@@ -584,15 +584,21 @@ object SnapshotTable {
     * after a crash, and the second apply sees its watermark already
     * recorded.
     *
+    * @param extraTxns additional watermark entries recorded with the
+    *                   commit (commit-info properties, e.g. a stream's
+    *                   recovery pointer) — carried forward like any
+    *                   writer watermark, but no idempotence check runs
+    *                   against them
     * @return Some(version) when committed, None when skipped as a replay
     */
   def appendIdempotent(df: DataFrame, table: String,
-                       writerId: String, txnVersion: Long): Option[Int] = {
+                       writerId: String, txnVersion: Long,
+                       extraTxns: Map[String, Long] = Map.empty): Option[Int] = {
     val already = currentVersion(table)
       .exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion))
     if (already) return None
     val newFiles = writeData(df, table)
-    Some(commitLoop(table, Map(writerId -> txnVersion)) { (chunks, inline, prevSchema) =>
+    Some(commitLoop(table, Map(writerId -> txnVersion) ++ extraTxns) { (chunks, inline, prevSchema) =>
       // re-check inside the loop: a concurrent retry of the same batch
       // may have landed between the probe and this attempt
       val cur = currentVersion(table)

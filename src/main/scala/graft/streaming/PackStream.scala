@@ -41,6 +41,14 @@ object PackStream {
 
   val Writer = "pack-stream"
 
+  /** Manifest txn key holding the STRICTLY MONOTONE commit counter:
+    * rows of commit k carry `commit_seq = k`, so recovery prunes to
+    * exactly the last commit's files by `commit_seq == pointer` — a
+    * discriminator `batch_id` cannot be, because stream batch ids
+    * RESET to 0 on a fresh checkpoint and collide with the history.
+    */
+  val CommitSeqKey = "pack-stream-commit-seq"
+
   private def emptyTail(spark: SparkSession): DataFrame =
     spark.range(0).select(col("id").as("pos"), col("id").as("token_id"),
       col("id").as("doc_id"))
@@ -59,15 +67,30 @@ object PackStream {
     * before returning — a long-running stream holds no cached blocks
     * between batches.
     */
+  /** @param writerId idempotence scope (the Delta txnAppId contract).
+    *                  A stream RESTARTED FROM A FRESH CHECKPOINT must
+    *                  pass a new writer id — its batch ids restart at
+    *                  0, and under the old id they would all be
+    *                  skipped as replays. Recovery itself is
+    *                  writer-agnostic (see [[recoverState]]).
+    */
   def packBatch(batch: DataFrame, table: String, seqLen: Int,
-                batchId: Long, idCol: String = "doc_id"): Unit = {
+                batchId: Long, idCol: String = "doc_id",
+                writerId: String = Writer): Unit = {
     val spark = batch.sparkSession
     // replay probe: the whole batch landed (or not) as one commit
     val already = SnapshotTable.currentVersion(table).exists(v =>
-      SnapshotTable.txnVersions(table, v).get(Writer).exists(_ >= batchId))
+      SnapshotTable.txnVersions(table, v).get(writerId).exists(_ >= batchId))
     if (already) return
 
-    val (tailToks, nOpen, nextSeq) = recoverState(spark, table, batchId)
+    // next value of the monotone commit counter (0 on a fresh table);
+    // single sequential pack writer by design, so read-then-commit is
+    // race-free for this key
+    val commitSeq = SnapshotTable.currentVersion(table)
+      .flatMap(v => SnapshotTable.txnVersions(table, v).get(CommitSeqKey))
+      .map(_ + 1L).getOrElse(0L)
+
+    val (tailToks, nOpen, nextSeq) = recoverState(spark, table)
 
     val counted = batch.select(col(idCol).cast("long").as("doc_id"),
       col("piece_ids"), size(col("piece_ids")).cast("long").as("n_tokens"))
@@ -100,6 +123,7 @@ object PackStream {
           s => s.getField("token_id")).as("token_ids"))
       .select((lit(nextSeq) + col("sl")).as("seq_id"),
         lit("seq").as("kind"), lit(batchId).as("batch_id"),
+        lit(commitSeq).as("commit_seq"),
         col("n_docs"), col("n_tokens"), col("token_ids"),
         lit(null).cast("array<bigint>").as("doc_ids"))
 
@@ -126,10 +150,11 @@ object PackStream {
           coalesce((col("_cutv") / seqLen).cast("long"), lit(0L)))
           .as("seq_id"),
         lit("tail").as("kind"), lit(batchId).as("batch_id"),
+        lit(commitSeq).as("commit_seq"),
         col("n_docs"), col("n_tokens"), col("token_ids"), col("doc_ids"))
 
     try SnapshotTable.appendIdempotent(seqs.unionByName(tail), table,
-      Writer, batchId)
+      writerId, batchId, Map(CommitSeqKey -> commitSeq))
     finally { all.unpersist(); releaseOffs() }
     ()
   }
@@ -138,20 +163,24 @@ object PackStream {
     * token_id, doc_id) rows, open-token count, next sequence id) in
     * ONE driver action.
     *
-    * The latest tail row carries the seq high-water mark in its
-    * `seq_id` field, and `batch_id` file stats confine the read to the
-    * last commit's files when batch ids are contiguous (the
-    * foreachBatch contract) — so steady-state recovery is O(one
-    * commit), not O(table). A table whose pruned slice has no
-    * usable tail (fresh checkpoint with non-contiguous ids, or a tail
-    * written before the high-water field existed) falls back to the
-    * same single aggregate over the full table, where max(seq_id)
-    * over the seq rows recovers the high-water mark.
+    * The pruning pointer is the manifest's own [[CommitSeqKey]] txn
+    * watermark — the strictly monotone commit counter whose value the
+    * commit's rows carry in their `commit_seq` column — so the read
+    * prunes to EXACTLY the last commit's files UNCONDITIONALLY:
+    * contiguous steady state, fresh-checkpoint restarts (stream batch
+    * ids reset to 0 under a new writer id, but the counter never
+    * resets), and multi-restart histories all take the O(one commit)
+    * path. The latest tail row then carries the seq high-water mark in
+    * its `seq_id` field. Only a table with no recorded pointer at all
+    * (written before the counter existed) falls back to the same
+    * single aggregate over the full table, where max(seq_id) over the
+    * seq rows recovers the high-water mark — a legacy-table cost,
+    * never the steady state.
     */
-  private def recoverState(spark: SparkSession, table: String,
-                           batchId: Long): (DataFrame, Long, Long) = {
-    if (SnapshotTable.currentVersion(table).isEmpty)
-      return (emptyTail(spark), 0L, 0L)
+  private def recoverState(spark: SparkSession,
+                           table: String): (DataFrame, Long, Long) = {
+    val cur = SnapshotTable.currentVersion(table)
+    if (cur.isEmpty) return (emptyTail(spark), 0L, 0L)
 
     def stateOf(t: DataFrame): org.apache.spark.sql.Row =
       t.agg(
@@ -162,12 +191,16 @@ object PackStream {
           when(col("kind") === "tail", col("batch_id"))).as("tl"))
         .collect()(0)
 
-    val pruned = stateOf(SnapshotTable.read(spark, table,
-      prune = Seq(SnapshotTable.ColRange("batch_id",
-        lower = Some(batchId - 1)))))
-    val st =
-      if (!pruned.isNullAt(1) && !pruned.getStruct(1).isNullAt(3)) pruned
-      else stateOf(SnapshotTable.read(spark, table))
+    val pointer: Option[Long] =
+      SnapshotTable.txnVersions(table, cur.get).get(CommitSeqKey)
+    val pruned = pointer.map(p =>
+      stateOf(SnapshotTable.read(spark, table,
+        prune = Seq(SnapshotTable.ColRange("commit_seq",
+          lower = Some(p), upper = Some(p))))))
+    val st = pruned match {
+      case Some(p) if !p.isNullAt(1) && !p.getStruct(1).isNullAt(3) => p
+      case _ => stateOf(SnapshotTable.read(spark, table))
+    }
 
     val hiSeq = if (st.isNullAt(0)) None else Some(st.getLong(0))
     val tl = if (st.isNullAt(1)) None else Some(st.getStruct(1))

@@ -184,6 +184,46 @@ class PackStreamSpec extends SparkSpec {
     }
   }
 
+  test("fresh-checkpoint restart on a 50-commit table: recovery opens ONLY " +
+      "the last commit's files; numbering and tail continue") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("packstream_wipe").toString + "/t"
+    val L = 8
+    (0 until 50).foreach(b =>
+      PackStream.packBatch(encoded(b * 2 until b * 2 + 2), dir, L, b.toLong))
+    val v = SnapshotTable.currentVersion(dir).get
+    val expSeqs = PackStream.sequences(spark, dir).count()
+    val expTail = PackStream.tail(spark, dir)
+      .select(col("token_ids")).as[Seq[Long]].collect()(0)
+    // destroy every data file OUTSIDE the last commit: a recovery that
+    // read anything beyond it would fail the next batch outright
+    val last = SnapshotTable.addedFiles(dir, v).toSet
+    Files.list(java.nio.file.Paths.get(dir, "data")).iterator().asScala
+      .filter(p => !last.contains(p.getFileName.toString))
+      .foreach(p => Files.write(p, Array[Byte](0)))
+    // checkpoint wipe: batch ids restart at 0 — a fresh checkpoint
+    // must come with a fresh writer id or everything replays as no-op
+    PackStream.packBatch(encoded(100 until 104), dir, L, 0L,
+      writerId = "pack-stream-restart")
+    assert(SnapshotTable.currentVersion(dir).get == v + 1,
+      "restarted batch must commit")
+    // the restarted commit CONTINUES: its rows are readable in
+    // isolation via their commit_seq, numbering picks up at the old
+    // high water, and the first new sequence starts with the carried
+    // tail tokens
+    val newRows = SnapshotTable.read(spark, dir, prune = Seq(
+        SnapshotTable.ColRange("commit_seq",
+          lower = Some(50L), upper = Some(50L))))
+      .filter(col("kind") === "seq")
+      .select(col("seq_id"), col("token_ids"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(newRows.nonEmpty)
+    assert(newRows.head._1 == expSeqs,
+      s"numbering must continue at $expSeqs, got ${newRows.head._1}")
+    assert(newRows.head._2.startsWith(expTail),
+      "first post-restart sequence must begin with the carried tail")
+  }
+
   test("tail row carries the seq high-water mark for O(last-commit) recovery") {
     val dir = Files.createTempDirectory("packstream_hiwater").toString + "/t"
     val L = 8
