@@ -1244,6 +1244,43 @@ object SparkEntry {
         .select(col("rank"), col("a"), col("b"), col("c"),
           (col("a") === lit(first._1) && col("b") === lit(first._2))
             .as("is_first_merge"))
+    }),
+
+    // the skew-mitigated join under a full oracle: Skew.saltedJoin
+    // splits each part key over 8 salt buckets (deterministic salt
+    // from l_orderkey, small side replicated per salt) and must
+    // reproduce the PLAIN join's row multiset exactly — pinned through
+    // a per-brand aggregate of the joined rows
+    "q97_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      val pt = Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.core.Skew.saltedJoin(li, pt, "l_partkey",
+          col("l_orderkey"), buckets = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // Count-Min heavy hitters under a full oracle: corpus bigrams,
+    // support = 0.1% of the stream. At this universe (~930 types) vs
+    // the sketch grid (eps 1e-4 -> 20k cells x depth 5, fixed seed)
+    // the min-over-depth estimate is collision-free, so the emitted
+    // (value, count) pairs equal DuckDB's exact GROUP BY — the sketch
+    // path is pinned END-TO-END, not just its thresholded set. The
+    // overcount-only contract (no false negatives) holds regardless.
+    "q98_cms_heavy_hitters" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val bg = Tables.documents(s, dir).select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      val total = bg.count()
+      val minCount = (total + 999L) / 1000L // ceil: cnt*1000 >= total
+      val sk = graft.core.Sketches.countMin(bg, "bigram",
+        eps = 0.0001, confidence = 0.99)
+      graft.core.Sketches.heavyHitters(bg, "bigram", minCount, sk)
+        .select(col("bigram"), col("est_count").as("cnt"))
     })
   )
 
@@ -1738,6 +1775,30 @@ object SparkEntry {
         |    CAST(row_number() OVER (ORDER BY c DESC, a, b) AS BIGINT) AS rank
         |  FROM pc QUALIFY rank <= 50)
         |SELECT rank, a, b, c, (rank = 1) AS is_first_merge FROM top""".stripMargin,
+
+    // the salted join must reproduce the PLAIN join's row multiset —
+    // the oracle is the unsalted join, aggregated identically
+    "q97_salted_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    // exact bigram counts at the 0.1% support threshold (cnt*1000 >=
+    // total — the integer form of ceil(total/1000), no division): the
+    // CMS estimates are collision-free on this fixture (930-type
+    // universe vs a 20k x 5 grid), so value AND count hash-match
+    "q98_cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT string_split(trim(text), ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM toks, unnest(generate_series(1, len(ws)-1)) AS t(i)),
+        |c AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY 1)
+        |SELECT bigram, cnt FROM c
+        |WHERE cnt * 1000 >= (SELECT CAST(count(*) AS BIGINT) FROM bg)""".stripMargin,
 
     "q21_simhash" ->
       """WITH toks AS (
