@@ -214,6 +214,54 @@ class MlScorerSpec extends SparkSpec {
     }
   }
 
+  test("prophet: seeded MC draws reproduce the java-LCG python reference " +
+      "EXACTLY; 3-row interval fixture pinned") {
+    // Fixture: tools/gen_mc_seeded_fixture.py — java.util.Random (the
+    // 48-bit LCG + Marsaglia-polar gaussian) reimplemented in Python,
+    // TrendSim.draw(seed=42) replayed draw-for-draw, band edges
+    // computed with the scorer's own arithmetic. This pins the MC
+    // machinery DETERMINISTICALLY (gen_prophet_fixture pins it only
+    // statistically, since prophet's own RNG is unseeded): the seed is
+    // now the model's last pinned parameter, not a free one.
+    // Tolerances: the RNG stream is integer arithmetic -> 1e-12 (the
+    // gaussian's log/sqrt may differ by 1 ulp between fdlibm and
+    // libm); the edges additionally carry the closed-form yhat base
+    // (cross-pinned at 1e-6 by the prophet fixture) -> 1e-4 absolute.
+    val in = getClass.getResourceAsStream("/prophet_mc_seeded_fixture.json")
+    val root = new ObjectMapper().readTree(in); in.close()
+    val m = ProphetScorer.bundled
+    val days = root.get("days").asInt
+    val horizonT =
+      ((m.historyEnd.plusDays(days).toEpochDay * 86400.0) - m.start) / m.tScale
+    assert(math.abs(horizonT - root.get("horizon_t").asDouble) < 1e-12)
+    val sims = TrendSim.draw(m, horizonT, seed = root.get("seed").asLong)
+    assert(sims.length == root.get("uncertainty_samples").asInt)
+    // the exact-stream pin: sample 0's raw draws
+    val s0 = root.get("stream_sample0")
+    assert(sims(0).newCps.length == s0.get("n_new").asInt,
+      s"sample-0 changepoint count ${sims(0).newCps.length}")
+    (0 until s0.get("n_new").asInt).foreach { i =>
+      assert(math.abs(sims(0).newCps(i) - s0.get("cps").get(i).asDouble) < 1e-12,
+        s"cps($i)")
+      assert(math.abs(sims(0).newDeltas(i) - s0.get("deltas").get(i).asDouble) < 1e-12,
+        s"deltas($i)")
+    }
+    assert(math.abs(sims(0).noiseDraw - s0.get("noise").asDouble) < 1e-12)
+    // the 3-row end-to-end interval pin through forecast() itself
+    val rows = root.get("rows")
+    val byDs = ProphetScorer.forecast(spark, days).collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    (0 until rows.size).foreach { i =>
+      val exp = rows.get(i)
+      val (lo, hi) = byDs(exp.get("ds").asText)
+      val dLo = math.abs(lo - exp.get("yhat_lower").asDouble)
+      val dHi = math.abs(hi - exp.get("yhat_upper").asDouble)
+      assert(dLo < 1e-4, s"${exp.get("ds").asText} lower off by $dLo")
+      assert(dHi < 1e-4, s"${exp.get("ds").asText} upper off by $dHi")
+    }
+  }
+
   test("prophet: forecast shape, ordering, interval sanity, L-1 homeId-independence") {
     val f = EnergyApi.forecast(spark, days = 14).orderBy("ds").collect()
     assert(f.length == 14)
