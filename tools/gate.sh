@@ -1,10 +1,13 @@
 #!/usr/bin/env bash
 # Full local gate: compile, tests, t1-style raw-session smoke,
 # t2 correctness (Verify at sf0.01 + DuckDB oracle replay), bench.
-# Usage: tools/gate.sh [--bench] [--sf0.1]
-#   --bench  also run the sf0.1 bench and check BENCH_BUDGET drift
-#   --sf0.1  also replay EVERY oracle at sf0.1 (the second-SF audit —
-#            scale coverage enforced, not remembered)
+# Usage: tools/gate.sh [--bench] [--sf0.1] [--probe10x]
+#   --bench    also run the sf0.1 bench and check BENCH_BUDGET drift
+#   --sf0.1    also replay EVERY oracle at sf0.1 (the second-SF audit —
+#              scale coverage enforced, not remembered)
+#   --probe10x also run the 10x ScaleProbe and fail on super-linear
+#              growth of any documented-linear path (PROBE_BUDGET.json
+#              — the probe curve enforced, not remembered)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -25,6 +28,13 @@ for arg in "$@"; do
     out1=$(mktemp -d)
     sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $out1" > /dev/null 2>&1
     python3 tools/check_oracle.py /root/testdata/sf0.1 "$out1" | tail -2
+  fi
+  if [[ "$arg" == "--probe10x" ]]; then
+    echo "== 10x scale probe vs PROBE_BUDGET =="
+    probelog=$(mktemp)
+    sbt -batch "runMain graft.ScaleProbe" 2>&1 | tee "$probelog" \
+      | grep -c "scale-probe" >/dev/null
+    python3 tools/check_probe.py PROBE_BUDGET.json "$probelog"
   fi
   if [[ "$arg" == "--bench" ]]; then
     echo "== bench (sf0.1) =="
