@@ -1019,12 +1019,36 @@ object SnapshotTable {
     * manifest but not in `sinceVersion`'s (the streaming micro-batch
     * file set; `sinceVersion < 0` means everything in `toVersion`).
     */
-  def addedPathsBetween(table: String, sinceVersion: Int, toVersion: Int): Seq[String] = {
-    val cur = readManifest(table, toVersion).map(_.name)
-    val prev =
-      if (sinceVersion < 0) Set.empty[String]
-      else readManifest(table, sinceVersion).map(_.name).toSet
-    cur.filterNot(prev).map(n => dataDir(table).resolve(n).toAbsolutePath.toString)
+  def addedPathsBetween(table: String, sinceVersion: Int, toVersion: Int): Seq[String] =
+    addedEntriesBetween(table, sinceVersion, toVersion)
+      .map(fe => dataDir(table).resolve(fe.name).toAbsolutePath.toString)
+
+  /** Entries in `hi`'s manifest but not `lo`'s. Chunk-aware fast path:
+    * when `lo`'s chunk set is a SUBSET of `hi`'s (every append-only
+    * history — appends and rolls only ever add chunk refs), a file in
+    * a shared chunk is by immutability in both versions, so the only
+    * candidates are `hi`'s new chunks and inline buffer, filtered
+    * against `lo`'s INLINE names (the only `lo` files a later roll can
+    * have moved into a new chunk). The streaming source's per-batch
+    * diff then parses O(new files), not O(table). Compaction and
+    * rewrite commits replace chunk refs, breaking the subset property
+    * — those fall back to the full name-set diff.
+    */
+  private def addedEntriesBetween(table: String, lo: Int,
+                                  hi: Int): Seq[FileEntry] = {
+    if (lo < 0) return readManifest(table, hi)
+    val (hiChunks, hiInline, _, _) = readManifestChunked(table, hi)
+    val (loChunks, loInline, _, _) = readManifestChunked(table, lo)
+    val loChunkNames = loChunks.map(_.name).toSet
+    if (loChunkNames.subsetOf(hiChunks.map(_.name).toSet)) {
+      val loInlineNames = loInline.map(_.name).toSet
+      (hiChunks.filterNot(c => loChunkNames(c.name))
+        .flatMap(c => readChunkFile(table, c.name)) ++ hiInline)
+        .filterNot(fe => loInlineNames(fe.name))
+    } else {
+      val prev = readManifest(table, lo).map(_.name).toSet
+      readManifest(table, hi).filterNot(fe => prev(fe.name))
+    }
   }
 
   /** Compaction (OPTIMIZE): bin-pack the current snapshot's
@@ -1090,14 +1114,8 @@ object SnapshotTable {
   /** File names added by `version` relative to `version - 1` (the
     * manifest diff).
     */
-  def addedFiles(table: String, version: Int): Seq[String] = {
-    val cur = readManifest(table, version).map(_.name)
-    if (version == 0) cur
-    else {
-      val prev = readManifest(table, version - 1).map(_.name).toSet
-      cur.filterNot(prev)
-    }
-  }
+  def addedFiles(table: String, version: Int): Seq[String] =
+    addedEntriesBetween(table, version - 1, version).map(_.name)
 
   /** Incremental read (change feed, file granularity): the rows of
     * every data file added in versions (`sinceVersion`, `toVersion`],

@@ -128,6 +128,36 @@ class SnapshotChunkedSpec extends SparkSpec {
     assert(v == 2, "append over destroyed chunks must still commit")
   }
 
+  test("change-feed diff is chunk-aware: parses no shared chunk, and a " +
+      "roll moving lo's inline files into a new chunk still diffs right") {
+    import scala.jdk.CollectionConverters._
+    val t = Files.createTempDirectory("chunk_diff").toString + "/t"
+    // v0, v1: 600 entries each -> one rolled chunk per commit
+    (0 until 2).foreach { c =>
+      SnapshotTable.appendEntries(t,
+        (0 until 600).map(i => entry(t, c * 600L + i, c * 600L + i)), schema)
+    }
+    // v2: 100 inline
+    val inline2 = (0 until 100).map(i => entry(t, 2000L + i, 2000L + i))
+    SnapshotTable.appendEntries(t, inline2, schema)
+    // destroying the two SHARED chunk files must not affect the v2
+    // diff — the fast path reads only new chunks + inline
+    val cd = Paths.get(t, "_manifests", "chunks")
+    val saved = Files.list(cd).iterator().asScala
+      .map(p => p -> Files.readAllBytes(p)).toList
+    saved.foreach { case (p, _) => Files.write(p, "{}".getBytes) }
+    assert(SnapshotTable.addedFiles(t, 2).toSet == inline2.map(_.name).toSet)
+    saved.foreach { case (p, b) => Files.write(p, b) }
+    // v3: 500 more entries -> the 600-strong inline buffer (v2's 100 +
+    // these 500) rolls into a NEW chunk containing v2's files too; the
+    // diff must still report exactly the 500
+    val add3 = (0 until 500).map(i => entry(t, 3000L + i, 3000L + i))
+    SnapshotTable.appendEntries(t, add3, schema)
+    val (_, nInline3, _) = SnapshotTable.manifestShape(t)
+    assert(nInline3 == 0, "v3 must have rolled the inline buffer")
+    assert(SnapshotTable.addedFiles(t, 3).toSet == add3.map(_.name).toSet)
+  }
+
   test("vacuum reclaims chunks of dropped versions and compaction orphans") {
     val t = Files.createTempDirectory("chunk_vacuum").toString + "/t"
     (0 until 17).foreach { c =>
