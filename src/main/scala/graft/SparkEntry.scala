@@ -1281,6 +1281,27 @@ object SparkEntry {
         eps = 0.0001, confidence = 0.99)
       graft.core.Sketches.heavyHitters(bg, "bigram", minCount, sk)
         .select(col("bigram"), col("est_count").as("cnt"))
+    }),
+
+    // the STREAMING sketch path under the same oracle: three
+    // deterministic micro-batches through NgramStream.CmsHeavyHitters
+    // (per-batch distributed CMS, driver merge, bounded candidate
+    // head). Cell-wise CMS merge == one-pass CMS of the whole stream,
+    // the grid is collision-free on this fixture (q98's argument), and
+    // topKPerBatch exceeds the ~930-type universe so every gram is a
+    // candidate — the stream-accumulated (value, count) pairs equal
+    // DuckDB's exact GROUP BY over the batch-concatenated corpus.
+    "q99_stream_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val hh = new graft.streaming.NgramStream.CmsHeavyHitters(
+        n = 2, topKPerBatch = 2000, eps = 0.0001, confidence = 0.99)
+      (0 until 3).foreach(b =>
+        hh.update(docs.filter(col("doc_id") % 3 === b), "text"))
+      val total = docs.select(explode(
+        TextAnalysis.ngramsAll(col("text"), 2)).as("g")).count()
+      hh.heavyHitters(minCount = (total + 999L) / 1000L)
+        .toDF("bigram", "cnt")
     })
   )
 
@@ -1789,6 +1810,21 @@ object SparkEntry {
     // CMS estimates are collision-free on this fixture (930-type
     // universe vs a 20k x 5 grid), so value AND count hash-match
     "q98_cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT string_split(trim(text), ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+        |  FROM toks, unnest(generate_series(1, len(ws)-1)) AS t(i)),
+        |c AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY 1)
+        |SELECT bigram, cnt FROM c
+        |WHERE cnt * 1000 >= (SELECT CAST(count(*) AS BIGINT) FROM bg)""".stripMargin,
+
+    // identical oracle to q98: the stream's cell-wise-merged CMS must
+    // equal the one-pass batch sketch (documents all have >= 10
+    // tokens, so ngramsAll(n=2) == the adjacent-pair construction)
+    "q99_stream_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT string_split(trim(text), ' ') AS ws FROM documents),
         |bg AS (
