@@ -23,11 +23,13 @@ FACTOR = 2.0
 ABS_SLACK = 0.5  # seconds
 
 
-def main(budget_path: str) -> int:
+def main(budget_path: str, bench_path: str = None) -> int:
     budget = json.load(open(budget_path))["queries"]
-    lines = [l for l in sys.stdin.read().splitlines() if '"metric"' in l]
+    source = open(bench_path).read() if bench_path else sys.stdin.read()
+    lines = [l for l in source.splitlines() if '"metric"' in l]
     if not lines:
-        print("[budget] no bench JSON line on stdin")
+        print("[budget] no bench JSON line "
+              + (f"in {bench_path}" if bench_path else "on stdin"))
         return 2
     line = lines[-1]
     got = json.loads(line[line.index("{"):])["queries"]
@@ -54,4 +56,5 @@ def main(budget_path: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_BUDGET.json"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_BUDGET.json",
+                  sys.argv[2] if len(sys.argv) > 2 else None))

@@ -38,11 +38,13 @@ for arg in "$@"; do
   fi
   if [[ "$arg" == "--bench" ]]; then
     echo "== bench (sf0.1) =="
-    line=$(SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-      sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"')
-    echo "$line"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_BENCH_OUT=target/bench_last.json \
+      sbt -batch "runMain graft.Bench" > /dev/null 2>&1
+    cat target/bench_last.json
     if [[ -f BENCH_BUDGET.json ]]; then
-      echo "$line" | python3 tools/check_budget.py BENCH_BUDGET.json
+      # the artifact file, not a stdout pipe — survives truncation
+      python3 tools/check_budget.py BENCH_BUDGET.json target/bench_last.json
     fi
   fi
 done
