@@ -58,10 +58,15 @@ object GraftShim {
     // defaultFS an unqualified path would resolve differently from the
     // listed-read fallback, and the two manifest paths must agree
     val hconf = spark.sessionState.newHadoopConf()
+    // ONE FileSystem resolution for the whole list (a synchronized
+    // cache lookup per file would serialize 1M-file planning); table
+    // files share a filesystem by construction
+    val fs = files.headOption.map { case (p, _) =>
+      new org.apache.hadoop.fs.Path(p).getFileSystem(hconf) }
     val statuses = files.map { case (p, len) =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      val q = hp.getFileSystem(hconf).makeQualified(hp)
-      new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L, q)
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 134217728L, 0L,
+        fs.get.makeQualified(hp))
     }
     val index = new FileIndex {
       override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
@@ -110,10 +115,12 @@ object GraftShim {
     // SAME qualified form (file:/… locally) or every lookup misses and
     // the scan silently reads nothing
     val hconf = spark.sessionState.newHadoopConf()
+    // one FileSystem resolution for the list, as in manifestParquet
+    val fs = files.headOption.map { case (p, _) =>
+      new HPath(p).getFileSystem(hconf) }
     val statuses = files.map { case (p, len) =>
       val hp = new HPath(p)
-      val q = hp.getFileSystem(hconf).makeQualified(hp)
-      new FileStatus(len, false, 1, 134217728L, 0L, q)
+      new FileStatus(len, false, 1, 134217728L, 0L, fs.get.makeQualified(hp))
     }
     new PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
       // planning calls these accessors repeatedly — build both
