@@ -25,7 +25,9 @@ object ParquetMerge {
 
   def tableExists(dir: String): Boolean = {
     val p = Paths.get(dir)
-    Files.exists(p) && Files.list(p).findFirst().isPresent
+    if (!Files.exists(p)) return false
+    val s = Files.list(p)
+    try s.findFirst().isPresent finally s.close()
   }
 
   /** Upsert `updates` into the table at `dir`, keyed by `key`.
@@ -60,7 +62,9 @@ object ParquetMerge {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally w.close()
     }
 }

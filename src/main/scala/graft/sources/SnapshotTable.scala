@@ -99,14 +99,22 @@ object SnapshotTable {
   /** Compact when this many sub-half-target chunks accumulate. */
   private val CompactSmallChunksAt = 16
 
+  /** `Files.list`/`walk` streams hold an open directory fd until
+    * CLOSED — relying on GC leaks descriptors in exactly the
+    * long-lived many-commit service this format targets.
+    */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private def manifestVersions(table: String): Seq[Int] = {
     val md = manifestDir(table)
     if (!Files.exists(md)) Nil
-    else Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
+    else listDir(md)(_.map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
-      .toSeq
+      .toSeq)
   }
 
   def currentVersion(table: String): Option[Int] = {
@@ -476,16 +484,18 @@ object SnapshotTable {
     }
     writer.parquet(staging.toString)
     Files.createDirectories(dataDir(table))
-    val moved = Files.list(staging).iterator().asScala
+    val moved = listDir(staging)(_
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map { p =>
         val name = s"${java.util.UUID.randomUUID()}.parquet"
         val dest = dataDir(table).resolve(name)
         Files.move(p, dest)
         FileEntry(name, footerStats(dest), Files.size(dest))
-      }.toSeq
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
+      }.toSeq)
+    val walk = Files.walk(staging)
+    try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.delete(p))
+    finally walk.close()
     moved
   }
 
@@ -1203,24 +1213,24 @@ object SnapshotTable {
     val keep = (math.max(0, latest - keepVersions + 1) to latest)
       .filter(present.contains)
     val referenced = keep.flatMap(readManifest(table, _).map(_.name)).toSet
-    Files.list(dataDir(table)).iterator().asScala
+    listDir(dataDir(table))(_
       .filter(p => !referenced.contains(p.getFileName.toString))
-      .foreach(Files.delete)
-    Files.list(manifestDir(table)).iterator().asScala
+      .foreach(Files.delete))
+    listDir(manifestDir(table))(_
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("v") && n.endsWith(".json") &&
           !keep.contains(n.stripPrefix("v").stripSuffix(".json").toInt)
       }
-      .foreach(Files.delete)
+      .foreach(Files.delete))
     // chunk files referenced by no kept root: dropped versions' chunks
     // plus lost-commit-race / superseded-compaction orphans
     if (Files.exists(chunksDir(table))) {
       val refChunks = keep
         .flatMap(v => readManifestChunked(table, v)._1.map(_.name)).toSet
-      Files.list(chunksDir(table)).iterator().asScala
+      listDir(chunksDir(table))(_
         .filter(p => !refChunks.contains(p.getFileName.toString))
-        .foreach(Files.delete)
+        .foreach(Files.delete))
     }
   }
 }

@@ -64,10 +64,15 @@ class SnapshotCatalog extends TableCatalog {
       throw new NoSuchNamespaceException(namespace)
     val root = Paths.get(base)
     if (!Files.exists(root)) Array.empty
-    else Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && SnapshotTable.currentVersion(p.toString).isDefined)
-      .map(p => Identifier.of(Array.empty, p.getFileName.toString))
-      .toArray
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          SnapshotTable.currentVersion(p.toString).isDefined)
+        .map(p => Identifier.of(Array.empty, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -114,8 +119,10 @@ class SnapshotCatalog extends TableCatalog {
     val path = Paths.get(pathOf(ident))
     if (!Files.exists(path)) false
     else {
-      Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+      val w = Files.walk(path)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally w.close()
       true
     }
   }
