@@ -158,6 +158,55 @@ class SnapshotChunkedSpec extends SparkSpec {
     assert(SnapshotTable.addedFiles(t, 3).toSet == add3.map(_.name).toSet)
   }
 
+  test("property: random append/restore histories match an in-memory model " +
+      "(listing, diffs, time travel) through rolls and compactions") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 2) {
+      val t = Files.createTempDirectory(s"chunk_prop$trial").toString + "/t"
+      // model: version -> file-name set (in commit order per version)
+      val model = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+      var nextId = 0L
+      (0 until 14).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 3 if model.nonEmpty =>
+            // restore to a random old version (metadata-only commit)
+            val v = rnd.nextInt(model.size)
+            SnapshotTable.restore(t, v)
+            model += model(v)
+          case _ =>
+            // append a random batch, sized to sometimes cross the
+            // 512-entry roll threshold (and eventually compaction)
+            val k = 1 + rnd.nextInt(400)
+            val es = (0 until k).map { _ =>
+              val id = nextId; nextId += 1; entry(t, id, id)
+            }
+            SnapshotTable.appendEntries(t, es, schema)
+            model += model.lastOption.getOrElse(Set.empty) ++ es.map(_.name)
+        }
+      }
+      // every live version's listing, diff, and data match the model
+      (0 until model.size).foreach { v =>
+        assert(SnapshotTable.filesForRead(t, Some(v)).toSet == model(v),
+          s"trial $trial v$v listing")
+        val expAdded =
+          if (v == 0) model(0) else model(v) -- model(v - 1)
+        assert(SnapshotTable.addedFiles(t, v).toSet == expAdded,
+          s"trial $trial v$v diff")
+      }
+      val last = model.size - 1
+      assert(SnapshotTable.read(spark, t, Some(last)).count()
+        == model(last).size * 2L, s"trial $trial read")
+      // vacuum to the last 3 versions: kept versions still exact
+      SnapshotTable.vacuum(t, keepVersions = 3)
+      ((model.size - 3) until model.size).foreach { v =>
+        assert(SnapshotTable.filesForRead(t, Some(v)).toSet == model(v),
+          s"trial $trial post-vacuum v$v")
+      }
+      assert(SnapshotTable.read(spark, t, Some(last)).count()
+        == model(last).size * 2L, s"trial $trial post-vacuum read")
+    }
+  }
+
   test("vacuum reclaims chunks of dropped versions and compaction orphans") {
     val t = Files.createTempDirectory("chunk_vacuum").toString + "/t"
     (0 until 17).foreach { c =>
