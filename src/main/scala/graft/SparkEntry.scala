@@ -1302,6 +1302,28 @@ object SparkEntry {
         TextAnalysis.ngramsAll(col("text"), 2)).as("g")).count()
       hh.heavyHitters(minCount = (total + 999L) / 1000L)
         .toDF("bigram", "cnt")
+    }),
+
+    // INCREMENTAL IVF serving index under q27's full oracle: the index
+    // is built in TWO transactional commits (bootstrap + append of the
+    // newly-arrived half) into a snapshot table, then queried through
+    // the stat-pruned probe read — and must equal the one-shot
+    // relational IVF pipeline exactly. Pins the whole maintenance
+    // loop: assignment against frozen centroids, bucket-clustered
+    // commits, manifest range pruning, probe-time ranking.
+    "q100_ivf_index_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val t = scratchDir("graft_q100") + "/ivf"
+      Similarity.writeIvfIndexTable(
+        emb.filter(col("vec_id") % 2 === 0), centroids, t)
+      Similarity.appendToIvfIndex(
+        emb.filter(col("vec_id") % 2 === 1), centroids, t)
+      Similarity.ivfTopKIndexedTable(s, emb.filter(col("vec_id") < 8), t,
+          centroids, k = 5, nProbe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
     })
   )
 
@@ -1952,6 +1974,10 @@ object SparkEntry {
     // (assign -> probe -> exact within-probe rank) replayed
     // relationally, the q49 prefix extended end-to-end.
     "q27_ivf_ann" -> q27OracleSql,
+
+    // the incremental snapshot-table index must answer EXACTLY like
+    // the one-shot relational pipeline — same oracle as q27
+    "q100_ivf_index_incremental" -> q27OracleSql,
 
     // q28-q29: model-scoring — intentionally no oracle
     // (rows-only checks; parity proven in the test suite instead)

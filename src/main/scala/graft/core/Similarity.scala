@@ -114,6 +114,92 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket").parquet(dir)
 
+  /** Bucket-clustered assignment rows — every output file carries a
+    * tight `bucket` min/max, so a probe read prunes at the manifest.
+    */
+  private def clusteredAssignments(corpus: DataFrame, centroids: DataFrame,
+                                   idCol: String, vecCol: String): DataFrame =
+    assignBuckets(corpus, centroids, idCol, vecCol)
+      .repartitionByRange(col("bucket"))
+      .sortWithinPartitions("bucket")
+
+  /** The IVF index AS a transactional snapshot table: assignment rows
+    * range-clustered on `bucket` (stat-pruned probe reads — the same
+    * O(matching files) contract as the hive-partitioned layout, plus
+    * snapshot isolation, time travel, and compaction for free).
+    * Overwrite = full (re)build, e.g. after retraining centroids.
+    */
+  def writeIvfIndexTable(corpus: DataFrame, centroids: DataFrame,
+                         table: String, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Int =
+    graft.sources.SnapshotTable.overwrite(
+      clusteredAssignments(corpus, centroids, idCol, vecCol), table)
+
+  /** INCREMENTAL index maintenance: newly arrived vectors are assigned
+    * against the (frozen) centroids and appended as one transactional
+    * commit — O(new vectors), the index is never rewritten. With
+    * `writer = Some((writerId, txnVersion))` the append is idempotent
+    * (the Delta txnAppId contract), which makes a `foreachBatch`
+    * vector-ingest stream exactly-once; re-delivery returns None.
+    * Centroid DRIFT is the retrain trigger, not an append concern:
+    * assignment is against frozen centroids by design (the production
+    * IVF regime — rebuild via [[writeIvfIndexTable]] when recall
+    * degrades).
+    */
+  def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
+                       table: String, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       writer: Option[(String, Long)] = None): Option[Int] = {
+    val rows = clusteredAssignments(newVectors, centroids, idCol, vecCol)
+    writer match {
+      case Some((w, v)) =>
+        graft.sources.SnapshotTable.appendIdempotent(rows, table, w, v)
+      case None => Some(graft.sources.SnapshotTable.append(rows, table))
+    }
+  }
+
+  /** [[ivfTopKIndexed]] over the snapshot-table index: probed buckets
+    * merge into contiguous id ranges, each a manifest-stat-pruned read
+    * (the bucket-clustered layout keeps ranges few), with the exact
+    * `isin` as a residual filter. Result semantics match [[ivfTopK]]
+    * with the same centroids, regardless of how many commits built the
+    * index.
+    */
+  def ivfTopKIndexedTable(spark: org.apache.spark.sql.SparkSession,
+                          queries: DataFrame, table: String,
+                          centroids: DataFrame, k: Int, nProbe: Int = 2,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("cent_vec"))
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("cos_c", cosine(col("q_vec"), col("cent_vec")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(desc("cos_c"), asc("centroid_id"))
+    val probes = qProbes.withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("bucket"))
+      .localCheckpoint()
+    val buckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // ONE stat-pruned read over the probed buckets' [min, max]
+    // envelope, exact `isin` as the residual filter. (NOT one read per
+    // contiguous bucket range unioned: a file spanning several buckets
+    // matches multiple ranges and its rows would DUPLICATE across the
+    // union — caught by parity against ivfTopK during bring-up.)
+    val index = graft.sources.SnapshotTable.read(spark, table,
+        prune = Seq(graft.sources.SnapshotTable.ColRange("bucket",
+          lower = Some(buckets.head), upper = Some(buckets.last))))
+      .filter(col("bucket").isin(buckets.map(Long.box): _*))
+    val scored = probes.join(index, "bucket")
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("q_vec"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** ANN search over a persisted IVF index ([[writeIvfIndex]]): probe
     * buckets are computed per query against the broadcast centroid
     * table, collected (|queries| × nProbe ints — driver-bounded by the

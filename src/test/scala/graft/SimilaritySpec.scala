@@ -177,4 +177,53 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect()
     assert(re.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
+
+  test("snapshot-table IVF index: incremental == one-shot, probe reads " +
+      "prune files, appends are idempotent under a writer id") {
+    import graft.sources.SnapshotTable
+    val emb = Tables.embeddings(spark, Sf0001)
+    val centroids = emb.filter($"vec_id" % 11 === 3)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val t = java.nio.file.Files.createTempDirectory("ivf_table")
+      .toString + "/ivf"
+    // commits carry bucket-DISJOINT slices (arrivals that cluster — and
+    // the shape that gives every file a tight bucket range even when
+    // AQE folds a tiny commit to one file): group the buckets into 4
+    // sets and commit each set's vectors separately
+    val byBucket = Similarity.assignBuckets(emb, centroids)
+      .select($"vec_id", $"bucket").as[(Long, Long)].collect().toMap
+    val bucketIds = byBucket.values.toSeq.distinct.sorted
+    val groups = bucketIds.zipWithIndex.groupMap(_._2 % 4)(_._1)
+      .values.map(_.toSet).toSeq
+    def slice(g: Set[Long]) = {
+      val ids = byBucket.collect { case (v, b) if g(b) => v }.toSeq
+      emb.filter($"vec_id".isin(ids.map(Long.box): _*))
+    }
+    Similarity.writeIvfIndexTable(slice(groups.head), centroids, t)
+    groups.tail.zipWithIndex.foreach { case (g, i) =>
+      Similarity.appendToIvfIndex(slice(g), centroids, t,
+        writer = Some(("ivf-stream", i.toLong)))
+    }
+    val queries = emb.filter($"vec_id" < 5)
+    val viaTable = Similarity.ivfTopKIndexedTable(spark, queries, t,
+      centroids, k = 4, nProbe = 2).collect().map(_.toString).sorted
+    val direct = Similarity.ivfTopK(queries, emb, centroids,
+      k = 4, nProbe = 2).collect().map(_.toString).sorted
+    assert(viaTable.toSeq == direct.toSeq,
+      "two-commit index must answer exactly like the one-shot pipeline")
+    // manifest stats prune: a single-bucket probe envelope opens fewer
+    // files than the table holds (commits are bucket-disjoint, so
+    // every file carries a tight range)
+    val all = SnapshotTable.filesForRead(t).size
+    val oneBucket = SnapshotTable.filesForRead(t, prune = Seq(
+      SnapshotTable.ColRange("bucket",
+        lower = Some(bucketIds.head), upper = Some(bucketIds.head)))).size
+    assert(oneBucket < all, s"pruned $oneBucket of $all files")
+    // replayed append (same writer id + txn) is a no-op
+    val before = SnapshotTable.read(spark, t).count()
+    val replay = Similarity.appendToIvfIndex(slice(groups.last), centroids, t,
+      writer = Some(("ivf-stream", (groups.size - 2).toLong)))
+    assert(replay.isEmpty, "replayed txn must be skipped")
+    assert(SnapshotTable.read(spark, t).count() == before)
+  }
 }
