@@ -180,7 +180,30 @@ object TextAnalysis {
     * count / n_tokens, capped at 1.0 for the short-doc edge).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 2): DataFrame = {
+                      n: Int = 2): DataFrame =
+    // Every output is per-row arithmetic over the row's own text — the
+    // top-gram count via the native single-pass expression — so the
+    // whole gate is ONE projection fused into the scan: no Generate,
+    // no exchanges, no join. (The relational form below kept two key
+    // exchanges busy carrying every gram instance of the corpus.)
+    df.select(col(idCol),
+        size(tokens(col(textCol))).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(tokens(col(textCol)))).cast("double")
+          / size(tokens(col(textCol))), 6).as("dup_token_ratio"),
+        org.apache.spark.sql.GraftShim.column(
+          graft.expressions.TopGramCount(
+            org.apache.spark.sql.GraftShim.expression(col(textCol)), n))
+          .as("top_ngram_count"))
+      .withColumn("top_ngram_ratio",
+        round(least(lit(1.0),
+          col("top_ngram_count") * n / col("n_tokens")), 6))
+
+  /** The exploded relational formulation of [[repetitionStats]] — kept
+    * as the semantic oracle for the native [[graft.expressions.TopGramCount]]
+    * path (the q53 DuckDB oracle is this same shape in SQL).
+    */
+  def repetitionStatsRelational(df: DataFrame, idCol: String, textCol: String,
+                                n: Int = 2): DataFrame = {
     // Two independent branches joined on the doc key. Do NOT select the
     // scalar stats next to the explode: Spark projects non-generator
     // expressions ABOVE the Generate, so split/array_distinct would
