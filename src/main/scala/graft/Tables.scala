@@ -22,19 +22,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects outright; read it as nanos-since-epoch long
-    * (`nanosAsLong`, set in [[configure]]) and convert with exact
-    * integer division (a double path would lose precision above 2^53).
+  /** `events.ts` has shipped as three different parquet logical types
+    * across driver testdata regenerations; normalize all of them to one
+    * session-TZ TIMESTAMP so every downstream operator sees one type:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright; read as
+    *    nanos-since-epoch long (`nanosAsLong`, set in [[configure]]) and
+    *    convert with exact integer division (a double path would lose
+    *    precision above 2^53).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ: cast
+    *    to TIMESTAMP under the UTC session (wall-clock preserved).
+    *  - TIMESTAMP(MICROS, adjusted) → already TimestampType.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Set defensively at runtime: the driver calls entry()/queries with
     // its own (unconfigured) session and the conf is session-scoped.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

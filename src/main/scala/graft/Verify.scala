@@ -15,15 +15,32 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A thrown query must surface as a RED row, not a missing one:
+        // r6's q38 exception was swallowed here and the driver's
+        // correctness file silently lost the row (VERDICT r6 #2). Write
+        // a one-row sentinel parquet — the oracle compare then fails on
+        // schema/rows/hash, which is loud.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${e.getMessage}").toDF("_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.reverse.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -155,10 +155,14 @@ object TimeSeries {
   def sessionize(df: DataFrame, key: String, tsCol: String,
                  gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol))
+    // cast through TIMESTAMP first: a raw numeric cast throws on
+    // TIMESTAMP_NTZ input (parquet MICROS isAdjustedToUTC=false), and
+    // driver testdata has shipped both flavors across regenerations
+    def secs(c: Column): Column = c.cast("timestamp").cast("long")
     df.withColumn("__prev", lag(col(tsCol), 1).over(w))
       .withColumn("__new_session",
         when(col("__prev").isNull ||
-          col(tsCol).cast("long") - col("__prev").cast("long") > gapMinutes * 60L, 1L)
+          secs(col(tsCol)) - secs(col("__prev")) > gapMinutes * 60L, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
