@@ -29,17 +29,28 @@ object ProfileQ83 {
         Packing.packSequences(docs, "doc_id", "text", seqLen = 512))
       time("pack execute (noop)")(
         seqs.write.format("noop").mode("overwrite").save())
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_q83_prof").toString + "/seqs"
-      time("writeShards total")(Packing.writeShards(seqs, table, shards = 8))
-      time("pruned read")(
-        SnapshotTable.read(spark, table, prune = Seq(
-            SnapshotTable.ColRange("seq_id", upper = Some(3L))))
-          .filter(col("seq_id") <= 3).write.format("noop")
-          .mode("overwrite").save())
-      time("full q83")(
-        SparkEntry.queries("q83_pack_shards")(spark, dir)
-          .write.format("noop").mode("overwrite").save())
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_q83_prof")
+      val table = tmpRoot.toString + "/seqs"
+      try {
+        time("writeShards total")(Packing.writeShards(seqs, table, shards = 8))
+        time("pruned read")(
+          SnapshotTable.read(spark, table, prune = Seq(
+              SnapshotTable.ColRange("seq_id", upper = Some(3L))))
+            .filter(col("seq_id") <= 3).write.format("noop")
+            .mode("overwrite").save())
+        time("full q83")(
+          SparkEntry.queries("q83_pack_shards")(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+      } finally {
+        // repeated profiling runs were accumulating 3x8-shard temp
+        // tables per invocation — delete each iteration's tree
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val walk = Files.walk(tmpRoot)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
     }
     spark.stop()
   }

@@ -35,12 +35,23 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Set defensively at runtime: the driver calls entry()/queries with
-    // its own (unconfigured) session and the conf is session-scoped.
+    // its own (unconfigured) session and the confs are session-scoped.
+    // The timezone matters for flavor-equivalence: the NTZ→timestamp
+    // cast reinterprets the wall-clock in the SESSION zone, so a
+    // non-UTC session would shift the micros_ntz flavor against the
+    // nanos/adjusted flavors by the zone offset.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // FLOOR division in pure long arithmetic (ts - pmod is always
+        // a multiple of 1000): pyarrow's ns→us narrowing floors, while
+        // SQL DIV truncates toward zero — they differ on pre-epoch
+        // (negative) nanos by 1µs. A floor() through double would lose
+        // precision above 2^53 ns (~1970+104 days).
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000L)) DIV 1000L")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw

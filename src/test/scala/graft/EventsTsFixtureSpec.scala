@@ -61,6 +61,28 @@ class EventsTsFixtureSpec extends SparkSpec {
     assert(missing.isEmpty, s"stale spec list: $missing")
   }
 
+  test("flavors agree under a non-UTC session timezone") {
+    // The NTZ→timestamp cast reinterprets wall-clock in the SESSION
+    // zone: before Tables.events pinned the zone itself, a non-UTC
+    // driver session shifted the micros_ntz flavor by the zone offset
+    // while the nanos/utc flavors stayed put (ADVICE r7). TestSession
+    // always configures UTC, so this exercises the defensive set by
+    // breaking the session zone first.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val fn = SparkEntry.queries("q38_sessionize")
+      val results = variants.map { v =>
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        v -> fn(spark, dirs(v)).collect().map(_.toString).sorted.toSeq
+      }
+      val (refV, ref) = results.head
+      results.tail.foreach { case (v, rows) =>
+        assert(rows == ref, s"non-UTC session: $v diverges from $refV")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   eventQueries.foreach { name =>
     test(s"$name: identical results across ts flavors") {
       val fn = SparkEntry.queries(name)
