@@ -925,17 +925,15 @@ object SparkEntry {
     // in-engine BPE: train 100 merges from the distributed
     // word-frequency dict (driver solves the bounded dict problem,
     // never the corpus), then distributed encode with memoized
-    // greedy rank merges. The merge loop is an iterated
-    // argmax-rewrite fixpoint — not SQL-expressible, so this gate is
-    // rows-only; BpeSpec pins the published worked example, an
-    // independent reference implementation, reconstruction, and
-    // partition invariance. The PROJECTION is the corpus-trained merge
-    // list itself — deterministic and table-shaped even though the
-    // loop that produces it isn't SQL-computable — so the rows-only
-    // surface shrinks from "the encoded corpus" to "the model": every
-    // other piece of the BPE machinery is hash-pinned elsewhere (dict
-    // q82, encode q85, first merge step q96 FULL oracle, fertility
-    // q92, trainDistributed parity in BpeSpec).
+    // greedy rank merges. The projection is the corpus-trained merge
+    // list, now under a FULL oracle: q78OracleSql replays the entire
+    // iterated argmax-rewrite loop as a DuckDB recursive CTE (the
+    // aggregate-over-recursive-reference form DuckDB permits), so
+    // every one of the 100 steps — pair count, tie-break, rewrite —
+    // is hash-pinned on corpus data. BpeSpec additionally pins the
+    // published worked example, an independent reference
+    // implementation, reconstruction, and partition invariance; dict
+    // q82, encode q85, fertility q92 cover the rest of the machinery.
     "q78_bpe_merges" -> ((s, dir) => {
       val model = Bpe.train(Tables.documents(s, dir), "text", numMerges = 100)
       import s.implicits._
@@ -3260,6 +3258,10 @@ object SparkEntry {
         |  h.mix_hash < r.keep_below AS mix_kept
         |FROM h JOIN rates r ON h.source = r.source""".stripMargin,
 
+    // q78: the whole merge loop replayed relationally (see
+    // q78OracleSql — aggregate-in-recursive-CTE argmax per step).
+    "q78_bpe_merges" -> q78OracleSql,
+
     // q79: the q74 placement algebra under the n_chars cost model.
     "q79_pack_by_cost" ->
       """WITH cum AS (
@@ -3482,6 +3484,64 @@ object SparkEntry {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
        |  round(cos_approx, 6) AS cos_approx
        |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** q78's oracle: the ENTIRE 100-merge training loop replayed as one
+    * recursive CTE — the iterated argmax the r5-r7 gates could only
+    * rows-only-check. The working table is the symbolized dictionary
+    * (one row per word type, it = merges applied so far); each
+    * recursion (a) re-counts adjacent pairs over all current rows
+    * weighted by word frequency, (b) picks the trainer's exact argmax
+    * (count desc, pair lexicographic — DuckDB and the JVM agree on
+    * byte order for this ASCII symbol space), (c) rewrites every word
+    * with leftmost-non-overlapping merge-all (q85's run-parity test),
+    * carrying the chosen pair on every row of the new iteration. The
+    * merge list is then DISTINCT(it, pair); termination mirrors the
+    * trainer (100 merges or best count under minFrequency=2). This
+    * pins loop-vs-declared semantics on corpus data for every step,
+    * not just step 1 (q96).
+    */
+  private lazy val q78OracleSql: String = {
+    // leftmost-non-overlap keep test (q85's run-parity form) for match
+    // position `i` over list `sv` against the chosen pair bp
+    def kept(sv: String, i: String) =
+      s"""($i >= 1 AND $i < len($sv) AND $sv[$i] = bp.a AND $sv[$i + 1] = bp.b
+         |      AND ((($i - 1) - coalesce(list_max([j for j in
+         |        generate_series(1, $i - 1)
+         |        if NOT ($sv[j] = bp.a AND $sv[j + 1] = bp.b)]), 0)) % 2 = 0))""".stripMargin
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |dict AS (
+       |  SELECT word, count(*) AS cnt FROM toks
+       |  WHERE length(word) > 0 GROUP BY 1 HAVING count(*) >= 2),
+       |steps(it, s, cnt, m_a, m_b) AS (
+       |  SELECT 0, list_append(regexp_split_to_array(word, ''), '</w>'),
+       |         CAST(cnt AS BIGINT),
+       |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  FROM dict
+       |  UNION ALL
+       |  SELECT st.it + 1,
+       |    list_filter([CASE WHEN ${kept("st.s", "i")}
+       |                        THEN st.s[i] || st.s[i + 1]
+       |                      WHEN i > 1 AND ${kept("st.s", "(i - 1)")}
+       |                        THEN NULL
+       |                      ELSE st.s[i] END
+       |                 for i in generate_series(1, len(st.s))],
+       |                x -> x IS NOT NULL),
+       |    st.cnt, bp.a, bp.b
+       |  FROM steps st, (
+       |    SELECT a, b, c FROM (
+       |      SELECT s2.s[i] AS a, s2.s[i + 1] AS b, sum(s2.cnt) AS c
+       |      FROM steps s2, unnest(generate_series(1, len(s2.s) - 1)) AS t(i)
+       |      GROUP BY 1, 2
+       |    ) ORDER BY c DESC, a, b LIMIT 1
+       |  ) bp
+       |  WHERE st.it < 100 AND bp.c >= 2
+       |)
+       |SELECT CAST(it - 1 AS BIGINT) AS merge_rank, m_a AS lhs, m_b AS rhs
+       |FROM steps WHERE it > 0 GROUP BY 1, 2, 3""".stripMargin
+  }
 
   /** q85's oracle: the greedy rank-merge BPE encode replayed as a
     * recursive CTE over the literal merge table of [[FixedBpeModel]].
