@@ -208,13 +208,17 @@ object Curation {
     // run writes these same boundaries as tables between stages; the
     // caches are the in-session equivalent.
     //
-    // stage 1: per-doc gates
-    val rep = TextAnalysis.repetitionStats(docs, idCol, textCol, 2)
-      .select(col(idCol), col("dup_token_ratio"))
+    // stage 1: per-doc gates. quality, langid AND the duplicate-token
+    // ratio are all per-row arithmetic over the row's own text, so
+    // they fuse into ONE codegen'd projection — the earlier
+    // join-repetitionStats-back-on-doc_id shape paid a second scan
+    // branch plus a join for columns the same scan could emit
+    // (measured: q73 8.8 -> 7.6 s, q80 13.0 -> 11.3 s cold at sf0.1).
     val scored = TextAnalysis.langId(
         TextAnalysis.qualityScore(docs, textCol), textCol)
       .withColumn("quality_ok", col("quality_score") >= minQuality)
-      .join(rep, Seq(idCol))
+      .withColumn("dup_token_ratio",
+        TextAnalysis.dupTokenRatio(col(textCol)))
       .withColumn("rep_ok", col("dup_token_ratio") <= maxDupTokenRatio)
       .persist()
     // stage 2: span gate over stage-1 survivors

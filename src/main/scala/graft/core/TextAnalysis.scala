@@ -179,6 +179,15 @@ object TextAnalysis {
     * n-gram), `top_ngram_ratio` (token share covered by it, ≈ n ×
     * count / n_tokens, capped at 1.0 for the short-doc edge).
     */
+  /** 1 − distinct/total tokens as a composable Column — the Gopher
+    * duplicate-token gate signal. Exposed so compositions (Curation's
+    * stage 1) can fuse it into an existing projection instead of
+    * joining [[repetitionStats]]' output back on the doc key.
+    */
+  def dupTokenRatio(text: Column): Column =
+    round(lit(1.0) - size(array_distinct(tokens(text))).cast("double")
+      / size(tokens(text)), 6)
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame =
     // Every output is per-row arithmetic over the row's own text — the
@@ -188,8 +197,7 @@ object TextAnalysis {
     // exchanges busy carrying every gram instance of the corpus.)
     df.select(col(idCol),
         size(tokens(col(textCol))).as("n_tokens"),
-        round(lit(1.0) - size(array_distinct(tokens(col(textCol)))).cast("double")
-          / size(tokens(col(textCol))), 6).as("dup_token_ratio"),
+        dupTokenRatio(col(textCol)).as("dup_token_ratio"),
         org.apache.spark.sql.GraftShim.column(
           graft.expressions.TopGramCount(
             org.apache.spark.sql.GraftShim.expression(col(textCol)), n))
