@@ -23,13 +23,11 @@ object ProfileQ73 {
     }
     val docs = Tables.documents(spark, dir)
     time("scan")(docs.count())
-    // stage 1: per-doc gates
-    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text", 2)
-      .select(col("doc_id"), col("dup_token_ratio"))
+    // stage 1: per-doc gates (fused single projection, r8)
     val scored = TextAnalysis.langId(
         TextAnalysis.qualityScore(docs, "text"), "text")
       .withColumn("quality_ok", col("quality_score") >= 0.51)
-      .join(rep, Seq("doc_id"))
+      .withColumn("dup_token_ratio", TextAnalysis.dupTokenRatio(col("text")))
       .withColumn("rep_ok", col("dup_token_ratio") <= 0.6)
       .persist()
     time("s1 quality+langid+rep")(scored.count())

@@ -237,6 +237,10 @@ object Curation {
       .withColumn("lm_ok",
         col("ll_scaled") >= lit(-maxNllMicro) * col("n_bigrams"))
       .persist()
+    // g3 deliberately NOT persisted: caching it was measured SLOWER
+    // (q73 7.6 -> 9.5 s cold) — materializing one more text-bearing
+    // cache costs more than its two consumers' re-pay of the
+    // kept ⋈ lm-gate join over already-cached inputs
     val g3 = kept.join(
       lmScores.filter(col("lm_ok")).select(col(idCol)), Seq(idCol))
     // stage 5: near-dup resolution
