@@ -57,8 +57,41 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Normalize a column to `want` only when the shipped flavor
+    * differs — the common path stays a bare scan (no cast in the way
+    * of pushdown), and a regenerated-testdata type drift (the q38
+    * incident, but for ints/arrays) lands on one pinned type instead
+    * of surprising typed code (`Row.getLong` on an int32 column
+    * throws; an encoder on `Array[Float]` breaks on list<double>).
+    */
+  private def pinType(df: DataFrame, column: String,
+                      want: org.apache.spark.sql.types.DataType): DataFrame =
+    if (df.schema(column).dataType == want) df
+    else df.withColumn(column, col(column).cast(want))
+
+  /** `doc_id`/`n_chars` pinned BIGINT (values compare numerically in
+    * the driver gate, so a narrower shipped flavor stays green).
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, dir, "documents")
+    pinType(pinType(raw, "doc_id", LongType), "n_chars", LongType)
+  }
+
+  /** `vec_id` BIGINT, `embedding` array<float>, `label` INT — the
+    * flavors every operator/spec was written against. float32→float64
+    * drift casts back exactly (the shipped values are float32-exact).
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = load(spark, dir, "embeddings")
+    val ided = pinType(pinType(raw, "vec_id", LongType), "label", IntegerType)
+    ided.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => ided // nullability flavor is fine
+      case _ => ided.withColumn("embedding",
+        col("embedding").cast(ArrayType(FloatType)))
+    }
+  }
 
   /** Session defaults shared by Verify / Bench / tests.
     *
