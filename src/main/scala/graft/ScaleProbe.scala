@@ -45,8 +45,9 @@ object ScaleProbe {
     // `runMain graft.ScaleProbe enc` only the q80 encode-boundary pair
     val snapOnly = args.contains("snap")
     val encOnly = args.contains("enc")
-    // any qNN args = probe only those gate queries (local iteration)
-    val nameArgs = args.filter(_.startsWith("q")).toSet
+    // any other args = probe only the exactly-named gate queries or
+    // fixed-variant labels (local iteration)
+    val nameArgs = args.filterNot(Set("snap", "enc")).toSet
     val allProbes = if (snapOnly) Nil
     else if (encOnly) Seq("q80_corpus_to_sequences")
     else Seq("q01_pricing_summary", "q06_user_daily",
@@ -93,7 +94,11 @@ object ScaleProbe {
       // replicated 10x corpus the caps are exactly the machinery that
       // keeps them off the quadratic curve the exact baselines ride;
       // q96 is dict-bounded (word types ~constant under replication)
-      "q94_lsh_banded_cap", "q95_jaccard_maxdf", "q96_bpe_first_merge")
+      "q94_lsh_banded_cap", "q95_jaccard_maxdf", "q96_bpe_first_merge",
+      // round-8: BM25 — one explode + pruned tf/df aggs; the query
+      // SIDE also grows with the corpus (doc_id%100 slice), so the
+      // matched join fans out ~linearly on this bounded vocabulary
+      "q101_bm25_retrieval")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
@@ -171,6 +176,17 @@ object ScaleProbe {
       val train = d.filter(col("doc_id") % 10 =!= 0)
       graft.core.Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 5)
         .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }
+    // BM25 with a FIXED query set (copy-0 queries): the production
+    // shape — retrieval query sets don't grow with the corpus. The
+    // gate's q101 parameterization scales BOTH sides (doc_id%100), so
+    // its probe ratio carries the corpus x queries product by design.
+    timed("bm25 q=const") { dir =>
+      val d = Tables.documents(spark, dir)
+      graft.core.Retrieval.bm25TopK(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0 && col("doc_id") < 1000000L),
+        k = 10)
     }
     // ADC with a FIXED query set (copy-0 queries): corpus side scales,
     // query side doesn't

@@ -1322,6 +1322,19 @@ object SparkEntry {
           centroids, k = 5, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
+    }),
+
+    // BM25 keyword retrieval (the sparse complement to the dense ANN
+    // stack): each held-out query doc (doc_id % 100 == 0) retrieves
+    // its top-10 training docs by Okapi BM25 over whitespace tokens.
+    // Scores are 1e-6 fixed-point BIGINTs (the q68 discipline) so the
+    // sum is order-free; full oracle replays postings/df/dl/idf and
+    // the rank window relationally.
+    "q101_bm25_retrieval" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.core.Retrieval.bm25TopK(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0), k = 10)
     })
   )
 
@@ -1976,6 +1989,53 @@ object SparkEntry {
     // the incremental snapshot-table index must answer EXACTLY like
     // the one-shot relational pipeline — same oracle as q27
     "q100_ivf_index_incremental" -> q27OracleSql,
+
+    // BM25: postings/df/dl/idf and the per-query rank window replayed
+    // relationally; per-term scores floored to 1e-6 BIGINT before the
+    // sum (order-free), ln ulp the only cross-engine surface (the
+    // accepted q68/q88 class). Identical parenthesization to
+    // Retrieval.bm25TopK.
+    "q101_bm25_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |train_tok AS (SELECT * FROM tok WHERE doc_id % 100 <> 0),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM train_tok GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM train_tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM tok
+        |  WHERE doc_id % 100 = 0),
+        |term_scores AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(floor(1000000.0 * (
+        |      ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+        |                 / (CAST(d.df AS DOUBLE) + 0.5))
+        |      * (CAST(t.tf AS DOUBLE) * 2.2
+        |         / (CAST(t.tf AS DOUBLE) + 0.3
+        |            + 0.9 * (CAST(l.dl AS DOUBLE) * s.n_docs) / s.total_len))))
+        |      AS BIGINT) AS sm
+        |  FROM qterms q
+        |  JOIN tf t ON q.term = t.term
+        |  JOIN df d ON q.term = d.term
+        |  JOIN dl l ON t.doc_id = l.doc_id
+        |  CROSS JOIN stats s),
+        |scores AS (
+        |  SELECT query_id, doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro
+        |  FROM term_scores GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, bm25_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scores)
+        |SELECT query_id, rank, doc_id, bm25_micro FROM ranked
+        |WHERE rank <= 10""".stripMargin,
 
     // q28-q29: model-scoring — intentionally no oracle
     // (rows-only checks; parity proven in the test suite instead)

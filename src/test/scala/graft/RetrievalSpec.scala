@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Retrieval
+
+/** BM25 retrieval against an independently-written in-test scorer
+  * (plain Scala maps/loops — no shared code with the engine path
+  * beyond the formula in the Scaladoc).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BM25 (k1=1.2, b=0.75), 1e-6 fixed-point floor per term. */
+  private def referenceBm25(corpus: Seq[(Long, String)],
+                            queries: Seq[(Long, String)],
+                            k: Int): Seq[(Long, Long, Long, Long)] = {
+    val toks = corpus.filter(_._2.trim.nonEmpty)
+      .map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val n = toks.size.toLong
+    val total = toks.values.map(_.size.toLong).sum
+    val tf = toks.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, o) => w -> o.size.toLong } }
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    queries.filter(_._2.trim.nonEmpty).flatMap { case (qid, qt) =>
+      val terms = qt.trim.split("\\s+").toSet
+      val scored = tf.flatMap { case (d, c) =>
+        val s = terms.toSeq.flatMap { w =>
+          c.get(w).map { f =>
+            val df = dfm(w); val dl = toks(d).size.toDouble
+            val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df + 0.5))
+            val frac = f * 2.2 / (f + 0.3 + 0.9 * (dl * n) / total)
+            math.floor(1e6 * (idf * frac)).toLong
+          }
+        }.sum
+        if (s != 0L) Some(d -> s) else None
+      }.toSeq
+      scored.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+        .map { case ((d, s), i) => (qid, (i + 1).toLong, d, s) }
+    }
+  }
+
+  private def run(corpus: Seq[(Long, String)], queries: Seq[(Long, String)],
+                  k: Int, partitions: Int = 4): Seq[(Long, Long, Long, Long)] =
+    Retrieval.bm25TopK(
+        corpus.toDF("doc_id", "text").repartition(partitions),
+        queries.toDF("doc_id", "text"), k = k)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("hand-checkable micro corpus") {
+    val corpus = Seq(1L -> "a b a", 2L -> "b c")
+    val got = run(corpus, Seq(10L -> "a c"), k = 5)
+    assert(got == referenceBm25(corpus, Seq(10L -> "a c"), 5))
+    // a-doc outranks c-doc: equal idf (df=1 each) but tf=2 beats tf=1
+    assert(got.map(_._3) == Seq(1L, 2L))
+  }
+
+  test("matches the independent scorer on a seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val corpus = (0L until 60L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val queries = Seq(100L -> "alpha zeta", 101L -> "gamma gamma beta")
+    val got = run(corpus, queries, k = 7)
+    assert(got == referenceBm25(corpus, queries, 7))
+  }
+
+  test("partition invariance and gate-query shape on real sf0.001 docs") {
+    val d = Tables.documents(spark, Sf0001)
+    val fn = SparkEntry.queries("q101_bm25_retrieval")
+    val a = fn(spark, Sf0001).collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty)
+    val corpus = d.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val queries = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val expect = referenceBm25(corpus, queries, 10)
+    val one = run(corpus, queries, 10, partitions = 1)
+    val many = run(corpus, queries, 10, partitions = 13)
+    assert(one == expect)
+    assert(many == expect)
+  }
+}
