@@ -26,15 +26,18 @@ class RetrievalSpec extends SparkSpec {
     queries.filter(_._2.trim.nonEmpty).flatMap { case (qid, qt) =>
       val terms = qt.trim.split("\\s+").toSet
       val scored = tf.flatMap { case (d, c) =>
-        val s = terms.toSeq.flatMap { w =>
+        val termScores = terms.toSeq.flatMap { w =>
           c.get(w).map { f =>
             val df = dfm(w); val dl = toks(d).size.toDouble
             val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df + 0.5))
             val frac = f * 2.2 / (f + 0.3 + 0.9 * (dl * n) / total)
             math.floor(1e6 * (idf * frac)).toLong
           }
-        }.sum
-        if (s != 0L) Some(d -> s) else None
+        }
+        // docs that matched at least one term keep their row even if
+        // the floored sum is 0 — mirroring the engine/oracle, where
+        // presence is decided by the join, not the score
+        if (termScores.nonEmpty) Some(d -> termScores.sum) else None
       }.toSeq
       scored.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
         .map { case ((d, s), i) => (qid, (i + 1).toLong, d, s) }
