@@ -1335,6 +1335,25 @@ object SparkEntry {
       graft.core.Retrieval.bm25TopK(
         d.filter(col("doc_id") % 100 =!= 0),
         d.filter(col("doc_id") % 100 === 0), k = 10)
+    }),
+
+    // the INCREMENTAL postings index under q101's full oracle: the
+    // index is built in TWO transactional commits (even train docs
+    // bootstrap, odd append) into a bucket-clustered snapshot table,
+    // served through the manifest-pruned probe read — and must equal
+    // the one-shot relational BM25 exactly (the q100/q27 discipline
+    // applied to sparse retrieval: commit structure provably cannot
+    // leak into answers).
+    "q102_bm25_index_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val train = d.filter(col("doc_id") % 100 =!= 0)
+      val t = scratchDir("graft_q102") + "/postings"
+      graft.core.Retrieval.writePostingsIndex(
+        train.filter(col("doc_id") % 2 === 0), t)
+      graft.core.Retrieval.appendToPostingsIndex(
+        train.filter(col("doc_id") % 2 =!= 0), t)
+      graft.core.Retrieval.bm25TopKIndexedTable(s,
+        d.filter(col("doc_id") % 100 === 0), t, k = 10)
     })
   )
 
@@ -1995,47 +2014,11 @@ object SparkEntry {
     // sum (order-free), ln ulp the only cross-engine surface (the
     // accepted q68/q88 class). Identical parenthesization to
     // Retrieval.bm25TopK.
-    "q101_bm25_retrieval" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |train_tok AS (SELECT * FROM tok WHERE doc_id % 100 <> 0),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        |  FROM train_tok GROUP BY 1),
-        |stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM train_tok GROUP BY 1, 2),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |qterms AS (
-        |  SELECT DISTINCT doc_id AS query_id, term FROM tok
-        |  WHERE doc_id % 100 = 0),
-        |term_scores AS (
-        |  SELECT q.query_id, t.doc_id,
-        |    CAST(floor(1000000.0 * (
-        |      ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
-        |                 / (CAST(d.df AS DOUBLE) + 0.5))
-        |      * (CAST(t.tf AS DOUBLE) * 2.2
-        |         / (CAST(t.tf AS DOUBLE) + 0.3
-        |            + 0.9 * (CAST(l.dl AS DOUBLE) * s.n_docs) / s.total_len))))
-        |      AS BIGINT) AS sm
-        |  FROM qterms q
-        |  JOIN tf t ON q.term = t.term
-        |  JOIN df d ON q.term = d.term
-        |  JOIN dl l ON t.doc_id = l.doc_id
-        |  CROSS JOIN stats s),
-        |scores AS (
-        |  SELECT query_id, doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro
-        |  FROM term_scores GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT query_id, doc_id, bm25_micro,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank
-        |  FROM scores)
-        |SELECT query_id, rank, doc_id, bm25_micro FROM ranked
-        |WHERE rank <= 10""".stripMargin,
+    "q101_bm25_retrieval" -> q101OracleSql,
+
+    // the two-commit snapshot-table postings index must answer
+    // EXACTLY like the one-shot relational BM25 — same oracle as q101
+    "q102_bm25_index_incremental" -> q101OracleSql,
 
     // q28-q29: model-scoring — intentionally no oracle
     // (rows-only checks; parity proven in the test suite instead)
@@ -3602,6 +3585,54 @@ object SparkEntry {
        |SELECT CAST(it - 1 AS BIGINT) AS merge_rank, m_a AS lhs, m_b AS rhs
        |FROM steps WHERE it > 0 GROUP BY 1, 2, 3""".stripMargin
   }
+
+  /** q101's oracle (shared by q102, whose two-commit index must
+    * answer identically): postings/df/dl/idf and the per-query rank
+    * window replayed relationally, per-term scores floored to 1e-6
+    * BIGINT before the order-free sum, identical parenthesization to
+    * `Retrieval.bm25TopK`.
+    */
+  private lazy val q101OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |train_tok AS (SELECT * FROM tok WHERE doc_id % 100 <> 0),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |  FROM train_tok GROUP BY 1),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM train_tok GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |qterms AS (
+      |  SELECT DISTINCT doc_id AS query_id, term FROM tok
+      |  WHERE doc_id % 100 = 0),
+      |term_scores AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    CAST(floor(1000000.0 * (
+      |      ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+      |                 / (CAST(d.df AS DOUBLE) + 0.5))
+      |      * (CAST(t.tf AS DOUBLE) * 2.2
+      |         / (CAST(t.tf AS DOUBLE) + 0.3
+      |            + 0.9 * (CAST(l.dl AS DOUBLE) * s.n_docs) / s.total_len))))
+      |      AS BIGINT) AS sm
+      |  FROM qterms q
+      |  JOIN tf t ON q.term = t.term
+      |  JOIN df d ON q.term = d.term
+      |  JOIN dl l ON t.doc_id = l.doc_id
+      |  CROSS JOIN stats s),
+      |scores AS (
+      |  SELECT query_id, doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro
+      |  FROM term_scores GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, doc_id, bm25_micro,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scores)
+      |SELECT query_id, rank, doc_id, bm25_micro FROM ranked
+      |WHERE rank <= 10""".stripMargin
 
   /** q85's oracle: the greedy rank-merge BPE encode replayed as a
     * recursive CTE over the literal merge table of [[FixedBpeModel]].

@@ -69,11 +69,21 @@ object Retrieval {
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
         "leftsemi")
     val tf = matchedTok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val matched = tf
+    val withLen = tf.join(dl, Seq("doc_id"))
+    scoreAndRank(withLen, qterms, stats, k)
+  }
+
+  /** Shared scoring tail: df over the (already query-pruned) postings,
+    * the fixed-parenthesization BM25 term score, fixed-point sum, and
+    * the per-query rank window. `postings` columns: doc_id, term, tf,
+    * dl; `stats` is the one-row (n_docs, total_len).
+    */
+  private def scoreAndRank(postings: DataFrame, qterms: DataFrame,
+                           stats: DataFrame, k: Int): DataFrame = {
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched = postings
       .join(broadcast(qterms), Seq("term"))
       .join(df, Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
     val idf = log(lit(1.0) +
       ((col("n_docs") - col("df")).cast("double") + lit(0.5))
@@ -94,5 +104,124 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("bm25_micro"))
+  }
+
+  // ---- the postings AS a persisted incremental index ----------------
+
+  /** Sentinel bucket for per-doc length rows (term = NULL, tf = 0):
+    * corpus stats live in the SAME transactional table as the
+    * postings, so one commit covers both and a stats read is one
+    * manifest-pruned scan of the sentinel range.
+    */
+  val LenBucket = -1L
+
+  /** Index rows for `docs`: postings (bucket = portable term hash in
+    * [0, buckets), term, doc_id, tf, dl) plus one length row per doc
+    * under [[LenBucket]], range-clustered on (bucket, term) so every
+    * file carries tight bucket stats and a probe read prunes at the
+    * manifest — the [[Similarity.writeIvfIndexTable]] layout applied
+    * to sparse retrieval.
+    */
+  /** @param clusterPartitions explicit range-partition count for the
+    *   clustered write (None = session/AQE-sized). Tiny corpora
+    *   coalesce to one file per commit under AQE, which leaves nothing
+    *   for the manifest to prune — tests and small backfills set this.
+    */
+  private def indexRows(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int,
+                        clusterPartitions: Option[Int]): DataFrame = {
+    val live = docs.filter(length(trim(col(textCol))) > 0)
+    val dl = live.select(col(idCol).as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+    val tf = live
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val postings = tf.join(dl, Seq("doc_id")).select(
+      pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket"),
+      col("term"), col("doc_id"), col("tf"), col("dl"))
+    val lens = dl.select(lit(LenBucket).as("bucket"),
+      lit(null).cast("string").as("term"), col("doc_id"),
+      lit(0L).as("tf"), col("dl"))
+    val rows = postings.unionByName(lens)
+    clusterPartitions.fold(
+        rows.repartitionByRange(col("bucket"), col("term")))(
+        n => rows.repartitionByRange(n, col("bucket"), col("term")))
+      .sortWithinPartitions("bucket", "term")
+  }
+
+  /** (Re)build the postings index as a snapshot table. */
+  def writePostingsIndex(docs: DataFrame, table: String,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         buckets: Int = 64,
+                         clusterPartitions: Option[Int] = None): Int =
+    graft.sources.SnapshotTable.overwrite(
+      indexRows(docs, idCol, textCol, buckets, clusterPartitions), table)
+
+  /** INCREMENTAL maintenance: newly arrived docs (new doc_ids by
+    * contract, the [[Similarity.appendToIvfIndex]] regime) append
+    * their postings + length rows as ONE transactional commit —
+    * O(new docs), the index is never rewritten, df/stats stay correct
+    * because they are computed at query time from the table. With
+    * `writer` the append is idempotent (Delta txnAppId contract) for
+    * exactly-once foreachBatch ingest.
+    */
+  def appendToPostingsIndex(newDocs: DataFrame, table: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text", buckets: Int = 64,
+                            clusterPartitions: Option[Int] = None,
+                            writer: Option[(String, Long)] = None): Option[Int] = {
+    val rows = indexRows(newDocs, idCol, textCol, buckets, clusterPartitions)
+    writer match {
+      case Some((w, v)) =>
+        graft.sources.SnapshotTable.appendIdempotent(rows, table, w, v)
+      case None => Some(graft.sources.SnapshotTable.append(rows, table))
+    }
+  }
+
+  /** BM25 top-k served FROM the index: query terms hash to their
+    * buckets (driver holds the distinct bucket set — bounded by the
+    * query batch), the postings come from ONE manifest-pruned
+    * envelope read with the exact `isin` + term semi-join as residual
+    * filters (the q100 union-duplication lesson), and the corpus
+    * stats from one sentinel-range read. Results equal [[bm25TopK]]
+    * over the indexed corpus regardless of how many commits built the
+    * index.
+    */
+  def bm25TopKIndexedTable(spark: org.apache.spark.sql.SparkSession,
+                           queryDocs: DataFrame, table: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text", k: Int = 10,
+                           buckets: Int = 64): DataFrame = {
+    import graft.sources.SnapshotTable
+    val qterms = queryDocs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("query_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+    val probed = qterms
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (probed.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("rank", LongType), StructField("doc_id", LongType),
+          StructField("bm25_micro", LongType))))
+    }
+    val postings = SnapshotTable.read(spark, table,
+        prune = Seq(SnapshotTable.ColRange("bucket",
+          lower = Some(probed.head), upper = Some(probed.last))))
+      .filter(col("bucket").isin(probed.map(Long.box): _*))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
+        "leftsemi")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val stats = SnapshotTable.read(spark, table,
+        prune = Seq(SnapshotTable.ColRange("bucket",
+          lower = Some(LenBucket), upper = Some(LenBucket))))
+      .filter(col("bucket") === LenBucket)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    scoreAndRank(postings, qterms, stats, k)
   }
 }

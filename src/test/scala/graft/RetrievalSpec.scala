@@ -71,6 +71,45 @@ class RetrievalSpec extends SparkSpec {
     assert(got == referenceBm25(corpus, queries, 7))
   }
 
+  test("snapshot-table postings index: two-commit == one-shot, pruned " +
+      "probe reads, idempotent append") {
+    val d = Tables.documents(spark, Sf0001)
+    val train = d.filter(col("doc_id") % 100 =!= 0)
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_bm25idx").toString + "/postings"
+    Retrieval.writePostingsIndex(train.filter(col("doc_id") % 2 === 0), t,
+      clusterPartitions = Some(4))
+    Retrieval.appendToPostingsIndex(train.filter(col("doc_id") % 2 =!= 0), t,
+      clusterPartitions = Some(4))
+    val indexed = Retrieval.bm25TopKIndexedTable(spark, queries, t, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Retrieval.bm25TopK(train, queries, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(indexed.nonEmpty && indexed == oneShot)
+    // the bucket-clustered layout prunes: a single-bucket envelope
+    // opens fewer files than the whole table
+    import graft.sources.SnapshotTable
+    val all = SnapshotTable.filesForRead(t).size
+    val one = SnapshotTable.filesForRead(t, prune = Seq(
+      SnapshotTable.ColRange("bucket", lower = Some(0L), upper = Some(0L))))
+      .size
+    assert(one < all, s"pruned $one of $all files")
+    // idempotent append: replaying a (writer, version) is a no-op and
+    // answers don't change
+    val extra = d.filter(col("doc_id") % 100 === 0) // any new ids
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    assert(Retrieval.appendToPostingsIndex(extra, t,
+      writer = Some(("w1", 1L))).nonEmpty)
+    val afterFirst = Retrieval.bm25TopKIndexedTable(spark, queries, t, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(Retrieval.appendToPostingsIndex(extra, t,
+      writer = Some(("w1", 1L))).isEmpty)
+    val afterReplay = Retrieval.bm25TopKIndexedTable(spark, queries, t, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterReplay == afterFirst)
+  }
+
   test("partition invariance and gate-query shape on real sf0.001 docs") {
     val d = Tables.documents(spark, Sf0001)
     val fn = SparkEntry.queries("q101_bm25_retrieval")
