@@ -955,9 +955,9 @@ object SparkEntry {
     // the full training-data pipeline in one query: curate (5-stage
     // gates) -> survivors -> BPE train + id-encode on the CURATED
     // corpus -> packed fixed-length TOKEN-ID sequences — the exact
-    // artifact a trainer loads. Every stage is individually oracled
-    // or reference-pinned (q73/q82/BpeSpec/q74-q79); the composition
-    // is rows-only (BPE output isn't SQL-computable).
+    // artifact a trainer loads. FULL oracle since r8 (q80OracleSql):
+    // the whole composition replays as one DuckDB statement and the
+    // packed id arrays hash-compare via a portable md5 digest.
     // encode boundary MATERIALIZED (written SnapshotTable, read by
     // both packing consumers): measured 10.3s vs 14.5s for the
     // re-run-encode form under the bench methodology, 11.6s vs 18.8s
@@ -1484,8 +1484,13 @@ object SparkEntry {
         // pass an encodeTable)
         Packing.packIdSequences(enc, "doc_id", seqLen = 512)
     }
+    // md5 of the comma-joined ids, not xxhash64: Spark's xxhash64 is
+    // engine-private (seed + internal-representation hashing), while
+    // md5 of the SAME ascii string is reproducible by any engine —
+    // which is what lets q80's oracle replay the whole pipeline
+    // relationally and hash-compare the packed id arrays.
     packed.select(col("seq_id"), col("n_docs"), col("n_tokens"),
-      xxhash64(concat_ws(",", col("token_ids"))).as("ids_hash"))
+      md5(concat_ws(",", col("token_ids"))).as("ids_hash"))
   }
 
   /** Fixed data-independent PQ codebooks shared by q56/q57 and their
@@ -3322,6 +3327,11 @@ object SparkEntry {
         |  least(e, (seq_id + 1) * 4096) - greatest(s, seq_id * 4096) AS n_toks
         |FROM ex""".stripMargin,
 
+    // q80: the flagship composition under a FULL oracle (see
+    // q80OracleSql — the whole curate→train→encode→pack pipeline
+    // replayed as one DuckDB statement, digests compared).
+    "q80_corpus_to_sequences" -> q80OracleSql,
+
     // q81: base id hash, then the per-epoch Lehmer scramble
     // key_e = h * 48271^(e+1) + e (mod p). p^2 < 2^63 so the products
     // are exact BIGINT in both engines.
@@ -3585,6 +3595,293 @@ object SparkEntry {
        |SELECT CAST(it - 1 AS BIGINT) AS merge_rank, m_a AS lhs, m_b AS rhs
        |FROM steps WHERE it > 0 GROUP BY 1, 2, 3""".stripMargin
   }
+
+  /** q80's oracle — the ENTIRE flagship pipeline replayed as one
+    * DuckDB statement: the q73 curation chain (survivor set), the q78
+    * merge-training recursion over the CURATED corpus, vocabulary
+    * numbering (chars sorted, then '</w>' + merge products in learned
+    * order, keep-first dedup — Bpe.vocabFromCounts), the q85 encode
+    * recursion with the TRAINED merge state carried ON the rows (a
+    * steps-derived CTE referenced inside a recursion is re-evaluated
+    * per iteration — measured 130s -> 1s), the q74/q79 placement
+    * algebra over piece counts, sequence assembly, and an md5 digest
+    * of the comma-joined ids (portable, unlike Spark's xxhash64 —
+    * which is why q80's projection switched). Every non-recursive CTE
+    * is MATERIALIZED: the multi-consumer curation chain otherwise
+    * re-evaluates per downstream path. This closes the last
+    * composition-level rows-only gate — only the two ML scorers
+    * (q28/q29) remain rows-only, each with a full-oracle twin.
+    */
+  private lazy val q80OracleSql: String =
+    """WITH RECURSIVE
+       |-- ======== curation (q73's oracle chain, survivor set only) ========
+       |base AS MATERIALIZED (
+       |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+       |  FROM documents),
+       |ratios AS MATERIALIZED (
+       |  SELECT doc_id, text, t,
+       |    CAST(len(list_filter(t, x -> list_contains(
+       |      ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+       |      / len(t) AS sw,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS alpha
+       |  FROM base),
+       |qual AS MATERIALIZED (
+       |  SELECT doc_id, text, t,
+       |    round(sw * 0.4 + alpha * 0.6 - punct * 0.5, 6) AS quality_score
+       |  FROM ratios),
+       |rep AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+       |      AS dup_token_ratio
+       |  FROM base),
+       |g1 AS MATERIALIZED (
+       |  SELECT q.doc_id, q.text, q.t
+       |  FROM qual q JOIN rep r ON q.doc_id = r.doc_id
+       |  WHERE q.quality_score >= 0.51 AND r.dup_token_ratio <= 0.6),
+       |wins AS MATERIALIZED (
+       |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS win
+       |  FROM (SELECT doc_id,
+       |          [array_to_string(t[i+1:i+8], ' ')
+       |           for i in generate_series(0, greatest(len(t)-8, 0))] AS ws
+       |        FROM g1)),
+       |whash AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(regexp_split_to_array(win, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+       |  FROM wins),
+       |wflag AS MATERIALIZED (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM whash)
+       |  WHERE cnt >= 2),
+       |wcov AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - pos) END)
+       |      AS BIGINT) AS dup_raw
+       |  FROM (SELECT doc_id, pos,
+       |          lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |        FROM wflag)
+       |  GROUP BY 1),
+       |g2 AS MATERIALIZED (
+       |  SELECT g.doc_id, g.text, g.t
+       |  FROM g1 g LEFT JOIN wcov c ON g.doc_id = c.doc_id
+       |  WHERE round(CAST(least(coalesce(c.dup_raw, 0), len(g.t)) AS DOUBLE)
+       |    / len(g.t), 6) <= 0.8),
+       |keptx AS MATERIALIZED (
+       |  SELECT doc_id, text, t,
+       |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM g2),
+       |keptd AS MATERIALIZED (SELECT doc_id, text, t FROM keptx WHERE rn = 1),
+       |lmp AS MATERIALIZED (
+       |  SELECT doc_id, unnest([{'w1': t[i+1], 'w2': t[i+2]}
+       |    for i in generate_series(0, len(t)-2)]) AS p
+       |  FROM keptd WHERE len(t) >= 2),
+       |lm AS MATERIALIZED (
+       |  SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c FROM lmp GROUP BY 1, 2),
+       |ctx AS MATERIALIZED (SELECT w1, CAST(sum(c) AS BIGINT) AS c_ctx FROM lm GROUP BY 1),
+       |voc AS MATERIALIZED (SELECT count(DISTINCT tok) AS v
+       |        FROM (SELECT unnest(t) AS tok FROM keptd)),
+       |lterm AS MATERIALIZED (
+       |  SELECT l0.doc_id, coalesce(lm.c, 0) AS c, coalesce(ctx.c_ctx, 0) AS cctx
+       |  FROM lmp l0
+       |  LEFT JOIN lm ON l0.p['w1'] = lm.w1 AND l0.p['w2'] = lm.w2
+       |  LEFT JOIN ctx ON l0.p['w1'] = ctx.w1),
+       |lscore AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(CAST(floor(1e6 * ln(
+       |      CAST(c + 1 AS DOUBLE) /
+       |      CAST(cctx + (SELECT v FROM voc) AS DOUBLE))) AS BIGINT)) AS BIGINT)
+       |      AS ll_scaled
+       |  FROM lterm GROUP BY 1),
+       |g3 AS MATERIALIZED (
+       |  SELECT k.doc_id, k.text, k.t
+       |  FROM keptd k LEFT JOIN lscore s ON k.doc_id = s.doc_id
+       |  WHERE coalesce(s.ll_scaled, 0) >= -3450000 * coalesce(s.n_bigrams, 0)),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [array_to_string(t[i+1:i+3], ' ')
+       |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+       |  FROM g3),
+       |shcounts AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |cand AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS MATERIALIZED (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM cand p
+       |  JOIN shcounts ca ON p.doc_a = ca.doc_id
+       |  JOIN shcounts cb ON p.doc_b = cb.doc_id
+       |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |cc AS MATERIALIZED (
+       |  SELECT src AS doc, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS doc, cc.lbl FROM cc JOIN edges e ON cc.doc = e.src),
+       |labels AS MATERIALIZED (SELECT doc, min(lbl) AS cluster_id FROM cc GROUP BY 1),
+       |corpus AS MATERIALIZED (
+       |  SELECT k.doc_id, k.text, k.t
+       |  FROM g3 k LEFT JOIN labels l ON k.doc_id = l.doc
+       |  WHERE coalesce(l.cluster_id, k.doc_id) = k.doc_id),
+       |-- ======== BPE training on the curated corpus (q78's loop) ========
+       |cw AS MATERIALIZED (SELECT unnest(t) AS word FROM corpus),
+       |dict AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt FROM cw
+       |  WHERE length(word) > 0 GROUP BY 1 HAVING count(*) >= 2),
+       |steps(it, s, cnt, m_a, m_b) AS (
+       |  SELECT 0, list_append(regexp_split_to_array(word, ''), '</w>'),
+       |         CAST(cnt AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  FROM dict
+       |  UNION ALL
+       |  SELECT st.it + 1,
+       |    list_filter([CASE WHEN (i >= 1 AND i < len(st.s) AND st.s[i] = bp.a AND st.s[i + 1] = bp.b
+       |      AND (((i - 1) - coalesce(list_max([j for j in generate_series(1, i - 1)
+       |        if NOT (st.s[j] = bp.a AND st.s[j + 1] = bp.b)]), 0)) % 2 = 0))
+       |                        THEN st.s[i] || st.s[i + 1]
+       |                      WHEN i > 1 AND ((i - 1) >= 1 AND (i - 1) < len(st.s) AND st.s[(i - 1)] = bp.a AND st.s[(i - 1) + 1] = bp.b
+       |      AND ((((i - 1) - 1) - coalesce(list_max([j for j in generate_series(1, (i - 1) - 1)
+       |        if NOT (st.s[j] = bp.a AND st.s[j + 1] = bp.b)]), 0)) % 2 = 0))
+       |                        THEN NULL
+       |                      ELSE st.s[i] END
+       |                 for i in generate_series(1, len(st.s))],
+       |                x -> x IS NOT NULL),
+       |    st.cnt, bp.a, bp.b
+       |  FROM steps st, (
+       |    SELECT a, b, c FROM (
+       |      SELECT s2.s[i] AS a, s2.s[i + 1] AS b, sum(s2.cnt) AS c
+       |      FROM steps s2, unnest(generate_series(1, len(s2.s) - 1)) AS t(i)
+       |      GROUP BY 1, 2
+       |    ) ORDER BY c DESC, a, b LIMIT 1
+       |  ) bp
+       |  WHERE st.it < 100 AND bp.c >= 2
+       |),
+       |mg_t AS MATERIALIZED (
+       |  SELECT CAST(it - 1 AS BIGINT) AS rank, m_a, m_b
+       |  FROM steps WHERE it > 0 GROUP BY 1, 2, 3),
+       |-- ======== vocabulary numbering (Bpe.vocabFromCounts) ========
+       |chars AS MATERIALIZED (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) - 1
+       |    AS piece_id
+       |  FROM (SELECT DISTINCT unnest(regexp_split_to_array(word, '')) AS piece
+       |        FROM dict
+       |        -- NOTE: vocabFromCounts scans word TYPES of the FULL word-count
+       |        -- table (no min-frequency filter)
+       |        ) WHERE length(piece) > 0),
+       |allwords AS MATERIALIZED (SELECT DISTINCT word FROM cw WHERE length(word) > 0),
+       |vchars AS MATERIALIZED (
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS BIGINT) - 1
+       |    AS piece_id
+       |  FROM (SELECT DISTINCT unnest(regexp_split_to_array(word, '')) AS piece
+       |        FROM allwords) WHERE length(piece) > 0),
+       |vbase AS MATERIALIZED (SELECT count(*) AS c FROM vchars),
+       |products AS MATERIALIZED (
+       |  SELECT CAST(-1 AS BIGINT) AS ord, '</w>' AS piece
+       |  UNION ALL
+       |  SELECT rank, m_a || m_b FROM mg_t),
+       |firsts AS MATERIALIZED (SELECT piece, min(ord) AS ord FROM products GROUP BY 1),
+       |learned AS MATERIALIZED (
+       |  SELECT piece,
+       |    (SELECT c FROM vbase) + CAST(row_number() OVER (ORDER BY ord) AS BIGINT)
+       |      - 1 AS piece_id
+       |  FROM firsts),
+       |vocab AS MATERIALIZED (SELECT * FROM vchars UNION ALL SELECT * FROM learned),
+       |-- ======== encode every distinct corpus word (q85's machinery) ========
+       |mmap AS MATERIALIZED (
+       |  SELECT map_from_entries(list(struct_pack(k := m_a || '|' || m_b,
+       |    v := rank))) AS m FROM mg_t),
+       |mgl AS MATERIALIZED (
+       |  SELECT list(struct_pack(a := m_a, b := m_b) ORDER BY rank) AS l
+       |  FROM mg_t),
+       |-- merge state rides ON the rows (mm map, ml list): the recursion never
+       |-- references a steps-derived CTE, which DuckDB would otherwise
+       |-- re-evaluate (and re-run the training recursion) once per iteration
+       |enc(word, s, mm, ml) AS (
+       |  SELECT word, list_append(regexp_split_to_array(word, ''), '</w>'),
+       |         mmap.m, mgl.l
+       |  FROM allwords, mmap, mgl
+       |  UNION ALL
+       |  SELECT w2.word,
+       |    list_filter([CASE WHEN (i >= 1 AND i < len(w2.s) AND w2.s[i] = w2.ma AND w2.s[i + 1] = w2.mb
+       |      AND (((i - 1) - coalesce(list_max([j for j in generate_series(1, i - 1)
+       |        if NOT (w2.s[j] = w2.ma AND w2.s[j + 1] = w2.mb)]), 0)) % 2 = 0))
+       |                        THEN w2.s[i] || w2.s[i + 1]
+       |                      WHEN i > 1 AND ((i - 1) >= 1 AND (i - 1) < len(w2.s) AND w2.s[(i - 1)] = w2.ma AND w2.s[(i - 1) + 1] = w2.mb
+       |      AND ((((i - 1) - 1) - coalesce(list_max([j for j in generate_series(1, (i - 1) - 1)
+       |        if NOT (w2.s[j] = w2.ma AND w2.s[j + 1] = w2.mb)]), 0)) % 2 = 0))
+       |                        THEN NULL
+       |                      ELSE w2.s[i] END
+       |                 for i in generate_series(1, len(w2.s))],
+       |                x -> x IS NOT NULL),
+       |    w2.mm, w2.ml
+       |  FROM (
+       |    SELECT e.word, e.s, e.mm, e.ml,
+       |      e.ml[CAST(coalesce(list_min([coalesce(
+       |      map_extract(e.mm, e.s[i] || '|' || e.s[i + 1])[1], 1000000)
+       |      for i in generate_series(1, len(e.s) - 1)]), 1000000) AS BIGINT) + 1]['a'] AS ma,
+       |      e.ml[CAST(coalesce(list_min([coalesce(
+       |      map_extract(e.mm, e.s[i] || '|' || e.s[i + 1])[1], 1000000)
+       |      for i in generate_series(1, len(e.s) - 1)]), 1000000) AS BIGINT) + 1]['b'] AS mb,
+       |      coalesce(list_min([coalesce(
+       |      map_extract(e.mm, e.s[i] || '|' || e.s[i + 1])[1], 1000000)
+       |      for i in generate_series(1, len(e.s) - 1)]), 1000000) AS minr
+       |    FROM enc e
+       |  ) w2
+       |  WHERE w2.minr < 1000000
+       |),
+       |fin AS MATERIALIZED (
+       |  SELECT e.word, e.s FROM enc e
+       |  WHERE coalesce(list_min([coalesce(
+       |      map_extract(e.mm, e.s[i] || '|' || e.s[i + 1])[1], 1000000)
+       |      for i in generate_series(1, len(e.s) - 1)]), 1000000) = 1000000),
+       |wpieces AS MATERIALIZED (
+       |  SELECT word, generate_subscripts(s, 1) AS pp, unnest(s) AS piece
+       |  FROM fin),
+       |wids AS MATERIALIZED (
+       |  SELECT wp.word, list(v.piece_id ORDER BY wp.pp) AS ids
+       |  FROM wpieces wp JOIN vocab v ON wp.piece = v.piece
+       |  GROUP BY 1),
+       |-- ======== per-doc id arrays, placement, assembly, digest ========
+       |dwords AS MATERIALIZED (
+       |  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS word
+       |  FROM corpus),
+       |docids AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    flatten(list(w.ids ORDER BY d.pos)) AS piece_ids
+       |  FROM dwords d JOIN wids w ON d.word = w.word
+       |  GROUP BY 1),
+       |doclen AS MATERIALIZED (
+       |  SELECT doc_id, piece_ids, CAST(len(piece_ids) AS BIGINT) AS n
+       |  FROM docids),
+       |cum AS MATERIALIZED (
+       |  SELECT doc_id, piece_ids, n,
+       |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+       |  FROM doclen),
+       |placed AS MATERIALIZED (
+       |  SELECT doc_id, piece_ids, n, e - n AS s, e FROM cum WHERE n > 0),
+       |m AS MATERIALIZED (
+       |  SELECT doc_id, piece_ids, s, e,
+       |    unnest(generate_series(s // 512, (e - 1) // 512)) AS seq_id
+       |  FROM placed),
+       |slices AS MATERIALIZED (
+       |  SELECT seq_id,
+       |    greatest(s, seq_id * 512) - seq_id * 512 AS seq_off,
+       |    least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS n_toks,
+       |    list_slice(piece_ids,
+       |      greatest(seq_id * 512 - s, 0) + 1,
+       |      greatest(seq_id * 512 - s, 0)
+       |        + least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512)) AS ids
+       |  FROM m)
+       |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(array_to_string(ids, ','), ',' ORDER BY seq_off))
+       |    AS ids_hash
+       |FROM slices GROUP BY 1""".stripMargin
 
   /** q101's oracle (shared by q102, whose two-commit index must
     * answer identically): postings/df/dl/idf and the per-query rank
