@@ -110,6 +110,50 @@ class RetrievalSpec extends SparkSpec {
     assert(afterReplay == afterFirst)
   }
 
+  test("foreachBatch postings ingest: stream-built index == batch build, " +
+      "replayed batch is a no-op") {
+    // the PackStream/IncrementalDedup discipline for retrieval: a
+    // continuous doc stream appends postings with the batch id as the
+    // idempotence version, so crash-replays can never double-count tf
+    // or the corpus stats
+    val d = Tables.documents(spark, Sf0001)
+    val seed = d.filter(col("doc_id") % 3 === 0)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_bm25stream").toString + "/postings"
+    Retrieval.writePostingsIndex(seed, t)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Retrieval.appendToPostingsIndex(batch, t,
+          writer = Some(("bm25-stream", id)))
+        ()
+      }
+      .start()
+    val rest = d.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    input.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val queries = d.filter(col("doc_id") % 100 === 0)
+    val streamed = Retrieval.bm25TopKIndexedTable(spark, queries, t, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Retrieval.bm25TopK(d, queries, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+    // a crash-replay of the last batch must not double-count
+    assert(Retrieval.appendToPostingsIndex(
+      spark.createDataFrame(b2.toIndexedSeq).toDF("doc_id", "text"), t,
+      writer = Some(("bm25-stream", 1L))).isEmpty)
+    val afterReplay = Retrieval.bm25TopKIndexedTable(spark, queries, t, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterReplay == streamed)
+  }
+
   test("partition invariance and gate-query shape on real sf0.001 docs") {
     val d = Tables.documents(spark, Sf0001)
     val fn = SparkEntry.queries("q101_bm25_retrieval")
