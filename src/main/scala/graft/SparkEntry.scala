@@ -1354,6 +1354,51 @@ object SparkEntry {
         train.filter(col("doc_id") % 2 =!= 0), t)
       graft.core.Retrieval.bm25TopKIndexedTable(s,
         d.filter(col("doc_id") % 100 === 0), t, k = 10)
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the sparse BM25
+    // list and the dense cosine list (same query slice; doc_id and
+    // vec_id are the same key space). Contributions are the INTEGER
+    // 1e9 DIV (60 + rank), so the fused score is an order-free BIGINT
+    // sum; both arms are k-bounded per query, so fusion costs
+    // O(queries x k) however big the corpus is.
+    "q103_hybrid_rrf" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sparse = graft.core.Retrieval.bm25TopK(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0), k = 20)
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.cosineTopK(
+          emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 100 =!= 0), k = 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      graft.core.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+    }),
+
+    // index-quality evaluation: recall@5 of the IVF ANN pipeline
+    // (q27's exact parameterization) against the brute-force cosine
+    // ranking — the gate a serving index runs after every
+    // build/append to justify its nProbe setting with a number.
+    "q104_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.cosineTopK(queries, emb, k = 5)
+      val centroids = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val ann = Similarity.ivfTopK(queries, emb, centroids, k = 5, nProbe = 2)
+      Similarity.recallAtK(exact, ann, k = 5)
+    }),
+
+    // MMR diversified top-k: greedy relevance-vs-redundancy selection
+    // over the exact top-20 candidate pool, per-query bounded state in
+    // flatMapGroups (poolSize·dim floats — never a driver loop). The
+    // oracle replays the greedy as a DuckDB recursive CTE with a
+    // struct-max argmax per step (LATERAL correlation inside recursion
+    // silently NULLs in DuckDB 1.0 — see PLANS.md).
+    "q105_mmr_select" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mmrTopK(emb.filter(col("vec_id") < 4), emb,
+        k = 5, poolSize = 20)
     })
   )
 
@@ -2024,6 +2069,18 @@ object SparkEntry {
     // the two-commit snapshot-table postings index must answer
     // EXACTLY like the one-shot relational BM25 — same oracle as q101
     "q102_bm25_index_incremental" -> q101OracleSql,
+
+    // RRF hybrid fusion: both arms replayed relationally at depth 20,
+    // integer 1e9 // (60 + rank) contributions, order-free BIGINT sum
+    "q103_hybrid_rrf" -> q103OracleSql,
+
+    // recall@5 of the replayed IVF chain vs the replayed exact chain
+    "q104_ann_recall" -> q104OracleSql,
+
+    // the greedy MMR loop replayed as a recursive CTE: per step, the
+    // candidate argmax of 0.7·rel − 0.3·max-sim-to-selected via a
+    // lexicographic struct max (sc, −cand_id)
+    "q105_mmr_select" -> q105OracleSql,
 
     // q28-q29: model-scoring — intentionally no oracle
     // (rows-only checks; parity proven in the test suite instead)
@@ -3889,8 +3946,13 @@ object SparkEntry {
     * BIGINT before the order-free sum, identical parenthesization to
     * `Retrieval.bm25TopK`.
     */
-  private lazy val q101OracleSql: String =
-    """WITH tok AS (
+  /** The BM25 relational chain as CTE-list text (ends with `ranked`,
+    * which carries every (query, doc) pair's rank) — q101/q102 filter
+    * it to k = 10 directly; q103 composes it at depth 20 as the sparse
+    * arm of the hybrid RRF fusion.
+    */
+  private lazy val bm25Ctes: String =
+    """tok AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
       |  FROM documents WHERE length(trim(text)) > 0),
       |train_tok AS (SELECT * FROM tok WHERE doc_id % 100 <> 0),
@@ -3927,9 +3989,47 @@ object SparkEntry {
       |  SELECT query_id, doc_id, bm25_micro,
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank
-      |  FROM scores)
-      |SELECT query_id, rank, doc_id, bm25_micro FROM ranked
-      |WHERE rank <= 10""".stripMargin
+      |  FROM scores)""".stripMargin
+
+  private lazy val q101OracleSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc_id, bm25_micro FROM ranked
+       |WHERE rank <= 10""".stripMargin
+
+  /** q103's oracle: RRF fusion of the BM25 chain (depth 20) and the
+    * exact dense cosine ranking (depth 20) — each list contributes the
+    * INTEGER 1e9 // (60 + rank) so the fused score is an order-free
+    * BIGINT sum, identical to `Retrieval.rrfFuse`.
+    */
+  private lazy val q103OracleSql: String =
+    s"""WITH $bm25Ctes,
+       |sparse AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= 20),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    ${duckCos("q.v", "c.v")} AS cos
+       |  FROM e q, e c
+       |  WHERE q.vec_id % 100 = 0 AND c.vec_id % 100 <> 0),
+       |dense AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, doc_id ASC) AS rank FROM dscored)
+       |  WHERE rank <= 20),
+       |contribs AS (
+       |  SELECT query_id, doc_id, 1000000000 // (60 + rank) AS contrib
+       |  FROM sparse
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1000000000 // (60 + rank) AS contrib
+       |  FROM dense),
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_nano
+       |  FROM contribs GROUP BY 1, 2),
+       |rr AS (
+       |  SELECT query_id, doc_id, rrf_nano,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_nano DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM fused)
+       |SELECT query_id, rank, doc_id, rrf_nano FROM rr WHERE rank <= 10""".stripMargin
 
   /** q85's oracle: the greedy rank-merge BPE encode replayed as a
     * recursive CTE over the literal merge table of [[FixedBpeModel]].
@@ -4071,8 +4171,13 @@ object SparkEntry {
     * within the probed buckets. Same fixed centroids (vec_id % 97 = 3),
     * same tie-breaks (centroid/neighbor id ascending).
     */
-  private lazy val q27OracleSql: String =
-    s"""WITH e AS (
+  /** The IVF ANN relational chain as CTE-list text (ends with
+    * `ranked`, carrying each probed (query, neighbor) pair's rank) —
+    * q27/q100 filter it to k = 5 directly; q104 composes it against
+    * the exact ranking for the recall@k evaluation.
+    */
+  private lazy val ivfAnnCtes: String =
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 97 = 3),
        |assigned AS (
@@ -4102,10 +4207,109 @@ object SparkEntry {
        |  SELECT query_id, vec_id, cos,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, vec_id ASC) AS rnk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  private lazy val q27OracleSql: String =
+    s"""WITH $ivfAnnCtes
        |SELECT query_id, CAST(rnk AS BIGINT) AS rank, vec_id AS neighbor_id,
        |  round(cos, 6) AS cosine
        |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** q104's oracle: recall@5 of the IVF ANN chain against the exact
+    * cosine ranking over the same query set — both rankings replayed
+    * relationally, hit count joined on (query, neighbor), recall as
+    * the exact integer n_hit·1e6 // k.
+    */
+  private lazy val q104OracleSql: String =
+    s"""WITH $ivfAnnCtes,
+       |ann AS (SELECT query_id, vec_id AS neighbor_id FROM ranked
+       |  WHERE rnk <= 5),
+       |xscored AS (
+       |  SELECT q.query_id, ce.vec_id AS neighbor_id,
+       |    ${duckCos("q.qv", "ce.v")} AS cos
+       |  FROM q, e ce WHERE q.query_id <> ce.vec_id),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM xscored)
+       |  WHERE rnk <= 5),
+       |hits AS (
+       |  SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM exact x JOIN ann a
+       |    ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+       |  GROUP BY 1)
+       |SELECT u.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(5 AS BIGINT) AS k,
+       |  CAST((coalesce(h.n_hit, 0) * 1000000) // 5 AS BIGINT) AS recall_micro
+       |FROM (SELECT DISTINCT query_id FROM exact) u
+       |LEFT JOIN hits h ON u.query_id = h.query_id""".stripMargin
+
+  /** q105's oracle: the greedy MMR selection replayed as a recursive
+    * CTE. Pool and candidate-pair cosines are MATERIALIZED
+    * (the WITH RECURSIVE multi-consumer re-evaluation trap, PLANS.md);
+    * each recursion step computes every surviving candidate's
+    * 0.7·rel − 0.3·max(sim to selected) and takes the per-query
+    * argmax through a lexicographic struct max over
+    * (sc, −cand_id) — NOT a LATERAL subquery: correlated subqueries
+    * and LATERAL bodies referencing the recursive table silently
+    * return NULL / zero rows in DuckDB 1.0 (measured; PLANS.md).
+    * The 0.3 literal is the exact decimal the engine uses — never
+    * 1 − 0.7, which is 0.30000000000000004 in IEEE.
+    */
+  private lazy val q105OracleSql: String =
+    s"""WITH RECURSIVE
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+       |relc AS MATERIALIZED (
+       |  SELECT query_id, cand_id, rel FROM (
+       |    SELECT q.query_id, c.vec_id AS cand_id,
+       |      ${duckCos("q.qv", "c.v")} AS rel,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCos("q.qv", "c.v")} DESC, c.vec_id ASC) AS rk
+       |    FROM q, e c WHERE q.query_id <> c.vec_id)
+       |  WHERE rk <= 20),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.query_id, a.cand_id AS ida, b.cand_id AS idb,
+       |    ${duckCos("va.v", "vb.v")} AS sim
+       |  FROM relc a JOIN relc b
+       |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+       |  JOIN e va ON va.vec_id = a.cand_id
+       |  JOIN e vb ON vb.vec_id = b.cand_id),
+       |sel AS (
+       |  SELECT query_id, CAST(1 AS BIGINT) AS step, [cand_id] AS sel_ids,
+       |         cand_id AS picked, 0.7 * rel - 0.3 * CAST(0 AS DOUBLE) AS mmr
+       |  FROM (SELECT query_id, cand_id, rel,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY 0.7 * rel - 0.3 * CAST(0 AS DOUBLE) DESC,
+       |              cand_id ASC) AS rk
+       |        FROM relc)
+       |  WHERE rk = 1
+       |  UNION ALL
+       |  SELECT query_id, step + 1, list_append(sel_ids, best.cid),
+       |         best.cid, best.sc
+       |  FROM (
+       |    SELECT g.query_id, g.step, g.sel_ids,
+       |           max(struct_pack(sc := g.sc, negid := -g.cand_id,
+       |                           cid := g.cand_id)) AS best
+       |    FROM (
+       |      SELECT r.query_id, r.step, r.sel_ids, c.cand_id,
+       |             0.7 * c.rel - 0.3 * max(pp.sim) AS sc
+       |      FROM sel r
+       |      JOIN relc c ON c.query_id = r.query_id
+       |        AND NOT list_contains(r.sel_ids, c.cand_id)
+       |      JOIN pairs pp ON pp.query_id = c.query_id
+       |        AND pp.ida = c.cand_id
+       |        AND list_contains(r.sel_ids, pp.idb)
+       |      WHERE r.step < 5
+       |      GROUP BY r.query_id, r.step, r.sel_ids, c.cand_id, c.rel
+       |    ) g
+       |    GROUP BY g.query_id, g.step, g.sel_ids))
+       |SELECT query_id, step AS rank, picked AS doc_id,
+       |  CAST(floor(1000000.0 * mmr) AS BIGINT) AS mmr_micro
+       |FROM sel""".stripMargin
 
   /** The shared candidate-generation CTE chain for q50/q40: embeds the
     * identical hyperplane literals the engine uses

@@ -224,4 +224,43 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     scoreAndRank(postings, qterms, stats, k)
   }
+
+  // ---- hybrid retrieval: reciprocal-rank fusion ---------------------
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR '09)
+    * of per-query rankings — the standard sparse⊕dense hybrid
+    * combiner: each input list contributes 1/(c + rank) per
+    * (query, doc), and docs surfaced by several retrievers sum their
+    * contributions.
+    *
+    * Determinism discipline: the contribution is the INTEGER
+    * 1e9 DIV (c + rank) — 1/61 has no exact double, so the float path
+    * would hang cross-engine equality on summation luck; the integer
+    * form makes the fused score an order-free BIGINT sum (the
+    * [[LanguageModel]] fixed-point discipline applied to fusion).
+    *
+    * Scale shape: every input is k-bounded per query by construction,
+    * so fusion touches O(queries × k × lists) rows no matter how big
+    * the corpus is — all the heavy lifting stays in the audited
+    * BM25 / ANN paths that produced the lists, which at index scale
+    * are the snapshot-table-served variants, drop-in.
+    *
+    * @param rankings (query_id, rank, doc_id)-shaped lists (extra
+    *                 columns ignored; rank 1-based)
+    * @return (query_id, rank, doc_id, rrf_nano) — rank 1..k by
+    *         (rrf_nano desc, doc_id)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"CAST(1000000000 AS BIGINT) DIV ($c + CAST(rank AS BIGINT))")
+        .as("contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id").agg(sum("contrib").as("rrf_nano"))
+    fused.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_nano").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_nano"))
+  }
 }

@@ -484,4 +484,147 @@ object Similarity {
       .select(col(labelCol), posexplode(col("sv")).as(Seq("dim", "sv")),
         col("n"))
       .select(col(labelCol), col("dim"), (col("sv") / col("n")).as("mean_v"), col("n"))
+
+  // ---- index-quality evaluation ------------------------------------
+
+  /** Recall@k of an approximate ranking against the exact one — the
+    * index-quality gate an ANN serving layer runs after every build /
+    * append (the measured number that justifies an nProbe / bucket
+    * setting at scale, instead of hoping). Both inputs are k-bounded
+    * per query by construction, so the evaluation costs
+    * O(queries × k) rows regardless of corpus size.
+    *
+    * Inputs are (query_id, rank, neighbor_id)-shaped (extra columns
+    * ignored); `exact` defines the query universe, so a query whose
+    * approximate list missed everything still reports n_hit = 0.
+    *
+    * @return (query_id, n_hit, k, recall_micro) with
+    *         recall_micro = n_hit·1e6 DIV k — exact integer, the
+    *         fixed-point discipline.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "leftsemi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(k.toLong).as("k"),
+        expr(s"CAST(coalesce(n_hit, 0) * 1000000 AS BIGINT) DIV $k")
+          .as("recall_micro"))
+  }
+
+  // ---- diversified selection (MMR) ---------------------------------
+
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR '98): greedily select the candidate maximizing
+    * relWeight·rel(q,d) − divWeight·max_{s∈S} cos(d,s), trading
+    * relevance against redundancy — the diverse-exemplar sampler of a
+    * training-data pipeline (few-shot pool selection, diversity-aware
+    * eval-set construction, dedup-adjacent curation).
+    *
+    * Scale shape: stage 1 is the audited exact-top-`poolSize`
+    * candidate path (broadcast queries, ONE corpus scan, per-query
+    * rank window); the greedy stage then runs per query over its own
+    * ≤ poolSize pool inside `flatMapGroups` — bounded state
+    * (poolSize·dim floats), distributed by query id, ≤ k·poolSize
+    * dot products per query, never a driver loop. At index scale
+    * stage 1 swaps for [[ivfTopK]] / the snapshot-table probe
+    * unchanged.
+    *
+    * Determinism: every double op is ordered identically to the
+    * DuckDB oracle — dots fold left over dims ([[dot]]'s order),
+    * the score is literally relWeight·rel − divWeight·maxSim
+    * (divWeight is a PARAMETER, not 1 − relWeight: 1.0 − 0.7 is
+    * 0.30000000000000004 in IEEE, and the oracle must parse the same
+    * exact decimal), maxSim over the selected set is an order-free
+    * max, ties break on candidate id ascending.
+    *
+    * @return (query_id, rank, doc_id, mmr_micro) — rank 1..k in
+    *         selection order, mmr_micro = floor(1e6·score) BIGINT.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              poolSize: Int = 20, relWeight: Double = 0.7,
+              divWeight: Double = 0.3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_n"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_n"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("rel",
+        dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("rel"), asc("cand_id"))
+    val pool = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= poolSize)
+      .select(col("query_id"), col("cand_id"), col("rel"), col("c_vec"))
+      .as[(Long, Long, Double, Array[Float])]
+    pool.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        // group iteration order is not deterministic — pin id order so
+        // the strict `>` comparison tie-breaks on lowest candidate id
+        val cands = it.toArray.sortBy(_._2)
+        val n = cands.length
+        // TRUE max cos to the selected set — it can be NEGATIVE, and
+        // clamping at 0 would under-penalize near-orthogonal
+        // candidates; −∞ init is never read (step 1 uses the 0.0
+        // empty-set convention, and from step 2 every pool member has
+        // a real sim to the selection — the pool is a complete graph)
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val taken = new Array[Boolean](n)
+        val out = Array.newBuilder[(Long, Long, Long, Long)]
+        var step = 1
+        val take = math.min(k, n)
+        while (step <= take) {
+          var best = -1
+          var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val ms = if (step == 1) 0.0 else maxSim(i)
+              val s = relWeight * cands(i)._3 - divWeight * ms
+              if (best < 0 || s > bestScore) { best = i; bestScore = s }
+            }
+            i += 1
+          }
+          out += ((qid, step.toLong, cands(best)._2,
+            math.floor(1e6 * bestScore).toLong))
+          taken(best) = true
+          // one pass folds the new selection into every survivor's
+          // diversity term — k·poolSize dots total, not poolSize²
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val s = cosineArr(cands(j)._4, cands(best)._4)
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "rank", "doc_id", "mmr_micro")
+  }
+
+  /** Plain-Scala cosine in the exact operation order of [[dot]] and
+    * the oracle's list_reduce: left fold over dims in double, then
+    * dot / (sqrt·sqrt).
+    */
+  private def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      ab += a(i).toDouble * b(i).toDouble
+      aa += a(i).toDouble * a(i).toDouble
+      bb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
 }

@@ -169,4 +169,49 @@ class RetrievalSpec extends SparkSpec {
     assert(one == expect)
     assert(many == expect)
   }
+
+  private def rrfC(rank: Long): Long = 1000000000L / (60L + rank)
+
+  test("RRF fusion: integer contributions, overlap outranks, id tie-break") {
+    val s1 = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L)).toDF("query_id", "rank", "doc_id")
+    val s2 = Seq((1L, 1L, 11L), (1L, 2L, 13L),
+      (2L, 1L, 21L)).toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(Seq(s1, s2), k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // query 1: doc 11 is in BOTH lists (rank 2 + rank 1) and must beat
+    // doc 10 (a single rank-1); then 13 (rank 2) over 12 (rank 3)
+    assert(got.filter(_._1 == 1L) == Seq(
+      (1L, 1L, 11L, rrfC(2) + rrfC(1)),
+      (1L, 2L, 10L, rrfC(1)),
+      (1L, 3L, 13L, rrfC(2)),
+      (1L, 4L, 12L, rrfC(3))))
+    // query 2: equal contributions (rank 1 in one list each) break on
+    // the lower doc id
+    assert(got.filter(_._1 == 2L) == Seq(
+      (2L, 1L, 20L, rrfC(1)), (2L, 2L, 21L, rrfC(1))))
+  }
+
+  test("RRF: single-list fusion preserves the input order, truncated to k") {
+    val s1 = (1 to 8).map(r => (7L, r.toLong, (100 + r).toLong))
+      .toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(Seq(s1), k = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == (1 to 5).map(r =>
+      (7L, r.toLong, (100 + r).toLong, rrfC(r.toLong))))
+  }
+
+  test("hybrid gate query: fused list draws from both arms on sf0.001") {
+    val fused = SparkEntry.queries("q103_hybrid_rrf")(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fused.nonEmpty)
+    // every query returns at most 10, ranks are 1..n contiguous
+    fused.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted == (1 to rs.size).map(_.toLong))
+    }
+    // a doc surfaced by both arms carries the sum of both integer
+    // contributions — its rrf_nano exceeds any single-arm maximum
+    val single = rrfC(1)
+    assert(fused.exists(_._4 > single))
+  }
 }

@@ -226,4 +226,99 @@ class SimilaritySpec extends SparkSpec {
     assert(replay.isEmpty, "replayed txn must be skipped")
     assert(SnapshotTable.read(spark, t).count() == before)
   }
+
+  test("recall@k: identical lists give 1.0, zero-hit queries keep a row") {
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L), (2L, 2L, 21L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val sameR = Similarity.recallAtK(exact, exact, k = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sameR == Seq((1L, 2L, 2L, 1000000L), (2L, 2L, 2L, 1000000L)))
+    // approx misses query 2 entirely and hits 1-of-2 on query 1
+    val approx = Seq((1L, 1L, 11L), (1L, 2L, 99L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx, k = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 1L, 2L, 500000L), (2L, 0L, 2L, 0L)))
+  }
+
+  test("MMR: diversity term uses the TRUE max sim — negative, not clamped") {
+    // three unit vectors 120° apart; the query sits 20° off v1. After
+    // v1 is selected, every other candidate's max sim to the selection
+    // is cos(120°) = −0.5 — the un-clamped semantics ADD 0.15 to the
+    // step-2 score, which the assert pins as a positive mmr_micro.
+    val c = math.cos(math.Pi * 2 / 3).toFloat // -0.5
+    val s = math.sin(math.Pi * 2 / 3).toFloat
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(c, s)), (3L, Array(c, -s)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((99L, Array(math.cos(0.349).toFloat, math.sin(0.349).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(q, vecs, k = 3, poolSize = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got.map(_._3) == Seq(1L, 2L, 3L))
+    val rel2 = {
+      // the engine's double path: float-cast products, left fold
+      val qv = Array(math.cos(0.349).toFloat, math.sin(0.349).toFloat)
+      val v2 = Array(c, s)
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- 0 until 2) {
+        ab += qv(i).toDouble * v2(i).toDouble
+        aa += qv(i).toDouble * qv(i).toDouble
+        bb += v2(i).toDouble * v2(i).toDouble
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val sim21 = {
+      val v2 = Array(c, s); val v1 = Array(1.0f, 0.0f)
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- 0 until 2) {
+        ab += v2(i).toDouble * v1(i).toDouble
+        aa += v2(i).toDouble * v2(i).toDouble
+        bb += v1(i).toDouble * v1(i).toDouble
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val expected2 = math.floor(1e6 * (0.7 * rel2 - 0.3 * sim21)).toLong
+    assert(got(1)._4 == expected2)
+    assert(got(1)._4 > 0, "un-clamped −0.5 sim must RAISE the score above 0")
+  }
+
+  test("MMR matches an independent greedy reference on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val got = Similarity.mmrTopK(emb.filter($"vec_id" < 4), emb,
+        k = 5, poolSize = 20)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // reference: recompute the max over the selected SET each step
+    // (no incremental state), plain collections
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      for (i <- a.indices) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val expect = (0L until 4L).flatMap { qid =>
+      val qv = vecs(qid)
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, r) => (-r, id) }.take(20)
+      var selected = List.empty[Long]
+      (1 to 5).map { step =>
+        val scoredLeft = pool.filterNot { case (id, _) => selected.contains(id) }
+          .map { case (id, r) =>
+            val ms = if (selected.isEmpty) 0.0
+              else selected.map(s => cos(vecs(id), vecs(s))).max
+            (id, 0.7 * r - 0.3 * ms)
+          }
+        val (bid, bsc) = scoredLeft.minBy { case (id, sc) => (-sc, id) }
+        selected ::= bid
+        (qid, step.toLong, bid, math.floor(1e6 * bsc).toLong)
+      }
+    }
+    assert(got == expect)
+  }
 }
