@@ -98,7 +98,13 @@ object ScaleProbe {
       // round-8: BM25 — one explode + pruned tf/df aggs; the query
       // SIDE also grows with the corpus (doc_id%100 slice), so the
       // matched join fans out ~linearly on this bounded vocabulary
-      "q101_bm25_retrieval")
+      "q101_bm25_retrieval",
+      // round-8 continuation: q103's gate shape rides q101's (both
+      // sides scale — the corpus x queries product); the fixed-query
+      // production shape is "rrf q=const" below. q104/q105 have FIXED
+      // query sets in the gate itself (vec_id < 8 / < 4), so their
+      // cost is the corpus-side scan/assign — linear by construction.
+      "q103_hybrid_rrf", "q104_ann_recall", "q105_mmr_select")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
@@ -187,6 +193,21 @@ object ScaleProbe {
         d.filter(col("doc_id") % 100 =!= 0),
         d.filter(col("doc_id") % 100 === 0 && col("doc_id") < 1000000L),
         k = 10)
+    }
+    // hybrid RRF with a FIXED query set (copy-0 queries): both arms
+    // become linear corpus scans and fusion stays O(queries x k)
+    timed("rrf q=const") { dir =>
+      val d = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val sparse = graft.core.Retrieval.bm25TopK(
+        d.filter(col("doc_id") % 100 =!= 0),
+        d.filter(col("doc_id") % 100 === 0 && col("doc_id") < 1000000L),
+        k = 20)
+      val dense = graft.core.Similarity.cosineTopK(
+          emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 1000000L),
+          emb.filter(col("vec_id") % 100 =!= 0), k = 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      graft.core.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
     }
     // ADC with a FIXED query set (copy-0 queries): corpus side scales,
     // query side doesn't
