@@ -104,7 +104,13 @@ object ScaleProbe {
       // production shape is "rrf q=const" below. q104/q105 have FIXED
       // query sets in the gate itself (vec_id < 8 / < 4), so their
       // cost is the corpus-side scan/assign — linear by construction.
-      "q103_hybrid_rrf", "q104_ann_recall", "q105_mmr_select")
+      "q103_hybrid_rrf", "q104_ann_recall", "q105_mmr_select",
+      // q106 rides q43's exact-Jaccard candidate chain (quadratic by
+      // design on the replicated corpus — the capped variants q94/q95
+      // are the scale path; the survivor POLICY adds one linear agg).
+      // q107 = one scan + the two-phase prefix sum under the priority
+      // order; q108 = one (source, bucket) agg + a groups x 16 grid.
+      "q106_dedup_keep_longest", "q107_token_budget", "q108_psi_drift")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

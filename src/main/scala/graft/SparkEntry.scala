@@ -1399,6 +1399,41 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.mmrTopK(emb.filter(col("vec_id") < 4), emb,
         k = 5, poolSize = 20)
+    }),
+
+    // quality-aware dedup resolution: the LONGEST member of each
+    // near-dup cluster survives (keep-the-most-complete-copy policy)
+    // via one struct-max aggregation per cluster — q43's component
+    // machinery with a production survivor rule
+    "q106_dedup_keep_longest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.resolveSurvivorsBy(docs, "doc_id", pairs,
+        struct(col("n_chars"), (-col("doc_id")).as("neg")))
+        .select(col("doc_id"), col("survivor_id"), col("is_survivor"))
+    }),
+
+    // global token-budget selection: the best 20k tokens by
+    // alpha-density priority (exact fixed-point integers), cumulative
+    // count via the two-phase prefix sum under the priority order
+    "q107_token_budget" -> ((s, dir) => {
+      val counted = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        expr("CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) * 1000000" +
+          " AS BIGINT) DIV greatest(length(text), 1)").as("alpha_micro"))
+      Sampling.tokenBudgetSelect(counted, "doc_id", "alpha_micro",
+        budget = 20000L)
+    }),
+
+    // PSI drift report: each source's token-length distribution vs
+    // the whole corpus, add-one smoothed over a dense 16-bucket grid,
+    // per-bucket terms floored to 1e-6 BIGINT (order-free sums)
+    "q108_psi_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      graft.core.Profile.psi(d, "source",
+        expr("least(n_tokens DIV 32, 15)"), nBuckets = 16)
     })
   )
 
@@ -2200,38 +2235,70 @@ object SparkEntry {
         |  round(exp(p_size / 25.0), 6) AS exp_size
         |FROM part""".stripMargin,
 
-    "q43_dedup_resolve" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    "q43_dedup_resolve" -> q43OracleSql,
+
+    // q43's component chain with the keep-longest survivor policy:
+    // per-cluster argmax by (n_chars desc, doc_id asc)
+    "q106_dedup_keep_longest" -> q106OracleSql,
+
+    // greedy token-budget prefix: window cumulative sum under the
+    // (alpha_micro desc, doc_id) order, integer fixed-point priority
+    "q107_token_budget" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000
+        |      AS BIGINT) // greatest(length(text), 1) AS alpha_micro
         |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(t[i+1:i+3], ' ')
-        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
-        |  FROM toks),
-        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT p.doc_a, p.doc_b
-        |  FROM cand p
-        |  JOIN counts ca ON p.doc_a = ca.doc_id
-        |  JOIN counts cb ON p.doc_b = cb.doc_id
-        |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |cc AS (
-        |  SELECT src AS doc, src AS lbl FROM edges
-        |  UNION
-        |  SELECT e.dst AS doc, cc.lbl FROM cc JOIN edges e ON cc.doc = e.src),
-        |labels AS (SELECT doc, min(lbl) AS cluster_id FROM cc GROUP BY 1)
-        |SELECT d.doc_id,
-        |  coalesce(l.cluster_id, d.doc_id) AS survivor_id,
-        |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_survivor
-        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc""".stripMargin,
+        |o AS (
+        |  SELECT doc_id, n_tokens, alpha_micro,
+        |    sum(n_tokens) OVER (ORDER BY alpha_micro DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+        |  FROM c)
+        |SELECT doc_id, n_tokens, alpha_micro,
+        |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+        |  CAST(tok_end AS BIGINT) AS tok_end
+        |FROM o WHERE tok_end <= 20000""".stripMargin,
+
+    // PSI per source vs the whole corpus: dense 16-bucket grid,
+    // add-one smoothing, identical parenthesization, floored 1e-6
+    // terms summed as BIGINT (order-free; ln ulp is the accepted
+    // cross-engine surface)
+    "q108_psi_drift" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    least(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) // 32, 15) AS b
+        |  FROM documents),
+        |counts AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY 1, 2),
+        |groups AS (SELECT source, CAST(sum(c) AS BIGINT) AS gt
+        |  FROM counts GROUP BY 1),
+        |pop AS (SELECT b, CAST(sum(c) AS BIGINT) AS pc FROM counts GROUP BY 1),
+        |poptot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt FROM pop),
+        |grid AS (
+        |  SELECT g.source, g.gt, CAST(i.range AS BIGINT) AS b
+        |  FROM groups g, range(16) i),
+        |terms AS (
+        |  SELECT gr.source, gr.gt,
+        |    CAST(floor(1000000.0 * (
+        |      ((CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+        |          / CAST(gr.gt + 16 AS DOUBLE))
+        |       - (CAST(coalesce(p.pc, 0) + 1 AS DOUBLE)
+        |          / CAST(pt.pt + 16 AS DOUBLE)))
+        |      * ln((CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+        |            / CAST(gr.gt + 16 AS DOUBLE))
+        |          / (CAST(coalesce(p.pc, 0) + 1 AS DOUBLE)
+        |            / CAST(pt.pt + 16 AS DOUBLE)))))
+        |      AS BIGINT) AS t
+        |  FROM grid gr
+        |  LEFT JOIN counts ct ON gr.source = ct.source AND gr.b = ct.b
+        |  LEFT JOIN pop p ON gr.b = p.b
+        |  CROSS JOIN poptot pt)
+        |SELECT source, CAST(sum(t) AS BIGINT) AS psi_micro,
+        |  gt AS n_rows
+        |FROM terms GROUP BY source, gt""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,
@@ -4171,6 +4238,65 @@ object SparkEntry {
     * within the probed buckets. Same fixed centroids (vec_id % 97 = 3),
     * same tie-breaks (centroid/neighbor id ascending).
     */
+  /** The exact-Jaccard near-dup component chain as CTE-list text
+    * (shingles → thresholded pairs → recursive connected components →
+    * min-label `labels`): q43 takes the min-id survivor directly;
+    * q106 re-resolves survivors by the keep-longest policy over the
+    * same components.
+    */
+  private lazy val dedupClusterCtes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i+1:i+3], ' ')
+      |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+      |  FROM toks),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT p.doc_a, p.doc_b
+      |  FROM cand p
+      |  JOIN counts ca ON p.doc_a = ca.doc_id
+      |  JOIN counts cb ON p.doc_b = cb.doc_id
+      |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |cc AS (
+      |  SELECT src AS doc, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS doc, cc.lbl FROM cc JOIN edges e ON cc.doc = e.src),
+      |labels AS (SELECT doc, min(lbl) AS cluster_id FROM cc GROUP BY 1)""".stripMargin
+
+  private lazy val q43OracleSql: String =
+    s"""WITH RECURSIVE $dedupClusterCtes
+       |SELECT d.doc_id,
+       |  coalesce(l.cluster_id, d.doc_id) AS survivor_id,
+       |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_survivor
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc""".stripMargin
+
+  /** q106's oracle: the same components, survivor = argmax by
+    * (n_chars desc, doc_id asc) per cluster.
+    */
+  private lazy val q106OracleSql: String =
+    s"""WITH RECURSIVE $dedupClusterCtes,
+       |members AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cid, d.n_chars
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+       |best AS (
+       |  SELECT cid, doc_id AS survivor_id FROM (
+       |    SELECT cid, doc_id, row_number() OVER (PARTITION BY cid
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+       |    FROM members)
+       |  WHERE rk = 1)
+       |SELECT m.doc_id, b.survivor_id, b.survivor_id = m.doc_id AS is_survivor
+       |FROM members m JOIN best b ON m.cid = b.cid""".stripMargin
+
   /** The IVF ANN relational chain as CTE-list text (ends with
     * `ranked`, carrying each probed (query, neighbor) pair's rank) —
     * q27/q100 filter it to k = 5 directly; q104 composes it against

@@ -453,6 +453,41 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** [[resolveSurvivors]] with a QUALITY-AWARE survivor policy: the
+    * member maximizing `preference` survives each near-dup cluster,
+    * instead of the arbitrary min-id member — the production form
+    * ("keep the longest / highest-quality copy") of dedup resolution.
+    *
+    * `preference` is any expression over `df`'s columns whose MAX
+    * designates the survivor; wrap multiple criteria in a `struct`
+    * (lexicographic compare) and embed a `-id` field to make ties
+    * impossible, e.g. `struct(col("n_chars"), -col("doc_id"))` =
+    * longest member, lowest id on equal length.
+    *
+    * Scale shape: same component machinery as [[resolveSurvivors]];
+    * the policy adds ONE map-side-combinable aggregation (max of a
+    * few-word struct per cluster — never a per-cluster window sort)
+    * and one co-keyed join back to members. Shuffles carry
+    * (id, cluster, preference), never text.
+    */
+  def resolveSurvivorsBy(df: DataFrame, idCol: String, pairs: DataFrame,
+                         preference: Column): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .withColumnRenamed("doc", idCol)
+    val members = df.join(clusters, Seq(idCol), "left")
+      .withColumn("__cid", coalesce(col("cluster_id"), col(idCol)))
+    // argmax by aggregation: lexicographic struct max carries the id
+    // along; `preference` must be total (caller embeds -id) so the
+    // trailing `sid` field never decides
+    val best = members
+      .groupBy("__cid")
+      .agg(max(struct(preference.as("p"), col(idCol).as("sid"))).as("b"))
+      .select(col("__cid"), col("b.sid").as("survivor_id"))
+    members.join(best, Seq("__cid"))
+      .withColumn("is_survivor", col("survivor_id") === col(idCol))
+      .drop("__cid", "cluster_id")
+  }
+
   /** SimHash (Charikar '02): 32-bit fingerprint where bit i is the
     * majority vote of bit i across all token rolling-hashes. Built
     * entirely from higher-order array expressions — no UDF, no shuffle

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,8 +69,17 @@ object Packing {
     * batches. Same contract as [[Curation.StageCaches]].
     */
   def offsetsByReleasable(counted: DataFrame,
-                          idCol: String): (DataFrame, () => Unit) = {
-    val ranged = counted.repartitionByRange(col(idCol))
+                          idCol: String): (DataFrame, () => Unit) =
+    offsetsOrderedReleasable(counted, idCol, Seq(col(idCol)))
+
+  /** The same two-phase prefix sum under an ARBITRARY total order
+    * (`order` must be total — include the id as the last key):
+    * placement by priority instead of id, the primitive under
+    * budget-capped selection ([[Sampling.tokenBudgetSelect]]).
+    */
+  def offsetsOrderedReleasable(counted: DataFrame, idCol: String,
+                               order: Seq[Column]): (DataFrame, () => Unit) = {
+    val ranged = counted.repartitionByRange(order: _*)
       .withColumn("_pid", spark_partition_id())
     // PERSIST: the per-partition totals below must see the SAME _pid
     // assignment as this branch. Without it, Catalyst builds a second
@@ -81,7 +90,7 @@ object Packing {
     // are (id, count, pid) — three words per doc.
     val local = ranged.withColumn("_local_end",
       sum("n_tokens").over(
-        Window.partitionBy("_pid").orderBy(col(idCol))))
+        Window.partitionBy("_pid").orderBy(order: _*)))
       .persist()
     val prefixes = local.groupBy("_pid")
       .agg(sum("n_tokens").as("_ptotal"))
@@ -90,10 +99,13 @@ object Packing {
           Window.orderBy("_pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_pid"), col("_offset"))
+    // pass through every caller column (offsetsBy's counted is
+    // (id, n_tokens) → the classic 4-column shape; ordered callers
+    // keep their priority columns alongside the offsets)
     val out = local.join(broadcast(prefixes), Seq("_pid"))
-      .select(col(idCol), col("n_tokens"),
+      .select(counted.columns.map(col) ++ Seq(
         (col("_local_end") + col("_offset") - col("n_tokens")).as("tok_start"),
-        (col("_local_end") + col("_offset")).as("tok_end"))
+        (col("_local_end") + col("_offset")).as("tok_end")): _*)
     (out, () => { local.unpersist(); () })
   }
 

@@ -68,6 +68,63 @@ object Profile {
   def nonEmpty(column: String): Check =
     Check("non_empty", column, col("n_rows") > 0L)
 
+  /** Population-Stability-Index drift report: how far each group's
+    * distribution of a bucketed feature sits from the WHOLE
+    * population's — the standard monitoring stat a 100 TB ingest runs
+    * per source/day to catch silent distribution shift before it
+    * poisons a training mix.
+    *
+    *   PSI(g) = Σ_buckets (p_b − q_b) · ln(p_b / q_b)
+    *
+    * with p = group share, q = population share, add-one smoothed
+    * over the DENSE bucket range (so empty buckets contribute their
+    * smoothed mass instead of vanishing — an absent bucket is exactly
+    * the drift signal). Per-bucket terms are floored to 1e-6
+    * fixed-point BIGINTs before the sum, so the per-group total is
+    * order-free across engines; ln ulp is the only cross-engine
+    * surface (the accepted q68/q101 class).
+    *
+    * Scale shape: ONE scan aggregates (group, bucket) counts
+    * (map-side combine); everything after operates on the
+    * groups × nBuckets grid — densified by a broadcast
+    * `sequence`-explode, population shares broadcast back. Shuffled
+    * rows carry (group, bucket, BIGINT), never feature values.
+    *
+    * @param bucket expression over `df`'s columns yielding an integer
+    *               in [0, nBuckets) — e.g.
+    *               `least(col("n_tokens") / 32, lit(nBuckets - 1))`
+    * @return (groupCol, psi_micro, n_rows) one row per group
+    */
+  def psi(df: DataFrame, groupCol: String, bucket: org.apache.spark.sql.Column,
+          nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "psi needs at least 2 buckets")
+    val counts = df
+      .select(col(groupCol), bucket.cast("long").as("__b"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val groups = counts.groupBy(groupCol).agg(sum("__c").as("__gt"))
+    val pop = counts.groupBy("__b").agg(sum("__c").as("__pc"))
+    val popTotal = pop.agg(sum("__pc").as("__pt"))
+    // dense (group, bucket) grid: absent buckets get count 0 and the
+    // add-one smoothing keeps every log argument finite
+    val grid = groups
+      .select(col(groupCol), col("__gt"),
+        explode(sequence(lit(0L), lit(nBuckets.toLong - 1))).as("__b"))
+      .join(counts, Seq(groupCol, "__b"), "left")
+      .join(broadcast(pop), Seq("__b"), "left")
+      .crossJoin(broadcast(popTotal))
+    val nB = lit(nBuckets.toLong)
+    val p = (coalesce(col("__c"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__gt") + nB).cast("double")
+    val q = (coalesce(col("__pc"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__pt") + nB).cast("double")
+    val term = floor(lit(1000000.0) * ((p - q) * log(p / q))).cast("long")
+    grid.select(col(groupCol), term.as("__t"), col("__gt"))
+      .groupBy(col(groupCol), col("__gt"))
+      .agg(sum("__t").as("psi_micro"))
+      .select(col(groupCol), col("psi_micro"), col("__gt").as("n_rows"))
+  }
+
   def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val prof = profile(df, checks.map(_.column).distinct)
     checks.map { ck =>

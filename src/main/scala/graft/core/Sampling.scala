@@ -263,4 +263,33 @@ object Sampling {
     }
     out.toArray
   }
+
+  /** Fill a GLOBAL token budget with the highest-priority documents:
+    * the maximal prefix of the (priority desc, id asc) order whose
+    * cumulative token count stays ≤ `budget` — "the best N billion
+    * tokens" selection a fixed-compute training run makes, prefix
+    * semantics (once the budget overflows, later smaller docs do NOT
+    * back-fill: the cut is a deterministic rank, not a bin-pack).
+    *
+    * `counted` carries (idCol, n_tokens, priorityCol); priority should
+    * be an exact integer (the fixed-point discipline) so the order is
+    * engine-portable. The cumulative sum is the two-phase distributed
+    * prefix sum ([[Packing.offsetsOrderedReleasable]]) under the
+    * priority order — never a one-partition window.
+    *
+    * @return the selected rows: (idCol, n_tokens, priorityCol,
+    *         tok_start, tok_end), tok_end = cumulative tokens through
+    *         this doc
+    */
+  def tokenBudgetSelect(counted: DataFrame, idCol: String,
+                        priorityCol: String, budget: Long): DataFrame = {
+    val (offsets, release) = Packing.offsetsOrderedReleasable(
+      counted, idCol, Seq(col(priorityCol).desc, col(idCol).asc))
+    val out = offsets.filter(col("tok_end") <= budget)
+    // one-shot batch shape: the prefix sum's internal persist is
+    // consumed at action time (same contract as offsetsBy); long-lived
+    // callers should use offsetsOrderedReleasable directly
+    val _ = release
+    out
+  }
 }

@@ -105,6 +105,41 @@ class DedupSpec extends SparkSpec {
       (3L, 3L, true), (4L, 4L, true), (6L, 6L, true)))
   }
 
+  test("resolveSurvivorsBy: the longest cluster member survives; " +
+      "preference -id reproduces min-id resolution") {
+    val all = Seq((1L, "short"), (2L, "the longest text"), (5L, "medium!"),
+      (3L, "solo"), (4L, "solo too"), (6L, "x"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val byLen = Dedup.resolveSurvivorsBy(all, "doc_id", pairs,
+        struct(col("n_chars"), (-col("doc_id")).as("neg")))
+      .select("doc_id", "survivor_id", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(byLen == Set((1L, 2L, false), (2L, 2L, true), (5L, 2L, false),
+      (3L, 3L, true), (4L, 4L, true), (6L, 6L, true)))
+    // with preference = -id, the policy degenerates to min-id and must
+    // agree with resolveSurvivors exactly
+    val minId = Dedup.resolveSurvivorsBy(all, "doc_id", pairs, -col("doc_id"))
+      .select("doc_id", "survivor_id", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val classic = Dedup.resolveSurvivors(all, "doc_id", pairs)
+      .select("doc_id", "survivor_id", "is_survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(minId == classic)
+  }
+
+  test("resolveSurvivorsBy: length ties break to the LOWEST id") {
+    val all = Seq((7L, "same"), (8L, "same"), (9L, "same"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Seq((7L, 8L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val r = Dedup.resolveSurvivorsBy(all, "doc_id", pairs,
+        struct(col("n_chars"), (-col("doc_id")).as("neg")))
+      .select("doc_id", "survivor_id").as[(Long, Long)].collect().toSet
+    assert(r == Set((7L, 7L), (8L, 7L), (9L, 7L)))
+  }
+
   test("rolling hash is order-sensitive and stable") {
     val h = Seq("ab", "ba", "ab").toDF("s")
       .select(TextAnalysis.rollingHash(col("s")).as("h")).as[Long].collect()

@@ -41,4 +41,48 @@ class ProfileSpec extends SparkSpec {
       .select("passed").as[Boolean].collect()
     assert(ok.forall(identity))
   }
+
+  test("psi: hand-computed 2-bucket case, exact fixed-point terms") {
+    // group A: 3 rows bucket 0, 1 row bucket 1; group B: 1/3.
+    // population: 4/4.
+    val rows = Seq.fill(3)(("A", 0L)) ++ Seq(("A", 1L)) ++
+      Seq(("B", 0L)) ++ Seq.fill(3)(("B", 1L))
+    val df = rows.toDF("source", "b")
+    val out = Profile.psi(df, "source", col("b"), nBuckets = 2)
+      .select("source", "psi_micro", "n_rows")
+      .as[(String, Long, Long)].collect()
+    def term(c: Long, gt: Long, pc: Long, pt: Long): Long = {
+      val p = (c + 1).toDouble / (gt + 2).toDouble
+      val q = (pc + 1).toDouble / (pt + 2).toDouble
+      math.floor(1e6 * ((p - q) * math.log(p / q))).toLong
+    }
+    val expA = term(3, 4, 4, 8) + term(1, 4, 4, 8)
+    val expB = term(1, 4, 4, 8) + term(3, 4, 4, 8)
+    val psiMap = out.map(r => r._1 -> r._2).toMap
+    assert(psiMap("A") == expA && psiMap("B") == expB)
+    assert(out.map(r => r._1 -> r._3).toMap == Map("A" -> 4L, "B" -> 4L))
+  }
+
+  test("psi: identical-shape group reads near zero, shifted group large; " +
+      "empty buckets contribute (dense grid)") {
+    // 'same'/'also' dominate the population and mirror its shape; the
+    // small 'shift' group concentrates everything in one bucket.
+    // (PSI is group-vs-POPULATION, so the shifted group must stay
+    // small or it drags the baseline with it — the first version of
+    // this test learned that the hard way.)
+    val rows =
+      (1 to 80).map(i => ("same", (i % 4).toLong)) ++
+      (1 to 80).map(i => ("also", (i % 4).toLong)) ++
+      (1 to 8).map(_ => ("shift", 3L))
+    val df = rows.toDF("source", "b")
+    val psi = Profile.psi(df, "source", col("b"), nBuckets = 4)
+      .select("source", "psi_micro").as[(String, Long)].collect().toMap
+    assert(math.abs(psi("same")) < 100000, s"same-shape psi ${psi("same")}")
+    assert(psi("same") == psi("also"), "identical groups score identically")
+    assert(psi("shift") > 500000, s"shifted psi ${psi("shift")}")
+    // the drift signal REQUIRES the dense grid: 'shift' has zero mass
+    // in buckets 0-2 where the population is heavy — those empty
+    // buckets must appear as smoothed terms, not vanish
+    assert(psi("shift") > 10 * math.max(math.abs(psi("same")), 1L))
+  }
 }

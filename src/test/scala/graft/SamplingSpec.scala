@@ -19,6 +19,33 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(mean - 49999.5) < 3 * sigma, s"mean $mean")
   }
 
+  test("tokenBudgetSelect: prefix semantics, no back-fill, partition-invariant") {
+    // priority order: 30 (5 tok), 20 (4 tok), 10 (3 tok), 5 (1 tok)
+    val counted = Seq(
+      (1L, 5L, 30L), (2L, 4L, 20L), (3L, 3L, 10L), (4L, 1L, 5L))
+      .toDF("doc_id", "n_tokens", "prio")
+    // budget 9 → docs 1+2 (cum 5, 9); doc 3 overflows at 12, and the
+    // 1-token doc 4 would FIT but is cut by prefix semantics
+    val got = Sampling.tokenBudgetSelect(counted, "doc_id", "prio", 9L)
+      .select("doc_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 5L), (2L, 5L, 9L)))
+    val repart = Sampling.tokenBudgetSelect(
+        counted.repartition(7), "doc_id", "prio", 9L)
+      .select("doc_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(repart == got)
+  }
+
+  test("tokenBudgetSelect: equal priorities order by id; budget >= total keeps all") {
+    val counted = Seq((9L, 2L, 1L), (3L, 2L, 1L), (6L, 2L, 1L))
+      .toDF("doc_id", "n_tokens", "prio")
+    val got = Sampling.tokenBudgetSelect(counted, "doc_id", "prio", 100L)
+      .select("doc_id", "tok_start", "tok_end")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((3L, 0L, 2L), (6L, 2L, 4L), (9L, 4L, 6L)))
+  }
+
   test("reservoir: n larger than input returns everything") {
     val df = spark.range(50).selectExpr("CAST(id AS DOUBLE) AS x")
     val s = Sampling.reservoirDoubles(df, Seq("x"), 200, seed = 1L)
