@@ -110,7 +110,10 @@ object ScaleProbe {
       // are the scale path; the survivor POLICY adds one linear agg).
       // q107 = one scan + the two-phase prefix sum under the priority
       // order; q108 = one (source, bucket) agg + a groups x 16 grid.
-      "q106_dedup_keep_longest", "q107_token_budget", "q108_psi_drift")
+      "q106_dedup_keep_longest", "q107_token_budget", "q108_psi_drift",
+      // q109 = q108's shape over event-time windows: one windowed agg
+      // (16 conditional counters) + a stateless PSI projection
+      "q109_stream_psi")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

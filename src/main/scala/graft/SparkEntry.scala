@@ -1434,6 +1434,21 @@ object SparkEntry {
         size(TextAnalysis.tokens(col("text"))).cast("long"))
       graft.core.Profile.psi(d, "source",
         expr("least(n_tokens DIV 32, 15)"), nBuckets = 16)
+    }),
+
+    // the STREAMING drift monitor's exact windowed plan, run in batch
+    // mode (the q93 discipline: streaming semantics under a relational
+    // oracle; DriftStreamSpec proves the same plan streams with
+    // watermark close + late-drop): per-day PSI of the event-value
+    // distribution vs the whole table's, reference = 16 driver longs
+    "q109_stream_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bucket = least(floor(col("value") / 32).cast("long"), lit(15L))
+      val ref = graft.streaming.DriftStream.fitReference(ev, bucket, 16)
+      graft.streaming.DriftStream.windowedPsi(ev, "ts", bucket, ref,
+          windowDur = "1 day", watermarkDelay = "0 seconds")
+        .select(col("window_start").cast("date").as("d"),
+          col("psi_micro"), col("n_rows"))
     })
   )
 
@@ -2299,6 +2314,40 @@ object SparkEntry {
         |SELECT source, CAST(sum(t) AS BIGINT) AS psi_micro,
         |  gt AS n_rows
         |FROM terms GROUP BY source, gt""".stripMargin,
+
+    // the streaming monitor's per-day windows replayed relationally:
+    // same dense-grid smoothing, reference = the whole table
+    "q109_stream_psi" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    least(CAST(floor(value / 32) AS BIGINT), 15) AS b
+        |  FROM events),
+        |ref AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM c GROUP BY 1),
+        |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS t FROM ref),
+        |days AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |grid AS (
+        |  SELECT dy.d, dy.n, CAST(i.range AS BIGINT) AS b
+        |  FROM days dy, range(16) i),
+        |counts AS (SELECT d, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT g.d, g.n,
+        |    CAST(floor(1000000.0 * (
+        |      ((CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+        |          / CAST(g.n + 16 AS DOUBLE))
+        |       - (CAST(coalesce(r.rc, 0) + 1 AS DOUBLE)
+        |          / CAST(rt.t + 16 AS DOUBLE)))
+        |      * ln((CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+        |            / CAST(g.n + 16 AS DOUBLE))
+        |          / (CAST(coalesce(r.rc, 0) + 1 AS DOUBLE)
+        |            / CAST(rt.t + 16 AS DOUBLE)))))
+        |      AS BIGINT) AS t
+        |  FROM grid g
+        |  LEFT JOIN counts ct ON g.d = ct.d AND g.b = ct.b
+        |  LEFT JOIN ref r ON g.b = r.b
+        |  CROSS JOIN rt)
+        |SELECT d, CAST(sum(t) AS BIGINT) AS psi_micro, n AS n_rows
+        |FROM terms GROUP BY d, n""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,
