@@ -113,7 +113,9 @@ object ScaleProbe {
       "q106_dedup_keep_longest", "q107_token_budget", "q108_psi_drift",
       // q109 = q108's shape over event-time windows: one windowed agg
       // (16 conditional counters) + a stateless PSI projection
-      "q109_stream_psi")
+      "q109_stream_psi",
+      // q110 = q74's map + one more agg (bounded per-seq slice lists)
+      "q110_pack_boundaries")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -898,6 +898,14 @@ object SparkEntry {
     // sequence packing, assembled: fixed-length training sequences
     // with doc counts — documents span boundaries, short docs share
     // windows, the corpus tail window is visibly short.
+    // the packing map's trainer sidecar: per-sequence ordered doc
+    // boundaries as a canonical off:doc:len string — what a dataloader
+    // turns into block-diagonal attention masks
+    "q110_pack_boundaries" -> ((s, dir) => {
+      graft.core.Packing.packBoundaries(
+        Tables.documents(s, dir), "doc_id", "text", seqLen = 512)
+    }),
+
     "q75_pack_seqs" -> ((s, dir) => {
       graft.core.Packing.packSequences(
         Tables.documents(s, dir), "doc_id", "text", seqLen = 512)
@@ -3410,6 +3418,32 @@ object SparkEntry {
         |  greatest(seq_id * 512 - s, 0) AS doc_off,
         |  least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS n_toks
         |FROM ex""".stripMargin,
+
+    // q74's map re-aggregated per sequence, boundaries as the same
+    // canonical off:doc:len string (ordered by in-sequence offset)
+    "q110_pack_boundaries" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM tok),
+        |placed AS (SELECT doc_id, n, e - n AS s, e FROM cum WHERE n > 0),
+        |ex AS (
+        |  SELECT doc_id, s, e,
+        |    unnest(generate_series(s // 512, (e - 1) // 512)) AS seq_id
+        |  FROM placed),
+        |slices AS (
+        |  SELECT doc_id, seq_id,
+        |    greatest(s, seq_id * 512) - seq_id * 512 AS seq_off,
+        |    least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS n_toks
+        |  FROM ex)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  string_agg(seq_off || ':' || doc_id || ':' || n_toks, ';'
+        |    ORDER BY seq_off) AS bounds
+        |FROM slices GROUP BY seq_id""".stripMargin,
 
     "q75_pack_seqs" ->
       """WITH tok AS (

@@ -145,6 +145,35 @@ object Packing {
           - greatest(col("tok_start"), col("seq_id") * L)).as("n_toks"))
   }
 
+  /** Per-sequence document-BOUNDARY map — the sidecar a trainer needs
+    * next to the packed token arrays to build block-diagonal attention
+    * masks (and to trace any training token back to its source doc):
+    * for each sequence, the in-order list of (start offset, doc id,
+    * slice length) encoded as a canonical `off:doc:len;...` string
+    * (engine-portable, hash-stable — no struct-array comparison
+    * semantics to trip on).
+    *
+    * Scale shape: ONE aggregation over the composition map (offsets
+    * only, text never moves); per-sequence state is bounded by
+    * seqLen slices (every slice holds ≥ 1 token), so the collect_list
+    * cannot blow up on any input.
+    */
+  def packBoundaries(df: DataFrame, idCol: String, textCol: String,
+                     seqLen: Int): DataFrame =
+    packCompositions(df, idCol, textCol, seqLen)
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(
+              col("seq_off"), col(idCol).as("d"), col("n_toks").as("t")))),
+            x => concat_ws(":", x.getField("seq_off"), x.getField("d"),
+              x.getField("t"))),
+          ";").as("bounds"))
+      .select(col("seq_id"), col("n_docs"), col("n_tokens"), col("bounds"))
+
   /** Assembled fixed-length sequences: joins the composition map back
     * to the doc text (the map side carries offsets only until this
     * final join), slices each doc's contribution, and concatenates in

@@ -178,4 +178,34 @@ class PackingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(top == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L), ("z", 1L)))
   }
+
+  test("packBoundaries: canonical string matches the hand-tiled map, " +
+      "offsets contiguous, totals reconcile") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+      .toDF("doc_id", "text")
+    val b = Packing.packBoundaries(docs, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id").collect()
+    def parse(s: String): Seq[(Long, Long, Long)] =
+      s.split(";").toSeq.map { seg =>
+        val Array(o, d, t) = seg.split(":").map(_.toLong); (o, d, t) }
+    // tokens: doc1=3, doc2=2, doc3=4, doc4=1 → seq0 [1:3][2:1],
+    // seq1 [2:1][3:3], seq2 tail [3:1][4:1]
+    assert(parse(b(0).getAs[String]("bounds")) ==
+      Seq((0L, 1L, 3L), (3L, 2L, 1L)))
+    assert(parse(b(1).getAs[String]("bounds")) ==
+      Seq((0L, 2L, 1L), (1L, 3L, 3L)))
+    assert(parse(b(2).getAs[String]("bounds")) ==
+      Seq((0L, 3L, 1L), (1L, 4L, 1L)))
+    b.foreach { r =>
+      val segs = parse(r.getAs[String]("bounds"))
+      segs.sliding(2).foreach {
+        case Seq((o1, _, t1), (o2, _, _)) =>
+          assert(o2 == o1 + t1, "packing is gap-free within a sequence")
+        case _ => ()
+      }
+      assert(segs.map(_._3).sum == r.getAs[Long]("n_tokens"))
+      assert(segs.length.toLong == r.getAs[Long]("n_docs"))
+      assert(segs.head._1 == 0L, "every sequence starts at offset 0")
+    }
+  }
 }
