@@ -1457,6 +1457,33 @@ object SparkEntry {
           windowDur = "1 day", watermarkDelay = "0 seconds")
         .select(col("window_start").cast("date").as("d"),
           col("psi_micro"), col("n_rows"))
+    }),
+
+    // KS drift report: PSI's rank-statistic sibling over the same
+    // source/token-length grid — max CDF gap per source vs the corpus,
+    // order-free integer cumsums + one division per side, so the
+    // fixed-point result has NO cross-engine ulp surface at all
+    "q111_ks_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("n_tokens",
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      graft.core.Profile.ks(d, "source",
+        expr("least(n_tokens DIV 32, 15)"), nBuckets = 16)
+    }),
+
+    // SQ8 scalar-quantized ANN: per-dim [min,max] -> one byte
+    // (faiss QT_8bit), asymmetric scoring — full-precision queries
+    // against in-plan-decoded codes + stored exact norms. Fit is one
+    // 2x64-aggregate scan (bounded driver state); every code/decode
+    // step is correctly-rounded IEEE, so the oracle refits and
+    // re-encodes from the data alone and hash-matches
+    "q112_sq8_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.core.ScalarQuantizer.fit(emb)
+      val enc = graft.core.ScalarQuantizer.encode(emb, model)
+      graft.core.ScalarQuantizer.adcTopK(
+          emb.filter(col("vec_id") < 8), enc, model, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
     })
   )
 
@@ -2356,6 +2383,91 @@ object SparkEntry {
         |  CROSS JOIN rt)
         |SELECT d, CAST(sum(t) AS BIGINT) AS psi_micro, n AS n_rows
         |FROM terms GROUP BY d, n""".stripMargin,
+
+    // KS per source vs the whole corpus: dense grid, integer cumsums,
+    // one correctly-rounded division per side, order-free max — the
+    // only oracle in the drift family with zero ulp surface
+    "q111_ks_drift" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    least(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) // 32, 15) AS b
+        |  FROM documents),
+        |counts AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY 1, 2),
+        |groups AS (SELECT source, CAST(sum(c) AS BIGINT) AS gt
+        |  FROM counts GROUP BY 1),
+        |pop AS (SELECT b, CAST(sum(c) AS BIGINT) AS pc FROM counts GROUP BY 1),
+        |poptot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt FROM pop),
+        |grid AS (
+        |  SELECT g.source, g.gt, CAST(i.range AS BIGINT) AS b
+        |  FROM groups g, range(16) i),
+        |cums AS (
+        |  SELECT gr.source, gr.gt, gr.b,
+        |    sum(coalesce(ct.c, 0)) OVER (PARTITION BY gr.source
+        |      ORDER BY gr.b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cg,
+        |    sum(coalesce(p.pc, 0)) OVER (PARTITION BY gr.source
+        |      ORDER BY gr.b ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cp,
+        |    pt.pt
+        |  FROM grid gr
+        |  LEFT JOIN counts ct ON gr.source = ct.source AND gr.b = ct.b
+        |  LEFT JOIN pop p ON gr.b = p.b
+        |  CROSS JOIN poptot pt)
+        |SELECT source,
+        |  CAST(floor(1000000.0 * max(abs(
+        |    CAST(cg AS DOUBLE) / CAST(gt AS DOUBLE)
+        |    - CAST(cp AS DOUBLE) / CAST(pt AS DOUBLE)))) AS BIGINT)
+        |    AS ks_micro,
+        |  gt AS n_rows
+        |FROM cums GROUP BY source, gt""".stripMargin,
+
+    // SQ8: refit per-dim ranges, re-encode, decode and ADC-rank
+    // relationally — identical parenthesization to ScalarQuantizer
+    // (code = floor(((v-mn)*255)/(mx-mn)+0.5) clamped; decode =
+    // mn + ((code*(mx-mn))/255); seq-fold dot over the decoded list)
+    "q112_sq8_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mm AS (
+        |  SELECT CAST(i.range AS INT) AS d,
+        |    min(v[i.range + 1]) AS mn, max(v[i.range + 1]) AS mx
+        |  FROM e CROSS JOIN range(64) i GROUP BY 1),
+        |codes AS (
+        |  SELECT e.vec_id, m.d, m.mn, m.mx,
+        |    CASE WHEN m.mx = m.mn THEN 0
+        |      ELSE least(greatest(CAST(floor(((e.v[m.d + 1] - m.mn) * 255.0)
+        |        / (m.mx - m.mn) + 0.5) AS BIGINT), 0), 255) END AS code
+        |  FROM e CROSS JOIN mm m),
+        |dec AS (
+        |  SELECT vec_id,
+        |    list(mn + ((CAST(code AS DOUBLE) * (mx - mn)) / 255.0)
+        |      ORDER BY d) AS dv
+        |  FROM codes GROUP BY vec_id),
+        |norms AS (
+        |  SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    [v[i+1] * v[i+1] for i in generate_series(0, len(v)-1)]),
+        |    (acc, x) -> acc + x)) AS nrm
+        |  FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [q.v[i+1] * d.dv[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |      (acc, x) -> acc + x) / (qn.nrm * cn.nrm) AS cos
+        |  FROM e q
+        |  JOIN norms qn ON q.vec_id = qn.vec_id
+        |  CROSS JOIN dec d
+        |  JOIN norms cn ON d.vec_id = cn.vec_id
+        |  WHERE q.vec_id < 8 AND q.vec_id <> d.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,

@@ -125,6 +125,63 @@ object Profile {
       .select(col(groupCol), col("psi_micro"), col("__gt").as("n_rows"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift report: for each group, the
+    * maximum absolute gap between the group's bucketed CDF and the
+    * whole population's — PSI's rank-statistic sibling (sensitive to
+    * location shift where PSI is sensitive to per-bucket mass, and the
+    * standard pairing on a monitoring dashboard).
+    *
+    *   KS(g) = max_b | cum_g(b)/n_g − cum_pop(b)/n_pop |
+    *
+    * Exactness: unlike PSI there is NO transcendental anywhere —
+    * every step (count, integer cumulative sum, one correctly-rounded
+    * IEEE division per side, subtraction, abs, max, ×1e6, floor) is
+    * deterministic and ORDER-FREE (max, not sum), so the fixed-point
+    * result is bit-identical across engines with no accepted ulp
+    * surface at all.
+    *
+    * Scale shape: ONE scan aggregates (group, bucket) counts
+    * (map-side combine); the dense groups × nBuckets grid is the only
+    * thing that shuffles after that, and the cumulative windows run
+    * over ≤ nBuckets rows per group partition. Population counts
+    * broadcast back into the grid. Feature values never shuffle.
+    *
+    * @param bucket expression over `df`'s columns yielding an integer
+    *               in [0, nBuckets)
+    * @return (groupCol, ks_micro, n_rows) one row per group
+    */
+  def ks(df: DataFrame, groupCol: String, bucket: org.apache.spark.sql.Column,
+         nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, "ks needs at least 2 buckets")
+    val counts = df
+      .select(col(groupCol), bucket.cast("long").as("__b"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val groups = counts.groupBy(groupCol).agg(sum("__c").as("__gt"))
+    val pop = counts.groupBy("__b").agg(sum("__c").as("__pc"))
+    val popTotal = pop.agg(sum("__pc").as("__pt"))
+    // dense (group, bucket) grid so a bucket the group never hits
+    // still advances the population CDF against a flat group CDF —
+    // exactly the gap KS measures
+    val grid = groups
+      .select(col(groupCol), col("__gt"),
+        explode(sequence(lit(0L), lit(nBuckets.toLong - 1))).as("__b"))
+      .join(counts, Seq(groupCol, "__b"), "left")
+      .join(broadcast(pop), Seq("__b"), "left")
+      .crossJoin(broadcast(popTotal))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumG = sum(coalesce(col("__c"), lit(0L))).over(w)
+    val cumP = sum(coalesce(col("__pc"), lit(0L))).over(w)
+    val gap = abs(cumG.cast("double") / col("__gt").cast("double")
+      - cumP.cast("double") / col("__pt").cast("double"))
+    grid.select(col(groupCol), col("__gt"), gap.as("__gap"))
+      .groupBy(col(groupCol), col("__gt"))
+      .agg(floor(lit(1000000.0) * max(col("__gap"))).cast("long").as("ks_micro"))
+      .select(col(groupCol), col("ks_micro"), col("__gt").as("n_rows"))
+  }
+
   def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val prof = profile(df, checks.map(_.column).distinct)
     checks.map { ck =>

@@ -85,4 +85,34 @@ class ProfileSpec extends SparkSpec {
     // buckets must appear as smoothed terms, not vanish
     assert(psi("shift") > 10 * math.max(math.abs(psi("same")), 1L))
   }
+
+  test("ks: hand-computed 2-bucket case, exact fixed-point max gap") {
+    // group A: 3 rows bucket 0, 1 row bucket 1 -> CDF (0.75, 1.0)
+    // group B: 1/3 -> CDF (0.25, 1.0); population 4/8 -> (0.5, 1.0)
+    val rows = Seq.fill(3)(("A", 0L)) ++ Seq(("A", 1L)) ++
+      Seq(("B", 0L)) ++ Seq.fill(3)(("B", 1L))
+    val out = Profile.ks(rows.toDF("source", "b"), "source", col("b"), 2)
+      .select("source", "ks_micro", "n_rows")
+      .as[(String, Long, Long)].collect()
+    val ks = out.map(r => r._1 -> r._2).toMap
+    assert(ks("A") == 250000L && ks("B") == 250000L) // |0.75-0.5| = |0.25-0.5|
+    assert(out.map(r => r._1 -> r._3).toMap == Map("A" -> 4L, "B" -> 4L))
+  }
+
+  test("ks: location shift scores high, same shape scores zero, and a " +
+      "group concentrated past the population's mass needs the dense grid") {
+    val rows =
+      (1 to 80).map(i => ("same", (i % 4).toLong)) ++
+      (1 to 80).map(i => ("also", (i % 4).toLong)) ++
+      (1 to 8).map(_ => ("shift", 3L))
+    val ks = Profile.ks(rows.toDF("source", "b"), "source", col("b"), 4)
+      .select("source", "ks_micro").as[(String, Long)].collect().toMap
+    // the two mirror groups sit within rounding of the population CDF
+    assert(ks("same") < 40000, s"same-shape ks ${ks("same")}")
+    assert(ks("same") == ks("also"))
+    // 'shift' has CDF 0 through bucket 2 while the population CDF has
+    // already accumulated ~72% there — KS reads that gap directly,
+    // and only because empty buckets 0-2 exist on the dense grid
+    assert(ks("shift") > 650000, s"shifted ks ${ks("shift")}")
+  }
 }
