@@ -1484,6 +1484,15 @@ object SparkEntry {
           emb.filter(col("vec_id") < 8), enc, model, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
+    }),
+
+    // dup-span REMOVAL (the transform q72 only measures): non-first
+    // occurrences of any corpus-repeated 8-token window are deleted
+    // and each doc is rebuilt from its surviving tokens in order —
+    // the Lee-et-al exact-substring cleanup as a corpus rewrite
+    "q113_dup_span_scrub" -> ((s, dir) => {
+      TextAnalysis.scrubDupSpans(Tables.documents(s, dir), "doc_id", "text",
+        n = 8)
     })
   )
 
@@ -2468,6 +2477,56 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         |  round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // q113: q72's window-hash machinery extended through the removal
+    // rewrite — keep the globally-first occurrence per repeated
+    // window (row_number over (doc_id, pos)), delete every other
+    // occurrence's token span, string_agg the survivors in order
+    "q113_dup_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+        |    unnest(ws) AS win
+        |  FROM (SELECT doc_id,
+        |          [array_to_string(t[i+1:i+8], ' ')
+        |           for i in generate_series(0, greatest(len(t)-8, 0))] AS ws
+        |        FROM toks)),
+        |hashed AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(win, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM wins),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY h) AS cnt,
+        |      row_number() OVER (PARTITION BY h
+        |        ORDER BY doc_id, pos) AS rn
+        |    FROM hashed)
+        |  WHERE cnt >= 2 AND rn > 1),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, pos + i.range AS tp
+        |  FROM flagged CROSS JOIN range(8) i),
+        |tokpos AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS tp,
+        |    unnest(t) AS tok
+        |  FROM toks),
+        |reb AS (
+        |  SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(k.tok, ' ' ORDER BY k.tp) AS txt
+        |  FROM tokpos k LEFT JOIN rem r
+        |    ON k.doc_id = r.doc_id AND k.tp = r.tp
+        |  WHERE r.doc_id IS NULL
+        |  GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  CAST(len(t.t) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed,
+        |  coalesce(r.txt, '') AS text_scrubbed
+        |FROM toks t LEFT JOIN reb r ON t.doc_id = r.doc_id""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,

@@ -376,6 +376,59 @@ object TextAnalysis {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 6))
   }
 
+  /** The REMOVAL form of [[dupSpans]] — the transform Lee et al. 2022
+    * actually apply to the training corpus: every n-token window that
+    * occurs elsewhere in the corpus keeps its globally-FIRST
+    * occurrence (ordered by (id, pos)) and has every other
+    * occurrence's token span deleted; the doc is rebuilt from the
+    * surviving tokens in order.
+    *
+    * Plan shape: windows hash-flagged on ONE exchange keyed by the
+    * window hash (the occurrence count and the first-occurrence
+    * row_number share it); flagged non-first spans explode to at most
+    * n (id, tokpos) int pairs AFTER the window text is dropped; the
+    * kept-token anti-join and ordered reassembly key on the doc.
+    * Nothing wider than (id, pos, token) ever shuffles, and the
+    * per-doc collect is bounded by document length — the q66
+    * reassembly contract.
+    *
+    * @return (idCol, n_tokens, n_kept, n_removed, text_scrubbed) one
+    *         row per input doc; a fully-duplicated doc survives with
+    *         empty text and n_kept = 0.
+    */
+  def scrubDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "window width must be >= 1")
+    val wins = df.select(col(idCol),
+        posexplode(ngramsAll(col(textCol), n)).as(Seq("pos", "win")))
+      .select(col(idCol), col("pos"), rollingHash(col("win")).as("h"))
+    val byH = Window.partitionBy(col("h"))
+    val byHOrd = byH.orderBy(col(idCol), col("pos"))
+    val toRemove = wins
+      .withColumn("cnt", count(lit(1)).over(byH))
+      .withColumn("rn", row_number().over(byHOrd))
+      .filter(col("cnt") >= 2 && col("rn") > 1)
+    val removedPos = toRemove
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tp"))
+      .distinct()
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("tp", "tok")))
+    val rebuilt = toks.join(removedPos, Seq(idCol, "tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok"))).as("text_scrubbed"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
 

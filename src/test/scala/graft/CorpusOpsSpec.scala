@@ -334,4 +334,41 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("dup_ratio") == 1.0)
     }
   }
+
+  test("scrubDupSpans: first occurrence survives intact, later ones lose " +
+      "the span, self-repeats keep only the leading copy") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // shares "c d e"/"d e f" with doc 2
+      (2L, "x y c d e f z w"),
+      (3L, "p q r p q r p q r"),          // fully self-repeating
+      (4L, "totally unique words only here")
+    ).toDF("doc_id", "text")
+    val out = graft.core.TextAnalysis.scrubDupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // doc 1 holds the globally-first copy of both shared windows
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(0).getAs[String]("text_scrubbed") == "a b c d e f g h")
+    // doc 2 loses the union of the two non-first spans (tokens 2..5)
+    assert(out(1).getAs[Long]("n_kept") == 4L)
+    assert(out(1).getAs[String]("text_scrubbed") == "x y z w")
+    // doc 3: windows at pos 3..6 are repeats of pos 0..2's — the
+    // removal union covers tokens 3..8, one leading period survives
+    assert(out(2).getAs[String]("text_scrubbed") == "p q r")
+    assert(out(2).getAs[Long]("n_removed") == 6L)
+    // clean doc untouched
+    assert(out(3).getAs[Long]("n_removed") == 0L)
+    assert(out(3).getAs[String]("text_scrubbed") ==
+      "totally unique words only here")
+  }
+
+  test("scrubDupSpans: a doc fully covered by a non-first truncated window " +
+      "survives as an empty row, not a dropped one") {
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = graft.core.TextAnalysis.scrubDupSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_scrubbed") == "tiny doc")
+    assert(out(1).getAs[String]("text_scrubbed") == "")
+    assert(out(1).getAs[Long]("n_kept") == 0L)
+    assert(out(1).getAs[Long]("n_removed") == 2L)
+  }
 }
