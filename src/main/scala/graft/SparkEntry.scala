@@ -1493,6 +1493,42 @@ object SparkEntry {
     "q113_dup_span_scrub" -> ((s, dir) => {
       TextAnalysis.scrubDupSpans(Tables.documents(s, dir), "doc_id", "text",
         n = 8)
+    }),
+
+    // OOV drift: per-source share of tokens outside the corpus-head
+    // vocabulary (top-256 by count, deterministic tie-break) — the
+    // tokenizer-health stat next to PSI/KS; exact integer fixed-point
+    "q114_oov_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.oovRate(docs, "source", "text",
+        TextAnalysis.topVocab(docs, "text", size = 256))
+    }),
+
+    // interval × interval overlap join: user sessions (closed
+    // [min ts, max ts] intervals from q38's sessionization) against
+    // each day's 10:00–13:59:59 peak window — hour-bucket equi-join,
+    // each overlapping pair emitted exactly once via the canonical
+    // greatest-start bucket, overlap length in exact integer seconds
+    "q115_session_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // whole-second bounds: the oracle compares floored epoch
+      // seconds, so the engine predicate must not see sub-second parts
+      val sess = TimeSeries.sessionize(ev, "user_id", "ts", gapMinutes = 60)
+        .groupBy("user_id", "session_id")
+        .agg(date_trunc("second", min(col("ts"))).as("s_start"),
+          date_trunc("second", max(col("ts"))).as("s_end"))
+      val wins = ev.select(to_date(col("ts")).as("d")).distinct()
+        .select(col("d"),
+          (unix_timestamp(col("d").cast("timestamp")) + 10L * 3600L)
+            .cast("timestamp").as("w_start"),
+          (unix_timestamp(col("d").cast("timestamp")) + 14L * 3600L - 1L)
+            .cast("timestamp").as("w_end"))
+      graft.core.Joins.intervalOverlapJoin(sess, wins,
+          "s_start", "s_end", "w_start", "w_end")
+        .select(col("user_id"), col("session_id"), col("d"),
+          (least(unix_timestamp(col("s_end")), unix_timestamp(col("w_end")))
+            - greatest(unix_timestamp(col("s_start")),
+                unix_timestamp(col("w_start")))).as("overlap_s"))
     })
   )
 
@@ -2527,6 +2563,60 @@ object SparkEntry {
         |  CAST(len(t.t) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed,
         |  coalesce(r.txt, '') AS text_scrubbed
         |FROM toks t LEFT JOIN reb r ON t.doc_id = r.doc_id""".stripMargin,
+
+    // q114: refit the top-256 head vocabulary (count desc, token asc)
+    // and re-score per source — counts and the DIV rate are exact
+    // integers, no float surface
+    "q114_oov_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM toks GROUP BY 1)
+        |  ORDER BY c DESC, tok ASC LIMIT 256)
+        |SELECT t.source,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+        |  CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT)
+        |    * 1000000 // CAST(count(*) AS BIGINT) AS oov_micro
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY 1""".stripMargin,
+
+    // q115: q38's session CTE rolled to [min ts, max ts] intervals,
+    // overlap-joined (closed-interval semantics) against each day's
+    // 10:00-13:59:59 window; overlap length in exact epoch seconds
+    "q115_session_overlap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+        |    CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
+        |  FROM sessions GROUP BY 1, 2),
+        |wins AS (
+        |  SELECT d,
+        |    CAST(floor(epoch(CAST(d AS TIMESTAMP))) AS BIGINT)
+        |      + 36000 AS w_start,
+        |    CAST(floor(epoch(CAST(d AS TIMESTAMP))) AS BIGINT)
+        |      + 50399 AS w_end
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events))
+        |SELECT s.user_id, s.session_id, w.d,
+        |  least(s.s_end, w.w_end) - greatest(s.s_start, w.w_start)
+        |    AS overlap_s
+        |FROM sess s JOIN wins w
+        |  ON s.s_start <= w.w_end AND w.w_start <= s.s_end""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,

@@ -108,6 +108,51 @@ object Joins {
       .drop("__ivk", "__pb", "__ib")
   }
 
+  /** Interval × interval overlap join — the two-sided generalization
+    * of [[rangeJoin]] (which joins points into intervals): emit one
+    * row per pair of CLOSED intervals [aStart, aEnd], [bStart, bEnd]
+    * that overlap (`aStart <= bEnd AND bStart <= aEnd`), with all
+    * columns of both sides.
+    *
+    * Scale shape: each side explodes its interval into the hour
+    * buckets it spans — bounded fan-out, `span/bucketSeconds + 1`
+    * rows per interval — and the join keys on (equality keys,
+    * bucket). A pair spanning several shared buckets is emitted
+    * EXACTLY once without any distinct: only the canonical bucket —
+    * the one containing `greatest(aStart, bStart)`, the first instant
+    * both intervals are live — passes the join filter. That keeps the
+    * plan a plain shuffled equi-join (AQE/skew-split eligible), never
+    * a cartesian with a post-filter, and never an O(pairs)
+    * deduplication exchange.
+    *
+    * @param keys equality columns present on BOTH sides (e.g. a
+    *   tenant id) — empty means bucket-only, which at 100 TB demands
+    *   a time-bounded workload (the overlap product itself is the
+    *   output size, not a plan artifact)
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          keys: Seq[String] = Nil,
+                          bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    def bkt(c: Column): Column = floor(unix_timestamp(c) / bucketSeconds)
+    val ab = a.withColumn("__ab",
+      explode(sequence(bkt(col(aStart)), bkt(col(aEnd)))))
+    val bb = b.withColumn("__bb",
+      explode(sequence(bkt(col(bStart)), bkt(col(bEnd)))))
+    val cond = keys.map(k => ab(k) === bb(k))
+      .foldLeft(
+        col("__ab") === col("__bb") &&
+          ab(aStart) <= bb(bEnd) && bb(bStart) <= ab(aEnd) &&
+          col("__ab") === floor(
+            greatest(unix_timestamp(ab(aStart)), unix_timestamp(bb(bStart)))
+              / bucketSeconds))(_ && _)
+    val joined = ab.join(bb, cond).drop("__ab", "__bb")
+    // keep one copy of each equality key (the a side's)
+    keys.foldLeft(joined)((d, k) => d.drop(bb(k)))
+  }
+
   /** Same semantics as [[asofBackward]] through the custom plan node
     * ([[graft.plans.AsofJoin]] + AsofJoinExec): one hash exchange per
     * side, per-partition streaming merge. Registers the planner

@@ -429,6 +429,48 @@ object TextAnalysis {
         coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
   }
 
+  /** Out-of-vocabulary drift: each group's share of tokens that fall
+    * outside a reference vocabulary — the tokenizer-health stat a
+    * rollout dashboard tracks next to PSI/KS (a source whose OOV rate
+    * climbs is drifting away from the vocabulary the tokenizer was
+    * trained on, which shows up downstream as fertility blow-up,
+    * q92's metric).
+    *
+    * `vocab` is a one-column (`tok`) reference table — typically the
+    * persisted head of the training corpus ([[topVocab]]) or a BPE
+    * vocab (model-as-table, the q68/q70 discipline). It is broadcast;
+    * the corpus side is one Generate → broadcast left join → one
+    * grouped aggregation. Tokens shuffle only as (group, BIGINT)
+    * partial counts; the rate is an exact integer fixed-point
+    * (`n_oov·1e6 DIV n_tokens`), so the oracle hash-matches with no
+    * float surface.
+    *
+    * @return (groupCol, n_tokens, n_oov, oov_micro) one row per group
+    */
+  def oovRate(df: DataFrame, groupCol: String, textCol: String,
+              vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+    toks.join(broadcast(vocab.select(col("tok"), lit(1).as("__in"))),
+        Seq("tok"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_micro",
+        expr("n_oov * 1000000 DIV n_tokens"))
+  }
+
+  /** Reference vocabulary: the corpus's `size` most frequent tokens,
+    * deterministic under the (count desc, token asc) total order —
+    * one Generate → map-side-combined count → TakeOrderedAndProject.
+    * Bounded output (`size` rows) by construction; persist it as a
+    * table and [[oovRate]] never recomputes it.
+    */
+  def topVocab(df: DataFrame, textCol: String, size: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(size)
+      .select("tok")
+
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
 

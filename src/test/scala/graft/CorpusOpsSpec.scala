@@ -371,4 +371,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_kept") == 0L)
     assert(out(1).getAs[Long]("n_removed") == 2L)
   }
+
+  test("topVocab + oovRate: deterministic head vocabulary, exact " +
+      "fixed-point OOV share per group") {
+    val docs = Seq(
+      ("web", "the cat sat on the mat"),
+      ("web", "the dog sat"),
+      ("code", "zz yy xx the")
+    ).toDF("source", "text")
+    // counts: the=4, sat=2, rest 1 each; top-3 tie among the 1-count
+    // tokens breaks asc -> "cat"
+    val vocab = graft.core.TextAnalysis.topVocab(docs, "text", size = 3)
+      .as[String].collect().toSet
+    assert(vocab == Set("the", "sat", "cat"))
+    val out = graft.core.TextAnalysis
+      .oovRate(docs, "source", "text",
+        graft.core.TextAnalysis.topVocab(docs, "text", size = 3))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+         r.getAs[Long]("oov_micro"))).toMap
+    // web: 9 tokens, oov = {on, mat, dog} = 3 -> 333333
+    assert(out("web") == ((9L, 3L, 333333L)))
+    // code: 4 tokens, oov = {zz, yy, xx} = 3 -> 750000
+    assert(out("code") == ((4L, 3L, 750000L)))
+  }
 }

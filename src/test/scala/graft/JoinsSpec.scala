@@ -121,4 +121,47 @@ class JoinsSpec extends SparkSpec {
     assert(native == composed)
     assert(native.size == 1000)
   }
+
+  test("intervalOverlapJoin: closed-interval overlap pairs, each emitted " +
+      "exactly once even when the pair shares many buckets") {
+    val a = Seq(
+      (1L, t("2024-01-01 09:30:00"), t("2024-01-01 12:30:00")), // 3h: many shared buckets
+      (2L, t("2024-01-01 13:00:00"), t("2024-01-01 13:00:00")), // zero-length point
+      (3L, t("2024-01-02 08:00:00"), t("2024-01-02 08:30:00"))  // ends before b starts
+    ).toDF("a_id", "a_start", "a_end")
+    val b = Seq(
+      (10L, t("2024-01-01 10:00:00"), t("2024-01-01 14:00:00")),
+      (11L, t("2024-01-02 09:00:00"), t("2024-01-02 10:00:00"))
+    ).toDF("b_id", "b_start", "b_end")
+    val out = Joins.intervalOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 3600L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    // interval 1 shares buckets 10:00-12:xx with window 10 but appears ONCE;
+    // point 2 lies inside window 10; interval 3 touches nothing
+    assert(out.toSeq == Seq((1L, 10L), (2L, 10L)))
+  }
+
+  test("intervalOverlapJoin: boundary touch counts (closed semantics) and " +
+      "equality keys partition the candidate space") {
+    val a = Seq(
+      ("x", 1L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00")),
+      ("y", 2L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"))
+    ).toDF("k", "a_id", "a_start", "a_end")
+    val b = Seq(
+      ("x", 10L, t("2024-01-01 11:00:00"), t("2024-01-01 12:00:00")), // touches a1's end
+      ("x", 11L, t("2024-01-01 11:00:01"), t("2024-01-01 12:00:00")), // 1s past: no overlap
+      ("y", 12L, t("2024-01-01 10:30:00"), t("2024-01-01 10:40:00"))
+    ).toDF("k", "b_id", "b_start", "b_end")
+    val out = Joins.intervalOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", keys = Seq("k"))
+      .select("k", "a_id", "b_id").as[(String, Long, Long)].collect().sorted
+    // key "x": only the exact-touch window 10 matches a1 (closed
+    // intervals); key "y": window 12 nests inside a2 — and neither
+    // crosses keys despite identical time spans
+    assert(out.toSeq == Seq(("x", 1L, 10L), ("y", 2L, 12L)))
+    // the surviving frame keeps exactly one copy of the key column
+    val cols = Joins.intervalOverlapJoin(a, b,
+      "a_start", "a_end", "b_start", "b_end", keys = Seq("k")).columns
+    assert(cols.count(_ == "k") == 1)
+  }
 }
