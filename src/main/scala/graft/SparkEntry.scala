@@ -1529,6 +1529,20 @@ object SparkEntry {
           (least(unix_timestamp(col("s_end")), unix_timestamp(col("w_end")))
             - greatest(unix_timestamp(col("s_start")),
                 unix_timestamp(col("w_start")))).as("overlap_s"))
+    }),
+
+    // REAL pixel resize through the codec: gradient PNGs decoded,
+    // nearest-neighbor-resampled to 4x3 (integer index map),
+    // re-encoded as PNG, decoded again for strip features — the
+    // oracle replays generator arithmetic THROUGH the index map, so
+    // two real encode/decode roundtrips are hash-pinned
+    "q116_image_resize" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeGradientPngs(ids)
+      val resized = graft.core.Multimodal.resizeImages(media, 4, 3)
+      graft.core.Multimodal.imageGridFeatures(resized, k = 4)
+        .select(col("media_id").as("doc_id"), col("dim"),
+          round(col("feature"), 6).as("feature"))
     })
   )
 
@@ -2617,6 +2631,28 @@ object SparkEntry {
         |    AS overlap_s
         |FROM sess s JOIN wins w
         |  ON s.s_start <= w.w_end AND w.w_start <= s.s_end""".stripMargin,
+
+    // q116: q84's generator arithmetic composed with the
+    // nearest-neighbor index map — resized pixel (x2, y2) reads source
+    // ((x2*w)//4, (y2*h)//3); strips run over the 4x3 target
+    "q116_image_resize" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, i.range AS dim,
+        |    (i.range * 4) // 4 AS x0, ((i.range + 1) * 4) // 4 AS x1
+        |  FROM ids, range(4) i),
+        |px AS (
+        |  SELECT c.doc_id, c.dim,
+        |    CAST(sum(3 * ((c.doc_id * 31 + 7 * ((x.range * c.w) // 4)
+        |        + 13 * ((y.range * c.h) // 3)) % 256)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM cells c, range(4) x, range(3) y
+        |  WHERE x.range >= c.x0 AND x.range < c.x1
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, dim, round(s / (3.0 * 255.0 * n), 6) AS feature
+        |FROM px""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,

@@ -174,6 +174,32 @@ object Multimodal {
       encode(img, "png")
     }
 
+    /** Deterministic nearest-neighbor resample: target pixel (x, y)
+      * copies source pixel ((x·w) div w2, (y·h) div h2) — pure integer
+      * index arithmetic, no interpolation, no float, so an external
+      * engine reproduces every output pixel from the source pixels
+      * alone (the q116 oracle replays the index map relationally).
+      * Graphics2D scaling is deliberately NOT used: its filtering is
+      * implementation-defined.
+      */
+    def resizeNearest(img: java.awt.image.BufferedImage,
+                      w2: Int, h2: Int): java.awt.image.BufferedImage = {
+      require(w2 > 0 && h2 > 0, "target dims must be positive")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new java.awt.image.BufferedImage(
+        w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          out.setRGB(x, y, img.getRGB(x * w / w2, y * h / h2))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Encode any BufferedImage via an ImageIO writer ("png", "bmp"…). */
     def encode(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
@@ -632,9 +658,36 @@ object Multimodal {
       }.toDF("media_id", "frame_idx", "dim", "feature")
   }
 
+  /** REAL pixel resize for decodable image payloads: decode with the
+    * real codec, nearest-neighbor resample
+    * ([[ImageIoCodec.resizeNearest]] — deterministic integer index
+    * map), re-encode as lossless PNG. Payloads the codec can't decode
+    * pass through untouched (the [[MediaCodec]] dispatch discipline),
+    * so the op is schema-stable over a mixed-modality table. One
+    * mapPartitions pass, zero exchanges — payloads never leave their
+    * executor; at 100 TB this is embarrassingly parallel compute, the
+    * q84/q90 class.
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          ImageIoCodec.decode(payload) match {
+            case Some(img) => (id, kind,
+              ImageIoCodec.encode(
+                ImageIoCodec.resizeNearest(img, width, height), "png"))
+            case None => (id, kind, payload)
+          }
+        }
+      }.toDF("media_id", "kind", "payload")
+  }
+
   /** "Resize": metadata-level transform (a real impl re-encodes the
-    * payload; the stub scales the header dims). Shows the
-    * schema-stable transform shape.
+    * payload — [[resizeImages]]; the stub scales the header dims).
+    * Shows the schema-stable transform shape.
     */
   def resize(media: DataFrame, maxSide: Int): DataFrame =
     media.withColumn("meta", struct(

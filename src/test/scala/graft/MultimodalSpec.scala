@@ -46,6 +46,31 @@ class MultimodalSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("resizeImages: real NN resample through the PNG roundtrip — " +
+      "every target pixel equals the integer-mapped source pixel") {
+    import graft.core.Multimodal.ImageIoCodec
+    val ids = Seq(3L, 7L, 11L).toDF("doc_id")
+    val pngs = Multimodal.synthesizeGradientPngs(ids)
+    val resized = Multimodal.resizeImages(pngs, 4, 3)
+      .select("media_id", "payload").as[(Long, Array[Byte])].collect().toMap
+    for (id <- Seq(3L, 7L, 11L)) {
+      val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+      val img = ImageIoCodec.decode(resized(id)).get
+      assert(img.getWidth == 4 && img.getHeight == 3)
+      for (x <- 0 until 4; y <- 0 until 3) {
+        val (sx, sy) = (x * w / 4, y * h / 3)
+        val v = (((id * 31 + 7L * sx + 13L * sy) % 256 + 256) % 256).toInt
+        assert((img.getRGB(x, y) & 0xff) == v, s"id $id px ($x,$y)")
+      }
+    }
+    // non-decodable payloads pass through untouched
+    val opaque = Seq((99L, "blob", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    val through = Multimodal.resizeImages(opaque, 4, 3)
+      .select("payload").as[Array[Byte]].head()
+    assert(through.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("frame features: per-frame vectors are distinct and ANN-ready") {
     val decoded = Multimodal.decodeMeta(media)
     val frames = Multimodal.frameFeatureTable(decoded, every = 3, k = 8)
