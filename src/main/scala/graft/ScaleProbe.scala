@@ -115,7 +115,22 @@ object ScaleProbe {
       // (16 conditional counters) + a stateless PSI projection
       "q109_stream_psi",
       // q110 = q74's map + one more agg (bounded per-seq slice lists)
-      "q110_pack_boundaries")
+      "q110_pack_boundaries",
+      // round-8 continuation 2: q111 = q108's grid shape with integer
+      // cumsums; q112's fit is one 128-agg scan and its gate query set
+      // is FIXED (vec_id < 8) — corpus-side linear. q113 rides q72's
+      // window-hash exchange plus a bounded explode (the replicated
+      // corpus multiplies repeated-window groups, the q19/q43 exact
+      // class); q114 = one explode + broadcast head-vocab join; q115's
+      // both sides grow with the data (sessions x day-windows — the
+      // per-day window count is fixed, so effectively linear); q116 =
+      // two mapPartitions codec passes, the q84/q90 class
+      "q111_ks_drift", "q112_sq8_ann", "q113_dup_span_scrub",
+      "q114_oov_drift", "q115_session_overlap", "q116_image_resize",
+      // q117 = one batch-side agg + two pruned merges — commit
+      // machinery dominates at gate SF (the q93 class); the day-keyed
+      // rollup is O(days), not O(rows)
+      "q117_rollup_incremental")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

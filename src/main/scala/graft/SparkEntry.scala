@@ -1543,6 +1543,21 @@ object SparkEntry {
       graft.core.Multimodal.imageGridFeatures(resized, k = 4)
         .select(col("media_id").as("doc_id"), col("dim"),
           round(col("feature"), 6).as("feature"))
+    }),
+
+    // incrementally-maintained daily rollup: two additive merge
+    // commits (event_id parity batches) into a snapshot table must
+    // equal the one-shot relational aggregate — the q100/q102
+    // commit-structure-cannot-leak rule applied to aggregation;
+    // per-row fixed-point BIGINT measures make partial sums order-free
+    "q117_rollup_incremental" -> ((s, dir) => {
+      val t = scratchDir("graft_q117") + "/rollup"
+      val ev = Tables.events(s, dir)
+      graft.sources.IncrementalRollup.upsertDaily(s,
+        ev.filter(col("event_id") % 2 === 0), t)
+      graft.sources.IncrementalRollup.upsertDaily(s,
+        ev.filter(col("event_id") % 2 === 1), t)
+      graft.sources.IncrementalRollup.readDaily(s, t)
     })
   )
 
@@ -2653,6 +2668,15 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT doc_id, dim, round(s / (3.0 * 255.0 * n), 6) AS feature
         |FROM px""".stripMargin,
+
+    // q117: the maintained rollup must equal the one-shot aggregate
+    // over raw events — per-row floor(value*1e6) BIGINTs, order-free
+    "q117_rollup_incremental" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS total_micro,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,
