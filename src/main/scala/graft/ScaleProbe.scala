@@ -130,7 +130,10 @@ object ScaleProbe {
       // q117 = one batch-side agg + two pruned merges — commit
       // machinery dominates at gate SF (the q93 class); the day-keyed
       // rollup is O(days), not O(rows)
-      "q117_rollup_incremental")
+      "q117_rollup_incremental",
+      // q118 = q38's one-exchange session shape through the native
+      // operator; q119 = q117 plus a no-op replay probe
+      "q118_session_window", "q119_rollup_exactly_once")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

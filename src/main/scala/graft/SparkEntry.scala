@@ -1558,6 +1558,39 @@ object SparkEntry {
       graft.sources.IncrementalRollup.upsertDaily(s,
         ev.filter(col("event_id") % 2 === 1), t)
       graft.sources.IncrementalRollup.readDaily(s, t)
+    }),
+
+    // Spark's NATIVE session_window aggregation (the built-in form of
+    // q38's hand-rolled sessionize; measured parity INCLUDING the
+    // exact gap boundary — touching windows merge — pinned in
+    // TimeSeriesSpec): one grouped agg, no window functions
+    "q118_session_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"),
+          session_window(col("ts"), "60 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"))
+        .select(col("user_id"),
+          to_date(col("sw.start")).as("start_day"),
+          (unix_timestamp(col("sw.end")) - lit(3600L)
+            - unix_timestamp(col("sw.start"))).as("duration_s"),
+          col("n_events"), col("session_value"))
+    }),
+
+    // exactly-once rollup ingest: the q117 build via the
+    // txn-watermarked wrapper, with batch 1 REPLAYED — a leaked
+    // replay would double half the days and fail the shared oracle
+    "q119_rollup_exactly_once" -> ((s, dir) => {
+      val t = scratchDir("graft_q119") + "/rollup"
+      val ev = Tables.events(s, dir)
+      val w = "gate-writer"
+      graft.sources.IncrementalRollup.upsertDailyIdempotent(s,
+        ev.filter(col("event_id") % 2 === 0), t, w, 0L)
+      graft.sources.IncrementalRollup.upsertDailyIdempotent(s,
+        ev.filter(col("event_id") % 2 === 1), t, w, 1L)
+      graft.sources.IncrementalRollup.upsertDailyIdempotent(s,
+        ev.filter(col("event_id") % 2 === 1), t, w, 1L)
+      graft.sources.IncrementalRollup.readDaily(s, t)
     })
   )
 
@@ -1707,6 +1740,17 @@ object SparkEntry {
   /** Shared by q42 (composed as-of) and q48 (custom-plan as-of): both
     * implementations must match DuckDB's native ASOF JOIN.
     */
+  /** One-shot daily rollup over raw events in per-row fixed-point —
+    * the oracle BOTH incremental-rollup gates (q117 plain two-commit,
+    * q119 exactly-once with a replayed batch) must land on.
+    */
+  private val RollupOracleSql =
+    """SELECT CAST(ts AS DATE) AS d,
+      |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+      |    AS total_micro,
+      |  count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   private val AsofOracleSql =
     """WITH o AS (
       |  SELECT o_custkey, o_orderdate, max(o_totalprice) AS best_price
@@ -2670,13 +2714,36 @@ object SparkEntry {
         |FROM px""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
-    // over raw events — per-row floor(value*1e6) BIGINTs, order-free
-    "q117_rollup_incremental" ->
-      """SELECT CAST(ts AS DATE) AS d,
-        |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
-        |    AS total_micro,
-        |  count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin,
+    // over raw events — per-row floor(value*1e6) BIGINTs, order-free.
+    // q119 shares it: the exactly-once build with a REPLAYED batch
+    // must also land on the one-shot aggregate (a leaked replay
+    // doubles half the days — the oracle catches it as a hash miss)
+    "q117_rollup_incremental" -> RollupOracleSql,
+    "q119_rollup_exactly_once" -> RollupOracleSql,
+
+    // q118: the native session_window gap semantics — touching
+    // windows MERGE, a split needs diff STRICTLY > gap (measured,
+    // pinned in TimeSeriesSpec) — which is exactly q38's lag/cumsum
+    // CTE, extended here with duration
+    "q118_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(ts) AS DATE) AS start_day,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT)
+        |    - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,

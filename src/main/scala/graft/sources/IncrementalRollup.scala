@@ -51,4 +51,38 @@ object IncrementalRollup {
   def readDaily(spark: SparkSession, table: String): DataFrame =
     SnapshotTable.read(spark, table)
       .select(col("d"), col("total_micro"), col("n"))
+
+  /** Exactly-once form for replayable writers (`foreachBatch`): the
+    * additive merge is guarded by the table's (writerId, batchId)
+    * txn watermark — Structured Streaming re-delivers a batch id
+    * after a crash, and a re-applied ADDITIVE merge would silently
+    * double that batch's days, so the replay must be a structural
+    * no-op (the [[SnapshotTable.appendIdempotent]] contract carried
+    * onto merge). Fresh checkpoints must rotate `writerId`, exactly
+    * as [[graft.streaming.PackStream]] documents.
+    *
+    * @return true when the batch applied, false when skipped as a
+    *         replay
+    */
+  def upsertDailyIdempotent(spark: SparkSession, batch: DataFrame,
+                            table: String, writerId: String, batchId: Long,
+                            tsCol: String = "ts",
+                            valueCol: String = "value"): Boolean = {
+    val partial = batch
+      .groupBy(to_date(col(tsCol)).as("d"))
+      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long"))
+          .as("total_micro"),
+        count(lit(1)).as("n"))
+    val before = SnapshotTable.currentVersion(table)
+      .map(v => SnapshotTable.txnVersions(table, v).getOrElse(writerId, -1L))
+      .getOrElse(-1L)
+    if (batchId <= before) return false
+    SnapshotTable.merge(spark, table, partial, "d",
+      whenMatchedUpdate = Map(
+        "total_micro" -> (col("total_micro") + col("_src.total_micro")),
+        "n" -> (col("n") + col("_src.n"))),
+      whenNotMatchedInsert = true,
+      txn = Map(writerId -> batchId))
+    true
+  }
 }

@@ -924,11 +924,23 @@ object SnapshotTable {
     *
     * Last-write-wins within `updates` on duplicate keys (same as
     * [[upsert]]).
+    *
+    * `txn`: optional idempotence watermarks, the [[appendIdempotent]]
+    * contract extended to merges — if EVERY (writerId, version) entry
+    * is already recorded at or above its version, the call is a
+    * REPLAY and returns the current version without committing. This
+    * is what makes a `foreachBatch` additive merge (e.g.
+    * [[IncrementalRollup]]) exactly-once: re-delivered batches must
+    * not re-add their partial sums. The check re-runs inside the
+    * retry loop against each freshly-read manifest, so losing a
+    * commit race to a concurrent retry of the SAME batch stays a
+    * no-op.
     */
   def merge(spark: SparkSession, table: String, updates: DataFrame, key: String,
             whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
             whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
-            whenNotMatchedInsert: Boolean = true): Int = {
+            whenNotMatchedInsert: Boolean = true,
+            txn: Map[String, Long] = Map.empty): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct}
     val deduped = updates.dropDuplicates(key).localCheckpoint()
     // empty source: nothing can match or insert — without this guard a
@@ -951,6 +963,11 @@ object SnapshotTable {
         case None => (Nil, None, Map.empty[String, Long])
         case Some(v) => readManifestFull(table, v)
       }
+      // idempotence: an already-recorded (writer, version) pair makes
+      // this delivery a replay — additive updates must not re-apply
+      if (txn.nonEmpty &&
+          txn.forall { case (w, v0) => prevTxns.get(w).exists(_ >= v0) })
+        return base.getOrElse(0)
       val (candidates, untouched) =
         entries.partition(fe => keyRange.forall(r => rangeKeeps(fe.stats, r)))
       val tgtSchema = schemaOpt.getOrElse(
@@ -1003,7 +1020,8 @@ object SnapshotTable {
       val output = inserts.fold(rewritten)(ins => rewritten.unionByName(ins))
       val newFiles = writeData(output.localCheckpoint(), table)
       val v = base.getOrElse(-1) + 1
-      if (publishManifest(table, v, untouched ++ newFiles, Some(tgtSchema), prevTxns))
+      if (publishManifest(table, v, untouched ++ newFiles, Some(tgtSchema),
+          prevTxns ++ txn))
         return v
       attempt += 1 // lost the race: re-prune + re-merge against the winner
     }

@@ -60,6 +60,32 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(SnapshotTable.history(table).size >= 2)
   }
 
+  test("exactly-once: a replayed (writer, batch) pair is a structural " +
+      "no-op; a rotated writer re-applies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    val table = s"$dir/t"
+    assert(IncrementalRollup.upsertDailyIdempotent(spark,
+      ev.filter($"event_id" % 2 === 0), table, "w1", 0L))
+    assert(IncrementalRollup.upsertDailyIdempotent(spark,
+      ev.filter($"event_id" % 2 === 1), table, "w1", 1L))
+    val expect = snap(table)
+    val vBefore = SnapshotTable.currentVersion(table)
+    // crash replay: same writer, same batch id — no new version, no
+    // doubled sums
+    assert(!IncrementalRollup.upsertDailyIdempotent(spark,
+      ev.filter($"event_id" % 2 === 1), table, "w1", 1L))
+    assert(SnapshotTable.currentVersion(table) == vBefore)
+    assert(snap(table) == expect)
+    // an OLD batch id replayed out of order is also skipped
+    assert(!IncrementalRollup.upsertDailyIdempotent(spark,
+      ev.filter($"event_id" % 2 === 0), table, "w1", 0L))
+    assert(snap(table) == expect)
+    // a fresh checkpoint rotates the writer id and its batch 0 applies
+    assert(IncrementalRollup.upsertDailyIdempotent(spark,
+      ev.filter($"event_id" === 5L), table, "w2", 0L))
+    assert(snap(table)("2024-03-03") == ((18002000L, 2L)))
+  }
+
   test("an empty batch is a no-op commit, not a table rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
     val table = s"$dir/t"

@@ -121,4 +121,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(d2.getAs[Double]("total_kwh") == 0.0)
     assert(d2.getAs[Long]("unique_appliances") == 0L)
   }
+
+  test("native session_window matches lag-based sessionize, INCLUDING the " +
+      "exact gap boundary (touching windows merge — diff > gap splits)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: gaps of 30 min (same session) and 61 min (new session).
+    // user 2: an exact 60-min gap — measured behavior: the native
+    // window MERGES the touching event (split only at diff > gap),
+    // identical to the lag-based rule. This parity is what lets q118
+    // reuse q38's session CTE as its oracle verbatim.
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:30:00")),
+      (1L, t("2024-01-01 11:31:00")),
+      (2L, t("2024-01-01 09:00:00")), (2L, t("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    def sessionsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("user_id"), col("n")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val native = sessionsOf(ev.groupBy(col("user_id"),
+        session_window(col("ts"), "60 minutes").as("sw"))
+      .agg(count(lit(1)).as("n")))
+    val lagBased = sessionsOf(
+      TimeSeries.sessionize(ev, "user_id", "ts", gapMinutes = 60)
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n")))
+    assert(native(1L) == Seq(1L, 2L)) // 30-min pair + the 61-min straggler
+    assert(native(2L) == Seq(2L))     // exact-gap event MERGES
+    assert(native == lagBased)
+  }
 }
