@@ -1591,6 +1591,18 @@ object SparkEntry {
       graft.sources.IncrementalRollup.upsertDailyIdempotent(s,
         ev.filter(col("event_id") % 2 === 1), t, w, 1L)
       graft.sources.IncrementalRollup.readDaily(s, t)
+    }),
+
+    // embedding-centroid drift: per-label cosine distance between the
+    // label's centroid and the corpus centroid — the SEMANTIC drift
+    // stat next to PSI (per-bucket mass) and KS (location): order-free
+    // fixed-point component sums, one fixed-order fold per group, so
+    // the fixed-point result is bit-identical across engines
+    "q120_centroid_drift" -> ((s, dir) => {
+      graft.core.Profile.centroidDrift(
+          Tables.embeddings(s, dir), "label", "embedding", dim = 64)
+        .select(col("label").cast("long").as("label"),
+          col("n_rows"), col("drift_micro"))
     })
   )
 
@@ -2744,6 +2756,45 @@ object SparkEntry {
         |    - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s,
         |  count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+
+    // q120: refit the fixed-point component sums (floor(v*1e6) BIGINT,
+    // order-free) from the data, fold the 64-long sum vectors in dim
+    // order with the same left associativity (the q112 list_reduce
+    // idiom), one division + sqrt pair + floor — identical
+    // parenthesization to Profile.centroidDrift, zero accepted ulp
+    "q120_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (
+        |  SELECT label, CAST(i.range AS BIGINT) AS d,
+        |    CAST(floor(v[i.range + 1] * 1000000.0) AS BIGINT) AS qv
+        |  FROM e CROSS JOIN range(64) i),
+        |gs AS (SELECT label, d, CAST(sum(qv) AS BIGINT) AS s
+        |  FROM q GROUP BY 1, 2),
+        |pop AS (SELECT d, CAST(sum(s) AS BIGINT) AS p FROM gs GROUP BY 1),
+        |arrs AS (
+        |  SELECT label,
+        |    list(CAST(s AS DOUBLE) ORDER BY d) AS sa,
+        |    list(CAST(p AS DOUBLE) ORDER BY d) AS pa
+        |  FROM gs JOIN pop USING (d) GROUP BY label),
+        |dots AS (
+        |  SELECT label,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [sa[i+1] * pa[i+1] for i in generate_series(0, len(sa)-1)]),
+        |      (acc, x) -> acc + x) AS dot,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [sa[i+1] * sa[i+1] for i in generate_series(0, len(sa)-1)]),
+        |      (acc, x) -> acc + x)) AS ns,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [pa[i+1] * pa[i+1] for i in generate_series(0, len(pa)-1)]),
+        |      (acc, x) -> acc + x)) AS np
+        |  FROM arrs),
+        |n AS (SELECT label, count(*) AS n_rows FROM embeddings GROUP BY 1)
+        |SELECT CAST(dots.label AS BIGINT) AS label, n.n_rows,
+        |  greatest(CAST(0 AS BIGINT),
+        |    CAST(floor(1000000.0 * (1.0 - dot / (ns * np))) AS BIGINT))
+        |    AS drift_micro
+        |FROM dots JOIN n ON dots.label = n.label""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,

@@ -182,6 +182,72 @@ object Profile {
       .select(col(groupCol), col("ks_micro"), col("__gt").as("n_rows"))
   }
 
+  /** Embedding-space drift report: for each group, the cosine
+    * DISTANCE between the group's embedding centroid and the whole
+    * population's — the semantic sibling of [[psi]]/[[ks]] (those
+    * watch a scalar feature's distribution; this watches where each
+    * source's documents LIVE in embedding space, the stat that
+    * catches a crawl source drifting topic-wise while its token-length
+    * histogram stays flat).
+    *
+    *   drift(g) = 1 − cos(Σ_g v, Σ_pop v)
+    *
+    * using SUM vectors, not means — cosine is scale-invariant so the
+    * 1/n cancels, and sums of per-component fixed-point integers
+    * (floor(v·1e6) BIGINT) are additive and ORDER-FREE: no partial-
+    * aggregation order can leak into the result. The only floating
+    * work is one dot product + two norms over the 64-long integer
+    * sum vectors, folded in dim order with one fixed associativity
+    * (the q112 seq-fold discipline), then one division, one sqrt pair
+    * and one floor — every step correctly-rounded IEEE, so the
+    * fixed-point result is bit-identical across engines.
+    *
+    * Scale shape: ONE scan explodes (group, dim, BIGINT) — 64× the
+    * rows but three words each, and map-side combine collapses the
+    * shuffle to the groups × dim grid. Population sums (dim rows)
+    * broadcast back. Embedding payloads never shuffle; the per-group
+    * fold runs over exactly `dim` elements.
+    *
+    * @return (groupCol, n_rows, drift_micro) one row per group;
+    *         drift_micro = max(0, floor(1e6·(1−cos))) — clamped
+    *         because cos(s, s) can exceed 1 by one ulp via
+    *         sqrt(x)·sqrt(x) ≠ x
+    */
+  def centroidDrift(df: DataFrame, groupCol: String,
+                    vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, "centroidDrift needs at least 1 dimension")
+    val q = df
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .select(col(groupCol), col("__d").cast("long").as("__d"),
+        floor(col("__v").cast("double") * lit(1000000.0))
+          .cast("long").as("__qv"))
+    val gs = q.groupBy(col(groupCol), col("__d")).agg(sum("__qv").as("__s"))
+    val pop = gs.groupBy("__d").agg(sum("__s").as("__p"))
+    val n = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    // one 64-struct array per group, sorted by dim: the fixed fold
+    // order both engines replay
+    val arrs = gs.join(broadcast(pop), Seq("__d"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("__d"), col("__s"), col("__p"))))
+        .as("__a"))
+      .select(col(groupCol),
+        expr("transform(__a, x -> cast(x.__s as double))").as("__sa"),
+        expr("transform(__a, x -> cast(x.__p as double))").as("__pa"))
+    val dot = expr(
+      "aggregate(zip_with(__sa, __pa, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+    val ns = sqrt(expr(
+      "aggregate(transform(__sa, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+    val np = sqrt(expr(
+      "aggregate(transform(__pa, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+    arrs
+      .select(col(groupCol),
+        greatest(lit(0L),
+          floor(lit(1000000.0) * (lit(1.0) - dot / (ns * np))).cast("long"))
+          .as("drift_micro"))
+      .join(n, Seq(groupCol))
+      .select(col(groupCol), col("n_rows"), col("drift_micro"))
+  }
+
   def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val prof = profile(df, checks.map(_.column).distinct)
     checks.map { ck =>

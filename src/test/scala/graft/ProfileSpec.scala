@@ -115,4 +115,46 @@ class ProfileSpec extends SparkSpec {
     // and only because empty buckets 0-2 exist on the dense grid
     assert(ks("shift") > 650000, s"shifted ks ${ks("shift")}")
   }
+
+  test("centroidDrift: single group equals the population -> drift 0, " +
+      "hand-computed 2-dim case, opposed groups score high") {
+    // one group IS the population: cos(s, s) == 1 up to the sqrt ulp
+    // the clamp absorbs -> exactly 0
+    val solo = Seq(("a", Seq(0.5f, 0.25f)), ("a", Seq(0.1f, -0.3f)))
+      .toDF("g", "v")
+    val s0 = Profile.centroidDrift(solo, "g", "v", 2)
+      .select("g", "n_rows", "drift_micro").as[(String, Long, Long)]
+      .collect().map { case (k, n, d) => k -> ((n, d)) }.toMap
+    assert(s0("a") == ((2L, 0L)))
+
+    // two groups on opposite unit axes: population sum = (1e6, 1e6),
+    // group A sum = (2e6, 0) -> cos = 2e12/(2e6 * sqrt(2)e6) = 1/sqrt(2)
+    val axes = Seq(
+      ("A", Seq(1.0f, 0.0f)), ("A", Seq(1.0f, 0.0f)),
+      ("B", Seq(0.0f, 1.0f)), ("B", Seq(0.0f, 1.0f))).toDF("g", "v")
+    val d = Profile.centroidDrift(axes, "g", "v", 2)
+      .select("g", "drift_micro").as[(String, Long)].collect().toMap
+    val expect = math.floor(1e6 * (1.0 - 1.0 / math.sqrt(2.0))).toLong
+    assert(d("A") == expect && d("B") == expect, s"$d vs $expect")
+
+    // a group drawn from the same direction as the population centroid
+    // scores ~0 while an orthogonal one scores ~1 - 1/sqrt(2)
+    assert(d("A") > 250000L)
+  }
+
+  test("centroidDrift: additive fixed-point sums are partition-order free") {
+    val rows = (0 until 64).map { i =>
+      (if (i % 3 == 0) "x" else "y",
+        Seq.tabulate(4)(j => ((i * 7 + j * 13) % 100 - 50) / 50.0f))
+    }
+    val df1 = rows.toDF("g", "v").repartition(1)
+    val df8 = rows.reverse.toDF("g", "v").repartition(8)
+    val a = Profile.centroidDrift(df1, "g", "v", 4)
+      .select("g", "n_rows", "drift_micro").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = Profile.centroidDrift(df8, "g", "v", 4)
+      .select("g", "n_rows", "drift_micro").as[(String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b, s"$a vs $b")
+  }
 }
