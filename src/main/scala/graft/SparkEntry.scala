@@ -1603,6 +1603,21 @@ object SparkEntry {
           Tables.embeddings(s, dir), "label", "embedding", dim = 64)
         .select(col("label").cast("long").as("label"),
           col("n_rows"), col("drift_micro"))
+    }),
+
+    // length-grouped (dynamic) batching: bucket docs by token length,
+    // longest-first within bucket, fixed-size batches — the padded-
+    // loader counterpart of packing; per-batch pad-token accounting.
+    // Exact integers under a total order; the two-phase global rank
+    // replaces the skewed per-bucket window at scale
+    "q121_length_batching" -> ((s, dir) => {
+      val counted = Tables.documents(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val assign = graft.core.Packing.lengthBatches(
+        counted, "doc_id", "n_tokens", bucketWidth = 64L, batchSize = 32)
+      graft.core.Packing.batchPadding(assign)
+        .select(col("bucket"), col("batch"), col("n_docs"),
+          col("max_len"), col("sum_len"), col("pad_waste"))
     })
   )
 
@@ -2795,6 +2810,28 @@ object SparkEntry {
         |    CAST(floor(1000000.0 * (1.0 - dot / (ns * np))) AS BIGINT))
         |    AS drift_micro
         |FROM dots JOIN n ON dots.label = n.label""".stripMargin,
+
+    // q121: per-bucket longest-first rank replayed as a window (the
+    // scalable two-phase rank must agree with the window formulation
+    // under the same total order), then exact-integer batch padding
+    "q121_length_batching" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+        |    row_number() OVER (PARTITION BY (n_tokens // 64)
+        |      ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rk
+        |  FROM c)
+        |SELECT bucket, rk // 32 AS batch,
+        |  count(*) AS n_docs,
+        |  max(n_tokens) AS max_len,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+        |  max(n_tokens) * count(*) - CAST(sum(n_tokens) AS BIGINT)
+        |    AS pad_waste
+        |FROM ranked GROUP BY 1, 2""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,

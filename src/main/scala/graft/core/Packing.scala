@@ -248,6 +248,64 @@ object Packing {
       idCol, seqLen)
   }
 
+  /** Length-grouped batching (a.k.a. dynamic batching): bucket
+    * documents by token length, order each bucket longest-first and
+    * cut fixed-size batches — the padded-batch counterpart of
+    * [[packIdSequences]]'s concat-and-chunk regime (SFT/eval loaders
+    * pad to the batch max instead of packing, and pad-token waste is
+    * pure wasted FLOPs; grouping similar lengths minimizes it).
+    *
+    * Returns the ASSIGNMENT (id, len, bucket, batch, rank_in_bucket):
+    * batch `b` of bucket `k` holds ranks [b·batchSize, (b+1)·batchSize).
+    * Everything is exact integers under the total order
+    * (bucket, len DESC, id) — callers aggregate padding accounting
+    * relationally (see the q121 gate).
+    *
+    * Scale shape: a bucket can hold billions of rows, so rank-within-
+    * bucket must NOT be a `Window.partitionBy(bucket)` (one task per
+    * bucket = the skewed-window anti-pattern). The global rank comes
+    * from the same two-phase prefix sum as packing (weight 1 per row
+    * under the bucket-major total order) and the per-bucket rank is
+    * global rank − the bucket's first rank — a #buckets-row broadcast.
+    * The shuffle carries (id, len, bucket), never text.
+    */
+  def lengthBatches(counted: DataFrame, idCol: String, lenCol: String,
+                    bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      "lengthBatches needs positive bucketWidth and batchSize")
+    val bucketed = counted
+      .select(col(idCol), col(lenCol).cast("long").as("len"),
+        expr(s"cast($lenCol as bigint) DIV ${bucketWidth}L").as("bucket"))
+      .withColumn("n_tokens", lit(1L))
+    // same leak-the-handle contract as offsetsBy: the internal persist
+    // must outlive the caller's action (a long-running caller should
+    // use the Releasable primitive directly)
+    val ranked = offsetsOrderedReleasable(bucketed, idCol,
+      Seq(col("bucket"), col("len").desc, col(idCol)))._1
+    // tok_end under weight-1 rows IS the 1-based global rank
+    val starts = ranked.groupBy("bucket")
+      .agg(min("tok_end").as("__bstart"))
+    ranked.join(broadcast(starts), Seq("bucket"))
+      .select(col(idCol), col("len"), col("bucket"),
+        (col("tok_end") - col("__bstart")).as("rank_in_bucket"))
+      .withColumn("batch", expr(s"rank_in_bucket DIV ${batchSize}L"))
+      .select(col(idCol), col("len"), col("bucket"), col("batch"),
+        col("rank_in_bucket"))
+  }
+
+  /** Per-batch padding accounting over a [[lengthBatches]] assignment:
+    * (bucket, batch, n_docs, max_len, sum_len, pad_waste) where
+    * pad_waste = max_len·n_docs − sum_len — the pad-token count a
+    * loader padding to the batch max would feed the model.
+    */
+  def batchPadding(assign: DataFrame): DataFrame =
+    assign.groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max("len").as("max_len"),
+        sum("len").as("sum_len"))
+      .withColumn("pad_waste",
+        col("max_len") * col("n_docs") - col("sum_len"))
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int): DataFrame = {
     val comp = packCompositions(df, idCol, textCol, seqLen)

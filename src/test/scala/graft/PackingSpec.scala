@@ -208,4 +208,54 @@ class PackingSpec extends SparkSpec {
       assert(segs.head._1 == 0L, "every sequence starts at offset 0")
     }
   }
+
+  test("lengthBatches: two-phase rank equals the per-bucket window " +
+      "formulation, batches are contiguous rank slices") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 200).map(i => (i.toLong, ((i * 37) % 190 + 1).toLong))
+    val counted = rows.toDF("doc_id", "n_tokens").repartition(7)
+    val assign = Packing.lengthBatches(counted, "doc_id", "n_tokens",
+      bucketWidth = 50L, batchSize = 8)
+      .select("doc_id", "len", "bucket", "batch", "rank_in_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("len").desc, col("doc_id"))
+    val viaWindow = counted
+      .select(col("doc_id"), col("n_tokens").as("len"),
+        expr("n_tokens DIV 50L").as("bucket"))
+      .withColumn("rank_in_bucket", row_number().over(w).cast("long") - 1L)
+      .withColumn("batch", expr("rank_in_bucket DIV 8L"))
+      .select("doc_id", "len", "bucket", "batch", "rank_in_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(assign == viaWindow)
+    // batches are dense prefixes: every batch before the bucket's last
+    // is exactly full
+    val sizes = assign.groupBy(r => (r._3, r._4)).view.mapValues(_.size)
+    val lastBatch = assign.groupBy(_._3).view.mapValues(_.map(_._4).max)
+    sizes.foreach { case ((b, k), n) =>
+      if (k < lastBatch(b)) assert(n == 8, s"bucket $b batch $k size $n")
+    }
+  }
+
+  test("lengthBatches: grouping by length cuts pad waste vs arrival order") {
+    // alternating short/long docs: arrival-order batches pad every
+    // short doc to the long length; length-grouping pads ~nothing
+    val rows = (0 until 128).map(i =>
+      (i.toLong, if (i % 2 == 0) 10L else 500L))
+    val counted = rows.toDF("doc_id", "n_tokens")
+    val grouped = Packing.batchPadding(Packing.lengthBatches(
+        counted, "doc_id", "n_tokens", bucketWidth = 64L, batchSize = 16))
+      .agg(sum("pad_waste")).as[Long].head()
+    // arrival-order baseline: batch = doc_id DIV 16, same padding rule
+    val naive = counted
+      .withColumn("bucket", lit(0L))
+      .withColumn("batch", expr("doc_id DIV 16L"))
+      .withColumn("len", col("n_tokens"))
+      .groupBy("bucket", "batch")
+      .agg((max("len") * count(lit(1)) - sum("len")).as("pad_waste"))
+      .agg(sum("pad_waste")).as[Long].head()
+    assert(grouped == 0L, s"homogeneous-length buckets pad nothing: $grouped")
+    // 8 batches x 8 short docs each, padded 500-10
+    assert(naive == 8L * 8L * 490L, s"naive pads every short doc: $naive")
+  }
 }
