@@ -133,7 +133,14 @@ object ScaleProbe {
       "q117_rollup_incremental",
       // q118 = q38's one-exchange session shape through the native
       // operator; q119 = q117 plus a no-op replay probe
-      "q118_session_window", "q119_rollup_exactly_once")
+      "q118_session_window", "q119_rollup_exactly_once",
+      // round-8 continuation 3: q120 = one 64x int explode with
+      // map-side combine into the groups x dim grid; q121 = the
+      // two-phase weight-1 rank (the q107 class); q122 = write 8
+      // indexed files + ONE hash pass over the new data — commit
+      // machinery plus O(new data), the q117 class
+      "q120_centroid_drift", "q121_length_batching",
+      "q122_bloom_point_lookup")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

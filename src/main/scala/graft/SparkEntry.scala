@@ -1618,6 +1618,51 @@ object SparkEntry {
       graft.core.Packing.batchPadding(assign)
         .select(col("bucket"), col("batch"), col("n_docs"),
           col("max_len"), col("sum_len"), col("pad_waste"))
+    }),
+
+    // manifest-level bloom file skipping: point lookups on a key
+    // scattered across every file (all min/max ranges span the whole
+    // id space — the layout where range stats prune NOTHING) open only
+    // the files whose manifest bloom might contain the key, decided at
+    // plan time with zero file opens; correctness bar = never skip a
+    // file that contains the key, which the plain-filter oracle checks
+    "q122_bloom_point_lookup" -> ((s, dir) => {
+      val t = scratchDir("graft_q122") + "/docs"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.SnapshotTable.appendBloomIndexed(
+        docs.repartitionByRange(8, pmod(col("doc_id"), lit(8))),
+        t, Seq("doc_id"), bloomBits = 8192, bloomK = 4)
+      Seq(11L, 137L, 263L, 389L).map { k =>
+        graft.sources.SnapshotTable.read(s, t,
+            probes = Seq(graft.sources.SnapshotTable.ColProbe("doc_id", k)))
+          .filter(col("doc_id") === k)
+      }.reduce(_ unionByName _)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // rank-ensemble quality blend (the FineWeb recipe): three exact
+    // integer signals (token count, stopword share, alpha share),
+    // each contributing its GLOBAL corpus rank; the blend is the rank
+    // sum — scale-free ensembling where raw-score blending would let
+    // one hot signal dominate. Ranks come from the two-phase prefix
+    // rank, never a global window
+    "q123_rank_ensemble" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val stopArr = array(TextAnalysis.StopWords.map(lit): _*)
+      val sig = Tables.documents(s, dir)
+        .withColumn("n_toks", size(t).cast("long"))
+        .withColumn("n_stop",
+          size(filter(t, tok => array_contains(stopArr, tok))).cast("long"))
+        .withColumn("n_alpha",
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+        .withColumn("n_c", length(col("text")).cast("long"))
+        .select(col("doc_id"),
+          col("n_toks").as("s_len"),
+          expr("n_stop * 1000000L DIV n_toks").as("s_stop_micro"),
+          expr("n_alpha * 1000000L DIV greatest(n_c, 1L)").as("s_alpha_micro"))
+      graft.core.Sampling.rankEnsemble(sig, "doc_id",
+        Seq("s_len", "s_stop_micro", "s_alpha_micro"))
     })
   )
 
@@ -2832,6 +2877,44 @@ object SparkEntry {
         |  max(n_tokens) * count(*) - CAST(sum(n_tokens) AS BIGINT)
         |    AS pad_waste
         |FROM ranked GROUP BY 1, 2""".stripMargin,
+
+    // q122: a bloom-pruned point lookup may only SKIP files — the
+    // relational answer is the plain filter
+    "q122_bloom_point_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (11, 137, 263, 389)""".stripMargin,
+
+    // q123: per-signal global ranks replayed as row_number windows
+    // (the scalable two-phase rank must agree under the same total
+    // order), exact integer signals, blend = rank sum
+    "q123_rank_ensemble" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS s_len,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], x))) AS BIGINT)
+        |      * 1000000 // CAST(len(t) AS BIGINT) AS s_stop_micro,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+        |      * 1000000 // greatest(CAST(len(text) AS BIGINT), 1)
+        |      AS s_alpha_micro
+        |  FROM c),
+        |ranks AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY s_len DESC, doc_id)
+        |      AS BIGINT) AS rank_s_len,
+        |    CAST(row_number() OVER (ORDER BY s_stop_micro DESC, doc_id)
+        |      AS BIGINT) AS rank_s_stop_micro,
+        |    CAST(row_number() OVER (ORDER BY s_alpha_micro DESC, doc_id)
+        |      AS BIGINT) AS rank_s_alpha_micro
+        |  FROM sig)
+        |SELECT doc_id, rank_s_len, rank_s_stop_micro, rank_s_alpha_micro,
+        |  rank_s_len + rank_s_stop_micro + rank_s_alpha_micro
+        |    AS blend_rank
+        |FROM ranks""".stripMargin,
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,

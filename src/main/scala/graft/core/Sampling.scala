@@ -292,4 +292,36 @@ object Sampling {
     val _ = release
     out
   }
+
+  /** Rank-ensemble quality blending (the FineWeb-style "multiple weak
+    * classifiers beat one" recipe): each signal column contributes its
+    * GLOBAL corpus rank (1 = best, signal descending, id tie-break)
+    * and a document's blend is the SUM of its ranks — rank space
+    * normalizes away every signal's scale and outlier shape, which is
+    * why ensembling raw scores (one hot signal dominates) loses to
+    * ensembling ranks. Lower blend = better; gate/select on it with
+    * [[tokenBudgetSelect]] or a quantile cut.
+    *
+    * Everything is exact integers: each per-signal rank is the
+    * two-phase distributed prefix rank (weight-1 rows — never a
+    * global `Window.orderBy`, the single-partition anti-pattern), and
+    * the blend is a BIGINT sum. K signals cost K rank passes + K
+    * id-keyed joins; shuffles carry (id, signal) pairs only.
+    *
+    * @return (idCol, rank_<signal>..., blend_rank)
+    */
+  def rankEnsemble(df: DataFrame, idCol: String,
+                   signalCols: Seq[String]): DataFrame = {
+    require(signalCols.nonEmpty, "rankEnsemble needs at least one signal")
+    val ranked = signalCols.map { s =>
+      val counted = df.select(col(idCol), col(s))
+        .withColumn("n_tokens", lit(1L))
+      Packing.offsetsOrderedReleasable(counted, idCol,
+          Seq(col(s).desc, col(idCol).asc))._1
+        .select(col(idCol), col("tok_end").as(s"rank_$s"))
+    }
+    val joined = ranked.reduce(_.join(_, Seq(idCol)))
+    joined.withColumn("blend_rank",
+      signalCols.map(s => col(s"rank_$s")).reduce(_ + _))
+  }
 }

@@ -50,9 +50,20 @@ object SnapshotTable {
     * manifest-built file index (zero storage round-trips at plan
     * time); -1 marks entries from pre-size manifests, which fall back
     * to a listed read.
+    *
+    * `blooms` = per-column MANIFEST-LEVEL bloom filters (the Delta
+    * bloom-index idea folded into the manifest): min/max ranges prune
+    * nothing on a scattered high-cardinality key — every file's range
+    * spans everything — but a point lookup only needs files whose
+    * bloom MIGHT contain the key, decided at PLAN time from the
+    * manifest alone, zero file opens. Encoded "<bits>:<k>:<base64>";
+    * absence always means "cannot skip". Orthogonal to the parquet
+    * row-group blooms [[append]]'s `bloomColumns` writes (those skip
+    * row groups after the file is opened; these skip the open).
     */
   final case class FileEntry(name: String, stats: Map[String, ColStats],
-                             size: Long = -1L)
+                             size: Long = -1L,
+                             blooms: Map[String, String] = Map.empty)
 
   /** Value range for pruning: keep files whose [min,max] intersects
     * the range on `column`. Bounds are inclusive by default (strict
@@ -67,6 +78,71 @@ object SnapshotTable {
                             upper: Option[Any] = None,
                             lowerInclusive: Boolean = true,
                             upperInclusive: Boolean = true)
+
+  /** Equality probe against a bloom-indexed column ([[appendBloomIndexed]]):
+    * keep only files whose manifest bloom might contain `value` (files
+    * without a bloom on the column are always kept). Values compare in
+    * CANONICAL STRING form — the build side hashes `cast(col as string)`
+    * so probes are insensitive to Int-vs-Long literal width.
+    */
+  final case class ColProbe(column: String, value: Any)
+
+  /** Manifest bloom encode/probe. The BUILD side hashes with Spark's
+    * own `xxhash64` (one distributed pass over the just-written files,
+    * Kirsch–Mitzenmacher double hashing: pos_i = (h1 + i·h2) mod m
+    * with h1 = xxhash64(v), h2 = xxhash64(v, 1L)); the PROBE side
+    * evaluates the IDENTICAL Catalyst expression on the driver, so
+    * build and probe can never drift — there is no second hash
+    * implementation to keep in sync.
+    */
+  private[graft] object BloomIndex {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.{LongType, StringType}
+
+    private def evalHash(children: Seq[Literal]): Long =
+      XxHash64(children, 42L).eval(null).asInstanceOf[Long]
+
+    private[sources] def positions(v: String, mBits: Int, k: Int): Seq[Int] = {
+      val lit = Literal.create(v, StringType)
+      val h1 = evalHash(Seq(lit))
+      val h2 = evalHash(Seq(lit, Literal.create(1L, LongType)))
+      (0 until k).map { i =>
+        val m = mBits.toLong
+        ((((h1 + i * h2) % m) + m) % m).toInt
+      }
+    }
+
+    private[graft] def encode(mBits: Int, k: Int,
+                              setBits: Iterable[Int]): String = {
+      val bytes = new Array[Byte](mBits / 8)
+      setBits.foreach { p =>
+        bytes(p >>> 3) = (bytes(p >>> 3) | (1 << (p & 7))).toByte
+      }
+      s"$mBits:$k:${java.util.Base64.getEncoder.encodeToString(bytes)}"
+    }
+
+    /** Driver-side bloom over canonical string keys — the synthetic-
+      * manifest seam tests use (the production build is distributed).
+      */
+    private[graft] def encodeFor(values: Iterable[String], mBits: Int,
+                                 k: Int): String =
+      encode(mBits, k, values.flatMap(positions(_, mBits, k)))
+
+    private[sources] def mightContain(enc: String, value: Any): Boolean = {
+      val Array(mS, kS, b64) = enc.split(":", 3)
+      val mBits = mS.toInt
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      positions(String.valueOf(value), mBits, kS.toInt).forall { p =>
+        (bytes(p >>> 3) & (1 << (p & 7))) != 0
+      }
+    }
+  }
+
+  private def bloomKeeps(fe: FileEntry, p: ColProbe): Boolean =
+    fe.blooms.get(p.column) match {
+      case None => true // no bloom on the column: cannot skip
+      case Some(enc) => BloomIndex.mightContain(enc, p.value)
+    }
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
   private def chunksDir(table: String): Path = manifestDir(table).resolve("chunks")
@@ -140,7 +216,10 @@ object SnapshotTable {
         }.toMap
       }.getOrElse(Map.empty[String, ColStats])
       val size = Option(f.get("size")).map(_.asLong()).getOrElse(-1L)
-      FileEntry(f.get("name").asText(), stats, size)
+      val blooms = Option(f.get("blooms")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String])
+      FileEntry(f.get("name").asText(), stats, size, blooms)
     }
 
   private def entryNode(arr: ArrayNode, fe: FileEntry): Unit = {
@@ -153,6 +232,10 @@ object SnapshotTable {
         val o = s.putObject(c)
         putStat(o, "min", cs.min); putStat(o, "max", cs.max)
       }
+    }
+    if (fe.blooms.nonEmpty) {
+      val b = f.putObject("blooms")
+      fe.blooms.foreach { case (c, enc) => b.put(c, enc) }
     }
   }
 
@@ -586,6 +669,66 @@ object SnapshotTable {
     }
   }
 
+  /** Append with MANIFEST bloom indexes on `indexCols` (plus the
+    * parquet row-group blooms on the same columns): after the data
+    * write, ONE distributed pass re-reads only the new files, hashes
+    * each key `bloomK` ways with Spark's `xxhash64` and reduces to
+    * distinct (file, column, bit) rows — the driver collects at most
+    * newFiles × cols × `bloomBits` ints of SET BITS, never values.
+    * Point-lookup reads ([[ColProbe]]) then skip whole files at plan
+    * time on a key whose min/max ranges span everything.
+    *
+    * Sizing: FPP ≈ (1 − e^(−k·n/m))^k for n distinct keys per file —
+    * the default 8 KiB/4-hash bloom holds ~6k keys/file at ≈2% FPP
+    * and degrades GRACEFULLY (toward "keep the file", never a wrong
+    * skip). Size `bloomBits` to the clustering, not the table.
+    */
+  def appendBloomIndexed(df: DataFrame, table: String,
+                         indexCols: Seq[String],
+                         bloomBits: Int = 65536, bloomK: Int = 4): Int = {
+    require(indexCols.nonEmpty, "appendBloomIndexed needs index columns")
+    require(bloomBits >= 64 && bloomBits % 8 == 0 && bloomK >= 1,
+      s"bad bloom sizing: bits=$bloomBits k=$bloomK")
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val newFiles = writeData(df, table, indexCols)
+    val paths = newFiles.map(fe =>
+      dataDir(table).resolve(fe.name).toAbsolutePath.toString)
+    val keyed = spark.read.parquet(paths: _*)
+      .select(input_file_name().as("__f"),
+        explode(array(indexCols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*))
+          .as("__cv"))
+      .select(col("__f"), col("__cv.c").as("__c"),
+        xxhash64(col("__cv.v")).as("__h1"),
+        xxhash64(col("__cv.v"), lit(1L)).as("__h2"))
+      .select(col("__f"), col("__c"),
+        explode(sequence(lit(0L), lit(bloomK - 1L))).as("__i"),
+        col("__h1"), col("__h2"))
+      .select(col("__f"), col("__c"),
+        pmod(col("__h1") + col("__i") * col("__h2"), lit(bloomBits.toLong))
+          .cast("int").as("__p"))
+      .distinct() // map-side partial: the shuffle carries set BITS only
+      .groupBy("__f", "__c")
+      .agg(collect_set("__p").as("__ps"))
+      .collect()
+    val byFile = keyed.groupBy { r =>
+      val f = r.getString(0)
+      f.substring(f.lastIndexOf('/') + 1)
+    }.map { case (name, rows) =>
+      name -> rows.map { r =>
+        r.getString(1) -> BloomIndex.encode(bloomBits, bloomK,
+          r.getSeq[Int](2))
+      }.toMap
+    }
+    val indexed = newFiles.map(fe =>
+      fe.copy(blooms = byFile.getOrElse(fe.name, Map.empty)))
+    commitLoop(table) { (chunks, inline, prevSchema) =>
+      (chunks, inline ++ indexed,
+        evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+    }
+  }
+
   /** Idempotent append for replayable writers (the Delta txnAppId/
     * txnVersion contract): a (writerId, txnVersion) pair applies AT
     * MOST ONCE — re-delivery of an already-committed version is a
@@ -716,16 +859,24 @@ object SnapshotTable {
     * range. The pruning is conservative: files lacking stats are kept.
     */
   def read(spark: SparkSession, table: String, version: Option[Int] = None,
-           prune: Seq[ColRange] = Nil): DataFrame = {
+           prune: Seq[ColRange] = Nil,
+           probes: Seq[ColProbe] = Nil): DataFrame = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
     val (chunks, inline, schemaOpt, _) = readManifestChunked(table, v)
     // chunk-level pruning FIRST: a chunk whose aggregated range misses
     // every predicate is skipped without parsing its file entries — at
-    // 1M files a keyed read parses O(matching chunks), not the table
+    // 1M files a keyed read parses O(matching chunks), not the table.
+    // Probes prune per FILE only (a chunk-level bloom union would
+    // saturate) — but an equality probe also range-prunes for free
+    val probeRanges = probes.map(p =>
+      ColRange(p.column, Some(p.value), Some(p.value)))
+    val allRanges = prune ++ probeRanges
     val entries = resolveChunks(table,
-      chunks.filter(cr => prune.forall(r => rangeKeeps(cr.stats, r)))) ++ inline
-    val files = entries.filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
+      chunks.filter(cr => allRanges.forall(r => rangeKeeps(cr.stats, r)))) ++ inline
+    val files = entries.filter(fe =>
+      allRanges.forall(r => rangeKeeps(fe.stats, r)) &&
+        probes.forall(p => bloomKeeps(fe, p)))
     if (files.isEmpty) schemaOpt match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -791,18 +942,23 @@ object SnapshotTable {
     * can assert data-skipping without inspecting the scan.
     */
   def filesForRead(table: String, version: Option[Int] = None,
-                   prune: Seq[ColRange] = Nil): Seq[String] =
-    prunedEntries(table, version, prune).map(_.name)
+                   prune: Seq[ColRange] = Nil,
+                   probes: Seq[ColProbe] = Nil): Seq[String] =
+    prunedEntries(table, version, prune, probes).map(_.name)
 
   /** Shared chunk-then-file pruning for every pruned-list surface. */
   private def prunedEntries(table: String, version: Option[Int],
-                            prune: Seq[ColRange]): Seq[FileEntry] = {
+                            prune: Seq[ColRange],
+                            probes: Seq[ColProbe] = Nil): Seq[FileEntry] = {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
     val (chunks, inline, _, _) = readManifestChunked(table, v)
+    val allRanges = prune ++ probes.map(p =>
+      ColRange(p.column, Some(p.value), Some(p.value)))
     (resolveChunks(table,
-      chunks.filter(cr => prune.forall(r => rangeKeeps(cr.stats, r)))) ++ inline)
-      .filter(fe => prune.forall(r => rangeKeeps(fe.stats, r)))
+      chunks.filter(cr => allRanges.forall(r => rangeKeeps(cr.stats, r)))) ++ inline)
+      .filter(fe => allRanges.forall(r => rangeKeeps(fe.stats, r)) &&
+        probes.forall(p => bloomKeeps(fe, p)))
   }
 
   /** Row-level DELETE (copy-on-write, Delta-style): rows matching

@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Sampling
+import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -50,5 +51,32 @@ class SamplingSpec extends SparkSpec {
     val df = spark.range(50).selectExpr("CAST(id AS DOUBLE) AS x")
     val s = Sampling.reservoirDoubles(df, Seq("x"), 200, seed = 1L)
     assert(s.map(_(0)).toSet == (0 until 50).map(_.toDouble).toSet)
+  }
+
+  test("rankEnsemble: ranks match a window replay, rank space " +
+      "neutralizes a hot raw signal, blend is the exact rank sum") {
+    import org.apache.spark.sql.expressions.Window
+    // s_hot has one enormous outlier; s_even is well-behaved. A raw
+    // score sum would let the outlier dominate; rank blending cannot.
+    val rows = Seq(
+      (1L, 1000000L, 10L), (2L, 5L, 30L), (3L, 4L, 20L), (4L, 3L, 40L))
+    val df = rows.toDF("doc_id", "s_hot", "s_even").repartition(3)
+    val got = Sampling.rankEnsemble(df, "doc_id", Seq("s_hot", "s_even"))
+      .select("doc_id", "rank_s_hot", "rank_s_even", "blend_rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val replay = rows.toDF("doc_id", "s_hot", "s_even")
+      .withColumn("rank_s_hot", row_number().over(
+        Window.orderBy(col("s_hot").desc, col("doc_id"))).cast("long"))
+      .withColumn("rank_s_even", row_number().over(
+        Window.orderBy(col("s_even").desc, col("doc_id"))).cast("long"))
+      .withColumn("blend_rank", col("rank_s_hot") + col("rank_s_even"))
+      .select("doc_id", "rank_s_hot", "rank_s_even", "blend_rank")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == replay)
+    val byBlend = got.sortBy(r => (r._4, r._1)).map(_._1)
+    // doc 1's outlier buys it exactly ONE rank point of advantage:
+    // doc 2 (2nd on hot, 2nd on even) beats it overall
+    assert(byBlend.head == 2L, s"expected doc 2 best, got $byBlend")
+    got.foreach { case (_, rh, re, b) => assert(b == rh + re) }
   }
 }
