@@ -140,7 +140,11 @@ object ScaleProbe {
       // indexed files + ONE hash pass over the new data — commit
       // machinery plus O(new data), the q117 class
       "q120_centroid_drift", "q121_length_batching",
-      "q122_bloom_point_lookup")
+      "q122_bloom_point_lookup",
+      // q123 = 3 weight-1 two-phase ranks + id joins; q124 = one
+      // mapPartitions pass with a per-partition word memo (the q85
+      // encode class — Zipf words cost one segmentation each)
+      "q123_rank_ensemble", "q124_wordpiece_encode")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

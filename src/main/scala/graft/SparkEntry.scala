@@ -1663,6 +1663,19 @@ object SparkEntry {
           expr("n_alpha * 1000000L DIV greatest(n_c, 1L)").as("s_alpha_micro"))
       graft.core.Sampling.rankEnsemble(sig, "doc_id",
         Seq("s_len", "s_stop_micro", "s_alpha_micro"))
+    }),
+
+    // WordPiece greedy longest-match encode against the fixed vocab
+    // (the second tokenizer family next to BPE: segment top-down vs
+    // replay merges bottom-up); the oracle pre-resolves the longest
+    // match per (word, pos) relationally and replays the greedy walk
+    // as a recursive CTE over those jumps — full segmentation pinned,
+    // not just counts
+    "q124_wordpiece_encode" -> ((s, dir) => {
+      graft.core.Wordpiece.encode(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("n_unk"), col("text_pieces"))
     })
   )
 
@@ -2915,6 +2928,72 @@ object SparkEntry {
         |  rank_s_len + rank_s_stop_micro + rank_s_alpha_micro
         |    AS blend_rank
         |FROM ranks""".stripMargin,
+
+    // q124: WordPiece greedy longest-match replayed relationally —
+    // the longest matching piece per (word, pos) is a plain argmax
+    // over the bounded candidate grid, and the greedy walk is a
+    // recursive CTE over those PRE-RESOLVED jumps (no per-step
+    // argmax). A word whose walk strands short of its length is
+    // [UNK]. Vocab literals interpolate from Wordpiece.FixedVocab —
+    // one source of truth
+    "q124_wordpiece_encode" -> {
+      val vocabList = graft.core.Wordpiece.FixedVocab
+        .map(v => s"'$v'").mkString(",")
+      val mp = graft.core.Wordpiece.MaxPiece
+      s"""WITH RECURSIVE
+        |words AS (
+        |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |cands AS (
+        |  SELECT w, CAST(i // $mp AS INT) AS pos,
+        |    CAST(i % $mp + 1 AS INT) AS l
+        |  FROM (SELECT w, unnest(generate_series(0, len(w) * $mp - 1)) AS i
+        |        FROM words)
+        |  WHERE (i // $mp) + (i % $mp + 1) <= len(w)),
+        |matched AS (
+        |  SELECT w, pos, l,
+        |    CASE WHEN pos = 0 THEN substr(w, 1, l)
+        |         ELSE '##' || substr(w, pos + 1, l) END AS piece
+        |  FROM cands
+        |  WHERE (CASE WHEN pos = 0 THEN substr(w, 1, l)
+        |         ELSE '##' || substr(w, pos + 1, l) END)
+        |    IN (SELECT unnest([$vocabList]))),
+        |jumps AS (
+        |  SELECT w, pos, piece, l FROM (
+        |    SELECT w, pos, piece, l,
+        |      row_number() OVER (PARTITION BY w, pos ORDER BY l DESC) AS rn
+        |    FROM matched) WHERE rn = 1),
+        |walk AS (
+        |  SELECT w, 0 AS pos, CAST(NULL AS VARCHAR) AS piece, 0 AS ord
+        |  FROM words
+        |  UNION ALL
+        |  SELECT wk.w, wk.pos + j.l, j.piece, wk.ord + 1
+        |  FROM walk wk JOIN jumps j ON wk.w = j.w AND wk.pos = j.pos
+        |  WHERE wk.pos < len(wk.w)),
+        |reach AS (SELECT w, max(pos) AS reach FROM walk GROUP BY w),
+        |plist AS (
+        |  SELECT w, list(piece ORDER BY ord) AS ps
+        |  FROM walk WHERE piece IS NOT NULL GROUP BY w),
+        |enc AS (
+        |  SELECT r.w,
+        |    CASE WHEN r.reach = len(r.w)
+        |         THEN coalesce(p.ps, CAST([] AS VARCHAR[]))
+        |         ELSE ['[UNK]'] END AS pieces
+        |  FROM reach r LEFT JOIN plist p ON r.w = p.w),
+        |toks AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS widx,
+        |    unnest(t) AS w
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        |        FROM documents))
+        |SELECT tk.doc_id, count(*) AS n_words,
+        |  CAST(sum(len(e.pieces)) AS BIGINT) AS n_pieces,
+        |  CAST(sum(CASE WHEN e.pieces = ['[UNK]'] THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unk,
+        |  string_agg(array_to_string(e.pieces, ' '), ' ' ORDER BY tk.widx)
+        |    AS text_pieces
+        |FROM toks tk JOIN enc e ON tk.w = e.w
+        |GROUP BY tk.doc_id""".stripMargin
+    },
 
     "q42_asof_join" -> AsofOracleSql,
     "q48_asof_native" -> AsofOracleSql,
