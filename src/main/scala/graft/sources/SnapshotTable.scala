@@ -689,10 +689,25 @@ object SnapshotTable {
     require(indexCols.nonEmpty, "appendBloomIndexed needs index columns")
     require(bloomBits >= 64 && bloomBits % 8 == 0 && bloomK >= 1,
       s"bad bloom sizing: bits=$bloomBits k=$bloomK")
-    import org.apache.spark.sql.functions._
-    val spark = df.sparkSession
     val newFiles = writeData(df, table, indexCols)
-    val paths = newFiles.map(fe =>
+    val indexed = buildBlooms(df.sparkSession, table, newFiles, indexCols,
+      bloomBits, bloomK)
+    commitLoop(table) { (chunks, inline, prevSchema) =>
+      (chunks, inline ++ indexed,
+        evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+    }
+  }
+
+  /** One distributed hashing pass over `files`' data: returns the
+    * entries with per-column manifest blooms attached. Shared by
+    * [[appendBloomIndexed]] and [[compact]]'s re-index (a compacted
+    * file must answer probes as well as the small files it replaced).
+    */
+  private def buildBlooms(spark: SparkSession, table: String,
+                          files: Seq[FileEntry], indexCols: Seq[String],
+                          bloomBits: Int, bloomK: Int): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions._
+    val paths = files.map(fe =>
       dataDir(table).resolve(fe.name).toAbsolutePath.toString)
     val keyed = spark.read.parquet(paths: _*)
       .select(input_file_name().as("__f"),
@@ -721,12 +736,7 @@ object SnapshotTable {
           r.getSeq[Int](2))
       }.toMap
     }
-    val indexed = newFiles.map(fe =>
-      fe.copy(blooms = byFile.getOrElse(fe.name, Map.empty)))
-    commitLoop(table) { (chunks, inline, prevSchema) =>
-      (chunks, inline ++ indexed,
-        evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
-    }
+    files.map(fe => fe.copy(blooms = byFile.getOrElse(fe.name, Map.empty)))
   }
 
   /** Idempotent append for replayable writers (the Delta txnAppId/
@@ -1286,7 +1296,21 @@ object SnapshotTable {
       // files stay on disk (and referenced by older manifests) until a
       // later vacuum
       val newFiles = writeData(packed, table)
-      if (publishManifest(table, base + 1, big.map(_._1) ++ newFiles, schemaOpt,
+      // re-index: a compacted file must answer point-lookup probes as
+      // well as the bloomed small files it replaced (losing the bloom
+      // is CORRECT — no bloom means keep — but forfeits the pruning);
+      // sizing carries over from the widest existing bloom
+      val bloomCols = small.flatMap(_._1.blooms.keys).distinct
+      val indexed =
+        if (bloomCols.isEmpty) newFiles
+        else {
+          val (bits, k) = small.iterator
+            .flatMap(_._1.blooms.values)
+            .map { enc => val a = enc.split(":", 3); (a(0).toInt, a(1).toInt) }
+            .reduce((x, y) => (math.max(x._1, y._1), math.max(x._2, y._2)))
+          buildBlooms(spark, table, newFiles, bloomCols, bits, k)
+        }
+      if (publishManifest(table, base + 1, big.map(_._1) ++ indexed, schemaOpt,
           prevTxns))
         return Some(base + 1)
       attempt += 1

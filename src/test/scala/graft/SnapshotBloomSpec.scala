@@ -121,4 +121,25 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(kept.contains("f555.parquet"), s"missing the true file: $kept")
     assert(kept.size < 20, s"chunked bloom pruning too weak: ${kept.size}")
   }
+
+  test("compact re-indexes: the merged file answers probes as well as " +
+      "the small bloomed files it replaced") {
+    val t = Files.createTempDirectory("graft_bloom5").toString + "/t"
+    SnapshotTable.appendBloomIndexed(scattered, t, Seq("k"),
+      bloomBits = 8192, bloomK = 4)
+    val before = SnapshotTable.filesForRead(t)
+    // everything is small vs a huge target: all files merge
+    val v = SnapshotTable.compact(spark, t, targetFileBytes = 1L << 30)
+    assert(v.nonEmpty, "expected a compaction commit")
+    val after = SnapshotTable.filesForRead(t)
+    assert(after.size < before.size)
+    // present key: found, and the absent key still prunes EVERY file —
+    // only possible if the compacted output carries a rebuilt bloom
+    val got = SnapshotTable.read(spark, t, probes = Seq(ColProbe("k", 1789L)))
+      .filter(col("k") === 1789L).count()
+    assert(got == 1L)
+    assert(SnapshotTable.filesForRead(t,
+      probes = Seq(ColProbe("k", 999999L))).isEmpty,
+      "compacted file lost its bloom")
+  }
 }
