@@ -144,7 +144,10 @@ object ScaleProbe {
       // q123 = 3 weight-1 two-phase ranks + id joins; q124 = one
       // mapPartitions pass with a per-partition word memo (the q85
       // encode class — Zipf words cost one segmentation each)
-      "q123_rank_ensemble", "q124_wordpiece_encode")
+      "q123_rank_ensemble", "q124_wordpiece_encode",
+      // q125 = the q117 build + an O(days) rewritten read — the MV
+      // point: query cost is flat in corpus size once the view exists
+      "q125_rollup_rewrite")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -1676,6 +1676,42 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_words"), col("n_pieces"),
           col("n_unk"), col("text_pieces"))
+    }),
+
+    // materialized-view rewrite: the daily aggregate WRITTEN OVER RAW
+    // EVENTS is answered from the incrementally-maintained rollup
+    // table — the optimizer substitutes the O(days) view for the
+    // O(rows) scan (sameResult matching, the CacheManager principle).
+    // The gate HARD-REQUIRES the rewrite to fire (otherwise the raw
+    // aggregate would trivially equal the oracle and test nothing);
+    // the shared q117 oracle then proves the view answers EXACTLY
+    "q125_rollup_rewrite" -> ((s, dir) => {
+      val t = scratchDir("graft_q125") + "/rollup"
+      val ev = Tables.events(s, dir)
+      graft.sources.IncrementalRollup.upsertDaily(s,
+        ev.filter(col("event_id") % 2 === 0), t)
+      graft.sources.IncrementalRollup.upsertDaily(s,
+        ev.filter(col("event_id") % 2 === 1), t)
+      graft.plans.RollupRewrite.register(ev, t)
+      if (!s.experimental.extraOptimizations
+          .contains(graft.plans.RollupRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RollupRewrite
+      val q = ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * lit(1000000.0)).cast("long"))
+            .as("total_micro"),
+          count(lit(1)).as("n"))
+      val fired = q.queryExecution.optimizedPlan.collectLeaves().exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.inputFiles.exists(_.contains("graft_q125"))
+            case _ => false
+          }
+        case _ => false
+      }
+      require(fired, "MV rewrite did not fire — the gate would be vacuous")
+      q
     })
   )
 
@@ -2805,6 +2841,10 @@ object SparkEntry {
     // doubles half the days — the oracle catches it as a hash miss)
     "q117_rollup_incremental" -> RollupOracleSql,
     "q119_rollup_exactly_once" -> RollupOracleSql,
+    // q125: the MV-rewritten aggregate must land on the one-shot
+    // aggregate over raw events — same bar as the view maintenance
+    // itself (and the gate requires the rewrite to actually fire)
+    "q125_rollup_rewrite" -> RollupOracleSql,
 
     // q118: the native session_window gap semantics — touching
     // windows MERGE, a split needs diff STRICTLY > gap (measured,

@@ -150,6 +150,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    e.injectOptimizerRule(_ => RollupRewrite)
     e.injectFunction(fn("rolling_hash",
       classOf[graft.expressions.RollingHash], 1,
       args => graft.expressions.RollingHash(args.head)))
