@@ -57,14 +57,19 @@ class TablesFlavorSpec extends SparkSpec {
     "q17_dedup_exact_keep", "q19_ngram_jaccard", "q22_token_stats",
     "q23_langid", "q24_fingerprint", "q53_repetition", "q60_hash_split",
     "q77_temperature_mix", "q79_pack_by_cost", "q82_bpe_dict",
-    "q91_quality_quantile_gate")
+    "q91_quality_quantile_gate",
+    // WordPiece: per-char substring matching over text
+    "q124_wordpiece_encode")
 
   // Cosine/top-k, label centroids, IVF assign+probe, hyperplane LSH,
   // PQ encode/ADC — every float-array consumption path.
   private val embQueries = Seq(
     "q25_cosine_topk", "q26_label_centroids", "q27_ivf_ann",
     "q39_cosine_neardup", "q49_ivf_assign", "q50_lsh_candidates",
-    "q56_pq_encode", "q57_pq_adc")
+    "q56_pq_encode", "q57_pq_adc",
+    // fixed-point floor(v*1e6) sums: a float64 flavor must land on
+    // the same integers after the published-float32 pin
+    "q120_centroid_drift")
 
   test("flavor-spec query lists exist in SparkEntry.queries") {
     val missing =
