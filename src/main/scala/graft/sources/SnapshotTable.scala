@@ -104,12 +104,15 @@ object SnapshotTable {
 
     private[sources] def positions(v: String, mBits: Int, k: Int): Seq[Int] = {
       val lit = Literal.create(v, StringType)
-      val h1 = evalHash(Seq(lit))
-      val h2 = evalHash(Seq(lit, Literal.create(1L, LongType)))
-      (0 until k).map { i =>
-        val m = mBits.toLong
-        ((((h1 + i * h2) % m) + m) % m).toInt
-      }
+      val m = mBits.toLong
+      // reduce each hash mod m BEFORE combining: identical positions
+      // (mod distributes), and the combination never overflows — the
+      // distributed build runs under whatever session the caller has,
+      // which in Spark 4 means ANSI arithmetic that THROWS on a
+      // wrapping h1 + i*h2
+      val h1m = (evalHash(Seq(lit)) % m + m) % m
+      val h2m = (evalHash(Seq(lit, Literal.create(1L, LongType))) % m + m) % m
+      (0 until k).map(i => ((h1m + i * h2m) % m).toInt)
     }
 
     private[graft] def encode(mBits: Int, k: Int,
@@ -715,8 +718,11 @@ object SnapshotTable {
           struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*))
           .as("__cv"))
       .select(col("__f"), col("__cv.c").as("__c"),
-        xxhash64(col("__cv.v")).as("__h1"),
-        xxhash64(col("__cv.v"), lit(1L)).as("__h2"))
+        // mod-m BEFORE combining (matches BloomIndex.positions): the
+        // raw h1 + i*h2 wraps, which ANSI sessions reject
+        pmod(xxhash64(col("__cv.v")), lit(bloomBits.toLong)).as("__h1"),
+        pmod(xxhash64(col("__cv.v"), lit(1L)), lit(bloomBits.toLong))
+          .as("__h2"))
       .select(col("__f"), col("__c"),
         explode(sequence(lit(0L), lit(bloomK - 1L))).as("__i"),
         col("__h1"), col("__h2"))

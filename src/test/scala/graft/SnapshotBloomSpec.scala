@@ -85,7 +85,11 @@ class SnapshotBloomSpec extends SparkSpec {
         xxhash64(col("v"), lit(1L)).as("h2"))
       .as[(String, Long, Long)].collect()
       .map { case (v, h1, h2) =>
-        v -> (0 until 4).map(i => ((((h1 + i * h2) % 8192) + 8192) % 8192).toInt)
+        // mod-m before combining — the overflow-free derivation both
+        // the build and the probe use
+        val h1m = (h1 % 8192 + 8192) % 8192
+        val h2m = (h2 % 8192 + 8192) % 8192
+        v -> (0 until 4).map(i => ((h1m + i * h2m) % 8192).toInt)
       }.toMap
     vals.foreach { v =>
       val enc = BloomIndex.encodeFor(Seq(v), 8192, 4)
