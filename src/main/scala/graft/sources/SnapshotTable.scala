@@ -80,12 +80,18 @@ object SnapshotTable {
                             upperInclusive: Boolean = true)
 
   /** Equality probe against a bloom-indexed column ([[appendBloomIndexed]]):
-    * keep only files whose manifest bloom might contain `value` (files
-    * without a bloom on the column are always kept). Values compare in
-    * CANONICAL STRING form — the build side hashes `cast(col as string)`
-    * so probes are insensitive to Int-vs-Long literal width.
+    * keep only files whose manifest bloom might contain ANY of `values`
+    * (a one-element probe is `k = v`; several model `k IN (...)`).
+    * Files without a bloom on the column are always kept. Values
+    * compare in CANONICAL STRING form — the build side hashes
+    * `cast(col as string)` so probes are insensitive to Int-vs-Long
+    * literal width.
     */
-  final case class ColProbe(column: String, value: Any)
+  final case class ColProbe(column: String, values: Seq[Any])
+  object ColProbe {
+    def apply(column: String, value: Any): ColProbe =
+      ColProbe(column, Seq(value))
+  }
 
   /** Manifest bloom encode/probe. The BUILD side hashes with Spark's
     * own `xxhash64` (one distributed pass over the just-written files,
@@ -144,7 +150,7 @@ object SnapshotTable {
   private def bloomKeeps(fe: FileEntry, p: ColProbe): Boolean =
     fe.blooms.get(p.column) match {
       case None => true // no bloom on the column: cannot skip
-      case Some(enc) => BloomIndex.mightContain(enc, p.value)
+      case Some(enc) => p.values.exists(BloomIndex.mightContain(enc, _))
     }
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
@@ -885,8 +891,8 @@ object SnapshotTable {
     // 1M files a keyed read parses O(matching chunks), not the table.
     // Probes prune per FILE only (a chunk-level bloom union would
     // saturate) — but an equality probe also range-prunes for free
-    val probeRanges = probes.map(p =>
-      ColRange(p.column, Some(p.value), Some(p.value)))
+    val probeRanges = probes.collect { case p if p.values.size == 1 =>
+      ColRange(p.column, Some(p.values.head), Some(p.values.head)) }
     val allRanges = prune ++ probeRanges
     val entries = resolveChunks(table,
       chunks.filter(cr => allRanges.forall(r => rangeKeeps(cr.stats, r)))) ++ inline
@@ -950,8 +956,9 @@ object SnapshotTable {
     * alone — no storage listing.
     */
   def sizedFilesForRead(table: String, version: Option[Int] = None,
-                        prune: Seq[ColRange] = Nil): Seq[(String, Long)] =
-    prunedEntries(table, version, prune)
+                        prune: Seq[ColRange] = Nil,
+                        probes: Seq[ColProbe] = Nil): Seq[(String, Long)] =
+    prunedEntries(table, version, prune, probes)
       .map(fe => (dataDir(table).resolve(fe.name).toAbsolutePath.toString, fe.size))
 
   /** The files a pruned read would open — exposed so tests and PLANS.md
@@ -969,8 +976,9 @@ object SnapshotTable {
     val v = version.orElse(currentVersion(table))
       .getOrElse(throw new IllegalArgumentException(s"no committed version in $table"))
     val (chunks, inline, _, _) = readManifestChunked(table, v)
-    val allRanges = prune ++ probes.map(p =>
-      ColRange(p.column, Some(p.value), Some(p.value)))
+    val allRanges = prune ++ probes.collect {
+      case p if p.values.size == 1 =>
+        ColRange(p.column, Some(p.values.head), Some(p.values.head)) }
     (resolveChunks(table,
       chunks.filter(cr => allRanges.forall(r => rangeKeeps(cr.stats, r)))) ++ inline)
       .filter(fe => allRanges.forall(r => rangeKeeps(fe.stats, r)) &&

@@ -190,7 +190,10 @@ private[v2] class SnapshotScanBuilder(spark: SparkSession, table: String,
   private def ensureInner(): ParquetScanBuilder = {
     if (inner == null) {
       val ranges = SnapshotPredicates.ranges(filterExprs)
-      val sized = SnapshotTable.sizedFilesForRead(table, version, ranges)
+      // equality/IN probes additionally consult manifest blooms — the
+      // SQL path gets the q122 plan-time file skipping transparently
+      val probes = SnapshotPredicates.probes(filterExprs)
+      val sized = SnapshotTable.sizedFilesForRead(table, version, ranges, probes)
       // manifest-built index when every entry carries its size (zero
       // storage round-trips at plan time — the programmatic read()'s
       // contract); pre-size manifests fall back to a listed index
@@ -257,6 +260,46 @@ private[graft] object SnapshotPredicates {
   }
 
   def ranges(filters: Seq[Expression]): Seq[ColRange] = filters.flatMap(rangesOf)
+
+  /** Equality/IN predicates → manifest bloom probes ([[SnapshotTable.ColProbe]]):
+    * `k = v` probes one value, `k IN (...)` probes any-of. Only
+    * all-literal shapes translate; anything else probes nothing —
+    * never wrong, just non-skipping (the [[ranges]] contract).
+    */
+  def probes(filters: Seq[Expression]): Seq[SnapshotTable.ColProbe] =
+    filters.flatMap(probesOf)
+
+  /** Probe literals are restricted to integrals and strings: the bloom
+    * build hashed `cast(col as string)`, and only these types have a
+    * driver-side `String.valueOf` that provably equals that cast
+    * (date/timestamp literals carry days/micros, floats change their
+    * repr through widening — probing them could WRONGLY skip a file).
+    */
+  private def litProbeVal(e: Expression): Option[Any] = e match {
+    case Literal(v: Byte, org.apache.spark.sql.types.ByteType) => Some(v.toLong)
+    case Literal(v: Short, org.apache.spark.sql.types.ShortType) => Some(v.toLong)
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => Some(v.toLong)
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => Some(v)
+    case Literal(v: UTF8String, org.apache.spark.sql.types.StringType) =>
+      Some(v.toString)
+    case _ => None
+  }
+
+  private def probesOf(e: Expression): Seq[SnapshotTable.ColProbe] = e match {
+    case And(l, r) => probesOf(l) ++ probesOf(r)
+    case EqualTo(a, v) =>
+      (for { n <- attrName(a); value <- litProbeVal(v) }
+        yield SnapshotTable.ColProbe(n, value)).toSeq ++
+      (for { n <- attrName(v); value <- litProbeVal(a) }
+        yield SnapshotTable.ColProbe(n, value)).toSeq
+    case In(a, vs) =>
+      (attrName(a), vs.map(litProbeVal)) match {
+        case (Some(n), lits) if lits.nonEmpty && lits.forall(_.isDefined) =>
+          Seq(SnapshotTable.ColProbe(n, lits.flatten))
+        case _ => Nil
+      }
+    case _ => Nil
+  }
 
   private def rangesOf(e: Expression): Seq[ColRange] = e match {
     case And(l, r) => rangesOf(l) ++ rangesOf(r)

@@ -170,4 +170,37 @@ class SnapshotDsv2Spec extends SparkSpec {
       .as[(Int, String, Option[Double])].collect().toSet
     assert(rows == Set((1, "a", None), (2, "b", Some(9.9))))
   }
+
+  test("pushed equality/IN probes consult manifest blooms: SQL point " +
+      "lookups skip files min/max cannot, conservatively") {
+    val t = newTable("dsv2_bloom")
+    // key k lands in file k % 4: every file's [min,max] spans the
+    // whole range, range pruning keeps everything
+    val df = (0L until 2000L).map(i => (i, s"p-$i")).toDF("k", "payload")
+      .repartitionByRange(4, pmod(col("k"), lit(4)))
+    SnapshotTable.appendBloomIndexed(df, t, Seq("k"),
+      bloomBits = 8192, bloomK = 4)
+    val all = spark.read.format("graft-snapshot").load(t)
+    val total = scannedFiles(all)
+    assert(total >= 3, s"expected multiple spanning files, got $total")
+
+    val eq = all.filter(col("k") === 1001L)
+    assert(scannedFiles(eq) < total, "k = v must bloom-skip files")
+    assert(eq.select("payload").as[String].collect().toSeq == Seq("p-1001"))
+
+    val in = all.filter(col("k").isin(7L, 1001L))
+    assert(scannedFiles(in) < total, "k IN (...) must bloom-skip files")
+    assert(in.select("payload").as[String].collect().toSet ==
+      Set("p-7", "p-1001"))
+
+    // absent key: every file skipped, empty result, schema intact
+    val none = all.filter(col("k") === 555555L)
+    assert(scannedFiles(none) == 0)
+    assert(none.count() == 0L)
+
+    // a cast-wrapped column (string-typed comparison) must NOT probe —
+    // conservative: same files as range pruning alone
+    val casted = all.filter(col("k").cast("string") === "1001")
+    assert(casted.count() == 1L)
+  }
 }
