@@ -147,7 +147,10 @@ object ScaleProbe {
       "q123_rank_ensemble", "q124_wordpiece_encode",
       // q125 = the q117 build + an O(days) rewritten read — the MV
       // point: query cost is flat in corpus size once the view exists
-      "q125_rollup_rewrite")
+      "q125_rollup_rewrite",
+      // q126 = one sequence->explode->slice pass, fan-out ceil(n/48)
+      // rows per doc — linear by construction
+      "q126_chunk_windows")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

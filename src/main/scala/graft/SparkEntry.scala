@@ -1712,6 +1712,16 @@ object SparkEntry {
       }
       require(fired, "MV rewrite did not fire — the gate would be vacuous")
       q
+    }),
+
+    // sliding token-window chunking (RAG/embedding prep): 64-token
+    // windows advancing by 48 (16-token overlap), provenance offsets
+    // kept; fully declarative sequence->explode->slice
+    "q126_chunk_windows" -> ((s, dir) => {
+      TextAnalysis.chunkByTokens(Tables.documents(s, dir),
+          "doc_id", "text", size = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("n_chunk_tokens"), col("chunk_text"))
     })
   )
 
@@ -2845,6 +2855,23 @@ object SparkEntry {
     // aggregate over raw events — same bar as the view maintenance
     // itself (and the gate requires the rewrite to actually fire)
     "q125_rollup_rewrite" -> RollupOracleSql,
+
+    // q126: windows replayed with generate_series + list slicing;
+    // DuckDB list slices are 1-based inclusive and clamp like slice()
+    "q126_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0, greatest(len(t) - 1, 0), 48)) AS s
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(s // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(s AS BIGINT) AS chunk_start,
+        |  CAST(len(t[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+        |FROM starts""".stripMargin,
 
     // q118: the native session_window gap semantics — touching
     // windows MERGE, a split needs diff STRICTLY > gap (measured,

@@ -283,6 +283,40 @@ object TextAnalysis {
     * text; the reference has no equivalent, this is the training-data
     * pipeline extension).
     */
+  /** Sliding token-window chunking (the RAG/embedding-prep shape):
+    * each document yields windows of `size` tokens advancing by
+    * `size − overlap`, so consecutive chunks share `overlap` tokens —
+    * boundary-spanning sentences appear whole in at least one chunk.
+    * Fully declarative (sequence → explode → slice — chunk fan-out is
+    * ceil(n/step) rows per doc, no custom code), embarrassingly
+    * parallel, and the chunk keeps its provenance (`chunk_start`
+    * token offset) so retrieval hits map back into the source.
+    * Empty text is ONE empty token (the q22 convention) → one empty
+    * chunk at offset 0.
+    *
+    * @return (idCol, chunk_idx, chunk_start, n_chunk_tokens, chunk_text)
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    size: Int, overlap: Int): DataFrame = {
+    require(size >= 1 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val t = tokens(col(textCol))
+    df.select(col(idCol), t.as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("__t")) - 1, lit(0)),
+          lit(step))).as("chunk_start"))
+      .select(col(idCol),
+        expr(s"chunk_start DIV $step").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        slice(col("__t"), col("chunk_start") + 1, lit(size)).as("__c"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        org.apache.spark.sql.functions.size(col("__c")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** Corpus-wide chunk-level dedup (the C4/RefinedWeb paragraph-dedup
     * shape): documents split into fixed `chunkWords`-word windows, a
     * chunk's FIRST occurrence in (doc, position) order survives, every

@@ -395,4 +395,31 @@ class CorpusOpsSpec extends SparkSpec {
     // code: 4 tokens, oov = {zz, yy, xx} = 3 -> 750000
     assert(out("code") == ((4L, 3L, 750000L)))
   }
+
+  test("chunkByTokens: overlap windows with provenance, tail clamps, " +
+      "empty text is one empty chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, "doc_id", "text",
+        size = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens",
+        "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // step 3: starts 0,3,6,9 — last chunk clamps to one token
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 3L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 6L, 4L, "w7 w8 w9 w10"),
+      (1L, 3L, 9L, 1L, "w10"),
+      (2L, 0L, 0L, 1L, "")))
+    // consecutive chunks share exactly `overlap` tokens
+    got.filter(_._1 == 1L).sliding(2).foreach {
+      case Seq(a, b) =>
+        val at = a._5.split(" ").toSeq; val bt = b._5.split(" ").toSeq
+        assert(at.takeRight(1) == bt.take(1), s"overlap broken: $a $b")
+      case _ => ()
+    }
+  }
 }
