@@ -104,4 +104,22 @@ class RollupRewriteSpec extends SparkSpec {
       assert(!readsPath(daily(spark.read.parquet(otherDir)), "rollup"))
     }
   }
+
+  test("the session-build extension path alone fires the rewrite " +
+      "(no extraOptimizations needed)") {
+    // TestSession is built withExtensions(GraftExtensions), which
+    // injectOptimizerRule's RollupRewrite — registry-empty for every
+    // other suite, live here the moment a view registers
+    val base = Files.createTempDirectory("graft_mv3").toString
+    val srcDir = s"$base/events_src"
+    val t = s"$base/rollup"
+    val src = sourceDf(srcDir)
+    IncrementalRollup.upsertDaily(spark, src, t)
+    try {
+      RollupRewrite.register(src, t)
+      val q = daily(spark.read.parquet(srcDir))
+      assert(readsPath(q, "rollup"), "extension-injected rule did not fire")
+      assert(q.count() > 0)
+    } finally RollupRewrite.clear()
+  }
 }
