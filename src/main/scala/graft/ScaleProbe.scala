@@ -150,7 +150,10 @@ object ScaleProbe {
       "q125_rollup_rewrite",
       // q126 = one sequence->explode->slice pass, fan-out ceil(n/48)
       // rows per doc — linear by construction
-      "q126_chunk_windows")
+      "q126_chunk_windows",
+      // q127 = posexplode + bounded span fan-out + per-DOC windows —
+      // linear, no global exchange beyond the doc-keyed ones
+      "q127_span_corrupt")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -1722,6 +1722,18 @@ object SparkEntry {
           "doc_id", "text", size = 64, overlap = 16)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
           col("n_chunk_tokens"), col("chunk_text"))
+    }),
+
+    // T5-style span corruption: hash-seeded union-coverage spans,
+    // contiguous masked runs replaced by per-doc <Xk> sentinels —
+    // the corruption is a pure function of the data (portable
+    // rolling hash of "id:pos"), so the oracle replays every mask
+    "q127_span_corrupt" -> ((s, dir) => {
+      TextAnalysis.spanCorrupt(Tables.documents(s, dir),
+          "doc_id", "text", startPermille = 50, minSpan = 2,
+          spanChoices = 3)
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          col("n_spans"), col("corrupted_text"))
     })
   )
 
@@ -2872,6 +2884,57 @@ object SparkEntry {
         |  CAST(len(t[s + 1 : s + 64]) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
         |FROM starts""".stripMargin,
+
+    // q127: every mask replayed — same rolling hash of 'id:pos', same
+    // union coverage, same run sentinels; nested windows split so the
+    // cumulative run id consumes a materialized run-start flag
+    "q127_span_corrupt" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+        |    unnest(t) AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM documents)),
+        |h AS (
+        |  SELECT doc_id, pos, tok,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+        |  FROM toks),
+        |cov AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(generate_series(pos, pos + 2 + (hv // 1000) % 3 - 1))
+        |      AS pos
+        |  FROM h WHERE hv % 1000 < 50),
+        |flagged AS (
+        |  SELECT t.doc_id, t.pos, t.tok, (c.pos IS NOT NULL) AS m
+        |  FROM toks t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        |rs AS (
+        |  SELECT doc_id, pos, tok, m,
+        |    m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id
+        |      ORDER BY pos), FALSE) AS run_start
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT doc_id, pos, tok, m, run_start,
+        |    CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS rid
+        |  FROM rs),
+        |pieces AS (
+        |  SELECT doc_id, pos, m, rid,
+        |    CASE WHEN NOT m THEN tok
+        |         WHEN run_start THEN '<X' || CAST(rid - 1 AS VARCHAR) || '>'
+        |    END AS piece
+        |  FROM runs)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(max(rid) AS BIGINT) AS n_spans,
+        |  coalesce(string_agg(piece, ' ' ORDER BY pos)
+        |    FILTER (WHERE piece IS NOT NULL), '') AS corrupted_text
+        |FROM pieces GROUP BY doc_id""".stripMargin,
 
     // q118: the native session_window gap semantics — touching
     // windows MERGE, a split needs diff STRICTLY > gap (measured,

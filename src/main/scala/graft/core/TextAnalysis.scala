@@ -283,6 +283,68 @@ object TextAnalysis {
     * text; the reference has no equivalent, this is the training-data
     * pipeline extension).
     */
+  /** Hash-seeded span corruption (the T5/UL2 denoising objective's
+    * data side): ~`startPermille`/1000 of positions seed a span of
+    * `minSpan + (h DIV 1000) mod spanChoices` tokens, a token is
+    * masked when ANY span covers it (union coverage — overlapping
+    * seeds merge, which is also what makes the semantics fully
+    * declarative: no greedy walk), and each contiguous masked run is
+    * replaced by one per-document sentinel `<X0>, <X1>, …` in order.
+    * "Randomness" is the portable rolling hash of `"id:pos"` — the
+    * corruption is a pure function of the data, reproducible across
+    * engines/runs/partitionings (a training pipeline wants exactly
+    * this: re-materializing an epoch yields the same masks).
+    *
+    * Shapes: one posexplode (ints + token), span coverage via
+    * sequence-explode + distinct (span fan-out ≤ minSpan+spanChoices
+    * rows per seed), run detection with per-DOCUMENT windows (bounded
+    * by doc length, never a global window), one aggregation back to
+    * doc rows.
+    *
+    * @return (idCol, n_tokens, n_masked, n_spans, corrupted_text)
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  startPermille: Int = 50, minSpan: Int = 2,
+                  spanChoices: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(startPermille >= 0 && startPermille <= 1000 &&
+      minSpan >= 1 && spanChoices >= 1, "bad corruption parameters")
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val seeded = toks.withColumn("__h",
+      rollingHash(concat_ws(":", col(idCol).cast("string"),
+        col("pos").cast("string"))))
+    val covered = seeded
+      .filter(col("__h") % 1000 < startPermille)
+      .withColumn("__len",
+        lit(minSpan) + expr(s"(__h DIV 1000L) % ${spanChoices}L"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + col("__len") - 1))
+          .as("pos"))
+      .distinct()
+    val flagged = toks
+      .join(covered.withColumn("__m", lit(true)), Seq(idCol, "pos"), "left")
+      .withColumn("masked", coalesce(col("__m"), lit(false)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = flagged
+      .withColumn("__rs", col("masked") &&
+        !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+      .withColumn("__rid",
+        sum(when(col("__rs"), 1L).otherwise(0L)).over(w))
+    val pieces = runs.withColumn("__piece",
+      when(!col("masked"), col("tok"))
+        .when(col("__rs"),
+          concat(lit("<X"), (col("__rid") - 1).cast("string"), lit(">"))))
+    pieces.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        max(col("__rid")).as("n_spans"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__piece").isNotNull,
+            struct(col("pos"), col("__piece").as("p"))))),
+          s => s.getField("p"))).as("corrupted_text"))
+  }
+
   /** Sliding token-window chunking (the RAG/embedding-prep shape):
     * each document yields windows of `size` tokens advancing by
     * `size − overlap`, so consecutive chunks share `overlap` tokens —

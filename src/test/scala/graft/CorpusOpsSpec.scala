@@ -422,4 +422,40 @@ class CorpusOpsSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("spanCorrupt: pure function of the data (partition-invariant), " +
+      "sentinel/count arithmetic holds, zero rate is the identity") {
+    val docs = (0L until 40L).map(i =>
+      (i, (1 to 60).map(j => s"t${(i * 7 + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.spanCorrupt(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_masked", "n_spans", "corrupted_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val b = TextAnalysis.spanCorrupt(docs.repartition(7), "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_masked", "n_spans", "corrupted_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b, "corruption must not depend on partitioning")
+    a.foreach { case (id, n, m, s, txt) =>
+      assert(n == 60L)
+      val sentinels = "<X\\d+>".r.findAllIn(txt).toSeq
+      assert(sentinels.size.toLong == s, s"doc $id sentinel count")
+      assert(sentinels == (0 until s.toInt).map(k => s"<X$k>"),
+        s"doc $id sentinels in order")
+      // surviving tokens + one sentinel per run
+      val outToks = if (txt.isEmpty) 0L else txt.split(" ").length.toLong
+      assert(outToks == n - m + s, s"doc $id length arithmetic")
+      assert(m >= s, "a run has at least one token")
+    }
+    // some masking must actually happen at the default 5% seed rate
+    assert(a.map(_._3).sum > 0L)
+    // zero start rate: nothing masked, text passes through re-joined
+    val id0 = TextAnalysis.spanCorrupt(docs, "doc_id", "text",
+        startPermille = 0)
+      .select("doc_id", "n_masked", "n_spans", "corrupted_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val orig = docs.as[(Long, String)].collect().sortBy(_._1).toSeq
+    id0.zip(orig).foreach { case ((i, m, s, txt), (oi, otxt)) =>
+      assert(i == oi && m == 0L && s == 0L && txt == otxt)
+    }
+  }
 }
