@@ -153,7 +153,9 @@ object ScaleProbe {
       "q126_chunk_windows",
       // q127 = posexplode + bounded span fan-out + per-DOC windows —
       // linear, no global exchange beyond the doc-keyed ones
-      "q127_span_corrupt")
+      "q127_span_corrupt",
+      // q128 = two mapPartitions codec passes, the q84/q90/q116 class
+      "q128_image_augment")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -1734,6 +1734,19 @@ object SparkEntry {
           spanChoices = 3)
         .select(col("doc_id"), col("n_tokens"), col("n_masked"),
           col("n_spans"), col("corrupted_text"))
+    }),
+
+    // image augmentation (flip + center crop) through the REAL codec:
+    // both transforms are pure integer index maps, so the oracle
+    // composes the gradient-generator arithmetic through flip-then-
+    // crop and the two PNG roundtrips are hash-pinned (the q116 bar)
+    "q128_image_augment" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeGradientPngs(ids)
+      val aug = graft.core.Multimodal.augmentImages(media, cropW = 4, cropH = 3)
+      graft.core.Multimodal.imageGridFeatures(aug, k = 4)
+        .select(col("media_id").as("doc_id"), col("dim"),
+          round(col("feature"), 6).as("feature"))
     })
   )
 
@@ -2854,6 +2867,23 @@ object SparkEntry {
         |  WHERE x.range >= c.x0 AND x.range < c.x1
         |  GROUP BY 1, 2)
         |SELECT doc_id, dim, round(s / (3.0 * 255.0 * n), 6) AS feature
+        |FROM px""".stripMargin,
+
+    // q128: generator arithmetic composed through flip-then-crop:
+    // out(x, y) = gen(w-1-x0-x, y0+y), x0 = (w-4)//2, y0 = (h-3)//2;
+    // k=4 strips over the 4x3 crop = one column x 3 rows per dim
+    "q128_image_augment" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT i.doc_id, CAST(x.range AS BIGINT) AS dim,
+        |    CAST(sum(3 * ((i.doc_id * 31
+        |        + 7 * (i.w - 1 - ((i.w - 4) // 2) - x.range)
+        |        + 13 * (((i.h - 3) // 2) + y.range)) % 256)) AS BIGINT) AS s
+        |  FROM ids i, range(4) x, range(3) y
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, dim, round(s / (3.0 * 255.0 * 3.0), 6) AS feature
         |FROM px""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate

@@ -200,6 +200,48 @@ object Multimodal {
       out
     }
 
+    /** Horizontal mirror: out(x, y) = src(w−1−x, y) — a pure integer
+      * index map (same determinism argument as [[resizeNearest]]).
+      */
+    def flipHorizontal(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.setRGB(x, y, img.getRGB(w - 1 - x, y))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Center crop to (cw, ch): out(x, y) = src((w−cw) div 2 + x,
+      * (h−ch) div 2 + y) — integer offsets, exact.
+      */
+    def cropCenter(img: java.awt.image.BufferedImage,
+                   cw: Int, ch: Int): java.awt.image.BufferedImage = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(cw >= 1 && ch >= 1 && cw <= w && ch <= h,
+        s"crop ${cw}x$ch exceeds image ${w}x$h")
+      val (x0, y0) = ((w - cw) / 2, (h - ch) / 2)
+      val out = new java.awt.image.BufferedImage(
+        cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) {
+          out.setRGB(x, y, img.getRGB(x0 + x, y0 + y))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Encode any BufferedImage via an ImageIO writer ("png", "bmp"…). */
     def encode(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
@@ -680,6 +722,34 @@ object Multimodal {
               ImageIoCodec.encode(
                 ImageIoCodec.resizeNearest(img, width, height), "png"))
             case None => (id, kind, payload)
+          }
+        }
+      }.toDF("media_id", "kind", "payload")
+  }
+
+  /** Training-time image augmentation: horizontal flip then center
+    * crop, decoded and re-encoded with the real codec — the standard
+    * vision-pretraining transform pair, both pure integer index maps
+    * ([[ImageIoCodec.flipHorizontal]], [[ImageIoCodec.cropCenter]])
+    * so every output pixel is reproducible from the source alone (the
+    * q128 oracle composes the generator arithmetic through both
+    * maps). Undecodable payloads pass through untouched
+    * (schema-stable over mixed media); one mapPartitions pass, zero
+    * exchanges.
+    */
+  def augmentImages(media: DataFrame, cropW: Int, cropH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          ImageIoCodec.decode(payload) match {
+            case Some(img) if img.getWidth >= cropW && img.getHeight >= cropH =>
+              (id, kind, ImageIoCodec.encode(
+                ImageIoCodec.cropCenter(
+                  ImageIoCodec.flipHorizontal(img), cropW, cropH), "png"))
+            case _ => (id, kind, payload)
           }
         }
       }.toDF("media_id", "kind", "payload")

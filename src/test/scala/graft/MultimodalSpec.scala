@@ -317,4 +317,38 @@ class MultimodalSpec extends SparkSpec {
       .as[Long].collect().sum
     assert(frames.count() == expected)
   }
+
+  test("flip/crop index maps: double flip is the identity, crop is " +
+      "pixel-exact, augment passes through opaque and undersized rows") {
+    import graft.core.Multimodal.ImageIoCodec
+    val img = ImageIoCodec.decode(ImageIoCodec.gradientPng(7L)).get
+    val (w, h) = (img.getWidth, img.getHeight)
+    // flip twice through a lossless PNG roundtrip = original pixels
+    val ff = ImageIoCodec.decode(ImageIoCodec.encode(
+      ImageIoCodec.flipHorizontal(ImageIoCodec.flipHorizontal(img)),
+      "png")).get
+    for (x <- 0 until w; y <- 0 until h)
+      assert(ff.getRGB(x, y) == img.getRGB(x, y), s"($x,$y)")
+    // crop: out(x,y) == src(x0+x, y0+y) exactly
+    val crop = ImageIoCodec.cropCenter(img, 3, 2)
+    val (x0, y0) = ((w - 3) / 2, (h - 2) / 2)
+    for (x <- 0 until 3; y <- 0 until 2)
+      assert(crop.getRGB(x, y) == img.getRGB(x0 + x, y0 + y), s"($x,$y)")
+    // opaque payloads and images smaller than the crop pass through
+    val media = Seq(
+      (1L, "image", ImageIoCodec.gradientPng(1L)),
+      (2L, "blob", Array[Byte](1, 2, 3)),
+      (3L, "image", ImageIoCodec.encode(
+        ImageIoCodec.cropCenter(img, 2, 2), "png"))) // 2x2 < 4x3 crop
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.augmentImages(media, 4, 3)
+      .select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(out(1)._2.toSeq == Seq[Byte](1, 2, 3), "opaque must pass through")
+    val keptSmall = ImageIoCodec.decode(out(2)._2).get
+    assert(keptSmall.getWidth == 2 && keptSmall.getHeight == 2,
+      "undersized image must pass through")
+    val augmented = ImageIoCodec.decode(out(0)._2).get
+    assert(augmented.getWidth == 4 && augmented.getHeight == 3)
+  }
 }
