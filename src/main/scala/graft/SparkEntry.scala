@@ -1747,6 +1747,18 @@ object SparkEntry {
       graft.core.Multimodal.imageGridFeatures(aug, k = 4)
         .select(col("media_id").as("doc_id"), col("dim"),
           round(col("feature"), 6).as("feature"))
+    }),
+
+    // audio augmentation (time reverse) through the REAL WAV codec:
+    // PCM is lossless, so the oracle composes the tone generator
+    // through the index reversal — the q128 bar for the audio path
+    "q129_audio_reverse" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeToneWavs(ids)
+      val rev = graft.core.Multimodal.reverseAudio(media)
+      graft.core.Multimodal.audioWindowFeatures(rev, k = 4)
+        .select(col("media_id").as("doc_id"), col("dim"),
+          round(col("feature"), 6).as("feature"))
     })
   )
 
@@ -2884,6 +2896,26 @@ object SparkEntry {
         |  FROM ids i, range(4) x, range(3) y
         |  GROUP BY 1, 2)
         |SELECT doc_id, dim, round(s / (3.0 * 255.0 * 3.0), 6) AS feature
+        |FROM px""".stripMargin,
+
+    // q129: q86's window features with the sample index reversed —
+    // reversed(t) = gen(n-1-t), PCM roundtrip lossless
+    "q129_audio_reverse" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |cells AS (
+        |  SELECT doc_id, n, i.range AS dim,
+        |    (i.range * n) // 4 AS t0, ((i.range + 1) * n) // 4 AS t1
+        |  FROM ids, range(4) i),
+        |px AS (
+        |  SELECT c.doc_id, c.dim,
+        |    sum(abs((c.doc_id * 31 + (c.n - 1 - t.range) * 17) % 4093
+        |      - 2046)) AS s,
+        |    count(*) AS cnt
+        |  FROM cells c, range(500) t
+        |  WHERE t.range >= c.t0 AND t.range < c.t1
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, dim, round(s / (32768.0 * cnt), 6) AS feature
         |FROM px""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate

@@ -452,18 +452,30 @@ object Multimodal {
       */
     def toneWav(id: Long): Array[Byte] = {
       val n = (400 + id % 100).toInt
-      val data = new Array[Byte](n * 2)
+      val samples = new Array[Short](n)
+      var t = 0
+      while (t < n) {
+        samples(t) =
+          (((id * 31 + t.toLong * 17) % 4093 + 4093) % 4093 - 2046).toShort
+        t += 1
+      }
+      encodeWav(8000, samples)
+    }
+
+    /** Encode mono 16-bit PCM samples as a genuine WAV through
+      * `AudioSystem.write` — the write half of [[decode]] (PCM is
+      * lossless, so decode∘encodeWav is the identity on samples).
+      */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
       val bb = java.nio.ByteBuffer.wrap(data)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var t = 0
-      while (t < n) {
-        val s = (((id * 31 + t.toLong * 17) % 4093 + 4093) % 4093 - 2046).toShort
-        bb.putShort(t * 2, s)
-        t += 1
-      }
-      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      while (t < samples.length) { bb.putShort(t * 2, samples(t)); t += 1 }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
       val stream = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
       val baos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(stream,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
@@ -721,6 +733,30 @@ object Multimodal {
             case Some(img) => (id, kind,
               ImageIoCodec.encode(
                 ImageIoCodec.resizeNearest(img, width, height), "png"))
+            case None => (id, kind, payload)
+          }
+        }
+      }.toDF("media_id", "kind", "payload")
+  }
+
+  /** Audio augmentation: time-reverse every decodable PCM-WAV payload
+    * through the REAL codec (decode → reverse samples → re-encode —
+    * PCM is lossless, so the transform is sample-exact and the q129
+    * oracle composes the tone-generator arithmetic through the index
+    * reversal). Non-WAV payloads pass through untouched; one
+    * mapPartitions pass, zero exchanges — the audio sibling of
+    * [[augmentImages]].
+    */
+  def reverseAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          AudioIoCodec.decode(payload) match {
+            case Some((rate, samples)) =>
+              (id, kind, AudioIoCodec.encodeWav(rate, samples.reverse))
             case None => (id, kind, payload)
           }
         }

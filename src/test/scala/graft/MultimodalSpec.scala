@@ -351,4 +351,29 @@ class MultimodalSpec extends SparkSpec {
     val augmented = ImageIoCodec.decode(out(0)._2).get
     assert(augmented.getWidth == 4 && augmented.getHeight == 3)
   }
+
+  test("reverseAudio: sample-exact index reversal through the codec, " +
+      "double reverse is the identity, non-WAV passes through") {
+    import graft.core.Multimodal.AudioIoCodec
+    val wav = AudioIoCodec.toneWav(7L)
+    val (rate, orig) = AudioIoCodec.decode(wav).get
+    val media = Seq(
+      (7L, "audio", wav),
+      (8L, "blob", Array[Byte](9, 8, 7)))
+      .toDF("media_id", "kind", "payload")
+    val once = Multimodal.reverseAudio(media)
+    val out = once.select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    // reversed(t) == orig(n-1-t), rate preserved, PCM lossless
+    val (rRate, rev) = AudioIoCodec.decode(out(0)._2).get
+    assert(rRate == rate)
+    assert(rev.toSeq == orig.reverse.toSeq)
+    // opaque payload byte-for-byte untouched
+    assert(out(1)._2.toSeq == Seq[Byte](9, 8, 7))
+    // reverse twice through two real WAV roundtrips = original samples
+    val twice = Multimodal.reverseAudio(once)
+      .filter($"media_id" === 7L)
+      .select("payload").as[Array[Byte]].head()
+    assert(AudioIoCodec.decode(twice).get._2.toSeq == orig.toSeq)
+  }
 }
