@@ -1759,6 +1759,20 @@ object SparkEntry {
       graft.core.Multimodal.audioWindowFeatures(rev, k = 4)
         .select(col("media_id").as("doc_id"), col("dim"),
           round(col("feature"), 6).as("feature"))
+    }),
+
+    // voice-activity segmentation through the REAL WAV codec: frame
+    // energies are integer-exact (Σ|s(t)| per 50-sample frame), the
+    // threshold splits frames ~50/50 on this corpus, and consecutive
+    // active frames merge gaps-and-islands style — per-doc windows
+    // only, one exchange, every output column BIGINT
+    "q130_audio_vad" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeToneWavs(ids)
+      val en = graft.core.Multimodal.audioFrameEnergies(media, frameSize = 50)
+      graft.core.Multimodal.vadSegments(en, threshold = 51000L)
+        .select(col("media_id").as("doc_id"), col("seg_start"),
+          col("seg_end"), col("n_frames"), col("seg_energy"))
     })
   )
 
@@ -2917,6 +2931,32 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT doc_id, dim, round(s / (32768.0 * cnt), 6) AS feature
         |FROM px""".stripMargin,
+
+    // q130: frame energies replayed from the tone generator (integer-
+    // exact), threshold, then gaps-and-islands segmentation — the
+    // same window arithmetic as the Spark side
+    "q130_audio_vad" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |frames AS (
+        |  SELECT doc_id, f.range AS frame, n
+        |  FROM ids, range(9) f WHERE f.range < n // 50),
+        |en AS (
+        |  SELECT fr.doc_id, fr.frame,
+        |    CAST(sum(abs((fr.doc_id * 31 + (fr.frame * 50 + t.range) * 17)
+        |      % 4093 - 2046)) AS BIGINT) AS energy
+        |  FROM frames fr, range(50) t
+        |  GROUP BY 1, 2),
+        |act AS (
+        |  SELECT doc_id, frame, energy,
+        |    frame - row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY frame) AS grp
+        |  FROM en WHERE energy > 51000)
+        |SELECT doc_id, CAST(min(frame) AS BIGINT) AS seg_start,
+        |  CAST(max(frame) AS BIGINT) AS seg_end,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS seg_energy
+        |FROM act GROUP BY doc_id, grp""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

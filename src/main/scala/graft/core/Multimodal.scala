@@ -666,6 +666,63 @@ object Multimodal {
       }.toDF("media_id", "dim", "feature")
   }
 
+  /** Frame-energy rows for VAD-style segmentation
+    * (media_id, frame, energy): decode every PCM-WAV payload with the
+    * REAL codec and emit one row per full non-overlapping
+    * `frameSize`-sample frame, energy = Σ|s(t)| over the frame —
+    * integer-exact, so downstream gates compare equal across engines.
+    * Tail samples beyond the last full frame are dropped (documented
+    * convention); non-decodable payloads contribute no rows. One
+    * mapPartitions pass; payloads never leave their executor — only
+    * (long, long, long) rows shuffle afterwards.
+    */
+  def audioFrameEnergies(media: DataFrame, frameSize: Int = 50): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          AudioIoCodec.decode(payload) match {
+            case Some((_, samples)) =>
+              val nFrames = samples.length / frameSize
+              Iterator.tabulate(nFrames) { f =>
+                var e = 0L
+                var t = f * frameSize
+                val end = t + frameSize
+                while (t < end) { e += math.abs(samples(t).toLong); t += 1 }
+                (id, f.toLong, e)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "frame", "energy")
+  }
+
+  /** Voice-activity segmentation over [[audioFrameEnergies]] output:
+    * frames with energy > `threshold` are "active"; consecutive active
+    * frames merge into one segment (gaps-and-islands:
+    * frame − row_number is constant per island). Returns one row per
+    * segment (media_id, seg_start, seg_end, n_frames, seg_energy) —
+    * all BIGINT, exactly reproducible. The window partitions by
+    * media_id (bounded per-doc frame counts), never globally, so the
+    * plan is one exchange on media_id + one grouped aggregate — safe
+    * at any corpus size.
+    */
+  def vadSegments(energies: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+    energies.filter(col("energy") > threshold)
+      .withColumn("grp", col("frame") - row_number().over(w))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(
+        min(col("frame")).as("seg_start"),
+        max(col("frame")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("seg_energy"))
+      .drop("grp")
+  }
+
   /** Deterministic REAL-video table: one multi-frame animated GIF per
     * id ([[ImageIoCodec.gradientGifFrames]] +
     * [[ImageIoCodec.encodeAnimatedGif]]), encoded on the executors —

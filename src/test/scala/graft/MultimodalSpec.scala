@@ -376,4 +376,34 @@ class MultimodalSpec extends SparkSpec {
       .select("payload").as[Array[Byte]].head()
     assert(AudioIoCodec.decode(twice).get._2.toSeq == orig.toSeq)
   }
+
+  test("audioFrameEnergies + vadSegments: hand-computed energies, " +
+      "tail drop, island merge/split, undecodable dropped") {
+    import graft.core.Multimodal.AudioIoCodec
+    // 11 samples, frame size 4 -> 2 full frames, 3 tail samples dropped
+    // frame 0: |10|+|−20|+|30|+|−40| = 100; frame 1: 4*100 = 400
+    val samples = Array[Short](10, -20, 30, -40, 100, -100, 100, -100, 7, 7, 7)
+    val media = Seq(
+      (1L, "audio", AudioIoCodec.encodeWav(8000, samples)),
+      (2L, "blob", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    val en = Multimodal.audioFrameEnergies(media, frameSize = 4)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(en.toSeq == Seq((1L, 0L, 100L), (1L, 1L, 400L)))
+    // islands: frames 0,1,2 active / 3 gap / 4,5 active -> two segments
+    val frames = Seq(
+      (9L, 0L, 500L), (9L, 1L, 600L), (9L, 2L, 700L),
+      (9L, 3L, 10L), (9L, 4L, 800L), (9L, 5L, 900L),
+      (8L, 0L, 50L)) // doc 8 entirely below threshold -> no rows
+      .toDF("media_id", "frame", "energy")
+    val segs = Multimodal.vadSegments(frames, threshold = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(segs.toSeq == Seq(
+      (9L, 0L, 2L, 3L, 1800L),
+      (9L, 4L, 5L, 2L, 1700L)))
+    // partition invariance: the grouped shape is shuffle-order-free
+    val segs7 = Multimodal.vadSegments(frames.repartition(7), threshold = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(segs7.toSeq == segs.toSeq)
+  }
 }
