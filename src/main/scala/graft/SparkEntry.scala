@@ -1773,6 +1773,18 @@ object SparkEntry {
       graft.core.Multimodal.vadSegments(en, threshold = 51000L)
         .select(col("media_id").as("doc_id"), col("seg_start"),
           col("seg_end"), col("n_frames"), col("seg_energy"))
+    }),
+
+    // IMAGE near-dup through the real codec: perceptual dHash (9x8
+    // nearest resize -> integer luminance -> 64 difference bits), then
+    // banded Hamming LSH — for maxDist<=3 the 4x16-bit banding is
+    // LOSSLESS by pigeonhole, so this is the exact near-dup set while
+    // shuffling 8-byte hashes, never pixels
+    "q131_image_dhash_neardup" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeGradientPngs(ids)
+      val hashes = graft.core.Multimodal.imageDHashes(media)
+      graft.core.Multimodal.dhashNearDupPairs(hashes, maxDist = 3)
     })
   )
 
@@ -2957,6 +2969,47 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_frames,
         |  CAST(sum(energy) AS BIGINT) AS seg_energy
         |FROM act GROUP BY doc_id, grp""".stripMargin,
+
+    // q131: dHash replayed from the generator THROUGH the nearest-
+    // resize index map (sx = x*w//9, sy = y*h//8; gray so luminance
+    // == v exactly since 299+587+114 = 1000), band keys as 16-bit
+    // sums, candidates from band equality, exact Hamming per pair
+    "q131_image_dhash_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, gx.range AS x, gy.range AS y
+        |  FROM ids, range(9) gx, range(8) gy),
+        |px AS (
+        |  SELECT doc_id, x, y,
+        |    (doc_id * 31 + 7 * ((x * w) // 9) + 13 * ((y * h) // 8))
+        |      % 256 AS v
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.doc_id, a.y * 8 + a.x AS pos,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b
+        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |bands AS (
+        |  SELECT doc_id, pos // 16 AS band_idx,
+        |    CAST(sum(bit << (pos % 16)) AS BIGINT) AS band_key
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON b.band_idx = a.band_idx AND b.band_key = a.band_key
+        |    AND a.doc_id < b.doc_id),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.doc_a
+        |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

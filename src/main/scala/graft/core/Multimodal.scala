@@ -200,6 +200,35 @@ object Multimodal {
       out
     }
 
+    /** Perceptual difference hash (dHash, 64-bit): resize to 9×8 with
+      * [[resizeNearest]] (pure integer index map — no filtering, so an
+      * external oracle can replay it), integer luminance
+      * (r·299 + g·587 + b·114) div 1000 per pixel, then bit y·8+x is
+      * set iff lum(x+1, y) > lum(x, y). Deterministic and
+      * codec-roundtrip-stable (PNG is lossless), which is what lets
+      * image near-dup detection run on the HASH — 8 bytes per image —
+      * instead of on payloads.
+      */
+    def dHash64(img: java.awt.image.BufferedImage): Long = {
+      val small = resizeNearest(img, 9, 8)
+      def lum(x: Int, y: Int): Int = {
+        val rgb = small.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        (r * 299 + g * 587 + b * 114) / 1000
+      }
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(x + 1, y) > lum(x, y)) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+
     /** Horizontal mirror: out(x, y) = src(w−1−x, y) — a pure integer
       * index map (same determinism argument as [[resizeNearest]]).
       */
@@ -721,6 +750,82 @@ object Multimodal {
         count(lit(1)).as("n_frames"),
         sum(col("energy")).as("seg_energy"))
       .drop("grp")
+  }
+
+  /** Perceptual image hashes (media_id, dhash): decode every payload
+    * with the REAL codec and emit its [[ImageIoCodec.dHash64]].
+    * Non-decodable payloads are dropped. One mapPartitions pass —
+    * after this, image dedup shuffles 8-byte hashes, never pixels.
+    */
+  def imageDHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          ImageIoCodec.decode(payload)
+            .map(img => (id, ImageIoCodec.dHash64(img)))
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs by banded Hamming LSH over dHashes: the
+    * 64-bit hash splits into 4 × 16-bit bands; docs sharing any band
+    * value become candidates (one equi-join on (band_idx, band_key) —
+    * the [[Dedup.lshCandidates]] shape, hashes-only shuffle), then the
+    * EXACT Hamming distance `bit_count(a ^ b)` keeps pairs ≤ maxDist.
+    * For maxDist ≤ 3 the banding is LOSSLESS by pigeonhole: ≤ 3
+    * differing bits cannot touch all 4 bands, so at least one band
+    * matches exactly and the pair is guaranteed generated — the
+    * default output is the exact near-dup set, not an approximation.
+    * `maxBandSize` caps a band bucket's fan-out at web scale
+    * (d docs → d²/2 pairs; same subset-only contract as
+    * [[Dedup.lshCandidates]] maxBandSize — pairs only ever drop out;
+    * under a cap the pair must additionally survive in its FIRST
+    * matching band, since later-band duplicates are pruned by the
+    * first-match filter below rather than a distinct()).
+    * Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int = 3,
+                        maxBandSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDist <= 3,
+      "maxDist > 3 loses the 4-band pigeonhole guarantee; raise bands instead")
+    val banded = hashes.select(col("media_id").as("doc"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("dhash"), 16 * b)
+            .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band_idx", "band_key")))
+    val pruned =
+      if (maxBandSize == Int.MaxValue) banded
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_key"))
+        banded.withColumn("__d", count(lit(1)).over(w))
+          .filter(col("__d") > 1 && col("__d") <= maxBandSize)
+          .drop("__d")
+      }
+    // each surviving pair is emitted ONCE, from its FIRST matching
+    // band: rows from later bands are dropped by a narrow filter
+    // (both hashes are in the row), so no distinct() — identical-hash
+    // groups would otherwise 4x-duplicate every pair and force a
+    // second full shuffle just to dedup them
+    val firstMatchOnly = (0 until 3).map { j =>
+      val key = (h: Column) =>
+        shiftrightunsigned(h, 16 * j).bitwiseAND(lit(0xffffL))
+      when(col("band_idx") > j, key(col("h_a")) =!= key(col("h_b")))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    pruned.as("a").join(pruned.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.dhash").as("h_a"), col("b.dhash").as("h_b"),
+        col("a.band_idx").as("band_idx"))
+      .filter(firstMatchOnly)
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** Deterministic REAL-video table: one multi-frame animated GIF per

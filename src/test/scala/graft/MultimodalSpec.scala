@@ -406,4 +406,66 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
     assert(segs7.toSeq == segs.toSeq)
   }
+
+  test("dHash64: known bit pattern on a 9x8 image (resize is the " +
+      "identity at target dims), flip changes the hash") {
+    import graft.core.Multimodal.ImageIoCodec
+    // gray ramp increasing in x: every lum(x+1,y) > lum(x,y) -> all 64 bits
+    val ramp = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9; y <- 0 until 8) {
+      val v = x * 20
+      ramp.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(ImageIoCodec.dHash64(ramp) == -1L) // all 64 bits set
+    // decreasing ramp -> no bit set
+    val fl = ImageIoCodec.flipHorizontal(ramp)
+    assert(ImageIoCodec.dHash64(fl) == 0L)
+    // one ascent at x==3 on row y==2 only -> exactly bit 2*8+3
+    val one = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9; y <- 0 until 8) {
+      val v = if (y == 2 && x >= 4) 200 else 100
+      one.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(ImageIoCodec.dHash64(one) == (1L << 19))
+    // hash survives a real PNG roundtrip (lossless)
+    val rt = ImageIoCodec.decode(ImageIoCodec.encode(one, "png")).get
+    assert(ImageIoCodec.dHash64(rt) == (1L << 19))
+  }
+
+  test("dhashNearDupPairs: pigeonhole losslessness vs brute force at " +
+      "maxDist=3, cap drops only oversized-bucket pairs") {
+    // hashes engineered around band boundaries: bits 0-15 band 0, etc.
+    val hs = Seq(
+      (1L, 0L),                       // zero
+      (2L, 7L),                       // ham(1,2)=3, all in band 0
+      (3L, 1L | (1L << 16) | (1L << 32)), // ham(1,3)=3 across 3 bands
+      (4L, 1L | (1L << 16) | (1L << 32) | (1L << 48)), // ham(1,4)=4: out
+      (5L, java.lang.Long.parseUnsignedLong("ffffffffffffffff", 16)),
+      (6L, -1L ^ (1L << 63)))         // ham(5,6)=1 in the sign band
+      .toDF("media_id", "dhash")
+    val got = Multimodal.dhashNearDupPairs(hs, maxDist = 3)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // brute force over all 15 pairs
+    val m = Map(1L -> 0L, 2L -> 7L,
+      3L -> (1L | (1L << 16) | (1L << 32)),
+      4L -> (1L | (1L << 16) | (1L << 32) | (1L << 48)),
+      5L -> -1L, 6L -> (-1L ^ (1L << 63)))
+    val brute = (for {
+      a <- m.keys; b <- m.keys if a < b
+      d = java.lang.Long.bitCount(m(a) ^ m(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSeq.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == brute,
+      s"banded must equal brute force: ${got.toSeq} vs $brute")
+    assert(brute.contains((5L, 6L, 1L)), "sign-band pair must survive")
+    // cap=2: the size-3 band-3 bucket {1,2,3} is dropped, so (1,3)
+    // (which shares ONLY band 3) is lost, while (1,2)/(3,4)/(5,6)
+    // survive via their size-2 buckets in bands 0-2 — subset-only
+    val capped = Multimodal.dhashNearDupPairs(hs, maxDist = 3, maxBandSize = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 3L), (3L, 4L, 1L), (5L, 6L, 1L)),
+      s"capped must lose exactly the band-3-only pair: $capped")
+    assert(capped.subsetOf(got.toSet), "capped output must be a subset")
+  }
 }
