@@ -1785,6 +1785,18 @@ object SparkEntry {
       val media = graft.core.Multimodal.synthesizeGradientPngs(ids)
       val hashes = graft.core.Multimodal.imageDHashes(media)
       graft.core.Multimodal.dhashNearDupPairs(hashes, maxDist = 3)
+    }),
+
+    // hard-negative mining for contrastive training: top-k most-
+    // similar DIFFERENT-label vectors per anchor, with a semi-hard
+    // similarity ceiling (0.35 sits inside this corpus's cross-label
+    // cosine range, max 0.49 — the guard provably fires at the gate)
+    "q132_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.core.Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 16), emb, k = 5, maxSim = 0.35)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
     })
   )
 
@@ -3010,6 +3022,37 @@ object SparkEntry {
         |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // q132: q25's scoring with a label anti-filter and the semi-hard
+    // ceiling on the UNROUNDED cosine (identical fold order on both
+    // engines makes the threshold comparison exact)
+    "q132_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [q.v[i+1] * c.v[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [q.v[i+1] * q.v[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [c.v[i+1] * c.v[i+1] for i in generate_series(0, len(c.v)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 16 AND q.label <> c.label),
+        |kept AS (
+        |  SELECT * FROM scored WHERE cos <= 0.35),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM kept)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -63,6 +63,38 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-k most-similar corpus vectors with a DIFFERENT label —
+    * the negatives that actually move an embedding model. `maxSim`
+    * additionally drops candidates above a similarity ceiling
+    * (suspected unlabeled positives / near-dups — the standard
+    * "semi-hard" guard; the threshold compares the UNROUNDED cosine,
+    * which both engines compute with the same fixed fold order).
+    * Same scale shape as [[cosineTopK]]: anchors broadcast, corpus
+    * scanned once, per-anchor windows only. Rank ties broken by
+    * corpus id for determinism.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+                    maxSim: Double = 1.0, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_n"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("c_label"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_n"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("cos", dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
+      .filter(col("cos") <= maxSim)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Assign each vector to its nearest centroid (IVF coarse
     * quantization). `centroids` is broadcast; one corpus scan.
     */

@@ -21,6 +21,35 @@ class SimilaritySpec extends SparkSpec {
     assert(top.last.getAs[Double]("cosine") == -1.0)
   }
 
+  test("hardNegatives: same-label excluded, semi-hard ceiling drops the " +
+      "nearest cross-label vector, degenerates to cosineTopK") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.141f, 0.0f), 0), // same label: never a negative
+      (3L, Array(0.98f, 0.199f, 0.0f), 1), // nearest cross-label (~0.98)
+      (4L, Array(0.5f, 0.866f, 0.0f), 1),  // cos 0.5
+      (5L, Array(0.0f, 1.0f, 0.0f), 1))    // cos 0
+      .toDF("vec_id", "embedding", "label")
+    val anchors = vecs.filter($"vec_id" === 1)
+    val all = Similarity.hardNegatives(anchors, vecs, k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(all == Set(3L, 4L, 5L), "same-label vec 2 must be excluded")
+    // ceiling 0.9 drops vec 3 (cos ~0.98): the top negative becomes 4
+    val semi = Similarity.hardNegatives(anchors, vecs, k = 5, maxSim = 0.9)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(semi.toSeq == Seq(4L, 5L))
+    // all-distinct labels + maxSim 1.0 == plain cosineTopK
+    val dl = Seq(
+      (1L, Array(1.0f, 0.2f, 0.0f), 0), (2L, Array(0.9f, 0.1f, 0.3f), 1),
+      (3L, Array(0.1f, 0.9f, 0.2f), 2), (4L, Array(0.3f, 0.3f, 0.9f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val hn = Similarity.hardNegatives(dl.filter($"vec_id" === 1), dl, k = 3)
+      .collect().map(_.toSeq)
+    val ck = Similarity.cosineTopK(dl.filter($"vec_id" === 1), dl, k = 3)
+      .collect().map(_.toSeq)
+    assert(hn.toSeq == ck.toSeq)
+  }
+
   test("IVF ANN recall vs brute force on sf0.001 embeddings >= 0.6") {
     val emb = Tables.embeddings(spark, Sf0001)
     val queries = emb.filter($"vec_id" < 8)
