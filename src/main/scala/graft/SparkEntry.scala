@@ -1797,6 +1797,17 @@ object SparkEntry {
           emb.filter(col("vec_id") < 16), emb, k = 5, maxSim = 0.35)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
+    }),
+
+    // THIRD tokenizer family: unigram-LM (SentencePiece-style)
+    // Viterbi-optimal segmentation under fixed integer piece scores —
+    // exact BIGINT optimization, so the global argmax (which DISAGREES
+    // with greedy longest-match on this corpus: "customer" ->
+    // cust+omer, not custom+er) is engine-exact
+    "q133_unigram_encode" -> ((s, dir) => {
+      graft.core.Unigram.encode(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("score_total"), col("text_pieces"))
     })
   )
 
@@ -3053,6 +3064,53 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         |  round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // q133: the Viterbi optimum re-derived by BRUTE-FORCE path
+    // enumeration (recursive CTE over all segmentations — bounded:
+    // corpus words are short) + the same (score DESC, n ASC,
+    // path ASC) argmax; doc reassembly is the q124 widx pattern
+    "q133_unigram_encode" -> {
+      val vocabVals = graft.core.Unigram.FixedScores.toSeq.sortBy(_._1)
+        .map { case (p, sc) => s"('$p', $sc)" }.mkString(", ")
+      s"""WITH RECURSIVE
+        |vocab(piece, s) AS (SELECT * FROM (VALUES $vocabVals)),
+        |words AS (
+        |  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        |  FROM documents),
+        |paths AS (
+        |  SELECT w, 0 AS pos, CAST('' AS VARCHAR) AS path,
+        |    CAST(0 AS BIGINT) AS score, 0 AS n
+        |  FROM words
+        |  UNION ALL
+        |  SELECT p.w, p.pos + len(v.piece),
+        |    CASE WHEN p.path = '' THEN v.piece
+        |         ELSE p.path || ' ' || v.piece END,
+        |    p.score + v.s, p.n + 1
+        |  FROM paths p JOIN vocab v
+        |    ON v.piece = substr(p.w, p.pos + 1, len(v.piece))
+        |  WHERE p.pos < len(p.w)),
+        |best AS (
+        |  SELECT w, path, score, n,
+        |    row_number() OVER (PARTITION BY w
+        |      ORDER BY score DESC, n ASC, path ASC) AS rn
+        |  FROM paths WHERE pos = len(w)),
+        |enc AS (
+        |  SELECT wd.w, coalesce(b.path, '[UNK]') AS path,
+        |    coalesce(b.score, 0) AS score, coalesce(b.n, 1) AS np
+        |  FROM words wd LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |    ON wd.w = b.w),
+        |toks AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS widx,
+        |    unnest(t) AS w
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        |        FROM documents))
+        |SELECT tk.doc_id, count(*) AS n_words,
+        |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(e.score) AS BIGINT) AS score_total,
+        |  string_agg(e.path, ' ' ORDER BY tk.widx) AS text_pieces
+        |FROM toks tk JOIN enc e ON tk.w = e.w
+        |GROUP BY tk.doc_id""".stripMargin
+    },
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.
