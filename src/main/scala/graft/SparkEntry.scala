@@ -1808,6 +1808,18 @@ object SparkEntry {
       graft.core.Unigram.encode(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_words"), col("n_pieces"),
           col("score_total"), col("text_pieces"))
+    }),
+
+    // Matryoshka two-stage retrieval: coarse rank on the 16-dim
+    // prefix (the compact index at scale), exact full-dim re-rank of
+    // the 20 survivors only — both stages deterministic, so the
+    // cascade is oracle-replayable end-to-end
+    "q134_matryoshka_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.core.Similarity.matryoshkaTopK(
+          emb.filter(col("vec_id") < 12), emb, k = 5, dTrunc = 16, cands = 20)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
     })
   )
 
@@ -3111,6 +3123,56 @@ object SparkEntry {
         |FROM toks tk JOIN enc e ON tk.w = e.w
         |GROUP BY tk.doc_id""".stripMargin
     },
+
+    // q134: both cascade stages replayed — coarse cosine over v[1:16]
+    // (DuckDB slices are 1-based inclusive = the Spark slice(v,1,16)),
+    // survivors by crank <= 20, exact full-dim re-rank
+    "q134_matryoshka_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (
+        |  SELECT vec_id, v, v[1:16] AS tv FROM e),
+        |coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [q.tv[i+1] * c.tv[i+1] for i in generate_series(0, len(q.tv)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [q.tv[i+1] * q.tv[i+1] for i in generate_series(0, len(q.tv)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [c.tv[i+1] * c.tv[i+1] for i in generate_series(0, len(c.tv)-1)]),
+        |         (acc, x) -> acc + x))) AS cos_t
+        |  FROM t q, t c
+        |  WHERE q.vec_id < 12 AND q.vec_id <> c.vec_id),
+        |surv AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_t DESC, neighbor_id ASC) AS crank
+        |    FROM coarse) WHERE crank <= 20),
+        |fine AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [q.v[i+1] * c.v[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [q.v[i+1] * q.v[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [c.v[i+1] * c.v[i+1] for i in generate_series(0, len(c.v)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM surv s
+        |  JOIN e q ON q.vec_id = s.query_id
+        |  JOIN e c ON c.vec_id = s.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM fine)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  round(cos, 6) AS cosine
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

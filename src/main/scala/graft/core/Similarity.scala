@@ -95,6 +95,53 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Matryoshka (MRL-style) two-stage retrieval: rank the corpus by
+    * cosine over the FIRST `dTrunc` dimensions (matryoshka-trained
+    * embeddings front-load information, so the prefix is a usable
+    * coarse index), keep `cands` survivors per query, then re-rank
+    * ONLY those with the exact full-dimension cosine and return the
+    * top k. The scale shape is the point: the coarse stage carries
+    * dTrunc-dim slices (dTrunc/dim of the vector bytes — at serving
+    * scale a separate compact index), and FULL vectors are joined
+    * back for cands×queries rows only, never scanned wholesale.
+    * Both stages deterministic (ties by neighbor_id), so the whole
+    * cascade is oracle-replayable. Recall < 1.0 when the prefix
+    * misranks; exactness vs brute force asserted in the spec at
+    * cands = corpus size.
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     dTrunc: Int, cands: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), slice(col(vecCol), 1, dTrunc).as("q_t"))
+      .withColumn("q_n", norm(col("q_vec")))
+      .withColumn("q_tn", norm(col("q_t")))
+    val cCoarse = corpus.select(col(idCol).as("neighbor_id"),
+        slice(col(vecCol), 1, dTrunc).as("c_t"))
+      .withColumn("c_tn", norm(col("c_t")))
+    val coarse = cCoarse.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_t",
+        dot(col("q_t"), col("c_t")) / (col("q_tn") * col("c_tn")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_t"), asc("neighbor_id"))
+    val survivors = coarse.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= cands)
+      .select(col("query_id"), col("q_vec"), col("q_n"), col("neighbor_id"))
+    val cFull = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_n"))
+    val fine = survivors.join(cFull, "neighbor_id")
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    fine.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Assign each vector to its nearest centroid (IVF coarse
     * quantization). `centroids` is broadcast; one corpus scan.
     */

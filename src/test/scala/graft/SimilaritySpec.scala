@@ -50,6 +50,31 @@ class SimilaritySpec extends SparkSpec {
     assert(hn.toSeq == ck.toSeq)
   }
 
+  test("matryoshka rerank: cands = corpus recovers brute force exactly; " +
+      "gate config recall measured against exact top-k") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val queries = emb.filter($"vec_id" < 12)
+    val n = emb.count().toInt
+    val exact = Similarity.cosineTopK(queries, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq)
+    // surviving EVERY candidate makes stage 2 a plain exact re-rank
+    val full = Similarity.matryoshkaTopK(queries, emb, k = 5,
+        dTrunc = 16, cands = n)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq)
+    assert(full.toSeq == exact.toSeq)
+    // the gate's 16-dim/20-cand cascade: recall vs exact (untrained
+    // random prefixes — the bound is loose by construction)
+    val casc = Similarity.matryoshkaTopK(queries, emb, k = 5,
+        dTrunc = 16, cands = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactSet = exact.map(r =>
+      (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])).toSet
+    val recall = (exactSet intersect casc).size.toDouble / exactSet.size
+    assert(recall >= 0.3, s"recall was $recall")
+  }
+
   test("IVF ANN recall vs brute force on sf0.001 embeddings >= 0.6") {
     val emb = Tables.embeddings(spark, Sf0001)
     val queries = emb.filter($"vec_id" < 8)
