@@ -1820,6 +1820,15 @@ object SparkEntry {
           emb.filter(col("vec_id") < 12), emb, k = 5, dTrunc = 16, cands = 20)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
+    }),
+
+    // SFT packing with loss masks: chat-template render -> prompt/
+    // response token geometry -> fixed 128-token sequences via the
+    // two-phase prefix sum, each slice carrying its trained sub-span
+    // in in-sequence coordinates (loss_off -1 = prompt-only slice)
+    "q135_sft_pack_masks" -> ((s, dir) => {
+      graft.core.SftFormat.packedLossMasks(
+        Tables.documents(s, dir), "doc_id", "text", seqLen = 128)
     })
   )
 
@@ -3173,6 +3182,43 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         |  round(cos, 6) AS cosine
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // q135: q74's placement CTE under the rendered-token cost model,
+    // plus the mask intersection [doc_off, doc_off+n_toks) x
+    // [n_prompt, n) re-based by seq_off
+    "q135_sft_pack_masks" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(
+        |      '<|user|> ' || lang || ' ' || source || ' <|assistant|>'),
+        |      '\s+')) AS BIGINT) AS np,
+        |    CAST(len(regexp_split_to_array(trim(
+        |      '<|user|> ' || lang || ' ' || source || ' <|assistant|> '
+        |      || coalesce(text, '') || ' <|end|>'),
+        |      '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, np, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS e
+        |  FROM tok),
+        |placed AS (SELECT doc_id, np, n, e - n AS s, e FROM cum WHERE n > 0),
+        |ex AS (
+        |  SELECT doc_id, np, n, s, e,
+        |    unnest(generate_series(s // 128, (e - 1) // 128)) AS seq_id
+        |  FROM placed),
+        |m AS (
+        |  SELECT doc_id, seq_id, np, n,
+        |    greatest(s, seq_id * 128) - seq_id * 128 AS seq_off,
+        |    greatest(seq_id * 128 - s, 0) AS doc_off,
+        |    least(e, (seq_id + 1) * 128) - greatest(s, seq_id * 128) AS n_toks
+        |  FROM ex)
+        |SELECT seq_id, doc_id, seq_off, n_toks,
+        |  CASE WHEN least(doc_off + n_toks, n) - greatest(doc_off, np) > 0
+        |       THEN seq_off + greatest(doc_off, np) - doc_off
+        |       ELSE -1 END AS loss_off,
+        |  greatest(least(doc_off + n_toks, n) - greatest(doc_off, np), 0)
+        |    AS loss_len
+        |FROM m""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.
