@@ -1829,6 +1829,18 @@ object SparkEntry {
     "q135_sft_pack_masks" -> ((s, dir) => {
       graft.core.SftFormat.packedLossMasks(
         Tables.documents(s, dir), "doc_id", "text", seqLen = 128)
+    }),
+
+    // SOFT dedup: near-dup clusters reweighted (1e6 DIV size) instead
+    // of dropped — each cluster contributes one expected copy per
+    // epoch; exact BIGINT weights, q43's cluster machinery
+    "q136_cluster_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.clusterWeights(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("weight_micro"))
     })
   )
 
@@ -2642,6 +2654,20 @@ object SparkEntry {
         |FROM part""".stripMargin,
 
     "q43_dedup_resolve" -> q43OracleSql,
+
+    // q136: q43's recursive-CTE clusters + per-cluster counts; the
+    // weight is exact integer division on both engines
+    "q136_cluster_weights" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |resolved AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM resolved GROUP BY 1)
+         |SELECT r.doc_id, r.cluster_id, s.cluster_size,
+         |  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_micro
+         |FROM resolved r JOIN sizes s USING (cluster_id)""".stripMargin,
 
     // q43's component chain with the keep-longest survivor policy:
     // per-cluster argmax by (n_chars desc, doc_id asc)

@@ -453,6 +453,29 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** SOFT dedup: keep every document but weight it by 1/cluster_size
+    * — the standard alternative to dropping near-duplicates when the
+    * duplicated content is legitimate (boilerplate-heavy but distinct
+    * pages) and hard removal would bias the mixture. Sampling with
+    * `weight_micro` (= 1000000 DIV cluster_size, exact BIGINT — both
+    * engines integer-divide) makes each duplicate CLUSTER contribute
+    * one expected copy per epoch regardless of its size. Returns one
+    * row per input doc: (idCol, cluster_id, cluster_size,
+    * weight_micro); singletons get cluster_size 1, weight 1000000.
+    * Scale shape: [[resolveSurvivors]]'s labels + one count per
+    * cluster + an id-keyed join back — ids and counts only, text
+    * never shuffles.
+    */
+  def clusterWeights(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val resolved = resolveSurvivors(df, idCol, pairs)
+      .select(col(idCol), col("survivor_id").as("cluster_id"))
+    val sizes = resolved.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    resolved.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        expr("1000000 DIV cluster_size").as("weight_micro"))
+  }
+
   /** [[resolveSurvivors]] with a QUALITY-AWARE survivor policy: the
     * member maximizing `preference` survives each near-dup cluster,
     * instead of the arbitrary min-id member — the production form

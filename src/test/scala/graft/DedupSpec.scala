@@ -239,4 +239,25 @@ class DedupSpec extends SparkSpec {
     assert(hinted.filter(col("is_dup")).select("doc_id")
       .as[Long].collect().toSet == Set(100L))
   }
+
+  test("clusterWeights: chain cluster shares 1e6 by size, singleton " +
+      "keeps full weight, partition-invariant") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val w = Dedup.clusterWeights(docs, "doc_id", pairs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(w == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L),
+      (3L, 1L, 3L, 333333L), (4L, 4L, 1L, 1000000L)))
+    // expected copies per cluster: sum of weights within 1 ulp-of-DIV
+    // of 1e6 (size * (1e6 DIV size) <= 1e6 < that + size)
+    w.groupBy(_._2).foreach { case (_, rows) =>
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.size)
+    }
+    val w7 = Dedup.clusterWeights(docs.repartition(7), "doc_id",
+        pairs.repartition(3))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(w7 == w)
+  }
 }
