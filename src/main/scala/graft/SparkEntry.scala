@@ -1841,6 +1841,16 @@ object SparkEntry {
       Dedup.clusterWeights(docs, "doc_id", pairs)
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           col("weight_micro"))
+    }),
+
+    // windowed funnel (sequence-match operator): view -> click ->
+    // purchase, each step strictly after the last, stage capped by a
+    // 7-day window from step 1 — all integer epoch-second arithmetic
+    "q137_funnel" -> ((s, dir) => {
+      TimeSeries.funnelStages(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSec = 7L * 24 * 3600)
+        .select(col("user_id"), col("stage"), col("t1"), col("t2"), col("t3"))
     })
   )
 
@@ -3245,6 +3255,34 @@ object SparkEntry {
         |  greatest(least(doc_off + n_toks, n) - greatest(doc_off, np), 0)
         |    AS loss_len
         |FROM m""".stripMargin,
+
+    // q137: per-step correlated min-after-prev joins on floored epoch
+    // seconds; stage from the same window arithmetic
+    "q137_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_type AS et
+        |  FROM events),
+        |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.u, min(e.t) AS t2
+        |  FROM e JOIN s1 ON e.u = s1.u AND e.t > s1.t1
+        |  WHERE et = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.u, min(e.t) AS t3
+        |  FROM e JOIN s2 ON e.u = s2.u AND e.t > s2.t2
+        |  WHERE et = 'purchase' GROUP BY 1),
+        |j AS (
+        |  SELECT s1.u, s1.t1, s2.t2, s3.t3
+        |  FROM s1 LEFT JOIN s2 ON s1.u = s2.u
+        |  LEFT JOIN s3 ON s1.u = s3.u)
+        |SELECT u AS user_id,
+        |  CAST(CASE
+        |    WHEN t3 IS NOT NULL AND t3 - t1 <= 604800 THEN 3
+        |    WHEN t2 IS NOT NULL AND t2 - t1 <= 604800 THEN 2
+        |    ELSE 1 END AS BIGINT) AS stage,
+        |  t1, coalesce(t2, -1) AS t2, coalesce(t3, -1) AS t3
+        |FROM j""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -169,6 +169,50 @@ object TimeSeries {
       .drop("__prev", "__new_session")
   }
 
+  /** Windowed funnel analysis (the product-analytics sequence-match
+    * operator): per user, the earliest completion of each ordered
+    * `steps` event, each STRICTLY after the previous step's match, and
+    * the stage reached within `windowSec` of step 1. Comparisons run
+    * on floor-to-second epochs (the q115 precision convention —
+    * sub-second parts must not decide what an integer oracle can't
+    * see). Returns one row per user who performed step 1:
+    * (user, stage, t1..tn) with −1 for unreached steps; a step beyond
+    * the window caps the stage but its timestamp still reports.
+    *
+    * Scale shape: one filtered aggregate per step, each keyed on the
+    * user — n small user-keyed shuffles, no window functions over the
+    * raw event stream, nothing per-user unbounded. AQE-friendly, and
+    * the per-step filters push into the scan.
+    */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowSec: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val e = events.select(col(userCol).as("u"),
+      col(tsCol).cast("timestamp").cast("long").as("t"),
+      col(typeCol).as("et"))
+    var acc = e.filter(col("et") === steps.head)
+      .groupBy("u").agg(min("t").as("t1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = s"t$i"
+      val next = e.filter(col("et") === st)
+        .join(acc.select(col("u"), col(prev)), "u")
+        .filter(col("t") > col(prev))
+        .groupBy("u").agg(min("t").as(s"t${i + 1}"))
+      acc = acc.join(next, Seq("u"), "left")
+    }
+    // build the when-chain inner-out so the HIGHEST reached stage is
+    // the outermost condition
+    val stage = (2 to steps.size).foldLeft(lit(1)) { (els, i) =>
+      when(col(s"t$i").isNotNull &&
+        col(s"t$i") - col("t1") <= windowSec, lit(i)).otherwise(els)
+    }
+    val tCols = (1 to steps.size).map(i =>
+      coalesce(col(s"t$i"), lit(-1L)).as(s"t$i"))
+    acc.select(col("u").as(userCol) +: stage.cast("long").as("stage") +:
+      tCols: _*)
+  }
+
   /** M3 — the full anomaly feature pipeline
     * (`ml_forecast_anomaly.py:193-215`): rollup -> densify -> rolling
     * mean -> dow -> fillna(0). Input: readings-shaped rows; output one

@@ -150,4 +150,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(native(2L) == Seq(2L))     // exact-gap event MERGES
     assert(native == lagBased)
   }
+
+  test("funnelStages: ordered matching, strict-after, out-of-order " +
+      "steps ignored, window caps the stage, step-1-less users absent") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val W = 100L
+    val ev = Seq(
+      // u1: clean conversion within window
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // u2: purchase BEFORE click -> only stage 2
+      (2L, ts(10), "view"), (2L, ts(15), "purchase"), (2L, ts(20), "click"),
+      // u3: purchase beyond the window -> stage 2, t3 still reported
+      (3L, ts(10), "view"), (3L, ts(20), "click"), (3L, ts(200), "purchase"),
+      // u4: click in the SAME second as view -> strict-after excludes
+      // it; the later click counts
+      (4L, ts(10), "view"), (4L, ts(10), "click"), (4L, ts(40), "click"),
+      // u5: no view at all -> absent from output
+      (5L, ts(10), "click"), (5L, ts(20), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.funnelStages(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = W)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 10L, 20L, 30L),
+      (2L, 2L, 10L, 20L, -1L),  // the pre-click purchase never matches
+      (3L, 2L, 10L, 20L, 200L),
+      (4L, 2L, 10L, 40L, -1L)), s"got $got")
+  }
 }
