@@ -1851,6 +1851,15 @@ object SparkEntry {
           "event_type", Seq("view", "click", "purchase"),
           windowSec = 7L * 24 * 3600)
         .select(col("user_id"), col("stage"), col("t1"), col("t2"), col("t3"))
+    }),
+
+    // cohort retention matrix: users by ISO week of first signup,
+    // distinct-counted per week offset of ANY later activity — exact
+    // date arithmetic, offset = day-diff DIV 7
+    "q138_cohort_retention" -> ((s, dir) => {
+      TimeSeries.cohortRetention(Tables.events(s, dir), "user_id", "ts",
+          "event_type", cohortEvent = "signup")
+        .select(col("cohort_week"), col("week_offset"), col("n_users"))
     })
   )
 
@@ -3283,6 +3292,24 @@ object SparkEntry {
         |    ELSE 1 END AS BIGINT) AS stage,
         |  t1, coalesce(t2, -1) AS t2, coalesce(t3, -1) AS t3
         |FROM j""".stripMargin,
+
+    // q138: ISO-Monday week truncation on both engines; offsets from
+    // integer date subtraction
+    "q138_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS d, event_type AS et
+        |  FROM events),
+        |c AS (
+        |  SELECT u, date_trunc('week', min(d)) AS cohort_week
+        |  FROM e WHERE et = 'signup' GROUP BY 1),
+        |a AS (
+        |  SELECT e.u, c.cohort_week, date_trunc('week', e.d) AS ew
+        |  FROM e JOIN c ON e.u = c.u
+        |  WHERE date_trunc('week', e.d) >= c.cohort_week)
+        |SELECT cohort_week,
+        |  CAST((ew - cohort_week) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -213,6 +213,35 @@ object TimeSeries {
       tCols: _*)
   }
 
+  /** Cohort retention (the second product-analytics operator next to
+    * [[funnelStages]]): users cohorted by the ISO week of their FIRST
+    * `cohortEvent`, then counted distinct per (cohort_week,
+    * week_offset) for every week in which they produced ANY event at
+    * or after the cohort week — the retention matrix. Week truncation
+    * is ISO-Monday on both engines (`trunc(_, "week")` ≡ DuckDB
+    * `date_trunc('week', _)`), offsets are exact day-diff DIV 7, and
+    * pre-cohort activity is excluded (offset ≥ 0 only).
+    *
+    * Scale shape: one filtered aggregate for the cohort map, one
+    * user-keyed join (AQE/broadcastable when cohorts are few), one
+    * grouped distinct count — the countDistinct's inherent two
+    * exchanges are the whole shuffle budget.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, cohortEvent: String): DataFrame = {
+    val e = events.select(col(userCol).as("u"),
+      to_date(col(tsCol)).as("d"), col(typeCol).as("et"))
+    val cohorts = e.filter(col("et") === cohortEvent)
+      .groupBy("u").agg(trunc(min(col("d")), "week").as("cohort_week"))
+    e.join(cohorts, "u")
+      .withColumn("ew", trunc(col("d"), "week"))
+      .filter(col("ew") >= col("cohort_week"))
+      .withColumn("week_offset",
+        (datediff(col("ew"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("u").as("n_users"))
+  }
+
   /** M3 — the full anomaly feature pipeline
     * (`ml_forecast_anomaly.py:193-215`): rollup -> densify -> rolling
     * mean -> dow -> fillna(0). Input: readings-shaped rows; output one

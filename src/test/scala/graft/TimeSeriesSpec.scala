@@ -178,4 +178,30 @@ class TimeSeriesSpec extends SparkSpec {
       (3L, 2L, 10L, 20L, 200L),
       (4L, 2L, 10L, 40L, -1L)), s"got $got")
   }
+
+  test("cohortRetention: ISO-week cohorts, offset grid, pre-signup " +
+      "activity excluded, signup-less users absent") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    // 2024-01-01 is a Monday; weeks 0/1/2 = Jan 1 / Jan 8 / Jan 15
+    val ev = Seq(
+      (1L, ts("2024-01-02"), "signup"), // cohort week0 (Tue -> Mon)
+      (1L, ts("2024-01-16"), "view"),   // week2 -> offset 2
+      (2L, ts("2024-01-03"), "signup"), // cohort week0
+      (2L, ts("2023-12-28"), "view"),   // PRE-cohort: excluded
+      (3L, ts("2024-01-10"), "signup"), // cohort week1
+      (3L, ts("2024-01-17"), "click"),  // offset 1
+      (4L, ts("2024-01-05"), "view"))   // never signs up: absent
+      .toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.cohortRetention(ev, "user_id", "ts",
+        "event_type", "signup")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2, r._3)).sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L),  // u1+u2 active in their signup week
+      ("2024-01-01", 2L, 1L),  // u1 returns two weeks later
+      ("2024-01-08", 0L, 1L),  // u3 signup week
+      ("2024-01-08", 1L, 1L)), // u3 returns next week
+      s"got $got")
+  }
 }
