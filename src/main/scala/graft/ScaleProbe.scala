@@ -155,7 +155,32 @@ object ScaleProbe {
       // linear, no global exchange beyond the doc-keyed ones
       "q127_span_corrupt",
       // q128 = two mapPartitions codec passes, the q84/q90/q116 class
-      "q128_image_augment")
+      "q128_image_augment",
+      // round-8 continuation 6: q129/q130 = one-two codec passes +
+      // (for q130) per-doc windows — the q84 class; q131's band join
+      // inherits the replicated corpus's identical-hash groups (each
+      // copy reproduces every group, and copies 4 apart share pixel
+      // offsets mod 256 — pairs grow ~10-30x, the q19/q43 family;
+      // maxBandSize is the documented cap). q132/q134 have FIXED
+      // anchor sets (vec_id < 16 / < 12): corpus-side linear scans.
+      "q129_audio_reverse", "q130_audio_vad", "q131_image_dhash_neardup",
+      "q132_hard_negatives",
+      // q133 = the q85/q124 encode class (word types constant under
+      // replication, memo per partition); q135 = q74's prefix-sum
+      // class under the rendered cost model
+      "q133_unigram_encode", "q134_matryoshka_rerank",
+      "q135_sft_pack_masks",
+      // q136 rides q43's exact-Jaccard chain (quadratic by design on
+      // the replicated corpus; the capped variants stay the scale
+      // path) + one count and an id join
+      "q136_cluster_weights",
+      // q137/q138 = a handful of user-keyed filtered aggregates —
+      // linear, filters push to the scan
+      "q137_funnel", "q138_cohort_retention",
+      // q139 = q131 with the 40-doc band cap: drops the identical-
+      // hash mega-buckets that make q131 quadratic on the replicated
+      // corpus — must ride the linear curve (the q94/q95 contract)
+      "q139_dhash_neardup_capped")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -1860,6 +1860,19 @@ object SparkEntry {
       TimeSeries.cohortRetention(Tables.events(s, dir), "user_id", "ts",
           "event_type", cohortEvent = "signup")
         .select(col("cohort_week"), col("week_offset"), col("n_users"))
+    }),
+
+    // q131's LINEAR-SCALE path, itself hash-verified (the q94/q95
+    // pattern): band buckets above 40 docs are dropped before the
+    // self-join — on this corpus that removes exactly the 78-93-doc
+    // identical-hash mega-groups (the 10x probe's quadratic source)
+    // while every small-bucket near-dup survives
+    "q139_dhash_neardup_capped" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeGradientPngs(ids)
+      val hashes = graft.core.Multimodal.imageDHashes(media)
+      graft.core.Multimodal.dhashNearDupPairs(hashes, maxDist = 3,
+        maxBandSize = 40)
     })
   )
 
@@ -3310,6 +3323,58 @@ object SparkEntry {
         |  CAST((ew - cohort_week) // 7 AS BIGINT) AS week_offset,
         |  CAST(count(DISTINCT u) AS BIGINT) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // q139: q131's hash/band CTEs + the capped first-match-band
+    // semantics — a pair survives iff its FIRST matching band's
+    // bucket is within [2, 40] (later-band duplicates are pruned by
+    // the engine's first-match filter, so the cap applies THERE)
+    "q139_dhash_neardup_capped" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, gx.range AS x, gy.range AS y
+        |  FROM ids, range(9) gx, range(8) gy),
+        |px AS (
+        |  SELECT doc_id, x, y,
+        |    (doc_id * 31 + 7 * ((x * w) // 9) + 13 * ((y * h) // 8))
+        |      % 256 AS v
+        |  FROM cells),
+        |bits AS (
+        |  SELECT a.doc_id, a.y * 8 + a.x AS pos,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b
+        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |bands AS (
+        |  SELECT doc_id, pos // 16 AS band_idx,
+        |    CAST(sum(bit << (pos % 16)) AS BIGINT) AS band_key
+        |  FROM bits GROUP BY 1, 2),
+        |bsz AS (
+        |  SELECT band_idx, band_key, count(*) AS d
+        |  FROM bands GROUP BY 1, 2),
+        |matches AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.band_idx, a.band_key,
+        |    row_number() OVER (PARTITION BY a.doc_id, b.doc_id
+        |      ORDER BY a.band_idx) AS rn
+        |  FROM bands a JOIN bands b
+        |    ON b.band_idx = a.band_idx AND b.band_key = a.band_key
+        |    AND a.doc_id < b.doc_id),
+        |cand AS (
+        |  SELECT m.doc_a, m.doc_b
+        |  FROM matches m JOIN bsz s
+        |    ON s.band_idx = m.band_idx AND s.band_key = m.band_key
+        |  WHERE m.rn = 1 AND s.d <= 40),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.doc_a
+        |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.
