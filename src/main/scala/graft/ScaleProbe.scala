@@ -180,7 +180,11 @@ object ScaleProbe {
       // q139 = q131 with the 40-doc band cap: drops the identical-
       // hash mega-buckets that make q131 quadratic on the replicated
       // corpus — must ride the linear curve (the q94/q95 contract)
-      "q139_dhash_neardup_capped")
+      "q139_dhash_neardup_capped",
+      // q140 = q131's band machinery on audio fingerprints; tone
+      // phases (id*31 mod 4093) survive the +1e6 id shift unevenly,
+      // so groups replicate like q131's — measure, cap if needed
+      "q140_audio_fingerprint_neardup")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

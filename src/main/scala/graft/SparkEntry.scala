@@ -1873,6 +1873,18 @@ object SparkEntry {
       val hashes = graft.core.Multimodal.imageDHashes(media)
       graft.core.Multimodal.dhashNearDupPairs(hashes, maxDist = 3,
         maxBandSize = 40)
+    }),
+
+    // AUDIO near-dup: energy-delta fingerprints (64 bits of
+    // frame-to-frame direction) through the real codec, deduped by
+    // the SAME banded-Hamming join as images — one machinery, two
+    // modalities
+    "q140_audio_fingerprint_neardup" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeToneWavs(ids)
+      val fps = graft.core.Multimodal.audioFingerprint64(media, frameSize = 6)
+        .withColumnRenamed("fingerprint", "dhash")
+      graft.core.Multimodal.dhashNearDupPairs(fps, maxDist = 3)
     })
   )
 
@@ -3366,6 +3378,48 @@ object SparkEntry {
         |  FROM matches m JOIN bsz s
         |    ON s.band_idx = m.band_idx AND s.band_key = m.band_key
         |  WHERE m.rn = 1 AND s.d <= 40),
+        |ham AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.doc_a
+        |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // q140: q130's energy replay at frameSize 6 -> 64 delta bits ->
+    // q131's band/candidate/hamming CTEs verbatim
+    "q140_audio_fingerprint_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 400 + doc_id % 100 AS n FROM documents),
+        |frames AS (
+        |  SELECT doc_id, f.range AS frame
+        |  FROM ids, range(65) f),
+        |en AS (
+        |  SELECT fr.doc_id, fr.frame,
+        |    CAST(sum(abs((fr.doc_id * 31 + (fr.frame * 6 + t.range) * 17)
+        |      % 4093 - 2046)) AS BIGINT) AS energy
+        |  FROM frames fr, range(6) t
+        |  GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.doc_id, a.frame AS pos,
+        |    CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+        |  FROM en a JOIN en b
+        |    ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+        |  WHERE a.frame < 64),
+        |bands AS (
+        |  SELECT doc_id, pos // 16 AS band_idx,
+        |    CAST(sum(bit << (pos % 16)) AS BIGINT) AS band_key
+        |  FROM bits GROUP BY 1, 2),
+        |matches AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    row_number() OVER (PARTITION BY a.doc_id, b.doc_id
+        |      ORDER BY a.band_idx) AS rn
+        |  FROM bands a JOIN bands b
+        |    ON b.band_idx = a.band_idx AND b.band_key = a.band_key
+        |    AND a.doc_id < b.doc_id),
+        |cand AS (SELECT doc_a, doc_b FROM matches WHERE rn = 1),
         |ham AS (
         |  SELECT c.doc_a, c.doc_b,
         |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)

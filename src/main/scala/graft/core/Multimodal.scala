@@ -752,6 +752,48 @@ object Multimodal {
       .drop("grp")
   }
 
+  /** Chromaprint-style audio fingerprints (media_id, fingerprint):
+    * decode every PCM-WAV payload, compute [[audioFrameEnergies]]'
+    * integer frame energies at `frameSize`, then bit f (0..63) is set
+    * iff energy(f+1) > energy(f) — the energy-DELTA signature, robust
+    * to global gain exactly like dHash is to brightness. Payloads
+    * with fewer than 65 full frames (or undecodable) are dropped.
+    * One mapPartitions pass; audio dedup then runs on 8-byte
+    * fingerprints via [[dhashNearDupPairs]] — pixels' and samples'
+    * near-dup machinery is the SAME banded-Hamming join.
+    */
+  def audioFingerprint64(media: DataFrame, frameSize: Int = 6): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          AudioIoCodec.decode(payload) match {
+            case Some((_, samples)) if samples.length / frameSize >= 65 =>
+              val e = new Array[Long](65)
+              var f = 0
+              while (f < 65) {
+                var s = 0L
+                var t = f * frameSize
+                val end = t + frameSize
+                while (t < end) { s += math.abs(samples(t).toLong); t += 1 }
+                e(f) = s
+                f += 1
+              }
+              var h = 0L
+              var b = 0
+              while (b < 64) {
+                if (e(b + 1) > e(b)) h |= 1L << b
+                b += 1
+              }
+              Iterator.single((id, h))
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("media_id", "fingerprint")
+  }
+
   /** Perceptual image hashes (media_id, dhash): decode every payload
     * with the REAL codec and emit its [[ImageIoCodec.dHash64]].
     * Non-decodable payloads are dropped. One mapPartitions pass —

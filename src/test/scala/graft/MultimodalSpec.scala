@@ -468,4 +468,30 @@ class MultimodalSpec extends SparkSpec {
       s"capped must lose exactly the band-3-only pair: $capped")
     assert(capped.subsetOf(got.toSet), "capped output must be a subset")
   }
+
+  test("audioFingerprint64: energy-delta bits at frameSize 1, short " +
+      "and undecodable payloads dropped") {
+    import graft.core.Multimodal.AudioIoCodec
+    // frameSize 1: energy(f) = |sample(f)|. 66 samples; |s| strictly
+    // ascends at even f -> bit set at even positions 0..62 only
+    val s1 = Array.tabulate[Short](66) { t =>
+      val base = (t / 2 + 1) * 10
+      (if (t % 2 == 0) -(base + 5) else base).toShort
+    }
+    // |s1|: 15,10, 25,20, 35,30, ... -> e(2k)=10k+15 > e(2k-1)=10k
+    // and e(2k+1)=10k+10 < e(2k)=10k+15: bit f set iff f odd... check
+    // f even: e(f+1) < e(f) -> 0; f odd: e(f+1) > e(f) -> 1
+    val expected = (0 until 64).filter(_ % 2 == 1)
+      .foldLeft(0L)((h, b) => h | (1L << b))
+    val media = Seq(
+      (1L, "audio", AudioIoCodec.encodeWav(8000, s1)),
+      (2L, "audio", AudioIoCodec.encodeWav(8000, Array.fill[Short](64)(9))),
+      (3L, "blob", Array[Byte](1, 2)))
+      .toDF("media_id", "kind", "payload")
+    val fps = Multimodal.audioFingerprint64(media, frameSize = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(fps.keySet == Set(1L), "short/undecodable payloads drop")
+    assert(fps(1L) == expected,
+      f"fingerprint ${fps(1L)}%016x vs expected $expected%016x")
+  }
 }
