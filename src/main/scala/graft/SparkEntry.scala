@@ -1885,6 +1885,33 @@ object SparkEntry {
       val fps = graft.core.Multimodal.audioFingerprint64(media, frameSize = 6)
         .withColumnRenamed("fingerprint", "dhash")
       graft.core.Multimodal.dhashNearDupPairs(fps, maxDist = 3)
+    }),
+
+    // session PATH analysis (the third product-analytics operator):
+    // top-20 5-step journeys by session count — first-5 pruned with a
+    // per-session row_number BEFORE any collect, so per-group state is
+    // bounded by 5 regardless of session length; the final rank
+    // window orders the path-count table (bounded by the event-type
+    // alphabet, model-size state — the vocab-numbering precedent)
+    "q141_session_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val sess = TimeSeries.sessionize(ev, "user_id", "ts", gapMinutes = 60)
+        .withColumn("t", col("ts").cast("timestamp").cast("long"))
+      val wS = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("t"), col("event_id"))
+      val first5 = sess.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 5)
+      val paths = first5.groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      val counts = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      val wR = Window.orderBy(desc("n_sessions"), asc("path"))
+      counts.withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 20)
+        .select(col("rank").cast("long").as("rank"), col("path"),
+          col("n_sessions"))
     })
   )
 
@@ -3429,6 +3456,41 @@ object SparkEntry {
         |  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.pos = ba.pos
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
+
+    // q141: q38's session CTE + per-session first-5 + ordered
+    // string_agg + the deterministic (count DESC, path ASC) rank
+    "q141_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id
+        |  FROM flagged),
+        |ranked AS (
+        |  SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+        |  FROM sessions),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM ranked WHERE rn <= 5 GROUP BY 1, 2),
+        |counts AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM paths GROUP BY 1),
+        |rnk AS (
+        |  SELECT CAST(row_number() OVER (
+        |      ORDER BY n_sessions DESC, path ASC) AS BIGINT) AS rank,
+        |    path, n_sessions
+        |  FROM counts)
+        |SELECT rank, path, n_sessions FROM rnk WHERE rank <= 20""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

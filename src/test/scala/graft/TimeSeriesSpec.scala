@@ -204,4 +204,42 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-08", 1L, 1L)), // u3 returns next week
       s"got $got")
   }
+
+  test("session paths (q141 shape): first-5 truncation, session " +
+      "splits, count-then-path rank tie-break") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val H = 3600L
+    val ev = Seq(
+      // u1 session 1: view>click ; session 2 (2h later): view>click
+      (1L, 10L, ts(0), "view"), (1L, 11L, ts(60), "click"),
+      (1L, 12L, ts(2 * H + 100), "view"), (1L, 13L, ts(2 * H + 160), "click"),
+      // u2 one 7-event session: truncates to first 5
+      (2L, 20L, ts(0), "view"), (2L, 21L, ts(1), "view"),
+      (2L, 22L, ts(2), "click"), (2L, 23L, ts(3), "view"),
+      (2L, 24L, ts(4), "purchase"), (2L, 25L, ts(5), "error"),
+      (2L, 26L, ts(6), "view"),
+      // u3: single-event session -> path "signup"
+      (3L, 30L, ts(0), "signup"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    // the gate query reads Tables.events(dir); pin the same
+    // composition directly on the hand-built frame
+    import org.apache.spark.sql.expressions.Window
+    val sess = TimeSeries.sessionize(ev, "user_id", "ts", gapMinutes = 60)
+      .withColumn("t", col("ts").cast("timestamp").cast("long"))
+    val wS = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("t"), col("event_id"))
+    val first5 = sess.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= 5)
+    val paths = first5.groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+    val counts = paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map(
+      "view>click" -> 2L,                      // u1's two sessions
+      "view>view>click>view>purchase" -> 1L,   // u2 truncated at 5
+      "signup" -> 1L))
+  }
 }
