@@ -1912,6 +1912,32 @@ object SparkEntry {
         .filter(col("rank") <= 20)
         .select(col("rank").cast("long").as("rank"), col("path"),
           col("n_sessions"))
+    }),
+
+    // exact percentile profile (percentile_disc semantics by explicit
+    // rank arithmetic — value at row ceil(p*n) ordered ascending, so
+    // both engines pick the IDENTICAL stored double; the GK sketch
+    // (q98 family) is the approximate scale path, this is the exact
+    // one: one exchange per key, both windows share it
+    "q142_percentile_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val wc = Window.partitionBy("event_type")
+      ev.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+            .as("p50"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("value")))
+            .as("p95"),
+          max(when(col("rn") === ceil(col("n") * 0.99), col("value")))
+            .as("p99"),
+          max(col("n")).as("n"))
+        .select(col("event_type"), round(col("p50"), 6).as("p50"),
+          round(col("p95"), 6).as("p95"), round(col("p99"), 6).as("p99"),
+          col("n"))
     })
   )
 
@@ -3491,6 +3517,22 @@ object SparkEntry {
         |    path, n_sessions
         |  FROM counts)
         |SELECT rank, path, n_sessions FROM rnk WHERE rank <= 20""".stripMargin,
+
+    // q142: identical rank arithmetic — the value at ceil(p*n) is
+    // well-defined under ties, so no interpolation ambiguity exists
+    "q142_percentile_profile" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |  round(max(CASE WHEN rn = ceil(n * 0.5) THEN value END), 6) AS p50,
+        |  round(max(CASE WHEN rn = ceil(n * 0.95) THEN value END), 6) AS p95,
+        |  round(max(CASE WHEN rn = ceil(n * 0.99) THEN value END), 6) AS p99,
+        |  max(n) AS n
+        |FROM r GROUP BY 1""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -242,4 +242,24 @@ class TimeSeriesSpec extends SparkSpec {
       "view>view>click>view>purchase" -> 1L,   // u2 truncated at 5
       "signup" -> 1L))
   }
+
+  test("exact rank percentiles (q142 shape): ceil(p*n) selection, " +
+      "ties pick the well-defined sorted value") {
+    import org.apache.spark.sql.expressions.Window
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 1.0), ("b", 5.0), ("b", 5.0), ("b", 5.0)))
+      .toDF("event_type", "value")
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val wc = Window.partitionBy("event_type")
+    val got = df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("value"))).as("p95"))
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    // a: n=10 -> p50 = 5th value = 5.0, p95 = ceil(9.5)=10th = 10.0
+    // b: n=4 sorted [1,5,5,5] -> p50 = 2nd = 5.0 (tie-safe), p95 = 4th = 5.0
+    assert(got == Seq(("a", 5.0, 10.0), ("b", 5.0, 5.0)))
+  }
 }
