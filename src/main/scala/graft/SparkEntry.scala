@@ -1938,6 +1938,36 @@ object SparkEntry {
         .select(col("event_type"), round(col("p50"), 6).as("p50"),
           round(col("p95"), 6).as("p95"), round(col("p99"), 6).as("p99"),
           col("n"))
+    }),
+
+    // CUSUM changepoint per event_type — the drift family's temporal
+    // member (PSI/KS/centroid/OOV are distributional): argmax_d of
+    // |n*prefix(d) - total*d| over the daily series, which is the
+    // mean-relative CUSUM scaled by n so the whole statistic stays in
+    // exact BIGINTs (floor-micro day values; n*prefix ~ 6e14 at sf0.1
+    // — 4 orders below the BIGINT edge, and day counts don't grow
+    // with corpus size)
+    "q143_cusum_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      val wOrd = Window.partitionBy("event_type").orderBy("d")
+      val wAll = Window.partitionBy("event_type")
+      val t = daily
+        .withColumn("cum", sum("v").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("idx", row_number().over(wOrd).cast("long"))
+        .withColumn("total", sum("v").over(wAll))
+        .withColumn("n_days", count(lit(1)).over(wAll))
+        .withColumn("t_stat",
+          col("n_days") * col("cum") - col("total") * col("idx"))
+      val wBest = Window.partitionBy("event_type")
+        .orderBy(abs(col("t_stat")).desc, col("d").asc)
+      t.withColumn("rnk", row_number().over(wBest))
+        .filter(col("rnk") === 1)
+        .select(col("event_type"), col("d").as("changepoint_day"),
+          abs(col("t_stat")).as("t_abs"), col("n_days"))
     })
   )
 
@@ -3533,6 +3563,34 @@ object SparkEntry {
         |  round(max(CASE WHEN rn = ceil(n * 0.99) THEN value END), 6) AS p99,
         |  max(n) AS n
         |FROM r GROUP BY 1""".stripMargin,
+
+    // q143: the same integer CUSUM — floor-micro day values, scaled
+    // statistic n*prefix - total*idx, argmax with earliest-day ties
+    "q143_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, d,
+        |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS idx,
+        |    CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_days
+        |  FROM daily),
+        |scored AS (
+        |  SELECT event_type, d, n_days,
+        |    abs(n_days * cum - total * idx) AS t_abs,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_days * cum - total * idx) DESC, d ASC) AS rnk
+        |  FROM t)
+        |SELECT event_type, d AS changepoint_day,
+        |  CAST(t_abs AS BIGINT) AS t_abs, n_days
+        |FROM scored WHERE rnk = 1""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -262,4 +262,31 @@ class TimeSeriesSpec extends SparkSpec {
     // b: n=4 sorted [1,5,5,5] -> p50 = 2nd = 5.0 (tie-safe), p95 = 4th = 5.0
     assert(got == Seq(("a", 5.0, 10.0), ("b", 5.0, 5.0)))
   }
+
+  test("CUSUM changepoint (q143 shape): level shift lands on the " +
+      "pre-jump boundary, symmetric tie takes the earliest day") {
+    import org.apache.spark.sql.expressions.Window
+    def cusum(vs: Seq[Long]) = {
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), v) }
+        .toDF("d", "v")
+      val wOrd = Window.orderBy("d")
+      val wAll = Window.partitionBy(lit(1))
+      df.withColumn("cum",
+          sum("v").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("idx", row_number().over(wOrd).cast("long"))
+        .withColumn("total", sum("v").over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("t_abs", abs(col("n") * col("cum") - col("total") * col("idx")))
+        .orderBy(abs(col("t_abs")).desc, col("d").asc)
+        .select("d", "t_abs").as[(java.sql.Date, Long)].head()
+    }
+    // [1,1,1,10,10,10]: total 33, T = 6*cum-33*d =
+    // [-27,-54,-81,-54,-27,0] -> day 3 (the pre-jump boundary), |T| 81
+    val (d1, t1) = cusum(Seq(1L, 1L, 1L, 10L, 10L, 10L))
+    assert(d1.toString == "2024-01-03" && t1 == 81L)
+    // symmetric [1,3,1]: |T| = [2,2,0] -> tie resolves to day 1
+    val (d2, t2) = cusum(Seq(1L, 3L, 1L))
+    assert(d2.toString == "2024-01-01" && t2 == 2L)
+  }
 }
