@@ -1968,6 +1968,40 @@ object SparkEntry {
         .filter(col("rnk") === 1)
         .select(col("event_type"), col("d").as("changepoint_day"),
           abs(col("t_stat")).as("t_abs"), col("n_days"))
+    }),
+
+    // PMI collocation mining (phrase detection, the word2vec-phrases
+    // preprocessing op): top-20 adjacent-token pairs by the EXACT
+    // integer association score c_xy*N*1e6 DIV (c_x*c_y) — PMI's
+    // monotone argument, so the ranking is log-free and BIGINT-exact;
+    // min support 5 prunes noise before the rank. Bigrams built by a
+    // per-doc higher-order transform (no self-join); three counts
+    // shuffles, one bounded rank
+    "q144_pmi_collocations" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(graft.core.TextAnalysis.tokens(col("text")).as("a"))
+      val uni = toks.select(explode(col("a")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum("c").as("n_total"))
+      val bi = toks.filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val scored = bi
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("score_micro",
+          expr("c_xy * n_total * 1000000 DIV (c_x * c_y)"))
+      val w = Window.orderBy(desc("score_micro"), asc("w1"), asc("w2"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
+          col("c_xy"), col("score_micro"))
     })
   )
 
@@ -3591,6 +3625,39 @@ object SparkEntry {
         |SELECT event_type, d AS changepoint_day,
         |  CAST(t_abs AS BIGINT) AS t_abs, n_days
         |FROM scored WHERE rnk = 1""".stripMargin,
+
+    // q144: the same integer PMI argument — c_xy*N*1e6 // (c_x*c_y),
+    // min-support 5, deterministic (score DESC, w1, w2) rank
+    "q144_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(a) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+        |bi AS (
+        |  SELECT a[i + 1] AS w1, a[i + 2] AS w2
+        |  FROM (SELECT a, unnest(generate_series(0, len(a) - 2)) AS i
+        |        FROM toks WHERE len(a) >= 2)),
+        |bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT bc.w1, bc.w2, bc.c_xy,
+        |    CAST(bc.c_xy * t.n_total * 1000000
+        |      // (u1.c * u2.c) AS BIGINT) AS score_micro
+        |  FROM bc
+        |  JOIN uni u1 ON u1.w = bc.w1
+        |  JOIN uni u2 ON u2.w = bc.w2
+        |  CROSS JOIN tot t),
+        |rnk AS (
+        |  SELECT CAST(row_number() OVER (
+        |      ORDER BY score_micro DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank,
+        |    w1, w2, c_xy, score_micro
+        |  FROM scored)
+        |SELECT rank, w1, w2, c_xy, score_micro FROM rnk
+        |WHERE rank <= 20""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -458,4 +458,35 @@ class CorpusOpsSpec extends SparkSpec {
       assert(i == oi && m == 0L && s == 0L && txt == otxt)
     }
   }
+
+  test("PMI collocation score (q144 shape): exclusive rare pair " +
+      "outranks a frequent pair of frequent words") {
+    // "x y" co-occur exclusively (c_xy=c_x=c_y=5); "a b" is twice as
+    // frequent but a/b are individually common. N = 30 tokens.
+    // score(x,y) = 5*30e6/25 = 6,000,000 > score(a,b) = 10*30e6/100
+    val docs = ((1 to 10).map(i => (i.toLong, "a b")) ++
+      (11 to 15).map(i => (i.toLong, "x y"))).toDF("doc_id", "text")
+    val toks = docs.select(TextAnalysis.tokens(col("text")).as("a"))
+    val uni = toks.select(explode(col("a")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("n_total"))
+    val bi = toks.filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    val scored = bi
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y"), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("score_micro",
+        expr("c_xy * n_total * 1000000 DIV (c_x * c_y)"))
+      .select("w1", "w2", "c_xy", "score_micro")
+      .as[(String, String, Long, Long)].collect().sortBy(-_._4).toSeq
+    assert(scored == Seq(
+      ("x", "y", 5L, 6000000L),
+      ("a", "b", 10L, 3000000L)))
+  }
 }
