@@ -184,7 +184,15 @@ object ScaleProbe {
       // q140 = q131's band machinery on audio fingerprints; tone
       // phases (id*31 mod 4093) survive the +1e6 id shift unevenly,
       // so groups replicate like q131's — measure, cap if needed
-      "q140_audio_fingerprint_neardup")
+      "q140_audio_fingerprint_neardup",
+      // q141 = session windows (user-keyed, first-5-pruned) + a rank
+      // over the bounded path alphabet; q142 = one sort exchange per
+      // event_type; q143 = per-type day-grid windows (day count is
+      // FIXED by the data's time range — expect flat-ish); q144 =
+      // token/bigram counts (linear) + a rank over the bounded
+      // vocab^2 pair table
+      "q141_session_paths", "q142_percentile_profile",
+      "q143_cusum_changepoint", "q144_pmi_collocations")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
