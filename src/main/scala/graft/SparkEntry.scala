@@ -2002,6 +2002,40 @@ object SparkEntry {
         .filter(col("rank") <= 20)
         .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
           col("c_xy"), col("score_micro"))
+    }),
+
+    // robust outlier gate: median/MAD via two q142-style exact rank
+    // passes (median and MAD are SELECTED stored doubles, so the
+    // 3*MAD threshold is the same IEEE comparison on both engines) —
+    // the data-cleaning alternative to mean/stddev z-scores, immune
+    // to the outliers it hunts
+    "q145_mad_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val w1 = Window.partitionBy("event_type").orderBy("value")
+      val wc = Window.partitionBy("event_type")
+      val med = ev
+        .withColumn("rn", row_number().over(w1).cast("long"))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+          .as("med"), max(col("n")).as("n"))
+      val dev = ev.join(med, "event_type")
+        .withColumn("ad", abs(col("value") - col("med")))
+      val w2 = Window.partitionBy("event_type").orderBy("ad")
+      val mad = dev
+        .withColumn("rn2", row_number().over(w2).cast("long"))
+        .groupBy("event_type")
+        .agg(max(when(col("rn2") === ceil(col("n") * 0.5), col("ad")))
+          .as("mad"))
+      dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("n")).as("n"))
     })
   )
 
@@ -3658,6 +3692,40 @@ object SparkEntry {
         |  FROM scored)
         |SELECT rank, w1, w2, c_xy, score_micro FROM rnk
         |WHERE rank <= 20""".stripMargin,
+
+    // q145: the same two exact rank passes; the 3*MAD comparison runs
+    // on identical IEEE doubles (selected values, minimal arithmetic)
+    "q145_mad_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = ceil(n * 0.5) THEN value END) AS med,
+        |    max(n) AS n
+        |  FROM r GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med, m.n
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |r2 AS (
+        |  SELECT event_type, ad, med, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ad) AS BIGINT) AS rn2
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn2 = ceil(n * 0.5) THEN ad END) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT d.event_type, round(max(d.med), 6) AS med,
+        |  round(max(a.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.ad > 3.0 * a.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  max(d.n) AS n
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY 1""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -289,4 +289,34 @@ class TimeSeriesSpec extends SparkSpec {
     val (d2, t2) = cusum(Seq(1L, 3L, 1L))
     assert(d2.toString == "2024-01-01" && t2 == 2L)
   }
+
+  test("MAD outliers (q145 shape): median and MAD immune to the " +
+      "outlier, z-score-style mean would not be") {
+    import org.apache.spark.sql.expressions.Window
+    // [1,2,3,4,1000]: median = 3, deviations [2,1,0,1,997] sorted
+    // [0,1,1,2,997] -> MAD = value at ceil(2.5)=3rd = 1;
+    // outliers: ad > 3 -> only 1000 (ad 997)
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 1000.0).map(("a", _))
+      .toDF("event_type", "value")
+    val w1 = Window.partitionBy("event_type").orderBy("value")
+    val wc = Window.partitionBy("event_type")
+    val med = df.withColumn("rn", row_number().over(w1).cast("long"))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("value")))
+        .as("med"), max(col("n")).as("n"))
+    val dev = df.join(med, "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val w2 = Window.partitionBy("event_type").orderBy("ad")
+    val mad = dev.withColumn("rn2", row_number().over(w2).cast("long"))
+      .groupBy("event_type")
+      .agg(max(when(col("rn2") === ceil(col("n") * 0.5), col("ad"))).as("mad"))
+    val got = dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .as[(String, Double, Double, Long)].head()
+    assert(got == (("a", 3.0, 1.0, 1L)))
+  }
 }
