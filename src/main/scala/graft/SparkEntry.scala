@@ -2036,6 +2036,20 @@ object SparkEntry {
           sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L))
             .as("n_outliers"),
           max(col("n")).as("n"))
+    }),
+
+    // soft-dedup APPLIED: q136's cluster weights consumed by the
+    // deterministic weighted Bernoulli draw (hash of id:epoch:seed
+    // mod 1e6 < weight) — a size-k cluster keeps ~one expected member
+    // this epoch, a different one next epoch; zero shuffles added
+    "q146_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      val w = Dedup.clusterWeights(docs, "doc_id", pairs)
+      Sampling.weightedSample(w, "doc_id", "weight_micro", epoch = 0)
+        .select(col("doc_id"), col("cluster_id"), col("weight_micro"),
+          col("u_micro"))
     })
   )
 
@@ -3726,6 +3740,32 @@ object SparkEntry {
         |  max(d.n) AS n
         |FROM dev d JOIN mad a ON d.event_type = a.event_type
         |GROUP BY 1""".stripMargin,
+
+    // q146: q136's cluster CTEs + the q60 portable-hash replay with
+    // the id:epoch:seed key and the weight threshold
+    "q146_weighted_sample" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |resolved AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM resolved GROUP BY 1),
+         |weighted AS (
+         |  SELECT r.doc_id, r.cluster_id,
+         |    CAST(1000000 // s.cluster_size AS BIGINT) AS weight_micro
+         |  FROM resolved r JOIN sizes s USING (cluster_id)),
+         |drawn AS (
+         |  SELECT doc_id, cluster_id, weight_micro,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(
+         |        regexp_split_to_array(doc_id || ':0:42', ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007)
+         |      % 1000000 AS u_micro
+         |  FROM weighted)
+         |SELECT doc_id, cluster_id, weight_micro, u_micro
+         |FROM drawn WHERE u_micro < weight_micro""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

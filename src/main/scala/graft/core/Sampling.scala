@@ -133,6 +133,25 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic weighted Bernoulli sampling: keep a row iff its
+    * portable per-epoch hash draw u ∈ [0, 1e6) falls under
+    * `weightMicroCol` — the CONSUMER of [[graft.core.Dedup.clusterWeights]]'
+    * soft-dedup weights (a cluster of size k keeps ~one expected
+    * member per epoch, a different one each epoch since the draw is
+    * keyed by (id, epoch)). Pure hash arithmetic: reproducible across
+    * engines, partitionings and reruns, no RNG state. One narrow
+    * filter — no shuffle at all.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightMicroCol: String,
+                     epoch: Int, seed: Long = 42L): DataFrame = {
+    require(epoch >= 0, "epoch must be >= 0")
+    val u = pmod(TextAnalysis.rollingHash(
+      concat(col(idCol).cast("string"), lit(":"), lit(epoch.toString),
+        lit(":"), lit(seed.toString))), lit(1000000L))
+    df.withColumn("u_micro", u)
+      .filter(col("u_micro") < col(weightMicroCol))
+  }
+
   /** Temperature-flattened source mixing (the multilingual/multi-source
     * sampling rule of mT5/XLM-R shape): keep source s at rate
     * (n_min / n_s)^(1−α) — α = 1 keeps the natural distribution,

@@ -79,4 +79,23 @@ class SamplingSpec extends SparkSpec {
     assert(byBlend.head == 2L, s"expected doc 2 best, got $byBlend")
     got.foreach { case (_, rh, re, b) => assert(b == rh + re) }
   }
+
+  test("weightedSample: weight 1e6 keeps all, 0 keeps none, the kept " +
+      "rate tracks the weight, epochs rotate the kept set") {
+    val df = (0L until 2000L).map((_, 0L)).toDF("doc_id", "w")
+    def kept(weight: Long, epoch: Int): Set[Long] =
+      Sampling.weightedSample(
+          df.withColumn("w", lit(weight)), "doc_id", "w", epoch)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(1000000L, 0).size == 2000)
+    assert(kept(0L, 0).isEmpty)
+    // ~1/4 weight keeps roughly a quarter (hash-uniformity, loose)
+    val quarter = kept(250000L, 0)
+    assert(quarter.size > 350 && quarter.size < 650, s"${quarter.size}")
+    // deterministic per epoch, different across epochs
+    assert(kept(250000L, 0) == quarter)
+    val e1 = kept(250000L, 1)
+    assert(e1 != quarter, "epoch must rotate the kept set")
+    assert(e1.size > 350 && e1.size < 650)
+  }
 }
