@@ -192,7 +192,10 @@ object ScaleProbe {
       // token/bigram counts (linear) + a rank over the bounded
       // vocab^2 pair table
       "q141_session_paths", "q142_percentile_profile",
-      "q143_cusum_changepoint", "q144_pmi_collocations")
+      "q143_cusum_changepoint", "q144_pmi_collocations",
+      // q145 = two q142-class sort exchanges; q146 rides q43's exact
+      // chain (the weights input) + a narrow hash filter
+      "q145_mad_outliers", "q146_weighted_sample")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
