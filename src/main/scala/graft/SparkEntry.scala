@@ -2050,6 +2050,31 @@ object SparkEntry {
       Sampling.weightedSample(w, "doc_id", "weight_micro", epoch = 0)
         .select(col("doc_id"), col("cluster_id"), col("weight_micro"),
           col("u_micro"))
+    }),
+
+    // last-touch attribution: every purchase credits the most recent
+    // preceding non-purchase touch (<= semantics via the as-of join,
+    // touch side made unique per (user, ts) by max-event_id so the
+    // as-of carry is deterministic), 'direct' when none within the
+    // 1-day lookback — the marketing-analytics as-of composition
+    "q147_last_touch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id").as("t_user"), col("ts").as("touch_ts"))
+        .agg(expr("max_by(event_type, event_id)").as("touch_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val att = Joins.asofBackward(purchases, touches,
+        leftKey = "user_id", rightKey = "t_user",
+        leftTs = col("ts"), rightTs = col("touch_ts"),
+        valueCols = Seq("touch_type", "touch_ts"))
+      att.withColumn("channel",
+          when(col("touch_ts").isNull ||
+            col("ts").cast("timestamp").cast("long")
+              - col("touch_ts").cast("timestamp").cast("long") > 86400L,
+            lit("direct")).otherwise(col("touch_type")))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"))
     })
   )
 
@@ -3766,6 +3791,31 @@ object SparkEntry {
          |  FROM weighted)
          |SELECT doc_id, cluster_id, weight_micro, u_micro
          |FROM drawn WHERE u_micro < weight_micro""".stripMargin,
+
+    // q147: per-purchase argmax-by-ts over touches at or before it
+    // (touch side unique per (user, ts), so max_by is well-defined);
+    // the lookback compares floored epochs per the q115 convention
+    "q147_last_touch" ->
+      """WITH tu AS (
+        |  SELECT user_id, ts, max_by(event_type, event_id) AS touch_type
+        |  FROM events WHERE event_type <> 'purchase'
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT p.event_id, p.ts,
+        |    max_by(tu.touch_type, tu.ts) AS touch_type,
+        |    max(tu.ts) AS touch_ts
+        |  FROM p LEFT JOIN tu
+        |    ON tu.user_id = p.user_id AND tu.ts <= p.ts
+        |  GROUP BY 1, 2)
+        |SELECT CASE WHEN touch_ts IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT)
+        |            - CAST(floor(epoch(touch_ts)) AS BIGINT) > 86400
+        |       THEN 'direct' ELSE touch_type END AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM a GROUP BY 1""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -319,4 +319,41 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Double, Double, Long)].head()
     assert(got == (("a", 3.0, 1.0, 1L)))
   }
+
+  test("last-touch attribution (q147 shape): latest touch wins, " +
+      "same-ts tie by max event_id, lookback and no-touch -> direct") {
+    import java.sql.Timestamp
+    import graft.core.Joins
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // u1: view then click then purchase -> credits click
+      (1L, 1L, ts(10), "view"), (2L, 1L, ts(20), "click"),
+      (3L, 1L, ts(30), "purchase"),
+      // u2: touch 2 days before purchase -> direct
+      (4L, 2L, ts(0), "view"), (5L, 2L, ts(200000), "purchase"),
+      // u3: no touch at all -> direct
+      (6L, 3L, ts(10), "purchase"),
+      // u4: two touches at the SAME ts -> max event_id (error) wins
+      (7L, 4L, ts(10), "view"), (8L, 4L, ts(10), "error"),
+      (9L, 4L, ts(15), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val touches = ev.filter($"event_type" =!= "purchase")
+      .groupBy($"user_id".as("t_user"), $"ts".as("touch_ts"))
+      .agg(expr("max_by(event_type, event_id)").as("touch_type"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val att = Joins.asofBackward(purchases, touches,
+        leftKey = "user_id", rightKey = "t_user",
+        leftTs = col("ts"), rightTs = col("touch_ts"),
+        valueCols = Seq("touch_type", "touch_ts"))
+      .withColumn("channel",
+        when(col("touch_ts").isNull ||
+          col("ts").cast("timestamp").cast("long")
+            - col("touch_ts").cast("timestamp").cast("long") > 86400L,
+          lit("direct")).otherwise(col("touch_type")))
+      .select("event_id", "channel")
+      .as[(Long, String)].collect().toMap
+    assert(att == Map(3L -> "click", 5L -> "direct", 6L -> "direct",
+      9L -> "error"))
+  }
 }
