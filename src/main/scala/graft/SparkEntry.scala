@@ -2075,6 +2075,32 @@ object SparkEntry {
             lit("direct")).otherwise(col("touch_type")))
         .groupBy("channel")
         .agg(count(lit(1)).as("n_purchases"))
+    }),
+
+    // column profiling card (the data-quality report every engine
+    // ships): per column — rows, nulls, distinct non-nulls, and the
+    // deterministic top value ((count DESC, value ASC) rank 1). One
+    // aggregate pass per column over a string-cast projection; the
+    // per-column plans are independent scans Catalyst can prune to
+    // single columns
+    "q148_column_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      Seq("lang", "source", "n_chars").map { c =>
+        val vals = docs.select(col(c).cast("string").as("v"))
+        val stats = vals.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"))
+        val w = Window.orderBy(desc("cnt"), asc("v"))
+        val top = vals.filter(col("v").isNotNull)
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+          .select(col("v").as("top_value"), col("cnt").as("top_count"))
+        stats.crossJoin(top).select(lit(c).as("column"), col("n_rows"),
+          col("n_nulls"), col("n_distinct"), col("top_value"),
+          col("top_count"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -3816,6 +3842,29 @@ object SparkEntry {
         |       THEN 'direct' ELSE touch_type END AS channel,
         |  CAST(count(*) AS BIGINT) AS n_purchases
         |FROM a GROUP BY 1""".stripMargin,
+
+    // q148: one UNION ALL branch per column, same deterministic
+    // (count DESC, value ASC) top pick
+    "q148_column_profile" -> {
+      val branch = (c: String) =>
+        s"""SELECT '$c' AS "column",
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN CAST($c AS VARCHAR) IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT)
+           |    AS n_distinct,
+           |  (SELECT v FROM (
+           |     SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
+           |     FROM documents WHERE $c IS NOT NULL GROUP BY 1
+           |     ORDER BY cnt DESC, v ASC LIMIT 1)) AS top_value,
+           |  (SELECT cnt FROM (
+           |     SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt
+           |     FROM documents WHERE $c IS NOT NULL GROUP BY 1
+           |     ORDER BY cnt DESC, v ASC LIMIT 1)) AS top_count
+           |FROM documents""".stripMargin
+      Seq("lang", "source", "n_chars").map(branch)
+        .mkString("\nUNION ALL\n")
+    },
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

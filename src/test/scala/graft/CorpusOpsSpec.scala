@@ -489,4 +489,25 @@ class CorpusOpsSpec extends SparkSpec {
       ("x", "y", 5L, 6000000L),
       ("a", "b", 10L, 3000000L)))
   }
+
+  test("column profile (q148 shape): null counting, distinct over " +
+      "non-nulls, top-value tie resolves to the lexicographically " +
+      "smallest") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(Some("b"), Some("b"), Some("a"), Some("a"), None)
+      .toDF("v")
+    val stats = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col("v")).as("n_distinct"))
+    val w = Window.orderBy(desc("cnt"), asc("v"))
+    val top = df.filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("v").as("top_value"), col("cnt").as("top_count"))
+    val got = stats.crossJoin(top)
+      .as[(Long, Long, Long, String, Long)].head()
+    // "a" and "b" both appear twice: the tie picks "a"
+    assert(got == ((5L, 1L, 2L, "a", 2L)))
+  }
 }
