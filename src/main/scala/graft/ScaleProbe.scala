@@ -195,7 +195,10 @@ object ScaleProbe {
       "q143_cusum_changepoint", "q144_pmi_collocations",
       // q145 = two q142-class sort exchanges; q146 rides q43's exact
       // chain (the weights input) + a narrow hash filter
-      "q145_mad_outliers", "q146_weighted_sample")
+      "q145_mad_outliers", "q146_weighted_sample",
+      // q147 = one as-of merge (two key exchanges) + a grouped count;
+      // q148 = three independent column-pruned agg scans
+      "q147_last_touch", "q148_column_profile")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
