@@ -2101,6 +2101,39 @@ object SparkEntry {
           col("n_nulls"), col("n_distinct"), col("top_value"),
           col("top_count"))
       }.reduce(_ unionByName _)
+    }),
+
+    // greedy bigram-LM decode (model-as-table generation, the LM
+    // sanity-check op): next(w) = argmax successor by (count DESC,
+    // token ASC); every distinct token walks 10 greedy steps through
+    // ten broadcast joins of the 31-row jump table — dead ends stay
+    // put (path stops growing), cycles just repeat
+    "q149_greedy_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(graft.core.TextAnalysis.tokens(col("text")).as("a"))
+      val bi = toks.filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val wN = Window.partitionBy("w1").orderBy(desc("c_xy"), asc("w2"))
+      val nextTok = bi.withColumn("r", row_number().over(wN))
+        .filter(col("r") === 1)
+        .select(col("w1").as("cur"), col("w2").as("nw"))
+      val starts = toks.select(explode(col("a")).as("w")).distinct()
+      var walk = starts.select(col("w").as("start_token"),
+        col("w").as("cur"), col("w").as("gen_path"))
+      for (_ <- 1 to 10) {
+        walk = walk.join(broadcast(nextTok), Seq("cur"), "left")
+          .withColumn("gen_path", when(col("nw").isNotNull,
+            concat(col("gen_path"), lit(">"), col("nw")))
+            .otherwise(col("gen_path")))
+          .withColumn("cur", coalesce(col("nw"), col("cur")))
+          .drop("nw")
+      }
+      walk.select(col("start_token"), col("gen_path"))
     })
   )
 
@@ -3865,6 +3898,43 @@ object SparkEntry {
       Seq("lang", "source", "n_chars").map(branch)
         .mkString("\nUNION ALL\n")
     },
+
+    // q149: the same argmax jump table walked by recursive CTE; the
+    // max-step row per start is exactly the engine's stay-put final
+    // path (dead ends stop extending, cycles reach step 10)
+    "q149_greedy_decode" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS a
+        |  FROM documents),
+        |bi AS (
+        |  SELECT a[i + 1] AS w1, a[i + 2] AS w2
+        |  FROM (SELECT a, unnest(generate_series(0, len(a) - 2)) AS i
+        |        FROM toks WHERE len(a) >= 2)),
+        |bc AS (
+        |  SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+        |jumps AS (
+        |  SELECT w1 AS cur, w2 AS nw FROM (
+        |    SELECT w1, w2,
+        |      row_number() OVER (PARTITION BY w1
+        |        ORDER BY c DESC, w2 ASC) AS r
+        |    FROM bc) WHERE r = 1),
+        |starts AS (
+        |  SELECT DISTINCT unnest(a) AS w FROM toks),
+        |walk AS (
+        |  SELECT w AS start_token, w AS cur,
+        |    CAST(w AS VARCHAR) AS gen_path, 0 AS step
+        |  FROM starts
+        |  UNION ALL
+        |  SELECT wk.start_token, j.nw, wk.gen_path || '>' || j.nw,
+        |    wk.step + 1
+        |  FROM walk wk JOIN jumps j ON j.cur = wk.cur
+        |  WHERE wk.step < 10),
+        |fin AS (
+        |  SELECT start_token, gen_path,
+        |    row_number() OVER (PARTITION BY start_token
+        |      ORDER BY step DESC) AS rn
+        |  FROM walk)
+        |SELECT start_token, gen_path FROM fin WHERE rn = 1""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

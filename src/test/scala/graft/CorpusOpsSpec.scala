@@ -510,4 +510,43 @@ class CorpusOpsSpec extends SparkSpec {
     // "a" and "b" both appear twice: the tie picks "a"
     assert(got == ((5L, 1L, 2L, "a", 2L)))
   }
+
+  test("greedy decode (q149 shape): argmax chain cycles to 10 steps, " +
+      "dead end stays put, count tie picks the lex-smallest successor") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq("a b", "a b", "a c", "b c", "c a", "x y", "t u", "t s")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = docs.select(TextAnalysis.tokens(col("text")).as("a"))
+    val bi = toks.filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val wN = Window.partitionBy("w1").orderBy(desc("c_xy"), asc("w2"))
+    val nextTok = bi.withColumn("r", row_number().over(wN))
+      .filter(col("r") === 1)
+      .select(col("w1").as("cur"), col("w2").as("nw"))
+    val starts = toks.select(explode(col("a")).as("w")).distinct()
+    var walk = starts.select(col("w").as("start_token"),
+      col("w").as("cur"), col("w").as("gen_path"))
+    for (_ <- 1 to 10) {
+      walk = walk.join(broadcast(nextTok), Seq("cur"), "left")
+        .withColumn("gen_path", when(col("nw").isNotNull,
+          concat(col("gen_path"), lit(">"), col("nw")))
+          .otherwise(col("gen_path")))
+        .withColumn("cur", coalesce(col("nw"), col("cur")))
+        .drop("nw")
+    }
+    val got = walk.select("start_token", "gen_path")
+      .as[(String, String)].collect().toMap
+    // a->b (count 2 beats a->c), b->c, c->a: the 3-cycle runs all 10
+    assert(got("a") == "a>b>c>a>b>c>a>b>c>a>b")
+    // y has no successor: the walk never leaves the start
+    assert(got("y") == "y")
+    assert(got("x") == "x>y")
+    // t->s and t->u both count 1: lex-smallest successor s wins
+    assert(got("t") == "t>s")
+  }
 }
