@@ -198,7 +198,12 @@ object ScaleProbe {
       "q145_mad_outliers", "q146_weighted_sample",
       // q147 = one as-of merge (two key exchanges) + a grouped count;
       // q148 = three independent column-pruned agg scans
-      "q147_last_touch", "q148_column_profile")
+      "q147_last_touch", "q148_column_profile",
+      // q149 = one bigram count + ten broadcast joins of the bounded
+      // jump table — count scan is the only corpus-sized work
+      "q149_greedy_decode",
+      // q150 = one text-keyed window + two grouped aggs — linear
+      "q150_corpus_card")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

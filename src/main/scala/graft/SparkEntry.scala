@@ -2134,6 +2134,34 @@ object SparkEntry {
           .drop("nw")
       }
       walk.select(col("start_token"), col("gen_path"))
+    }),
+
+    // per-source corpus card (the dataset-datasheet row every corpus
+    // release ships): docs, tokens, exact-dup count (keep-first over
+    // the text hash), language count and majority language — one
+    // text-keyed window + two grouped aggregates
+    "q150_corpus_card" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val wDup = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val flagged = docs
+        .withColumn("n_toks",
+          size(graft.core.TextAnalysis.tokens(col("text"))).cast("long"))
+        .withColumn("dup", row_number().over(wDup) > 1)
+      val stats = flagged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        countDistinct(col("lang")).as("n_langs"))
+      val wTop = Window.partitionBy("source")
+        .orderBy(desc("c"), asc("lang"))
+      val topLang = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(wTop)).filter(col("r") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      stats.join(topLang, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_exact_dup"), col("n_langs"), col("top_lang"))
     })
   )
 
@@ -3935,6 +3963,33 @@ object SparkEntry {
         |      ORDER BY step DESC) AS rn
         |  FROM walk)
         |SELECT start_token, gen_path FROM fin WHERE rn = 1""".stripMargin,
+
+    // q150: identical keep-first dup flag, token counts, and
+    // (count DESC, lang ASC) majority pick
+    "q150_corpus_card" ->
+      """WITH f AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_toks,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+        |      AS dup
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exact_dup,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM f GROUP BY 1),
+        |tl AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY count(*) DESC, lang ASC) AS r
+        |    FROM documents GROUP BY source, lang) WHERE r = 1)
+        |SELECT s.source, s.n_docs, s.n_tokens, s.n_exact_dup, s.n_langs,
+        |  tl.top_lang
+        |FROM s JOIN tl ON s.source = tl.source""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

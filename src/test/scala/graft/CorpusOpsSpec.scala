@@ -549,4 +549,35 @@ class CorpusOpsSpec extends SparkSpec {
     // t->s and t->u both count 1: lex-smallest successor s wins
     assert(got("t") == "t>s")
   }
+
+  test("corpus card (q150 shape): keep-first dup count, token sums, " +
+      "majority language with lex tie-break") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "same text", "en", "s1"),
+      (2L, "same text", "de", "s1"),   // exact dup of doc 1
+      (3L, "one two three", "en", "s1"),
+      (4L, "hello", "fr", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val wDup = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val flagged = docs
+      .withColumn("n_toks", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("dup", row_number().over(wDup) > 1)
+    val stats = flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+      countDistinct(col("lang")).as("n_langs"))
+    val wTop = Window.partitionBy("source").orderBy(desc("c"), asc("lang"))
+    val topLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(wTop)).filter(col("r") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val got = stats.join(topLang, "source")
+      .as[(String, Long, Long, Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // s1: 3 docs, 2+2+3 tokens, doc 2 is the dup, langs {en, de},
+    // en (2 docs) is the majority; s2: singleton fr
+    assert(got == Seq(
+      ("s1", 3L, 7L, 1L, 2L, "en"),
+      ("s2", 1L, 1L, 0L, 1L, "fr")))
+  }
 }
