@@ -203,7 +203,12 @@ object ScaleProbe {
       // jump table — count scan is the only corpus-sized work
       "q149_greedy_decode",
       // q150 = one text-keyed window + two grouped aggs — linear
-      "q150_corpus_card")
+      "q150_corpus_card",
+      // q151-q154 = the eval family: one (or two) corpus aggregations
+      // each, post-agg state bounded by the score lattice / label
+      // alphabet — strictly linear by construction
+      "q151_roc_auc", "q152_langid_confusion", "q153_calibration_bins",
+      "q154_cohen_kappa")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -2162,6 +2162,43 @@ object SparkEntry {
       stats.join(topLang, "source")
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_exact_dup"), col("n_langs"), col("top_lang"))
+    }),
+
+    // exact ROC-AUC of the heuristic quality score against the
+    // is-English label (the stopword/trigram features ARE English
+    // features, so the score is a real soft classifier for this
+    // label): tied-pair counting over the micro-score lattice, all
+    // BIGINT — the filter-audit number a gate ships with
+    "q151_roc_auc" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      Eval.rocAuc(scored,
+        expr("CAST(round(quality_score * 1000000) AS BIGINT)"),
+        col("lang") === "en")
+    }),
+
+    // language-ID confusion matrix vs the gold lang column: observed
+    // (gold, pred) cells with counts and exact per-cell recall share
+    "q152_langid_confusion" -> ((s, dir) => {
+      val pred = TextAnalysis.langId(Tables.documents(s, dir), "text")
+      Eval.confusion(pred, col("lang"), col("lang_pred"))
+    }),
+
+    // reliability bins of the quality score vs the is-English label:
+    // 10 cells over [0.48, 0.58] (the corpus's observed score band, so
+    // the gate exercises the whole grid), per-cell count / positives /
+    // exact positive rate / score mass
+    "q153_calibration_bins" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      Eval.calibrationBins(scored,
+        expr("CAST(round(quality_score * 1000000) AS BIGINT)"),
+        col("lang") === "en", 480000L, 580000L, 10)
+    }),
+
+    // Cohen's kappa of language-ID vs gold — chance-corrected
+    // multiclass agreement, exact integer kappa_micro
+    "q154_cohen_kappa" -> ((s, dir) => {
+      val pred = TextAnalysis.langId(Tables.documents(s, dir), "text")
+      Eval.cohenKappa(pred, col("lang"), col("lang_pred"))
     })
   )
 
@@ -2321,6 +2358,55 @@ object SparkEntry {
       |    AS total_micro,
       |  count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
+
+  /** The q91 quality-score replay as an expression fragment — expects
+    * a CTE scope providing `text` and `t` (the whitespace token
+    * array). Rounded to 6 decimals, bit-identical across engines (the
+    * q91 evidence); q151/q153 lattice it to micro BIGINTs.
+    */
+  private val QualityScoreSql =
+    """round(CAST(len(list_filter(t, x -> list_contains(
+      |        ['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+      |        / len(t) * 0.4
+      |      + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |        / length(text) * 0.6
+      |      - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+      |        / length(text) * 0.5, 6)""".stripMargin
+
+  /** The q23 language-ID replay projected to (gold, pred) — the
+    * shared input of the confusion matrix (q152) and kappa (q154)
+    * oracles.
+    */
+  private val LangIdPredSql =
+    """WITH lbase AS (
+      |  SELECT lang, text, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |lscored AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(t, x -> list_contains(['the','and','of','is'], x)))
+      |      + (length(text) - length(replace(text, 'th', ''))) / 2
+      |      + (length(text) - length(replace(text, 'ing', ''))) / 3
+      |      + (length(text) - length(replace(text, 'he ', ''))) / 3 AS BIGINT) AS score_en,
+      |    CAST(len(list_filter(t, x -> list_contains(['el','la','de','que'], x)))
+      |      + (length(text) - length(replace(text, 'ión', ''))) / 3
+      |      + (length(text) - length(replace(text, 'os ', ''))) / 3
+      |      + (length(text) - length(replace(text, 'que', ''))) / 3 AS BIGINT) AS score_es,
+      |    CAST(len(list_filter(t, x -> list_contains(['der','die','und','ist'], x)))
+      |      + (length(text) - length(replace(text, 'sch', ''))) / 3
+      |      + (length(text) - length(replace(text, 'ein', ''))) / 3
+      |      + (length(text) - length(replace(text, 'und', ''))) / 3 AS BIGINT) AS score_de,
+      |    CAST(len(list_filter(t, x -> list_contains(['le','la','et','est'], x)))
+      |      + (length(text) - length(replace(text, 'eau', ''))) / 3
+      |      + (length(text) - length(replace(text, 'oux', ''))) / 3
+      |      + (length(text) - length(replace(text, 'ent', ''))) / 3 AS BIGINT) AS score_fr
+      |  FROM lbase)
+      |SELECT lang AS gold,
+      |  CASE
+      |    WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+      |    WHEN score_es > greatest(score_de, score_en) THEN 'es'
+      |    WHEN score_en > score_de THEN 'en'
+      |    ELSE 'de' END AS pred
+      |FROM lscored""".stripMargin
 
   private val AsofOracleSql =
     """WITH o AS (
@@ -3990,6 +4076,97 @@ object SparkEntry {
         |SELECT s.source, s.n_docs, s.n_tokens, s.n_exact_dup, s.n_langs,
         |  tl.top_lang
         |FROM s JOIN tl ON s.source = tl.source""".stripMargin,
+
+    // q151: the q91 quality-score replay (bit-identical rounded
+    // doubles) micro-latticed, then the identical tied-pair AUC
+    // arithmetic — every sum BIGINT, one positive integer division
+    "q151_roc_auc" ->
+      s"""WITH base AS (
+        |  SELECT lang, text, regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT (lang = 'en') AS y,
+        |    CAST(round($QualityScoreSql * 1000000) AS BIGINT) AS s
+        |  FROM base),
+        |g AS (
+        |  SELECT s,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM sc GROUP BY 1),
+        |c AS (
+        |  SELECT np, nn,
+        |    COALESCE(sum(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(2 * np * cum_nn + np * nn) AS BIGINT) AS num2
+        |  FROM c)
+        |SELECT n_pos, n_neg,
+        |  CAST(num2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+        |FROM t""".stripMargin,
+
+    // q152: the q23 language-ID replay joined to gold, then the same
+    // sparse confusion cells + per-gold window share
+    "q152_langid_confusion" ->
+      s"""WITH pred AS ($LangIdPredSql)
+        |, cells AS (
+        |  SELECT gold, pred, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM pred GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT gold, pred, n_docs,
+        |    CAST(sum(n_docs) OVER (PARTITION BY gold) AS BIGINT) AS gold_total
+        |  FROM cells)
+        |SELECT gold, pred, n_docs, gold_total,
+        |  CAST(n_docs * 1000000 // gold_total AS BIGINT) AS share_micro
+        |FROM tot""".stripMargin,
+
+    // q153: same micro lattice, same right-closed bin fold, exact
+    // positive rates
+    "q153_calibration_bins" ->
+      s"""WITH base AS (
+        |  SELECT lang, text, regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT (lang = 'en') AS y,
+        |    CAST(round($QualityScoreSql * 1000000) AS BIGINT) AS s
+        |  FROM base),
+        |b AS (
+        |  SELECT CAST(least((s - 480000) // 10000, 9) AS BIGINT) AS bin,
+        |    y, s
+        |  FROM sc)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS pos_rate_micro,
+        |  CAST(sum(s) AS BIGINT) AS sum_score_micro
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // q154: the q23 replay through the exact integer kappa identity
+    // (n*agree - chance) / (n^2 - chance); positive operands on this
+    // binding (agreement far above chance), so DIV == // exactly
+    "q154_cohen_kappa" ->
+      s"""WITH pred AS ($LangIdPredSql)
+        |, cells AS (
+        |  SELECT gold, pred, CAST(count(*) AS BIGINT) AS c
+        |  FROM pred GROUP BY 1, 2),
+        |rt AS (SELECT gold, CAST(sum(c) AS BIGINT) AS row_c
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT pred, CAST(sum(c) AS BIGINT) AS col_c
+        |       FROM cells GROUP BY 1),
+        |ch AS (
+        |  SELECT CAST(sum(rt.row_c * ct.col_c) AS BIGINT) AS chance_pairs
+        |  FROM rt JOIN ct ON rt.gold = ct.pred),
+        |ag AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN gold = pred THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM cells)
+        |SELECT n_docs, n_agree, chance_pairs,
+        |  CAST((n_docs * n_agree - chance_pairs) * 1000000
+        |    // (n_docs * n_docs - chance_pairs) AS BIGINT) AS kappa_micro
+        |FROM ag CROSS JOIN ch""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -1,0 +1,96 @@
+package graft
+
+import graft.core.Eval
+import org.apache.spark.sql.functions._
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc: perfect separation = 1.0, reversed = 0.0") {
+    val df = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    val auc = Eval.rocAuc(df, col("s"), col("y"))
+      .select("n_pos", "n_neg", "auc_micro")
+      .as[(Long, Long, Long)].head()
+    assert(auc == ((2L, 2L, 1000000L)))
+    val rev = Eval.rocAuc(df, -col("s"), col("y"))
+      .select("auc_micro").as[Long].head()
+    assert(rev == 0L)
+  }
+
+  test("rocAuc: tied pairs count half") {
+    // pos scores {1, 2}, neg {1}: (1,1) tied = 1/2, (2,1) concordant
+    // = 1 -> AUC = 1.5/2 = 0.75
+    val df = Seq((1L, true), (1L, false), (2L, true)).toDF("s", "y")
+    val auc = Eval.rocAuc(df, col("s"), col("y"))
+      .select("auc_micro").as[Long].head()
+    assert(auc == 750000L)
+    // random-classifier midpoint: all scores tied -> 0.5 exactly
+    val flat = Seq((7L, true), (7L, false), (7L, true), (7L, false))
+      .toDF("s", "y")
+    assert(Eval.rocAuc(flat, col("s"), col("y"))
+      .select("auc_micro").as[Long].head() == 500000L)
+  }
+
+  test("rocAuc: partition invariant") {
+    val df = spark.range(1000).selectExpr(
+      "CAST(id % 97 AS BIGINT) AS s", "id % 3 = 0 AS y")
+    val a = Eval.rocAuc(df, col("s"), col("y"))
+      .select("auc_micro").as[Long].head()
+    val b = Eval.rocAuc(df.repartition(13), col("s"), col("y"))
+      .select("auc_micro").as[Long].head()
+    assert(a == b)
+  }
+
+  test("calibrationBins: hand-built cells, top edge folds into last bin") {
+    // range [0, 10) micro, 5 bins of width 2
+    val df = Seq((0L, false), (1L, true), (2L, true), (9L, true),
+      (10L, true)).toDF("s", "y")
+    val got = Eval.calibrationBins(df, col("s"), col("y"), 0L, 10L, 5)
+      .select("bin", "n_docs", "n_pos", "pos_rate_micro", "sum_score_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 500000L, 1L),   // s=0 (neg), s=1 (pos)
+      (1L, 1L, 1L, 1000000L, 2L),  // s=2
+      (4L, 2L, 2L, 1000000L, 19L)  // s=9 and the edge s=10 clamped
+    ))
+  }
+
+  test("confusion: cells, gold totals and exact shares") {
+    val df = Seq(("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de")).toDF("g", "p")
+    val got = Eval.confusion(df, col("g"), col("p"))
+      .select("gold", "pred", "n_docs", "gold_total", "share_micro")
+      .as[(String, String, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("de", "de", 1L, 1L, 1000000L),
+      ("en", "de", 1L, 3L, 333333L),
+      ("en", "en", 2L, 3L, 666666L)))
+  }
+
+  test("cohenKappa: hand-computed 2x2 and degenerate cases") {
+    // n=10: gold en=6/de=4; pred en=5/de=5; agree = 4 (en) + 3 (de) = 7
+    // chance = 6*5 + 4*5 = 50; kappa = (10*7 - 50)/(100 - 50) = 0.4
+    val rows =
+      Seq.fill(4)(("en", "en")) ++ Seq.fill(2)(("en", "de")) ++
+      Seq.fill(1)(("de", "en")) ++ Seq.fill(3)(("de", "de"))
+    val got = Eval.cohenKappa(rows.toDF("g", "p"), col("g"), col("p"))
+      .select("n_docs", "n_agree", "chance_pairs", "kappa_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((10L, 7L, 50L, 400000L)))
+    // perfect agreement = 1.0 regardless of marginals
+    val perfect = Seq(("a", "a"), ("b", "b"), ("b", "b")).toDF("g", "p")
+    assert(Eval.cohenKappa(perfect, col("g"), col("p"))
+      .select("kappa_micro").as[Long].head() == 1000000L)
+  }
+
+  test("kappa is chance-corrected where raw accuracy is not") {
+    // a majority-class predictor: 90% accuracy but kappa = 0 (all
+    // agreement is chance) -- the reason the audit ships kappa
+    val rows = Seq.fill(9)(("maj", "maj")) ++ Seq(("min", "maj"))
+    val got = Eval.cohenKappa(rows.toDF("g", "p"), col("g"), col("p"))
+      .select("n_agree", "kappa_micro").as[(Long, Long)].head()
+    assert(got._1 == 9L && got._2 == 0L)
+  }
+}
