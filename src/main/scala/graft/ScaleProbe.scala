@@ -208,7 +208,10 @@ object ScaleProbe {
       // each, post-agg state bounded by the score lattice / label
       // alphabet — strictly linear by construction
       "q151_roc_auc", "q152_langid_confusion", "q153_calibration_bins",
-      "q154_cohen_kappa")
+      "q154_cohen_kappa",
+      // q155 = one per-source window + a quarter-slice join;
+      // q156 = the two-phase weight-1 global rank — both linear
+      "q155_preference_pairs", "q156_curriculum_phases")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -2199,6 +2199,33 @@ object SparkEntry {
     "q154_cohen_kappa" -> ((s, dir) => {
       val pred = TextAnalysis.langId(Tables.documents(s, dir), "text")
       Eval.cohenKappa(pred, col("lang"), col("lang_pred"))
+    }),
+
+    // preference-pair construction (reward-model / DPO data prep):
+    // per source the i-th best doc by quality paired with the i-th
+    // worst, top quarter vs bottom quarter, score margin carried
+    "q155_preference_pairs" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+        .withColumn("s_micro",
+          expr("CAST(round(quality_score * 1000000) AS BIGINT)"))
+      Sampling.preferencePairs(scored, "source", "s_micro", "doc_id", 4)
+        .select(col("source"), col("pair_rank").cast("long").as("pair_rank"),
+          col("chosen_id"), col("rejected_id"), col("chosen_s"),
+          col("rejected_s"), col("margin_micro"))
+    }),
+
+    // curriculum phase assignment: global quality order (cleanest
+    // first) split into 4 contiguous phases by the exact integer
+    // identity (rank-1)*k DIV n — the two-phase distributed rank,
+    // never a single-partition global window
+    "q156_curriculum_phases" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+        .withColumn("s_micro",
+          expr("CAST(round(quality_score * 1000000) AS BIGINT)"))
+        .select("doc_id", "s_micro")
+      Sampling.curriculumPhases(scored, "doc_id",
+          Seq(col("s_micro").desc, col("doc_id").asc), 4)
+        .select(col("doc_id"), col("s_micro"), col("rank"), col("phase"))
     })
   )
 
@@ -4167,6 +4194,55 @@ object SparkEntry {
         |  CAST((n_docs * n_agree - chance_pairs) * 1000000
         |    // (n_docs * n_docs - chance_pairs) AS BIGINT) AS kappa_micro
         |FROM ag CROSS JOIN ch""".stripMargin,
+
+    // q155: same per-source (s DESC, doc_id) ranks, same quarter
+    // slices, same rank-mirrored join
+    "q155_preference_pairs" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(round($QualityScoreSql * 1000000) AS BIGINT) AS s
+        |  FROM base),
+        |rk AS (
+        |  SELECT doc_id, source, s,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY s DESC, doc_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM sc),
+        |ch AS (
+        |  SELECT source, r AS pair_rank, doc_id AS chosen_id, s AS chosen_s
+        |  FROM rk WHERE r <= n // 4),
+        |rj AS (
+        |  SELECT source, n + 1 - r AS pair_rank, doc_id AS rejected_id,
+        |    s AS rejected_s
+        |  FROM rk WHERE r > n - (n // 4))
+        |SELECT ch.source, ch.pair_rank, chosen_id, rejected_id, chosen_s,
+        |  rejected_s, chosen_s - rejected_s AS margin_micro
+        |FROM ch JOIN rj
+        |  ON ch.source = rj.source AND ch.pair_rank = rj.pair_rank""".stripMargin,
+
+    // q156: the same global (s DESC, doc_id) rank + the same integer
+    // phase identity
+    "q156_curriculum_phases" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(round($QualityScoreSql * 1000000) AS BIGINT) AS s_micro
+        |  FROM base),
+        |rk AS (
+        |  SELECT doc_id, s_micro,
+        |    CAST(row_number() OVER (ORDER BY s_micro DESC, doc_id)
+        |      AS BIGINT) AS rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM sc)
+        |SELECT doc_id, s_micro, rank,
+        |  CAST((rank - 1) * 4 // n AS BIGINT) AS phase
+        |FROM rk""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

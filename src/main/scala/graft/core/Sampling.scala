@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -310,6 +310,76 @@ object Sampling {
     // callers should use offsetsOrderedReleasable directly
     val _ = release
     out
+  }
+
+  /** Preference-pair construction — reward-model / DPO data prep:
+    * within each group the i-th BEST document (by the integer score,
+    * id tie-break) is paired with the i-th WORST, for i up to
+    * n DIV `denom` (denom 4 = top quarter vs bottom quarter). Best-
+    * with-worst ordering maximizes every pair's score margin, and the
+    * margin is part of the output — downstream can weight pairs by it
+    * or drop low-margin (ambiguous) ones.
+    *
+    * Scale: one per-group window exchange (the q91 / topFractionByGroup
+    * shape) + one join of the two quarter-sized rank slices,
+    * co-partitioned on (group, pair_rank); shuffles carry
+    * (group, rank, id, score) — never text. For n < denom a group
+    * emits no pairs (n DIV denom = 0); chosen and rejected slices are
+    * provably disjoint (n DIV denom <= n/2 for denom >= 2).
+    *
+    * Output: (groupCol, pair_rank, chosen_id, rejected_id, chosen_s,
+    * rejected_s, margin_micro >= 0).
+    */
+  def preferencePairs(df: DataFrame, groupCol: String, scoreMicroCol: String,
+                      idCol: String, denom: Int = 4): DataFrame = {
+    require(denom >= 2, "denom must be >= 2 (disjoint slices)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("s").desc, col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol), col(scoreMicroCol).as("s"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val chosen = ranked.filter(expr(s"r <= n DIV $denom"))
+      .select(col(groupCol), col("r").as("pair_rank"),
+        col(idCol).as("chosen_id"), col("s").as("chosen_s"))
+    val rejected = ranked.filter(expr(s"r > n - (n DIV $denom)"))
+      .select(col(groupCol), (col("n") + 1 - col("r")).as("pair_rank"),
+        col(idCol).as("rejected_id"), col("s").as("rejected_s"))
+    chosen.join(rejected, Seq(groupCol, "pair_rank"))
+      .withColumn("margin_micro", col("chosen_s") - col("rejected_s"))
+  }
+
+  /** Curriculum phase assignment — order the corpus by a difficulty
+    * proxy and split the GLOBAL rank order into `k` contiguous
+    * phases: phase = (rank-1)·k DIV n (phase 0 = trained first).
+    * Equal-width by rank, so phases differ by at most one row —
+    * deterministic, exactly replayable, and (unlike ntile's
+    * extras-to-early-buckets rule) a one-line integer identity both
+    * engines share.
+    *
+    * The global rank is the two-phase distributed prefix rank
+    * (weight-1 [[Packing.offsetsOrderedReleasable]]) — never a
+    * single-partition `Window.orderBy`, which is the q121/q123
+    * discipline for corpus-wide order at scale.
+    *
+    * Output: every input row + `rank` (1-based) + `phase` (0..k-1).
+    */
+  def curriculumPhases(df: DataFrame, idCol: String, order: Seq[Column],
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counted = df.withColumn("n_tokens", lit(1L))
+    val (ranked, release) = Packing.offsetsOrderedReleasable(
+      counted, idCol, order)
+    val out = ranked.select(
+      df.columns.map(col) :+ col("tok_end").as("rank"): _*)
+    // n = max rank; the agg re-reads the persisted prefix-sum branch,
+    // not the corpus
+    val tot = out.agg(max("rank").as("n_total"))
+    val phased = out.crossJoin(broadcast(tot))
+      .withColumn("phase", expr(s"(rank - 1) * $k DIV n_total"))
+      .drop("n_total")
+    val _ = release // one-shot batch shape (tokenBudgetSelect contract)
+    phased
   }
 
   /** Rank-ensemble quality blending (the FineWeb-style "multiple weak

@@ -98,4 +98,40 @@ class SamplingSpec extends SparkSpec {
     assert(e1 != quarter, "epoch must rotate the kept set")
     assert(e1.size > 350 && e1.size < 650)
   }
+
+  test("preferencePairs: best-with-worst, margins, small-group drop") {
+    // group a: 8 docs, scores 80..10 -> 2 pairs (80,10), (70,20);
+    // group b: 3 docs -> 3 DIV 4 = 0 pairs
+    val df = ((1L to 8L).map(i => ("a", i, (90L - 10L * i) * 1000)) ++
+      Seq(("b", 1L, 5000L), ("b", 2L, 4000L), ("b", 3L, 3000L)))
+      .toDF("src", "doc_id", "s")
+    val got = Sampling.preferencePairs(df, "src", "s", "doc_id", 4)
+      .select("src", "pair_rank", "chosen_id", "rejected_id", "margin_micro")
+      .as[(String, Int, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      ("a", 1, 1L, 8L, 70000L),   // 80k vs 10k
+      ("a", 2, 2L, 7L, 50000L)))  // 70k vs 20k
+    // score ties break to the LOWER id as better
+    val tied = Seq(("t", 1L, 9L), ("t", 2L, 9L), ("t", 3L, 1L),
+      ("t", 4L, 0L)).toDF("src", "doc_id", "s")
+    val p = Sampling.preferencePairs(tied, "src", "s", "doc_id", 4)
+      .select("chosen_id", "rejected_id").as[(Long, Long)].head()
+    assert(p == ((1L, 4L)))
+  }
+
+  test("curriculumPhases: integer phase identity, partition invariance") {
+    val df = (1L to 10L).map(i => (i, 1000L - i)).toDF("doc_id", "s")
+    // order s desc => rank = doc_id; phase = (rank-1)*4 DIV 10
+    val got = Sampling.curriculumPhases(df, "doc_id",
+        Seq(col("s").desc, col("doc_id").asc), 4)
+      .select("doc_id", "rank", "phase")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == (1L to 10L))
+    assert(got.map(_._3) == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
+    val repart = Sampling.curriculumPhases(df.repartition(7), "doc_id",
+        Seq(col("s").desc, col("doc_id").asc), 4)
+      .select("doc_id", "rank", "phase")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(repart == got)
+  }
 }
