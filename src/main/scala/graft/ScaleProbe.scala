@@ -211,7 +211,11 @@ object ScaleProbe {
       "q154_cohen_kappa",
       // q155 = one per-source window + a quarter-slice join;
       // q156 = the two-phase weight-1 global rank — both linear
-      "q155_preference_pairs", "q156_curriculum_phases")
+      "q155_preference_pairs", "q156_curriculum_phases",
+      // q157 = 5 bounded-vocab join+agg iterations over edges that
+      // grow with distinct bigrams (constant under replication);
+      // q158 = one daily agg + per-key row-local folds
+      "q157_textrank", "q158_ewma")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -2226,6 +2226,28 @@ object SparkEntry {
       Sampling.curriculumPhases(scored, "doc_id",
           Seq(col("s_micro").desc, col("doc_id").asc), 4)
         .select(col("doc_id"), col("s_micro"), col("rank"), col("phase"))
+    }),
+
+    // TextRank keywords: integer-exact PageRank (5 power iterations,
+    // damping 85/100, every division a positive floor) over the
+    // symmetrized adjacent-token graph — graph centrality as a
+    // sequence of bounded equi-join + grouped-sum steps
+    "q157_textrank" -> ((s, dir) =>
+      GraphOps.textrankKeywords(Tables.documents(s, dir), "text", 5, 20)),
+
+    // EWMA smoothing of the per-type daily series, alpha = 1/8 in
+    // integer fixed-point: s_t = (x_t + 7*s_{t-1}) DIV 8 — the O(1)-
+    // state streaming smoother next to the rolling mean, exactly
+    // replayable (a float EWMA would compound ulp drift over the
+    // whole series)
+    "q158_ewma" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+          .as("x_micro"))
+      TimeSeries.ewma(daily, "event_type", "d", "x_micro", 1, 8)
+        .select(col("event_type"), col("d"), col("x_micro"),
+          col("ewma").as("ewma_micro"))
     })
   )
 
@@ -4243,6 +4265,69 @@ object SparkEntry {
         |SELECT doc_id, s_micro, rank,
         |  CAST((rank - 1) * 4 // n AS BIGINT) AS phase
         |FROM rk""".stripMargin,
+
+    // q157: the same integer power iteration unrolled 5 times — same
+    // edge symmetrization (UNION dedups = .distinct()), same degree
+    // table, same per-contribution floors, same damping arithmetic
+    "q157_textrank" -> {
+      def step(k: Int): String =
+        s"""pr$k AS (
+           |  SELECT vv.v,
+           |    CAST(150000000000 + 85 * COALESCE(s$k.cin, 0) // 100
+           |      AS BIGINT) AS r
+           |  FROM verts vv LEFT JOIN (
+           |    SELECT e.dst AS v, CAST(sum(p.r // d.deg) AS BIGINT) AS cin
+           |    FROM pr${k - 1} p
+           |    JOIN e0 e ON e.src = p.v
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY 1) s$k ON s$k.v = vv.v)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+         |  FROM documents),
+         |bi AS (
+         |  SELECT a[i + 1] AS w1, a[i + 2] AS w2
+         |  FROM (SELECT a, unnest(generate_series(0, len(a) - 2)) AS i
+         |        FROM toks WHERE len(a) >= 2)),
+         |e0 AS (
+         |  SELECT w1 AS src, w2 AS dst FROM bi WHERE w1 <> w2
+         |  UNION
+         |  SELECT w2 AS src, w1 AS dst FROM bi WHERE w1 <> w2),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM e0 GROUP BY 1),
+         |verts AS (SELECT src AS v FROM e0 UNION SELECT dst AS v FROM e0),
+         |pr0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM verts),
+         |${(1 to 5).map(step).mkString(",\n")},
+         |rnk AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r DESC, v ASC)
+         |      AS BIGINT) AS rank,
+         |    v AS token, r AS score_pico
+         |  FROM pr5)
+         |SELECT rank, token, score_pico FROM rnk WHERE rank <= 20""".stripMargin
+    },
+
+    // q158: the identical integer recursion replayed day-by-day per
+    // type (both engines' integer division truncates toward zero;
+    // operands here are non-negative anyway)
+    "q158_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, d, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |rec AS (
+        |  SELECT event_type, d, x, i, x AS s FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.d, n.x, n.i,
+        |    CAST((n.x + 7 * r.s) // 8 AS BIGINT) AS s
+        |  FROM rec r JOIN idx n
+        |    ON n.event_type = r.event_type AND n.i = r.i + 1)
+        |SELECT event_type, d, x AS x_micro, s AS ewma_micro
+        |FROM rec""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

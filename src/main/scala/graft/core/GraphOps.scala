@@ -1,0 +1,79 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over edge tables — the TextRank/PageRank family.
+  *
+  * The power iteration is formulated entirely in BIGINT fixed-point:
+  * each vertex starts with `initPico` mass, one step is
+  *   r'(v) = 0.15·init + 85 · (Σ_{(u,v)∈E} r(u) DIV deg(u)) DIV 100
+  * with every division a positive-integer floor — so a fixed
+  * iteration count is EXACTLY replayable in any engine (the DuckDB
+  * oracle unrolls the same arithmetic), unlike float PageRank whose
+  * sum order drifts. The per-contribution floor loses < deg(u) pico
+  * per vertex per step — noise at the 1e12 scale, and identical noise
+  * on both engines, which is what the gate hashes.
+  *
+  * Scale posture: edges/degrees/ranks are all vertex- or edge-bounded
+  * tables (for TextRank, the token vocabulary — model-size, the
+  * vocab-numbering precedent); each iteration is one equi-join +
+  * one map-side-combinable grouped sum, shuffling (vertex, long)
+  * pairs only. `iters` is fixed and small (PageRank converges
+  * geometrically at damping 0.85). For vertex counts beyond ~1e5,
+  * shrink `initPico` so Σ r(u) stays well under 2^63.
+  */
+object GraphOps {
+
+  /** Integer PageRank over a directed edge list (duplicates ignored);
+    * damping fixed at 0.85 in integer percent. Returns (v, r) for
+    * every vertex appearing in any edge.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, initPico: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    val baseL = initPico * 15L / 100L
+    var ranks = verts.withColumn("r", lit(initPico))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.select(col("v").as("src"), col("r"))
+        .join(e, "src").join(deg, "src")
+        .select(col("dst").as("v"), expr("r DIV deg").as("c"))
+        .groupBy("v").agg(sum("c").as("cin"))
+      ranks = verts.join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          expr(s"${baseL}L + 85 * coalesce(cin, 0L) DIV 100").as("r"))
+    }
+    ranks
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    * adjacent-token co-occurrence edges, symmetrized, ranked by
+    * [[pageRank]]; top-k tokens by (score desc, token asc). The
+    * edge/vertex tables are vocabulary-bounded, so the final rank
+    * window runs over model-size state.
+    */
+  def textrankKeywords(docs: DataFrame, textCol: String, iters: Int,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("a"))
+    val bi = toks.filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val undirected = bi.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(bi.select(col("w2").as("src"), col("w1").as("dst")))
+    val pr = pageRank(undirected, "src", "dst", iters)
+    val w = Window.orderBy(desc("r"), asc("v"))
+    pr.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"),
+        col("v").as("token"), col("r").as("score_pico"))
+  }
+}

@@ -254,4 +254,42 @@ object TimeSeries {
     val dense = densify(daily, key, Seq("total_kwh", "unique_appliances"))
     withDow(rollingMean7(dense, key, "Date", "total_kwh"), "Date")
   }
+
+  /** Exponentially-weighted moving average over per-key ordered
+    * series, integer-exact: s_1 = x_1, then
+    * s_t = (num·x_t + (den−num)·s_{t−1}) DIV den — the streaming-
+    * friendly smoother next to [[rollingMean7]] (O(1) state per key
+    * vs a 7-row buffer), in fixed-point so the recursion replays
+    * bit-for-bit in any engine (floats would compound ulp drift
+    * across the whole series).
+    *
+    * A recursion can't vectorize across rows, so each key's series is
+    * collected into ONE row (sort_array of (ord, x) structs) and
+    * folded row-locally with `aggregate` — bounded by the series
+    * length per key (days, not events: the daily pre-aggregation has
+    * already collapsed the corpus), the same per-key-bounded-state
+    * argument as the VAD islands and session paths. Input rows must
+    * be (keyCol, ordCol, xCol BIGINT) — one row per (key, ord).
+    *
+    * Output: (keyCol, ordCol, xCol, ewma) — the full smoothed series.
+    */
+  def ewma(daily: DataFrame, keyCol: String, ordCol: String, xCol: String,
+           num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den > num, s"need 1 <= num < den, got $num/$den")
+    val series = daily
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(
+        struct(col(ordCol).as("o"), col(xCol).as("x")))).as("xs"))
+    val folded = series.withColumn("sm", expr(
+      s"""aggregate(xs,
+         |  CAST(array() AS ARRAY<STRUCT<o: ${daily.schema(ordCol).dataType.sql}, x: BIGINT, s: BIGINT>>),
+         |  (acc, e) -> array_append(acc, named_struct(
+         |    'o', e.o, 'x', e.x,
+         |    's', CASE WHEN size(acc) = 0 THEN e.x
+         |              ELSE ($num * e.x + ${den - num} * element_at(acc, -1).s)
+         |                   DIV $den END)))""".stripMargin))
+    folded.select(col(keyCol), explode(col("sm")).as("r"))
+      .select(col(keyCol), col("r.o").as(ordCol), col("r.x").as(xCol),
+        col("r.s").as("ewma"))
+  }
 }

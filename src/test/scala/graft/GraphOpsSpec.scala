@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T = 1000000000000L // initPico
+
+  test("pageRank: hand-computed path graph a-b-c, one iteration") {
+    // undirected path: deg a=1, b=2, c=1; after one step
+    //   r(a) = 0.15T + 85*(T/2)//100   = 575e9
+    //   r(b) = 0.15T + 85*(T+T)//100   = 1850e9
+    //   r(c) = r(a)
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val got = GraphOps.pageRank(e, "src", "dst", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 575000000000L, "b" -> 1850000000000L,
+      "c" -> 575000000000L))
+  }
+
+  test("pageRank: symmetric regular graph is a fixed point at full mass") {
+    // isolated undirected pair: each vertex receives exactly its
+    // neighbor's full mass -> 0.15T + 0.85T = T forever
+    val e = Seq(("x", "y"), ("y", "x")).toDF("src", "dst")
+    val got = GraphOps.pageRank(e, "src", "dst", iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> T, "y" -> T))
+  }
+
+  test("pageRank: duplicate and self edges are ignored") {
+    val e = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "a"))
+      .toDF("src", "dst")
+    val got = GraphOps.pageRank(e, "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> T, "b" -> T)) // reduces to the x-y pair
+  }
+
+  test("pageRank: hub dominates leaves, deterministic across partitioning") {
+    // star: hub h connected to l1..l4 (symmetrized)
+    val leaves = (1 to 4).map(i => s"l$i")
+    val e = (leaves.map(("h", _)) ++ leaves.map((_, "h"))).toDF("src", "dst")
+    val r1 = GraphOps.pageRank(e, "src", "dst", iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(leaves.forall(l => r1("h") > r1(l)))
+    assert(leaves.map(r1).distinct.size == 1) // leaves symmetric
+    val r2 = GraphOps.pageRank(e.repartition(7), "src", "dst", iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == r2)
+  }
+
+  test("textrankKeywords: connectives outrank leaves; ties break lexically") {
+    // the/sat each touch {cat,dog,cow}; the graph is symmetric under
+    // the<->sat and cat<->dog<->cow, so ranks 1-2 are the tied
+    // connectives (lex order: sat before the) and rank 3 is 'cat'
+    val docs = Seq("the cat sat", "the dog sat", "the cow sat")
+      .toDF("text")
+    val got = GraphOps.textrankKeywords(docs, "text", iters = 5, k = 3)
+      .select("rank", "token", "score_pico")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((1L, "sat"), (2L, "the"), (3L, "cat")))
+    assert(got(0)._3 == got(1)._3)              // symmetric tie
+    assert(got.map(_._3).sorted.reverse == got.map(_._3))
+  }
+}

@@ -356,4 +356,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(att == Map(3L -> "click", 5L -> "direct", 6L -> "direct",
       9L -> "error"))
   }
+
+  test("ewma: exact integer recursion, keys independent, partition-invariant") {
+    // alpha 1/8: s1=8; s2=(16+7*8) DIV 8 = 9; s3=(80+7*9) DIV 8 = 17
+    val df = Seq(("a", 1L, 8L), ("a", 2L, 16L), ("a", 3L, 80L),
+      ("b", 1L, 100L), ("b", 2L, 100L)).toDF("k", "o", "x")
+    val got = TimeSeries.ewma(df, "k", "o", "x", 1, 8)
+      .select("k", "o", "x", "ewma")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("a", 1L, 8L, 8L), ("a", 2L, 16L, 9L), ("a", 3L, 80L, 17L),
+      ("b", 1L, 100L, 100L), ("b", 2L, 100L, 100L))) // constant fixed point
+    val repart = TimeSeries.ewma(df.repartition(5), "k", "o", "x", 1, 8)
+      .select("k", "o", "x", "ewma")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(repart == got)
+  }
 }
