@@ -215,7 +215,11 @@ object ScaleProbe {
       // q157 = 5 bounded-vocab join+agg iterations over edges that
       // grow with distinct bigrams (constant under replication);
       // q158 = one daily agg + per-key row-local folds
-      "q157_textrank", "q158_ewma")
+      "q157_textrank", "q158_ewma",
+      // q159 = entity-level blocked join (distinct names constant
+      // under replication); q160 = one hash pass + per-group rank;
+      // q161 = two grouped count aggs
+      "q159_fuzzy_linkage", "q160_group_sample", "q161_zipf_spectrum")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

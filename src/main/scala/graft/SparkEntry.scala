@@ -2248,6 +2248,34 @@ object SparkEntry {
       TimeSeries.ewma(daily, "event_type", "d", "x_micro", 1, 8)
         .select(col("event_type"), col("d"), col("x_micro"),
           col("ewma").as("ewma_micro"))
+    }),
+
+    // fuzzy entity linkage over the part catalog: rows collapse to
+    // distinct names first (pairing runs entity x entity, never
+    // row x row), block on the first name token, edit distance <= 4
+    "q159_fuzzy_linkage" -> ((s, dir) =>
+      Joins.fuzzyLinkPairs(Tables.load(s, dir, "part"), "p_name",
+        split(col("entity"), " ").getItem(0), maxDist = 4)),
+
+    // deterministic k-per-group sample: hash-rank by the portable
+    // rolling hash of id:seed — reservoir-sampling guarantees plus
+    // exact replayability (and a second gate through the native
+    // RollingHash codegen expression)
+    "q160_group_sample" -> ((s, dir) =>
+      Sampling.kPerGroup(Tables.documents(s, dir), "source", "doc_id",
+        k = 5, seed = 42L)),
+
+    // Zipf frequency spectrum: frequency-of-frequencies of the corpus
+    // vocabulary (how many types occur c times) — the corpus-stats
+    // card power-law fits read from; two grouped aggs, counts only
+    "q161_zipf_spectrum" -> ((s, dir) => {
+      val uni = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      uni.groupBy("c")
+        .agg(count(lit(1)).as("n_types"), min("w").as("example_token"))
+        .select(col("c").as("occurrences"), col("n_types"),
+          expr("c * n_types").as("n_tokens"), col("example_token"))
     })
   )
 
@@ -4328,6 +4356,62 @@ object SparkEntry {
         |    ON n.event_type = r.event_type AND n.i = r.i + 1)
         |SELECT event_type, d, x AS x_micro, s AS ewma_micro
         |FROM rec""".stripMargin,
+
+    // q159: same entity collapse, same first-token block, DuckDB's
+    // levenshtein (the identical classic DP)
+    "q159_fuzzy_linkage" ->
+      """WITH names AS (
+        |  SELECT p_name AS entity, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM part GROUP BY 1),
+        |b AS (
+        |  SELECT entity, n_rows, split_part(entity, ' ', 1) AS blk
+        |  FROM names)
+        |SELECT a.entity AS entity_1, c.entity AS entity_2,
+        |  CAST(levenshtein(a.entity, c.entity) AS BIGINT) AS dist,
+        |  a.n_rows AS rows_1, c.n_rows AS rows_2
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.entity < c.entity
+        |WHERE levenshtein(a.entity, c.entity) <= 4""".stripMargin,
+
+    // q160: the q60/q24 portable-hash replay (ascii fold mod 1e9+7,
+    // seed-prefixed) through the identical two-round x²+1 avalanche,
+    // same per-group (hash, id) rank
+    "q160_group_sample" ->
+      """WITH h0 AS (
+        |  SELECT source, doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(
+        |          regexp_split_to_array('42:' || CAST(doc_id AS VARCHAR), ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM documents),
+        |h1 AS (
+        |  SELECT source, doc_id,
+        |    (h * h + 1) % 1000000007 AS h1
+        |  FROM h0),
+        |h AS (
+        |  SELECT source, doc_id,
+        |    CAST((h1 * h1 + 1) % 1000000007 AS BIGINT) AS hash
+        |  FROM h1),
+        |r AS (
+        |  SELECT source, doc_id, hash,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY hash, doc_id) AS BIGINT) AS smp_rank
+        |  FROM h)
+        |SELECT source, doc_id, hash, smp_rank FROM r
+        |WHERE smp_rank <= 5""".stripMargin,
+
+    // q161: identical two-level counts; example token = min per cell
+    "q161_zipf_spectrum" ->
+      """WITH uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1)
+        |SELECT c AS occurrences, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(c * count(*) AS BIGINT) AS n_tokens,
+        |  min(w) AS example_token
+        |FROM uni GROUP BY 1""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

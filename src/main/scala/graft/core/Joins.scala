@@ -181,4 +181,51 @@ object Joins {
       valueCols.map(c => attr(rPlan, c)))
     GraftShim.ofRows(spark, plan).drop("__lts")
   }
+
+  /** Fuzzy entity linkage — record-linkage candidate pairs by
+    * blocked edit distance: rows are first collapsed to DISTINCT
+    * entity strings with their row counts (the scale move: pairing
+    * runs on the entity table, never row × row), then entities
+    * sharing a blocking key pair up via a plain equi-join (no cross
+    * join) and survive at levenshtein ≤ maxDist. `entity_1 <
+    * entity_2` emits each pair once. Both engines implement the same
+    * classic DP edit distance, so the pair set oracles exactly.
+    *
+    * At 100 TB the entity table is the distinct-value space of the
+    * name column (bounded far below row count for real catalogs);
+    * skewed blocks get the q94/q95 treatment — cap the block size
+    * and record the drop — via `maxBlockSize`.
+    *
+    * `blockKey` is evaluated against the collapsed entity table, so
+    * express it over the column named `entity` (e.g.
+    * `split(col("entity"), " ")(0)`).
+    *
+    * Output: (entity_1, entity_2, dist, rows_1, rows_2).
+    */
+  def fuzzyLinkPairs(df: DataFrame, entityCol: String, blockKey: Column,
+                     maxDist: Int,
+                     maxBlockSize: Long = Long.MaxValue): DataFrame = {
+    val entities = df.groupBy(col(entityCol).as("entity"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", blockKey)
+    val sized =
+      if (maxBlockSize == Long.MaxValue) entities
+      else {
+        val keep = entities.groupBy("blk")
+          .agg(count(lit(1)).as("blk_n"))
+          .filter(col("blk_n") <= maxBlockSize)
+          .select("blk")
+        entities.join(keep, "blk")
+      }
+    val a = sized.select(col("blk"), col("entity").as("entity_1"),
+      col("n_rows").as("rows_1"))
+    val b = sized.select(col("blk"), col("entity").as("entity_2"),
+      col("n_rows").as("rows_2"))
+    a.join(b, Seq("blk"))
+      .filter(col("entity_1") < col("entity_2"))
+      .withColumn("dist",
+        levenshtein(col("entity_1"), col("entity_2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("entity_1", "entity_2", "dist", "rows_1", "rows_2")
+  }
 }

@@ -312,6 +312,44 @@ object Sampling {
     out
   }
 
+  /** Deterministic uniform k-per-group sample: rank each group's rows
+    * by a seed-mixed portable hash (a pure function of the data —
+    * re-materializing an epoch, or replaying on another engine,
+    * yields the identical sample) and keep rank <= k. One per-group
+    * window exchange; per-group state is the rank counter. The
+    * deterministic replacement for per-group reservoir sampling: same
+    * guarantee (exactly min(k, n) uniform rows), plus replayability.
+    *
+    * RANKING by a hash needs real avalanche, which the rolling fold
+    * alone does not have: it is AFFINE in the trailing characters, so
+    * consecutive ids hash to consecutive values and any suffix- or
+    * prefix-embedded seed shifts the whole group by one constant —
+    * same order, same sample, every seed (a trap this module hit;
+    * mod-extraction consumers like [[weightedSample]] are immune
+    * because they compare VALUES, not ranks). The mix here is the
+    * seed-prefixed fold pushed through two rounds of the Pollard-rho
+    * step x → x²+1 mod p (p = 1e9+7, x² ≤ ~1e18 stays in BIGINT):
+    * round one separates consecutive ids by ~2·x₀ ≫ 1, round two
+    * multiplies that separation by ~2·x₁ ~ p — full avalanche, and
+    * each seed lands on an unrelated permutation.
+    *
+    * Output: (groupCol, idCol, hash = the mixed key, smp_rank <= k).
+    */
+  def kPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+                seed: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("hash"), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("h0", TextAnalysis.rollingHash(
+        concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .withColumn("h1", expr("(h0 * h0 + 1) % 1000000007L"))
+      .withColumn("hash", expr("(h1 * h1 + 1) % 1000000007L"))
+      .drop("h0", "h1")
+      .withColumn("smp_rank", row_number().over(w).cast("long"))
+      .filter(col("smp_rank") <= k)
+  }
+
   /** Preference-pair construction — reward-model / DPO data prep:
     * within each group the i-th BEST document (by the integer score,
     * id tie-break) is paired with the i-th WORST, for i up to

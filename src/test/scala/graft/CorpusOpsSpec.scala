@@ -580,4 +580,20 @@ class CorpusOpsSpec extends SparkSpec {
       ("s1", 3L, 7L, 1L, 2L, "en"),
       ("s2", 1L, 1L, 0L, 1L, "fr")))
   }
+
+  test("zipf spectrum: frequency-of-frequencies with deterministic examples") {
+    // corpus: a a a b b c d -> c=3:{a}, c=2:{b}, c=1:{c,d}
+    val docs = Seq("a a a b", "b c d").toDF("text")
+    val uni = docs
+      .select(explode(graft.core.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val got = uni.groupBy("c")
+      .agg(count(lit(1)).as("n_types"), min("w").as("example_token"))
+      .select(col("c"), col("n_types"), expr("c * n_types").as("n_tokens"),
+        col("example_token"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2L, "c"), (2L, 1L, 2L, "b"),
+      (3L, 1L, 3L, "a")))
+    assert(got.map(_._3).sum == 7L) // spectrum conserves token mass
+  }
 }

@@ -164,4 +164,30 @@ class JoinsSpec extends SparkSpec {
       "a_start", "a_end", "b_start", "b_end", keys = Seq("k")).columns
     assert(cols.count(_ == "k") == 1)
   }
+
+  test("fuzzyLinkPairs: entity collapse, blocking, threshold, once per pair") {
+    import org.apache.spark.sql.functions.{col, split}
+    val rows = Seq("hot bolt", "hot bolt", "hot bolt", // 3 rows, 1 entity
+      "hot bold",                                      // dist 1 to hot bolt
+      "hot plate",                                     // dist 4 to hot bolt
+      "cold bolt"                                      // other block
+    ).toDF("name")
+    val got = Joins.fuzzyLinkPairs(rows, "name",
+        split(col("entity"), " ").getItem(0), maxDist = 2)
+      .select("entity_1", "entity_2", "dist", "rows_1", "rows_2")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // only (hot bold, hot bolt) survives dist<=2; blocking excludes
+    // cold bolt (dist 1 block apart); each pair appears exactly once
+    assert(got == Set(("hot bold", "hot bolt", 1L, 1L, 3L)))
+    // raising the threshold admits hot plate from the same block
+    val loose = Joins.fuzzyLinkPairs(rows, "name",
+        split(col("entity"), " ").getItem(0), maxDist = 4)
+      .select("entity_1", "entity_2").as[(String, String)].collect().toSet
+    assert(loose == Set(("hot bold", "hot bolt"), ("hot bolt", "hot plate")))
+    // block-size cap drops the whole oversized block
+    val capped = Joins.fuzzyLinkPairs(rows, "name",
+        split(col("entity"), " ").getItem(0), maxDist = 4, maxBlockSize = 2)
+      .count()
+    assert(capped == 0L)
+  }
 }

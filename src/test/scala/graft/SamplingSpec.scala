@@ -99,6 +99,22 @@ class SamplingSpec extends SparkSpec {
     assert(e1.size > 350 && e1.size < 650)
   }
 
+  test("kPerGroup: exact size, deterministic, seed rotates the sample") {
+    val df = (0L until 1000L).map(i => (s"g${i % 4}", i)).toDF("g", "id")
+    val s1 = Sampling.kPerGroup(df, "g", "id", k = 5, seed = 42L)
+      .select("g", "id").as[(String, Long)].collect().toSeq
+    assert(s1.groupBy(_._1).forall(_._2.size == 5) && s1.size == 20)
+    val s2 = Sampling.kPerGroup(df.repartition(9), "g", "id", 5, 42L)
+      .select("g", "id").as[(String, Long)].collect().toSeq
+    assert(s1.toSet == s2.toSet) // pure function of the data
+    val other = Sampling.kPerGroup(df, "g", "id", 5, 43L)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(other != s1.toSet) // a new seed redraws
+    // undersized group: min(k, n) rows
+    val tiny = Seq(("t", 1L), ("t", 2L)).toDF("g", "id")
+    assert(Sampling.kPerGroup(tiny, "g", "id", 5, 42L).count() == 2L)
+  }
+
   test("preferencePairs: best-with-worst, margins, small-group drop") {
     // group a: 8 docs, scores 80..10 -> 2 pairs (80,10), (70,20);
     // group b: 3 docs -> 3 DIV 4 = 0 pairs
