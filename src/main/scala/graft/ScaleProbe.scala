@@ -219,7 +219,9 @@ object ScaleProbe {
       // q159 = entity-level blocked join (distinct names constant
       // under replication); q160 = one hash pass + per-group rank;
       // q161 = two grouped count aggs
-      "q159_fuzzy_linkage", "q160_group_sample", "q161_zipf_spectrum")
+      "q159_fuzzy_linkage", "q160_group_sample", "q161_zipf_spectrum",
+      // q162 = one codegen'd string pass, zero exchanges
+      "q162_nfc_normalize")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

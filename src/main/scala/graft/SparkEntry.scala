@@ -2276,7 +2276,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_types"), min("w").as("example_token"))
         .select(col("c").as("occurrences"), col("n_types"),
           expr("c * n_types").as("n_tokens"), col("example_token"))
-    })
+    }),
+
+    // Unicode NFC normalization (native codegen expression over the
+    // JDK normalizer): the corpus is re-derived in DECOMPOSED form
+    // (every 'e' followed by combining acute U+0301), normalized, and
+    // pinned against the directly-precomposed é text — composition
+    // must shrink each e to one codepoint and land exactly on the
+    // precomposed bytes, per document
+    // (NB Spark's chr() is mod-256 — chr(769) is NOT U+0301 there, so
+    // the combining mark is embedded as a literal on this side)
+    "q162_nfc_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("replace(text, 'e', concat('e', '́'))").as("decomposed"),
+          expr("replace(text, 'e', 'é')").as("precomposed"))
+        .withColumn("nfc", TextAnalysis.nfcNormalize(col("decomposed")))
+        .select(col("doc_id"),
+          length(col("decomposed")).cast("long").as("n_decomposed"),
+          length(col("nfc")).cast("long").as("n_nfc"),
+          (col("nfc") === col("precomposed")).as("nfc_matches_precomposed")))
   )
 
   /** Fixed, library-constant BPE model for the q85 oracle-checkable
@@ -4412,6 +4431,20 @@ object SparkEntry {
         |  CAST(c * count(*) AS BIGINT) AS n_tokens,
         |  min(w) AS example_token
         |FROM uni GROUP BY 1""".stripMargin,
+
+    // q162: DuckDB's nfc_normalize implements the same Unicode
+    // canonical composition; lengths are codepoints on both engines
+    "q162_nfc_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    replace(text, 'e', 'e' || chr(769)) AS decomposed,
+        |    replace(text, 'e', chr(233)) AS precomposed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(decomposed) AS BIGINT) AS n_decomposed,
+        |  CAST(length(nfc_normalize(decomposed)) AS BIGINT) AS n_nfc,
+        |  nfc_normalize(decomposed) = precomposed AS nfc_matches_precomposed
+        |FROM d""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

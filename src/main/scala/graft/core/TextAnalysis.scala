@@ -30,6 +30,19 @@ object TextAnalysis {
     org.apache.spark.sql.GraftShim.column(
       graft.expressions.RollingHash(org.apache.spark.sql.GraftShim.expression(s)))
 
+  /** Unicode NFC normalization (canonical composition) — the ingest
+    * hygiene step that makes precomposed and decomposed spellings of
+    * the same text identical BEFORE any hash, dedup key or equality
+    * join sees them. Native codegen expression
+    * ([[graft.expressions.NfcNormalize]]) over the JDK normalizer —
+    * the same Unicode-standard algorithm as DuckDB's `nfc_normalize`,
+    * which is what lets the gate oracle the transform exactly.
+    */
+  def nfcNormalize(s: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.GraftShim.expression(s)))
+
   /** Higher-order-function formulation of [[rollingHash]] — identical
     * semantics, interpreted execution (ArrayAggregate is
     * CodegenFallback). Used in tests to pin the native expression.
