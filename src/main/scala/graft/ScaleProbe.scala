@@ -221,7 +221,11 @@ object ScaleProbe {
       // q161 = two grouped count aggs
       "q159_fuzzy_linkage", "q160_group_sample", "q161_zipf_spectrum",
       // q162 = one codegen'd string pass, zero exchanges
-      "q162_nfc_normalize")
+      "q162_nfc_normalize",
+      // q163 = bounded-vocab rank; q164 = per-type rank exchange;
+      // q165 = daily agg + row-local folds over day-bounded series
+      "q163_vocab_coverage", "q164_winsorized_stats",
+      "q165_autocorrelation")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

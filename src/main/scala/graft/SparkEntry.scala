@@ -2295,7 +2295,61 @@ object SparkEntry {
         .select(col("doc_id"),
           length(col("decomposed")).cast("long").as("n_decomposed"),
           length(col("nfc")).cast("long").as("n_nfc"),
-          (col("nfc") === col("precomposed")).as("nfc_matches_precomposed")))
+          (col("nfc") === col("precomposed")).as("nfc_matches_precomposed"))),
+
+    // vocabulary coverage curve: types ranked by frequency, exact
+    // cumulative token-mass share per rank — the table a tokenizer's
+    // vocab size is chosen from ("how many types cover 99%?");
+    // the rank window runs over the bounded vocabulary
+    "q163_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val uni = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val wRank = Window.orderBy(desc("c"), asc("w"))
+      val wCum = wRank.rowsBetween(Window.unboundedPreceding, 0)
+      uni.withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("cum", sum("c").over(wCum))
+        .crossJoin(broadcast(uni.agg(sum("c").as("total"))))
+        .select(col("rank"), col("w").as("token"), col("c"), col("cum"),
+          expr("cum * 1000000 DIV total").as("cum_share_micro"))
+    }),
+
+    // robust (trimmed + winsorized) per-type statistics: exact ranks
+    // drop/clamp 5% per tail — integer-exact complements of the
+    // mean/σ aggregates, q142's shared-exchange rank machinery
+    "q164_winsorized_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wR = Window.partitionBy("event_type").orderBy("v", "event_id")
+      val wN = Window.partitionBy("event_type")
+      val ranked = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(floor(value * 1000000.0) AS BIGINT)").as("v"))
+        .withColumn("r", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("t", expr("n DIV 20"))
+      ranked.groupBy("event_type").agg(
+        max("n").as("n"),
+        max("t").as("n_tail"),
+        max(when(col("r") === col("t") + 1, col("v"))).as("lo_micro"),
+        max(when(col("r") === col("n") - col("t"), col("v"))).as("hi_micro"),
+        sum(when(col("r") > col("t") && col("r") <= col("n") - col("t"),
+          col("v")).otherwise(0L)).as("sum_trimmed_micro"))
+        .withColumn("sum_winsor_micro",
+          expr("sum_trimmed_micro + n_tail * (lo_micro + hi_micro)"))
+    }),
+
+    // lag-k autocorrelation of the per-type daily series (the weekly
+    // cycle shows at lag 7): float by definition, but every sum is a
+    // row-local LEFT FOLD in series order, so the IEEE arithmetic
+    // replays operation-for-operation in the oracle
+    "q165_autocorrelation" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+          .cast("double").as("x"))
+      TimeSeries.acf(daily, "event_type", "d", "x", maxLag = 7)
+    })
   )
 
   /** Fixed, library-constant BPE model for the q85 oracle-checkable
@@ -4445,6 +4499,88 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(decomposed)) AS BIGINT) AS n_nfc,
         |  nfc_normalize(decomposed) = precomposed AS nfc_matches_precomposed
         |FROM d""".stripMargin,
+
+    // q163: same (c DESC, w) rank, same running sum, same integer
+    // share
+    "q163_vocab_coverage" ->
+      """WITH uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM uni),
+        |r AS (
+        |  SELECT w AS token, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM uni)
+        |SELECT rank, token, c, cum,
+        |  CAST(cum * 1000000 // t.total AS BIGINT) AS cum_share_micro
+        |FROM r CROSS JOIN tot t""".stripMargin,
+
+    // q164: identical exact ranks, tail boundaries and clamped sums
+    "q164_winsorized_stats" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM v),
+        |t AS (SELECT event_type, v, r, n, n // 20 AS t FROM r)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(t) AS BIGINT) AS n_tail,
+        |  CAST(max(CASE WHEN r = t + 1 THEN v END) AS BIGINT) AS lo_micro,
+        |  CAST(max(CASE WHEN r = n - t THEN v END) AS BIGINT) AS hi_micro,
+        |  CAST(sum(CASE WHEN r > t AND r <= n - t THEN v ELSE 0 END)
+        |    AS BIGINT) AS sum_trimmed_micro,
+        |  CAST(sum(CASE WHEN r > t AND r <= n - t THEN v ELSE 0 END)
+        |    + max(t) * (max(CASE WHEN r = t + 1 THEN v END)
+        |                + max(CASE WHEN r = n - t THEN v END))
+        |    AS BIGINT) AS sum_winsor_micro
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // q165: every float sum replayed as the same ordered left fold
+    // (list built in series order, seed-prepended reduce) — identical
+    // operands, identical IEEE rounding, division and round(_, 6)
+    // only at the end
+    "q165_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(x ORDER BY d) AS xs,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM daily GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, xs, n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), xs),
+        |      (a, b) -> a + b) / CAST(n AS DOUBLE) AS m
+        |  FROM ser),
+        |st2 AS (
+        |  SELECT event_type, xs, n, m,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [(v - m) * (v - m) for v in xs]), (a, b) -> a + b) AS den
+        |  FROM st),
+        |lags AS (
+        |  SELECT s.event_type, s.xs, s.n, s.m, s.den, l.lag
+        |  FROM st2 s, (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |  WHERE s.n > l.lag AND s.den <> 0),
+        |sc AS (
+        |  SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_obs,
+        |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        [(xs[i + 1] - m) * (xs[i + 1 + lag] - m)
+        |         for i in generate_series(0, CAST(n AS INT) - 1 - lag)]),
+        |      (a, b) -> a + b) / den, 6) AS acf
+        |  FROM lags)
+        |SELECT event_type, lag, n_obs, acf FROM sc""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

@@ -273,6 +273,49 @@ object TimeSeries {
     *
     * Output: (keyCol, ordCol, xCol, ewma) — the full smoothed series.
     */
+  /** Lag-k autocorrelation of per-key ordered series — the
+    * seasonality detector (a weekly cycle shows as a lag-7 peak).
+    * Definitionally float, but still exactly cross-engine replayable
+    * because every sum is a LEFT FOLD over the key's series in
+    * series order, computed row-locally after the series collapses
+    * to one row (the [[ewma]] shape): same operands, same order,
+    * same IEEE rounding on any engine — no distributed float
+    * reduction anywhere. Per-key state is the series length
+    * (days, not events).
+    *
+    *   acf(k) = Σᵢ (x_i − m)(x_{i+k} − m) / Σᵢ (x_i − m)²
+    *
+    * Output: (keyCol, lag, n_obs, acf) for lag = 1..maxLag, rounded
+    * at the final projection.
+    */
+  def acf(daily: DataFrame, keyCol: String, ordCol: String, xCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val series = daily
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(
+        struct(col(ordCol).as("o"), col(xCol).cast("double").as("x"))))
+        .as("os"))
+      .withColumn("xs", expr("transform(os, e -> e.x)"))
+      .withColumn("n", size(col("xs")).cast("long"))
+      .withColumn("m",
+        expr("aggregate(xs, 0D, (a, v) -> a + v) / CAST(n AS DOUBLE)"))
+      .withColumn("den",
+        expr("aggregate(xs, 0D, (a, v) -> a + (v - m) * (v - m))"))
+    series
+      .select(col(keyCol), col("n").as("n_obs"), col("m"), col("den"),
+        col("xs"), explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .filter(col("n_obs") > col("lag") && col("den") =!= 0.0)
+      .withColumn("num", expr(
+        """aggregate(sequence(0, CAST(n_obs AS INT) - 1 - CAST(lag AS INT)),
+          |  0D,
+          |  (a, i) -> a + (element_at(xs, i + 1) - m)
+          |              * (element_at(xs, i + 1 + CAST(lag AS INT)) - m))"""
+          .stripMargin))
+      .select(col(keyCol), col("lag").cast("long").as("lag"), col("n_obs"),
+        round(col("num") / col("den"), 6).as("acf"))
+  }
+
   def ewma(daily: DataFrame, keyCol: String, ordCol: String, xCol: String,
            num: Int, den: Int): DataFrame = {
     require(num >= 1 && den > num, s"need 1 <= num < den, got $num/$den")

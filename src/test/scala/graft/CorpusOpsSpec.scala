@@ -596,4 +596,23 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, 3L, "a")))
     assert(got.map(_._3).sum == 7L) // spectrum conserves token mass
   }
+
+  test("vocab coverage: rank order, running mass, closes at 1e6") {
+    import org.apache.spark.sql.expressions.Window
+    // a a a b b c -> ranks a(3), b(2), c(1); cum 3,5,6 of 6
+    val docs = Seq("a a a b", "b c").toDF("text")
+    val uni = docs
+      .select(explode(graft.core.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val wRank = Window.orderBy(desc("c"), asc("w"))
+    val got = uni.withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum",
+        sum("c").over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(uni.agg(sum("c").as("total"))))
+      .select(col("rank"), col("w"), col("cum"),
+        expr("cum * 1000000 DIV total").as("share"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 3L, 500000L), (2L, "b", 5L, 833333L),
+      (3L, "c", 6L, 1000000L)))
+  }
 }

@@ -372,4 +372,45 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(repart == got)
   }
+
+  test("acf: alternating series hand values, constant series drops out") {
+    // xs = [1,-1,1,-1]: m=0, den=4; lag1 = -3/4, lag2 = 2/4,
+    // lag3 = -1/4; 'flat' has den 0 -> no rows
+    val df = Seq(("alt", 1L, 1.0), ("alt", 2L, -1.0), ("alt", 3L, 1.0),
+      ("alt", 4L, -1.0), ("flat", 1L, 5.0), ("flat", 2L, 5.0))
+      .toDF("k", "o", "x")
+    val got = TimeSeries.acf(df, "k", "o", "x", maxLag = 3)
+      .select("k", "lag", "n_obs", "acf")
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(got == Seq(("alt", 1L, 4L, -0.75), ("alt", 2L, 4L, 0.5),
+      ("alt", 3L, 4L, -0.25)))
+    val repart = TimeSeries.acf(df.repartition(5), "k", "o", "x", 3)
+      .select("k", "lag", "n_obs", "acf")
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(repart == got)
+  }
+
+  test("winsorized stats: boundaries, trimmed and clamped sums (n=20, t=1)") {
+    // values 0..19 in one group: lo = rank-2 value 1, hi = rank-19
+    // value 18; trimmed sum = 1+...+18 = 171; winsor = 171 + 1*(1+18)
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v", "id")
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val ranked = (0L until 20L).map(i => ("a", i, i)).toDF("g", "id", "v")
+      .withColumn("r", row_number().over(wR).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("t", expr("n DIV 20"))
+    val got = ranked.groupBy("g").agg(
+        max("n").as("n"), max("t").as("n_tail"),
+        max(when(col("r") === col("t") + 1, col("v"))).as("lo"),
+        max(when(col("r") === col("n") - col("t"), col("v"))).as("hi"),
+        sum(when(col("r") > col("t") && col("r") <= col("n") - col("t"),
+          col("v")).otherwise(0L)).as("trimmed"))
+      .withColumn("winsor", expr("trimmed + n_tail * (lo + hi)"))
+      .select("n", "n_tail", "lo", "hi", "trimmed", "winsor")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((20L, 1L, 1L, 18L, 171L, 190L)))
+  }
 }
