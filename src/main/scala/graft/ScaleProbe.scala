@@ -225,7 +225,12 @@ object ScaleProbe {
       // q163 = bounded-vocab rank; q164 = per-type rank exchange;
       // q165 = daily agg + row-local folds over day-bounded series
       "q163_vocab_coverage", "q164_winsorized_stats",
-      "q165_autocorrelation")
+      "q165_autocorrelation",
+      // q166 = encode+decode mapPartitions passes (word types constant
+      // under replication); q167 = the q19 inverted-index family
+      // (quadratic-by-design on the replicated corpus, maxDf = the
+      // linear path); q168 = hash-keyed distinct + self-join
+      "q166_bpe_decode", "q167_containment", "q168_cross_source_dups")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

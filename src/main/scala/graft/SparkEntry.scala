@@ -2349,6 +2349,52 @@ object SparkEntry {
         .agg(sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
           .cast("double").as("x"))
       TimeSeries.acf(daily, "event_type", "d", "x", maxLag = 7)
+    }),
+
+    // BPE id-stream decode roundtrip: encode under the fixed model,
+    // invert the in-engine vocab numbering, decode the flat id stream
+    // back (EndOfWord markers carry the word boundaries — no sidecar)
+    // and pin decoded == whitespace-normalized original per doc
+    "q166_bpe_decode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocabIds = Bpe.vocabFromCounts(
+          Bpe.wordCounts(docs, "text"), FixedBpeModel)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val enc = Bpe.encodeIds(docs, "doc_id", "text", FixedBpeModel, vocabIds)
+      Bpe.decodeIds(enc, "doc_id", "piece_ids", vocabIds)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("n_pieces"),
+          size(filter(col("piece_ids"), i => i === -1L)).cast("long")
+            .as("n_unk"),
+          col("decoded"),
+          (col("decoded") ===
+            regexp_replace(trim(col("text")), "\\s+", " "))
+            .as("roundtrip_ok"))
+    }),
+
+    // shingle containment — the ASYMMETRIC near-dup measure (quote /
+    // sub-document copy detection): |A∩B| DIV |A| per direction,
+    // exact integers, same inverted-index candidate machinery as q19
+    "q167_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, thresholdMicro = 500000L)),
+
+    // cross-source shared-boilerplate matrix (the dataset-card
+    // leakage grid): per source pair, how many distinct 8-token
+    // document OPENINGS appear in both — the shared-header/template
+    // signal exact-text dedup misses; shuffles carry md5 hashes,
+    // never text
+    "q168_cross_source_dups" -> ((s, dir) => {
+      val hs = Tables.documents(s, dir)
+        .select(md5(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 8))).as("h"),
+          col("source"))
+        .distinct()
+      hs.as("a").join(hs.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_1"),
+          col("b.source").as("source_2"))
+        .agg(count(lit(1)).as("n_shared_openings"))
     })
   )
 
@@ -4581,6 +4627,65 @@ object SparkEntry {
         |      (a, b) -> a + b) / den, 6) AS acf
         |  FROM lags)
         |SELECT event_type, lag, n_obs, acf FROM sc""".stripMargin,
+
+    // q166: decode derived from q85's per-word encode replay — strip
+    // the piece/word separators, turn EndOfWord markers into spaces,
+    // and the roundtrip must land on the normalized original text
+    "q166_bpe_decode" ->
+      s"""SELECT t.doc_id, t.n_pieces, CAST(0 AS BIGINT) AS n_unk,
+         |  trim(replace(replace(t.encoded, ' ', ''), '</w>', ' '))
+         |    AS decoded,
+         |  trim(replace(replace(t.encoded, ' ', ''), '</w>', ' ')) =
+         |    regexp_replace(trim(d.text), '\\s+', ' ', 'g') AS roundtrip_ok
+         |FROM (
+         |$q85OracleSql
+         |) t JOIN documents d USING (doc_id)""".stripMargin,
+
+    // q167: q19's exact shingle-set self-join with the integer
+    // containment scores instead of Jaccard
+    "q167_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+        |           FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT p.doc_a, p.doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |    p.n_common,
+        |    CAST(p.n_common * 1000000 // ca.n_sh AS BIGINT)
+        |      AS contain_a_micro,
+        |    CAST(p.n_common * 1000000 // cb.n_sh AS BIGINT)
+        |      AS contain_b_micro
+        |  FROM pairs p
+        |  JOIN counts ca ON p.doc_a = ca.doc_id
+        |  JOIN counts cb ON p.doc_b = cb.doc_id)
+        |SELECT doc_a, doc_b, n_a, n_b, n_common, contain_a_micro,
+        |  contain_b_micro
+        |FROM scored
+        |WHERE greatest(contain_a_micro, contain_b_micro) >= 500000""".stripMargin,
+
+    // q168: identical md5-keyed opening spans (1-based inclusive
+    // clamping slice on both engines — the q126 convention)
+    "q168_cross_source_dups" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT md5(array_to_string(
+        |    regexp_split_to_array(trim(text), '\s+')[1:8], ' ')) AS h,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS source_1, b.source AS source_2,
+        |  CAST(count(*) AS BIGINT) AS n_shared_openings
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

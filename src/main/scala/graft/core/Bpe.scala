@@ -317,4 +317,26 @@ object Bpe {
         }
       }.toDF(idCol, "piece_ids", "n_pieces")
   }
+
+  /** Decode a flat piece-id stream back to text — the roundtrip
+    * closing [[encodeIds]] (a dataloader stores ids; inspection,
+    * eval-set reconstruction and leakage audits need the text back).
+    * Word boundaries need no sidecar: every word's final piece ends
+    * with [[EndOfWord]], so decode = map ids through the inverted
+    * vocab, concatenate, turn each marker into a space, trim. Unknown
+    * ids (-1 from encode) surface as U+FFFD so loss is visible, never
+    * silent. Stateless map over the rows; the inverted vocab rides
+    * the plan as a map literal (bounded model state).
+    */
+  def decodeIds(df: DataFrame, idCol: String, idsCol: String,
+                vocabIds: Map[String, Long]): DataFrame = {
+    val inv: Map[Long, String] = vocabIds.map(_.swap)
+    require(inv.size == vocabIds.size, "vocab ids must be unique")
+    val m = typedLit(inv)
+    val pieces = transform(col(idsCol),
+      i => coalesce(element_at(m, i), lit("�")))
+    // EndOfWord has no regex metacharacters, so the pattern is literal
+    df.withColumn("decoded",
+      trim(regexp_replace(concat_ws("", pieces), EndOfWord, " ")))
+  }
 }

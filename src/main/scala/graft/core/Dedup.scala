@@ -110,6 +110,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Shingle CONTAINMENT pairs — the asymmetric near-dup measure
+    * Jaccard misses: |A∩B| / |A| is high when A is quoted or embedded
+    * inside a much larger B even though their Jaccard is low (the
+    * quote-detection / sub-document-copy case from the dedup
+    * literature, e.g. Broder's resemblance-vs-containment split).
+    * Same inverted-index + PairCombinations candidate machinery as
+    * [[ngramJaccardPairs]] (one exchange on shingle, one on the pair
+    * key, `maxDf` = the linear scale path), but the scores are exact
+    * integers: n_common·1e6 DIV n_side, both directions, keep pairs
+    * whose max direction clears the threshold.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, thresholdMicro: Long = 800000L,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val byShingle = inv.groupBy("shingle")
+      .agg(collect_list(struct(col("doc"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+      .select(array_sort(col("ds")).as("ds"))
+    val combos = byShingle.select(
+      org.apache.spark.sql.GraftShim.column(
+        graft.expressions.PairCombinations(
+          org.apache.spark.sql.GraftShim.expression(col("ds"))))
+        .as(Seq("doc_a", "n_a", "doc_b", "n_b")))
+    combos
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("contain_a_micro", expr("n_common * 1000000 DIV n_a"))
+      .withColumn("contain_b_micro", expr("n_common * 1000000 DIV n_b"))
+      .filter(greatest(col("contain_a_micro"), col("contain_b_micro"))
+        >= thresholdMicro)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        col("n_common"), col("contain_a_micro"), col("contain_b_micro"))
+  }
+
   /** Affine mixing constants for the k MinHash "permutations"
     * (h_i = (A_i·h + B_i) mod P over an md5-derived base hash). Fixed
     * and engine-portable — an external oracle reproduces them exactly.

@@ -147,6 +147,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("decodeIds: roundtrip on real text, unknowns surface visibly") {
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val m40 = Bpe.train(d, "text", 40)
+    val v40 = Bpe.vocab(d, "text", m40).as[(String, Long)].collect().toMap
+    val enc = Bpe.encodeIds(d, "doc_id", "text", m40, v40)
+    val bad = Bpe.decodeIds(enc, "doc_id", "piece_ids", v40)
+      .join(d.select($"doc_id", $"text"), "doc_id")
+      .filter($"decoded" =!= regexp_replace(trim($"text"), "\\s+", " "))
+      .count()
+    assert(bad == 0L, "decode(encode(text)) == normalized text, every doc")
+    // an id outside the vocab decodes to the visible replacement char
+    val rogue = Seq((1L, Seq(-1L))).toDF("doc_id", "piece_ids")
+    val got = Bpe.decodeIds(rogue, "doc_id", "piece_ids", v40)
+      .select("decoded").as[String].head()
+    assert(got == "�")
+  }
+
   test("distributed merge loop matches the driver loop exactly") {
     val d = spark.read.parquet(s"$Sf0001/documents.parquet")
     val driver = Bpe.train(d, "text", numMerges = 20)

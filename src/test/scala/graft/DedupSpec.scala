@@ -260,4 +260,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(w7 == w)
   }
+
+  test("containmentPairs: quote detection where Jaccard stays low") {
+    // doc 2 = doc 1 (4 tokens) embedded in 12 extra tokens: A's
+    // shingles all appear in B -> containment(A in B) = 1e6, while
+    // Jaccard is small; doc 3 shares nothing
+    val small = "alpha beta gamma delta"
+    val big = small + " eins zwei drei vier funf sechs sieben acht " +
+      "neun zehn elf zwolf"
+    val docs = Seq((1L, small), (2L, big), (3L, "x y z w v u t s r q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        thresholdMicro = 900000L)
+      .select("doc_a", "doc_b", "n_a", "n_common", "contain_a_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 2L, 1000000L)))
+    // the same pair fails a symmetric-Jaccard gate at 0.5
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).count()
+    assert(jac == 0L)
+    // threshold respected: disjoint docs never pair
+    assert(got.forall(r => r._1 != 3L && r._2 != 3L))
+  }
 }
