@@ -230,7 +230,10 @@ object ScaleProbe {
       // under replication); q167 = the q19 inverted-index family
       // (quadratic-by-design on the replicated corpus, maxDf = the
       // linear path); q168 = hash-keyed distinct + self-join
-      "q166_bpe_decode", "q167_containment", "q168_cross_source_dups")
+      "q166_bpe_decode", "q167_containment", "q168_cross_source_dups",
+      // q169 = fixed 200-query panel x linear corpus scan;
+      // q170 = per-source min-agg + source-bounded signature cross
+      "q169_knn_label_eval", "q170_source_minhash")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -2395,6 +2395,59 @@ object SparkEntry {
         .groupBy(col("a.source").as("source_1"),
           col("b.source").as("source_2"))
         .agg(count(lit(1)).as("n_shared_openings"))
+    }),
+
+    // kNN leave-one-out label eval: each panel vector classified by
+    // the majority label of its 5 exact cosine neighbors (vote DESC,
+    // label ASC tie-break), accuracy per gold label — the
+    // embedding-quality number an ANN index build ships with; fixed
+    // query panel so cost grows linearly with the corpus (IVF is the
+    // serving path)
+    "q169_knn_label_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val nn = Similarity.cosineTopK(emb.filter(col("vec_id") < 200), emb,
+        k = 5)
+      val labels = emb.select(col("vec_id"), col("label").cast("long")
+        .as("lbl"))
+      val wv = Window.partitionBy("query_id")
+        .orderBy(desc("votes"), asc("n_label"))
+      val pred = nn
+        .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("lbl").as("n_label")), "neighbor_id")
+        .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+        .withColumn("r", row_number().over(wv)).filter(col("r") === 1)
+        .select(col("query_id"), col("n_label").as("pred"))
+      pred
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("lbl").as("gold")), "query_id")
+        .groupBy(col("gold"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("gold"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("gold").as("label"), col("n"), col("n_correct"),
+          expr("n_correct * 1000000 DIV n").as("acc_micro"))
+    }),
+
+    // per-source MinHash signatures + pairwise estimated Jaccard —
+    // the source-overlap matrix at sketch cost: each source collapses
+    // to k=8 longs (one grouped min-agg over its shingle hashes), the
+    // matrix is a cross of the source-bounded signature table
+    "q170_source_minhash" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(
+        Tables.documents(s, dir).select(col("source"), col("text")),
+        "source", "text", k = 8)
+      val sigArr = array((0 until 8).map(i => col(s"mh_$i")): _*)
+      val a = sigs.select(col("doc").as("source_1"), sigArr.as("sig_1"))
+      val b = sigs.select(col("doc").as("source_2"), sigArr.as("sig_2"))
+      a.crossJoin(b).filter(col("source_1") < col("source_2"))
+        .withColumn("n_match", expr(
+          """aggregate(sequence(0, 7), 0L, (acc, i) ->
+            |  acc + CASE WHEN element_at(sig_1, i + 1)
+            |                 = element_at(sig_2, i + 1)
+            |             THEN 1L ELSE 0L END)""".stripMargin))
+        .select(col("source_1"), col("source_2"), col("n_match"),
+          expr("n_match * 1000000 DIV 8").as("est_jaccard_micro"))
     })
   )
 
@@ -4686,6 +4739,101 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_shared_openings
         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    // q169: q25's exact cosine chain on the fixed panel, then the
+    // same vote/majority/accuracy arithmetic
+    "q169_knn_label_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [q.v[i+1] * c.v[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [q.v[i+1] * q.v[i+1] for i in generate_series(0, len(q.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [c.v[i+1] * c.v[i+1] for i in generate_series(0, len(c.v)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 200 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT r.query_id, e2.lbl AS n_label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked r JOIN e e2 ON r.neighbor_id = e2.vec_id
+        |  WHERE r.rank <= 5 GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT query_id, n_label AS pred FROM (
+        |    SELECT query_id, n_label,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, n_label ASC) AS rr
+        |    FROM votes) WHERE rr = 1)
+        |SELECT eq.lbl AS label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN p.pred = eq.lbl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN p.pred = eq.lbl THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS acc_micro
+        |FROM pred p JOIN e eq ON p.query_id = eq.vec_id
+        |GROUP BY 1""".stripMargin,
+
+    // q170: q20's shingle-hash + affine minhash chain grouped by
+    // SOURCE, then component-match counting per source pair
+    "q170_source_minhash" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT source, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |hashed AS (
+        |  SELECT source,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(shingle, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT source,
+        |    min((h*1299721 + 15485863) % 1000000007) AS mh_0,
+        |    min((h*1299743 + 15485867) % 1000000007) AS mh_1,
+        |    min((h*1299763 + 15485917) % 1000000007) AS mh_2,
+        |    min((h*1299791 + 15485927) % 1000000007) AS mh_3,
+        |    min((h*1299811 + 15485933) % 1000000007) AS mh_4,
+        |    min((h*1299817 + 15485941) % 1000000007) AS mh_5,
+        |    min((h*1299821 + 15485959) % 1000000007) AS mh_6,
+        |    min((h*1299827 + 15485989) % 1000000007) AS mh_7
+        |  FROM hashed GROUP BY 1)
+        |SELECT a.source AS source_1, b.source AS source_2,
+        |  CAST((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_match,
+        |  CAST(((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END)) * 1000000
+        |    // 8 AS BIGINT) AS est_jaccard_micro
+        |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin,
 
     // q117: the maintained rollup must equal the one-shot aggregate
     // over raw events — per-row floor(value*1e6) BIGINTs, order-free.

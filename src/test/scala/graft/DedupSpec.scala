@@ -282,4 +282,20 @@ class DedupSpec extends SparkSpec {
     // threshold respected: disjoint docs never pair
     assert(got.forall(r => r._1 != 3L && r._2 != 3L))
   }
+
+  test("source-level minhash: identical sources match on every component") {
+    // s1 and s2 carry the same text set; s3 is disjoint
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta epsilon"),
+      ("s1", "one two three four five"),
+      ("s2", "alpha beta gamma delta epsilon"),
+      ("s2", "one two three four five"),
+      ("s3", "completely different words entirely here"))
+      .toDF("source", "text")
+    val sigs = Dedup.minhashSignatures(docs, "source", "text", k = 8)
+    val m = sigs.collect().map(r => r.getString(0) ->
+      (1 to 8).map(r.getLong)).toMap
+    assert(m("s1") == m("s2"), "same shingle set, same signature")
+    assert(m("s1") != m("s3"))
+  }
 }

@@ -375,4 +375,37 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got == expect)
   }
+
+  test("kNN-LOO majority vote: clean clusters score 1.0, planted mislabel caught") {
+    import org.apache.spark.sql.expressions.Window
+    // cluster A along e1 (labels 0), cluster B along e2 (labels 1),
+    // vec 99 sits in A but is labeled 1 -> its majority vote is 0
+    def v(axis: Int, jitter: Double): Seq[Float] =
+      (0 until 4).map(d => (if (d == axis) 1.0 + jitter else jitter).toFloat)
+    val rows =
+      (0L until 6L).map(i => (i, v(0, 0.01 * i), 0)) ++
+      (10L until 16L).map(i => (i, v(1, 0.01 * (i - 10)), 1)) ++
+      Seq((99L, v(0, 0.03), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val nn = Similarity.cosineTopK(emb, emb, k = 5)
+    val labels = emb.select($"vec_id", $"label".cast("long").as("lbl"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(desc("votes"), asc("n_label"))
+    val pred = nn
+      .join(labels.select($"vec_id".as("neighbor_id"), $"lbl".as("n_label")),
+        "neighbor_id")
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+      .withColumn("r", row_number().over(wv)).filter($"r" === 1)
+      .select($"query_id", $"n_label".as("pred"))
+    val acc = pred
+      .join(labels.select($"vec_id".as("query_id"), $"lbl".as("gold")),
+        "query_id")
+      .groupBy($"gold")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred" === $"gold", 1L).otherwise(0L)).as("n_correct"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (g, n, c) => g -> ((n, c)) }.toMap
+    assert(acc(0L) == ((6L, 6L)))  // all of A classified A
+    assert(acc(1L) == ((7L, 6L)))  // the planted mislabel is the one miss
+  }
 }
