@@ -233,7 +233,11 @@ object ScaleProbe {
       "q166_bpe_decode", "q167_containment", "q168_cross_source_dups",
       // q169 = fixed 200-query panel x linear corpus scan;
       // q170 = per-source min-agg + source-bounded signature cross
-      "q169_knn_label_eval", "q170_source_minhash")
+      "q169_knn_label_eval", "q170_source_minhash",
+      // q171 = all-pairs 5-NN graph (quadratic-by-design brute force,
+      // the q39 family; IVF kNN-construction is the linear path) +
+      // two linear vote rounds
+      "q171_label_propagation")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

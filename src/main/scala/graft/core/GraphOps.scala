@@ -52,6 +52,55 @@ object GraphOps {
     ranks
   }
 
+  /** Semi-supervised label propagation over a directed neighbor list
+    * (Zhu & Ghahramani's LP in its majority-vote form): seeds keep
+    * their labels forever; every other vertex takes, per iteration,
+    * the majority label of its neighbors' CURRENT labels (vote count
+    * desc, label asc — deterministic), keeping its previous value
+    * when no neighbor is labeled yet. The auto-labeling workhorse:
+    * a small labeled set + a kNN graph labels the rest of a corpus.
+    *
+    * Edge rows are (vCol, uCol) = "u is a neighbor of v" (u's label
+    * votes for v). Each iteration is one equi-join + one grouped
+    * count + a per-vertex rank window — linear in |E|, no state
+    * beyond the (vertex, label) table; `iters` is fixed and small
+    * (labels stop moving once the graph is covered).
+    *
+    * Output: (v, lbl nullable, is_seed) for every vertex appearing
+    * on either edge side (u-side-only vertices must be in the label
+    * table too — their labels are what votes).
+    */
+  def labelPropagate(edges: DataFrame, vCol: String, uCol: String,
+                     seeds: DataFrame, seedV: String, seedLabel: String,
+                     iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(vCol).as("v"), col(uCol).as("u"))
+    val seedTbl = seeds
+      .select(col(seedV).as("v"), col(seedLabel).as("seed_lbl"))
+    val verts = e.select("v")
+      .union(e.select(col("u").as("v"))).distinct()
+      .join(seedTbl, Seq("v"), "left")
+      .withColumn("is_seed", col("seed_lbl").isNotNull)
+    var labels = verts.withColumn("lbl", col("seed_lbl"))
+      .select("v", "lbl", "is_seed")
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.select(col("v").as("u"), col("lbl").as("u_lbl")), "u")
+        .filter(col("u_lbl").isNotNull)
+        .groupBy("v", "u_lbl").agg(count(lit(1)).as("votes"))
+      val win = Window.partitionBy("v").orderBy(desc("votes"), asc("u_lbl"))
+      val prop = votes.withColumn("r", row_number().over(win))
+        .filter(col("r") === 1)
+        .select(col("v"), col("u_lbl").as("prop"))
+      labels = labels.join(prop, Seq("v"), "left")
+        .withColumn("lbl", when(col("is_seed"), col("lbl"))
+          .otherwise(coalesce(col("prop"), col("lbl"))))
+        .select("v", "lbl", "is_seed")
+    }
+    labels
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
     * adjacent-token co-occurrence edges, symmetrized, ranked by
     * [[pageRank]]; top-k tokens by (score desc, token asc). The

@@ -51,6 +51,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("labelPropagate: chain depth, tie to smallest label, seed immunity") {
+    // b's neighbors are seeds 1 and 2 -> tie -> label 1;
+    // chain a(7) <- b2 <- c2 needs TWO rounds to reach c2;
+    // seed s keeps its label against contradicting neighbors
+    val edges = Seq(
+      ("b", "a1"), ("b", "a2"),          // tie case
+      ("b2", "a7"), ("c2", "b2"),        // 2-hop chain
+      ("s", "a1"), ("s", "a2")           // seed under pressure
+    ).toDF("v", "u")
+    val seeds = Seq(("a1", 1L), ("a2", 2L), ("a7", 7L), ("s", 9L))
+      .toDF("sv", "sl")
+    def run(iters: Int) =
+      GraphOps.labelPropagate(edges, "v", "u", seeds, "sv", "sl", iters)
+        .select("v", "lbl").as[(String, Option[Long])].collect().toMap
+    val one = run(1)
+    assert(one("b").contains(1L))   // tie -> smallest label
+    assert(one("b2").contains(7L))
+    assert(one("c2").isEmpty)       // b2 was unlabeled when c2 voted
+    assert(one("s").contains(9L))   // seed never moves
+    val two = run(2)
+    assert(two("c2").contains(7L))  // second round reaches the chain end
+    assert(two("s").contains(9L))
+  }
+
   test("textrankKeywords: connectives outrank leaves; ties break lexically") {
     // the/sat each touch {cat,dog,cow}; the graph is symmetric under
     // the<->sat and cat<->dog<->cow, so ranks 1-2 are the tied
