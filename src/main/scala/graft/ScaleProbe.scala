@@ -234,10 +234,14 @@ object ScaleProbe {
       // q169 = fixed 200-query panel x linear corpus scan;
       // q170 = per-source min-agg + source-bounded signature cross
       "q169_knn_label_eval", "q170_source_minhash",
-      // q171 = all-pairs 5-NN graph (quadratic-by-design brute force,
-      // the q39 family; IVF kNN-construction is the linear path) +
+      // q171 = IVF kNN graph (bucket-bounded candidates, linear) +
       // two linear vote rounds
-      "q171_label_propagation")
+      "q171_label_propagation",
+      // q172/q173 ride the q19 jaccard-pair chain (quadratic on the
+      // replicated corpus by design — q19's recorded family shape);
+      // q174 = one two-phase offsets pass + per-L arithmetic
+      "q172_split_leakage", "q173_dup_cluster_histogram",
+      "q174_packing_sweep")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -2477,6 +2477,65 @@ object SparkEntry {
           col("v") === col("vec_id"))
         .select(col("vec_id"), col("lbl").as("label_prop"), col("is_seed"),
           col("gold"), (col("lbl") === col("gold")).as("correct"))
+    }),
+
+    // split-leakage audit: near-dup pairs must not straddle
+    // train/val/test — the check every hash split ships with (a
+    // near-dup of a training doc inside test inflates eval); counts
+    // per canonical split pair, leak rows flagged
+    "q172_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      val split = Sampling.hashSplit(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .groupBy(least(col("split_a"), col("split_b")).as("split_1"),
+          greatest(col("split_a"), col("split_b")).as("split_2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leaking", col("split_1") =!= col("split_2"))
+    }),
+
+    // near-dup cluster size histogram — the dedup stats card: how
+    // much of the corpus sits in clusters of which size (the number
+    // that justifies hard dedup vs soft reweighting)
+    "q173_dup_cluster_histogram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2)
+      Dedup.resolveSurvivors(docs, "doc_id", pairs)
+        .groupBy(col("survivor_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          expr("cluster_size * n_clusters").as("n_docs"))
+    }),
+
+    // packing-parameter sweep: for candidate sequence lengths, the
+    // numbers that pick one — sequence count, boundary-split document
+    // count, tail padding; ONE two-phase offsets pass feeds every
+    // candidate length (arithmetic only per L)
+    "q174_packing_sweep" -> ((s, dir) => {
+      val counted = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val offsets = Packing.offsetsBy(counted, "doc_id")
+      Seq(256, 512, 1024).map { l =>
+        offsets.agg(
+          sum("n_tokens").as("total_tokens"),
+          sum(when(expr(
+            s"n_tokens > 0 AND tok_start DIV $l <> (tok_end - 1) DIV $l"),
+            1L).otherwise(0L)).as("n_split_docs"))
+          .select(lit(l.toLong).as("seq_len"), col("total_tokens"),
+            expr(s"(total_tokens + ${l - 1}) DIV $l").as("n_seqs"),
+            col("n_split_docs"),
+            expr(s"((total_tokens + ${l - 1}) DIV $l) * $l - total_tokens")
+              .as("tail_pad"))
+      }.reduce(_ unionByName _)
     })
   )
 
@@ -3339,6 +3398,83 @@ object SparkEntry {
         |FROM part""".stripMargin,
 
     "q43_dedup_resolve" -> q43OracleSql,
+
+    // q172: q19's exact pair set + q60's split replay + the canonical
+    // (least, greatest) pair grouping
+    "q172_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |flt AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM pairs p
+        |  JOIN counts ca ON p.doc_a = ca.doc_id
+        |  JOIN counts cb ON p.doc_b = cb.doc_id
+        |  WHERE CAST(p.n_common AS DOUBLE)
+        |    / (ca.n_sh + cb.n_sh - p.n_common) >= 0.2),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(doc_id || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN hv % 1000000 < 800000 THEN 'train'
+        |         WHEN hv % 1000000 < 900000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM h),
+        |j AS (
+        |  SELECT least(sa.split, sb.split) AS split_1,
+        |    greatest(sa.split, sb.split) AS split_2
+        |  FROM flt f
+        |  JOIN sp sa ON f.doc_a = sa.doc_id
+        |  JOIN sp sb ON f.doc_b = sb.doc_id)
+        |SELECT split_1, split_2, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  split_1 <> split_2 AS leaking
+        |FROM j GROUP BY 1, 2""".stripMargin,
+
+    // q173: the q43 component closure + size-of-size counts
+    "q173_dup_cluster_histogram" -> q173OracleSql,
+
+    // q174: the same doc_id-ordered running offsets + per-L integer
+    // arithmetic, one UNION ALL branch per candidate length
+    "q174_packing_sweep" -> {
+      def branch(l: Int): String =
+        s"""SELECT CAST($l AS BIGINT) AS seq_len,
+           |  CAST(sum(n) AS BIGINT) AS total_tokens,
+           |  CAST((sum(n) + ${l - 1}) // $l AS BIGINT) AS n_seqs,
+           |  CAST(sum(CASE WHEN n > 0 AND s // $l <> (e - 1) // $l
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           |  CAST(((sum(n) + ${l - 1}) // $l) * $l - sum(n) AS BIGINT)
+           |    AS tail_pad
+           |FROM o2""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, n,
+         |    CAST(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS e
+         |  FROM t),
+         |o2 AS (SELECT doc_id, n, e - n AS s, e FROM o)
+         |${Seq(256, 512, 1024).map(branch).mkString("\nUNION ALL\n")}"""
+        .stripMargin
+    },
 
     // q136: q43's recursive-CTE clusters + per-cluster counts; the
     // weight is exact integer division on both engines
@@ -7174,6 +7310,21 @@ object SparkEntry {
        |  coalesce(l.cluster_id, d.doc_id) AS survivor_id,
        |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_survivor
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc""".stripMargin
+
+  /** q173's oracle: the q43 component closure aggregated to the
+    * cluster-size histogram.
+    */
+  private lazy val q173OracleSql: String =
+    s"""WITH RECURSIVE $dedupClusterCtes,
+       |members AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cid
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+       |sizes AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM members GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY 1""".stripMargin
 
   /** q106's oracle: the same components, survivor = argmax by
     * (n_chars desc, doc_id asc) per cluster.

@@ -283,6 +283,40 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(r => r._1 != 3L && r._2 != 3L))
   }
 
+  test("cluster histogram conserves corpus mass; leakage canonicalizes pairs") {
+    // 5 docs: {1,2,3} one near-dup cluster, {4},{5} singletons
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "alpha beta gamma delta epsilon theta"),
+      (4L, "one two three four five six"),
+      (5L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+    val hist = Dedup.resolveSurvivors(docs, "doc_id", pairs)
+      .groupBy($"survivor_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(3L -> 1L, 1L -> 2L))
+    assert(hist.map { case (sz, n) => sz * n }.sum == 5L) // mass conserved
+    // canonical (least, greatest) pair grouping never emits a
+    // reversed duplicate row
+    val split = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "val"), (5L, "train")).toDF("doc_id", "split")
+    val leaks = pairs
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("split_a")),
+        "doc_a")
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("split_b")),
+        "doc_b")
+      .groupBy(least($"split_a", $"split_b").as("s1"),
+        greatest($"split_a", $"split_b").as("s2"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    // cluster pairs: (1,2),(1,3),(2,3) -> splits (train,test) x2 and
+    // (train,train) x1
+    assert(leaks == Set(("test", "train", 2L), ("train", "train", 1L)))
+  }
+
   test("source-level minhash: identical sources match on every component") {
     // s1 and s2 carry the same text set; s3 is disjoint
     val docs = Seq(

@@ -258,4 +258,27 @@ class PackingSpec extends SparkSpec {
     // 8 batches x 8 short docs each, padded 500-10
     assert(naive == 8L * 8L * 490L, s"naive pads every short doc: $naive")
   }
+  test("packing sweep arithmetic: split-doc count and tail pad per L") {
+    import graft.core.Packing
+    // docs of 3,4,5 tokens, ids 1..3 -> offsets [0,3),[3,7),[7,12)
+    val counted = Seq((1L, 3L), (2L, 4L), (3L, 5L)).toDF("doc_id", "n_tokens")
+    val offsets = Packing.offsetsBy(counted, "doc_id")
+    def sweep(l: Int) = offsets.agg(
+        sum("n_tokens").as("total"),
+        sum(when(expr(
+          s"n_tokens > 0 AND tok_start DIV $l <> (tok_end - 1) DIV $l"),
+          1L).otherwise(0L)).as("splits"))
+      .select(col("total"), col("splits"),
+        expr(s"(total + ${l - 1}) DIV $l").as("n_seqs"),
+        expr(s"((total + ${l - 1}) DIV $l) * $l - total").as("pad"))
+      .as[(Long, Long, Long, Long)].head()
+    // L=4: boundaries at 4,8 -> doc2 [3,7) crosses 4, doc3 [7,12)
+    // crosses 8 -> 2 split docs; 3 seqs, pad 0
+    assert(sweep(4) == ((12L, 2L, 3L, 0L)))
+    // L=12: everything fits one sequence, nothing splits
+    assert(sweep(12) == ((12L, 0L, 1L, 0L)))
+    // L=5: boundaries 5,10 -> doc2 [3,7) crosses 5, doc3 [7,12)
+    // crosses 10 -> 2 splits; 3 seqs, pad 3
+    assert(sweep(5) == ((12L, 2L, 3L, 3L)))
+  }
 }
