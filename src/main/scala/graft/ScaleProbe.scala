@@ -241,7 +241,9 @@ object ScaleProbe {
       // replicated corpus by design — q19's recorded family shape);
       // q174 = one two-phase offsets pass + per-L arithmetic
       "q172_split_leakage", "q173_dup_cluster_histogram",
-      "q174_packing_sweep")
+      "q174_packing_sweep",
+      // q175 = dim^2/2 fan-out per vector, model-size post-agg state
+      "q175_embedding_covariance")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

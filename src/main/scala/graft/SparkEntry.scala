@@ -2536,7 +2536,13 @@ object SparkEntry {
             expr(s"((total_tokens + ${l - 1}) DIV $l) * $l - total_tokens")
               .as("tail_pad"))
       }.reduce(_ unionByName _)
-    })
+    }),
+
+    // exact dimension covariance/correlation matrix of the embedding
+    // space — fixed-point BIGINT to the last step, correlation as one
+    // correctly-rounded float division (feature-redundancy report)
+    "q175_embedding_covariance" -> ((s, dir) =>
+      Profile.covarianceMatrix(Tables.embeddings(s, dir), "embedding"))
   )
 
   /** Fixed, library-constant BPE model for the q85 oracle-checkable
@@ -3447,6 +3453,42 @@ object SparkEntry {
 
     // q173: the q43 component closure + size-of-size counts
     "q173_dup_cluster_histogram" -> q173OracleSql,
+
+    // q175: identical micro lattice, integer means (both engines'
+    // division truncates toward zero), exact centered-product sums,
+    // one float division + round at the end
+    "q175_embedding_covariance" ->
+      """WITH vm AS (
+        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |bd AS (
+        |  SELECT i.range AS d, v[i.range + 1] AS x
+        |  FROM vm, range(64) i),
+        |means AS (
+        |  SELECT d, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+        |  FROM bd GROUP BY 1),
+        |pairs AS (
+        |  SELECT i.range AS di, j.range AS dj,
+        |    (v[i.range + 1] - mi.m) * (v[j.range + 1] - mj.m) AS p
+        |  FROM vm, range(64) i, range(64) j
+        |  JOIN means mi ON mi.d = i.range
+        |  JOIN means mj ON mj.d = j.range
+        |  WHERE j.range >= i.range),
+        |cov AS (
+        |  SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS cov_sum
+        |  FROM pairs GROUP BY 1, 2),
+        |diag AS (SELECT di AS dd, cov_sum AS var_d FROM cov
+        |         WHERE di = dj)
+        |SELECT CAST(c.di AS BIGINT) AS dim_i, CAST(c.dj AS BIGINT) AS dim_j,
+        |  c.n, c.cov_sum,
+        |  round(CAST(c.cov_sum AS DOUBLE)
+        |    / sqrt(CAST(vi.var_d AS DOUBLE) * CAST(vj.var_d AS DOUBLE)), 6)
+        |    AS corr
+        |FROM cov c
+        |JOIN diag vi ON c.di = vi.dd
+        |JOIN diag vj ON c.dj = vj.dd""".stripMargin,
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length

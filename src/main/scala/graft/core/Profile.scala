@@ -258,4 +258,56 @@ object Profile {
             .as("observed"))
     }.reduce(_ unionByName _)
   }
+
+  /** Exact covariance / correlation matrix of an embedding column's
+    * dimensions — the feature-redundancy report (near-±1 correlations
+    * mean wasted dimensions; the input a PCA/whitening decision reads).
+    *
+    * Everything up to the final correlation is fixed-point BIGINT:
+    * vectors lattice to floor(x·1e6), per-dimension integer means
+    * come from one pass (sum DIV n — both engines truncate toward
+    * zero), and the upper-triangle centered products sum exactly
+    * (order-free). Bound: |Σ(x−m)(y−m)| ≤ n·(2·maxMicro)² — BIGINT-
+    * safe to ~1e6 vectors at unit-range embeddings; beyond, the same
+    * sums feed DECIMAL(38). The only float ops are the final
+    * cov/√(var·var) with correctly-rounded casts of exact integers —
+    * identical IEEE on any engine.
+    *
+    * Shuffles carry (i, j, product) longs; output is dim²/2 rows
+    * (model-size). One fan-out of dim² terms per vector (the q26
+    * label-centroid shape, squared).
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val vm = df.select(expr(
+      s"transform($vecCol, x -> CAST(floor(x * 1000000.0) AS BIGINT))")
+      .as("v"))
+    val byDim = vm.select(posexplode(col("v")).as(Seq("d", "x")))
+    val means = byDim.groupBy("d")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .select(col("d"), expr("sx DIV n").as("m"))
+    val pairs = vm
+      .select(col("v"), posexplode(col("v")).as(Seq("di", "xi")))
+      .select(col("di"), col("xi"),
+        posexplode(col("v")).as(Seq("dj", "xj")))
+      .filter(col("dj") >= col("di"))
+      .join(broadcast(means.select(col("d").as("di"), col("m").as("mi"))),
+        "di")
+      .join(broadcast(means.select(col("d").as("dj"), col("m").as("mj"))),
+        "dj")
+      .groupBy("di", "dj")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("(xi - mi) * (xj - mj)")).as("cov_sum"))
+    val diag = pairs.filter(col("di") === col("dj"))
+      .select(col("di").as("dd"), col("cov_sum").as("var_d"))
+    pairs
+      .join(broadcast(diag.select(col("dd").as("di"),
+        col("var_d").as("var_i"))), "di")
+      .join(broadcast(diag.select(col("dd").as("dj"),
+        col("var_d").as("var_j"))), "dj")
+      .select(col("di").cast("long").as("dim_i"),
+        col("dj").cast("long").as("dim_j"), col("n"), col("cov_sum"),
+        round(expr(
+          "CAST(cov_sum AS DOUBLE) / sqrt(CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE))"),
+          6).as("corr"))
+  }
 }

@@ -157,4 +157,24 @@ class ProfileSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(a == b, s"$a vs $b")
   }
+
+  test("covarianceMatrix: hand case, perfect and anti correlation, symmetry") {
+    // dim1 = 2*dim0 (corr +1), dim2 = -dim0 (corr -1)
+    val df = Seq(
+      Seq(1.0f, 2.0f, -1.0f), Seq(2.0f, 4.0f, -2.0f), Seq(3.0f, 6.0f, -3.0f))
+      .toDF("embedding")
+    val got = Profile.covarianceMatrix(df, "embedding")
+      .select("dim_i", "dim_j", "n", "cov_sum", "corr")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // centered micro deviations: dim0 (-1e6,0,1e6) -> var 2e12
+    assert(got((0L, 0L)) == ((3L, 2000000000000L, 1.0)))
+    assert(got((1L, 1L)) == ((3L, 8000000000000L, 1.0)))
+    assert(got((0L, 1L)) == ((3L, 4000000000000L, 1.0)))
+    assert(got((0L, 2L))._3 == -1.0)
+    assert(got((1L, 2L))._3 == -1.0)
+    // upper triangle only, all n equal
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (0L, 2L), (1L, 1L),
+      (1L, 2L), (2L, 2L)))
+  }
 }
