@@ -242,8 +242,9 @@ object ScaleProbe {
       // q174 = one two-phase offsets pass + per-L arithmetic
       "q172_split_leakage", "q173_dup_cluster_histogram",
       "q174_packing_sweep",
-      // q175 = dim^2/2 fan-out per vector, model-size post-agg state
-      "q175_embedding_covariance")
+      // q175 = dim^2/2 fan-out per vector, model-size post-agg state;
+      // q176 = q175 + fixed iterations over the 64x64 matrix (flat)
+      "q175_embedding_covariance", "q176_pca_power")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -2542,7 +2542,15 @@ object SparkEntry {
     // space — fixed-point BIGINT to the last step, correlation as one
     // correctly-rounded float division (feature-redundancy report)
     "q175_embedding_covariance" -> ((s, dir) =>
-      Profile.covarianceMatrix(Tables.embeddings(s, dir), "embedding"))
+      Profile.covarianceMatrix(Tables.embeddings(s, dir), "embedding")),
+
+    // in-engine PCA: top principal component of the correlation
+    // matrix by 5 power iterations — float, but every matrix-vector
+    // row and norm is an ORDERED fold, so the whole iteration lands
+    // bit-identical in the oracle
+    "q176_pca_power" -> ((s, dir) =>
+      Profile.pcaTopComponent(Tables.embeddings(s, dir), "embedding",
+        dim = 64, iters = 5))
   )
 
   /** Fixed, library-constant BPE model for the q85 oracle-checkable
@@ -3458,37 +3466,41 @@ object SparkEntry {
     // division truncates toward zero), exact centered-product sums,
     // one float division + round at the end
     "q175_embedding_covariance" ->
-      """WITH vm AS (
-        |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |bd AS (
-        |  SELECT i.range AS d, v[i.range + 1] AS x
-        |  FROM vm, range(64) i),
-        |means AS (
-        |  SELECT d, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
-        |  FROM bd GROUP BY 1),
-        |pairs AS (
-        |  SELECT i.range AS di, j.range AS dj,
-        |    (v[i.range + 1] - mi.m) * (v[j.range + 1] - mj.m) AS p
-        |  FROM vm, range(64) i, range(64) j
-        |  JOIN means mi ON mi.d = i.range
-        |  JOIN means mj ON mj.d = j.range
-        |  WHERE j.range >= i.range),
-        |cov AS (
-        |  SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(p) AS BIGINT) AS cov_sum
-        |  FROM pairs GROUP BY 1, 2),
-        |diag AS (SELECT di AS dd, cov_sum AS var_d FROM cov
-        |         WHERE di = dj)
-        |SELECT CAST(c.di AS BIGINT) AS dim_i, CAST(c.dj AS BIGINT) AS dim_j,
-        |  c.n, c.cov_sum,
-        |  round(CAST(c.cov_sum AS DOUBLE)
-        |    / sqrt(CAST(vi.var_d AS DOUBLE) * CAST(vj.var_d AS DOUBLE)), 6)
-        |    AS corr
-        |FROM cov c
-        |JOIN diag vi ON c.di = vi.dd
-        |JOIN diag vj ON c.dj = vj.dd""".stripMargin,
+      s"""WITH $covMatrixCtes
+         |SELECT dim_i, dim_j, n, cov_sum, corr FROM cm""".stripMargin,
+
+    // q176: the q175 correlation matrix (identical rounded doubles)
+    // mirrored to full form, then 5 power-iteration steps unrolled —
+    // every matrix-vector row and the norm are ORDERED folds, so the
+    // floats land bit-identical
+    "q176_pca_power" -> {
+      def step(k: Int): String =
+        s"""y$k AS (
+           |  SELECT m.d, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    [m.mrow[i + 1] * x${k - 1}.xs[i + 1]
+           |     for i in generate_series(0, 63)]),
+           |    (a, b) -> a + b) AS yd
+           |  FROM mm m, x${k - 1}),
+           |a$k AS (SELECT list(yd ORDER BY d) AS ys FROM y$k),
+           |n$k AS (SELECT ys, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |    [w * w for w in ys]), (a, b) -> a + b)) AS nrm FROM a$k),
+           |x$k AS (SELECT list_transform(ys, v -> v / nrm) AS xs, nrm
+           |        FROM n$k)""".stripMargin
+      s"""WITH $covMatrixCtes,
+         |fullm AS (
+         |  SELECT dim_i AS di, dim_j AS dj, corr FROM cm
+         |  UNION ALL
+         |  SELECT dim_j, dim_i, corr FROM cm WHERE dim_i <> dim_j),
+         |mm AS (SELECT di AS d, list(corr ORDER BY dj) AS mrow
+         |       FROM fullm GROUP BY 1),
+         |x0 AS (SELECT [CAST(0.015625 AS DOUBLE)
+         |               for i in generate_series(0, 63)] AS xs),
+         |${(1 to 5).map(step).mkString(",\n")}
+         |SELECT CAST(i.range AS BIGINT) AS dim,
+         |  round(x5.xs[i.range + 1], 6) AS component,
+         |  round(x5.nrm, 6) AS lambda
+         |FROM x5, range(64) i""".stripMargin
+    },
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length
@@ -7352,6 +7364,44 @@ object SparkEntry {
        |  coalesce(l.cluster_id, d.doc_id) AS survivor_id,
        |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_survivor
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc""".stripMargin
+
+  /** q175's covariance/correlation chain as CTE text ending in `cm`
+    * (dim_i, dim_j, n, cov_sum, corr) — q175 selects it directly,
+    * q176 feeds the correlations into the power iteration.
+    */
+  private lazy val covMatrixCtes: String =
+    """vm AS (
+      |  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |bd AS (
+      |  SELECT i.range AS d, v[i.range + 1] AS x
+      |  FROM vm, range(64) i),
+      |means AS (
+      |  SELECT d, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+      |  FROM bd GROUP BY 1),
+      |pairs AS (
+      |  SELECT i.range AS di, j.range AS dj,
+      |    (v[i.range + 1] - mi.m) * (v[j.range + 1] - mj.m) AS p
+      |  FROM vm, range(64) i, range(64) j
+      |  JOIN means mi ON mi.d = i.range
+      |  JOIN means mj ON mj.d = j.range
+      |  WHERE j.range >= i.range),
+      |cov AS (
+      |  SELECT di, dj, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(p) AS BIGINT) AS cov_sum
+      |  FROM pairs GROUP BY 1, 2),
+      |diag AS (SELECT di AS dd, cov_sum AS var_d FROM cov
+      |         WHERE di = dj),
+      |cm AS (
+      |  SELECT CAST(c.di AS BIGINT) AS dim_i, CAST(c.dj AS BIGINT) AS dim_j,
+      |    c.n, c.cov_sum,
+      |    round(CAST(c.cov_sum AS DOUBLE)
+      |      / sqrt(CAST(vi.var_d AS DOUBLE) * CAST(vj.var_d AS DOUBLE)), 6)
+      |      AS corr
+      |  FROM cov c
+      |  JOIN diag vi ON c.di = vi.dd
+      |  JOIN diag vj ON c.dj = vj.dd)""".stripMargin
 
   /** q173's oracle: the q43 component closure aggregated to the
     * cluster-size histogram.

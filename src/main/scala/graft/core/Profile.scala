@@ -310,4 +310,52 @@ object Profile {
           "CAST(cov_sum AS DOUBLE) / sqrt(CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE))"),
           6).as("corr"))
   }
+
+  /** Top principal component of the embedding CORRELATION matrix by
+    * power iteration — in-engine PCA's first axis (the whitening /
+    * dimensionality decision number), float by necessity but exactly
+    * replayable: the matrix entries are q175's rounded correlations
+    * (identical doubles on both engines), and every sum in the
+    * iteration — matrix·vector rows, the norm — is an ORDERED fold
+    * (k order / dim order), so a fixed iteration count lands on
+    * bit-identical components anywhere. All state is model-size:
+    * dim² matrix rows, a dim-length vector per step.
+    *
+    * Output: (dim, component rounded 6, lambda = the final pre-
+    * normalization norm, the top-eigenvalue estimate).
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+                      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val tri = covarianceMatrix(df, vecCol)
+      .select(col("dim_i").as("di"), col("dim_j").as("dj"), col("corr"))
+    val full = tri.unionByName(
+      tri.filter(col("di") =!= col("dj"))
+        .select(col("dj").as("di"), col("di").as("dj"), col("corr")))
+    val mm = full.groupBy(col("di").as("d"))
+      .agg(expr("transform(sort_array(collect_list(struct(dj, corr))), " +
+        "e -> e.corr)").as("mrow"))
+    var xs = spark.range(1).select(
+      expr(s"transform(sequence(0, ${dim - 1}), i -> ${1.0 / dim}D)")
+        .as("xs"), lit(0.0).as("nrm"))
+    for (_ <- 1 to iters) {
+      val y = mm.crossJoin(broadcast(xs.select("xs")))
+        .select(col("d"), expr(
+          s"""aggregate(transform(sequence(0, ${dim - 1}),
+             |  i -> element_at(mrow, i + 1) * element_at(xs, i + 1)),
+             |  0D, (a, t) -> a + t)""".stripMargin).as("yd"))
+      xs = y
+        .agg(expr("transform(sort_array(collect_list(struct(d, yd))), " +
+          "e -> e.yd)").as("ys"))
+        .select(col("ys"), expr(
+          "sqrt(aggregate(transform(ys, w -> w * w), 0D, (a, t) -> a + t))")
+          .as("nrm"))
+        .select(expr("transform(ys, v -> v / nrm)").as("xs"), col("nrm"))
+    }
+    xs.select(col("nrm"), posexplode(col("xs")).as(Seq("dim", "c")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("c"), 6).as("component"),
+        round(col("nrm"), 6).as("lambda"))
+  }
 }

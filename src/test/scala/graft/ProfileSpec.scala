@@ -177,4 +177,32 @@ class ProfileSpec extends SparkSpec {
     assert(got.keySet == Set((0L, 0L), (0L, 1L), (0L, 2L), (1L, 1L),
       (1L, 2L), (2L, 2L)))
   }
+
+  test("pcaTopComponent: correlated block dominates, unit norm, lambda") {
+    // dims 0,1 move together; dim 2 carries unrelated alternation ->
+    // top axis of the correlation matrix loads equally on dims 0,1
+    val rows = Seq(
+      Seq(1.0f, 1.0f, 1.0f), Seq(2.0f, 2.0f, -1.0f),
+      Seq(3.0f, 3.0f, 1.0f), Seq(4.0f, 4.0f, -1.0f),
+      Seq(5.0f, 5.0f, 1.0f), Seq(6.0f, 6.0f, -1.0f))
+    val df = rows.toDF("embedding")
+    val got = Profile.pcaTopComponent(df, "embedding", dim = 3, iters = 8)
+      .select("dim", "component", "lambda")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.size == 3)
+    val comps = got.map(_._2)
+    assert(math.abs(comps(0) - comps(1)) < 1e-5,
+      s"correlated dims load equally: $comps")
+    assert(math.abs(comps(0)) > math.abs(comps(2)),
+      "independent dim loads less")
+    assert(math.abs(comps.map(c => c * c).sum - 1.0) < 1e-6, "unit norm")
+    val lambda = got.head._3
+    assert(lambda > 2.0 && lambda <= 3.0 + 1e-9,
+      s"top eigenvalue of a 3-dim corr matrix with a 2-block: $lambda")
+    // determinism across partitioning
+    val again = Profile.pcaTopComponent(df.repartition(4), "embedding", 3, 8)
+      .select("dim", "component", "lambda")
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
 }
