@@ -244,7 +244,10 @@ object ScaleProbe {
       "q174_packing_sweep",
       // q175 = dim^2/2 fan-out per vector, model-size post-agg state;
       // q176 = q175 + fixed iterations over the 64x64 matrix (flat)
-      "q175_embedding_covariance", "q176_pca_power")
+      "q175_embedding_covariance", "q176_pca_power",
+      // q177 = one codegen'd pass; q178 = grouped counts + bounded-
+      // vocab row-local folds
+      "q177_gopher_gate", "q178_token_entropy")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

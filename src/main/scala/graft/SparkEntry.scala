@@ -2550,7 +2550,62 @@ object SparkEntry {
     // bit-identical in the oracle
     "q176_pca_power" -> ((s, dir) =>
       Profile.pcaTopComponent(Tables.embeddings(s, dir), "embedding",
-        dim = 64, iters = 5))
+        dim = 64, iters = 5)),
+
+    // Gopher-style quality-rule battery (Rae et al. '21 §A1.1 shape):
+    // per doc, each rule an integer-exact boolean — length bounds,
+    // mean-word-length bounds by CROSS-MULTIPLICATION (3n <= chars <=
+    // 10n: no float division anywhere), stopword floor, unique-word
+    // floor, short-word ceiling — and the conjunction gate
+    "q177_gopher_gate" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("n_words", size(t).cast("long"))
+        .withColumn("n_wchars",
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+        .withColumn("n_stop", size(filter(t, w =>
+          array_contains(array(TextAnalysis.StopWords.map(lit): _*), w)))
+          .cast("long"))
+        .withColumn("n_unique", size(array_distinct(t)).cast("long"))
+        .withColumn("n_short",
+          size(filter(t, w => length(w) === 1)).cast("long"))
+        .withColumn("r_len",
+          col("n_words") >= 30 && col("n_words") <= 100000)
+        .withColumn("r_mwl",
+          col("n_wchars") >= col("n_words") * 3
+            && col("n_wchars") <= col("n_words") * 10)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("r_uniq",
+          expr("n_unique * 1000000 DIV n_words") >= 300000L)
+        .withColumn("r_short", col("n_short") * 10 <= col("n_words"))
+        .select(col("doc_id"), col("n_words"), col("n_wchars"),
+          col("n_stop"), col("n_unique"), col("n_short"),
+          col("r_len"), col("r_mwl"), col("r_stop"), col("r_uniq"),
+          col("r_short"),
+          (col("r_len") && col("r_mwl") && col("r_stop") && col("r_uniq")
+            && col("r_short")).as("passes"))
+    }),
+
+    // per-source unigram entropy — the lexical-diversity card number:
+    // H = Σ −p·ln p over each source's (bounded) vocabulary, summed
+    // as an ORDERED fold over the token-sorted vocab so the ln/IEEE
+    // chain replays exactly
+    "q178_token_entropy" -> ((s, dir) => {
+      val uni = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+          .as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      uni.groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("c").as("n_tokens"),
+          expr("transform(sort_array(collect_list(struct(w, c))), " +
+            "e -> e.c)").as("cs"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          round(expr(
+            """aggregate(cs, 0D, (a, c) ->
+              |  a - (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+              |      * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))"""
+              .stripMargin), 6).as("entropy"))
+    })
   )
 
   /** Fixed, library-constant BPE model for the q85 oracle-checkable
@@ -3501,6 +3556,60 @@ object SparkEntry {
          |  round(x5.nrm, 6) AS lambda
          |FROM x5, range(64) i""".stripMargin
     },
+
+    // q177: identical integer counts, cross-multiplied bounds and
+    // conjunction
+    "q177_gopher_gate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+        |      AS n_wchars,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], x))) AS BIGINT)
+        |      AS n_stop,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+        |    CAST(len(list_filter(t, x -> length(x) = 1)) AS BIGINT)
+        |      AS n_short
+        |  FROM base),
+        |r AS (
+        |  SELECT *,
+        |    (n_words >= 30 AND n_words <= 100000) AS r_len,
+        |    (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10) AS r_mwl,
+        |    (n_stop >= 2) AS r_stop,
+        |    (n_unique * 1000000 // n_words >= 300000) AS r_uniq,
+        |    (n_short * 10 <= n_words) AS r_short
+        |  FROM f)
+        |SELECT doc_id, n_words, n_wchars, n_stop, n_unique, n_short,
+        |  r_len, r_mwl, r_stop, r_uniq, r_short,
+        |  (r_len AND r_mwl AND r_stop AND r_uniq AND r_short) AS passes
+        |FROM r""".stripMargin,
+
+    // q178: same per-source counts, the same token-sorted ordered
+    // fold of −p·ln p (ln ulp is the only cross-engine surface — the
+    // PSI precedent — and round(_,6) sits after it)
+    "q178_token_entropy" ->
+      """WITH uni AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    list(c ORDER BY w) AS cs
+        |  FROM uni GROUP BY 1)
+        |SELECT source, n_types, n_tokens,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+        |    (a, c) -> a - (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |        * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))), 6)
+        |    AS entropy
+        |FROM ser""".stripMargin,
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length

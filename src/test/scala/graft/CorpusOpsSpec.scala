@@ -597,6 +597,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum == 7L) // spectrum conserves token mass
   }
 
+  test("token entropy: uniform = ln k, degenerate = 0, ordered fold") {
+    val docs = Seq(("u", "x y"), ("d", "z z z z")).toDF("source", "text")
+    val uni = docs
+      .select(col("source"),
+        explode(graft.core.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val got = uni.groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        expr("transform(sort_array(collect_list(struct(w, c))), e -> e.c)")
+          .as("cs"))
+      .select(col("source"), expr(
+        """aggregate(cs, 0D, (a, c) ->
+          |  a - (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          |      * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))"""
+          .stripMargin).as("h"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("u") - math.log(2.0)) < 1e-12)
+    assert(got("d") == 0.0)
+  }
+
+  test("gopher battery: each rule trips on its designed violation") {
+    def counts(text: String): (Long, Long, Long, Long, Long) = {
+      val t = text.trim.split("\\s+")
+      (t.length.toLong, text.replaceAll("\\s+", "").length.toLong,
+        t.count(graft.core.TextAnalysis.StopWords.contains).toLong,
+        t.distinct.length.toLong, t.count(_.length == 1).toLong)
+    }
+    // 40 in-vocab words with stopwords -> passes every rule
+    val good = (Seq.fill(20)("the table") :+ "scan").mkString(" ")
+    val (nw, nc, ns, nu, nsh) = counts(good)
+    assert(nw >= 30 && nc >= 3 * nw && nc <= 10 * nw && ns >= 2)
+    // designed violations
+    val short = "too few words here"                      // r_len
+    assert(counts(short)._1 < 30)
+    val repeats = Seq.fill(40)("spark").mkString(" ")      // r_uniq
+    val (rw, _, _, ru, _) = counts(repeats)
+    assert(ru * 1000000 / rw < 300000)
+    val singles = Seq.fill(40)("a").mkString(" ")          // r_short+r_mwl
+    val (sw, sc, _, _, ssh) = counts(singles)
+    assert(ssh * 10 > sw && sc < 3 * sw)
+  }
+
   test("vocab coverage: rank order, running mass, closes at 1e6") {
     import org.apache.spark.sql.expressions.Window
     // a a a b b c -> ranks a(3), b(2), c(1); cum 3,5,6 of 6
