@@ -247,7 +247,9 @@ object ScaleProbe {
       "q175_embedding_covariance", "q176_pca_power",
       // q177 = one codegen'd pass; q178 = grouped counts + bounded-
       // vocab row-local folds
-      "q177_gopher_gate", "q178_token_entropy")
+      "q177_gopher_gate", "q178_token_entropy",
+      // q179 = bounded vocab x source grid; q180 = one grouped agg
+      "q179_source_kl", "q180_dispersion")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

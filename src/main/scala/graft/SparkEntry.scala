@@ -2605,7 +2605,53 @@ object SparkEntry {
               |  a - (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
               |      * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))"""
               .stripMargin), 6).as("entropy"))
-    })
+    }),
+
+    // per-source KL divergence from the corpus unigram distribution —
+    // the "how far is this source's language from the mix" number
+    // (DSIR's objective, reported instead of applied): add-one
+    // smoothing over the CORPUS vocab so source-missing types
+    // contribute, token-sorted ordered fold for the ln chain
+    "q179_source_kl" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+          .as("w"))
+      val corpus = toks.groupBy("w").agg(count(lit(1)).as("cc"))
+      val bySrc = toks.groupBy("source", "w").agg(count(lit(1)).as("sc"))
+      val grid = corpus.crossJoin(
+          toks.select("source").distinct())
+        .join(bySrc, Seq("source", "w"), "left")
+        .withColumn("sc", coalesce(col("sc"), lit(0L)))
+      val tot = grid.groupBy("source")
+        .agg(sum("sc").as("n_src"), sum("cc").as("n_corpus"),
+          count(lit(1)).as("v"),
+          expr("transform(sort_array(collect_list(struct(w, sc, cc))), " +
+            "e -> struct(e.sc AS sc, e.cc AS cc))").as("cs"))
+      tot.select(col("source"), col("n_src"), col("v"),
+        round(expr(
+          """aggregate(cs, 0D, (a, e) ->
+            |  a + (CAST(e.sc + 1 AS DOUBLE) / CAST(n_src + v AS DOUBLE))
+            |      * ln((CAST(e.sc + 1 AS DOUBLE) / CAST(n_src + v AS DOUBLE))
+            |          / (CAST(e.cc + 1 AS DOUBLE) / CAST(n_corpus + v AS DOUBLE))))"""
+            .stripMargin), 6).as("kl"))
+    }),
+
+    // dispersion (variance-to-mean) index of per-type event values —
+    // burstiness vs Poisson-ness, the drift family's shape member:
+    // exact integer sufficient statistics (n, Σx, Σx²), one rounded
+    // float ratio at the end
+    "q180_dispersion" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(floor(value) AS BIGINT)").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(expr("x * x")).as("ssq"))
+        .select(col("event_type"), col("n"), col("s"), col("ssq"),
+          round(expr(
+            """CAST(n * ssq - s * s AS DOUBLE)
+              |/ (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin),
+            6).as("vmr")))
   )
 
   /** Fixed, library-constant BPE model for the q85 oracle-checkable
@@ -3610,6 +3656,55 @@ object SparkEntry {
         |        * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))), 6)
         |    AS entropy
         |FROM ser""".stripMargin,
+
+    // q179: the same add-one-smoothed grid, terms built in w order
+    // then folded (struct lists can't carry the double seed, so the
+    // oracle folds a term list — identical per-element arithmetic)
+    "q179_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |corpus AS (SELECT w, CAST(count(*) AS BIGINT) AS cc
+        |           FROM toks GROUP BY 1),
+        |bysrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS sc
+        |          FROM toks GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT s.source, c.w, c.cc, coalesce(b.sc, 0) AS sc
+        |  FROM corpus c
+        |  CROSS JOIN (SELECT DISTINCT source FROM toks) s
+        |  LEFT JOIN bysrc b ON b.source = s.source AND b.w = c.w),
+        |ser AS (
+        |  SELECT source, CAST(sum(sc) AS BIGINT) AS n_src,
+        |    CAST(sum(cc) AS BIGINT) AS n_corpus,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    list(sc ORDER BY w) AS scs,
+        |    list(cc ORDER BY w) AS ccs
+        |  FROM grid GROUP BY 1)
+        |SELECT source, n_src, v,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    [(CAST(scs[i+1] + 1 AS DOUBLE) / CAST(n_src + v AS DOUBLE))
+        |     * ln((CAST(scs[i+1] + 1 AS DOUBLE) / CAST(n_src + v AS DOUBLE))
+        |         / (CAST(ccs[i+1] + 1 AS DOUBLE)
+        |            / CAST(n_corpus + v AS DOUBLE)))
+        |     for i in generate_series(0, CAST(v AS INT) - 1)]),
+        |    (a, b) -> a + b), 6) AS kl
+        |FROM ser""".stripMargin,
+
+    // q180: identical integer sufficient statistics, one rounded
+    // float ratio
+    "q180_dispersion" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x * x) AS BIGINT) AS ssq
+        |  FROM (SELECT event_type, CAST(floor(value) AS BIGINT) AS x
+        |        FROM events)
+        |  GROUP BY 1)
+        |SELECT event_type, n, s, ssq,
+        |  round(CAST(n * ssq - s * s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS vmr
+        |FROM a""".stripMargin,
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length

@@ -617,6 +617,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("d") == 0.0)
   }
 
+  test("source KL: identical source = minimal, skewed source larger") {
+    // s_same dominates the corpus (so the mix ~= s_same); s_skew
+    // speaks a different token entirely -> far from the mix. (With
+    // two EQUAL sources the corpus average sits closer to the skewed
+    // one - the first fixture draft got that backwards.)
+    val docs = Seq(("s_same", "x y x y x y"), ("s_skew", "z z"))
+      .toDF("source", "text")
+    val toks = docs.select(col("source"),
+      explode(graft.core.TextAnalysis.tokens(col("text"))).as("w"))
+    val corpus = toks.groupBy("w").agg(count(lit(1)).as("cc"))
+    val bySrc = toks.groupBy("source", "w").agg(count(lit(1)).as("sc"))
+    val grid = corpus.crossJoin(toks.select("source").distinct())
+      .join(bySrc, Seq("source", "w"), "left")
+      .withColumn("sc", coalesce(col("sc"), lit(0L)))
+    val kl = grid.groupBy("source")
+      .agg(sum("sc").as("n_src"), sum("cc").as("n_corpus"),
+        count(lit(1)).as("v"),
+        expr("transform(sort_array(collect_list(struct(w, sc, cc))), " +
+          "e -> struct(e.sc AS sc, e.cc AS cc))").as("cs"))
+      .select(col("source"), expr(
+        """aggregate(cs, 0D, (a, e) ->
+          |  a + (CAST(e.sc + 1 AS DOUBLE) / CAST(n_src + v AS DOUBLE))
+          |      * ln((CAST(e.sc + 1 AS DOUBLE) / CAST(n_src + v AS DOUBLE))
+          |          / (CAST(e.cc + 1 AS DOUBLE)
+          |             / CAST(n_corpus + v AS DOUBLE))))""".stripMargin)
+        .as("kl"))
+      .as[(String, Double)].collect().toMap
+    assert(kl("s_skew") > kl("s_same"))
+    assert(kl("s_same") >= 0.0 && kl("s_skew") > 0.0)
+  }
+
   test("gopher battery: each rule trips on its designed violation") {
     def counts(text: String): (Long, Long, Long, Long, Long) = {
       val t = text.trim.split("\\s+")

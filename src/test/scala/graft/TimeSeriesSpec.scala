@@ -392,6 +392,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(repart == got)
   }
 
+  test("dispersion index: Poisson-like ~1, constant ~0, bursty >> 1") {
+    def vmr(xs: Seq[Long]): Double = {
+      val df = xs.map(("t", _)).toDF("k", "x")
+      df.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(expr("x * x")).as("ssq"))
+        .select(expr(
+          """CAST(n * ssq - s * s AS DOUBLE)
+            |/ (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin))
+        .as[Double].head()
+    }
+    assert(vmr(Seq.fill(100)(7L)) == 0.0)              // constant
+    val bursty = Seq.fill(99)(0L) :+ 700L              // one spike
+    assert(vmr(bursty) > 100.0)
+    // var == mean exactly: xs = {0,2} repeated -> mean 1, var 1
+    assert(math.abs(vmr(Seq.tabulate(100)(i => (i % 2) * 2L)) - 1.0) < 1e-9)
+  }
+
   test("winsorized stats: boundaries, trimmed and clamped sums (n=20, t=1)") {
     // values 0..19 in one group: lo = rank-2 value 1, hi = rank-19
     // value 18; trimmed sum = 1+...+18 = 171; winsor = 171 + 1*(1+18)
