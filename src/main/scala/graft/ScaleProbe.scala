@@ -249,7 +249,9 @@ object ScaleProbe {
       // vocab row-local folds
       "q177_gopher_gate", "q178_token_entropy",
       // q179 = bounded vocab x source grid; q180 = one grouped agg
-      "q179_source_kl", "q180_dispersion")
+      "q179_source_kl", "q180_dispersion",
+      // q181 = the six-way star (facts shuffle once, dims broadcast)
+      "q181_local_supplier_volume")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -2651,7 +2651,33 @@ object SparkEntry {
           round(expr(
             """CAST(n * ssq - s * s AS DOUBLE)
               |/ (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin),
-            6).as("vmr")))
+            6).as("vmr"))),
+
+    // TPC-H Q5-shape local-supplier volume: the six-way star join
+    // (customer + orders + lineitem + supplier + nation + region)
+    // with the LOCAL-supplier correlation (c_nationkey = s_nationkey)
+    // — the classic join-order/broadcast test: three dims broadcast,
+    // the two fact tables meet on one shuffled key
+    "q181_local_supplier_volume" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("CAST(o_orderdate AS DATE) >= DATE '1996-01-01'")
+          && expr("CAST(o_orderdate AS DATE) < DATE '1998-01-01'"))
+      val cust = Tables.load(s, dir, "customer")
+      val supp = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    })
   )
 
   /** Fixed, library-constant BPE model for the q85 oracle-checkable
@@ -3705,6 +3731,24 @@ object SparkEntry {
         |  round(CAST(n * ssq - s * s AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS vmr
         |FROM a""".stripMargin,
+
+    // q181: the same six-way star with identical filters (round(2)
+    // after the sum — the q01 float-sum convention)
+    "q181_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1""".stripMargin,
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length

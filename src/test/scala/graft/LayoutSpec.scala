@@ -25,6 +25,19 @@ class LayoutSpec extends SparkSpec {
     assert(q.count() == full)
   }
 
+  test("q181 star join: dims broadcast, facts meet on one shuffled key") {
+    val df = SparkEntry.queries("q181_local_supplier_volume")(
+      spark, Sf0001)
+    df.write.format("noop").mode("overwrite").save() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3,
+      s"supplier/nation/region (and post-filter orders under AQE) " +
+        s"should broadcast, got $nBroadcast:\n$plan")
+    val nSmj = "SortMergeJoin".r.findAllIn(plan).length
+    assert(nBroadcast + nSmj == 5, s"six tables, five joins:\n$plan")
+  }
+
   test("bucketBy: same-bucketed join on the bucket key plans with no shuffle") {
     spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
     spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
