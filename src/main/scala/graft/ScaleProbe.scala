@@ -251,7 +251,10 @@ object ScaleProbe {
       // q179 = bounded vocab x source grid; q180 = one grouped agg
       "q179_source_kl", "q180_dispersion",
       // q181 = the six-way star (facts shuffle once, dims broadcast)
-      "q181_local_supplier_volume")
+      "q181_local_supplier_volume",
+      // q182 = outer join + two-level agg; q183 = broadcast-filtered
+      // fact self-agg join (both one fact shuffle)
+      "q182_custdist", "q183_small_qty_revenue")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

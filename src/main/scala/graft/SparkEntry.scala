@@ -2677,6 +2677,49 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
           .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q13-shape customer order-count distribution: LEFT OUTER
+    // join (zero-order customers must survive) + two-level
+    // aggregation — the first shuffles on c_custkey, the second is a
+    // tiny distribution rollup. The priority filter belongs to the
+    // JOIN side, not a WHERE, or the outer semantics collapse
+    "q182_custdist" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q17-shape small-quantity revenue: "lineitems of this
+    // brand's parts whose quantity is below 20% of the part's average
+    // quantity" — the classic correlated scalar subquery, decorrelated
+    // into a per-part aggregate joined back to the fact. The predicate
+    // is CROSS-MULTIPLIED onto the integer lattice (quantities are
+    // whole numbers, so 5*qty*n < sum is exact in both engines — no
+    // float-average boundary to disagree on)
+    "q183_small_qty_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23")
+      // brand filter pushed BELOW the per-part aggregate: a part's
+      // average only needs that part's lineitems, so restricting to
+      // the brand's partkeys first shrinks both sides of the
+      // decorrelation join ~25x
+      val liBrand = li.join(broadcast(part),
+        col("l_partkey") === col("p_partkey"))
+      val avgq = liBrand.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"),
+          count(lit(1)).as("n_li"))
+      liBrand.join(avgq, col("l_partkey") === col("a_partkey"))
+        .filter(expr(
+          "5 * CAST(l_quantity AS BIGINT) * n_li < sum_qty"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total_revenue"),
+          count(lit(1)).as("n_small"))
     })
   )
 
@@ -3749,6 +3792,36 @@ object SparkEntry {
         |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
         |GROUP BY 1""".stripMargin,
+
+    // q182: priority filter in the JOIN condition (not WHERE) so
+    // zero-order customers survive the outer join
+    "q182_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1) t
+        |GROUP BY 1""".stripMargin,
+
+    // q183: same cross-multiplied integer predicate (5*qty*n < sum),
+    // avg restricted to the brand's parts on both sides
+    "q183_small_qty_revenue" ->
+      """WITH lb AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |a AS (
+        |  SELECT l_partkey AS a_partkey,
+        |    CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |    CAST(count(*) AS BIGINT) AS n_li
+        |  FROM lb GROUP BY 1)
+        |SELECT round(sum(l_extendedprice), 2) AS total_revenue,
+        |  CAST(count(*) AS BIGINT) AS n_small
+        |FROM lb JOIN a ON l_partkey = a_partkey
+        |WHERE 5 * qty * n_li < sum_qty""".stripMargin,
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length

@@ -190,4 +190,59 @@ class JoinsSpec extends SparkSpec {
       .count()
     assert(capped == 0L)
   }
+
+  test("q182 custdist: outer join preserves zero-order customers; " +
+    "distribution conserves the customer count") {
+    val dist = SparkEntry.queries("q182_custdist")(spark, Sf0001)
+      .as[(Long, Long)].collect().toMap
+    val nCust = spark.read
+      .parquet(s"$Sf0001/customer.parquet").count()
+    assert(dist.values.sum == nCust) // every customer in exactly 1 bucket
+    // order conservation: Σ c_count·custdist = the non-urgent order
+    // count (the synthetic generator gives every customer orders, so
+    // the zero bucket that motivates the OUTER join is empty at this
+    // sf — conservation still breaks if the join type flips, because
+    // an inner join can only be detected once buckets go missing;
+    // both scalars together pin the whole distribution)
+    val nOrd = spark.read.parquet(s"$Sf0001/orders.parquet")
+      .filter($"o_orderpriority" =!= "1-URGENT").count()
+    assert(dist.map { case (c, n) => c * n }.sum == nOrd)
+
+    // fixture dir with a zero-order customer and an all-URGENT
+    // customer: both must land in the 0 bucket (an inner join, or the
+    // priority filter demoted to a WHERE, loses them)
+    val fix = java.nio.file.Files
+      .createTempDirectory("graft_q182_fix").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$fix/customer.parquet")
+    Seq((10L, 1L, "5-LOW"), (11L, 1L, "1-URGENT"), (12L, 3L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$fix/orders.parquet")
+    val fdist = SparkEntry.queries("q182_custdist")(spark, fix)
+      .as[(Long, Long)].collect().toMap
+    assert(fdist == Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("q183 small-qty: part dim broadcasts; predicate is the exact " +
+    "integer cross-multiplication") {
+    val df = SparkEntry.queries("q183_small_qty_revenue")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty, plan)
+    val (rev, n) = df.as[(Double, Long)].collect().head
+    assert(n > 0 && rev > 0)
+    // replay the decorrelated predicate row-by-row on the driver
+    val li = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf0001/part.parquet")
+        .filter($"p_brand" === "Brand#23"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity".cast("long"))
+      .as[(Long, Long)].collect()
+    val byPart = li.groupBy(_._1)
+    val expected = li.count { case (pk, q) =>
+      val qs = byPart(pk).map(_._2)
+      5L * q * qs.length < qs.sum
+    }
+    assert(n == expected)
+  }
 }
