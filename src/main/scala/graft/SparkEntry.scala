@@ -4922,7 +4922,7 @@ object SparkEntry {
         |    CAST(round($QualityScoreSql * 1000000) AS BIGINT) AS s
         |  FROM base),
         |b AS (
-        |  SELECT CAST(least((s - 480000) // 10000, 9) AS BIGINT) AS bin,
+        |  SELECT CAST(greatest(least((s - 480000) // 10000, 9), 0) AS BIGINT) AS bin,
         |    y, s
         |  FROM sc)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,

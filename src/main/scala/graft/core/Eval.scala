@@ -55,7 +55,12 @@ object Eval {
         sum("nn").as("n_neg"),
         sum(expr("2 * np * cum_nn + np * nn")).as("num2"))
       .select(col("n_pos"), col("n_neg"),
-        expr("num2 * 1000000 DIV (2 * n_pos * n_neg)").as("auc_micro"))
+        // single-class input (n_pos or n_neg = 0) leaves AUC undefined:
+        // emit an explicit NULL instead of a silent ANSI-dependent
+        // div-by-zero (null with ANSI off, exception with it on)
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN num2 * 1000000 DIV (2 * n_pos * n_neg) END""")
+          .as("auc_micro"))
   }
 
   /** Reliability (calibration) bins: the score axis [lo, hi] (micro
@@ -63,7 +68,9 @@ object Eval {
     * positive count, exact positive rate and the score mass — the
     * table a calibration curve is drawn from. Scores at the top edge
     * fold into the last bin (right-closed), matching every plotting
-    * convention. ONE aggregation; nBins rows out.
+    * convention; scores below `loMicro` symmetrically fold into bin 0,
+    * so every input row lands in exactly one of the nBins cells.
+    * ONE aggregation; nBins rows out.
     */
   def calibrationBins(df: DataFrame, scoreMicro: Column, label: Column,
                       loMicro: Long, hiMicro: Long, nBins: Int): DataFrame = {
@@ -72,7 +79,7 @@ object Eval {
       s"[$loMicro,$hiMicro] must split evenly into $nBins bins")
     df.select(scoreMicro.cast("long").as("s"), label.as("y"))
       .withColumn("bin",
-        expr(s"least((s - (${loMicro}L)) DIV ${width}L, ${nBins - 1}L)"))
+        expr(s"greatest(least((s - (${loMicro}L)) DIV ${width}L, ${nBins - 1}L), 0L)"))
       .groupBy("bin")
       .agg(
         count(lit(1)).as("n_docs"),

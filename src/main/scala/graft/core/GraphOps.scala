@@ -28,6 +28,16 @@ object GraphOps {
   /** Integer PageRank over a directed edge list (duplicates ignored);
     * damping fixed at 0.85 in integer percent. Returns (v, r) for
     * every vertex appearing in any edge.
+    *
+    * Dangling-vertex note: vertices with no out-edges contribute
+    * nothing back each iteration (their mass is DROPPED, not
+    * redistributed uniformly as in the original PageRank paper), so
+    * rank totals deflate on general digraphs with sinks. This is
+    * intentional for the [[textrankKeywords]] consumer — its co-occurrence
+    * graph is symmetrized, so every vertex has out-edges and the two
+    * formulations coincide. Callers ranking general directed graphs
+    * who need conserved mass should add self-loops for sinks or
+    * normalize ranks after the fact.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, initPico: Long = 1000000000000L): DataFrame = {

@@ -38,7 +38,10 @@ object ScalarQuantizer {
 
   /** One scan, 2·dim codegen'd aggregates. Mins/maxs of the float
     * column cast to double are exact, so an external engine fitting
-    * over the same rows lands on identical model values.
+    * over the same rows lands on identical model values. Fails fast
+    * (with the offending dimension) on an empty input or an all-null
+    * dimension — a silent NULL range would otherwise surface later as
+    * an NPE or as garbage codes.
     */
   def fit(emb: DataFrame, dim: Int = 64, vecCol: String = "embedding"): SQModel = {
     val aggs = (0 until dim).flatMap { d =>
@@ -46,6 +49,11 @@ object ScalarQuantizer {
         max(element_at(col(vecCol), d + 1).cast("double")).as(s"__mx_$d"))
     }
     val row = emb.agg(aggs.head, aggs.tail: _*).head()
+    (0 until dim).foreach { d =>
+      require(!row.isNullAt(2 * d) && !row.isNullAt(2 * d + 1),
+        s"SQ fit: dimension $d has no non-null values " +
+          "(empty input or all-null dimension)")
+    }
     SQModel(
       Array.tabulate(dim)(d => row.getDouble(2 * d)),
       Array.tabulate(dim)(d => row.getDouble(2 * d + 1)))
@@ -84,15 +92,19 @@ object ScalarQuantizer {
   /** Asymmetric top-k over the encoded corpus: full-precision queries
     * broadcast against one scan of (codes, norm) rows; cosine =
     * seq-fold dot(query, decoded) / (exact q-norm · stored c-norm).
-    * Rank ties break on neighbor id.
+    * Rank ties break on neighbor id. Zero-norm rows (on either side)
+    * have no defined cosine — they are filtered out rather than
+    * emitting NaN scores that would rank nondeterministically.
     */
   def adcTopK(queries: DataFrame, encoded: DataFrame, model: SQModel, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       Similarity.norm(col(vecCol)).as("q_n"))
+      .filter(col("q_n") > 0.0)
     val scored = encoded
       .select(col(idCol).as("neighbor_id"),
         decodeExpr(col("codes"), model).as("dec"), col("norm"))
+      .filter(col("norm") > 0.0)
       .crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",

@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   * register a table only while it is being maintained for that
   * source ([[graft.sources.IncrementalRollup.upsertDaily]] per
   * batch). Registrations are head-first — re-registering a source
-  * shadows the older entry.
+  * shadows the older entry. The registry is process-global (it
+  * outlives sessions sharing the JVM): call [[clear]] — or
+  * re-register — when a source stops being maintained, exactly as
+  * you would DROP a stale MV.
   *
   * Inject per session via `spark.experimental.extraOptimizations`
   * (runtime, any session — the q48 pattern) or through
@@ -42,8 +45,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   @volatile private var entries: List[(LogicalPlan, String)] = Nil
   // re-entrancy latch: register() and the replacement build both run
-  // the optimizer, which would run THIS rule
-  @volatile private var building: Boolean = false
+  // the optimizer, which would run THIS rule. Per-THREAD, not a
+  // process-global flag: concurrent optimizer runs on other threads
+  // must still see the rule active, and one thread's `finally` must
+  // never clear a latch another thread set mid-build.
+  private val building = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
 
   /** Register `rollupTable` as the maintained daily rollup of
     * `source` (same tsCol/valueCol the maintainer uses). Captures the
@@ -57,26 +65,26 @@ object RollupRewrite extends Rule[LogicalPlan] {
       .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long"))
           .as("total_micro"),
         count(lit(1)).as("n"))
-    building = true
+    building.set(true)
     val plan = try canonical.queryExecution.optimizedPlan
-      finally building = false
+      finally building.set(false)
     entries = (plan, rollupTable) :: entries
   }
 
   def clear(): Unit = entries = Nil
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (entries.isEmpty || building) plan
+    if (entries.isEmpty || building.get()) plan
     else plan.transformUp {
       case agg: Aggregate =>
         entries.find(_._1.sameResult(agg)) match {
           case Some((_, table)) =>
             val spark = SparkSession.active
-            building = true
+            building.set(true)
             val repl =
               try graft.sources.IncrementalRollup.readDaily(spark, table)
                 .queryExecution.optimizedPlan
-              finally building = false
+              finally building.set(false)
             // the view's (d, total_micro, n) onto the aggregate's own
             // attributes: positional, because sameResult-equal plans
             // have result-equal output order

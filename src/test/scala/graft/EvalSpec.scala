@@ -42,6 +42,27 @@ class EvalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rocAuc: single-class input yields NULL auc, not div-by-zero") {
+    val allPos = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val r = Eval.rocAuc(allPos, col("s"), col("y"))
+      .select("n_pos", "n_neg", "auc_micro").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+    val allNeg = Seq((1L, false), (2L, false)).toDF("s", "y")
+    assert(Eval.rocAuc(allNeg, col("s"), col("y"))
+      .select("auc_micro").head().isNullAt(0))
+  }
+
+  test("calibrationBins: out-of-range scores clamp into the edge bins " +
+      "on BOTH sides") {
+    // range [10, 20) micro, 5 bins: s=3 (below lo) -> bin 0,
+    // s=25 (above hi) -> bin 4; no negative or >4 bin ids ever
+    val df = Seq((3L, true), (11L, false), (25L, false)).toDF("s", "y")
+    val got = Eval.calibrationBins(df, col("s"), col("y"), 10L, 20L, 5)
+      .select("bin", "n_docs", "n_pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, 1L), (4L, 1L, 0L)))
+  }
+
   test("calibrationBins: hand-built cells, top edge folds into last bin") {
     // range [0, 10) micro, 5 bins of width 2
     val df = Seq((0L, false), (1L, true), (2L, true), (9L, true),

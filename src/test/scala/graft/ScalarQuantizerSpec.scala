@@ -81,4 +81,24 @@ class ScalarQuantizerSpec extends SparkSpec {
       .select("r").as[Seq[Int]].collect()
     assert(ranks.forall(_.sorted == Seq(1, 2, 3, 4, 5)))
   }
+
+  test("fit fails fast on empty input; adcTopK drops zero-norm rows " +
+      "instead of emitting NaN cosines") {
+    val empty = vecs(n = 0)
+    val e = intercept[IllegalArgumentException](ScalarQuantizer.fit(empty, dim = 8))
+    assert(e.getMessage.contains("dimension 0"))
+    // corpus with one zero vector: it must never appear as a neighbor,
+    // and as a query it produces no rows (cosine undefined, not NaN)
+    val zero = Seq((999L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val df = vecs(n = 20).unionByName(zero)
+    val m = ScalarQuantizer.fit(df, dim = 8)
+    val enc = ScalarQuantizer.encode(df, m)
+    val out = ScalarQuantizer.adcTopK(df.filter(col("vec_id").isin(0L, 999L)),
+      enc, m, k = 5)
+    val byQ = out.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1)
+    assert(!byQ.contains(999L), "zero-norm query must yield no rows")
+    assert(byQ(0L).forall(_._2 != 999L), "zero-norm neighbor must be dropped")
+    assert(out.filter(col("cosine").isNaN).count() == 0)
+  }
 }
