@@ -254,7 +254,15 @@ object ScaleProbe {
       "q181_local_supplier_volume",
       // q182 = outer join + two-level agg; q183 = broadcast-filtered
       // fact self-agg join (both one fact shuffle)
-      "q182_custdist", "q183_small_qty_revenue")
+      "q182_custdist", "q183_small_qty_revenue",
+      // q184/q186 = one fact scan + broadcast dim; q185/q189 = fact
+      // agg + one-row broadcast threshold; q187/q188 = facts meet on
+      // one shuffled key, dims broadcast; q190 = dim-sized anti join;
+      // q191 = per-order agg + join back (two fact shuffles)
+      "q184_promo_share", "q185_top_supplier", "q186_disjunctive_join",
+      "q187_nation_volume", "q188_market_share",
+      "q189_part_concentration", "q190_dormant_rich",
+      "q191_lone_return_supplier")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

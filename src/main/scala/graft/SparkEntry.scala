@@ -2720,6 +2720,194 @@ object SparkEntry {
           "5 * CAST(l_quantity AS BIGINT) * n_li < sum_qty"))
         .agg(round(sum(col("l_extendedprice")), 2).as("total_revenue"),
           count(lit(1)).as("n_small"))
+    }),
+
+    // TPC-H Q14-shape promo revenue share: conditional aggregation
+    // (the CASE-inside-sum ratio pattern) over one shipdate year; the
+    // part dim broadcasts, so the whole query is ONE fact scan + a
+    // single-row aggregate — no shuffle wider than the final combine
+    "q184_promo_share" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1997-01-01'")
+          && expr("CAST(l_shipdate AS DATE) < DATE '1998-01-01'"))
+      val rev = expr("l_extendedprice * (1 - l_discount)")
+      li.join(broadcast(Tables.load(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+            .as("pr"),
+          sum(rev).as("tr"))
+        .select(round(col("pr"), 2).as("promo_revenue"),
+          round(col("tr"), 2).as("total_revenue"),
+          round(col("pr") * lit(100) / col("tr"), 2).as("promo_share"))
+    }),
+
+    // TPC-H Q15-shape top supplier: the revenue "view" (per-supplier
+    // quarter aggregate) self-thresholded by its own max — max-
+    // equality via a broadcast one-row join, not a global sort. The
+    // per-supplier sums round to cents BEFORE the max-compare so both
+    // engines compare on the same lattice (the q01 round-after-sum
+    // convention applied to a comparison)
+    "q185_top_supplier" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1997-01-01'")
+          && expr("CAST(l_shipdate AS DATE) < DATE '1997-04-01'"))
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.join(broadcast(mx), col("total_rev") === col("mx"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    }),
+
+    // TPC-H Q19-shape disjunctive predicates: OR-of-ANDs mixing part
+    // attributes (brand, size) with fact attributes (quantity) INSIDE
+    // the join condition — the planner must still broadcast the dim
+    // and evaluate the residual disjunction post-probe, never expand
+    // to a cross product
+    "q186_disjunctive_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30))
+      li.join(broadcast(part),
+          col("l_partkey") === col("p_partkey") && cond)
+        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q7-shape bilateral shipping volume: supplier nation ×
+    // customer nation pairs for two years — nation joined TWICE under
+    // different roles (both broadcast), the pair filter keeps only
+    // the two directed lanes, grouping adds the shipment year
+    "q187_nation_volume" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1996-01-01'")
+          && expr("CAST(l_shipdate AS DATE) < DATE '1998-01-01'"))
+      val ord = Tables.load(s, dir, "orders")
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(
+          (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
+          .as("volume"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q8-shape market share: one supplier nation's slice of a
+    // region's order revenue per year — the conditional-aggregation
+    // ratio GROUPED (q184's pattern + a dimension), nation joined in
+    // both roles, region restricting the CUSTOMER side only
+    "q188_market_share" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("CAST(o_orderdate AS DATE) >= DATE '1996-01-01'")
+          && expr("CAST(o_orderdate AS DATE) < DATE '1998-01-01'"))
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_regionkey"))
+      val reg = Tables.load(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val rev = expr("l_extendedprice * (1 - l_discount)")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0.0)))
+            .as("nr"),
+          sum(rev).as("tr"),
+          count(lit(1)).as("n_items"))
+        .select(col("o_year"), col("n_items"),
+          round(col("tr"), 2).as("total_revenue"),
+          round(col("nr") * lit(100) / col("tr"), 2).as("mkt_share"))
+    }),
+
+    // TPC-H Q11-shape value concentration: parts whose revenue
+    // exceeds a FRACTION OF THE GLOBAL TOTAL — the scalar-subquery
+    // HAVING, decorrelated into a broadcast one-row threshold join.
+    // Both the per-part values and the threshold round to cents
+    // before the strict > so the comparison runs on the same lattice
+    // in both engines
+    "q189_part_concentration" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val rev = expr("l_extendedprice * (1 - l_discount)")
+      val pv = li.groupBy(col("l_partkey"))
+        .agg(round(sum(rev), 2).as("part_value"))
+      val thr = li.agg(
+        round(sum(rev) * lit(0.00075), 2).as("thr"))
+      pv.crossJoin(broadcast(thr))
+        .filter(col("part_value") > col("thr"))
+        .select(col("l_partkey"), col("part_value"))
+    }),
+
+    // TPC-H Q22-shape dormant high-balance customers: above the
+    // positive-balance average (broadcast scalar threshold) with NO
+    // order in the trailing year (left-anti join), rolled up by
+    // market segment — scalar subquery + anti join + aggregate in one
+    // plan
+    "q190_dormant_rich" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("thr"))
+      val recent = Tables.load(s, dir, "orders")
+        .filter(expr("CAST(o_orderdate AS DATE) >= DATE '2000-07-01'"))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+    }),
+
+    // TPC-H Q21-shape lone-fault supplier: in finished multi-supplier
+    // orders, the supplier whose lines were the ONLY returned ones —
+    // the EXISTS/NOT-EXISTS pair reformulated as one per-order
+    // aggregate (n_supp ≥ 2, exactly one returning supplier) joined
+    // back to the returning lines; numwait = distinct such orders per
+    // supplier. Aggregation-based decorrelation scales where
+    // correlated per-row subqueries cannot
+    "q191_lone_return_supplier" -> ((s, dir) => {
+      val ordF = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val li = Tables.load(s, dir, "lineitem")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      val per = li.groupBy(col("l_orderkey").as("p_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_r"))
+        .filter(col("n_supp") >= 2 && col("n_r") === 1)
+      li.filter(col("l_returnflag") === "R")
+        .join(per, col("l_orderkey") === col("p_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
     })
   )
 
@@ -3822,6 +4010,145 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_small
         |FROM lb JOIN a ON l_partkey = a_partkey
         |WHERE 5 * qty * n_li < sum_qty""".stripMargin,
+
+    // q184: the conditional-aggregation ratio; round only at the
+    // final projection on BOTH sides (q01 convention)
+    "q184_promo_share" ->
+      """WITH a AS (
+        |  SELECT
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS pr,
+        |    sum(l_extendedprice * (1 - l_discount)) AS tr
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01')
+        |SELECT round(pr, 2) AS promo_revenue,
+        |  round(tr, 2) AS total_revenue,
+        |  round(pr * 100 / tr, 2) AS promo_share
+        |FROM a""".stripMargin,
+
+    // q185: per-supplier sums round to cents BEFORE the max-equality
+    // so both engines compare on the same lattice
+    "q185_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM r)""".stripMargin,
+
+    // q186: the OR-of-ANDs disjunction verbatim
+    "q186_disjunctive_join" ->
+      """SELECT
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // q187: nation in both roles, the two directed lanes, shipment
+    // year as BIGINT on both sides
+    "q187_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q188: grouped conditional-aggregation ratio; region restricts
+    // the customer side only
+    "q188_market_share" ->
+      """WITH a AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |    sum(CASE WHEN n1.n_name = 'NATION_5'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS nr,
+        |    sum(l_extendedprice * (1 - l_discount)) AS tr,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT o_year, n_items, round(tr, 2) AS total_revenue,
+        |  round(nr * 100 / tr, 2) AS mkt_share
+        |FROM a""".stripMargin,
+
+    // q189: per-part values and the global threshold BOTH round to
+    // cents before the strict > (nearest part sits ~$800 off the
+    // threshold at sf0.01 — no boundary sensitivity)
+    "q189_part_concentration" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT round(sum(l_extendedprice * (1 - l_discount)) * 0.00075, 2)
+        |    AS thr
+        |  FROM lineitem)
+        |SELECT l_partkey, part_value
+        |FROM pv, t WHERE part_value > thr""".stripMargin,
+
+    // q190: scalar positive-balance average + NOT EXISTS trailing-
+    // year order, rolled up by segment
+    "q190_dormant_rich" ->
+      """WITH thr AS (
+        |  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '2000-07-01')
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer, thr
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM recent
+        |                  WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    // q191: the EXISTS/NOT-EXISTS pair as the same per-order
+    // aggregate decorrelation the Spark side runs
+    "q191_lone_return_supplier" ->
+      """WITH lif AS (
+        |  SELECT l_orderkey, l_suppkey, l_returnflag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per AS (
+        |  SELECT l_orderkey AS p_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R'
+        |          THEN l_suppkey END) AS n_r
+        |  FROM lif GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS numwait
+        |FROM lif
+        |JOIN per ON l_orderkey = p_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_returnflag = 'R' AND n_supp >= 2 AND n_r = 1
+        |GROUP BY 1, 2""".stripMargin,
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length
