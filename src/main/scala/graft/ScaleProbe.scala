@@ -262,7 +262,12 @@ object ScaleProbe {
       "q184_promo_share", "q185_top_supplier", "q186_disjunctive_join",
       "q187_nation_volume", "q188_market_share",
       "q189_part_concentration", "q190_dormant_rich",
-      "q191_lone_return_supplier")
+      "q191_lone_return_supplier",
+      // q192 = one codegen'd pass + unpivot; q193 = grouped user agg
+      // + lattice quartiles; q194 = user-partitioned lead window;
+      // q195 = per-type ordered fold
+      "q192_rule_source_matrix", "q193_rfm_segments",
+      "q194_markov_transitions", "q195_holt_smoothing")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -2908,6 +2908,147 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(countDistinct(col("l_orderkey")).as("numwait"))
+    }),
+
+    // per-(source, rule) quality pass-rate matrix — the q177 Gopher
+    // battery rolled up the way a dataset card reports it: which rule
+    // gates which source. One codegen'd pass + a stack unpivot; the
+    // matrix is sources × 5 rules = model-size output
+    "q192_rule_source_matrix" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("n_words", size(t).cast("long"))
+        .withColumn("n_wchars",
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+        .withColumn("n_stop", size(filter(t, w =>
+          array_contains(array(TextAnalysis.StopWords.map(lit): _*), w)))
+          .cast("long"))
+        .withColumn("n_unique", size(array_distinct(t)).cast("long"))
+        .withColumn("n_short",
+          size(filter(t, w => length(w) === 1)).cast("long"))
+        .withColumn("r_len",
+          col("n_words") >= 30 && col("n_words") <= 100000)
+        .withColumn("r_mwl",
+          col("n_wchars") >= col("n_words") * 3
+            && col("n_wchars") <= col("n_words") * 10)
+        .withColumn("r_stop", col("n_stop") >= 2)
+        .withColumn("r_uniq",
+          expr("n_unique * 1000000 DIV n_words") >= 300000L)
+        .withColumn("r_short", col("n_short") * 10 <= col("n_words"))
+        .selectExpr("source",
+          """stack(5, 'r_len', r_len, 'r_mwl', r_mwl, 'r_stop', r_stop,
+            |'r_uniq', r_uniq, 'r_short', r_short) AS (rule, pass)"""
+            .stripMargin)
+        .groupBy(col("source"), col("rule"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("pass_micro", expr("n_pass * 1000000 DIV n_docs"))
+    }),
+
+    // RFM segmentation (product analytics): per-user recency /
+    // frequency / monetary, each cut at discrete quartiles derived
+    // from DISTINCT-VALUE cumulative counts (the rocAuc lattice
+    // pattern — boundaries come from grouped counts over the bounded
+    // value lattice, never a corpus-wide sort), then the 4×4×4
+    // segment census. All integer: recency in days, monetary on the
+    // micro lattice; cum*4 >= nu*k is ceil(k·nu/4) without division
+    "q193_rfm_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val u = ev.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+            .as("m_micro"))
+      val gl = u.agg(max(col("last_d")).as("maxd"),
+        count(lit(1)).as("nu"))
+      val r = u.crossJoin(broadcast(gl))
+        .withColumn("r_days",
+          datediff(col("maxd"), col("last_d")).cast("long"))
+      def quartiles(c: String) = {
+        val byV = r.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(gl.select(col("nu"))))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        byV.withColumn("cum", sum("cnt").over(w))
+          .agg(
+            min(when(col("cum") * 4 >= col("nu"), col("v")))
+              .as(s"${c}_q1"),
+            min(when(col("cum") * 4 >= col("nu") * 2, col("v")))
+              .as(s"${c}_q2"),
+            min(when(col("cum") * 4 >= col("nu") * 3, col("v")))
+              .as(s"${c}_q3"))
+      }
+      def seg(c: String) =
+        (lit(1) + (col(c) > col(s"${c}_q1")).cast("int")
+          + (col(c) > col(s"${c}_q2")).cast("int")
+          + (col(c) > col(s"${c}_q3")).cast("int")).cast("long")
+      r.crossJoin(broadcast(quartiles("r_days")))
+        .crossJoin(broadcast(quartiles("f")))
+        .crossJoin(broadcast(quartiles("m_micro")))
+        .select(seg("r_days").as("r_seg"), seg("f").as("f_seg"),
+          seg("m_micro").as("m_seg"))
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // first-order Markov transition matrix over per-user event
+    // streams: (type → next type) counts from one lead window
+    // (user-partitioned — scales with users), probabilities as exact
+    // integer micro shares of each from-type's row. The
+    // next-event-prediction / funnel-free flow card
+    "q194_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val wf = Window.partitionBy("from_type")
+      pairs.withColumn("from_total", sum("n_trans").over(wf))
+        .withColumn("p_micro", expr("n_trans * 1000000 DIV from_total"))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          col("from_total"), col("p_micro"))
+    }),
+
+    // Holt double exponential smoothing (level + trend) per event
+    // type, α=1/2 β=1/4 — the q158 EWMA upgraded with a trend state.
+    // Daily sums land on the exact micro lattice first; the two-state
+    // recursion is an ORDERED fold in date order with dyadic
+    // coefficients, so every step is the same correctly-rounded IEEE
+    // op sequence in both engines (the q165 discipline with a
+    // 2-vector state). b is written 0.125·(x−l+b)+0.75·b — the
+    // algebraically-equal form that avoids repeating the l-update
+    // subexpression inside the same struct (DuckDB's lambda engine
+    // mis-binds the duplicated reference; its oracle replays the
+    // recursion as a recursive CTE instead)
+    "q195_holt_smoothing" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+          .as("x_micro"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("d"), col("x_micro"))))
+          .as("os"))
+        .withColumn("xs",
+          expr("transform(os, e -> CAST(e.x_micro AS DOUBLE))"))
+        .withColumn("n_days", size(col("xs")).cast("long"))
+        .filter(col("n_days") >= 2)
+        .withColumn("hb", expr(
+          """aggregate(slice(xs, 2, size(xs) - 1),
+            |  named_struct('l', element_at(xs, 1), 'b', CAST(0.0 AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'l', 0.5D * x + 0.5D * (acc.l + acc.b),
+            |    'b', 0.125D * (x - acc.l + acc.b) + 0.75D * acc.b))"""
+            .stripMargin))
+        .select(col("event_type"), col("n_days"),
+          round(expr("hb.l / 1000000.0"), 6).as("level"),
+          round(expr("hb.b / 1000000.0"), 6).as("trend"),
+          round(expr("(hb.l + hb.b) / 1000000.0"), 6).as("forecast_1"))
     })
   )
 
@@ -4149,6 +4290,155 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE l_returnflag = 'R' AND n_supp >= 2 AND n_r = 1
         |GROUP BY 1, 2""".stripMargin,
+
+    // q192: the q177 rule battery kept per source, UNION-ALL unpivot,
+    // exact integer pass shares
+    "q192_rule_source_matrix" ->
+      """WITH base AS (
+        |  SELECT source, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+        |      AS n_wchars,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it'], x))) AS BIGINT)
+        |      AS n_stop,
+        |    CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+        |    CAST(len(list_filter(t, x -> length(x) = 1)) AS BIGINT)
+        |      AS n_short
+        |  FROM base),
+        |r AS (
+        |  SELECT source,
+        |    (n_words >= 30 AND n_words <= 100000) AS r_len,
+        |    (n_wchars >= n_words * 3 AND n_wchars <= n_words * 10) AS r_mwl,
+        |    (n_stop >= 2) AS r_stop,
+        |    (n_unique * 1000000 // n_words >= 300000) AS r_uniq,
+        |    (n_short * 10 <= n_words) AS r_short
+        |  FROM f),
+        |un AS (
+        |  SELECT source, 'r_len' AS rule, r_len AS pass FROM r
+        |  UNION ALL SELECT source, 'r_mwl', r_mwl FROM r
+        |  UNION ALL SELECT source, 'r_stop', r_stop FROM r
+        |  UNION ALL SELECT source, 'r_uniq', r_uniq FROM r
+        |  UNION ALL SELECT source, 'r_short', r_short FROM r)
+        |SELECT source, rule, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS pass_micro
+        |FROM un GROUP BY 1, 2""".stripMargin,
+
+    // q193: identical distinct-value cumulative quartiles (cum*4 >=
+    // nu*k), identical integer segment assignment
+    "q193_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS m_micro
+        |  FROM events GROUP BY 1),
+        |gl AS (
+        |  SELECT max(last_d) AS maxd, CAST(count(*) AS BIGINT) AS nu
+        |  FROM u),
+        |r AS (
+        |  SELECT u.*, CAST(date_diff('day', last_d, maxd) AS BIGINT)
+        |    AS r_days
+        |  FROM u, gl),
+        |qr AS (
+        |  SELECT min(CASE WHEN cum * 4 >= nu THEN v END) AS q1,
+        |    min(CASE WHEN cum * 4 >= nu * 2 THEN v END) AS q2,
+        |    min(CASE WHEN cum * 4 >= nu * 3 THEN v END) AS q3
+        |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, nu
+        |        FROM (SELECT r_days AS v, count(*) AS cnt FROM r
+        |              GROUP BY 1), gl)),
+        |qf AS (
+        |  SELECT min(CASE WHEN cum * 4 >= nu THEN v END) AS q1,
+        |    min(CASE WHEN cum * 4 >= nu * 2 THEN v END) AS q2,
+        |    min(CASE WHEN cum * 4 >= nu * 3 THEN v END) AS q3
+        |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, nu
+        |        FROM (SELECT f AS v, count(*) AS cnt FROM r
+        |              GROUP BY 1), gl)),
+        |qm AS (
+        |  SELECT min(CASE WHEN cum * 4 >= nu THEN v END) AS q1,
+        |    min(CASE WHEN cum * 4 >= nu * 2 THEN v END) AS q2,
+        |    min(CASE WHEN cum * 4 >= nu * 3 THEN v END) AS q3
+        |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, nu
+        |        FROM (SELECT m_micro AS v, count(*) AS cnt FROM r
+        |              GROUP BY 1), gl))
+        |SELECT
+        |  CAST(1 + (CASE WHEN r_days > qr.q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r_days > qr.q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r_days > qr.q3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS r_seg,
+        |  CAST(1 + (CASE WHEN f > qf.q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN f > qf.q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN f > qf.q3 THEN 1 ELSE 0 END) AS BIGINT) AS f_seg,
+        |  CAST(1 + (CASE WHEN m_micro > qm.q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN m_micro > qm.q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN m_micro > qm.q3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS m_seg,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM r, qr, qf, qm
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q194: one lead window ordered (ts, event_id) per user, exact
+    // integer micro shares; positive operands so DIV == //
+    "q194_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS from_total,
+        |  CAST(n_trans * 1000000
+        |    // (sum(n_trans) OVER (PARTITION BY from_type)) AS BIGINT)
+        |    AS p_micro
+        |FROM c""".stripMargin,
+
+    // q195: the two-state recursion as a recursive CTE (DuckDB's
+    // lambda engine mis-binds a struct field referenced while the
+    // same name is being rebuilt, so no list_reduce here); identical
+    // dyadic-coefficient IEEE sequence as the Spark fold
+    "q195_holt_smoothing" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, d, x,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |nd AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, i, CAST(x AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT nx.event_type, nx.i,
+        |    CAST(0.5 AS DOUBLE) * CAST(nx.x AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS l,
+        |    CAST(0.125 AS DOUBLE) * (CAST(nx.x AS DOUBLE) - r.l + r.b)
+        |      + CAST(0.75 AS DOUBLE) * r.b AS b
+        |  FROM rec r JOIN idx nx
+        |    ON nx.event_type = r.event_type AND nx.i = r.i + 1)
+        |SELECT rec.event_type, n_days,
+        |  round(l / 1000000.0, 6) AS level,
+        |  round(b / 1000000.0, 6) AS trend,
+        |  round((l + b) / 1000000.0, 6) AS forecast_1
+        |FROM rec JOIN nd ON rec.event_type = nd.event_type
+        |WHERE i = n_days AND n_days >= 2""".stripMargin,
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q192–q195: the rule/source matrix, RFM segmentation, Markov
+  * transitions and Holt smoothing — consistency against independent
+  * replays and fixtures engineered to break wrong formulations
+  * (tie-ordering, quartile edges, trend sign).
+  */
+class AnalyticsShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_ashapes").toString
+  private def rm(dir: String): Unit =
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+
+  test("q192 rule/source matrix: consistent with the q177 per-doc battery") {
+    val matrix = SparkEntry.queries("q192_rule_source_matrix")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val docs = SparkEntry.queries("q177_gopher_gate")(spark, Sf0001)
+    val src = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", $"source")
+    val j = docs.join(src, "doc_id").collect()
+    val rules = Seq("r_len", "r_mwl", "r_stop", "r_uniq", "r_short")
+    val expected = j.flatMap { r =>
+      rules.map(rule => (r.getAs[String]("source"), rule) ->
+        (if (r.getAs[Boolean](rule)) 1L else 0L))
+    }.groupBy(_._1).map { case (k, v) => k -> ((v.length.toLong, v.map(_._2).sum)) }
+    assert(matrix == expected)
+    // share arithmetic: micro = pass * 1e6 DIV docs
+    SparkEntry.queries("q192_rule_source_matrix")(spark, Sf0001)
+      .collect().foreach { r =>
+        assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2))
+      }
+  }
+
+  test("q193 RFM: hand-built 8-user census lands each user in the " +
+      "hand-computed quartile cell; census conserves users") {
+    // 8 users; recency days 0..7 (maxd = day of user h), f = 1 for all
+    // (degenerate metric -> everyone f_seg 1..?), m distinct
+    val rows = (0 until 8).flatMap { u =>
+      // user u: last event on day (20 - u) -> r_days = u after max
+      // m_micro = (u+1) * 1_000_000; f = u % 2 + 1 events
+      val base = Seq((s"u$u", s"2024-01-${20 - u} 10:00:00",
+        (u + 1).toDouble, s"e${u}a"))
+      val extra = if (u % 2 == 1)
+        Seq((s"u$u", s"2024-01-${20 - u} 11:00:00", 0.0, s"e${u}b"))
+      else Nil
+      base ++ extra
+    }
+    val ev = rows.toDF("user_id", "tss", "value", "event_id")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("event_type", lit("x")).drop("tss")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q193_rfm_segments")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._4).sum == 8L) // census conserves users
+    // quartile boundaries on r_days = {0..7}: ceil(8k/4)-th distinct
+    // cumulative -> q1=1, q2=3, q3=5; seg(0)=1, seg(7)=4
+    // f has two distinct values {1, 2} with 4 users each: q1=1 q2=1
+    // q3=2 -> f=1 -> seg 1, f=2 -> seg 3
+    val fSegs = got.map(_._2).distinct.sorted
+    assert(fSegs.toSeq == Seq(1L, 3L))
+    // r_seg of the user with r_days=0 must be 1 and r_days=7 must be 4
+    // (m increases with u as r does, so check via joint cells)
+    assert(got.exists(r => r._1 == 1L && r._4 > 0))
+    assert(got.exists(r => r._1 == 4L && r._4 > 0))
+    rm(dir)
+  }
+
+  test("q194 Markov: same-timestamp ties break on event_id; shares are " +
+      "exact micro integers; from_total conserves transitions") {
+    val ev = Seq(
+      // user A: a -> b -> a (b,a share ts; event_id breaks the tie)
+      ("A", "2024-01-01 10:00:00", "a", 1L),
+      ("A", "2024-01-01 10:05:00", "b", 2L),
+      ("A", "2024-01-01 10:05:00", "a", 3L),
+      // user B: a -> b
+      ("B", "2024-01-01 09:00:00", "a", 4L),
+      ("B", "2024-01-01 09:30:00", "b", 5L)
+    ).toDF("user_id", "tss", "event_type", "event_id")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("value", lit(1.0)).drop("tss")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q194_markov_transitions")(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // transitions: A: a->b, b->a; B: a->b  => from a: b:2/2; from b: a:1/1
+    assert(got == Map(
+      ("a", "b") -> ((2L, 2L, 1000000L)),
+      ("b", "a") -> ((1L, 1L, 1000000L))))
+    rm(dir)
+  }
+
+  test("q195 Holt: driver-side recursion replay matches; constant " +
+      "series has zero trend; increasing ramp has positive trend") {
+    val days = (1 to 10).map(d => f"2024-01-$d%02d 12:00:00")
+    val ev = days.zipWithIndex.flatMap { case (ts, i) =>
+      Seq(("flat", ts, 5.0, i.toLong * 2),
+        ("ramp", ts, 1.0 + i, i.toLong * 2 + 1))
+    }.toDF("event_type", "tss", "value", "event_id")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("user_id", lit("u")).drop("tss")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q195_holt_smoothing")(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // driver-side replay of the exact recursion on the micro lattice
+    def holt(xs: Seq[Double]): (Double, Double) = {
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val l1 = 0.5 * x + 0.5 * (l + b)
+        b = 0.125 * (x - l + b) + 0.75 * b
+        l = l1
+      }
+      (l, b)
+    }
+    def micro(v: Double): Double = math.floor(v * 1000000.0)
+    val (lf, bf) = holt(days.indices.map(_ => micro(5.0)))
+    assert(got("flat")._1 == 10L)
+    assert(math.abs(got("flat")._2 - math.rint(lf / 1e6 * 1e6) / 1e6) < 1e-9)
+    assert(got("flat")._3 == 0.0) // constant series: zero trend exactly
+    val (lr, br) = holt((0 until 10).map(i => micro(1.0 + i)))
+    assert(math.abs(got("ramp")._2 - math.rint(lr / 1e6 * 1e6) / 1e6) < 1e-6)
+    assert(got("ramp")._3 > 0.5) // slope 1/day, beta smoothed
+    assert(math.abs(got("ramp")._4 - (got("ramp")._2 + got("ramp")._3))
+      < 2e-6) // forecast = level + trend (up to final rounding)
+    assert(br > 0)
+    rm(dir)
+  }
+}
