@@ -267,7 +267,12 @@ object ScaleProbe {
       // + lattice quartiles; q194 = user-partitioned lead window;
       // q195 = per-type ordered fold
       "q192_rule_source_matrix", "q193_rfm_segments",
-      "q194_markov_transitions", "q195_holt_smoothing")
+      "q194_markov_transitions", "q195_holt_smoothing",
+      // q196 = per-type window + lattice quartiles; q197 = user-
+      // bucketed self-join (alphabet-bounded fanout); q198 = label-
+      // grouped centroids + broadcast join fold
+      "q196_sax_symbols", "q197_cooccurrence_sim",
+      "q198_embedding_outliers")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

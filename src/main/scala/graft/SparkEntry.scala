@@ -3049,6 +3049,112 @@ object SparkEntry {
           round(expr("hb.l / 1000000.0"), 6).as("level"),
           round(expr("hb.b / 1000000.0"), 6).as("trend"),
           round(expr("(hb.l + hb.b) / 1000000.0"), 6).as("forecast_1"))
+    }),
+
+    // SAX-style PAA symbolization: each type's daily series cut into
+    // 7-day segments, each segment reduced to its exact integer mean
+    // (PAA), the alphabet assigned from GLOBAL quartiles of the PAA
+    // values (the q193 distinct-value lattice machinery — classic SAX
+    // z-normalizes with float breakpoints; the quartile alphabet is
+    // the exact-integer equivalent). The motif/shape index a
+    // time-series store builds
+    "q196_sax_symbols" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)"))
+          .as("x_micro"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val paa = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("seg_idx", expr("CAST((rn - 1) DIV 7 AS BIGINT)"))
+        .groupBy(col("event_type"), col("seg_idx"))
+        .agg(count(lit(1)).as("n_days"), sum("x_micro").as("sx"))
+        .withColumn("paa_micro", expr("sx DIV n_days"))
+      val nSeg = paa.agg(count(lit(1)).as("nu"))
+      val byV = paa.groupBy(col("paa_micro").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nSeg))
+      val wq = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val qs = byV.withColumn("cum", sum("cnt").over(wq))
+        .agg(min(when(col("cum") * 4 >= col("nu"), col("v"))).as("q1"),
+          min(when(col("cum") * 4 >= col("nu") * 2, col("v"))).as("q2"),
+          min(when(col("cum") * 4 >= col("nu") * 3, col("v"))).as("q3"))
+      paa.crossJoin(broadcast(qs))
+        .select(col("event_type"), col("seg_idx"), col("n_days"),
+          col("paa_micro"),
+          expr("""char(96 + 1
+            |  + (CASE WHEN paa_micro > q1 THEN 1 ELSE 0 END)
+            |  + (CASE WHEN paa_micro > q2 THEN 1 ELSE 0 END)
+            |  + (CASE WHEN paa_micro > q3 THEN 1 ELSE 0 END))"""
+            .stripMargin).as("symbol"))
+    }),
+
+    // event-type co-occurrence similarity (the item-item similarity
+    // of a recommender): each type as a user-indexed count vector,
+    // pairwise dot products by one self-join on user (per-user fanout
+    // bounded by the type alphabet), cosine = ONE correctly-rounded
+    // sqrt/division over exact BIGINT sufficient statistics
+    "q197_cooccurrence_sim" -> ((s, dir) => {
+      val uc = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val a = uc.select(col("user_id"), col("event_type").as("type_1"),
+        col("c").as("c1"))
+      val b = uc.select(col("user_id"), col("event_type").as("type_2"),
+        col("c").as("c2"))
+      val dots = a.join(b, Seq("user_id"))
+        .filter(col("type_1") < col("type_2"))
+        .groupBy(col("type_1"), col("type_2"))
+        .agg(sum(expr("c1 * c2")).as("dot"),
+          count(lit(1)).as("n_users"))
+      val norms = uc.groupBy(col("event_type"))
+        .agg(sum(expr("c * c")).as("nsq"))
+      dots
+        .join(broadcast(norms.select(col("event_type").as("type_1"),
+          col("nsq").as("nsq1"))), "type_1")
+        .join(broadcast(norms.select(col("event_type").as("type_2"),
+          col("nsq").as("nsq2"))), "type_2")
+        .select(col("type_1"), col("type_2"), col("n_users"), col("dot"),
+          round(col("dot") / (sqrt(col("nsq1").cast("double"))
+            * sqrt(col("nsq2").cast("double"))), 6).as("cosine"))
+    }),
+
+    // embedding outlier audit: each vector's cosine to its own
+    // label's micro-lattice centroid (exact integer per-dim means;
+    // the cosine is the q25 ordered fold), micro-rounded, then a
+    // 2σ flag from exact integer sufficient statistics — |n·x − Σx|
+    // vs 2·√(n·Σx² − (Σx)²) keeps the mean subtraction and the
+    // variance integer-exact (no float accumulation), with one
+    // correctly-rounded sqrt at the end. The pre-index hygiene scrub
+    "q198_embedding_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)"))
+          .as("sv"), count(lit(1)).as("n"))
+        .withColumn("c_d", expr("CAST(sv DIV n AS DOUBLE)"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim, c_d))), " +
+          "e -> e.c_d)").as("cvec"))
+      val scored = emb.join(broadcast(cent), "label")
+        .withColumn("cos",
+          Similarity.dot(col("embedding"), col("cvec"))
+            / (Similarity.norm(col("embedding"))
+              * Similarity.norm(col("cvec"))))
+        .select(col("label"), col("vec_id"),
+          expr("CAST(round(cos * 1000000.0) AS BIGINT)").as("c_micro"))
+      val stats = scored.groupBy(col("label").as("s_label"))
+        .agg(count(lit(1)).as("n"), sum("c_micro").as("sx"),
+          sum(expr("c_micro * c_micro")).as("sxx"))
+      scored.join(broadcast(stats), col("label") === col("s_label"))
+        .select(col("label"), col("vec_id"), col("c_micro"),
+          (abs(col("n") * col("c_micro") - col("sx")).cast("double")
+            > lit(2.0) * sqrt((col("n") * col("sxx")
+              - col("sx") * col("sx")).cast("double"))).as("is_outlier"))
     })
   )
 
@@ -4439,6 +4545,105 @@ object SparkEntry {
         |  round((l + b) / 1000000.0, 6) AS forecast_1
         |FROM rec JOIN nd ON rec.event_type = nd.event_type
         |WHERE i = n_days AND n_days >= 2""".stripMargin,
+
+    // q196: same 7-day segmentation, integer PAA means, global
+    // distinct-value quartile alphabet
+    "q196_sax_symbols" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS x_micro
+        |  FROM events GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT event_type,
+        |    CAST((row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |      - 1) // 7 AS BIGINT) AS seg_idx,
+        |    x_micro
+        |  FROM daily),
+        |paa AS (
+        |  SELECT event_type, seg_idx,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x_micro) // count(*) AS BIGINT) AS paa_micro
+        |  FROM seg GROUP BY 1, 2),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM paa),
+        |qs AS (
+        |  SELECT min(CASE WHEN cum * 4 >= nu THEN v END) AS q1,
+        |    min(CASE WHEN cum * 4 >= nu * 2 THEN v END) AS q2,
+        |    min(CASE WHEN cum * 4 >= nu * 3 THEN v END) AS q3
+        |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, nu
+        |        FROM (SELECT paa_micro AS v, count(*) AS cnt FROM paa
+        |              GROUP BY 1), nu))
+        |SELECT event_type, seg_idx, n_days, paa_micro,
+        |  chr(96 + 1
+        |    + (CASE WHEN paa_micro > q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN paa_micro > q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN paa_micro > q3 THEN 1 ELSE 0 END)) AS symbol
+        |FROM paa, qs""".stripMargin,
+
+    // q197: same self-join dots + exact norms, one rounded
+    // sqrt/division
+    "q197_cooccurrence_sim" ->
+      """WITH uc AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.event_type AS type_1, b.event_type AS type_2,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        |  FROM uc a JOIN uc b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT event_type, CAST(sum(c * c) AS BIGINT) AS nsq
+        |  FROM uc GROUP BY 1)
+        |SELECT type_1, type_2, n_users, dot,
+        |  round(dot / (sqrt(CAST(n1.nsq AS DOUBLE))
+        |    * sqrt(CAST(n2.nsq AS DOUBLE))), 6) AS cosine
+        |FROM dots
+        |JOIN norms n1 ON type_1 = n1.event_type
+        |JOIN norms n2 ON type_2 = n2.event_type""".stripMargin,
+
+    // q198: integer centroids, the q25 ordered-fold cosine, exact
+    // sufficient statistics, |n·x − Σx| vs 2·√(nΣx²−(Σx)²)
+    "q198_embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cd AS (
+        |  SELECT label, dim,
+        |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT))
+        |      // count(*) AS BIGINT) AS cmean
+        |  FROM (SELECT label, i - 1 AS dim, v[i] AS x
+        |        FROM e, (SELECT unnest(generate_series(1,
+        |          (SELECT max(len(v)) FROM e))) AS i) g)
+        |  GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT label,
+        |    list(CAST(cmean AS DOUBLE) ORDER BY dim) AS cvec
+        |  FROM cd GROUP BY 1),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    CAST(round(
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        [e.v[i+1] * cvec[i+1] for i in generate_series(0, len(e.v)-1)]),
+        |        (acc, x) -> acc + x)
+        |      / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           [e.v[i+1] * e.v[i+1] for i in generate_series(0, len(e.v)-1)]),
+        |           (acc, x) -> acc + x))
+        |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           [cvec[i+1] * cvec[i+1] for i in generate_series(0, len(cvec)-1)]),
+        |           (acc, x) -> acc + x)))
+        |      * 1000000.0) AS BIGINT) AS c_micro
+        |  FROM e JOIN cv ON e.label = cv.label),
+        |st AS (
+        |  SELECT label AS s_label, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c_micro) AS BIGINT) AS sx,
+        |    CAST(sum(c_micro * c_micro) AS BIGINT) AS sxx
+        |  FROM scored GROUP BY 1)
+        |SELECT label, vec_id, c_micro,
+        |  (CAST(abs(n * c_micro - sx) AS DOUBLE)
+        |    > 2.0 * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS is_outlier
+        |FROM scored JOIN st ON label = s_label""".stripMargin,
 
     // q174: the same doc_id-ordered running offsets + per-L integer
     // arithmetic, one UNION ALL branch per candidate length

@@ -135,4 +135,71 @@ class AnalyticsShapesSpec extends SparkSpec {
     assert(br > 0)
     rm(dir)
   }
+
+  test("q196 SAX: 7-day segmentation, integer PAA means, quartile " +
+      "alphabet in rank order") {
+    // one type, 14 days: week 1 all 1.0, week 2 all 9.0 -> two
+    // segments with PAA 1e6 and 9e6; with two distinct PAA values the
+    // quartiles are q1=1e6 q2=1e6 q3=9e6 -> symbols a (not > q1) and
+    // c (> q1, > q2, not > q3)
+    val ev = (1 to 14).map { d =>
+      ("t", f"2024-01-$d%02d 08:00:00", if (d <= 7) 1.0 else 9.0,
+        d.toLong)
+    }.toDF("event_type", "tss", "value", "event_id")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("user_id", lit("u")).drop("tss")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q196_sax_symbols")(spark, dir)
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      0L -> ((7L, 1000000L, "a")),
+      1L -> ((7L, 9000000L, "c"))))
+    rm(dir)
+  }
+
+  test("q197 co-occurrence: hand-computed dot/cosine; pairs with no " +
+      "shared user never appear") {
+    val ev = Seq(
+      // u1: 2xA, 1xB ; u2: 1xA, 3xB ; u3: 1xC (C co-occurs with none)
+      ("u1", "A"), ("u1", "A"), ("u1", "B"),
+      ("u2", "A"), ("u2", "B"), ("u2", "B"), ("u2", "B"),
+      ("u3", "C")
+    ).zipWithIndex.map { case ((u, t), i) =>
+      (u, t, s"2024-01-01 0$i:00:00", i.toLong, 1.0)
+    }.toDF("user_id", "event_type", "tss", "event_id", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q197_cooccurrence_sim")(spark, dir)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (t1, t2, nu, dot, cos) = got.head
+    assert((t1, t2, nu) == (("A", "B", 2L)))
+    assert(dot == 2L * 1 + 1L * 3) // u1: 2*1, u2: 1*3
+    // norms: A: 4+1=5, B: 1+9=10 -> cos = 5 / sqrt(50)
+    assert(math.abs(cos - 5.0 / math.sqrt(50.0)) < 1e-6)
+    rm(dir)
+  }
+
+  test("q198 embedding outliers: a planted flipped vector is exactly " +
+      "the one flagged in its label") {
+    val dim = 8
+    // label 0: 30 vectors near (1,0,...), one vector flipped to
+    // (-1,0,...); tiny deterministic jitter keeps variance nonzero
+    val rows = (0 until 30).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        if (d == 0) 1.0f else (0.001f * ((i + d) % 3)))
+      (i.toLong, v, 0L)
+    } :+ ((999L, Array.tabulate(dim)(d =>
+      if (d == 0) -1.0f else 0.0f), 0L))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val dir = tmpDir()
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val flagged = SparkEntry.queries("q198_embedding_outliers")(spark, dir)
+      .filter(col("is_outlier")).select($"vec_id").as[Long].collect()
+    assert(flagged.toSeq == Seq(999L))
+    rm(dir)
+  }
 }
