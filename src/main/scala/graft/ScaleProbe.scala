@@ -272,7 +272,9 @@ object ScaleProbe {
       // bucketed self-join (alphabet-bounded fanout); q198 = label-
       // grouped centroids + broadcast join fold
       "q196_sax_symbols", "q197_cooccurrence_sim",
-      "q198_embedding_outliers")
+      "q198_embedding_outliers",
+      // q199 = two appends + one enforcement agg + one rejected batch
+      "q199_constraint_gate")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

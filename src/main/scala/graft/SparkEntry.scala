@@ -3121,6 +3121,40 @@ object SparkEntry {
             * sqrt(col("nsq2").cast("double"))), 6).as("cosine"))
     }),
 
+    // CHECK-constraint write gate on the snapshot table (the Delta
+    // invariant contract): a constrained scratch table takes the
+    // valid slice, REJECTS the violating batch atomically (the
+    // exception is the assertion — a landed row would change the
+    // counts), takes another valid batch after the rejection, and
+    // reports the final state. The oracle reproduces the surviving
+    // rows relationally: exactly the two valid slices
+    "q199_constraint_gate" -> ((s, dir) => {
+      val t = scratchDir("graft_q199") + "/t"
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+      val first = li.filter(col("l_orderkey") % 3 === 0)
+      graft.sources.SnapshotTable.append(first, t)
+      graft.sources.SnapshotTable.addConstraint(s, t, "qty_pos",
+        "l_quantity > 0")
+      val bad = li.filter(col("l_orderkey") % 3 === 1)
+        .withColumn("l_quantity", col("l_quantity") * -1)
+      try {
+        graft.sources.SnapshotTable.append(bad, t)
+        throw new IllegalStateException(
+          "constraint gate FAILED to reject a violating batch")
+      } catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("qty_pos") => () // rejected: correct
+      }
+      graft.sources.SnapshotTable.append(
+        li.filter(col("l_orderkey") % 3 === 2), t)
+      graft.sources.SnapshotTable.read(s, t)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
+    }),
+
     // embedding outlier audit: each vector's cosine to its own
     // label's micro-lattice centroid (exact integer per-dim means;
     // the cosine is the q25 ordered fold), micro-rounded, then a
@@ -4602,6 +4636,16 @@ object SparkEntry {
         |FROM dots
         |JOIN norms n1 ON type_1 = n1.event_type
         |JOIN norms n2 ON type_2 = n2.event_type""".stripMargin,
+
+    // q199: the surviving rows are exactly the two valid slices — the
+    // rejected batch must contribute NOTHING
+    "q199_constraint_gate" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 0 OR l_orderkey % 3 = 2
+        |GROUP BY 1""".stripMargin,
 
     // q198: integer centroids, the q25 ordered-fold cosine, exact
     // sufficient statistics, |n·x − Σx| vs 2·√(nΣx²−(Σx)²)

@@ -449,7 +449,8 @@ object SnapshotTable {
                                   chunks: Seq[ChunkRef],
                                   inline: Seq[FileEntry],
                                   schema: Option[org.apache.spark.sql.types.StructType] = None,
-                                  txns: Map[String, Long] = Map.empty): Boolean = {
+                                  txns: Map[String, Long] = Map.empty,
+                                  constraintsOverride: Option[Map[String, String]] = None): Boolean = {
     Files.createDirectories(manifestDir(table))
     val root = mapper.createObjectNode()
     root.put("version", version)
@@ -457,6 +458,16 @@ object SnapshotTable {
     if (txns.nonEmpty) {
       val t = root.putObject("txns")
       txns.foreach { case (k, v) => t.put(k, v) }
+    }
+    // CHECK constraints carry forward through EVERY commit (like txn
+    // watermarks) unless a constraint DDL explicitly replaces the set —
+    // a data commit can never silently drop an invariant
+    val cons = constraintsOverride.getOrElse(
+      if (version == 0) Map.empty[String, String]
+      else readConstraints(table, version - 1))
+    if (cons.nonEmpty) {
+      val c = root.putObject("constraints")
+      cons.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
     }
     val arr: ArrayNode = root.putArray("files")
     inline.foreach(entryNode(arr, _))
@@ -671,6 +682,7 @@ object SnapshotTable {
     */
   def append(df: DataFrame, table: String,
              bloomColumns: Seq[String] = Nil): Int = {
+    enforceConstraints(df, table)
     val newFiles = writeData(df, table, bloomColumns)
     commitLoop(table) { (chunks, inline, prevSchema) =>
       (chunks, inline ++ newFiles,
@@ -698,6 +710,7 @@ object SnapshotTable {
     require(indexCols.nonEmpty, "appendBloomIndexed needs index columns")
     require(bloomBits >= 64 && bloomBits % 8 == 0 && bloomK >= 1,
       s"bad bloom sizing: bits=$bloomBits k=$bloomK")
+    enforceConstraints(df, table)
     val newFiles = writeData(df, table, indexCols)
     val indexed = buildBlooms(df.sparkSession, table, newFiles, indexCols,
       bloomBits, bloomK)
@@ -772,6 +785,7 @@ object SnapshotTable {
     val already = currentVersion(table)
       .exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion))
     if (already) return None
+    enforceConstraints(df, table)
     val newFiles = writeData(df, table)
     Some(commitLoop(table, Map(writerId -> txnVersion) ++ extraTxns) { (chunks, inline, prevSchema) =>
       // re-check inside the loop: a concurrent retry of the same batch
@@ -930,6 +944,99 @@ object SnapshotTable {
     * Metadata-only when the manifest carries a schema — the DSv2
     * connector calls this at planning time.
     */
+  /** The CHECK constraints recorded at `version` (current when None).
+    * Missing table/version reads as "no constraints".
+    */
+  def constraintsOf(table: String,
+                    version: Option[Int] = None): Map[String, String] =
+    version.orElse(currentVersion(table))
+      .map(readConstraints(table, _)).getOrElse(Map.empty)
+
+  private def readConstraints(table: String, version: Int): Map[String, String] = {
+    val p = manifestDir(table).resolve(s"v$version.json")
+    if (version < 0 || !Files.exists(p)) return Map.empty
+    val node = mapper.readTree(Files.readString(p))
+    Option(node.get("constraints")).map { c =>
+      c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Reject a batch that violates any recorded CHECK constraint — SQL
+    * semantics: a row violates only when the expression evaluates to
+    * FALSE (NULL passes, as in the standard and Delta CHECK). One
+    * conditional-count aggregation over the batch for ALL constraints;
+    * example rows are fetched only on the failure path. Runs on every
+    * data-adding commit (append, bloom-indexed/idempotent append,
+    * merge) — rewrite-only commits (delete, compact, Z-order) only
+    * reshuffle rows that already passed.
+    */
+  private def enforceConstraints(df: DataFrame, table: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val cons = constraintsOf(table)
+    if (cons.isEmpty) return
+    val names = cons.keys.toSeq.sorted
+    val counts = df.agg(
+      sum(when(expr(cons(names.head)) <=> lit(false), 1L).otherwise(0L))
+        .as(names.head),
+      names.tail.map(n =>
+        sum(when(expr(cons(n)) <=> lit(false), 1L).otherwise(0L)).as(n)): _*)
+      .head()
+    names.zipWithIndex.foreach { case (n, i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (bad > 0) {
+        val examples = df.filter(expr(cons(n)) <=> lit(false))
+          .limit(3).collect().mkString("; ")
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' (${cons(n)}) violated by $bad row(s) " +
+            s"in the incoming batch for $table; e.g. $examples")
+      }
+    }
+  }
+
+  /** Add a named CHECK constraint (a metadata-only commit). The
+    * expression must resolve against the current schema, and ALL
+    * existing rows must satisfy it (the Delta ALTER TABLE ADD
+    * CONSTRAINT contract) — otherwise the add is rejected and the
+    * table is unchanged.
+    */
+  def addConstraint(spark: SparkSession, table: String,
+                    name: String, exprSql: String): Int = {
+    import org.apache.spark.sql.functions._
+    val cur = constraintsOf(table)
+    require(!cur.contains(name), s"constraint '$name' already exists on $table")
+    // resolve against the schema first (clear analysis error), then
+    // vet the whole table
+    val existing = read(spark, table)
+    existing.limit(0).filter(expr(exprSql)).queryExecution.analyzed
+    val bad = existing.filter(expr(exprSql) <=> lit(false)).count()
+    require(bad == 0L,
+      s"cannot add constraint '$name' ($exprSql): $bad existing row(s) violate it")
+    commitConstraints(table, cur + (name -> exprSql))
+  }
+
+  /** Drop a named CHECK constraint (metadata-only commit). */
+  def dropConstraint(table: String, name: String): Int = {
+    val cur = constraintsOf(table)
+    require(cur.contains(name), s"no constraint '$name' on $table")
+    commitConstraints(table, cur - name)
+  }
+
+  private def commitConstraints(table: String,
+                                next: Map[String, String]): Int = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val v = currentVersion(table).getOrElse(
+        throw new IllegalArgumentException(s"$table has no committed version")) + 1
+      val (chunks, inline, schema, txns) = readManifestChunked(table, v - 1)
+      if (publishManifestRefs(table, v, chunks, inline, schema, txns,
+          constraintsOverride = Some(next)))
+        return v
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the constraint commit race on $table $MaxCommitRetries times")
+  }
+
   def schemaOf(spark: SparkSession, table: String,
                version: Option[Int] = None): org.apache.spark.sql.types.StructType = {
     val v = version.orElse(currentVersion(table))
@@ -1198,6 +1305,9 @@ object SnapshotTable {
           Some(projected)
         }
       val output = inserts.fold(rewritten)(ins => rewritten.unionByName(ins))
+      // enforce on the MERGED output (updates may transform values),
+      // before any data lands
+      enforceConstraints(output, table)
       val newFiles = writeData(output.localCheckpoint(), table)
       val v = base.getOrElse(-1) + 1
       if (publishManifest(table, v, untouched ++ newFiles, Some(tgtSchema),
