@@ -274,7 +274,9 @@ object ScaleProbe {
       "q196_sax_symbols", "q197_cooccurrence_sim",
       "q198_embedding_outliers",
       // q199 = two appends + one enforcement agg + one rejected batch
-      "q199_constraint_gate")
+      "q199_constraint_gate",
+      // q200 = two grouped aggs + a 35-row broadcast join
+      "q200_seasonality_strength")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

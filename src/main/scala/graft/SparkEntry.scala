@@ -3155,6 +3155,41 @@ object SparkEntry {
           sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
     }),
 
+    // weekly seasonality strength per event type — STL's headline
+    // number (1 − Var(residual)/Var(series)) with the seasonal
+    // component as exact integer weekday means: daily centi-lattice
+    // sums, residual = x − weekday mean (integer), both variances from
+    // exact BIGINT sufficient statistics, ONE float expression at the
+    // end (identical IEEE ops from identical integers in both
+    // engines). Bound: centi daily sums ≤ ~6e7 with series ≤ 2500
+    // days keeps Σx² < 2^63
+    "q200_seasonality_strength" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(floor(value * 100.0) AS BIGINT)")).as("x"))
+        .withColumn("wd", expr("CAST(weekday(d) AS BIGINT)"))
+      val wdMean = daily
+        .groupBy(col("event_type").as("w_type"), col("wd").as("w_wd"))
+        .agg(expr("sum(x) DIV count(1)").as("wd_mean"))
+      daily.join(broadcast(wdMean),
+          col("event_type") === col("w_type") && col("wd") === col("w_wd"))
+        .withColumn("r", col("x") - col("wd_mean"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum("x").as("sx"), sum(expr("x * x")).as("sxx"),
+          sum("r").as("sr"), sum(expr("r * r")).as("srr"))
+        .select(col("event_type"), col("n_days"),
+          round(expr(
+            """CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0D
+              |THEN 1.0D
+              |  - (CAST(n_days AS DOUBLE) * CAST(srr AS DOUBLE)
+              |     - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+              |  / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |ELSE 0D END""".stripMargin), 6).as("seasonality_strength"))
+    }),
+
     // embedding outlier audit: each vector's cosine to its own
     // label's micro-lattice centroid (exact integer per-dim means;
     // the cosine is the q25 ordered fold), micro-rounded, then a
@@ -4646,6 +4681,40 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 3 = 0 OR l_orderkey % 3 = 2
         |GROUP BY 1""".stripMargin,
+
+    // q200: weekday(d) ≡ isodow(d) − 1 (both Monday-anchored); the
+    // same integer residuals and the same one float expression
+    "q200_seasonality_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT event_type, d, x,
+        |    CAST(isodow(d) - 1 AS BIGINT) AS wd
+        |  FROM daily),
+        |wm AS (
+        |  SELECT event_type AS w_type, wd AS w_wd,
+        |    CAST(sum(x) // count(*) AS BIGINT) AS wd_mean
+        |  FROM dw GROUP BY 1, 2),
+        |res AS (
+        |  SELECT dw.event_type, dw.x, dw.x - wd_mean AS r
+        |  FROM dw JOIN wm ON dw.event_type = w_type AND dw.wd = w_wd),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(r) AS BIGINT) AS sr, CAST(sum(r * r) AS BIGINT) AS srr
+        |  FROM res GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |    THEN 1.0
+        |      - (CAST(n_days AS DOUBLE) * CAST(srr AS DOUBLE)
+        |         - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    ELSE 0 END, 6) AS seasonality_strength
+        |FROM st""".stripMargin,
 
     // q198: integer centroids, the q25 ordered-fold cosine, exact
     // sufficient statistics, |n·x − Σx| vs 2·√(nΣx²−(Σx)²)

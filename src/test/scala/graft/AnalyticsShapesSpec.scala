@@ -183,6 +183,31 @@ class AnalyticsShapesSpec extends SparkSpec {
     rm(dir)
   }
 
+  test("q200 seasonality strength: pure weekly pattern = 1.0 exactly, " +
+      "constant = 0, period-2 alternation (anti-aligned with the week) " +
+      "= 0.0 exactly") {
+    // 14 days starting Mon 2024-01-01: 'weekly' repeats a 7-value
+    // pattern (residuals vanish), 'flat' is constant (zero variance),
+    // 'alt' alternates 1/3 with period 2 — day i and i+7 have opposite
+    // parity, so every weekday mean is 2 and residuals carry ALL the
+    // variance
+    val ev = (0 until 14).flatMap { i =>
+      Seq(
+        ("weekly", f"2024-01-${i + 1}%02d 06:00:00", (1 + (i % 7)).toDouble, i * 3L),
+        ("flat", f"2024-01-${i + 1}%02d 06:00:00", 5.0, i * 3L + 1),
+        ("alt", f"2024-01-${i + 1}%02d 06:00:00", (1 + 2 * (i % 2)).toDouble, i * 3L + 2))
+    }.toDF("event_type", "tss", "value", "event_id")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("user_id", lit("u")).drop("tss")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q200_seasonality_strength")(spark, dir)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map("weekly" -> 1.0, "flat" -> 0.0, "alt" -> 0.0), got)
+    rm(dir)
+  }
+
   test("q198 embedding outliers: a planted flipped vector is exactly " +
       "the one flagged in its label") {
     val dim = 8
