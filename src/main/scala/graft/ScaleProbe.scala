@@ -276,7 +276,10 @@ object ScaleProbe {
       // q199 = two appends + one enforcement agg + one rejected batch
       "q199_constraint_gate",
       // q200 = two grouped aggs + a 35-row broadcast join
-      "q200_seasonality_strength")
+      "q200_seasonality_strength",
+      // q201 = lead window + lattice ranks; q202 = explode + two
+      // grouped counts; q203 = per-type top-51 window
+      "q201_dwell_times", "q202_ngram_novelty", "q203_hill_tail")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -3190,6 +3190,85 @@ object SparkEntry {
               |ELSE 0D END""".stripMargin), 6).as("seasonality_strength"))
     }),
 
+    // inter-event dwell-time distribution: per consecutive-event gap
+    // (one user-partitioned lead window, exact floored-epoch seconds),
+    // p50/p90 per the FROM event's type by discrete ranks over the
+    // distinct-gap lattice (the q193 machinery) — the engagement-
+    // latency card between funnel steps
+    "q201_dwell_times" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = ev
+        .withColumn("e", expr("unix_timestamp(ts)"))
+        .withColumn("next_e", lead(col("e"), 1).over(w))
+        .filter(col("next_e").isNotNull)
+        .select(col("event_type"), (col("next_e") - col("e")).as("gap_s"))
+      val n = gaps.groupBy(col("event_type").as("n_type"))
+        .agg(count(lit(1)).as("n_gaps"))
+      val byV = gaps.groupBy(col("event_type"), col("gap_s"))
+        .agg(count(lit(1)).as("cnt"))
+      val wq = Window.partitionBy("event_type").orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byV.withColumn("cum", sum("cnt").over(wq))
+        .join(broadcast(n), col("event_type") === col("n_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_gaps")).as("n_gaps"),
+          min(when(col("cum") * 2 >= col("n_gaps"), col("gap_s")))
+            .as("p50_gap_s"),
+          min(when(col("cum") * 10 >= col("n_gaps") * 9, col("gap_s")))
+            .as("p90_gap_s"))
+    }),
+
+    // leave-one-out n-gram novelty: the share of a doc's distinct
+    // 8-grams that appear in NO other document — the text-uniqueness
+    // signal between exact dup (0) and fully-novel (1e6). One explode
+    // + two grouped counts, all linear; exact integer micro share
+    "q202_ngram_novelty" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), 8)).as("g"))
+      val df8 = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      sh.join(df8, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novel_micro",
+          expr("n_novel * 1000000 DIV n_grams"))
+    }),
+
+    // Hill tail-index estimator per event type over the centi-lattice
+    // values: α̂⁻¹ = (1/k)·Σ ln(x_(i)/x_(k+1)) on the top k=50 order
+    // statistics — heavy-tail detection for the value distribution.
+    // Ranks on the exact integer lattice (ties broken by rank window
+    // over the value only — equal values contribute equal terms, so
+    // the tie order cannot change the sum); the ln chain is a
+    // rank-ORDERED fold (the q178 discipline); one division + round
+    // at the end
+    "q203_hill_tail" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("v"))
+        .filter(col("v") > 0)
+      val w = Window.partitionBy("event_type").orderBy(desc("v"))
+      val top = ev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k + 1)
+      top.groupBy(col("event_type"))
+        .agg(expr("transform(sort_array(collect_list(struct(rk, v))), " +
+          "e -> CAST(e.v AS DOUBLE))").as("xs"),
+          count(lit(1)).as("n_top"))
+        .filter(col("n_top") === k + 1)
+        .select(col("event_type"),
+          round(expr(
+            s"""aggregate(slice(xs, 1, $k), 0D,
+              |  (a, x) -> a + ln(x / element_at(xs, ${k + 1})))
+              |/ CAST($k AS DOUBLE)""".stripMargin), 6)
+            .as("hill_inv_alpha"))
+    }),
+
     // embedding outlier audit: each vector's cosine to its own
     // label's micro-lattice centroid (exact integer per-dim means;
     // the cosine is the q25 ordered fold), micro-rounded, then a
@@ -4681,6 +4760,74 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 3 = 0 OR l_orderkey % 3 = 2
         |GROUP BY 1""".stripMargin,
+
+    // q201: same lead window on floored epochs, same discrete-rank
+    // percentiles over the distinct-gap lattice
+    "q201_dwell_times" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+        |  FROM events),
+        |g2 AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |n AS (
+        |  SELECT event_type AS n_type, CAST(count(*) AS BIGINT) AS n_gaps
+        |  FROM g2 GROUP BY 1),
+        |bv AS (
+        |  SELECT event_type, gap_s, count(*) AS cnt
+        |  FROM g2 GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT event_type, gap_s,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum
+        |  FROM bv)
+        |SELECT cm.event_type, CAST(max(n_gaps) AS BIGINT) AS n_gaps,
+        |  CAST(min(CASE WHEN cum * 2 >= n_gaps THEN gap_s END) AS BIGINT)
+        |    AS p50_gap_s,
+        |  CAST(min(CASE WHEN cum * 10 >= n_gaps * 9 THEN gap_s END)
+        |    AS BIGINT) AS p90_gap_s
+        |FROM cm JOIN n ON cm.event_type = n_type
+        |GROUP BY 1""".stripMargin,
+
+    // q202: the q19 shingle CTE at n=8, df via grouped count (grams
+    // are distinct per doc), exact integer micro share
+    "q202_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+8], ' ')
+        |     for i in generate_series(0, greatest(len(t)-8, 0))])) AS g
+        |  FROM toks),
+        |df8 AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS novel_micro
+        |FROM sh JOIN df8 USING (g) GROUP BY 1""".stripMargin,
+
+    // q203: same rank-ordered top-51 list, the same per-term ln chain
+    // (transform-then-sum ≡ the fold's sequential adds), /50 + round
+    "q203_hill_tail" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS v
+        |  FROM events WHERE CAST(floor(value * 100.0) AS BIGINT) > 0),
+        |top AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v DESC)
+        |      AS rk
+        |  FROM v QUALIFY rk <= 51),
+        |agg AS (
+        |  SELECT event_type, list(CAST(v AS DOUBLE) ORDER BY rk) AS xs,
+        |    CAST(count(*) AS BIGINT) AS n_top
+        |  FROM top GROUP BY 1)
+        |SELECT event_type,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(xs[1:50], x -> ln(x / xs[51]))),
+        |    (a, x) -> a + x) / 50.0, 6) AS hill_inv_alpha
+        |FROM agg WHERE n_top = 51""".stripMargin,
 
     // q200: weekday(d) ≡ isodow(d) − 1 (both Monday-anchored); the
     // same integer residuals and the same one float expression

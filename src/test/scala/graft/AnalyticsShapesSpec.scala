@@ -1,5 +1,6 @@
 package graft
 
+import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 /** q192–q195: the rule/source matrix, RFM segmentation, Markov
@@ -206,6 +207,70 @@ class AnalyticsShapesSpec extends SparkSpec {
       .map(r => r._1 -> r._3).toMap
     assert(got == Map("weekly" -> 1.0, "flat" -> 0.0, "alt" -> 0.0), got)
     rm(dir)
+  }
+
+  test("q201 dwell times: gaps are attributed to the FROM event's " +
+      "type; p50/p90 are the discrete order statistics") {
+    // one user, 11 events of type a at gaps 10,20,...,100s; the k-th
+    // gap value is 10k -> p50 = min v with cum*2>=10 = 50, p90 = 90
+    val times = (0 to 10).scanLeft(0L)((acc, i) => acc + i * 10).tail
+    val ev = times.zipWithIndex.map { case (off, i) =>
+      ("u1", "a", new Timestamp(1704100000000L + off * 1000L), i.toLong, 1.0)
+    }.toDF("user_id", "event_type", "ts", "event_id", "value")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q201_dwell_times")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", 10L, 50L, 90L)), got.toSeq)
+    rm(dir)
+  }
+
+  test("q202 n-gram novelty: an exact duplicate scores 0, a unique " +
+      "doc scores 1e6, a half-copied doc in between") {
+    val a = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b = (21 to 40).map(i => s"w$i").mkString(" ")
+    val half = (11 to 30).map(i => s"w$i").mkString(" ") // spans a+b
+    val docs = Seq(
+      (1L, a, "en", "s", a.length.toLong),
+      (2L, a, "en", "s", a.length.toLong), // exact dup of 1
+      (3L, b, "en", "s", b.length.toLong),
+      (4L, half, "en", "s", half.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir()
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q202_ngram_novelty")(spark, dir)
+      .select($"doc_id", $"novel_micro").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L && got(2L) == 0L) // every 8-gram shared
+    assert(got(3L) < 1000000L) // doc 4 copies some of b's grams
+    assert(got(4L) > 0L && got(4L) < 1000000L) // overlap region shared
+    rm(dir)
+  }
+
+  test("q203 Hill tail index: a Pareto-like sample estimates 1/alpha " +
+      "within tolerance; fewer than k+1 positive values -> no row") {
+    // x_i = floor(1e6 / i^(1/2)) for i in 1..200 is Pareto(alpha=2):
+    // hill_inv_alpha should be near 0.5
+    val ev = (1 to 200).map { i =>
+      ("u", "p", new Timestamp(1704100000000L + i * 1000L), i.toLong,
+        math.pow(1e6 / i, 0.5) / 100.0) // /100: centi lattice restores
+    }.toDF("user_id", "event_type", "ts", "event_id", "value")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q203_hill_tail")(spark, dir)
+      .as[(String, Double)].collect().toMap
+    assert(got.contains("p"))
+    assert(math.abs(got("p") - 0.5) < 0.15, s"hill=${got("p")}")
+    // a type with < 51 positive values emits nothing (documented)
+    val tiny = (1 to 10).map { i =>
+      ("u", "t", new Timestamp(1704100000000L + i * 1000L), 500L + i, 1.0)
+    }.toDF("user_id", "event_type", "ts", "event_id", "value")
+    val dir2 = tmpDir()
+    ev.unionByName(tiny).write.mode("overwrite")
+      .parquet(s"$dir2/events.parquet")
+    val got2 = SparkEntry.queries("q203_hill_tail")(spark, dir2)
+      .as[(String, Double)].collect().toMap
+    assert(got2.contains("p") && !got2.contains("t"))
+    rm(dir); rm(dir2)
   }
 
   test("q198 embedding outliers: a planted flipped vector is exactly " +
