@@ -279,7 +279,9 @@ object ScaleProbe {
       "q200_seasonality_strength",
       // q201 = lead window + lattice ranks; q202 = explode + two
       // grouped counts; q203 = per-type top-51 window
-      "q201_dwell_times", "q202_ngram_novelty", "q203_hill_tail")
+      "q201_dwell_times", "q202_ngram_novelty", "q203_hill_tail",
+      // q204 = bigram explode + three vocab-bounded grouped aggs
+      "q204_kneser_ney")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -3190,6 +3190,36 @@ object SparkEntry {
               |ELSE 0D END""".stripMargin), 6).as("seasonality_strength"))
     }),
 
+    // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
+    // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
+    // every term RATIONAL, so the whole table is exact fixed-point —
+    // p_kn(w2|w1) = max(c12−d,0)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/T,
+    // all four statistics from ONE bigram-type table (c12; c1/N1+(w1·)
+    // per w1; N1+(·w2) per w2; T = type count). Output bounded by
+    // observed bigram types (vocab², model-size)
+    "q204_kneser_ney" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.ngramsAll(col("text"), 2)).as("bg"))
+        .filter(size(split(col("bg"), " ")) === 2)
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+      val b = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val perW1 = b.groupBy(col("w1").as("a_w1"))
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
+      val perW2 = b.groupBy(col("w2").as("b_w2"))
+        .agg(count(lit(1)).as("n1pw"))
+      val t = b.agg(count(lit(1)).as("tt"))
+      b.join(broadcast(perW1), col("w1") === col("a_w1"))
+        .join(broadcast(perW2), col("w2") === col("b_w2"))
+        .crossJoin(broadcast(t))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          col("n1fw"), col("n1pw"),
+          expr("""(4 * c12 - 3) * 1000000 DIV (4 * c1)
+            | + 3 * n1fw * n1pw * 1000000 DIV (4 * c1 * tt)"""
+            .stripMargin).as("p_kn_micro"))
+    }),
+
     // inter-event dwell-time distribution: per consecutive-event gap
     // (one user-partitioned lead window, exact floored-epoch seconds),
     // p50/p90 per the FROM event's type by discrete ranks over the
@@ -4760,6 +4790,40 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 3 = 0 OR l_orderkey % 3 = 2
         |GROUP BY 1""".stripMargin,
+
+    // q204: the same four statistics from the same bigram-type table;
+    // positive operands throughout so DIV == //. The bigram list
+    // mirrors ngramsAll(text, 2) (partial last gram filtered by the
+    // two-token guard on both sides)
+    "q204_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT g[1] AS w1, g[2] AS w2
+        |  FROM (
+        |    SELECT unnest([t[i+1:i+2]
+        |      for i in generate_series(0, greatest(len(t)-2, 0))]) AS g
+        |    FROM toks)
+        |  WHERE len(g) = 2),
+        |b AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM pairs GROUP BY 1, 2),
+        |pw1 AS (
+        |  SELECT w1 AS a_w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1fw
+        |  FROM b GROUP BY 1),
+        |pw2 AS (
+        |  SELECT w2 AS b_w2, CAST(count(*) AS BIGINT) AS n1pw
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM b)
+        |SELECT w1, w2, c12, c1, n1fw, n1pw,
+        |  CAST((4 * c12 - 3) * 1000000 // (4 * c1)
+        |    + 3 * n1fw * n1pw * 1000000 // (4 * c1 * tt) AS BIGINT)
+        |    AS p_kn_micro
+        |FROM b
+        |JOIN pw1 ON w1 = a_w1
+        |JOIN pw2 ON w2 = b_w2, t""".stripMargin,
 
     // q201: same lead window on floored epochs, same discrete-rank
     // percentiles over the distinct-gap lattice

@@ -209,6 +209,32 @@ class AnalyticsShapesSpec extends SparkSpec {
     rm(dir)
   }
 
+  test("q204 Kneser-Ney: hand-computed fixed-point probabilities; " +
+      "per-context observed mass stays under 1 (discount reserves " +
+      "mass for unseen continuations)") {
+    // corpus: "a b a b" and "b a" -> c(a,b)=2, c(b,a)=2; both contexts
+    // have c1=2, N1+(w·)=1; both words have N1+(·w)=1; T=2
+    // p_kn = (4·2−3)·1e6/(4·2) + 3·1·1·1e6/(4·2·2) = 625000+187500
+    val docs = Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "b a", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir()
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q204_kneser_ney")(spark, dir)
+      .select($"w1", $"w2", $"p_kn_micro").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("a", "b") -> 812500L, ("b", "a") -> 812500L), got)
+    rm(dir)
+    // real corpus: per context the observed-continuation mass must
+    // not exceed 1e6 (the discount is what funds unseen bigrams)
+    val mass = SparkEntry.queries("q204_kneser_ney")(spark, Sf0001)
+      .groupBy($"w1").agg(sum($"p_kn_micro").as("m"))
+      .select($"m").as[Long].collect()
+    assert(mass.nonEmpty && mass.forall(_ <= 1000000L),
+      s"max observed mass ${mass.max}")
+  }
+
   test("q201 dwell times: gaps are attributed to the FROM event's " +
       "type; p50/p90 are the discrete order statistics") {
     // one user, 11 events of type a at gaps 10,20,...,100s; the k-th
