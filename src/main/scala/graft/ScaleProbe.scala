@@ -281,7 +281,9 @@ object ScaleProbe {
       // grouped counts; q203 = per-type top-51 window
       "q201_dwell_times", "q202_ngram_novelty", "q203_hill_tail",
       // q204 = bigram explode + three vocab-bounded grouped aggs
-      "q204_kneser_ney")
+      "q204_kneser_ney",
+      // q205 = two appends + change-feed sync + one CDC merge
+      "q205_cdc_replication")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

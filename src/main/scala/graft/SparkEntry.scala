@@ -3190,6 +3190,44 @@ object SparkEntry {
               |ELSE 0D END""".stripMargin), 6).as("seasonality_strength"))
     }),
 
+    // CDC replication lifecycle in-gate: source table built in two
+    // commits, replica bootstrapped through the change-feed sync
+    // (exactly-once via the txn watermark), then one atomic CDC MERGE
+    // batch (disjoint U/D/I slices) applied to the replica; the final
+    // aggregate is the relational disposition of the same slices. A
+    // re-run of sync inside the query must be a no-op (the watermark
+    // assertion is the exception path — a double-apply would change
+    // the sums)
+    "q205_cdc_replication" -> ((s, dir) => {
+      val base = scratchDir("graft_q205")
+      val src = base + "/src"
+      val rep = base + "/rep"
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.SnapshotTable.append(
+        ord.filter(col("o_orderkey") % 2 === 0), src)
+      graft.sources.SnapshotTable.append(
+        ord.filter(col("o_orderkey") % 2 === 1), src)
+      val wid = "replica:q205"
+      require(graft.sources.Replication.sync(s, src, rep, wid).isDefined)
+      require(graft.sources.Replication.sync(s, src, rep, wid).isEmpty,
+        "replayed sync must be a no-op")
+      val u = ord.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("_op", lit("U"))
+      val d = ord.filter(col("o_orderkey") % 97 === 1)
+        .withColumn("_op", lit("D"))
+      val i = ord.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(90000000L))
+        .withColumn("_op", lit("I"))
+      graft.sources.Replication.applyCdc(s, rep,
+        u.unionByName(d).unionByName(i), "o_orderkey")
+      graft.sources.SnapshotTable.read(s, rep)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -4790,6 +4828,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 3 = 0 OR l_orderkey % 3 = 2
         |GROUP BY 1""".stripMargin,
+
+    // q205: the CDC disposition relationally — survivors keep or
+    // double their price, %97==1 keys deleted, shifted inserts at
+    // original price
+    "q205_cdc_replication" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders),
+        |after AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM base WHERE o_orderkey % 97 <> 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 90000000, o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  round(sum(p), 2) AS total_price
+        |FROM after""".stripMargin,
 
     // q204: the same four statistics from the same bigram-type table;
     // positive operands throughout so DIV == //. The bigram list
