@@ -283,7 +283,9 @@ object ScaleProbe {
       // q204 = bigram explode + three vocab-bounded grouped aggs
       "q204_kneser_ney",
       // q205 = two appends + change-feed sync + one CDC merge
-      "q205_cdc_replication")
+      "q205_cdc_replication",
+      // q206 = register build (map-side-combined groupBy) + 2 appends
+      "q206_hll_sketch_rollup")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

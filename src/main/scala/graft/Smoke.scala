@@ -13,10 +13,15 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional 2nd arg: smoke only the named queries (fast ANSI check
+    // for a new query; the full run stays the pre-round default)
+    val only = args.drop(1).toSet
     val n = SparkEntry.entry(spark).count()
     println(s"[smoke] entry rows=$n ${if (n > 0) "OK" else "FAIL"}")
     var failed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
+      .foreach { case (name, fn) =>
       try {
         val c = fn(spark, dir).count()
         println(s"[smoke] $name rows=$c ${if (c > 0) "OK" else "FAIL(empty)"}")

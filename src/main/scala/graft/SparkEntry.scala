@@ -3228,6 +3228,41 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("total_price"))
     }),
 
+    // mergeable HLL distinct-count rollup (datasketches pattern):
+    // daily user-day registers PERSISTED to a snapshot table in two
+    // incremental commits (the daily job), then an ad-hoc 15-day
+    // range distinct resolved entirely from the register table —
+    // 128 integers per (type, day), never a raw re-scan. Registers
+    // and estimate are integer/dyadic arithmetic on the portable
+    // avalanched hash, so DuckDB replays the whole sketch exactly;
+    // the exact count is joined alongside (the accuracy audit HLL
+    // dashboards ship)
+    "q206_hll_sketch_rollup" -> ((s, dir) => {
+      val tbl = scratchDir("graft_q206") + "/reg"
+      val lo = lit(java.sql.Date.valueOf("2024-01-08"))
+      val hi = lit(java.sql.Date.valueOf("2024-01-22"))
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          col("user_id"))
+        .withColumn("key", concat(col("user_id").cast("string"),
+          lit(":"), col("d").cast("string")))
+      val daily = Sketches.hllRegisters(ev, col("key"),
+        Seq("event_type", "d"))
+      val mid = lit(java.sql.Date.valueOf("2024-01-16"))
+      graft.sources.SnapshotTable.append(daily.filter(col("d") < mid), tbl)
+      graft.sources.SnapshotTable.append(daily.filter(col("d") >= mid), tbl)
+      val ranged = graft.sources.SnapshotTable.read(s, tbl)
+        .filter(col("d").between(lo, hi))
+      val est = Sketches.hllEstimate(ranged, Seq("event_type"))
+      val exact = ev.filter(col("d").between(lo, hi))
+        .groupBy("event_type")
+        .agg(countDistinct(col("key")).as("exact_user_days"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("active_buckets"),
+          round(col("hll_estimate"), 4).as("hll_user_days"),
+          col("exact_user_days"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -4847,6 +4882,60 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
         |  round(sum(p), 2) AS total_price
         |FROM after""".stripMargin,
+
+    // q206: the full sketch replayed relationally — portable rolling
+    // hash, two xorshift-multiply avalanche rounds, bucket/width-23
+    // register split, per-day max(rho), range re-merge, raw-vs-
+    // linear-counting estimate. Every float is dyadic or a
+    // CAST-to-DOUBLE constant so the doubles match Spark's bit-exactly
+    "q206_hll_sketch_rollup" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+        |  FROM events),
+        |h0 AS (
+        |  SELECT event_type, d,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(key, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM ev),
+        |h1 AS (SELECT event_type, d,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT event_type, d,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |h3 AS (SELECT event_type, d, xor(h, h // 65536) AS h FROM h2),
+        |daily_reg AS (
+        |  SELECT event_type, d, h % 128 AS bucket,
+        |    max(CASE WHEN (h // 128) % 8388608 > 0
+        |        THEN 24 - length(bin((h // 128) % 8388608))
+        |        ELSE 24 END) AS rho
+        |  FROM h3 GROUP BY 1, 2, 3),
+        |merged AS (
+        |  SELECT event_type, bucket, max(rho) AS rho FROM daily_reg
+        |  WHERE d BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS active_buckets,
+        |    sum(1.0 / CAST(1 << rho AS DOUBLE)) + (128 - count(*)) AS z,
+        |    128 - count(*) AS v
+        |  FROM merged GROUP BY 1),
+        |exact AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id || ':' ||
+        |    CAST(CAST(ts AS DATE) AS VARCHAR)) AS BIGINT) AS exact_user_days
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+        |  GROUP BY 1)
+        |SELECT e.event_type, active_buckets,
+        |  round(CASE WHEN (CAST(0.7213 AS DOUBLE) /
+        |      (1 + CAST(1.079 AS DOUBLE) / 128)) * 16384 / z <= 320 AND v > 0
+        |    THEN 128 * ln(128.0 / v)
+        |    ELSE (CAST(0.7213 AS DOUBLE) /
+        |      (1 + CAST(1.079 AS DOUBLE) / 128)) * 16384 / z END, 4)
+        |    AS hll_user_days,
+        |  exact_user_days
+        |FROM est e JOIN exact x USING (event_type)""".stripMargin,
 
     // q204: the same four statistics from the same bigram-type table;
     // positive operands throughout so DIV == //. The bigram list

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
@@ -83,4 +83,77 @@ object Sketches {
                       probabilities: Array[Double],
                       relativeError: Double = 0.01): Array[Double] =
     df.stat.approxQuantile(column, probabilities, relativeError)
+
+  // --- deterministic, SQL-replayable HyperLogLog register sketch ---
+  //
+  // Unlike approx_count_distinct (whose HLL++ registers live only
+  // inside one aggregation), these registers are a first-class TABLE:
+  // |groups| x m rows that can be PERSISTED as a daily pre-aggregate
+  // and re-merged (max per bucket) over any group/date range later —
+  // the datasketches rollup pattern. At 100 TB the daily job reduces
+  // each partition to m=128 integers per group with full map-side
+  // combine, and every ad-hoc range distinct-count reads only the
+  // (manifest-pruned) register files, never the raw events again.
+  // Every step is integer arithmetic on the portable rolling hash, so
+  // an external SQL engine replays the registers AND the estimate
+  // bit-for-bit (the estimate's one float fold is dyadic: sum of
+  // 2^-rho terms is exact in a double at any accumulation order).
+
+  /** Number of HLL buckets (2^7). Register width is 23 bits. */
+  final val HllM = 128
+
+  /** 32-bit avalanche of the portable rolling hash (two xorshift-
+    * multiply rounds, degski's 0x45d9f3b). The raw 31-polynomial is
+    * replayable but low-dispersion on shared-prefix keys; HLL needs
+    * uniform bits. Stays in [0, 2^32): products fit a signed 64-bit
+    * long (2^32 * 0x45d9f3b < 2^63), all operands non-negative, so
+    * the same expression replays under ANSI and in any SQL engine
+    * with xor + integer div/mod.
+    */
+  private def mix32(h0: Column): Column = {
+    val M = lit(4294967296L)
+    def xm(h: Column): Column =
+      (h.bitwiseXOR(shiftright(h, 16)) * lit(73244475L)) % M
+    val h2 = xm(xm(h0))
+    h2.bitwiseXOR(shiftright(h2, 16))
+  }
+
+  /** HLL registers of `key` per group: one row per (group, bucket)
+    * with the max leading-zero rank `rho`. bucket = low 7 hash bits;
+    * rho = 24 - bitlength(next 23 bits) (24 when they are all zero).
+    * Output is mergeable by `max(rho)` — union of key sets ==
+    * elementwise register max.
+    */
+  def hllRegisters(df: DataFrame, key: Column,
+                   groupCols: Seq[String]): DataFrame = {
+    val h = mix32(TextAnalysis.rollingHash(key))
+    val w = shiftright(h, 7) % lit(8388608L)
+    df.select(groupCols.map(col) :+ (h % HllM).as("bucket") :+
+        when(w > 0, lit(24) - length(bin(w))).otherwise(24).as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Distinct-count estimate from (merged) registers, one row per
+    * group: raw HLL `alpha_m * m^2 / Z` with the standard
+    * linear-counting switch below 2.5m when empty buckets remain.
+    * Columns: group cols, `active_buckets`, `hll_estimate`.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = HllM
+    val merged = registers
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    merged.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("active_buckets"),
+        (sum(lit(1.0) / expr("cast(shiftleft(1L, cast(rho as int)) as double)")) +
+          (lit(m) - count(lit(1)))).as("z"),
+        (lit(m) - count(lit(1))).as("v"))
+      .withColumn("raw", alpha * lit(m * m) / col("z"))
+      .withColumn("hll_estimate",
+        when(col("raw") <= lit(m) * 2.5 && col("v") > 0,
+          lit(m) * log(lit(m.toDouble) / col("v"))).otherwise(col("raw")))
+      .drop("z", "v", "raw")
+  }
 }

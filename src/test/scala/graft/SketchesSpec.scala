@@ -63,4 +63,37 @@ class SketchesSpec extends SparkSpec {
         s"quantile $p: approx value $v has empirical rank $rank")
     }
   }
+
+  test("hll registers: merging two halves' registers == registers of " +
+      "the union (the rollup algebra), estimate within 3 sigma") {
+    val keys = (1 to 5000).map(i => s"key:$i").toDF("k")
+    val half1 = keys.filter(length($"k") % 2 === 0)
+    val half2 = keys.filter(length($"k") % 2 === 1)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df.withColumn("g", lit("all")), $"k", Seq("g"))
+    val merged = regs(half1).unionByName(regs(half2))
+      .groupBy("g", "bucket").agg(max("rho").as("rho"))
+    val direct = regs(keys)
+    assert(merged.as[(String, Long, Int)].collect().toSet ==
+      direct.as[(String, Long, Int)].collect().toSet,
+      "register merge must equal union-of-keys registers")
+    val est = Sketches.hllEstimate(direct, Seq("g"))
+      .select("hll_estimate").as[Double].head()
+    // m=128 -> relative std error 1.04/sqrt(128) ~ 9.2%; allow 3 sigma
+    assert(math.abs(est - 5000) / 5000 < 0.28, s"estimate $est vs 5000")
+  }
+
+  test("hll small range: linear-counting branch, deterministic " +
+      "across rebuilds") {
+    val keys = (1 to 20).map(i => s"user:$i").toDF("k")
+      .withColumn("g", lit("all"))
+    def estimate() = Sketches.hllEstimate(
+      Sketches.hllRegisters(keys, $"k", Seq("g")), Seq("g"))
+      .select("hll_estimate").as[Double].head()
+    val e1 = estimate()
+    // n << m sits under 2.5m with empty buckets -> linear counting,
+    // which is tight in this regime
+    assert(e1 > 10 && e1 < 35, s"linear-counting estimate $e1 vs 20")
+    assert(estimate() == e1, "sketch must be bit-deterministic")
+  }
 }
