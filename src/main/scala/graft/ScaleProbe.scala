@@ -285,7 +285,9 @@ object ScaleProbe {
       // q205 = two appends + change-feed sync + one CDC merge
       "q205_cdc_replication",
       // q206 = register build (map-side-combined groupBy) + 2 appends
-      "q206_hll_sketch_rollup")
+      "q206_hll_sketch_rollup",
+      // q207 = per-order pair gen + support filter + oriented wedge join
+      "q207_triangle_census")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

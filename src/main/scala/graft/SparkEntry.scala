@@ -3263,6 +3263,28 @@ object SparkEntry {
           col("exact_user_days"))
     }),
 
+    // exact triangle census of the part co-purchase graph: edges =
+    // part pairs sharing >= 2 orders (support threshold bounds the
+    // graph at any scale — a thr-1 pair graph explodes with the
+    // corpus), triangles by degree-ordered orientation (hub fan-out
+    // capped at O(sqrt E), every triangle counted once at its min-
+    // degree vertex); wedges + global clustering coefficient beside
+    "q207_triangle_census" -> ((s, dir) => {
+      val basket = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = basket.as("x").join(basket.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val edges = pairs.groupBy("a", "b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2).select("a", "b")
+      GraphOps.triangleStats(edges, "a", "b")
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          expr("3 * n_triangles * 1000000 DIV greatest(n_wedges, 1L)")
+            .as("global_cc_micro"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -4936,6 +4958,32 @@ object SparkEntry {
         |    AS hll_user_days,
         |  exact_user_days
         |FROM est e JOIN exact x USING (event_type)""".stripMargin,
+
+    // q207: the naive a<b<c chain join is fine as an ORACLE (DuckDB,
+    // 60k rows); the engine side uses the degree-ordered orientation
+    // — both count the same set exactly
+    "q207_triangle_census" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT b1.p AS a, b2.p AS b FROM basket b1
+        |  JOIN basket b2 ON b1.o = b2.o AND b1.p < b2.p),
+        |edges AS (
+        |  SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS t FROM edges e1
+        |  JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        |  wedges AS n_wedges, t AS n_triangles,
+        |  CAST(3 * t * 1000000 // greatest(wedges, 1) AS BIGINT)
+        |    AS global_cc_micro
+        |FROM w, tri""".stripMargin,
 
     // q204: the same four statistics from the same bigram-type table;
     // positive operands throughout so DIV == //. The bigram list

@@ -135,4 +135,48 @@ object GraphOps {
       .select(col("rank").cast("long").as("rank"),
         col("v").as("token"), col("r").as("score_pico"))
   }
+
+  /** Exact triangle / wedge census of an undirected graph given as
+    * id-canonical edges (`aCol` < `bCol`, one row per edge). Returns
+    * one row: `n_edges`, `n_wedges` (paths of length 2, the global-
+    * clustering denominator), `n_triangles`.
+    *
+    * Triangles use the degree-ordered orientation: each edge is
+    * directed from its lower (degree, id) endpoint, wedges are joined
+    * only at each triangle's unique minimum vertex, and the closing
+    * edge is matched against the canonical edge set. The total order
+    * makes the oriented graph acyclic, so every triangle is counted
+    * exactly once — and, the 100 TB point, out-degrees are bounded by
+    * O(sqrt(E)) (a vertex keeps an out-edge only toward HIGHER-degree
+    * neighbors), so the wedge join's per-key fan-out never explodes on
+    * hubs the way a naive a<b<c chain join does on a skewed graph.
+    * Everything shuffles (long, long) pairs; no driver state.
+    */
+  def triangleStats(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges0.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    // orient from the smaller (degree, id) endpoint; ties fall to the
+    // id order, which is a < b by canonicalization
+    val fromA = col("da") < col("db") || col("da") === col("db")
+    val oriented = withDeg.select(
+      when(fromA, col("a")).otherwise(col("b")).as("src"),
+      when(fromA, col("b")).otherwise(col("a")).as("dst"))
+    val cand = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("a"), col("o2.dst").as("b"))
+    val nTri = cand.join(e, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(
+      sum(expr("d * (d - 1L) DIV 2")).as("n_wedges"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+  }
 }

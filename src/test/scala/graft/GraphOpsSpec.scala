@@ -89,4 +89,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(0)._3 == got(1)._3)              // symmetric tie
     assert(got.map(_._3).sorted.reverse == got.map(_._3))
   }
+
+  test("triangleStats: K4 census; star + one closing edge; input " +
+      "canonicalization") {
+    // complete graph on 4 vertices: 6 edges, Sum d(d-1)/2 = 4*3 = 12
+    // wedges, C(4,3) = 4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    assert(GraphOps.triangleStats(k4, "a", "b")
+      .as[(Long, Long, Long)].head() == ((6L, 12L, 4L)))
+
+    // hub star 0-{1..5} has wedges but no triangles; closing 1-2
+    // makes exactly one, found at the LOW-degree apex (1 or 2), which
+    // is what the degree orientation guarantees cheap on hubs
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    assert(GraphOps.triangleStats(star, "a", "b")
+      .as[(Long, Long, Long)].head() == ((5L, 10L, 0L)))
+    val closed = star.unionByName(Seq((1L, 2L)).toDF("a", "b"))
+    val (e, w, t) = GraphOps.triangleStats(closed, "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert((e, t) == ((6L, 1L)))
+    // wedges: deg 0->5, 1->2, 2->2 others 1: 10 + 1 + 1 = 12
+    assert(w == 12L)
+
+    // duplicate rows and a>b rows must not double-count: same K4 fed
+    // as duplicated non-canonical edges
+    val messy = k4.select(col("b").as("a"), col("a").as("b"))
+      .unionByName(k4).unionByName(k4)
+    assert(GraphOps.triangleStats(messy, "a", "b")
+      .as[(Long, Long, Long)].head() == ((6L, 12L, 4L)))
+  }
 }
