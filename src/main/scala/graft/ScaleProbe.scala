@@ -287,7 +287,9 @@ object ScaleProbe {
       // q206 = register build (map-side-combined groupBy) + 2 appends
       "q206_hll_sketch_rollup",
       // q207 = per-order pair gen + support filter + oriented wedge join
-      "q207_triangle_census")
+      "q207_triangle_census",
+      // q208 = per-stream lead window + grouped lattice + 15-row fold
+      "q208_kaplan_meier")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -3285,6 +3285,58 @@ object SparkEntry {
             .as("global_cc_micro"))
     }),
 
+    // Kaplan-Meier survival of same-type inter-event waits, WITH
+    // right-censoring (every stream's last event contributes an
+    // open interval to the observation end — dropping it, as naive
+    // gap stats do, biases survival DOWN). Exact integer (t, d, n)
+    // lattice per type; the only floats are the per-death ln terms
+    // folded in dur order (q178 discipline) and one exp; n==d mass
+    // extinction folds a -1000 term (exp underflows to exactly 0)
+    // rather than ln(0)
+    "q208_kaplan_meier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("fe"), col("event_id"))
+      val maxFe = ev.agg(max("fe").as("max_fe"))
+      val wLead = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("fe"), col("event_id"))
+      val obs = ev.withColumn("nxt", lead(col("fe"), 1).over(wLead))
+        .crossJoin(broadcast(maxFe))
+        .select(col("event_type"),
+          when(col("nxt").isNotNull, col("nxt") - col("fe"))
+            .otherwise(col("max_fe") - col("fe")).as("dur"),
+          when(col("nxt").isNotNull, 1L).otherwise(0L).as("death"))
+      val summary = obs.groupBy("event_type", "dur")
+        .agg(count(lit(1)).as("n_obs"), sum("death").as("n_death"))
+      val wCum = Window.partitionBy("event_type").orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = summary
+        .withColumn("n_risk",
+          sum("n_obs").over(Window.partitionBy("event_type"))
+            - sum("n_obs").over(wCum) + col("n_obs"))
+      val deaths = risk.filter(col("n_death") > 0)
+        .select(col("event_type").as("et"), col("dur"), col("n_death"),
+          when(col("n_death") < col("n_risk"),
+            log((col("n_risk") - col("n_death")).cast("double")
+              / col("n_risk").cast("double")))
+            .otherwise(lit(-1000.0)).as("term"))
+      import s.implicits._
+      val grid = obs.select("event_type").distinct()
+        .crossJoin(Seq(21600L, 86400L, 259200L).toDF("horizon_s"))
+      grid.join(deaths,
+          col("event_type") === col("et") && col("dur") <= col("horizon_s"),
+          "left")
+        .groupBy("event_type", "horizon_s")
+        .agg(
+          round(exp(expr(
+            """aggregate(transform(sort_array(collect_list(
+              |  CASE WHEN dur IS NOT NULL THEN struct(dur, term) END)),
+              |  e -> e.term), 0D, (a, t) -> a + t)""".stripMargin)), 6)
+            .as("survival"),
+          coalesce(sum("n_death"), lit(0L)).as("n_deaths"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -4984,6 +5036,59 @@ object SparkEntry {
         |  CAST(3 * t * 1000000 // greatest(wedges, 1) AS BIGINT)
         |    AS global_cc_micro
         |FROM w, tri""".stripMargin,
+
+    // q208: same (t, d, n) lattice; the ln terms are built per death
+    // row (identical arithmetic) then folded in dur order via
+    // list_reduce; LEFT-join misses are filtered out of the fold and
+    // coalesce to the empty product (survival 1)
+    "q208_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS fe, event_id
+        |  FROM events),
+        |mx AS (SELECT max(fe) AS max_fe FROM ev),
+        |obs AS (
+        |  SELECT event_type,
+        |    CASE WHEN nxt IS NOT NULL THEN nxt - fe
+        |         ELSE max_fe - fe END AS dur,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS death
+        |  FROM (SELECT user_id, event_type, fe, event_id,
+        |          lead(fe) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY fe, event_id) AS nxt
+        |        FROM ev), mx),
+        |summary AS (
+        |  SELECT event_type, dur, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(death) AS BIGINT) AS n_death
+        |  FROM obs GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT event_type, dur, n_death,
+        |    sum(n_obs) OVER (PARTITION BY event_type)
+        |      - sum(n_obs) OVER (PARTITION BY event_type ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      + n_obs AS n_risk
+        |  FROM summary),
+        |deaths AS (
+        |  SELECT event_type AS et, dur, n_death,
+        |    CASE WHEN n_death < n_risk
+        |      THEN ln(CAST(n_risk - n_death AS DOUBLE)
+        |              / CAST(n_risk AS DOUBLE))
+        |      ELSE CAST(-1000 AS DOUBLE) END AS term
+        |  FROM risk WHERE n_death > 0),
+        |grid AS (
+        |  SELECT event_type, horizon_s
+        |  FROM (SELECT DISTINCT event_type FROM obs),
+        |       (SELECT CAST(unnest([21600, 86400, 259200]) AS BIGINT)
+        |          AS horizon_s))
+        |SELECT g.event_type, g.horizon_s,
+        |  round(exp(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    coalesce(list(d.term ORDER BY d.dur)
+        |               FILTER (WHERE d.dur IS NOT NULL),
+        |             CAST([] AS DOUBLE[]))),
+        |    (a, t) -> a + t)), 6) AS survival,
+        |  CAST(coalesce(sum(d.n_death), 0) AS BIGINT) AS n_deaths
+        |FROM grid g LEFT JOIN deaths d
+        |  ON d.et = g.event_type AND d.dur <= g.horizon_s
+        |GROUP BY 1, 2""".stripMargin,
 
     // q204: the same four statistics from the same bigram-type table;
     // positive operands throughout so DIV == //. The bigram list

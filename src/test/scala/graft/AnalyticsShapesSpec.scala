@@ -318,4 +318,28 @@ class AnalyticsShapesSpec extends SparkSpec {
     assert(flagged.toSeq == Seq(999L))
     rm(dir)
   }
+
+  test("q208 Kaplan-Meier: hand product 4/5*3/4*2/3*1/2 = 0.2 with " +
+      "the censored tail at risk; a no-death stream survives at 1") {
+    val base = 1704100000000L
+    // type a: gaps 10,20,30,40 s; its last event is censored against
+    // the GLOBAL end (type b's lone event, 500000 s out), so the
+    // censored interval outlives every death and stays in every n_i
+    val ev = (Seq(0L, 10L, 30L, 60L, 100L).zipWithIndex.map {
+      case (off, i) => ("u1", "a", new Timestamp(base + off * 1000L),
+        i.toLong, 1.0)
+    } :+ (("u2", "b", new Timestamp(base + 500000L * 1000L), 99L, 1.0)))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val dir = tmpDir()
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q208_kaplan_meier")(spark, dir)
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    Seq(21600L, 86400L, 259200L).foreach { h =>
+      assert(got(("a", h)) == ((0.2, 4L)), got(("a", h)))
+      assert(got(("b", h)) == ((1.0, 0L)), got(("b", h)))
+    }
+    assert(got.size == 6)
+    rm(dir)
+  }
 }
