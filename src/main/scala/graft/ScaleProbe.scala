@@ -289,7 +289,9 @@ object ScaleProbe {
       // q207 = per-order pair gen + support filter + oriented wedge join
       "q207_triangle_census",
       // q208 = per-stream lead window + grouped lattice + 15-row fold
-      "q208_kaplan_meier")
+      "q208_kaplan_meier",
+      // q209 = two stamped appends + grouped readback
+      "q209_generated_columns")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

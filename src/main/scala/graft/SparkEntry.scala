@@ -3337,6 +3337,29 @@ object SparkEntry {
           coalesce(sum("n_death"), lit(0L)).as("n_deaths"))
     }),
 
+    // generated columns in-gate: o_month is GENERATED ALWAYS AS
+    // month(o_orderdate) — registered on the empty table, then two
+    // writer commits that never compute it; the table stamps it, the
+    // manifest carries its stats, and the readback groups by a column
+    // no writer ever supplied. The relational answer is just the
+    // month rollup of orders
+    "q209_generated_columns" -> ((s, dir) => {
+      val t = scratchDir("graft_q209") + "/t"
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      graft.sources.SnapshotTable.create(t, ord.schema)
+      graft.sources.SnapshotTable.addGeneratedColumn(
+        s, t, "o_month", "month(o_orderdate)")
+      graft.sources.SnapshotTable.append(
+        ord.filter(col("o_orderkey") % 2 === 0), t)
+      graft.sources.SnapshotTable.append(
+        ord.filter(col("o_orderkey") % 2 === 1), t)
+      graft.sources.SnapshotTable.read(s, t)
+        .groupBy(col("o_month").cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -5089,6 +5112,13 @@ object SparkEntry {
         |FROM grid g LEFT JOIN deaths d
         |  ON d.et = g.event_type AND d.dur <= g.horizon_s
         |GROUP BY 1, 2""".stripMargin,
+
+    // q209: the generated column is definitionally month(o_orderdate)
+    "q209_generated_columns" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // q204: the same four statistics from the same bigram-type table;
     // positive operands throughout so DIV == //. The bigram list

@@ -682,11 +682,12 @@ object SnapshotTable {
     */
   def append(df: DataFrame, table: String,
              bloomColumns: Seq[String] = Nil): Int = {
-    enforceConstraints(df, table)
-    val newFiles = writeData(df, table, bloomColumns)
+    val dfg = applyGenerated(df, table)
+    enforceConstraints(dfg, table)
+    val newFiles = writeData(dfg, table, bloomColumns)
     commitLoop(table) { (chunks, inline, prevSchema) =>
       (chunks, inline ++ newFiles,
-        evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+        evolveSchema(prevSchema.getOrElse(dfg.schema), dfg.schema))
     }
   }
 
@@ -710,13 +711,14 @@ object SnapshotTable {
     require(indexCols.nonEmpty, "appendBloomIndexed needs index columns")
     require(bloomBits >= 64 && bloomBits % 8 == 0 && bloomK >= 1,
       s"bad bloom sizing: bits=$bloomBits k=$bloomK")
-    enforceConstraints(df, table)
-    val newFiles = writeData(df, table, indexCols)
+    val dfg = applyGenerated(df, table)
+    enforceConstraints(dfg, table)
+    val newFiles = writeData(dfg, table, indexCols)
     val indexed = buildBlooms(df.sparkSession, table, newFiles, indexCols,
       bloomBits, bloomK)
     commitLoop(table) { (chunks, inline, prevSchema) =>
       (chunks, inline ++ indexed,
-        evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+        evolveSchema(prevSchema.getOrElse(dfg.schema), dfg.schema))
     }
   }
 
@@ -785,8 +787,9 @@ object SnapshotTable {
     val already = currentVersion(table)
       .exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion))
     if (already) return None
-    enforceConstraints(df, table)
-    val newFiles = writeData(df, table)
+    val dfg = applyGenerated(df, table)
+    enforceConstraints(dfg, table)
+    val newFiles = writeData(dfg, table)
     Some(commitLoop(table, Map(writerId -> txnVersion) ++ extraTxns) { (chunks, inline, prevSchema) =>
       // re-check inside the loop: a concurrent retry of the same batch
       // may have landed between the probe and this attempt
@@ -794,7 +797,7 @@ object SnapshotTable {
       if (cur.exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion)))
         return None
       (chunks, inline ++ newFiles,
-        evolveSchema(prevSchema.getOrElse(df.schema), df.schema))
+        evolveSchema(prevSchema.getOrElse(dfg.schema), dfg.schema))
     })
   }
 
@@ -842,7 +845,7 @@ object SnapshotTable {
     * vacuum.
     */
   def upsert(spark: SparkSession, df: DataFrame, table: String, key: String): Int = {
-    val deduped = df.dropDuplicates(key)
+    val deduped = applyGenerated(df.dropDuplicates(key), table)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val base = currentVersion(table)
@@ -972,7 +975,14 @@ object SnapshotTable {
     */
   private def enforceConstraints(df: DataFrame, table: String): Unit = {
     import org.apache.spark.sql.functions._
-    val cons = constraintsOf(table)
+    // a generated-column entry IS a check on batches that carry the
+    // column explicitly: the value must null-safely equal the
+    // expression (writers can't stamp conflicting derived values)
+    val cons = constraintsOf(table).map {
+      case (k, v) if k.startsWith(GenPrefix) =>
+        k -> s"`${k.stripPrefix(GenPrefix)}` <=> ($v)"
+      case kv => kv
+    }
     if (cons.isEmpty) return
     val names = cons.keys.toSeq.sorted
     val counts = df.agg(
@@ -1019,6 +1029,86 @@ object SnapshotTable {
     val cur = constraintsOf(table)
     require(cur.contains(name), s"no constraint '$name' on $table")
     commitConstraints(table, cur - name)
+  }
+
+  // --- generated columns (the Delta GENERATED ALWAYS AS contract) ---
+  //
+  // Stored in the constraints map under reserved "_gen:<col>" names,
+  // so version auto-carry, time travel and the metadata commit path
+  // come for free. Enforcement is uniform too: a "_gen:" entry acts
+  // as the CHECK `col <=> (expr)` on batches that DO provide the
+  // column, while writers that omit it get it computed server-side —
+  // the point at 100 TB being that partition-style derived columns
+  // (day(ts), bucket(id), …) are stamped consistently by the TABLE,
+  // not by the discipline of every writer, and manifest min/max stats
+  // on them prune reads exactly like hand-maintained partition keys.
+  private val GenPrefix = "_gen:"
+
+  /** Generated columns of `table`: column -> SQL expression. */
+  def generatedColumnsOf(table: String,
+                         version: Option[Int] = None): Map[String, String] =
+    constraintsOf(table, version).collect {
+      case (k, v) if k.startsWith(GenPrefix) =>
+        k.stripPrefix(GenPrefix) -> v
+    }
+
+  /** Register `column` as GENERATED ALWAYS AS (`exprSql`) — a
+    * metadata-only commit. If the column already exists in the
+    * schema, every existing row must already satisfy
+    * `column <=> (exprSql)` (the retro-fit is vetted, like
+    * [[addConstraint]]); otherwise the column simply starts existing
+    * on the next data commit via schema evolution.
+    */
+  def addGeneratedColumn(spark: SparkSession, table: String,
+                         column: String, exprSql: String): Int = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val cur = constraintsOf(table)
+    require(!cur.contains(GenPrefix + column),
+      s"generated column '$column' already registered on $table")
+    val existing = read(spark, table)
+    // the expression must analyze against the current schema
+    existing.limit(0).withColumn(column, expr(exprSql))
+      .queryExecution.analyzed
+    if (schemaOf(spark, table).fieldNames.contains(column)) {
+      val bad = existing
+        .filter(!(col(column) <=> expr(exprSql))).count()
+      require(bad == 0L, s"cannot register generated column '$column' " +
+        s"($exprSql): $bad existing row(s) disagree with the expression")
+    }
+    commitConstraints(table, cur + (GenPrefix + column -> exprSql))
+  }
+
+  /** Un-register a generated column (metadata-only; data keeps the
+    * already-materialized values).
+    */
+  def dropGeneratedColumn(table: String, column: String): Int = {
+    val cur = constraintsOf(table)
+    require(cur.contains(GenPrefix + column),
+      s"no generated column '$column' on $table")
+    commitConstraints(table, cur - (GenPrefix + column))
+  }
+
+  /** Fill in any registered generated column the batch omitted.
+    * Batches that DO carry the column pass through untouched here and
+    * are vetted by [[enforceConstraints]]' `<=>` check instead.
+    */
+  private def applyGenerated(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    generatedColumnsOf(table).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
+    }
+  }
+
+  /** Recompute every generated column unconditionally — for row-
+    * REWRITE paths (UPDATE / MERGE output) where a base column may
+    * just have changed: generated values are system-maintained, so
+    * they follow the new bases rather than surviving stale.
+    */
+  private def recomputeGenerated(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    generatedColumnsOf(table).foldLeft(df) { case (d, (c, e)) =>
+      d.withColumn(c, expr(e))
+    }
   }
 
   private def commitConstraints(table: String,
@@ -1173,8 +1263,12 @@ object SnapshotTable {
       val tgtSchema = schemaOpt.getOrElse(read(spark, table, Some(base)).schema)
       set.keys.foreach(c => require(tgtSchema.fieldNames.contains(c),
         s"UPDATE SET references unknown column $c"))
+      val gens = generatedColumnsOf(table)
+      set.keys.foreach(c => require(!gens.contains(c),
+        s"UPDATE SET cannot target generated column $c (it is " +
+          "recomputed from its expression)"))
       val reader = spark.read.schema(tgtSchema)
-      val rewritten = reader.parquet(
+      val rewritten0 = reader.parquet(
           candidates.map(fe => dataDir(table).resolve(fe.name).toString): _*)
         .select(tgtSchema.fieldNames.toSeq.map { c =>
           set.get(c) match {
@@ -1183,6 +1277,8 @@ object SnapshotTable {
             case None => col(c)
           }
         }: _*)
+      // rewritten rows follow their (possibly updated) bases
+      val rewritten = recomputeGenerated(rewritten0, table)
       val newFiles = writeData(rewritten.localCheckpoint(), table)
       if (publishManifest(table, base + 1, untouched ++ newFiles, schemaOpt, prevTxns))
         return Some(base + 1)
@@ -1304,13 +1400,20 @@ object SnapshotTable {
             else lit(null).cast(tgtSchema(c).dataType).as(c)): _*)
           Some(projected)
         }
-      val output = inserts.fold(rewritten)(ins => rewritten.unionByName(ins))
+      val output0 = inserts.fold(rewritten)(ins => rewritten.unionByName(ins))
+      // merge REBUILDS rows, so generated columns are recomputed from
+      // the post-update bases (an updated base column must not leave a
+      // stale derived value; inserts projected them as null)
+      val output = recomputeGenerated(output0, table)
       // enforce on the MERGED output (updates may transform values),
       // before any data lands
       enforceConstraints(output, table)
       val newFiles = writeData(output.localCheckpoint(), table)
       val v = base.getOrElse(-1) + 1
-      if (publishManifest(table, v, untouched ++ newFiles, Some(tgtSchema),
+      // recomputeGenerated may have materialized a registered column
+      // the schema did not carry yet — publish the evolved shape
+      if (publishManifest(table, v, untouched ++ newFiles,
+          Some(evolveSchema(tgtSchema, output.schema)),
           prevTxns ++ txn))
         return v
       attempt += 1 // lost the race: re-prune + re-merge against the winner
