@@ -291,7 +291,9 @@ object ScaleProbe {
       // q208 = per-stream lead window + grouped lattice + 15-row fold
       "q208_kaplan_meier",
       // q209 = two stamped appends + grouped readback
-      "q209_generated_columns")
+      "q209_generated_columns",
+      // q210 = per-user lead window + model-size chain fold
+      "q210_markov_attribution")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

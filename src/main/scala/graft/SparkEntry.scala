@@ -3360,6 +3360,86 @@ object SparkEntry {
           round(sum(col("o_totalprice")), 2).as("total_price"))
     }),
 
+    // Markov removal-effect attribution (Anderl et al.) — the
+    // model-based closer of the attribution family (q147 last-touch
+    // counts, q194 raw transitions): user journeys truncated at first
+    // purchase feed a first-order chain; each channel's worth is how
+    // much conversion DISAPPEARS when that channel is absorbed into
+    // NULL. Absorption probabilities by a 100-step fixed-point in
+    // micro BIGINT (per-edge floor DIV, so the whole table is exact
+    // integer and the oracle replays it as a WITH RECURSIVE list
+    // fold); chain + scenarios are model-size (|types|^2 edges), the
+    // only corpus-scale work is the per-user lead window
+    "q210_markov_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val ordered = ev.select(col("user_id"),
+          when(col("event_type") === "purchase", lit("CONV"))
+            .otherwise(col("event_type")).as("st"),
+          col("ts"), col("event_id"))
+        .withColumn("i", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))))
+      val firstp = ordered.filter(col("st") === "CONV")
+        .groupBy("user_id").agg(min("i").as("pi"))
+      val j = ordered.join(firstp, Seq("user_id"), "left")
+        .filter(col("pi").isNull || col("i") <= col("pi"))
+        .select("user_id", "st", "i")
+      val nx = j.withColumn("nxt",
+        lead(col("st"), 1).over(Window.partitionBy("user_id").orderBy("i")))
+      val trans = j.filter(col("i") === 1)
+          .select(lit("START").as("f"), col("st").as("t"))
+        .unionByName(nx.filter(col("nxt").isNotNull)
+          .select(col("st").as("f"), col("nxt").as("t")))
+        .unionByName(nx.filter(col("nxt").isNull && col("st") =!= "CONV")
+          .select(col("st").as("f"), lit("NULL").as("t")))
+      val cnt = trans.groupBy("f", "t").agg(count(lit(1)).as("c"))
+      val prob = cnt.join(
+          cnt.groupBy("f").agg(sum("c").as("tot")), "f")
+        .select(col("f"), col("t"), expr("c * 1000000L DIV tot").as("p"))
+      val channels = ev.select(col("event_type")).distinct()
+        .filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("scenario"))
+      val scenarios = channels
+        .unionByName(channels.limit(1).select(lit("full").as("scenario")))
+      val scenEdges = scenarios.crossJoin(prob)
+        .filter(col("f") =!= col("scenario"))
+        .select(col("scenario"), col("f"),
+          when(col("t") === col("scenario"), lit("NULL"))
+            .otherwise(col("t")).as("t"), col("p"))
+        .groupBy("scenario", "f", "t").agg(sum("p").as("p"))
+      val statesDf = channels.agg(concat(
+        array(lit("START"), lit("CONV"), lit("NULL")),
+        sort_array(collect_list(col("scenario")))).as("states"))
+      val folded = scenEdges.groupBy("scenario")
+        .agg(collect_list(struct(col("f"), col("t"), col("p"))).as("edges"))
+        .crossJoin(broadcast(statesDf))
+        .select(col("scenario"), expr(
+          """element_at(
+            |  aggregate(sequence(1, 100),
+            |    transform(states, x -> IF(x = 'CONV', 1000000L, 0L)),
+            |    (v, k) -> transform(states, x ->
+            |      IF(x = 'CONV', 1000000L,
+            |        aggregate(filter(edges, e -> e.f = x), 0L,
+            |          (a, e) -> a + e.p * element_at(v,
+            |            CAST(array_position(states, e.t) AS INT))
+            |            DIV 1000000L)))),
+            |  CAST(array_position(states, 'START') AS INT))"""
+            .stripMargin).as("p_conv"))
+      val full = folded.filter(col("scenario") === "full")
+        .select(col("p_conv").as("p_full"))
+      val perCh = folded.filter(col("scenario") =!= "full")
+        .crossJoin(broadcast(full))
+        .select(col("scenario").as("channel"), col("p_conv"), col("p_full"),
+          expr("1000000L - p_conv * 1000000L DIV greatest(p_full, 1L)")
+            .as("re"))
+      perCh.crossJoin(broadcast(perCh.agg(sum("re").as("re_sum"))))
+        .select(col("channel"), col("p_conv").as("p_conv_micro"),
+          col("p_full").as("p_conv_full_micro"),
+          col("re").as("removal_effect_micro"),
+          expr("re * 1000000L DIV greatest(re_sum, 1L)")
+            .as("attribution_micro"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -5112,6 +5192,87 @@ object SparkEntry {
         |FROM grid g LEFT JOIN deaths d
         |  ON d.et = g.event_type AND d.dur <= g.horizon_s
         |GROUP BY 1, 2""".stripMargin,
+
+    // q210: journeys -> counts -> floored micro chain, then the same
+    // 100-step vector fixed-point as a WITH RECURSIVE carrying the
+    // state vector as a LIST (scalar list lambdas only — DuckDB's
+    // recursive term then needs no aggregate); per-edge floor DIV
+    // keeps every intermediate an exact BIGINT on both engines
+    "q210_markov_attribution" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+        |         ELSE event_type END AS st, ts, event_id
+        |  FROM events),
+        |ordered AS (
+        |  SELECT user_id, st, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS i FROM ev),
+        |firstp AS (
+        |  SELECT user_id, min(i) AS pi FROM ordered
+        |  WHERE st = 'CONV' GROUP BY 1),
+        |j AS (
+        |  SELECT o.user_id, o.st, o.i FROM ordered o
+        |  LEFT JOIN firstp f USING (user_id)
+        |  WHERE f.pi IS NULL OR o.i <= f.pi),
+        |nx AS (
+        |  SELECT user_id, st, i,
+        |    lead(st) OVER (PARTITION BY user_id ORDER BY i) AS nxt
+        |  FROM j),
+        |trans AS (
+        |  SELECT 'START' AS f, st AS t FROM j WHERE i = 1
+        |  UNION ALL SELECT st, nxt FROM nx WHERE nxt IS NOT NULL
+        |  UNION ALL SELECT st, 'NULL' FROM nx
+        |    WHERE nxt IS NULL AND st <> 'CONV'),
+        |cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c
+        |        FROM trans GROUP BY 1, 2),
+        |tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS tot
+        |        FROM cnt GROUP BY 1),
+        |prob AS (SELECT cnt.f, cnt.t, c * 1000000 // tot AS p
+        |         FROM cnt JOIN tot USING (f)),
+        |chans AS (SELECT DISTINCT event_type AS ch FROM events
+        |          WHERE event_type <> 'purchase'),
+        |scens AS (SELECT 'full' AS scenario
+        |          UNION ALL SELECT ch FROM chans),
+        |sedges AS (
+        |  SELECT scenario, f,
+        |    CASE WHEN t = scenario THEN 'NULL' ELSE t END AS t,
+        |    CAST(sum(p) AS BIGINT) AS p
+        |  FROM scens, prob WHERE f <> scenario GROUP BY 1, 2, 3),
+        |sts AS (SELECT list_concat(['START', 'CONV', 'NULL'],
+        |          list_sort(list(ch))) AS states FROM chans),
+        |eb AS (SELECT scenario,
+        |         list(struct_pack(f := f, t := t, p := p)) AS edges
+        |       FROM sedges GROUP BY 1),
+        |rec AS (
+        |  SELECT b.scenario, b.edges, s.states, 0 AS it,
+        |    list_transform(s.states, x -> CASE WHEN x = 'CONV'
+        |      THEN CAST(1000000 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END) AS v
+        |  FROM eb b, sts s
+        |  UNION ALL
+        |  SELECT scenario, edges, states, it + 1,
+        |    list_transform(states, x -> CASE WHEN x = 'CONV'
+        |      THEN CAST(1000000 AS BIGINT)
+        |      ELSE CAST(coalesce(list_sum(list_transform(
+        |        list_filter(edges, e -> e.f = x),
+        |        e -> e.p * v[list_position(states, e.t)] // 1000000)),
+        |        0) AS BIGINT) END)
+        |  FROM rec WHERE it < 100),
+        |fin AS (
+        |  SELECT scenario, v[list_position(states, 'START')] AS p_conv
+        |  FROM rec WHERE it = 100),
+        |fullp AS (SELECT p_conv AS p_full FROM fin WHERE scenario = 'full'),
+        |perch AS (
+        |  SELECT scenario AS channel, p_conv, p_full,
+        |    1000000 - p_conv * 1000000 // greatest(p_full, 1) AS re
+        |  FROM fin, fullp WHERE scenario <> 'full'),
+        |totre AS (SELECT CAST(sum(re) AS BIGINT) AS re_sum FROM perch)
+        |SELECT channel, CAST(p_conv AS BIGINT) AS p_conv_micro,
+        |  CAST(p_full AS BIGINT) AS p_conv_full_micro,
+        |  CAST(re AS BIGINT) AS removal_effect_micro,
+        |  CAST(re * 1000000 // greatest(re_sum, 1) AS BIGINT)
+        |    AS attribution_micro
+        |FROM perch, totre""".stripMargin,
 
     // q209: the generated column is definitionally month(o_orderdate)
     "q209_generated_columns" ->

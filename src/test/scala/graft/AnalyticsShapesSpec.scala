@@ -342,4 +342,32 @@ class AnalyticsShapesSpec extends SparkSpec {
     assert(got.size == 6)
     rm(dir)
   }
+
+  test("q210 Markov attribution: hand chain — removal effects and " +
+      "normalized shares with exact floor arithmetic") {
+    val base = 1704100000000L
+    // u1: view -> purchase; u2: view -> click -> purchase; u3: click
+    // (never converts). Chain: START->{view 2/3, click 1/3};
+    // view->{CONV .5, click .5}; click->{CONV .5, NULL .5}.
+    // Fixed point (per-edge floor micro): v(click)=500000,
+    // v(view)=750000, p_full = 499999+166666 = 666665. Removing view:
+    // p=166666 -> re=750001; removing click: p=333333 -> re=500000;
+    // shares 600000 / 399999.
+    val rows = Seq(
+      ("u1", "view", 0L, 0L), ("u1", "purchase", 10L, 1L),
+      ("u2", "view", 0L, 2L), ("u2", "click", 10L, 3L),
+      ("u2", "purchase", 20L, 4L),
+      ("u3", "click", 0L, 5L)
+    ).map { case (u, t, off, id) =>
+      (u, t, new Timestamp(base + off * 1000L), id, 1.0)
+    }.toDF("user_id", "event_type", "ts", "event_id", "value")
+    val dir = tmpDir()
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q210_markov_attribution")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("view") == ((166666L, 666665L, 750001L, 600000L)), got)
+    assert(got("click") == ((333333L, 666665L, 500000L, 399999L)), got)
+    rm(dir)
+  }
 }
