@@ -293,7 +293,9 @@ object ScaleProbe {
       // q209 = two stamped appends + grouped readback
       "q209_generated_columns",
       // q210 = per-user lead window + model-size chain fold
-      "q210_markov_attribution")
+      "q210_markov_attribution",
+      // q211 = binned groupBy + 2 appends + 250-row-per-type rollup
+      "q211_histogram_quantile_rollup")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

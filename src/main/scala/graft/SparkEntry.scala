@@ -3440,6 +3440,63 @@ object SparkEntry {
             .as("attribution_micro"))
     }),
 
+    // mergeable histogram-quantile rollup — q206's pattern for
+    // percentiles: per-(type, day) equi-width histograms (FIXED
+    // domain [0,1000) x 250 bins — fixed edges are what make daily
+    // sketches mergeable; a data-dependent domain wouldn't be) in a
+    // snapshot table, a 15-day range p50/p90/p99 answered from merged
+    // bin counts with integer within-bin interpolation, and the exact
+    // order statistic (q142 lattice discipline) joined alongside as
+    // the error audit — error bounded by bin width, never a raw
+    // re-scan
+    "q211_histogram_quantile_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tbl = scratchDir("graft_q211") + "/hist"
+      val lo = lit(java.sql.Date.valueOf("2024-01-08"))
+      val hi = lit(java.sql.Date.valueOf("2024-01-22"))
+      val mid = lit(java.sql.Date.valueOf("2024-01-16"))
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        to_date(col("ts")).as("d"),
+        expr("CAST(floor(value * 1000000.0) AS BIGINT)").as("vm"))
+      val daily = ev
+        .withColumn("bin", least(expr("vm DIV 4000000L"), lit(249L)))
+        .groupBy("event_type", "d", "bin").agg(count(lit(1)).as("cnt"))
+      graft.sources.SnapshotTable.append(daily.filter(col("d") < mid), tbl)
+      graft.sources.SnapshotTable.append(daily.filter(col("d") >= mid), tbl)
+      val merged = graft.sources.SnapshotTable.read(s, tbl)
+        .filter(col("d").between(lo, hi))
+        .groupBy("event_type", "bin").agg(sum("cnt").as("cnt"))
+      val wc = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = merged.withColumn("cum", sum("cnt").over(wc))
+        .withColumn("total",
+          sum("cnt").over(Window.partitionBy("event_type")))
+      import s.implicits._
+      val pcts = Seq(50L, 90L, 99L).toDF("pct")
+      val hist = cum.crossJoin(pcts)
+        .withColumn("r", expr("(total * pct + 99L) DIV 100L"))
+        .filter(col("cum") >= col("r"))
+        .groupBy("event_type", "pct")
+        .agg(min(struct(col("bin"), col("cum"), col("cnt"), col("r"),
+          col("total"))).as("s"))
+        .select(col("event_type"), col("pct"),
+          expr("s.bin * 4000000L + (s.r - (s.cum - s.cnt)) * 4000000L " +
+            "DIV s.cnt").as("hist_p_micro"),
+          col("s.total").as("n_obs"))
+      val raw = ev.filter(col("d").between(lo, hi))
+        .groupBy("event_type", "vm").agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy("event_type").orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exact = raw.withColumn("cum", sum("c").over(wv))
+        .withColumn("total", sum("c").over(Window.partitionBy("event_type")))
+        .crossJoin(pcts)
+        .filter(col("cum") * 100 >= col("total") * col("pct"))
+        .groupBy("event_type", "pct").agg(min("vm").as("exact_p_micro"))
+      hist.join(exact, Seq("event_type", "pct"))
+        .select(col("event_type"), col("pct"), col("hist_p_micro"),
+          col("exact_p_micro"), col("n_obs"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -5273,6 +5330,61 @@ object SparkEntry {
         |  CAST(re * 1000000 // greatest(re_sum, 1) AS BIGINT)
         |    AS attribution_micro
         |FROM perch, totre""".stripMargin,
+
+    // q211: identical binning/rank arithmetic; min(struct) becomes
+    // min_by over the first qualifying bin (arg-min on bin)
+    "q211_histogram_quantile_rollup" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events),
+        |binned AS (
+        |  SELECT event_type, d, least(vm // 4000000, 249) AS bin
+        |  FROM ev),
+        |merged AS (
+        |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM binned
+        |  WHERE d BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM merged),
+        |pcts AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
+        |ranked AS (SELECT c.*, p.pct, (total * pct + 99) // 100 AS r
+        |           FROM cum c, pcts p),
+        |hits AS (
+        |  SELECT event_type, pct, min(bin) AS bin
+        |  FROM ranked WHERE cum >= r GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT rk.event_type, rk.pct,
+        |    rk.bin * 4000000 + (rk.r - (rk.cum - rk.cnt)) * 4000000
+        |      // rk.cnt AS hist_p_micro,
+        |    CAST(rk.total AS BIGINT) AS n_obs
+        |  FROM ranked rk JOIN hits h
+        |    ON rk.event_type = h.event_type AND rk.pct = h.pct
+        |   AND rk.bin = h.bin),
+        |raw AS (
+        |  SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev
+        |  WHERE d BETWEEN DATE '2024-01-08' AND DATE '2024-01-22'
+        |  GROUP BY 1, 2),
+        |rcum AS (
+        |  SELECT event_type, vm,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY vm
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS total
+        |  FROM raw),
+        |exact AS (
+        |  SELECT event_type, pct, CAST(min(vm) AS BIGINT) AS exact_p_micro
+        |  FROM rcum, pcts WHERE cum * 100 >= total * pct
+        |  GROUP BY 1, 2)
+        |SELECT event_type, pct,
+        |  CAST(hist_p_micro AS BIGINT) AS hist_p_micro,
+        |  exact_p_micro, n_obs
+        |FROM hist JOIN exact USING (event_type, pct)""".stripMargin,
 
     // q209: the generated column is definitionally month(o_orderdate)
     "q209_generated_columns" ->

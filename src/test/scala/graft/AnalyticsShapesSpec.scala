@@ -370,4 +370,27 @@ class AnalyticsShapesSpec extends SparkSpec {
     assert(got("click") == ((333333L, 666665L, 500000L, 399999L)), got)
     rm(dir)
   }
+
+  test("q211 histogram quantiles: hand bins — within-bin " +
+      "interpolation, ceil ranks, out-of-range days excluded") {
+    // values 1..8 on an in-range day: bins (width 4) hold 3/4/1.
+    // p50: rank ceil(8*.5)=4 -> bin 1, interp 4M + 1*4M/4 = 5M; exact
+    // order stat = 4M. p90/p99: rank 8 -> bin 2, 8M + 4M = 12M; exact
+    // 8M. The day-25 value 100 must not leak into the 08..22 window.
+    val inDay = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
+    val outDay = java.sql.Timestamp.valueOf("2024-01-25 12:00:00")
+    val rows = ((1 to 8).map(i => ("u1", "a", inDay, i.toLong, i.toDouble))
+      :+ (("u1", "a", outDay, 99L, 100.0)))
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val dir = tmpDir()
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q211_histogram_quantile_rollup")(
+        spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", 50L)) == ((5000000L, 4000000L, 8L)), got)
+    assert(got(("a", 90L)) == ((12000000L, 8000000L, 8L)), got)
+    assert(got(("a", 99L)) == ((12000000L, 8000000L, 8L)), got)
+    rm(dir)
+  }
 }
