@@ -295,7 +295,9 @@ object ScaleProbe {
       // q210 = per-user lead window + model-size chain fold
       "q210_markov_attribution",
       // q211 = binned groupBy + 2 appends + 250-row-per-type rollup
-      "q211_histogram_quantile_rollup")
+      "q211_histogram_quantile_rollup",
+      // q212 = rank windows + rank-equi join + model-size MM fold
+      "q212_bradley_terry")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -3497,6 +3497,65 @@ object SparkEntry {
           col("exact_p_micro"), col("n_obs"))
     }),
 
+    // Bradley-Terry strengths from pairwise battles (the RLHF /
+    // chatbot-arena ranking model): rank-matched cross-source doc
+    // duels (rank r of source A vs rank r of source B — LINEAR in
+    // docs, unlike all-pairs), winner by quality score; 5 MM
+    // iterations (Hunter) s_i <- W_i / sum_j n_ij/(s_i+s_j) in pico-
+    // per-micro BIGINT with floor DIV — unnormalized in-loop (drift
+    // bounded by 2^5, every intermediate < 2^63), normalized to
+    // sum = items x 1e6 only at output; the battle matrix is
+    // model-size (|sources|^2), so the fold is one driver-free row
+    "q212_bradley_terry" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.qualityScore(
+          Tables.documents(s, dir), "text")
+        .withColumn("sm",
+          expr("CAST(round(quality_score * 1000000) AS BIGINT)"))
+        .withColumn("r", row_number().over(Window.partitionBy("source")
+          .orderBy(col("sm").desc, col("doc_id").asc)))
+        .select(col("source"), col("r"), col("sm"), col("doc_id"))
+      val battles = scored.as("a").join(scored.as("b"),
+          col("a.r") === col("b.r") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          (col("a.sm") > col("b.sm") ||
+            (col("a.sm") === col("b.sm") &&
+              col("a.doc_id") < col("b.doc_id"))).cast("long").as("wa"))
+      val matrix = battles.groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n"), sum("wa").as("w"))
+      val edges = matrix.select(col("sa").as("i"), col("sb").as("j"),
+          col("n"), col("w"))
+        .unionByName(matrix.select(col("sb").as("i"), col("sa").as("j"),
+          col("n"), (col("n") - col("w")).as("w")))
+      val perItem = edges.groupBy(col("i").as("source"))
+        .agg(sum("w").as("n_wins"), sum("n").as("n_battles"))
+      val folded = edges
+        .agg(collect_list(struct(col("i"), col("j"), col("n"), col("w")))
+          .as("edges"),
+          sort_array(collect_set(col("i"))).as("items"))
+        .select(col("items"), expr(
+          """aggregate(sequence(1, 5),
+            |  transform(items, x -> 1000000L),
+            |  (s, k) -> transform(items, x ->
+            |    aggregate(filter(edges, e -> e.i = x), 0L,
+            |      (a, e) -> a + e.w) * 1000000000000L
+            |    DIV greatest(
+            |      aggregate(filter(edges, e -> e.i = x), 0L, (a, e) ->
+            |        a + e.n * 1000000000000L DIV greatest(
+            |          element_at(s, CAST(array_position(items, e.i) AS INT))
+            |          + element_at(s, CAST(array_position(items, e.j) AS INT)),
+            |          1L)), 1L)))""".stripMargin).as("sv"))
+        .select(explode(arrays_zip(col("items"), col("sv"))).as("z"),
+          expr("aggregate(sv, 0L, (a, b) -> a + b)").as("stot"),
+          size(col("items")).as("ni"))
+        .select(col("z.items").as("source"),
+          expr("z.sv * (ni * 1000000L) DIV greatest(stot, 1L)")
+            .as("bt_micro"))
+      folded.join(perItem, "source")
+        .select(col("source"), col("n_wins"), col("n_battles"),
+          col("bt_micro"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -5330,6 +5389,70 @@ object SparkEntry {
         |  CAST(re * 1000000 // greatest(re_sum, 1) AS BIGINT)
         |    AS attribution_micro
         |FROM perch, totre""".stripMargin,
+
+    // q212: same rank-matched battles and the same 5 MM floor
+    // iterations as a WITH RECURSIVE list fold (q210 mechanics)
+    "q212_bradley_terry" ->
+      s"""WITH RECURSIVE base AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(round($QualityScoreSql * 1000000) AS BIGINT) AS sm
+        |  FROM base),
+        |rk AS (
+        |  SELECT doc_id, source, sm,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY sm DESC, doc_id) AS BIGINT) AS r
+        |  FROM sc),
+        |battles AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |    CASE WHEN a.sm > b.sm
+        |           OR (a.sm = b.sm AND a.doc_id < b.doc_id)
+        |      THEN 1 ELSE 0 END AS wa
+        |  FROM rk a JOIN rk b ON a.r = b.r AND a.source < b.source),
+        |matrix AS (
+        |  SELECT sa, sb, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(wa) AS BIGINT) AS w
+        |  FROM battles GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT sa AS i, sb AS j, n, w FROM matrix
+        |  UNION ALL SELECT sb, sa, n, n - w FROM matrix),
+        |peritem AS (
+        |  SELECT i AS source, CAST(sum(w) AS BIGINT) AS n_wins,
+        |    CAST(sum(n) AS BIGINT) AS n_battles
+        |  FROM edges GROUP BY 1),
+        |lists AS (
+        |  SELECT list(struct_pack(i := i, j := j, n := n, w := w)) AS edges,
+        |    list_sort(list(DISTINCT i)) AS items
+        |  FROM edges),
+        |rec AS (
+        |  SELECT edges, items, 0 AS it,
+        |    list_transform(items, x -> CAST(1000000 AS BIGINT)) AS s
+        |  FROM lists
+        |  UNION ALL
+        |  SELECT edges, items, it + 1,
+        |    list_transform(items, x ->
+        |      CAST(CAST(coalesce(list_sum(list_transform(
+        |          list_filter(edges, e -> e.i = x), e -> e.w)), 0)
+        |        AS BIGINT) * 1000000000000
+        |      // greatest(CAST(coalesce(list_sum(list_transform(
+        |          list_filter(edges, e -> e.i = x),
+        |          e -> e.n * 1000000000000 // greatest(
+        |            s[list_position(items, e.i)]
+        |            + s[list_position(items, e.j)], 1))), 0) AS BIGINT),
+        |        1) AS BIGINT))
+        |  FROM rec WHERE it < 5),
+        |fin AS (
+        |  SELECT unnest(items) AS source, unnest(s) AS sv,
+        |    CAST(list_sum(s) AS BIGINT) AS stot,
+        |    len(items) AS ni
+        |  FROM rec WHERE it = 5)
+        |SELECT p.source, p.n_wins, p.n_battles,
+        |  CAST(sv * (ni * 1000000) // greatest(stot, 1) AS BIGINT)
+        |    AS bt_micro
+        |FROM fin f JOIN peritem p ON p.source = f.source""".stripMargin,
 
     // q211: identical binning/rank arithmetic; min(struct) becomes
     // min_by over the first qualifying bin (arg-min on bin)

@@ -393,4 +393,28 @@ class AnalyticsShapesSpec extends SparkSpec {
     assert(got(("a", 99L)) == ((12000000L, 8000000L, 8L)), got)
     rm(dir)
   }
+
+  test("q212 Bradley-Terry: total dominance lands exactly at " +
+      "(2e6, 0) — the MM fixed point with floors") {
+    // source A: clean prose; source B: junk. A wins every rank-
+    // matched battle, so MM converges to s_A = 2e6, s_B = 0 EXACTLY
+    // in the floor arithmetic (s_A' = sA + sB, then stable).
+    val good1 = "The quick brown fox jumps over the lazy dog today."
+    val good2 = "A clear and well formed sentence with many words here."
+    val junk = "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz"
+    val docs = Seq(
+      (1L, good1, "en", "clean", good1.length.toLong),
+      (2L, good2, "en", "clean", good2.length.toLong),
+      (3L, junk, "en", "junk", junk.length.toLong),
+      (4L, junk + " zzz", "en", "junk", (junk.length + 4).toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tmpDir()
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q212_bradley_terry")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("clean") == ((2L, 2L, 2000000L)), got)
+    assert(got("junk") == ((0L, 2L, 0L)), got)
+    rm(dir)
+  }
 }
