@@ -3556,6 +3556,114 @@ object SparkEntry {
           col("bt_micro"))
     }),
 
+    // TPC-H Q3-shape shipping priority: segment-filtered customers ×
+    // pre-cutoff orders × post-cutoff lineitems, revenue per order,
+    // top 10 — the classic date-straddle join. Both date filters push
+    // to their scans; the LIMIT runs as TakeOrderedAndProject (heap
+    // per partition, never a global sort of the aggregate). Rounded
+    // cents before the cut + (date, orderkey) tie-break keep the
+    // selected SET engine-portable
+    "q213_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("CAST(o_orderdate AS DATE) < DATE '1997-06-15'"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("CAST(l_shipdate AS DATE) > DATE '1997-06-15'"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          expr("CAST(o_orderdate AS DATE)").as("o_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_date").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q4-shape priority check: orders of one quarter with at
+    // least one lineitem shipped AFTER the order date — the
+    // correlated EXISTS, decorrelated into a LEFT SEMI join whose
+    // condition spans both sides (key equality + the inequality as a
+    // residual). The semi join never duplicates an order no matter
+    // how many lines qualify — the property the naive inner-join+
+    // distinct formulation pays a second shuffle to recover
+    "q214_priority_exists" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("CAST(o_orderdate AS DATE) >= DATE '1997-01-01'")
+          && expr("CAST(o_orderdate AS DATE) < DATE '1997-04-01'"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q10-shape returned-item report: revenue lost to returns
+    // per customer over one quarter, top 20 — the two-fact join
+    // (customer⋈orders shuffles on custkey, ⋈lineitem on orderkey)
+    // with the nation dim broadcast. Return-flag and date filters
+    // both reach their scans
+    "q215_returned_customers" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("CAST(o_orderdate AS DATE) >= DATE '1997-01-01'")
+          && expr("CAST(o_orderdate AS DATE) < DATE '1997-04-01'"))
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+      val nat = Tables.load(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q18-shape large-volume orders: orders whose total
+    // quantity exceeds 300 — the HAVING subquery realized as a
+    // per-order aggregate that feeds BOTH the filter and the output
+    // (one lineitem scan; qualifying keys then join customer and
+    // orders). Quantities are whole numbers, so the threshold
+    // compares on exact BIGINTs
+    "q216_big_orders" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          expr("CAST(o_orderdate AS DATE)").as("o_date"),
+          round(col("o_totalprice"), 2).as("o_price"), col("total_qty"))
+    }),
+
+    // TPC-H Q12-shape priority class split: per lineitem status, how
+    // many shipments of one year belong to high- vs low-priority
+    // orders — conditional counts after an orderkey join whose dim
+    // side is the FILTERED fact year (the shipdate filter pushes to
+    // the lineitem scan; orders carries only key + priority)
+    "q217_priority_class" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1997-01-01'")
+          && expr("CAST(l_shipdate AS DATE) < DATE '1998-01-01'"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val hi = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_count"),
+          sum(when(hi, lit(0L)).otherwise(lit(1L))).as("low_count"))
+    }),
+
     // interpolated Kneser-Ney bigram LM (the tokenizer-/LM-quality
     // smoothing standard, vs q68's add-one): discount d = 3/4 keeps
     // every term RATIONAL, so the whole table is exact fixed-point —
@@ -5453,6 +5561,71 @@ object SparkEntry {
         |  CAST(sv * (ni * 1000000) // greatest(stot, 1) AS BIGINT)
         |    AS bt_micro
         |FROM fin f JOIN peritem p ON p.source = f.source""".stripMargin,
+
+    // q213: same join + round-before-cut + full tie-break order
+    "q213_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_date ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    // q214: the EXISTS form the semi join decorrelates
+    "q214_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
+
+    // q215: same joins, round-before-cut, (revenue, custkey) order
+    "q215_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    // q216: HAVING subquery as a derived table on exact BIGINTs
+    "q216_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  round(o_totalprice, 2) AS o_price, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // q217: the Q12 conditional-count split on the adapted schema
+    "q217_priority_class" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1""".stripMargin,
 
     // q211: identical binning/rank arithmetic; min(struct) becomes
     // min_by over the first qualifying bin (arg-min on bin)

@@ -191,4 +191,72 @@ class TpchShapesSpec extends SparkSpec {
       .sorted(java.util.Comparator.reverseOrder())
       .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
+
+  test("q213 shipping priority: LIMIT runs as TakeOrderedAndProject, " +
+      "never a global sort") {
+    val df = SparkEntry.queries("q213_shipping_priority")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    // the cut order is (revenue DESC, o_date ASC, l_orderkey ASC)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q214 priority exists: an order with several qualifying lines " +
+      "counts ONCE; zero-qualifying orders are excluded") {
+    val ord = Seq(
+      (1L, "1-URGENT", "1997-02-01"), // 3 qualifying lines -> counts 1
+      (2L, "1-URGENT", "1997-02-01"), // only same-day/earlier -> excluded
+      (3L, "5-LOW", "1997-02-01")     // one qualifying line -> counts 1
+    ).toDF("o_orderkey", "o_orderpriority", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val li = Seq(
+      (1L, "1997-02-02"), (1L, "1997-02-03"), (1L, "1997-02-04"),
+      (2L, "1997-02-01"), (2L, "1997-01-20"),
+      (3L, "1997-05-01")
+    ).toDF("l_orderkey", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp")).drop("d")
+    val dir = tmpTables("orders" -> ord, "lineitem" -> li)
+    val got = SparkEntry.queries("q214_priority_exists")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("1-URGENT" -> 1L, "5-LOW" -> 1L))
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
+  test("q216 big orders: the >300 threshold is an exact integer " +
+      "boundary — 300 excluded, 301 included") {
+    val li = Seq(
+      (1L, 150.0), (1L, 150.0),        // sum = 300 -> excluded
+      (2L, 150.0), (2L, 151.0)         // sum = 301 -> included
+    ).toDF("l_orderkey", "l_quantity")
+    val ord = Seq(
+      (1L, 10L, 1000.0, "1997-01-01"), (2L, 10L, 2000.0, "1997-01-02"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val cust = Seq((10L, "cA")).toDF("c_custkey", "c_name")
+    val dir = tmpTables("lineitem" -> li, "orders" -> ord,
+      "customer" -> cust)
+    val got = SparkEntry.queries("q216_big_orders")(spark, dir)
+      .select("o_orderkey", "total_qty").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 301L)))
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
+  test("q217 priority class: high+low partition is exhaustive — the " +
+      "two counters sum to the joined row count") {
+    val df = SparkEntry.queries("q217_priority_class")(spark, Sf0001)
+      .as[(String, Long, Long)].collect()
+    assert(df.nonEmpty)
+    val total = df.map(r => r._2 + r._3).sum
+    val li = Tables.load(spark, Sf0001, "lineitem")
+      .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1997-01-01'")
+        && expr("CAST(l_shipdate AS DATE) < DATE '1998-01-01'"))
+    assert(total == li.count())
+  }
 }
