@@ -297,7 +297,16 @@ object ScaleProbe {
       // q211 = binned groupBy + 2 appends + 250-row-per-type rollup
       "q211_histogram_quantile_rollup",
       // q212 = rank windows + rank-equi join + model-size MM fold
-      "q212_bradley_terry")
+      "q212_bradley_terry",
+      // q213/q215 = date-straddle fact joins + TakeOrdered; q214 =
+      // left-semi on the quarter's orders; q216 = per-order agg
+      // feeding filter + output; q217 = one fact shuffle, key+prio dim
+      "q213_shipping_priority", "q214_priority_exists",
+      "q215_returned_customers", "q216_big_orders", "q217_priority_class",
+      // q222 = one grouped count to a 9-row grid; q223 = one corpus
+      // agg to four BIGINTs; q224 = daily groupBy + two shared
+      // trailing windows over the per-type series
+      "q222_benford", "q223_ab_ztest", "q224_burst_days")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -3807,7 +3807,41 @@ object SparkEntry {
           (abs(col("n") * col("c_micro") - col("sx")).cast("double")
             > lit(2.0) * sqrt((col("n") * col("sxx")
               - col("sx") * col("sx")).cast("double"))).as("is_outlier"))
-    })
+    }),
+
+    // Benford first-digit audit of order totals — the forensic
+    // data-quality stat (fabricated/capped columns fail it). Dense
+    // 1–9 digit grid, exact micro shares, expectation as fixed micro
+    // literals (no runtime log10). All BIGINT
+    "q222_benford" -> ((s, dir) =>
+      Profile.benford(Tables.load(s, dir, "orders"), col("o_totalprice"))),
+
+    // two-proportion z-test over a deterministic 50/50 user hash
+    // split — the A/B readout: arm from the portable-hash split (the
+    // q60 machinery — reproducible across engines and reruns),
+    // success = the user reached 5 purchases. Corpus collapses to 4
+    // exact BIGINTs; z is ONE fixed float expression at the end
+    // (every op IEEE-correctly-rounded → bit-identical replay)
+    "q223_ab_ztest" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("n_purch"))
+      val armed = Sampling.hashSplit(
+        users, "user_id", Seq(("a", 0.5), ("b", 0.5)))
+      Eval.twoProportionZ(armed, col("split"),
+        col("n_purch") >= 5, "a", "b")
+    }),
+
+    // trailing-window burst detection per event type: a day bursts
+    // when its count beats the trailing-7-observation mean by 2σ —
+    // cross-multiplied to pure BIGINTs ((7c−S)² > 4(7Q−S²)), so no
+    // float mean/variance/sqrt exists anywhere. The local-spike
+    // member of the drift family (q143 = one global changepoint)
+    "q224_burst_days" -> ((s, dir) =>
+      TimeSeries.burstDays(Tables.events(s, dir), "event_type",
+        to_date(col("ts")))
+        .orderBy(col("event_type"), col("d")))
   )
 
   /** Fixed, library-constant BPE model for the q85 oracle-checkable
@@ -8965,7 +8999,93 @@ object SparkEntry {
         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |    string_agg(piece, ' ' ORDER BY seq_off) AS text
         |  FROM slices GROUP BY 1)
-        |SELECT * FROM assembled""".stripMargin
+        |SELECT * FROM assembled""".stripMargin,
+
+    // q222: dense digit spine, exact micro shares, the same micro
+    // literals for the Benford expectation
+    "q222_benford" ->
+      """WITH obs AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+        |spine AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), CAST(301030 AS BIGINT)), (2, 176091),
+        |    (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |    (7, 57992), (8, 51153), (9, 45757)) AS t(digit, benford_micro)),
+        |total AS (SELECT sum(n_obs) AS n FROM obs)
+        |SELECT s.digit, coalesce(o.n_obs, 0) AS n_obs,
+        |  coalesce(o.n_obs, 0) * 1000000 // t.n AS share_micro,
+        |  s.benford_micro,
+        |  abs(coalesce(o.n_obs, 0) * 1000000 // t.n - s.benford_micro)
+        |    AS dev_micro
+        |FROM spine s LEFT JOIN obs o ON s.digit = o.digit
+        |CROSS JOIN total t""".stripMargin,
+
+    // q223: the q60 hash-split replay feeding four exact counts; z is
+    // the identical float expression tree (each op correctly rounded)
+    "q223_ab_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      >= 5 AS y
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT y,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        CAST(user_id AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+        |  FROM u),
+        |arms AS (
+        |  SELECT CASE WHEN hv % 1000000 < 500000 THEN 'a' ELSE 'b' END
+        |    AS arm, y FROM h),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'a' AND y THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'b' AND y THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM arms),
+        |zed AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |    CASE WHEN n_a > 0 AND n_b > 0
+        |        AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+        |      THEN round(
+        |        (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |          * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |      END AS z
+        |  FROM agg)
+        |SELECT n_a, x_a, n_b, x_b, z,
+        |  coalesce(abs(z) > 1.959964, FALSE) AS significant
+        |FROM zed""".stripMargin,
+
+    // q224: the same two trailing windows; the burst predicate is
+    // pure integer cross-multiplication on both sides
+    "q224_burst_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, d, cnt,
+        |    count(*) OVER w AS n_prior,
+        |    sum(cnt) OVER w AS s7,
+        |    sum(cnt * cnt) OVER w AS q7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, d, cnt, s7,
+        |  (7 * cnt - s7) * 1000000 // greatest(s7, 1) AS lift_micro
+        |FROM win
+        |WHERE n_prior = 7 AND 7 * cnt - s7 > 0
+        |  AND (7 * cnt - s7) * (7 * cnt - s7) > 4 * (7 * q7 - s7 * s7)
+        |ORDER BY event_type, d""".stripMargin
   )
 
   /** Shared literal-codebook CTEs for the PQ oracles: `books` holds the

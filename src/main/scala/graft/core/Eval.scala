@@ -108,6 +108,41 @@ object Eval {
         col("gold_total"), col("share_micro"))
   }
 
+  /** Two-proportion z-test — the A/B experiment readout: given a
+    * two-armed variant column and a boolean success flag, one
+    * aggregation collapses the corpus to four exact BIGINTs
+    * (n/successes per arm) and the pooled z statistic
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))
+    * is ONE fixed float expression over them at the very end. Every
+    * float op in the tree (÷, −, +, ×, √) is IEEE-correctly-rounded,
+    * so an external engine evaluating the SAME expression tree over
+    * the same integers reproduces the double bit-for-bit — the q111
+    * KS discipline. `significant` applies the two-sided 5% bound.
+    * Arms with zero rows leave z NULL (explicitly, not via ANSI
+    * div-by-zero — the rocAuc convention).
+    */
+  def twoProportionZ(df: DataFrame, variant: Column, success: Column,
+                     armA: String, armB: String): DataFrame =
+    df.select(variant.as("arm"), success.as("y"))
+      .filter(col("arm").isin(armA, armB))
+      .agg(
+        sum(when(col("arm") === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === armA && col("y"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(col("arm") === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === armB && col("y"), 1L).otherwise(0L)).as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0
+                  AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+                THEN round(
+                  (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+                END""").as("z"))
+      .withColumn("significant",
+        col("z").isNotNull && abs(col("z")) > lit(1.959964))
+
   /** Cohen's kappa — chance-corrected agreement between a prediction
     * and gold labels (multiclass):
     *   kappa = (po − pe) / (1 − pe)

@@ -182,6 +182,42 @@ object Profile {
       .select(col(groupCol), col("ks_micro"), col("__gt").as("n_rows"))
   }
 
+  /** Benford first-digit audit — the forensic data-quality stat:
+    * natural multi-scale magnitudes (prices, populations, file
+    * sizes) lead with digit d at probability log10(1+1/d); synthetic,
+    * capped or fabricated columns don't. Emits the 9-row digit grid —
+    * observed count, exact micro share (count·1e6 DIV n), the Benford
+    * expectation as a fixed micro literal (same constant both
+    * engines — no log10 at runtime), and the absolute deviation.
+    * All BIGINT end to end: first digit by string head of the floored
+    * value, a dense 1–9 spine so an absent digit SHOWS as a 0-count
+    * row (absence is the signal), one grouped count + one broadcast
+    * total. Values below 1 are out of scope (no leading digit) and
+    * are filtered, counted into neither side.
+    */
+  def benford(df: DataFrame, value: org.apache.spark.sql.Column): DataFrame = {
+    val benfordMicro = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val obs = df
+      .select(value.cast("double").as("__v"))
+      .filter(col("__v") >= 1.0)
+      .select(expr("CAST(substring(CAST(CAST(floor(__v) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = obs.agg(sum("n_obs").as("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = benfordMicro.zipWithIndex
+      .map { case (m, i) => (i + 1L, m) }.toDF("digit", "benford_micro")
+    spine.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        expr("coalesce(n_obs, 0L) * 1000000 DIV __n").as("share_micro"),
+        col("benford_micro"))
+      .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
+  }
+
   /** Embedding-space drift report: for each group, the cosine
     * DISTANCE between the group's embedding centroid and the whole
     * population's — the semantic sibling of [[psi]]/[[ks]] (those

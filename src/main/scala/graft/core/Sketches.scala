@@ -118,6 +118,98 @@ object Sketches {
     h2.bitwiseXOR(shiftright(h2, 16))
   }
 
+  /** KMV (k-minimum-values / theta) sketch of `key` per group: the k
+    * smallest DISTINCT avalanched hashes. The set-operation member of
+    * the sketch family — HLL ([[hllRegisters]]) merges by union only;
+    * a KMV sketch additionally estimates INTERSECTIONS (source
+    * overlap, contamination between corpus snapshots) because below
+    * θ = min(θ_a, θ_b) each sketch holds EVERY distinct hash of its
+    * set: common-below-θ counts are exact on the sample.
+    *
+    * Deterministic and SQL-replayable end to end: the portable
+    * rolling hash + the q206 avalanche, bottom-k by one rank window
+    * over the distinct-hash table. Mergeable: union of sketches →
+    * distinct → bottom-k again is the union sketch.
+    *
+    * Scale shape: one distinct + one rank exchange carrying (group,
+    * 8-byte hash) rows only — payloads never shuffle; k rows per
+    * group survive. For repeated incremental builds, pre-filter new
+    * keys against the persisted sketch's θ before the distinct (the
+    * band-index pattern) so the exchange carries only sub-θ hashes.
+    */
+  def kmvSketch(df: DataFrame, key: Column, groupCols: Seq[String],
+                k: Int): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val h = mix32(TextAnalysis.rollingHash(key))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("hv"))
+    df.select(groupCols.map(col) :+ h.as("hv"): _*)
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Pairwise set-overlap estimates from a KMV sketch table: for each
+    * unordered group pair (a < b),
+    *   θ        = min(θ_a, θ_b)   (θ_g = the k-th smallest, i.e. the
+    *                              sketch max; a group with fewer than
+    *                              k distinct keys is EXACT)
+    *   est_n    = (k−1)·M DIV θ   per group  (M = 2^32)
+    *   est_int  = c·M DIV θ       where c = |common hashes < θ| —
+    *                              exact on the sub-θ sample
+    *   est_un   = (k−1)·M DIV θ_u over the k smallest of the merged
+    *                              distinct hashes
+    * all BIGINT floor divisions — bit-replayable in any SQL engine.
+    * Exact-side groups (n < k) estimate as their true count. The pair
+    * table is groups², model-size; everything here runs on sketches.
+    */
+  def kmvPairOverlap(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 4294967296L
+    // a group with fewer than k distinct keys retains EVERYTHING: its
+    // θ is M (the datasketches "exact mode"), which makes every
+    // formula below collapse to the exact count with no special cases
+    val stats = sketch.groupBy(groupCol)
+      .agg(max("hv").as("mx"), count(lit(1)).as("n_sk"))
+      .select(col(groupCol),
+        when(col("n_sk") < k, lit(M)).otherwise(col("mx")).as("theta"),
+        col("n_sk"),
+        when(col("n_sk") < k, col("n_sk"))
+          .otherwise(expr(s"(${k - 1} * ${M}L) DIV mx")).as("est_n"))
+    val a = sketch.select(col(groupCol).as("g_a"), col("hv"))
+    val b = sketch.select(col(groupCol).as("g_b"), col("hv"))
+    // union sketch per pair: merged distinct hashes, k smallest
+    val wu = Window.partitionBy("g_a", "g_b").orderBy("hv")
+    val unionStats = a.as("x").join(b.as("y"), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("x.hv").as("hv"))
+      .union(a.as("x").join(b.as("y"), col("g_a") < col("g_b"))
+        .select(col("g_a"), col("g_b"), col("y.hv").as("hv")))
+      .distinct()
+      .withColumn("__rn", row_number().over(wu))
+      .filter(col("__rn") <= k)
+      .groupBy("g_a", "g_b")
+      .agg(max("hv").as("mx_u"), count(lit(1)).as("n_u"))
+    val sa = stats.select(col(groupCol).as("g_a"), col("theta").as("th_a"),
+      col("est_n").as("est_a"))
+    val sb = stats.select(col(groupCol).as("g_b"), col("theta").as("th_b"),
+      col("est_n").as("est_b"))
+    // common hashes strictly below the pair θ — exact on the sample
+    val common = a.join(b, Seq("hv")).filter(col("g_a") < col("g_b"))
+      .join(broadcast(sa.drop("est_a")), Seq("g_a"))
+      .join(broadcast(sb.drop("est_b")), Seq("g_b"))
+      .filter(col("hv") < least(col("th_a"), col("th_b")))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("n_common"))
+    sa.join(sb, col("g_a") < col("g_b"))
+      .join(unionStats, Seq("g_a", "g_b"), "left")
+      .join(common, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"),
+        when(col("n_u") < k, col("n_u"))
+          .otherwise(expr(s"(${k - 1} * ${M}L) DIV mx_u")).as("union_est"),
+        expr(s"coalesce(n_common, 0L) * ${M}L DIV least(th_a, th_b)")
+          .as("intersect_est"))
+  }
+
   /** HLL registers of `key` per group: one row per (group, bucket)
     * with the max leading-zero rank `rho`. bucket = low 7 hash bits;
     * rho = 24 - bitlength(next 23 bits) (24 when they are all zero).

@@ -335,4 +335,40 @@ object TimeSeries {
       .select(col(keyCol), col("r.o").as(ordCol), col("r.x").as(xCol),
         col("r.s").as("ewma"))
   }
+
+  /** Burst detection over a keyed daily count series — the volume-
+    * anomaly member of the drift family (q143 finds the one global
+    * changepoint; this flags every LOCAL spike): a day bursts when its
+    * count exceeds the trailing-7-observation mean by two standard
+    * deviations. The test is cross-multiplied into pure BIGINTs —
+    * with S = Σ of the 7 trailing counts and Q = Σ of their squares,
+    *   c > μ + 2σ  ⇔  7c − S > 0  ∧  (7c − S)² > 4·(7Q − S²)
+    * so no float (mean, variance, sqrt) ever exists and the oracle
+    * replays the flag bit-for-bit. Days with fewer than 7 trailing
+    * observations don't judge (warm-up). `lift_micro` reports the
+    * spike size as (7c − S)·1e6 DIV max(S, 1) — exact.
+    *
+    * Scale shape: one scan → (key, day) counts with map-side combine;
+    * the two trailing windows run per key over the DAILY series
+    * (≤ a few thousand rows per key however large the corpus), and
+    * they share one exchange. Raw events never shuffle.
+    */
+  def burstDays(events: DataFrame, keyCol: String, dayCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(keyCol), dayCol.as("d"))
+      .groupBy(keyCol, "d")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(keyCol).orderBy("d").rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s7", sum("cnt").over(w))
+      .withColumn("q7", sum(expr("cnt * cnt")).over(w))
+      .filter(col("n_prior") === 7)
+      .withColumn("excess", expr("7 * cnt - s7"))
+      .filter(col("excess") > 0 &&
+        expr("excess * excess > 4 * (7 * q7 - s7 * s7)"))
+      .select(col(keyCol), col("d"), col("cnt"), col("s7"),
+        expr("excess * 1000000 DIV greatest(s7, 1L)").as("lift_micro"))
+  }
 }

@@ -106,6 +106,36 @@ class EvalSpec extends SparkSpec {
       .select("kappa_micro").as[Long].head() == 1000000L)
   }
 
+  test("twoProportionZ: hand case, arm filter, degenerate NULLs") {
+    // 60/100 vs 40/100: pooled p = .5, se = sqrt(.25 * .02) ->
+    // z = .2/.070711 = 2.828427 (pinned vs an independent python calc)
+    val df = (Seq.fill(60)(("a", true)) ++ Seq.fill(40)(("a", false)) ++
+      Seq.fill(40)(("b", true)) ++ Seq.fill(60)(("b", false)) ++
+      Seq.fill(5)(("holdout", true))) // third arm must be ignored
+      .toDF("arm", "y")
+    val got = Eval.twoProportionZ(df, col("arm"), col("y"), "a", "b")
+      .select("n_a", "x_a", "n_b", "x_b", "z", "significant")
+      .as[(Long, Long, Long, Long, Double, Boolean)].head()
+    assert(got == ((100L, 60L, 100L, 40L, 2.828427, true)))
+    // all-success pooled p = 1 leaves the z undefined -> explicit NULL
+    val allWin = Seq(("a", true), ("b", true)).toDF("arm", "y")
+    val r = Eval.twoProportionZ(allWin, col("arm"), col("y"), "a", "b")
+      .select(col("z").isNull, col("significant")).as[(Boolean, Boolean)].head()
+    assert(r == ((true, false)))
+    // an empty arm likewise
+    val oneArm = Seq(("a", true), ("a", false)).toDF("arm", "y")
+    assert(Eval.twoProportionZ(oneArm, col("arm"), col("y"), "a", "b")
+      .select(col("z").isNull).as[Boolean].head())
+  }
+
+  test("twoProportionZ: symmetric arms give z = 0, not significant") {
+    val df = (Seq.fill(30)(("a", true)) ++ Seq.fill(70)(("a", false)) ++
+      Seq.fill(30)(("b", true)) ++ Seq.fill(70)(("b", false))).toDF("arm", "y")
+    val got = Eval.twoProportionZ(df, col("arm"), col("y"), "a", "b")
+      .select("z", "significant").as[(Double, Boolean)].head()
+    assert(got == ((0.0, false)))
+  }
+
   test("kappa is chance-corrected where raw accuracy is not") {
     // a majority-class predictor: 90% accuracy but kappa = 0 (all
     // agreement is chance) -- the reason the audit ships kappa

@@ -205,4 +205,24 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
     assert(again == got)
   }
+
+  test("benford: dense digit grid, exact shares, sub-1 filtered") {
+    // one value per leading digit -> 9 equal shares of 111111 micro
+    val df = Seq(1.5, 23.0, 345.0, 4.0, 5e3, 6.0, 77.0, 8.0, 900.0)
+      .toDF("v")
+    val got = Profile.benford(df, col("v"))
+      .select("digit", "n_obs", "share_micro", "benford_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (1L to 9L))
+    assert(got.forall(r => r._2 == 1L && r._3 == 111111L))
+    assert(got.head._4 == 301030L && got.last._4 == 45757L)
+    // absent digits SHOW as zero-count rows; values < 1 never count
+    val skewed = Seq(0.4, 19.0, 1e6, 150.0).toDF("v")
+    val rows = Profile.benford(skewed, col("v"))
+      .select("digit", "n_obs", "share_micro")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.size == 9)
+    assert(rows.head == ((1L, 3L, 1000000L)))
+    assert(rows.tail.forall(r => r._2 == 0L && r._3 == 0L))
+  }
 }

@@ -431,4 +431,35 @@ class TimeSeriesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].head()
     assert(got == ((20L, 1L, 1L, 18L, 171L, 190L)))
   }
+
+  test("burstDays: spike over a flat window bursts, warm-up doesn't judge") {
+    // key k: 7 flat days of 2 events, then a 10-event spike on day 8,
+    // then a mild 3-event day 9 (7*3-14=7 > 0 but 49 <= 4*(7*(28+100)
+    // - 26*26) once the spike enters the window -> variance kills it)
+    def rows(day: Int, n: Int) = Seq.fill(n)(("k", Date.valueOf(f"2024-01-${day}%02d")))
+    val ev = ((1 to 7).flatMap(rows(_, 2)) ++ rows(8, 10) ++ rows(9, 3))
+      .toDF("key", "d")
+    val got = TimeSeries.burstDays(ev, "key", col("d"))
+      .select("d", "cnt", "s7", "lift_micro")
+      .as[(Date, Long, Long, Long)].collect().toSeq
+    // only day 8 bursts: 7*10-14 = 56 > 0 and 56^2 > 4*(7*28-196) = 0.
+    // days 1-7 are warm-up (fewer than 7 prior observations)
+    assert(got == Seq((Date.valueOf("2024-01-08"), 10L, 14L, 4000000L)))
+    // partition invariance: the windows run per key over the daily series
+    val again = TimeSeries.burstDays(ev.repartition(7), "key", col("d"))
+      .select("d", "cnt", "s7", "lift_micro")
+      .as[(Date, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("burstDays: natural variance raises the bar") {
+    // alternating 1/5 days (mean 3, high variance), then a 6-day:
+    // S = 1+5+1+5+1+5+1 = 19, Q = 1+25+1+25+1+25+1 = 79,
+    // excess = 42-19 = 23, 23^2 = 529 <= 4*(7*79-361) = 768 -> NOT
+    // a burst; the same +3-over-mean WOULD burst over a flat window
+    def rows(day: Int, n: Int) = Seq.fill(n)(("k", Date.valueOf(f"2024-02-${day}%02d")))
+    val ev = ((1 to 7).flatMap(d => rows(d, if (d % 2 == 1) 1 else 5)) ++
+      rows(8, 6)).toDF("key", "d")
+    assert(TimeSeries.burstDays(ev, "key", col("d")).count() == 0L)
+  }
 }
