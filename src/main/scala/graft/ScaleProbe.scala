@@ -303,6 +303,9 @@ object ScaleProbe {
       // feeding filter + output; q217 = one fact shuffle, key+prio dim
       "q213_shipping_priority", "q214_priority_exists",
       "q215_returned_customers", "q216_big_orders", "q217_priority_class",
+      // q218 = distinct + rank exchange of (type, 8-byte hash) rows,
+      // 2 appends; everything after runs on groups x k sketch rows
+      "q218_theta_overlap",
       // q222 = one grouped count to a 9-row grid; q223 = one corpus
       // agg to four BIGINTs; q224 = daily groupBy + two shared
       // trailing windows over the per-type series

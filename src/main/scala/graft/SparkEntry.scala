@@ -3833,6 +3833,51 @@ object SparkEntry {
         col("n_purch") >= 5, "a", "b")
     }),
 
+    // KMV/theta sketch source-overlap matrix — the set-OPERATION
+    // sketch next to q206's union-only HLL: per event type the k=64
+    // smallest distinct avalanched user-day hashes, built as TWO
+    // incremental snapshot-table commits (split at the date midpoint),
+    // merged by distinct + re-bottom-k (mergeability is the point),
+    // then pairwise union/INTERSECTION estimates — below
+    // θ = min(θ_a, θ_b) each sketch holds every distinct hash of its
+    // set, so common-below-θ counts are exact on the sample. Exact
+    // audit joined alongside. All BIGINT floor arithmetic
+    "q218_theta_overlap" -> ((s, dir) => {
+      val k = 64
+      val tbl = scratchDir("graft_q218") + "/sk"
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          concat(col("user_id").cast("string"), lit(":"),
+            to_date(col("ts")).cast("string")).as("key"))
+      val mid = lit(java.sql.Date.valueOf("2024-01-16"))
+      graft.sources.SnapshotTable.append(
+        Sketches.kmvSketch(ev.filter(col("d") < mid), col("key"),
+          Seq("event_type"), k), tbl)
+      graft.sources.SnapshotTable.append(
+        Sketches.kmvSketch(ev.filter(col("d") >= mid), col("key"),
+          Seq("event_type"), k), tbl)
+      val merged = Sketches.kmvMerge(
+        graft.sources.SnapshotTable.read(s, tbl), Seq("event_type"), k)
+      val est = Sketches.kmvPairOverlap(merged, "event_type", k)
+      val keys = ev.select(col("event_type").as("g"), col("key")).distinct()
+      val exN = keys.groupBy("g").agg(count(lit(1)).as("n_ex"))
+      val exInt = keys.as("x").join(keys.as("y"),
+          col("x.key") === col("y.key") && col("x.g") < col("y.g"))
+        .groupBy(col("x.g").as("g_a"), col("y.g").as("g_b"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      est
+        .join(exInt, Seq("g_a", "g_b"), "left")
+        .join(broadcast(exN.withColumnRenamed("g", "g_a")
+          .withColumnRenamed("n_ex", "n_ex_a")), Seq("g_a"))
+        .join(broadcast(exN.withColumnRenamed("g", "g_b")
+          .withColumnRenamed("n_ex", "n_ex_b")), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("est_a"), col("est_b"),
+          col("union_est"), col("intersect_est"),
+          (col("n_ex_a") + col("n_ex_b")
+            - coalesce(col("exact_intersect"), lit(0L))).as("exact_union"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+    }),
+
     // trailing-window burst detection per event type: a day bursts
     // when its count beats the trailing-7-observation mean by 2σ —
     // cross-multiplied to pure BIGINTs ((7c−S)² > 4(7Q−S²)), so no
@@ -9064,6 +9109,69 @@ object SparkEntry {
         |SELECT n_a, x_a, n_b, x_b, z,
         |  coalesce(abs(z) > 1.959964, FALSE) AS significant
         |FROM zed""".stripMargin,
+
+    // q218: merge-of-halves == direct bottom-k over the whole
+    // (mergeability), so the oracle sketches directly; the q206 hash
+    // chain, QUALIFY-style rank windows, pure BIGINT floor algebra
+    "q218_theta_overlap" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT event_type AS g,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+        |  FROM events),
+        |h0 AS (
+        |  SELECT g, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(key, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM ev),
+        |h1 AS (SELECT g, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT g, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |h3 AS (SELECT g, xor(h, h // 65536) AS hv FROM h2),
+        |hd AS (SELECT DISTINCT g, hv FROM h3),
+        |sk AS (
+        |  SELECT g, hv FROM (
+        |    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        |    FROM hd) WHERE rn <= 64),
+        |stats AS (
+        |  SELECT g,
+        |    CASE WHEN count(*) < 64 THEN 4294967296 ELSE max(hv) END AS theta,
+        |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |         ELSE 63 * 4294967296 // max(hv) END AS est_n
+        |  FROM sk GROUP BY g),
+        |mg AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, a.hv FROM sk a JOIN sk b ON a.g < b.g
+        |  UNION
+        |  SELECT a.g, b.g, b.hv FROM sk a JOIN sk b ON a.g < b.g),
+        |us AS (
+        |  SELECT g_a, g_b,
+        |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+        |         ELSE 63 * 4294967296 // max(hv) END AS union_est
+        |  FROM (SELECT g_a, g_b, hv, row_number()
+        |          OVER (PARTITION BY g_a, g_b ORDER BY hv) AS rn FROM mg)
+        |  WHERE rn <= 64 GROUP BY g_a, g_b),
+        |cm AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sk a JOIN sk b ON a.hv = b.hv AND a.g < b.g
+        |  JOIN stats sa ON sa.g = a.g JOIN stats sb ON sb.g = b.g
+        |  WHERE a.hv < least(sa.theta, sb.theta)
+        |  GROUP BY 1, 2),
+        |exn AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ex FROM ev GROUP BY g),
+        |exi AS (
+        |  SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS exact_int
+        |  FROM ev a JOIN ev b ON a.key = b.key AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT sa.g AS g_a, sb.g AS g_b, sa.est_n AS est_a, sb.est_n AS est_b,
+        |  us.union_est,
+        |  coalesce(cm.n_common, 0) * 4294967296
+        |    // least(sa.theta, sb.theta) AS intersect_est,
+        |  na.n_ex + nb.n_ex - coalesce(exi.exact_int, 0) AS exact_union,
+        |  coalesce(exi.exact_int, 0) AS exact_intersect
+        |FROM stats sa JOIN stats sb ON sa.g < sb.g
+        |LEFT JOIN us ON us.g_a = sa.g AND us.g_b = sb.g
+        |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
+        |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
+        |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
 
     // q224: the same two trailing windows; the burst predicate is
     // pure integer cross-multiplication on both sides

@@ -150,6 +150,22 @@ object Sketches {
       .drop("__rn")
   }
 
+  /** Merge KMV sketches (e.g. daily partials read back from a
+    * snapshot table): distinct hashes, re-bottom-k per group. The k
+    * smallest distinct hashes of a union are contained in the union
+    * of each part's k smallest, so merge-of-parts == direct sketch of
+    * the whole — the mergeability contract the gate pins.
+    */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("hv"))
+    sketches.select(groupCols.map(col) :+ col("hv"): _*)
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Pairwise set-overlap estimates from a KMV sketch table: for each
     * unordered group pair (a < b),
     *   θ        = min(θ_a, θ_b)   (θ_g = the k-th smallest, i.e. the

@@ -96,4 +96,43 @@ class SketchesSpec extends SparkSpec {
     assert(e1 > 10 && e1 < 35, s"linear-counting estimate $e1 vs 20")
     assert(estimate() == e1, "sketch must be bit-deterministic")
   }
+
+  test("kmv: merge-of-parts == direct sketch; partition invariant") {
+    val keys = (1 to 3000).map(i => ("g", s"key:$i")).toDF("g", "k")
+    val direct = Sketches.kmvSketch(keys, $"k", Seq("g"), 64)
+      .as[(String, Long)].collect().toSet
+    val partA = Sketches.kmvSketch(keys.filter($"k" < "key:2"), $"k", Seq("g"), 64)
+    val partB = Sketches.kmvSketch(keys.filter($"k" >= "key:2"), $"k", Seq("g"), 64)
+    val merged = Sketches.kmvMerge(partA.union(partB), Seq("g"), 64)
+      .as[(String, Long)].collect().toSet
+    assert(merged == direct, "merge of half sketches must equal the direct sketch")
+    assert(direct.size == 64)
+    val shuffled = Sketches.kmvSketch(keys.repartition(13), $"k", Seq("g"), 64)
+      .as[(String, Long)].collect().toSet
+    assert(shuffled == direct)
+  }
+
+  test("kmv pair overlap: exact mode below k; estimates track truth above") {
+    // two small sets (< k distinct) -> theta = M, everything exact
+    val small = ((1 to 20).map(i => ("a", s"x:$i")) ++
+      (11 to 40).map(i => ("b", s"x:$i"))).toDF("g", "k")
+    val sk = Sketches.kmvSketch(small, $"k", Seq("g"), 64)
+    val ex = Sketches.kmvPairOverlap(sk, "g", 64)
+      .select("est_a", "est_b", "union_est", "intersect_est")
+      .as[(Long, Long, Long, Long)].head()
+    assert(ex == ((20L, 30L, 40L, 10L)), s"exact mode must be exact: $ex")
+    // two 3000-key sets sharing 1000 keys, k = 256: estimates must
+    // land near truth (fixed data + deterministic hashes -> this is a
+    // fixed number, banded generously at ~4 RSE)
+    val big = ((1 to 3000).map(i => ("a", s"k:$i")) ++
+      (2001 to 5000).map(i => ("b", s"k:$i"))).toDF("g", "k")
+    val skb = Sketches.kmvSketch(big, $"k", Seq("g"), 256)
+    val est = Sketches.kmvPairOverlap(skb, "g", 256)
+      .select("est_a", "est_b", "union_est", "intersect_est")
+      .as[(Long, Long, Long, Long)].head()
+    assert(math.abs(est._1 - 3000) < 750 && math.abs(est._2 - 3000) < 750,
+      s"per-set estimates: $est")
+    assert(math.abs(est._3 - 5000) < 1250, s"union estimate: $est")
+    assert(math.abs(est._4 - 1000) < 500, s"intersection estimate: $est")
+  }
 }
