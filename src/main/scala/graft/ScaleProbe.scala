@@ -306,6 +306,9 @@ object ScaleProbe {
       // q218 = distinct + rank exchange of (type, 8-byte hash) rows,
       // 2 appends; everything after runs on groups x k sketch rows
       "q218_theta_overlap",
+      // q220 = one explode+agg code build per side, 8-byte Hamming
+      // scan (fixed 12-query panel), exact re-rank on cands rows
+      "q220_binary_quant_ann",
       // q222 = one grouped count to a 9-row grid; q223 = one corpus
       // agg to four BIGINTs; q224 = daily groupBy + two shared
       // trailing windows over the per-type series

@@ -3878,6 +3878,19 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // 1-bit binary-quantized ANN (the faiss/usearch BQ serving
+    // shape): 64 float dims -> 8 code bytes via per-dim corpus-mean
+    // thresholds on the exact micro lattice; Hamming bit_count(xor)
+    // coarse stage over the codes (the only full-corpus pass), exact
+    // full-vector cosine re-rank of 20 survivors. Deterministic at
+    // every stage -> the whole cascade replays relationally
+    "q220_binary_quant_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bqTopK(emb.filter(col("vec_id") < 12), emb, k = 5, cands = 20)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("hamming"), col("cosine"))
+    }),
+
     // trailing-window burst detection per event type: a day bursts
     // when its count beats the trailing-7-observation mean by 2σ —
     // cross-multiplied to pure BIGINTs ((7c−S)² > 4(7Q−S²)), so no
@@ -9172,6 +9185,61 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q220: thresholds, bit pack (Σ 2^i in two halves), Hamming rank,
+    // exact-cosine re-rank — every stage replayed; the dot folds are
+    // the q198 sequential list_reduce (DotProduct's order)
+    "q220_binary_quant_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |thr AS (
+        |  SELECT dim, CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT))
+        |      // count(*) AS BIGINT) AS thr_micro
+        |  FROM (SELECT i - 1 AS dim, v[i] AS x
+        |        FROM e, (SELECT unnest(generate_series(1,
+        |          (SELECT max(len(v)) FROM e))) AS i) g)
+        |  GROUP BY 1),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dim < 32 AND vm > thr_micro
+        |      THEN 1::BIGINT << dim ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN dim >= 32 AND dim < 64 AND vm > thr_micro
+        |      THEN 1::BIGINT << (dim - 32) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM (SELECT vec_id, i - 1 AS dim,
+        |          CAST(floor(v[i] * 1000000.0) AS BIGINT) AS vm
+        |        FROM e, (SELECT unnest(generate_series(1,
+        |          (SELECT max(len(v)) FROM e))) AS i) g)
+        |  JOIN thr USING (dim)
+        |  GROUP BY 1),
+        |coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.lo, c.lo))
+        |       + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+        |  FROM codes q JOIN codes c ON q.vec_id < 12
+        |    AND c.vec_id <> q.vec_id),
+        |surv AS (
+        |  SELECT query_id, neighbor_id, hamming FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, neighbor_id) AS crank FROM coarse)
+        |  WHERE crank <= 20),
+        |fine AS (
+        |  SELECT s.query_id, s.neighbor_id, s.hamming,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [qe.v[i+1] * ce.v[i+1] for i in generate_series(0, len(qe.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [qe.v[i+1] * qe.v[i+1] for i in generate_series(0, len(qe.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [ce.v[i+1] * ce.v[i+1] for i in generate_series(0, len(ce.v)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM surv s JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ce ON ce.vec_id = s.neighbor_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  hamming, round(cos, 6) AS cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rank FROM fine)
+        |WHERE rank <= 5""".stripMargin,
 
     // q224: the same two trailing windows; the burst predicate is
     // pure integer cross-multiplication on both sides

@@ -142,6 +142,90 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Per-dimension binary-quantization thresholds: the corpus mean of
+    * each dimension on the exact micro lattice (Σ floor(v·1e6) DIV n —
+    * integer division identical across engines). The BQ "model": dim
+    * rows of two BIGINTs, broadcastable anywhere.
+    */
+  def bqThresholds(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)"))
+        .as("sv"), count(lit(1)).as("n"))
+      .select(col("dim").cast("long").as("dim"),
+        expr("sv DIV n").as("thr_micro"))
+
+  /** 1-bit binary quantization (the faiss/usearch BQ trend): bit d is
+    * set iff the vector's micro-lattice value exceeds the corpus mean
+    * of dimension d. Codes pack into TWO BIGINT halves (dims 0–31 →
+    * `bq_lo`, 32–63 → `bq_hi`) so every value stays non-negative and
+    * the pack is a plain Σ 2^i — portable to any engine with shifts
+    * (a single 64-bit word would put dim 63 in the sign bit). 64 bytes
+    * of float become 8 bytes of code: the index a 100 TB corpus ships
+    * to serving. One explode + grouped conditional sum per build;
+    * thresholds broadcast.
+    */
+  def binaryQuantize(df: DataFrame, thresholds: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(thresholds.columns.toSet == Set("dim", "thr_micro"))
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)").as("vm"))
+      .join(broadcast(thresholds), Seq("dim"))
+      .groupBy(idCol)
+      .agg(
+        sum(expr("CASE WHEN dim < 32 AND vm > thr_micro " +
+          "THEN shiftleft(1L, CAST(dim AS INT)) ELSE 0L END")).as("bq_lo"),
+        sum(expr("CASE WHEN dim >= 32 AND dim < 64 AND vm > thr_micro " +
+          "THEN shiftleft(1L, CAST(dim AS INT) - 32) ELSE 0L END")).as("bq_hi"))
+  }
+
+  /** Binary-quantized ANN: Hamming distance over the 64-bit codes as
+    * the coarse stage (`bit_count(xor)` on each half — 8-byte rows,
+    * one corpus scan, the only thing that runs over everything), top
+    * `cands` survivors per query re-ranked by EXACT full-vector
+    * cosine. Both stages deterministic (ties by neighbor id), so the
+    * cascade is oracle-replayable end to end — the q134 matryoshka
+    * contract with bits instead of prefixes.
+    */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, k: Int, cands: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val thr = bqThresholds(corpus, vecCol)
+    val cCodes = binaryQuantize(corpus, thr, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed("bq_lo", "c_lo").withColumnRenamed("bq_hi", "c_hi")
+    val qCodes = binaryQuantize(queries, thr, idCol, vecCol)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed("bq_lo", "q_lo").withColumnRenamed("bq_hi", "q_hi")
+    val coarse = cCodes.crossJoin(broadcast(qCodes))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        expr("bit_count(q_lo ^ c_lo) + bit_count(q_hi ^ c_hi)")
+          .cast("long"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(asc("hamming"), asc("neighbor_id"))
+    val survivors = coarse.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= cands)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val qFull = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_n"))
+    val cFull = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), norm(col(vecCol)).as("c_n"))
+    val fine = survivors
+      .join(broadcast(qFull), "query_id")
+      .join(cFull, "neighbor_id")
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_n") * col("c_n")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    fine.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Assign each vector to its nearest centroid (IVF coarse
     * quantization). `centroids` is broadcast; one corpus scan.
     */

@@ -408,4 +408,45 @@ class SimilaritySpec extends SparkSpec {
     assert(acc(0L) == ((6L, 6L)))  // all of A classified A
     assert(acc(1L) == ((7L, 6L)))  // the planted mislabel is the one miss
   }
+
+  test("binaryQuantize: hand bits across the lo/hi word boundary") {
+    // 34-dim vectors against zero thresholds: +1 at dims 0 and 33 ->
+    // bq_lo = 2^0, bq_hi = 2^(33-32); all-negative -> (0, 0)
+    val thr = (0L until 34L).map((_, 0L)).toDF("dim", "thr_micro")
+    val vecs = Seq(
+      (1L, (0 until 34).map(d =>
+        if (d == 0 || d == 33) 1.0f else -1.0f).toSeq),
+      (2L, Seq.fill(34)(-1.0f))).toDF("vec_id", "embedding")
+    val codes = graft.core.Similarity.binaryQuantize(vecs, thr)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(codes == Seq((1L, 1L, 2L), (2L, 0L, 0L)))
+  }
+
+  test("bqTopK: cands = corpus degenerates to exact brute force; " +
+      "gate-config recall is usable") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val queries = emb.filter($"vec_id" < 8)
+    val n = emb.count().toInt
+    val exact = Similarity.cosineTopK(queries, emb, k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.bqTopK(queries, emb, k = 5, cands = n)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == exact,
+      "with every candidate surviving, BQ re-rank must equal brute force")
+    // 64 bits of 64 dims is a LOSSY coarse stage (faiss BQ re-ranks
+    // hundreds of candidates in production): pin the measured floor
+    // on this fixed corpus and the contract that more candidates
+    // monotonically recover recall toward the exact limit
+    def hits(cands: Int): Int = {
+      val bq = Similarity.bqTopK(queries, emb, k = 5, cands = cands)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      exact.map { case (q, _, nb) => (q, nb) }.intersect(bq).size
+    }
+    val h20 = hits(20)
+    assert(h20 >= 12, s"recall@5 over 8 queries at cands=20: $h20/40")
+    assert(hits(40) >= h20, "recall must not drop as cands grows")
+  }
 }
