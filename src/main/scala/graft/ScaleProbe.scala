@@ -309,6 +309,9 @@ object ScaleProbe {
       // q220 = one explode+agg code build per side, 8-byte Hamming
       // scan (fixed 12-query panel), exact re-rank on cands rows
       "q220_binary_quant_ann",
+      // q221 = q207's pair gen + 6x (grouped count + two semi joins)
+      // on an only-shrinking integer edge set
+      "q221_kcore",
       // q222 = one grouped count to a 9-row grid; q223 = one corpus
       // agg to four BIGINTs; q224 = daily groupBy + two shared
       // trailing windows over the per-type series

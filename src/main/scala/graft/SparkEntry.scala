@@ -3878,6 +3878,24 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // k-core of the part co-purchase graph (q207's edge builder):
+    // 6 fixed peeling rounds — enough to reach the fixpoint at every
+    // SF (spec-pinned); fixed rounds keep the round count itself
+    // inside the oracle (the q157 unrolled-iteration discipline).
+    // Output: surviving vertices with their within-core degree
+    "q221_kcore" -> ((s, dir) => {
+      val basket = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = basket.as("x").join(basket.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val edges = pairs.groupBy("a", "b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2).select("a", "b")
+      GraphOps.kCore(edges, "a", "b", k = 2, rounds = 6)
+    }),
+
     // 1-bit binary-quantized ANN (the faiss/usearch BQ serving
     // shape): 64 float dims -> 8 code bytes via per-dim corpus-mean
     // thresholds on the exact micro lattice; Hamming bit_count(xor)
@@ -4107,6 +4125,37 @@ object SparkEntry {
       |    WHEN score_en > score_de THEN 'en'
       |    ELSE 'de' END AS pred
       |FROM lscored""".stripMargin
+
+  /** q221 oracle: the 6 peeling rounds unrolled as plain CTE pairs
+    * (degree → keep → filtered edges), the q157 fixed-iteration shape.
+    */
+  private val KCoreOracleSql: String = {
+    // every CTE MATERIALIZED: DuckDB 1.0 inlines plain CTEs per
+    // reference, and each round references its parent three times ->
+    // 3^6 re-evaluations of the whole chain without it
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY v),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN (SELECT v FROM d$i WHERE d >= 2) x ON e.a = x.v
+         |  JOIN (SELECT v FROM d$i WHERE d >= 2) y ON e.b = y.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH basket AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (
+       |  SELECT b1.p AS a, b2.p AS b FROM basket b1
+       |  JOIN basket b2 ON b1.o = b2.o AND b1.p < b2.p),
+       |e0 AS MATERIALIZED (
+       |  SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2),
+       |$rounds
+       |SELECT v, CAST(count(*) AS BIGINT) AS core_degree FROM (
+       |  SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6)
+       |GROUP BY v""".stripMargin
+  }
 
   private val AsofOracleSql =
     """WITH o AS (
@@ -9185,6 +9234,9 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q221: 6 unrolled peeling rounds (degree → keep → filter)
+    "q221_kcore" -> KCoreOracleSql,
 
     // q220: thresholds, bit pack (Σ 2^i in two halves), Hamming rank,
     // exact-cosine re-rank — every stage replayed; the dot folds are

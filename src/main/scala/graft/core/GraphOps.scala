@@ -179,4 +179,51 @@ object GraphOps {
       sum(expr("d * (d - 1L) DIV 2")).as("n_wedges"))
     nEdges.crossJoin(nWedges).crossJoin(nTri)
   }
+
+  /** k-core peeling: iteratively drop vertices whose degree in the
+    * REMAINING graph is below k, `rounds` times — the standard
+    * community/spam-core detector (the k-core is the maximal subgraph
+    * where everyone keeps >= k neighbors; coreness separates hub
+    * structure from pendant fuzz that raw degree can't). Returns the
+    * surviving vertices with their within-core degree.
+    *
+    * `rounds` is FIXED (the q157 integer-PageRank discipline): each
+    * round is deterministic relational algebra, so an external engine
+    * unrolls the same rounds and replays the result exactly; a
+    * data-dependent stop would put the round COUNT itself outside the
+    * oracle. Peeling converges geometrically on real graphs (the gate
+    * corpus reaches its fixpoint within 6 at every SF — spec-pinned);
+    * callers needing a guaranteed fixpoint compare round r with r−1.
+    *
+    * Scale shape: per round one grouped degree count + two semi
+    * joins, all on (vertex, vertex) integer pairs; the edge set only
+    * ever SHRINKS, and each round's survivor set persists while the
+    * next derives (prior round released). Payloads never enter.
+    */
+  def kCore(edges0: DataFrame, aCol: String, bCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore needs k >= 1, rounds >= 1")
+    val canon = edges0.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    // localCheckpoint per round (the connectedComponentsStar pattern):
+    // each round references its parent three times (degree branch +
+    // both semi joins), so untruncated lineage would grow 3^rounds
+    var edges = canon.localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("v")
+      edges = edges
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+  }
 }

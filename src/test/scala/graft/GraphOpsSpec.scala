@@ -119,4 +119,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.triangleStats(messy, "a", "b")
       .as[(Long, Long, Long)].head() == ((6L, 12L, 4L)))
   }
+
+  test("kCore: a path dissolves round by round, a triangle survives") {
+    // path 1-2-3-4-5 + triangle 10-11-12, k = 2: each peel round
+    // strips only the CURRENT degree-1 endpoints, so one round still
+    // leaves the path's middle — proving the iteration matters
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val one = GraphOps.kCore(g, "a", "b", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one.keySet == Set(2L, 3L, 4L, 10L, 11L, 12L),
+      s"round 1 keeps the path middle: ${one.keySet}")
+    val full = GraphOps.kCore(g, "a", "b", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(10L -> 2L, 11L -> 2L, 12L -> 2L),
+      s"only the triangle is a 2-core: $full")
+  }
+
+  test("kCore: clique survives at its degree; gate rounds reach the fixpoint") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val core = GraphOps.kCore(k4, "a", "b", k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // the gate's fixed 6 rounds must BE the fixpoint on the gate
+    // corpus (sf0.001 co-purchase graph): round 7 adds nothing
+    val basket = Tables.load(spark, Sf0001, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = basket.as("x").join(basket.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+    val edges = pairs.groupBy("a", "b").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2).select("a", "b")
+    val r6 = GraphOps.kCore(edges, "a", "b", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toSet
+    val r7 = GraphOps.kCore(edges, "a", "b", k = 2, rounds = 7)
+      .as[(Long, Long)].collect().toSet
+    assert(r6 == r7 && r6.nonEmpty, s"fixpoint at 6 rounds: ${r6.size}")
+  }
 }
