@@ -309,6 +309,9 @@ object ScaleProbe {
       // q220 = one explode+agg code build per side, 8-byte Hamming
       // scan (fixed 12-query panel), exact re-rank on cands rows
       "q220_binary_quant_ann",
+      // q219 = 2 appends + pruned CoW delete + metadata restore +
+      // hardlink clone: data work bounded by the delete's candidates
+      "q219_restore_clone",
       // q221 = q207's pair gen + 6x (grouped count + two semi joins)
       // on an only-shrinking integer edge set
       "q221_kcore",

@@ -3878,6 +3878,35 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // snapshot-table RESTORE + shallow CLONE lifecycle (the Delta
+    // rollback/branching pair): two appends, a copy-on-write DELETE
+    // that removes the urgent orders, restore back to the pre-delete
+    // version (a metadata-only commit — no data rewrite), then a
+    // shallow clone (hardlinked files, zero bytes copied, fresh
+    // history). The clone must read exactly the pre-delete table —
+    // the oracle is the full orders slice, which FAILS if the delete
+    // survived restore or the clone mis-referenced a file
+    "q219_restore_clone" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val base = scratchDir("graft_q219")
+      val tbl = base + "/t"
+      val cl = base + "/clone"
+      val ord = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("CAST(o_orderdate AS DATE)").as("o_date"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val mid = lit(java.sql.Date.valueOf("1997-01-01"))
+      SnapshotTable.append(ord.filter(col("o_date") < mid), tbl)
+      val vPre = SnapshotTable.append(ord.filter(col("o_date") >= mid), tbl)
+      SnapshotTable.delete(s, tbl, col("o_orderpriority") === "1-URGENT")
+      SnapshotTable.restore(tbl, vPre)
+      SnapshotTable.cloneShallow(tbl, cl)
+      SnapshotTable.read(s, cl)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+          round(col("o_totalprice"), 2).as("o_price"),
+          col("o_orderpriority"))
+    }),
+
     // k-core of the part co-purchase graph (q207's edge builder):
     // 6 fixed peeling rounds — enough to reach the fixpoint at every
     // SF (spec-pinned); fixed rounds keep the round count itself
@@ -9234,6 +9263,13 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q219: restore must undo the delete and the clone must reference
+    // every restored file — the full pre-delete table is the oracle
+    "q219_restore_clone" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  round(o_totalprice, 2) AS o_price, o_orderpriority
+        |FROM orders""".stripMargin,
 
     // q221: 6 unrolled peeling rounds (degree → keep → filter)
     "q221_kcore" -> KCoreOracleSql,

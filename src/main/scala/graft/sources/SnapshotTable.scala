@@ -1612,6 +1612,50 @@ object SnapshotTable {
       s"lost the restore race on $table $MaxCommitRetries times")
   }
 
+  /** Shallow clone (Delta `CLONE`): a NEW table whose v0 manifest
+    * lists the source snapshot's file entries — stats, blooms and all
+    * — with the data files HARDLINKED into the clone's data dir (zero
+    * bytes copied; copy is the cross-device fallback). Hardlinks are
+    * the local-FS equivalent of Delta's absolute-path references with
+    * STRICTER lifecycle safety: each table's vacuum unlinks only its
+    * own directory entries, so vacuuming the source can never break
+    * the clone (spec-pinned), where path-referencing clones require
+    * retention coordination.
+    *
+    * Carried: schema, CHECK constraints and generated columns (the
+    * constraints map travels whole). NOT carried: txn watermarks and
+    * history — a clone is a new table and a new idempotence scope;
+    * writers replaying into it start fresh by design.
+    */
+  def cloneShallow(src: String, dst: String,
+                   version: Option[Int] = None): Int = {
+    require(currentVersion(dst).isEmpty, s"$dst already exists")
+    val v = version.getOrElse(currentVersion(src).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $src")))
+    val (files, schema, _) = readManifestFull(src, v)
+    Files.createDirectories(dataDir(dst))
+    files.foreach { fe =>
+      val from = dataDir(src).resolve(fe.name)
+      val to = dataDir(dst).resolve(fe.name)
+      if (!Files.exists(to)) {
+        try Files.createLink(to, from)
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(from, to)
+        }
+      }
+    }
+    val chunks =
+      if (files.size <= InlineMaxEntries) Nil
+      else files.grouped(ChunkTargetEntries).map(writeChunkFile(dst, _)).toSeq
+    val inline = if (files.size <= InlineMaxEntries) files else Nil
+    require(publishManifestRefs(dst, 0, chunks, inline, schema,
+      Map.empty, Some(readConstraints(src, v))),
+      s"lost the create race on $dst")
+    0
+  }
+
   /** Version history: (version, n_files, total_bytes) for every
     * manifest still present — the audit surface for time travel,
     * vacuum and restore decisions.

@@ -400,4 +400,46 @@ class SnapshotTableSpec extends SparkSpec {
     // since == latest is fine; beyond it errors clearly
     intercept[IllegalArgumentException](SnapshotTable.readChanges(spark, t, 99))
   }
+
+  test("cloneShallow: zero-copy, isolated lifecycles, constraints carried") {
+    val base = Files.createTempDirectory("graft_clone").toString
+    val src = base + "/src"
+    val dst = base + "/dst"
+    SnapshotTable.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), src)
+    SnapshotTable.append(Seq((3, "c")).toDF("id", "v"), src)
+    SnapshotTable.addConstraint(spark, src, "pos_id", "id > 0")
+    assert(SnapshotTable.cloneShallow(src, dst) == 0)
+    // same content; no bytes copied — every data file is a hardlink
+    // (two directory entries, one inode)
+    assert(SnapshotTable.read(spark, dst).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b"), (3, "c")))
+    SnapshotTable.filePathsForRead(dst).foreach { f =>
+      val p = java.nio.file.Paths.get(
+        f.stripPrefix("file:"))
+      val n = Files.getAttribute(p, "unix:nlink")
+        .asInstanceOf[Number].intValue()
+      assert(n >= 2, s"$f must be a hardlink, nlink=$n")
+    }
+    // the constraint traveled: a violating append rejects on the clone
+    intercept[IllegalArgumentException](
+      SnapshotTable.append(Seq((-5, "x")).toDF("id", "v"), dst))
+    // isolation both ways: append to clone invisible in src; vacuuming
+    // the source (dropping all its history + data files) must not
+    // break the clone's reads — its hardlinks keep the inodes alive
+    SnapshotTable.append(Seq((4, "d")).toDF("id", "v"), dst)
+    assert(SnapshotTable.read(spark, src).count() == 3)
+    SnapshotTable.overwrite(Seq((9, "z")).toDF("id", "v"), src)
+    SnapshotTable.vacuum(src, keepVersions = 1)
+    assert(SnapshotTable.read(spark, dst).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // a clone is a fresh history: version 0, one commit after = 1
+    assert(SnapshotTable.currentVersion(dst).contains(1))
+    // and a fresh idempotence scope: txn watermarks did NOT carry
+    SnapshotTable.appendIdempotent(Seq((7, "g")).toDF("id", "v"), src, "w9", 3L)
+    val dst2 = base + "/dst2"
+    SnapshotTable.cloneShallow(src, dst2)
+    assert(SnapshotTable.appendIdempotent(
+      Seq((8, "h")).toDF("id", "v"), dst2, "w9", 3L).nonEmpty,
+      "the clone must accept the writer's batch afresh")
+  }
 }
