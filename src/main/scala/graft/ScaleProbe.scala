@@ -315,6 +315,13 @@ object ScaleProbe {
       // q221 = q207's pair gen + 6x (grouped count + two semi joins)
       // on an only-shrinking integer edge set
       "q221_kcore",
+      // q225 = pushed-filter single scan; q226 = star, dims broadcast;
+      // q227 = one fact (part,supp) agg + model-size min join; q228 =
+      // broadcast grid join + anti + distinct; q229 = filtered fact
+      // agg + broadcast total + semi
+      "q225_revenue_delta", "q226_product_profit",
+      "q227_min_cost_supplier", "q228_supplier_part_count",
+      "q229_dominant_supplier",
       // q222 = one grouped count to a 9-row grid; q223 = one corpus
       // agg to four BIGINTs; q224 = daily groupBy + two shared
       // trailing windows over the per-type series

@@ -3878,6 +3878,120 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // TPC-H Q6-shape forecasting-revenue-change: the canonical
+    // filter-heavy single-scan aggregate — every predicate (date
+    // range, discount band, quantity cap) must reach the parquet
+    // scan; no join, no shuffle beyond the final one-row agg
+    "q225_revenue_delta" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1997-01-01'")
+          && expr("CAST(l_shipdate AS DATE) < DATE '1998-01-01'")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(expr("l_extendedprice * l_discount")), 2)
+          .as("promo_revenue"), count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q9-shape product profit: pattern-filtered part dim
+    // (LIKE '%red%') broadcast into the fact, supplier + nation
+    // broadcast behind it, grouped by (nation, ship year) — the
+    // multi-dim star with a computed group key
+    "q226_product_profit" -> ((s, dir) => {
+      val red = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%red%")).select("p_partkey")
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          expr("year(CAST(l_shipdate AS DATE))").cast("long").as("o_year"))
+        .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2)
+          .as("profit"))
+    }),
+
+    // TPC-H Q2-shape min-cost supplier: the correlated MIN subquery
+    // decorrelated — observed unit price (cents) per (part, supplier)
+    // from one fact aggregate restricted to EUROPE suppliers, the
+    // per-part minimum joined back on (part, cents) EQUALITY so every
+    // tying supplier surfaces, dims broadcast throughout. Unit cents
+    // are one double division + round on both engines (identical
+    // parenthesization), then pure BIGINT
+    "q227_min_cost_supplier" -> ((s, dir) => {
+      val eurN = Tables.load(s, dir, "nation").filter(col("n_regionkey") === 3)
+      val eurS = Tables.load(s, dir, "supplier")
+        .join(broadcast(eurN), col("s_nationkey") === col("n_nationkey"))
+      val cost = Tables.load(s, dir, "lineitem")
+        .join(broadcast(eurS.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr(
+          "CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)"))
+          .as("unit_cents"))
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+        .select("p_partkey", "p_name")
+      val scoped = cost.join(broadcast(parts),
+        col("l_partkey") === col("p_partkey"))
+      val best = scoped.groupBy(col("p_partkey").as("bk"))
+        .agg(min("unit_cents").as("best_cents"))
+      scoped.join(broadcast(best), col("p_partkey") === col("bk")
+          && col("unit_cents") === col("best_cents"))
+        .join(broadcast(eurS), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          round(col("s_acctbal"), 2).as("s_bal"), col("n_name"),
+          col("unit_cents"))
+    }),
+
+    // TPC-H Q16-shape supplier census: distinct suppliers per
+    // (brand, type, size) cell over a NOT-filtered part grid, with
+    // complaint suppliers (negative balance) removed by a broadcast
+    // ANTI join BEFORE the distinct — the exclusion must not just
+    // drop rows, it must drop the supplier from every cell's count
+    "q228_supplier_part_count" -> ((s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 5, 15, 25, 35, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20-shape dominant supplier: the nested IN chain
+    // decorrelated — per (supplier, part) 1997 shipped quantity of
+    // 'small%' parts vs the part's total (cross-multiplied 4·q > t:
+    // a >25% share, exact BIGINT), the qualifying suppliers collapsed
+    // by a semi join into the nation-filtered supplier dim
+    "q229_dominant_supplier" -> ((s, dir) => {
+      val fp = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("small%")).select("p_partkey")
+      val sq = Tables.load(s, dir, "lineitem")
+        .filter(expr("CAST(l_shipdate AS DATE) >= DATE '1997-01-01'")
+          && expr("CAST(l_shipdate AS DATE) < DATE '1998-01-01'"))
+        .join(broadcast(fp), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      val tq = sq.groupBy(col("l_partkey").as("pk"))
+        .agg(sum("q").as("t"))
+      val dom = sq.join(broadcast(tq),
+          col("l_partkey") === col("pk") && col("q") * 4 > col("t"))
+        .select("l_suppkey").distinct()
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter(col("n_name") === "NATION_12")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
     // snapshot-table RESTORE + shallow CLONE lifecycle (the Delta
     // rollback/branching pair): two appends, a copy-on-write DELETE
     // that removes the urgent orders, restore back to the pre-delete
@@ -9263,6 +9377,83 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q225: the same filter battery; CAST the band edges to DOUBLE
+    // (DuckDB parses bare decimals as DECIMAL — different comparison)
+    "q225_revenue_delta" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2)
+        |    AS promo_revenue,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q226_product_profit" ->
+      """SELECT n_name,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q227: identical division parenthesization before the cents
+    // round; ties on the per-part minimum all surface
+    "q227_min_cost_supplier" ->
+      """WITH eur_s AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 3),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+        |      AS unit_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM eur_s)
+        |  GROUP BY 1, 2),
+        |scoped AS (
+        |  SELECT c.*, p_name FROM cost c
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'),
+        |best AS (
+        |  SELECT l_partkey AS bk, min(unit_cents) AS best_cents
+        |  FROM scoped GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, p_name, s_name,
+        |  round(s_acctbal, 2) AS s_bal, n_name, unit_cents
+        |FROM scoped JOIN best ON l_partkey = bk AND unit_cents = best_cents
+        |JOIN eur_s ON l_suppkey = s_suppkey""".stripMargin,
+
+    "q228_supplier_part_count" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 15, 25, 35, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q229_dominant_supplier" ->
+      """WITH fp AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |sq AS (
+        |  SELECT l_suppkey, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem JOIN fp ON l_partkey = p_partkey
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tq AS (SELECT l_partkey AS pk, sum(q) AS t FROM sq GROUP BY 1),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM sq
+        |  JOIN tq ON l_partkey = pk AND q * 4 > t)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_12'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
 
     // q219: restore must undo the delete and the clone must reference
     // every restored file — the full pre-delete table is the oracle

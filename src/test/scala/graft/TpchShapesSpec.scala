@@ -248,6 +248,95 @@ class TpchShapesSpec extends SparkSpec {
       .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 
+  test("q225 revenue delta: band edges inclusive, quantity cap strict") {
+    val mk = (qty: Double, disc: Double) =>
+      (1L, 100.0, disc, qty, "1997-06-01")
+    val li = Seq(
+      mk(10.0, 0.05),  // in: low edge inclusive
+      mk(10.0, 0.07),  // in: high edge inclusive
+      mk(10.0, 0.049), // out: below band
+      mk(10.0, 0.071), // out: above band
+      mk(24.0, 0.06),  // out: quantity cap is STRICT <
+      mk(23.0, 0.06))  // in
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_quantity", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp")).drop("d")
+    val dir = tmpTables("lineitem" -> li)
+    val (rev, n) = SparkEntry.queries("q225_revenue_delta")(spark, dir)
+      .as[(Double, Long)].head()
+    assert(n == 3L, s"rows in band: $n")
+    assert(math.abs(rev - (100.0 * 0.05 + 100.0 * 0.07 + 100.0 * 0.06))
+      <= 0.011, s"$rev")
+  }
+
+  test("q227 min-cost supplier: every TIED minimum surfaces; " +
+      "non-region suppliers never price") {
+    // suppliers 1,2 (EUROPE) both hit unit price 500 cents on part 7;
+    // supplier 3 (non-EUROPE) prices it cheaper but must be invisible
+    val li = Seq(
+      (7L, 1L, 10.0, 2.0),   // 500 cents
+      (7L, 1L, 12.0, 2.0),   // 600 - min per (part,supp) is 500
+      (7L, 2L, 5.0, 1.0),    // 500 cents - tie
+      (7L, 3L, 1.0, 1.0),    // 100 cents but wrong region
+      (8L, 1L, 30.0, 1.0))   // part 8: sole supplier
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val part = Seq((7L, "alpha", 15, "STANDARD"), (8L, "beta", 15, "STANDARD"))
+      .toDF("p_partkey", "p_name", "p_size", "p_type")
+    val supp = Seq((1L, "s1", 100.0, 0L), (2L, "s2", 200.0, 1L),
+      (3L, "s3", 300.0, 2L))
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val nat = Seq((0L, "NAT_A", 3L), (1L, "NAT_B", 3L), (2L, "NAT_C", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val dir = tmpTables("lineitem" -> li, "part" -> part,
+      "supplier" -> supp, "nation" -> nat)
+    val got = SparkEntry.queries("q227_min_cost_supplier")(spark, dir)
+      .select("p_partkey", "s_name", "unit_cents")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((7L, "s1", 500L), (7L, "s2", 500L),
+      (8L, "s1", 3000L)), s"$got")
+  }
+
+  test("q228 supplier census: a complaint supplier vanishes from " +
+      "every cell, not just its rows") {
+    val li = Seq(
+      (1L, 10L), (1L, 11L), // part 1: good suppliers 10, 11
+      (2L, 12L), (2L, 10L), // part 2: bad supplier 12 + good 10
+      (3L, 12L))            // part 3: ONLY the bad supplier -> no cell
+      .toDF("l_partkey", "l_suppkey")
+    val part = Seq((1L, "Brand#1", "SMALL", 5), (2L, "Brand#2", "LARGE", 15),
+      (3L, "Brand#3", "SMALL", 25))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supp = Seq((10L, 50.0), (11L, 60.0), (12L, -5.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val dir = tmpTables("lineitem" -> li, "part" -> part, "supplier" -> supp)
+    val got = SparkEntry.queries("q228_supplier_part_count")(spark, dir)
+      .select("p_brand", "supplier_cnt").as[(String, Long)].collect().toMap
+    assert(got == Map("Brand#1" -> 2L, "Brand#2" -> 1L), s"$got")
+  }
+
+  test("q229 dominant supplier: exactly-25% share is NOT dominant and " +
+      "the nation filter bites after dominance") {
+    // part 1 total 1997 qty = 40: supp 1 ships 10 (4*10 == 40, not
+    // dominant), supp 2 ships 30 (dominant). supp 3 dominates part 2
+    // but sits in the wrong nation
+    val li = Seq(
+      (1L, 1L, 10.0, "1997-03-01"), (1L, 2L, 30.0, "1997-04-01"),
+      (2L, 3L, 9.0, "1997-05-01"), (2L, 1L, 1.0, "1997-05-02"),
+      (1L, 2L, 99.0, "1998-06-01")) // outside the year: must not count
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp")).drop("d")
+    val part = Seq((1L, "small ring"), (2L, "small bolt"))
+      .toDF("p_partkey", "p_name")
+    val supp = Seq((1L, "s1", 0L), (2L, "s2", 0L), (3L, "s3", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((0L, "NATION_12"), (1L, "NATION_0"))
+      .toDF("n_nationkey", "n_name")
+    val dir = tmpTables("lineitem" -> li, "part" -> part,
+      "supplier" -> supp, "nation" -> nat)
+    val got = SparkEntry.queries("q229_dominant_supplier")(spark, dir)
+      .select("s_name").as[String].collect().toSet
+    assert(got == Set("s2"), s"$got")
+  }
+
   test("q217 priority class: high+low partition is exhaustive — the " +
       "two counters sum to the joined row count") {
     val df = SparkEntry.queries("q217_priority_class")(spark, Sf0001)
