@@ -315,6 +315,10 @@ object ScaleProbe {
       // q221 = q207's pair gen + 6x (grouped count + two semi joins)
       // on an only-shrinking integer edge set
       "q221_kcore",
+      // q230 = rows x 200 explode map-side-combined to 200 replicate
+      // rows; q231 = one user agg + one 6-number sufficient-stats agg;
+      // q232 = two-phase prefix rank + 10-cell window
+      "q230_bootstrap_ci", "q231_cuped", "q232_lift_table",
       // q225 = pushed-filter single scan; q226 = star, dims broadcast;
       // q227 = one fact (part,supp) agg + model-size min join; q228 =
       // broadcast grid join + anti + distinct; q229 = filtered fact

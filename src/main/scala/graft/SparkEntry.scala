@@ -3878,6 +3878,54 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // Poisson-bootstrap CI for the mean purchase value: every row
+    // draws an independent Poisson(1) multiplicity per replicate from
+    // an AVALANCHED hash (the raw rolling fold is affine in the
+    // replicate suffix — the q159 correlation bug class), replicate
+    // means exact on the cents lattice, CI = discrete order stats
+    // over the 200 replicate means. The distributed bootstrap: no
+    // resample ever materializes
+    "q230_bootstrap_ci" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+      Eval.bootstrapCi(ev, col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)"), b = 200)
+    }),
+
+    // CUPED variance reduction: pre-period user value (x) as the
+    // covariate for the experiment-period metric (y), θ=cov/var from
+    // one exact-integer sufficient-stats aggregation, arm means
+    // adjusted by the pooled θ — plus ρ² (the variance fraction CUPED
+    // removes). Arms from the portable 50/50 user hash split (q223)
+    "q231_cuped" -> ((s, dir) => {
+      val mid = lit(java.sql.Date.valueOf("2024-01-16"))
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(to_date(col("ts")) < mid,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("x_cents"),
+          sum(when(to_date(col("ts")) >= mid,
+            expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L))
+            .as("y_cents"))
+      val armed = Sampling.hashSplit(
+        users, "user_id", Seq(("a", 0.5), ("b", 0.5)))
+      Eval.cuped(armed, col("split"), col("x_cents"), col("y_cents"),
+        "a", "b").orderBy("arm")
+    }),
+
+    // decile lift table of the quality score against the is-English
+    // label (q151's classifier-audit pairing): global two-phase
+    // prefix rank (never a single-partition window), exact
+    // (rank−1)·10 DIV n deciles, per-decile rate + cumulative lift
+    // vs base rate — all BIGINT
+    "q232_lift_table" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      Eval.liftTable(scored, "doc_id",
+        expr("CAST(round(quality_score * 1000000) AS BIGINT)"),
+        col("lang") === "en", nBuckets = 10)
+    }),
+
     // TPC-H Q6-shape forecasting-revenue-change: the canonical
     // filter-heavy single-scan aggregate — every predicate (date
     // range, discount band, quantity cap) must reach the parquet
@@ -9377,6 +9425,140 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q230: the draw chain (rolling fold → q206 avalanche → Poisson
+    // inverse CDF on fixed micro thresholds) + per-replicate exact
+    // means + discrete order-stat bounds, replayed verbatim
+    "q230_bootstrap_ci" ->
+      """WITH ev AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |ex AS (
+        |  SELECT id, v, unnest(generate_series(0, 199)) AS r FROM ev),
+        |h0 AS (
+        |  SELECT v, r, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        id || ':' || CAST(r AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM ex),
+        |h1 AS (SELECT v, r, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT v, r, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |h3 AS (SELECT v, r, xor(h, h // 65536) % 1000000 AS u FROM h2),
+        |drawn AS (
+        |  SELECT v, r, CASE
+        |    WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |    WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |    WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |    WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+        |    WHEN u < 999998 THEN 8 ELSE 9 END AS m
+        |  FROM h3),
+        |reps AS (
+        |  SELECT r, CAST(sum(m * v) AS BIGINT) // CAST(sum(m) AS BIGINT)
+        |      AS mean
+        |  FROM drawn GROUP BY r HAVING sum(m) > 0),
+        |ranked AS (
+        |  SELECT mean, row_number() OVER (ORDER BY mean) AS rk,
+        |    count(*) OVER () AS nb
+        |  FROM reps),
+        |ci AS (
+        |  SELECT CAST(max(nb) AS BIGINT) AS n_replicates,
+        |    min(CASE WHEN rk * 40 >= nb THEN mean END) AS ci_lo_cents,
+        |    min(CASE WHEN rk * 40 >= nb * 39 THEN mean END) AS ci_hi_cents
+        |  FROM ranked),
+        |pt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(v) AS BIGINT) // count(*) AS point_mean_cents
+        |  FROM ev)
+        |SELECT n_rows, point_mean_cents, n_replicates, ci_lo_cents,
+        |  ci_hi_cents
+        |FROM pt CROSS JOIN ci""".stripMargin,
+
+    // q231: the q60 split replay + one sufficient-stats aggregate +
+    // the identical double expression tree
+    "q231_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT x, y,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        CAST(user_id AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+        |  FROM u),
+        |arms AS (
+        |  SELECT CASE WHEN hv % 1000000 < 500000 THEN 'a' ELSE 'b' END
+        |    AS arm, x, y FROM h),
+        |gstats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM arms),
+        |grp AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(x) AS BIGINT) AS sx_g, CAST(sum(y) AS BIGINT) AS sy_g
+        |  FROM arms GROUP BY 1)
+        |SELECT arm, n_g,
+        |  round(CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS mean_y,
+        |  round(
+        |    CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |      * (CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mean_y_adj,
+        |  round(
+        |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS var_reduction
+        |FROM grp CROSS JOIN gstats
+        |ORDER BY arm""".stripMargin,
+
+    // q232: rank = row_number over (score desc, doc_id) ≡ the
+    // two-phase prefix rank; deciles by the exact DIV identity
+    "q232_lift_table" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(round($QualityScoreSql * 1000000) AS BIGINT) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM base),
+        |ranked AS (
+        |  SELECT s, y, row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+        |    count(*) OVER () AS n, sum(y) OVER () AS p
+        |  FROM scored),
+        |cells AS (
+        |  SELECT (rk - 1) * 10 // n AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(max(n) AS BIGINT) AS n, CAST(max(p) AS BIGINT) AS p
+        |  FROM ranked GROUP BY 1)
+        |SELECT bucket, n_docs, n_pos,
+        |  n_pos * 1000000 // n_docs AS rate_micro,
+        |  CASE WHEN p > 0 THEN
+        |    (sum(n_pos) OVER (ORDER BY bucket)) * n * 1000000
+        |      // ((sum(n_docs) OVER (ORDER BY bucket)) * p) END
+        |    AS cum_lift_micro
+        |FROM cells""".stripMargin,
 
     // q225: the same filter battery; CAST the band edges to DOUBLE
     // (DuckDB parses bare decimals as DECIMAL — different comparison)

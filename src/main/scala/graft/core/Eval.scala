@@ -143,6 +143,143 @@ object Eval {
       .withColumn("significant",
         col("z").isNotNull && abs(col("z")) > lit(1.959964))
 
+  /** Poisson(1) CDF on the micro lattice — the inverse-CDF table the
+    * Poisson bootstrap draws from. Fixed literals on both engines.
+    */
+  private val PoissonMicroCdf: Seq[Long] = Seq(367879L, 735758L, 919698L,
+    981011L, 996340L, 999405L, 999916L, 999989L, 999998L)
+
+  /** Poisson bootstrap confidence interval for a mean — the
+    * distributed bootstrap (no resample materialization, no
+    * multinomial coordination): every row gets an independent
+    * Poisson(1) multiplicity PER REPLICATE from a deterministic
+    * avalanched hash of (id, replicate, seed), so replicate r's mean
+    * is Σ m·v DIV Σ m on the exact cents lattice and the whole thing
+    * replays in SQL. The draw goes through the q206 avalanche — the
+    * raw rolling fold is AFFINE in the replicate suffix (the q159
+    * epoch-correlation bug class), which would correlate replicates
+    * and collapse the interval.
+    *
+    * CI bounds are discrete order statistics over the B replicate
+    * means (value at ceil(p·B), the q142 convention). One exploded
+    * aggregation (rows × B, map-side combinable to B rows) + a B-row
+    * rank — B is fixed and small, so state is model-size.
+    */
+  def bootstrapCi(df: DataFrame, id: Column, valueCents: Column,
+                  b: Int = 200, seed: Long = 42L): DataFrame = {
+    require(b >= 40, "need enough replicates for a 2.5% tail")
+    val rows = df.select(id.cast("string").as("__id"),
+      valueCents.cast("long").as("__v"))
+    val drawn = rows
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .withColumn("__u", pmod(Sketches.mix32(TextAnalysis.rollingHash(
+        concat(col("__id"), lit(":"), col("__r").cast("string"),
+          lit(":"), lit(seed.toString)))), lit(1000000L)))
+      .withColumn("__m", PoissonMicroCdf.zipWithIndex.foldRight(
+        lit(PoissonMicroCdf.size.toLong)) { case ((thr, k), acc) =>
+        when(col("__u") < thr, k.toLong).otherwise(acc)
+      })
+    val reps = drawn.groupBy("__r")
+      .agg(sum(expr("__m * __v")).as("__s"), sum("__m").as("__c"))
+      .filter(col("__c") > 0)
+      .withColumn("__mean", expr("__s DIV __c"))
+    val wr = Window.orderBy("__mean") // B rows: model-size state
+    val ranked = reps.withColumn("__rk", row_number().over(wr))
+      .crossJoin(broadcast(reps.agg(count(lit(1)).as("__nb"))))
+    val point = df.select(valueCents.cast("long").as("__v"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(__v) DIV count(*)").as("point_mean_cents"))
+    val ci = ranked.agg(
+      max("__nb").as("n_replicates"),
+      min(when(expr("__rk * 40 >= __nb"), col("__mean")))
+        .as("ci_lo_cents"),
+      min(when(expr("__rk * 40 >= __nb * 39"), col("__mean")))
+        .as("ci_hi_cents"))
+    point.crossJoin(broadcast(ci))
+  }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13): the pooled
+    * regression adjustment θ = cov(x,y)/var(x) from EXACT integer
+    * sufficient statistics (one corpus aggregation), applied to each
+    * arm's mean:  mean_adj = mean_y − θ·(mean_x − mean_x_pooled).
+    * The float work is one fixed expression tree over the exact sums
+    * — products evaluated in DOUBLE (n·Σxy at corpus scale would
+    * overflow BIGINT; the double tree is deterministic on both
+    * engines). Also reports ρ² (the variance fraction CUPED removes).
+    * Output: one row per arm.
+    */
+  def cuped(df: DataFrame, variant: Column, xCents: Column, yCents: Column,
+            armA: String, armB: String): DataFrame = {
+    val rows = df.select(variant.as("arm"), xCents.cast("long").as("x"),
+        yCents.cast("long").as("y"))
+      .filter(col("arm").isin(armA, armB))
+    val glob = rows.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+      sum(expr("y * y")).as("syy"))
+    val arms = rows.groupBy("arm").agg(count(lit(1)).as("n_g"),
+      sum("x").as("sx_g"), sum("y").as("sy_g"))
+    arms.crossJoin(broadcast(glob))
+      .select(col("arm"), col("n_g"),
+        expr("round(CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6)")
+          .as("mean_y"),
+        expr("""round(
+            CAST(sy_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * (CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)""")
+          .as("mean_y_adj"),
+        expr("""round(
+            ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+            / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)""")
+          .as("var_reduction"))
+  }
+
+  /** Decile lift table — the model-evaluation report next to ROC
+    * (q151) and calibration (q153): corpus ranked by score (global
+    * TWO-PHASE prefix rank, never a single-partition window), split
+    * into `nBuckets` by the exact (rank−1)·k DIV n identity, per
+    * bucket the positive rate and CUMULATIVE lift vs the base rate —
+    * all BIGINT. The "how deep can the classifier cut" number a
+    * curation gate ships with.
+    */
+  def liftTable(df: DataFrame, idCol: String, scoreMicro: Column,
+                label: Column, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "liftTable needs at least 2 buckets")
+    val scored = df.select(col(idCol), scoreMicro.cast("long").as("__s"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .withColumn("n_tokens", lit(1L))
+    val (ranked, release) = Packing.offsetsOrderedReleasable(
+      scored, idCol, Seq(col("__s").desc, col(idCol).asc))
+    val tot = ranked.agg(max("tok_end").as("__n"), sum("__y").as("__p"))
+    val cells = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"(tok_end - 1) * $nBuckets DIV __n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("__y").as("n_pos"),
+        max("__n").as("__n"), max("__p").as("__p"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0) // nBuckets rows
+    val out = cells
+      .withColumn("cum_n", sum("n_docs").over(wc))
+      .withColumn("cum_pos", sum("n_pos").over(wc))
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 DIV n_docs").as("rate_micro"),
+        expr("CASE WHEN __p > 0 THEN cum_pos * __n * 1000000 DIV (cum_n * __p) END")
+          .as("cum_lift_micro"))
+    val _ = release // one-shot gate shape
+    out
+  }
+
   /** Cohen's kappa — chance-corrected agreement between a prediction
     * and gold labels (multiclass):
     *   kappa = (po − pe) / (1 − pe)

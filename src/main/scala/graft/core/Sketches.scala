@@ -110,7 +110,7 @@ object Sketches {
     * the same expression replays under ANSI and in any SQL engine
     * with xor + integer div/mod.
     */
-  private def mix32(h0: Column): Column = {
+  private[core] def mix32(h0: Column): Column = {
     val M = lit(4294967296L)
     def xm(h: Column): Column =
       (h.bitwiseXOR(shiftright(h, 16)) * lit(73244475L)) % M

@@ -136,6 +136,62 @@ class EvalSpec extends SparkSpec {
     assert(got == ((0.0, false)))
   }
 
+  test("bootstrapCi: point inside CI, replicates vary, partition invariant") {
+    val df = spark.range(2000).selectExpr("CAST(id AS STRING) AS id",
+      "CAST(100 + id % 50 AS BIGINT) AS v")
+    val got = Eval.bootstrapCi(df, col("id"), col("v"), b = 200)
+      .select("n_rows", "point_mean_cents", "n_replicates",
+        "ci_lo_cents", "ci_hi_cents")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got._1 == 2000L && got._3 == 200L)
+    assert(got._4 <= got._2 && got._2 <= got._5,
+      s"point ${got._2} inside [${got._4}, ${got._5}]")
+    // true mean = 100 + 24.5 = 124.5 -> 124 on the integer lattice;
+    // a correct bootstrap of n=2000 traps it tightly
+    assert(got._4 >= 120L && got._5 <= 129L, s"CI too wide: $got")
+    assert(got._4 < got._5, "replicates must VARY (the q159 affine-" +
+      "correlation bug would collapse the interval)")
+    val again = Eval.bootstrapCi(df.repartition(17), col("id"), col("v"), b = 200)
+      .select("ci_lo_cents", "ci_hi_cents").as[(Long, Long)].head()
+    assert(again == ((got._4, got._5)))
+  }
+
+  test("cuped: a perfect covariate removes all variance and equalizes arms") {
+    // y == x exactly: theta = 1, every arm's adjusted mean collapses
+    // to the POOLED mean, var_reduction = 1
+    val df = (1 to 50).map(i => (if (i % 2 == 0) "a" else "b",
+      (i * 7 % 31).toLong)).toDF("arm", "x")
+      .withColumn("y", col("x"))
+    val got = Eval.cuped(df, col("arm"), col("x"), col("y"), "a", "b")
+      .select("arm", "mean_y_adj", "var_reduction")
+      .as[(String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.size == 2)
+    assert(got(0)._2 == got(1)._2, s"adjusted means must collapse: $got")
+    assert(got.forall(_._3 == 1.0), s"perfect covariate: $got")
+    // an all-constant covariate must not divide by zero silently:
+    // theta's denominator is 0 -> NaN/NULL surfaces, not a wrong number
+    val flat = df.withColumn("x", lit(5L))
+    val adj = Eval.cuped(flat, col("arm"), col("x"), col("y"), "a", "b")
+      .select("mean_y_adj").as[Option[Double]].collect()
+    assert(adj.forall(v => v.isEmpty || v.exists(_.isNaN)),
+      s"zero-variance covariate must surface, got $adj")
+  }
+
+  test("liftTable: hand deciles, conservation, final lift = 1") {
+    // 10 docs, scores 10..1, top-5 scores are the positives
+    val df = (1 to 10).map(i => (s"d$i", (11 - i) * 1000L, i <= 5))
+      .toDF("doc_id", "s", "y")
+    val got = Eval.liftTable(df, "doc_id", col("s"), col("y"), nBuckets = 10)
+      .select("bucket", "n_docs", "n_pos", "rate_micro", "cum_lift_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.size == 10 && got.forall(_._2 == 1L))
+    assert(got.take(5).forall(r => r._3 == 1L && r._4 == 1000000L))
+    assert(got.drop(5).forall(r => r._3 == 0L && r._4 == 0L))
+    // top decile lift = (1/1)/(5/10) = 2x; full-corpus lift = exactly 1
+    assert(got.head._5 == 2000000L && got.last._5 == 1000000L)
+    assert(got.map(_._3).sum == 5L, "positives conserved across cells")
+  }
+
   test("kappa is chance-corrected where raw accuracy is not") {
     // a majority-class predictor: 90% accuracy but kappa = 0 (all
     // agreement is chance) -- the reason the audit ships kappa
