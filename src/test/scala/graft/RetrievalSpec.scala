@@ -214,4 +214,29 @@ class RetrievalSpec extends SparkSpec {
     val single = rrfC(1)
     assert(fused.exists(_._4 > single))
   }
+
+  test("MRR harness: a distinctive phrase ranks its source first, " +
+      "an unanswerable query scores 0") {
+    // doc 1 holds unique terms -> its phrase query must rank it #1
+    // (rr = 1e6); doc 3's query terms appear NOWHERE (the query text
+    // is replaced) -> gold_rank 0, rr 0
+    val corpus = Seq(
+      (1L, "alpha beta zig unique tokens here now"),
+      (2L, "common words common words common words common"),
+      (3L, "common words again and again and again yes")).toDF("doc_id", "text")
+    val queries = Seq((1L, "zig unique tokens"), (3L, "nonexistent phantom"))
+      .toDF("doc_id", "text")
+    val top = graft.core.Retrieval.bm25TopK(corpus, queries, k = 10)
+    val gold = top.filter($"doc_id" === $"query_id")
+      .select($"query_id", $"rank")
+    val got = queries.select($"doc_id".as("query_id"))
+      .join(gold, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"rank", lit(0L)).as("gold_rank"),
+        expr("CASE WHEN rank IS NOT NULL THEN 1000000 DIV rank ELSE 0L END")
+          .as("rr_micro"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, r, rr) => (q, (r, rr)) }.toMap
+    assert(got(1L) == ((1L, 1000000L)), s"unique phrase: ${got(1L)}")
+    assert(got(3L) == ((0L, 0L)), s"unanswerable: ${got(3L)}")
+  }
 }
