@@ -315,6 +315,8 @@ object ScaleProbe {
       // q221 = q207's pair gen + 6x (grouped count + two semi joins)
       // on an only-shrinking integer edge set
       "q221_kcore",
+      // q235 = 2 appends + metadata rename + pruned CoW delete
+      "q235_column_rename",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

@@ -3878,6 +3878,35 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // column mapping — rename WITHOUT rewrite (the Delta column-
+    // mapping contract): the physical->logical map rides the
+    // versioned constraints machinery, files keep physical names
+    // forever, readers alias at scan end, writers alias incoming
+    // logical batches back. Lifecycle in-gate: append half, rename
+    // o_totalprice -> price (metadata-only), append the second half
+    // UNDER THE NEW NAME, delete on a logical-name predicate, read.
+    // The oracle is the orders slice with the same alias + filter —
+    // it fails if the rename rewrote/renulled a column or the
+    // post-rename append landed under the wrong physical name
+    "q235_column_rename" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = scratchDir("graft_q235") + "/t"
+      val ord = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("CAST(o_orderdate AS DATE)").as("o_date"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderpriority"))
+      SnapshotTable.append(ord.filter(col("o_orderkey") % 2 === 0), tbl)
+      SnapshotTable.renameColumn(tbl, "o_totalprice", "price")
+      SnapshotTable.append(
+        ord.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "price"), tbl)
+      SnapshotTable.delete(s, tbl, col("price") < 20000.0)
+      SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+          col("price"), col("o_orderpriority"))
+    }),
+
     // ViT-style patchify through the REAL codec: gradient PNGs
     // decoded, every image split into its 2x2 patch grid (ragged
     // edges dropped — the ViT floor-divide convention), per patch the
@@ -9463,6 +9492,13 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q235: the renamed projection + the delete's complement
+    "q235_column_rename" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  round(o_totalprice, 2) AS price, o_orderpriority
+        |FROM orders
+        |WHERE NOT (round(o_totalprice, 2) < 20000.0)""".stripMargin,
 
     // q233: generator arithmetic replayed through the 2x2 patch index
     // map (the q84 pixel formula), all BIGINT

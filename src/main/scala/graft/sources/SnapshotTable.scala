@@ -684,10 +684,15 @@ object SnapshotTable {
              bloomColumns: Seq[String] = Nil): Int = {
     val dfg = applyGenerated(df, table)
     enforceConstraints(dfg, table)
-    val newFiles = writeData(dfg, table, bloomColumns)
+    // column mapping: generated/CHECK ran on logical names; files
+    // store physical names
+    val inv = columnMappingOf(table).map(_.swap)
+    val dfp = toPhysical(dfg, columnMappingOf(table))
+    val newFiles = writeData(dfp, table,
+      bloomColumns.map(c => inv.getOrElse(c, c)))
     commitLoop(table) { (chunks, inline, prevSchema) =>
       (chunks, inline ++ newFiles,
-        evolveSchema(prevSchema.getOrElse(dfg.schema), dfg.schema))
+        evolveSchema(prevSchema.getOrElse(dfp.schema), dfp.schema))
     }
   }
 
@@ -713,12 +718,15 @@ object SnapshotTable {
       s"bad bloom sizing: bits=$bloomBits k=$bloomK")
     val dfg = applyGenerated(df, table)
     enforceConstraints(dfg, table)
-    val newFiles = writeData(dfg, table, indexCols)
-    val indexed = buildBlooms(df.sparkSession, table, newFiles, indexCols,
+    val inv = columnMappingOf(table).map(_.swap)
+    val physCols = indexCols.map(c => inv.getOrElse(c, c))
+    val dfp = toPhysical(dfg, columnMappingOf(table))
+    val newFiles = writeData(dfp, table, physCols)
+    val indexed = buildBlooms(df.sparkSession, table, newFiles, physCols,
       bloomBits, bloomK)
     commitLoop(table) { (chunks, inline, prevSchema) =>
       (chunks, inline ++ indexed,
-        evolveSchema(prevSchema.getOrElse(dfg.schema), dfg.schema))
+        evolveSchema(prevSchema.getOrElse(dfp.schema), dfp.schema))
     }
   }
 
@@ -789,7 +797,8 @@ object SnapshotTable {
     if (already) return None
     val dfg = applyGenerated(df, table)
     enforceConstraints(dfg, table)
-    val newFiles = writeData(dfg, table)
+    val dfp = toPhysical(dfg, columnMappingOf(table))
+    val newFiles = writeData(dfp, table)
     Some(commitLoop(table, Map(writerId -> txnVersion) ++ extraTxns) { (chunks, inline, prevSchema) =>
       // re-check inside the loop: a concurrent retry of the same batch
       // may have landed between the probe and this attempt
@@ -797,7 +806,7 @@ object SnapshotTable {
       if (cur.exists(v => txnVersions(table, v).get(writerId).exists(_ >= txnVersion)))
         return None
       (chunks, inline ++ newFiles,
-        evolveSchema(prevSchema.getOrElse(dfg.schema), dfg.schema))
+        evolveSchema(prevSchema.getOrElse(dfp.schema), dfp.schema))
     })
   }
 
@@ -854,7 +863,10 @@ object SnapshotTable {
         case Some(v) =>
           val (_, prevSchema, txns) = readManifestFull(table, v)
           val evolved = evolveSchema(
-            prevSchema.getOrElse(read(spark, table, Some(v)).schema), deduped.schema)
+            prevSchema.getOrElse(
+              toPhysical(read(spark, table, Some(v)),
+                columnMappingOf(table, Some(v))).schema),
+            toPhysical(deduped, columnMappingOf(table, Some(v))).schema)
           // allowMissingColumns: evolved commits may add columns the
           // other side lacks; missing fields fill with null
           (read(spark, table, Some(v))
@@ -862,7 +874,9 @@ object SnapshotTable {
             .unionByName(deduped, allowMissingColumns = true), evolved, txns)
       }
       // materialize before writing: `merged` reads the files we replace
-      val out = merged.localCheckpoint()
+      val out = toPhysical(merged,
+        base.map(v => columnMappingOf(table, Some(v))).getOrElse(Map.empty))
+        .localCheckpoint()
       val newFiles = writeData(out, table)
       val v = base.getOrElse(-1) + 1
       if (publishManifest(table, v, newFiles, Some(schema), prevTxns)) return v
@@ -916,7 +930,7 @@ object SnapshotTable {
     val files = entries.filter(fe =>
       allRanges.forall(r => rangeKeeps(fe.stats, r)) &&
         probes.forall(p => bloomKeeps(fe, p)))
-    if (files.isEmpty) schemaOpt match {
+    val physical = if (files.isEmpty) schemaOpt match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => spark.emptyDataFrame
@@ -940,6 +954,8 @@ object SnapshotTable {
       reader.parquet(
         files.map(fe => dataDir(table).resolve(fe.name).toString): _*)
     }
+    // column mapping: files/stats stay physical, callers see logical
+    toLogical(physical, columnMappingOf(table, Some(v)))
   }
 
   /** The snapshot's logical schema (manifest union schema when
@@ -978,11 +994,13 @@ object SnapshotTable {
     // a generated-column entry IS a check on batches that carry the
     // column explicitly: the value must null-safely equal the
     // expression (writers can't stamp conflicting derived values)
-    val cons = constraintsOf(table).map {
-      case (k, v) if k.startsWith(GenPrefix) =>
-        k -> s"`${k.stripPrefix(GenPrefix)}` <=> ($v)"
-      case kv => kv
-    }
+    val cons = constraintsOf(table)
+      .filter { case (k, _) => !k.startsWith(MapPrefix) } // mapping ≠ CHECK
+      .map {
+        case (k, v) if k.startsWith(GenPrefix) =>
+          k -> s"`${k.stripPrefix(GenPrefix)}` <=> ($v)"
+        case kv => kv
+      }
     if (cons.isEmpty) return
     val names = cons.keys.toSeq.sorted
     val counts = df.agg(
@@ -1002,6 +1020,85 @@ object SnapshotTable {
       }
     }
   }
+
+  // ---- column mapping (rename without rewrite) ----------------------
+
+  /** Reserved constraints-map prefix for column-mapping entries:
+    * `_map:<physical>` → logical name. Riding the constraints map
+    * (like `_gen:`) gives auto-carry through every commit, time
+    * travel, clone and the metadata-commit machinery for free.
+    */
+  private val MapPrefix = "_map:"
+
+  /** physical → logical column mapping at `version` (current when
+    * None); empty for unmapped tables.
+    */
+  def columnMappingOf(table: String,
+                      version: Option[Int] = None): Map[String, String] =
+    constraintsOf(table, version).collect {
+      case (k, v) if k.startsWith(MapPrefix) => k.stripPrefix(MapPrefix) -> v
+    }
+
+  /** Rename a column WITHOUT rewriting any data file (the Delta
+    * column-mapping contract): a metadata-only commit records
+    * physical→logical in the constraints map; files keep their
+    * physical names forever, readers alias at the end of the scan,
+    * writers alias incoming batches back to physical. Time travel to
+    * a pre-rename version naturally shows the old name (the mapping
+    * is versioned with everything else).
+    *
+    * Guards: the new name must not collide with any current logical
+    * column, and the renamed column must not be referenced by a CHECK
+    * constraint or generated-column expression (those reference
+    * logical names, which this rename would silently break — add the
+    * constraint after the rename instead). MERGE on a mapped table is
+    * rejected loudly (not yet mapping-aware); append / read / delete /
+    * update / upsert / change feed all are.
+    */
+  def renameColumn(table: String, from: String, to: String): Int = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val mapping = columnMappingOf(table, Some(v))
+    val physSchema = readManifestChunked(table, v)._3.getOrElse(
+      throw new IllegalArgumentException(s"$table has no recorded schema"))
+    val logicalNames = physSchema.fieldNames.map(p => mapping.getOrElse(p, p))
+    require(logicalNames.contains(from), s"no column '$from' in $table")
+    require(!logicalNames.contains(to), s"column '$to' already exists in $table")
+    val word = java.util.regex.Pattern.compile(s"\\b${java.util.regex.Pattern.quote(from)}\\b")
+    constraintsOf(table, Some(v)).foreach { case (k, ex) =>
+      if (!k.startsWith(MapPrefix) && word.matcher(ex).find())
+        throw new IllegalArgumentException(
+          s"cannot rename '$from': constraint/generated entry '$k' ($ex) references it")
+    }
+    // the physical name behind `from`: an earlier mapping's key, or
+    // `from` itself on first rename
+    val phys = mapping.find(_._2 == from).map(_._1).getOrElse(from)
+    val cons = constraintsOf(table, Some(v)) - (MapPrefix + phys)
+    val entry = if (to == phys) Map.empty[String, String]
+                else Map(MapPrefix + phys -> to) // rename-back drops the entry
+    commitConstraints(table, cons ++ entry)
+  }
+
+  /** Alias a physical-schema frame to logical names (no-op when
+    * unmapped).
+    */
+  private def toLogical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toSeq.map(c =>
+        col(s"`$c`").as(mapping.getOrElse(c, c))): _*)
+    }
+
+  /** Alias a logical-named incoming frame back to physical names. */
+  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val inv = mapping.map(_.swap)
+      df.select(df.columns.toSeq.map(c =>
+        col(s"`$c`").as(inv.getOrElse(c, c))): _*)
+    }
 
   /** Add a named CHECK constraint (a metadata-only commit). The
     * expression must resolve against the current schema, and ALL
@@ -1217,9 +1314,12 @@ object SnapshotTable {
         entries.partition(fe => ranges.forall(r => rangeKeeps(fe.stats, r)))
       if (candidates.isEmpty) return None
       val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
-      val survivors = reader.parquet(
-          candidates.map(fe => dataDir(table).resolve(fe.name).toString): _*)
-        .filter(keep)
+      val mapping = columnMappingOf(table, Some(base))
+      val survivors = toPhysical(
+        toLogical(reader.parquet(
+            candidates.map(fe => dataDir(table).resolve(fe.name).toString): _*),
+          mapping)
+        .filter(keep), mapping)
       // materialize before the rewrite: survivors read the files being
       // replaced only logically — writeData stages to new files, but a
       // lost race must re-filter against a DIFFERENT snapshot anyway
@@ -1260,16 +1360,23 @@ object SnapshotTable {
       val (candidates, untouched) =
         entries.partition(fe => ranges.forall(r => rangeKeeps(fe.stats, r)))
       if (candidates.isEmpty) return None
-      val tgtSchema = schemaOpt.getOrElse(read(spark, table, Some(base)).schema)
+      val mapping = columnMappingOf(table, Some(base))
+      val tgtSchemaPhys = schemaOpt.getOrElse(
+        toPhysical(read(spark, table, Some(base)), mapping).schema)
+      // the LOGICAL view of the target schema: set/cond reference
+      // logical names; files keep physical ones
+      val tgtSchema = org.apache.spark.sql.types.StructType(
+        tgtSchemaPhys.map(f => f.copy(name = mapping.getOrElse(f.name, f.name))))
       set.keys.foreach(c => require(tgtSchema.fieldNames.contains(c),
         s"UPDATE SET references unknown column $c"))
       val gens = generatedColumnsOf(table)
       set.keys.foreach(c => require(!gens.contains(c),
         s"UPDATE SET cannot target generated column $c (it is " +
           "recomputed from its expression)"))
-      val reader = spark.read.schema(tgtSchema)
-      val rewritten0 = reader.parquet(
-          candidates.map(fe => dataDir(table).resolve(fe.name).toString): _*)
+      val reader = spark.read.schema(tgtSchemaPhys)
+      val rewritten0 = toLogical(reader.parquet(
+          candidates.map(fe => dataDir(table).resolve(fe.name).toString): _*),
+          mapping)
         .select(tgtSchema.fieldNames.toSeq.map { c =>
           set.get(c) match {
             case Some(expr) =>
@@ -1278,7 +1385,7 @@ object SnapshotTable {
           }
         }: _*)
       // rewritten rows follow their (possibly updated) bases
-      val rewritten = recomputeGenerated(rewritten0, table)
+      val rewritten = toPhysical(recomputeGenerated(rewritten0, table), mapping)
       val newFiles = writeData(rewritten.localCheckpoint(), table)
       if (publishManifest(table, base + 1, untouched ++ newFiles, schemaOpt, prevTxns))
         return Some(base + 1)
@@ -1325,6 +1432,9 @@ object SnapshotTable {
             whenNotMatchedInsert: Boolean = true,
             txn: Map[String, Long] = Map.empty): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not, struct}
+    require(columnMappingOf(table).isEmpty,
+      s"MERGE on a column-mapped table is not supported yet ($table " +
+        "carries renames) - upsert/update/delete are mapping-aware")
     val deduped = updates.dropDuplicates(key).localCheckpoint()
     // empty source: nothing can match or insert — without this guard a
     // null key envelope would make EVERY file a rewrite candidate and

@@ -442,4 +442,63 @@ class SnapshotTableSpec extends SparkSpec {
       Seq((8, "h")).toDF("id", "v"), dst2, "w9", 3L).nonEmpty,
       "the clone must accept the writer's batch afresh")
   }
+
+  test("renameColumn: metadata-only, time-travel-aware, write paths map") {
+    val t = Files.createTempDirectory("graft_rename").toString + "/t"
+    SnapshotTable.append(Seq((1, 10.0), (2, 20.0)).toDF("id", "amount"), t)
+    val filesBefore = SnapshotTable.filesForRead(t).toSet
+    SnapshotTable.renameColumn(t, "amount", "price")        // v1, metadata-only
+    assert(SnapshotTable.filesForRead(t).toSet == filesBefore,
+      "rename must not rewrite a single data file")
+    assert(SnapshotTable.read(spark, t).columns.toSeq == Seq("id", "price"))
+    assert(SnapshotTable.read(spark, t).as[(Int, Double)].collect().toSet
+      == Set((1, 10.0), (2, 20.0)), "values survive the rename")
+    // time travel to v0 shows the OLD name
+    assert(SnapshotTable.read(spark, t, Some(0)).columns.toSeq
+      == Seq("id", "amount"))
+    // post-rename append arrives under the LOGICAL name and lands on
+    // the same physical column (not a new null-padded one)
+    SnapshotTable.append(Seq((3, 30.0)).toDF("id", "price"), t)
+    assert(SnapshotTable.read(spark, t).as[(Int, Double)].collect().toSet
+      == Set((1, 10.0), (2, 20.0), (3, 30.0)))
+    assert(SnapshotTable.schemaOf(spark, t).fieldNames.toSeq
+      == Seq("id", "amount"), "the PHYSICAL schema never changes")
+    // logical-name predicates drive delete and update
+    import org.apache.spark.sql.functions.{col, lit}
+    SnapshotTable.update(spark, t, col("price") === 20.0,
+      Map("price" -> lit(25.0)))
+    SnapshotTable.delete(spark, t, col("price") < 15.0)
+    assert(SnapshotTable.read(spark, t).as[(Int, Double)].collect().toSet
+      == Set((2, 25.0), (3, 30.0)))
+    // chained rename keeps ONE mapping entry keyed by the original
+    // physical name; renaming back to the physical name drops it
+    SnapshotTable.renameColumn(t, "price", "cost")
+    assert(SnapshotTable.columnMappingOf(t) == Map("amount" -> "cost"))
+    SnapshotTable.renameColumn(t, "cost", "amount")
+    assert(SnapshotTable.columnMappingOf(t).isEmpty)
+    assert(SnapshotTable.read(spark, t).columns.toSeq == Seq("id", "amount"))
+  }
+
+  test("renameColumn guards: collisions, constraint references, merge") {
+    val t = Files.createTempDirectory("graft_rename2").toString + "/t"
+    SnapshotTable.append(Seq((1, 10.0, "x")).toDF("id", "amount", "tag"), t)
+    intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(t, "amount", "tag")) // collision
+    intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(t, "nope", "other")) // unknown column
+    SnapshotTable.addConstraint(spark, t, "pos", "amount > 0")
+    intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(t, "amount", "price")) // referenced
+    SnapshotTable.dropConstraint(t, "pos")
+    SnapshotTable.renameColumn(t, "amount", "price")
+    // constraints added AFTER the rename reference the logical name
+    // and enforce against logical batches
+    SnapshotTable.addConstraint(spark, t, "pos2", "price > 0")
+    intercept[IllegalArgumentException](
+      SnapshotTable.append(Seq((9, -1.0, "y")).toDF("id", "price", "tag"), t))
+    // MERGE is not mapping-aware yet: loud rejection, not wrong rows
+    intercept[IllegalArgumentException](
+      SnapshotTable.merge(spark, t,
+        Seq((1, 11.0, "z")).toDF("id", "price", "tag"), "id"))
+  }
 }
