@@ -317,6 +317,9 @@ object ScaleProbe {
       "q221_kcore",
       // q235 = 2 appends + metadata rename + pruned CoW delete
       "q235_column_rename",
+      // q236 = 4 source appends + 3 delta-join refreshes (each scans
+      // one delta x one side, never full x full)
+      "q236_join_view",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

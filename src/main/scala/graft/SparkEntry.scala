@@ -3878,6 +3878,37 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // incrementally-maintained JOIN view (the join sibling of q117's
+    // rollup): V = orders ⋈ customer kept fresh across three
+    // interleaved source commits by the delta-join identity
+    // ΔV = ΔA⋈B_new ∪ A_old⋈ΔB (the cross term counted exactly once),
+    // delivery guarded by ONE combined monotone txn cursor. The
+    // commit structure must not leak: the view read hash-matches the
+    // one-shot relational join
+    "q236_join_view" -> ((s, dir) => {
+      import graft.sources.{JoinView, SnapshotTable}
+      val base = scratchDir("graft_q236")
+      val (ta, tb, tv) = (base + "/ord", base + "/cust", base + "/view")
+      val ord = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        expr("CAST(o_orderdate AS DATE)").as("o_date"),
+        round(col("o_totalprice"), 2).as("price"))
+      val cust = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("o_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      val midC = 700L
+      SnapshotTable.append(ord.filter(col("o_orderkey") % 2 === 0), ta)
+      SnapshotTable.append(cust.filter(col("o_custkey") < midC), tb)
+      JoinView.maintain(s, tv, ta, tb, "o_custkey")   // bootstrap
+      SnapshotTable.append(ord.filter(col("o_orderkey") % 2 === 1), ta)
+      JoinView.maintain(s, tv, ta, tb, "o_custkey")   // ΔA leg
+      SnapshotTable.append(cust.filter(col("o_custkey") >= midC), tb)
+      JoinView.maintain(s, tv, ta, tb, "o_custkey")   // ΔB leg
+      SnapshotTable.read(s, tv)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+          col("price"), col("c_name"), col("c_mktsegment"))
+    }),
+
     // column mapping — rename WITHOUT rewrite (the Delta column-
     // mapping contract): the physical->logical map rides the
     // versioned constraints machinery, files keep physical names
@@ -9492,6 +9523,12 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q236: the one-shot join — commit structure cannot leak
+    "q236_join_view" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  round(o_totalprice, 2) AS price, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     // q235: the renamed projection + the delete's complement
     "q235_column_rename" ->
