@@ -320,6 +320,9 @@ object ScaleProbe {
       // q236 = 4 source appends + 3 delta-join refreshes (each scans
       // one delta x one side, never full x full)
       "q236_join_view",
+      // q237 = 2 batches x (change-detect join + key-pruned close
+      // merge + insert append)
+      "q237_scd2",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

@@ -3878,6 +3878,35 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // SCD2 dimension maintenance: two full snapshot batches (Jan:
+    // original segments; Feb: every third customer migrates), each
+    // applied as close-changed-keys MERGE + insert-new-versions
+    // append under one idempotence scope. Unchanged keys must NOT
+    // version; the oracle replays the history with lag-dedupe + lead
+    // windows over the batch union
+    "q237_scd2" -> ((s, dir) => {
+      import graft.sources.Scd2
+      val tbl = scratchDir("graft_q237") + "/dim"
+      val cust = Tables.load(s, dir, "customer")
+      val b1 = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("eff"))
+      val b2 = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit("MIGRATED"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        lit(java.sql.Date.valueOf("2024-02-01")).as("eff"))
+      Scd2.upsertBatch(s, tbl, b1, "c_custkey", Seq("seg"), "eff", "dim", 1L)
+      Scd2.upsertBatch(s, tbl, b2, "c_custkey", Seq("seg"), "eff", "dim", 2L)
+      // open versions project the 9999-12-31 sentinel: a NULL DATE
+      // round-trips as None vs NaT across the two engines' pandas
+      // paths — representation noise, not semantics
+      graft.sources.SnapshotTable.read(s, tbl)
+        .select(col("c_custkey"), col("seg"), col("valid_from"),
+          coalesce(col("valid_to"),
+            lit(java.sql.Date.valueOf("9999-12-31"))).as("valid_to"),
+          col("is_current"))
+    }),
+
     // incrementally-maintained JOIN view (the join sibling of q117's
     // rollup): V = orders ⋈ customer kept fresh across three
     // interleaved source commits by the delta-join identity
@@ -9523,6 +9552,36 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q237: the batch union lag-deduped per key (consecutive equal
+    // snapshots spawn no version), valid_to = the next version's
+    // valid_from via lead
+    "q237_scd2" ->
+      """WITH b1 AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    DATE '2024-01-01' AS eff FROM customer),
+        |b2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'MIGRATED'
+        |         ELSE c_mktsegment END AS seg,
+        |    DATE '2024-02-01' AS eff FROM customer),
+        |allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |dedup AS (
+        |  SELECT *, lag(seg) OVER (PARTITION BY c_custkey ORDER BY eff)
+        |    AS prev
+        |  FROM allb),
+        |vers AS (
+        |  SELECT c_custkey, seg, eff AS valid_from FROM dedup
+        |  WHERE prev IS NULL OR seg <> prev),
+        |fin AS (
+        |  SELECT c_custkey, seg, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY c_custkey
+        |      ORDER BY valid_from) AS valid_to
+        |  FROM vers)
+        |SELECT c_custkey, seg, valid_from,
+        |  coalesce(valid_to, DATE '9999-12-31') AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM fin""".stripMargin,
 
     // q236: the one-shot join — commit structure cannot leak
     "q236_join_view" ->
