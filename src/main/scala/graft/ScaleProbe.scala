@@ -323,6 +323,8 @@ object ScaleProbe {
       // q237 = 2 batches x (change-detect join + key-pruned close
       // merge + insert append)
       "q237_scd2",
+      // q238 = q237's build + one fact scan against the broadcast dim
+      "q238_scd2_enrich",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

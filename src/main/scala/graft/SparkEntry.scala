@@ -3878,6 +3878,38 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // point-in-time enrichment against the SCD2 dimension: events
+    // join the user's segment AS OF the event timestamp — the
+    // correctness property naive current-row joins violate (training
+    // data leakage: a Feb migration must not relabel Jan events).
+    // Dim versions broadcast; one fact scan, the interval predicate
+    // evaluated post-probe on key equality
+    "q238_scd2_enrich" -> ((s, dir) => {
+      import graft.sources.Scd2
+      val tbl = scratchDir("graft_q238") + "/dim"
+      val cust = Tables.load(s, dir, "customer")
+      val b1 = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        lit(java.sql.Date.valueOf("2024-01-01")).as("eff"))
+      val b2 = cust.select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit("MIGRATED"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        lit(java.sql.Date.valueOf("2024-01-16")).as("eff"))
+      Scd2.upsertBatch(s, tbl, b1, "c_custkey", Seq("seg"), "eff", "dim", 1L)
+      Scd2.upsertBatch(s, tbl, b2, "c_custkey", Seq("seg"), "eff", "dim", 2L)
+      val dim = graft.sources.SnapshotTable.read(s, tbl)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("d"))
+      ev.join(broadcast(dim),
+          col("user_id") === col("c_custkey")
+            && col("valid_from") <= col("d")
+            && (col("valid_to").isNull || col("d") < col("valid_to")),
+          "left")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // SCD2 dimension maintenance: two full snapshot batches (Jan:
     // original segments; Feb: every third customer migrates), each
     // applied as close-changed-keys MERGE + insert-new-versions
@@ -9552,6 +9584,39 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q238: the q237 history replay joined point-in-time; events of
+    // users above the customer key space fall out as NULL segment
+    "q238_scd2_enrich" ->
+      """WITH b1 AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    DATE '2024-01-01' AS eff FROM customer),
+        |b2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'MIGRATED'
+        |         ELSE c_mktsegment END AS seg,
+        |    DATE '2024-01-16' AS eff FROM customer),
+        |allb AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+        |dedup AS (
+        |  SELECT *, lag(seg) OVER (PARTITION BY c_custkey ORDER BY eff)
+        |    AS prev
+        |  FROM allb),
+        |vers AS (
+        |  SELECT c_custkey, seg, eff AS valid_from FROM dedup
+        |  WHERE prev IS NULL OR seg <> prev),
+        |dim AS (
+        |  SELECT c_custkey, seg, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY c_custkey
+        |      ORDER BY valid_from) AS valid_to
+        |  FROM vers),
+        |ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT d2.seg, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e LEFT JOIN dim d2 ON e.user_id = d2.c_custkey
+        |  AND d2.valid_from <= e.d
+        |  AND (d2.valid_to IS NULL OR e.d < d2.valid_to)
+        |GROUP BY 1""".stripMargin,
 
     // q237: the batch union lag-deduped per key (consecutive equal
     // snapshots spawn no version), valid_to = the next version's
