@@ -325,6 +325,9 @@ object ScaleProbe {
       "q237_scd2",
       // q238 = q237's build + one fact scan against the broadcast dim
       "q238_scd2_enrich",
+      // q239 = one stacked scan -> bounded m x cols registers +
+      // exact-audit distinct
+      "q239_analyze_stats",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

@@ -3878,6 +3878,21 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // ANALYZE-style table statistics: per column rows / nulls /
+    // HLL-estimated NDV (one bounded m x cols register state — never
+    // a per-column COUNT(DISTINCT) expand at scale) with the exact
+    // NDV joined as audit. String-safe columns only (float formatting
+    // diverges across engines)
+    "q239_analyze_stats" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        expr("CAST(o_orderdate AS DATE)").as("o_date"))
+      Profile.analyzeTable(ord,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_date"))
+    }),
+
     // point-in-time enrichment against the SCD2 dimension: events
     // join the user's segment AS OF the event timestamp — the
     // correctness property naive current-row joins violate (training
@@ -9584,6 +9599,58 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q239: the q206 register chain per column over a stacked union;
+    // exact NDV beside
+    "q239_analyze_stats" ->
+      """WITH stacked AS (
+        |  SELECT 'o_orderkey' AS cname, CAST(o_orderkey AS VARCHAR) AS sval FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'o_date', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders),
+        |basics AS (
+        |  SELECT cname, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nulls,
+        |    CAST(count(DISTINCT sval) AS BIGINT) AS ndv_exact
+        |  FROM stacked GROUP BY 1),
+        |h0 AS (
+        |  SELECT cname, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(sval, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM stacked WHERE sval IS NOT NULL),
+        |h1 AS (SELECT cname, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT cname, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |h3 AS (SELECT cname, xor(h, h // 65536) AS h FROM h2),
+        |reg AS (
+        |  SELECT cname, h % 128 AS bucket,
+        |    max(CASE WHEN (h // 128) % 8388608 > 0
+        |        THEN 24 - length(bin((h // 128) % 8388608))
+        |        ELSE 24 END) AS rho
+        |  FROM h3 GROUP BY 1, 2),
+        |est AS (
+        |  SELECT cname, CAST(count(*) AS BIGINT) AS active_buckets,
+        |    sum(1.0 / CAST(1 << rho AS DOUBLE)) + (128 - count(*)) AS z,
+        |    128 - count(*) AS v
+        |  FROM reg GROUP BY 1),
+        |hll AS (
+        |  SELECT cname,
+        |    round(CASE WHEN (CAST(0.7213 AS DOUBLE) /
+        |        (1 + CAST(1.079 AS DOUBLE) / 128)) * 16384 / z <= 320 AND v > 0
+        |      THEN 128 * ln(128.0 / v)
+        |      ELSE (CAST(0.7213 AS DOUBLE) /
+        |        (1 + CAST(1.079 AS DOUBLE) / 128)) * 16384 / z END, 4)
+        |      AS ndv_est
+        |  FROM est)
+        |SELECT b.cname AS "column", b.n_rows, b.n_nulls,
+        |  coalesce(h.ndv_est, 0.0) AS ndv_est, b.ndv_exact
+        |FROM basics b LEFT JOIN hll h ON b.cname = h.cname""".stripMargin,
 
     // q238: the q237 history replay joined point-in-time; events of
     // users above the customer key space fall out as NULL segment

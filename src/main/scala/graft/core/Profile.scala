@@ -218,6 +218,35 @@ object Profile {
       .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
   }
 
+  /** ANALYZE-style per-column statistics card: rows / nulls / distinct
+    * count per column — the optimizer-feeding table stats pass. NDV
+    * comes from the deterministic HLL register sketch
+    * ([[Sketches.hllRegisters]]: ONE bounded m×cols state instead of
+    * a per-column COUNT(DISTINCT) expand — at 100 TB the expand is a
+    * full shuffle of every column's values, the sketch is map-side
+    * combinable integers), with the exact NDV joined alongside as the
+    * gate's audit. One stack projection feeds both passes; callers
+    * pass STRING-SAFE columns (integers, strings, dates — float
+    * formatting differs across engines).
+    */
+  def analyzeTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "analyzeTable needs columns")
+    val stackExpr = cols.map(c => s"'$c', CAST(`$c` AS STRING)")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    val stacked = df.select(expr(stackExpr).as(Seq("cname", "sval")))
+    val basics = stacked.groupBy("cname").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("sval").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      countDistinct(col("sval")).as("ndv_exact"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(stacked.filter(col("sval").isNotNull),
+        col("sval"), Seq("cname")), Seq("cname"))
+      .select(col("cname"), round(col("hll_estimate"), 4).as("ndv_est"))
+    basics.join(est, Seq("cname"), "left")
+      .select(col("cname").as("column"), col("n_rows"), col("n_nulls"),
+        coalesce(col("ndv_est"), lit(0.0)).as("ndv_est"), col("ndv_exact"))
+  }
+
   /** Embedding-space drift report: for each group, the cosine
     * DISTANCE between the group's embedding centroid and the whole
     * population's — the semantic sibling of [[psi]]/[[ks]] (those

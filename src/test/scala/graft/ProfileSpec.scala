@@ -206,6 +206,32 @@ class ProfileSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("analyzeTable: nulls counted, NDV estimate tracks exact, " +
+      "partition invariant") {
+    val df = spark.range(2000).selectExpr(
+      "CAST(id AS STRING) AS uid",
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id % 37 AS STRING) END AS bucket",
+      "'const' AS tag")
+    val got = Profile.analyzeTable(df, Seq("uid", "bucket", "tag"))
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("uid")._2 == 2000L && got("uid")._3 == 0L
+      && got("uid")._5 == 2000L)
+    assert(got("bucket")._3 == 200L, "every 10th row is null")
+    assert(got("bucket")._5 == 37L)
+    // small-cardinality columns sit in the linear-counting regime:
+    // tight estimates
+    assert(math.abs(got("bucket")._4 - 37.0) < 6.0, s"${got("bucket")}")
+    assert(got("tag")._5 == 1L && math.abs(got("tag")._4 - 1.0) < 0.5)
+    // 2000 distinct at m=128: raw-HLL regime, ~9% RSE
+    assert(math.abs(got("uid")._4 - 2000.0) < 500.0, s"${got("uid")}")
+    val again = Profile.analyzeTable(df.repartition(13),
+      Seq("uid", "bucket", "tag"))
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got, "sketch must be partition invariant")
+  }
+
   test("benford: dense digit grid, exact shares, sub-1 filtered") {
     // one value per leading digit -> 9 equal shares of 111111 micro
     val df = Seq(1.5, 23.0, 345.0, 4.0, 5e3, 6.0, 77.0, 8.0, 900.0)
