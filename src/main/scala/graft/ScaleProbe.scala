@@ -328,6 +328,8 @@ object ScaleProbe {
       // q239 = one stacked scan -> bounded m x cols registers +
       // exact-audit distinct
       "q239_analyze_stats",
+      // q240 = q137's per-step filtered aggregates + 3-row spine math
+      "q240_funnel_report",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

@@ -3878,6 +3878,38 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // funnel drop-off report (q137's aggregate face): per step the
+    // users reaching it, step-over-step and cumulative conversion in
+    // exact micro — the dashboard row the per-user stage table feeds.
+    // stage >= k counting via one conditional aggregate; the dense
+    // 1..n step spine keeps unreached steps visible as 0 rows
+    "q240_funnel_report" -> ((s, dir) => {
+      val steps = Seq("view", "click", "purchase")
+      val stages = TimeSeries.funnelStages(Tables.events(s, dir),
+        "user_id", "ts", "event_type", steps, windowSec = 7L * 24 * 3600)
+      import s.implicits._
+      val spine = steps.zipWithIndex
+        .map { case (n, i) => (i + 1L, n) }
+        .toDF("step", "step_name")
+      val counts = stages.crossJoin(broadcast(spine.select(col("step"))))
+        .filter(col("stage") >= col("step"))
+        .groupBy("step").agg(countDistinct(col("user_id")).as("n_users"))
+      spine.join(counts, Seq("step"), "left")
+        .select(col("step"), col("step_name"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .withColumn("prev",
+          lag(col("n_users"), 1).over(
+            org.apache.spark.sql.expressions.Window.orderBy("step")))
+        .select(col("step"), col("step_name"), col("n_users"),
+          expr("CASE WHEN prev IS NULL THEN 1000000 " +
+            "WHEN prev = 0 THEN 0 " +
+            "ELSE n_users * 1000000 DIV prev END").as("step_conv_micro"),
+          expr("CASE WHEN first_value(n_users) OVER (ORDER BY step) = 0 THEN 0 " +
+            "ELSE n_users * 1000000 DIV " +
+            "first_value(n_users) OVER (ORDER BY step) END")
+            .as("cum_conv_micro"))
+    }),
+
     // ANALYZE-style table statistics: per column rows / nulls /
     // HLL-estimated NDV (one bounded m x cols register state — never
     // a per-column COUNT(DISTINCT) expand at scale) with the exact
@@ -9599,6 +9631,48 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q240: q137's stage replay aggregated over the dense step spine
+    "q240_funnel_report" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    event_type AS et
+        |  FROM events),
+        |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.u, min(e.t) AS t2
+        |  FROM e JOIN s1 ON e.u = s1.u AND e.t > s1.t1
+        |  WHERE et = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.u, min(e.t) AS t3
+        |  FROM e JOIN s2 ON e.u = s2.u AND e.t > s2.t2
+        |  WHERE et = 'purchase' GROUP BY 1),
+        |st AS (
+        |  SELECT s1.u,
+        |    CASE WHEN t3 IS NOT NULL AND t3 - t1 <= 604800 THEN 3
+        |         WHEN t2 IS NOT NULL AND t2 - t1 <= 604800 THEN 2
+        |         ELSE 1 END AS stage
+        |  FROM s1 LEFT JOIN s2 ON s1.u = s2.u
+        |  LEFT JOIN s3 ON s1.u = s3.u),
+        |spine AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'view'), (2, 'click'), (3, 'purchase'))
+        |  AS t(step, step_name)),
+        |counts AS (
+        |  SELECT sp.step, CAST(count(DISTINCT st.u) AS BIGINT) AS n_users
+        |  FROM spine sp LEFT JOIN st ON st.stage >= sp.step
+        |  GROUP BY 1),
+        |conv AS (
+        |  SELECT sp.step, sp.step_name, coalesce(c.n_users, 0) AS n_users,
+        |    lag(coalesce(c.n_users, 0)) OVER (ORDER BY sp.step) AS prev,
+        |    first_value(coalesce(c.n_users, 0)) OVER (ORDER BY sp.step)
+        |      AS first_n
+        |  FROM spine sp LEFT JOIN counts c ON sp.step = c.step)
+        |SELECT step, step_name, n_users,
+        |  CASE WHEN prev IS NULL THEN 1000000 WHEN prev = 0 THEN 0
+        |       ELSE n_users * 1000000 // prev END AS step_conv_micro,
+        |  CASE WHEN first_n = 0 THEN 0
+        |       ELSE n_users * 1000000 // first_n END AS cum_conv_micro
+        |FROM conv""".stripMargin,
 
     // q239: the q206 register chain per column over a stacked union;
     // exact NDV beside
