@@ -330,6 +330,9 @@ object ScaleProbe {
       "q239_analyze_stats",
       // q240 = q137's per-step filtered aggregates + 3-row spine math
       "q240_funnel_report",
+      // q241 = one scan, filter dies in the scan stage, row-local
+      // slices; q242 = edge x 8 id-only explode + rank join + anti
+      "q241_context_windows", "q242_negative_edges",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

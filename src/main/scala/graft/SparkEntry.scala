@@ -3878,6 +3878,33 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // keyword-in-context windows: every 'customer' occurrence with a
+    // ±3-token window and (doc, position) provenance — the targeted
+    // data-selection operator. Filter dies in the scan stage; windows
+    // slice from the row's own token array, zero joins/shuffles
+    "q241_context_windows" -> ((s, dir) =>
+      TextAnalysis.contextWindows(Tables.documents(s, dir), "text",
+        term = "customer", radius = 3)),
+
+    // deterministic negative-edge sampling for link prediction over
+    // the co-purchase graph: per positive edge 8 avalanched-hash
+    // vertex draws mapped to vertex RANKS, self-loops and true edges
+    // dropped (anti join on the canonical pair), first 2 survivors
+    // in draw order kept — reproducible across engines/partitionings,
+    // no RNG state anywhere
+    "q242_negative_edges" -> ((s, dir) => {
+      val basket = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = basket.as("x").join(basket.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val edges = pairs.groupBy("a", "b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2).select("a", "b")
+      GraphOps.negativeEdges(edges, "a", "b", k = 2, candidates = 8)
+    }),
+
     // funnel drop-off report (q137's aggregate face): per step the
     // users reaching it, step-over-step and cumulative conversion in
     // exact micro — the dashboard row the per-user stage table feeds.
@@ -9631,6 +9658,67 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q241: positions via bounded series enumeration, windows via
+    // list_slice with the same clamp arithmetic
+    "q241_context_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |hits AS (
+        |  SELECT doc_id, t, g.i AS pos
+        |  FROM d, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(t)) FROM d))) AS i) g
+        |  WHERE g.i <= len(t) AND t[g.i] = 'customer')
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  array_to_string(list_slice(t,
+        |    greatest(pos - 3, 1), least(pos + 3, len(t))), ' ') AS window
+        |FROM hits""".stripMargin,
+
+    // q242: the q207 edge builder + the same draw chain (rolling fold
+    // → q206 avalanche → rank map), anti join, first-k-in-draw-order
+    "q242_negative_edges" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT b1.p AS a, b2.p AS b FROM basket b1
+        |  JOIN basket b2 ON b1.o = b2.o AND b1.p < b2.p),
+        |e AS (SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2),
+        |verts AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS vrank
+        |  FROM (SELECT a AS v FROM e UNION SELECT b FROM e)),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_v FROM verts),
+        |draws AS (
+        |  SELECT a, b, i.range AS i FROM e, range(8) i),
+        |h0 AS (
+        |  SELECT a, b, i, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':' ||
+        |        CAST(i AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM draws),
+        |h1 AS (SELECT a, b, i, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT a, b, i, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |h3 AS (SELECT a, b, i, xor(h, h // 65536) AS h FROM h2),
+        |cand AS (
+        |  SELECT d.a, d.b, d.i, v.v
+        |  FROM h3 d CROSS JOIN nv
+        |  JOIN verts v ON (d.h % nv.n_v) + 1 = v.vrank
+        |  WHERE v.v <> d.a AND v.v <> d.b),
+        |ne AS (
+        |  SELECT c.a, c.b, c.i, c.v,
+        |    least(c.a, c.v) AS na, greatest(c.a, c.v) AS nb
+        |  FROM cand c),
+        |surv AS (
+        |  SELECT ne.a, ne.b, ne.i, ne.v FROM ne
+        |  LEFT JOIN e ON ne.na = e.a AND ne.nb = e.b
+        |  WHERE e.a IS NULL),
+        |ranked AS (
+        |  SELECT a, b, CAST(i AS BIGINT) AS i, v,
+        |    row_number() OVER (PARTITION BY a, b ORDER BY i) AS rk
+        |  FROM surv)
+        |SELECT a, b, i, v AS neg FROM ranked WHERE rk <= 2""".stripMargin,
 
     // q240: q137's stage replay aggregated over the dense step spine
     "q240_funnel_report" ->

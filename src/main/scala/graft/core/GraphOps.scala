@@ -180,6 +180,60 @@ object GraphOps {
     nEdges.crossJoin(nWedges).crossJoin(nTri)
   }
 
+  /** Deterministic negative-edge sampling for link-prediction
+    * training: each positive edge draws `candidates` pseudo-random
+    * vertices (avalanched portable hash of (a, b, i, seed) mapped to
+    * a vertex RANK — reproducible across engines, partitionings and
+    * reruns, no RNG state), drops self-loops and true edges (anti
+    * join on the canonical pair), and keeps the first k surviving
+    * draws per positive in draw order. Some positives may yield fewer
+    * than k negatives when draws collide — the honest bounded-retry
+    * semantics (raise `candidates` for denser graphs).
+    *
+    * Scale shape: one explode (edges × candidates) of id-only rows,
+    * one rank join against the vertex table, one anti join against
+    * the edge set, one per-edge rank window over ≤ candidates rows.
+    */
+  def negativeEdges(edges0: DataFrame, aCol: String, bCol: String,
+                    k: Int, candidates: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && candidates >= k, "need candidates >= k >= 1")
+    val e = edges0.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val verts = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v"))).distinct()
+      .withColumn("vrank",
+        row_number().over(Window.orderBy("v")).cast("long"))
+    val nV = verts.agg(count(lit(1)).as("n_v"))
+    val draws = e
+      .select(col("a"), col("b"),
+        explode(sequence(lit(0), lit(candidates - 1))).as("i"))
+      .crossJoin(broadcast(nV))
+      .withColumn("j", pmod(graft.core.Sketches.mix32(
+        TextAnalysis.rollingHash(concat(
+          col("a").cast("string"), lit(":"), col("b").cast("string"),
+          lit(":"), col("i").cast("string"), lit(":"),
+          lit(seed.toString)))), col("n_v")) + 1)
+    // plain equi-join: AQE broadcasts small vertex tables on its own;
+    // huge ones shuffle on the rank key like any dimension
+    val cand = draws.join(verts, col("j") === col("vrank"))
+      .filter(col("v") =!= col("a") && col("v") =!= col("b"))
+      .select(col("a"), col("b"), col("i").cast("long").as("i"),
+        least(col("a"), col("v")).as("na"),
+        greatest(col("a"), col("v")).as("nb"))
+    val nonEdges = cand.join(
+      e.select(col("a").as("na"), col("b").as("nb")), Seq("na", "nb"),
+      "left_anti")
+    val w = Window.partitionBy("a", "b").orderBy("i")
+    nonEdges.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("a"), col("b"), col("i"),
+        when(col("na") === col("a"), col("nb")).otherwise(col("na"))
+          .as("neg"))
+  }
+
   /** k-core peeling: iteratively drop vertices whose degree in the
     * REMAINING graph is below k, `rounds` times — the standard
     * community/spam-core detector (the k-core is the maximal subgraph

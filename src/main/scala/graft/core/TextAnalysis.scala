@@ -95,6 +95,29 @@ object TextAnalysis {
           - col("punct_ratio") * 0.5, 6))
   }
 
+  /** Keyword-in-context extraction — the targeted-data-selection
+    * operator: every occurrence of `term` becomes a ±`radius`-token
+    * window with provenance (doc, token position). One scan: tokenize,
+    * posexplode to positions, filter on the term (dies inside the scan
+    * stage), slice the window from the row's own token array — no
+    * join, no shuffle; windows of a 100 TB corpus stream to the sink.
+    * Positions are 1-based; windows clamp at document edges.
+    */
+  def contextWindows(df: DataFrame, textCol: String, term: String,
+                     radius: Int, idCol: String = "doc_id"): DataFrame = {
+    require(radius >= 0, "radius must be non-negative")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(col("__t")).as(Seq("__p0", "__tok")))
+      .filter(col("__tok") === term)
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+        concat_ws(" ", slice(col("__t"),
+          greatest(col("__p0") + 1 - radius, lit(1)),
+          least(col("__p0") + 1 + radius, size(col("__t")))
+            - greatest(col("__p0") + 1 - radius, lit(1)) + 1))
+          .as("window"))
+  }
+
   /** Language-ID heuristic (n-gram profile + marker words): score per
     * language = marker-word hits + occurrence count of that language's
     * characteristic char trigrams (the classic Cavnar-Trenkle n-gram

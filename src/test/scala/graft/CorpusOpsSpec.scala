@@ -688,4 +688,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 3L, 500000L), (2L, "b", 5L, 833333L),
       (3L, "c", 6L, 1000000L)))
   }
+
+  test("contextWindows: hits with provenance, edge clamps, multi-hit") {
+    import graft.core.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta hit gamma delta"),
+      (2L, "hit one two three four five hit"),
+      (3L, "no occurrences here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.contextWindows(docs, "text", "hit", radius = 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, "alpha beta hit gamma delta"),  // interior: full ±2
+      (2L, 1L, "hit one two"),                 // left edge clamps
+      (2L, 7L, "four five hit")),              // right edge clamps
+      s"$got")
+  }
 }

@@ -157,4 +157,30 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(r6 == r7 && r6.nonEmpty, s"fixpoint at 6 rounds: ${r6.size}")
   }
+
+  test("negativeEdges: never true edges or self-loops, <= k per " +
+      "positive in draw order, partition invariant") {
+    // a 5-vertex graph: triangle 1-2-3 plus edges 3-4, 4-5
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val neg = GraphOps.negativeEdges(g, "a", "b", k = 2, candidates = 12)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val edgeSet = Set((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    neg.foreach { case (a, b, _, v) =>
+      assert(v != a && v != b, s"self-ish draw survived: ($a,$b)->$v")
+      val p = (math.min(a, v), math.max(a, v))
+      assert(!edgeSet.contains(p), s"true edge sampled as negative: $p")
+      assert((1L to 5L).contains(v), "draws come from the vertex set")
+    }
+    val perEdge = neg.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3))
+    perEdge.foreach { case (e, is) =>
+      assert(is.size <= 2, s"$e got ${is.size} negatives")
+      assert(is == is.sorted, s"$e negatives not in draw order")
+    }
+    // deterministic across partitioning
+    val again = GraphOps.negativeEdges(g.repartition(7), "a", "b",
+      k = 2, candidates = 12)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again.toSet == neg.toSet)
+  }
 }
