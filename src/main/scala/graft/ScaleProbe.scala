@@ -333,6 +333,9 @@ object ScaleProbe {
       // q241 = one scan, filter dies in the scan stage, row-local
       // slices; q242 = edge x 8 id-only explode + rank join + anti
       "q241_context_windows", "q242_negative_edges",
+      // q243 = user-bucketed pair gen under support cut + panel-
+      // bounded scoring joins
+      "q243_item_item_recs",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

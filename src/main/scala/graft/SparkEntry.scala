@@ -3878,6 +3878,27 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // item-item collaborative filtering: cosine over binary customer-
+    // incidence vectors (the dot product IS the common-customer
+    // count — BIGINT until one fixed sqrt/division per pair), scores
+    // as order-free sums of rounded micro links, top-5 unseen parts
+    // for a fixed 10-customer panel. Support >= 2 bounds the pair
+    // table (the q207 argument)
+    "q243_item_item_recs" -> ((s, dir) => {
+      import s.implicits._
+      // ui is referenced by sims, ownership and the anti filter;
+      // materializing it (localCheckpoint) was MEASURED SLOWER
+      // (5.2 vs 4.4 s min-of-3) — the re-run join is cheaper than the
+      // materialization, the pair generation dominates either way
+      val ui = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val sims = Recommend.itemItemSim(ui, "cust", "part", minSupport = 2L)
+      val panel = (1L to 10L).map(_ * 37L).toDF("cust")
+      Recommend.recommendTopK(ui, sims, panel, "cust", "part", k = 5)
+    }),
+
     // keyword-in-context windows: every 'customer' occurrence with a
     // ±3-token window and (doc, position) provenance — the targeted
     // data-selection operator. Filter dies in the scan stage; windows
@@ -9658,6 +9679,48 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q243: the same integer-count cosine, link union, order-free
+    // micro-sum scoring and anti-join ownership filter
+    "q243_item_item_recs" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS it
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cnt AS (SELECT it, CAST(count(*) AS BIGINT) AS n FROM ui GROUP BY 1),
+        |pr AS (
+        |  SELECT x.it AS item_a, y.it AS item_b,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM ui x JOIN ui y ON x.u = y.u AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sims AS (
+        |  SELECT item_a, item_b,
+        |    CAST(round(CAST(common AS DOUBLE)
+        |      / (sqrt(CAST(ca.n AS DOUBLE)) * sqrt(CAST(cb.n AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS sim_micro
+        |  FROM pr JOIN cnt ca ON pr.item_a = ca.it
+        |  JOIN cnt cb ON pr.item_b = cb.it),
+        |links AS (
+        |  SELECT item_a AS it, item_b AS cand, sim_micro FROM sims
+        |  UNION ALL
+        |  SELECT item_b, item_a, sim_micro FROM sims),
+        |panel AS (SELECT unnest(generate_series(1, 10)) * 37 AS u),
+        |owned AS (
+        |  SELECT ui.u, ui.it FROM ui JOIN panel ON ui.u = panel.u),
+        |scored AS (
+        |  SELECT o.u, l.cand, CAST(sum(l.sim_micro) AS BIGINT)
+        |      AS score_micro,
+        |    CAST(count(*) AS BIGINT) AS n_links
+        |  FROM owned o JOIN links l ON o.it = l.it
+        |  GROUP BY 1, 2),
+        |unseen AS (
+        |  SELECT s.* FROM scored s
+        |  LEFT JOIN owned o ON s.u = o.u AND s.cand = o.it
+        |  WHERE o.it IS NULL)
+        |SELECT u AS cust, CAST(rank AS BIGINT) AS rank, cand AS part,
+        |  score_micro, n_links
+        |FROM (SELECT *, row_number() OVER (PARTITION BY u
+        |        ORDER BY score_micro DESC, cand) AS rank FROM unseen)
+        |WHERE rank <= 5""".stripMargin,
 
     // q241: positions via bounded series enumeration, windows via
     // list_slice with the same clamp arithmetic

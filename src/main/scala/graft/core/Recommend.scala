@@ -1,0 +1,81 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative filtering over a (user, item) interaction
+  * table — the classic neighborhood recommender (Sarwar et al., WWW'01)
+  * in exact integer form:
+  *
+  *  - similarity: cosine over binary user-incidence vectors, which
+  *    collapses to |U_a ∩ U_b| / √(|U_a|·|U_b|) — the dot product IS
+  *    the common-user COUNT, so everything before the final
+  *    micro-rounding is BIGINT, and the one sqrt/division per pair is
+  *    the same fixed expression on any engine (identical doubles in →
+  *    identical rounded micro out).
+  *  - scoring: a candidate item's score is the SUM of its rounded
+  *    sim_micro links to the user's items — an order-free BIGINT sum,
+  *    so the top-k ranking is exactly replayable (summing raw floats
+  *    would not be).
+  *
+  * Scale shape: pair generation is user-bucketed (items sharing a
+  * user; fan-out = per-user basket², the q207 posture) and
+  * `minSupport` keeps the pair table bounded — a threshold-1 pair
+  * graph explodes with the corpus, support ≥ s doesn't. Scoring joins
+  * the (small) panel's items against the pair table; ownership is
+  * removed by an anti join, ranks run per panel user.
+  */
+object Recommend {
+
+  /** Canonical (item_a < item_b) similarity pairs with the common-user
+    * support and cosine in exact micro.
+    */
+  def itemItemSim(ui: DataFrame, userCol: String, itemCol: String,
+                  minSupport: Long = 2L): DataFrame = {
+    val inter = ui.select(col(userCol).as("u"), col(itemCol).as("it"))
+      .distinct()
+    val counts = inter.groupBy(col("it")).agg(count(lit(1)).as("n_users"))
+    val pairs = inter.as("x").join(inter.as("y"),
+        col("x.u") === col("y.u") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minSupport)
+    pairs
+      .join(counts.select(col("it").as("item_a"), col("n_users").as("na")),
+        Seq("item_a"))
+      .join(counts.select(col("it").as("item_b"), col("n_users").as("nb")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("common"),
+        expr("""CAST(round(CAST(common AS DOUBLE)
+                / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                * 1000000.0) AS BIGINT)""").as("sim_micro"))
+  }
+
+  /** Top-k unseen items per panel user: score = Σ sim_micro over the
+    * user's owned items' links (exact BIGINT), ties by item id.
+    */
+  def recommendTopK(ui: DataFrame, sims: DataFrame, panel: DataFrame,
+                    userCol: String, itemCol: String, k: Int): DataFrame = {
+    val owned = ui.select(col(userCol).as("u"), col(itemCol).as("it"))
+      .distinct()
+      .join(panel.select(col(userCol).as("u")).distinct(), Seq("u"),
+        "left_semi")
+    // undirected links: each pair contributes in both directions
+    val links = sims.select(col("item_a").as("it"),
+        col("item_b").as("cand"), col("sim_micro"))
+      .unionAll(sims.select(col("item_b").as("it"),
+        col("item_a").as("cand"), col("sim_micro")))
+    val scored = owned.join(links, Seq("it"))
+      .groupBy(col("u"), col("cand"))
+      .agg(sum("sim_micro").as("score_micro"), count(lit(1)).as("n_links"))
+      .join(owned.select(col("u"), col("it").as("cand")),
+        Seq("u", "cand"), "left_anti")
+    val w = Window.partitionBy("u")
+      .orderBy(col("score_micro").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("u").as(userCol), col("rank"), col("cand").as(itemCol),
+        col("score_micro"), col("n_links"))
+  }
+}
