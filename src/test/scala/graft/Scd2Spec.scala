@@ -49,6 +49,46 @@ class Scd2Spec extends SparkSpec {
     assert(cur.forall(_._2 == 1L))
   }
 
+  test("streaming SCD2: foreachBatch micro-batches build the same " +
+      "history as batch application; restart-style replay no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = Files.createTempDirectory("graft_scd2s").toString + "/dim"
+    // dimension snapshots arrive as a stream of (key, seg, eff)
+    // micro-batches; batch id IS the idempotence version
+    val input = MemoryStream[(Long, String, Date)]
+    val q = input.toDF().toDF("k", "seg", "eff")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          Scd2.upsertBatch(spark, t, df, "k", Seq("seg"), "eff", "sw", id)
+          ()
+        })
+      .start()
+    try {
+      input.addData((1L, "A", d("2024-01-01")), (2L, "B", d("2024-01-01")))
+      q.processAllAvailable()
+      input.addData((1L, "A2", d("2024-02-01")), (2L, "B", d("2024-02-01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = SnapshotTable.read(spark, t)
+      .select($"k", $"seg", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Date, Option[Date], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "A", d("2024-01-01"), Some(d("2024-02-01")), false),
+      (1L, "A2", d("2024-02-01"), None, true),
+      (2L, "B", d("2024-01-01"), None, true)), s"$got")
+    // crash-replay of the LAST micro-batch (same writer, same id):
+    // the table must not change
+    Scd2.upsertBatch(spark, t,
+      Seq((1L, "A2", d("2024-02-01")), (2L, "B", d("2024-02-01")))
+        .toDF("k", "seg", "eff"), "k", Seq("seg"), "eff", "sw", 1L)
+    val again = SnapshotTable.read(spark, t)
+      .select($"k", $"seg", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Date, Option[Date], Boolean)].collect().toSet
+    assert(again == got, "replayed micro-batch must be a no-op")
+  }
+
   test("replayed batch is a no-op (both commits watermark-guarded)") {
     val t = Files.createTempDirectory("graft_scd2b").toString + "/dim"
     def batch(rows: (Long, String)*)(eff: String) =
