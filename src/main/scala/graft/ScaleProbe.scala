@@ -336,6 +336,9 @@ object ScaleProbe {
       // q243 = user-bucketed pair gen under support cut + panel-
       // bounded scoring joins
       "q243_item_item_recs",
+      // q244 = one grouped count + cumulative window over the
+      // distinct-value lattice, 8-row bounds join
+      "q244_equi_depth_hist",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

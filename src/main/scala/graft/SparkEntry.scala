@@ -3878,6 +3878,15 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // equi-depth histogram of order totals (cents): 8 boundaries at
+    // the exact discrete ranks ceil(i·n/8) over the DISTINCT-value
+    // lattice (never a corpus sort), bucket masses from cumulative
+    // differences — the skew-aware optimizer statistic q239's
+    // min/max+NDV card can't express
+    "q244_equi_depth_hist" -> ((s, dir) =>
+      Profile.equiDepthHistogram(Tables.load(s, dir, "orders"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"), nBuckets = 8)),
+
     // item-item collaborative filtering: cosine over binary customer-
     // incidence vectors (the dot product IS the common-customer
     // count — BIGINT until one fixed sqrt/division per pair), scores
@@ -9679,6 +9688,31 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q244: the same rank identity over the distinct-value lattice
+    "q244_equi_depth_hist" ->
+      """WITH byv AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM byv),
+        |cum AS (
+        |  SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM byv),
+        |spine AS (SELECT unnest(generate_series(1, 8)) AS bucket),
+        |bounds AS (
+        |  SELECT s.bucket, min(c.v) AS hi
+        |  FROM spine s, cum c CROSS JOIN n
+        |  WHERE c.cum * 8 >= s.bucket * n.n
+        |  GROUP BY 1),
+        |lo AS (
+        |  SELECT bucket, hi,
+        |    lag(hi) OVER (ORDER BY bucket) AS lo
+        |  FROM bounds)
+        |SELECT l.bucket, l.lo, l.hi,
+        |  CAST(c.cum - coalesce(lag(c.cum) OVER (ORDER BY l.bucket), 0)
+        |    AS BIGINT) AS n_rows,
+        |  n.n AS n_total
+        |FROM lo l JOIN cum c ON l.hi = c.v CROSS JOIN n""".stripMargin,
 
     // q243: the same integer-count cosine, link union, order-free
     // micro-sum scoring and anti-join ownership filter

@@ -247,6 +247,47 @@ object Profile {
         coalesce(col("ndv_est"), lit(0.0)).as("ndv_est"), col("ndv_exact"))
   }
 
+  /** Equi-depth histogram — the optimizer-statistics sibling of
+    * [[analyzeTable]] (min/max + NDV say nothing about skew; equal-
+    * HEIGHT buckets do): `nBuckets` boundaries at the exact discrete
+    * ranks ceil(i·n/k) over the distinct-value lattice (the q142
+    * machinery — one grouped count + cumulative window over DISTINCT
+    * values, never a corpus sort), bucket populations from cumulative
+    * differences. All BIGINT; boundary buckets absorb ties (a heavy
+    * value spans buckets and shows as one wide bucket with its true
+    * mass — exactly the skew signal).
+    */
+  def equiDepthHistogram(df: DataFrame, value: org.apache.spark.sql.Column,
+                         nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val byV = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val n = byV.agg(sum("cnt").as("n"))
+    val wc = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0) // distinct-value lattice
+    val cum = byV.withColumn("cum", sum("cnt").over(wc))
+      .crossJoin(broadcast(n))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = (1 to nBuckets).map(_.toLong).toDF("bucket")
+    // boundary_i = min v whose cum reaches ceil(i*n/k) == cum*k >= i*n
+    val bounds = spine.crossJoin(cum)
+      .filter(col("cum") * nBuckets >= col("bucket") * col("n"))
+      .groupBy("bucket")
+      .agg(min("v").as("hi"))
+    val wb = Window.orderBy("bucket")
+    bounds
+      .withColumn("lo", lag("hi", 1).over(wb))
+      // plain equi-join: the k-row bounds side broadcasts itself (AQE);
+      // the distinct-value lattice can be arbitrarily large
+      .join(cum.select(col("v").as("hi"), col("cum"), col("n")), Seq("hi"))
+      .withColumn("cum_lo", coalesce(lag("cum", 1).over(wb), lit(0L)))
+      .select(col("bucket"), col("lo"), col("hi"),
+        (col("cum") - col("cum_lo")).as("n_rows"), col("n").as("n_total"))
+  }
+
   /** Embedding-space drift report: for each group, the cosine
     * DISTANCE between the group's embedding centroid and the whole
     * population's — the semantic sibling of [[psi]]/[[ks]] (those

@@ -232,6 +232,28 @@ class ProfileSpec extends SparkSpec {
     assert(again == got, "sketch must be partition invariant")
   }
 
+  test("equiDepthHistogram: exact quarters; a heavy value absorbs ties") {
+    // 1..100 once each, 4 buckets -> boundaries 25/50/75/100, 25 each
+    val uniform = (1L to 100L).toDF("v")
+    val got = Profile.equiDepthHistogram(uniform, col("v"), 4)
+      .select("bucket", "hi", "n_rows")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 25L, 25L), (2L, 50L, 25L), (3L, 75L, 25L),
+      (4L, 100L, 25L)), s"$got")
+    // value 10 carries 90% of the mass: every early boundary collapses
+    // onto it, its bucket reports the full tied mass once, later
+    // duplicate boundaries report zero — the skew is VISIBLE
+    val skewed = (Seq.fill(90)(10L) ++ Seq(1L, 2L, 3L, 4L, 5L, 20L, 30L,
+      40L, 50L, 60L)).toDF("v")
+    val sk = Profile.equiDepthHistogram(skewed, col("v"), 4)
+      .select("bucket", "hi", "n_rows")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sk.map(_._3).sum == 100L, "mass conserved")
+    val heavy = sk.filter(_._2 == 10L)
+    assert(heavy.map(_._3).max == 95L,
+      s"the tied value's bucket carries its full mass once: $sk")
+  }
+
   test("benford: dense digit grid, exact shares, sub-1 filtered") {
     // one value per leading digit -> 9 equal shares of 111111 micro
     val df = Seq(1.5, 23.0, 345.0, 4.0, 5e3, 6.0, 77.0, 8.0, 900.0)
