@@ -339,6 +339,8 @@ object ScaleProbe {
       // q244 = one grouped count + cumulative window over the
       // distinct-value lattice, 8-row bounds join
       "q244_equi_depth_hist",
+      // q245 = 2 appends + key-pruned CoW delete + vacuum + read
+      "q245_forget_user",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

@@ -3878,6 +3878,27 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // right-to-be-forgotten lifecycle: a user's rows leave via the
+    // stat-pruned copy-on-write DELETE, then VACUUM physically drops
+    // every file of the pre-delete versions — after which the erased
+    // rows are not just invisible but GONE (time travel to the
+    // pre-delete snapshot is impossible by design; the spec pins the
+    // physical-bytes consequence). The gate reads the surviving table
+    // under the complement oracle
+    "q245_forget_user" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = scratchDir("graft_q245") + "/ev"
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), round(col("value"), 2).as("value"))
+      val mid = lit(java.sql.Date.valueOf("2024-01-16"))
+      SnapshotTable.append(ev.filter(col("d") < mid), tbl)
+      SnapshotTable.append(ev.filter(col("d") >= mid), tbl)
+      SnapshotTable.delete(s, tbl, col("user_id") === 42L)
+      SnapshotTable.vacuum(tbl, keepVersions = 1)
+      SnapshotTable.read(s, tbl)
+    }),
+
     // equi-depth histogram of order totals (cents): 8 boundaries at
     // the exact discrete ranks ceil(i·n/8) over the DISTINCT-value
     // lattice (never a corpus sort), bucket masses from cumulative
@@ -9688,6 +9709,13 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q245: the complement — fails if the delete missed a row or a
+    // rewrite duplicated one
+    "q245_forget_user" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS d, event_type,
+        |  round(value, 2) AS value
+        |FROM events WHERE user_id <> 42""".stripMargin,
 
     // q244: the same rank identity over the distinct-value lattice
     "q244_equi_depth_hist" ->

@@ -479,6 +479,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).columns.toSeq == Seq("id", "amount"))
   }
 
+  test("forget-user: erased rows are PHYSICALLY gone after vacuum; " +
+      "untouched files survive by name") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft_forget").toString + "/t"
+    // user-clustered files so the delete's stat pruning bites
+    val rows = (1 to 400).map(i => (i.toLong, (i / 100).toLong))
+    SnapshotTable.append(
+      rows.toDF("id", "user").repartitionByRange(4, col("user")), t)
+    val before = SnapshotTable.filePathsForRead(t).toSet
+    assert(before.size >= 2)
+    SnapshotTable.delete(spark, t, col("user") === 1L)
+    val afterDelete = SnapshotTable.filePathsForRead(t).toSet
+    // files whose user range excludes 1 carry over BY NAME
+    assert((before intersect afterDelete).nonEmpty,
+      "stat pruning must keep non-intersecting files")
+    SnapshotTable.vacuum(t, keepVersions = 1)
+    // the erased user is gone from the PHYSICAL bytes, not just the view
+    val raw = spark.read.parquet(
+      SnapshotTable.filePathsForRead(t).map(_.stripPrefix("file:")): _*)
+    assert(raw.filter(col("user") === 1L).count() == 0,
+      "no surviving file may contain the erased user")
+    assert(SnapshotTable.read(spark, t).count() == 300)
+    // the pre-delete snapshot is no longer reconstructable — its
+    // manifest is gone (the retention consequence erasure REQUIRES)
+    intercept[Throwable] {
+      SnapshotTable.read(spark, t, Some(0)).collect()
+    }
+  }
+
   test("renameColumn guards: collisions, constraint references, merge") {
     val t = Files.createTempDirectory("graft_rename2").toString + "/t"
     SnapshotTable.append(Seq((1, 10.0, "x")).toDF("id", "amount", "tag"), t)
