@@ -341,6 +341,9 @@ object ScaleProbe {
       "q244_equi_depth_hist",
       // q245 = 2 appends + key-pruned CoW delete + vacuum + read
       "q245_forget_user",
+      // q246 = one grouped count + broadcast factor + narrow explode;
+      // q247 = one rank window per label over id-hash keys
+      "q246_oversample_balance", "q247_stratified_folds",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

@@ -3878,6 +3878,33 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // class-rebalancing oversample over the embedding labels: every
+    // label replicates ceil(n_max/n_L) times with copy indexes —
+    // integer factors, no Bernoulli residue, exactly reproducible.
+    // Output: the balanced per-label census
+    "q246_oversample_balance" -> ((s, dir) => {
+      val bal = Sampling.oversampleBalance(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        "label")
+      bal.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_balanced"),
+          countDistinct(col("vec_id")).as("n_originals"),
+          max("copy_idx").as("max_copy"))
+    }),
+
+    // stratified k-fold assignment: within each label folds go
+    // round-robin in portable-hash order — every fold holds
+    // n_L/k ± 1 rows of each label (exact stratification, which
+    // random assignment only approximates); pure function of
+    // (id, seed). Output: the (label, fold) census
+    "q247_stratified_folds" -> ((s, dir) => {
+      Sampling.stratifiedFolds(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+          "label", "vec_id", k = 5)
+        .groupBy(col("label").cast("long").as("label"), col("fold"))
+        .agg(count(lit(1)).as("n_rows"), min("vec_id").as("min_id"))
+    }),
+
     // right-to-be-forgotten lifecycle: a user's rows leave via the
     // stat-pruned copy-on-write DELETE, then VACUUM physically drops
     // every file of the pre-delete versions — after which the erased
@@ -9709,6 +9736,40 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q246: census algebra from the grouped counts alone
+    "q246_oversample_balance" ->
+      """WITH c AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1),
+        |m AS (SELECT max(n) AS mx FROM c)
+        |SELECT label, n * ((mx + n - 1) // n) AS n_balanced,
+        |  n AS n_originals, ((mx + n - 1) // n) - 1 AS max_copy
+        |FROM c CROSS JOIN m""".stripMargin,
+
+    // q247: the hash chain + per-label rank + round-robin modulo
+    "q247_stratified_folds" ->
+      """WITH h0 AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        CAST(vec_id AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM embeddings),
+        |h1 AS (SELECT vec_id, label, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT vec_id, label, (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |h3 AS (SELECT vec_id, label, xor(h, h // 65536) AS h FROM h2),
+        |folded AS (
+        |  SELECT label, vec_id,
+        |    (row_number() OVER (PARTITION BY label ORDER BY h, vec_id) - 1)
+        |      % 5 AS fold
+        |  FROM h3)
+        |SELECT label, CAST(fold AS BIGINT) AS fold,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(vec_id) AS BIGINT) AS min_id
+        |FROM folded GROUP BY 1, 2""".stripMargin,
 
     // q245: the complement — fails if the delete missed a row or a
     // rewrite duplicated one

@@ -451,4 +451,46 @@ object Sampling {
     joined.withColumn("blend_rank",
       signalCols.map(s => col(s"rank_$s")).reduce(_ + _))
   }
+
+  /** Class-rebalancing oversampling: every row of label L replicates
+    * ceil(n_max / n_L) times (a `copy_idx` column marks the clones) —
+    * the deterministic minority-oversampling step of an imbalanced-
+    * label training build. Integer replication factors keep the
+    * result exactly reproducible (no Bernoulli residue): the balanced
+    * class sizes are n_L · ceil(n_max/n_L) ∈ [n_max, 2·n_max). One
+    * grouped count broadcast back + one `sequence` explode; rows
+    * never shuffle.
+    */
+  def oversampleBalance(df: DataFrame, labelCol: String): DataFrame = {
+    val counts = df.groupBy(labelCol).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max("__n").as("__mx"))
+    val factors = counts.crossJoin(broadcast(mx))
+      .select(col(labelCol),
+        expr("(__mx + __n - 1) DIV __n").as("__factor"))
+    df.join(broadcast(factors), Seq(labelCol))
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), col("__factor") - 1)))
+      .drop("__factor")
+  }
+
+  /** Stratified k-fold assignment: within each label, rows take folds
+    * round-robin in portable-hash order — every fold holds n_L/k ± 1
+    * rows of each label (the exact stratification property random
+    * assignment only approximates), and the assignment is a pure
+    * function of (id, seed): reproducible across engines,
+    * partitionings and reruns. One rank window per label partition.
+    */
+  def stratifiedFolds(df: DataFrame, labelCol: String, idCol: String,
+                      k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "need at least 2 folds")
+    val keyed = df.withColumn("__h",
+      graft.core.Sketches.mix32(TextAnalysis.rollingHash(
+        concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))))
+    val w = Window.partitionBy(labelCol).orderBy(col("__h"), col(idCol))
+    keyed
+      .withColumn("fold",
+        ((row_number().over(w) - 1) % k).cast("long"))
+      .drop("__h")
+  }
 }

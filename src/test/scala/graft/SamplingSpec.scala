@@ -150,4 +150,49 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(repart == got)
   }
+
+  test("oversampleBalance: every class lands in [n_max, 2*n_max), " +
+      "clones marked, originals conserved") {
+    // labels with 100 / 30 / 7 rows
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 130).map(i => (i.toLong, "mid")) ++
+      (131 to 137).map(i => (i.toLong, "tiny"))).toDF("id", "label")
+    val bal = Sampling.oversampleBalance(df, "label")
+    val census = bal.groupBy("label")
+      .agg(count(lit(1)).as("n"), countDistinct($"id").as("orig"),
+        max("copy_idx").as("mx"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(census("big") == (("big", 100L, 100L, 0L)))
+    // 30 * ceil(100/30)=30*4=120; 7 * ceil(100/7)=7*15=105
+    assert(census("mid") == (("mid", 120L, 30L, 3L)))
+    assert(census("tiny") == (("tiny", 105L, 7L, 14L)))
+    census.values.foreach { case (_, n, _, _) =>
+      assert(n >= 100L && n < 200L, s"balanced size out of band: $n")
+    }
+  }
+
+  test("stratifiedFolds: per-(label, fold) counts differ by <= 1; " +
+      "seeded and partition invariant") {
+    val df = ((1 to 23).map(i => (i.toLong, "a")) ++
+      (24 to 40).map(i => (i.toLong, "b"))).toDF("id", "label")
+    val folds = Sampling.stratifiedFolds(df, "label", "id", k = 4)
+      .select("label", "fold", "id")
+      .as[(String, Long, Long)].collect().toSeq
+    val byCell = folds.groupBy(r => (r._1, r._2)).view.mapValues(_.size)
+    Seq("a", "b").foreach { l =>
+      val sizes = (0L until 4L).map(f => byCell.getOrElse((l, f), 0))
+      assert(sizes.max - sizes.min <= 1, s"$l: $sizes")
+    }
+    // pure function of (id, seed): partition invariance
+    val again = Sampling.stratifiedFolds(df.repartition(5), "label", "id", 4)
+      .select("label", "fold", "id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(again.toSet == folds.toSet)
+    // a different seed reshuffles assignments
+    val other = Sampling.stratifiedFolds(df, "label", "id", 4, seed = 7L)
+      .select("label", "fold", "id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(other.toSet != folds.toSet, "seed must matter")
+  }
 }
