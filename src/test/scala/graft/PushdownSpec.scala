@@ -65,4 +65,28 @@ class PushdownSpec extends SparkSpec {
         .foreach(c => assert(!rs.contains(c), s"$c not pruned: $rs"))
     }
   }
+
+  test("q225 Q6-shape: discount band and quantity cap reach the scan; " +
+      "only the four referenced columns read") {
+    val plan = formatted(
+      SparkEntry.queries("q225_revenue_delta")(spark, Sf0001))
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity"),
+      pushed)
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).mkString("\n")
+    Seq("l_orderkey", "l_partkey", "l_returnflag", "l_tax")
+      .foreach(c => assert(!readSchemas.contains(c),
+        s"$c not pruned: $readSchemas"))
+  }
+
+  test("q226/q181 star shapes: dims broadcast, facts never") {
+    Seq("q226_product_profit", "q181_local_supplier_volume").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$q grew a cross join")
+    }
+  }
 }
