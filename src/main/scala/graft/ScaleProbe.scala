@@ -344,6 +344,8 @@ object ScaleProbe {
       // q246 = one grouped count + broadcast factor + narrow explode;
       // q247 = one rank window per label over id-hash keys
       "q246_oversample_balance", "q247_stratified_folds",
+      // q248 = one (user, type) lead window + grouped integer mass
+      "q248_time_weighted_avg",
       // q233 = one mapPartitions flatMap (codec-bound, zero
       // exchanges); q234 = the q101 BM25 chain with phrase queries
       "q233_image_patchify", "q234_retrieval_mrr",

@@ -3878,6 +3878,33 @@ object SparkEntry {
           coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
     }),
 
+    // time-weighted average per event type — the gauge-metric
+    // aggregate (a value holds until the next observation, so each
+    // reading weighs by its holding duration): one user-partitioned
+    // lead window for the durations, exact integer mass
+    // Σ cents·seconds, ONE division at the end. Plain means
+    // over-weight chatty periods; TWA doesn't
+    "q248_time_weighted_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("fe"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("fe"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .withColumn("nxt", lead(col("fe"), 1).over(w))
+        .filter(col("nxt").isNotNull) // last reading has no duration
+        .select(col("event_type"), col("vc"),
+          (col("nxt") - col("fe")).as("dur"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(expr("vc * dur")).as("mass"),
+          sum("dur").as("total_dur"))
+        .select(col("event_type"), col("n_obs"),
+          expr("mass DIV greatest(total_dur, 1L)").as("twa_cents"),
+          col("total_dur"))
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -9736,6 +9763,27 @@ object SparkEntry {
         |LEFT JOIN cm ON cm.g_a = sa.g AND cm.g_b = sb.g
         |LEFT JOIN exi ON exi.g_a = sa.g AND exi.g_b = sb.g
         |JOIN exn na ON na.g = sa.g JOIN exn nb ON nb.g = sb.g""".stripMargin,
+
+    // q248: the same per-(user, type) lead window and integer mass
+    "q248_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS fe,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |led AS (
+        |  SELECT event_type, vc,
+        |    lead(fe) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY fe, event_id) - fe AS dur
+        |  FROM e),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(vc * dur) AS BIGINT) AS mass,
+        |    CAST(sum(dur) AS BIGINT) AS total_dur
+        |  FROM led WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_obs,
+        |  mass // greatest(total_dur, 1) AS twa_cents, total_dur
+        |FROM agg""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->
