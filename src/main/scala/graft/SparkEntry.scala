@@ -6276,7 +6276,8 @@ object SparkEntry {
     // q216: HAVING subquery as a derived table on exact BIGINTs
     "q216_big_orders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
         |SELECT c_name, c_custkey, o_orderkey,
         |  CAST(o_orderdate AS DATE) AS o_date,
@@ -9652,10 +9653,11 @@ object SparkEntry {
         |    (7, 57992), (8, 51153), (9, 45757)) AS t(digit, benford_micro)),
         |total AS (SELECT sum(n_obs) AS n FROM obs)
         |SELECT s.digit, coalesce(o.n_obs, 0) AS n_obs,
-        |  coalesce(o.n_obs, 0) * 1000000 // t.n AS share_micro,
+        |  CAST(coalesce(o.n_obs, 0) * 1000000 // t.n AS BIGINT)
+        |    AS share_micro,
         |  s.benford_micro,
-        |  abs(coalesce(o.n_obs, 0) * 1000000 // t.n - s.benford_micro)
-        |    AS dev_micro
+        |  CAST(abs(coalesce(o.n_obs, 0) * 1000000 // t.n - s.benford_micro)
+        |    AS BIGINT) AS dev_micro
         |FROM spine s LEFT JOIN obs o ON s.digit = o.digit
         |CROSS JOIN total t""".stripMargin,
 
@@ -10278,11 +10280,11 @@ object SparkEntry {
         |    CAST(max(n) AS BIGINT) AS n, CAST(max(p) AS BIGINT) AS p
         |  FROM ranked GROUP BY 1)
         |SELECT bucket, n_docs, n_pos,
-        |  n_pos * 1000000 // n_docs AS rate_micro,
-        |  CASE WHEN p > 0 THEN
+        |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS rate_micro,
+        |  CAST(CASE WHEN p > 0 THEN
         |    (sum(n_pos) OVER (ORDER BY bucket)) * n * 1000000
         |      // ((sum(n_docs) OVER (ORDER BY bucket)) * p) END
-        |    AS cum_lift_micro
+        |    AS BIGINT) AS cum_lift_micro
         |FROM cells""".stripMargin,
 
     // q225: the same filter battery; CAST the band edges to DOUBLE
@@ -10442,8 +10444,9 @@ object SparkEntry {
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY d
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, d, cnt, s7,
-        |  (7 * cnt - s7) * 1000000 // greatest(s7, 1) AS lift_micro
+        |SELECT event_type, d, cnt, CAST(s7 AS BIGINT) AS s7,
+        |  CAST((7 * cnt - s7) * 1000000 // greatest(s7, 1) AS BIGINT)
+        |    AS lift_micro
         |FROM win
         |WHERE n_prior = 7 AND 7 * cnt - s7 > 0
         |  AND (7 * cnt - s7) * (7 * cnt - s7) > 4 * (7 * q7 - s7 * s7)

@@ -267,17 +267,26 @@ object Eval {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("__y").as("n_pos"),
         max("__n").as("__n"), max("__p").as("__p"))
+    // `cells` is nBuckets rows — materialize it eagerly so the
+    // two-phase rank's internal persist can be RELEASED here instead of
+    // leaking for the session lifetime (long-lived library callers).
+    val cellsMat = cells.localCheckpoint(true)
+    release()
     val wc = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, 0) // nBuckets rows
-    val out = cells
+    cellsMat
       .withColumn("cum_n", sum("n_docs").over(wc))
       .withColumn("cum_pos", sum("n_pos").over(wc))
       .select(col("bucket"), col("n_docs"), col("n_pos"),
         expr("n_pos * 1000000 DIV n_docs").as("rate_micro"),
-        expr("CASE WHEN __p > 0 THEN cum_pos * __n * 1000000 DIV (cum_n * __p) END")
+        // DECIMAL(38,0) intermediates: cum_pos·__n·1e6 wraps in BIGINT
+        // once docs×positives reach ~1e13 (DuckDB's HUGEINT doesn't);
+        // decimal math keeps exactness to ~1e32 and IntegralDivide
+        // still returns BIGINT, so schema and oracle hash are unchanged.
+        expr("""CASE WHEN __p > 0 THEN
+                  CAST(cum_pos AS DECIMAL(38,0)) * __n * 1000000
+                  DIV (CAST(cum_n AS DECIMAL(38,0)) * __p) END""")
           .as("cum_lift_micro"))
-    val _ = release // one-shot gate shape
-    out
   }
 
   /** Cohen's kappa — chance-corrected agreement between a prediction

@@ -202,10 +202,21 @@ object GraphOps {
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") < col("b")).distinct()
-    val verts = e.select(col("a").as("v"))
-      .unionAll(e.select(col("b").as("v"))).distinct()
-      .withColumn("vrank",
-        row_number().over(Window.orderBy("v")).cast("long"))
+    // Vertex renumbering via the TWO-PHASE prefix rank (range-partition,
+    // per-partition row_number, broadcast per-partition offsets) — a
+    // vertex set grows with the data, so a global Window.orderBy here
+    // would funnel every vertex through one partition at scale. The
+    // ranked table is tiny (two longs per vertex); localCheckpoint
+    // materializes it so the rank's internal persist is released
+    // immediately instead of leaking for the session lifetime.
+    val (vRanked, vRelease) = graft.core.Packing.offsetsOrderedReleasable(
+      e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v"))).distinct()
+        .withColumn("n_tokens", lit(1L)),
+      "v", Seq(col("v")))
+    val verts = vRanked.select(col("v"), col("tok_end").as("vrank"))
+      .localCheckpoint(true)
+    vRelease()
     val nV = verts.agg(count(lit(1)).as("n_v"))
     val draws = e
       .select(col("a"), col("b"),

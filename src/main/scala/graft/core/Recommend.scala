@@ -30,12 +30,33 @@ object Recommend {
 
   /** Canonical (item_a < item_b) similarity pairs with the common-user
     * support and cosine in exact micro.
+    *
+    * `maxItemsPerUser` caps the per-user basket BEFORE the self-join —
+    * pair generation is O(basket²) per user, so one power user at
+    * production scale quadratically explodes a single key (the same
+    * hot-key discipline as Dedup's `maxBandSize`/`maxDf`). The kept
+    * subset is a deterministic pseudo-random sample (xxhash64 of
+    * (user, item) orders the basket — reproducible across engines,
+    * partitionings and reruns, unbiased w.r.t. item identity); users
+    * at or under the cap are untouched, so small-corpus results equal
+    * the uncapped ones exactly (spec-pinned). `n_users` is still
+    * counted on the FULL interaction table, so cosine denominators are
+    * exact — only the intersection counts of capped users are sampled.
     */
   def itemItemSim(ui: DataFrame, userCol: String, itemCol: String,
-                  minSupport: Long = 2L): DataFrame = {
-    val inter = ui.select(col(userCol).as("u"), col(itemCol).as("it"))
+                  minSupport: Long = 2L,
+                  maxItemsPerUser: Int = 500): DataFrame = {
+    require(maxItemsPerUser >= 1, "maxItemsPerUser must be >= 1")
+    val interAll = ui.select(col(userCol).as("u"), col(itemCol).as("it"))
       .distinct()
-    val counts = inter.groupBy(col("it")).agg(count(lit(1)).as("n_users"))
+    val counts = interAll.groupBy(col("it")).agg(count(lit(1)).as("n_users"))
+    val wCap = Window.partitionBy("u")
+      .orderBy(xxhash64(col("u").cast("string"), col("it").cast("string")),
+        col("it"))
+    val inter = interAll
+      .withColumn("__r", row_number().over(wCap))
+      .filter(col("__r") <= maxItemsPerUser)
+      .drop("__r")
     val pairs = inter.as("x").join(inter.as("y"),
         col("x.u") === col("y.u") && col("x.it") < col("y.it"))
       .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))

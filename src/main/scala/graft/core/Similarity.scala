@@ -404,10 +404,21 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs
     * with cosine >= threshold. O(n^2) scoring — the correctness
     * baseline and oracle target; use [[lshNearDupPairs]] at scale.
+    *
+    * `maxRows` is a loud-failure guard (the JsonArraySink discipline):
+    * a mistaken call on a production corpus would otherwise silently
+    * plan an O(n²) cross join. One cheap count() up front; raise the
+    * cap only for a deliberate exact-baseline run.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         maxRows: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"cosineNearDupPairs is the exact O(n^2) baseline and got $n rows " +
+        s"(cap $maxRows) — use lshNearDupPairs at scale, or raise maxRows " +
+        "for a deliberate exact run")
     // norms are per-VECTOR: compute them once per side, never per pair
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na"))

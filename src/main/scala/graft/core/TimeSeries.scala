@@ -366,9 +366,18 @@ object TimeSeries {
       .withColumn("q7", sum(expr("cnt * cnt")).over(w))
       .filter(col("n_prior") === 7)
       .withColumn("excess", expr("7 * cnt - s7"))
+      // DECIMAL(38,0) intermediates: the burst predicate squares window
+      // sums, so pure-BIGINT math wraps silently (non-ANSI) once daily
+      // counts near ~1e9 — exactly where DuckDB would error instead.
+      // Decimal comparison is exact and raises the ceiling to ~1e18/day;
+      // IntegralDivide on decimals still returns BIGINT, so the output
+      // schema (and the q224 oracle hash) is unchanged.
       .filter(col("excess") > 0 &&
-        expr("excess * excess > 4 * (7 * q7 - s7 * s7)"))
+        expr("""CAST(excess AS DECIMAL(38,0)) * excess
+                > 4 * (7 * CAST(q7 AS DECIMAL(38,0))
+                       - CAST(s7 AS DECIMAL(38,0)) * s7)"""))
       .select(col(keyCol), col("d"), col("cnt"), col("s7"),
-        expr("excess * 1000000 DIV greatest(s7, 1L)").as("lift_micro"))
+        expr("CAST(excess AS DECIMAL(38,0)) * 1000000 DIV greatest(s7, 1L)")
+          .as("lift_micro"))
   }
 }

@@ -839,10 +839,18 @@ object SnapshotTable {
   /** Overwrite: new files only (content independent of the previous
     * snapshot; conflict retry just claims the next version). The
     * schema RESETS to the new frame's — overwrite replaces the table.
+    *
+    * Mapping-aware: on a column-mapped (renamed) table the incoming
+    * frame carries LOGICAL names, but the `_map:` entries survive the
+    * commit (the constraints map auto-carries), so the committed files
+    * must keep PHYSICAL names — otherwise the next append, which maps
+    * logical back to physical, would fork the union schema into two
+    * null-padded columns that toLogical then renders as duplicates.
     */
   def overwrite(df: DataFrame, table: String): Int = {
-    val newFiles = writeData(df, table)
-    commitLoop(table)((_, _, _) => (Nil, newFiles, df.schema))
+    val out = toPhysical(df, columnMappingOf(table))
+    val newFiles = writeData(out, table)
+    commitLoop(table)((_, _, _) => (Nil, newFiles, out.schema))
   }
 
   /** Keyed MERGE (last-write-wins within `updates`, like ParquetMerge):
@@ -1048,12 +1056,14 @@ object SnapshotTable {
     * is versioned with everything else).
     *
     * Guards: the new name must not collide with any current logical
-    * column, and the renamed column must not be referenced by a CHECK
+    * column; the renamed column must not be referenced by a CHECK
     * constraint or generated-column expression (those reference
     * logical names, which this rename would silently break — add the
-    * constraint after the rename instead). MERGE on a mapped table is
-    * rejected loudly (not yet mapping-aware); append / read / delete /
-    * update / upsert / change feed all are.
+    * constraint after the rename instead); and the renamed column must
+    * not itself BE a generated column (its `_gen:` entry is keyed by
+    * name — drop it first). MERGE on a mapped table is rejected loudly
+    * (not yet mapping-aware); append / read / delete / update /
+    * upsert / overwrite / compact / change feed all are.
     */
   def renameColumn(table: String, from: String, to: String): Int = {
     val v = currentVersion(table).getOrElse(
@@ -1070,6 +1080,14 @@ object SnapshotTable {
         throw new IllegalArgumentException(
           s"cannot rename '$from': constraint/generated entry '$k' ($ex) references it")
     }
+    // a column that IS a generated column can't be renamed either: its
+    // `_gen:<from>` entry is keyed by (logical) name, so a rename would
+    // leave the stamp/CHECK machinery bound to the stale key and a
+    // later batch carrying the new name would get a SECOND stamped
+    // column — reject loudly (drop the generated column first)
+    require(!constraintsOf(table, Some(v)).contains(GenPrefix + from),
+      s"cannot rename '$from': it is a generated column " +
+        s"(drop the ${GenPrefix}${from} entry first)")
     // the physical name behind `from`: an earlier mapping's key, or
     // `from` itself on first rename
     val phys = mapping.find(_._2 == from).map(_._1).getOrElse(from)
@@ -1624,11 +1642,15 @@ object SnapshotTable {
       val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
       val smallDf = reader.parquet(
         small.map(s => dataDir(table).resolve(s._1.name).toString): _*)
+      // callers name sort columns LOGICALLY; the files being packed
+      // carry physical names on a column-mapped table — translate
+      val inv = columnMappingOf(table, Some(base)).map(_.swap)
+      val sortPhys = sortBy.map(c => inv.getOrElse(c, c))
       val packed =
-        if (sortBy.isEmpty) smallDf.repartition(bins)
+        if (sortPhys.isEmpty) smallDf.repartition(bins)
         else smallDf
-          .repartitionByRange(bins, sortBy.map(org.apache.spark.sql.functions.col): _*)
-          .sortWithinPartitions(sortBy.head, sortBy.tail: _*)
+          .repartitionByRange(bins, sortPhys.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortPhys.head, sortPhys.tail: _*)
       // safe to read lazily: compaction deletes nothing — the source
       // files stay on disk (and referenced by older manifests) until a
       // later vacuum
@@ -1682,13 +1704,20 @@ object SnapshotTable {
     require(sinceVersion <= hi,
       s"sinceVersion $sinceVersion is beyond latest version $hi")
     // all versions' files read through the END version's union schema
-    // so the change feed has one consistent shape
+    // so the change feed has one consistent shape; the END version's
+    // column MAPPING is applied too — data files keep physical names
+    // forever, and a CDC consumer of a renamed table must see the same
+    // logical names a plain read() shows (the empty-diff path below
+    // goes through read() and is logical already)
     val hiSchema = readManifestFull(table, hi)._2
+    val hiMapping = columnMappingOf(table, Some(hi))
     val parts = ((sinceVersion + 1) to hi).flatMap { v =>
       val added = addedFiles(table, v)
       if (added.isEmpty) None
-      else Some(hiSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(
-          added.map(n => dataDir(table).resolve(n).toString): _*)
+      else Some(toLogical(
+          hiSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(
+            added.map(n => dataDir(table).resolve(n).toString): _*),
+          hiMapping)
         .withColumn("_commit_version", lit(v)))
     }
     if (parts.isEmpty) {

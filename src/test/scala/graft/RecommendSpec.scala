@@ -45,4 +45,34 @@ class RecommendSpec extends SparkSpec {
     assert(recs(1)._3 == "Y" && recs(1)._5 == 1L, s"$recs")
     assert(recs.head._4 > recs(1)._4, "summed links outscore one link")
   }
+
+  test("maxItemsPerUser: identity under the cap, bounded fan-out over it") {
+    val ui = (1L to 6L).flatMap(u =>
+      ('A' to ('A' + 3 + (u % 3).toInt).toChar).map(c => (u, c.toString)))
+      .toDF("u", "it")
+    // every basket (4-6 items) is under a cap of 10: results identical
+    val base = Recommend.itemItemSim(ui, "u", "it", 2L)
+      .as[(String, String, Long, Long)].collect().toSet
+    val capped10 = Recommend.itemItemSim(ui, "u", "it", 2L,
+        maxItemsPerUser = 10)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(capped10 == base, "cap above every basket must be a no-op")
+    // cap of 2: each user contributes at most one pair — the power-user
+    // quadratic blowup is bounded; selection is deterministic (replays)
+    val c2a = Recommend.itemItemSim(ui, "u", "it", minSupport = 1L,
+        maxItemsPerUser = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    val c2b = Recommend.itemItemSim(ui, "u", "it", minSupport = 1L,
+        maxItemsPerUser = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(c2a == c2b, "capped sample must be deterministic")
+    assert(c2a.nonEmpty && c2a.map(p => (p._1, p._2)).size <= 6,
+      s"6 users x C(2,2)=1 pair each caps the pair table: $c2a")
+    // denominators stay exact: n_users comes from the FULL table
+    val full = Recommend.itemItemSim(ui, "u", "it", 1L)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    c2a.foreach { case (a, b, common, _) =>
+      assert(common <= full((a, b)), "capped support never exceeds true") }
+  }
 }

@@ -449,4 +449,14 @@ class SimilaritySpec extends SparkSpec {
     assert(h20 >= 12, s"recall@5 over 8 queries at cands=20: $h20/40")
     assert(hits(40) >= h20, "recall must not drop as cands grows")
   }
+
+  test("cosineNearDupPairs fails loudly above its O(n^2) row cap") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val err = intercept[IllegalArgumentException](
+      Similarity.cosineNearDupPairs(emb, 0.4, maxRows = 10L).count())
+    assert(err.getMessage.contains("lshNearDupPairs"), err.getMessage)
+    // a deliberate exact run raises the cap and still works
+    assert(Similarity.cosineNearDupPairs(emb, 0.9, maxRows = 1000000L)
+      .count() >= 0L)
+  }
 }

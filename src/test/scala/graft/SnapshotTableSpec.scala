@@ -530,4 +530,48 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.merge(spark, t,
         Seq((1, 11.0, "z")).toDF("id", "price", "tag"), "id"))
   }
+
+  test("mapped tables: change feed is logical, overwrite maps to physical") {
+    val t = Files.createTempDirectory("graft_rename3").toString + "/t"
+    SnapshotTable.append(Seq((1, 10.0)).toDF("id", "amount"), t)   // v0
+    SnapshotTable.renameColumn(t, "amount", "price")               // v1
+    SnapshotTable.append(Seq((2, 20.0)).toDF("id", "price"), t)    // v2
+    // change feed shows LOGICAL names — including files committed
+    // BEFORE the rename (they carry the physical name on disk)
+    val feed = SnapshotTable.readChanges(spark, t, sinceVersion = -1)
+    assert(feed.columns.toSet == Set("id", "price", "_commit_version"),
+      s"CDC of a renamed table must be logical: ${feed.columns.toSeq}")
+    assert(feed.filter($"price" === 10.0).count() == 1)
+    // empty diff keeps the same (logical) shape
+    val empty = SnapshotTable.readChanges(spark, t, 2)
+    assert(empty.columns.toSet == Set("id", "price", "_commit_version"))
+    // overwrite with a logical-named frame, then append again: ONE
+    // column end to end, no forked physical schema
+    SnapshotTable.overwrite(Seq((3, 30.0)).toDF("id", "price"), t) // v3
+    SnapshotTable.append(Seq((4, 40.0)).toDF("id", "price"), t)    // v4
+    val now = SnapshotTable.read(spark, t)
+    assert(now.columns.toSet == Set("id", "price"), s"${now.columns.toSeq}")
+    assert(now.count() == 2 && now.filter($"price".isNull).count() == 0,
+      "overwrite+append on a mapped table must not null-pad fork columns")
+    // sorted compaction accepts the LOGICAL sort name on a mapped table
+    SnapshotTable.append(Seq((5, 50.0)).toDF("id", "price"), t)
+    SnapshotTable.compact(spark, t, sortBy = Seq("price"))
+    assert(SnapshotTable.read(spark, t).count() == 3)
+  }
+
+  test("renameColumn rejects renaming a generated column itself") {
+    val t = Files.createTempDirectory("graft_rename4").toString + "/t"
+    SnapshotTable.append(Seq((1, 10.0)).toDF("id", "amount"), t)
+    SnapshotTable.addGeneratedColumn(spark, t, "amount2x", "amount * 2")
+    // materialize the generated column into the schema via a data commit
+    SnapshotTable.append(Seq((2, 20.0)).toDF("id", "amount"), t)
+    val err = intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(t, "amount2x", "doubled"))
+    assert(err.getMessage.contains("generated"), err.getMessage)
+    // dropping the generated entry unblocks the rename
+    SnapshotTable.dropGeneratedColumn(t, "amount2x")
+    SnapshotTable.renameColumn(t, "amount2x", "doubled")
+    assert(SnapshotTable.read(spark, t).columns.toSet ==
+      Set("id", "amount", "doubled"))
+  }
 }

@@ -64,6 +64,26 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             failures += 1
             continue
+        # Driver-strictness dtype gate: the driver hashes FORMATTED values,
+        # so a DuckDB HUGEINT (rendered float64 by the pandas bridge, e.g.
+        # "308.0") against a Spark int64 ("308") hash-mismatches even when
+        # the numbers are identical. Flag int-vs-float dtype splits here so
+        # the local gate catches missing CAST(... AS BIGINT) in oracle SQL.
+        dtype_bad = None
+        for c in got.columns:
+            gk = str(got[c].dtype)
+            ek = str(exp[c].dtype)
+            g_int = gk.startswith("int") or gk.startswith("Int")
+            e_float = ek.startswith("float")
+            if g_int and e_float:
+                dtype_bad = (c, gk, ek)
+                break
+        if dtype_bad:
+            c, gk, ek = dtype_bad
+            print(f"FAIL {name}: dtype split col={c} spark={gk} oracle={ek} "
+                  f"(likely DuckDB HUGEINT - add CAST(... AS BIGINT) to the oracle)")
+            failures += 1
+            continue
         g, e = canon(got), canon(exp)
         bad = None
         for c in g.columns:
