@@ -363,7 +363,21 @@ object ScaleProbe {
       // q222 = one grouped count to a 9-row grid; q223 = one corpus
       // agg to four BIGINTs; q224 = daily groupBy + two shared
       // trailing windows over the per-type series
-      "q222_benford", "q223_ab_ztest", "q224_burst_days")
+      "q222_benford", "q223_ab_ztest", "q224_burst_days",
+      // round-10: q249 = one (group, score) agg + group-partitioned
+      // lattice windows; q250 rides the q234 BM25 chain (both sides
+      // scale on this corpus) + k-bounded nDCG algebra; q251 = ONE
+      // grouped count over the QI key + spine algebra; q252 = daily
+      // user grid + one per-user window; q254 = per-type day windows
+      // (day count fixed by the data's range — expect flat-ish)
+      "q249_group_auc", "q250_retrieval_ndcg", "q251_kanonymity",
+      "q252_horizon_labels", "q254_stl_decompose",
+      // q253 inherits the q19 family's replicated-corpus behavior: the
+      // 10x corpus duplicates every doc 10x, so TRUE near-dup pairs
+      // (and the verification work on them) grow ~100x by construction
+      // — the quadratic lives in the OUTPUT, not the candidate scheme;
+      // the prefix cut itself stays df-bounded
+      "q253_prefix_jaccard")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -138,6 +138,35 @@ object SkewProbe {
         k = 8, rowsPerBand = 2, n = 3, minEstJaccard = 0.25,
         maxBandSize = Int.MaxValue).count()
     }
+
+    // item-item CF under a POWER USER (r9 verdict #4): interactions
+    // from the sf0.1 basket tables, skewed variant assigns every
+    // 5th-part row to ONE user (~20% of rows, a ~4,000-item basket) —
+    // uncapped pair generation is O(basket²) on that single key; the
+    // maxItemsPerUser cap must hold the heavy stage's task max/median
+    // flat. `dir` only selects base vs skewed (tables are sf0.1 both
+    // ways — the skew IS the variable).
+    def interactions(skew: Boolean) = {
+      val o = Tables.load(spark, base, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val ui = Tables.load(spark, base, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      if (skew)
+        ui.withColumn("cust",
+          when(pmod(col("part"), lit(5)) === 0, lit(7777L))
+            .otherwise(col("cust")))
+      else ui
+    }
+    probe("itemSim capped") { dir =>
+      graft.core.Recommend.itemItemSim(interactions(dir == out),
+        "cust", "part", minSupport = 2L).count()
+    }
+    probe("itemSim UNCAPPED") { dir =>
+      graft.core.Recommend.itemItemSim(interactions(dir == out),
+        "cust", "part", minSupport = 2L,
+        maxItemsPerUser = Int.MaxValue).count()
+    }
     root.stop()
   }
 }

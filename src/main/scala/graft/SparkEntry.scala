@@ -3905,6 +3905,80 @@ object SparkEntry {
           col("total_dur"))
     }),
 
+    // per-source ROC-AUC of the quality score vs the is-English label:
+    // the slice audit a corpus-wide AUC hides (q151's tied-pair
+    // arithmetic, group-partitioned lattice windows)
+    "q249_group_auc" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      Eval.rocAucBy(scored, col("source"),
+          expr("CAST(round(quality_score * 1000000) AS BIGINT)"),
+          col("lang") === "en")
+        .withColumnRenamed("grp", "source")
+    }),
+
+    // nDCG@10 of the q234 phrase-query BM25 panel against GRADED
+    // relevance (2 = the query's source doc, 1 = same lang+source):
+    // fixed-point per-position gains, ideal ranking from the full
+    // relevance pool — the graded companion to MRR
+    "q250_retrieval_ndcg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val panel = (0L until 500L by 50L).toSeq
+      val qdocs = d.filter(col("doc_id").isin(panel: _*))
+        .filter(length(trim(col("text"))) > 0)
+      val queries = qdocs.select(col("doc_id"), concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 3, 16)).as("text"))
+      val ranked = Retrieval.bm25TopK(d, queries, k = 10)
+      val rel = d.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(qdocs.select(col("doc_id").as("query_id"),
+          col("lang"), col("source"))), Seq("lang", "source"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("doc_id") === col("query_id"), 2L).otherwise(1L)
+            .as("rel"))
+      Retrieval.ndcgAtK(ranked, rel, k = 10)
+    }),
+
+    // k-anonymity audit of the customer table over the
+    // (nation, segment, balance-band) quasi-identifiers — the
+    // re-identification report a table ships with (q54 scrubs PII
+    // STRINGS; this measures what the structured columns still leak)
+    "q251_kanonymity" -> ((s, dir) => {
+      Privacy.kAnonymityReport(Tables.load(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+        ks = Seq(2, 5, 10, 20))
+    }),
+
+    // leakage-safe forward-horizon labels: per (user, active day),
+    // did the user purchase within the NEXT 14 days (same-day signal
+    // excluded)? The churn/conversion label family
+    "q252_horizon_labels" -> ((s, dir) => {
+      TimeSeries.horizonLabels(Tables.events(s, dir), "user_id",
+        to_date(col("ts")), col("event_type") === "purchase",
+        horizonDays = 14)
+        .withColumnRenamed("d", "day")
+    }),
+
+    // prefix-filtered exact Jaccard pairs (AllPairs/PPJoin): the
+    // LOSSLESS scale path for q19's inverted index — rare-first global
+    // shingle order, per-doc prefixes of length |d|−⌈t|d|⌉+1,
+    // candidates only from prefix postings, full verification.
+    // t=0.6 is the technique's regime (prefix ≈ 40% of postings and
+    // candidate pairs collapse; at t=0.2 the prefix keeps 80% and the
+    // filter buys nothing — spec-pinned lossless at both)
+    "q253_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)
+    }),
+
+    // classical seasonal-trend decomposition of the per-type daily
+    // event series: centered 7-day MA trend, centered weekday
+    // seasonal, remainder — all exact micro fixed point
+    "q254_stl_decompose" -> ((s, dir) => {
+      TimeSeries.stlDecompose(Tables.events(s, dir), "event_type",
+        to_date(col("ts")))
+        .withColumnRenamed("d", "day")
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -9787,6 +9861,153 @@ object SparkEntry {
         |  mass // greatest(total_dur, 1) AS twa_cents, total_dur
         |FROM agg""".stripMargin,
 
+    // q249: q151's lattice AUC, source-partitioned
+    "q249_group_auc" ->
+      s"""WITH base AS (
+        |  SELECT source, lang, text,
+        |    regexp_split_to_array(trim(text), '\\s+') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, (lang = 'en') AS y,
+        |    CAST(round($QualityScoreSql * 1000000) AS BIGINT) AS s
+        |  FROM base),
+        |g AS (
+        |  SELECT source, s,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM sc GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, np, nn,
+        |    COALESCE(sum(nn) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+        |  FROM g),
+        |t AS (
+        |  SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(2 * np * cum_nn + np * nn) AS BIGINT) AS num2
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN num2 * 1000000 // (2 * n_pos * n_neg) END AS BIGINT)
+        |    AS auc_micro
+        |FROM t""".stripMargin,
+
+    // q250: the q234 BM25 chain + graded relevance + the identical
+    // per-position round(gain*1e6/ln(rank+1)) fixed-point sums
+    "q250_retrieval_ndcg" -> q250OracleSql,
+
+    // q251: one grouped count over the QI key, spine x class algebra
+    "q251_kanonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |    CAST(min(class_size) AS BIGINT) AS min_class_size FROM cls),
+        |ks AS (SELECT * FROM (VALUES (CAST(2 AS BIGINT)), (5), (10), (20))
+        |  AS v(k)),
+        |per AS (
+        |  SELECT k.k,
+        |    CAST(sum(CASE WHEN c.class_size < k.k THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS classes_below,
+        |    CAST(sum(CASE WHEN c.class_size < k.k THEN c.class_size
+        |      ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |  FROM ks k CROSS JOIN cls c GROUP BY 1)
+        |SELECT p.k, t.n_classes, t.n_rows, t.min_class_size,
+        |  p.classes_below, p.rows_at_risk,
+        |  CAST(p.rows_at_risk * 1000000 // t.n_rows AS BIGINT)
+        |    AS risk_share_micro,
+        |  (t.min_class_size >= p.k) AS satisfies_k
+        |FROM per p CROSS JOIN t""".stripMargin,
+
+    // q252: per-user daily grid, next-target via the reversed running
+    // min window, strict same-day exclusion
+    "q252_horizon_labels" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(ts AS DATE) END) AS tgt_day
+        |  FROM events GROUP BY 1, 2),
+        |nx AS (
+        |  SELECT user_id, day,
+        |    min(tgt_day) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_tgt
+        |  FROM daily),
+        |g AS (SELECT user_id, day,
+        |  CAST(next_tgt - day AS BIGINT) AS gap FROM nx)
+        |SELECT user_id, day,
+        |  CAST(CASE WHEN gap IS NOT NULL AND gap <= 14
+        |    THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |  CASE WHEN gap <= 14 THEN gap END AS days_to_target
+        |FROM g""".stripMargin,
+
+    // q253: prefix filtering is LOSSLESS, so the oracle is q19's own
+    // exact all-pairs Jaccard — the candidate scheme must reproduce it
+    "q253_prefix_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common), 6) AS jaccard
+        |FROM pairs p
+        |JOIN counts ca ON p.doc_a = ca.doc_id
+        |JOIN counts cb ON p.doc_b = cb.doc_id
+        |WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.6""".stripMargin,
+
+    // q254: the same full-window MA + weekday-mean algebra, every
+    // float a per-row round over exact integers
+    "q254_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, cnt,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_win,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS s_win
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dev AS (
+        |  SELECT event_type, day, cnt, n_win, s_win,
+        |    CASE WHEN n_win = 7 THEN 7 * cnt - s_win END AS dev7,
+        |    (isodow(day) - 1) AS wd
+        |  FROM win),
+        |seas AS (
+        |  SELECT event_type, wd,
+        |    CAST(round(CAST(sum(dev7) AS DOUBLE) * 1000000.0
+        |      / (7.0 * count(*))) AS BIGINT) AS seas_micro
+        |  FROM dev WHERE dev7 IS NOT NULL GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT event_type, wd,
+        |    seas_micro - CAST(round(
+        |      CAST(sum(seas_micro) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      / (count(*) OVER (PARTITION BY event_type))) AS BIGINT)
+        |      AS seasonal_micro
+        |  FROM seas)
+        |SELECT d.event_type, d.day, d.cnt,
+        |  CASE WHEN d.n_win = 7 THEN CAST(round(CAST(d.s_win AS DOUBLE)
+        |    * 1000000.0 / 7.0) AS BIGINT) END AS trend_micro,
+        |  CASE WHEN d.n_win = 7 THEN c.seasonal_micro END AS seasonal_micro,
+        |  CASE WHEN d.n_win = 7 THEN CAST(round(CAST(d.dev7 AS DOUBLE)
+        |    * 1000000.0 / 7.0) AS BIGINT) - c.seasonal_micro END
+        |    AS remainder_micro
+        |FROM dev d LEFT JOIN cent c
+        |  ON d.event_type = c.event_type AND d.wd = c.wd""".stripMargin,
+
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->
       """WITH c AS (
@@ -11028,6 +11249,58 @@ object SparkEntry {
        |  CAST(CASE WHEN g.rank IS NOT NULL THEN 1000000 // g.rank
        |       ELSE 0 END AS BIGINT) AS rr_micro
        |FROM qs q LEFT JOIN gold g USING (query_id)""".stripMargin
+  }
+
+  /** q250's oracle: the q234 BM25 panel scored with nDCG@10 against
+    * graded relevance (2 = the query's own source doc, 1 = any doc
+    * sharing its (lang, source)). Per-position contributions are
+    * BIGINT round(gain·1e6 / ln(rank+1)) — the identical expression
+    * tree [[graft.core.Retrieval.ndcgAtK]] evaluates — so the sums
+    * are order-free and the final ratio one integer division.
+    */
+  private lazy val q250OracleSql: String = {
+    val ctes = bm25CtesFor("",
+      """SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id,
+        |      unnest(list_slice(regexp_split_to_array(trim(text), '\s+'),
+        |        3, 18)) AS term
+        |    FROM documents
+        |    WHERE doc_id IN (0, 50, 100, 150, 200, 250, 300, 350, 400, 450)
+        |      AND length(trim(text)) > 0)""".stripMargin)
+    s"""WITH $ctes,
+       |qdocs AS (
+       |  SELECT doc_id AS query_id, lang, source FROM documents
+       |  WHERE doc_id IN (0, 50, 100, 150, 200, 250, 300, 350, 400, 450)
+       |    AND length(trim(text)) > 0),
+       |rel AS (
+       |  SELECT q.query_id, d.doc_id,
+       |    CAST(CASE WHEN d.doc_id = q.query_id THEN 2 ELSE 1 END AS BIGINT)
+       |      AS rel
+       |  FROM documents d JOIN qdocs q
+       |    ON d.lang = q.lang AND d.source = q.source),
+       |got AS (
+       |  SELECT r.query_id,
+       |    CAST(sum(CAST(round(
+       |      (pow(2.0, CAST(coalesce(rl.rel, 0) AS DOUBLE)) - 1.0)
+       |      * 1000000.0 / ln(CAST(r.rank AS DOUBLE) + 1.0)) AS BIGINT))
+       |      AS BIGINT) AS dcg_micro
+       |  FROM ranked r LEFT JOIN rel rl
+       |    ON r.query_id = rl.query_id AND r.doc_id = rl.doc_id
+       |  WHERE r.rank <= 10 GROUP BY 1),
+       |ideal AS (
+       |  SELECT query_id,
+       |    CAST(sum(CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+       |      * 1000000.0 / ln(CAST(irank AS DOUBLE) + 1.0)) AS BIGINT))
+       |      AS BIGINT) AS idcg_micro
+       |  FROM (SELECT query_id, rel, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel DESC, doc_id) AS irank FROM rel WHERE rel > 0)
+       |  WHERE irank <= 10 GROUP BY 1)
+       |SELECT g.query_id, g.dcg_micro,
+       |  CAST(coalesce(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+       |  CAST(CASE WHEN coalesce(i.idcg_micro, 0) > 0
+       |    THEN g.dcg_micro * 1000000 // i.idcg_micro END AS BIGINT)
+       |    AS ndcg_micro
+       |FROM got g LEFT JOIN ideal i USING (query_id)""".stripMargin
   }
 
   /** q103's oracle: RRF fusion of the BM25 chain (depth 20) and the

@@ -110,6 +110,93 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard pairs — the AllPairs/PPJoin
+    * candidate scheme (Bayardo et al. WWW'07; Chaudhuri et al.
+    * ICDE'06): order every document's shingles by one global total
+    * order (document frequency ASCENDING, rarest first, shingle text
+    * as tie-break), keep only the first
+    * `p = |d| − ceil(t·|d|) + 1` shingles as the doc's PREFIX, and
+    * generate candidates ONLY from prefix postings. Any pair with
+    * Jaccard ≥ t must share at least one prefix shingle under a common
+    * total order, so the filter is LOSSLESS — the output equals
+    * [[ngramJaccardPairs]] at the same threshold exactly (the driver
+    * gate pins them to the same DuckDB oracle), unlike `maxDf` whose
+    * capped scores are lower bounds.
+    *
+    * Why it scales where the plain inverted index doesn't: a
+    * stop-shingle with document frequency d contributes d²/2 combos to
+    * the plain index, but almost never sits in any document's rare-
+    * first prefix — the candidates concentrate on rare shingles whose
+    * posting lists are short by definition. Verification then counts
+    * the FULL intersection only for surviving candidate pairs (cost
+    * O(|a|+|b|) per pair via the postings join, never all-pairs).
+    *
+    * Shape: one df aggregation, one per-doc window (rank shingles
+    * inside each doc — doc-partitioned, no global window), one
+    * prefix-postings pair generation, one postings join to verify.
+    *
+    * What it does NOT fix: true-duplicate CLIQUES. A text cloned m
+    * times yields m²/2 genuinely-similar pairs — the OUTPUT is
+    * quadratic in clone count, so no lossless method can be linear on
+    * a duplicate-heavy corpus (probe-measured: the q19 family curve on
+    * the replicated 10x corpus). Run exact dedup (dropExactDups)
+    * upstream, or use the capped lossy variants, when clones dominate.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      "prefix filtering needs 0 < threshold <= 1")
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = sh.select(col("doc"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // the corpus is scanned by BOTH candidate generation and
+    // verification: persist the postings once (3 narrow columns/row)
+    val posted = inv.join(dfreq, "shingle").persist()
+    val ranked = posted.withColumn("__pos", row_number().over(
+      Window.partitionBy("doc").orderBy(col("df"), col("shingle"))))
+    // prefix length p = |d| − ⌈t·|d|⌉ + 1, with the ceil in EXACT
+    // integer arithmetic on the micro-scaled threshold: double
+    // ceil(0.2 * 10) = ceil(2.0000000000000004) = 3 would shorten the
+    // prefix by one and silently LOSE pairs — the one failure mode a
+    // lossless filter must not have (micro-floor of t only ever
+    // lengthens the prefix: more candidates, never fewer)
+    val tMicro = math.floor(threshold * 1e6).toLong
+    val prefix = ranked.filter(col("__pos") <=
+      col("n_sh") - expr(s"(n_sh * ${tMicro}L + 999999L) DIV 1000000L") + 1)
+    val byShingle = prefix.groupBy("shingle")
+      .agg(collect_list(struct(col("doc"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(array_sort(col("ds")).as("ds"))
+    val cand = byShingle.select(
+      org.apache.spark.sql.GraftShim.column(
+        graft.expressions.PairCombinations(
+          org.apache.spark.sql.GraftShim.expression(col("ds"))))
+        .as(Seq("doc_a", "n_a", "doc_b", "n_b")))
+      .distinct() // a pair may share several prefix shingles
+    // verify candidates on the FULL shingle sets
+    val pa = posted.select(col("doc").as("doc_a"), col("shingle"))
+    val pb = posted.select(col("doc").as("doc_b"), col("shingle"))
+    val out = cand
+      .join(pa, "doc_a")
+      .join(pb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+    // materialize the (small) pair table so the postings cache can be
+    // released before returning (the liftTable lifecycle discipline)
+    val mat = out.localCheckpoint(true)
+    posted.unpersist()
+    mat
+  }
+
   /** Shingle CONTAINMENT pairs — the asymmetric near-dup measure
     * Jaccard misses: |A∩B| / |A| is high when A is quoted or embedded
     * inside a much larger B even though their Jaccard is low (the

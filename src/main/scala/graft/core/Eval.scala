@@ -63,6 +63,43 @@ object Eval {
           .as("auc_micro"))
   }
 
+  /** Per-group exact ROC-AUC — [[rocAuc]] sliced by a group column
+    * (per language, per source, per experiment arm): the fairness /
+    * slice-regression audit a corpus-wide AUC hides (a classifier can
+    * hold 0.9 overall while collapsing to coin-flip on one language).
+    * Identical tied-pair arithmetic per group; single-class groups get
+    * an explicit NULL like the global operator.
+    *
+    * Scale shape: one (group, score) aggregation collapses the corpus;
+    * the cumulative window is PARTITIONED by group over each group's
+    * micro-score lattice (model-size per group — never a global sort),
+    * and one grouped aggregation finishes. Group count only widens the
+    * shuffle, never deepens it.
+    */
+  def rocAucBy(df: DataFrame, group: Column, scoreMicro: Column,
+               label: Column): DataFrame = {
+    val byScore = df
+      .select(group.as("grp"), scoreMicro.cast("long").as("s"),
+        label.as("y"))
+      .groupBy("grp", "s")
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("nn"))
+    val below = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_nn", coalesce(sum("nn").over(below), lit(0L)))
+      .groupBy("grp")
+      .agg(
+        sum("np").as("n_pos"),
+        sum("nn").as("n_neg"),
+        sum(expr("2 * np * cum_nn + np * nn")).as("num2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        expr("""CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN num2 * 1000000 DIV (2 * n_pos * n_neg) END""")
+          .as("auc_micro"))
+  }
+
   /** Reliability (calibration) bins: the score axis [lo, hi] (micro
     * units) split into `nBins` equal cells, per cell the doc count,
     * positive count, exact positive rate and the score mass — the

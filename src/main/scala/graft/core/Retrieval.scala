@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -262,5 +262,65 @@ object Retrieval {
           .orderBy(col("rrf_nano").desc, col("doc_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_nano"))
+  }
+
+  // ---- graded ranking quality: nDCG@k -------------------------------
+
+  /** nDCG@k over a retrieved ranking against GRADED relevance — the
+    * eval MRR (q234) can't express: MRR sees one gold doc, nDCG
+    * credits partially-relevant results and penalizes burying the
+    * best ones (Järvelin & Kekäläinen, TOIS '02).
+    *
+    *   DCG@k  = Σ_{i≤k} (2^rel_i − 1) / ln(i + 1)
+    *   IDCG@k = the same sum over the IDEAL ordering of the query's
+    *            whole relevance pool (not just what was retrieved)
+    *   nDCG   = DCG / IDCG
+    *
+    * Fixed-point discipline: each position contributes the BIGINT
+    * round(gain·1e6 / ln(rank+1)) — one IEEE-correct ln + divide +
+    * round per ROW (replayable), summed order-free; the final ratio is
+    * one integer DIV. Natural log instead of log2: nDCG is a ratio, so
+    * the base cancels, and ln replays across engines (the BM25 idf
+    * precedent). Queries with an empty relevance pool get NULL.
+    *
+    * Scale shape: `ranked` is k-bounded per query by construction;
+    * the ideal side ranks the relevance pool with a PER-QUERY window
+    * (partitioned, never global) and keeps k rows. Joins are on
+    * (query_id, doc_id) — no corpus-sized work beyond what produced
+    * the inputs.
+    *
+    * @param ranked (query_id, rank, doc_id) — 1-based, from bm25TopK /
+    *               rrfFuse / an ANN ranking (extra columns ignored)
+    * @param rel    (query_id, doc_id, rel) — integer grades ≥ 0; docs
+    *               absent from `rel` count as grade 0
+    * @return one row per query: (query_id, dcg_micro, idcg_micro,
+    *         ndcg_micro)
+    */
+  def ndcgAtK(ranked: DataFrame, rel: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def contrib(rankCol: Column, relCol: Column): Column =
+      round((pow(lit(2.0), relCol.cast("double")) - lit(1.0)) * lit(1000000.0)
+        / log(rankCol.cast("double") + lit(1.0))).cast("long")
+    val got = ranked.filter(col("rank") <= k)
+      .join(rel.select(col("query_id"), col("doc_id"), col("rel")),
+        Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"),
+        contrib(col("rank"), coalesce(col("rel"), lit(0L))).as("c"))
+      .groupBy("query_id")
+      .agg(sum("c").as("dcg_micro"))
+    val ideal = rel.filter(col("rel") > 0)
+      .withColumn("irank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+      .filter(col("irank") <= k)
+      .select(col("query_id"), contrib(col("irank"), col("rel")).as("c"))
+      .groupBy("query_id")
+      .agg(sum("c").as("idcg_micro"))
+    got.join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"), col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        expr("""CASE WHEN idcg_micro > 0
+                THEN dcg_micro * 1000000 DIV idcg_micro END""")
+          .as("ndcg_micro"))
   }
 }

@@ -380,4 +380,107 @@ object TimeSeries {
         expr("CAST(excess AS DECIMAL(38,0)) * 1000000 DIV greatest(s7, 1L)")
           .as("lift_micro"))
   }
+
+  /** Forward-horizon label generation — the leakage-safe way to stamp
+    * a prediction target on behavioral data: for every (key, active
+    * day), label = 1 iff the key has a TARGET event strictly inside
+    * (day, day + horizon] — the strict lower bound keeps same-day
+    * signal out of the label (a classifier trained on same-day
+    * features+labels is an oracle leak), and `days_to_target` carries
+    * the gap for horizon sweeps. The standard churn / conversion /
+    * retention label family.
+    *
+    * Shape: one scan → (key, day, any-target-that-day) with map-side
+    * combine, then ONE per-key window over the daily series (min of
+    * the FOLLOWING target days via a reversed running min — no range
+    * self-join, no explode). Raw events shuffle once on the key.
+    */
+  def horizonLabels(events: DataFrame, keyCol: String, dayCol: Column,
+                    isTarget: Column, horizonDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(horizonDays >= 1, "horizonDays must be >= 1")
+    val daily = events
+      .select(col(keyCol), dayCol.as("d"), isTarget.as("tgt"))
+      .groupBy(keyCol, "d")
+      .agg(max(when(col("tgt"), col("d"))).as("tgt_day"))
+    // next target day STRICTLY AFTER d: running min over the following
+    // rows of the per-key day series (days are distinct post-groupBy,
+    // so "1 following" is exactly "later calendar days")
+    val wNext = Window.partitionBy(keyCol).orderBy("d")
+      .rowsBetween(1, Window.unboundedFollowing)
+    daily
+      .withColumn("next_tgt", min("tgt_day").over(wNext))
+      .select(col(keyCol), col("d"),
+        datediff(col("next_tgt"), col("d")).cast("long").as("gap"))
+      .select(col(keyCol), col("d"),
+        when(col("gap").isNotNull && col("gap") <= horizonDays, 1L)
+          .otherwise(0L).as("label"),
+        when(col("gap") <= horizonDays, col("gap")).as("days_to_target"))
+  }
+
+  /** Additive seasonal-trend decomposition of a keyed daily count
+    * series (the classical moving-average STL shape, one pass):
+    *   trend    = centered 7-day moving average (full windows only),
+    *   seasonal = the weekday mean of (cnt − trend), centered so the
+    *              seven components sum to ~0 (the classical-
+    *              decomposition normalization),
+    *   remainder = cnt − trend − seasonal.
+    * Full-window trend means a series' first/last 3 days carry NULL
+    * components — honest edges, no padding invention.
+    *
+    * Everything is exact-integer micro fixed point: the detrended
+    * value ×7 is the BIGINT `7·cnt − S` (no float ever aggregates —
+    * a float sum across partitions would be reduction-order-dependent
+    * and unreplayable); the only floats are per-row round(x·1e6/den)
+    * conversions of exact integers, each a single IEEE-correct
+    * division the oracle replays bit-for-bit.
+    *
+    * Shape: one scan → (key, day) counts; one per-key ±3-row window;
+    * one (key, weekday) aggregation (≤7 rows per key) + one per-key
+    * centering window over those ≤7 rows; one join back. Raw events
+    * shuffle once.
+    */
+  def stlDecompose(events: DataFrame, keyCol: String,
+                   dayCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(keyCol), dayCol.as("d"))
+      .groupBy(keyCol, "d")
+      .agg(count(lit(1)).as("cnt"))
+    val w7 = Window.partitionBy(keyCol).orderBy("d").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(w7))
+      .withColumn("s_win", sum("cnt").over(w7))
+      // 7·detrended, exact BIGINT; NULL where the window isn't full
+      .withColumn("dev7",
+        when(col("n_win") === 7, lit(7L) * col("cnt") - col("s_win")))
+      .withColumn("wd", ((dayofweek(col("d")) + 5) % 7).cast("long"))
+    val seasonalRaw = trended
+      .filter(col("dev7").isNotNull)
+      .groupBy(keyCol, "wd")
+      .agg(sum("dev7").as("sdev7"), count(lit(1)).as("n_dev"))
+      .withColumn("seas_micro",
+        expr("CAST(round(CAST(sdev7 AS DOUBLE) * 1000000.0 " +
+          "/ (7.0 * n_dev)) AS BIGINT)"))
+    // center per key: the seasonal profile is defined up to an
+    // additive constant that belongs to the trend (≤7 rows per key)
+    val wKey = Window.partitionBy(keyCol)
+    val seasonal = seasonalRaw
+      .withColumn("__csum", sum("seas_micro").over(wKey))
+      .withColumn("__cn", count(lit(1)).over(wKey))
+      .withColumn("center_micro",
+        expr("CAST(round(CAST(__csum AS DOUBLE) / __cn) AS BIGINT)"))
+      .select(col(keyCol), col("wd"),
+        (col("seas_micro") - col("center_micro")).as("seasonal_micro"))
+    trended
+      .join(seasonal, Seq(keyCol, "wd"), "left")
+      .select(col(keyCol), col("d"), col("cnt"),
+        when(col("n_win") === 7,
+          expr("CAST(round(CAST(s_win AS DOUBLE) * 1000000.0 / 7.0)" +
+            " AS BIGINT)")).as("trend_micro"),
+        when(col("n_win") === 7, col("seasonal_micro")).as("seasonal_micro"),
+        when(col("n_win") === 7,
+          expr("CAST(round(CAST(dev7 AS DOUBLE) * 1000000.0 / 7.0)" +
+            " AS BIGINT) - seasonal_micro")).as("remainder_micro"))
+  }
 }

@@ -332,4 +332,21 @@ class DedupSpec extends SparkSpec {
     assert(m("s1") == m("s2"), "same shingle set, same signature")
     assert(m("s1") != m("s3"))
   }
+
+  test("prefix filtering is lossless: equals the exact inverted index") {
+    // the AllPairs guarantee on real data at two thresholds — every
+    // pair the exact plan finds must survive the prefix candidate cut
+    val docs = Tables.documents(spark, Sf0001)
+    for (t <- Seq(0.2, 0.5)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val prefix = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == exact,
+        s"t=$t: missing=${(exact -- prefix).take(3)} " +
+          s"extra=${(prefix -- exact).take(3)}")
+    }
+  }
 }

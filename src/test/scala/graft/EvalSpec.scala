@@ -192,6 +192,27 @@ class EvalSpec extends SparkSpec {
     assert(got.map(_._3).sum == 5L, "positives conserved across cells")
   }
 
+  test("rocAucBy: per-group AUC, NULL on single-class groups") {
+    // g1: perfect separation (AUC 1.0); g2: perfectly inverted (0.0);
+    // g3: all-positive (undefined -> NULL)
+    val rows =
+      Seq(("g1", 10L, true), ("g1", 9L, true), ("g1", 2L, false),
+          ("g1", 1L, false),
+          ("g2", 10L, false), ("g2", 9L, false), ("g2", 2L, true),
+          ("g2", 1L, true),
+          ("g3", 5L, true), ("g3", 6L, true))
+        .toDF("g", "s", "y")
+    val got = Eval.rocAucBy(rows, col("g"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got("g1") == 1000000L && got("g2") == 0L && got("g3") == -1L,
+      s"$got")
+    // slices must agree with the global operator run per slice
+    val solo = Eval.rocAuc(rows.filter($"g" === "g1"), col("s"), col("y"))
+      .select("auc_micro").as[Long].head()
+    assert(solo == got("g1"))
+  }
+
   test("kappa is chance-corrected where raw accuracy is not") {
     // a majority-class predictor: 90% accuracy but kappa = 0 (all
     // agreement is chance) -- the reason the audit ships kappa

@@ -239,4 +239,27 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1L) == ((1L, 1000000L)), s"unique phrase: ${got(1L)}")
     assert(got(3L) == ((0L, 0L)), s"unanswerable: ${got(3L)}")
   }
+
+  test("ndcgAtK: ideal order scores 1.0, burying the best doc less") {
+    import graft.core.Retrieval
+    val rel = Seq((1L, 10L, 2L), (1L, 11L, 1L), (1L, 12L, 1L),
+      (2L, 20L, 2L)).toDF("query_id", "doc_id", "rel")
+    // q1 ranked in ideal order (rel 2,1,1) -> nDCG exactly 1e6
+    val ideal = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    val gotIdeal = Retrieval.ndcgAtK(ideal, rel, k = 10)
+      .select("query_id", "ndcg_micro").as[(Long, Long)].collect().toMap
+    assert(gotIdeal(1L) == 1000000L, s"$gotIdeal")
+    // the same docs with the best buried at rank 3 -> strictly lower
+    val buried = Seq((1L, 1L, 11L), (1L, 2L, 12L), (1L, 3L, 10L))
+      .toDF("query_id", "rank", "doc_id")
+    val gotBuried = Retrieval.ndcgAtK(buried, rel, k = 10)
+      .select("ndcg_micro").as[Long].head()
+    assert(gotBuried < 1000000L && gotBuried > 0L, s"$gotBuried")
+    // a query retrieving only irrelevant docs: dcg 0, ndcg 0
+    val miss = Seq((2L, 1L, 99L)).toDF("query_id", "rank", "doc_id")
+    val gotMiss = Retrieval.ndcgAtK(miss, rel, k = 10)
+      .select("dcg_micro", "ndcg_micro").as[(Long, Long)].head()
+    assert(gotMiss == ((0L, 0L)), s"$gotMiss")
+  }
 }

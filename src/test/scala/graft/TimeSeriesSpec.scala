@@ -462,4 +462,48 @@ class TimeSeriesSpec extends SparkSpec {
       rows(8, 6)).toDF("key", "d")
     assert(TimeSeries.burstDays(ev, "key", col("d")).count() == 0L)
   }
+
+  test("horizonLabels: strict same-day exclusion, horizon cut, gaps") {
+    // user 1: purchase on day 4 only. Active days 1 (gap 3 -> label 1),
+    // 4 (same day excluded; no LATER purchase -> 0), 30 (nothing ahead).
+    // user 2: purchase on day 20; active day 1 is 19 days out -> 0
+    // under horizon 14, but days_to_target stays NULL (beyond cut).
+    def d(day: Int) = Date.valueOf(f"2024-03-${day}%02d")
+    val ev = Seq(
+      (1L, d(1), "view"), (1L, d(4), "purchase"), (1L, d(30), "view"),
+      (2L, d(1), "view"), (2L, d(20), "purchase"))
+      .toDF("user_id", "d", "event_type")
+    val got = TimeSeries.horizonLabels(ev, "user_id", col("d"),
+        col("event_type") === "purchase", horizonDays = 14)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got((1L, "2024-03-01")) == ((1L, 3L)), s"$got")
+    assert(got((1L, "2024-03-04")) == ((0L, -1L)), "same-day must not leak")
+    assert(got((1L, "2024-03-30")) == ((0L, -1L)))
+    assert(got((2L, "2024-03-01")) == ((0L, -1L)), "beyond horizon")
+    assert(got((2L, "2024-03-20")) == ((0L, -1L)))
+  }
+
+  test("stlDecompose: flat series decomposes to zero seasonal/remainder") {
+    // 14 days x constant 3 events: trend = 3 (full windows only),
+    // seasonal = 0 every weekday, remainder = 0; first/last 3 days NULL
+    def d(day: Int) = Date.valueOf(f"2024-03-${day}%02d")
+    val ev = (1 to 14).flatMap(day => Seq.fill(3)(("k", d(day))))
+      .toDF("key", "d")
+    val got = TimeSeries.stlDecompose(ev, "key", col("d"))
+      .orderBy("d").collect()
+    assert(got.length == 14)
+    val (edge, full) = got.partition(r => r.isNullAt(3))
+    assert(edge.length == 6, "3 leading + 3 trailing NULL-trend days")
+    assert(full.forall(r => r.getLong(3) == 3000000L
+      && r.getLong(4) == 0L && r.getLong(5) == 0L),
+      full.map(r => (r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+        .toString)
+    // additivity on full-window days: trend + seasonal + remainder
+    // reconstructs cnt x 1e6 up to the documented per-term rounding
+    val recon = full.map(r =>
+      math.abs(r.getLong(3) + r.getLong(4) + r.getLong(5)
+        - r.getLong(2) * 1000000L))
+    assert(recon.forall(_ <= 2L), recon.toSeq.toString)
+  }
 }
