@@ -377,7 +377,17 @@ object ScaleProbe {
       // (and the verification work on them) grow ~100x by construction
       // — the quadratic lives in the OUTPUT, not the candidate scheme;
       // the prefix cut itself stays df-bounded
-      "q253_prefix_jaccard")
+      "q253_prefix_jaccard",
+      // q255 = snapshot build (2 commits + CoW delete) + ONE key-
+      // shuffled full-outer join of two snapshot scans; q256 = the
+      // q224 daily-window class (day count fixed — expect flat-ish);
+      // q257 = one map-side-combinable corpus agg to a k-row table
+      "q255_snapshot_diff", "q256_rolling_median", "q257_anova",
+      // q258's pair join runs on the (key, day) DAILY table — at 10x
+      // events the calendar is unchanged, so pairs are ~flat and only
+      // the first map-side-combined rollup scales; q259/q260 are
+      // single map-side-combinable aggs to constant-size outputs
+      "q258_theil_sen", "q259_did", "q260_mutual_info")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -3979,6 +3979,80 @@ object SparkEntry {
         .withColumnRenamed("d", "day")
     }),
 
+    // row-level semantic diff between snapshot versions BY KEY — what
+    // the file-granularity change feed can't answer on copy-on-write
+    // tables: v0 = pre-1996 orders; v1 = upsert (double price of
+    // key%97, insert post-1996 key%199 rows); v2 = delete key%485.
+    // diff(v0 -> v2) must surface exactly the updates that SURVIVED
+    // the delete, the surviving inserts, and the deletes
+    "q255_snapshot_diff" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val t = scratchDir("graft_q255") + "/orders_diff"
+      val base = orders.filter(col("o_orderdate") < lit("1996-01-01"))
+      graft.sources.SnapshotTable.append(base, t)                    // v0
+      val updates = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = orders
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderkey") % 199 === 0)
+      graft.sources.SnapshotTable.upsert(s,
+        updates.unionByName(inserts), t, "o_orderkey")               // v1
+      graft.sources.SnapshotTable.delete(s, t,
+        col("o_orderkey") % 485 === 0)                               // v2
+      graft.sources.SnapshotTable.diffVersions(s, t, 0, 2, "o_orderkey")
+        .select(col("o_orderkey"), col("change"),
+          round(col("old_o_totalprice"), 2).as("old_price"),
+          round(col("new_o_totalprice"), 2).as("new_price"))
+    }),
+
+    // rolling 7-day exact MEDIAN of per-type daily counts — the
+    // robust overlay next to q07's rolling mean; odd window keeps the
+    // median an exact order statistic (no interpolation, no float)
+    "q256_rolling_median" -> ((s, dir) => {
+      TimeSeries.rollingMedian(Tables.events(s, dir), "event_type",
+        to_date(col("ts")), window = 7)
+        .withColumnRenamed("d", "day")
+    }),
+
+    // one-way ANOVA of purchase value (cents) across event types —
+    // the k-armed mean test beside the two-arm z-test (q223); exact
+    // BIGINT sufficient stats, order-free micro contributions, one
+    // fixed float expression for F at the end
+    "q257_anova" -> ((s, dir) => {
+      Eval.anovaF(Tables.events(s, dir), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+    }),
+
+    // Theil-Sen robust trend of daily volume per event type — the
+    // median-of-pairwise-slopes estimator next to q61's OLS trend: a
+    // burst day moves OLS, barely moves this. Pairs run on the DAILY
+    // table (calendar-bounded), never on raw events
+    "q258_theil_sen" -> ((s, dir) => {
+      TimeSeries.theilSenTrend(Tables.events(s, dir), "event_type",
+        to_date(col("ts")))
+    }),
+
+    // difference-in-differences on purchase value: treated = even
+    // user_id, post = Jan 16+ — the causal panel estimate beside the
+    // two-arm z-test (q223) and CUPED (q231); exact BIGINT cell stats,
+    // one fixed float tree each for the estimate and its SE
+    "q259_did" -> ((s, dir) => {
+      Eval.diffInDiff(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        col("user_id") % 2 === 0,
+        col("ts") >= lit("2024-01-16"),
+        expr("CAST(round(value * 100) AS BIGINT)"))
+    }),
+
+    // mutual information between event type and weekday (Mon=0) — the
+    // categorical dependence audit (is traffic mix day-of-week
+    // stable?); exact BIGINT grid, micro-rounded per-cell
+    // contributions so the sum is order-free
+    "q260_mutual_info" -> ((s, dir) => {
+      Eval.mutualInformation(Tables.events(s, dir),
+        col("event_type"), weekday(to_date(col("ts"))))
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -10007,6 +10081,185 @@ object SparkEntry {
         |    AS remainder_micro
         |FROM dev d LEFT JOIN cent c
         |  ON d.event_type = c.event_type AND d.wd = c.wd""".stripMargin,
+
+    // q255: the versions replayed relationally (only price can
+    // change, so the diff collapses to key+price algebra)
+    "q255_snapshot_diff" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderdate < DATE '1996-01-01'),
+        |v1 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS price
+        |  FROM v0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderkey % 199 = 0),
+        |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 485 <> 0),
+        |d AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |         WHEN b.o_orderkey IS NULL THEN 'delete'
+        |         WHEN a.o_totalprice <> b.price THEN 'update' END AS change,
+        |    a.o_totalprice AS oldp, b.price AS newp
+        |  FROM v0 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, change, round(oldp, 2) AS old_price,
+        |  round(newp, 2) AS new_price
+        |FROM d WHERE change IS NOT NULL""".stripMargin,
+
+    // q256: the same trailing window; quantile_disc == the exact
+    // middle order statistic of an odd window
+    "q256_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, cnt,
+        |    count(*) OVER w AS n_win,
+        |    CAST(quantile_disc(cnt, 0.5) OVER w AS BIGINT) AS med
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, cnt, med FROM win WHERE n_win = 7""".stripMargin,
+
+    // q257: identical sufficient-stat collapse, micro contributions,
+    // and the one fixed F expression
+    "q257_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(vc) AS BIGINT) AS s,
+        |    CAST(sum(vc * vc) AS BIGINT) AS q
+        |  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |        FROM events)
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT n, s, q,
+        |    CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * 10000.0) * 1000000.0) AS BIGINT)
+        |      AS contrib
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(s) AS BIGINT) AS st, CAST(sum(q) AS BIGINT) AS qt,
+        |    CAST(sum(contrib) AS BIGINT) AS cm
+        |  FROM c),
+        |f AS (
+        |  SELECT n_groups, n_rows,
+        |    cm - CAST(round(CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |      / (CAST(n_rows AS DOUBLE) * 10000.0) * 1000000.0) AS BIGINT)
+        |      AS ssb_micro,
+        |    qt * 100 - cm AS ssw_micro
+        |  FROM t)
+        |SELECT n_groups, n_rows, ssb_micro, ssw_micro,
+        |  CASE WHEN n_groups > 1 AND n_rows > n_groups AND ssw_micro > 0
+        |    THEN round((CAST(ssb_micro AS DOUBLE) / (n_groups - 1))
+        |      / (CAST(ssw_micro AS DOUBLE) / (n_rows - n_groups)), 6) END
+        |    AS f_value
+        |FROM f""".stripMargin,
+
+    // q258: identical micro-rounded pairwise slopes and the same
+    // lower-middle order statistic ((n+1) div 2)
+    "q258_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type,
+        |    CAST(round(CAST(b.cnt - a.cnt AS DOUBLE) * 1000000.0
+        |      / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS slope_micro
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.d > a.d),
+        |ranked AS (
+        |  SELECT event_type, slope_micro,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_micro) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_pairs
+        |  FROM pairs),
+        |med AS (
+        |  SELECT event_type, n_pairs, slope_micro FROM ranked
+        |  WHERE rn = (n_pairs + 1) // 2),
+        |days AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.n_days, m.n_pairs, m.slope_micro
+        |FROM days d JOIN med m ON d.event_type = m.event_type""".stripMargin,
+
+    // q259: the same four-cell sufficient stats and the same two
+    // fixed float trees
+    "q259_did" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS p,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT t, p, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS q
+        |  FROM e GROUP BY 1, 2),
+        |w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN t = 0 AND p = 0 THEN n END) AS BIGINT) AS n_c0,
+        |    CAST(sum(CASE WHEN t = 0 AND p = 0 THEN s END) AS BIGINT) AS s_c0,
+        |    CAST(sum(CASE WHEN t = 0 AND p = 0 THEN q END) AS BIGINT) AS q_c0,
+        |    CAST(sum(CASE WHEN t = 0 AND p = 1 THEN n END) AS BIGINT) AS n_c1,
+        |    CAST(sum(CASE WHEN t = 0 AND p = 1 THEN s END) AS BIGINT) AS s_c1,
+        |    CAST(sum(CASE WHEN t = 0 AND p = 1 THEN q END) AS BIGINT) AS q_c1,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 0 THEN n END) AS BIGINT) AS n_t0,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 0 THEN s END) AS BIGINT) AS s_t0,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 0 THEN q END) AS BIGINT) AS q_t0,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 1 THEN n END) AS BIGINT) AS n_t1,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 1 THEN s END) AS BIGINT) AS s_t1,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 1 THEN q END) AS BIGINT) AS q_t1
+        |  FROM c)
+        |SELECT n_c0, s_c0, n_c1, s_c1, n_t0, s_t0, n_t1, s_t1,
+        |  CASE WHEN n_c0 > 0 AND n_c1 > 0 AND n_t0 > 0 AND n_t1 > 0
+        |  THEN CAST(round(
+        |    (CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0
+        |   - CAST(s_c1 AS DOUBLE) / n_c1 + CAST(s_c0 AS DOUBLE) / n_c0)
+        |    * 10000.0) AS BIGINT) END AS did_micro,
+        |  CASE WHEN n_c0 > 1 AND n_c1 > 1 AND n_t0 > 1 AND n_t1 > 1
+        |  THEN CAST(round(sqrt(
+        |    (CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t1)
+        |      / (n_t1 - 1) / n_t1
+        |  + (CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t0)
+        |      / (n_t0 - 1) / n_t0
+        |  + (CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c1)
+        |      / (n_c1 - 1) / n_c1
+        |  + (CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c0)
+        |      / (n_c0 - 1) / n_c0)
+        |    * 10000.0) AS BIGINT) END AS se_micro
+        |FROM w""".stripMargin,
+
+    // q260: the same BIGINT grid and the same per-cell fixed float
+    // expression (isodow - 1 == Spark's weekday, Mon=0)
+    "q260_mutual_info" ->
+      """WITH g AS (
+        |  SELECT event_type AS x, isodow(CAST(ts AS DATE)) - 1 AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT nxy,
+        |    CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+        |    CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+        |    CAST(sum(nxy) OVER () AS BIGINT) AS nn
+        |  FROM g),
+        |m AS (
+        |  SELECT nn,
+        |    CAST(round(CAST(nxy AS DOUBLE) / nn
+        |      * ln(CAST(nxy AS DOUBLE) * nn
+        |           / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS contrib
+        |  FROM c)
+        |SELECT CAST(max(nn) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(contrib) AS BIGINT) AS mi_micro
+        |FROM m""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

@@ -326,6 +326,151 @@ object Eval {
           .as("cum_lift_micro"))
   }
 
+  /** One-way ANOVA F statistic across groups — the k-armed extension
+    * of the two-proportion z-test (q223): does the metric's MEAN
+    * differ across event types / experiment arms / sources more than
+    * within-group variance explains?
+    *
+    *   SSB = Σ_g s_g²/n_g − S²/N,   SSW = Σ_g q_g − Σ_g s_g²/n_g
+    *   F   = (SSB/(k−1)) / (SSW/(N−k))
+    *
+    * Determinism discipline: the corpus collapses to exact BIGINT
+    * sufficient statistics per group (n, Σcents, Σcents²); each
+    * group's s²/n contribution is micro-rounded to a BIGINT in
+    * DOLLARS² (cents² overflows micro fixed point at production sums)
+    * so the cross-group sum is order-free, and F is ONE fixed float
+    * expression over BIGINTs at the very end — replayable bit-for-bit.
+    *
+    * Scale shape: one map-side-combinable aggregation over the corpus;
+    * everything after runs on the k-row group table. Output: one row
+    * (n_groups, n_rows, ssb_micro, ssw_micro, f_value).
+    */
+  def anovaF(df: DataFrame, group: Column, valueCents: Column): DataFrame = {
+    val g = df.select(group.as("g"), valueCents.cast("long").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(expr("v * v")).as("q"))
+      .withColumn("contrib_micro",
+        expr("""CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / (CAST(n AS DOUBLE) * 10000.0) * 1000000.0) AS BIGINT)"""))
+    g.agg(
+        count(lit(1)).as("n_groups"),
+        sum("n").as("n_rows"),
+        sum("s").as("st"),
+        sum("q").as("qt"),
+        sum("contrib_micro").as("cm"))
+      .select(col("n_groups"), col("n_rows"),
+        expr("""cm - CAST(round(CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                / (CAST(n_rows AS DOUBLE) * 10000.0) * 1000000.0)
+                AS BIGINT)""").as("ssb_micro"),
+        expr("qt * 100 - cm").as("ssw_micro"))
+      .select(col("n_groups"), col("n_rows"), col("ssb_micro"),
+        col("ssw_micro"),
+        expr("""CASE WHEN n_groups > 1 AND n_rows > n_groups
+                  AND ssw_micro > 0 THEN
+                round((CAST(ssb_micro AS DOUBLE) / (n_groups - 1))
+                      / (CAST(ssw_micro AS DOUBLE) / (n_rows - n_groups)),
+                      6) END""").as("f_value"))
+  }
+
+  /** Difference-in-differences — the workhorse causal estimate when an
+    * experiment can't randomize: compare the treated group's pre→post
+    * metric change against the control group's change over the same
+    * window, so any shared time trend cancels:
+    *
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    *
+    * with SE = sqrt(Σ_cell s²_cell / n_cell) (Welch-style, four
+    * independent cells).
+    *
+    * Determinism discipline: one map-side-combinable aggregation
+    * collapses the corpus to exact BIGINT sufficient statistics per
+    * cell (n, Σcents, Σcents²); the estimate and its SE are each ONE
+    * fixed float expression over those BIGINTs, reported micro-rounded
+    * in dollars. Any empty cell → NULL estimate (no div blow-up).
+    *
+    * Scale shape: a 4-group aggregation with map-side combine, then
+    * constant-size algebra. Output: one row with the four cells'
+    * (n, sum-cents) plus did_micro / se_micro.
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 valueCents: Column): DataFrame = {
+    val cells = df
+      .select(treated.cast("int").as("t"), post.cast("int").as("p"),
+        valueCents.cast("long").as("v"))
+      .groupBy("t", "p")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(expr("v * v")).as("q"))
+    def cell(t: Int, p: Int, c: String, as: String) =
+      sum(when(col("t") === t && col("p") === p, col(c))).as(as)
+    cells.agg(
+        cell(0, 0, "n", "n_c0"), cell(0, 0, "s", "s_c0"), cell(0, 0, "q", "q_c0"),
+        cell(0, 1, "n", "n_c1"), cell(0, 1, "s", "s_c1"), cell(0, 1, "q", "q_c1"),
+        cell(1, 0, "n", "n_t0"), cell(1, 0, "s", "s_t0"), cell(1, 0, "q", "q_t0"),
+        cell(1, 1, "n", "n_t1"), cell(1, 1, "s", "s_t1"), cell(1, 1, "q", "q_t1"))
+      .select(col("n_c0"), col("s_c0"), col("n_c1"), col("s_c1"),
+        col("n_t0"), col("s_t0"), col("n_t1"), col("s_t1"),
+        // micro-dollars: mean cents / 100 * 1e6 = * 10000
+        expr("""CASE WHEN n_c0 > 0 AND n_c1 > 0 AND n_t0 > 0 AND n_t1 > 0
+                THEN CAST(round(
+                  (CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0
+                 - CAST(s_c1 AS DOUBLE) / n_c1 + CAST(s_c0 AS DOUBLE) / n_c0)
+                  * 10000.0) AS BIGINT) END""").as("did_micro"),
+        expr("""CASE WHEN n_c0 > 1 AND n_c1 > 1 AND n_t0 > 1 AND n_t1 > 1
+                THEN CAST(round(sqrt(
+                  (CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t1)
+                    / (n_t1 - 1) / n_t1
+                + (CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t0)
+                    / (n_t0 - 1) / n_t0
+                + (CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c1)
+                    / (n_c1 - 1) / n_c1
+                + (CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c0)
+                    / (n_c0 - 1) / n_c0)
+                  * 10000.0) AS BIGINT) END""").as("se_micro"))
+  }
+
+  /** Mutual information between two BOUNDED-cardinality categorical
+    * columns (feature vs label, source vs language, type vs weekday) —
+    * the feature-selection staple:
+    *
+    *   MI = Σ_{x,y} p(x,y) · ln( p(x,y) / (p(x)·p(y)) )   [nats]
+    *
+    * Determinism discipline: the corpus collapses to exact BIGINT
+    * cell counts first; each cell's contribution is ONE fixed float
+    * expression micro-rounded to a BIGINT, so the cross-cell sum is
+    * order-free. Zero cells contribute nothing (the 0·ln0 = 0 limit is
+    * the absent-row case by construction).
+    *
+    * Scale shape: one map-side-combinable (x, y) aggregation over the
+    * corpus; everything after runs on the k_x·k_y-row grid — the
+    * marginal windows below are grid-bounded (feature-cardinality²,
+    * NOT data-bounded), the same bounded-global-window discipline as
+    * the ROC score lattice. Do not point this at an unbounded key.
+    *
+    * Output: one row (n_rows, n_cells, mi_micro) — mi_micro is MI in
+    * micro-nats.
+    */
+  def mutualInformation(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.select(x.as("x"), y.as("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("nxy"))
+    // grid-bounded windows: |grid| = k_x * k_y (documented contract)
+    val cells = grid
+      .withColumn("nx", sum("nxy").over(Window.partitionBy("x")))
+      .withColumn("ny", sum("nxy").over(Window.partitionBy("y")))
+      .withColumn("nn", sum("nxy").over(Window.partitionBy()))
+      .withColumn("contrib_micro",
+        expr("""CAST(round(CAST(nxy AS DOUBLE) / nn
+                * ln(CAST(nxy AS DOUBLE) * nn
+                     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+                * 1000000.0) AS BIGINT)"""))
+    cells.agg(
+      max("nn").as("n_rows"),
+      count(lit(1)).as("n_cells"),
+      sum("contrib_micro").as("mi_micro"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between a prediction
     * and gold labels (multiclass):
     *   kappa = (po − pe) / (1 − pe)

@@ -381,6 +381,82 @@ object TimeSeries {
           .as("lift_micro"))
   }
 
+  /** Rolling exact MEDIAN of a keyed daily count series — the robust
+    * companion to the rolling mean (q07): one outlier day drags a
+    * 7-day mean by 1/7th of its excess but leaves the median untouched,
+    * so ops dashboards overlay both. `window` must be ODD so the
+    * median is an ORDER STATISTIC (the middle element) — an exact
+    * BIGINT pick, no interpolation, no float; only full windows judge
+    * (the burstDays warm-up discipline).
+    *
+    * Scale shape: one scan → (key, day) counts with map-side combine;
+    * one per-key trailing window whose percentile state is
+    * window-bounded. Raw events never shuffle.
+    */
+  def rollingMedian(events: DataFrame, keyCol: String, dayCol: Column,
+                    window: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1 && window % 2 == 1,
+      "window must be odd so the median is an exact order statistic")
+    val daily = events
+      .select(col(keyCol), dayCol.as("d"))
+      .groupBy(keyCol, "d")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(keyCol).orderBy("d")
+      .rowsBetween(-(window - 1), 0)
+    daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("med",
+        expr("percentile(cnt, 0.5)").over(w).cast("long"))
+      .filter(col("n_win") === window)
+      .select(col(keyCol), col("d"), col("cnt"), col("med"))
+  }
+
+  /** Theil–Sen robust trend per key — the median of all pairwise
+    * day-to-day slopes of the key's daily count series. Where the OLS
+    * slope ([[perKeyTrend]]) moves with every outlier day, the
+    * Theil–Sen estimator has a 29% breakdown point: a burst day or a
+    * logging gap barely shifts it, which is why ops dashboards trust
+    * it for "is this entity actually growing?".
+    *
+    * Determinism discipline: each pairwise slope is micro-rounded to a
+    * BIGINT (ONE fixed float op per pair: Δcount·1e6/Δdays), and the
+    * median is the exact lower-middle ORDER STATISTIC — the value at
+    * 1-based sorted position (n+1) div 2 — not an interpolation, so
+    * ties and replay order can't move it.
+    *
+    * Scale shape: the raw events collapse to (key, day) counts with
+    * map-side combine FIRST; the pair self-join runs on that daily
+    * table, so it is O(days²) per key — bounded by the calendar (a
+    * 3-year series is ~600k pairs per key), NOT by event volume, and
+    * each key's pairs stay inside its own hash partition. Keys with a
+    * single active day have no pairs and drop out.
+    */
+  def theilSenTrend(events: DataFrame, keyCol: String,
+                    dayCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(keyCol), dayCol.as("d"))
+      .groupBy(keyCol, "d")
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.select(col(keyCol), col("d").as("d1"), col("cnt").as("c1"))
+    val b = daily.select(col(keyCol), col("d").as("d2"), col("cnt").as("c2"))
+    val pairs = a.join(b, Seq(keyCol))
+      .filter(col("d2") > col("d1"))
+      .withColumn("slope_micro",
+        expr("""CAST(round(CAST(c2 - c1 AS DOUBLE) * 1000000.0
+                / CAST(datediff(d2, d1) AS DOUBLE)) AS BIGINT)"""))
+    val byKey = Window.partitionBy(col(keyCol))
+    val med = pairs
+      .withColumn("rn", row_number().over(byKey.orderBy(col("slope_micro"))))
+      .withColumn("n_pairs", count(lit(1)).over(byKey))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col(keyCol), col("n_pairs"), col("slope_micro"))
+    val days = daily.groupBy(keyCol).agg(count(lit(1)).as("n_days"))
+    days.join(med, Seq(keyCol)) // single-day keys: no pairs -> dropped
+      .select(col(keyCol), col("n_days"), col("n_pairs"), col("slope_micro"))
+  }
+
   /** Forward-horizon label generation — the leakage-safe way to stamp
     * a prediction target on behavioral data: for every (key, active
     * day), label = 1 iff the key has a TARGET event strictly inside

@@ -1728,6 +1728,57 @@ object SnapshotTable {
     } else parts.reduce(_ unionByName _)
   }
 
+  /** Row-level semantic diff between two versions BY KEY — what
+    * [[readChanges]]' file-granularity feed can't answer on
+    * copy-on-write tables (an upsert rewrites whole files, so every
+    * row in them reappears in the file diff even when only one
+    * changed). One full-outer join of the two snapshots on the key:
+    *
+    *   - `insert`: key only in `toV`
+    *   - `delete`: key only in `fromV`
+    *   - `update`: key in both, any shared non-key column differs
+    *     (null-safe compare — NULL→value and value→NULL are updates);
+    *     unchanged rows are dropped.
+    *
+    * Output: (key, change, old_<col>, new_<col>) over the shared
+    * non-key columns (columns added/removed by schema evolution
+    * between the versions are ignored — they'd mark every row
+    * changed). Both snapshots read mapping-aware through the standard
+    * read path, so a rename between the versions compares the COLUMN,
+    * not its label.
+    *
+    * Scale shape: one key-shuffled join of two snapshot scans; the
+    * comparison is a codegen'd projection. For an audit between
+    * adjacent versions of an append-only table prefer readChanges
+    * (O(new files) instead of O(table)).
+    */
+  def diffVersions(spark: SparkSession, table: String,
+                   fromV: Int, toV: Int, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, table, Some(fromV))
+    val b = read(spark, table, Some(toV))
+    require(a.columns.contains(key) && b.columns.contains(key),
+      s"key '$key' must exist in both versions")
+    val shared = a.columns.toSeq.filter(c => c != key && b.columns.contains(c))
+    val oldSide = a.select(
+      Seq(col(key).as("__k"), lit(true).as("__in_old")) ++
+        shared.map(c => col(s"`$c`").as(s"old_$c")): _*)
+    val newSide = b.select(
+      Seq(col(key).as("__k"), lit(true).as("__in_new")) ++
+        shared.map(c => col(s"`$c`").as(s"new_$c")): _*)
+    val joined = oldSide.join(newSide, Seq("__k"), "full_outer")
+    val changed = shared.map(c => !(col(s"`old_$c`") <=> col(s"`new_$c`")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change").isNotNull)
+      .select(Seq(col("__k").as(key), col("change")) ++
+        shared.flatMap(c => Seq(col(s"`old_$c`"), col(s"`new_$c`"))): _*)
+  }
+
   /** Restore the table to the content of `version`, committed as a NEW
     * version (like Delta RESTORE): pure metadata — the old manifest's
     * file list is re-published at version latest+1, no data moves, and

@@ -213,6 +213,58 @@ class EvalSpec extends SparkSpec {
     assert(solo == got("g1"))
   }
 
+  test("anovaF: hand-checked F, degenerate guards") {
+    // A = {0, 0} cents, B = {190, 210}: means 0 and 2 dollars, grand 1,
+    // SSB = 2*1 + 2*1 = 4; SSW = 0.1^2 + 0.1^2 = 0.02;
+    // F = (4/1) / (0.02/2) = 400
+    val df = Seq(("A", 0L), ("A", 0L), ("B", 190L), ("B", 210L))
+      .toDF("g", "vc")
+    val got = Eval.anovaF(df, col("g"), col("vc"))
+      .select("n_groups", "n_rows", "ssb_micro", "ssw_micro", "f_value")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got._1 == 2L && got._2 == 4L)
+    assert(got._3 == 4000000L && got._4 == 20000L, s"$got")
+    assert(got._5 == 400.0, s"$got")
+    // zero within-group variance: F undefined -> NULL, not a div blow-up
+    val degen = Seq(("A", 0L), ("A", 0L), ("B", 200L), ("B", 200L))
+      .toDF("g", "vc")
+    assert(Eval.anovaF(degen, col("g"), col("vc"))
+      .select("f_value").head().isNullAt(0))
+    // one group: NULL as well
+    val one = Seq(("A", 1L), ("A", 5L)).toDF("g", "vc")
+    assert(Eval.anovaF(one, col("g"), col("vc"))
+      .select("f_value").head().isNullAt(0))
+  }
+
+  test("diffInDiff: hand-checked estimate + SE, empty-cell guard") {
+    // control +100 cents pre->post, treated +300: DiD = +200 cents
+    val df = Seq(
+      (0, 0, 100L), (0, 0, 200L), (0, 1, 200L), (0, 1, 300L),
+      (1, 0, 100L), (1, 0, 300L), (1, 1, 400L), (1, 1, 600L))
+      .toDF("t", "p", "vc")
+    val got = Eval.diffInDiff(df, col("t") === 1, col("p") === 1, col("vc"))
+      .select("did_micro", "se_micro").as[(Long, Long)].head()
+    assert(got._1 == 2000000L, s"$got") // 2 dollars
+    // SE = sqrt(2500 + 2500 + 10000 + 10000) = 158.11388 cents
+    assert(got._2 == 1581139L, s"$got")
+    // a missing cell nulls the estimate instead of dividing by zero
+    val noCell = df.filter(!(col("t") === 1 && col("p") === 1))
+    assert(Eval.diffInDiff(noCell, col("t") === 1, col("p") === 1,
+      col("vc")).select("did_micro").head().isNullAt(0))
+  }
+
+  test("mutualInformation: ln2 on perfect dependence, 0 on independence") {
+    val dep = Seq(("a", 0), ("a", 0), ("b", 1), ("b", 1)).toDF("x", "y")
+    val g1 = Eval.mutualInformation(dep, col("x"), col("y"))
+      .as[(Long, Long, Long)].head()
+    // MI = ln 2 = 0.693147...; two cells of 0.5*ln2 micro-rounded
+    assert(g1 == ((4L, 2L, 693148L)), s"$g1")
+    val ind = Seq(("a", 0), ("a", 1), ("b", 0), ("b", 1)).toDF("x", "y")
+    val g2 = Eval.mutualInformation(ind, col("x"), col("y"))
+      .as[(Long, Long, Long)].head()
+    assert(g2 == ((4L, 4L, 0L)), s"$g2")
+  }
+
   test("kappa is chance-corrected where raw accuracy is not") {
     // a majority-class predictor: 90% accuracy but kappa = 0 (all
     // agreement is chance) -- the reason the audit ships kappa

@@ -559,6 +559,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, t).count() == 3)
   }
 
+  test("diffVersions: row-level insert/update/delete by key, null-safe") {
+    val t = Files.createTempDirectory("graft_diff").toString + "/t"
+    SnapshotTable.append(Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0),
+      (5L, None: Option[String], 50.0)).toDF("id", "tag", "amt"), t) // v0
+    SnapshotTable.upsert(spark, Seq(
+      (2L, Some("b"), 25.0),            // value update
+      (4L, Some("d"), 40.0),            // insert
+      (5L, Some("e"), 50.0)).toDF("id", "tag", "amt"), t, "id")     // null->e
+    SnapshotTable.delete(spark, t, $"id" === 3L)                    // v2
+    val d = SnapshotTable.diffVersions(spark, t, 0, 2, "id")
+      .select("id", "change").as[(Long, String)].collect().toMap
+    assert(d == Map(2L -> "update", 3L -> "delete", 4L -> "insert",
+      5L -> "update"), s"$d") // id 1 unchanged -> absent
+    // old/new values ride along
+    val row = SnapshotTable.diffVersions(spark, t, 0, 2, "id")
+      .filter($"id" === 2L).select("old_amt", "new_amt")
+      .as[(Double, Double)].head()
+    assert(row == ((20.0, 25.0)))
+    // identical versions diff empty
+    assert(SnapshotTable.diffVersions(spark, t, 2, 2, "id").count() == 0)
+  }
+
   test("renameColumn rejects renaming a generated column itself") {
     val t = Files.createTempDirectory("graft_rename4").toString + "/t"
     SnapshotTable.append(Seq((1, 10.0)).toDF("id", "amount"), t)

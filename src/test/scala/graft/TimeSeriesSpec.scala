@@ -463,6 +463,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.burstDays(ev, "key", col("d")).count() == 0L)
   }
 
+  test("rollingMedian: outlier-immune where the mean is not; odd only") {
+    def d(day: Int) = Date.valueOf(f"2024-03-${day}%02d")
+    // six 1-event days then a 100-event day: the 7-day median stays 1
+    val ev = ((1 to 6).map(day => ("k", d(day), 1)) :+ (("k", d(7), 100)))
+      .flatMap { case (k, dt, n) => Seq.fill(n)((k, dt)) }
+      .toDF("key", "d")
+    val got = TimeSeries.rollingMedian(ev, "key", col("d"), window = 7)
+      .select("d", "cnt", "med").as[(Date, Long, Long)].collect()
+    assert(got.length == 1, "only one full window in 7 days")
+    assert(got.head._2 == 100L && got.head._3 == 1L,
+      s"median must shrug the outlier off: ${got.head}")
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingMedian(ev, "key", col("d"), window = 4))
+  }
+
+  test("theilSenTrend: median slope shrugs the outlier day off") {
+    def d(day: Int) = Date.valueOf(f"2024-03-${day}%02d")
+    // counts 1,2,3,4 then a 100-event burst day: 6 of the 10 pairwise
+    // slopes are exactly 1/day, so the median slope is 1 — OLS would
+    // be dragged far above it by the burst
+    val ev = (Seq((1, 1), (2, 2), (3, 3), (4, 4), (5, 100))
+      .flatMap { case (day, n) => Seq.fill(n)(("k", d(day))) } ++
+      Seq(("solo", d(1)))) // one active day -> no pairs -> dropped
+      .toDF("key", "dd")
+    val got = TimeSeries.theilSenTrend(ev, "key", col("dd"))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("k", 5L, 10L, 1000000L)), s"$got")
+  }
+
   test("horizonLabels: strict same-day exclusion, horizon cut, gaps") {
     // user 1: purchase on day 4 only. Active days 1 (gap 3 -> label 1),
     // 4 (same day excluded; no LATER purchase -> 0), 30 (nothing ahead).
