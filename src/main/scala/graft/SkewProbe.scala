@@ -160,12 +160,11 @@ object SkewProbe {
     }
     probe("itemSim capped") { dir =>
       graft.core.Recommend.itemItemSim(interactions(dir == out),
-        "cust", "part", minSupport = 2L).count()
+        "cust", "part", minSupport = 2L, maxItemsPerUser = 500).count()
     }
     probe("itemSim UNCAPPED") { dir =>
       graft.core.Recommend.itemItemSim(interactions(dir == out),
-        "cust", "part", minSupport = 2L,
-        maxItemsPerUser = Int.MaxValue).count()
+        "cust", "part", minSupport = 2L).count()
     }
     root.stop()
   }

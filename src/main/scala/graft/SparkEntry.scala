@@ -1907,9 +1907,15 @@ object SparkEntry {
           sort_array(collect_list(struct(col("rn"), col("event_type")))),
           x => x.getField("event_type")), ">").as("path"))
       val counts = paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
-      val wR = Window.orderBy(desc("n_sessions"), asc("path"))
-      counts.withColumn("rank", row_number().over(wR))
-        .filter(col("rank") <= 20)
+      // top-k FIRST via orderBy+limit (TakeOrderedAndProject — a
+      // distributed per-partition top-20 + driver merge), THEN rank the
+      // bounded 20 rows: distinct 5-step paths grow with the event-type
+      // alphabet, so an unpartitioned rank window over the full count
+      // table would be a single-partition sort of an unbounded table at
+      // web scale (the q96 shape; same deterministic order, same hash)
+      counts.orderBy(desc("n_sessions"), asc("path")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n_sessions"), asc("path"))))
         .select(col("rank").cast("long").as("rank"), col("path"),
           col("n_sessions"))
     }),
@@ -1997,9 +2003,13 @@ object SparkEntry {
         .crossJoin(broadcast(tot))
         .withColumn("score_micro",
           expr("c_xy * n_total * 1000000 DIV (c_x * c_y)"))
-      val w = Window.orderBy(desc("score_micro"), asc("w1"), asc("w2"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 20)
+      // top-k FIRST (TakeOrderedAndProject), THEN rank the bounded 20:
+      // the support-≥5 bigram table grows with the vocabulary, so the
+      // previous unpartitioned rank window was a single-partition sort
+      // of a vocab²-bounded table (the q96 shape; hash unchanged)
+      scored.orderBy(desc("score_micro"), asc("w1"), asc("w2")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score_micro"), asc("w1"), asc("w2"))))
         .select(col("rank").cast("long").as("rank"), col("w1"), col("w2"),
           col("c_xy"), col("score_micro"))
     }),
@@ -2299,20 +2309,22 @@ object SparkEntry {
 
     // vocabulary coverage curve: types ranked by frequency, exact
     // cumulative token-mass share per rank — the table a tokenizer's
-    // vocab size is chosen from ("how many types cover 99%?");
-    // the rank window runs over the bounded vocabulary
+    // vocab size is chosen from ("how many types cover 99%?"). The
+    // output IS vocab-sized (1e8–1e9 types on web text), so rank+cum
+    // go through the two-phase distributed prefix pass — never an
+    // unpartitioned window; cum·1e6 through DECIMAL(38,0) (BIGINT
+    // wraps past ~9.2e12 tokens)
     "q163_vocab_coverage" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val uni = Tables.documents(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-      val wRank = Window.orderBy(desc("c"), asc("w"))
-      val wCum = wRank.rowsBetween(Window.unboundedPreceding, 0)
-      uni.withColumn("rank", row_number().over(wRank).cast("long"))
-        .withColumn("cum", sum("c").over(wCum))
-        .crossJoin(broadcast(uni.agg(sum("c").as("total"))))
+      val (ranked, release) = graft.core.Packing.rankAndCumOrderedReleasable(
+        uni, "c", Seq(desc("c"), asc("w")))
+      val _ = release // one-shot batch shape: consumed at action time
+      ranked.crossJoin(broadcast(uni.agg(sum("c").as("total"))))
         .select(col("rank"), col("w").as("token"), col("c"), col("cum"),
-          expr("cum * 1000000 DIV total").as("cum_share_micro"))
+          expr("CAST(cum AS DECIMAL(38,0)) * 1000000 DIV total")
+            .as("cum_share_micro"))
     }),
 
     // robust (trimmed + winsorized) per-type statistics: exact ranks
@@ -4126,7 +4138,11 @@ object SparkEntry {
         .join(Tables.load(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      val sims = Recommend.itemItemSim(ui, "cust", "part", minSupport = 2L)
+      // explicit cap (exact-by-default API): every sf0.01 basket is
+      // under 500, so the capped path equals the exact result here
+      // while the gate still exercises the production-scale shape
+      val sims = Recommend.itemItemSim(ui, "cust", "part", minSupport = 2L,
+        maxItemsPerUser = 500)
       val panel = (1L to 10L).map(_ * 37L).toDF("cust")
       Recommend.recommendTopK(ui, sims, panel, "cust", "part", k = 5)
     }),

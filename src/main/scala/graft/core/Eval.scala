@@ -57,9 +57,13 @@ object Eval {
       .select(col("n_pos"), col("n_neg"),
         // single-class input (n_pos or n_neg = 0) leaves AUC undefined:
         // emit an explicit NULL instead of a silent ANSI-dependent
-        // div-by-zero (null with ANSI off, exception with it on)
+        // div-by-zero (null with ANSI off, exception with it on).
+        // num2·1e6 goes through DECIMAL(38,0) — BIGINT wraps silently
+        // once ~4.3M balanced rows put num2 past 9.2e12; IntegralDivide
+        // keeps the output BIGINT either way.
         expr("""CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN num2 * 1000000 DIV (2 * n_pos * n_neg) END""")
+                THEN CAST(num2 AS DECIMAL(38,0)) * 1000000
+                     DIV (2 * n_pos * n_neg) END""")
           .as("auc_micro"))
   }
 
@@ -95,8 +99,11 @@ object Eval {
         sum("nn").as("n_neg"),
         sum(expr("2 * np * cum_nn + np * nn")).as("num2"))
       .select(col("grp"), col("n_pos"), col("n_neg"),
+        // same DECIMAL(38,0) widening as the global rocAuc: one group
+        // with ~4.3M balanced rows would wrap num2·1e6 in BIGINT
         expr("""CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN num2 * 1000000 DIV (2 * n_pos * n_neg) END""")
+                THEN CAST(num2 AS DECIMAL(38,0)) * 1000000
+                     DIV (2 * n_pos * n_neg) END""")
           .as("auc_micro"))
   }
 
@@ -346,10 +353,12 @@ object Eval {
     * (n_groups, n_rows, ssb_micro, ssw_micro, f_value).
     */
   def anovaF(df: DataFrame, group: Column, valueCents: Column): DataFrame = {
+    // Σv² accumulates in DECIMAL(38,0): BIGINT wraps silently at
+    // production sums (~1e9 rows of ~1e5-cent values ⇒ Σv² ~ 1e19)
     val g = df.select(group.as("g"), valueCents.cast("long").as("v"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"), sum("v").as("s"),
-        sum(expr("v * v")).as("q"))
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("q"))
       .withColumn("contrib_micro",
         expr("""CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
                 / (CAST(n AS DOUBLE) * 10000.0) * 1000000.0) AS BIGINT)"""))
@@ -363,7 +372,13 @@ object Eval {
         expr("""cm - CAST(round(CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
                 / (CAST(n_rows AS DOUBLE) * 10000.0) * 1000000.0)
                 AS BIGINT)""").as("ssb_micro"),
-        expr("qt * 100 - cm").as("ssw_micro"))
+        // qt is DECIMAL(38,0) now; the final BIGINT cast is guarded so
+        // an out-of-range SSW fails LOUDLY instead of nulling silently
+        expr("""CASE WHEN abs(qt * 100 - cm) >
+                     CAST(9223372036854775807 AS DECIMAL(38,0))
+                THEN CAST(assert_true(false,
+                  'anovaF: ssw_micro exceeds BIGINT range') AS BIGINT)
+                ELSE CAST(qt * 100 - cm AS BIGINT) END""").as("ssw_micro"))
       .select(col("n_groups"), col("n_rows"), col("ssb_micro"),
         col("ssw_micro"),
         expr("""CASE WHEN n_groups > 1 AND n_rows > n_groups
@@ -399,8 +414,11 @@ object Eval {
       .select(treated.cast("int").as("t"), post.cast("int").as("p"),
         valueCents.cast("long").as("v"))
       .groupBy("t", "p")
+      // Σv² in DECIMAL(38,0) — same silent-BIGINT-wrap class as anovaF;
+      // downstream only reads q through CAST(... AS DOUBLE), so the
+      // widening changes no output schema
       .agg(count(lit(1)).as("n"), sum("v").as("s"),
-        sum(expr("v * v")).as("q"))
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("q"))
     def cell(t: Int, p: Int, c: String, as: String) =
       sum(when(col("t") === t && col("p") === p, col(c))).as(as)
     cells.agg(

@@ -114,8 +114,10 @@ object GraphOps {
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
     * adjacent-token co-occurrence edges, symmetrized, ranked by
     * [[pageRank]]; top-k tokens by (score desc, token asc). The
-    * edge/vertex tables are vocabulary-bounded, so the final rank
-    * window runs over model-size state.
+    * vertex table is vocabulary-sized (1e8+ types on web text), so the
+    * top-k is orderBy+limit (TakeOrderedAndProject: per-partition
+    * top-k + driver merge) and only the bounded k rows are ranked —
+    * never an unpartitioned window over the full vocabulary.
     */
   def textrankKeywords(docs: DataFrame, textCol: String, iters: Int,
                        k: Int): DataFrame = {
@@ -129,9 +131,9 @@ object GraphOps {
     val undirected = bi.select(col("w1").as("src"), col("w2").as("dst"))
       .union(bi.select(col("w2").as("src"), col("w1").as("dst")))
     val pr = pageRank(undirected, "src", "dst", iters)
-    val w = Window.orderBy(desc("r"), asc("v"))
-    pr.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    pr.orderBy(desc("r"), asc("v")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("r"), asc("v"))))
       .select(col("rank").cast("long").as("rank"),
         col("v").as("token"), col("r").as("score_pico"))
   }

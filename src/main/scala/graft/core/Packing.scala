@@ -109,6 +109,44 @@ object Packing {
     (out, () => { local.unpersist(); () })
   }
 
+  /** Two-phase distributed RANK + inclusive running weight sum under
+    * an arbitrary total order, in ONE range-partitioned pass: `rank` =
+    * global 1-based position, `cum` = Σ weight through this row. The
+    * frequency-curve primitive (vocab coverage, cumulative-share
+    * tables): the naive formulation is an unpartitioned row_number +
+    * running-sum window — a single-partition sort of the WHOLE table,
+    * vocab-sized at web scale — which this replaces with per-partition
+    * locals plus a broadcast of per-partition (count, total) prefixes,
+    * the [[offsetsOrderedReleasable]] machinery with a second
+    * accumulator riding the same exchange. `order` must be total
+    * (include a unique key last). Output: caller columns + (rank, cum)
+    * BIGINT; release contract as [[offsetsByReleasable]].
+    */
+  def rankAndCumOrderedReleasable(counted: DataFrame, weightCol: String,
+                                  order: Seq[Column]): (DataFrame, () => Unit) = {
+    val ranged = counted.repartitionByRange(order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    // persist for the same reason offsetsOrderedReleasable does: the
+    // totals branch must see the SAME _pid assignment
+    val local = ranged
+      .withColumn("_local_rank", row_number().over(w).cast("long"))
+      .withColumn("_local_cum", sum(col(weightCol)).over(w))
+      .persist()
+    val before = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = local.groupBy("_pid")
+      .agg(count(lit(1)).as("_pn"), sum(col(weightCol)).as("_pw"))
+      .withColumn("_rank_off", coalesce(sum("_pn").over(before), lit(0L)))
+      .withColumn("_cum_off", coalesce(sum("_pw").over(before), lit(0L)))
+      .select(col("_pid"), col("_rank_off"), col("_cum_off"))
+    val out = local.join(broadcast(prefixes), Seq("_pid"))
+      .select(counted.columns.map(col) ++ Seq(
+        (col("_local_rank") + col("_rank_off")).as("rank"),
+        (col("_local_cum") + col("_cum_off")).as("cum")): _*)
+    (out, () => { local.unpersist(); () })
+  }
+
   /** The packing MAP — which documents contribute which token slices
     * to which sequence. One row per (doc, sequence) intersection:
     * `seq_off` (where in the sequence the slice starts), `doc_off`

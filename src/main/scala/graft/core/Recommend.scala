@@ -38,25 +38,34 @@ object Recommend {
     * subset is a deterministic pseudo-random sample (xxhash64 of
     * (user, item) orders the basket — reproducible across engines,
     * partitionings and reruns, unbiased w.r.t. item identity); users
-    * at or under the cap are untouched, so small-corpus results equal
-    * the uncapped ones exactly (spec-pinned). `n_users` is still
+    * at or under the cap are untouched, so capped and uncapped results
+    * coincide exactly below the cap (spec-pinned). `n_users` is still
     * counted on the FULL interaction table, so cosine denominators are
     * exact — only the intersection counts of capped users are sampled.
+    *
+    * The default is EXACT (no cap): a cap silently turns intersection
+    * counts into lower bounds, which a caller must opt into knowingly.
+    * At production scale pass an explicit cap (500 holds the SkewProbe
+    * power-user corpus at 1.1× task skew where uncapped rides 13.3×).
     */
   def itemItemSim(ui: DataFrame, userCol: String, itemCol: String,
                   minSupport: Long = 2L,
-                  maxItemsPerUser: Int = 500): DataFrame = {
+                  maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
     require(maxItemsPerUser >= 1, "maxItemsPerUser must be >= 1")
     val interAll = ui.select(col(userCol).as("u"), col(itemCol).as("it"))
       .distinct()
     val counts = interAll.groupBy(col("it")).agg(count(lit(1)).as("n_users"))
-    val wCap = Window.partitionBy("u")
-      .orderBy(xxhash64(col("u").cast("string"), col("it").cast("string")),
-        col("it"))
-    val inter = interAll
-      .withColumn("__r", row_number().over(wCap))
-      .filter(col("__r") <= maxItemsPerUser)
-      .drop("__r")
+    // uncapped ⇒ skip the rank window entirely (no per-user sort paid
+    // for the exact default path)
+    val inter = if (maxItemsPerUser == Int.MaxValue) interAll else {
+      val wCap = Window.partitionBy("u")
+        .orderBy(xxhash64(col("u").cast("string"), col("it").cast("string")),
+          col("it"))
+      interAll
+        .withColumn("__r", row_number().over(wCap))
+        .filter(col("__r") <= maxItemsPerUser)
+        .drop("__r")
+    }
     val pairs = inter.as("x").join(inter.as("y"),
         col("x.u") === col("y.u") && col("x.it") < col("y.it"))
       .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))

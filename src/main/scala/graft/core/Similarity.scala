@@ -407,21 +407,27 @@ object Similarity {
     *
     * `maxRows` is a loud-failure guard (the JsonArraySink discipline):
     * a mistaken call on a production corpus would otherwise silently
-    * plan an O(n²) cross join. One cheap count() up front; raise the
-    * cap only for a deliberate exact-baseline run.
+    * plan an O(n²) cross join. The guard is part of the PLAN, not an
+    * eager builder action: a one-row count relation with `assert_true`
+    * is broadcast onto the build side, so the check fires at execution
+    * (broadcasts materialize before the probe streams) and building
+    * the DataFrame stays lazy. Raise the cap only for a deliberate
+    * exact-baseline run.
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
                          maxRows: Long = 100000L): DataFrame = {
-    val n = emb.count()
-    require(n <= maxRows,
-      s"cosineNearDupPairs is the exact O(n^2) baseline and got $n rows " +
-        s"(cap $maxRows) — use lshNearDupPairs at scale, or raise maxRows " +
-        "for a deliberate exact run")
+    val guard = emb.groupBy().count()
+      .select(assert_true(col("count") <= maxRows, concat(
+        lit("cosineNearDupPairs is the exact O(n^2) baseline and got "),
+        col("count"),
+        lit(s" rows (cap $maxRows) — use lshNearDupPairs at scale, or " +
+          "raise maxRows for a deliberate exact run"))).as("__ok"))
     // norms are per-VECTOR: compute them once per side, never per pair
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na"))
+      .crossJoin(broadcast(guard)).filter(col("__ok").isNull).drop("__ok")
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       norm(col(vecCol)).as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

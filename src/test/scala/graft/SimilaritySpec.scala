@@ -452,9 +452,14 @@ class SimilaritySpec extends SparkSpec {
 
   test("cosineNearDupPairs fails loudly above its O(n^2) row cap") {
     val emb = Tables.embeddings(spark, Sf0001)
-    val err = intercept[IllegalArgumentException](
-      Similarity.cosineNearDupPairs(emb, 0.4, maxRows = 10L).count())
-    assert(err.getMessage.contains("lshNearDupPairs"), err.getMessage)
+    // the guard is IN the plan now: building is lazy (no job), the
+    // failure fires at execution
+    val plan = Similarity.cosineNearDupPairs(emb, 0.4, maxRows = 10L)
+    val err = intercept[Throwable](plan.count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("lshNearDupPairs")),
+      msgs(err).mkString(" | "))
     // a deliberate exact run raises the cap and still works
     assert(Similarity.cosineNearDupPairs(emb, 0.9, maxRows = 1000000L)
       .count() >= 0L)
