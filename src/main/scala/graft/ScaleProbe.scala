@@ -378,6 +378,10 @@ object ScaleProbe {
       // — the quadratic lives in the OUTPUT, not the candidate scheme;
       // the prefix cut itself stays df-bounded
       "q253_prefix_jaccard",
+      // q261 = the capped q253: maxDf drops hot prefix postings, so on
+      // the replicated corpus the clique candidates vanish and only
+      // the df-bounded rare-shingle work scales — expect the q95 curve
+      "q261_prefix_jaccard_capped",
       // q255 = snapshot build (2 commits + CoW delete) + ONE key-
       // shuffled full-outer join of two snapshot scans; q256 = the
       // q224 daily-window class (day count fixed — expect flat-ish);

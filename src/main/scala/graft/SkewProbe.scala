@@ -138,6 +138,18 @@ object SkewProbe {
         k = 8, rowsPerBand = 2, n = 3, minEstJaccard = 0.25,
         maxBandSize = Int.MaxValue).count()
     }
+    // prefix-filtered Jaccard under the same template clique: lossless
+    // prefix filtering cannot beat a true-dup clique (its OUTPUT is
+    // m²/2 pairs); the maxDf cap must hold candidate generation and
+    // the heavy stage flat where the uncapped path rides the clique
+    probe("q261 prefix capped") { dir =>
+      Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id",
+        "text", n = 3, threshold = 0.6, maxDf = 64).count()
+    }
+    probe("q253 prefix UNCAPPED") { dir =>
+      Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id",
+        "text", n = 3, threshold = 0.6).count()
+    }
 
     // item-item CF under a POWER USER (r9 verdict #4): interactions
     // from the sf0.1 basket tables, skewed variant assigns every

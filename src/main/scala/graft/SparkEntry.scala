@@ -4065,6 +4065,17 @@ object SparkEntry {
         col("event_type"), weekday(to_date(col("ts"))))
     }),
 
+    // the CAPPED prefix-Jaccard path (maxDf drops hot prefix postings
+    // from candidate generation — the linear-scale hook on a clone-
+    // heavy corpus, SkewProbe-measured): on this corpus no prefix
+    // posting exceeds 64 docs, so the capped result is pinned to the
+    // SAME exact oracle as the lossless q253 while the gate exercises
+    // the capped code path (the q94/q95 capped-gate discipline)
+    "q261_prefix_jaccard_capped" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6, maxDf = 64)
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -10276,6 +10287,31 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_cells,
         |  CAST(sum(contrib) AS BIGINT) AS mi_micro
         |FROM m""".stripMargin,
+
+    // q261: the capped path is LOSSLESS on this corpus (no prefix
+    // posting above maxDf=64), so the oracle is the exact Jaccard
+    // self-join — identical to q253's; a divergence means the cap bit
+    // where it must not
+    "q261_prefix_jaccard_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+3], ' ')
+        |     for i in generate_series(0, greatest(len(t)-3, 0))])) AS shingle
+        |  FROM toks),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |  round(CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common), 6) AS jaccard
+        |FROM pairs p
+        |JOIN counts ca ON p.doc_a = ca.doc_id
+        |JOIN counts cb ON p.doc_b = cb.doc_id
+        |WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.6""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

@@ -140,10 +140,25 @@ object Dedup {
     * quadratic in clone count, so no lossless method can be linear on
     * a duplicate-heavy corpus (probe-measured: the q19 family curve on
     * the replicated 10x corpus). Run exact dedup (dropExactDups)
-    * upstream, or use the capped lossy variants, when clones dominate.
+    * upstream, or cap with `maxDf`, when clones dominate.
+    *
+    * `maxDf` is that linear-scale hook (the [[ngramJaccardPairs]] /
+    * q95 discipline applied to the PREFIX postings): prefix posting
+    * lists longer than `maxDf` are dropped from candidate generation,
+    * so one boilerplate template cloned m times can no longer fan out
+    * m²/2 candidates from a single hot shingle. Capped semantics are a
+    * RECALL bound, not a score bound — a surviving pair's Jaccard is
+    * still verified EXACTLY on the full shingle sets; only pairs whose
+    * every shared prefix shingle is hot can be missed. Pairs of
+    * ordinary documents (all of whose prefix shingles are rare by
+    * construction of the rare-first order) are untouched, so below the
+    * cap the capped result equals the lossless one exactly
+    * (spec-pinned; the q261 gate pins maxDf=64 to the SAME oracle as
+    * the lossless q253 on the driver corpus).
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                         n: Int = 3, threshold: Double = 0.5,
+                         maxDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0,
       "prefix filtering needs 0 < threshold <= 1")
@@ -168,7 +183,7 @@ object Dedup {
       col("n_sh") - expr(s"(n_sh * ${tMicro}L + 999999L) DIV 1000000L") + 1)
     val byShingle = prefix.groupBy("shingle")
       .agg(collect_list(struct(col("doc"), col("n_sh"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
       .select(array_sort(col("ds")).as("ds"))
     val cand = byShingle.select(
       org.apache.spark.sql.GraftShim.column(

@@ -349,4 +349,38 @@ class DedupSpec extends SparkSpec {
           s"extra=${(prefix -- exact).take(3)}")
     }
   }
+
+  test("prefixJaccardPairs maxDf: equal below the cap, clique-bounded above") {
+    val docs = Tables.documents(spark, Sf0001)
+    // (1) a generous cap never bites on ordinary data: capped == exact
+    val exact = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == exact,
+      s"missing=${(exact -- capped).take(3)} extra=${(capped -- exact).take(3)}")
+    // (2) on a clone-heavy corpus the cap drops the hot template's
+    // m²/2 clique pairs (the linear-scale contract) while pairs of
+    // ordinary documents survive untouched
+    val template = "the same boilerplate text repeated verbatim in " +
+      "every cloned document of this synthetic clique"
+    val clones = (1L to 40L).map(i => (100000L + i, template)) ++ Seq(
+      (200001L, "rare alpha beta gamma delta epsilon zeta eta theta"),
+      (200002L, "rare alpha beta gamma delta epsilon zeta eta iota"))
+    val cliqueDocs = clones.toDF("doc_id", "text")
+    val uncapped = Dedup.prefixJaccardPairs(cliqueDocs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val tight = Dedup.prefixJaccardPairs(cliqueDocs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.count(p => p._1 > 100000L && p._1 < 200000L) == 40 * 39 / 2,
+      "uncapped finds the full clique")
+    assert(!tight.exists(p => p._1 > 100000L && p._1 < 200000L),
+      "maxDf=8 drops the 40-doc clique's candidates")
+    assert(tight.exists(p => p._1 == 200001L && p._2 == 200002L),
+      "the ordinary rare-shingle pair survives the cap")
+  }
 }
