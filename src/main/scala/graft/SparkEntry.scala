@@ -319,7 +319,10 @@ object SparkEntry {
 
     // M1: Prophet closed-form forecast from the reference's model
     // artifact (trend parity proven against the artifact's own fitted
-    // trend in MlScorerSpec). Not SQL-expressible: rows-only.
+    // trend in MlScorerSpec). FULL oracle since round 11: the MC
+    // interval draws are portable-hash deterministic, so the DuckDB
+    // side (ProphetScorer.mcOracleSql) replays mean, all 1000 paths
+    // and the interpolated percentiles — not just the q88 mean.
     "q29_forecast" -> ((s, _) => {
       graft.ml.ProphetScorer.forecast(s, days = 30)
         .select(col("ds"), round(col("yhat"), 4).as("yhat"),
@@ -8674,6 +8677,11 @@ object SparkEntry {
     // q87: q27's assign/probe CTEs + q57's LUT/ADC CTEs, composed —
     // ADC ranks only the probed candidates
     "q87_ivfpq_ann" -> q87OracleSql,
+
+    // q29: the FULL forecast — mean + portable-hash MC paths +
+    // interpolated percentiles — replayed relationally (see
+    // ProphetScorer.mcOracleSql); q88 remains the mean-only pin
+    "q29_forecast" -> graft.ml.ProphetScorer.mcOracleSql(days = 30),
 
     // q88: closed-form Prophet yhat over the literal fitted params —
     // generated from the SAME model object as the engine expression,

@@ -169,7 +169,7 @@ class MlScorerSpec extends SparkSpec {
     val root = new ObjectMapper().readTree(in); in.close()
     val hist = new ObjectMapper().readTree(root.get("history").asText).get("data")
     val horizonT = ((m.historyEnd.plusDays(30).toEpochDay * 86400.0) - m.start) / m.tScale
-    val sims = TrendSim.draw(m, horizonT, seed = 42L)
+    val sims = TrendSim.drawPortable(m, horizonT, seed = 42L)
     val sortedNoise = sims.map(_.noiseDraw * m.yScale).sorted
     val lo = TrendSim.percentile(sortedNoise, 0.1)
     val hi = TrendSim.percentile(sortedNoise, 0.9)
@@ -214,27 +214,32 @@ class MlScorerSpec extends SparkSpec {
     }
   }
 
-  test("prophet: seeded MC draws reproduce the java-LCG python reference " +
-      "EXACTLY; 3-row interval fixture pinned") {
-    // Fixture: tools/gen_mc_seeded_fixture.py — java.util.Random (the
-    // 48-bit LCG + Marsaglia-polar gaussian) reimplemented in Python,
-    // TrendSim.draw(seed=42) replayed draw-for-draw, band edges
-    // computed with the scorer's own arithmetic. This pins the MC
-    // machinery DETERMINISTICALLY (gen_prophet_fixture pins it only
-    // statistically, since prophet's own RNG is unseeded): the seed is
-    // now the model's last pinned parameter, not a free one.
-    // Tolerances: the RNG stream is integer arithmetic -> 1e-12 (the
-    // gaussian's log/sqrt may differ by 1 ulp between fdlibm and
-    // libm); the edges additionally carry the closed-form yhat base
+  test("prophet: portable-hash MC draws reproduce the independent python " +
+      "reference EXACTLY; 3-row interval fixture pinned") {
+    // Fixture: tools/gen_mc_portable_fixture.py — the portable-hash
+    // draw pipeline (rolling fold + Pollard-rho avalanche, Poisson
+    // CDF-table count, uniform changepoints, Laplace quantile deltas,
+    // Box-Muller noise) reimplemented independently in Python,
+    // TrendSim.drawPortable(seed=42) replayed draw-for-draw, band
+    // edges computed with the scorer's own arithmetic. This pins the
+    // MC machinery DETERMINISTICALLY (gen_prophet_fixture pins it only
+    // statistically, since prophet's own RNG is unseeded) — and the
+    // same arithmetic is what the q29 DuckDB oracle replays, so this
+    // fixture is the third independent implementation of the pipeline.
+    // Tolerances: the hash stream and every branch decision are exact
+    // integer / correctly-rounded float arithmetic -> 1e-12 on the raw
+    // draws (ln/cos/sqrt magnitudes may differ by 1 ulp between
+    // libms); the edges additionally carry the closed-form yhat base
     // (cross-pinned at 1e-6 by the prophet fixture) -> 1e-4 absolute.
-    val in = getClass.getResourceAsStream("/prophet_mc_seeded_fixture.json")
+    val in = getClass.getResourceAsStream("/prophet_mc_portable_fixture.json")
     val root = new ObjectMapper().readTree(in); in.close()
     val m = ProphetScorer.bundled
     val days = root.get("days").asInt
     val horizonT =
       ((m.historyEnd.plusDays(days).toEpochDay * 86400.0) - m.start) / m.tScale
     assert(math.abs(horizonT - root.get("horizon_t").asDouble) < 1e-12)
-    val sims = TrendSim.draw(m, horizonT, seed = root.get("seed").asLong)
+    val sims = TrendSim.drawPortable(m, horizonT,
+      seed = root.get("seed").asLong)
     assert(sims.length == root.get("uncertainty_samples").asInt)
     // the exact-stream pin: sample 0's raw draws
     val s0 = root.get("stream_sample0")
