@@ -140,11 +140,15 @@ object SkewProbe {
     }
     // prefix-filtered Jaccard under the same template clique: lossless
     // prefix filtering cannot beat a true-dup clique (its OUTPUT is
-    // m²/2 pairs); the maxDf cap must hold candidate generation and
-    // the heavy stage flat where the uncapped path rides the clique
-    probe("q261 prefix capped") { dir =>
+    // m²/2 pairs); a cap BELOW the clique size must drop the clique's
+    // candidates and hold the heavy stage flat where the uncapped path
+    // carries the clique's m²/2 verification work. The clique here is
+    // ~50 clones (1% of the corpus), so maxDf=16 bites (the q261
+    // gate's 64 deliberately does NOT bite on the driver corpus —
+    // that gate pins losslessness, this probe pins the drop).
+    probe("prefix capped df16") { dir =>
       Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id",
-        "text", n = 3, threshold = 0.6, maxDf = 64).count()
+        "text", n = 3, threshold = 0.6, maxDf = 16).count()
     }
     probe("q253 prefix UNCAPPED") { dir =>
       Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id",

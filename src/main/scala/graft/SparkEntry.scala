@@ -300,20 +300,26 @@ object SparkEntry {
     }),
 
     // M2/M3: the reference's DetectAnomalies endpoint shape — feature
-    // pipeline + broadcast IsolationForest scorer (200-tree ensemble
-    // from the reference artifact). Not SQL-expressible: rows-only.
+    // pipeline + broadcast IsolationForest scorer (the REAL 200-tree
+    // ensemble from the reference artifact). FULL oracle since round
+    // 11: features accumulate as exact micro BIGINTs
+    // (floor(value·1e4) = micro-kWh of value/100 — the /100 puts
+    // per-day totals in the scorer's training range, ~[0,8] kWh), so
+    // every split comparison is bit-identical and the DuckDB side
+    // (IsoForestScorer.realOracleSql) stages the artifact's 30,636
+    // nodes relationally and walks all 200 trees per row with a
+    // recursive CTE.
     "q28_anomaly_scores" -> ((s, dir) => {
-      // value/100 puts the per-day totals in the scorer's training
-      // range (~[0,8] kWh) — otherwise every row saturates at the
-      // ensemble's minimum score and the check is vacuous
       val ev = Tables.events(s, dir)
-        .withColumn("value", col("value") / 100.0)
-      val feats = TimeSeries.anomalyFeatures(ev, "user_id",
-        to_date(col("ts")), "value", "event_type")
+        .select(col("user_id"),
+          expr("CAST(floor(value * 10000.0) AS BIGINT)").as("vm"),
+          to_date(col("ts")).as("d"), col("event_type"))
+      val feats = TimeSeries.anomalyFeaturesExactMicro(ev, "user_id",
+        col("d"), col("vm"), "event_type")
       graft.ml.IsoForestScorer.scoreFeatures(feats)
         .select(col("user_id"), col("Date").as("d"),
-          round(col("total_kwh"), 2).as("total_kwh"),
-          col("unique_appliances").cast("long").as("unique_types"),
+          col("tm").as("total_kwh_micro"),
+          col("ua").cast("long").as("unique_types"),
           round(col("score"), 6).as("score"), col("anomaly"))
     }),
 
@@ -8677,6 +8683,13 @@ object SparkEntry {
     // q87: q27's assign/probe CTEs + q57's LUT/ADC CTEs, composed —
     // ADC ranks only the probed candidates
     "q87_ivfpq_ann" -> q87OracleSql,
+
+    // q28: the REAL 200-tree artifact staged as a relational table
+    // (read_json of the same resource the JVM scorer loads) and walked
+    // by a recursive CTE over exact-micro features (see
+    // IsoForestScorer.realOracleSql); q89 remains the fixed-ensemble
+    // regeneration pin
+    "q28_anomaly_scores" -> graft.ml.IsoForestScorer.realOracleSql(),
 
     // q29: the FULL forecast — mean + portable-hash MC paths +
     // interpolated percentiles — replayed relationally (see

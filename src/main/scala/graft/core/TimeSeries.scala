@@ -255,6 +255,38 @@ object TimeSeries {
     withDow(rollingMean7(dense, key, "Date", "total_kwh"), "Date")
   }
 
+  /** The EXACT-arithmetic variant of [[anomalyFeatures]] (the q28
+    * gate): daily totals accumulate as micro BIGINTs (`valueMicro`,
+    * e.g. floor(value·1e4) = micro-units of value/100), so every float
+    * feature is derived from exact integers by one or two
+    * correctly-rounded IEEE ops — bit-identical on any engine. That
+    * bitness is what lets the REAL 200-tree IsolationForest walk be
+    * oracle-checked branch-for-branch: a distributed float SUM (the
+    * [[anomalyFeatures]] path) is order-dependent in its last ulp, and
+    * one flipped ulp at a split threshold would silently change a tree
+    * path. Same shapes otherwise: one daily aggregation, the dense
+    * date spine, one per-key 7-row window (the BIGINT sum divides
+    * once), weekday Mon=0. Keeps the exact `tm` (micro total) and `ua`
+    * columns alongside the scorer's four float features.
+    */
+  def anomalyFeaturesExactMicro(df: DataFrame, key: String, dateCol: Column,
+                                valueMicro: Column,
+                                category: String): DataFrame = {
+    val daily = df.groupBy(col(key), dateCol.as("Date"))
+      .agg(sum(valueMicro).as("tm"),
+        countDistinct(col(category)).as("ua"))
+    val dense = densify(daily, key, Seq("tm", "ua"))
+    val w = Window.partitionBy(col(key)).orderBy(col("Date"))
+      .rowsBetween(-6, 0)
+    dense
+      .withColumn("total_kwh", col("tm").cast("double") / lit(1000000.0))
+      .withColumn("unique_appliances", col("ua").cast("double"))
+      .withColumn("rolling_7_mean",
+        (sum("tm").over(w).cast("double") / lit(1000000.0))
+          / count(lit(1)).over(w))
+      .withColumn("dow", weekday(col("Date")).cast("double"))
+  }
+
   /** Exponentially-weighted moving average over per-key ordered
     * series, integer-exact: s_1 = x_1, then
     * s_t = (num·x_t + (den−num)·s_{t−1}) DIV den — the streaming-

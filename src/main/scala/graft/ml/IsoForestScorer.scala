@@ -191,6 +191,113 @@ object IsoForestScorer {
        |FROM scored""".stripMargin
   }
 
+  /** The q28 oracle: the REAL 200-tree sklearn export walked
+    * relationally in DuckDB. The model artifact is STAGED AS A
+    * RELATIONAL TABLE (read_json of the same resource file the JVM
+    * scorer loads → one row per tree node), a recursive CTE descends
+    * every (user, day, tree) from the root, leaf depths get the same
+    * c(n) correction, and the per-row score is
+    * -2^(-Σdepths/(200·c(256))) - offset — the exact
+    * `decisionFunction` math. Features come from the exact-micro
+    * pipeline ([[graft.core.TimeSeries.anomalyFeaturesExactMicro]]):
+    * every float both engines compare against a split threshold is
+    * derived from exact integers by correctly-rounded ops, and the
+    * scaler/threshold doubles parse from the SAME json text on both
+    * sides — so all ~8M branch decisions are bit-identical by
+    * construction. Only ln/pow ulp and the unordered 200-way depth
+    * sum differ, absorbed by the shared round(..., 6) (the q89
+    * argument, now on the production artifact).
+    */
+  def realOracleSql(modelPath: String =
+      "/root/repo/src/main/resources/isoforest_model.json"): String = {
+    val m = bundled
+    // the one denominator double, computed HERE exactly as
+    // decisionFunction does (trees.length * cNorm) and inlined
+    val den = ProphetScorer.sqlLit(m.trees.length * m.cNorm)
+    val off = ProphetScorer.sqlLit(m.offset)
+    val score = s"-pow(2.0, -s.depths / CAST($den AS DOUBLE)) " +
+      s"- CAST($off AS DOUBLE)"
+    s"""WITH RECURSIVE model AS (
+       |  SELECT scaler_mean AS mu, scaler_scale AS sc, trees
+       |  FROM read_json('$modelPath')),
+       |trees AS (
+       |  SELECT unnest(generate_series(1, len(trees))) - 1 AS tree_id,
+       |    unnest(trees) AS tree
+       |  FROM model),
+       |nodes AS (
+       |  SELECT tree_id,
+       |    unnest(generate_series(1, len(tree.left))) - 1 AS node,
+       |    unnest(tree.left) AS lft, unnest(tree.right) AS rgt,
+       |    unnest(tree.feature) AS feat, unnest(tree.threshold) AS thr,
+       |    unnest(tree.n_node_samples) AS n
+       |  FROM trees),
+       |ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    CAST(floor(value * 10000.0) AS BIGINT) AS vm, event_type
+       |  FROM events),
+       |daily AS (
+       |  SELECT user_id, d, CAST(sum(vm) AS BIGINT) AS tm,
+       |    count(DISTINCT event_type) AS ua
+       |  FROM ev GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT user_id,
+       |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+       |  FROM (SELECT user_id, min(d) AS lo, max(d) AS hi
+       |        FROM daily GROUP BY 1)),
+       |dense AS (
+       |  SELECT s.user_id, s.d, coalesce(dy.tm, 0) AS tm,
+       |    coalesce(dy.ua, 0) AS ua
+       |  FROM spine s
+       |  LEFT JOIN daily dy ON s.user_id = dy.user_id AND s.d = dy.d),
+       |feat AS (
+       |  SELECT user_id, d, tm, ua,
+       |    CAST(tm AS DOUBLE) / 1000000.0 AS total_kwh,
+       |    CAST(ua AS DOUBLE) AS unique_appliances,
+       |    (CAST(sum(tm) OVER w AS DOUBLE) / 1000000.0)
+       |      / count(*) OVER w AS rolling_7_mean,
+       |    CAST(isodow(d) - 1 AS DOUBLE) AS dow
+       |  FROM dense
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY d
+       |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       |z AS (
+       |  SELECT f.user_id, f.d,
+       |    [ (total_kwh - mu[1]) / sc[1],
+       |      (unique_appliances - mu[2]) / sc[2],
+       |      (rolling_7_mean - mu[3]) / sc[3],
+       |      (dow - mu[4]) / sc[4] ] AS zz
+       |  FROM feat f CROSS JOIN model),
+       |walk AS (
+       |  SELECT z.user_id, z.d, n.tree_id, CAST(0 AS BIGINT) AS node,
+       |    0 AS depth
+       |  FROM z CROSS JOIN (SELECT DISTINCT tree_id FROM nodes) n
+       |  UNION ALL
+       |  SELECT w.user_id, w.d, w.tree_id,
+       |    CAST(CASE WHEN z.zz[CAST(nd.feat AS INT) + 1] <= nd.thr
+       |         THEN nd.lft ELSE nd.rgt END AS BIGINT),
+       |    w.depth + 1
+       |  FROM walk w
+       |  JOIN nodes nd ON nd.tree_id = w.tree_id AND nd.node = w.node
+       |  JOIN z ON z.user_id = w.user_id AND z.d = w.d
+       |  WHERE nd.lft <> -1),
+       |leaves AS (
+       |  SELECT w.user_id, w.d, w.depth, nd.n
+       |  FROM walk w JOIN nodes nd
+       |    ON nd.tree_id = w.tree_id AND nd.node = w.node
+       |  WHERE nd.lft = -1),
+       |scored AS (
+       |  SELECT user_id, d,
+       |    sum(depth + CASE WHEN n <= 1 THEN 0.0 WHEN n = 2 THEN 1.0
+       |      ELSE 2.0 * (ln(n - 1.0) + 0.5772156649015329)
+       |           - 2.0 * (n - 1.0) / n END) AS depths
+       |  FROM leaves GROUP BY 1, 2)
+       |SELECT f.user_id, f.d, f.tm AS total_kwh_micro,
+       |  CAST(f.ua AS BIGINT) AS unique_types,
+       |  round($score, 6) AS score,
+       |  ($score) < 0.0 AS anomaly
+       |FROM scored s
+       |JOIN feat f ON s.user_id = f.user_id AND s.d = f.d""".stripMargin
+  }
+
   /** Append `score` (decision_function) and `anomaly` columns.
     * Feature columns must match the model's training order
     * ([total_kwh, unique_appliances, rolling_7_mean, dow]).

@@ -26,6 +26,18 @@ object GraftShim {
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** The physical plan with the AQE wrapper unwrapped (its INITIAL
+    * plan — runtime re-optimization can only merge/coalesce, never
+    * introduce a new unpartitioned window), for plan-shape regression
+    * tests that inspect operator nodes rather than plan strings.
+    */
+  def physicalPlan(df: Dataset[_]): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+
   /** DataFrame from a custom logical plan. */
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
