@@ -1331,10 +1331,17 @@ object SparkEntry {
       val centroids = emb.filter(col("vec_id") % 97 === 3)
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       val t = scratchDir("graft_q100") + "/ivf"
+      // clusterPartitions pins 8 bucket-ranged files per commit: AQE
+      // would coalesce these small commits to ONE file spanning every
+      // bucket, and a one-file table cannot manifest-prune — the probe
+      // read's prune is part of what this gate exercises
+      // (IndexPruningGateSpec pins it on the executed plan)
       Similarity.writeIvfIndexTable(
-        emb.filter(col("vec_id") % 2 === 0), centroids, t)
+        emb.filter(col("vec_id") % 2 === 0), centroids, t,
+        clusterPartitions = Some(8))
       Similarity.appendToIvfIndex(
-        emb.filter(col("vec_id") % 2 === 1), centroids, t)
+        emb.filter(col("vec_id") % 2 === 1), centroids, t,
+        clusterPartitions = Some(8))
       Similarity.ivfTopKIndexedTable(s, emb.filter(col("vec_id") < 8), t,
           centroids, k = 5, nProbe = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -1365,10 +1372,14 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val train = d.filter(col("doc_id") % 100 =!= 0)
       val t = scratchDir("graft_q102") + "/postings"
+      // 8 bucket-ranged files per commit (the q100 rationale): the
+      // probe read must have something to prune at gate scale
       graft.core.Retrieval.writePostingsIndex(
-        train.filter(col("doc_id") % 2 === 0), t)
+        train.filter(col("doc_id") % 2 === 0), t,
+        clusterPartitions = Some(8))
       graft.core.Retrieval.appendToPostingsIndex(
-        train.filter(col("doc_id") % 2 =!= 0), t)
+        train.filter(col("doc_id") % 2 =!= 0), t,
+        clusterPartitions = Some(8))
       graft.core.Retrieval.bm25TopKIndexedTable(s,
         d.filter(col("doc_id") % 100 === 0), t, k = 10)
     }),

@@ -279,12 +279,20 @@ object Similarity {
 
   /** Bucket-clustered assignment rows — every output file carries a
     * tight `bucket` min/max, so a probe read prunes at the manifest.
+    * `clusterPartitions` fixes the file count (AQE coalesces a small
+    * commit to ONE file otherwise, which spans every bucket and
+    * defeats pruning — at production scale the default is fine, a
+    * small bootstrap commit should pin it).
     */
   private def clusteredAssignments(corpus: DataFrame, centroids: DataFrame,
-                                   idCol: String, vecCol: String): DataFrame =
-    assignBuckets(corpus, centroids, idCol, vecCol)
-      .repartitionByRange(col("bucket"))
+                                   idCol: String, vecCol: String,
+                                   clusterPartitions: Option[Int]): DataFrame = {
+    val assigned = assignBuckets(corpus, centroids, idCol, vecCol)
+    clusterPartitions.fold(
+        assigned.repartitionByRange(col("bucket")))(
+        n => assigned.repartitionByRange(n, col("bucket")))
       .sortWithinPartitions("bucket")
+  }
 
   /** The IVF index AS a transactional snapshot table: assignment rows
     * range-clustered on `bucket` (stat-pruned probe reads — the same
@@ -294,9 +302,11 @@ object Similarity {
     */
   def writeIvfIndexTable(corpus: DataFrame, centroids: DataFrame,
                          table: String, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): Int =
+                         vecCol: String = "embedding",
+                         clusterPartitions: Option[Int] = None): Int =
     graft.sources.SnapshotTable.overwrite(
-      clusteredAssignments(corpus, centroids, idCol, vecCol), table)
+      clusteredAssignments(corpus, centroids, idCol, vecCol,
+        clusterPartitions), table)
 
   /** INCREMENTAL index maintenance: newly arrived vectors are assigned
     * against the (frozen) centroids and appended as one transactional
@@ -312,8 +322,10 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, centroids: DataFrame,
                        table: String, idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       writer: Option[(String, Long)] = None): Option[Int] = {
-    val rows = clusteredAssignments(newVectors, centroids, idCol, vecCol)
+                       writer: Option[(String, Long)] = None,
+                       clusterPartitions: Option[Int] = None): Option[Int] = {
+    val rows = clusteredAssignments(newVectors, centroids, idCol, vecCol,
+      clusterPartitions)
     writer match {
       case Some((w, v)) =>
         graft.sources.SnapshotTable.appendIdempotent(rows, table, w, v)
