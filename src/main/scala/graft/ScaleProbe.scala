@@ -391,7 +391,13 @@ object ScaleProbe {
       // events the calendar is unchanged, so pairs are ~flat and only
       // the first map-side-combined rollup scales; q259/q260 are
       // single map-side-combinable aggs to constant-size outputs
-      "q258_theil_sen", "q259_did", "q260_mutual_info")
+      "q258_theil_sen", "q259_did", "q260_mutual_info",
+      // round-11: q262 = one grouped pivot + a generator; q263/q265 =
+      // map-side-combinable aggs to grid/arm-bounded outputs (q265's
+      // per-arm window is one exchange); q264 = the q19/q95 inverted-
+      // index family with the df<=64 cap — expect the capped curve
+      "q262_unpivot", "q263_chi2", "q264_tfidf_cosine_pairs",
+      "q265_sprt")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -4096,6 +4096,48 @@ object SparkEntry {
         n = 3, threshold = 0.6, maxDf = 64)
     }),
 
+    // UNPIVOT/melt — q35's inverse (wide pivot back to long): the
+    // reshape every pandas-style report pipeline needs; `stack` is one
+    // codegen'd generator, no shuffle beyond the pivot's own. Empty
+    // cells are dropped (melt semantics), totals in exact micros
+    "q262_unpivot" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy(weekday(to_date(col("ts"))).cast("long").as("dow"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(expr("CAST(floor(value * 1000000.0) AS BIGINT)")))
+      wide.select(col("dow"), expr(
+        "stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
+          "'signup', signup, 'view', view) AS (event_type, total_micro)"))
+        .filter(col("total_micro").isNotNull)
+    }),
+
+    // Pearson chi-square independence + Cramér's V over the q260 grid
+    // (the frequentist complement to mutual information): zero cells
+    // contribute E, so the grid completes to the full cross product —
+    // model-size by the bounded-cardinality contract
+    "q263_chi2" -> ((s, dir) =>
+      Eval.chiSquare(Tables.events(s, dir), col("event_type"),
+        weekday(to_date(col("ts"))))),
+
+    // sparse TF-IDF cosine pairs from the inverted term index — the
+    // WEIGHTED near-dup measure (rare shared vocabulary scores high
+    // where set-Jaccard underweights it); maxDf=64 is the linear-scale
+    // candidate cap (norms stay full-vocabulary; capped cosine is a
+    // lower bound — the q95 discipline), and the oracle replays the
+    // capped semantics exactly
+    "q264_tfidf_cosine_pairs" -> ((s, dir) =>
+      graft.core.Retrieval.tfidfCosinePairs(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.2, maxDf = 64)),
+
+    // Wald SPRT per event type: early-stopping sequential test on the
+    // ordered Bernoulli stream value>=32, H0 p=0.45 vs H1 p=0.55 at
+    // alpha=beta=0.05 — increments and boundaries are four micro
+    // BIGINT literals, the running LLR is an exact integer window sum
+    "q265_sprt" -> ((s, dir) =>
+      Eval.sprt(Tables.events(s, dir), col("event_type"),
+        Seq(col("ts"), col("event_id")), col("value") >= 32.0,
+        p0 = 0.45, p1 = 0.55)),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -10344,6 +10386,125 @@ object SparkEntry {
         |JOIN counts ca ON p.doc_a = ca.doc_id
         |JOIN counts cb ON p.doc_b = cb.doc_id
         |WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= 0.6""".stripMargin,
+
+    // q262: melt == the grouped long-form sums directly (absent
+    // (dow, type) cells are dropped on both sides)
+    "q262_unpivot" ->
+      """SELECT isodow(CAST(ts AS DATE)) - 1 AS dow, event_type,
+        |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS total_micro
+        |FROM events
+        |WHERE event_type IN ('click','error','purchase','signup','view')
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q263: grid completed to the full cross product (zero cells
+    // contribute E), per-cell contribution micro-rounded, V one float
+    // tree over the exact sums
+    "q263_chi2" ->
+      """WITH g AS (
+        |  SELECT event_type AS x, isodow(CAST(ts AS DATE)) - 1 AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |xs AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM g GROUP BY 1),
+        |ys AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn,
+        |  CAST(count(DISTINCT x) AS BIGINT) AS kx,
+        |  CAST(count(DISTINCT y) AS BIGINT) AS ky FROM g),
+        |fullg AS (
+        |  SELECT xs.x, ys.y, nx, ny, coalesce(g.nxy, 0) AS nxy, nn, kx, ky
+        |  FROM xs CROSS JOIN ys
+        |  LEFT JOIN g ON g.x = xs.x AND g.y = ys.y
+        |  CROSS JOIN t),
+        |c AS (SELECT nn, kx, ky,
+        |  CAST(round(
+        |    (CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * ny / nn)
+        |    * (CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * ny / nn)
+        |    / (CAST(nx AS DOUBLE) * ny / nn) * 1000000.0) AS BIGINT)
+        |    AS contrib
+        |  FROM fullg)
+        |SELECT max(nn) AS n_rows, max(kx) AS k_x, max(ky) AS k_y,
+        |  (max(kx) - 1) * (max(ky) - 1) AS dof,
+        |  CASE WHEN (max(kx) - 1) * (max(ky) - 1) > 0
+        |    THEN CAST(sum(contrib) AS BIGINT) END AS chi2_micro,
+        |  CASE WHEN (max(kx) - 1) * (max(ky) - 1) > 0 THEN
+        |    round(sqrt(CAST(CAST(sum(contrib) AS BIGINT) AS DOUBLE)
+        |      / 1000000.0
+        |      / (CAST(max(nn) AS DOUBLE) * least(max(kx) - 1, max(ky) - 1))),
+        |      6) END AS cramers_v
+        |FROM c""".stripMargin,
+
+    // q264: weights tf·milli-idf as exact integers, dots/norms exact
+    // sums, cosine one sqrt/div tree over them (bit-identical);
+    // candidate generation replays the SAME df<=64 cap
+    "q264_tfidf_cosine_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, t.term, df,
+        |    tf * CAST(round((ln((CAST(nd AS DOUBLE) + 1.0)
+        |      / (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000.0) AS BIGINT) AS w
+        |  FROM tf t JOIN dfreq USING (term) CROSS JOIN nd),
+        |norms AS (SELECT doc_id, sum(w * w) AS nrm2 FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.w * b.w) AS dot2
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 64 AND b.df <= 64
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_a, d.doc_b,
+        |  round(CAST(d.dot2 AS DOUBLE)
+        |    / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))),
+        |    6) AS cosine
+        |FROM dots d
+        |JOIN norms na ON d.doc_a = na.doc_id
+        |JOIN norms nb ON d.doc_b = nb.doc_id
+        |WHERE CAST(d.dot2 AS DOUBLE)
+        |  / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+        |  >= 0.2""".stripMargin,
+
+    // q265: the four SPRT constants are computed by the SAME JVM
+    // expressions Eval.sprt uses, inlined as integer literals; the
+    // running LLR and every crossing decision are integer arithmetic
+    "q265_sprt" -> {
+      val incS = math.round(math.log(0.55 / 0.45) * 1e6)
+      val incF = math.round(math.log(0.45 / 0.55) * 1e6)
+      val lo = math.round(math.log(0.05 / 0.95) * 1e6)
+      val hi = math.round(math.log(0.95 / 0.05) * 1e6)
+      s"""WITH obs AS (
+         |  SELECT event_type AS k, (value >= 32.0) AS s, ts, event_id
+         |  FROM events),
+         |walked AS (
+         |  SELECT k, s,
+         |    sum(CASE WHEN s THEN $incS ELSE $incF END)
+         |      OVER (PARTITION BY k ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS llr,
+         |    row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM obs),
+         |v AS (SELECT k, s, rn,
+         |    CASE WHEN llr <= $lo THEN 'h0'
+         |         WHEN llr >= $hi THEN 'h1' END AS verdict
+         |  FROM walked)
+         |SELECT k AS key, CAST(count(*) AS BIGINT) AS n_obs,
+         |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+         |  coalesce(arg_min(verdict, rn) FILTER (WHERE verdict IS NOT NULL),
+         |    'continue') AS decision,
+         |  CAST(min(rn) FILTER (WHERE verdict IS NOT NULL) AS BIGINT)
+         |    AS n_at_decision,
+         |  CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) * $incS
+         |    + (count(*) - sum(CASE WHEN s THEN 1 ELSE 0 END)) * $incF
+         |    AS BIGINT) AS llr_final_micro
+         |FROM v GROUP BY 1""".stripMargin
+    },
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

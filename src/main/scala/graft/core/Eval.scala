@@ -489,6 +489,116 @@ object Eval {
       sum("contrib_micro").as("mi_micro"))
   }
 
+  /** Pearson chi-square test of independence over the same
+    * bounded-cardinality categorical grid as [[mutualInformation]],
+    * plus Cramér's V (the [0,1]-normalized effect size):
+    *
+    *   chi2 = Σ_{x,y} (O_xy − E_xy)² / E_xy,   E_xy = n_x·n_y / n
+    *   V    = sqrt( chi2 / (n · min(k_x−1, k_y−1)) )
+    *
+    * Unlike MI, ZERO cells contribute (O=0 ⇒ (0−E)²/E = E), so the
+    * grid is completed to the full k_x×k_y cross product before
+    * scoring — the cross join is of the two DISTINCT-value tables
+    * (model-size, the documented bounded-grid contract; do not point
+    * this at an unbounded key).
+    *
+    * Determinism discipline: the corpus collapses to exact BIGINT
+    * marginals; each cell's contribution is ONE fixed float tree
+    * micro-rounded to BIGINT so the cross-cell sum is order-free; V is
+    * one more fixed float tree over BIGINTs. dof = 0 (a single row or
+    * column) yields NULL chi2/V.
+    *
+    * Output: one row (n_rows, k_x, k_y, dof, chi2_micro, cramers_v).
+    */
+  def chiSquare(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val grid = df.select(x.as("x"), y.as("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("nxy"))
+    val xs = grid.groupBy("x").agg(sum("nxy").as("nx"))
+    val ys = grid.groupBy("y").agg(sum("nxy").as("ny"))
+    val tot = grid.agg(sum("nxy").as("nn"),
+      countDistinct("x").as("kx"), countDistinct("y").as("ky"))
+    val full = xs.crossJoin(ys) // k_x × k_y, model-size by contract
+      .join(grid, Seq("x", "y"), "left")
+      .na.fill(0L, Seq("nxy"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib_micro",
+        expr("""CAST(round(
+                (CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * ny / nn)
+                * (CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * ny / nn)
+                / (CAST(nx AS DOUBLE) * ny / nn)
+                * 1000000.0) AS BIGINT)"""))
+    full.agg(
+        max("nn").as("n_rows"),
+        max("kx").as("k_x"), max("ky").as("k_y"),
+        sum("contrib_micro").as("chi2_micro"))
+      .select(col("n_rows"), col("k_x"), col("k_y"),
+        expr("(k_x - 1) * (k_y - 1)").as("dof"),
+        expr("CASE WHEN (k_x - 1) * (k_y - 1) > 0 THEN chi2_micro END")
+          .as("chi2_micro"),
+        expr("""CASE WHEN (k_x - 1) * (k_y - 1) > 0 THEN
+                round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                  / (CAST(n_rows AS DOUBLE) * least(k_x - 1, k_y - 1))), 6)
+                END""").as("cramers_v"))
+  }
+
+  /** Wald's Sequential Probability Ratio Test replayed per key — the
+    * early-stopping experiment monitor (stop an A/B arm as soon as the
+    * evidence crosses a boundary instead of waiting for a fixed n):
+    * H0: p = p0 vs H1: p = p1 over an ordered Bernoulli stream,
+    *
+    *   LLR_n = Σ_{i≤n} [ s_i·ln(p1/p0) + (1−s_i)·ln((1−p1)/(1−p0)) ]
+    *   accept H1 at the first LLR ≥ ln((1−β)/α);
+    *   accept H0 at the first LLR ≤ ln(β/(1−α)).
+    *
+    * Determinism discipline: the two per-observation increments and
+    * the two boundaries are micro-rounded to BIGINT on the driver
+    * (four literals), so the running LLR is an exact integer window
+    * sum and every crossing decision is integer comparison —
+    * engine-replayable with no float anywhere.
+    *
+    * Scale shape: ONE key-partitioned ordered window (the
+    * sessionization exchange) + one grouped aggregation; per-key state
+    * is the running sum. `order` must be a total order within keys.
+    *
+    * Output per key: (n_obs, n_success, decision 'h0'/'h1'/'continue',
+    * n_at_decision — observations consumed when the boundary was first
+    * crossed, NULL if never — and llr_final_micro).
+    */
+  def sprt(df: DataFrame, key: Column, order: Seq[Column], success: Column,
+           p0: Double, p1: Double, alpha: Double = 0.05,
+           beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0/p1 must be distinct probabilities in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha/beta in (0,1)")
+    val incS = math.round(math.log(p1 / p0) * 1e6)
+    val incF = math.round(math.log((1.0 - p1) / (1.0 - p0)) * 1e6)
+    val lo = math.round(math.log(beta / (1.0 - alpha)) * 1e6)
+    val hi = math.round(math.log((1.0 - beta) / alpha) * 1e6)
+    val w = Window.partitionBy(col("k")).orderBy(order: _*)
+    val walked = df
+      .select((Seq(key.as("k"), success.as("s")) ++ order): _*)
+      .withColumn("llr", sum(
+        when(col("s"), lit(incS)).otherwise(lit(incF)))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("verdict",
+        when(col("llr") <= lo, "h0").when(col("llr") >= hi, "h1"))
+    walked.groupBy(col("k").as("key"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("n_success"),
+        min(when(col("verdict").isNotNull,
+          struct(col("rn"), col("verdict")))).as("first_cross"))
+      .select(col("key"), col("n_obs"), col("n_success"),
+        coalesce(col("first_cross.verdict"), lit("continue"))
+          .as("decision"),
+        col("first_cross.rn").as("n_at_decision"),
+        (col("n_success") * incS + (col("n_obs") - col("n_success")) * incF)
+          .as("llr_final_micro"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between a prediction
     * and gold labels (multiclass):
     *   kappa = (po − pe) / (1 − pe)

@@ -323,4 +323,70 @@ object Retrieval {
                 THEN dcg_micro * 1000000 DIV idcg_micro END""")
           .as("ndcg_micro"))
   }
+
+  /** Sparse TF-IDF cosine pairs over the inverted term index — the
+    * WEIGHTED companion to [[graft.core.Dedup.ngramJaccardPairs]]:
+    * boilerplate-heavy near-dups share rare vocabulary with high idf
+    * mass, which set-Jaccard underweights. Classic sparse-vector
+    * similarity join (term-partitioned partial products — the
+    * Elsayed/Lin/Oard MapReduce pairwise-similarity shape):
+    *
+    *   w(d,t)   = tf(d,t) · idf_micro(t),  idf = ln((N+1)/(df+1)) + 1
+    *   cos(a,b) = Σ_t w(a,t)·w(b,t) / (‖w(a)‖·‖w(b)‖)
+    *
+    * Determinism discipline: idf is MILLI-rounded ONCE per term (milli
+    * not micro: w² products must survive production magnitudes), so
+    * weights are exact BIGINTs; per-pair dots and per-doc norms²
+    * accumulate in DECIMAL(38,0) (w² ~ 8e16 at web-scale tf·idf —
+    * BIGINT would wrap silently, the anovaF class); the cosine is
+    * sqrt/division over those exact integers — exactly-rounded IEEE
+    * ops on identical inputs, so even the threshold compare is
+    * bit-identical cross-engine.
+    *
+    * Scale shape: candidate generation is the inverted-index
+    * [[graft.expressions.PairCombinations]] walk (one exchange on
+    * term, one on the pair key); `maxDf` is the linear-scale hook —
+    * posting lists above it are dropped from pair generation (capped
+    * cosine = a lower bound: norms stay FULL-vocabulary), the q95
+    * discipline. A stop-word's d²/2 pair fan-out never happens.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val tf = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", expr(
+        """tf * CAST(round((ln((CAST(nd AS DOUBLE) + 1.0)
+          |  / (CAST(df AS DOUBLE) + 1.0)) + 1.0) * 1000.0) AS BIGINT)"""
+          .stripMargin))
+    val norms = weighted.groupBy("doc")
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("nrm2"))
+    val byTerm = weighted.filter(col("df") <= maxDf)
+      .groupBy("term")
+      .agg(collect_list(struct(col("doc"), col("w"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(array_sort(col("ds")).as("ds"))
+    val dots = byTerm.select(
+        org.apache.spark.sql.GraftShim.column(
+          graft.expressions.PairCombinations(
+            org.apache.spark.sql.GraftShim.expression(col("ds"))))
+          .as(Seq("doc_a", "w_a", "doc_b", "w_b")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(expr("CAST(w_a AS DECIMAL(38,0)) * w_b")).as("dot2"))
+    dots
+      .join(norms.select(col("doc").as("doc_a"), col("nrm2").as("na2")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc").as("doc_b"), col("nrm2").as("nb2")),
+        Seq("doc_b"))
+      .withColumn("cos", expr(
+        "CAST(dot2 AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cosine"))
+  }
 }

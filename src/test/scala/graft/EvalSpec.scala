@@ -265,6 +265,58 @@ class EvalSpec extends SparkSpec {
     assert(g2 == ((4L, 4L, 0L)), s"$g2")
   }
 
+  test("chiSquare: hand value on a 2x2, zero cell contributes E, " +
+      "degenerate grid nulls") {
+    // 2x2 with counts [[30,10],[10,30]]: E=20 everywhere, chi2 =
+    // 4*(10^2/20) = 20; V = sqrt(20/80) = 0.5
+    val rows = Seq.fill(30)(("a", 0)) ++ Seq.fill(10)(("a", 1)) ++
+      Seq.fill(10)(("b", 0)) ++ Seq.fill(30)(("b", 1))
+    val g = Eval.chiSquare(rows.toDF("x", "y"), col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(g == ((80L, 2L, 2L, 1L, 20000000L, 0.5)), s"$g")
+    // zero cell: ("b",1) absent -> O=0 contributes E -> chi2 > 0
+    val zc = Seq(("a", 0), ("a", 1), ("b", 0)).toDF("x", "y")
+    val g2 = Eval.chiSquare(zc, col("x"), col("y")).count() // one row out
+    assert(g2 == 1L)
+    val chi2z = Eval.chiSquare(zc, col("x"), col("y"))
+      .select("chi2_micro").as[Long].head()
+    // chi2 = 3*(1*... ) = 0.75 exactly for this table
+    assert(chi2z == 750000L, s"$chi2z")
+    // single column -> dof 0 -> NULL chi2 and V
+    val degen = Seq(("a", 0), ("a", 1)).toDF("x", "y")
+    assert(Eval.chiSquare(degen, col("x"), col("y"))
+      .select("chi2_micro").head().isNullAt(0))
+  }
+
+  test("sprt: crosses h1 at the first boundary hit; balanced stream " +
+      "continues; constants replay") {
+    // p0=0.25 vs p1=0.75: incS = ln(3) = +1.0986, incF = -1.0986;
+    // bounds at alpha=beta=0.05: +-ln(19) = +-2.9444 -> three
+    // successes in a row cross h1 (3*1.0986 = 3.296 > 2.944)
+    val rows = Seq(
+      ("up", 1L, true), ("up", 2L, true), ("up", 3L, true),
+      ("up", 4L, false),
+      ("flat", 1L, true), ("flat", 2L, false),
+      ("flat", 3L, true), ("flat", 4L, false))
+      .toDF("k", "i", "s")
+    val got = Eval.sprt(rows, col("k"), Seq(col("i")), col("s"),
+        p0 = 0.25, p1 = 0.75)
+      .select("key", "n_obs", "n_success", "decision", "n_at_decision")
+      .as[(String, Long, Long, String, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("up") == (("up", 4L, 3L, "h1", Some(3L))), s"${got("up")}")
+    assert(got("flat") == (("flat", 4L, 2L, "continue", None)),
+      s"${got("flat")}")
+    // llr_final is the exact integer n_s*incS + n_f*incF
+    val incS = math.round(math.log(0.75 / 0.25) * 1e6)
+    val incF = math.round(math.log(0.25 / 0.75) * 1e6)
+    val llr = Eval.sprt(rows, col("k"), Seq(col("i")), col("s"),
+        p0 = 0.25, p1 = 0.75)
+      .filter(col("key") === "up").select("llr_final_micro")
+      .as[Long].head()
+    assert(llr == 3 * incS + incF, s"$llr")
+  }
+
   test("kappa is chance-corrected where raw accuracy is not") {
     // a majority-class predictor: 90% accuracy but kappa = 0 (all
     // agreement is chance) -- the reason the audit ships kappa

@@ -262,4 +262,39 @@ class RetrievalSpec extends SparkSpec {
       .select("dcg_micro", "ndcg_micro").as[(Long, Long)].head()
     assert(gotMiss == ((0L, 0L)), s"$gotMiss")
   }
+
+  test("tfidfCosinePairs: identical docs hit 1.0, disjoint docs absent, " +
+      "maxDf drops stop-term-only pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),   // identical to 1 -> cos 1.0
+      (3L, "epsilon zeta eta theta"),   // disjoint from 1/2
+      (4L, "alpha beta iota kappa"))    // partial overlap with 1/2
+      .toDF("doc_id", "text")
+    val got = Retrieval.tfidfCosinePairs(docs, "doc_id", "text",
+        threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1.0, s"${got.get((1L, 2L))}")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    assert(got((1L, 4L)) > 0.0 && got((1L, 4L)) < 1.0)
+    // a stop term shared by EVERY doc: with maxDf below its df the
+    // candidates it alone generates vanish, but pairs that also share
+    // rare terms survive (norms stay full-vocabulary: lower bound)
+    val stop = Seq(
+      (1L, "the alpha beta"), (2L, "the alpha beta"),
+      (3L, "the epsilon zeta"), (4L, "the eta iota"))
+      .toDF("doc_id", "text")
+    val capped = Retrieval.tfidfCosinePairs(stop, "doc_id", "text",
+        threshold = 0.01, maxDf = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(capped.contains((1L, 2L)), s"$capped")
+    assert(!capped.contains((3L, 4L)), s"$capped") // 'the'-only pair
+    // uncapped finds the stop-term pairs too (the exact baseline)
+    val exact = Retrieval.tfidfCosinePairs(stop, "doc_id", "text",
+        threshold = 0.01)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(exact.contains((3L, 4L)), s"$exact")
+  }
 }
