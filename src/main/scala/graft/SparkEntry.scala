@@ -4138,6 +4138,114 @@ object SparkEntry {
         Seq(col("ts"), col("event_id")), col("value") >= 32.0,
         p0 = 0.45, p1 = 0.55)),
 
+    // Mann-Whitney U per event type (even vs odd users): the
+    // nonparametric two-sample readout beside q223's z and q257's F —
+    // ranks live on the per-type cents lattice (never a row sort),
+    // doubled midranks keep tie-averaging integer, z is one float tree
+    "q266_mann_whitney" -> ((s, dir) =>
+      Eval.mannWhitneyU(Tables.events(s, dir), col("event_type"),
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"),
+        expr("CAST(round(value * 100) AS BIGINT)"), "even", "odd")),
+
+    // two-arm log-rank over the q208 survival data (same-type
+    // inter-event waits with right-censoring at observation end):
+    // do even and odd users' waiting-time curves differ? Per-death
+    // contributions micro-round before the cross-time sum
+    "q267_log_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("fe"), col("event_id"))
+      val maxFe = ev.agg(max("fe").as("max_fe"))
+      val wLead = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("fe"), col("event_id"))
+      val obs = ev.withColumn("nxt", lead(col("fe"), 1).over(wLead))
+        .crossJoin(broadcast(maxFe))
+        .select(col("event_type"),
+          when(col("nxt").isNotNull, col("nxt") - col("fe"))
+            .otherwise(col("max_fe") - col("fe")).as("dur"),
+          col("nxt").isNotNull.as("death"),
+          (col("user_id") % 2 === 0).as("treated"))
+      Eval.logRank(obs, col("event_type"), col("dur"), col("death"),
+        col("treated"))
+    }),
+
+    // Spearman rank correlation per event type between value and hour
+    // of day — the monotone-association audit Pearson misreads on
+    // heavy-tailed value; both marginals rank on bounded lattices
+    // (cents / 24 hours), rho is one float tree over DECIMAL sums
+    "q268_spearman" -> ((s, dir) =>
+      Eval.spearman(Tables.events(s, dir), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"),
+        hour(col("ts")).cast("long"))),
+
+    // sign-flip permutation test per event type (unit = user, treated
+    // = even id) + Benjamini-Hochberg across the 5-test family —
+    // p-values are exact integer ratios (1+exceedances)/(B+1) from
+    // portable-hash replicates, every BH comparison cross-multiplied
+    // to integers; B=199 makes alpha*(B+1)=10 exact
+    "q269_perm_fdr" -> ((s, dir) =>
+      Eval.permTestFdr(Tables.events(s, dir), col("event_type"),
+        col("user_id"), expr("CAST(round(value * 100) AS BIGINT)"),
+        col("user_id") % 2 === 0, b = 199, alpha = 0.05, seed = 42L)),
+
+    // MAP@10 over the q250 BM25 panel with the binary (lang, source)
+    // relevance pool — the third retrieval metric beside MRR (q234)
+    // and nDCG (q250): AP integrates precision at every recall point;
+    // hit contributions are pure integer hits*1e6 DIV rank
+    "q270_retrieval_map" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val panel = (0L until 500L by 50L).toSeq
+      val qdocs = d.filter(col("doc_id").isin(panel: _*))
+        .filter(length(trim(col("text"))) > 0)
+      val queries = qdocs.select(col("doc_id"), concat_ws(" ",
+        slice(TextAnalysis.tokens(col("text")), 3, 16)).as("text"))
+      val ranked = graft.core.Retrieval.bm25TopK(d, queries, k = 10)
+      val rel = d.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(qdocs.select(col("doc_id").as("query_id"),
+          col("lang"), col("source"))), Seq("lang", "source"))
+        .select(col("query_id"), col("doc_id"))
+      graft.core.Retrieval.mapAtK(ranked, rel, k = 10)
+    }),
+
+    // multinomial Naive Bayes source attribution: train on even
+    // doc_ids (label = source), predict odd — the whole
+    // train→score→argmax loop is exact integer fixed point, so the
+    // per-doc predictions and scores replay relationally end to end
+    "q271_naive_bayes" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val model = graft.ml.NaiveBayes.train(
+        d.filter(col("doc_id") % 2 === 0), col("source"), col("text"))
+      graft.ml.NaiveBayes.predict(model,
+        d.filter(col("doc_id") % 2 === 1), "doc_id", col("text"))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // isotonic calibration of a value-derived score against the
+    // mod-7 label band — the MONOTONE calibration map (minimax closed
+    // form == pool-adjacent-violators) next to the raw bins of q153;
+    // all block averages are exact integer DIVs over bin prefix sums
+    "q272_isotonic" -> ((s, dir) =>
+      Eval.isotonicCalibration(Tables.events(s, dir),
+        expr("CAST(round(value * 2000) AS BIGINT)"),
+        expr("pmod(CAST(round(value * 100) AS BIGINT), 7) < 3"),
+        loMicro = 0L, hiMicro = 1000000L, nBins = 50)),
+
+    // Gini concentration of customer revenue per nation — the
+    // inequality summary beside the threshold share (q189): exact
+    // lattice rank blocks, DECIMAL sums, one integer DIV at the end
+    "q273_gini" -> ((s, dir) => {
+      val perCust = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val withNation = perCust
+        .join(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      Eval.gini(withNation, col("c_nationkey").cast("long"), col("cents"))
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -10506,6 +10614,356 @@ object SparkEntry {
          |FROM v GROUP BY 1""".stripMargin
     },
 
+    // q266: same lattice, same doubled midranks (integers end to end),
+    // z replayed as the identical float tree over the exact sums
+    "q266_mann_whitney" ->
+      """WITH r AS (
+        |  SELECT event_type AS k,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS a,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |lat AS (
+        |  SELECT k, v,
+        |    CAST(sum(CASE WHEN a = 'even' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_a,
+        |    CAST(sum(CASE WHEN a = 'odd' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_b
+        |  FROM r GROUP BY 1, 2),
+        |w AS (
+        |  SELECT k, c_a, c_b, c_a + c_b AS t,
+        |    coalesce(CAST(sum(c_a + c_b) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_below
+        |  FROM lat),
+        |agg AS (
+        |  SELECT k AS key,
+        |    CAST(sum(c_a) AS BIGINT) AS n_a,
+        |    CAST(sum(c_b) AS BIGINT) AS n_b,
+        |    sum(CAST(c_a AS DECIMAL(38,0)) * (2 * cum_below + t + 1))
+        |      AS r2sum_a,
+        |    sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3
+        |  FROM w GROUP BY 1),
+        |u AS (
+        |  SELECT key, n_a, n_b, tie3,
+        |    CAST(r2sum_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)
+        |      AS BIGINT) AS u2_a
+        |  FROM agg)
+        |SELECT key, n_a, n_b, u2_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    AND tie3 < CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b)
+        |        * (n_a + n_b) - (n_a + n_b)
+        |  THEN round(
+        |    (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+        |    / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+        |        * (CAST(n_a + n_b AS DOUBLE) + 1.0
+        |           - CAST(tie3 AS DOUBLE)
+        |             / (CAST(n_a + n_b AS DOUBLE)
+        |                * (CAST(n_a + n_b AS DOUBLE) - 1.0))))), 6)
+        |  END AS z
+        |FROM u""".stripMargin,
+
+    // q267: the q208 observation table split by user parity; at-risk
+    // via the same suffix-sum identity, per-death-time contributions
+    // micro-rounded before the order-free sum, chi2 one float tree
+    "q267_log_rank" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS fe, event_id
+        |  FROM events),
+        |mx AS (SELECT max(fe) AS max_fe FROM ev),
+        |obs AS (
+        |  SELECT event_type AS k,
+        |    CASE WHEN nxt IS NOT NULL THEN nxt - fe
+        |         ELSE max_fe - fe END AS d,
+        |    (nxt IS NOT NULL) AS ev_flag,
+        |    (user_id % 2 = 0) AS t1
+        |  FROM (SELECT user_id, event_type, fe, event_id,
+        |          lead(fe) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY fe, event_id) AS nxt
+        |        FROM ev), mx),
+        |lat AS (
+        |  SELECT k, d,
+        |    CAST(sum(CASE WHEN t1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+        |    CAST(sum(CASE WHEN NOT t1 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+        |    CAST(sum(CASE WHEN t1 AND ev_flag THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS o1,
+        |    CAST(sum(CASE WHEN (NOT t1) AND ev_flag THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS o2
+        |  FROM obs GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT k, d, e1, e2, o1, o2,
+        |    CAST(sum(e1) OVER (PARTITION BY k)
+        |      - sum(e1) OVER (PARTITION BY k ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      + e1 AS BIGINT) AS r1,
+        |    CAST(sum(e2) OVER (PARTITION BY k)
+        |      - sum(e2) OVER (PARTITION BY k ORDER BY d
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      + e2 AS BIGINT) AS r2
+        |  FROM lat),
+        |contrib AS (
+        |  SELECT k,
+        |    CAST(round((CAST(o1 AS DOUBLE)
+        |      - CAST(o1 + o2 AS DOUBLE) * r1 / (r1 + r2)) * 1000000.0)
+        |      AS BIGINT) AS oe_micro,
+        |    CASE WHEN r1 + r2 > 1 THEN
+        |      CAST(round(CAST(o1 + o2 AS DOUBLE)
+        |        * (CAST(r1 AS DOUBLE) / (r1 + r2))
+        |        * (CAST(r2 AS DOUBLE) / (r1 + r2))
+        |        * (CAST(r1 + r2 - o1 - o2 AS DOUBLE) / (r1 + r2 - 1))
+        |        * 1000000.0) AS BIGINT)
+        |    ELSE 0 END AS var_micro
+        |  FROM risk WHERE o1 + o2 > 0),
+        |census AS (
+        |  SELECT k, CAST(sum(e1) AS BIGINT) AS n_a,
+        |    CAST(sum(e2) AS BIGINT) AS n_b,
+        |    CAST(sum(o1) AS BIGINT) AS deaths_a,
+        |    CAST(sum(o2) AS BIGINT) AS deaths_b
+        |  FROM lat GROUP BY 1),
+        |sums AS (
+        |  SELECT k, CAST(sum(oe_micro) AS BIGINT) AS oe_sum_micro,
+        |    CAST(sum(var_micro) AS BIGINT) AS var_sum_micro
+        |  FROM contrib GROUP BY 1)
+        |SELECT c.k AS key, n_a, n_b, deaths_a, deaths_b,
+        |  coalesce(oe_sum_micro, 0) AS oe_sum_micro,
+        |  coalesce(var_sum_micro, 0) AS var_sum_micro,
+        |  CASE WHEN coalesce(var_sum_micro, 0) > 0 THEN
+        |    round(CAST(coalesce(oe_sum_micro, 0) AS DOUBLE)
+        |      * coalesce(oe_sum_micro, 0) / 1000000.0
+        |      / coalesce(var_sum_micro, 0), 6) END AS chi2
+        |FROM census c LEFT JOIN sums s ON c.k = s.k""".stripMargin,
+
+    // q268: joint lattice + two marginal midrank lattices, Pearson on
+    // doubled ranks from DECIMAL sums, rho the identical float tree
+    "q268_spearman" ->
+      """WITH r AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(extract(hour FROM ts) AS BIGINT) AS y
+        |  FROM events),
+        |joint AS (
+        |  SELECT g, x, y, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM r GROUP BY 1, 2, 3),
+        |mx AS (
+        |  SELECT g, x,
+        |    2 * coalesce(CAST(sum(t) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + t + 1 AS r2x
+        |  FROM (SELECT g, x, CAST(sum(cnt) AS BIGINT) AS t
+        |        FROM joint GROUP BY 1, 2)),
+        |my AS (
+        |  SELECT g, y,
+        |    2 * coalesce(CAST(sum(t) OVER (PARTITION BY g ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + t + 1 AS r2y
+        |  FROM (SELECT g, y, CAST(sum(cnt) AS BIGINT) AS t
+        |        FROM joint GROUP BY 1, 2)),
+        |agg AS (
+        |  SELECT j.g AS grp, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    sum(CAST(cnt AS DECIMAL(38,0)) * r2x) AS sx,
+        |    sum(CAST(cnt AS DECIMAL(38,0)) * r2y) AS sy,
+        |    sum(CAST(cnt AS DECIMAL(38,0)) * r2x * r2y) AS sxy,
+        |    sum(CAST(cnt AS DECIMAL(38,0)) * r2x * r2x) AS sxx,
+        |    sum(CAST(cnt AS DECIMAL(38,0)) * r2y * r2y) AS syy
+        |  FROM joint j
+        |  JOIN mx ON j.g = mx.g AND j.x = mx.x
+        |  JOIN my ON j.g = my.g AND j.y = my.y
+        |  GROUP BY 1)
+        |SELECT grp, n_rows,
+        |  CASE WHEN n_rows > 1
+        |    AND n_rows * sxx - sx * sx > 0
+        |    AND n_rows * syy - sy * sy > 0
+        |  THEN round(
+        |    CAST(n_rows * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n_rows * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM agg""".stripMargin,
+
+    // q269: the q230 hash-chain replay (fold + two avalanche rounds)
+    // drives the sign flips; p-values and every BH comparison are
+    // exact integer arithmetic — no float anywhere in the oracle
+    "q269_perm_fdr" ->
+      """WITH units AS (
+        |  SELECT event_type AS k, CAST(user_id AS VARCHAR) AS u,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v,
+        |    bool_or(user_id % 2 = 0) AS t1
+        |  FROM events GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT k, CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(abs(sum(CASE WHEN t1 THEN v ELSE -v END)) AS BIGINT)
+        |      AS obs
+        |  FROM units GROUP BY 1),
+        |ex AS (
+        |  SELECT k, u, v, unnest(generate_series(0, 198)) AS r
+        |  FROM units),
+        |h0 AS (
+        |  SELECT k, v, r, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        k || ':' || u || ':' || CAST(r AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM ex),
+        |h1 AS (SELECT k, v, r,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h0),
+        |h2 AS (SELECT k, v, r,
+        |  (xor(h, h // 65536) * 73244475) % 4294967296 AS h FROM h1),
+        |sg AS (SELECT k, v, r, xor(h, h // 65536) % 2 AS sgn FROM h2),
+        |reps AS (
+        |  SELECT k, r,
+        |    CAST(abs(sum(CASE WHEN sgn = 1 THEN v ELSE -v END))
+        |      AS BIGINT) AS stat
+        |  FROM sg GROUP BY 1, 2),
+        |pvals AS (
+        |  SELECT reps.k, n_units, obs,
+        |    CAST(sum(CASE WHEN stat >= obs THEN 1 ELSE 0 END) + 1
+        |      AS BIGINT) AS p_num
+        |  FROM reps JOIN obs ON reps.k = obs.k
+        |  GROUP BY 1, 2, 3),
+        |bh AS (
+        |  SELECT k, n_units, obs, p_num,
+        |    CAST(count(*) OVER () AS BIGINT) AS m,
+        |    CAST(row_number() OVER (ORDER BY p_num, k) AS BIGINT)
+        |      AS bh_rank
+        |  FROM pvals),
+        |rej AS (
+        |  SELECT k, n_units, obs, p_num, bh_rank,
+        |    max(CASE WHEN p_num * m <= bh_rank * 10
+        |        THEN bh_rank ELSE 0 END) OVER () AS max_rej
+        |  FROM bh)
+        |SELECT k AS key, n_units, obs AS obs_cents, p_num,
+        |  CAST(200 AS BIGINT) AS p_den, bh_rank,
+        |  (bh_rank <= max_rej) AS rejected
+        |FROM rej""".stripMargin,
+
+    // q270: the q250 BM25 ranking replay + binary pool; every AP term
+    // is integer hits*1e6 // rank — no float anywhere
+    "q270_retrieval_map" -> q270OracleSql,
+
+    // q271: the full train→score→argmax loop replayed — counts,
+    // micro-floored model log-probs, integer score sums, the same
+    // (score desc, label asc) argmax
+    "q271_naive_bayes" ->
+      """WITH ttok AS (
+        |  SELECT source AS label,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |counts AS (
+        |  SELECT label, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM ttok WHERE length(term) > 0 GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT label, CAST(sum(c) AS BIGINT) AS t_l
+        |  FROM counts GROUP BY 1),
+        |vocab AS (
+        |  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM counts),
+        |ndocs AS (
+        |  SELECT source AS label, CAST(count(*) AS BIGINT) AS n_l
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |ntot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM ndocs),
+        |tlp AS (
+        |  SELECT label, term,
+        |    CAST(floor(ln((CAST(c AS DOUBLE) + 1.0)
+        |      / (CAST(t_l AS DOUBLE) + v)) * 1000000.0) AS BIGINT) AS lp
+        |  FROM counts JOIN totals USING (label) CROSS JOIN vocab),
+        |labels AS (
+        |  SELECT d.label,
+        |    CAST(floor(ln(CAST(n_l AS DOUBLE) / n) * 1000000.0)
+        |      AS BIGINT) AS prior,
+        |    CAST(floor(ln(1.0 / (CAST(t_l AS DOUBLE) + v)) * 1000000.0)
+        |      AS BIGINT) AS dflt
+        |  FROM ndocs d JOIN totals USING (label)
+        |  CROSS JOIN vocab CROSS JOIN ntot),
+        |tf AS (
+        |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id AS id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |        FROM documents WHERE doc_id % 2 = 1)
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |ll AS (
+        |  SELECT tf.id, lb.label,
+        |    CAST(sum(tf.tf * coalesce(t.lp, lb.dflt)) AS BIGINT)
+        |      + max(lb.prior) AS score
+        |  FROM tf CROSS JOIN labels lb
+        |  LEFT JOIN tlp t ON t.label = lb.label AND t.term = tf.term
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT id, label, score, row_number() OVER (PARTITION BY id
+        |    ORDER BY score DESC, label ASC) AS rn
+        |  FROM ll)
+        |SELECT id AS doc_id, label AS predicted,
+        |  CAST(score AS BIGINT) AS score_micro
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    // q272: same bins, same prefix sums, the same minimax triple
+    // expansion — every block average an exact integer //
+    "q272_isotonic" ->
+      """WITH r AS (
+        |  SELECT CAST(round(value * 2000) AS BIGINT) AS s,
+        |    (CAST(round(value * 100) AS BIGINT) % 7) < 3 AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT greatest(least(s // 20000, 49), 0) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM r GROUP BY 1),
+        |pref AS (
+        |  SELECT bin, n_docs, n_pos,
+        |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+        |    CAST(sum(n_docs) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cn,
+        |    CAST(sum(n_pos) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cp
+        |  FROM cells),
+        |jk AS (
+        |  SELECT a.i AS j, b.i AS k,
+        |    CAST((b.cp - (a.cp - a.n_pos)) * 1000000
+        |      // (b.cn - (a.cn - a.n_docs)) AS BIGINT) AS avg_micro
+        |  FROM pref a JOIN pref b ON a.i <= b.i),
+        |mns AS (
+        |  SELECT p.i, jk.j, min(avg_micro) AS mn
+        |  FROM jk JOIN pref p ON jk.j <= p.i AND p.i <= jk.k
+        |  GROUP BY 1, 2),
+        |fits AS (
+        |  SELECT i, CAST(max(mn) AS BIGINT) AS fit_micro
+        |  FROM mns GROUP BY 1)
+        |SELECT bin, n_docs, n_pos,
+        |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS rate_micro,
+        |  fit_micro
+        |FROM pref JOIN fits USING (i)""".stripMargin,
+
+    // q273: the same lattice block identity in DECIMAL, one final //
+    "q273_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |wn AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS g, v
+        |  FROM pc JOIN customer ON o_custkey = c_custkey),
+        |lat AS (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM wn GROUP BY 1, 2),
+        |wm AS (
+        |  SELECT g, v, c,
+        |    coalesce(CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS m
+        |  FROM lat),
+        |agg AS (
+        |  SELECT g AS grp, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    sum(CAST(v AS HUGEINT) * c) AS s,
+        |    sum(CAST(v AS HUGEINT) * (c * m + c * (c + 1) // 2)) AS s1
+        |  FROM wm GROUP BY 1)
+        |SELECT grp, n_rows, CAST(s AS BIGINT) AS sum_cents,
+        |  CAST(CASE WHEN s > 0 THEN
+        |    (2 * s1 - CAST(n_rows + 1 AS HUGEINT) * s) * 1000000
+        |    // (CAST(n_rows AS HUGEINT) * s) END AS BIGINT)
+        |    AS gini_micro
+        |FROM agg""".stripMargin,
+
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->
       """WITH c AS (
@@ -11799,6 +12257,57 @@ object SparkEntry {
        |    THEN g.dcg_micro * 1000000 // i.idcg_micro END AS BIGINT)
        |    AS ndcg_micro
        |FROM got g LEFT JOIN ideal i USING (query_id)""".stripMargin
+  }
+
+  /** q270's oracle: the q250 panel's BM25 ranking replay, binary
+    * (lang, source) relevance pool, AP/precision/recall in pure
+    * integer arithmetic.
+    */
+  private lazy val q270OracleSql: String = {
+    val ctes = bm25CtesFor("",
+      """SELECT DISTINCT query_id, term FROM (
+        |    SELECT doc_id AS query_id,
+        |      unnest(list_slice(regexp_split_to_array(trim(text), '\s+'),
+        |        3, 18)) AS term
+        |    FROM documents
+        |    WHERE doc_id IN (0, 50, 100, 150, 200, 250, 300, 350, 400, 450)
+        |      AND length(trim(text)) > 0)""".stripMargin)
+    s"""WITH $ctes,
+       |qdocs AS (
+       |  SELECT doc_id AS query_id, lang, source FROM documents
+       |  WHERE doc_id IN (0, 50, 100, 150, 200, 250, 300, 350, 400, 450)
+       |    AND length(trim(text)) > 0),
+       |pool AS (
+       |  SELECT DISTINCT q.query_id, d.doc_id
+       |  FROM documents d JOIN qdocs q
+       |    ON d.lang = q.lang AND d.source = q.source),
+       |ps AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM pool GROUP BY 1),
+       |hits AS (
+       |  SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank,
+       |    CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM ranked r LEFT JOIN pool p
+       |    ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+       |  WHERE r.rank <= 10),
+       |walked AS (
+       |  SELECT query_id, rank, hit,
+       |    sum(hit) OVER (PARTITION BY query_id ORDER BY rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS hits_upto
+       |  FROM hits),
+       |pq AS (
+       |  SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits_k,
+       |    CAST(sum(CASE WHEN hit = 1
+       |      THEN hits_upto * 1000000 // rank ELSE 0 END) AS BIGINT)
+       |      AS ap_num
+       |  FROM walked GROUP BY 1)
+       |SELECT pq.query_id, coalesce(ps.n_rel, 0) AS n_rel, n_hits_k,
+       |  CAST(n_hits_k * 1000000 // 10 AS BIGINT) AS p_at_k_micro,
+       |  CAST(CASE WHEN n_rel > 0 THEN n_hits_k * 1000000 // n_rel END
+       |    AS BIGINT) AS recall_at_k_micro,
+       |  CAST(CASE WHEN n_rel > 0 THEN ap_num // least(n_rel, 10) END
+       |    AS BIGINT) AS ap_micro
+       |FROM pq LEFT JOIN ps USING (query_id)""".stripMargin
   }
 
   /** q103's oracle: RRF fusion of the BM25 chain (depth 20) and the

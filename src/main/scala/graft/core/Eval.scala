@@ -599,6 +599,398 @@ object Eval {
           .as("llr_final_micro"))
   }
 
+  /** Mann-Whitney U rank-sum test per key — the nonparametric two-
+    * sample test beside the mean-based z (q223) and F (q257): does one
+    * arm's VALUE DISTRIBUTION stochastically dominate the other's,
+    * without assuming normality (heavy-tailed revenue is exactly where
+    * the t/z family lies)?
+    *
+    * Rank arithmetic runs on the VALUE LATTICE, never per row: one
+    * aggregation collapses the corpus to (key, value) cells with
+    * per-arm counts, a key-partitioned cumulative window over each
+    * key's micro/cents lattice assigns every distinct value its
+    * DOUBLED midrank r2 = 2·(#below) + t + 1 (ties carry the exact
+    * average rank as an integer ×2 — no halves, no floats), and the
+    * rank sum / U statistic fold back as exact integer products.
+    * The normal approximation uses the tie-corrected variance
+    *   σ² = n_a·n_b/12 · [ (N+1) − Σ(t³−t)/(N(N−1)) ]
+    * with Σ(t³−t) accumulated in DECIMAL(38,0) (one corpus-sized tie
+    * group would overflow BIGINT's t³), and z is ONE fixed float tree
+    * over the exact sums — engine-replayable bit-for-bit.
+    *
+    * Scale shape: one (key, value) aggregation; the window runs over
+    * per-key value lattices (cents-rounded metrics live on a bounded
+    * lattice — the ROC-AUC contract), and one grouped aggregation
+    * finishes. Output per key: (n_a, n_b, u2_a = 2·U_A, z). Degenerate
+    * keys (an empty arm, or every value tied) yield NULL z.
+    */
+  def mannWhitneyU(df: DataFrame, key: Column, arm: Column,
+                   valueCents: Column, armA: String, armB: String): DataFrame = {
+    val lat = df
+      .select(key.as("k"), arm.as("a"), valueCents.cast("long").as("v"))
+      .filter(col("a").isin(armA, armB))
+      .groupBy("k", "v")
+      .agg(
+        sum(when(col("a") === armA, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("a") === armB, 1L).otherwise(0L)).as("c_b"))
+      .withColumn("t", col("c_a") + col("c_b"))
+    val below = Window.partitionBy("k").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lat
+      .withColumn("cum_below", coalesce(sum("t").over(below), lit(0L)))
+      .withColumn("r2", expr("2 * cum_below + t + 1"))
+      .groupBy(col("k").as("key"))
+      .agg(
+        sum("c_a").as("n_a"),
+        sum("c_b").as("n_b"),
+        // 2×rank-sum of arm A: bounded by 2N² — DECIMAL(38,0) so a
+        // billion-row key cannot wrap silently
+        sum(expr("CAST(c_a AS DECIMAL(38,0)) * r2")).as("r2sum_a"),
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie3"))
+      .select(col("key"), col("n_a"), col("n_b"),
+        // 2·U_A = 2·R_A − n_a(n_a+1); loud-guarded BIGINT cast (anovaF
+        // discipline) keeps the output schema integer
+        expr("""CASE WHEN abs(r2sum_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1))
+                     > CAST(9223372036854775807 AS DECIMAL(38,0))
+                THEN CAST(assert_true(false,
+                  'mannWhitneyU: u2_a exceeds BIGINT range') AS BIGINT)
+                ELSE CAST(r2sum_a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)
+                          AS BIGINT) END""").as("u2_a"),
+        col("tie3"))
+      .select(col("key"), col("n_a"), col("n_b"), col("u2_a"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0
+                  AND tie3 < CAST(n_a + n_b AS DECIMAL(38,0))
+                      * (n_a + n_b) * (n_a + n_b) - (n_a + n_b)
+                THEN round(
+                  (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+                  / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                      * (CAST(n_a + n_b AS DOUBLE) + 1.0
+                         - CAST(tie3 AS DOUBLE)
+                           / (CAST(n_a + n_b AS DOUBLE)
+                              * (CAST(n_a + n_b AS DOUBLE) - 1.0))))), 6)
+                END""").as("z"))
+  }
+
+  /** Two-arm log-rank test per key — the survival-curve comparison
+    * that completes the Kaplan-Meier family (q208): do treated and
+    * control users' waiting-time distributions differ, with right-
+    * censored observations handled correctly (a censored unit leaves
+    * the risk set without ever counting as an event)?
+    *
+    * Input is the KM-shaped observation table: one row per unit with
+    * its duration, an event/censor flag and a boolean arm. Per
+    * distinct duration t the corpus collapses to per-arm entry and
+    * death counts; at-risk counts are suffix sums over each key's
+    * duration lattice (total − entries strictly before t). Per death
+    * time the O−E and hypergeometric-variance contributions
+    *   o1 − d·r1/r,   d·(r1/r)·(r2/r)·(r−d)/(r−1)
+    * are each ONE fixed float tree micro-rounded to BIGINT so the
+    * cross-time sums are order-free; chi2 = (ΣOE)²/ΣV is one more
+    * float tree at the end. Keys with a degenerate risk profile
+    * (ΣV = 0) yield NULL chi2.
+    *
+    * Scale shape: one (key, dur) aggregation over the corpus; windows
+    * run over per-key duration lattices (bounded — second-granularity
+    * waits, the q208 contract). Output per key: arm sizes, per-arm
+    * death totals, oe_sum_micro, var_sum_micro, chi2.
+    */
+  def logRank(df: DataFrame, key: Column, dur: Column, death: Column,
+              treated: Column): DataFrame = {
+    val lat = df
+      .select(key.as("k"), dur.cast("long").as("d"),
+        death.cast("boolean").as("ev"), treated.cast("boolean").as("t1"))
+      .groupBy("k", "d")
+      .agg(
+        sum(when(col("t1"), 1L).otherwise(0L)).as("e1"),
+        sum(when(!col("t1"), 1L).otherwise(0L)).as("e2"),
+        sum(when(col("t1") && col("ev"), 1L).otherwise(0L)).as("o1"),
+        sum(when(!col("t1") && col("ev"), 1L).otherwise(0L)).as("o2"))
+    val perKey = Window.partitionBy("k")
+    val upto = Window.partitionBy("k").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = lat
+      .withColumn("n1", sum("e1").over(perKey))
+      .withColumn("n2", sum("e2").over(perKey))
+      .withColumn("r1", col("n1") - sum("e1").over(upto) + col("e1"))
+      .withColumn("r2", col("n2") - sum("e2").over(upto) + col("e2"))
+    // contributions live as columns on the SAME risk table (death-free
+    // lattice rows contribute exact zeros), so one grouped aggregation
+    // yields census AND test sums without re-deriving the lattice —
+    // the lead() window upstream is the expensive pass and runs once
+    val contrib = risk
+      .withColumn("dt", col("o1") + col("o2"))
+      .withColumn("rt", col("r1") + col("r2"))
+      .withColumn("oe_micro",
+        expr("""CASE WHEN dt > 0 THEN
+                CAST(round((CAST(o1 AS DOUBLE)
+                - CAST(dt AS DOUBLE) * r1 / rt) * 1000000.0) AS BIGINT)
+                ELSE 0L END"""))
+      .withColumn("var_micro",
+        expr("""CASE WHEN dt > 0 AND rt > 1 THEN
+                CAST(round(CAST(dt AS DOUBLE) * (CAST(r1 AS DOUBLE) / rt)
+                  * (CAST(r2 AS DOUBLE) / rt)
+                  * (CAST(rt - dt AS DOUBLE) / (rt - 1))
+                  * 1000000.0) AS BIGINT) ELSE 0L END"""))
+    contrib.groupBy(col("k"))
+      .agg(sum("e1").as("n_a"), sum("e2").as("n_b"),
+        sum("o1").as("deaths_a"), sum("o2").as("deaths_b"),
+        sum("oe_micro").as("oe_sum_micro"),
+        sum("var_micro").as("var_sum_micro"))
+      .select(col("k").as("key"), col("n_a"), col("n_b"),
+        col("deaths_a"), col("deaths_b"),
+        col("oe_sum_micro"), col("var_sum_micro"),
+        expr("""CASE WHEN var_sum_micro > 0 THEN
+                round(CAST(oe_sum_micro AS DOUBLE) * oe_sum_micro
+                  / 1000000.0 / var_sum_micro, 6) END""").as("chi2"))
+  }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * audit (does quality score track document length? value track hour
+    * of day?) that Pearson misreads under nonlinearity and outliers.
+    *
+    * Rank assignment runs entirely on VALUE LATTICES, never as a
+    * per-row sort: the corpus collapses to the joint (g, x, y) grid
+    * with counts, each marginal lattice gets DOUBLED midranks
+    * r2 = 2·(#below) + t + 1 via a group-partitioned cumulative window
+    * (exact tie-averaged ranks as integers — the mannWhitneyU
+    * machinery), and the joint grid joins its two marginals to fold
+    * exact DECIMAL(38,0) sufficient statistics. rho is ONE fixed float
+    * tree over those sums (Pearson on 2×ranks — the constant factor
+    * cancels), replayable bit-for-bit.
+    *
+    * Scale shape: one joint aggregation + two lattice windows + two
+    * lattice-to-lattice joins — everything after the first shuffle is
+    * lattice-sized (cents/hour-grained metrics — the ROC contract).
+    * Output per group: (n_rows, rho). Degenerate groups (a constant
+    * marginal) yield NULL rho.
+    */
+  def spearman(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val joint = df
+      .select(group.as("g"), x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy("g", "x", "y")
+      .agg(count(lit(1)).as("cnt"))
+    def marginal(c: String): DataFrame = {
+      val below = Window.partitionBy("g").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joint.groupBy("g", c)
+        .agg(sum("cnt").as("t"))
+        .withColumn("cum_below", coalesce(sum("t").over(below), lit(0L)))
+        .select(col("g"), col(c),
+          expr("2 * cum_below + t + 1").as(s"r2$c"))
+    }
+    joint
+      .join(marginal("x"), Seq("g", "x"))
+      .join(marginal("y"), Seq("g", "y"))
+      .groupBy(col("g").as("grp"))
+      .agg(
+        sum("cnt").as("n_rows"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2x")).as("sx"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2y")).as("sy"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2x * r2y")).as("sxy"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2x * r2x")).as("sxx"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * r2y * r2y")).as("syy"))
+      .select(col("grp"), col("n_rows"),
+        expr("""CASE WHEN n_rows > 1
+                  AND n_rows * sxx - sx * sx > 0
+                  AND n_rows * syy - sy * sy > 0
+                THEN round(
+                  CAST(n_rows * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)
+                         * CAST(n_rows * syy - sy * sy AS DOUBLE)), 6)
+                END""").as("rho"))
+  }
+
+  /** Gini coefficient per group — the inequality/concentration number
+    * (how unevenly is revenue spread across customers? tokens across
+    * sources?) that a threshold share (q189) or a top-k (q04) can't
+    * summarize. For sorted non-negative values x_(1)..x_(n):
+    *
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+    *
+    * Rank arithmetic runs on the VALUE LATTICE (the mannWhitneyU
+    * machinery): a block of c equal values starting after cumulative
+    * count m contributes v·(c·m + c(c+1)/2) to Σ i·x_(i) exactly —
+    * BIGINT in, DECIMAL(38,0) out (Σ i·x is ~n²·x̄ — BIGINT wraps at
+    * production scale, the anovaF class). The per-block index product
+    * c·m itself stays BIGINT: exact through ~3·10⁹ rows PER GROUP
+    * (past that the block fold needs a DECIMAL widening — documented
+    * bound, same class as cohenKappa's n ≤ 3M note). One grouped aggregation +
+    * one lattice window + one grouped aggregation; the final ratio is
+    * one integer DIV. Requires non-negative values (enforced in-plan:
+    * a negative value fails loudly rather than returning a silently
+    * out-of-range G).
+    *
+    * Output per group: (grp, n_rows, sum_cents, gini_micro); groups
+    * with zero total get NULL gini.
+    */
+  def gini(df: DataFrame, group: Column, valueCents: Column): DataFrame = {
+    val lat = df
+      .select(group.as("g"), valueCents.cast("long").as("v"))
+      .select(col("g"),
+        when(col("v") < 0,
+          expr("assert_true(false, 'gini: negative value')").cast("long"))
+          .otherwise(col("v")).as("v"))
+      .groupBy("g", "v")
+      .agg(count(lit(1)).as("c"))
+    val below = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lat
+      .withColumn("m", coalesce(sum("c").over(below), lit(0L)))
+      .groupBy(col("g").as("grp"))
+      .agg(
+        sum("c").as("n_rows"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * c")).as("s"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * (c * m + c * (c + 1) DIV 2)"))
+          .as("s1"))
+      .select(col("grp"), col("n_rows"),
+        expr("""CASE WHEN abs(s) > CAST(9223372036854775807 AS DECIMAL(38,0))
+                THEN CAST(assert_true(false,
+                  'gini: sum exceeds BIGINT range') AS BIGINT)
+                ELSE CAST(s AS BIGINT) END""").as("sum_cents"),
+        expr("""CASE WHEN s > 0 THEN
+                CAST((2 * s1 - CAST(n_rows + 1 AS DECIMAL(38,0)) * s)
+                     * 1000000 DIV (CAST(n_rows AS DECIMAL(38,0)) * s)
+                     AS BIGINT) END""").as("gini_micro"))
+  }
+
+  /** Isotonic (monotone) calibration of a classifier score via the
+    * MINIMAX closed form of isotonic regression — what Platt scaling
+    * can't do (it forces a sigmoid shape) and what raw calibration
+    * bins (q153) don't guarantee (monotonicity):
+    *
+    *   fit_i = max_{j ≤ i} min_{k ≥ i} avg(y over bins j..k)
+    *
+    * — provably equal to the pool-adjacent-violators solution, but a
+    * CLOSED FORM over prefix sums instead of a sequential pooling
+    * loop, which is what makes it distributable AND oracle-replayable.
+    *
+    * Determinism discipline: the corpus collapses to per-bin exact
+    * (n, pos) counts; every block average is the exact integer
+    * pos_diff·1e6 DIV n_diff, and min/max over integers are order-free
+    * — no float anywhere. Monotonicity survives the flooring (floor is
+    * monotone and the candidate-set inclusion argument never looks at
+    * the values).
+    *
+    * Scale shape: one corpus aggregation to ≤nBins cells, then the
+    * (j,i,k) triple expansion runs on the BIN table — O(nBins³)
+    * bounded work (512³/6 ≈ 2e7 rows at the cap — model-size,
+    * documented like the ROC lattice; the require enforces it). The
+    * prefix window is over the ≤nBins-row bin table.
+    *
+    * Output per OCCUPIED bin: (bin, n_docs, n_pos, rate_micro,
+    * fit_micro) with fit_micro monotone non-decreasing in bin.
+    */
+  def isotonicCalibration(df: DataFrame, scoreMicro: Column, label: Column,
+                          loMicro: Long, hiMicro: Long,
+                          nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 512,
+      "nBins in [1, 512]: the minimax triple expansion is O(nBins^3)")
+    val width = (hiMicro - loMicro) / nBins
+    require(width > 0 && (hiMicro - loMicro) % nBins == 0,
+      s"[$loMicro,$hiMicro] must split evenly into $nBins bins")
+    val cells = df.select(scoreMicro.cast("long").as("s"), label.as("y"))
+      .withColumn("bin",
+        expr(s"greatest(least((s - (${loMicro}L)) DIV ${width}L, ${nBins - 1}L), 0L)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"))
+    // ≤nBins rows: the bounded-lattice window contract
+    val wOrd = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pref = cells
+      .withColumn("i", count(lit(1)).over(wOrd))
+      .withColumn("cn", sum("n_docs").over(wOrd))
+      .withColumn("cp", sum("n_pos").over(wOrd))
+    val jk = pref.select(col("i").as("j"), (col("cn") - col("n_docs")).as("jn"),
+        (col("cp") - col("n_pos")).as("jp"))
+      .join(pref.select(col("i").as("k"), col("cn").as("kn"),
+        col("cp").as("kp")), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("(kp - jp) * 1000000 DIV (kn - jn)").as("avg_micro"))
+    val fits = jk
+      .join(pref.select(col("i")), col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("avg_micro").as("mn"))
+      .groupBy("i").agg(max("mn").as("fit_micro"))
+    pref.join(fits, "i")
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 DIV n_docs").as("rate_micro"),
+        col("fit_micro"))
+  }
+
+  /** Fisher-Pitman sign-flip permutation test per experiment +
+    * Benjamini-Hochberg FDR across the family — the multiple-testing
+    * discipline every many-armed experiment dashboard needs (run m
+    * tests at α and ~α·m of them lie), with p-values that are EXACT
+    * INTEGER RATIOS instead of a normal approximation:
+    *
+    *   stat_obs = |Σ_u s_u·v_u|  (s_u = +1 treated, −1 control)
+    *   stat_b   = |Σ_u σ_{u,b}·v_u|, σ from the portable avalanched
+    *              hash of (experiment, unit, replicate, seed)
+    *   p̂ = (1 + #{b : stat_b ≥ stat_obs}) / (B+1)
+    *
+    * BH then rejects experiments 1..i* in ascending-p̂ order where
+    * i* = max{ i : p̂_(i) ≤ i·α/m } — every comparison cross-multiplied
+    * to integers (α·(B+1) is required integral), so the whole
+    * procedure is engine-replayable with no float anywhere.
+    *
+    * Scale shape: units aggregate from the corpus first (one grouped
+    * aggregation); the replicate explosion is units×B map-side-
+    * combined down to B rows per experiment (the bootstrapCi
+    * discipline); the BH windows run over the m-row experiment table
+    * (model-size by construction). The hash goes through two avalanche
+    * rounds — the raw rolling fold is affine in the replicate suffix
+    * and would correlate replicates (the epoch-shuffle bug class).
+    *
+    * Output per experiment: (n_units, obs_cents, p_num, p_den,
+    * bh_rank, rejected).
+    */
+  def permTestFdr(df: DataFrame, expKey: Column, unitId: Column,
+                  valueCents: Column, treated: Column, b: Int = 199,
+                  alpha: Double = 0.05, seed: Long = 42L): DataFrame = {
+    val alphaNum = alpha * (b + 1)
+    require(alphaNum == math.rint(alphaNum) && alphaNum > 0,
+      s"alpha*(B+1) must be a positive integer (got $alphaNum): " +
+        "integer p-value comparisons need an exact threshold")
+    val units = df
+      .select(expKey.as("k"), unitId.cast("string").as("u"),
+        valueCents.cast("long").as("v"), treated.cast("boolean").as("t1"))
+      .groupBy("k", "u")
+      .agg(sum("v").as("v"), max("t1").as("t1"))
+    val obs = units.groupBy("k")
+      .agg(count(lit(1)).as("n_units"),
+        abs(sum(when(col("t1"), col("v")).otherwise(-col("v")))).as("obs"))
+    val reps = units
+      .select(col("k"), col("u"), col("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .withColumn("sgn", pmod(Sketches.mix32(TextAnalysis.rollingHash(
+        concat(col("k"), lit(":"), col("u"), lit(":"),
+          col("r").cast("string"), lit(":"), lit(seed.toString)))),
+        lit(2L)))
+      .groupBy("k", "r")
+      .agg(abs(sum(when(col("sgn") === 1L, col("v")).otherwise(-col("v"))))
+        .as("stat"))
+    val pvals = reps.join(obs, Seq("k"))
+      .groupBy(col("k"), col("n_units"), col("obs"))
+      .agg((sum(when(col("stat") >= col("obs"), 1L).otherwise(0L)) + 1L)
+        .as("p_num"))
+      .withColumn("p_den", lit((b + 1).toLong))
+    // BH over the m-row experiment table: both windows are family-size
+    // (model-size by construction — m experiments, never corpus rows)
+    val wOrd = Window.orderBy(col("p_num"), col("k"))
+    val wAll = Window.partitionBy()
+    pvals
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("bh_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("crossed",
+        when(col("p_num") * col("m") <=
+          col("bh_rank") * lit(alphaNum.toLong), col("bh_rank"))
+          .otherwise(lit(0L)))
+      .withColumn("max_rej", max("crossed").over(wAll))
+      .select(col("k").as("key"), col("n_units"),
+        col("obs").as("obs_cents"), col("p_num"), col("p_den"),
+        col("bh_rank"), (col("bh_rank") <= col("max_rej")).as("rejected"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between a prediction
     * and gold labels (multiclass):
     *   kappa = (po − pe) / (1 − pe)
@@ -609,6 +1001,38 @@ object Eval {
     * alphabet-sized cell table. Result: one row with the agreement
     * anatomy and kappa_micro.
     */
+  /** McNemar's test on PAIRED binary outcomes — the right way to
+    * compare two classifiers (or a before/after gate change) scored on
+    * the SAME items, where the two-proportion z (q223) would wrongly
+    * treat the arms as independent. Only the discordant cells matter:
+    *
+    *   chi2 = (max(|n01 − n10| − 1, 0))² / (n01 + n10)
+    *
+    * (continuity-corrected). The numerator is a perfect square of an
+    * exact count difference, so chi2_micro is PURE INTEGER arithmetic
+    * — one grouped aggregation collapses the corpus to four BIGINTs,
+    * and the significance compare runs against the integer-micro
+    * χ²₁ 5% critical value (3.841459). No float anywhere.
+    *
+    * Output: one row (n_pairs, n_both, n01 = A-only-correct, n10 =
+    * B-only-correct, chi2_micro, significant); zero discordant pairs
+    * leave chi2 NULL.
+    */
+  def mcnemar(df: DataFrame, okA: Column, okB: Column): DataFrame =
+    df.select(okA.as("a"), okB.as("b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n10"))
+      .select(col("n_pairs"), col("n_both"), col("n01"), col("n10"),
+        expr("""CASE WHEN n01 + n10 > 0 THEN
+                greatest(abs(n01 - n10) - 1, 0L)
+                * greatest(abs(n01 - n10) - 1, 0L)
+                * 1000000 DIV (n01 + n10) END""").as("chi2_micro"))
+      .withColumn("significant",
+        coalesce(col("chi2_micro") > lit(3841459L), lit(false)))
+
   def cohenKappa(df: DataFrame, gold: Column, pred: Column): DataFrame = {
     val cells = df.select(gold.as("gold"), pred.as("pred"))
       .groupBy("gold", "pred")

@@ -182,6 +182,51 @@ object GraphOps {
     nEdges.crossJoin(nWedges).crossJoin(nTri)
   }
 
+  /** Adamic-Adar link prediction over an undirected edge table — the
+    * classic common-neighbor score that weights RARE shared neighbors
+    * higher than hubs (Adamic & Adar 2003):
+    *
+    *   AA(u,v) = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
+    *
+    * Every wedge center w has deg(w) ≥ 2 by construction (it connects
+    * two distinct endpoints), so ln never sees 1 and the per-center
+    * term round(1e6/ln(deg_w)) is ONE float op micro-rounded at the
+    * DEGREE TABLE (model-size) — pair scores are exact BIGINT sums,
+    * order-free, engine-replayable.
+    *
+    * Scale shape: candidate pairs fan out deg²/2 per wedge center —
+    * the hot-hub quadratic (the maxDf class). `maxDeg` drops centers
+    * above the cap from wedge generation (score becomes a lower
+    * bound; survivors' terms stay exact — the q95/q261 capped-path
+    * contract). One degree aggregation, one capped self-join on the
+    * center, one grouped sum; `is_edge` flags pairs already present
+    * (link prediction ranks the non-edges; evaluation wants both).
+    */
+  def adamicAdar(edges0: DataFrame, aCol: String, bCol: String,
+                 maxDeg: Int = Int.MaxValue): DataFrame = {
+    require(maxDeg >= 2, "maxDeg must be >= 2")
+    val e = edges0.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val nbrs = e.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("n")))
+    val deg = nbrs.groupBy("w").agg(count(lit(1)).as("d"))
+    val term = deg
+      .filter(col("d") >= 2 && col("d") <= maxDeg)
+      .withColumn("t_micro",
+        expr("CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)"))
+    val capped = nbrs.join(term, "w")
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"),
+        col("x.t_micro").as("t_micro"))
+    pairs.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum("t_micro").as("aa_micro"))
+      .join(e.withColumn("is_edge", lit(true)), Seq("a", "b"), "left")
+      .na.fill(false, Seq("is_edge"))
+  }
+
   /** Deterministic negative-edge sampling for link-prediction
     * training: each positive edge draws `candidates` pseudo-random
     * vertices (avalanched portable hash of (a, b, i, seed) mapped to

@@ -324,6 +324,62 @@ object Retrieval {
           .as("ndcg_micro"))
   }
 
+  /** MAP@k (mean-average-precision family) over a retrieved ranking
+    * against BINARY relevance — the third member of the eval panel
+    * beside MRR (one gold doc, q234) and nDCG (graded, q250): average
+    * precision integrates precision at every recall point, so it
+    * rewards putting ALL relevant docs early, not just the first.
+    *
+    *   AP@k = (1 / min(R, k)) · Σ_{hits i≤k} P@rank_i,
+    *   P@r  = hits-at-or-before-r / r,  R = |relevance pool|
+    *
+    * Fixed-point discipline: each hit contributes the exact integer
+    * hits·1e6 DIV rank (pure integer division — no float anywhere),
+    * summed order-free; the AP normalization is one more integer DIV.
+    * Precision/recall@k come from the same exact counters. Queries
+    * with an empty relevance pool get NULL ap (undefined, not zero).
+    *
+    * Scale shape: `ranked` is k-bounded per query by construction; the
+    * hit-counter window is per-query over ≤k rows (partitioned, never
+    * global); R comes from one grouped count of the relevance pool.
+    *
+    * @param ranked (query_id, rank, doc_id) — 1-based (extra columns
+    *               ignored)
+    * @param rel    (query_id, doc_id) — the binary relevance pool
+    *               (extra columns ignored; duplicates collapse)
+    * @return one row per query: (query_id, n_rel, n_hits_k,
+    *         p_at_k_micro, recall_at_k_micro, ap_micro)
+    */
+  def mapAtK(ranked: DataFrame, rel: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pool = rel.select(col("query_id"), col("doc_id")).distinct()
+    val poolSize = pool.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(pool.withColumn("hit", lit(1L)),
+        Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+    val wq = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, 0) // ≤k rows per query
+    val perQuery = hits
+      .withColumn("hits_upto", sum("hit").over(wq))
+      .groupBy("query_id")
+      .agg(
+        sum("hit").as("n_hits_k"),
+        // Σ over hit positions of P@rank in exact micro
+        sum(expr("CASE WHEN hit = 1 THEN hits_upto * 1000000 DIV rank " +
+          "ELSE 0L END")).as("ap_num_micro"))
+    perQuery.join(poolSize, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .select(col("query_id"), col("n_rel"), col("n_hits_k"),
+        expr(s"n_hits_k * 1000000 DIV $k").as("p_at_k_micro"),
+        expr("CASE WHEN n_rel > 0 THEN n_hits_k * 1000000 DIV n_rel END")
+          .as("recall_at_k_micro"),
+        expr(s"""CASE WHEN n_rel > 0
+                 THEN ap_num_micro DIV least(n_rel, CAST($k AS BIGINT))
+                 END""").as("ap_micro"))
+  }
+
   /** Sparse TF-IDF cosine pairs over the inverted term index — the
     * WEIGHTED companion to [[graft.core.Dedup.ngramJaccardPairs]]:
     * boilerplate-heavy near-dups share rare vocabulary with high idf

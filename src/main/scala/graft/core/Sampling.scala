@@ -152,6 +152,48 @@ object Sampling {
       .filter(col("u_micro") < col(weightMicroCol))
   }
 
+  /** Fixed-size PPS (probability-proportional-to-size) sampling per
+    * stratum — sequential Poisson sampling (Ohlsson '98, the Saavedra
+    * estimator family): rank rows by ξ_i = u_i / size_i and keep the n
+    * smallest per stratum, so a document's inclusion probability is
+    * ≈ n·size_i/Σsize — the token-budget-aware way to draw a FIXED
+    * number of docs per source where Bernoulli sampling
+    * ([[weightedSample]]) only fixes the EXPECTED count.
+    *
+    * Determinism discipline: u is the portable avalanched hash of
+    * (id, seed) in [0, 1e6); the sort key is the QUANTIZED integer
+    * u·1e12 DIV size (exact integer floor — no float division whose
+    * ties would be engine-dependent), with the id as the total
+    * tie-break. Pure function of (id, seed): reproducible across
+    * engines, reruns and partitionings, and replayable in SQL.
+    *
+    * Scale shape: one narrow projection computes keys, one PER-STRATUM
+    * rank window (partitioned — the q91 exact-gate shape) keeps n; at
+    * extreme per-stratum cardinality the same key feeds a
+    * percentile_approx threshold instead (the documented q91 scale
+    * path). Sizes must be positive.
+    */
+  def ppsSample(df: DataFrame, strataCol: String, idCol: String,
+                sizeCol: String, n: Int, seed: Long = 42L): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__size",
+        when(col(sizeCol) <= 0L, expr(
+          "CAST(assert_true(false, 'ppsSample: non-positive size') AS BIGINT)"))
+          .otherwise(col(sizeCol).cast("long")))
+      .withColumn("__u", pmod(Sketches.mix32(TextAnalysis.rollingHash(
+        concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))),
+        lit(1000000L)))
+      .withColumn("pps_key", expr("__u * 1000000000000 DIV __size"))
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("pps_key").asc, col(idCol).asc)
+    keyed
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__size", "__u", "__rk")
+  }
+
   /** Temperature-flattened source mixing (the multilingual/multi-source
     * sampling rule of mT5/XLM-R shape): keep source s at rate
     * (n_min / n_s)^(1−α) — α = 1 keeps the natural distribution,

@@ -454,6 +454,18 @@ object SnapshotTable {
     Files.createDirectories(manifestDir(table))
     val root = mapper.createObjectNode()
     root.put("version", version)
+    // commit wall-clock for AS OF TIMESTAMP time travel — metadata
+    // only, never part of any data hash (the gate reads it back via
+    // commitTimeOf, so results stay deterministic). STRICTLY MONOTONE
+    // across versions (clock-skew / same-millisecond commits bump to
+    // prev+1, the Delta in-commit-timestamp discipline) so the floor
+    // lookup "latest version at ts" is always unambiguous.
+    val nowMs = System.currentTimeMillis()
+    root.put("committedAtMs",
+      if (version > 0 &&
+          Files.exists(manifestDir(table).resolve(s"v${version - 1}.json")))
+        math.max(nowMs, commitTimeOf(table, version - 1) + 1L)
+      else nowMs)
     schema.foreach(s => root.put("schema", s.json))
     if (txns.nonEmpty) {
       val t = root.putObject("txns")
@@ -964,6 +976,38 @@ object SnapshotTable {
     }
     // column mapping: files/stats stay physical, callers see logical
     toLogical(physical, columnMappingOf(table, Some(v)))
+  }
+
+  /** Commit wall-clock of `version` in epoch millis. Manifests written
+    * before the `committedAtMs` field existed fall back to the
+    * manifest file's mtime — same source Delta's timestamp resolution
+    * uses when the commit info is absent.
+    */
+  def commitTimeOf(table: String, version: Int): Long = {
+    val p = manifestDir(table).resolve(s"v$version.json")
+    require(Files.exists(p), s"no version $version in $table")
+    val node = mapper.readTree(Files.readString(p))
+    if (node.has("committedAtMs")) node.get("committedAtMs").asLong()
+    else Files.getLastModifiedTime(p).toMillis
+  }
+
+  /** AS OF TIMESTAMP time travel: read the LATEST version whose commit
+    * time is ≤ `tsMs` (the Delta/Iceberg floor semantics — "the table
+    * as a reader at that instant saw it"). Versions committed in the
+    * same millisecond resolve to the highest version (a reader at that
+    * instant saw the last one). Fails loudly when `tsMs` predates the
+    * first commit — there was no table to read.
+    */
+  def readAsOfTimestamp(spark: SparkSession, table: String, tsMs: Long,
+                        prune: Seq[ColRange] = Nil,
+                        probes: Seq[ColProbe] = Nil): DataFrame = {
+    val latest = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $table"))
+    val v = (0 to latest).filter(commitTimeOf(table, _) <= tsMs)
+    require(v.nonEmpty,
+      s"timestamp $tsMs predates the first commit of $table " +
+        s"(${commitTimeOf(table, 0)})")
+    read(spark, table, Some(v.max), prune, probes)
   }
 
   /** The snapshot's logical schema (manifest union schema when

@@ -325,4 +325,210 @@ class EvalSpec extends SparkSpec {
       .select("n_agree", "kappa_micro").as[(Long, Long)].head()
     assert(got._1 == 9L && got._2 == 0L)
   }
+
+  test("mannWhitneyU: hand-checked midranks, U and tie-corrected z") {
+    // A = {1, 2}, B = {2, 3}: ranks 1, 2.5 | 2.5, 4 -> R_A = 3.5,
+    // U_A = 0.5 (u2_a = 1); sigma^2 = (4/12)*(5 - 6/12) = 1.5
+    val df = Seq(("g", "a", 1L), ("g", "a", 2L), ("g", "b", 2L),
+      ("g", "b", 3L)).toDF("k", "arm", "v")
+    val got = Eval.mannWhitneyU(df, col("k"), col("arm"), col("v"),
+        "a", "b")
+      .select("n_a", "n_b", "u2_a", "z")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1 == 2L && got._2 == 2L && got._3 == 1L)
+    val z = -3.0 / (2.0 * math.sqrt(1.5))
+    assert(math.abs(got._4 - math.rint(z * 1e6) / 1e6) < 1e-9, s"$got")
+  }
+
+  test("mannWhitneyU: degenerate keys yield NULL z; partition " +
+      "invariant") {
+    val df = Seq(("tied", "a", 5L), ("tied", "b", 5L), ("tied", "a", 5L),
+      ("onearm", "a", 1L), ("onearm", "a", 2L)).toDF("k", "arm", "v")
+    val got = Eval.mannWhitneyU(df, col("k"), col("arm"), col("v"),
+        "a", "b").select("key", "z").collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(got("tied") && got("onearm"))
+    val big = spark.range(2000).selectExpr("'k' AS k",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS arm",
+      "CAST(id % 37 AS BIGINT) AS v")
+    val a = Eval.mannWhitneyU(big, col("k"), col("arm"), col("v"),
+      "a", "b").select("u2_a", "z").as[(Long, Double)].head()
+    val b = Eval.mannWhitneyU(big.repartition(13), col("k"), col("arm"),
+      col("v"), "a", "b").select("u2_a", "z").as[(Long, Double)].head()
+    assert(a == b)
+  }
+
+  test("logRank: hand-checked two-arm contributions with censoring") {
+    // T: death@1, censor@3; C: death@1, death@2
+    // t=1: O-E = 0, V = 2*(1/2)(1/2)(2/3) = 1/3
+    // t=2: O-E = -1/2, V = 1/4; t=3: censored only, no contribution
+    val df = Seq(("g", 1L, true, true), ("g", 3L, false, true),
+      ("g", 1L, true, false), ("g", 2L, true, false))
+      .toDF("k", "dur", "death", "t1")
+    val got = Eval.logRank(df, col("k"), col("dur"), col("death"),
+        col("t1"))
+      .select("n_a", "n_b", "deaths_a", "deaths_b", "oe_sum_micro",
+        "var_sum_micro", "chi2")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    assert(got._1 == 2L && got._2 == 2L && got._3 == 1L && got._4 == 2L)
+    assert(got._5 == -500000L && got._6 == 333333L + 250000L)
+    val chi2 = 500000.0 * 500000.0 / 1e6 / 583333.0
+    assert(math.abs(got._7 - math.rint(chi2 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("logRank: identical arms cancel; all-censored key reports " +
+      "zero sums with NULL chi2") {
+    val same = Seq.tabulate(20) { i =>
+      ("g", (i % 5 + 1).toLong, true, i % 2 == 0)
+    }.toDF("k", "dur", "death", "t1")
+    // arms interleave over identical duration profiles: |O-E| stays
+    // small and chi2 exists (variance positive)
+    val gotSame = Eval.logRank(same, col("k"), col("dur"), col("death"),
+      col("t1")).select("chi2").as[Double].head()
+    assert(math.abs(gotSame) < 1.0)
+    val cens = Seq(("c", 1L, false, true), ("c", 2L, false, false))
+      .toDF("k", "dur", "death", "t1")
+    val r = Eval.logRank(cens, col("k"), col("dur"), col("death"),
+      col("t1")).select("oe_sum_micro", "var_sum_micro", "chi2").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
+  test("spearman: monotone = +/-1 exactly, ties via doubled midranks") {
+    val up = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L))
+      .toDF("g", "x", "y")
+    assert(Eval.spearman(up, col("g"), col("x"), col("y"))
+      .select("rho").as[Double].head() == 1.0)
+    val down = Seq(("g", 1L, 30L), ("g", 2L, 20L), ("g", 3L, 10L))
+      .toDF("g", "x", "y")
+    assert(Eval.spearman(down, col("g"), col("x"), col("y"))
+      .select("rho").as[Double].head() == -1.0)
+    // duplicated point stays perfectly monotone under average ranks
+    val tied = Seq(("g", 1L, 1L), ("g", 1L, 1L), ("g", 2L, 2L))
+      .toDF("g", "x", "y")
+    assert(Eval.spearman(tied, col("g"), col("x"), col("y"))
+      .select("rho").as[Double].head() == 1.0)
+    // constant marginal -> NULL (rank variance zero)
+    val const = Seq(("g", 1L, 7L), ("g", 2L, 7L)).toDF("g", "x", "y")
+    assert(Eval.spearman(const, col("g"), col("x"), col("y"))
+      .select("rho").head().isNullAt(0))
+  }
+
+  test("spearman: rank-invariant under monotone transforms of x") {
+    val df = spark.range(500).selectExpr("'g' AS g",
+      "CAST(id % 91 AS BIGINT) AS x",
+      "CAST((id * id) % 73 AS BIGINT) AS y")
+    val a = Eval.spearman(df, col("g"), col("x"), col("y"))
+      .select("rho").as[Double].head()
+    // x -> x^3 + 7 preserves order exactly -> identical rho
+    val b = Eval.spearman(df.selectExpr("g", "x * x * x + 7 AS x", "y"),
+      col("g"), col("x"), col("y")).select("rho").as[Double].head()
+    assert(a == b)
+  }
+
+  test("permTestFdr: null data never rejects, strong signal always " +
+      "does; p-values are exact integer ratios") {
+    // all-zero metric: every permuted stat equals the observed 0 ->
+    // p = (1+B)/(B+1) = 1 exactly, nothing rejected
+    val nul = Seq.tabulate(20) { i =>
+      ("e" + (i % 2), i.toLong, 0L, i % 2 == 0)
+    }.toDF("k", "u", "v", "t")
+    val gotNull = Eval.permTestFdr(nul, col("k"), col("u"), col("v"),
+      col("t"), b = 199).select("p_num", "p_den", "rejected").collect()
+    assert(gotNull.forall(r =>
+      r.getLong(0) == 200L && r.getLong(1) == 200L && !r.getBoolean(2)))
+    // 64 treated units all +100: obs = 6400; a replicate ties it only
+    // if all 64 hash signs agree (~2^-63 per replicate — and the draw
+    // is deterministic, so this pin cannot flake once green)
+    val strong = Seq.tabulate(64) { i =>
+      ("exp", i.toLong, 100L, true)
+    }.toDF("k", "u", "v", "t")
+    val gotStrong = Eval.permTestFdr(strong, col("k"), col("u"),
+        col("v"), col("t"), b = 199)
+      .select("obs_cents", "p_num", "rejected").head()
+    assert(gotStrong.getLong(0) == 6400L && gotStrong.getLong(1) == 1L
+      && gotStrong.getBoolean(2))
+  }
+
+  test("permTestFdr: BH rejections are a prefix of the p-value order; " +
+      "non-integral alpha*(B+1) fails loudly") {
+    val mixed = Seq.tabulate(96) { i =>
+      val exp = "e" + (i % 4)
+      // e0/e1 carry signal (treated +200), e2/e3 pure noise around 0
+      val v = if (i % 4 <= 1) { if (i % 2 == 0) 200L else 0L }
+              else { if (i % 2 == 0) 1L else -1L }
+      (exp, i.toLong, v, i % 2 == 0)
+    }.toDF("k", "u", "v", "t")
+    val got = Eval.permTestFdr(mixed, col("k"), col("u"), col("v"),
+        col("t"), b = 199)
+      .orderBy("bh_rank")
+      .select("bh_rank", "rejected").as[(Long, Boolean)].collect()
+    val lastRej = got.filter(_._2).map(_._1).maxOption.getOrElse(0L)
+    assert(got.forall { case (rk, rej) => rej == (rk <= lastRej) })
+    intercept[IllegalArgumentException] {
+      Eval.permTestFdr(mixed, col("k"), col("u"), col("v"), col("t"),
+        b = 200)
+    }
+  }
+
+  test("isotonicCalibration: minimax equals the classic PAV result " +
+      "on the textbook violator sequence") {
+    // bins 0..3 hold y = [1, 0, 1, 1]: PAV pools the first two ->
+    // [0.5, 0.5, 1, 1]
+    val df = Seq((0L, true), (1L, false), (2L, true), (3L, true))
+      .toDF("s", "y")
+    val got = Eval.isotonicCalibration(df, col("s"), col("y"),
+        0L, 4L, 4)
+      .orderBy("bin").select("fit_micro").as[Long].collect().toSeq
+    assert(got == Seq(500000L, 500000L, 1000000L, 1000000L))
+    // fully decreasing input pools to one flat block
+    val dec = Seq((0L, true), (1L, true), (2L, false), (3L, false))
+      .toDF("s", "y")
+    val flat = Eval.isotonicCalibration(dec, col("s"), col("y"),
+        0L, 4L, 4)
+      .orderBy("bin").select("fit_micro").as[Long].collect().toSeq
+    assert(flat == Seq(500000L, 500000L, 500000L, 500000L))
+  }
+
+  test("isotonicCalibration: fit is monotone and mass-weighted on a " +
+      "noisy synthetic score") {
+    val df = spark.range(5000).selectExpr(
+      "CAST(id % 1000 AS BIGINT) * 1000 AS s",
+      "(id * 2654435761) % 997 < (id % 1000) AS y")
+    val got = Eval.isotonicCalibration(df, col("s"), col("y"),
+        0L, 1000000L, 40)
+      .orderBy("bin").select("fit_micro").as[Long].collect().toSeq
+    assert(got.zip(got.tail).forall { case (a, b) => a <= b }, s"$got")
+    assert(got.last > got.head) // real signal, not a flat fit
+  }
+
+  test("gini: zero for equality, hand-checked concentration, loud on " +
+      "negative values") {
+    val eq = Seq(("g", 50L), ("g", 50L), ("g", 50L)).toDF("g", "v")
+    assert(Eval.gini(eq, col("g"), col("v"))
+      .select("gini_micro").as[Long].head() == 0L)
+    // [0,0,0,100]: G = (2*400 - 5*100)/(4*100) = 0.75
+    val conc = Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 100L))
+      .toDF("g", "v")
+    val got = Eval.gini(conc, col("g"), col("v"))
+      .select("n_rows", "sum_cents", "gini_micro")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((4L, 100L, 750000L)))
+    val neg = Seq(("g", -1L)).toDF("g", "v")
+    intercept[Exception] {
+      Eval.gini(neg, col("g"), col("v")).collect()
+    }
+  }
+
+  test("gini: partition invariant; zero-total group yields NULL") {
+    val big = spark.range(3000).selectExpr(
+      "CAST(id % 4 AS STRING) AS g", "CAST((id * id) % 997 AS BIGINT) AS v")
+    val a = Eval.gini(big, col("g"), col("v"))
+      .orderBy("grp").as[(String, Long, Long, Long)].collect().toSeq
+    val b = Eval.gini(big.repartition(11), col("g"), col("v"))
+      .orderBy("grp").as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    val zero = Seq(("z", 0L), ("z", 0L)).toDF("g", "v")
+    assert(Eval.gini(zero, col("g"), col("v"))
+      .select("gini_micro").head().isNullAt(0))
+  }
 }

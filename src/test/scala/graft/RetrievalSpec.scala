@@ -297,4 +297,33 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
     assert(exact.contains((3L, 4L)), s"$exact")
   }
+
+  test("mapAtK: hand-checked AP, precision and recall; perfect " +
+      "ranking scores exactly 1.0") {
+    val ranked = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (1L, 4L, 40L)).toDF("query_id", "rank", "doc_id")
+    val rel = Seq((1L, 10L), (1L, 30L), (1L, 99L))
+      .toDF("query_id", "doc_id")
+    // hits at ranks 1 and 3: AP = (1 + 2/3)/min(3,10) in micro DIVs
+    val got = Retrieval.mapAtK(ranked, rel, k = 10)
+      .select("n_rel", "n_hits_k", "p_at_k_micro", "recall_at_k_micro",
+        "ap_micro").as[(Long, Long, Long, Long, Long)].head()
+    assert(got == ((3L, 2L, 200000L, 666666L,
+      (1000000L + 2000000L / 3L) / 3L)))
+    val perfect = Seq.tabulate(5)(i => (7L, (i + 1).toLong, i.toLong))
+      .toDF("query_id", "rank", "doc_id")
+    val pRel = (0L until 5L).map(d => (7L, d)).toDF("query_id", "doc_id")
+    assert(Retrieval.mapAtK(perfect, pRel, k = 5)
+      .select("ap_micro").as[Long].head() == 1000000L)
+  }
+
+  test("mapAtK: empty relevance pool yields NULL ap, zero recall " +
+      "denominator never divides") {
+    val ranked = Seq((1L, 1L, 10L)).toDF("query_id", "rank", "doc_id")
+    val rel = Seq((2L, 10L)).toDF("query_id", "doc_id") // other query
+    val r = Retrieval.mapAtK(ranked, rel, k = 10)
+      .filter(col("query_id") === 1L)
+      .select("n_rel", "recall_at_k_micro", "ap_micro").head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
 }

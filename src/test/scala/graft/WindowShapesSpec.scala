@@ -57,7 +57,16 @@ class WindowShapesSpec extends SparkSpec {
     ("q28_anomaly_scores", 0, false,
       "daily rollup + rolling window are user-partitioned"),
     ("q07_rolling_mean", 0, false,
-      "rolling window is user-partitioned"))
+      "rolling window is user-partitioned"),
+    ("q266_mann_whitney", 0, false,
+      "midrank lattice windows are key-partitioned"),
+    ("q267_log_rank", 0, false,
+      "at-risk suffix sums are key-partitioned"),
+    ("q268_spearman", 0, false,
+      "both marginal midrank windows are group-partitioned"),
+    ("q269_perm_fdr", 3, false,
+      "BH rank/census windows run over the m-row experiment family " +
+        "table (model-size by construction, never corpus rows)"))
 
   cases.foreach { case (name, allowed, takeOrdered, why) =>
     test(s"$name: <=$allowed unpartitioned window(s) — $why") {
