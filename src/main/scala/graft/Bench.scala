@@ -9,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The budget-violation rule, shared verbatim with
+    * `tools/check_budget.py` (FACTOR=2.0, ABS_SLACK=0.5): a query is
+    * over budget only when it exceeds BOTH the relative and absolute
+    * guards. `BenchGateSpec` pins these constants against the Python
+    * source so the in-suite re-measure trigger can never diverge from
+    * the gate that reds the round (VERDICT r11 #3).
+    */
+  val Factor = 2.0
+  val AbsSlack = 0.5
+  def overBudget(seconds: Double, budget: Double): Boolean =
+    seconds > math.max(Factor * budget, budget + AbsSlack)
+
   /** Per-query budget seconds from BENCH_BUDGET.json (same file the
     * gate's checker reads); empty when absent. Jackson rides Spark's
     * classpath.
@@ -74,9 +86,13 @@ object Bench {
     // does not, so it can no longer redden the gate.
     val budget = budgets()
     val byName = selected.toMap
+    // every re-measure (trigger + redo seconds) is recorded in the
+    // artifact: r11's q68 kept its first-pass value because the redo
+    // was slower, and first_pass==final was misread as "never
+    // triggered" — the remeasured object makes the trigger provable
+    val remeasured = Vector.newBuilder[(String, Double)]
     val results = firstPass.map { case (name, t) =>
-      val over = budget.get(name)
-        .exists(b => t > math.max(2.0 * b, b + 0.5))
+      val over = budget.get(name).exists(b => overBudget(t, b))
       if (!over) name -> t
       else {
         System.err.println(
@@ -85,6 +101,7 @@ object Bench {
         System.gc()
         val redo = (1 to 2).map(_ => timeOnce(byName(name), name)).min
         System.err.println(f"[bench] $name: re-measured ${redo}%.2fs")
+        remeasured += (name -> redo)
         name -> math.min(t, redo)
       }
     }
@@ -156,8 +173,9 @@ object Bench {
     // driver captures only a stdout TAIL, which has truncated the
     // queries object mid-round — the artifact file survives
     // independent of console buffering
+    val rm = obj(remeasured.result())
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","first_pass":$fp,"queries":$qs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","first_pass":$fp,"remeasured":$rm,"queries":$qs}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "target/bench_last.json")
     val f = new java.io.File(outPath)

@@ -397,7 +397,15 @@ object ScaleProbe {
       // per-arm window is one exchange); q264 = the q19/q95 inverted-
       // index family with the df<=64 cap — expect the capped curve
       "q262_unpivot", "q263_chi2", "q264_tfidf_cosine_pairs",
-      "q265_sprt")
+      "q265_sprt",
+      // round-12: distributed suffix array. Linear by construction at
+      // every stage: log(maxDocLen) re-rank rounds over the position
+      // table, candidates are SA-ADJACENT pairs only (n-1 rows — the
+      // replicated corpus multiplies equal-suffix groups but adjacency
+      // stays one pair per neighbor), occurrence rematch is topK-
+      // bounded broadcast. Expect the linear curve plus the fixed
+      // driver-round overhead
+      "q274_longest_repeats")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

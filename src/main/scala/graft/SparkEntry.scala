@@ -4246,6 +4246,18 @@ object SparkEntry {
       Eval.gini(withNation, col("c_nationkey").cast("long"), col("cents"))
     }),
 
+    // distributed suffix array (prefix doubling) over the documents
+    // corpus: the 20 LONGEST exactly-repeated substrings at UNBOUNDED
+    // length — the Lee et al. 2022 ExactSubstr shape that closes the
+    // dupSpans fixed-window gap (q72 reports 8-token coverage; this
+    // reports the 90+-token clones at their true length). Candidates
+    // are SA-adjacent pairs only (never all-pairs), pre-filtered by
+    // rank-bucket equality at the widest level <= minLen
+    "q274_longest_repeats" -> ((s, dir) =>
+      graft.core.SuffixArray.longestRepeats(
+        Tables.documents(s, dir), "doc_id", "text",
+        minLen = 12, topK = 20)),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -10895,11 +10907,13 @@ object SparkEntry {
         |FROM best WHERE rn = 1""".stripMargin,
 
     // q272: same bins, same prefix sums, the same minimax triple
-    // expansion — every block average an exact integer //
+    // expansion — every block average an exact integer //. The label
+    // mod is pmod-equivalent ((x%7+7)%7) to match Spark's pmod even
+    // if values ever go negative (DuckDB % keeps the dividend's sign)
     "q272_isotonic" ->
       """WITH r AS (
         |  SELECT CAST(round(value * 2000) AS BIGINT) AS s,
-        |    (CAST(round(value * 100) AS BIGINT) % 7) < 3 AS y
+        |    (((CAST(round(value * 100) AS BIGINT) % 7) + 7) % 7) < 3 AS y
         |  FROM events),
         |cells AS (
         |  SELECT greatest(least(s // 20000, 49), 0) AS bin,
@@ -10963,6 +10977,52 @@ object SparkEntry {
         |    // (CAST(n_rows AS HUGEINT) * s) END AS BIGINT)
         |    AS gini_micro
         |FROM agg""".stripMargin,
+
+    // q274: the literal suffix sort — DuckDB orders the actual token
+    // LISTS (shorter-prefix-first, exactly the sentinel order the
+    // prefix-doubling ranks encode), takes adjacent full LCPs via a
+    // first-difference scan, and re-counts winners by exact slice
+    // equality. Algorithm-independent result: the adjacent-LCP set
+    // depends only on the sorted content multiset, never on tie order
+    "q274_longest_repeats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks)))::BIGINT AS p
+        |  FROM docs),
+        |suf AS (SELECT doc_id, p - 1 AS pos, toks[p:] AS s FROM pos),
+        |ord AS (SELECT doc_id, pos, s,
+        |        row_number() OVER (ORDER BY s, doc_id, pos) AS rn FROM suf),
+        |adj AS (
+        |  SELECT a.rn AS rn, a.s AS sa, b.s AS sb,
+        |         least(len(a.s), len(b.s)) AS m
+        |  FROM ord a JOIN ord b ON b.rn = a.rn + 1),
+        |lcpk AS (
+        |  SELECT rn, m, unnest(generate_series(1, m))::BIGINT AS k, sa, sb
+        |  FROM adj),
+        |lcp AS (
+        |  SELECT rn, any_value(sa) AS sa,
+        |    CASE WHEN min(CASE WHEN sa[k] <> sb[k] THEN k END) IS NULL
+        |         THEN any_value(m)
+        |         ELSE min(CASE WHEN sa[k] <> sb[k] THEN k END) - 1 END AS l
+        |  FROM lcpk GROUP BY rn),
+        |winners AS (
+        |  SELECT DISTINCT array_to_string(sa[1:l], ' ') AS repeat_text,
+        |         l AS repeat_len
+        |  FROM lcp WHERE l >= 12
+        |  ORDER BY repeat_len DESC, repeat_text ASC LIMIT 20),
+        |occ AS (
+        |  SELECT w.repeat_text, w.repeat_len,
+        |         CAST(count(*) AS BIGINT) AS n_occurrences,
+        |         CAST(count(DISTINCT f.doc_id) AS BIGINT) AS n_docs
+        |  FROM winners w JOIN suf f
+        |    ON len(f.s) >= w.repeat_len
+        |   AND array_to_string(f.s[1:w.repeat_len], ' ') = w.repeat_text
+        |  GROUP BY w.repeat_text, w.repeat_len)
+        |SELECT repeat_len, n_docs, n_occurrences, repeat_text
+        |FROM occ ORDER BY repeat_len DESC, repeat_text ASC""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

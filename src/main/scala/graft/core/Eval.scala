@@ -991,16 +991,6 @@ object Eval {
         col("bh_rank"), (col("bh_rank") <= col("max_rej")).as("rejected"))
   }
 
-  /** Cohen's kappa — chance-corrected agreement between a prediction
-    * and gold labels (multiclass):
-    *   kappa = (po − pe) / (1 − pe)
-    *         = (n·agree − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c)
-    * computed entirely in BIGINT from the confusion cells (n ≤ 3M
-    * keeps n²·1e6 under 2^63; the sums themselves never overflow).
-    * One corpus aggregation; the marginal join runs on the label-
-    * alphabet-sized cell table. Result: one row with the agreement
-    * anatomy and kappa_micro.
-    */
   /** McNemar's test on PAIRED binary outcomes — the right way to
     * compare two classifiers (or a before/after gate change) scored on
     * the SAME items, where the two-proportion z (q223) would wrongly
@@ -1033,6 +1023,16 @@ object Eval {
       .withColumn("significant",
         coalesce(col("chi2_micro") > lit(3841459L), lit(false)))
 
+  /** Cohen's kappa — chance-corrected agreement between a prediction
+    * and gold labels (multiclass):
+    *   kappa = (po − pe) / (1 − pe)
+    *         = (n·agree − Σ_c row_c·col_c) / (n² − Σ_c row_c·col_c)
+    * computed entirely in BIGINT from the confusion cells (n ≤ 3M
+    * keeps n²·1e6 under 2^63; the sums themselves never overflow).
+    * One corpus aggregation; the marginal join runs on the label-
+    * alphabet-sized cell table. Result: one row with the agreement
+    * anatomy and kappa_micro.
+    */
   def cohenKappa(df: DataFrame, gold: Column, pred: Column): DataFrame = {
     val cells = df.select(gold.as("gold"), pred.as("pred"))
       .groupBy("gold", "pred")

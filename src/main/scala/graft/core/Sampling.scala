@@ -191,7 +191,7 @@ object Sampling {
     keyed
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= n)
-      .drop("__size", "__u", "__rk")
+      .drop("__size", "__u", "__rk", "pps_key")
   }
 
   /** Temperature-flattened source mixing (the multilingual/multi-source

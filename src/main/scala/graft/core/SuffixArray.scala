@@ -1,0 +1,348 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed generalized suffix array over per-document token
+  * sequences — the unbounded-length exact-substring shape of Lee et
+  * al. 2022 ("Deduplicating Training Data Makes Language Models
+  * Better": their ExactSubstr dedup builds a suffix array so repeats
+  * of ANY length surface, where fixed n-token windows
+  * ([[TextAnalysis.dupSpans]]) bound what they can report by the
+  * window width). Re-expressed Spark-first as Manber–Myers prefix
+  * doubling: no suffix STRING is ever materialized — every stage
+  * carries (doc, pos, rank) triples only.
+  *
+  * Construction: rank suffixes by their first 2^j tokens, j = 0, 1,
+  * 2, … Each doubling pairs rank_j\[pos\] with rank_j\[pos + 2^j\],
+  * fetched by a PER-DOCUMENT `lead(r, 2^j)` window (suffix positions
+  * are dense 0..len−1 by construction, so the lead IS the shifted
+  * lookup — no self-join, no extra exchange once the table is
+  * doc-partitioned), with rank 0 as the end-of-doc sentinel (strictly
+  * below every real rank, so a suffix that is a proper prefix of
+  * another sorts first — DuckDB's list-comparison order, which is
+  * what makes the oracle replayable). Rounds use two re-rank forms:
+  *  - ARITHMETIC: r' = r1·(m+1) + r2 where m is the ACTUAL max rank —
+  *    order- and equality-correct (r2 ≤ m), zero shuffles; valid
+  *    while (m+1)² fits a BIGINT.
+  *  - DENSE: distinct the pairs (map-side-combinable — the distinct
+  *    table is the group count, usually ≪ n), two-phase-rank the
+  *    distinct table, join back (broadcast when model-size) —
+  *    compacts values so the next arithmetic rounds fit again.
+  * On real text the group count stays small at small widths, so most
+  * rounds are arithmetic; an all-distinct adversarial corpus
+  * degenerates to densify-every-other-round, and at n ≥ 3e9 (the
+  * 100 TB regime) every round densifies — the shapes are unchanged.
+  * The loop runs at most ceil(log2(max doc tokens)) rounds (a bounded
+  * driver loop, the [[Bpe]] contract) and stops early when a dense
+  * round reports no rank-group split since the previous dense round:
+  * if no pair separates when the window doubles, induction on the
+  * pair decomposition shows no later width separates it either, so
+  * equal final ranks mean EXACTLY equal suffixes.
+  *
+  * Candidate discipline (the 100 TB argument): repeats are read off
+  * SA-ADJACENT pairs only — never all-pairs — and adjacency is
+  * resolved WITHIN rank buckets at the widest level ≤ minLen: a pair
+  * with LCP ≥ minLen shares its first minLen tokens, so both suffixes
+  * sit in the same bucket and their global neighbor is their bucket
+  * neighbor (anything lexicographically between them shares the
+  * prefix too). One partitioned window per bucket — the global
+  * total-order pass the naive SA needs never happens.
+  *
+  * Cost honestly stated: log(max doc len) rounds; arithmetic rounds
+  * are shuffle-free, dense rounds pay one range exchange over the
+  * position table — the known price of distributed SA construction.
+  * At 100 TB the per-round localCheckpoints become snapshot-table
+  * checkpoints and every round densifies; the shapes are unchanged.
+  */
+object SuffixArray {
+
+  // stage timing to stderr when -Dgraft.sa.profile is set (the
+  // ProfileQ274 harness); zero cost otherwise
+  private def timed[A](name: String)(f: => A): A =
+    if (!sys.props.contains("graft.sa.profile")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[sa] $name%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
+  /** Distributed DENSE rank of (r1, r2) pairs: distinct the pairs
+    * (map-side-combinable hash aggregate — the distinct table is the
+    * GROUP count, ≤ n and usually far smaller), two-phase-rank the
+    * distinct table ([[Packing.rankAndCumOrderedReleasable]] — its
+    * range exchange runs over groups, not rows), then join the ranks
+    * back: broadcast when the group table is model-size, shuffled
+    * hash join otherwise (the 100 TB path — one exchange of the
+    * position table on the pair key).
+    */
+  private def densePairRank(paired: DataFrame, extraCols: Seq[String])
+      : (DataFrame, Long) = {
+    val distinctPairs = paired.select("r1", "r2").distinct()
+      .withColumn("w", lit(1L))
+    val (pr, pRel) = Packing.rankAndCumOrderedReleasable(
+      distinctPairs, "w", Seq(col("r1"), col("r2")))
+    val prSlim = pr.select(col("r1"), col("r2"), col("rank").as("r"))
+    val nGroups = pr.count() // = the new max rank (dense) — reused by
+    // the caller's convergence test, no second action
+    val ranks = if (nGroups <= 5000000L) broadcast(prSlim) else prSlim
+    val out = paired.join(ranks, Seq("r1", "r2"))
+      .select((Seq(col("sa_doc"), col("pos")) ++ extraCols.map(col) :+
+        col("r")): _*)
+      .localCheckpoint(true)
+    pRel()
+    (out, nGroups)
+  }
+
+  /** The top-`topK` LONGEST exactly-repeated token substrings in the
+    * corpus (length ≥ `minLen` tokens, length UNBOUNDED above —
+    * whole-document clones surface at full length). A "repeat" here
+    * is the full longest-common-prefix of a suffix-array-adjacent
+    * pair — the canonical set: every substring that occurs ≥ 2 times
+    * is a prefix of one of these, and the set depends only on the
+    * corpus content, never on tie order, so any correct suffix sort
+    * (DuckDB's brute-force `ORDER BY suffix_list` included) produces
+    * the same table.
+    *
+    * Occurrence counts for the ≤ topK winners re-match against the
+    * position table through a broadcast first-token probe + exact
+    * slice equality — K-bounded work, one corpus pass.
+    *
+    * NOT lazy: suffix ranking runs driver-loop actions at call time
+    * (the [[Curation.curateFullSurvivorIdsReleasable]] contract).
+    * Every level is localCheckpoint(true)-materialized: prefix
+    * doubling is iterative, and without truncation level j's LOGICAL
+    * plan embeds level j−1's twice — exponential plan growth that
+    * OOMs the optimizer long before the data does (the Bpe/Dedup
+    * lineage discipline).
+    *
+    * @return (repeat_len, n_docs, n_occurrences, repeat_text), longest
+    *         first, text ascending as the tie-break.
+    */
+  def longestRepeats(df: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 8, topK: Int = 20,
+                     directLcpMaxDocLen: Int = 4096): DataFrame = {
+    require(minLen >= 1, "minLen must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val docs = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("sa_doc"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .persist()
+    val toks = docs.select(col("sa_doc"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("sa_doc"), col("pos").cast("long").as("pos"), col("tok"))
+    val lens = docs.select(col("sa_doc"),
+      size(col("toks")).cast("long").as("slen"))
+
+    // base level: rank by the first token (vocab-sized distinct). A
+    // model-size vocabulary broadcasts its rank table so the corpus
+    // side never exchanges; a corpus-scale vocabulary (possible at
+    // 100 TB with noisy text) falls back to the shuffled join
+    val vocab = toks.select(col("tok")).distinct().withColumn("w", lit(1L))
+    val (vr, vRel) = Packing.rankAndCumOrderedReleasable(
+      vocab, "w", Seq(col("tok")))
+    val nVocab = vr.count()
+    val vrSlim = vr.select(col("tok"), col("rank").as("r"))
+    val r0 = timed("base token rank") {
+      toks.join(
+          if (nVocab <= 1000000L) broadcast(vrSlim) else vrSlim, "tok")
+        .select(col("sa_doc"), col("pos"), col("r"))
+        .localCheckpoint(true)
+    }
+    val counts = lens.agg(
+      coalesce(sum("slen"), lit(0L)).as("n"),
+      coalesce(max("slen"), lit(0L)).as("mx")).head()
+    val (nTotal, maxDocLen) = (counts.getLong(0), counts.getLong(1))
+    vRel()
+    if (nTotal == 0L) {
+      docs.unpersist(); r0.unpersist()
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("repeat_len", lit(0L))
+        .withColumn("n_docs", lit(0L))
+        .withColumn("n_occurrences", lit(0L))
+        .withColumn("repeat_text", lit(""))
+        .limit(0)
+    }
+
+    // prefix doubling; levels accumulate newest-first (largest width
+    // at the head). Arithmetic rounds use the ACTUAL max rank m of
+    // the current level as the compositor — r' = r1·(m+1) + r2 is
+    // order- and equality-correct and needs (m+1)² ≤ 2^63, so rounds
+    // stay arithmetic (shuffle-free) while values fit and DENSIFY
+    // exactly when they would overflow: on real text the first
+    // densify compacts m back to the group count (≪ n at small
+    // widths), so most rounds are arithmetic; an adversarial corpus
+    // (every rank distinct) degenerates to densify-every-other-round,
+    // and at 100 TB scale (n ≥ 3e9) every round densifies. The bucket
+    // rank for adjacency (widest power of 2 <= minLen) is TAGGED onto
+    // the level that computes it and carried forward — no
+    // level-vs-level join later
+    val arithMax = 3037000498L // (m+1)^2 - 1 < 2^63
+    val j0wTarget = { var w = 1L; while (w * 2 <= minLen) w *= 2; w }
+    val byDoc = Window.partitionBy("sa_doc").orderBy("pos")
+    var levels: List[(Long, DataFrame)] =
+      List((1L, if (j0wTarget == 1L) r0.withColumn("rb", col("r")) else r0))
+    var width = 1L
+    var maxRank = nVocab // r0 is dense: its max IS the vocab size
+    var lastDenseRanks = -1L // vocab rank count not comparable: width 1
+    var converged = false
+    while (!converged && width < maxDocLen) {
+      val cur = levels.head._2
+      val extra = if (cur.columns.contains("rb")) Seq("rb") else Nil
+      val paired = cur
+        .withColumn("r2",
+          coalesce(lead(col("r"), width.toInt).over(byDoc), lit(0L)))
+        .select(Seq(col("sa_doc"), col("pos")) ++ extra.map(col) ++
+          Seq(col("r").as("r1"), col("r2")): _*)
+      val dense = maxRank > arithMax
+      val next0 = timed(f"round w=${width * 2} dense=$dense") {
+        if (dense) {
+          val (out, nGroups) = densePairRank(paired, extra)
+          // nGroups IS the new (dense) max rank; it also carries the
+          // convergence test — no extra action
+          if (nGroups == nTotal || nGroups == lastDenseRanks)
+            converged = true // no split since the last dense round
+          lastDenseRanks = nGroups
+          maxRank = nGroups
+          out
+        } else {
+          val out = paired
+            .select(Seq(col("sa_doc"), col("pos")) ++ extra.map(col) :+
+              (col("r1") * (maxRank + 1L) + col("r2")).as("r"): _*)
+            .persist() // dense rounds checkpoint; arith lineage is shallow
+          // one tiny agg (materializes the persist): the actual max
+          // drives the next arith/densify decision
+          maxRank = out.agg(max("r")).head().getLong(0)
+          out
+        }
+      }
+      width *= 2
+      val next =
+        if (width == j0wTarget) next0.withColumn("rb", col("r")) else next0
+      levels = (width, next) :: levels
+    }
+
+    // adjacency WITHIN rank buckets at the widest level <= minLen: a
+    // pair with LCP >= minLen shares its first minLen tokens, so its
+    // global neighbor is its bucket neighbor (anything between them
+    // shares the prefix too) — one partitioned window, never a global
+    // total-order pass. If the loop converged before the bucket width
+    // (equal-at-final-rank == fully equal suffixes), the final rank
+    // itself is the bucket: any pair with LCP >= minLen is then a
+    // clone pair sharing it
+    val fin0 = levels.head._2
+    val fin = if (fin0.columns.contains("rb")) fin0
+              else fin0.withColumn("rb", col("r"))
+    val cand = timed("bucket adjacency") {
+      fin
+        .withColumn("nxt",
+          lead(struct(col("sa_doc"), col("pos")), 1).over(
+            Window.partitionBy("rb")
+              .orderBy(col("r"), col("sa_doc"), col("pos"))))
+        .filter(col("nxt").isNotNull)
+        .select(col("sa_doc").as("da"), col("pos").as("pa"),
+          col("nxt.sa_doc").as("db"), col("nxt.pos").as("pb"))
+        .localCheckpoint(true)
+    }
+
+    // exact LCP per candidate pair. Short-doc corpora (the usual
+    // training-data shape) compare the two token arrays directly —
+    // two joins, O(doc len) per candidate, every index in bounds by
+    // the least() cap. Long-doc corpora take the classic O(log len)
+    // descent over the retained rank levels instead: O(len)-per-pair
+    // would make a million-token clone pair cost a million compares
+    val exact =
+      if (maxDocLen <= directLcpMaxDocLen.toLong)
+        cand
+          .join(docs.select(col("sa_doc").as("da"), col("toks").as("ta")),
+            Seq("da"))
+          .join(docs.select(col("sa_doc").as("db"), col("toks").as("tb")),
+            Seq("db"))
+          .withColumn("m", least(
+            size(col("ta")).cast("long") - col("pa"),
+            size(col("tb")).cast("long") - col("pb")))
+          .withColumn("lcp_f", expr(
+            """aggregate(sequence(1L, m),
+               named_struct('eq', true, 'c', CAST(0 AS BIGINT)),
+               (acc, i) -> IF(acc.eq AND
+                   element_at(ta, CAST(pa + i AS INT)) =
+                   element_at(tb, CAST(pb + i AS INT)),
+                 named_struct('eq', true, 'c', acc.c + 1L),
+                 named_struct('eq', false, 'c', acc.c)),
+               acc -> acc.c)"""))
+          .filter(col("lcp_f") >= minLen.toLong)
+      else {
+        var cur = cand.withColumn("lcp", lit(0L))
+        levels.foreach { case (w, tab) =>
+          val ta = tab.select(col("sa_doc").as("jda"), col("pos").as("jpa"),
+            col("r").as("jra"))
+          val tb = tab.select(col("sa_doc").as("jdb"), col("pos").as("jpb"),
+            col("r").as("jrb"))
+          cur = cur
+            .join(ta, col("da") === col("jda") &&
+              col("pa") + col("lcp") === col("jpa"), "left")
+            .join(tb, col("db") === col("jdb") &&
+              col("pb") + col("lcp") === col("jpb"), "left")
+            .withColumn("lcp",
+              when(col("jra").isNotNull && col("jra") === col("jrb"),
+                col("lcp") + w).otherwise(col("lcp")))
+            .drop("jda", "jpa", "jra", "jdb", "jpb", "jrb")
+        }
+        // the sentinel-padded case (two suffixes equal to their common
+        // end) overcounts by design; the remaining-length cap settles it
+        cur
+          .join(lens.select(col("sa_doc").as("da"), col("slen").as("la")),
+            Seq("da"))
+          .join(lens.select(col("sa_doc").as("db"), col("slen").as("lb")),
+            Seq("db"))
+          .withColumn("lcp_f", least(col("lcp"),
+            col("la") - col("pa"), col("lb") - col("pb")))
+          .filter(col("lcp_f") >= minLen.toLong)
+      }
+
+    // repeat text from the first suffix of each adjacent pair; each
+    // winner keeps a WITNESS suffix so the occurrence count below can
+    // probe by the witness's rank bucket instead of scanning tokens
+    val winners = timed("winners") {
+      exact
+        .join(docs.select(col("sa_doc").as("da"), col("toks")), Seq("da"))
+        .select(
+          concat_ws(" ", slice(col("toks"), (col("pa") + 1).cast("int"),
+            col("lcp_f").cast("int"))).as("repeat_text"),
+          col("lcp_f").as("repeat_len"),
+          struct(col("da"), col("pa")).as("wit"))
+        .groupBy("repeat_text", "repeat_len")
+        .agg(min("wit").as("wit"))
+        .orderBy(col("repeat_len").desc, col("repeat_text").asc)
+        .limit(topK)
+        .localCheckpoint(true)
+    }
+
+    // occurrence counts for the <= topK winners: every true occurrence
+    // shares the witness's first-j0w tokens, hence its rank BUCKET —
+    // one broadcast probe on rb (selective by construction), then
+    // exact slice equality against the doc's token array
+    val probes = winners
+      .join(fin.select(col("sa_doc").as("wd"), col("pos").as("wp"),
+          col("rb")),
+        col("wit.da") === col("wd") && col("wit.pa") === col("wp"))
+      .select(col("rb"), col("repeat_text"), col("repeat_len"),
+        split(col("repeat_text"), " ").as("rtoks"))
+    val occ = fin.select(col("sa_doc"), col("pos"), col("rb"))
+      .join(broadcast(probes), "rb")
+      .join(docs, "sa_doc")
+      .filter(slice(col("toks"), (col("pos") + 1).cast("int"),
+        col("repeat_len").cast("int")) === col("rtoks"))
+      .groupBy("repeat_text", "repeat_len")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("sa_doc").as("n_docs"))
+    occ
+      .select(col("repeat_len"), col("n_docs"), col("n_occurrences"),
+        col("repeat_text"))
+      .orderBy(col("repeat_len").desc, col("repeat_text").asc)
+  }
+}

@@ -981,14 +981,27 @@ object SnapshotTable {
   /** Commit wall-clock of `version` in epoch millis. Manifests written
     * before the `committedAtMs` field existed fall back to the
     * manifest file's mtime — same source Delta's timestamp resolution
-    * uses when the commit info is absent.
+    * uses when the commit info is absent. The fallback is WARNED once
+    * per table: mtime is filesystem metadata (a copy/touch rewrites
+    * it, and mixed mtime/committedAtMs sequences need not be
+    * monotone), so AS OF TIMESTAMP on a migrated table is only as
+    * deterministic as its file history.
     */
+  private val mtimeWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def commitTimeOf(table: String, version: Int): Long = {
     val p = manifestDir(table).resolve(s"v$version.json")
     require(Files.exists(p), s"no version $version in $table")
     val node = mapper.readTree(Files.readString(p))
     if (node.has("committedAtMs")) node.get("committedAtMs").asLong()
-    else Files.getLastModifiedTime(p).toMillis
+    else {
+      if (mtimeWarned.add(table)) System.err.println(
+        s"[snapshot] WARN $table v$version has no committedAtMs; " +
+          "falling back to manifest mtime — AS OF TIMESTAMP results " +
+          "depend on filesystem metadata until the next commit")
+      Files.getLastModifiedTime(p).toMillis
+    }
   }
 
   /** AS OF TIMESTAMP time travel: read the LATEST version whose commit

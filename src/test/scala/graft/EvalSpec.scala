@@ -531,4 +531,37 @@ class EvalSpec extends SparkSpec {
     assert(Eval.gini(zero, col("g"), col("v"))
       .select("gini_micro").head().isNullAt(0))
   }
+
+  test("mcnemar: continuity-corrected chi2 from the discordant cells") {
+    // n01=8, n10=2: chi2 = (|8-2|-1)^2/10 = 2.5 -> not significant
+    val rows = Seq.fill(5)((true, true)) ++ Seq.fill(8)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("a", "b")
+    val r = Eval.mcnemar(df, col("a"), col("b"))
+      .select("n_pairs", "n_both", "n01", "n10", "chi2_micro", "significant")
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(r == ((18L, 5L, 8L, 2L, 2500000L, false)))
+    // n01=15, n10=1: chi2 = 13^2/16 = 10.5625 -> significant at 5%
+    val sig = (Seq.fill(15)((true, false)) ++ Seq.fill(1)((false, true)))
+      .toDF("a", "b")
+    val s = Eval.mcnemar(sig, col("a"), col("b"))
+      .select("chi2_micro", "significant").as[(Long, Boolean)].head()
+    assert(s == ((10562500L, true)))
+  }
+
+  test("mcnemar: zero discordant pairs leaves chi2 NULL, not significant") {
+    val df = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    val row = Eval.mcnemar(df, col("a"), col("b")).head()
+    assert(row.isNullAt(row.fieldIndex("chi2_micro")))
+    assert(!row.getBoolean(row.fieldIndex("significant")))
+  }
+
+  test("mcnemar: partition invariant") {
+    val df = spark.range(500).selectExpr("id % 3 = 0 AS a", "id % 5 = 0 AS b")
+    val one = Eval.mcnemar(df, col("a"), col("b"))
+      .select("chi2_micro").as[Long].head()
+    val many = Eval.mcnemar(df.repartition(17), col("a"), col("b"))
+      .select("chi2_micro").as[Long].head()
+    assert(one == many)
+  }
 }

@@ -183,4 +183,46 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(again.toSet == neg.toSet)
   }
+
+  test("adamicAdar: hand-checked wedge scores on the 4-cycle + chord") {
+    // edges: 1-2, 1-3, 2-3, 2-4, 3-4. deg(1)=2, deg(2)=3, deg(3)=3,
+    // deg(4)=2. AA(1,4) = 1/ln3 + 1/ln3 (centers 2 and 3), non-edge.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val aa = GraphOps.adamicAdar(e, "a", "b")
+      .select("a", "b", "n_common", "aa_micro", "is_edge")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // round(1e6/ln 3) = 910239 per center
+    assert(aa((1L, 4L)) == ((2L, 1820478L, false)))
+    // AA(1,2): common neighbor {3} only
+    assert(aa((1L, 2L)) == ((1L, 910239L, true)))
+    // AA(2,3): common neighbors {1, 4}, both deg 2: round(1e6/ln 2)*2
+    assert(aa((2L, 3L)) == ((2L, 2885390L, true)))
+  }
+
+  test("adamicAdar: maxDeg cap drops hub centers, keeps exact survivors") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    // cap 2 removes centers 2 and 3 (deg 3); only deg-2 centers 1 and
+    // 4 generate wedges -> single surviving pair (2,3) via both
+    val capped = GraphOps.adamicAdar(e, "a", "b", maxDeg = 2)
+      .select("a", "b", "n_common", "aa_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((2L, 3L, 2L, 2885390L)))
+  }
+
+  test("adamicAdar: duplicate/reversed input edges collapse first") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L))
+      .toDF("a", "b")
+    // clean triangle: every pair's only common neighbor is the third
+    // vertex with deg 2
+    val out = GraphOps.adamicAdar(e, "a", "b")
+      .select("a", "b", "n_common", "aa_micro", "is_edge")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 1L, 1442695L, true),
+      (1L, 3L, 1L, 1442695L, true),
+      (2L, 3L, 1L, 1442695L, true)))
+  }
 }

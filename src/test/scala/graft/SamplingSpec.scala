@@ -195,4 +195,51 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(other.toSet != folds.toSet, "seed must matter")
   }
+
+  test("ppsSample: fixed n per stratum, clean schema, deterministic") {
+    val df = spark.range(200).selectExpr(
+      "CAST(id % 4 AS STRING) AS src", "id",
+      "CAST(1 + id % 50 AS BIGINT) AS tokens")
+    val out = Sampling.ppsSample(df, "src", "id", "tokens", n = 10)
+    // no helper columns leak into the caller's schema
+    assert(out.columns.toSeq == df.columns.toSeq)
+    val perStratum = out.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.values.toSet == Set(10L))
+    // pure function of (id, seed): same call -> same rows
+    val again = Sampling.ppsSample(df, "src", "id", "tokens", n = 10)
+    assert(again.select("id").as[Long].collect().sorted.toSeq ==
+      out.select("id").as[Long].collect().sorted.toSeq)
+    // different seed -> different draw
+    val other = Sampling.ppsSample(df, "src", "id", "tokens", n = 10,
+      seed = 7L)
+    assert(other.select("id").as[Long].collect().toSet !=
+      out.select("id").as[Long].collect().toSet)
+  }
+
+  test("ppsSample: n >= stratum size keeps the whole stratum; " +
+    "size bias holds in aggregate") {
+    val df = spark.range(30).selectExpr(
+      "CAST(id % 10 AS STRING) AS src", "id", "CAST(id + 1 AS BIGINT) AS w")
+    val all = Sampling.ppsSample(df, "src", "id", "w", n = 5)
+    assert(all.count() == 30L)
+    // PPS bias: with sizes 1 vs 1000 in one stratum, across many ids
+    // the big-size rows must dominate the kept set
+    val skew = spark.range(400).selectExpr(
+      "'s' AS src", "id",
+      "CAST(CASE WHEN id % 2 = 0 THEN 1000 ELSE 1 END AS BIGINT) AS w")
+    val kept = Sampling.ppsSample(skew, "src", "id", "w", n = 40)
+      .selectExpr("sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)")
+      .as[Long].head()
+    assert(kept >= 35L, s"expected heavy rows to dominate, got $kept/40")
+  }
+
+  test("ppsSample: non-positive size fails loudly") {
+    val df = spark.range(5).selectExpr(
+      "'s' AS src", "id", "CAST(id AS BIGINT) AS w") // id 0 -> size 0
+    val ex = intercept[Exception] {
+      Sampling.ppsSample(df, "src", "id", "w", n = 2).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

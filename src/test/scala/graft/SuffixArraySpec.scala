@@ -1,0 +1,99 @@
+package graft
+
+import graft.core.SuffixArray
+
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference implementation: literal suffix sort + adjacent LCP —
+    * the definition the distributed prefix-doubling path must equal.
+    */
+  private def bruteForce(docs: Seq[(Long, String)], minLen: Int,
+                         topK: Int): Seq[(Long, Long, Long, String)] = {
+    import scala.math.Ordering.Implicits._
+    val sufs = docs.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      toks.indices.map(p => (id, p, toks.drop(p)))
+    }
+    val sorted = sufs.sortBy { case (id, p, s) => (s, id, p) }
+    val lcps = sorted.zip(sorted.drop(1)).map { case ((_, _, a), (_, _, b)) =>
+      val l = a.zip(b).takeWhile { case (x, y) => x == y }.size
+      (a.take(l).mkString(" "), l.toLong)
+    }
+    val winners = lcps.filter(_._2 >= minLen).distinct
+      .sortBy { case (txt, len) => (-len, txt) }.take(topK)
+    winners.map { case (txt, len) =>
+      val rt = txt.split(" ").toSeq
+      val occs = sufs.filter { case (_, _, s) => s.take(rt.size) == rt }
+      (len, occs.map(_._1).distinct.size.toLong, occs.size.toLong, txt)
+    }
+  }
+
+  private def run(docs: Seq[(Long, String)], minLen: Int, topK: Int,
+                  directLcpMaxDocLen: Int = 4096)
+      : Seq[(Long, Long, Long, String)] =
+    SuffixArray.longestRepeats(
+      docs.toDF("doc_id", "text"), "doc_id", "text", minLen, topK,
+      directLcpMaxDocLen)
+      .select("repeat_len", "n_docs", "n_occurrences", "repeat_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("longestRepeats: shared boilerplate + whole-doc clone, " +
+    "hand-checked against the literal suffix sort") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "intro text the quick brown fox jumps over the lazy dog outro",
+      3L -> "the quick brown fox jumps over the lazy dog",
+      4L -> "completely unrelated words live here instead")
+    val got = run(docs, minLen = 3, topK = 10)
+    val want = bruteForce(docs, minLen = 3, topK = 10)
+    assert(got == want)
+    // the 9-token boilerplate surfaces at FULL length (> any fixed
+    // window), in all three docs that carry it
+    assert(got.head._1 == 9L)
+    assert(got.head._4 == "the quick brown fox jumps over the lazy dog")
+    assert(got.head._2 == 3L && got.head._3 == 3L)
+  }
+
+  test("longestRepeats: equals the literal suffix sort on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 8L).map { id =>
+        val n = 3 + rnd.nextInt(10)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = run(docs, minLen = 2, topK = 50)
+      val want = bruteForce(docs, minLen = 2, topK = 50)
+      assert(got == want, s"trial $trial: $docs")
+      // the rank-level DESCENT path (the long-doc scale path) must
+      // produce the identical table
+      val descent = run(docs, minLen = 2, topK = 50,
+        directLcpMaxDocLen = 0)
+      assert(descent == want, s"descent trial $trial: $docs")
+    }
+  }
+
+  test("longestRepeats: no repeat >= minLen -> empty; empty corpus -> empty") {
+    val distinctDocs = Seq(1L -> "a b c", 2L -> "d e f", 3L -> "g h i")
+    assert(run(distinctDocs, minLen = 2, topK = 5).isEmpty)
+    val empty = Seq.empty[(Long, String)]
+    assert(run(empty, minLen = 2, topK = 5).isEmpty)
+    // blank text rows are dropped, not crashed on
+    assert(run(Seq(1L -> "  ", 2L -> "x y x y"), minLen = 2, topK = 5)
+      .nonEmpty)
+  }
+
+  test("longestRepeats: partition invariant") {
+    val docs = (1L to 20L).map { id =>
+      id -> (if (id % 3 == 0) "shared block of tokens here plus " + id
+             else s"doc $id words ${id * 7} and shared block of tokens")
+    }
+    val a = run(docs, minLen = 3, topK = 20)
+    val df = docs.toDF("doc_id", "text").repartition(13)
+    val b = SuffixArray.longestRepeats(df, "doc_id", "text", 3, 20)
+      .select("repeat_len", "n_docs", "n_occurrences", "repeat_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(a == b)
+  }
+}

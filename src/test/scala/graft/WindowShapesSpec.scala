@@ -58,6 +58,10 @@ class WindowShapesSpec extends SparkSpec {
       "daily rollup + rolling window are user-partitioned"),
     ("q07_rolling_mean", 0, false,
       "rolling window is user-partitioned"),
+    ("q274_longest_repeats", 0, false,
+      "suffix ranking's bounded per-partition-totals windows run in " +
+        "the eager phase behind localCheckpoints; the returned plan's " +
+        "windows are doc-/bucket-partitioned only"),
     ("q266_mann_whitney", 0, false,
       "midrank lattice windows are key-partitioned"),
     ("q267_log_rank", 0, false,
