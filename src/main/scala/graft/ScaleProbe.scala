@@ -398,6 +398,14 @@ object ScaleProbe {
       // index family with the df<=64 cap — expect the capped curve
       "q262_unpivot", "q263_chi2", "q264_tfidf_cosine_pairs",
       "q265_sprt",
+      // round-12: q275 = one map-side-combinable 4-counter agg; q276
+      // = the q207 basket join + a deg<=32-capped wedge self-join
+      // (the maxDeg cap IS the quadratic guard — the q95 contract);
+      // q277 = one projection + one per-stratum rank window
+      "q275_mcnemar", "q276_adamic_adar", "q277_pps_sample",
+      // q278 = k bounded driver argmax passes over a narrow projection
+      // (no shuffle at all) — expect near-linear in corpus size
+      "q278_kcenter_select",
       // round-12: distributed suffix array. Linear by construction at
       // every stage: log(maxDocLen) re-rank rounds over the position
       // table, candidates are SA-ADJACENT pairs only (n-1 rows — the

@@ -4258,6 +4258,51 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         minLen = 12, topK = 20)),
 
+    // McNemar's paired test comparing two value-derived classifiers
+    // on the SAME events — only the discordant cells matter; the
+    // continuity-corrected chi2 is pure integer arithmetic (q223's
+    // two-proportion z would wrongly treat the arms as independent)
+    "q275_mcnemar" -> ((s, dir) =>
+      Eval.mcnemar(Tables.events(s, dir),
+        expr("pmod(CAST(round(value * 100) AS BIGINT), 7) < 3"),
+        expr("pmod(CAST(round(value * 100) AS BIGINT), 5) < 2"))),
+
+    // Adamic-Adar link prediction over the q207 co-purchase graph
+    // (support >= 2 part pairs): rare shared neighbors weigh more;
+    // the single float (1/ln deg) is micro-rounded at the model-size
+    // degree table, pair scores are exact BIGINT sums. Top-20 by
+    // score with the pair as the total tie-break
+    "q276_adamic_adar" -> ((s, dir) => {
+      val basket = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = basket.as("x").join(basket.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val edges = pairs.groupBy("a", "b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2).select("a", "b")
+      GraphOps.adamicAdar(edges, "a", "b", maxDeg = 32)
+        .orderBy(col("aa_micro").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // fixed-size PPS sample: 20 docs per source, inclusion pressure
+    // proportional to token count — sequential Poisson sampling on
+    // the portable avalanched hash, sort key an exact integer DIV
+    "q277_pps_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.ppsSample(d, "source", "doc_id", "n_tokens", n = 20)
+    }),
+
+    // greedy k-center coreset over the embeddings: 6 maximally-spread
+    // exemplars (Gonzalez 2-approx), exact micro-lattice distances so
+    // the argmax chain replays bit-for-bit; min-id seed, min-id ties
+    "q278_kcenter_select" -> ((s, dir) =>
+      Sampling.kCenterSelect(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 6)),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11024,6 +11069,96 @@ object SparkEntry {
         |SELECT repeat_len, n_docs, n_occurrences, repeat_text
         |FROM occ ORDER BY repeat_len DESC, repeat_text ASC""".stripMargin,
 
+    // q275: the four paired cells + the integer continuity-corrected
+    // chi2; mods are pmod-equivalent ((x%k+k)%k) like q272
+    "q275_mcnemar" ->
+      """WITH p AS (
+        |  SELECT
+        |    (((CAST(round(value * 100) AS BIGINT) % 7) + 7) % 7) < 3 AS a,
+        |    (((CAST(round(value * 100) AS BIGINT) % 5) + 5) % 5) < 2 AS b
+        |  FROM events),
+        |cells AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n10
+        |  FROM p)
+        |SELECT n_pairs, n_both, n01, n10,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    greatest(abs(n01 - n10) - 1, 0) * greatest(abs(n01 - n10) - 1, 0)
+        |    * 1000000 // (n01 + n10) END AS chi2_micro,
+        |  coalesce(CASE WHEN n01 + n10 > 0 THEN
+        |    greatest(abs(n01 - n10) - 1, 0) * greatest(abs(n01 - n10) - 1, 0)
+        |    * 1000000 // (n01 + n10) END > 3841459, false) AS significant
+        |FROM cells""".stripMargin,
+
+    // q276: the same wedge algebra — degree table, capped centers,
+    // micro term, exact BIGINT pair sums, is_edge left join
+    "q276_adamic_adar" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT x.p AS a, y.p AS b
+        |  FROM basket x JOIN basket y ON x.o = y.o AND x.p < y.p),
+        |edges AS (
+        |  SELECT a, b FROM pairs GROUP BY a, b HAVING count(*) >= 2),
+        |nbrs AS (
+        |  SELECT a AS w, b AS n FROM edges
+        |  UNION ALL SELECT b AS w, a AS n FROM edges),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM nbrs GROUP BY w),
+        |term AS (
+        |  SELECT w, CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+        |    AS t_micro
+        |  FROM deg WHERE d >= 2 AND d <= 32),
+        |capped AS (SELECT n.w, n.n, t.t_micro FROM nbrs n JOIN term t ON n.w = t.w),
+        |aa AS (
+        |  SELECT x.n AS a, y.n AS b, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(x.t_micro) AS BIGINT) AS aa_micro
+        |  FROM capped x JOIN capped y ON x.w = y.w AND x.n < y.n
+        |  GROUP BY 1, 2)
+        |SELECT aa.a, aa.b, n_common, aa_micro,
+        |  coalesce(e.is_edge, false) AS is_edge
+        |FROM aa LEFT JOIN (SELECT a, b, true AS is_edge FROM edges) e
+        |  ON aa.a = e.a AND aa.b = e.b
+        |ORDER BY aa_micro DESC, aa.a, aa.b LIMIT 20""".stripMargin,
+
+    // q277: the portable draw (rolling fold -> two avalanche rounds ->
+    // mod 1e6), the exact integer sort key u*1e12 // size, and the
+    // per-stratum rank window — replayed verbatim
+    "q277_pps_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        CAST(doc_id AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM d),
+        |h1 AS (SELECT *, (xor(h, h // 65536) * 73244475) % 4294967296 AS h1
+        |  FROM h0),
+        |h2 AS (SELECT *, (xor(h1, h1 // 65536) * 73244475) % 4294967296 AS h2
+        |  FROM h1),
+        |u AS (SELECT doc_id, source, n_tokens,
+        |    xor(h2, h2 // 65536) % 1000000 AS u_micro
+        |  FROM h2),
+        |keyed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    (u_micro * 1000000000000) // n_tokens AS pk
+        |  FROM u),
+        |rk AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY pk, doc_id) AS r
+        |  FROM keyed)
+        |SELECT doc_id, source, n_tokens FROM rk WHERE r <= 20""".stripMargin,
+
+    // q278: the unrolled greedy argmax chain (see q278OracleSql)
+    "q278_kcenter_select" -> q278OracleSql,
+
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->
       """WITH c AS (
@@ -11908,6 +12043,45 @@ object SparkEntry {
     * composition-level rows-only gate — only the two ML scorers
     * (q28/q29) remain rows-only, each with a full-oracle twin.
     */
+  /** q278: the greedy k-center chain unrolled to k fixed steps — each
+    * step is one argmax CTE (ORDER BY md DESC, vec_id LIMIT 1) and one
+    * running-min-distance CTE against the new center; distances are
+    * exact BIGINT sums over the micro lattice, so the whole greedy
+    * replays bit-for-bit.
+    */
+  private lazy val q278OracleSql: String = {
+    val k = 6
+    def dist(p: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, 64), " +
+        s"i -> ($p.vm[i] - $c.vm[i]) * ($p.vm[i] - $c.vm[i]))), " +
+        "(a, b) -> a + b)"
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pts AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |s1 AS (SELECT vec_id, vm, CAST(0 AS BIGINT) AS md
+        |       FROM pts ORDER BY vec_id LIMIT 1),
+        |""".stripMargin)
+    sb.append(s"d1 AS (SELECT p.vec_id, p.vm, ${dist("p", "c")} AS md " +
+      "FROM pts p, s1 c),\n")
+    for (i <- 2 to k) {
+      sb.append(s"s$i AS (SELECT vec_id, vm, md FROM d${i - 1} " +
+        s"ORDER BY md DESC, vec_id LIMIT 1)")
+      if (i < k) sb.append(s",\nd$i AS (SELECT p.vec_id, p.vm, " +
+        s"least(p.md, ${dist("p", "c")}) AS md FROM d${i - 1} p, s$i c),\n")
+    }
+    sb.append("\n")
+    sb.append((1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, vec_id, " +
+        (if (i == 1) "CAST(0 AS BIGINT) AS sel_dist" else "md AS sel_dist") +
+        s" FROM s$i"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY step"))
+    sb.toString
+  }
+
   private lazy val q80OracleSql: String =
     """WITH RECURSIVE
        |-- ======== curation (q73's oracle chain, survivor set only) ========

@@ -535,4 +535,64 @@ object Sampling {
         ((row_number().over(w) - 1) % k).cast("long"))
       .drop("__h")
   }
+
+  /** Greedy k-center (Gonzalez 1985) coreset selection over an
+    * embedding column — the diversity-selection primitive of
+    * facility-location data curation: pick the point farthest (max
+    * min-squared-distance) from everything chosen so far, k times.
+    * The greedy is a 2-approximation of the optimal k-center radius,
+    * and the selected set is the classic "cover the embedding space
+    * with k exemplars" coreset.
+    *
+    * Exactness discipline: vectors snap to the micro lattice
+    * (floor(v·1e6), the q198/q120 convention) so every squared
+    * distance is an exact BIGINT sum — the argmax and its ties
+    * (smallest id wins) replay identically in SQL. Seeding is
+    * deterministic: the smallest id is center 1 (never an RNG).
+    *
+    * Scale shape: k bounded driver iterations (the KMeansTrainer
+    * contract); each keeps ONE running min-distance column over the
+    * corpus (narrow projection against a LITERAL center vector — no
+    * join, no shuffle) and takes the argmax via TakeOrdered + a
+    * 1-row collect. Total cost O(n·k·dim), the known greedy price;
+    * the corpus is never shuffled at all.
+    *
+    * @return k rows (step 1.., vec id, sel_dist = the point's
+    *         min-squared-micro-distance at selection; 0 for step 1).
+    */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pts = emb.select(col(idCol).as("kc_id"),
+        expr(s"transform($vecCol, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("vm"))
+      .persist()
+    def dist(center: Array[Long]): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(col("vm"), typedLit(center), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val first = pts.orderBy(col("kc_id")).limit(1)
+      .select(col("kc_id"), col("vm")).head()
+    var selected = List[(Long, Long, Long)](
+      (1L, first.getLong(0), 0L))
+    var centerVm = first.getSeq[Long](1).toArray
+    var cur = pts
+    var step = 1
+    while (step < k) {
+      cur = cur.withColumn("md",
+        if (step == 1) dist(centerVm)
+        else least(col("md"), dist(centerVm)))
+      val next = cur.orderBy(col("md").desc, col("kc_id").asc).limit(1)
+        .select(col("kc_id"), col("md"), col("vm")).head()
+      step += 1
+      selected ::= ((step.toLong, next.getLong(0), next.getLong(1)))
+      centerVm = next.getSeq[Long](2).toArray
+    }
+    pts.unpersist()
+    selected.reverse
+      .toDF("step", "vec_id", "sel_dist")
+      .withColumnRenamed("vec_id", idCol)
+  }
 }

@@ -242,4 +242,28 @@ class SamplingSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("kCenterSelect: hand-checked greedy on the line, min-id ties") {
+    // points on a line (padded to 2 dims): greedy from min id 1 at 0,
+    // then the farthest (id 5 at 20), then id 2 at 10 (dist^2 100 to
+    // both chosen beats id 3's 25 and id 4's 1)
+    val emb = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(10f, 0f)), (3L, Array(5f, 0f)),
+      (4L, Array(0f, 1f)), (5L, Array(20f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Sampling.kCenterSelect(emb, "vec_id", "embedding", k = 3)
+      .select("step", "vec_id", "sel_dist")
+      .as[(Long, Long, Long)].collect().toSeq
+    val M = 1000000L
+    assert(got == Seq(
+      (1L, 1L, 0L),
+      (2L, 5L, 400L * M * M),
+      (3L, 2L, 100L * M * M)))
+    // tie at equal distance -> smallest id: ids 10/11 both at dist^2 1
+    val tie = Seq((1L, Array(0f)), (10L, Array(1f)), (11L, Array(-1f)))
+      .toDF("vec_id", "embedding")
+    val t = Sampling.kCenterSelect(tie, "vec_id", "embedding", k = 2)
+      .select("step", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(t == Seq((1L, 1L), (2L, 10L)))
+  }
 }
