@@ -406,6 +406,9 @@ object ScaleProbe {
       // q278 = k bounded driver argmax passes over a narrow projection
       // (no shuffle at all) — expect near-linear in corpus size
       "q278_kcenter_select",
+      // q279 = one skeleton projection + one hash agg; q280 = q278 +
+      // a k-wide broadcast cross + point-keyed argmin — both linear
+      "q279_skeleton_dups", "q280_kcenter_assign",
       // round-12: distributed suffix array. Linear by construction at
       // every stage: log(maxDocLen) re-rank rounds over the position
       // table, candidates are SA-ADJACENT pairs only (n-1 rows — the

@@ -4303,6 +4303,31 @@ object SparkEntry {
       Sampling.kCenterSelect(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 6)),
 
+    // homoglyph-hardened dedup key: confusable skeleton (NFC, strip
+    // invisibles, casefold, Cyrillic/Greek lookalikes -> ASCII). The
+    // gate stages the attack the operator exists for (the q52/q57
+    // derived-slice pattern): every 20th doc re-enters with Cyrillic
+    // а/е/о substituted and a zero-width space injected — byte-exact
+    // dedup sees disjoint singletons, the skeleton reunites each pair
+    // (n_variants = 2); at sf0.1 the corpus's own case-insensitive
+    // groups surface too
+    "q279_skeleton_dups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val spoofed = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 1), lit("\u200B"),
+            translate(expr("substring(text, 2)"), "aeo", "аео"))
+            .as("text"))
+      TextAnalysis.skeletonDupGroups(docs.unionByName(spoofed),
+        "doc_id", "text")
+    }),
+
+    // the assignment half of the k-center coreset: nearest-center
+    // census (population, coverage radius, total distance per center)
+    "q280_kcenter_assign" -> ((s, dir) =>
+      Sampling.kCenterAssign(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 6)),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11159,6 +11184,41 @@ object SparkEntry {
     // q278: the unrolled greedy argmax chain (see q278OracleSql)
     "q278_kcenter_select" -> q278OracleSql,
 
+    // q279: the same staged attack (every 20th doc homoglyph-spoofed,
+    // chr(8203) = the zero-width space) + the same skeleton pipeline —
+    // DuckDB nfc_normalize + RE2 invisibles strip + lower + translate,
+    // then the char-fold hash over the skeleton
+    "q279_skeleton_dups" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |spoof AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    substr(text, 1, 1) || chr(8203) ||
+        |      translate(substr(text, 2), 'aeo', 'аео') AS text
+        |  FROM base WHERE doc_id % 20 = 0),
+        |alldocs AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM spoof),
+        |sk AS (
+        |  SELECT doc_id, text AS raw,
+        |    translate(lower(regexp_replace(nfc_normalize(text),
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g')),
+        |      'аеорсхуіѕјοαν', 'aeopcxyisjoav') AS sk
+        |  FROM alldocs),
+        |g AS (
+        |  SELECT sk, CAST(min(doc_id) AS BIGINT) AS survivor_id,
+        |    CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(count(DISTINCT raw) AS BIGINT) AS n_variants
+        |  FROM sk GROUP BY sk HAVING count(*) >= 2)
+        |SELECT survivor_id, n_members, n_variants,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_split_to_array(sk, ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS skeleton_hash
+        |FROM g""".stripMargin,
+
+    // q280: the chain's centers re-joined against every point (see
+    // q280OracleSql)
+    "q280_kcenter_assign" -> q280OracleSql,
+
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->
       """WITH c AS (
@@ -12049,38 +12109,68 @@ object SparkEntry {
     * exact BIGINT sums over the micro lattice, so the whole greedy
     * replays bit-for-bit.
     */
-  private lazy val q278OracleSql: String = {
-    val k = 6
-    def dist(p: String, c: String) =
-      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(generate_series(1, 64), " +
-        s"i -> ($p.vm[i] - $c.vm[i]) * ($p.vm[i] - $c.vm[i]))), " +
-        "(a, b) -> a + b)"
+  private def kcenterDistSql(p: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, 64), " +
+      s"i -> ($p.vm[i] - $c.vm[i]) * ($p.vm[i] - $c.vm[i]))), " +
+      "(a, b) -> a + b)"
+
+  /** The unrolled greedy k-center CTE chain shared by q278 and q280:
+    * pts, then alternating argmax (sN) and running-min-distance (dN)
+    * CTEs, ending at s`k` (no trailing comma).
+    */
+  private def kcenterChainSql(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH pts AS (
+      """pts AS (
         |  SELECT vec_id, list_transform(embedding,
         |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS vm
         |  FROM embeddings),
         |s1 AS (SELECT vec_id, vm, CAST(0 AS BIGINT) AS md
         |       FROM pts ORDER BY vec_id LIMIT 1),
         |""".stripMargin)
-    sb.append(s"d1 AS (SELECT p.vec_id, p.vm, ${dist("p", "c")} AS md " +
-      "FROM pts p, s1 c),\n")
+    sb.append(s"d1 AS (SELECT p.vec_id, p.vm, ${kcenterDistSql("p", "c")} " +
+      "AS md FROM pts p, s1 c),\n")
     for (i <- 2 to k) {
       sb.append(s"s$i AS (SELECT vec_id, vm, md FROM d${i - 1} " +
         s"ORDER BY md DESC, vec_id LIMIT 1)")
       if (i < k) sb.append(s",\nd$i AS (SELECT p.vec_id, p.vm, " +
-        s"least(p.md, ${dist("p", "c")}) AS md FROM d${i - 1} p, s$i c),\n")
+        s"least(p.md, ${kcenterDistSql("p", "c")}) AS md " +
+        s"FROM d${i - 1} p, s$i c),\n")
     }
-    sb.append("\n")
-    sb.append((1 to k).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS step, vec_id, " +
-        (if (i == 1) "CAST(0 AS BIGINT) AS sel_dist" else "md AS sel_dist") +
-        s" FROM s$i"
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY step"))
     sb.toString
   }
+
+  private lazy val q278OracleSql: String =
+    "WITH " + kcenterChainSql(6) + "\n" +
+      (1 to 6).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS step, vec_id, " +
+          (if (i == 1) "CAST(0 AS BIGINT) AS sel_dist"
+           else "md AS sel_dist") + s" FROM s$i"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** q280: the q278 chain's six centers re-joined against every point;
+    * argmin by (distance, step) via one per-point rank, then the
+    * per-center census.
+    */
+  private lazy val q280OracleSql: String =
+    "WITH " + kcenterChainSql(6) + ",\ncenters AS (\n" +
+      (1 to 6).map { i =>
+        s"  SELECT CAST($i AS BIGINT) AS step, vec_id AS center_id, vm " +
+          s"FROM s$i"
+      }.mkString("", "\n  UNION ALL\n", "),\n") +
+      s"""dists AS (
+         |  SELECT p.vec_id AS kc_id, c.step, c.center_id,
+         |    ${kcenterDistSql("p", "c")} AS d2
+         |  FROM pts p, centers c),
+         |best AS (
+         |  SELECT kc_id, step, center_id, d2,
+         |    row_number() OVER (PARTITION BY kc_id ORDER BY d2, step) AS rn
+         |  FROM dists)
+         |SELECT step, center_id, CAST(count(*) AS BIGINT) AS n_assigned,
+         |  CAST(max(d2) AS BIGINT) AS max_dist,
+         |  CAST(sum(d2) AS BIGINT) AS sum_dist
+         |FROM best WHERE rn = 1 GROUP BY step, center_id""".stripMargin
 
   private lazy val q80OracleSql: String =
     """WITH RECURSIVE

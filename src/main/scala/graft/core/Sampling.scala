@@ -595,4 +595,40 @@ object Sampling {
       .toDF("step", "vec_id", "sel_dist")
       .withColumnRenamed("vec_id", idCol)
   }
+
+  /** The assignment half of [[kCenterSelect]]: every point goes to its
+    * nearest selected center (exact micro-lattice squared distance;
+    * ties to the EARLIEST center step), and the census reports per
+    * center its population, coverage radius (max assigned distance)
+    * and total distance — the k-row quality summary of the coreset.
+    *
+    * Scale shape: the k chosen centers broadcast against one narrow
+    * corpus projection; argmin per point is a point-partitioned
+    * min_by, never a window over the corpus. Output: (step, center
+    * id, n_assigned, max_dist, sum_dist), one row per center (a
+    * center with no closer points still reports its own assignment).
+    */
+  def kCenterAssign(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val centers = kCenterSelect(emb, idCol, vecCol, k)
+      .select(col("step"), col(idCol).as("center_id"))
+    val pts = emb.select(col(idCol).as("kc_id"),
+      expr(s"transform($vecCol, v -> " +
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("vm"))
+    val cvm = centers.join(
+        pts.select(col("kc_id").as("center_id"), col("vm").as("cvm")),
+        "center_id")
+    val d = pts.crossJoin(broadcast(cvm))
+      .withColumn("d2", aggregate(
+        zip_with(col("vm"), col("cvm"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy("kc_id")
+      .agg(min(struct(col("d2"), col("step"), col("center_id")))
+        .as("best"))
+    d.groupBy(col("best.step").as("step"),
+        col("best.center_id").as("center_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        max(col("best.d2")).as("max_dist"),
+        sum(col("best.d2")).as("sum_dist"))
+  }
 }

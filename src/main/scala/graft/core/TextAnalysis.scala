@@ -626,4 +626,46 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
   }
+
+  /** UTS#39-lite confusable SKELETON — the homoglyph-hardened dedup
+    * key exact dedup misses: web spam re-publishes the same text with
+    * Cyrillic/Greek lookalike letters and zero-width joiners so every
+    * byte-level hash differs while every READER sees the same string.
+    * Skeleton = NFC → strip invisible codepoints (ZWSP/ZWNJ/ZWJ/BOM/
+    * soft hyphen) → casefold → map the high-frequency Cyrillic+Greek
+    * lookalikes onto their ASCII targets (a deliberately small,
+    * documented table — UTS#39's full data file is overkill for a
+    * dedup KEY, where false merges only cost a manual review). One
+    * codegen'd projection; exactly replayable (DuckDB: nfc_normalize
+    * + regexp_replace + lower + translate).
+    */
+  val ConfusablesFrom: String =
+    "аеорсхуіѕј" + // Cyrillic a e o p c x y i s j
+      "οαν"                                           // Greek o a v
+  val ConfusablesTo: String = "aeopcxyisjoav"
+  val InvisiblesRe: String =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]"
+
+  def confusableSkeleton(text: Column): Column =
+    translate(
+      lower(regexp_replace(nfcNormalize(text), InvisiblesRe, "")),
+      ConfusablesFrom, ConfusablesTo)
+
+  /** Skeleton-keyed duplicate groups: documents whose confusable
+    * skeletons collide (>= 2 members). `n_variants` counts DISTINCT
+    * raw texts inside a group — > 1 is the homoglyph/invisible-char
+    * signal byte-exact dedup ([[graft.core.Dedup]] q17) cannot see.
+    * One hash aggregate on the skeleton; survivors by min id.
+    */
+  def skeletonDupGroups(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("raw"),
+        confusableSkeleton(col(textCol)).as("sk"))
+      .groupBy("sk")
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(col("raw")).as("n_variants"))
+      .filter(col("n_members") >= 2)
+      .select(col("survivor_id"), col("n_members"), col("n_variants"),
+        rollingHash(col("sk")).as("skeleton_hash"))
 }

@@ -703,4 +703,30 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, 7L, "four five hit")),              // right edge clamps
       s"$got")
   }
+
+  test("skeletonDupGroups: homoglyphs, invisibles and case collide; " +
+    "byte-exact dedup would miss all three") {
+    val docs = Seq(
+      1L -> "free crypto bonus",
+      2L -> "frее crypto bonus",          // Cyrillic е twice
+      3L -> "free cry\u200Bpto bonus", // zero-width space
+      4L -> "FREE Crypto Bonus",                    // case only
+      5L -> "совершенно другой текст",              // unrelated
+      6L -> "free crypto bonus offer")              // NOT a dup (longer)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.skeletonDupGroups(docs, "doc_id", "text")
+      .select("survivor_id", "n_members", "n_variants")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 4L)))
+    // all four raws differ byte-wise, so n_variants == n_members
+    // and q17-style exact dedup sees four singletons
+  }
+
+  test("confusableSkeleton: Greek lookalikes and soft hyphen") {
+    val got = Seq(("\u03B1lph\u03B1 s\u00ADoft", 0))
+      .toDF("t", "x")
+      .select(TextAnalysis.confusableSkeleton($"t"))
+      .as[String].head()
+    assert(got == "alpha soft")
+  }
 }

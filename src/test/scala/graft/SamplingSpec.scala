@@ -266,4 +266,23 @@ class SamplingSpec extends SparkSpec {
       .select("step", "vec_id").as[(Long, Long)].collect().toSeq
     assert(t == Seq((1L, 1L), (2L, 10L)))
   }
+
+  test("kCenterAssign: nearest-center census, equidistant ties to the " +
+    "earliest step") {
+    val emb = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(10f, 0f)), (3L, Array(5f, 0f)),
+      (4L, Array(0f, 1f)), (5L, Array(20f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Sampling.kCenterAssign(emb, "vec_id", "embedding", k = 3)
+      .select("step", "center_id", "n_assigned", "max_dist", "sum_dist")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val T = 1000000000000L // micro^2 per unit distance^2
+    // centers: step1=id1@0, step2=id5@20, step3=id2@10. id3@5 is
+    // equidistant (25) to centers 1 and 2 -> earliest step (1) wins;
+    // id4 -> center 1 at distance 1
+    assert(got == Seq(
+      (1L, 1L, 3L, 25L * T, 26L * T),
+      (2L, 5L, 1L, 0L, 0L),
+      (3L, 2L, 1L, 0L, 0L)))
+  }
 }
