@@ -416,7 +416,13 @@ object ScaleProbe {
       // stays one pair per neighbor), occurrence rematch is topK-
       // bounded broadcast. Expect the linear curve plus the fixed
       // driver-round overhead
-      "q274_longest_repeats")
+      "q274_longest_repeats",
+      // round-12: edit-distance near-dup. The Ed-Join prefix filter is
+      // lossless, so the replicated corpus's exact-dup groups (x10 per
+      // text) multiply posting-list pair counts quadratically — the
+      // documented exact-baseline curve (q253 family); maxDf is the
+      // linear scale path
+      "q281_edit_neardup")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>
@@ -457,6 +463,12 @@ object ScaleProbe {
     timed("jaccard maxDf=30") { dir =>
       graft.core.Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
         "doc_id", "text", n = 3, threshold = 0.2, maxDf = 30)
+    }
+    timed("editdist maxDf=64") { dir =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"),
+        lower(substring(trim(col("text")), 1, 40)).as("key"))
+      graft.core.Dedup.editNearDupPairs(docs, "doc_id", "key",
+        k = 2, q = 3, maxDf = 64)
     }
     timed("q40_lsh_neardup") { dir =>
       SparkEntry.queries("q40_lsh_neardup")(spark, dir)

@@ -4328,6 +4328,23 @@ object SparkEntry {
       Sampling.kCenterAssign(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 6)),
 
+    // edit-distance near-dup join on a 40-char normalized prefix key:
+    // Ed-Join prefix-filtered candidates (rarest k·q+1 char-grams),
+    // thresholded-banded levenshtein verify. The gate STAGES the
+    // near-miss the operator exists for (the q279 pattern): every
+    // 10th doc re-enters with chars 4-5 of its key replaced by 'zq'
+    // (ed ≤ 2); the corpus's own exact-dup families surface as ed = 0
+    "q281_edit_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        lower(substring(trim(col("text")), 1, 40)).as("key"))
+      val spoof = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(substring(col("key"), 1, 3), lit("zq"),
+            expr("substring(key, 6)")).as("key"))
+      Dedup.editNearDupPairs(docs.unionByName(spoof), "doc_id", "key",
+        k = 2, q = 3)
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11218,6 +11235,28 @@ object SparkEntry {
     // q280: the chain's centers re-joined against every point (see
     // q280OracleSql)
     "q280_kcenter_assign" -> q280OracleSql,
+
+    // q281: the same staged perturbation, then FILTER-FREE brute force
+    // — every pair inside the |Δlen| ≤ k length bound (implied by
+    // ed ≤ k, pure pruning) gets a real levenshtein, so the oracle is
+    // algorithm-independent and the prefix filter's losslessness is
+    // what the gate checks
+    "q281_edit_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(substr(trim(text), 1, 40)) AS key
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    substr(key, 1, 3) || 'zq' || substr(key, 6) AS key
+        |  FROM d WHERE doc_id % 10 = 0),
+        |a AS (SELECT * FROM d UNION ALL SELECT * FROM sp),
+        |pairs AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    levenshtein(x.key, y.key) AS ed
+        |  FROM a x JOIN a y ON x.doc_id < y.doc_id
+        |    AND abs(length(x.key) - length(y.key)) <= 2)
+        |SELECT id_a, id_b, CAST(ed AS BIGINT) AS ed
+        |FROM pairs WHERE ed <= 2""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

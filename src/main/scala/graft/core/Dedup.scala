@@ -687,4 +687,108 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Distinct character q-grams of a string (Ed-Join signatures).
+    * Native single-pass expression ([[graft.expressions.CharGramArray]]).
+    */
+  def charGrams(s: Column, q: Int): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.expressions.CharGramArray(
+        org.apache.spark.sql.GraftShim.expression(s), q))
+
+  /** Edit-distance near-dup join: all pairs (id_a < id_b) whose
+    * strings are within Levenshtein distance `k` — the typo/OCR/near-
+    * rewrite dedup measure that token-set Jaccard ([[ngramJaccardPairs]])
+    * is blind to (one character flip changes up to q shingles but only
+    * costs 1 edit). NEVER a cross join: candidates come from the
+    * Ed-Join prefix filter (Xiao, Wang & Lin, VLDB 2008):
+    *
+    *  - each edit op perturbs at most q char-gram OCCURRENCES, so a
+    *    gram present in a but absent from b needs ALL its occurrences
+    *    destroyed — within ed ≤ k at most k·q DISTINCT grams of either
+    *    side are missing from the other (set semantics);
+    *  - order every doc's distinct grams by global rarity (df asc,
+    *    gram asc — one total order both sides) and keep the first
+    *    k·q + 1 as its signature: by the standard prefix-filter
+    *    theorem two strings within ed ≤ k MUST share a signature gram,
+    *    so an equi-join on signature grams is a LOSSLESS candidate
+    *    generator (the spec pins this against brute force);
+    *  - docs with ≤ k·q distinct grams (shorter than ~q + k·q chars,
+    *    or degenerately repetitive) make the destruction bound vacuous
+    *    — they ALSO pair among themselves through a length-bucket
+    *    fallback (bucket width k + 1, each doc posted to its bucket
+    *    and the next, so any pair within the |Δlen| ≤ k length filter
+    *    shares a bucket). Long×short cross pairs stay covered by the
+    *    gram path: a long side (> k·q grams) forces the required
+    *    overlap positive and the short side's signature is its whole
+    *    gram set.
+    *
+    * Verification computes `levenshtein(s_a, s_b, k)` — Spark's
+    * THRESHOLDED form, the banded O(k·len) DP, not the O(len²) full
+    * matrix — only on surviving candidates. Scale shape: one exchange
+    * on gram (df join + signature grouping), one on the pair key, the
+    * shorts path is bounded by construction on natural text; `maxDf`
+    * drops posting lists above the cap (loses losslessness — the
+    * documented hot-gram escape hatch, q261 discipline).
+    *
+    * Output: (id_a, id_b, ed) with ed ≤ k, exact.
+    */
+  def editNearDupPairs(df: DataFrame, idCol: String, strCol: String,
+                       k: Int, q: Int = 3,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "edit-distance threshold must be >= 1")
+    require(q >= 1, "gram size must be >= 1")
+    val base = df.select(col(idCol).as("doc"),
+        coalesce(col(strCol), lit("")).as("s"))
+      .withColumn("slen", length(col("s")))
+      .persist()
+    val grams = base.select(col("doc"), col("slen"),
+        charGrams(col("s"), q).as("g"))
+      .withColumn("n_g", size(col("g")))
+    val posted = grams.select(col("doc"), col("slen"),
+      explode(col("g")).as("gram"))
+    val dfreq = posted.groupBy("gram").agg(count(lit(1)).as("gdf"))
+    val ranked = posted.join(dfreq, "gram")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("doc").orderBy(col("gdf"), col("gram"))))
+    val sigLen = k * q + 1
+    val candLong = ranked.filter(col("__pos") <= sigLen)
+      .groupBy("gram")
+      .agg(collect_list(struct(col("doc"), col("slen"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+      .select(array_sort(col("ds")).as("ds"))
+      .select(org.apache.spark.sql.GraftShim.column(
+        graft.expressions.PairCombinations(
+          org.apache.spark.sql.GraftShim.expression(col("ds"))))
+        .as(Seq("doc_a", "len_a", "doc_b", "len_b")))
+      .filter(abs(col("len_a") - col("len_b")) <= k)
+      .select(col("doc_a"), col("doc_b"))
+    val candShort = grams.filter(col("n_g") <= k * q)
+      .select(col("doc"), col("slen"),
+        explode(array(expr(s"CAST(slen AS BIGINT) DIV ${k + 1}L"),
+          expr(s"CAST(slen AS BIGINT) DIV ${k + 1}L + 1L"))).as("bkt"))
+      .groupBy("bkt")
+      .agg(collect_list(struct(col("doc"), col("slen"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(array_sort(col("ds")).as("ds"))
+      .select(org.apache.spark.sql.GraftShim.column(
+        graft.expressions.PairCombinations(
+          org.apache.spark.sql.GraftShim.expression(col("ds"))))
+        .as(Seq("doc_a", "len_a", "doc_b", "len_b")))
+      .filter(abs(col("len_a") - col("len_b")) <= k)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = candLong.union(candShort).distinct()
+    val out = cand
+      .join(base.select(col("doc").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(base.select(col("doc").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .withColumn("ed", levenshtein(col("s_a"), col("s_b"), k))
+      .filter(col("ed") >= 0 && col("ed") <= k)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        col("ed").cast("long").as("ed"))
+    // the pair table is small; release the corpus persist before returning
+    val mat = out.localCheckpoint(true)
+    base.unpersist()
+    mat
+  }
 }
