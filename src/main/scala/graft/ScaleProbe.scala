@@ -422,7 +422,10 @@ object ScaleProbe {
       // text) multiply posting-list pair counts quadratically — the
       // documented exact-baseline curve (q253 family); maxDf is the
       // linear scale path
-      "q281_edit_neardup")
+      "q281_edit_neardup",
+      // q282 = one per-user bitmask exchange + a 2^n model-size
+      // lattice walk — expect linear
+      "q282_shapley")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -4345,6 +4345,15 @@ object SparkEntry {
         k = 2, q = 3)
     }),
 
+    // exact Shapley-value attribution over the 4 non-purchase channels
+    // (16-coalition lattice, micro-quantized conversion rates, all-
+    // integer factorial weights) — the coalition-game closer beside
+    // last-touch (q147) and Markov removal effect (q210)
+    "q282_shapley" -> ((s, dir) =>
+      Eval.shapleyAttribution(Tables.events(s, dir),
+        col("user_id"), col("event_type"),
+        col("event_type") === "purchase")),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11257,6 +11266,61 @@ object SparkEntry {
         |    AND abs(length(x.key) - length(y.key)) <= 2)
         |SELECT id_a, id_b, CAST(ed AS BIGINT) AS ed
         |FROM pairs WHERE ed <= 2""".stripMargin,
+
+    // q282: the same lattice walk replayed relationally — per-user
+    // coalition bitmasks, observed-coalition micro rates (unobserved
+    // v = 0), recursive-CTE mask lattice + factorial table, floor-div
+    // via the pmod identity so negative numerators round identically
+    "q282_shapley" ->
+      """WITH ch AS (
+        |  SELECT event_type AS ch,
+        |    row_number() OVER (ORDER BY event_type) - 1 AS bit
+        |  FROM (SELECT DISTINCT event_type FROM events
+        |        WHERE event_type <> 'purchase')),
+        |n AS (SELECT count(*) AS n FROM ch),
+        |touched AS (
+        |  SELECT DISTINCT e.user_id AS u, ch.bit
+        |  FROM events e JOIN ch ON e.event_type = ch.ch),
+        |per_user AS (
+        |  SELECT t.u, CAST(sum(1 << bit) AS BIGINT) AS mask,
+        |    max(CASE WHEN p.u IS NOT NULL THEN 1 ELSE 0 END) AS conv
+        |  FROM touched t LEFT JOIN (
+        |    SELECT DISTINCT user_id AS u FROM events
+        |    WHERE event_type = 'purchase') p ON t.u = p.u
+        |  GROUP BY t.u),
+        |coal AS (
+        |  SELECT mask, CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS v
+        |  FROM per_user GROUP BY mask),
+        |masks AS (
+        |  SELECT unnest(range(0, (SELECT 1 << n FROM n))) AS mask),
+        |lattice AS (
+        |  SELECT m.mask, COALESCE(c.v, 0) AS v
+        |  FROM masks m LEFT JOIN coal c ON m.mask = c.mask),
+        |fact AS (
+        |  SELECT i, CAST(COALESCE(list_product(
+        |      list_transform(range(1, i + 1), x -> CAST(x AS DOUBLE))),
+        |      1) AS BIGINT) AS f
+        |  FROM (SELECT unnest(range(0, 13)) AS i)),
+        |terms AS (
+        |  SELECT ch.ch, fs.f * fn1s.f * (lu.v - l.v) AS t
+        |  FROM ch
+        |  JOIN lattice l ON (l.mask >> ch.bit) % 2 = 0
+        |  JOIN lattice lu ON lu.mask = l.mask + (1 << ch.bit)
+        |  JOIN fact fs ON fs.i = bit_count(l.mask)
+        |  JOIN fact fn1s ON fn1s.i = (SELECT n FROM n) - 1 - bit_count(l.mask)),
+        |nf AS (SELECT f FROM fact WHERE i = (SELECT n FROM n)),
+        |agg AS (
+        |  SELECT ch AS channel, CAST(sum(t) AS BIGINT) AS shapley_num
+        |  FROM terms GROUP BY ch),
+        |pcu AS (SELECT ch.ch AS channel, count(*) AS n_users
+        |  FROM touched t JOIN ch ON t.bit = ch.bit GROUP BY 1)
+        |SELECT a.channel, CAST(p.n_users AS BIGINT) AS n_users,
+        |  a.shapley_num,
+        |  CAST((a.shapley_num -
+        |      ((a.shapley_num % (SELECT f FROM nf)) + (SELECT f FROM nf))
+        |        % (SELECT f FROM nf))
+        |    // (SELECT f FROM nf) AS BIGINT) AS shapley_micro
+        |FROM agg a JOIN pcu p ON a.channel = p.channel""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

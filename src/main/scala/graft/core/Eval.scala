@@ -1051,4 +1051,94 @@ object Eval {
         expr("""(n_docs * n_agree - chance_pairs) * 1000000
                 DIV (n_docs * n_docs - chance_pairs)""").as("kappa_micro"))
   }
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * coalition-game closer of the attribution family beside last-touch
+    * q147 and Markov removal-effect q210, per Zhao et al. 2018,
+    * "Shapley Value Methods for Attribution Modeling"): the
+    * characteristic function v(S) is the observed conversion rate of
+    * users whose touched-channel set is EXACTLY S (micro-quantized;
+    * unobserved coalitions contribute v = 0, v(∅) = 0 by
+    * normalization), and each channel's worth is its average marginal
+    * contribution over all join orders:
+    *
+    *   φ_i = Σ_{S ⊆ N∖{i}} |S|!·(n−1−|S|)! · (v(S∪{i}) − v(S)) / n!
+    *
+    * Everything after the user rollup is EXACT INTEGER arithmetic on
+    * the micro-quantized v: weights are factorial products (n ≤
+    * `maxChannels` ≤ 12 keeps 11! in an int), φ is reported as the
+    * exact numerator (units micro·n!) plus its floor-div micro value
+    * (floor implemented as (x − pmod(x, n!)) DIV n! so negative
+    * numerators round identically in any engine).
+    *
+    * Scale shape: ONE corpus exchange (the per-user bitmask rollup:
+    * distinct (user, bit) then sum of distinct powers); the coalition
+    * table is ≤ 2^n rows and the lattice walk (n·2^(n−1) marginal
+    * terms) is model-size — broadcast joins, no corpus-size state.
+    * The channel alphabet is collected to the driver (bounded by
+    * `maxChannels`, loud failure beyond) so bit assignment needs no
+    * global window.
+    *
+    * Output: one row per channel — (channel, n_users touching it,
+    * shapley_num, shapley_micro), where Σ_i shapley_num =
+    * n!·(v(observed full-ish masks telescoped)) exactly.
+    */
+  def shapleyAttribution(df: DataFrame, user: Column, channel: Column,
+                         conversion: Column,
+                         maxChannels: Int = 12): DataFrame = {
+    require(maxChannels >= 1 && maxChannels <= 12,
+      "shapley lattice is 2^n; maxChannels must be in [1, 12]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(user.as("u"), channel.as("ch"), conversion.as("cv"))
+    val chanVals = ev.filter(!col("cv")).select(col("ch"))
+      .distinct().as[String].collect().sorted
+    require(chanVals.nonEmpty && chanVals.length <= maxChannels,
+      s"shapleyAttribution: ${chanVals.length} channels exceeds " +
+        s"maxChannels=$maxChannels (lattice would be 2^n)")
+    val n = chanVals.length
+    val bits = broadcast(chanVals.zipWithIndex
+      .map { case (c, i) => (c, i.toLong) }.toSeq.toDF("ch", "bit"))
+    val touched = ev.filter(!col("cv")).join(bits, "ch")
+      .select(col("u"), col("bit")).distinct()
+    val perUser = touched
+      .groupBy("u")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .as("mask"))
+      .join(ev.groupBy("u")
+        .agg(max(when(col("cv"), 1L).otherwise(0L)).as("conv")), "u")
+    val coal = perUser.groupBy("mask")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      .select(col("mask"), expr("n_conv * 1000000L DIV n_users").as("v"))
+    val lattice = spark.range(1L << n).select(col("id").as("mask"))
+      .join(coal, Seq("mask"), "left")
+      .select(col("mask"),
+        when(col("mask") === 0L, 0L)
+          .otherwise(coalesce(col("v"), lit(0L))).as("v"))
+      .persist()
+    // fact(i) = i! for i in 0..12 (11! still fits comfortably in long)
+    val fact = (1 to 12).scanLeft(1L)((a, i) => a * i)
+    val factLit = array(fact.take(12).map(lit(_)): _*)
+    val nFact = fact(n) // n!
+    val terms = bits.crossJoin(lattice)
+      .filter(expr("shiftright(mask, CAST(bit AS INT)) % 2 = 0"))
+      .withColumn("s", bit_count(col("mask")).cast("int"))
+      .withColumn("w",
+        element_at(factLit, col("s") + 1) *
+          element_at(factLit, lit(n) - col("s")))
+      .join(lattice.select(col("mask").as("mask_up"), col("v").as("v_up")),
+        expr("mask_up = mask + shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+      .select(col("ch"), (col("w") * (col("v_up") - col("v"))).as("t"))
+    val perChanUsers = touched.join(bits, "bit")
+      .groupBy("ch").agg(count(lit(1)).as("n_users"))
+    val out = terms.groupBy("ch").agg(sum("t").as("shapley_num"))
+      .withColumn("shapley_micro", expr(
+        s"(shapley_num - pmod(shapley_num, ${nFact}L)) DIV ${nFact}L"))
+      .join(perChanUsers.select(col("ch"), col("n_users")), "ch")
+      .select(col("ch").as("channel"), col("n_users"),
+        col("shapley_num"), col("shapley_micro"))
+    val mat = out.localCheckpoint(true)
+    lattice.unpersist()
+    mat
+  }
 }
