@@ -425,7 +425,10 @@ object ScaleProbe {
       "q281_edit_neardup",
       // q282 = one per-user bitmask exchange + a 2^n model-size
       // lattice walk — expect linear
-      "q282_shapley")
+      "q282_shapley",
+      // q283 = split projection + model agg + per-group rank window +
+      // coverage agg, all key-partitioned — expect linear
+      "q283_conformal")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -4354,6 +4354,15 @@ object SparkEntry {
         col("user_id"), col("event_type"),
         col("event_type") === "purchase")),
 
+    // split-conformal prediction intervals per event type: hash-split
+    // train/calib/test, per-type train-mean predictor, q-hat = the
+    // exact ceil((n+1)(1-alpha)) calibration order statistic, test
+    // coverage counted against it (alpha = 0.1)
+    "q283_conformal" -> ((s, dir) =>
+      Eval.conformalCalibrate(Tables.events(s, dir),
+        col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)"))),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11321,6 +11330,53 @@ object SparkEntry {
         |        % (SELECT f FROM nf))
         |    // (SELECT f FROM nf) AS BIGINT) AS shapley_micro
         |FROM agg a JOIN pcu p ON a.channel = p.channel""".stripMargin,
+
+    // q283: the q60 hash-split replay + the same exact-rank conformal
+    // algebra — per-type train mean, ceil((n+1)(1-alpha)) order
+    // statistic by window rank, coverage count on the test split
+    "q283_conformal" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, event_id AS rid,
+        |    CAST(round(value * 100) AS BIGINT) AS y,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(event_id || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 1000000 AS hv
+        |  FROM events),
+        |s AS (
+        |  SELECT g, rid, y,
+        |    CASE WHEN hv < 400000 THEN 'train'
+        |         WHEN hv < 700000 THEN 'calib'
+        |         ELSE 'test' END AS split
+        |  FROM h),
+        |model AS (
+        |  SELECT g, CAST(sum(y) // count(*) AS BIGINT) AS mean_cents
+        |  FROM s WHERE split = 'train' GROUP BY g),
+        |scored AS (
+        |  SELECT s.g, s.rid, s.split, abs(s.y - m.mean_cents) AS sc
+        |  FROM s JOIN model m ON s.g = m.g WHERE s.split <> 'train'),
+        |ncal AS (
+        |  SELECT g, count(*) AS n_calib FROM scored
+        |  WHERE split = 'calib' GROUP BY g),
+        |qh AS (
+        |  SELECT g, n_calib, sc AS qhat_cents FROM (
+        |    SELECT c.g, n.n_calib, c.sc,
+        |      row_number() OVER (PARTITION BY c.g ORDER BY c.sc, c.rid)
+        |        AS rn
+        |    FROM scored c JOIN ncal n ON c.g = n.g
+        |    WHERE c.split = 'calib')
+        |  WHERE rn = ((n_calib + 1) * 900000 + 999999) // 1000000)
+        |SELECT t.g AS "group", m.mean_cents, q.n_calib, q.qhat_cents,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN t.sc <= q.qhat_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN t.sc <= q.qhat_cents THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS coverage_micro
+        |FROM scored t
+        |JOIN qh q ON t.g = q.g
+        |JOIN model m ON t.g = m.g
+        |WHERE t.split = 'test'
+        |GROUP BY t.g, m.mean_cents, q.n_calib, q.qhat_cents""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

@@ -1052,6 +1052,67 @@ object Eval {
                 DIV (n_docs * n_docs - chance_pairs)""").as("kappa_micro"))
   }
 
+  /** Split-conformal calibration (Vovk et al.; Angelopoulos & Bates
+    * 2021 tutorial form): distribution-free prediction intervals with
+    * finite-sample coverage ≥ 1 − α. The portable hash split
+    * ([[Sampling.hashSplit]] semantics inlined by seed) carves
+    * train/calib/test; the "model" is the per-group train mean (cents,
+    * floor DIV — conformal wraps ANY predictor, and the point of the
+    * operator is the calibration algebra, not the regressor); the
+    * nonconformity score is |y − ŷ|; q̂ is the ⌈(n_cal+1)(1−α)⌉-th
+    * smallest calibration score — an EXACT order statistic (integer
+    * ceil on the micro-scaled α, per-group rank window, tie-break by
+    * id never changes the value at the rank) — and test coverage is
+    * counted against it.
+    *
+    * All integer end to end: cents lattice scores, one positive DIV
+    * per ratio. Groups with no train rows, or too small for the α
+    * level (rank > n_cal), drop — finite-sample conformal is
+    * undefined there (documented loud-by-absence).
+    *
+    * Scale shape: one exchange for the model agg, one per-group rank
+    * window (partitioned — never a global sort), one exchange for the
+    * coverage count; the model/q̂ tables are group-alphabet-sized
+    * broadcast joins.
+    *
+    * Output: (group, mean_cents, n_calib, qhat_cents, n_test,
+    * n_covered, coverage_micro).
+    */
+  def conformalCalibrate(df: DataFrame, group: Column, id: Column,
+                         valueCents: Column, alphaMicro: Long = 100000L,
+                         seed: Long = 42L): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      "alphaMicro must be in (0, 1e6)")
+    val base = df.select(group.as("g"), id.as("rid"), valueCents.as("y"))
+    val split = Sampling.hashSplit(base, "rid",
+      Seq("train" -> 0.4, "calib" -> 0.3, "test" -> 0.3), seed)
+    val model = split.filter(col("split") === "train")
+      .groupBy("g").agg(expr("sum(y) DIV count(1)").as("mean_cents"))
+    val scored = split.filter(col("split") =!= "train")
+      .join(model, "g")
+      .withColumn("s", abs(col("y") - col("mean_cents")))
+    val calib = scored.filter(col("split") === "calib")
+    val qhat = calib
+      .join(calib.groupBy("g").agg(count(lit(1)).as("n_calib")), "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("s"), col("rid"))))
+      .filter(col("rn") === expr(
+        s"((n_calib + 1) * (1000000L - ${alphaMicro}L) + 999999L) DIV 1000000L"))
+      .select(col("g"), col("n_calib"), col("s").as("qhat_cents"))
+    scored.filter(col("split") === "test")
+      .join(qhat, "g")
+      .groupBy(col("g"), col("n_calib"), col("qhat_cents"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("qhat_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage_micro",
+        expr("n_covered * 1000000L DIV n_test"))
+      .join(model, "g")
+      .select(col("g").as("group"), col("mean_cents"), col("n_calib"),
+        col("qhat_cents"), col("n_test"), col("n_covered"),
+        col("coverage_micro"))
+  }
+
   /** Exact Shapley-value channel attribution (Shapley 1953; the
     * coalition-game closer of the attribution family beside last-touch
     * q147 and Markov removal-effect q210, per Zhao et al. 2018,
