@@ -428,7 +428,10 @@ object ScaleProbe {
       "q282_shapley",
       // q283 = split projection + model agg + per-group rank window +
       // coverage agg, all key-partitioned — expect linear
-      "q283_conformal")
+      "q283_conformal",
+      // q284 = one (group, value)-grid agg + lattice-bounded windows —
+      // expect near-constant growth (the grid saturates)
+      "q284_wasserstein")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -4363,6 +4363,15 @@ object SparkEntry {
         col("event_type"), col("event_id"),
         expr("CAST(round(value * 100) AS BIGINT)"))),
 
+    // exact two-sample Wasserstein-1 drift per event type between the
+    // even/odd event-id arms — the earth-mover closer of the drift
+    // family (PSI q108, KS q111): CDF-difference integral on the
+    // cents lattice, one final DIV against the n_a*n_b denominator
+    "q284_wasserstein" -> ((s, dir) =>
+      Profile.wasserstein1(Tables.events(s, dir), "event_type",
+        expr("CAST(round(value * 100) AS BIGINT)"),
+        col("event_id") % 2 === 0)),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11377,6 +11386,43 @@ object SparkEntry {
         |JOIN model m ON t.g = m.g
         |WHERE t.split = 'test'
         |GROUP BY t.g, m.mean_cents, q.n_calib, q.qhat_cents""".stripMargin,
+
+    // q284: the same CDF-difference integral on the merged cents
+    // lattice — per-value arm counts, window cumsums, lead() gaps,
+    // one cross-scaled numerator summed, remainder-split output
+    "q284_wasserstein" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b
+        |  FROM c GROUP BY 1
+        |  HAVING sum(ca) > 0 AND sum(cb) > 0),
+        |cum AS (
+        |  SELECT event_type, v,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cumb,
+        |    COALESCE(lead(v) OVER (PARTITION BY event_type ORDER BY v)
+        |      - v, 0) AS gap
+        |  FROM c),
+        |agg AS (
+        |  SELECT cum.event_type, t.n_a, t.n_b,
+        |    CAST(sum(abs(cuma * t.n_b - cumb * t.n_a) * gap) AS BIGINT)
+        |      AS w1_num
+        |  FROM cum JOIN tot t ON cum.event_type = t.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, n_a, n_b, w1_num,
+        |  w1_num // (n_a * n_b) AS w1_cents,
+        |  (w1_num % (n_a * n_b)) * 1000000 // (n_a * n_b)
+        |    AS w1_frac_micro
+        |FROM agg""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->
