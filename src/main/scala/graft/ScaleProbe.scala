@@ -431,7 +431,10 @@ object ScaleProbe {
       "q283_conformal",
       // q284 = one (group, value)-grid agg + lattice-bounded windows —
       // expect near-constant growth (the grid saturates)
-      "q284_wasserstein")
+      "q284_wasserstein",
+      // q285 = one key agg + the two-phase prefix-max over the
+      // distinct-x grid — expect linear in the agg, constant after
+      "q285_skyline")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -4372,6 +4372,23 @@ object SparkEntry {
         expr("CAST(round(value * 100) AS BIGINT)"),
         col("event_id") % 2 === 0)),
 
+    // Pareto frontier of suppliers under (minimize unit price,
+    // maximize shipped volume) — the undominated set via the
+    // two-phase prefix-max skyline scan, ties kept on both dims
+    "q285_skyline" -> ((s, dir) => {
+      val parts = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("price_cents"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("total_qty"))
+        .select(col("l_partkey"),
+          expr("price_cents DIV total_qty").as("unit_cents"),
+          col("total_qty"))
+      graft.core.Skyline.skyline2d(parts, col("l_partkey"),
+          col("unit_cents"), col("total_qty"))
+        .select(col("id").as("l_partkey"), col("x").as("unit_cents"),
+          col("y").as("total_qty"))
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11423,6 +11440,28 @@ object SparkEntry {
         |  (w1_num % (n_a * n_b)) * 1000000 // (n_a * n_b)
         |    AS w1_frac_micro
         |FROM agg""".stripMargin,
+
+    // q285: the definitional NOT EXISTS dominator — algorithm-
+    // independent (quadratic, fine at oracle scale; the Spark side is
+    // the prefix-scan)
+    "q285_skyline" ->
+      """WITH s AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT)
+        |      // CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS unit_cents,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.l_partkey, a.unit_cents, a.total_qty
+        |FROM s a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s b
+        |  WHERE b.unit_cents <= a.unit_cents
+        |    AND b.total_qty >= a.total_qty
+        |    AND (b.unit_cents < a.unit_cents
+        |      OR b.total_qty > a.total_qty))""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->
