@@ -434,7 +434,10 @@ object ScaleProbe {
       "q284_wasserstein",
       // q285 = one key agg + the two-phase prefix-max over the
       // distinct-x grid — expect linear in the agg, constant after
-      "q285_skyline")
+      "q285_skyline",
+      // q286 = one codegen projection + one grouped agg; q287 = one
+      // QI-grid agg + conditional aggregates — both linear
+      "q286_randomized_response", "q287_ldiversity")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

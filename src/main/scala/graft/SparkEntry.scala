@@ -4389,6 +4389,24 @@ object SparkEntry {
           col("y").as("total_qty"))
     }),
 
+    // Warner randomized response per event type: 10% portable-hash
+    // flips on the value>50 bit, debiased count estimate + its error
+    // vs the true count — the local-DP member of the privacy family
+    "q286_randomized_response" -> ((s, dir) =>
+      graft.core.Privacy.randomizedResponse(Tables.events(s, dir),
+        col("event_type"), col("event_id"), col("value") > 50.0,
+        flipMicro = 100000L)),
+
+    // l-diversity audit (q251's companion): user x event-type-prefix
+    // quasi-identifiers, the value-band as the sensitive attribute;
+    // per requested l the classes/rows at risk
+    "q287_ldiversity" -> ((s, dir) =>
+      graft.core.Privacy.lDiversityReport(Tables.events(s, dir),
+        Seq(expr("user_id % 50").as("qi_user"),
+          substring(col("event_type"), 1, 1).as("qi_et")),
+        expr("CAST(floor(value / 100) AS BIGINT)").as("band"),
+        ls = Seq(2, 3, 5))),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11462,6 +11480,67 @@ object SparkEntry {
         |    AND b.total_qty >= a.total_qty
         |    AND (b.unit_cents < a.unit_cents
         |      OR b.total_qty > a.total_qty))""".stripMargin,
+
+    // q286: the q277 avalanche-draw replay (rolling fold, two mix
+    // rounds, final fold, mod 1e6) + the same debiasing algebra
+    "q286_randomized_response" ->
+      """WITH h0 AS (
+        |  SELECT event_type AS g, value > 50.0 AS t,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        CAST(event_id AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM events),
+        |h1 AS (SELECT *, (xor(h, h // 65536) * 73244475) % 4294967296
+        |  AS hv1 FROM h0),
+        |h2 AS (SELECT *, (xor(hv1, hv1 // 65536) * 73244475) % 4294967296
+        |  AS hv2 FROM h1),
+        |u AS (SELECT g, t,
+        |    xor(hv2, hv2 // 65536) % 1000000 AS u_micro
+        |  FROM h2),
+        |rep AS (SELECT g, t, t <> (u_micro < 100000) AS r FROM u),
+        |agg AS (
+        |  SELECT g AS "group", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_true,
+        |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_reported
+        |  FROM rep GROUP BY 1)
+        |SELECT "group", n, c_true, c_reported,
+        |  (c_reported * 1000000 - n * 100000) * 1000000 // 800000
+        |    AS est_micro,
+        |  abs((c_reported * 1000000 - n * 100000) * 1000000 // 800000
+        |    - c_true * 1000000) AS err_micro
+        |FROM agg""".stripMargin,
+
+    // q287: class table -> conditional aggregates, the l spine
+    // replayed per row
+    "q287_ldiversity" ->
+      """WITH classes AS (
+        |  SELECT user_id % 50 AS qi_user, substr(event_type, 1, 1)
+        |      AS qi_et,
+        |    CAST(count(*) AS BIGINT) AS class_size,
+        |    CAST(count(DISTINCT CAST(floor(value / 100) AS BIGINT))
+        |      AS BIGINT) AS n_sensitive
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |    CAST(min(n_sensitive) AS BIGINT) AS min_diversity
+        |  FROM classes),
+        |ls AS (SELECT unnest([2, 3, 5]) AS l)
+        |SELECT CAST(ls.l AS BIGINT) AS l, s.n_classes, s.n_rows,
+        |  s.min_diversity,
+        |  (SELECT CAST(sum(CASE WHEN c.n_sensitive < ls.l THEN 1
+        |     ELSE 0 END) AS BIGINT) FROM classes c) AS classes_below,
+        |  (SELECT CAST(sum(CASE WHEN c.n_sensitive < ls.l
+        |     THEN c.class_size ELSE 0 END) AS BIGINT) FROM classes c)
+        |    AS rows_at_risk,
+        |  (SELECT CAST(sum(CASE WHEN c.n_sensitive < ls.l
+        |     THEN c.class_size ELSE 0 END) AS BIGINT) FROM classes c)
+        |    * 1000000 // s.n_rows AS risk_share_micro,
+        |  s.min_diversity >= ls.l AS satisfies_l
+        |FROM ls, stats s""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

@@ -99,4 +99,52 @@ object Privacy {
         expr("r.rows_at_risk * 1000000 DIV n_rows").as("risk_share_micro"),
         (col("min_diversity") >= col("r.l")).as("satisfies_l"))
   }
+
+  /** Randomized response (Warner 1965) — the local-DP collection
+    * mechanism: each row reports its true bit with probability
+    * 1 − f and the FLIPPED bit with probability f, giving per-row
+    * plausible deniability (ε = ln((1−f)/f) local differential
+    * privacy); the aggregate true count is then recovered unbiasedly
+    * as ĉ = (c_reported − n·f) / (1 − 2f).
+    *
+    * The flip decision is the portable avalanched hash draw keyed by
+    * (id, seed) — the [[Sampling.ppsSample]] u-convention — so the
+    * "noise" is a pure function of the row id: reproducible across
+    * engines, reruns, partitionings, and replayable by the SQL oracle
+    * (a production deployment would swap the keyed hash for true
+    * randomness at the CLIENT; the whole point of the mechanism is
+    * that the aggregation pipeline is identical either way).
+    *
+    * All integer: the draw lives on the 1e6 lattice, the debiased
+    * estimate is one signed DIV of (c_rep·1e6 − n·f_micro)·1e6 over
+    * (1e6 − 2·f_micro) — reported in count-micro units beside the
+    * true count and the absolute estimation error, so the gate audits
+    * the debiasing algebra, not just the flip.
+    *
+    * Scale shape: one codegen'd projection (hash, flip, xor) + one
+    * grouped aggregation — map-side combinable, no window, no join.
+    *
+    * Output: (group, n, c_true, c_reported, est_micro, err_micro).
+    */
+  def randomizedResponse(df: DataFrame, group: Column, id: Column,
+                         truth: Column, flipMicro: Long,
+                         seed: Long = 42L): DataFrame = {
+    require(flipMicro > 0L && flipMicro < 500000L,
+      "flip rate must be in (0, 0.5) — at 0.5 the signal is gone")
+    val drawn = df.select(group.as("g"), truth.as("t"),
+        pmod(Sketches.mix32(TextAnalysis.rollingHash(
+          concat(id.cast("string"), lit(":"), lit(seed.toString)))),
+          lit(1000000L)).as("u"))
+      .withColumn("flip", col("u") < lit(flipMicro))
+      .withColumn("rep", col("t") =!= col("flip")) // xor
+    drawn.groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("c_true"),
+        sum(when(col("rep"), 1L).otherwise(0L)).as("c_reported"))
+      .select(col("g").as("group"), col("n"), col("c_true"),
+        col("c_reported"),
+        expr(s"""(c_reported * 1000000L - n * ${flipMicro}L) * 1000000L
+                 DIV (1000000L - 2L * ${flipMicro}L)""").as("est_micro"))
+      .withColumn("err_micro", abs(col("est_micro") - col("c_true") * 1000000L))
+  }
 }
