@@ -437,7 +437,9 @@ object ScaleProbe {
       "q285_skyline",
       // q286 = one codegen projection + one grouped agg; q287 = one
       // QI-grid agg + conditional aggregates — both linear
-      "q286_randomized_response", "q287_ldiversity")
+      "q286_randomized_response", "q287_ldiversity",
+      // q288 = two two-phase rank passes + one rank equi-join — linear
+      "q288_quantile_normalize")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -4407,6 +4407,15 @@ object SparkEntry {
         expr("CAST(floor(value / 100) AS BIGINT)").as("band"),
         ls = Seq(2, 3, 5))),
 
+    // quantile normalization of per-source doc lengths onto the
+    // global length distribution — two two-phase rank passes, exact
+    // ceil(r*N/n_s) order-statistic rematch, never interpolated
+    "q288_quantile_normalize" -> ((s, dir) =>
+      Profile.quantileNormalize(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "source", "n_chars")),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11541,6 +11550,27 @@ object SparkEntry {
         |    * 1000000 // s.n_rows AS risk_share_micro,
         |  s.min_diversity >= ls.l AS satisfies_l
         |FROM ls, stats s""".stripMargin,
+
+    // q288: plain window ranks (fine at oracle scale) + the same
+    // integer ceil rematch against the global order statistics
+    "q288_quantile_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS src_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_source
+        |  FROM documents),
+        |g AS (
+        |  SELECT n_chars AS qnorm,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS grank
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT r.doc_id, r.source, r.n_chars,
+        |  CAST(r.src_rank AS BIGINT) AS src_rank,
+        |  CAST(r.n_source AS BIGINT) AS n_source, g.qnorm
+        |FROM r, n
+        |JOIN g ON g.grank =
+        |  (r.src_rank * n.n + r.n_source - 1) // r.n_source""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

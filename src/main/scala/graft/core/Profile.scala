@@ -242,6 +242,63 @@ object Profile {
           .as("w1_frac_micro"))
   }
 
+  /** Quantile normalization — map every source's value distribution
+    * onto the GLOBAL empirical distribution (the microarray-era
+    * cross-sample normalizer, Bolstad et al. 2003, reborn as a
+    * cross-source feature equalizer): a row at per-source rank r of
+    * n_s becomes the global order statistic at position
+    * ⌈r·N / n_s⌉ — afterwards every source has (up to rank rounding)
+    * the SAME marginal distribution, so per-source scale/shift
+    * artifacts can't leak into downstream gates.
+    *
+    * Exact integer semantics: ranks are 1-based with id tie-breaks,
+    * the target position is one integer ceil, the normalized value is
+    * the actual global value AT that rank (never an interpolation).
+    *
+    * Scale shape: NO per-source window (a 20-source corpus would put
+    * 5% of all rows in one window partition) — both rank passes are
+    * the two-phase distributed prefix rank
+    * ([[Packing.offsetsOrderedReleasable]], weight-1): one pass in
+    * (source, value, id) order whose per-source MIN gives each
+    * source's rank offset (per-source rank = global position − source
+    * start + 1), one pass in (value, id) order for the global order
+    * statistics; the rematch is one corpus equi-join on the target
+    * rank. Source-start/size tables are source-alphabet-sized
+    * broadcasts.
+    *
+    * Output: every input row + `src_rank`, `n_source`, `qnorm` (the
+    * normalized value).
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, sourceCol: String,
+                        valueCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(sourceCol), col(valueCol))
+    val c1 = base.withColumn("n_tokens", lit(1L))
+    val (bysrc, rel1) = Packing.offsetsOrderedReleasable(c1, idCol,
+      Seq(col(sourceCol), col(valueCol), col(idCol)))
+    val starts = bysrc.groupBy(sourceCol)
+      .agg(min("tok_end").as("__s0"), count(lit(1)).as("n_source"))
+    val ranked = bysrc.join(broadcast(starts), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col(valueCol),
+        (col("tok_end") - col("__s0") + 1L).as("src_rank"),
+        col("n_source"))
+    val c2 = base.select(col(idCol), col(valueCol))
+      .withColumn("n_tokens", lit(1L))
+    val (byval, rel2) = Packing.offsetsOrderedReleasable(c2, idCol,
+      Seq(col(valueCol), col(idCol)))
+    val globalStats = byval.select(col("tok_end").as("__grank"),
+      col(valueCol).as("qnorm"))
+    val n = globalStats.agg(max("__grank").as("__n"))
+    val out = ranked.crossJoin(broadcast(n))
+      .withColumn("__target",
+        expr("(src_rank * __n + n_source - 1) DIV n_source"))
+      .join(globalStats, col("__target") === col("__grank"))
+      .select(col(idCol), col(sourceCol), col(valueCol),
+        col("src_rank"), col("n_source"), col("qnorm"))
+    val mat = out.localCheckpoint(true)
+    rel1(); rel2()
+    mat
+  }
+
   /** Benford first-digit audit — the forensic data-quality stat:
     * natural multi-scale magnitudes (prices, populations, file
     * sizes) lead with digit d at probability log10(1+1/d); synthetic,
