@@ -439,7 +439,10 @@ object ScaleProbe {
       // QI-grid agg + conditional aggregates — both linear
       "q286_randomized_response", "q287_ldiversity",
       // q288 = two two-phase rank passes + one rank equi-join — linear
-      "q288_quantile_normalize")
+      "q288_quantile_normalize",
+      // q289 = per-iteration edge joins + grouped sums over the
+      // persisted edge table — linear in |E|
+      "q289_hits")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -4416,6 +4416,17 @@ object SparkEntry {
           col("n_chars")),
         "doc_id", "source", "n_chars")),
 
+    // HITS over the buyer->part bipartite graph (3 iterations, L-inf
+    // micro normalization): hub customers endorse authoritative parts
+    "q289_hits" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+      GraphOps.hits(edges, "o_custkey", "l_partkey", iters = 3)
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11571,6 +11582,41 @@ object SparkEntry {
         |FROM r, n
         |JOIN g ON g.grank =
         |  (r.src_rank * n.n + r.n_source - 1) // r.n_source""".stripMargin,
+
+    // q289: the three iterations unrolled verbatim — edge joins,
+    // grouped sums, scalar-max L-inf renormalization each half-step
+    "q289_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS s, l_partkey AS d
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT d, CAST(sum(h) AS BIGINT) AS r
+        |  FROM e JOIN h0 USING (s) GROUP BY d),
+        |a1 AS (SELECT d, r * 1000000 // (SELECT max(r) FROM a1r) AS a
+        |  FROM a1r),
+        |h1r AS (SELECT s, CAST(sum(a) AS BIGINT) AS r
+        |  FROM e JOIN a1 USING (d) GROUP BY s),
+        |h1 AS (SELECT s, r * 1000000 // (SELECT max(r) FROM h1r) AS h
+        |  FROM h1r),
+        |a2r AS (SELECT d, CAST(sum(h) AS BIGINT) AS r
+        |  FROM e JOIN h1 USING (s) GROUP BY d),
+        |a2 AS (SELECT d, r * 1000000 // (SELECT max(r) FROM a2r) AS a
+        |  FROM a2r),
+        |h2r AS (SELECT s, CAST(sum(a) AS BIGINT) AS r
+        |  FROM e JOIN a2 USING (d) GROUP BY s),
+        |h2 AS (SELECT s, r * 1000000 // (SELECT max(r) FROM h2r) AS h
+        |  FROM h2r),
+        |a3r AS (SELECT d, CAST(sum(h) AS BIGINT) AS r
+        |  FROM e JOIN h2 USING (s) GROUP BY d),
+        |a3 AS (SELECT d, r * 1000000 // (SELECT max(r) FROM a3r) AS a
+        |  FROM a3r),
+        |h3r AS (SELECT s, CAST(sum(a) AS BIGINT) AS r
+        |  FROM e JOIN a3 USING (d) GROUP BY s),
+        |h3 AS (SELECT s, r * 1000000 // (SELECT max(r) FROM h3r) AS h
+        |  FROM h3r)
+        |SELECT 'hub' AS kind, s AS v, h AS score_micro FROM h3
+        |UNION ALL
+        |SELECT 'auth' AS kind, d AS v, a AS score_micro FROM a3""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

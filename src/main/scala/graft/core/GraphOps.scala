@@ -62,6 +62,66 @@ object GraphOps {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    * edge list — PageRank's bipartite-flavored sibling: an authority
+    * is endorsed by good hubs (a = Σ h over in-edges), a hub endorses
+    * good authorities (h = Σ a over out-edges). On a buyer→item graph
+    * this is exactly "influential buyers / canonical items".
+    *
+    * Integer determinism: scores live on the 1e6 lattice and each
+    * half-iteration renormalizes by the CURRENT MAX (L∞, one floor
+    * DIV) instead of the textbook L2 norm — same fixed point
+    * direction, no sqrt, bit-exact in any engine, and the oracle
+    * unrolls the iterations verbatim (the q157 integer-PageRank
+    * discipline). `iters` is fixed and small.
+    *
+    * Scale shape: per iteration two edge equi-joins + two grouped
+    * sums (linear in |E|), two scalar max aggregates broadcast back.
+    * Nothing corpus-sized sorts; duplicate edges collapse up front.
+    *
+    * Output: ('hub', v, score_micro) for every out-edge vertex and
+    * ('auth', v, score_micro) for every in-edge vertex — kinds kept
+    * as rows, not columns, so hub/authority id spaces may overlap or
+    * even be disjoint (bipartite graphs) without null noise.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    // persist: every half-iteration (and each scalar max) re-reads the
+    // edge table — without the cache the upstream join/distinct would
+    // recompute ~4x per iteration
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .distinct().persist()
+    var hub = e.select(col("s")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      // localCheckpoint each half-step: the score tables are
+      // vertex-sized, and truncating lineage here keeps the scalar
+      // max from re-running every PRIOR iteration as a nested
+      // subplan (the q274 per-level discipline — without it each
+      // normalization branch re-executes the chain above it)
+      val aRaw = e.join(hub, "s").groupBy("d")
+        .agg(sum("h").as("ar")).localCheckpoint(true)
+      val am = aRaw.agg(max("ar")).head().getLong(0)
+      auth = aRaw.select(col("d"),
+        expr(s"ar * 1000000L DIV ${am}L").as("a"))
+      val hRaw = e.join(auth, "d").groupBy("s")
+        .agg(sum("a").as("hr")).localCheckpoint(true)
+      val hm = hRaw.agg(max("hr")).head().getLong(0)
+      hub = hRaw.select(col("s"),
+        expr(s"hr * 1000000L DIV ${hm}L").as("h"))
+    }
+    val out = hub.select(lit("hub").as("kind"), col("s").as("v"),
+        col("h").as("score_micro"))
+      .unionByName(auth.select(lit("auth").as("kind"),
+        col("d").as("v"), col("a").as("score_micro")))
+    // vertex-sized result; release the edge cache before returning
+    val mat = out.localCheckpoint(true)
+    e.unpersist()
+    mat
+  }
+
   /** Semi-supervised label propagation over a directed neighbor list
     * (Zhu & Ghahramani's LP in its majority-vote form): seeds keep
     * their labels forever; every other vertex takes, per iteration,
