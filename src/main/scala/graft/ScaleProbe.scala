@@ -442,7 +442,9 @@ object ScaleProbe {
       "q288_quantile_normalize",
       // q289 = per-iteration edge joins + grouped sums over the
       // persisted edge table — linear in |E|
-      "q289_hits")
+      "q289_hits",
+      // q290 = per-key windows + two grouped aggs — linear
+      "q290_interval_islands")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

@@ -4427,6 +4427,20 @@ object SparkEntry {
       GraphOps.hits(edges, "o_custkey", "l_partkey", iters = 3)
     }),
 
+    // overlap-aware interval coverage per user: each event spans
+    // [ts, ts + value seconds]; islands merge overlaps/touches, the
+    // covered/gap split double-counts nothing
+    "q290_interval_islands" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts"))
+            + expr("CAST(round(value) AS BIGINT) * 1000000L"))
+            .as("end_us"))
+      TimeSeries.intervalIslands(ev, "user_id",
+        col("start_us"), col("end_us"))
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11617,6 +11631,42 @@ object SparkEntry {
         |SELECT 'hub' AS kind, s AS v, h AS score_micro FROM h3
         |UNION ALL
         |SELECT 'auth' AS kind, d AS v, a AS score_micro FROM a3""".stripMargin,
+
+    // q290: the same islands-and-gaps windows — running max end,
+    // island-start flags, cumulative island ids, per-island rollup
+    "q290_interval_islands" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    greatest(epoch_us(ts),
+        |      epoch_us(ts) + CAST(round(value) AS BIGINT) * 1000000)
+        |      AS e
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_e
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, s, e,
+        |    sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g),
+        |isl AS (
+        |  SELECT user_id, island, count(*) AS n_iv,
+        |    min(s) AS is_, max(e) AS ie
+        |  FROM h GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(ie - is_) AS BIGINT) AS covered,
+        |  CAST(max(ie) - min(is_) - sum(ie - is_) AS BIGINT)
+        |    AS gap_total
+        |FROM isl GROUP BY user_id""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

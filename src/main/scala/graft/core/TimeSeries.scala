@@ -548,6 +548,54 @@ object TimeSeries {
     * centering window over those ≤7 rows; one join back. Raw events
     * shuffle once.
     */
+  /** Overlapping-interval merge ("islands and gaps") per key — the
+    * coverage primitive behind watch-time, machine-uptime and any
+    * union-of-spans metric where naive duration sums double-count
+    * overlap: sort each key's intervals by start, a new ISLAND begins
+    * whenever a start exceeds the running max end of everything
+    * before it, and per key the islands' (max end − min start) spans
+    * sum to the exact covered length.
+    *
+    * Exact integers (epoch-seconds lattice); closed-open semantics —
+    * touching intervals (start == previous end) belong to the same
+    * island. Degenerate/negative durations are clamped to a point.
+    *
+    * Scale shape: all three windows (running max-end, island flag
+    * cumsum, island rollup) partition by key — per-key interval
+    * counts bound the window state, never the corpus; the island
+    * rollup is one grouped agg.
+    *
+    * Output: (key, n_intervals, n_islands, covered, gap_total) where
+    * `covered` sums island spans and `gap_total` the uncovered time
+    * between the key's first start and last end.
+    */
+  def intervalIslands(df: DataFrame, keyCol: String, start: Column,
+                      end: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("k"), start.as("s"),
+        greatest(start, end).as("e"))
+    val w = Window.partitionBy("k").orderBy(col("s"), col("e"))
+    val flagged = base
+      .withColumn("prev_max_e",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"),
+          1L).otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = flagged.groupBy(col("k"), col("island"))
+      .agg(count(lit(1)).as("n_iv"), min("s").as("is_"),
+        max("e").as("ie"))
+    islands.groupBy("k")
+      .agg(sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is_")).as("covered"),
+        (max("ie") - min("is_")).as("span"))
+      .select(col("k").as(keyCol), col("n_intervals"), col("n_islands"),
+        col("covered"), (col("span") - col("covered")).as("gap_total"))
+  }
+
   def stlDecompose(events: DataFrame, keyCol: String,
                    dayCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
