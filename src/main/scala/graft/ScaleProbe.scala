@@ -444,7 +444,10 @@ object ScaleProbe {
       // persisted edge table — linear in |E|
       "q289_hits",
       // q290 = per-key windows + two grouped aggs — linear
-      "q290_interval_islands")
+      "q290_interval_islands",
+      // q291 = one key-frequency agg + the 80-cell sketch combine —
+      // linear in rows, constant sketch state
+      "q291_ams_f2")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

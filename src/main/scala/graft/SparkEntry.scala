@@ -4441,6 +4441,13 @@ object SparkEntry {
         col("start_us"), col("end_us"))
     }),
 
+    // AMS tug-of-war F2 sketch over part-key frequencies: 5x16
+    // median-of-means with portable-hash signs, exact F2 beside the
+    // estimate — the moment member of the sketch family (CMS q98,
+    // HLL q206, KMV q218, Bloom q122)
+    "q291_ams_f2" -> ((s, dir) =>
+      Sketches.amsF2(Tables.lineitem(s, dir), col("l_partkey"))),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11667,6 +11674,51 @@ object SparkEntry {
         |  CAST(max(ie) - min(is_) - sum(ie - is_) AS BIGINT)
         |    AS gap_total
         |FROM isl GROUP BY user_id""".stripMargin,
+
+    // q291: the whole sketch replayed — frequency table, the 80-cell
+    // spine, the avalanche sign hash per (key, i, j), signed sums,
+    // squared means, the exact rank-3 median
+    "q291_ams_f2" ->
+      """WITH freq AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS k,
+        |    CAST(count(*) AS BIGINT) AS fk
+        |  FROM lineitem GROUP BY 1),
+        |spine AS (
+        |  SELECT i // 16 AS i, i % 16 AS j
+        |  FROM (SELECT unnest(range(0, 80)) AS i)),
+        |h0 AS (
+        |  SELECT f.k, f.fk, s.i, s.j,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        f.k || ':' || s.i || ':' || s.j || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM freq f, spine s),
+        |h1 AS (SELECT *, (xor(h, h // 65536) * 73244475) % 4294967296
+        |  AS hv1 FROM h0),
+        |h2 AS (SELECT *, (xor(hv1, hv1 // 65536) * 73244475) % 4294967296
+        |  AS hv2 FROM h1),
+        |sgn AS (SELECT k, fk, i, j,
+        |    (xor(hv2, hv2 // 65536) % 2) * 2 - 1 AS sg
+        |  FROM h2),
+        |cells AS (
+        |  SELECT i, j, CAST(sum(sg * fk) AS BIGINT) AS s
+        |  FROM sgn GROUP BY 1, 2),
+        |means AS (
+        |  SELECT i, CAST(sum(s * s) AS BIGINT) // 16 AS m
+        |  FROM cells GROUP BY 1),
+        |med AS (
+        |  SELECT m AS f2_est FROM (
+        |    SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means)
+        |  WHERE rn = 3),
+        |exact AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(fk * fk) AS BIGINT) AS f2_exact
+        |  FROM freq)
+        |SELECT e.n_keys, e.f2_exact, m.f2_est,
+        |  abs(m.f2_est - e.f2_exact) * 1000000 // e.f2_exact
+        |    AS err_micro
+        |FROM exact e, med m""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

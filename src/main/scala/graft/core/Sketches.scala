@@ -264,4 +264,69 @@ object Sketches {
           lit(m) * log(lit(m.toDouble) / col("v"))).otherwise(col("raw")))
       .drop("z", "v", "raw")
   }
+
+  /** AMS / tug-of-war F2 sketch (Alon, Matias & Szegedy, STOC'96) —
+    * the second frequency moment Σ f_k², the quantity behind self-join
+    * size estimation and skew detection. Each of `rows`·`cols`
+    * estimators keeps ONE signed counter S = Σ_k sign(k)·f_k with
+    * E[S²] = F2; means across `cols` cut variance, the median across
+    * `rows` (odd) cuts tail probability — the textbook
+    * median-of-means.
+    *
+    * Signs come from the portable avalanched hash of (key, i, j, seed)
+    * — a pure function of the key, so the "random" signs are
+    * engine-reproducible and the oracle replays the whole sketch
+    * (formal 4-wise independence is the paper's analysis device; the
+    * avalanche mix is the standard practical stand-in). All integer:
+    * BIGINT counters, squares, one floor DIV per mean, exact rank-
+    * (rows+1)/2 median over the `rows`-row mean table.
+    *
+    * The gate computes the EXACT F2 beside the estimate plus the
+    * micro relative error, so the driver pins the estimator algebra
+    * bit-for-bit (the estimate is deterministic given the seed), not
+    * a tolerance band.
+    *
+    * Scale shape: one grouped count to the key-frequency table, one
+    * broadcast (rows·cols)-spine cross producing sign terms that
+    * map-side-combine straight down to rows·cols cells — the sketch
+    * multiplier never shuffles raw rows. The mean/median tables are
+    * sketch-sized.
+    *
+    * Output: one row (n_keys, f2_exact, f2_est, err_micro).
+    */
+  def amsF2(df: DataFrame, key: Column, rows: Int = 5, cols: Int = 16,
+            seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rows >= 1 && rows % 2 == 1, "rows must be odd (exact median)")
+    require(cols >= 1, "cols must be >= 1")
+    val spark = df.sparkSession
+    val freq = df.select(key.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("fk"))
+      .persist()
+    val spine = spark.range(rows.toLong * cols)
+      .select(expr(s"id DIV $cols").as("i"),
+        pmod(col("id"), lit(cols.toLong)).as("j"))
+    val cells = freq.crossJoin(broadcast(spine))
+      .withColumn("sgn",
+        pmod(mix32(TextAnalysis.rollingHash(concat(col("k"), lit(":"),
+          col("i").cast("string"), lit(":"), col("j").cast("string"),
+          lit(":"), lit(seed.toString)))),
+          lit(2L)) * 2L - 1L)
+      .groupBy("i", "j").agg(sum(col("sgn") * col("fk")).as("s"))
+    val means = cells.select(col("i"), (col("s") * col("s")).as("x"))
+      .groupBy("i").agg(expr(s"sum(x) DIV $cols").as("m"))
+    val est = means
+      .withColumn("rn", row_number().over(Window.orderBy("m")))
+      .filter(col("rn") === (rows + 1) / 2)
+      .select(col("m").as("f2_est"))
+    val exact = freq.agg(count(lit(1)).as("n_keys"),
+      sum(expr("fk * fk")).as("f2_exact"))
+    val out = exact.crossJoin(est)
+      .select(col("n_keys"), col("f2_exact"), col("f2_est"),
+        expr("abs(f2_est - f2_exact) * 1000000L DIV f2_exact")
+          .as("err_micro"))
+    val mat = out.localCheckpoint(true)
+    freq.unpersist()
+    mat
+  }
 }
