@@ -447,7 +447,10 @@ object ScaleProbe {
       "q290_interval_islands",
       // q291 = one key-frequency agg + the 80-cell sketch combine —
       // linear in rows, constant sketch state
-      "q291_ams_f2")
+      "q291_ams_f2",
+      // q292 = epochs x (margin projection + 65-cell update agg) over
+      // a persisted corpus — linear, driver-size weights
+      "q292_perceptron")
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

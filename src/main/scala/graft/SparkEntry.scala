@@ -4448,6 +4448,13 @@ object SparkEntry {
     "q291_ams_f2" -> ((s, dir) =>
       Sketches.amsF2(Tables.lineitem(s, dir), col("l_partkey"))),
 
+    // batch perceptron on the embedding micro-lattice (labels 0-4 vs
+    // 5-9, bias coordinate, 3 epochs): training as pure relational
+    // aggregation — exact BIGINT margins/updates, driver-size weights
+    "q292_perceptron" -> ((s, dir) =>
+      graft.ml.Perceptron.trainBatch(Tables.embeddings(s, dir),
+        "embedding", col("label") < 5, epochs = 3)),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11719,6 +11726,52 @@ object SparkEntry {
         |  abs(m.f2_est - e.f2_exact) * 1000000 // e.f2_exact
         |    AS err_micro
         |FROM exact e, med m""".stripMargin,
+
+    // q292: the three training epochs unrolled — micro features +
+    // bias row, margin joins against the previous weight table,
+    // misclassified set, per-dim update sums
+    "q292_perceptron" ->
+      """WITH e AS (
+        |  SELECT vec_id, CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, y, i - 1 AS d,
+        |    CAST(floor(v[i] * 1000000.0) AS BIGINT) AS x
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(v)) FROM e))) AS i) g
+        |  UNION ALL
+        |  SELECT vec_id, y, (SELECT max(len(v)) FROM e) AS d,
+        |    CAST(1000000 AS BIGINT) AS x
+        |  FROM e),
+        |w0 AS (SELECT DISTINCT d, CAST(0 AS BIGINT) AS w FROM x),
+        |mg1 AS (SELECT x.vec_id, x.y, CAST(sum(x.x * w.w) AS BIGINT)
+        |    AS mg FROM x JOIN w0 w ON x.d = w.d GROUP BY 1, 2),
+        |mis1 AS (SELECT vec_id FROM mg1 WHERE y * mg <= 0),
+        |w1 AS (SELECT w.d, w.w + COALESCE(dl.dw, 0) AS w FROM w0 w
+        |  LEFT JOIN (SELECT x.d, CAST(sum(x.y * x.x) AS BIGINT) AS dw
+        |    FROM x JOIN mis1 m ON x.vec_id = m.vec_id GROUP BY 1) dl
+        |  ON w.d = dl.d),
+        |mg2 AS (SELECT x.vec_id, x.y, CAST(sum(x.x * w.w) AS BIGINT)
+        |    AS mg FROM x JOIN w1 w ON x.d = w.d GROUP BY 1, 2),
+        |mis2 AS (SELECT vec_id FROM mg2 WHERE y * mg <= 0),
+        |w2 AS (SELECT w.d, w.w + COALESCE(dl.dw, 0) AS w FROM w1 w
+        |  LEFT JOIN (SELECT x.d, CAST(sum(x.y * x.x) AS BIGINT) AS dw
+        |    FROM x JOIN mis2 m ON x.vec_id = m.vec_id GROUP BY 1) dl
+        |  ON w.d = dl.d),
+        |mg3 AS (SELECT x.vec_id, x.y, CAST(sum(x.x * w.w) AS BIGINT)
+        |    AS mg FROM x JOIN w2 w ON x.d = w.d GROUP BY 1, 2),
+        |mis3 AS (SELECT vec_id FROM mg3 WHERE y * mg <= 0),
+        |w3 AS (SELECT w.d, w.w + COALESCE(dl.dw, 0) AS w FROM w2 w
+        |  LEFT JOIN (SELECT x.d, CAST(sum(x.y * x.x) AS BIGINT) AS dw
+        |    FROM x JOIN mis3 m ON x.vec_id = m.vec_id GROUP BY 1) dl
+        |  ON w.d = dl.d)
+        |SELECT 'mis' AS kind, CAST(1 AS BIGINT) AS idx,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM mis1) AS val
+        |UNION ALL SELECT 'mis', 2, (SELECT count(*) FROM mis2)
+        |UNION ALL SELECT 'mis', 3, (SELECT count(*) FROM mis3)
+        |UNION ALL SELECT 'w', CAST(d AS BIGINT), CAST(w AS BIGINT)
+        |  FROM w3""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->
