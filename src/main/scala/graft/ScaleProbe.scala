@@ -451,6 +451,11 @@ object ScaleProbe {
       // q292 = epochs x (margin projection + 65-cell update agg) over
       // a persisted corpus — linear, driver-size weights
       "q292_perceptron")
+    // q293_lof is deliberately NOT in the battery: it is the exact
+    // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
+    // kdist windows on top — ~15 min per probe run for a shape
+    // already characterized by q39; the maxRows plan guard is the
+    // scale path (bucketed candidates at corpus size).
     val probes =
       if (nameArgs.nonEmpty) allProbes.filter(nameArgs) else allProbes
     probes.foreach { name =>

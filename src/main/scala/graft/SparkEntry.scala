@@ -4455,6 +4455,14 @@ object SparkEntry {
       graft.ml.Perceptron.trainBatch(Tables.embeddings(s, dir),
         "embedding", col("label") < 5, epochs = 3)),
 
+    // Local Outlier Factor (k=5) over the embeddings on the milli
+    // lattice: exact k-distance order statistics, tie-inclusive
+    // neighborhoods, integer reachability/lrd/LOF ratios — the
+    // density-ratio member of the outlier family (MAD q145, centroid
+    // z q198, isoforest q28)
+    "q293_lof" -> ((s, dir) =>
+      Similarity.lof(Tables.embeddings(s, dir), k = 5)),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -11772,6 +11780,49 @@ object SparkEntry {
         |UNION ALL SELECT 'mis', 3, (SELECT count(*) FROM mis3)
         |UNION ALL SELECT 'w', CAST(d AS BIGINT), CAST(w AS BIGINT)
         |  FROM w3""".stripMargin,
+
+    // q293: the same LOF algebra over the brute-force pair table —
+    // milli lattice, rank-k kdist, tie-inclusive neighbors, integer
+    // reach/lrd/lof quantization
+    "q293_lof" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> CAST(floor(v * 1000.0) AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.id AS p, b.id AS o,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(a.vm) + 1),
+        |        i -> (a.vm[i] - b.vm[i]) * (a.vm[i] - b.vm[i]))),
+        |      (acc, x) -> acc + x) AS d2
+        |  FROM e a JOIN e b ON a.id <> b.id),
+        |kd AS (
+        |  SELECT p, d2 AS kdist_sq FROM (
+        |    SELECT p, d2, row_number() OVER (PARTITION BY p
+        |      ORDER BY d2, o) AS rn FROM pairs)
+        |  WHERE rn = 5),
+        |nb AS (
+        |  SELECT pr.p, pr.o, pr.d2, kd.kdist_sq
+        |  FROM pairs pr JOIN kd ON pr.p = kd.p
+        |  WHERE pr.d2 <= kd.kdist_sq),
+        |reach AS (
+        |  SELECT nb.p, nb.o, nb.kdist_sq,
+        |    greatest(ko.kdist_sq, nb.d2) AS rd
+        |  FROM nb JOIN kd ko ON nb.o = ko.p),
+        |lrd AS (
+        |  SELECT p, kdist_sq, CAST(count(*) AS BIGINT) AS n_nb,
+        |    CAST(count(*) AS BIGINT) * 1000000000000
+        |      // CAST(sum(rd) AS BIGINT) AS lrd_q
+        |  FROM reach WHERE 1 = 1 GROUP BY 1, 2
+        |  HAVING sum(rd) > 0)
+        |SELECT nb.p AS id, l.kdist_sq, l.n_nb AS n_neighbors, l.lrd_q,
+        |  CAST(sum(lo.lrd_q) AS BIGINT) * 1000000
+        |    // (l.n_nb * l.lrd_q) AS lof_micro
+        |FROM nb
+        |JOIN lrd lo ON nb.o = lo.p
+        |JOIN lrd l ON nb.p = l.p
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

@@ -426,6 +426,96 @@ object Similarity {
     * the DataFrame stays lazy. Raise the cap only for a deliberate
     * exact-baseline run.
     */
+  /** Local Outlier Factor (Breunig et al., SIGMOD 2000) — the
+    * density-RATIO outlier score that global distance cuts miss: a
+    * point is anomalous when its neighborhood is much sparser than
+    * its neighbors' own neighborhoods (LOF ≫ 1), which catches
+    * outliers beside dense clusters that a global k-distance
+    * threshold ([[graft.core]]'s q198 centroid z-scores) never flags.
+    *
+    * Exact-integer formulation on the MILLI lattice (floor(v·1e3) —
+    * squared distances then fit k-sums comfortably): k-distance =
+    * the exact k-th order statistic of squared distances (per-point
+    * rank window, tie-break by neighbor id), N_k includes ALL
+    * tied-at-k-distance neighbors (the paper's definition),
+    * reachability = max(kdist(o), d²(p,o)), and both ratios quantize
+    * once each — lrd_q = n·1e12 DIV Σreach, lof_micro =
+    * Σlrd_o·1e6 DIV (n·lrd_p) — so the whole score replays
+    * bit-for-bit in SQL. (Distances enter squared throughout — a
+    * monotone reparameterization of the textbook metric, documented,
+    * deterministic.)
+    *
+    * Scale: this is the exact O(n²) baseline with the
+    * [[cosineNearDupPairs]] plan-level maxRows guard; at corpus scale
+    * the same algebra runs over IVF-bucket candidate pairs
+    * ([[ivfTopK]] machinery) instead of the cross join.
+    *
+    * Output: (id, kdist_sq, n_neighbors, lrd_q, lof_micro).
+    */
+  def lof(emb: DataFrame, k: Int, idCol: String = "vec_id",
+          vecCol: String = "embedding",
+          maxRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val guard = emb.groupBy().count()
+      .select(assert_true(col("count") <= maxRows, concat(
+        lit("lof is the exact O(n^2) baseline and got "),
+        col("count"),
+        lit(s" rows (cap $maxRows) — bucket candidates at scale, or " +
+          "raise maxRows for a deliberate exact run"))).as("__ok"))
+    // milli coords kept as INTEGER-VALUED DOUBLES: dots then stay
+    // ≤ dim·1200² ≪ 2^53, so the native DotProduct fold is EXACT and
+    // d² = |a|² + |b|² − 2⟨a,b⟩ recovers the exact BIGINT squared
+    // distance — one primitive loop per pair instead of the
+    // interpreted zip_with HOF (which made the n² scan ~10x slower)
+    val pts = emb.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, v -> CAST(" +
+          "floor(CAST(v AS DOUBLE) * 1000.0) AS DOUBLE))").as("vm"))
+      .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
+      .crossJoin(broadcast(guard)).filter(col("__ok").isNull).drop("__ok")
+      .persist()
+    val a = pts.select(col("id").as("p"), col("vm").as("va"),
+      col("n2").as("na"))
+    val b = pts.select(col("id").as("o"), col("vm").as("vb"),
+      col("n2").as("nb"))
+    // dot once per UNORDERED pair, mirror for the symmetric view —
+    // the fold is the n² scan's cost center
+    val half = a.crossJoin(b).filter(col("p") < col("o"))
+      .withColumn("d2",
+        col("na") + col("nb") - lit(2L) * dot(col("va"), col("vb"))
+          .cast("long"))
+      .select(col("p"), col("o"), col("d2"))
+      .persist() // cache the HALF table: the mirror union reads it
+                 // twice and every downstream consumer again
+    val pairs = half.unionByName(half.select(col("o").as("p"),
+      col("p").as("o"), col("d2")))
+    val w = Window.partitionBy("p").orderBy(col("d2"), col("o"))
+    val kdist = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("p"), col("d2").as("kdist_sq"))
+    val nbrs = pairs.join(kdist, "p")
+      .filter(col("d2") <= col("kdist_sq"))
+    val reach = nbrs
+      .join(kdist.select(col("p").as("o"), col("kdist_sq").as("ko")), "o")
+      .select(col("p"), col("o"), col("kdist_sq"),
+        greatest(col("ko"), col("d2")).as("rd"))
+    val lrd = reach.groupBy(col("p"), col("kdist_sq"))
+      .agg(count(lit(1)).as("n_nb"), sum("rd").as("s"))
+      .filter(col("s") > 0L)
+      .select(col("p"), col("kdist_sq"), col("n_nb"),
+        expr("n_nb * 1000000000000L DIV s").as("lrd_q"))
+    val out = nbrs.select(col("p"), col("o"))
+      .join(lrd.select(col("p").as("o"), col("lrd_q").as("lrd_o")), "o")
+      .groupBy("p").agg(sum("lrd_o").as("sum_lrd_o"))
+      .join(lrd, "p")
+      .select(col("p").as("id"), col("kdist_sq"),
+        col("n_nb").as("n_neighbors"), col("lrd_q"),
+        expr("sum_lrd_o * 1000000L DIV (n_nb * lrd_q)").as("lof_micro"))
+    val mat = out.localCheckpoint(true)
+    half.unpersist(); pts.unpersist()
+    mat
+  }
+
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
