@@ -207,6 +207,51 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("longest_repeats", 5, a =>
       graft.core.SuffixArray.longestRepeats(active.table(a(0)),
         a(1), a(2), minLen = a(3).toInt, topK = a(4).toInt)))
+    // round-12 operator families on the SQL surface
+    e.injectTableFunction(tableFn("shapley", 4, a =>
+      graft.core.Eval.shapleyAttribution(active.table(a(0)),
+        ex(a(1)), ex(a(2)), ex(a(3)))))
+    e.injectTableFunction(tableFn("conformal", 4, a =>
+      graft.core.Eval.conformalCalibrate(active.table(a(0)),
+        ex(a(1)), ex(a(2)), ex(a(3)))))
+    e.injectTableFunction(tableFn("wasserstein1", 4, a =>
+      graft.core.Profile.wasserstein1(active.table(a(0)), a(1),
+        ex(a(2)), ex(a(3)))))
+    e.injectTableFunction(tableFn("skyline2d", 4, a =>
+      graft.core.Skyline.skyline2d(active.table(a(0)),
+        ex(a(1)), ex(a(2)), ex(a(3)))))
+    e.injectTableFunction(tableFn("edit_neardup", 5, a =>
+      graft.core.Dedup.editNearDupPairs(active.table(a(0)), a(1), a(2),
+        k = a(3).toInt, q = a(4).toInt)))
+    e.injectTableFunction(tableFn("hits", 4, a =>
+      graft.core.GraphOps.hits(active.table(a(0)), a(1), a(2),
+        iters = a(3).toInt)))
+    e.injectTableFunction(tableFn("interval_islands", 4, a =>
+      graft.core.TimeSeries.intervalIslands(active.table(a(0)), a(1),
+        ex(a(2)), ex(a(3)))))
+    e.injectTableFunction(tableFn("ams_f2", 2, a =>
+      graft.core.Sketches.amsF2(active.table(a(0)), ex(a(1)))))
+    e.injectTableFunction(tableFn("lof", 2, a =>
+      graft.core.Similarity.lof(active.table(a(0)), k = a(1).toInt)))
+    e.injectTableFunction(tableFn("randomized_response", 5, a =>
+      graft.core.Privacy.randomizedResponse(active.table(a(0)),
+        ex(a(1)), ex(a(2)), ex(a(3)), flipMicro = a(4).toLong)))
+    e.injectTableFunction(tableFn("quantile_normalize", 4, a =>
+      graft.core.Profile.quantileNormalize(active.table(a(0)),
+        a(1), a(2), a(3))))
+    e.injectFunction(fn("char_grams",
+      classOf[graft.expressions.CharGramArray], 2,
+      args => {
+        require(args(1).foldable,
+          "char_grams(text, q): q must be an integer literal")
+        val q = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"char_grams(text, q): q must be an integer literal, got $other")
+        }
+        graft.expressions.CharGramArray(args.head, q)
+      }))
     e.injectFunction(fn("shingles",
       classOf[graft.expressions.ShingleArray], 2,
       args => {

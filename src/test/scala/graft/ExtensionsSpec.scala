@@ -135,4 +135,103 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("round-12 table functions match their DataFrame APIs") {
+    import org.apache.spark.sql.functions.{col, expr}
+    spark.range(400).selectExpr("id AS u",
+      "CASE WHEN id % 7 = 0 THEN 'buy' WHEN id % 3 = 0 THEN 'A' ELSE 'B' END AS ch")
+      .createOrReplaceTempView("r12_ev")
+    val shSql = spark.sql(
+      "SELECT * FROM shapley('r12_ev', 'u', 'ch', \"ch = 'buy'\")").collect()
+    val shApi = graft.core.Eval.shapleyAttribution(spark.table("r12_ev"),
+      col("u"), col("ch"), expr("ch = 'buy'")).collect()
+    assert(shSql.toSet == shApi.toSet && shSql.nonEmpty)
+
+    spark.range(300).selectExpr("CAST(id % 2 AS STRING) AS g",
+      "id AS rid", "CAST((id * 31) % 997 AS BIGINT) AS y")
+      .createOrReplaceTempView("r12_cf")
+    val cfSql = spark.sql(
+      "SELECT * FROM conformal('r12_cf', 'g', 'rid', 'y')").collect()
+    val cfApi = graft.core.Eval.conformalCalibrate(spark.table("r12_cf"),
+      col("g"), col("rid"), col("y")).collect()
+    assert(cfSql.toSet == cfApi.toSet && cfSql.nonEmpty)
+
+    // arm must not align with the g = id % 2 grouping or an arm is empty
+    val wSql = spark.sql(
+      "SELECT * FROM wasserstein1('r12_cf', 'g', 'y', 'rid % 4 < 2')")
+      .collect()
+    val wApi = graft.core.Profile.wasserstein1(spark.table("r12_cf"),
+      "g", col("y"), expr("rid % 4 < 2")).collect()
+    assert(wSql.toSet == wApi.toSet && wSql.nonEmpty)
+
+    spark.range(100).selectExpr("id", "CAST((id * 13) % 50 AS BIGINT) AS x",
+      "CAST((id * 7) % 40 AS BIGINT) AS y")
+      .createOrReplaceTempView("r12_sky")
+    val skSql = spark.sql(
+      "SELECT * FROM skyline2d('r12_sky', 'id', 'x', 'y')").collect()
+    val skApi = graft.core.Skyline.skyline2d(spark.table("r12_sky"),
+      col("id"), col("x"), col("y")).collect()
+    assert(skSql.toSet == skApi.toSet && skSql.nonEmpty)
+
+    Seq((1L, "hello world"), (2L, "hello werld"), (3L, "other thing"))
+      .toDF("id", "s").createOrReplaceTempView("r12_ed")
+    val edSql = spark.sql(
+      "SELECT * FROM edit_neardup('r12_ed', 'id', 's', 2, 3)").collect()
+    val edApi = graft.core.Dedup.editNearDupPairs(spark.table("r12_ed"),
+      "id", "s", k = 2, q = 3).collect()
+    assert(edSql.toSet == edApi.toSet && edSql.nonEmpty)
+
+    Seq(("s1", "d1"), ("s1", "d2"), ("s2", "d1"))
+      .toDF("src", "dst").createOrReplaceTempView("r12_g")
+    val hSql = spark.sql("SELECT * FROM hits('r12_g', 'src', 'dst', 2)")
+      .collect()
+    val hApi = graft.core.GraphOps.hits(spark.table("r12_g"),
+      "src", "dst", 2).collect()
+    assert(hSql.toSet == hApi.toSet && hSql.nonEmpty)
+
+    spark.range(50).selectExpr("CAST(id % 5 AS STRING) AS k",
+      "CAST(id * 10 AS BIGINT) AS s", "CAST(id * 10 + 15 AS BIGINT) AS e")
+      .createOrReplaceTempView("r12_iv")
+    val ivSql = spark.sql(
+      "SELECT * FROM interval_islands('r12_iv', 'k', 's', 'e')").collect()
+    val ivApi = graft.core.TimeSeries.intervalIslands(spark.table("r12_iv"),
+      "k", col("s"), col("e")).collect()
+    assert(ivSql.toSet == ivApi.toSet && ivSql.nonEmpty)
+
+    val amsSql = spark.sql("SELECT * FROM ams_f2('r12_iv', 'k')").collect()
+    val amsApi = graft.core.Sketches.amsF2(spark.table("r12_iv"), col("k"))
+      .collect()
+    assert(amsSql.toSeq == amsApi.toSeq)
+
+    val rrSql = spark.sql(
+      "SELECT * FROM randomized_response('r12_cf', 'g', 'rid', 'y > 400', 100000)")
+      .collect()
+    val rrApi = graft.core.Privacy.randomizedResponse(spark.table("r12_cf"),
+      col("g"), col("rid"), expr("y > 400"), 100000L).collect()
+    assert(rrSql.toSet == rrApi.toSet && rrSql.nonEmpty)
+
+    spark.range(60).selectExpr("id", "CAST(id % 3 AS STRING) AS src",
+      "CAST((id * 17) % 100 AS BIGINT) AS v")
+      .createOrReplaceTempView("r12_qn")
+    val qnSql = spark.sql(
+      "SELECT * FROM quantile_normalize('r12_qn', 'id', 'src', 'v')")
+      .collect()
+    val qnApi = graft.core.Profile.quantileNormalize(spark.table("r12_qn"),
+      "id", "src", "v").collect()
+    assert(qnSql.toSet == qnApi.toSet && qnSql.nonEmpty)
+  }
+
+  test("lof table function and char_grams scalar from pure SQL") {
+    import org.apache.spark.sql.functions.col
+    Seq((1L, Array(0.0f)), (2L, Array(0.125f)), (3L, Array(0.25f)),
+        (4L, Array(1.0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("r12_lof")
+    val lofSql = spark.sql("SELECT * FROM lof('r12_lof', 2)").collect()
+    val lofApi = graft.core.Similarity.lof(spark.table("r12_lof"), 2)
+      .collect()
+    assert(lofSql.toSet == lofApi.toSet && lofSql.nonEmpty)
+    val cg = spark.sql("SELECT char_grams('abcde', 3) AS g")
+      .as[Seq[String]].collect().head
+    assert(cg == Seq("abc", "bcd", "cde"))
+  }
 }
