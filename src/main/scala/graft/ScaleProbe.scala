@@ -450,7 +450,9 @@ object ScaleProbe {
       "q291_ams_f2",
       // q292 = epochs x (margin projection + 65-cell update agg) over
       // a persisted corpus — linear, driver-size weights
-      "q292_perceptron")
+      "q292_perceptron",
+      // q294 = the q208 per-user lead window + grid joins — linear
+      "q294_nelson_aalen")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

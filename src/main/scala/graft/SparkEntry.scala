@@ -4455,6 +4455,48 @@ object SparkEntry {
       graft.ml.Perceptron.trainBatch(Tables.embeddings(s, dir),
         "embedding", col("label") < 5, epochs = 3)),
 
+    // Nelson-Aalen cumulative hazard at fixed horizons — the
+    // estimator beside Kaplan-Meier (q208) and log-rank (q267):
+    // H(t) = sum over death times <= t of d_i/n_risk_i, each term
+    // micro-quantized ONCE (d*1e6 DIV n_risk) so the cumulative sum
+    // is exact BIGINT — no ln/exp anywhere (KM keeps the float side)
+    "q294_nelson_aalen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("fe"), col("event_id"))
+      val maxFe = ev.agg(max("fe").as("max_fe"))
+      val wLead = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("fe"), col("event_id"))
+      val obs = ev.withColumn("nxt", lead(col("fe"), 1).over(wLead))
+        .crossJoin(broadcast(maxFe))
+        .select(col("event_type"),
+          when(col("nxt").isNotNull, col("nxt") - col("fe"))
+            .otherwise(col("max_fe") - col("fe")).as("dur"),
+          when(col("nxt").isNotNull, 1L).otherwise(0L).as("death"))
+      val summary = obs.groupBy("event_type", "dur")
+        .agg(count(lit(1)).as("n_obs"), sum("death").as("n_death"))
+      val wCum = Window.partitionBy("event_type").orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = summary
+        .withColumn("n_risk",
+          sum("n_obs").over(Window.partitionBy("event_type"))
+            - sum("n_obs").over(wCum) + col("n_obs"))
+      val terms = risk.filter(col("n_death") > 0)
+        .select(col("event_type").as("et"), col("dur"),
+          col("n_death"),
+          expr("n_death * 1000000L DIV n_risk").as("h_term"))
+      import s.implicits._
+      val grid = obs.select("event_type").distinct()
+        .crossJoin(Seq(21600L, 86400L, 259200L).toDF("horizon_s"))
+      grid.join(terms,
+          col("event_type") === col("et") && col("dur") <= col("horizon_s"),
+          "left")
+        .groupBy("event_type", "horizon_s")
+        .agg(coalesce(sum("h_term"), lit(0L)).as("hazard_micro"),
+          coalesce(sum("n_death"), lit(0L)).as("n_deaths"))
+    }),
+
     // Local Outlier Factor (k=5) over the embeddings on the milli
     // lattice: exact k-distance order statistics, tie-inclusive
     // neighborhoods, integer reachability/lrd/LOF ratios — the
@@ -11780,6 +11822,49 @@ object SparkEntry {
         |UNION ALL SELECT 'mis', 3, (SELECT count(*) FROM mis3)
         |UNION ALL SELECT 'w', CAST(d AS BIGINT), CAST(w AS BIGINT)
         |  FROM w3""".stripMargin,
+
+    // q294: the q208 risk scaffolding with per-term integer hazards
+    "q294_nelson_aalen" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS fe, event_id
+        |  FROM events),
+        |mx AS (SELECT max(fe) AS max_fe FROM ev),
+        |obs AS (
+        |  SELECT event_type,
+        |    CASE WHEN nxt IS NOT NULL THEN nxt - fe
+        |         ELSE max_fe - fe END AS dur,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS death
+        |  FROM (SELECT user_id, event_type, fe, event_id,
+        |          lead(fe) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY fe, event_id) AS nxt
+        |        FROM ev), mx),
+        |summary AS (
+        |  SELECT event_type, dur, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(death) AS BIGINT) AS n_death
+        |  FROM obs GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT event_type, dur, n_death,
+        |    sum(n_obs) OVER (PARTITION BY event_type)
+        |      - sum(n_obs) OVER (PARTITION BY event_type ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      + n_obs AS n_risk
+        |  FROM summary),
+        |terms AS (
+        |  SELECT event_type AS et, dur, n_death,
+        |    n_death * 1000000 // n_risk AS h_term
+        |  FROM risk WHERE n_death > 0),
+        |grid AS (
+        |  SELECT event_type, horizon_s
+        |  FROM (SELECT DISTINCT event_type FROM obs),
+        |       (SELECT CAST(unnest([21600, 86400, 259200]) AS BIGINT)
+        |          AS horizon_s))
+        |SELECT g.event_type, g.horizon_s,
+        |  CAST(coalesce(sum(t.h_term), 0) AS BIGINT) AS hazard_micro,
+        |  CAST(coalesce(sum(t.n_death), 0) AS BIGINT) AS n_deaths
+        |FROM grid g LEFT JOIN terms t
+        |  ON t.et = g.event_type AND t.dur <= g.horizon_s
+        |GROUP BY 1, 2""".stripMargin,
 
     // q293: the same LOF algebra over the brute-force pair table —
     // milli lattice, rank-k kdist, tie-inclusive neighbors, integer
