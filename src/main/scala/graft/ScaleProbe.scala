@@ -452,7 +452,10 @@ object ScaleProbe {
       // a persisted corpus — linear, driver-size weights
       "q292_perceptron",
       // q294 = the q208 per-user lead window + grid joins — linear
-      "q294_nelson_aalen")
+      "q294_nelson_aalen",
+      // q295 = daily agg + bounded TakeOrdered sample + k-model
+      // broadcast score — linear in events, constant model state
+      "q295_ransac")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

@@ -4455,6 +4455,20 @@ object SparkEntry {
       graft.ml.Perceptron.trainBatch(Tables.embeddings(s, dir),
         "embedding", col("label") < 5, epochs = 3)),
 
+    // RANSAC consensus line over the daily-revenue series (x = day
+    // index, y = daily cents): 16 hash-sampled 2-point models, exact
+    // cross-multiplied inlier tests, winner by consensus — the
+    // breakdown-robust closer beside Theil-Sen (q258)
+    "q295_ransac" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val spine = daily.agg(min("d").as("d0"))
+      val pts = daily.crossJoin(broadcast(spine))
+        .select(datediff(col("d"), col("d0")).as("x"), col("cents"))
+      TimeSeries.ransacLine(pts, "x", "cents", k = 16, epsY = 25000L)
+    }),
+
     // Nelson-Aalen cumulative hazard at fixed horizons — the
     // estimator beside Kaplan-Meier (q208) and log-rank (q267):
     // H(t) = sum over death times <= t of d_i/n_risk_i, each term
@@ -11822,6 +11836,54 @@ object SparkEntry {
         |UNION ALL SELECT 'mis', 3, (SELECT count(*) FROM mis3)
         |UNION ALL SELECT 'w', CAST(d AS BIGINT), CAST(w AS BIGINT)
         |  FROM w3""".stripMargin,
+
+    // q295: the hash sample order, consecutive pairing, integer
+    // cross-multiplied inlier test and consensus argmax replayed
+    "q295_ransac" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |pts AS (
+        |  SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d)
+        |    AS BIGINT) AS x, cents AS y
+        |  FROM daily),
+        |h0 AS (
+        |  SELECT x, y,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        CAST(x AS VARCHAR) || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM pts),
+        |h1 AS (SELECT *, (xor(h, h // 65536) * 73244475) % 4294967296
+        |  AS hv1 FROM h0),
+        |h2 AS (SELECT *, (xor(hv1, hv1 // 65536) * 73244475) % 4294967296
+        |  AS hv2 FROM h1),
+        |cand AS (
+        |  SELECT x, y, row_number() OVER (ORDER BY
+        |      xor(hv2, hv2 // 65536) % 1000000000, x) AS rn
+        |  FROM h2
+        |  ORDER BY xor(hv2, hv2 // 65536) % 1000000000, x LIMIT 32),
+        |models AS (
+        |  SELECT (a.rn - 1) // 2 AS model_id, a.x AS x1, a.y AS y1,
+        |    b.x AS x2, b.y AS y2
+        |  FROM cand a JOIN cand b
+        |    ON a.rn % 2 = 1 AND b.rn = a.rn + 1 AND b.x <> a.x),
+        |scored AS (
+        |  SELECT m.model_id, m.x1, m.y1, m.x2, m.y2,
+        |    CAST(count(*) AS BIGINT) AS n_inliers
+        |  FROM models m JOIN pts p
+        |    ON abs((m.x2 - m.x1) * (p.y - m.y1)
+        |         - (m.y2 - m.y1) * (p.x - m.x1))
+        |       <= 25000 * abs(m.x2 - m.x1)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts)
+        |SELECT model_id, x1, y1, x2, y2, n_inliers, n.n_points,
+        |  n_inliers * 1000000 // n.n_points AS inlier_micro
+        |FROM scored, n
+        |ORDER BY n_inliers DESC, model_id LIMIT 1""".stripMargin,
 
     // q294: the q208 risk scaffolding with per-term integer hazards
     "q294_nelson_aalen" ->

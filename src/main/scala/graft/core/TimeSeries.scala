@@ -548,6 +548,69 @@ object TimeSeries {
     * centering window over those ≤7 rows; one join back. Raw events
     * shuffle once.
     */
+  /** RANSAC line fit (Fischler & Bolles 1981) — the sample-consensus
+    * robust regressor beside Theil-Sen ([[theilSenTrend]]): k
+    * candidate 2-point models, each scored by how many points fall
+    * within `epsY` of its line, winner by consensus. Breakdown
+    * tolerance comes from the sampling, not averaging, so a minority
+    * of wild outliers can't drag the fit.
+    *
+    * Determinism discipline: the "random" sample is the portable
+    * avalanched hash order of the x keys (pure function of (x, seed)
+    * — reproducible anywhere, replayable in SQL): the 2k
+    * smallest-hash points pair up consecutively; degenerate pairs
+    * (dx = 0) drop. The inlier test is EXACT integer
+    * cross-multiplication — |dx·(y−y1) − dy·(x−x1)| ≤ epsY·|dx| —
+    * no division, no float, anywhere; the winner takes max inliers
+    * with the lowest model id as tie-break.
+    *
+    * Scale shape: candidate selection is a TakeOrdered over the
+    * point table (the 2k rows ride the driver, the kCenterSelect
+    * bounded-pass discipline); scoring is one broadcast cross of k
+    * literal models against the points with a map-side-combinable
+    * count. The point table itself is usually an upstream daily/key
+    * aggregate — model-size, not corpus-size.
+    *
+    * Output: ONE row — (model_id, x1, y1, x2, y2, n_inliers,
+    * n_points, inlier_micro).
+    */
+  def ransacLine(points: DataFrame, xCol: String, yCol: String,
+                 k: Int = 16, epsY: Long = 25000L,
+                 seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(epsY >= 0L, "epsY must be >= 0")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val cand = pts
+      .withColumn("h", pmod(Sketches.mix32(TextAnalysis.rollingHash(
+        concat(col("x").cast("string"), lit(":"), lit(seed.toString)))),
+        lit(1000000000L)))
+      .orderBy(col("h"), col("x"))
+      .limit(2 * k)
+      .select("x", "y").as[(Long, Long)].collect()
+    val models = cand.grouped(2).zipWithIndex.collect {
+      case (Array((x1, y1), (x2, y2)), i) if x2 != x1 =>
+        (i.toLong, x1, y1, x2, y2)
+    }.toSeq
+    require(models.nonEmpty,
+      "ransacLine: no non-degenerate candidate pairs (all sampled x equal)")
+    val m = broadcast(models.toDF("model_id", "x1", "y1", "x2", "y2"))
+    val scored = pts.crossJoin(m)
+      .filter(abs((col("x2") - col("x1")) * (col("y") - col("y1"))
+          - (col("y2") - col("y1")) * (col("x") - col("x1")))
+        <= lit(epsY) * abs(col("x2") - col("x1")))
+      .groupBy("model_id", "x1", "y1", "x2", "y2")
+      .agg(count(lit(1)).as("n_inliers"))
+    val n = pts.count()
+    scored
+      .orderBy(col("n_inliers").desc, col("model_id"))
+      .limit(1)
+      .withColumn("n_points", lit(n))
+      .withColumn("inlier_micro", expr("n_inliers * 1000000L DIV n_points"))
+  }
+
   /** Overlapping-interval merge ("islands and gaps") per key — the
     * coverage primitive behind watch-time, machine-uptime and any
     * union-of-spans metric where naive duration sums double-count
