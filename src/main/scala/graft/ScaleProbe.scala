@@ -455,7 +455,10 @@ object ScaleProbe {
       "q294_nelson_aalen",
       // q295 = daily agg + bounded TakeOrdered sample + k-model
       // broadcast score — linear in events, constant model state
-      "q295_ransac")
+      "q295_ransac",
+      // q296 = k bounded driver passes, each one anti-join + grouped
+      // count over the (set, element) table — linear per step
+      "q296_set_cover")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

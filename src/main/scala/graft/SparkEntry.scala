@@ -4455,6 +4455,15 @@ object SparkEntry {
       graft.ml.Perceptron.trainBatch(Tables.embeddings(s, dir),
         "embedding", col("label") < 5, epochs = 3)),
 
+    // greedy maximum-coverage source selection: which 5 sources cover
+    // the most distinct word trigrams — the Nemhauser-Wolsey-Fisher
+    // greedy as k bounded driver passes (the q278 discipline)
+    "q296_set_cover" -> ((s, dir) => {
+      val pe = Tables.documents(s, dir).select(col("source"),
+        explode(Dedup.shingles(col("text"), 3)).as("tri"))
+      Sampling.greedySetCover(pe, "source", "tri", k = 5)
+    }),
+
     // RANSAC consensus line over the daily-revenue series (x = day
     // index, y = daily cents): 16 hash-sampled 2-point models, exact
     // cross-multiplied inlier tests, winner by consensus — the
@@ -11836,6 +11845,53 @@ object SparkEntry {
         |UNION ALL SELECT 'mis', 3, (SELECT count(*) FROM mis3)
         |UNION ALL SELECT 'w', CAST(d AS BIGINT), CAST(w AS BIGINT)
         |  FROM w3""".stripMargin,
+
+    // q296: the five greedy steps unrolled — per-step gains over the
+    // pair table anti-joined against the growing covered pool,
+    // argmax by (gain desc, source)
+    "q296_set_cover" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pe AS (
+        |  SELECT DISTINCT source AS s,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS e
+        |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)),
+        |s1 AS (SELECT s, CAST(count(*) AS BIGINT) AS gain FROM pe
+        |  GROUP BY s ORDER BY gain DESC, s LIMIT 1),
+        |c1 AS (SELECT DISTINCT e FROM pe WHERE s = (SELECT s FROM s1)),
+        |s2 AS (SELECT s, CAST(count(*) AS BIGINT) AS gain FROM pe
+        |  WHERE e NOT IN (SELECT e FROM c1)
+        |  GROUP BY s ORDER BY gain DESC, s LIMIT 1),
+        |c2 AS (SELECT e FROM c1 UNION
+        |  SELECT e FROM pe WHERE s = (SELECT s FROM s2)),
+        |s3 AS (SELECT s, CAST(count(*) AS BIGINT) AS gain FROM pe
+        |  WHERE e NOT IN (SELECT e FROM c2)
+        |  GROUP BY s ORDER BY gain DESC, s LIMIT 1),
+        |c3 AS (SELECT e FROM c2 UNION
+        |  SELECT e FROM pe WHERE s = (SELECT s FROM s3)),
+        |s4 AS (SELECT s, CAST(count(*) AS BIGINT) AS gain FROM pe
+        |  WHERE e NOT IN (SELECT e FROM c3)
+        |  GROUP BY s ORDER BY gain DESC, s LIMIT 1),
+        |c4 AS (SELECT e FROM c3 UNION
+        |  SELECT e FROM pe WHERE s = (SELECT s FROM s4)),
+        |s5 AS (SELECT s, CAST(count(*) AS BIGINT) AS gain FROM pe
+        |  WHERE e NOT IN (SELECT e FROM c4)
+        |  GROUP BY s ORDER BY gain DESC, s LIMIT 1),
+        |c5 AS (SELECT e FROM c4 UNION
+        |  SELECT e FROM pe WHERE s = (SELECT s FROM s5))
+        |SELECT CAST(1 AS BIGINT) AS step, s AS picked,
+        |  gain AS new_elements,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total
+        |FROM s1
+        |UNION ALL SELECT 2, s, gain,
+        |  (SELECT count(*) FROM c2) FROM s2
+        |UNION ALL SELECT 3, s, gain,
+        |  (SELECT count(*) FROM c3) FROM s3
+        |UNION ALL SELECT 4, s, gain,
+        |  (SELECT count(*) FROM c4) FROM s4
+        |UNION ALL SELECT 5, s, gain,
+        |  (SELECT count(*) FROM c5) FROM s5""".stripMargin,
 
     // q295: the hash sample order, consecutive pairing, integer
     // cross-multiplied inlier test and consensus argmax replayed

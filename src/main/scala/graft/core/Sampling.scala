@@ -494,6 +494,59 @@ object Sampling {
       signalCols.map(s => col(s"rank_$s")).reduce(_ + _))
   }
 
+  /** Greedy maximum-coverage source selection (the (1−1/e) greedy of
+    * Nemhauser-Wolsey-Fisher for submodular maximization) — "which k
+    * data sources should I license/ingest to cover the most
+    * vocabulary" and every other pick-sets-to-cover-elements curation
+    * call. Per step, pick the set whose elements add the most NEW
+    * coverage (ties to the smallest set id), then fold its elements
+    * into the covered pool.
+    *
+    * Scale shape: the kCenterSelect bounded-driver-pass discipline —
+    * k steps, each ONE grouped count over the (set, element) pair
+    * table anti-joined against the covered pool (element-keyed,
+    * map-side combinable), pool localCheckpointed per step (element-
+    * alphabet-sized, lineage truncated so step j never re-runs steps
+    * < j). Exact integer counts; fully SQL-replayable (the oracle
+    * unrolls the k steps).
+    *
+    * Output: one row per step — (step 1.., picked set, new_elements
+    * gained, covered_total after the pick).
+    */
+  def greedySetCover(pairs: DataFrame, setCol: String, elemCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pe = pairs.select(col(setCol).cast("string").as("s"),
+        col(elemCol).cast("string").as("e"))
+      .distinct().persist()
+    var covered = spark.emptyDataset[String].toDF("e")
+    var total = 0L
+    val picks = Vector.newBuilder[(Long, String, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val gains = pe.join(covered, Seq("e"), "left_anti")
+        .groupBy("s").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("s")).limit(1)
+        .as[(String, Long)].collect()
+      gains.headOption match {
+        case Some((s, gain)) =>
+          total += gain
+          picks += ((step.toLong, s, gain, total))
+          covered = covered
+            .unionByName(pe.filter(col("s") === s).select("e"))
+            .distinct().localCheckpoint(true)
+          step += 1
+        case None => exhausted = true // everything already covered
+      }
+    }
+    pe.unpersist()
+    picks.result()
+      .toDF("step", "picked", "new_elements", "covered_total")
+  }
+
   /** Class-rebalancing oversampling: every row of label L replicates
     * ceil(n_max / n_L) times (a `copy_idx` column marks the clones) —
     * the deterministic minority-oversampling step of an imbalanced-
