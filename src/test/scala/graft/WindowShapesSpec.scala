@@ -70,7 +70,24 @@ class WindowShapesSpec extends SparkSpec {
       "both marginal midrank windows are group-partitioned"),
     ("q269_perm_fdr", 3, false,
       "BH rank/census windows run over the m-row experiment family " +
-        "table (model-size by construction, never corpus rows)"))
+        "table (model-size by construction, never corpus rows)"),
+    ("q284_wasserstein", 0, false,
+      "CDF cumsum/lead windows are event-type-partitioned"),
+    ("q285_skyline", 1, false,
+      "the two-phase prefix-max's partition-totals window " +
+        "(rows = shuffle partition count, never data-sized); the " +
+        "grid running-max is _pid-partitioned"),
+    ("q288_quantile_normalize", 0, false,
+      "both rank passes are the two-phase prefix rank behind " +
+        "localCheckpoints; the returned plan joins materialized " +
+        "rank tables"),
+    ("q291_ams_f2", 1, false,
+      "the exact median ranks the 5-row means table (sketch-size " +
+        "by construction)"),
+    ("q283_conformal", 0, false,
+      "the q-hat order statistic window is group-partitioned"),
+    ("q290_interval_islands", 0, false,
+      "running max-end and island cumsum windows are key-partitioned"))
 
   cases.foreach { case (name, allowed, takeOrdered, why) =>
     test(s"$name: <=$allowed unpartitioned window(s) — $why") {
