@@ -458,7 +458,10 @@ object ScaleProbe {
       "q295_ransac",
       // q296 = k bounded driver passes, each one anti-join + grouped
       // count over the (set, element) table — linear per step
-      "q296_set_cover")
+      "q296_set_cover",
+      // q297 = one melted scan + two grouped aggs; q298 = two grouped
+      // aggs + a label-marginal aggregate — both linear
+      "q297_fd_discovery", "q298_krippendorff")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

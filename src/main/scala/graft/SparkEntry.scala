@@ -4455,6 +4455,27 @@ object SparkEntry {
       graft.ml.Perceptron.trainBatch(Tables.embeddings(s, dir),
         "embedding", col("label") < 5, epochs = 3)),
 
+    // Krippendorff's alpha over per-(user, type) value-band labels:
+    // units = users, one rating per event type present — the
+    // multi-rater/missing-tolerant agreement gate beside Cohen's
+    // kappa (q154)
+    "q298_krippendorff" -> ((s, dir) => {
+      val ratings = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(expr("sum(CAST(round(value * 100) AS BIGINT)) DIV count(1)")
+          .as("avgc"))
+        .select(col("user_id"), expr("avgc DIV 2000").as("band"))
+      Eval.krippendorffAlpha(ratings, col("user_id"), col("band"))
+    }),
+
+    // functional-dependency discovery over four orders columns: one
+    // melted scan, per-pair violation census — key detection and
+    // is-this-derivable audits as a relational profile
+    "q297_fd_discovery" -> ((s, dir) =>
+      Profile.functionalDependencies(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority"))),
+
     // greedy maximum-coverage source selection: which 5 sources cover
     // the most distinct word trigrams — the Nemhauser-Wolsey-Fisher
     // greedy as k bounded driver passes (the q278 discipline)
@@ -11845,6 +11866,69 @@ object SparkEntry {
         |UNION ALL SELECT 'mis', 3, (SELECT count(*) FROM mis3)
         |UNION ALL SELECT 'w', CAST(d AS BIGINT), CAST(w AS BIGINT)
         |  FROM w3""".stripMargin,
+
+    // q298: the same integer coincidence algebra — S = 2520-scaled
+    // within-unit disagreeing pairs, marginal sum of squares, one
+    // micro division
+    "q298_krippendorff" ->
+      """WITH ratings AS (
+        |  SELECT user_id AS u,
+        |    CAST((CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |      AS BIGINT) // count(*)) // 2000 AS VARCHAR) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |cnts AS (
+        |  SELECT u, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ratings GROUP BY 1, 2),
+        |units AS (
+        |  SELECT u, CAST(sum(cnt) AS BIGINT) AS m,
+        |    CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS same
+        |  FROM cnts GROUP BY u
+        |  HAVING sum(cnt) >= 2),
+        |obs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(m) AS BIGINT) AS n,
+        |    CAST(sum(2520 * (m * (m - 1) - same) // (m - 1)) AS BIGINT)
+        |      AS off_s
+        |  FROM units),
+        |marg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+        |    CAST(sum(n_c * n_c) AS BIGINT) AS sumsq
+        |  FROM (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c
+        |        FROM cnts JOIN units USING (u) GROUP BY c))
+        |SELECT o.n_units, o.n AS n_ratings, m.n_labels,
+        |  CASE WHEN o.n * o.n - m.sumsq > 0
+        |    THEN 1000000 - o.off_s * (o.n - 1) * 1000000
+        |      // (2520 * (o.n * o.n - m.sumsq)) END AS alpha_micro
+        |FROM obs o, marg m""".stripMargin,
+
+    // q297: the melt as a 12-way UNION ALL, same census
+    "q297_fd_discovery" ->
+      """WITH m AS (
+        |  SELECT p.lhs, p.rhs,
+        |    CASE p.lhs WHEN 'o_orderkey' THEN CAST(o_orderkey AS VARCHAR)
+        |      WHEN 'o_custkey' THEN CAST(o_custkey AS VARCHAR)
+        |      WHEN 'o_orderstatus' THEN o_orderstatus
+        |      ELSE o_orderpriority END AS lv,
+        |    CASE p.rhs WHEN 'o_orderkey' THEN CAST(o_orderkey AS VARCHAR)
+        |      WHEN 'o_custkey' THEN CAST(o_custkey AS VARCHAR)
+        |      WHEN 'o_orderstatus' THEN o_orderstatus
+        |      ELSE o_orderpriority END AS rv
+        |  FROM orders, (
+        |    SELECT a.c AS lhs, b.c AS rhs
+        |    FROM (SELECT unnest(['o_orderkey', 'o_custkey',
+        |      'o_orderstatus', 'o_orderpriority']) AS c) a,
+        |         (SELECT unnest(['o_orderkey', 'o_custkey',
+        |      'o_orderstatus', 'o_orderpriority']) AS c) b
+        |    WHERE a.c <> b.c) p),
+        |keys AS (
+        |  SELECT lhs, rhs, lv, count(DISTINCT rv) AS nd
+        |  FROM m GROUP BY 1, 2, 3)
+        |SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_viol_keys,
+        |  CAST(max(nd) AS BIGINT) AS max_rhs_per_key,
+        |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM keys GROUP BY 1, 2""".stripMargin,
 
     // q296: the five greedy steps unrolled — per-step gains over the
     // pair table anti-joined against the growing covered pool,

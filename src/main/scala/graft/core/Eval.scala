@@ -1113,6 +1113,63 @@ object Eval {
         col("coverage_micro"))
   }
 
+  /** Krippendorff's alpha, nominal data (Krippendorff 2004) — the
+    * inter-annotator agreement coefficient that generalizes Cohen's
+    * kappa ([[cohenKappa]], exactly two raters, no missing) to ANY
+    * number of ratings per unit with missing values: the label-quality
+    * gate for multi-annotator training data. Only the per-unit label
+    * MULTISET matters for the nominal form:
+    *
+    *   α = 1 − D_o / D_e,  D_o from within-unit disagreeing pairs
+    *   weighted 1/(m_u − 1),  D_e from the pooled label marginals.
+    *
+    * Exact integers throughout: the 1/(m_u−1) weights scale by
+    * S = 2520 = lcm(1..9) (units capped at `maxRatings` ≤ 10 ratings,
+    * loud failure beyond — S/(m−1) stays integral), the observed
+    * disagreement per unit is the ordered-pair identity
+    * m(m−1) − Σ_c cnt_c(cnt_c−1), expected disagreement is
+    * n² − Σ_c n_c², and α lands in one micro division:
+    * α_micro = 1e6 − off_S·(n−1)·1e6 DIV (S·(n² − Σn_c²)).
+    * Single-label data (D_e = 0) yields NULL α (undefined, loud by
+    * absence). Units with one rating drop (no pairs), per the
+    * definition.
+    *
+    * Scale shape: two grouped aggregations (unit-label counts, then
+    * unit rollup) + one label-marginal aggregate — map-side
+    * combinable, no window, no join beyond the bounded label table.
+    *
+    * Output: one row (n_units, n_ratings, n_labels, alpha_micro).
+    */
+  def krippendorffAlpha(df: DataFrame, unit: Column, label: Column,
+                        maxRatings: Int = 10): DataFrame = {
+    require(maxRatings >= 2 && maxRatings <= 10,
+      "S = lcm(1..9) covers at most 10 ratings per unit")
+    val s = 2520L
+    val cnts = df.select(unit.as("u"), label.cast("string").as("c"))
+      .groupBy("u", "c").agg(count(lit(1)).as("cnt"))
+    val units = cnts.groupBy("u")
+      .agg(sum("cnt").as("m"), sum(expr("cnt * (cnt - 1)")).as("same"))
+      .withColumn("__guard", when(col("m") > maxRatings, expr(
+        s"assert_true(false, 'krippendorffAlpha: a unit has more than " +
+          s"$maxRatings ratings')")).otherwise(lit(null)))
+      .filter(col("m") >= 2L && col("__guard").isNull)
+      .select(col("u"), col("m"), col("same"))
+    val obs = units.agg(count(lit(1)).as("n_units"),
+      sum("m").as("n"),
+      sum(expr(s"${s}L * (m * (m - 1) - same) DIV (m - 1)")).as("off_s"))
+    val qualifying = units.select("u")
+    val marg = cnts.join(qualifying, "u")
+      .groupBy("c").agg(sum("cnt").as("n_c"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(expr("n_c * n_c")).as("sumsq"))
+    obs.crossJoin(marg)
+      .select(col("n_units"), col("n").as("n_ratings"), col("n_labels"),
+        when(col("n") * col("n") - col("sumsq") > 0L,
+          lit(1000000L) - expr(
+            s"off_s * (n - 1) * 1000000L DIV (${s}L * (n * n - sumsq))"))
+          .as("alpha_micro"))
+  }
+
   /** Exact Shapley-value channel attribution (Shapley 1953; the
     * coalition-game closer of the attribution family beside last-touch
     * q147 and Markov removal-effect q210, per Zhao et al. 2018,

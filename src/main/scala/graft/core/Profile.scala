@@ -242,6 +242,42 @@ object Profile {
           .as("w1_frac_micro"))
   }
 
+  /** Functional-dependency discovery over a column set — the schema-
+    * inference side of profiling ([[columnProfile]] measures single
+    * columns; this measures DETERMINATION between them): for every
+    * ordered pair (a, b), does a → b hold, and if not, how many a-keys
+    * violate it. The workhorse behind key detection, denormalization
+    * audits, and "is this column derivable" curation questions (TANE/
+    * FDEP territory, restricted to the single-column lhs that covers
+    * the overwhelmingly common case).
+    *
+    * Scale shape: ONE corpus scan melts each row into its p·(p−1)
+    * (pair, lhs, rhs) triples via a generator, then one grouped
+    * countDistinct per (pair, lhs-value) and a per-pair rollup —
+    * shuffles carry value pairs, state is bounded by Σ per-pair
+    * distinct lhs values. Never p² separate scans.
+    *
+    * Output per ordered pair: (lhs, rhs, n_keys, n_viol_keys,
+    * max_rhs_per_key, holds). NULL is one more value (null-safe
+    * grouping semantics both engines share).
+    */
+  def functionalDependencies(df: DataFrame,
+                             cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val triples = cols.flatMap(a => cols.filter(_ != a).map(a -> _))
+    val melted = df.select(explode(array(triples.map { case (a, b) =>
+      struct(lit(a).as("lhs"), lit(b).as("rhs"),
+        col(a).cast("string").as("lv"), col(b).cast("string").as("rv"))
+    }: _*)).as("t")).select(col("t.*"))
+    melted.groupBy("lhs", "rhs", "lv")
+      .agg(countDistinct(col("rv")).as("nd"))
+      .groupBy("lhs", "rhs")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_viol_keys"),
+        max("nd").as("max_rhs_per_key"))
+      .withColumn("holds", col("n_viol_keys") === 0L)
+  }
+
   /** Quantile normalization — map every source's value distribution
     * onto the GLOBAL empirical distribution (the microarray-era
     * cross-sample normalizer, Bolstad et al. 2003, reborn as a
