@@ -461,7 +461,10 @@ object ScaleProbe {
       "q296_set_cover",
       // q297 = one melted scan + two grouped aggs; q298 = two grouped
       // aggs + a label-marginal aggregate — both linear
-      "q297_fd_discovery", "q298_krippendorff")
+      "q297_fd_discovery", "q298_krippendorff",
+      // q299 = one (N+1)-way broadcast cross + a max_by agg; q300 =
+      // one group agg + a group-alphabet rank — both linear
+      "q299_rendezvous", "q300_apportion")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

@@ -4455,6 +4455,23 @@ object SparkEntry {
       graft.ml.Perceptron.trainBatch(Tables.embeddings(s, dir),
         "embedding", col("label") < 5, epochs = 3)),
 
+    // rendezvous (HRW) placement audit: doc keys over 8 vs 9 shards
+    // — per-shard populations both topologies + the exact moved-key
+    // count (the minimal-movement property modulo placement lacks)
+    "q299_rendezvous" -> ((s, dir) =>
+      graft.core.Placement.rendezvousAudit(
+        Tables.documents(s, dir), col("doc_id"), shards = 8)),
+
+    // largest-remainder (Hamilton) apportionment of a 1M-token budget
+    // across sources by their exact token counts — quotas sum to the
+    // budget exactly, floors + top-remainder +1s
+    "q300_apportion" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir).select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.core.Placement.apportion(tok, col("source"), col("n_tok"),
+        budget = 1000000L)
+    }),
+
     // Krippendorff's alpha over per-(user, type) value-band labels:
     // units = users, one rating per event type present — the
     // multi-rater/missing-tolerant agreement gate beside Cohen's
@@ -11866,6 +11883,71 @@ object SparkEntry {
         |UNION ALL SELECT 'mis', 3, (SELECT count(*) FROM mis3)
         |UNION ALL SELECT 'w', CAST(d AS BIGINT), CAST(w AS BIGINT)
         |  FROM w3""".stripMargin,
+
+    // q299: the avalanche weights replayed per (key, shard), argmax
+    // by (w desc, shard) rank, both topologies + the moved census
+    "q299_rendezvous" ->
+      """WITH keys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k
+        |  FROM documents),
+        |spine AS (SELECT unnest(range(0, 9)) AS shard),
+        |h0 AS (
+        |  SELECT k, shard,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(
+        |        k || ':' || shard || ':42', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM keys, spine),
+        |h1 AS (SELECT *, (xor(h, h // 65536) * 73244475) % 4294967296
+        |  AS hv1 FROM h0),
+        |h2 AS (SELECT *, (xor(hv1, hv1 // 65536) * 73244475) % 4294967296
+        |  AS hv2 FROM h1),
+        |wt AS (SELECT k, shard,
+        |    xor(hv2, hv2 // 65536) % 1000000000 AS w
+        |  FROM h2),
+        |oldp AS (
+        |  SELECT k, shard FROM (
+        |    SELECT k, shard, row_number() OVER (PARTITION BY k
+        |      ORDER BY w DESC, shard) AS rn
+        |    FROM wt WHERE shard < 8) WHERE rn = 1),
+        |newp AS (
+        |  SELECT k, shard FROM (
+        |    SELECT k, shard, row_number() OVER (PARTITION BY k
+        |      ORDER BY w DESC, shard) AS rn
+        |    FROM wt) WHERE rn = 1)
+        |SELECT 'n' AS topology, CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM oldp GROUP BY 2
+        |UNION ALL
+        |SELECT 'n_plus_1', CAST(shard AS BIGINT), count(*)
+        |FROM newp GROUP BY 2
+        |UNION ALL
+        |SELECT 'moved', -1, count(*)
+        |FROM oldp o JOIN newp n ON o.k = n.k AND o.shard <> n.shard""".stripMargin,
+
+    // q300: the same floors + top-remainder ranks
+    "q300_apportion" ->
+      """WITH tok AS (
+        |  SELECT source AS g,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS weight
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM tok),
+        |based AS (
+        |  SELECT g, weight, 1000000 * weight // tw AS base,
+        |    ((1000000 * weight) % tw + tw) % tw AS rem
+        |  FROM tok, tot),
+        |short AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS l
+        |  FROM based),
+        |ranked AS (
+        |  SELECT g, weight, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, g) AS rk
+        |  FROM based)
+        |SELECT g AS "group", weight, base,
+        |  CASE WHEN rk <= (SELECT l FROM short) THEN 1 ELSE 0 END
+        |    AS extra,
+        |  base + CASE WHEN rk <= (SELECT l FROM short) THEN 1 ELSE 0 END
+        |    AS quota
+        |FROM ranked""".stripMargin,
 
     // q298: the same integer coincidence algebra — S = 2520-scaled
     // within-unit disagreeing pairs, marginal sum of squares, one
