@@ -464,7 +464,10 @@ object ScaleProbe {
       "q297_fd_discovery", "q298_krippendorff",
       // q299 = one (N+1)-way broadcast cross + a max_by agg; q300 =
       // one group agg + a group-alphabet rank — both linear
-      "q299_rendezvous", "q300_apportion")
+      "q299_rendezvous", "q300_apportion",
+      // q301 = daily agg + a per-key bounded-series self-join (days
+      // lattice saturates) — expect near-constant growth
+      "q301_mann_kendall")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

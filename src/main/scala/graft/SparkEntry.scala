@@ -4455,6 +4455,16 @@ object SparkEntry {
       graft.ml.Perceptron.trainBatch(Tables.embeddings(s, dir),
         "embedding", col("label") < 5, epochs = 3)),
 
+    // Mann-Kendall monotone-trend significance per event type over
+    // the daily cents series — the nonparametric companion to the
+    // Theil-Sen slope (q258), all-integer continuity-corrected test
+    "q301_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      TimeSeries.mannKendall(daily, "event_type", "d", "cents")
+    }),
+
     // rendezvous (HRW) placement audit: doc keys over 8 vs 9 shards
     // — per-shard populations both topologies + the exact moved-key
     // count (the minimal-movement property modulo placement lacks)
@@ -11883,6 +11893,40 @@ object SparkEntry {
         |UNION ALL SELECT 'mis', 3, (SELECT count(*) FROM mis3)
         |UNION ALL SELECT 'w', CAST(d AS BIGINT), CAST(w AS BIGINT)
         |  FROM w3""".stripMargin,
+
+    // q301: the same pair signs, tie-corrected x18 variance, and the
+    // cross-multiplied continuity-corrected significance
+    "q301_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS o,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.k,
+        |    CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.k = b.k AND a.o < b.o
+        |  GROUP BY 1),
+        |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT k, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |    AS tie_term
+        |  FROM (SELECT k, v, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT n.k AS event_type, n.n_obs, COALESCE(s.s, 0) AS s,
+        |  n.n_obs * (n.n_obs - 1) * (2 * n.n_obs + 5) - t.tie_term
+        |    AS var18,
+        |  (abs(COALESCE(s.s, 0)) - 1) * (abs(COALESCE(s.s, 0)) - 1)
+        |      * 18 * 625
+        |    > 2401 * (n.n_obs * (n.n_obs - 1) * (2 * n.n_obs + 5)
+        |      - t.tie_term)
+        |  AND abs(COALESCE(s.s, 0)) > 1 AS significant
+        |FROM n LEFT JOIN s ON n.k = s.k
+        |JOIN ties t ON n.k = t.k
+        |WHERE n.n_obs >= 2""".stripMargin,
 
     // q299: the avalanche weights replayed per (key, shard), argmax
     // by (w desc, shard) rank, both topologies + the moved census

@@ -548,6 +548,52 @@ object TimeSeries {
     * centering window over those ≤7 rows; one join back. Raw events
     * shuffle once.
     */
+  /** Mann-Kendall trend test per key — the nonparametric significance
+    * companion to the Theil-Sen slope ([[theilSenTrend]] says HOW
+    * steep, this says WHETHER the monotone trend is real):
+    * S = Σ_{i<j} sgn(x_j − x_i) over the key's ordered series, with
+    * the tie-corrected variance
+    * var_S = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18.
+    *
+    * EXACT integer significance, no sqrt or float anywhere: the
+    * normal-approximation test |z| > 1.96 with the ±1 continuity
+    * correction cross-multiplies to
+    * (|S|−1)²·18·625 > 2401·var18 (1.96 = 49/25 exactly, var18 = the
+    * ×18 variance numerator) — engine-bit-identical, like the q275
+    * McNemar integer chi2.
+    *
+    * Scale shape: pairs come from a per-key self-join of the (key,
+    * day, value) series — series are per-key bounded (a year of days),
+    * so the join is |key|·n_k² with tiny n_k, shuffled by key;
+    * everything after is one grouped aggregate + a model-size tie
+    * table. Keys need n ≥ 2 (others drop).
+    *
+    * Output: (key, n_obs, s, var18, significant).
+    */
+  def mannKendall(daily: DataFrame, keyCol: String, ordCol: String,
+                  valueCol: String): DataFrame = {
+    val d = daily.select(col(keyCol).as("k"), col(ordCol).as("o"),
+      col(valueCol).as("v"))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.k") === col("b.k") && col("a.o") < col("b.o"))
+      .groupBy(col("a.k").as("k"))
+      .agg(sum(signum(col("b.v") - col("a.v")).cast("long")).as("s"))
+    val n = d.groupBy("k").agg(count(lit(1)).as("n_obs"))
+    val ties = d.groupBy("k", "v").agg(count(lit(1)).as("t"))
+      .groupBy("k")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    n.join(pairs, Seq("k"), "left")
+      .join(ties, Seq("k"))
+      .filter(col("n_obs") >= 2L)
+      .select(col("k").as(keyCol), col("n_obs"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        (expr("n_obs * (n_obs - 1) * (2 * n_obs + 5)") - col("tie_term"))
+          .as("var18"))
+      .withColumn("significant",
+        expr("""(abs(s) - 1) * (abs(s) - 1) * 18 * 625 > 2401 * var18
+                AND abs(s) > 1"""))
+  }
+
   /** RANSAC line fit (Fischler & Bolles 1981) — the sample-consensus
     * robust regressor beside Theil-Sen ([[theilSenTrend]]): k
     * candidate 2-point models, each scored by how many points fall
