@@ -12011,8 +12011,14 @@ object SparkEntry {
         |  FROM cnts GROUP BY u
         |  HAVING sum(cnt) >= 2),
         |obs AS (
+        |  -- the 1//(CASE..) term is 0 for m <= 10 and a loud
+        |  -- division-by-zero for m > 10: the counterpart of the Spark
+        |  -- side's maxRatings assert_true, so BOTH engines fail on the
+        |  -- same input instead of the oracle silently flooring
+        |  -- 2520//(m-1) (ADVICE r12)
         |  SELECT CAST(count(*) AS BIGINT) AS n_units,
-        |    CAST(sum(m) AS BIGINT) AS n,
+        |    CAST(sum(m + 1 // (CASE WHEN m <= 10 THEN 1 ELSE 0 END) - 1)
+        |      AS BIGINT) AS n,
         |    CAST(sum(2520 * (m * (m - 1) - same) // (m - 1)) AS BIGINT)
         |      AS off_s
         |  FROM units),
@@ -12047,7 +12053,8 @@ object SparkEntry {
         |      'o_orderstatus', 'o_orderpriority']) AS c) b
         |    WHERE a.c <> b.c) p),
         |keys AS (
-        |  SELECT lhs, rhs, lv, count(DISTINCT rv) AS nd
+        |  SELECT lhs, rhs, lv, count(DISTINCT rv)
+        |    + max(CASE WHEN rv IS NULL THEN 1 ELSE 0 END) AS nd
         |  FROM m GROUP BY 1, 2, 3)
         |SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_keys,
         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -12119,7 +12126,8 @@ object SparkEntry {
         |  SELECT x, y,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(regexp_split_to_array(
-        |        CAST(x AS VARCHAR) || ':42', ''),
+        |        CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)
+        |          || ':42', ''),
         |        c -> CAST(ascii(c) AS BIGINT))),
         |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
         |  FROM pts),
@@ -12129,9 +12137,9 @@ object SparkEntry {
         |  AS hv2 FROM h1),
         |cand AS (
         |  SELECT x, y, row_number() OVER (ORDER BY
-        |      xor(hv2, hv2 // 65536) % 1000000000, x) AS rn
+        |      xor(hv2, hv2 // 65536) % 1000000000, x, y) AS rn
         |  FROM h2
-        |  ORDER BY xor(hv2, hv2 // 65536) % 1000000000, x LIMIT 32),
+        |  ORDER BY xor(hv2, hv2 // 65536) % 1000000000, x, y LIMIT 32),
         |models AS (
         |  SELECT (a.rn - 1) // 2 AS model_id, a.x AS x1, a.y AS y1,
         |    b.x AS x2, b.y AS y2

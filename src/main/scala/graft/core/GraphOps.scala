@@ -92,6 +92,10 @@ object GraphOps {
     // recompute ~4x per iteration
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .distinct().persist()
+    // loud guard: an empty edge table would surface later as a bare
+    // NPE on the first scalar max (agg(max) over zero rows is a NULL
+    // row) — fail here with the actual problem named (ADVICE r12)
+    require(!e.isEmpty, "hits: edge table is empty — nothing to rank")
     var hub = e.select(col("s")).distinct()
       .withColumn("h", lit(1000000L))
     var auth: DataFrame = null

@@ -270,7 +270,11 @@ object Profile {
         col(a).cast("string").as("lv"), col(b).cast("string").as("rv"))
     }: _*)).as("t")).select(col("t.*"))
     melted.groupBy("lhs", "rhs", "lv")
-      .agg(countDistinct(col("rv")).as("nd"))
+      // countDistinct skips NULLs, so a NULL rhs adds one more value
+      // explicitly — otherwise an lhs key mapping to {NULL, 'x'} got
+      // nd=1 and the pair wrongly reported holds=true (ADVICE r12)
+      .agg((countDistinct(col("rv")) +
+        max(when(col("rv").isNull, 1L).otherwise(0L))).as("nd"))
       .groupBy("lhs", "rhs")
       .agg(count(lit(1)).as("n_keys"),
         sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_viol_keys"),

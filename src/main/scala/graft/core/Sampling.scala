@@ -503,12 +503,18 @@ object Sampling {
     * into the covered pool.
     *
     * Scale shape: the kCenterSelect bounded-driver-pass discipline —
-    * k steps, each ONE grouped count over the (set, element) pair
-    * table anti-joined against the covered pool (element-keyed,
-    * map-side combinable), pool localCheckpointed per step (element-
-    * alphabet-sized, lineage truncated so step j never re-runs steps
-    * < j). Exact integer counts; fully SQL-replayable (the oracle
-    * unrolls the k steps).
+    * k steps over a SHRINKING `remaining` pair table (pe minus every
+    * element covered so far). Per step the gains pass is a bare
+    * map-side-combinable grouped count (no join at all — covered
+    * rows were already subtracted), and the subtraction is ONE
+    * element-keyed anti join of `remaining` against the just-picked
+    * set's elements (bounded by the largest single set — AQE
+    * broadcasts it when model-size), localCheckpointed so step j
+    * never re-runs steps < j. The earlier shape (full pe anti-joined
+    * per step against a GROWING distinct covered pool) paid a
+    * pool-sized join plus a pool distinct per step and measured 1.5x
+    * this one at sf0.1. Exact integer counts; fully SQL-replayable
+    * (the oracle unrolls the k steps).
     *
     * Output: one row per step — (step 1.., picked set, new_elements
     * gained, covered_total after the pick).
@@ -518,16 +524,15 @@ object Sampling {
     require(k >= 1, "k must be >= 1")
     val spark = pairs.sparkSession
     import spark.implicits._
-    val pe = pairs.select(col(setCol).cast("string").as("s"),
+    var remaining = pairs.select(col(setCol).cast("string").as("s"),
         col(elemCol).cast("string").as("e"))
-      .distinct().persist()
-    var covered = spark.emptyDataset[String].toDF("e")
+      .distinct().localCheckpoint(true)
     var total = 0L
     val picks = Vector.newBuilder[(Long, String, Long, Long)]
     var step = 1
     var exhausted = false
     while (step <= k && !exhausted) {
-      val gains = pe.join(covered, Seq("e"), "left_anti")
+      val gains = remaining
         .groupBy("s").agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("s")).limit(1)
         .as[(String, Long)].collect()
@@ -535,14 +540,16 @@ object Sampling {
         case Some((s, gain)) =>
           total += gain
           picks += ((step.toLong, s, gain, total))
-          covered = covered
-            .unionByName(pe.filter(col("s") === s).select("e"))
-            .distinct().localCheckpoint(true)
+          if (step < k) { // no subtraction needed after the last pick
+            val pickedElems = remaining.filter(col("s") === s).select("e")
+            remaining = remaining
+              .join(pickedElems, Seq("e"), "left_anti")
+              .localCheckpoint(true)
+          }
           step += 1
         case None => exhausted = true // everything already covered
       }
     }
-    pe.unpersist()
     picks.result()
       .toDF("step", "picked", "new_elements", "covered_total")
   }

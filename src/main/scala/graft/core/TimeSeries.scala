@@ -602,10 +602,11 @@ object TimeSeries {
     * of wild outliers can't drag the fit.
     *
     * Determinism discipline: the "random" sample is the portable
-    * avalanched hash order of the x keys (pure function of (x, seed)
-    * — reproducible anywhere, replayable in SQL): the 2k
-    * smallest-hash points pair up consecutively; degenerate pairs
-    * (dx = 0) drop. The inlier test is EXACT integer
+    * avalanched hash order of the (x, y) point (pure function of
+    * (x, y, seed) — reproducible anywhere, replayable in SQL; y is
+    * part of the hash input AND the sort tie-break so duplicate-x
+    * inputs still sample deterministically): the 2k smallest-hash
+    * points pair up consecutively; degenerate pairs (dx = 0) drop. The inlier test is EXACT integer
     * cross-multiplication — |dx·(y−y1) − dy·(x−x1)| ≤ epsY·|dx| —
     * no division, no float, anywhere; the winner takes max inliers
     * with the lowest model id as tie-break.
@@ -631,9 +632,10 @@ object TimeSeries {
       col(yCol).cast("long").as("y"))
     val cand = pts
       .withColumn("h", pmod(Sketches.mix32(TextAnalysis.rollingHash(
-        concat(col("x").cast("string"), lit(":"), lit(seed.toString)))),
+        concat(col("x").cast("string"), lit(":"),
+          col("y").cast("string"), lit(":"), lit(seed.toString)))),
         lit(1000000000L)))
-      .orderBy(col("h"), col("x"))
+      .orderBy(col("h"), col("x"), col("y"))
       .limit(2 * k)
       .select("x", "y").as[(Long, Long)].collect()
     val models = cand.grouped(2).zipWithIndex.collect {

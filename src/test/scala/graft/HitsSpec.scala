@@ -41,4 +41,12 @@ class HitsSpec extends SparkSpec {
       .maxBy(_._2)._1
     assert(topAuth == "y")
   }
+
+  test("empty edge table fails loudly, not with an NPE") {
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.hits(Seq.empty[(String, String)].toDF("s", "d"),
+        "s", "d", 2)
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
 }

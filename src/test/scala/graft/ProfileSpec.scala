@@ -273,4 +273,19 @@ class ProfileSpec extends SparkSpec {
     assert(rows.head == ((1L, 3L, 1000000L)))
     assert(rows.tail.forall(r => r._2 == 0L && r._3 == 0L))
   }
+
+  test("functionalDependencies: NULL rhs counts as one more value " +
+      "(a key mapping to {NULL, 'x'} violates)") {
+    val df = Seq(
+      ("k1", Some("x")), ("k1", None),    // k1 -> {x, NULL}: violates
+      ("k2", Some("y")), ("k2", Some("y")), // k2 -> {y}: fine
+      ("k3", None), ("k3", None)          // k3 -> {NULL}: one value, fine
+    ).toDF("a", "b")
+    val fd = Profile.functionalDependencies(df, Seq("a", "b"))
+      .filter(col("lhs") === "a").collect().head
+    assert(fd.getAs[Long]("n_keys") == 3L)
+    assert(fd.getAs[Long]("n_viol_keys") == 1L) // only k1
+    assert(fd.getAs[Long]("max_rhs_per_key") == 2L) // {x, NULL}
+    assert(!fd.getAs[Boolean]("holds"))
+  }
 }

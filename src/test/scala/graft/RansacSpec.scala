@@ -41,4 +41,20 @@ class RansacSpec extends SparkSpec {
       TimeSeries.ransacLine(df, "x", "y", k = 4)
     }
   }
+
+  test("duplicate x values stay deterministic across partitionings " +
+      "(y is in the sample hash and the tie-break)") {
+    // every x appears twice with different y — under an x-only hash
+    // the sort keys were fully tied and the sample partition-order
+    // dependent (ADVICE r12)
+    val rows = (0L to 9L).flatMap(x => Seq((x, 2 * x), (x, 2 * x + 9)))
+    val df = rows.toDF("x", "y")
+    val a = TimeSeries.ransacLine(df, "x", "y", k = 8, epsY = 3L)
+      .collect().toSeq
+    val b = TimeSeries.ransacLine(df.repartition(7), "x", "y",
+      k = 8, epsY = 3L).collect().toSeq
+    val c = TimeSeries.ransacLine(df.orderBy(col("y").desc), "x", "y",
+      k = 8, epsY = 3L).collect().toSeq
+    assert(a == b && a == c)
+  }
 }
