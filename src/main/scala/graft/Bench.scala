@@ -152,7 +152,8 @@ object Bench {
       "q65_snapshot_merge", "q97_salted_join",
       "q181_local_supplier_volume",
       "q84_image_features", "q86_audio_features", "q90_video_frames",
-      "q78_bpe_merges", "q85_bpe_encode_fixed", "q274_longest_repeats")
+      "q78_bpe_merges", "q85_bpe_encode_fixed", "q274_longest_repeats",
+      "q302_exact_substr_dedup")
     val resMap = results.toMap
     val headEntries = headline.flatMap(n => resMap.get(n).map(n -> _))
     // hard cap: the whole stdout line (plus sbt's ~90-char success

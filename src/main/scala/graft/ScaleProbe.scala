@@ -467,7 +467,12 @@ object ScaleProbe {
       "q299_rendezvous", "q300_apportion",
       // q301 = daily agg + a per-key bounded-series self-join (days
       // lattice saturates) — expect near-constant growth
-      "q301_mann_kendall")
+      "q301_mann_kendall",
+      // round-13: ExactSubstr removal = one gram-frequency agg + one
+      // semi join + a per-doc window + per-doc rebuild — linear in
+      // corpus tokens (the replicated corpus multiplies dup-gram
+      // GROUP sizes, not the row count)
+      "q302_exact_substr_dedup")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

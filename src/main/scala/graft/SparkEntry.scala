@@ -4258,6 +4258,16 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         minLen = 12, topK = 20)),
 
+    // ExactSubstr span REMOVAL (the Lee et al. 2022 dedup PRODUCT —
+    // q274 surfaces the repeats, this one rewrites the corpus): every
+    // token inside any >= 12-token substring occurring twice
+    // corpus-wide drops (all occurrences), each doc re-emits from its
+    // survivors. One gram-frequency aggregation + a per-doc window —
+    // no suffix sort needed for fixed-threshold removal
+    "q302_exact_substr_dedup" -> ((s, dir) =>
+      graft.core.SuffixArray.exactSubstrDedup(
+        Tables.documents(s, dir), "doc_id", "text", minLen = 12)),
+
     // McNemar's paired test comparing two value-derived classifiers
     // on the SAME events — only the discordant cells matter; the
     // continuity-corrected chi2 is pure integer arithmetic (q223's
@@ -11341,6 +11351,51 @@ object SparkEntry {
         |  GROUP BY w.repeat_text, w.repeat_len)
         |SELECT repeat_len, n_docs, n_occurrences, repeat_text
         |FROM occ ORDER BY repeat_len DESC, repeat_text ASC""".stripMargin,
+
+    // q302: the same gram-frequency marking replayed literally — dup
+    // 12-gram starts, an 11-PRECEDING window max turning starts into
+    // covered tokens, and an ordered FILTER list rebuild per doc
+    "q302_exact_substr_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    array_to_string(toks[i+1:i+12], ' ') AS g
+        |  FROM docs, unnest(generate_series(0, len(toks) - 12)) AS u(i)),
+        |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |starts AS (
+        |  SELECT DISTINCT doc_id, s FROM grams JOIN dupg USING (g)),
+        |pos AS (
+        |  SELECT doc_id, toks[CAST(p AS INT)] AS tok, p
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks)))::BIGINT AS p
+        |        FROM docs)),
+        |flag AS (
+        |  SELECT p.doc_id, p.p, p.tok,
+        |    CASE WHEN st.s IS NOT NULL THEN 1 END AS ds
+        |  FROM pos p LEFT JOIN starts st
+        |    ON st.doc_id = p.doc_id AND st.s = p.p - 1),
+        |cov AS (
+        |  SELECT doc_id, p, tok,
+        |    max(ds) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS c
+        |  FROM flag),
+        |reb AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    coalesce(array_to_string(
+        |      list(tok ORDER BY p) FILTER (WHERE c IS NULL), ' '), '')
+        |      AS clean_text
+        |  FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM docs d LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     // q275: the four paired cells + the integer continuity-corrected
     // chi2; mods are pmod-equivalent ((x%k+k)%k) like q272

@@ -345,4 +345,107 @@ object SuffixArray {
         col("repeat_text"))
       .orderBy(col("repeat_len").desc, col("repeat_text").asc)
   }
+
+  /** ExactSubstr span REMOVAL — the Lee et al. 2022 dedup PRODUCT
+    * ([[longestRepeats]] surfaces the repeats; this rewrites the
+    * corpus): every token that lies inside ANY substring of length
+    * ≥ `minLen` tokens occurring ≥ 2 times corpus-wide is dropped
+    * (ALL occurrences — the released ExactSubstr tool's behavior:
+    * with the span gone everywhere, no copy is privileged and the
+    * rewrite is order-independent), and each document re-emits from
+    * its surviving tokens.
+    *
+    * Equivalence that makes this ONE aggregation instead of a suffix
+    * sort: a substring of length L ≥ minLen occurs twice iff every
+    * one of its minLen-token windows occurs twice (each window rides
+    * the two occurrences), and a duplicated minLen-window IS a
+    * duplicated substring of length minLen — so the union of
+    * ≥-minLen duplicated spans equals the union of duplicated
+    * minLen-gram windows. Marking therefore needs only the corpus
+    * gram-frequency table (the suffix array's full rank machinery is
+    * for UNBOUNDED-length reporting, where no fixed window captures
+    * the answer; for fixed-threshold removal the gram formulation is
+    * exact and one shuffle).
+    *
+    * Plan: one gram explode (every fitting start emits its
+    * minLen-token window), one grouped count keeping grams with ≥ 2
+    * occurrences, one semi join back marking duplicate START
+    * positions, then a per-document rowsBetween(-(minLen−1), 0) max
+    * window turns start marks into covered-token marks (positions
+    * are dense per doc, so the row window IS the span window — the
+    * [[longestRepeats]] lead trick), and one per-doc rebuild
+    * aggregation. Everything is doc- or gram-keyed — no self-join,
+    * no global sort, no driver state.
+    *
+    * Scale: gram rows are O(corpus tokens) with O(minLen)-byte
+    * payloads; at 100 TB swap the gram string for a 128-bit hash
+    * (two-seed xxhash64) so shuffles carry 16 bytes — the algebra is
+    * unchanged and a final slice-equality residual check on marked
+    * spans removes the astronomically-unlikely collision. The gate
+    * keeps the exact string so the DuckDB oracle replays verbatim.
+    * Per-doc rebuild state is document-sized (the corpus's own row
+    * bound), never corpus-sized.
+    *
+    * Output: one row per INPUT document — (idCol, clean_text,
+    * n_tokens, n_removed); blank/whitespace docs pass through with
+    * zero counts, fully-duplicated docs come back with empty
+    * clean_text (downstream drops or keeps them — the rewrite does
+    * not decide).
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 20): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2 (1 would drop every " +
+      "token that appears twice anywhere)")
+    val docs = df.select(col(idCol).as("sa_doc"),
+        when(length(trim(col(textCol))) === 0,
+            expr("CAST(array() AS ARRAY<STRING>)"))
+          .otherwise(TextAnalysis.tokens(col(textCol))).as("toks"))
+      .persist()
+    // every fitting start emits its minLen-token window; tokens are
+    // whitespace-split so the single-space join is collision-free
+    val grams = docs.filter(size(col("toks")) >= minLen)
+      .select(col("sa_doc"), explode(expr(
+        s"""transform(sequence(0L, CAST(size(toks) - $minLen AS LONG)),
+            s -> struct(s AS pos,
+              concat_ws(' ', slice(toks, CAST(s + 1 AS INT), $minLen))
+                AS g))""")).as("sg"))
+      .select(col("sa_doc"), col("sg.pos").as("pos"), col("sg.g").as("g"))
+    // corpus frequency per gram via ONE gram-keyed exchange (a
+    // grouped count + semi join back would shuffle the gram table
+    // twice); partition state is gram-group-sized
+    val dupStarts = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("c") >= 2L)
+      .select(col("sa_doc"), col("pos"), lit(1L).as("ds"))
+    val toks = docs.select(col("sa_doc"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("sa_doc"), col("pos").cast("long").as("pos"), col("tok"))
+    // a token at p is covered iff some duplicate window STARTS in
+    // [p-minLen+1, p]; dense per-doc positions make the row window
+    // exactly that start range (starts never overhang: grams exist
+    // only where the window fits)
+    val w = Window.partitionBy("sa_doc").orderBy("pos")
+      .rowsBetween(-(minLen - 1).toLong, Window.currentRow)
+    val marked = toks.join(dupStarts, Seq("sa_doc", "pos"), "left")
+      .withColumn("cov", max(col("ds")).over(w))
+    val rebuilt = marked.groupBy("sa_doc").agg(
+      count(lit(1)).as("n_tokens"),
+      coalesce(sum(when(col("cov") === 1L, 1L).otherwise(0L)), lit(0L))
+        .as("n_removed"),
+      // collect_list skips NULLs: only surviving tokens ride, sorted
+      // back into document order by the struct's leading pos
+      expr("""concat_ws(' ', transform(
+          array_sort(collect_list(CASE WHEN cov IS NULL
+            THEN struct(pos, tok) END)),
+          x -> x.tok))""").as("clean_text"))
+    val out = docs.select(col("sa_doc"))
+      .join(rebuilt, Seq("sa_doc"), "left")
+      .select(col("sa_doc").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    val mat = out.localCheckpoint(true)
+    docs.unpersist()
+    mat
+  }
 }

@@ -96,4 +96,82 @@ class SuffixArraySpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(a == b)
   }
+
+  /** Reference ExactSubstr rewrite: mark every token covered by a
+    * duplicated minLen-gram window, drop marked tokens everywhere.
+    */
+  private def bruteDedup(docs: Seq[(Long, String)], minLen: Int)
+      : Map[Long, (String, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Seq.empty[String]
+             else t.trim.split("\\s+").toSeq)
+    }.toMap
+    val gramCount = toks.values.flatMap(ts =>
+      ts.sliding(minLen).filter(_.size == minLen).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    docs.map { case (id, _) =>
+      val ts = toks(id)
+      val dupStart = ts.indices.filter(s => s + minLen <= ts.size &&
+        gramCount(ts.slice(s, s + minLen).mkString(" ")) >= 2).toSet
+      val covered = ts.indices.filter(p =>
+        (math.max(0, p - minLen + 1) to p).exists(dupStart)).toSet
+      val kept = ts.indices.filterNot(covered).map(ts)
+      id -> (kept.mkString(" "), ts.size.toLong, covered.size.toLong)
+    }.toMap
+  }
+
+  private def runDedup(docs: Seq[(Long, String)], minLen: Int,
+                       parts: Int = 1): Map[Long, (String, Long, Long)] =
+    SuffixArray.exactSubstrDedup(
+        docs.toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text", minLen)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("exactSubstrDedup: a shared >= minLen span vanishes from ALL " +
+      "docs; unique text and short repeats survive") {
+    val span = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      1L -> s"intro one two $span tail first",
+      2L -> s"other opening $span closing words here",
+      3L -> "totally unique document alpha beta nothing shared")
+    val got = runDedup(docs, minLen = 6)
+    // the 6-token span is duplicated; every covering token drops
+    assert(!got(1L)._1.contains("gamma") && !got(2L)._1.contains("gamma"))
+    assert(got(1L)._3 == 6L && got(2L)._3 == 6L)
+    // surrounding unique tokens survive in order
+    assert(got(1L)._1 == "intro one two tail first")
+    assert(got(2L)._1 == "other opening closing words here")
+    // doc 3 shares only a 2-token run ("alpha beta") — below minLen
+    assert(got(3L) == (("totally unique document alpha beta nothing shared",
+      7L, 0L)))
+    assert(got == bruteDedup(docs, 6))
+  }
+
+  test("exactSubstrDedup: whole-doc clones empty out; blank docs pass " +
+      "through with zero counts") {
+    val clone = "one two three four five six seven eight"
+    val docs = Seq(1L -> clone, 2L -> clone, 3L -> "  ", 4L -> "tiny doc")
+    val got = runDedup(docs, minLen = 8)
+    assert(got(1L) == (("", 8L, 8L)) && got(2L) == (("", 8L, 8L)))
+    assert(got(3L) == (("", 0L, 0L)))
+    assert(got(4L) == (("tiny doc", 2L, 0L)))
+    assert(got == bruteDedup(docs, 8))
+  }
+
+  test("exactSubstrDedup: brute-force parity and partition invariance " +
+      "on an overlapping-repeat corpus") {
+    // overlapping duplicated windows inside one doc, self-repeat
+    // within a doc, and cross-doc repeats all at once
+    val docs = (1L to 24L).map { id =>
+      val base = s"doc $id filler ${id * 31 % 17} noise ${id * 13 % 11}"
+      val rep = "the quick brown fox jumps over the lazy dog again"
+      id -> (if (id % 4 == 0) s"$rep $base $rep"
+             else if (id % 4 == 1) s"$base $rep trailing bits"
+             else base)
+    }
+    val exp = bruteDedup(docs, 5)
+    assert(runDedup(docs, 5) == exp)
+    assert(runDedup(docs, 5, parts = 13) == exp)
+  }
 }
