@@ -54,7 +54,16 @@ object Scale100Probe {
       "q213_shipping_priority",
       "q23_langid", "q54_pii_scrub", "q85_bpe_encode_fixed",
       "q95_jaccard_maxdf", "q107_token_budget",
-      "q274_longest_repeats")
+      "q274_longest_repeats",
+      // round-13 additions (VERDICT r12 #3): HITS is per-iteration
+      // edge joins + grouped sums — linear in |E| (the 100x corpus
+      // collapses replicated (cust, part) edges in the up-front
+      // distinct, so |E| grows sub-100x by construction — the ratio
+      // reads LOW for data-shape reasons, not plan magic); the
+      // ExactSubstr rewrite is one gram window + per-doc windows —
+      // linear in tokens even though the replicated corpus makes
+      // EVERY gram a duplicate (worst-case marking density)
+      "q289_hits", "q302_exact_substr_dedup")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>
@@ -75,6 +84,55 @@ object Scale100Probe {
         case e: Throwable =>
           println(s"[scale100] $name FAILED: ${e.getMessage}")
       }
+    }
+
+    // capped / fixed-parameter scale paths (the ScaleProbe `timed`
+    // discipline): gates whose parameterization grows with the corpus
+    // probe their production shape instead
+    def timed(label: String)(mk: String => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      if (args.nonEmpty && !args.contains(label)) return
+      def run(dir: String): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        mk(dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        run("/root/testdata/sf0.1")
+        val s = run("/root/testdata/sf0.1")
+        val b = run(out)
+        println(f"[scale100] $label%-28s sf0.1=$s%7.2fs 100x=$b%8.2fs " +
+          f"ratio=${b / s}%6.1f")
+      } catch {
+        case e: Throwable =>
+          println(s"[scale100] $label FAILED: ${e.getMessage}")
+      }
+    }
+    // q281's exact path multiplies posting-list pairs quadratically on
+    // a replicated corpus (documented exact-baseline curve); maxDf is
+    // the linear scale path — the q95 contract
+    timed("editdist maxDf=64") { dir =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"),
+        lower(substring(trim(col("text")), 1, 40)).as("key"))
+      graft.core.Dedup.editNearDupPairs(docs, "doc_id", "key",
+        k = 2, q = 3, maxDf = 64)
+    }
+    // q303's bucketed LOF has two tunable cost components:
+    // assignment (n x B brute-force cross — the q49 artifact, probed
+    // linear with fixed k in ScaleProbe) and candidate pairs
+    // (n x nProbe x avg bucket). The gate's B = n/97 keeps candidates
+    // linear but makes assignment n²/97; fixed B keeps assignment
+    // linear but grows buckets 100x. The balanced sqrt-style point —
+    // centroids from copies 0-9 only, B ~ 10x, buckets ~ 10x — bounds
+    // BOTH components at ~sqrt growth, the two-level-IVF operating
+    // point a 100 TB deployment would pick
+    timed("lof bucketed B=sqrt") { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = emb
+        .filter(col("vec_id") % 97 === 3 && col("vec_id") < 10000000L)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.core.Similarity.lofBucketed(emb, centroids, k = 5, nProbe = 2)
     }
     spark.stop()
   }

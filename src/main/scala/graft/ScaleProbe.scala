@@ -472,7 +472,12 @@ object ScaleProbe {
       // semi join + a per-doc window + per-doc rebuild — linear in
       // corpus tokens (the replicated corpus multiplies dup-gram
       // GROUP sizes, not the row count)
-      "q302_exact_substr_dedup")
+      "q302_exact_substr_dedup",
+      // round-13: bucketed LOF. Candidates are n x nProbe x bucket
+      // (~97 const under the gate's B = n/97) — linear; the n x B
+      // assignment cross is the q49 parameterization artifact whose
+      // fixed-k linear variant is probed below ("ivf assign k=const")
+      "q303_lof_bucketed")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

@@ -4586,6 +4586,17 @@ object SparkEntry {
     "q293_lof" -> ((s, dir) =>
       Similarity.lof(Tables.embeddings(s, dir), k = 5)),
 
+    // LOF over IVF-bucket candidates — the corpus-scale path q293's
+    // exact baseline documents: fixed centroids (the q27 convention),
+    // all-integer bucket assignment, same quantized LOF algebra over
+    // the probed-bucket candidate relation instead of the cross join
+    "q303_lof_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.lofBucketed(emb, centroids, k = 5, nProbe = 2)
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -12299,6 +12310,73 @@ object SparkEntry {
         |JOIN lrd lo ON nb.o = lo.p
         |JOIN lrd l ON nb.p = l.p
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // q303: q293's algebra restricted to the probed-bucket candidate
+    // relation — integer centroid assignment, nProbe=2 probe list,
+    // home-bucket membership, then the identical kdist/reach/lrd/lof
+    // chain
+    "q303_lof_bucketed" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> CAST(floor(v * 1000.0) AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> CAST(floor(v * 1000.0) AS BIGINT)) AS cm
+        |  FROM embeddings WHERE vec_id % 97 = 3),
+        |dc AS (
+        |  SELECT e.id, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(e.vm) + 1),
+        |        i -> (e.vm[i] - c.cm[i]) * (e.vm[i] - c.cm[i]))),
+        |      (acc, x) -> acc + x) AS d
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT id, cid,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rnk
+        |  FROM dc),
+        |home AS (SELECT id AS o, cid AS bucket FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS p, cid AS bucket FROM ranked
+        |  WHERE rnk <= 2),
+        |pairs AS (
+        |  SELECT pr.p, h.o,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(a.vm) + 1),
+        |        i -> (a.vm[i] - b.vm[i]) * (a.vm[i] - b.vm[i]))),
+        |      (acc, x) -> acc + x) AS d2
+        |  FROM probes pr JOIN home h USING (bucket)
+        |  JOIN e a ON a.id = pr.p JOIN e b ON b.id = h.o
+        |  WHERE pr.p <> h.o),
+        |kd AS (
+        |  SELECT p, d2 AS kdist_sq FROM (
+        |    SELECT p, d2, row_number() OVER (PARTITION BY p
+        |      ORDER BY d2, o) AS rn FROM pairs)
+        |  WHERE rn = 5),
+        |nb AS (
+        |  SELECT pr.p, pr.o, pr.d2, kd.kdist_sq
+        |  FROM pairs pr JOIN kd ON pr.p = kd.p
+        |  WHERE pr.d2 <= kd.kdist_sq),
+        |reach AS (
+        |  SELECT nb.p, nb.o, nb.kdist_sq,
+        |    greatest(ko.kdist_sq, nb.d2) AS rd
+        |  FROM nb JOIN kd ko ON nb.o = ko.p),
+        |lrd AS (
+        |  SELECT p, kdist_sq, CAST(count(*) AS BIGINT) AS n_nb,
+        |    CAST(count(*) AS BIGINT) * 1000000000000
+        |      // CAST(sum(rd) AS BIGINT) AS lrd_q
+        |  FROM reach GROUP BY 1, 2
+        |  HAVING sum(rd) > 0)
+        |SELECT nb.p AS id, h.bucket, l.kdist_sq, l.n_nb AS n_neighbors,
+        |  l.lrd_q,
+        |  CAST(sum(lo.lrd_q) AS BIGINT) * 1000000
+        |    // (l.n_nb * l.lrd_q) AS lof_micro
+        |FROM nb
+        |JOIN lrd lo ON nb.o = lo.p
+        |JOIN lrd l ON nb.p = l.p
+        |JOIN home h ON h.o = nb.p
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

@@ -447,8 +447,8 @@ object Similarity {
     *
     * Scale: this is the exact O(n²) baseline with the
     * [[cosineNearDupPairs]] plan-level maxRows guard; at corpus scale
-    * the same algebra runs over IVF-bucket candidate pairs
-    * ([[ivfTopK]] machinery) instead of the cross join.
+    * use [[lofBucketed]] — the same algebra over IVF-bucket candidate
+    * pairs instead of the cross join.
     *
     * Output: (id, kdist_sq, n_neighbors, lrd_q, lof_micro).
     */
@@ -513,6 +513,101 @@ object Similarity {
         expr("sum_lrd_o * 1000000L DIV (n_nb * lrd_q)").as("lof_micro"))
     val mat = out.localCheckpoint(true)
     half.unpersist(); pts.unpersist()
+    mat
+  }
+
+  /** [[lof]] over IVF-bucket candidate pairs — the corpus-scale path
+    * the exact baseline's scaladoc promises: instead of the O(n²)
+    * cross join, each point's neighbor candidates are the members of
+    * its `nProbe` nearest centroid buckets (the [[ivfTopK]] query
+    * model), and the SAME quantized LOF algebra (k-distance with
+    * ties, reachability, lrd_q, lof_micro — see [[lof]]) runs over
+    * that candidate relation. Cost is n·nProbe·(avg bucket size) —
+    * linear in n for a fixed centroid count ratio, never all-pairs.
+    *
+    * Approximation surface, stated honestly: a true k-nearest
+    * neighbor living outside every probed bucket is missed, inflating
+    * kdist and shifting lrd — recall vs the exact baseline is gated
+    * in `LofBucketedSpec` (the q27/q104 discipline: separated
+    * clusters ⇒ bit-identical to [[lof]]; mixed corpora ⇒ asserted
+    * overlap on the outlier ranking). Points with fewer than k
+    * candidates drop (the exact variant's n<k rule, reached here also
+    * when probed buckets are thin — widen nProbe or retrain
+    * centroids).
+    *
+    * Everything stays in the milli-quantized integer domain,
+    * INCLUDING bucket assignment (argmin of exact BIGINT d² to the
+    * quantized centroids, ties to the lowest centroid id) — one
+    * quantization, so the full pipeline replays bit-for-bit in SQL.
+    *
+    * Output: (id, bucket, kdist_sq, n_neighbors, lrd_q, lof_micro).
+    */
+  def lofBucketed(emb: DataFrame, centroids: DataFrame, k: Int,
+                  nProbe: Int = 2, idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  centIdCol: String = "centroid_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    require(nProbe >= 1, "nProbe must be >= 1")
+    def quant(c: String) =
+      expr(s"transform($c, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0)" +
+        " AS DOUBLE))")
+    val pts = emb.select(col(idCol).as("id"), quant(vecCol).as("vm"))
+      .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
+      .persist()
+    val cents = centroids.select(col(centIdCol).as("cid"),
+        quant(vecCol).as("cm"))
+      .withColumn("cn2", dot(col("cm"), col("cm")).cast("long"))
+    // centroid distances: one broadcast cross (centroids are
+    // model-size by contract), exact BIGINT d²
+    val wa = Window.partitionBy("id").orderBy(col("dc"), col("cid"))
+    val ranked = pts.crossJoin(broadcast(cents))
+      .withColumn("dc", col("n2") + col("cn2")
+        - lit(2L) * dot(col("vm"), col("cm")).cast("long"))
+      .withColumn("rnk", row_number().over(wa))
+      .filter(col("rnk") <= nProbe)
+      .select(col("id"), col("cid"), col("rnk"))
+      .persist()
+    val home = ranked.filter(col("rnk") === 1)
+      .select(col("id").as("o"), col("cid").as("bucket"))
+    val probes = ranked.select(col("id").as("p"), col("cid").as("bucket"))
+    // candidate relation: o is a candidate of p iff o's HOME bucket
+    // is among p's probed buckets — each (p, o) at most once (one
+    // home per o, distinct probe buckets per p)
+    val cand = probes.join(home, "bucket").filter(col("p") =!= col("o"))
+      .join(pts.select(col("id").as("p"), col("vm").as("va"),
+        col("n2").as("na")), "p")
+      .join(pts.select(col("id").as("o"), col("vm").as("vb"),
+        col("n2").as("nb")), "o")
+      .withColumn("d2", col("na") + col("nb")
+        - lit(2L) * dot(col("va"), col("vb")).cast("long"))
+      .select(col("p"), col("o"), col("d2"))
+      .persist()
+    val w = Window.partitionBy("p").orderBy(col("d2"), col("o"))
+    val kdist = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("p"), col("d2").as("kdist_sq"))
+    val nbrs = cand.join(kdist, "p")
+      .filter(col("d2") <= col("kdist_sq"))
+    val reach = nbrs
+      .join(kdist.select(col("p").as("o"), col("kdist_sq").as("ko")), "o")
+      .select(col("p"), col("o"), col("kdist_sq"),
+        greatest(col("ko"), col("d2")).as("rd"))
+    val lrd = reach.groupBy(col("p"), col("kdist_sq"))
+      .agg(count(lit(1)).as("n_nb"), sum("rd").as("s"))
+      .filter(col("s") > 0L)
+      .select(col("p"), col("kdist_sq"), col("n_nb"),
+        expr("n_nb * 1000000000000L DIV s").as("lrd_q"))
+    val out = nbrs.select(col("p"), col("o"))
+      .join(lrd.select(col("p").as("o"), col("lrd_q").as("lrd_o")), "o")
+      .groupBy("p").agg(sum("lrd_o").as("sum_lrd_o"))
+      .join(lrd, "p")
+      .join(home.select(col("o").as("p"), col("bucket")), "p")
+      .select(col("p").as("id"), col("bucket"), col("kdist_sq"),
+        col("n_nb").as("n_neighbors"), col("lrd_q"),
+        expr("sum_lrd_o * 1000000L DIV (n_nb * lrd_q)").as("lof_micro"))
+    val mat = out.localCheckpoint(true)
+    cand.unpersist(); ranked.unpersist(); pts.unpersist()
     mat
   }
 

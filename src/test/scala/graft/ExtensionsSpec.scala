@@ -221,6 +221,89 @@ class ExtensionsSpec extends SparkSpec {
     assert(qnSql.toSet == qnApi.toSet && qnSql.nonEmpty)
   }
 
+  test("round-12 completion sweep + round-13 table functions from " +
+      "pure SQL (VERDICT r12 #8)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    spark.range(120).selectExpr("CAST(id % 4 AS STRING) AS g",
+      "CAST(1 + (id * 13) % 40 AS BIGINT) AS w")
+      .createOrReplaceTempView("r13_ap")
+    val apSql = spark.sql(
+      "SELECT * FROM apportion('r13_ap', 'g', 'w', 1000)").collect()
+    val apApi = graft.core.Placement.apportion(spark.table("r13_ap"),
+      col("g"), col("w"), budget = 1000L).collect()
+    assert(apSql.toSet == apApi.toSet && apSql.nonEmpty)
+
+    spark.range(200).selectExpr("CAST(id % 5 AS STRING) AS k",
+      "CAST(id / 5 AS BIGINT) AS o",
+      "CAST((id * 7) % 23 + id / 10 AS BIGINT) AS v")
+      .createOrReplaceTempView("r13_mk")
+    val mkSql = spark.sql(
+      "SELECT * FROM mann_kendall('r13_mk', 'k', 'o', 'v')").collect()
+    val mkApi = graft.core.TimeSeries.mannKendall(spark.table("r13_mk"),
+      "k", "o", "v").collect()
+    assert(mkSql.toSet == mkApi.toSet && mkSql.nonEmpty)
+
+    spark.range(90).selectExpr("CAST(id % 30 AS STRING) AS u",
+      "CAST((id * 11) % 4 AS STRING) AS lab")
+      .createOrReplaceTempView("r13_ka")
+    val kaSql = spark.sql(
+      "SELECT * FROM krippendorff_alpha('r13_ka', 'u', 'lab')").collect()
+    val kaApi = graft.core.Eval.krippendorffAlpha(spark.table("r13_ka"),
+      col("u"), col("lab")).collect()
+    assert(kaSql.toSeq == kaApi.toSeq && kaSql.nonEmpty)
+
+    spark.range(80).selectExpr("CAST(id % 6 AS STRING) AS s",
+      "CAST((id * 17) % 25 AS STRING) AS e")
+      .createOrReplaceTempView("r13_sc")
+    val scSql = spark.sql(
+      "SELECT * FROM set_cover('r13_sc', 's', 'e', 3)").collect()
+    val scApi = graft.core.Sampling.greedySetCover(spark.table("r13_sc"),
+      "s", "e", k = 3).collect()
+    assert(scSql.toSeq == scApi.toSeq && scSql.nonEmpty)
+
+    spark.range(40).selectExpr("CAST(id AS BIGINT) AS x",
+      "CAST(id * 3 + 5 AS BIGINT) AS y")
+      .createOrReplaceTempView("r13_rl")
+    val rlSql = spark.sql(
+      "SELECT * FROM ransac_line('r13_rl', 'x', 'y', 8, 0)").collect()
+    val rlApi = graft.core.TimeSeries.ransacLine(spark.table("r13_rl"),
+      "x", "y", k = 8, epsY = 0L).collect()
+    assert(rlSql.toSeq == rlApi.toSeq && rlSql.nonEmpty)
+
+    spark.range(60).selectExpr("CAST(id AS BIGINT) AS a",
+      "CAST(id % 12 AS BIGINT) AS b", "CAST(id % 3 AS STRING) AS c")
+      .createOrReplaceTempView("r13_fd")
+    val fdSql = spark.sql(
+      "SELECT * FROM fd_discovery('r13_fd', 'a,b,c')").collect()
+    val fdApi = graft.core.Profile.functionalDependencies(
+      spark.table("r13_fd"), Seq("a", "b", "c")).collect()
+    assert(fdSql.toSet == fdApi.toSet && fdSql.nonEmpty)
+
+    Seq((1L, "alpha beta gamma delta one"),
+        (2L, "alpha beta gamma delta two"),
+        (3L, "nothing shared at all here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r13_es")
+    val esSql = spark.sql(
+      "SELECT * FROM exact_substr_dedup('r13_es', 'doc_id', 'text', 4)")
+      .collect()
+    val esApi = graft.core.SuffixArray.exactSubstrDedup(
+      spark.table("r13_es"), "doc_id", "text", minLen = 4).collect()
+    assert(esSql.toSet == esApi.toSet && esSql.nonEmpty)
+
+    Seq((1L, Array(0.0f)), (2L, Array(0.125f)), (3L, Array(0.25f)),
+        (4L, Array(1.0f)), (5L, Array(1.125f)), (6L, Array(1.25f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("r13_lb")
+    Seq((0L, Array(0.125f)), (1L, Array(1.125f)))
+      .toDF("centroid_id", "embedding")
+      .createOrReplaceTempView("r13_lb_cents")
+    val lbSql = spark.sql(
+      "SELECT * FROM lof_bucketed('r13_lb', 'r13_lb_cents', 2, 1)")
+      .collect()
+    val lbApi = graft.core.Similarity.lofBucketed(spark.table("r13_lb"),
+      spark.table("r13_lb_cents"), k = 2, nProbe = 1).collect()
+    assert(lbSql.toSet == lbApi.toSet && lbSql.nonEmpty)
+  }
+
   test("lof table function and char_grams scalar from pure SQL") {
     import org.apache.spark.sql.functions.col
     Seq((1L, Array(0.0f)), (2L, Array(0.125f)), (3L, Array(0.25f)),
