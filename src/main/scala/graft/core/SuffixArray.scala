@@ -396,20 +396,8 @@ object SuffixArray {
                        minLen: Int = 20): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2 (1 would drop every " +
       "token that appears twice anywhere)")
-    val docs = df.select(col(idCol).as("sa_doc"),
-        when(length(trim(col(textCol))) === 0,
-            expr("CAST(array() AS ARRAY<STRING>)"))
-          .otherwise(TextAnalysis.tokens(col(textCol))).as("toks"))
-      .persist()
-    // every fitting start emits its minLen-token window; tokens are
-    // whitespace-split so the single-space join is collision-free
-    val grams = docs.filter(size(col("toks")) >= minLen)
-      .select(col("sa_doc"), explode(expr(
-        s"""transform(sequence(0L, CAST(size(toks) - $minLen AS LONG)),
-            s -> struct(s AS pos,
-              concat_ws(' ', slice(toks, CAST(s + 1 AS INT), $minLen))
-                AS g))""")).as("sg"))
-      .select(col("sa_doc"), col("sg.pos").as("pos"), col("sg.g").as("g"))
+    val docs = tokenized(df, idCol, textCol).persist()
+    val grams = gramRows(docs, minLen)
     // corpus frequency per gram via ONE gram-keyed exchange (a
     // grouped count + semi join back would shuffle the gram table
     // twice); partition state is gram-group-sized
@@ -417,13 +405,45 @@ object SuffixArray {
       .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("c") >= 2L)
       .select(col("sa_doc"), col("pos"), lit(1L).as("ds"))
+    val out = rewriteMarked(docs, dupStarts, minLen, idCol)
+    val mat = out.localCheckpoint(true)
+    docs.unpersist()
+    mat
+  }
+
+  /** (sa_doc, toks) with blank/whitespace docs as empty arrays. */
+  private def tokenized(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.select(col(idCol).as("sa_doc"),
+      when(length(trim(col(textCol))) === 0,
+          expr("CAST(array() AS ARRAY<STRING>)"))
+        .otherwise(TextAnalysis.tokens(col(textCol))).as("toks"))
+
+  /** Every fitting start's minLen-token window as (sa_doc, pos, g);
+    * tokens are whitespace-split so the single-space join is
+    * collision-free.
+    */
+  private def gramRows(docs: DataFrame, minLen: Int): DataFrame =
+    docs.filter(size(col("toks")) >= minLen)
+      .select(col("sa_doc"), explode(expr(
+        s"""transform(sequence(0L, CAST(size(toks) - $minLen AS LONG)),
+            s -> struct(s AS pos,
+              concat_ws(' ', slice(toks, CAST(s + 1 AS INT), $minLen))
+                AS g))""")).as("sg"))
+      .select(col("sa_doc"), col("sg.pos").as("pos"), col("sg.g").as("g"))
+
+  /** The rewrite tail shared by the batch and incremental paths:
+    * turn duplicate-window START marks into covered-token marks via a
+    * per-doc rowsBetween(-(minLen−1), 0) max window (positions are
+    * dense per doc, so the row window IS the span window; starts
+    * never overhang — grams exist only where the window fits), then
+    * rebuild each doc from its surviving tokens.
+    */
+  private def rewriteMarked(docs: DataFrame, dupStarts: DataFrame,
+                            minLen: Int, idCol: String): DataFrame = {
     val toks = docs.select(col("sa_doc"),
       posexplode(col("toks")).as(Seq("pos", "tok")))
       .select(col("sa_doc"), col("pos").cast("long").as("pos"), col("tok"))
-    // a token at p is covered iff some duplicate window STARTS in
-    // [p-minLen+1, p]; dense per-doc positions make the row window
-    // exactly that start range (starts never overhang: grams exist
-    // only where the window fits)
     val w = Window.partitionBy("sa_doc").orderBy("pos")
       .rowsBetween(-(minLen - 1).toLong, Window.currentRow)
     val marked = toks.join(dupStarts, Seq("sa_doc", "pos"), "left")
@@ -438,12 +458,108 @@ object SuffixArray {
           array_sort(collect_list(CASE WHEN cov IS NULL
             THEN struct(pos, tok) END)),
           x -> x.tok))""").as("clean_text"))
-    val out = docs.select(col("sa_doc"))
+    docs.select(col("sa_doc"))
       .join(rebuilt, Seq("sa_doc"), "left")
       .select(col("sa_doc").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Create/extend the persisted gram index behind
+    * [[exactSubstrDedupIncremental]]: every fitting minLen-window of
+    * the batch as (sa_doc, pos, g) rows appended to a transactional
+    * [[graft.sources.SnapshotTable]] — the [[Dedup.writeBandIndex]]
+    * discipline, applied to exact-substring state. Pass (`txnAppId`,
+    * `txnVersion`) for replay-safe (exactly-once) appends.
+    *
+    * Why GRAM COUNTS and not suffix-array ranks: the removal product
+    * is fixed-threshold, where gram marking is exactly equivalent to
+    * SA-adjacent LCP marking (the [[exactSubstrDedup]] equivalence)
+    * — and gram rows are append-only under corpus growth, while SA
+    * ranks would re-shuffle on every append (a rank is a property of
+    * the whole corpus ordering). Unbounded-length REPORTING
+    * ([[longestRepeats]]) still rebuilds; removal never has to.
+    */
+  def writeGramIndex(df: DataFrame, idCol: String, textCol: String,
+                     indexDir: String, minLen: Int = 20,
+                     txnAppId: String = null,
+                     txnVersion: Long = -1L): Unit = {
+    val rows = gramRows(tokenized(df, idCol, textCol), minLen)
+    if (txnAppId == null)
+      graft.sources.SnapshotTable.append(rows, indexDir)
+    else
+      graft.sources.SnapshotTable.appendIdempotent(rows, indexDir,
+        txnAppId, txnVersion)
+  }
+
+  /** INCREMENTAL ExactSubstr rewrite — a new crawl batch updates the
+    * dedup product without re-shingling or re-counting the
+    * accumulated corpus (the [[Dedup.dedupAgainstIndex]] shape for
+    * span removal): the batch's grams are appended to the persisted
+    * index FIRST (one transactional commit), then the DELTA of
+    * documents whose rewrite changes is recomputed —
+    *
+    *  - every batch doc (its marks are new), plus
+    *  - every EXISTING doc holding a gram that this batch pushed
+    *    from unique to duplicated (new total ≥ 2 AND total − batch
+    *    occurrences < 2 — grams that were already duplicated change
+    *    nothing, so their docs are NOT touched).
+    *
+    * Marking for the affected docs reads gram counts from the index
+    * restricted (semi join) to the affected docs' own grams; token
+    * arrays for the rewrite come from `corpusDocs` (the accumulated
+    * raw-document table, scanned with an id semi join — pushdown-
+    * friendly, never fully re-shingled).
+    *
+    * Per-batch cost: O(batch grams) + O(index rows carrying affected
+    * grams) — the corpus-sized gram table is scanned (one pass, no
+    * shuffle beyond the affected-gram groups) but never re-derived
+    * from text. Streamed == batch: folding each delta over the
+    * previous outputs reproduces [[exactSubstrDedup]] of the full
+    * corpus exactly (`SuffixArraySpec`).
+    *
+    * @param corpusDocs the accumulated corpus INCLUDING the new batch
+    * @return rewritten rows for AFFECTED docs only (the delta);
+    *         unchanged docs keep their previous output rows
+    */
+  def exactSubstrDedupIncremental(spark: org.apache.spark.sql.SparkSession,
+                                  newDocs: DataFrame, corpusDocs: DataFrame,
+                                  indexDir: String, idCol: String,
+                                  textCol: String, minLen: Int = 20,
+                                  txnAppId: String = null,
+                                  txnVersion: Long = -1L): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    writeGramIndex(newDocs, idCol, textCol, indexDir, minLen,
+      txnAppId, txnVersion)
+    val idx = graft.sources.SnapshotTable.read(spark, indexDir)
+    val batchGrams = gramRows(tokenized(newDocs, idCol, textCol), minLen)
+      .groupBy("g").agg(count(lit(1)).as("bc"))
+    // grams this batch pushed from unique to duplicated; idx already
+    // contains the batch rows, so c is the NEW total
+    val newlyDup = idx.join(batchGrams, "g")
+      .groupBy("g", "bc").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L && col("c") - col("bc") < 2L)
+      .select("g")
+    val touched = idx.join(newlyDup, Seq("g"), "left_semi")
+      .select("sa_doc").distinct()
+    val affected = touched
+      .unionByName(newDocs.select(col(idCol).as("sa_doc")).distinct())
+      .distinct()
+      .localCheckpoint(true) // read 3x below; truncate the index scan
+    // dup status for every gram of an affected doc, counted over the
+    // FULL index but only for the gram groups that matter
+    val affRows = idx.join(affected, Seq("sa_doc"), "left_semi")
+    val affKeys = affRows.select("g").distinct()
+    val dupStarts = idx.join(affKeys, Seq("g"), "left_semi")
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("c") >= 2L)
+      .join(affected, Seq("sa_doc"), "left_semi")
+      .select(col("sa_doc"), col("pos"), lit(1L).as("ds"))
+    val docs = tokenized(corpusDocs, idCol, textCol)
+      .join(affected, Seq("sa_doc"), "left_semi")
+      .persist()
+    val out = rewriteMarked(docs, dupStarts, minLen, idCol)
     val mat = out.localCheckpoint(true)
     docs.unpersist()
     mat

@@ -174,4 +174,41 @@ class SuffixArraySpec extends SparkSpec {
     assert(runDedup(docs, 5) == exp)
     assert(runDedup(docs, 5, parts = 13) == exp)
   }
+
+  test("exactSubstrDedupIncremental: streamed deltas folded over " +
+      "previous output == batch rewrite of the full corpus; untouched " +
+      "docs are NOT in the delta") {
+    val span = "lorem ipsum dolor sit amet consectetur"
+    val batch1 = Seq(
+      1L -> s"first doc body $span more words",      // unique span so far
+      2L -> "second doc totally unrelated content here",
+      3L -> "third doc other words nothing shared")
+    val batch2 = Seq(
+      10L -> s"late arrival copies $span exactly",   // duplicates doc 1's
+      11L -> "fresh unique late document text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sa_inc").toString + "/idx"
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val d1 = asMap(SuffixArray.exactSubstrDedupIncremental(spark,
+      batch1.toDF("doc_id", "text"), batch1.toDF("doc_id", "text"),
+      dir, "doc_id", "text", minLen = 6))
+    // first batch: delta covers exactly the batch, equals the batch run
+    assert(d1.keySet == Set(1L, 2L, 3L))
+    assert(d1 == asMap(SuffixArray.exactSubstrDedup(
+      batch1.toDF("doc_id", "text"), "doc_id", "text", 6)))
+    assert(d1(1L)._3 == 0L) // span still unique — nothing removed
+    val full = batch1 ++ batch2
+    val d2 = asMap(SuffixArray.exactSubstrDedupIncremental(spark,
+      batch2.toDF("doc_id", "text"), full.toDF("doc_id", "text"),
+      dir, "doc_id", "text", minLen = 6))
+    // delta 2: both new docs, PLUS doc 1 (its span just became
+    // duplicated) — docs 2 and 3 are untouched and absent
+    assert(d2.keySet == Set(1L, 10L, 11L))
+    val folded = d1 ++ d2
+    assert(folded == asMap(SuffixArray.exactSubstrDedup(
+      full.toDF("doc_id", "text"), "doc_id", "text", 6)))
+    assert(folded(1L)._3 == 6L && folded(10L)._3 == 6L) // span gone BOTH
+  }
 }
