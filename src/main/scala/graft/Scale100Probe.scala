@@ -134,6 +134,19 @@ object Scale100Probe {
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       graft.core.Similarity.lofBucketed(emb, centroids, k = 5, nProbe = 2)
     }
+    // two-level assignment at 100x: coarse modulus sqrt-scales
+    // (388 -> 3880), so both stages stay n·sqrt(B) where the flat
+    // cross would be n x B = n²/97
+    timed("hier assign C=sqrt") { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val m = if (dir == out) 3880L else 388L
+      val fine = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val coarse = emb.filter(col("vec_id") % m === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.core.Similarity.assignBucketsHierarchical(emb, coarse, fine,
+        wProbe = 2)
+    }
     spark.stop()
   }
 }

@@ -477,7 +477,13 @@ object ScaleProbe {
       // (~97 const under the gate's B = n/97) — linear; the n x B
       // assignment cross is the q49 parameterization artifact whose
       // fixed-k linear variant is probed below ("ivf assign k=const")
-      "q303_lof_bucketed")
+      "q303_lof_bucketed",
+      // round-13: two-level assignment. The gate's coarse rule
+      // (%388) also grows with the corpus — n x C stage-1 is the
+      // same artifact at a 4x discount; the sqrt-scaled coarse
+      // variant below ("hier assign C=sqrt") is the true two-level
+      // curve (both stages n·sqrt(B))
+      "q304_hier_assign")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape
@@ -557,6 +563,20 @@ object ScaleProbe {
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       graft.core.Similarity.assignBuckets(emb, centroids)
         .select("vec_id", "bucket")
+    }
+    // two-level assignment with C ~ sqrt(B): coarse modulus grows as
+    // sqrt of the corpus (388 at sf0.1 -> 1227 at 10x), so BOTH
+    // stages are n·sqrt(B) — the curve that replaces the flat n x B
+    // cross at corpus-growing bucket counts
+    timed("hier assign C=sqrt") { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val m = if (dir == out) 1227L else 388L
+      val fine = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val coarse = emb.filter(col("vec_id") % m === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.core.Similarity.assignBucketsHierarchical(emb, coarse, fine,
+        wProbe = 2)
     }
     // decontamination with a FIXED eval set (copy-0 slice only): the
     // production shape — benchmark sets don't grow with the corpus

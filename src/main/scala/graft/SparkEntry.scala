@@ -4597,6 +4597,20 @@ object SparkEntry {
       Similarity.lofBucketed(emb, centroids, k = 5, nProbe = 2)
     }),
 
+    // two-level IVF assignment — the scale fix for the n x B flat
+    // assignment cross (probe rounds' "q49 artifact"): coarse cells
+    // (every 4th fine centroid's id rule), wProbe=2, fine argmin
+    // restricted to probed cells' children. All-integer, same milli
+    // lattice as q293/q303
+    "q304_hier_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fine = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val coarse = emb.filter(col("vec_id") % 388 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.assignBucketsHierarchical(emb, coarse, fine, wProbe = 2)
+    }),
+
     // class-rebalancing oversample over the embedding labels: every
     // label replicates ceil(n_max/n_L) times with copy indexes —
     // integer factors, no Bernoulli residue, exactly reproducible.
@@ -12377,6 +12391,56 @@ object SparkEntry {
         |JOIN lrd l ON nb.p = l.p
         |JOIN home h ON h.o = nb.p
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    // q304: the two-stage argmin replayed — fine-centroid parents,
+    // per-point wProbe coarse ranks, candidate fine argmin with
+    // (d2, cid) ties
+    "q304_hier_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> CAST(floor(v * 1000.0) AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |f AS (SELECT id AS cid, vm AS cm FROM e WHERE id % 97 = 3),
+        |c AS (SELECT id AS cid, vm AS cm FROM e WHERE id % 388 = 3),
+        |fc AS (
+        |  SELECT f.cid AS fine_cid, c.cid AS coarse_cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(f.cm) + 1),
+        |        i -> (f.cm[i] - c.cm[i]) * (f.cm[i] - c.cm[i]))),
+        |      (acc, x) -> acc + x) AS d
+        |  FROM f, c),
+        |parents AS (
+        |  SELECT fine_cid, coarse_cid AS parent FROM (
+        |    SELECT fine_cid, coarse_cid, row_number() OVER (
+        |      PARTITION BY fine_cid ORDER BY d, coarse_cid) AS rn
+        |    FROM fc) WHERE rn = 1),
+        |pc AS (
+        |  SELECT e.id, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(e.vm) + 1),
+        |        i -> (e.vm[i] - c.cm[i]) * (e.vm[i] - c.cm[i]))),
+        |      (acc, x) -> acc + x) AS d
+        |  FROM e, c),
+        |probed AS (
+        |  SELECT id, cid AS parent FROM (
+        |    SELECT id, cid, row_number() OVER (
+        |      PARTITION BY id ORDER BY d, cid) AS rn
+        |    FROM pc) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.id, pa.fine_cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(e.vm) + 1),
+        |        i -> (e.vm[i] - f.cm[i]) * (e.vm[i] - f.cm[i]))),
+        |      (acc, x) -> acc + x) AS d2
+        |  FROM probed p
+        |  JOIN parents pa ON pa.parent = p.parent
+        |  JOIN e ON e.id = p.id
+        |  JOIN f ON f.cid = pa.fine_cid)
+        |SELECT id, fine_cid AS bucket, d2 FROM (
+        |  SELECT id, fine_cid, d2, row_number() OVER (
+        |    PARTITION BY id ORDER BY d2, fine_cid) AS rn
+        |  FROM cand) WHERE rn = 1""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

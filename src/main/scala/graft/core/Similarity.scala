@@ -542,6 +542,53 @@ object Similarity {
     *
     * Output: (id, bucket, kdist_sq, n_neighbors, lrd_q, lof_micro).
     */
+  /** Milli-lattice quantization shared by the integer-d² family
+    * ([[lof]], [[lofBucketed]], [[probeBucketsL2]]): integer-valued
+    * DOUBLES so the native [[dot]] fold is exact below 2^53 and
+    * d² = |a|²+|b|²−2⟨a,b⟩ recovers the exact BIGINT squared
+    * distance.
+    */
+  private def quantMilli(c: String): Column =
+    expr(s"transform($c, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0)" +
+      " AS DOUBLE))")
+
+  /** The `nProbe` nearest centroids per point by EXACT integer d² on
+    * the milli lattice (ties to the lowest centroid id) — the
+    * all-integer, SQL-replayable assignment primitive behind
+    * [[lofBucketed]] and [[assignBucketsHierarchical]]. One broadcast
+    * cross of the (model-size) centroid table against the points, one
+    * per-point window rank.
+    *
+    * Output: (id, cid, rnk, dc) with rnk ∈ [1, nProbe]; rnk = 1 is
+    * the home bucket.
+    */
+  def probeBucketsL2(points: DataFrame, centroids: DataFrame,
+                     nProbe: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     centIdCol: String = "centroid_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val pts = points.select(col(idCol).as("id"),
+        quantMilli(vecCol).as("vm"))
+      .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
+    val cents = centroids.select(col(centIdCol).as("cid"),
+        quantMilli(vecCol).as("cm"))
+      .withColumn("cn2", dot(col("cm"), col("cm")).cast("long"))
+    val wa = Window.partitionBy("id").orderBy(col("dc"), col("cid"))
+    // project NARROW before the rank window: the cross output is
+    // n x B rows and the window pays one exchange — at 24 bytes/row
+    // that exchange is linear-ish bookkeeping, with the vectors
+    // aboard it would be the corpus x B payload (the mistake that
+    // filled the disk on the first 100x LOF probe)
+    pts.crossJoin(broadcast(cents))
+      .withColumn("dc", col("n2") + col("cn2")
+        - lit(2L) * dot(col("vm"), col("cm")).cast("long"))
+      .select(col("id"), col("cid"), col("dc"))
+      .withColumn("rnk", row_number().over(wa))
+      .filter(col("rnk") <= nProbe)
+      .select(col("id"), col("cid"), col("rnk"), col("dc"))
+  }
+
   def lofBucketed(emb: DataFrame, centroids: DataFrame, k: Int,
                   nProbe: Int = 2, idCol: String = "vec_id",
                   vecCol: String = "embedding",
@@ -549,23 +596,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
     require(nProbe >= 1, "nProbe must be >= 1")
-    def quant(c: String) =
-      expr(s"transform($c, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0)" +
-        " AS DOUBLE))")
-    val pts = emb.select(col(idCol).as("id"), quant(vecCol).as("vm"))
+    val pts = emb.select(col(idCol).as("id"), quantMilli(vecCol).as("vm"))
       .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
       .persist()
-    val cents = centroids.select(col(centIdCol).as("cid"),
-        quant(vecCol).as("cm"))
-      .withColumn("cn2", dot(col("cm"), col("cm")).cast("long"))
     // centroid distances: one broadcast cross (centroids are
     // model-size by contract), exact BIGINT d²
-    val wa = Window.partitionBy("id").orderBy(col("dc"), col("cid"))
-    val ranked = pts.crossJoin(broadcast(cents))
-      .withColumn("dc", col("n2") + col("cn2")
-        - lit(2L) * dot(col("vm"), col("cm")).cast("long"))
-      .withColumn("rnk", row_number().over(wa))
-      .filter(col("rnk") <= nProbe)
+    val ranked = probeBucketsL2(emb, centroids, nProbe, idCol, vecCol,
+        centIdCol)
       .select(col("id"), col("cid"), col("rnk"))
       .persist()
     val home = ranked.filter(col("rnk") === 1)
@@ -573,12 +610,18 @@ object Similarity {
     val probes = ranked.select(col("id").as("p"), col("cid").as("bucket"))
     // candidate relation: o is a candidate of p iff o's HOME bucket
     // is among p's probed buckets — each (p, o) at most once (one
-    // home per o, distinct probe buckets per p)
-    val cand = probes.join(home, "bucket").filter(col("p") =!= col("o"))
-      .join(pts.select(col("id").as("p"), col("vm").as("va"),
-        col("n2").as("na")), "p")
-      .join(pts.select(col("id").as("o"), col("vm").as("vb"),
-        col("n2").as("nb")), "o")
+    // home per o, distinct probe buckets per p). Vectors attach to
+    // the n-sized bucket-keyed SIDES, never to the pair rows: the
+    // bucket join computes d² inside its projection and only
+    // (p, o, d2) survives — shuffles stay corpus-sized (n and
+    // n·nProbe vector rows, 24-byte pair rows), where joining the
+    // vectors onto the PAIR table shuffled pair-count x vector-width
+    // (the plan that filled the disk at the 100x probe)
+    val homeV = home.join(pts.select(col("id").as("o"),
+      col("vm").as("vb"), col("n2").as("nb")), "o")
+    val probeV = probes.join(pts.select(col("id").as("p"),
+      col("vm").as("va"), col("n2").as("na")), "p")
+    val cand = probeV.join(homeV, "bucket").filter(col("p") =!= col("o"))
       .withColumn("d2", col("na") + col("nb")
         - lit(2L) * dot(col("va"), col("vb")).cast("long"))
       .select(col("p"), col("o"), col("d2"))
@@ -609,6 +652,86 @@ object Similarity {
     val mat = out.localCheckpoint(true)
     cand.unpersist(); ranked.unpersist(); pts.unpersist()
     mat
+  }
+
+  /** Flat exact integer-d² bucket assignment — [[probeBucketsL2]]'s
+    * home bucket per point: (id, bucket, d2). The all-integer twin of
+    * the cosine [[assignBuckets]], and the exactness baseline
+    * [[assignBucketsHierarchical]] is gated against.
+    */
+  def assignBucketsL2(points: DataFrame, centroids: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      centIdCol: String = "centroid_id"): DataFrame =
+    probeBucketsL2(points, centroids, 1, idCol, vecCol, centIdCol)
+      .select(col("id"), col("cid").as("bucket"), col("dc").as("d2"))
+
+  /** TWO-LEVEL (hierarchical) IVF assignment — the fix for the
+    * brute-force n×B assignment cross that every probe round flags as
+    * "the q49 artifact": with bucket count B growing as n/const (the
+    * parameterization that keeps IVF candidate lists linear), flat
+    * assignment is n×B ≈ n²/const. Here the centroid table itself is
+    * coarse-quantized first (each FINE centroid gets a COARSE parent
+    * — a model×model broadcast cross), points probe their `wProbe`
+    * nearest coarse cells (n×C), and the fine argmin runs only over
+    * fine centroids whose parent is probed (n × wProbe·B/C average).
+    * With C ≈ √B both stages are n·√B — the classic two-level /
+    * IMI-style coarse-then-refine trade (Jégou et al.'s IVFADC
+    * lineage), expressed as two broadcast crosses and two window
+    * ranks.
+    *
+    * Approximation, stated honestly: the true nearest fine centroid
+    * can live under an unprobed coarse parent; `wProbe` > 1 shrinks
+    * that set (boundary points), and `HierarchicalAssignSpec` gates
+    * agreement vs [[assignBucketsL2]] — with wProbe = C the result
+    * is the flat assignment EXACTLY (every fine centroid is a
+    * candidate, same argmin, same ties). All distances are the same
+    * exact-BIGINT milli-lattice d² as the rest of the family, so the
+    * whole two-stage argmin replays bit-for-bit in SQL.
+    *
+    * Output: (id, bucket, d2) — same shape as [[assignBucketsL2]].
+    */
+  def assignBucketsHierarchical(points: DataFrame, coarseCents: DataFrame,
+                                fineCents: DataFrame, wProbe: Int = 2,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding",
+                                centIdCol: String = "centroid_id")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(wProbe >= 1, "wProbe must be >= 1")
+    // each fine centroid's coarse parent: model x model, broadcast
+    val parents = assignBucketsL2(fineCents, coarseCents, centIdCol,
+        vecCol, centIdCol)
+      .select(col("id").as("fine_cid"), col("bucket").as("parent"))
+    // stage 1: each point's wProbe nearest coarse cells (n x C)
+    val probed = probeBucketsL2(points, coarseCents, wProbe, idCol,
+        vecCol, centIdCol)
+      .select(col("id"), col("cid").as("parent"))
+    // stage 2: fine argmin over the probed cells' children only
+    // (n x wProbe*B/C average). The candidate join is parent-keyed
+    // against a broadcast model-size table; the point side carries
+    // its quantized vector once.
+    val pts = points.select(col(idCol).as("id"),
+        quantMilli(vecCol).as("vm"))
+      .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
+    val fine = fineCents.select(col(centIdCol).as("fine_cid"),
+        quantMilli(vecCol).as("cm"))
+      .withColumn("cn2", dot(col("cm"), col("cm")).cast("long"))
+    val candCents = broadcast(
+      parents.join(fine, "fine_cid")
+        .select(col("parent"), col("fine_cid"), col("cm"), col("cn2")))
+    val w = Window.partitionBy("id").orderBy(col("d2"), col("fine_cid"))
+    // narrow projection before the argmin window (the probeBucketsL2
+    // discipline): candidate rows enter the exchange as
+    // (id, fine_cid, d2) only
+    probed.join(pts, "id")
+      .join(candCents, "parent")
+      .withColumn("d2", col("n2") + col("cn2")
+        - lit(2L) * dot(col("vm"), col("cm")).cast("long"))
+      .select(col("id"), col("fine_cid"), col("d2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("id"), col("fine_cid").as("bucket"), col("d2"))
   }
 
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,

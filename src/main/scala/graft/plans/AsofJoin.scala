@@ -264,6 +264,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("lof_bucketed", 4, a =>
       graft.core.Similarity.lofBucketed(active.table(a(0)),
         active.table(a(1)), k = a(2).toInt, nProbe = a(3).toInt)))
+    e.injectTableFunction(tableFn("assign_buckets", 2, a =>
+      graft.core.Similarity.assignBucketsL2(active.table(a(0)),
+        active.table(a(1)))))
+    e.injectTableFunction(tableFn("hier_assign", 4, a =>
+      graft.core.Similarity.assignBucketsHierarchical(active.table(a(0)),
+        active.table(a(1)), active.table(a(2)), wProbe = a(3).toInt)))
     e.injectFunction(fn("char_grams",
       classOf[graft.expressions.CharGramArray], 2,
       args => {

@@ -302,6 +302,20 @@ class ExtensionsSpec extends SparkSpec {
     val lbApi = graft.core.Similarity.lofBucketed(spark.table("r13_lb"),
       spark.table("r13_lb_cents"), k = 2, nProbe = 1).collect()
     assert(lbSql.toSet == lbApi.toSet && lbSql.nonEmpty)
+
+    val abSql = spark.sql(
+      "SELECT * FROM assign_buckets('r13_lb', 'r13_lb_cents')").collect()
+    val abApi = graft.core.Similarity.assignBucketsL2(
+      spark.table("r13_lb"), spark.table("r13_lb_cents")).collect()
+    assert(abSql.toSet == abApi.toSet && abSql.nonEmpty)
+
+    val haSql = spark.sql(
+      "SELECT * FROM hier_assign('r13_lb', 'r13_lb_cents', " +
+        "'r13_lb_cents', 2)").collect()
+    val haApi = graft.core.Similarity.assignBucketsHierarchical(
+      spark.table("r13_lb"), spark.table("r13_lb_cents"),
+      spark.table("r13_lb_cents"), wProbe = 2).collect()
+    assert(haSql.toSet == haApi.toSet && haSql.nonEmpty)
   }
 
   test("lof table function and char_grams scalar from pure SQL") {
