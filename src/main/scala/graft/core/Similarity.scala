@@ -524,6 +524,11 @@ object Similarity {
     * ties, reachability, lrd_q, lof_micro — see [[lof]]) runs over
     * that candidate relation. Cost is n·nProbe·(avg bucket size) —
     * linear in n for a fixed centroid count ratio, never all-pairs.
+    * Shuffle discipline: vectors ride only the n-sized bucket-keyed
+    * sides (homeV/probeV) — pair rows carry (p, o, d2) alone, so the
+    * candidate relation's byte volume is pairs × 24 B, not
+    * pairs × vector width. At corpus-growing bucket counts pair
+    * assignment itself goes through [[assignBucketsHierarchical]].
     *
     * Approximation surface, stated honestly: a true k-nearest
     * neighbor living outside every probed bucket is missed, inflating
