@@ -483,7 +483,12 @@ object ScaleProbe {
       // same artifact at a 4x discount; the sqrt-scaled coarse
       // variant below ("hier assign C=sqrt") is the true two-level
       // curve (both stages n·sqrt(B))
-      "q304_hier_assign")
+      "q304_hier_assign",
+      // round-13: winnowing = one gram explode + ONE per-doc window
+      // pass (2(w-1) lag/lead columns) + the capped inverted-index
+      // pair join — linear selection; the replicated corpus's
+      // boilerplate fingerprints hit the maxDf cap (the q95 contract)
+      "q305_winnow_pairs")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

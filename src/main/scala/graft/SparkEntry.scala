@@ -4258,6 +4258,15 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         minLen = 12, topK = 20)),
 
+    // winnowing fingerprint match pairs (Schleimer et al. SIGMOD'03,
+    // the MOSS algorithm): rightmost-min-per-window fingerprint
+    // selection (~2/(w+1) of the grams) with the exact detection
+    // guarantee above w+k-1 tokens, then the inverted-index pair
+    // join with the q95 hot-key cap
+    "q305_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowMatchPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, w = 4, maxDf = 64)),
+
     // ExactSubstr span REMOVAL (the Lee et al. 2022 dedup PRODUCT —
     // q274 surfaces the repeats, this one rewrites the corpus): every
     // token inside any >= 12-token substring occurring twice
@@ -11376,6 +11385,64 @@ object SparkEntry {
         |  GROUP BY w.repeat_text, w.repeat_len)
         |SELECT repeat_len, n_docs, n_occurrences, repeat_text
         |FROM occ ORDER BY repeat_len DESC, repeat_text ASC""".stripMargin,
+
+    // q305: the winnowing selection replayed literally — the q295
+    // hash chain per 3-gram, 3 lags/leads per doc, the nested
+    // run-length CASEs, the local feasibility test, df cap, pair join
+    "q305_winnow_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |eligible AS (SELECT * FROM docs WHERE len(toks) >= 6),
+        |grams AS (
+        |  SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS mg,
+        |    CAST(i AS BIGINT) AS pos,
+        |    array_to_string(toks[i+1:i+3], ' ') AS g
+        |  FROM eligible, unnest(generate_series(0, len(toks) - 3)) AS u(i)),
+        |h0 AS (
+        |  SELECT doc_id, mg, pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(g, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS r
+        |  FROM grams),
+        |h1 AS (SELECT *, (xor(r, r // 65536) * 73244475) % 4294967296
+        |  AS v1 FROM h0),
+        |h2 AS (SELECT *, (xor(v1, v1 // 65536) * 73244475) % 4294967296
+        |  AS v2 FROM h1),
+        |hs AS (SELECT doc_id, mg, pos,
+        |    xor(v2, v2 // 65536) % 1000000000 AS h FROM h2),
+        |laid AS (
+        |  SELECT doc_id, mg, pos, h,
+        |    lag(h, 1) OVER wd AS lg1, lag(h, 2) OVER wd AS lg2,
+        |    lag(h, 3) OVER wd AS lg3,
+        |    lead(h, 1) OVER wd AS ld1, lead(h, 2) OVER wd AS ld2,
+        |    lead(h, 3) OVER wd AS ld3
+        |  FROM hs WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+        |runs AS (
+        |  SELECT doc_id, mg, pos, h,
+        |    CASE WHEN lg1 IS NOT NULL AND lg1 >= h THEN
+        |      CASE WHEN lg2 IS NOT NULL AND lg2 >= h THEN
+        |        CASE WHEN lg3 IS NOT NULL AND lg3 >= h THEN 3 ELSE 2 END
+        |      ELSE 1 END ELSE 0 END AS lrun,
+        |    CASE WHEN ld1 IS NOT NULL AND ld1 > h THEN
+        |      CASE WHEN ld2 IS NOT NULL AND ld2 > h THEN
+        |        CASE WHEN ld3 IS NOT NULL AND ld3 > h THEN 3 ELSE 2 END
+        |      ELSE 1 END ELSE 0 END AS rrun
+        |  FROM laid),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, h AS fpv
+        |  FROM runs
+        |  WHERE least(lrun, pos) + least(rrun, mg - 1 - pos) >= 3),
+        |capped AS (
+        |  SELECT doc_id, fpv FROM (
+        |    SELECT doc_id, fpv, count(*) OVER (PARTITION BY fpv) AS df
+        |    FROM sel) WHERE df <= 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(DISTINCT a.fpv) AS BIGINT) AS n_shared
+        |FROM capped a JOIN capped b
+        |  ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // q302: the same gram-frequency marking replayed literally — dup
     // 12-gram starts, an 11-PRECEDING window max turning starts into

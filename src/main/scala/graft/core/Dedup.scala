@@ -791,4 +791,110 @@ object Dedup {
     base.unpersist()
     mat
   }
+
+  // ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+  //      SIGMOD'03 — the MOSS local fingerprinting algorithm) -------
+
+  /** Winnowing fingerprint selection per document: hash every token
+    * k-gram (portable avalanched rolling hash — the q295 chain, so
+    * the whole selection replays in SQL), then from every window of
+    * `w` consecutive gram hashes keep the MINIMUM, rightmost on ties
+    * — the paper's rule. The selected (pos, hash) set is the doc's
+    * fingerprint sketch, ~2/(w+1) of the grams, with the paper's
+    * GUARANTEE: any shared token run of length ≥ w+k−1 produces at
+    * least one shared fingerprint (a full hash window fits inside
+    * the run, and both docs pick the same rightmost-min from it) —
+    * detection without indexing every gram, the index-size trade
+    * [[lshCandidates]] cannot make (LSH is probabilistic; winnowing
+    * is exact above the guarantee length).
+    *
+    * Plan: one gram explode + ONE per-doc window pass carrying
+    * 2(w−1) lag/lead columns, then a LOCAL feasibility test — p is
+    * selected iff min(L, p) + min(R, mg−1−p) ≥ w−1, where L counts
+    * consecutive predecessors ≥ h (ties keep right) and R counts
+    * consecutive successors > h, both capped at w−1 by construction.
+    * The test is exactly "some in-bounds window has p as its
+    * rightmost min" (a = positions borrowed left, b = w−1−a right;
+    * the boundary caps make in-bounds and run-length constraints the
+    * same inequality). No self-join, no per-window explode — w·n
+    * work becomes n rows with w-wide rows.
+    *
+    * Scale: per-doc windows (doc-bounded state); `w` is bounded at
+    * 16 because the lag/lead fan-out is per-COLUMN (16 is far past
+    * the useful winnowing range — MOSS ships w≈4..10).
+    *
+    * Output: (doc, pos, fp) — gram position and selected hash.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(w >= 2 && w <= 16, "w must be in [2, 16]")
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol))
+        .as("toks"))
+      .filter(size(col("toks")) >= k + w - 1) // >= one full hash window
+    val grams = docs.select(col("doc"),
+        (size(col("toks")) - k + 1).cast("long").as("mg"),
+        explode(expr(
+          s"""transform(sequence(0L, CAST(size(toks) - $k AS LONG)),
+              s -> struct(s AS pos,
+                concat_ws(' ', slice(toks, CAST(s + 1 AS INT), $k))
+                  AS g))""")).as("sg"))
+      .select(col("doc"), col("mg"), col("sg.pos").as("pos"),
+        pmod(Sketches.mix32(TextAnalysis.rollingHash(col("sg.g"))),
+          lit(1000000000L)).as("h"))
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+    val laid = (1 until w).foldLeft(grams) { (d, i) =>
+      d.withColumn(s"lg$i", lag(col("h"), i).over(byDoc))
+        .withColumn(s"ld$i", lead(col("h"), i).over(byDoc))
+    }
+    // consecutive run lengths as one nested conditional each:
+    // run >= i iff ALL of offsets 1..i pass the comparison
+    def run(prefix: String, strict: Boolean): Column = {
+      var len: Column = lit(0L)
+      var alive: Column = lit(true)
+      for (i <- 1 until w) {
+        val c = col(s"$prefix$i")
+        val pass = if (strict) c > col("h") else c >= col("h")
+        alive = alive && c.isNotNull && pass
+        len = when(alive, lit(i.toLong)).otherwise(len)
+      }
+      len
+    }
+    laid
+      .withColumn("lrun", run("lg", strict = false))
+      .withColumn("rrun", run("ld", strict = true))
+      .filter(least(col("lrun"), col("pos"))
+        + least(col("rrun"), col("mg") - 1L - col("pos"))
+        >= (w - 1).toLong)
+      .select(col("doc"), col("pos"), col("h").as("fp"))
+  }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints —
+    * the inverted-index join over [[winnowFingerprints]] output:
+    * (doc_a, doc_b, n_shared) for unordered pairs sharing ≥ 1
+    * DISTINCT fingerprint hash, with the [[lshCandidates]] hot-key
+    * cap (`maxDf`) bounding any boilerplate fingerprint's posting
+    * list. Above the guarantee length w+k−1 a true clone pair ALWAYS
+    * appears here (subject only to the cap, which is loud-by-
+    * convention: cap hits mean boilerplate, the q95 contract).
+    */
+  def winnowMatchPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, w: Int = 4,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("doc"), col("fp")).distinct()
+    val capped =
+      if (maxDf == Int.MaxValue) fps
+      else fps
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("__df") <= maxDf).drop("__df")
+    capped.join(capped.select(col("doc").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc") < col("doc_b"))
+      .select(col("doc").as("doc_a"), col("doc_b"), col("fp"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("fp")).as("n_shared"))
+  }
 }

@@ -270,6 +270,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("hier_assign", 4, a =>
       graft.core.Similarity.assignBucketsHierarchical(active.table(a(0)),
         active.table(a(1)), active.table(a(2)), wProbe = a(3).toInt)))
+    e.injectTableFunction(tableFn("winnow_fingerprints", 5, a =>
+      graft.core.Dedup.winnowFingerprints(active.table(a(0)), a(1), a(2),
+        k = a(3).toInt, w = a(4).toInt)))
+    e.injectTableFunction(tableFn("winnow_pairs", 5, a =>
+      graft.core.Dedup.winnowMatchPairs(active.table(a(0)), a(1), a(2),
+        k = a(3).toInt, w = a(4).toInt)))
     e.injectFunction(fn("char_grams",
       classOf[graft.expressions.CharGramArray], 2,
       args => {

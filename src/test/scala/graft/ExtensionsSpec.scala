@@ -316,6 +316,23 @@ class ExtensionsSpec extends SparkSpec {
       spark.table("r13_lb"), spark.table("r13_lb_cents"),
       spark.table("r13_lb_cents"), wProbe = 2).collect()
     assert(haSql.toSet == haApi.toSet && haSql.nonEmpty)
+
+    Seq((1L, "alpha beta gamma delta epsilon zeta tail one"),
+        (2L, "alpha beta gamma delta epsilon zeta other end"),
+        (3L, "unrelated words in this third document body"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r13_wn")
+    val wnSql = spark.sql(
+      "SELECT * FROM winnow_pairs('r13_wn', 'doc_id', 'text', 3, 4)")
+      .collect()
+    val wnApi = graft.core.Dedup.winnowMatchPairs(spark.table("r13_wn"),
+      "doc_id", "text", k = 3, w = 4).collect()
+    assert(wnSql.toSet == wnApi.toSet && wnSql.nonEmpty)
+    val wfSql = spark.sql(
+      "SELECT * FROM winnow_fingerprints('r13_wn', 'doc_id', 'text', 3, 4)")
+      .collect()
+    val wfApi = graft.core.Dedup.winnowFingerprints(spark.table("r13_wn"),
+      "doc_id", "text", k = 3, w = 4).collect()
+    assert(wfSql.toSet == wfApi.toSet && wfSql.nonEmpty)
   }
 
   test("lof table function and char_grams scalar from pure SQL") {
