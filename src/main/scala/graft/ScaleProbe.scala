@@ -488,7 +488,11 @@ object ScaleProbe {
       // pass (2(w-1) lag/lead columns) + the capped inverted-index
       // pair join — linear selection; the replicated corpus's
       // boilerplate fingerprints hit the maxDf cap (the q95 contract)
-      "q305_winnow_pairs")
+      "q305_winnow_pairs",
+      // round-13: Hampel = one daily rollup + one per-key
+      // window-bounded array pass — the days x types lattice
+      // saturates, expect near-constant growth
+      "q306_hampel_despike")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

@@ -4258,6 +4258,16 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         minLen = 12, topK = 20)),
 
+    // Hampel despike over per-type daily revenue: centered rolling
+    // median + rolling MAD from ONE window-bounded sorted array,
+    // exact-integer cross-multiplied flag (1.4826 = 14826/10^4) —
+    // the robust spike detector beside rollingMedian (q220 family)
+    "q306_hampel_despike" -> ((s, dir) =>
+      TimeSeries.hampelDespike(Tables.events(s, dir), "event_type",
+        to_date(col("ts")),
+        expr("CAST(round(value * 100) AS BIGINT)"),
+        window = 7, nMad = 3)),
+
     // winnowing fingerprint match pairs (Schleimer et al. SIGMOD'03,
     // the MOSS algorithm): rightmost-min-per-window fingerprint
     // selection (~2/(w+1) of the grams) with the exact detection
@@ -11385,6 +11395,34 @@ object SparkEntry {
         |  GROUP BY w.repeat_text, w.repeat_len)
         |SELECT repeat_len, n_docs, n_occurrences, repeat_text
         |FROM occ ORDER BY repeat_len DESC, repeat_text ASC""".stripMargin,
+
+    // q306: the centered window array + both order statistics + the
+    // cross-multiplied flag replayed
+    "q306_hampel_despike" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, d, v,
+        |    list(v) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+        |  FROM daily),
+        |md AS (
+        |  SELECT event_type, d, v, arr,
+        |    CASE WHEN len(arr) = 7 THEN list_sort(arr)[4] END AS med
+        |  FROM win),
+        |mm AS (
+        |  SELECT event_type, d, v, med,
+        |    CASE WHEN len(arr) = 7 THEN
+        |      list_sort(list_transform(arr, x -> abs(x - med)))[4]
+        |    END AS mad
+        |  FROM md)
+        |SELECT event_type, d, v, med, mad,
+        |  CASE WHEN med IS NULL THEN false
+        |       ELSE abs(v - med) * 10000 > 3 * 14826 * mad END
+        |    AS is_spike
+        |FROM mm""".stripMargin,
 
     // q305: the winnowing selection replayed literally — the q295
     // hash chain per 3-gram, 3 lags/leads per doc, the nested

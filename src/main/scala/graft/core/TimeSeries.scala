@@ -444,6 +444,58 @@ object TimeSeries {
       .select(col(keyCol), col("d"), col("cnt"), col("med"))
   }
 
+  /** Hampel despike filter per key — the standard robust outlier
+    * detector for sensor/metric series ([[rollingMedian]] reports the
+    * robust level; this FLAGS the spikes): a point is a spike when it
+    * sits more than `nMad` scaled MADs from the median of its own
+    * centered window. The MAD depends on the window's OWN median, so
+    * two stacked windows can't express it — instead ONE window pass
+    * collects the (window-bounded) value array and both order
+    * statistics come out of one sort: med = sorted[(n+1)/2], mad =
+    * middle of |v − med|. All exact BIGINT; the Gaussian consistency
+    * constant 1.4826 enters as the exact rational 14826/10⁴ in a
+    * cross-multiplied predicate (|x−med|·10⁴ > nMad·14826·mad) — no
+    * float anywhere, so the flag replays bit-for-bit in SQL.
+    *
+    * Edge semantics: the window is CENTERED (±(window−1)/2 rows);
+    * only full windows judge (the [[rollingMedian]] warm-up
+    * discipline) — series edges emit is_spike = false with NULL
+    * med/mad rather than judging on partial context. mad = 0
+    * (constant window) flags any deviation, the textbook behavior.
+    *
+    * Scale shape: one map-side-combinable daily rollup, one per-key
+    * window whose state is `window` longs — raw events never shuffle,
+    * per-key calendar bounds everything.
+    */
+  def hampelDespike(events: DataFrame, keyCol: String, dayCol: Column,
+                    valueCol: Column, window: Int = 7,
+                    nMad: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 3 && window % 2 == 1,
+      "window must be odd and >= 3 so both medians are order statistics")
+    require(nMad >= 1, "nMad must be >= 1")
+    val half = (window - 1) / 2
+    val daily = events
+      .select(col(keyCol), dayCol.as("d"), valueCol.as("v"))
+      .groupBy(keyCol, "d")
+      .agg(sum("v").as("v"))
+    val w = Window.partitionBy(keyCol).orderBy("d")
+      .rowsBetween(-half, half)
+    daily
+      .withColumn("arr", collect_list(col("v")).over(w))
+      .withColumn("full", size(col("arr")) === window)
+      .withColumn("med", when(col("full"),
+        expr(s"array_sort(arr)[${(window + 1) / 2 - 1}]")))
+      .withColumn("mad", when(col("full"),
+        expr(s"array_sort(transform(arr, x -> abs(x - med)))" +
+          s"[${(window + 1) / 2 - 1}]")))
+      .select(col(keyCol), col("d"), col("v"), col("med"), col("mad"),
+        when(col("full"),
+            abs(col("v") - col("med")) * lit(10000L)
+              > lit(nMad.toLong) * lit(14826L) * col("mad"))
+          .otherwise(lit(false)).as("is_spike"))
+  }
+
   /** Theil–Sen robust trend per key — the median of all pairwise
     * day-to-day slopes of the key's daily count series. Where the OLS
     * slope ([[perKeyTrend]]) moves with every outlier day, the
