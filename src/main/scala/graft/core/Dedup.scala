@@ -886,11 +886,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val fps = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("doc"), col("fp")).distinct()
-    val capped =
+    val capped0 =
       if (maxDf == Int.MaxValue) fps
       else fps
         .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("__df") <= maxDf).drop("__df")
+    // NOT lazy: the self-join reads the fingerprint table twice, and
+    // without a materialized boundary each side re-derives the whole
+    // selection pipeline (two corpus scans, two window passes — seen
+    // in the q305 plan audit). The checkpoint is fingerprint-sized.
+    val capped = capped0.localCheckpoint(true)
     capped.join(capped.select(col("doc").as("doc_b"), col("fp")), "fp")
       .filter(col("doc") < col("doc_b"))
       .select(col("doc").as("doc_a"), col("doc_b"), col("fp"))
