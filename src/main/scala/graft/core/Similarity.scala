@@ -573,6 +573,12 @@ object Similarity {
                      centIdCol: String = "centroid_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nProbe >= 1, "nProbe must be >= 1")
+    // loud guard (the hits() discipline): an empty centroid table
+    // would silently assign NOTHING — every downstream row vanishes
+    // with no hint at the cause. Centroids are model-size by
+    // contract, so the eager emptiness check is one cheap action.
+    require(!centroids.isEmpty,
+      "probeBucketsL2: centroid table is empty — nothing to assign to")
     val pts = points.select(col(idCol).as("id"),
         quantMilli(vecCol).as("vm"))
       .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
@@ -704,6 +710,13 @@ object Similarity {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(wProbe >= 1, "wProbe must be >= 1")
+    // loud guards: an empty fine table enters assignBucketsL2 as its
+    // POINTS side (probeBucketsL2's centroid guard can't see it) and
+    // would silently empty every assignment downstream
+    require(!fineCents.isEmpty,
+      "assignBucketsHierarchical: fine centroid table is empty")
+    require(!coarseCents.isEmpty,
+      "assignBucketsHierarchical: coarse centroid table is empty")
     // each fine centroid's coarse parent: model x model, broadcast
     val parents = assignBucketsL2(fineCents, coarseCents, centIdCol,
         vecCol, centIdCol)

@@ -54,6 +54,20 @@ class HierarchicalAssignSpec extends SparkSpec {
     w1.foreach { case (id, (_, d2)) => assert(d2 >= flat(id)._2) }
   }
 
+  test("empty centroid tables fail loudly, not with silent empties") {
+    val (pts, coarse, _) = fixture
+    val empty = Seq.empty[(Long, Array[Float])]
+      .toDF("centroid_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.assignBucketsL2(pts, empty)
+    }
+    assert(e1.getMessage.contains("empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.assignBucketsHierarchical(pts, coarse, empty, 2)
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
+
   test("partition invariance") {
     val (pts, coarse, fine) = fixture
     val a = Similarity.assignBucketsHierarchical(pts, coarse, fine, 2)
