@@ -492,7 +492,10 @@ object ScaleProbe {
       // round-13: Hampel = one daily rollup + one per-key
       // window-bounded array pass — the days x types lattice
       // saturates, expect near-constant growth
-      "q306_hampel_despike")
+      "q306_hampel_despike",
+      // round-13: ROUGE = two per-pair gram counts + one pair-keyed
+      // equi-join — linear in corpus tokens
+      "q307_rouge")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

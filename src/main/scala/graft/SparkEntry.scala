@@ -4258,6 +4258,20 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         minLen = 12, topK = 20)),
 
+    // ROUGE-2 per (candidate, reference) pair — generation-eval
+    // n-gram overlap (Lin 2004) in exactly-rational form (F1 =
+    // 2m/(c+r) — no geometric mean, no brevity exp). Candidates are
+    // staged from the corpus: each doc's text with its first
+    // doc_id%4 tokens dropped, so matches/clipping/empty edges all
+    // occur in-data
+    "q307_rouge" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        col("text").as("ref"),
+        expr("""concat_ws(' ', slice(split(trim(text), '\\s+'),
+            CAST(doc_id % 4 + 1 AS INT), 1000000))""").as("cand"))
+      Eval.rougeN(d, "doc_id", col("cand"), col("ref"), n = 2)
+    }),
+
     // Hampel despike over per-type daily revenue: centered rolling
     // median + rolling MAD from ONE window-bounded sorted array,
     // exact-integer cross-multiplied flag (1.4826 = 14826/10^4) —
@@ -11395,6 +11409,50 @@ object SparkEntry {
         |  GROUP BY w.repeat_text, w.repeat_len)
         |SELECT repeat_len, n_docs, n_occurrences, repeat_text
         |FROM occ ORDER BY repeat_len DESC, repeat_text ASC""".stripMargin,
+
+    // q307: clipped bigram overlap with multiplicity — per-side gram
+    // counts, least() clip, the three integer ratios
+    "q307_rouge" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rt
+        |  FROM documents),
+        |sides AS (
+        |  SELECT doc_id, rt,
+        |    rt[(CAST(doc_id % 4 AS INT) + 1):] AS ct
+        |  FROM docs),
+        |cgrams AS (
+        |  SELECT doc_id, array_to_string(ct[i:i+1], ' ') AS g
+        |  FROM sides, unnest(generate_series(1, len(ct) - 1)) AS u(i)),
+        |rgrams AS (
+        |  SELECT doc_id, array_to_string(rt[i:i+1], ' ') AS g
+        |  FROM sides, unnest(generate_series(1, len(rt) - 1)) AS u(i)),
+        |cg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cc
+        |  FROM cgrams GROUP BY 1, 2),
+        |rg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS rc
+        |  FROM rgrams GROUP BY 1, 2),
+        |m AS (
+        |  SELECT cg.doc_id, CAST(sum(least(cc, rc)) AS BIGINT) AS mm
+        |  FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.g = rg.g
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(ct) >= 2 THEN len(ct) - 1 ELSE 0 END
+        |      AS BIGINT) AS n_cand,
+        |    CAST(CASE WHEN len(rt) >= 2 THEN len(rt) - 1 ELSE 0 END
+        |      AS BIGINT) AS n_ref
+        |  FROM sides)
+        |SELECT t.doc_id, coalesce(m.mm, 0) AS n_matches,
+        |  t.n_cand, t.n_ref,
+        |  CASE WHEN t.n_cand > 0
+        |    THEN coalesce(m.mm, 0) * 1000000 // t.n_cand
+        |    ELSE 0 END AS p_micro,
+        |  CASE WHEN t.n_ref > 0
+        |    THEN coalesce(m.mm, 0) * 1000000 // t.n_ref
+        |    ELSE 0 END AS r_micro,
+        |  CASE WHEN t.n_cand + t.n_ref > 0
+        |    THEN 2 * coalesce(m.mm, 0) * 1000000 // (t.n_cand + t.n_ref)
+        |    ELSE 0 END AS f_micro
+        |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin,
 
     // q306: the centered window array + both order statistics + the
     // cross-multiplied flag replayed

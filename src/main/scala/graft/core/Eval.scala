@@ -1259,4 +1259,72 @@ object Eval {
     lattice.unpersist()
     mat
   }
+
+  /** ROUGE-N per (candidate, reference) text pair — the n-gram
+    * overlap family every generation-eval harness reports (Lin 2004),
+    * chosen over BLEU for the gate because ROUGE is EXACTLY rational:
+    * with clipped matches m = Σ_g min(count_cand(g), count_ref(g)),
+    * candidate total c and reference total r,
+    *
+    *   precision = m/c,  recall = m/r,  F1 = 2pr/(p+q) = 2m/(c+r)
+    *
+    * — three integer divisions, no geometric mean, no brevity-penalty
+    * exp, so the whole metric micro-quantizes losslessly and replays
+    * bit-for-bit in SQL. (BLEU's clipped-match NUMERATORS per order
+    * are this same table; only its exp/log composition is float — a
+    * caller can compose it from these counts.)
+    *
+    * Multiplicity matters and is honored: grams count with repeats on
+    * both sides and the min() clips per distinct gram (the "modified
+    * precision" rule) — one grouped count per side, one equi-join on
+    * (pair, gram), never a cross join.
+    *
+    * Empty sides follow the reference implementations: a candidate or
+    * reference shorter than n tokens has zero grams on that side —
+    * m = 0 and the affected ratios are 0 (not NULL), the
+    * sacrebleu/rouge-score convention.
+    *
+    * Output: (idCol, n_matches, n_cand, n_ref, p_micro, r_micro,
+    * f_micro).
+    */
+  def rougeN(df: DataFrame, idCol: String, candCol: Column,
+             refCol: Column, n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val base = df.select(col(idCol).as("pid"),
+      TextAnalysis.tokens(candCol).as("ct"),
+      TextAnalysis.tokens(refCol).as("rt"))
+    def grams(tc: String): Column = expr(
+      s"""CASE WHEN size($tc) >= $n AND NOT (size($tc) = 1
+            AND $tc[0] = '') THEN
+            transform(sequence(0, size($tc) - $n),
+              s -> concat_ws(' ', slice($tc, s + 1, $n)))
+          ELSE CAST(array() AS ARRAY<STRING>) END""")
+    val cg = base.select(col("pid"), explode(grams("ct")).as("g"))
+      .groupBy("pid", "g").agg(count(lit(1)).as("cc"))
+    val rg = base.select(col("pid"), explode(grams("rt")).as("g"))
+      .groupBy("pid", "g").agg(count(lit(1)).as("rc"))
+    val m = cg.join(rg, Seq("pid", "g"))
+      .groupBy("pid")
+      .agg(sum(least(col("cc"), col("rc"))).as("n_matches"))
+    val totals = base.select(col("pid"),
+      expr(s"""CASE WHEN size(ct) >= $n AND NOT (size(ct) = 1
+          AND ct[0] = '') THEN CAST(size(ct) - $n + 1 AS BIGINT)
+        ELSE 0L END""").as("n_cand"),
+      expr(s"""CASE WHEN size(rt) >= $n AND NOT (size(rt) = 1
+          AND rt[0] = '') THEN CAST(size(rt) - $n + 1 AS BIGINT)
+        ELSE 0L END""").as("n_ref"))
+    totals.join(m, Seq("pid"), "left")
+      .select(col("pid").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("n_cand"), col("n_ref"),
+        expr("CASE WHEN n_cand > 0 THEN " +
+          "coalesce(n_matches, 0L) * 1000000L DIV n_cand " +
+          "ELSE 0L END").as("p_micro"),
+        expr("CASE WHEN n_ref > 0 THEN " +
+          "coalesce(n_matches, 0L) * 1000000L DIV n_ref " +
+          "ELSE 0L END").as("r_micro"),
+        expr("CASE WHEN n_cand + n_ref > 0 THEN " +
+          "2L * coalesce(n_matches, 0L) * 1000000L DIV (n_cand + n_ref) " +
+          "ELSE 0L END").as("f_micro"))
+  }
 }

@@ -276,6 +276,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("winnow_pairs", 5, a =>
       graft.core.Dedup.winnowMatchPairs(active.table(a(0)), a(1), a(2),
         k = a(3).toInt, w = a(4).toInt)))
+    e.injectTableFunction(tableFn("rouge_n", 5, a =>
+      graft.core.Eval.rougeN(active.table(a(0)), a(1),
+        ex(a(2)), ex(a(3)), n = a(4).toInt)))
     e.injectFunction(fn("char_grams",
       classOf[graft.expressions.CharGramArray], 2,
       args => {

@@ -333,6 +333,15 @@ class ExtensionsSpec extends SparkSpec {
     val wfApi = graft.core.Dedup.winnowFingerprints(spark.table("r13_wn"),
       "doc_id", "text", k = 3, w = 4).collect()
     assert(wfSql.toSet == wfApi.toSet && wfSql.nonEmpty)
+
+    Seq((1L, "the cat sat", "the cat sat on the mat"),
+        (2L, "completely different words", "another reference here"))
+      .toDF("id", "cand", "ref").createOrReplaceTempView("r13_rg")
+    val rgSql = spark.sql(
+      "SELECT * FROM rouge_n('r13_rg', 'id', 'cand', 'ref', 2)").collect()
+    val rgApi = graft.core.Eval.rougeN(spark.table("r13_rg"), "id",
+      col("cand"), col("ref"), n = 2).collect()
+    assert(rgSql.toSet == rgApi.toSet && rgSql.nonEmpty)
   }
 
   test("lof table function and char_grams scalar from pure SQL") {

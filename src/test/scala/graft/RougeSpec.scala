@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.Eval
+import org.apache.spark.sql.functions._
+
+class RougeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: clipped n-gram overlap with multiplicity. */
+  private def brute(cand: String, ref: String, n: Int)
+      : (Long, Long, Long, Long, Long, Long) = {
+    def gs(t: String): Seq[String] = {
+      val toks = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.size < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val (c, r) = (gs(cand), gs(ref))
+    val cm = c.groupBy(identity).view.mapValues(_.size).toMap
+    val rm = r.groupBy(identity).view.mapValues(_.size).toMap
+    val m = cm.map { case (g, k) => math.min(k, rm.getOrElse(g, 0)) }.sum
+      .toLong
+    val (ct, rt) = (c.size.toLong, r.size.toLong)
+    (m, ct, rt,
+      if (ct > 0) m * 1000000L / ct else 0L,
+      if (rt > 0) m * 1000000L / rt else 0L,
+      if (ct + rt > 0) 2 * m * 1000000L / (ct + rt) else 0L)
+  }
+
+  private def run(pairs: Seq[(Long, String, String)], n: Int) =
+    Eval.rougeN(pairs.toDF("id", "cand", "ref"), "id",
+        col("cand"), col("ref"), n)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+
+  test("hand case: rouge-1 and rouge-2 with repeats clip correctly") {
+    // "the the the" vs "the cat": rouge-1 matches clip at ref count 1
+    val pairs = Seq(
+      (1L, "the the the", "the cat"),
+      (2L, "police killed the gunman", "the gunman was killed by police"),
+      (3L, "identical short text", "identical short text"))
+    val r1 = run(pairs, 1)
+    assert(r1(1L) == ((1L, 3L, 2L, 333333L, 500000L, 400000L)))
+    assert(r1(3L) == ((3L, 3L, 3L, 1000000L, 1000000L, 1000000L)))
+    pairs.foreach { case (id, c, r) =>
+      assert(r1(id) == brute(c, r, 1), s"r1 pair $id")
+    }
+    val r2 = run(pairs, 2)
+    pairs.foreach { case (id, c, r) =>
+      assert(r2(id) == brute(c, r, 2), s"r2 pair $id")
+    }
+    // pair 2 rouge-2: cand bigrams {police killed, killed the,
+    // the gunman}; ref has {the gunman} -> m=1, c=3, r=5
+    assert(r2(2L)._1 == 1L && r2(2L)._2 == 3L && r2(2L)._3 == 5L)
+  }
+
+  test("edges: blank candidate, too-short sides, disjoint texts " +
+      "all emit zero ratios (never NULL); brute parity") {
+    val pairs = Seq(
+      (1L, "", "some reference text here"),
+      (2L, "one", "two words"),          // cand shorter than n=2
+      (3L, "alpha beta", "gamma delta"), // disjoint
+      (4L, "  ", ""))
+    val got = run(pairs, 2)
+    pairs.foreach { case (id, c, r) =>
+      assert(got(id) == brute(c, r, 2), s"pair $id")
+    }
+    assert(got.values.forall(v => v._4 >= 0L && v._5 >= 0L && v._6 >= 0L))
+    assert(got(3L) == ((0L, 1L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("brute parity on a generated corpus; partition invariance") {
+    val pairs = (1L to 30L).map { i =>
+      val words = (0 until (5 + (i % 7)).toInt)
+        .map(j => s"w${(i * 3 + j * 5) % 11}")
+      val ref = words.mkString(" ")
+      val cand = words.drop((i % 3).toInt).mkString(" ")
+      (i, cand, ref)
+    }
+    val got = run(pairs, 2)
+    pairs.foreach { case (id, c, r) =>
+      assert(got(id) == brute(c, r, 2), s"pair $id")
+    }
+    val rep = Eval.rougeN(pairs.toDF("id", "cand", "ref")
+        .repartition(7), "id", col("cand"), col("ref"), 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(rep == got)
+  }
+}
