@@ -63,7 +63,12 @@ object Scale100Probe {
       // ExactSubstr rewrite is one gram window + per-doc windows —
       // linear in tokens even though the replicated corpus makes
       // EVERY gram a duplicate (worst-case marking density)
-      "q289_hits", "q302_exact_substr_dedup")
+      "q289_hits", "q302_exact_substr_dedup",
+      // round-13 continuation: winnowing selection is one per-doc
+      // window pass + the capped pair join (boilerplate fingerprints
+      // hit maxDf on the replicated corpus — the cap IS the scale
+      // path); ROUGE is two per-pair gram counts + one equi-join
+      "q305_winnow_pairs", "q307_rouge")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>
