@@ -495,7 +495,10 @@ object ScaleProbe {
       "q306_hampel_despike",
       // round-13: ROUGE = two per-pair gram counts + one pair-keyed
       // equi-join — linear in corpus tokens
-      "q307_rouge")
+      "q307_rouge",
+      // round-13: BLEU components = the q307 shape x 4 orders in one
+      // explode — linear with a 4x constant
+      "q308_bleu_components")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape

@@ -4272,6 +4272,18 @@ object SparkEntry {
       Eval.rougeN(d, "doc_id", col("cand"), col("ref"), n = 2)
     }),
 
+    // corpus BLEU components over the same staged candidates as
+    // q307: per-order clipped matches + candidate-gram totals +
+    // corpus lengths — BLEU's exact-integer core, the float
+    // exp/geomean composition stays caller-side
+    "q308_bleu_components" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        col("text").as("ref"),
+        expr("""concat_ws(' ', slice(split(trim(text), '\\s+'),
+            CAST(doc_id % 4 + 1 AS INT), 1000000))""").as("cand"))
+      Eval.bleuComponents(d, "doc_id", col("cand"), col("ref"), maxN = 4)
+    }),
+
     // Hampel despike over per-type daily revenue: centered rolling
     // median + rolling MAD from ONE window-bounded sorted array,
     // exact-integer cross-multiplied flag (1.4826 = 14826/10^4) —
@@ -11409,6 +11421,58 @@ object SparkEntry {
         |  GROUP BY w.repeat_text, w.repeat_len)
         |SELECT repeat_len, n_docs, n_occurrences, repeat_text
         |FROM occ ORDER BY repeat_len DESC, repeat_text ASC""".stripMargin,
+
+    // q308: q307's staging with an order dimension — per-(pair, n,
+    // gram) counts, least() clip, order rollup, corpus lengths
+    "q308_bleu_components" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rt
+        |  FROM documents),
+        |sides AS (
+        |  SELECT doc_id, rt,
+        |    rt[(CAST(doc_id % 4 AS INT) + 1):] AS ct
+        |  FROM docs),
+        |orders AS (
+        |  SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS n),
+        |cgrams AS (
+        |  SELECT s.doc_id, o.n,
+        |    array_to_string(s.ct[i:i+o.n-1], ' ') AS g
+        |  FROM sides s, orders o,
+        |    unnest(generate_series(1, len(s.ct) - o.n + 1)) AS u(i)
+        |  WHERE NOT (len(s.ct) = 1 AND s.ct[1] = '')),
+        |rgrams AS (
+        |  SELECT s.doc_id, o.n,
+        |    array_to_string(s.rt[i:i+o.n-1], ' ') AS g
+        |  FROM sides s, orders o,
+        |    unnest(generate_series(1, len(s.rt) - o.n + 1)) AS u(i)
+        |  WHERE NOT (len(s.rt) = 1 AND s.rt[1] = '')),
+        |cg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cc
+        |  FROM cgrams GROUP BY 1, 2, 3),
+        |rg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS rc
+        |  FROM rgrams GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT cg.n, CAST(sum(least(cc, rc)) AS BIGINT) AS n_matches
+        |  FROM cg JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n
+        |    AND cg.g = rg.g
+        |  GROUP BY 1),
+        |ctot AS (
+        |  SELECT o.n, CAST(sum(greatest(
+        |      (CASE WHEN len(ct) = 1 AND ct[1] = '' THEN 0
+        |            ELSE len(ct) END) - o.n + 1, 0)) AS BIGINT)
+        |    AS n_cand_ngrams
+        |  FROM sides, orders o GROUP BY 1),
+        |lens AS (SELECT
+        |  CAST(sum(CASE WHEN len(ct) = 1 AND ct[1] = '' THEN 0
+        |    ELSE len(ct) END) AS BIGINT) AS cand_tokens,
+        |  CAST(sum(CASE WHEN len(rt) = 1 AND rt[1] = '' THEN 0
+        |    ELSE len(rt) END) AS BIGINT) AS ref_tokens
+        |  FROM sides)
+        |SELECT CAST(o.n AS BIGINT) AS n,
+        |  coalesce(m.n_matches, 0) AS n_matches,
+        |  ctot.n_cand_ngrams, lens.cand_tokens, lens.ref_tokens
+        |FROM orders o
+        |JOIN ctot ON ctot.n = o.n
+        |LEFT JOIN m ON m.n = o.n, lens""".stripMargin,
 
     // q307: clipped bigram overlap with multiplicity — per-side gram
     // counts, least() clip, the three integer ratios

@@ -1287,6 +1287,71 @@ object Eval {
     * Output: (idCol, n_matches, n_cand, n_ref, p_micro, r_micro,
     * f_micro).
     */
+  /** Corpus-level BLEU COMPONENTS (Papineni et al. 2002) — everything
+    * in BLEU that is exact: per n-gram order the corpus-summed
+    * clipped matches and candidate-gram totals (the modified
+    * precisions' numerators/denominators), plus the corpus candidate
+    * and reference token lengths the brevity penalty needs. The final
+    * composition — exp(Σ ln(m_n/c_n)/N) · min(1, exp(1−r/c)) — is
+    * irreducibly float, so it stays caller-side, keeping the gate
+    * bit-exact (the [[rougeN]] rationale).
+    *
+    * One gram explode covers ALL orders (each position emits its
+    * 1..maxN windows with an order tag), then per-side grouped
+    * counts, one (pair, n, gram) equi-join with least() clipping, and
+    * an order-level rollup. Empty/short sides contribute zero grams
+    * at the orders they can't fill — sacrebleu's convention.
+    *
+    * Output: one row per order — (n, n_matches, n_cand_ngrams,
+    * cand_tokens, ref_tokens); the length columns repeat on every
+    * row (corpus constants).
+    */
+  def bleuComponents(df: DataFrame, idCol: String, candCol: Column,
+                     refCol: Column, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val base = df.select(col(idCol).as("pid"),
+      TextAnalysis.tokens(candCol).as("ct"),
+      TextAnalysis.tokens(refCol).as("rt"))
+    // blank text tokenizes to [''] — count it as zero tokens
+    def nTok(tc: String): Column = expr(
+      s"CASE WHEN size($tc) = 1 AND $tc[0] = '' THEN 0L " +
+        s"ELSE CAST(size($tc) AS BIGINT) END")
+    def gramsAll(tc: String): Column = expr(
+      s"""flatten(transform(sequence(1, $maxN), n ->
+            CASE WHEN size($tc) >= n AND NOT (size($tc) = 1
+                AND $tc[0] = '') THEN
+              transform(sequence(0, size($tc) - n),
+                s -> struct(n AS n,
+                  concat_ws(' ', slice($tc, s + 1, n)) AS g))
+            ELSE CAST(array()
+              AS ARRAY<STRUCT<n: INT, g: STRING>>) END))""")
+    val cg = base.select(col("pid"), explode(gramsAll("ct")).as("x"))
+      .groupBy(col("pid"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("cc"))
+    val rg = base.select(col("pid"), explode(gramsAll("rt")).as("x"))
+      .groupBy(col("pid"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("rc"))
+    val matches = cg.join(rg, Seq("pid", "n", "g"))
+      .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("n_matches"))
+    val orders = base.sparkSession.range(1, maxN + 1)
+      .select(col("id").cast("int").as("n"))
+    val candTotals = base
+      .select(col("pid"), nTok("ct").as("c"))
+      .crossJoin(broadcast(orders))
+      .groupBy("n")
+      .agg(sum(greatest(col("c") - col("n") + 1L, lit(0L)))
+        .as("n_cand_ngrams"))
+    val lens = base.agg(
+      coalesce(sum(nTok("ct")), lit(0L)).as("cand_tokens"),
+      coalesce(sum(nTok("rt")), lit(0L)).as("ref_tokens"))
+    candTotals
+      .join(matches, Seq("n"), "left")
+      .crossJoin(broadcast(lens))
+      .select(col("n").cast("long").as("n"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("n_cand_ngrams"), col("cand_tokens"), col("ref_tokens"))
+  }
+
   def rougeN(df: DataFrame, idCol: String, candCol: Column,
              refCol: Column, n: Int = 2): DataFrame = {
     require(n >= 1, "n must be >= 1")

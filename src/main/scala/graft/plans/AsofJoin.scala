@@ -279,6 +279,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("rouge_n", 5, a =>
       graft.core.Eval.rougeN(active.table(a(0)), a(1),
         ex(a(2)), ex(a(3)), n = a(4).toInt)))
+    e.injectTableFunction(tableFn("bleu_components", 5, a =>
+      graft.core.Eval.bleuComponents(active.table(a(0)), a(1),
+        ex(a(2)), ex(a(3)), maxN = a(4).toInt)))
     e.injectFunction(fn("char_grams",
       classOf[graft.expressions.CharGramArray], 2,
       args => {

@@ -342,6 +342,13 @@ class ExtensionsSpec extends SparkSpec {
     val rgApi = graft.core.Eval.rougeN(spark.table("r13_rg"), "id",
       col("cand"), col("ref"), n = 2).collect()
     assert(rgSql.toSet == rgApi.toSet && rgSql.nonEmpty)
+
+    val bcSql = spark.sql(
+      "SELECT * FROM bleu_components('r13_rg', 'id', 'cand', 'ref', 4)")
+      .collect()
+    val bcApi = graft.core.Eval.bleuComponents(spark.table("r13_rg"),
+      "id", col("cand"), col("ref"), maxN = 4).collect()
+    assert(bcSql.toSet == bcApi.toSet && bcSql.length == 4)
   }
 
   test("lof table function and char_grams scalar from pure SQL") {

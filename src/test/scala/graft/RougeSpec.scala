@@ -68,6 +68,49 @@ class RougeSpec extends SparkSpec {
     assert(got(3L) == ((0L, 1L, 1L, 0L, 0L, 0L)))
   }
 
+  /** Reference BLEU components: clipped matches per order, corpus-
+    * summed.
+    */
+  private def bruteBleu(pairs: Seq[(Long, String, String)], maxN: Int)
+      : Map[Long, (Long, Long)] = {
+    def gs(t: String, n: Int): Seq[String] = {
+      val toks = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.size < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    (1 to maxN).map { n =>
+      val (m, c) = pairs.map { case (_, cand, ref) =>
+        val cm = gs(cand, n).groupBy(identity).view.mapValues(_.size)
+        val rm = gs(ref, n).groupBy(identity).view.mapValues(_.size)
+          .toMap
+        (cm.map { case (g, k) => math.min(k, rm.getOrElse(g, 0)) }.sum,
+          gs(cand, n).size)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      n.toLong -> ((m.toLong, c.toLong))
+    }.toMap
+  }
+
+  test("bleuComponents: clipped per-order corpus counts match brute " +
+      "force; lengths skip blanks; missing orders emit zero rows") {
+    val pairs = Seq(
+      (1L, "the cat the cat on the mat", "the cat is on the mat"),
+      (2L, "one", "one two three"),
+      (3L, "", "nonempty reference"))
+    val got = Eval.bleuComponents(pairs.toDF("id", "cand", "ref"), "id",
+        col("cand"), col("ref"), maxN = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val exp = bruteBleu(pairs, 4)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    (1L to 4L).foreach { n =>
+      assert((got(n)._1, got(n)._2) == exp(n), s"order $n")
+    }
+    // lengths: 7+1+0 candidate tokens, 6+3+2 reference tokens
+    assert(got(1L)._3 == 8L && got(1L)._4 == 11L)
+    // order 4: pair-1 cand has 4-grams but none match; pair-2/3 none
+    assert(got(4L)._1 == 0L && got(4L)._2 == 4L)
+  }
+
   test("brute parity on a generated corpus; partition invariance") {
     val pairs = (1L to 30L).map { i =>
       val words = (0 until (5 + (i % 7)).toInt)
