@@ -111,12 +111,16 @@ object Bench {
       val over = budget.get(name).exists(b => overBudget(t, b))
       if (!over) name -> t
       else {
-        System.err.println(
+        // stdout, same channel as the JSON vector: these are expected
+        // bookkeeping lines, and at error level sbt prefixes them
+        // "[error]", which reads as a failure in the driver tail
+        // (VERDICT r13 #7). Real failures (timeOnce) stay on stderr.
+        println(
           f"[bench] $name: ${t}%.2fs over budget — isolated re-measure")
         spark.sharedState.cacheManager.clearCache()
         System.gc()
         val redo = (1 to 2).map(_ => timeOnce(byName(name), name)).min
-        System.err.println(f"[bench] $name: re-measured ${redo}%.2fs")
+        println(f"[bench] $name: re-measured ${redo}%.2fs")
         remeasured += (name -> redo)
         name -> math.min(t, redo)
       }

@@ -12318,13 +12318,15 @@ object SparkEntry {
         |  FROM cnts GROUP BY u
         |  HAVING sum(cnt) >= 2),
         |obs AS (
-        |  -- the 1//(CASE..) term is 0 for m <= 10 and a loud
-        |  -- division-by-zero for m > 10: the counterpart of the Spark
-        |  -- side's maxRatings assert_true, so BOTH engines fail on the
-        |  -- same input instead of the oracle silently flooring
-        |  -- 2520//(m-1) (ADVICE r12)
+        |  -- error() fires for any m > 10: the counterpart of the
+        |  -- Spark side's maxRatings assert_true, so BOTH engines fail
+        |  -- loudly on the same input. (The previous 1//(CASE..) guard
+        |  -- was SILENT: DuckDB 1.0 returns NULL for 1//0, so m > 10
+        |  -- units just dropped out of n — ADVICE r13)
         |  SELECT CAST(count(*) AS BIGINT) AS n_units,
-        |    CAST(sum(m + 1 // (CASE WHEN m <= 10 THEN 1 ELSE 0 END) - 1)
+        |    CAST(sum(CASE WHEN m <= 10 THEN m ELSE
+        |        CAST(error('krippendorff: unit exceeds 10 ratings')
+        |          AS BIGINT) END)
         |      AS BIGINT) AS n,
         |    CAST(sum(2520 * (m * (m - 1) - same) // (m - 1)) AS BIGINT)
         |      AS off_s

@@ -1260,33 +1260,6 @@ object Eval {
     mat
   }
 
-  /** ROUGE-N per (candidate, reference) text pair — the n-gram
-    * overlap family every generation-eval harness reports (Lin 2004),
-    * chosen over BLEU for the gate because ROUGE is EXACTLY rational:
-    * with clipped matches m = Σ_g min(count_cand(g), count_ref(g)),
-    * candidate total c and reference total r,
-    *
-    *   precision = m/c,  recall = m/r,  F1 = 2pr/(p+q) = 2m/(c+r)
-    *
-    * — three integer divisions, no geometric mean, no brevity-penalty
-    * exp, so the whole metric micro-quantizes losslessly and replays
-    * bit-for-bit in SQL. (BLEU's clipped-match NUMERATORS per order
-    * are this same table; only its exp/log composition is float — a
-    * caller can compose it from these counts.)
-    *
-    * Multiplicity matters and is honored: grams count with repeats on
-    * both sides and the min() clips per distinct gram (the "modified
-    * precision" rule) — one grouped count per side, one equi-join on
-    * (pair, gram), never a cross join.
-    *
-    * Empty sides follow the reference implementations: a candidate or
-    * reference shorter than n tokens has zero grams on that side —
-    * m = 0 and the affected ratios are 0 (not NULL), the
-    * sacrebleu/rouge-score convention.
-    *
-    * Output: (idCol, n_matches, n_cand, n_ref, p_micro, r_micro,
-    * f_micro).
-    */
   /** Corpus-level BLEU COMPONENTS (Papineni et al. 2002) — everything
     * in BLEU that is exact: per n-gram order the corpus-summed
     * clipped matches and candidate-gram totals (the modified
@@ -1352,6 +1325,33 @@ object Eval {
         col("n_cand_ngrams"), col("cand_tokens"), col("ref_tokens"))
   }
 
+  /** ROUGE-N per (candidate, reference) text pair — the n-gram
+    * overlap family every generation-eval harness reports (Lin 2004),
+    * chosen over BLEU for the gate because ROUGE is EXACTLY rational:
+    * with clipped matches m = Σ_g min(count_cand(g), count_ref(g)),
+    * candidate total c and reference total r,
+    *
+    *   precision = m/c,  recall = m/r,  F1 = 2pr/(p+q) = 2m/(c+r)
+    *
+    * — three integer divisions, no geometric mean, no brevity-penalty
+    * exp, so the whole metric micro-quantizes losslessly and replays
+    * bit-for-bit in SQL. (BLEU's clipped-match NUMERATORS per order
+    * are this same table; only its exp/log composition is float — a
+    * caller can compose it from these counts.)
+    *
+    * Multiplicity matters and is honored: grams count with repeats on
+    * both sides and the min() clips per distinct gram (the "modified
+    * precision" rule) — one grouped count per side, one equi-join on
+    * (pair, gram), never a cross join.
+    *
+    * Empty sides follow the reference implementations: a candidate or
+    * reference shorter than n tokens has zero grams on that side —
+    * m = 0 and the affected ratios are 0 (not NULL), the
+    * sacrebleu/rouge-score convention.
+    *
+    * Output: (idCol, n_matches, n_cand, n_ref, p_micro, r_micro,
+    * f_micro).
+    */
   def rougeN(df: DataFrame, idCol: String, candCol: Column,
              refCol: Column, n: Int = 2): DataFrame = {
     require(n >= 1, "n must be >= 1")

@@ -519,6 +519,19 @@ object Sampling {
     * Output: one row per step — (step 1.., picked set, new_elements
     * gained, covered_total after the pick).
     */
+  /** Drop the block-storage copy behind an eager `localCheckpoint`
+    * result that is no longer referenced. The checkpointed RDD is the
+    * `LogicalRDD` leaf of the returned Dataset's plan; unpersisting
+    * it deletes the blocks (the RDD becomes uncomputable — callers
+    * must have replaced every reference first).
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def greedySetCover(pairs: DataFrame, setCol: String, elemCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -542,9 +555,15 @@ object Sampling {
           picks += ((step.toLong, s, gain, total))
           if (step < k) { // no subtraction needed after the last pick
             val pickedElems = remaining.filter(col("s") === s).select("e")
+            val prev = remaining
             remaining = remaining
               .join(pickedElems, Seq("e"), "left_anti")
               .localCheckpoint(true)
+            // free the superseded checkpoint's blocks NOW: Dataset
+            // .unpersist is a cache-manager no-op for checkpoints, so
+            // without this each step pins another copy of the pair
+            // table in block storage until GC (ADVICE r13)
+            freeLocalCheckpoint(prev)
           }
           step += 1
         case None => exhausted = true // everything already covered

@@ -516,37 +516,6 @@ object Similarity {
     mat
   }
 
-  /** [[lof]] over IVF-bucket candidate pairs — the corpus-scale path
-    * the exact baseline's scaladoc promises: instead of the O(n²)
-    * cross join, each point's neighbor candidates are the members of
-    * its `nProbe` nearest centroid buckets (the [[ivfTopK]] query
-    * model), and the SAME quantized LOF algebra (k-distance with
-    * ties, reachability, lrd_q, lof_micro — see [[lof]]) runs over
-    * that candidate relation. Cost is n·nProbe·(avg bucket size) —
-    * linear in n for a fixed centroid count ratio, never all-pairs.
-    * Shuffle discipline: vectors ride only the n-sized bucket-keyed
-    * sides (homeV/probeV) — pair rows carry (p, o, d2) alone, so the
-    * candidate relation's byte volume is pairs × 24 B, not
-    * pairs × vector width. At corpus-growing bucket counts pair
-    * assignment itself goes through [[assignBucketsHierarchical]].
-    *
-    * Approximation surface, stated honestly: a true k-nearest
-    * neighbor living outside every probed bucket is missed, inflating
-    * kdist and shifting lrd — recall vs the exact baseline is gated
-    * in `LofBucketedSpec` (the q27/q104 discipline: separated
-    * clusters ⇒ bit-identical to [[lof]]; mixed corpora ⇒ asserted
-    * overlap on the outlier ranking). Points with fewer than k
-    * candidates drop (the exact variant's n<k rule, reached here also
-    * when probed buckets are thin — widen nProbe or retrain
-    * centroids).
-    *
-    * Everything stays in the milli-quantized integer domain,
-    * INCLUDING bucket assignment (argmin of exact BIGINT d² to the
-    * quantized centroids, ties to the lowest centroid id) — one
-    * quantization, so the full pipeline replays bit-for-bit in SQL.
-    *
-    * Output: (id, bucket, kdist_sq, n_neighbors, lrd_q, lof_micro).
-    */
   /** Milli-lattice quantization shared by the integer-d² family
     * ([[lof]], [[lofBucketed]], [[probeBucketsL2]]): integer-valued
     * DOUBLES so the native [[dot]] fold is exact below 2^53 and
@@ -571,14 +540,26 @@ object Similarity {
                      nProbe: Int, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      centIdCol: String = "centroid_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nProbe >= 1, "nProbe must be >= 1")
     // loud guard (the hits() discipline): an empty centroid table
     // would silently assign NOTHING — every downstream row vanishes
     // with no hint at the cause. Centroids are model-size by
     // contract, so the eager emptiness check is one cheap action.
+    // Internal callers that already guarded (the hierarchical path
+    // re-enters 3x) go through the unguarded body instead of paying
+    // the take(1) action per re-entry (ADVICE r13).
     require(!centroids.isEmpty,
       "probeBucketsL2: centroid table is empty — nothing to assign to")
+    probeBucketsL2Unguarded(points, centroids, nProbe, idCol, vecCol,
+      centIdCol)
+  }
+
+  private def probeBucketsL2Unguarded(points: DataFrame,
+                                      centroids: DataFrame,
+                                      nProbe: Int, idCol: String,
+                                      vecCol: String,
+                                      centIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe >= 1, "nProbe must be >= 1")
     val pts = points.select(col(idCol).as("id"),
         quantMilli(vecCol).as("vm"))
       .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
@@ -600,6 +581,51 @@ object Similarity {
       .select(col("id"), col("cid"), col("rnk"), col("dc"))
   }
 
+  /** [[lof]] over IVF-bucket candidate pairs — the corpus-scale path
+    * the exact baseline's scaladoc promises: instead of the O(n²)
+    * cross join, each point's neighbor candidates are the members of
+    * its `nProbe` nearest centroid buckets (the [[ivfTopK]] query
+    * model), and the SAME quantized LOF algebra (k-distance with
+    * ties, reachability, lrd_q, lof_micro — see [[lof]]) runs over
+    * that candidate relation. Cost is n·nProbe·(avg bucket size) —
+    * linear in n for a fixed centroid count ratio, never all-pairs.
+    * Shuffle discipline: vectors ride only the n-sized bucket-keyed
+    * sides (homeV/probeV) — pair rows carry (p, o, d2) alone, so the
+    * candidate relation's byte volume is pairs × 24 B, not
+    * pairs × vector width. At corpus-growing bucket counts pair
+    * assignment itself goes through [[assignBucketsHierarchical]].
+    *
+    * Parameterization at scale: candidate-pair count is
+    * Σ_b |probe(b)|·|home(b)| ≈ n · nProbe · n/B, so the scale-safe
+    * DEFAULT is B ∝ n (fixed expected bucket size ⇒ pair count
+    * linear in n — the `LofBucketProbe` battery row). B ≈ √n (the
+    * "sqrt-centroid" setting) makes pairs grow as n^1.5 — the
+    * measured ~1000×-pairs / 90×-wall 100× point in BASELINE.md; use
+    * it only when centroid training cost dominates and the corpus is
+    * bounded.
+    *
+    * Approximation surface, stated honestly: a true k-nearest
+    * neighbor living outside every probed bucket is missed, inflating
+    * kdist and shifting lrd — recall vs the exact baseline is gated
+    * in `LofBucketedSpec` (the q27/q104 discipline: separated
+    * clusters ⇒ bit-identical to [[lof]]; mixed corpora ⇒ asserted
+    * overlap on the outlier ranking). Points with fewer than k
+    * candidates drop (the exact variant's n<k rule, reached here also
+    * when probed buckets are thin — widen nProbe or retrain
+    * centroids). The SAME thin-bucket drop applies on the NEIGHBOR
+    * side: a neighbor o with fewer than k candidates of its own has
+    * no kdist row, so the reach join excludes it — p's n_neighbors /
+    * lrd sums run over the SURVIVING neighbors only (the DuckDB
+    * oracle mirrors this exactly; the residual is again confined to
+    * thin buckets).
+    *
+    * Everything stays in the milli-quantized integer domain,
+    * INCLUDING bucket assignment (argmin of exact BIGINT d² to the
+    * quantized centroids, ties to the lowest centroid id) — one
+    * quantization, so the full pipeline replays bit-for-bit in SQL.
+    *
+    * Output: (id, bucket, kdist_sq, n_neighbors, lrd_q, lof_micro).
+    */
   def lofBucketed(emb: DataFrame, centroids: DataFrame, k: Int,
                   nProbe: Int = 2, idCol: String = "vec_id",
                   vecCol: String = "embedding",
@@ -712,18 +738,21 @@ object Similarity {
     require(wProbe >= 1, "wProbe must be >= 1")
     // loud guards: an empty fine table enters assignBucketsL2 as its
     // POINTS side (probeBucketsL2's centroid guard can't see it) and
-    // would silently empty every assignment downstream
+    // would silently empty every assignment downstream. Guarded ONCE
+    // here — the two probe calls below take the unguarded body, so a
+    // derived centroid pipeline is not re-scanned per re-entry
+    // (ADVICE r13: the guard ran 3x on coarseCents before this)
     require(!fineCents.isEmpty,
       "assignBucketsHierarchical: fine centroid table is empty")
     require(!coarseCents.isEmpty,
       "assignBucketsHierarchical: coarse centroid table is empty")
     // each fine centroid's coarse parent: model x model, broadcast
-    val parents = assignBucketsL2(fineCents, coarseCents, centIdCol,
-        vecCol, centIdCol)
-      .select(col("id").as("fine_cid"), col("bucket").as("parent"))
+    val parents = probeBucketsL2Unguarded(fineCents, coarseCents, 1,
+        centIdCol, vecCol, centIdCol)
+      .select(col("id").as("fine_cid"), col("cid").as("parent"))
     // stage 1: each point's wProbe nearest coarse cells (n x C)
-    val probed = probeBucketsL2(points, coarseCents, wProbe, idCol,
-        vecCol, centIdCol)
+    val probed = probeBucketsL2Unguarded(points, coarseCents, wProbe,
+        idCol, vecCol, centIdCol)
       .select(col("id"), col("cid").as("parent"))
     // stage 2: fine argmin over the probed cells' children only
     // (n x wProbe*B/C average). The candidate join is parent-keyed

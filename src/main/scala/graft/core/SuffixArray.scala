@@ -378,13 +378,16 @@ object SuffixArray {
     * no global sort, no driver state.
     *
     * Scale: gram rows are O(corpus tokens) with O(minLen)-byte
-    * payloads; at 100 TB swap the gram string for a 128-bit hash
-    * (two-seed xxhash64) so shuffles carry 16 bytes — the algebra is
-    * unchanged and a final slice-equality residual check on marked
-    * spans removes the astronomically-unlikely collision. The gate
-    * keeps the exact string so the DuckDB oracle replays verbatim.
-    * Per-doc rebuild state is document-sized (the corpus's own row
-    * bound), never corpus-sized.
+    * payloads; at 100 TB pass `hashGrams = true` to shuffle a
+    * 128-bit two-seed xxhash64 key (16 bytes) instead of the gram
+    * string — same algebra, gated hashed == exact in
+    * `SuffixArraySpec`. The gate keeps the exact string so the
+    * DuckDB oracle replays verbatim. Corpus gram frequency is a
+    * map-side-combinable grouped count, never a gram window — a
+    * boilerplate gram's 10⁸ occurrences arrive at the reducer
+    * pre-collapsed (see [[dupKeys]]). Per-doc rebuild state is
+    * document-sized (the corpus's own row bound), never
+    * corpus-sized.
     *
     * Output: one row per INPUT document — (idCol, clean_text,
     * n_tokens, n_removed); blank/whitespace docs pass through with
@@ -393,23 +396,50 @@ object SuffixArray {
     * not decide).
     */
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
-                       minLen: Int = 20): DataFrame = {
+                       minLen: Int = 20,
+                       hashGrams: Boolean = false): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2 (1 would drop every " +
       "token that appears twice anywhere)")
     val docs = tokenized(df, idCol, textCol).persist()
-    val grams = gramRows(docs, minLen)
-    // corpus frequency per gram via ONE gram-keyed exchange (a
-    // grouped count + semi join back would shuffle the gram table
-    // twice); partition state is gram-group-sized
-    val dupStarts = grams
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("c") >= 2L)
+    val grams = keyed(gramRows(docs, minLen), hashGrams)
+    val dupStarts = grams.join(dupKeys(grams), Seq("g"), "left_semi")
       .select(col("sa_doc"), col("pos"), lit(1L).as("ds"))
     val out = rewriteMarked(docs, dupStarts, minLen, idCol)
     val mat = out.localCheckpoint(true)
     docs.unpersist()
     mat
   }
+
+  /** Corpus-duplicated gram keys: `groupBy(g).count >= 2`. A grouped
+    * count instead of `count over Window.partitionBy(g)` is the skew
+    * fix (VERDICT r13 #1): a window cannot partial-aggregate, so a
+    * boilerplate gram with 10⁸ occurrences (license header, navbar)
+    * buffered in ONE task — a guaranteed straggler/spill at 100 TB.
+    * The grouped count map-side-combines (the hot key arrives
+    * pre-collapsed, one row per upstream partition) and the semi
+    * join back STREAMS the hot gram's probe rows — and, unlike a
+    * window, a skewed shuffled-hash-join partition is splittable by
+    * AQE's skew-join rule. Price: the gram table shuffles twice;
+    * both exchanges carry the same narrow (sa_doc, pos, g) rows.
+    */
+  private def dupKeys(grams: DataFrame): DataFrame =
+    grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2L).select("g")
+
+  /** The callable form of the scaladoc's 100 TB note: with
+    * `hashGrams` the shuffle key is a 128-bit two-seed xxhash64
+    * struct (16 bytes) instead of the ~minLen-token gram STRING —
+    * same algebra, ~an-order-of-magnitude narrower gram exchanges. A
+    * false positive needs a 128-bit collision between two distinct
+    * grams (≈ n²/2¹²⁸ — astronomically unlikely; `SuffixArraySpec`
+    * gates hashed == exact on real corpora). The gate keeps the
+    * exact string so the DuckDB oracle replays verbatim.
+    */
+  private def keyed(grams: DataFrame, hashGrams: Boolean): DataFrame =
+    if (!hashGrams) grams
+    else grams.select(col("sa_doc"), col("pos"),
+      struct(xxhash64(col("g")), xxhash64(lit("sa2"), col("g")))
+        .as("g"))
 
   /** (sa_doc, toks) with blank/whitespace docs as empty arrays. */
   private def tokenized(df: DataFrame, idCol: String,
@@ -548,13 +578,14 @@ object SuffixArray {
       .distinct()
       .localCheckpoint(true) // read 3x below; truncate the index scan
     // dup status for every gram of an affected doc, counted over the
-    // FULL index but only for the gram groups that matter
+    // FULL index but only for the gram groups that matter — a
+    // map-side-combinable grouped count, never a gram window (the
+    // [[dupKeys]] skew rationale: a boilerplate gram must arrive at
+    // the reducer pre-collapsed, not buffered in one task)
     val affRows = idx.join(affected, Seq("sa_doc"), "left_semi")
     val affKeys = affRows.select("g").distinct()
-    val dupStarts = idx.join(affKeys, Seq("g"), "left_semi")
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("c") >= 2L)
-      .join(affected, Seq("sa_doc"), "left_semi")
+    val dupG = dupKeys(idx.join(affKeys, Seq("g"), "left_semi"))
+    val dupStarts = affRows.join(dupG, Seq("g"), "left_semi")
       .select(col("sa_doc"), col("pos"), lit(1L).as("ds"))
     val docs = tokenized(corpusDocs, idCol, textCol)
       .join(affected, Seq("sa_doc"), "left_semi")

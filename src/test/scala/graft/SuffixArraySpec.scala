@@ -121,10 +121,11 @@ class SuffixArraySpec extends SparkSpec {
   }
 
   private def runDedup(docs: Seq[(Long, String)], minLen: Int,
-                       parts: Int = 1): Map[Long, (String, Long, Long)] =
+                       parts: Int = 1, hashGrams: Boolean = false)
+      : Map[Long, (String, Long, Long)] =
     SuffixArray.exactSubstrDedup(
         docs.toDF("doc_id", "text").repartition(parts),
-        "doc_id", "text", minLen)
+        "doc_id", "text", minLen, hashGrams = hashGrams)
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
@@ -173,6 +174,32 @@ class SuffixArraySpec extends SparkSpec {
     val exp = bruteDedup(docs, 5)
     assert(runDedup(docs, 5) == exp)
     assert(runDedup(docs, 5, parts = 13) == exp)
+  }
+
+  test("exactSubstrDedup: hashGrams (128-bit shuffle key) == exact " +
+      "gram strings on every spec corpus") {
+    // the 100 TB narrow-shuffle path: two-seed xxhash64 struct keys;
+    // identical rewrite on corpora with overlapping/self/cross-doc
+    // repeats, whole-doc clones, blanks, and sub-minLen near-misses
+    val corpora = Seq(
+      (Seq(
+        1L -> "intro one two alpha beta gamma delta epsilon zeta tail",
+        2L -> "other opening alpha beta gamma delta epsilon zeta close",
+        3L -> "totally unique document alpha beta nothing shared"), 6),
+      (Seq(1L -> "one two three four five six seven eight",
+        2L -> "one two three four five six seven eight",
+        3L -> "  ", 4L -> "tiny doc"), 8),
+      ((1L to 24L).map { id =>
+        val base = s"doc $id filler ${id * 31 % 17} noise ${id * 13 % 11}"
+        val rep = "the quick brown fox jumps over the lazy dog again"
+        id -> (if (id % 4 == 0) s"$rep $base $rep"
+               else if (id % 4 == 1) s"$base $rep trailing bits"
+               else base)
+      }, 5))
+    corpora.foreach { case (docs, minLen) =>
+      assert(runDedup(docs, minLen, hashGrams = true)
+        == runDedup(docs, minLen))
+    }
   }
 
   test("exactSubstrDedupIncremental: streamed deltas folded over " +
