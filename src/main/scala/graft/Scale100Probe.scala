@@ -68,7 +68,11 @@ object Scale100Probe {
       // window pass + the capped pair join (boilerplate fingerprints
       // hit maxDf on the replicated corpus — the cap IS the scale
       // path); ROUGE is two per-pair gram counts + one equi-join
-      "q305_winnow_pairs", "q307_rouge")
+      "q305_winnow_pairs", "q307_rouge",
+      // round-14 tail (VERDICT r13 #5): BLEU is ROUGE's staging with
+      // a maxN x order fan-out (still one explode, grouped counts);
+      // Hampel is per-(group, day) windows — both linear by design
+      "q308_bleu_components", "q306_hampel_despike")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>
@@ -151,6 +155,48 @@ object Scale100Probe {
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       graft.core.Similarity.assignBucketsHierarchical(emb, coarse, fine,
         wProbe = 2)
+    }
+    // the scale-safe DEFAULT parameterization (VERDICT r13 #6):
+    // B ∝ n (fine modulus fixed at 97 -> expected bucket size stays
+    // ~97, candidate pairs stay ~n·nProbe·97 = LINEAR), assignment
+    // through the two-level prober so no n×B flat cross ever runs.
+    // Contrast with "lof bucketed B=sqrt" above, whose pair count
+    // deliberately grows ~n^1.5
+    timed("lof two-level B∝n") { dir =>
+      val emb = Tables.embeddings(spark, dir)
+      val m = if (dir == out) 3880L else 388L
+      val fine = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val coarse = emb.filter(col("vec_id") % m === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.core.Similarity.lofBucketedTwoLevel(emb, coarse, fine,
+        k = 5, nProbe = 2, wProbe = 2)
+    }
+    // pair-count linearity evidence for the row above: candidate
+    // pairs = Σ_b |probe(b)|·|home(b)| from the two-level probe
+    // relation — reported at both scales so the LINEAR claim is a
+    // measured number, not an asymptotic argument
+    if (args.isEmpty || args.contains("lof pairs")) {
+      def pairCount(dir: String): Long = {
+        val emb = Tables.embeddings(spark, dir)
+        val m = if (dir == out) 3880L else 388L
+        val fine = emb.filter(col("vec_id") % 97 === 3)
+          .select(col("vec_id").as("centroid_id"), col("embedding"))
+        val coarse = emb.filter(col("vec_id") % m === 3)
+          .select(col("vec_id").as("centroid_id"), col("embedding"))
+        val ranked = graft.core.Similarity.probeBucketsHierarchical(
+          emb, coarse, fine, wProbe = 2, nProbe = 2)
+        val home = ranked.filter(col("rnk") === 1)
+          .groupBy("cid").agg(count(lit(1)).as("h"))
+        val probe = ranked.groupBy("cid").agg(count(lit(1)).as("p"))
+        probe.join(home, "cid")
+          .agg(sum(col("p") * col("h")).as("pairs"))
+          .collect()(0).getLong(0)
+      }
+      val s = pairCount("/root/testdata/sf0.1")
+      val b = pairCount(out)
+      println(f"[scale100] lof pairs B∝n           sf0.1=$s%d pairs " +
+        f"100x=$b%d pairs ratio=${b.toDouble / s}%6.1f")
     }
     spark.stop()
   }

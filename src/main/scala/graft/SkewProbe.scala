@@ -85,6 +85,9 @@ object SkewProbe {
     }
 
     def probe(name: String)(work: String => Long): Unit = {
+      // optional args = substring filter (local iteration: run only
+      // the probes under study instead of the full battery)
+      if (args.nonEmpty && !args.exists(name.contains)) return
       def run(dir: String): (Double, Long, Int, Double, Double, Double) = {
         // warm pass (codegen/page cache), then the measured pass
         spark.sharedState.cacheManager.clearCache()
@@ -119,6 +122,23 @@ object SkewProbe {
     probe("q95 jaccard maxDf") { dir =>
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id",
         "text", n = 3, threshold = 0.2, maxDf = 4).count()
+    }
+    // ExactSubstr rewrite under boilerplate (VERDICT r13 #1): the
+    // hot template's grams each occur ~1% × N times. The old
+    // count-over-Window.partitionBy(g) buffered every occurrence of a
+    // hot gram in ONE task; the grouped count + semi join must hold
+    // the heavy stage's task max/median flat vs base (the hot key
+    // arrives pre-collapsed at the reducer; the probe-side join rows
+    // stream and AQE can split them)
+    probe("exactSubstr m=12") { dir =>
+      graft.core.SuffixArray.exactSubstrDedup(
+        Tables.documents(spark, dir), "doc_id", "text", minLen = 12)
+        .count()
+    }
+    probe("exactSubstr hashed") { dir =>
+      graft.core.SuffixArray.exactSubstrDedup(
+        Tables.documents(spark, dir), "doc_id", "text", minLen = 12,
+        hashGrams = true).count()
     }
     probe("q70 index dedup") { dir =>
       val d = Tables.documents(spark, dir)

@@ -4272,6 +4272,18 @@ object SparkEntry {
       Eval.rougeN(d, "doc_id", col("cand"), col("ref"), n = 2)
     }),
 
+    // ROUGE-L over the same staged candidates as q307: token-level
+    // LCS (native two-row DP expression, O(c·r) per pair, no join),
+    // exactly-rational P/R/F from (lcs, c, r) — the subsequence
+    // member completing the q307/q308 generation-eval family
+    "q309_rouge_l" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        col("text").as("ref"),
+        expr("""concat_ws(' ', slice(split(trim(text), '\\s+'),
+            CAST(doc_id % 4 + 1 AS INT), 1000000))""").as("cand"))
+      Eval.rougeL(d, "doc_id", col("cand"), col("ref"))
+    }),
+
     // corpus BLEU components over the same staged candidates as
     // q307: per-order clipped matches + candidate-gram totals +
     // corpus lengths — BLEU's exact-integer core, the float
@@ -4654,6 +4666,20 @@ object SparkEntry {
       val coarse = emb.filter(col("vec_id") % 388 === 3)
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       Similarity.assignBucketsHierarchical(emb, coarse, fine, wProbe = 2)
+    }),
+
+    // two-level LOF — q303's algebra with q304's two-stage probing
+    // (the B ∝ n operating point where flat assignment would be
+    // n²/const): coarse wProbe=2, fine nProbe=2, identical LOF tail.
+    // The composition gate for the lofBucketedTwoLevel scale default
+    "q310_lof_two_level" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val fine = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val coarse = emb.filter(col("vec_id") % 388 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.lofBucketedTwoLevel(emb, coarse, fine, k = 5,
+        nProbe = 2, wProbe = 2)
     }),
 
     // class-rebalancing oversample over the embedding labels: every
@@ -11476,6 +11502,64 @@ object SparkEntry {
 
     // q307: clipped bigram overlap with multiplicity — per-side gram
     // counts, least() clip, the three integer ratios
+    // q309: token-level LCS replayed as an anti-diagonal recursive
+    // CTE — cell (i,j) completes at iteration i+j from the previous
+    // diagonal's left/up rows (age 0) and the once-re-emitted
+    // diagonal-before (age 1) for the +1 match step; contributions
+    // collapse via max() per cell. Independent of the Spark side's
+    // two-row DP but the same recurrence, so the gate is bit-exact
+    "q309_rouge_l" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rt0
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ct0) = 1 AND ct0[1] = '' THEN []::VARCHAR[]
+        |      ELSE ct0 END AS ct,
+        |    CASE WHEN len(rt0) = 1 AND rt0[1] = '' THEN []::VARCHAR[]
+        |      ELSE rt0 END AS rt
+        |  FROM (SELECT doc_id, rt0,
+        |          rt0[(CAST(doc_id % 4 AS INT) + 1):] AS ct0
+        |        FROM docs)),
+        |cells AS (
+        |  SELECT doc_id, 0 AS i, 0 AS j, CAST(0 AS BIGINT) AS v,
+        |    0 AS age
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, i, j, max(v) AS v, age FROM (
+        |    SELECT c.doc_id, c.i AS i, c.j + 1 AS j, c.v AS v, 0 AS age
+        |    FROM cells c JOIN base b USING (doc_id)
+        |    WHERE c.age = 0 AND c.j + 1 <= len(b.rt)
+        |    UNION ALL
+        |    SELECT c.doc_id, c.i + 1, c.j, c.v, 0
+        |    FROM cells c JOIN base b USING (doc_id)
+        |    WHERE c.age = 0 AND c.i + 1 <= len(b.ct)
+        |    UNION ALL
+        |    SELECT c.doc_id, c.i + 1, c.j + 1, c.v + 1, 0
+        |    FROM cells c JOIN base b USING (doc_id)
+        |    WHERE c.age = 1 AND c.i + 1 <= len(b.ct)
+        |      AND c.j + 1 <= len(b.rt)
+        |      AND b.ct[c.i + 1] = b.rt[c.j + 1]
+        |    UNION ALL
+        |    SELECT c.doc_id, c.i, c.j, c.v, 1
+        |    FROM cells c WHERE c.age = 0
+        |  ) GROUP BY doc_id, i, j, age),
+        |lcs AS (
+        |  SELECT c.doc_id, c.v AS n_lcs
+        |  FROM cells c JOIN base b USING (doc_id)
+        |  WHERE c.age = 0 AND c.i = len(b.ct) AND c.j = len(b.rt))
+        |SELECT b.doc_id, l.n_lcs,
+        |  CAST(len(b.ct) AS BIGINT) AS n_cand,
+        |  CAST(len(b.rt) AS BIGINT) AS n_ref,
+        |  CASE WHEN len(b.ct) > 0
+        |    THEN l.n_lcs * 1000000 // len(b.ct) ELSE 0 END AS p_micro,
+        |  CASE WHEN len(b.rt) > 0
+        |    THEN l.n_lcs * 1000000 // len(b.rt) ELSE 0 END AS r_micro,
+        |  CASE WHEN len(b.ct) + len(b.rt) > 0
+        |    THEN 2 * l.n_lcs * 1000000 // (len(b.ct) + len(b.rt))
+        |    ELSE 0 END AS f_micro
+        |FROM base b JOIN lcs l USING (doc_id)""".stripMargin,
+
     "q307_rouge" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS rt
@@ -12670,6 +12754,95 @@ object SparkEntry {
         |  SELECT id, fine_cid, d2, row_number() OVER (
         |    PARTITION BY id ORDER BY d2, fine_cid) AS rn
         |  FROM cand) WHERE rn = 1""".stripMargin,
+
+    // q310: q304's two-stage probe CTEs (probes rnk <= 2, home
+    // rnk = 1) feeding q303's LOF tail verbatim
+    "q310_lof_two_level" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> CAST(floor(v * 1000.0) AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |f AS (SELECT id AS cid, vm AS cm FROM e WHERE id % 97 = 3),
+        |c AS (SELECT id AS cid, vm AS cm FROM e WHERE id % 388 = 3),
+        |fc AS (
+        |  SELECT f.cid AS fine_cid, c.cid AS coarse_cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(f.cm) + 1),
+        |        i -> (f.cm[i] - c.cm[i]) * (f.cm[i] - c.cm[i]))),
+        |      (acc, x) -> acc + x) AS d
+        |  FROM f, c),
+        |parents AS (
+        |  SELECT fine_cid, coarse_cid AS parent FROM (
+        |    SELECT fine_cid, coarse_cid, row_number() OVER (
+        |      PARTITION BY fine_cid ORDER BY d, coarse_cid) AS rn
+        |    FROM fc) WHERE rn = 1),
+        |pc AS (
+        |  SELECT e.id, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(e.vm) + 1),
+        |        i -> (e.vm[i] - c.cm[i]) * (e.vm[i] - c.cm[i]))),
+        |      (acc, x) -> acc + x) AS d
+        |  FROM e, c),
+        |probedc AS (
+        |  SELECT id, cid AS parent FROM (
+        |    SELECT id, cid, row_number() OVER (
+        |      PARTITION BY id ORDER BY d, cid) AS rn
+        |    FROM pc) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.id, pa.fine_cid,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(e.vm) + 1),
+        |        i -> (e.vm[i] - f.cm[i]) * (e.vm[i] - f.cm[i]))),
+        |      (acc, x) -> acc + x) AS d2
+        |  FROM probedc p
+        |  JOIN parents pa ON pa.parent = p.parent
+        |  JOIN e ON e.id = p.id
+        |  JOIN f ON f.cid = pa.fine_cid),
+        |ranked AS (
+        |  SELECT id, fine_cid AS cid, row_number() OVER (
+        |    PARTITION BY id ORDER BY d2, fine_cid) AS rnk
+        |  FROM cand),
+        |home AS (SELECT id AS o, cid AS bucket FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT id AS p, cid AS bucket FROM ranked
+        |  WHERE rnk <= 2),
+        |pairs AS (
+        |  SELECT pr.p, h.o,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(a.vm) + 1),
+        |        i -> (a.vm[i] - b.vm[i]) * (a.vm[i] - b.vm[i]))),
+        |      (acc, x) -> acc + x) AS d2
+        |  FROM probes pr JOIN home h USING (bucket)
+        |  JOIN e a ON a.id = pr.p JOIN e b ON b.id = h.o
+        |  WHERE pr.p <> h.o),
+        |kd AS (
+        |  SELECT p, d2 AS kdist_sq FROM (
+        |    SELECT p, d2, row_number() OVER (PARTITION BY p
+        |      ORDER BY d2, o) AS rn FROM pairs)
+        |  WHERE rn = 5),
+        |nb AS (
+        |  SELECT pr.p, pr.o, pr.d2, kd.kdist_sq
+        |  FROM pairs pr JOIN kd ON pr.p = kd.p
+        |  WHERE pr.d2 <= kd.kdist_sq),
+        |reach AS (
+        |  SELECT nb.p, nb.o, nb.kdist_sq,
+        |    greatest(ko.kdist_sq, nb.d2) AS rd
+        |  FROM nb JOIN kd ko ON nb.o = ko.p),
+        |lrd AS (
+        |  SELECT p, kdist_sq, CAST(count(*) AS BIGINT) AS n_nb,
+        |    CAST(count(*) AS BIGINT) * 1000000000000
+        |      // CAST(sum(rd) AS BIGINT) AS lrd_q
+        |  FROM reach GROUP BY 1, 2
+        |  HAVING sum(rd) > 0)
+        |SELECT nb.p AS id, h.bucket, l.kdist_sq, l.n_nb AS n_neighbors,
+        |  l.lrd_q,
+        |  CAST(sum(lo.lrd_q) AS BIGINT) * 1000000
+        |    // (l.n_nb * l.lrd_q) AS lof_micro
+        |FROM nb
+        |JOIN lrd lo ON nb.o = lo.p
+        |JOIN lrd l ON nb.p = l.p
+        |JOIN home h ON h.o = nb.p
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     // q246: census algebra from the grouped counts alone
     "q246_oversample_balance" ->

@@ -1392,4 +1392,61 @@ object Eval {
           "2L * coalesce(n_matches, 0L) * 1000000L DIV (n_cand + n_ref) " +
           "ELSE 0L END").as("f_micro"))
   }
+
+  /** ROUGE-L per (candidate, reference) pair — the LCS member that
+    * completes the [[rougeN]]/[[bleuComponents]] generation-eval
+    * family (Lin 2004 §3): subsequence overlap rewards in-order
+    * agreement without requiring consecutive grams. Like ROUGE-N it
+    * is EXACTLY rational — with L = token-level LCS length, candidate
+    * tokens c and reference tokens r,
+    *
+    *   P = L/c,  R = L/r,  F1 = 2PR/(P+R) = 2L/(c+r)
+    *
+    * — so the gate replays bit-for-bit (the harmonic-F convention of
+    * the rouge-score library; Lin's β-weighted F_lcs is a caller-side
+    * reweighting of the same three integers).
+    *
+    * The LCS itself is [[graft.expressions.LcsLength]] — a primitive
+    * two-row DP per pair, O(c·r) time and O(r) state, bounded by the
+    * two documents' own lengths. The whole operator is one scalar
+    * projection + no join at all: it distributes like any map and
+    * never shuffles (the per-pair DP is the irreducible cost; at
+    * 100 TB it rides whatever partitioning the pair table already
+    * has).
+    *
+    * Empty sides follow [[rougeN]]: a blank candidate or reference
+    * has zero tokens, L = 0, and the affected ratios are 0 (not
+    * NULL).
+    *
+    * Output: (idCol, n_lcs, n_cand, n_ref, p_micro, r_micro,
+    * f_micro).
+    */
+  def rougeL(df: DataFrame, idCol: String, candCol: Column,
+             refCol: Column): DataFrame = {
+    def toks(c: Column): Column = {
+      val t = TextAnalysis.tokens(c)
+      // split('') = [''] — normalize the blank-side artifact to a
+      // true empty array so token counts and the DP agree
+      when(size(t) === 1 && t.getItem(0) === "",
+        expr("CAST(array() AS ARRAY<STRING>)")).otherwise(t)
+    }
+    val base = df.select(col(idCol).as("pid"),
+      toks(candCol).as("ct"), toks(refCol).as("rt"))
+    base.select(col("pid").as(idCol),
+        org.apache.spark.sql.GraftShim.column(
+          graft.expressions.LcsLength(
+            org.apache.spark.sql.GraftShim.expression(col("ct")),
+            org.apache.spark.sql.GraftShim.expression(col("rt"))))
+          .as("n_lcs"),
+        size(col("ct")).cast("long").as("n_cand"),
+        size(col("rt")).cast("long").as("n_ref"))
+      .select(col(idCol), col("n_lcs"), col("n_cand"), col("n_ref"),
+        expr("CASE WHEN n_cand > 0 THEN n_lcs * 1000000L DIV n_cand " +
+          "ELSE 0L END").as("p_micro"),
+        expr("CASE WHEN n_ref > 0 THEN n_lcs * 1000000L DIV n_ref " +
+          "ELSE 0L END").as("r_micro"),
+        expr("CASE WHEN n_cand + n_ref > 0 THEN " +
+          "2L * n_lcs * 1000000L DIV (n_cand + n_ref) " +
+          "ELSE 0L END").as("f_micro"))
+  }
 }

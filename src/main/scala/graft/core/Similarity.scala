@@ -630,16 +630,49 @@ object Similarity {
                   nProbe: Int = 2, idCol: String = "vec_id",
                   vecCol: String = "embedding",
                   centIdCol: String = "centroid_id"): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    // centroid distances: one broadcast cross (centroids are
+    // model-size by contract), exact BIGINT d²
+    lofOverProbes(emb,
+      probeBucketsL2(emb, centroids, nProbe, idCol, vecCol, centIdCol),
+      k, idCol, vecCol)
+  }
+
+  /** [[lofBucketed]] with TWO-LEVEL bucket assignment — the B ∝ n
+    * (fixed expected bucket size) parameterization the scaladoc above
+    * names as the scale-safe default. Flat probing pays an n×B
+    * assignment cross, which at B ∝ n is n²/const — this variant
+    * probes through [[probeBucketsHierarchical]] (both stages n·√B at
+    * C ≈ √B), then runs the IDENTICAL LOF algebra over the identical
+    * candidate relation. With `wProbe` = C the probed fine buckets
+    * equal flat probing EXACTLY (`LofBucketedSpec`); smaller wProbe
+    * adds only the boundary-point approximation documented on
+    * [[assignBucketsHierarchical]].
+    */
+  def lofBucketedTwoLevel(emb: DataFrame, coarseCents: DataFrame,
+                          fineCents: DataFrame, k: Int,
+                          nProbe: Int = 2, wProbe: Int = 2,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          centIdCol: String = "centroid_id"): DataFrame =
+    lofOverProbes(emb,
+      probeBucketsHierarchical(emb, coarseCents, fineCents, wProbe,
+        nProbe, idCol, vecCol, centIdCol),
+      k, idCol, vecCol)
+
+  /** The LOF algebra over a prebuilt probe relation (`ranked`:
+    * (id, cid, rnk) from [[probeBucketsL2]] or
+    * [[probeBucketsHierarchical]]) — shared so flat and two-level
+    * assignment feed bit-identical downstream plans.
+    */
+  private def lofOverProbes(emb: DataFrame, rankedIn: DataFrame, k: Int,
+                            idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
-    require(nProbe >= 1, "nProbe must be >= 1")
     val pts = emb.select(col(idCol).as("id"), quantMilli(vecCol).as("vm"))
       .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
       .persist()
-    // centroid distances: one broadcast cross (centroids are
-    // model-size by contract), exact BIGINT d²
-    val ranked = probeBucketsL2(emb, centroids, nProbe, idCol, vecCol,
-        centIdCol)
+    val ranked = rankedIn
       .select(col("id"), col("cid"), col("rnk"))
       .persist()
     val home = ranked.filter(col("rnk") === 1)
@@ -733,9 +766,28 @@ object Similarity {
                                 idCol: String = "vec_id",
                                 vecCol: String = "embedding",
                                 centIdCol: String = "centroid_id")
+      : DataFrame =
+    probeBucketsHierarchical(points, coarseCents, fineCents, wProbe, 1,
+      idCol, vecCol, centIdCol)
+      .select(col("id"), col("cid").as("bucket"), col("dc").as("d2"))
+
+  /** Two-level analogue of [[probeBucketsL2]]: each point's `nProbe`
+    * nearest FINE centroids, searched only among children of its
+    * `wProbe` nearest coarse cells — (id, cid, rnk, dc), same shape
+    * and tie rule as the flat prober. With wProbe = C it IS the flat
+    * prober (every fine centroid a candidate); the two-stage cost is
+    * the [[assignBucketsHierarchical]] n·√B argument.
+    */
+  def probeBucketsHierarchical(points: DataFrame, coarseCents: DataFrame,
+                               fineCents: DataFrame, wProbe: Int,
+                               nProbe: Int,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               centIdCol: String = "centroid_id")
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(wProbe >= 1, "wProbe must be >= 1")
+    require(nProbe >= 1, "nProbe must be >= 1")
     // loud guards: an empty fine table enters assignBucketsL2 as its
     // POINTS side (probeBucketsL2's centroid guard can't see it) and
     // would silently empty every assignment downstream. Guarded ONCE
@@ -775,10 +827,14 @@ object Similarity {
       .join(candCents, "parent")
       .withColumn("d2", col("n2") + col("cn2")
         - lit(2L) * dot(col("vm"), col("cm")).cast("long"))
+      // a fine centroid can be reachable through SEVERAL probed
+      // parents only if parents duplicate — they don't (argmin), so
+      // (id, fine_cid) is unique and the rank needs no distinct
       .select(col("id"), col("fine_cid"), col("d2"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("id"), col("fine_cid").as("bucket"), col("d2"))
+      .filter(col("rnk") <= nProbe)
+      .select(col("id"), col("fine_cid").as("cid"), col("rnk"),
+        col("d2").as("dc"))
   }
 
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,

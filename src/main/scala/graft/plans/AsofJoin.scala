@@ -264,6 +264,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("lof_bucketed", 4, a =>
       graft.core.Similarity.lofBucketed(active.table(a(0)),
         active.table(a(1)), k = a(2).toInt, nProbe = a(3).toInt)))
+    e.injectTableFunction(tableFn("lof_two_level", 6, a =>
+      graft.core.Similarity.lofBucketedTwoLevel(active.table(a(0)),
+        active.table(a(1)), active.table(a(2)), k = a(3).toInt,
+        nProbe = a(4).toInt, wProbe = a(5).toInt)))
     e.injectTableFunction(tableFn("assign_buckets", 2, a =>
       graft.core.Similarity.assignBucketsL2(active.table(a(0)),
         active.table(a(1)))))
@@ -279,6 +283,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("rouge_n", 5, a =>
       graft.core.Eval.rougeN(active.table(a(0)), a(1),
         ex(a(2)), ex(a(3)), n = a(4).toInt)))
+    e.injectTableFunction(tableFn("rouge_l", 4, a =>
+      graft.core.Eval.rougeL(active.table(a(0)), a(1),
+        ex(a(2)), ex(a(3)))))
+    e.injectFunction(fn("lcs_length",
+      classOf[graft.expressions.LcsLength], 2,
+      args => graft.expressions.LcsLength(args.head, args(1))))
     e.injectTableFunction(tableFn("bleu_components", 5, a =>
       graft.core.Eval.bleuComponents(active.table(a(0)), a(1),
         ex(a(2)), ex(a(3)), maxN = a(4).toInt)))

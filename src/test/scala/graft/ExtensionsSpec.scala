@@ -317,6 +317,15 @@ class ExtensionsSpec extends SparkSpec {
       spark.table("r13_lb_cents"), wProbe = 2).collect()
     assert(haSql.toSet == haApi.toSet && haSql.nonEmpty)
 
+    val l2Sql = spark.sql(
+      "SELECT * FROM lof_two_level('r13_lb', 'r13_lb_cents', " +
+        "'r13_lb_cents', 2, 1, 2)").collect()
+    val l2Api = graft.core.Similarity.lofBucketedTwoLevel(
+      spark.table("r13_lb"), spark.table("r13_lb_cents"),
+      spark.table("r13_lb_cents"), k = 2, nProbe = 1, wProbe = 2)
+      .collect()
+    assert(l2Sql.toSet == l2Api.toSet && l2Sql.nonEmpty)
+
     Seq((1L, "alpha beta gamma delta epsilon zeta tail one"),
         (2L, "alpha beta gamma delta epsilon zeta other end"),
         (3L, "unrelated words in this third document body"))
@@ -337,6 +346,15 @@ class ExtensionsSpec extends SparkSpec {
     Seq((1L, "the cat sat", "the cat sat on the mat"),
         (2L, "completely different words", "another reference here"))
       .toDF("id", "cand", "ref").createOrReplaceTempView("r13_rg")
+    val rouLSql = spark.sql(
+      "SELECT * FROM rouge_l('r13_rg', 'id', 'cand', 'ref')").collect()
+    val rouLApi = graft.core.Eval.rougeL(spark.table("r13_rg"), "id",
+      col("cand"), col("ref")).collect()
+    assert(rouLSql.toSet == rouLApi.toSet && rouLSql.nonEmpty)
+    val lcsScalar = spark.sql(
+      "SELECT lcs_length(split('a b c', ' '), split('b c d', ' '))")
+      .collect()(0).getLong(0)
+    assert(lcsScalar == 2L)
     val rgSql = spark.sql(
       "SELECT * FROM rouge_n('r13_rg', 'id', 'cand', 'ref', 2)").collect()
     val rgApi = graft.core.Eval.rougeN(spark.table("r13_rg"), "id",

@@ -60,6 +60,29 @@ class LofBucketedSpec extends SparkSpec {
     assert(topExact == 99L && topBucketed == 99L)
   }
 
+  test("lofBucketedTwoLevel at wProbe = C == flat lofBucketed " +
+      "bit-for-bit; coarse = fine degenerates to flat too") {
+    val (emb, cents) = clustered
+    val flat = Similarity.lofBucketed(emb, cents, k = 3, nProbe = 2)
+      .collect().toSet
+    // wProbe = C (3 coarse cells): every fine centroid is a stage-2
+    // candidate -> the probe relation equals the flat prober exactly,
+    // so the whole LOF output is bit-identical
+    val coarse = cents.select(col("centroid_id") + 100 as "centroid_id",
+      col("embedding"))
+    val two = Similarity.lofBucketedTwoLevel(emb, coarse, cents,
+      k = 3, nProbe = 2, wProbe = 3).collect().toSet
+    assert(two == flat)
+    // coarse == fine with wProbe=1: each fine centroid is its own
+    // parent and stage 1 is the flat argmin -> stage 2 searches the
+    // nearest bucket's OWN centroid plus nothing else at nProbe=1
+    val self = Similarity.lofBucketedTwoLevel(emb, cents, cents,
+      k = 3, nProbe = 1, wProbe = 1).collect().toSet
+    val flat1 = Similarity.lofBucketed(emb, cents, k = 3, nProbe = 1)
+      .collect().toSet
+    assert(self == flat1)
+  }
+
   test("partition invariance; assignment carries the home bucket") {
     val (emb, cents) = clustered
     val a = Similarity.lofBucketed(emb, cents, k = 3, nProbe = 2)

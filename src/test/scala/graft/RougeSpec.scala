@@ -111,6 +111,83 @@ class RougeSpec extends SparkSpec {
     assert(got(4L)._1 == 0L && got(4L)._2 == 4L)
   }
 
+  /** Reference LCS: classic full-matrix DP over whitespace tokens. */
+  private def bruteLcs(cand: String, ref: String): (Long, Long, Long) = {
+    def tk(t: String) = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val (a, b) = (tk(cand), tk(ref))
+    val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+    for (i <- 1 to a.size; j <- 1 to b.size)
+      dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                 else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    (dp(a.size)(b.size).toLong, a.size.toLong, b.size.toLong)
+  }
+
+  private def runL(pairs: Seq[(Long, String, String)]) =
+    Eval.rougeL(pairs.toDF("id", "cand", "ref"), "id",
+        col("cand"), col("ref"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+
+  test("rougeL: hand cases — subsequence beats bigram on reordered " +
+      "text; repeats; identity") {
+    val pairs = Seq(
+      // classic Lin example: "police killed the gunman" vs
+      // "the gunman was killed by police" — LCS = 2 ("killed ..."?
+      // longest in-order chain is {the, gunman} or {killed, ...}):
+      // cand order (police, killed, the, gunman); ref order
+      // (the, gunman, was, killed, by, police) -> LCS = 2
+      (1L, "police killed the gunman", "the gunman was killed by police"),
+      (2L, "the cat the cat", "the cat"),
+      (3L, "identical short text", "identical short text"))
+    val got = runL(pairs)
+    pairs.foreach { case (id, c, r) =>
+      val (l, ct, rt) = bruteLcs(c, r)
+      val exp = (l, ct, rt,
+        if (ct > 0) l * 1000000L / ct else 0L,
+        if (rt > 0) l * 1000000L / rt else 0L,
+        if (ct + rt > 0) 2 * l * 1000000L / (ct + rt) else 0L)
+      assert(got(id) == exp, s"pair $id")
+    }
+    assert(got(1L)._1 == 2L)
+    assert(got(2L) == ((2L, 4L, 2L, 500000L, 1000000L, 666666L)))
+    assert(got(3L)._6 == 1000000L)
+  }
+
+  test("rougeL: edges — blank sides give zero ratios (never NULL); " +
+      "brute parity on a generated corpus; partition invariance") {
+    val edge = Seq(
+      (1L, "", "some reference text here"),
+      (2L, "one", "two words"),
+      (3L, "alpha beta", "gamma delta"),
+      (4L, "  ", ""))
+    val ge = runL(edge)
+    edge.foreach { case (id, c, r) =>
+      val (l, ct, rt) = bruteLcs(c, r)
+      assert((ge(id)._1, ge(id)._2, ge(id)._3) == ((l, ct, rt)), s"p $id")
+    }
+    assert(ge(1L) == ((0L, 0L, 4L, 0L, 0L, 0L)))
+    assert(ge(4L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    val pairs = (1L to 40L).map { i =>
+      val words = (0 until (4 + (i % 9)).toInt)
+        .map(j => s"w${(i * 7 + j * 3) % 13}")
+      val ref = words.mkString(" ")
+      // drop a prefix AND shuffle a tail pair so LCS < min(c, r)
+      val cand = (words.drop((i % 3).toInt).reverse).mkString(" ")
+      (i, cand, ref)
+    }
+    val got = runL(pairs)
+    pairs.foreach { case (id, c, r) =>
+      val (l, ct, rt) = bruteLcs(c, r)
+      assert((got(id)._1, got(id)._2, got(id)._3) == ((l, ct, rt)),
+        s"pair $id")
+    }
+    val rep = Eval.rougeL(pairs.toDF("id", "cand", "ref")
+        .repartition(7), "id", col("cand"), col("ref"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(rep == got)
+  }
+
   test("brute parity on a generated corpus; partition invariance") {
     val pairs = (1L to 30L).map { i =>
       val words = (0 until (5 + (i % 7)).toInt)
