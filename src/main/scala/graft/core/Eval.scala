@@ -1298,13 +1298,19 @@ object Eval {
                   concat_ws(' ', slice($tc, s + 1, n)) AS g))
             ELSE CAST(array()
               AS ARRAY<STRUCT<n: INT, g: STRING>>) END))""")
-    val cg = base.select(col("pid"), explode(gramsAll("ct")).as("x"))
+    // ONE side-tagged aggregation instead of two per-side grouped
+    // counts + a (pid, n, g) sort-merge join: the union shuffles once
+    // with map-side partial sums (each side's count is a conditional
+    // sum), and one-sided grams clip to least(cc, 0) = 0 exactly as
+    // the join's inner semantics dropped them (r14 q308 adjudication:
+    // two exchanges + two sorts became one exchange)
+    val tagged = base.select(col("pid"),
+        explode(gramsAll("ct")).as("x"), lit(1L).as("isc"))
+      .unionByName(base.select(col("pid"),
+        explode(gramsAll("rt")).as("x"), lit(0L).as("isc")))
+    val matches = tagged
       .groupBy(col("pid"), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as("cc"))
-    val rg = base.select(col("pid"), explode(gramsAll("rt")).as("x"))
-      .groupBy(col("pid"), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(count(lit(1)).as("rc"))
-    val matches = cg.join(rg, Seq("pid", "n", "g"))
+      .agg(sum(col("isc")).as("cc"), sum(lit(1L) - col("isc")).as("rc"))
       .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("n_matches"))
     val orders = base.sparkSession.range(1, maxN + 1)
       .select(col("id").cast("int").as("n"))
