@@ -4306,6 +4306,28 @@ object SparkEntry {
         expr("CAST(round(value * 100) AS BIGINT)"),
         window = 7, nMad = 3)),
 
+    // incremental Hampel over a persisted daily-partials table: three
+    // event slices arrive as separate transactional appends — day
+    // totals are sums of persisted partials (append-only, late data
+    // just adds rows), flags recompute per touched key. The oracle
+    // replays the monolithic q306 restricted to the last batch's
+    // keys, pinning incremental == batch
+    "q312_hampel_incremental" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val t = scratchDir("graft_q312") + "/daily"
+      def day = to_date(col("ts"))
+      def v = expr("CAST(round(value * 100) AS BIGINT)")
+      // the first two calls run for their (eager) index appends; the
+      // returned lazy deltas are discarded — only the last batch's
+      // delta is the gate's output
+      TimeSeries.hampelDespikeIncremental(s,
+        e.filter(col("event_id") % 3 === 0), t, "event_type", day, v)
+      TimeSeries.hampelDespikeIncremental(s,
+        e.filter(col("event_id") % 3 === 2), t, "event_type", day, v)
+      TimeSeries.hampelDespikeIncremental(s,
+        e.filter(col("event_id") % 3 === 1), t, "event_type", day, v)
+    }),
+
     // winnowing fingerprint match pairs (Schleimer et al. SIGMOD'03,
     // the MOSS algorithm): rightmost-min-per-window fingerprint
     // selection (~2/(w+1) of the grams) with the exact detection
@@ -4314,6 +4336,25 @@ object SparkEntry {
     "q305_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowMatchPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 3, w = 4, maxDf = 64)),
+
+    // incremental winnowing against a persisted fingerprint index
+    // (the q70 shape for MOSS): two corpus slices indexed in separate
+    // transactional appends, the third arrives as the new batch —
+    // delta = every pair with >= 1 shared capped fingerprint and a
+    // batch side. The oracle replays the monolithic q305 selection
+    // restricted to batch-touching pairs, pinning the incremental
+    // path to the batch semantics
+    "q311_winnow_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = scratchDir("graft_q311") + "/idx"
+      Dedup.writeFingerprintIndex(d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", t)
+      Dedup.writeFingerprintIndex(d.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", t)
+      Dedup.winnowMatchPairsIncremental(s,
+        d.filter(col("doc_id") % 3 === 1), t, "doc_id", "text",
+        k = 3, w = 4, maxDf = 64)
+    }),
 
     // ExactSubstr span REMOVAL (the Lee et al. 2022 dedup PRODUCT —
     // q274 surfaces the repeats, this one rewrites the corpus): every
@@ -11630,6 +11671,38 @@ object SparkEntry {
         |    AS is_spike
         |FROM mm""".stripMargin,
 
+    // q312: the q306 monolith restricted to the %3 = 1 batch's keys —
+    // the incremental path's key-level delta over the full
+    // accumulated partials must land exactly here
+    "q312_hampel_incremental" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, d, v,
+        |    list(v) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+        |  FROM daily),
+        |md AS (
+        |  SELECT event_type, d, v, arr,
+        |    CASE WHEN len(arr) = 7 THEN list_sort(arr)[4] END AS med
+        |  FROM win),
+        |mm AS (
+        |  SELECT event_type, d, v, med,
+        |    CASE WHEN len(arr) = 7 THEN
+        |      list_sort(list_transform(arr, x -> abs(x - med)))[4]
+        |    END AS mad
+        |  FROM md)
+        |SELECT event_type, d, v, med, mad,
+        |  CASE WHEN med IS NULL THEN false
+        |       ELSE abs(v - med) * 10000 > 3 * 14826 * mad END
+        |    AS is_spike
+        |FROM mm
+        |WHERE event_type IN (
+        |  SELECT DISTINCT event_type FROM events
+        |  WHERE event_id % 3 = 1)""".stripMargin,
+
     // q305: the winnowing selection replayed literally — the q295
     // hash chain per 3-gram, 3 lags/leads per doc, the nested
     // run-length CASEs, the local feasibility test, df cap, pair join
@@ -11686,6 +11759,66 @@ object SparkEntry {
         |  CAST(count(DISTINCT a.fpv) AS BIGINT) AS n_shared
         |FROM capped a JOIN capped b
         |  ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q311: the q305 monolithic replay restricted to pairs touching
+    // the %3 = 1 batch — the full index (all three slices) feeds the
+    // df cap, exactly like the incremental path reading the
+    // just-appended SnapshotTable
+    "q311_winnow_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |eligible AS (SELECT * FROM docs WHERE len(toks) >= 6),
+        |grams AS (
+        |  SELECT doc_id, CAST(len(toks) - 2 AS BIGINT) AS mg,
+        |    CAST(i AS BIGINT) AS pos,
+        |    array_to_string(toks[i+1:i+3], ' ') AS g
+        |  FROM eligible, unnest(generate_series(0, len(toks) - 3)) AS u(i)),
+        |h0 AS (
+        |  SELECT doc_id, mg, pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(g, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS r
+        |  FROM grams),
+        |h1 AS (SELECT *, (xor(r, r // 65536) * 73244475) % 4294967296
+        |  AS v1 FROM h0),
+        |h2 AS (SELECT *, (xor(v1, v1 // 65536) * 73244475) % 4294967296
+        |  AS v2 FROM h1),
+        |hs AS (SELECT doc_id, mg, pos,
+        |    xor(v2, v2 // 65536) % 1000000000 AS h FROM h2),
+        |laid AS (
+        |  SELECT doc_id, mg, pos, h,
+        |    lag(h, 1) OVER wd AS lg1, lag(h, 2) OVER wd AS lg2,
+        |    lag(h, 3) OVER wd AS lg3,
+        |    lead(h, 1) OVER wd AS ld1, lead(h, 2) OVER wd AS ld2,
+        |    lead(h, 3) OVER wd AS ld3
+        |  FROM hs WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+        |runs AS (
+        |  SELECT doc_id, mg, pos, h,
+        |    CASE WHEN lg1 IS NOT NULL AND lg1 >= h THEN
+        |      CASE WHEN lg2 IS NOT NULL AND lg2 >= h THEN
+        |        CASE WHEN lg3 IS NOT NULL AND lg3 >= h THEN 3 ELSE 2 END
+        |      ELSE 1 END ELSE 0 END AS lrun,
+        |    CASE WHEN ld1 IS NOT NULL AND ld1 > h THEN
+        |      CASE WHEN ld2 IS NOT NULL AND ld2 > h THEN
+        |        CASE WHEN ld3 IS NOT NULL AND ld3 > h THEN 3 ELSE 2 END
+        |      ELSE 1 END ELSE 0 END AS rrun
+        |  FROM laid),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, h AS fpv
+        |  FROM runs
+        |  WHERE least(lrun, pos) + least(rrun, mg - 1 - pos) >= 3),
+        |capped AS (
+        |  SELECT doc_id, fpv FROM (
+        |    SELECT doc_id, fpv, count(*) OVER (PARTITION BY fpv) AS df
+        |    FROM sel) WHERE df <= 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(DISTINCT a.fpv) AS BIGINT) AS n_shared
+        |FROM capped a JOIN capped b
+        |  ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+        |WHERE a.doc_id % 3 = 1 OR b.doc_id % 3 = 1
         |GROUP BY 1, 2""".stripMargin,
 
     // q302: the same gram-frequency marking replayed literally — dup

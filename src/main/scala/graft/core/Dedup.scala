@@ -902,4 +902,91 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(countDistinct(col("fp")).as("n_shared"))
   }
+
+  /** Create/extend the persisted winnowing-fingerprint index behind
+    * [[winnowMatchPairsIncremental]]: each batch doc's selected
+    * (doc, pos, fp) rows appended to a transactional
+    * [[graft.sources.SnapshotTable]] — the [[writeBandIndex]]
+    * discipline applied to MOSS fingerprints. The append is sound
+    * because a doc's fingerprint set is a PURE function of its own
+    * text (selection windows never cross documents), so corpus
+    * growth only ADDS rows — nothing persisted ever needs rewriting
+    * (the property SA ranks lack and gram counts/band keys share).
+    * Pass (`txnAppId`, `txnVersion`) for replay-safe appends.
+    */
+  def writeFingerprintIndex(df: DataFrame, idCol: String,
+                            textCol: String, indexDir: String,
+                            k: Int = 3, w: Int = 4,
+                            txnAppId: String = null,
+                            txnVersion: Long = -1L): Unit = {
+    val rows = winnowFingerprints(df, idCol, textCol, k, w)
+    if (txnAppId == null)
+      graft.sources.SnapshotTable.append(rows, indexDir)
+    else
+      graft.sources.SnapshotTable.appendIdempotent(rows, indexDir,
+        txnAppId, txnVersion)
+  }
+
+  /** INCREMENTAL winnowing near-dup pairs — a new crawl batch joins
+    * the persisted fingerprint index instead of re-fingerprinting the
+    * accumulated corpus (the [[dedupAgainstIndex]] shape for MOSS):
+    * the batch's fingerprints are appended FIRST (one transactional
+    * commit), then the DELTA of match pairs is exactly every
+    * unordered pair with ≥ 1 shared distinct fingerprint and AT
+    * LEAST ONE SIDE IN THE BATCH. Old–old pairs never change (their
+    * fingerprint sets are frozen), so folding each delta over the
+    * previous outputs reproduces [[winnowMatchPairs]] of the full
+    * corpus exactly (`WinnowingSpec`) — for an uncapped run, or
+    * whenever no fingerprint's document frequency crosses `maxDf`
+    * mid-stream. With a finite cap the df is measured against the
+    * CURRENT index at each emission (the capped-at-delta-time
+    * semantics [[dedupAgainstIndex]]'s maxBandSize shares): pairs
+    * already emitted through a fingerprint that LATER turns
+    * boilerplate keep their rows — re-run the batch path when exact
+    * cap semantics over history matter.
+    *
+    * Per-batch cost: O(batch fingerprints) + one index scan
+    * restricted to the batch's fingerprint keys (df via grouped
+    * count — the skew-safe [[graft.core.SuffixArray]] dupKeys shape,
+    * never a window over a hot fingerprint).
+    *
+    * Output: (doc_a, doc_b, n_shared), doc_a < doc_b.
+    */
+  def winnowMatchPairsIncremental(spark: org.apache.spark.sql.SparkSession,
+                                  newDocs: DataFrame, indexDir: String,
+                                  idCol: String, textCol: String,
+                                  k: Int = 3, w: Int = 4,
+                                  maxDf: Int = Int.MaxValue,
+                                  txnAppId: String = null,
+                                  txnVersion: Long = -1L): DataFrame = {
+    writeFingerprintIndex(newDocs, idCol, textCol, indexDir, k, w,
+      txnAppId, txnVersion)
+    val idx = graft.sources.SnapshotTable.read(spark, indexDir)
+      .select(col("doc"), col("fp")).distinct()
+    val capped =
+      if (maxDf == Int.MaxValue) idx
+      else {
+        val keep = idx.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("fp")
+        idx.join(keep, Seq("fp"), "left_semi")
+      }
+    val newIds = newDocs.select(col(idCol).as("doc")).distinct()
+    // batch fps come from the INDEX (already appended) so both join
+    // sides share one scan + the cap decision
+    val newFps = capped.join(newIds, Seq("doc"), "left_semi")
+    val pairs = newFps.select(col("doc").as("dn"), col("fp"))
+      .join(capped.select(col("doc").as("do"), col("fp")), "fp")
+      .filter(col("dn") =!= col("do"))
+    // new–new pairs arrive in both orientations; the canonical
+    // (doc_a < doc_b) projection collapses them and countDistinct
+    // ignores the duplicate fp rows
+    pairs.select(
+        when(col("dn") < col("do"), col("dn")).otherwise(col("do"))
+          .as("doc_a"),
+        when(col("dn") < col("do"), col("do")).otherwise(col("dn"))
+          .as("doc_b"),
+        col("fp"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("fp")).as("n_shared"))
+  }
 }

@@ -496,6 +496,56 @@ object TimeSeries {
           .otherwise(lit(false)).as("is_spike"))
   }
 
+  /** INCREMENTAL/streaming Hampel — the despike filter over a
+    * PERSISTED daily table so a new event batch never re-reads the
+    * accumulated raw corpus (the gram-index/fingerprint-index
+    * discipline applied to the q306 analytics family, closing its
+    * streaming face): the batch's per-(key, day) PARTIAL sums are
+    * appended to a transactional [[graft.sources.SnapshotTable]] —
+    * append-only is sound because a day's total is the SUM of its
+    * persisted partials, so late events just add rows (no merge, no
+    * rewrite) — then flags are recomputed for the TOUCHED KEYS only,
+    * reading the index restricted by a key semi join.
+    *
+    * The delta is key-level, not day-level, because the window is a
+    * centered ROW window over the key's observed days: a late partial
+    * can shift any neighboring day's median, and a key's whole daily
+    * series is calendar-bounded (the [[theilSenTrend]] scale
+    * argument) — thousands of rows at most, the cheapest unit that
+    * makes folding exact. Folding each delta over previous outputs by
+    * (key, day) reproduces [[hampelDespike]] of the full corpus
+    * exactly (`StreamingHampelSpec`), INCLUDING late data: the
+    * re-emitted rows overwrite the stale flags.
+    *
+    * Pass (`txnAppId`, `txnVersion`) for replay-safe appends (a
+    * foreachBatch caller passes the batch id — exactly-once on
+    * restart).
+    *
+    * Output: [[hampelDespike]]'s (keyCol, d, v, med, mad, is_spike),
+    * restricted to the batch's keys.
+    */
+  def hampelDespikeIncremental(spark: org.apache.spark.sql.SparkSession,
+                               newEvents: DataFrame, dailyDir: String,
+                               keyCol: String, dayCol: Column,
+                               valueCol: Column, window: Int = 7,
+                               nMad: Int = 3, txnAppId: String = null,
+                               txnVersion: Long = -1L): DataFrame = {
+    val delta = newEvents
+      .select(col(keyCol).as("k"), dayCol.as("d"), valueCol.as("v"))
+      .groupBy("k", "d").agg(sum("v").as("v"))
+    if (txnAppId == null)
+      graft.sources.SnapshotTable.append(delta, dailyDir)
+    else
+      graft.sources.SnapshotTable.appendIdempotent(delta, dailyDir,
+        txnAppId, txnVersion)
+    val touched = newEvents.select(col(keyCol).as("k")).distinct()
+    val daily = graft.sources.SnapshotTable.read(spark, dailyDir)
+      .join(touched, Seq("k"), "left_semi")
+      .groupBy("k", "d").agg(sum("v").as("v"))
+    hampelDespike(daily.withColumnRenamed("k", keyCol),
+      keyCol, col("d"), col("v"), window, nMad)
+  }
+
   /** Theil–Sen robust trend per key — the median of all pairwise
     * day-to-day slopes of the key's daily count series. Where the OLS
     * slope ([[perKeyTrend]]) moves with every outlier day, the

@@ -85,4 +85,80 @@ class WinnowingSpec extends SparkSpec {
       "doc_id", "text", 3, 4, maxDf = 4).collect().length
     assert(capped < uncapped) // the all-docs boilerplate fp is capped out
   }
+
+  private def asPairs(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+  test("incremental: folded deltas over a persisted index == batch " +
+      "winnowMatchPairs; untouched old-old pairs stay out of deltas; " +
+      "idempotent append replay is a no-op") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val other = "one two three four five six seven"
+    val batch1 = Seq(
+      1L -> s"head words then $shared tail one",
+      2L -> s"$shared different remainder here now",
+      3L -> s"$other and some extra padding text")
+    val batch2 = Seq(
+      10L -> s"late copy with $shared inside too",
+      11L -> s"$other echoed by a late arrival",
+      12L -> "entirely fresh unrelated document body")
+    val dir = java.nio.file.Files
+      .createTempDirectory("wn_inc").toString + "/idx"
+    val d1 = asPairs(Dedup.winnowMatchPairsIncremental(spark,
+      batch1.toDF("doc_id", "text"), dir, "doc_id", "text",
+      txnAppId = "wn_inc", txnVersion = 1L))
+    // first delta IS the batch result
+    assert(d1 == asPairs(Dedup.winnowMatchPairs(
+      batch1.toDF("doc_id", "text"), "doc_id", "text")))
+    assert(d1.contains((1L, 2L)))
+    val d2 = asPairs(Dedup.winnowMatchPairsIncremental(spark,
+      batch2.toDF("doc_id", "text"), dir, "doc_id", "text",
+      txnAppId = "wn_inc", txnVersion = 2L))
+    // every delta-2 pair touches the batch; the old (1,2) pair is
+    // absent (its fingerprint sets are frozen)
+    assert(d2.keys.forall { case (a, b) => a >= 10L || b >= 10L })
+    assert(!d2.contains((1L, 2L)))
+    assert(d2.contains((1L, 10L)) && d2.contains((2L, 10L))
+      && d2.contains((3L, 11L)))
+    val folded = d1 ++ d2
+    assert(folded == asPairs(Dedup.winnowMatchPairs(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")))
+    // exactly-once: replaying batch 2's append (same txn version)
+    // must not grow the index
+    val before = graft.sources.SnapshotTable.read(spark, dir).count()
+    Dedup.writeFingerprintIndex(batch2.toDF("doc_id", "text"),
+      "doc_id", "text", dir, txnAppId = "wn_inc", txnVersion = 2L)
+    assert(graft.sources.SnapshotTable.read(spark, dir).count() == before)
+  }
+
+  test("incremental streaming face: foreachBatch deltas folded across " +
+      "micro-batches land on the batch rewrite (the q70 pattern)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("wn_stream").toString + "/idx"
+    val shared = "rolling stone gathers no moss at all"
+    val b1 = Seq(1L -> s"first doc carries $shared verbatim",
+                 2L -> "second document is entirely clean text")
+    val b2 = Seq(3L -> s"third one repeats $shared later on",
+                 4L -> "fourth stays unique in every way")
+    val input = MemoryStream[(Long, String)]
+    var folded = Map.empty[(Long, Long), Long]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        folded = folded ++ asPairs(Dedup.winnowMatchPairsIncremental(
+          spark, batch, dir, "doc_id", "text",
+          txnAppId = "wn_stream", txnVersion = id))
+      }
+      .start()
+    input.addData(b1: _*); q.processAllAvailable()
+    assert(folded.isEmpty) // nothing shared inside batch 1
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assert(folded == asPairs(Dedup.winnowMatchPairs(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")))
+    assert(folded.contains((1L, 3L)))
+  }
 }
