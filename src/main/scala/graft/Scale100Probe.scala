@@ -100,7 +100,9 @@ object Scale100Probe {
     // probe their production shape instead
     def timed(label: String)(mk: String => org.apache.spark.sql.DataFrame)
         : Unit = {
-      if (args.nonEmpty && !args.contains(label)) return
+      // substring match: runMain splits args on whitespace, so a
+      // multi-word label is selectable by any of its words
+      if (args.nonEmpty && !args.exists(a => label.contains(a))) return
       def run(dir: String): Double = {
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
@@ -176,7 +178,7 @@ object Scale100Probe {
     // pairs = Σ_b |probe(b)|·|home(b)| from the two-level probe
     // relation — reported at both scales so the LINEAR claim is a
     // measured number, not an asymptotic argument
-    if (args.isEmpty || args.contains("lof pairs")) {
+    if (args.isEmpty || args.exists(a => "lof pairs B∝n".contains(a))) {
       def pairCount(dir: String): Long = {
         val emb = Tables.embeddings(spark, dir)
         val m = if (dir == out) 3880L else 388L

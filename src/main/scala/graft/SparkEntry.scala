@@ -612,6 +612,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_hits"), col("contaminated"))
     }),
 
+    // bloom-prefiltered decontamination — the 100 TB shape of q52:
+    // eval shingles build a relational bloom (portable double-hash,
+    // bit_or words, model-size broadcast), train shingles die at the
+    // bit test, only candidates reach the exact verify join. No false
+    // negatives, so flags == q52's exact path; n_candidates pins the
+    // pre-filter's measured selectivity relationally
+    "q315_bloom_decontam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.core.Decontaminate.flagContaminatedBloom(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5, minHits = 1,
+        numBits = 1 << 18, numHashes = 4)
+    }),
+
     // Gopher-style repetition stats: duplicate-token fraction plus the
     // token share covered by the most frequent bigram
     "q53_repetition" -> ((s, dir) => {
@@ -4365,6 +4380,23 @@ object SparkEntry {
     "q302_exact_substr_dedup" -> ((s, dir) =>
       graft.core.SuffixArray.exactSubstrDedup(
         Tables.documents(s, dir), "doc_id", "text", minLen = 12)),
+
+    // one-way ANOVA across event types on cent-quantized values — the
+    // k-group mean test between q223's two-arm z and the rank-based
+    // Mann-Whitney; exact-integer core (per-group sums squared over
+    // DECIMAL(38,0), q4-lattice per-term quotients, one final integer
+    // division for F)
+    "q313_anova" -> ((s, dir) =>
+      Eval.anovaOneWay(Tables.events(s, dir), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"))),
+
+    // Kruskal-Wallis H across event types — the k-group RANK test
+    // (q313's robust twin): doubled ranks keep tie-averaged ranks
+    // integer, ranks come from the value lattice (never a global row
+    // sort), exact tie-corrected H* via HUGEINT-replayable divisions
+    "q314_kruskal_wallis" -> ((s, dir) =>
+      Eval.kruskalWallis(Tables.events(s, dir), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"))),
 
     // McNemar's paired test comparing two value-derived classifiers
     // on the SAME events — only the discordant cells matter; the
@@ -11865,6 +11897,168 @@ object SparkEntry {
         |  CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
         |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
         |FROM docs d LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
+    // q313: the ANOVA identities over HUGEINT — per-group S_g²·1e4
+    // exact integer quotients, SSB/SSW on the q4 lattice, one final
+    // integer division for F
+    "q313_anova" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |per AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(v) AS BIGINT) AS sg
+        |  FROM base GROUP BY g),
+        |terms AS (
+        |  SELECT sum((CAST(sg AS HUGEINT) * sg * 10000) // ng) AS sum_t,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS q
+        |  FROM base),
+        |core AS (
+        |  SELECT n, k,
+        |    CAST(greatest(CAST(0 AS HUGEINT),
+        |      sum_t - (CAST(s AS HUGEINT) * s * 10000) // n)
+        |      AS BIGINT) AS ssb_q4,
+        |    CAST(CAST(q AS HUGEINT) * 10000 - sum_t AS BIGINT)
+        |      AS ssw_q4
+        |  FROM terms, tot)
+        |SELECT n AS n_rows, k AS k_groups, ssb_q4, ssw_q4,
+        |  k - 1 AS df_between, n - k AS df_within,
+        |  CASE WHEN k >= 2 AND n > k AND ssw_q4 > 0 THEN
+        |    CAST((CAST(ssb_q4 AS HUGEINT) * (n - k) * 1000000)
+        |      // (CAST(ssw_q4 AS HUGEINT) * (k - 1)) AS BIGINT)
+        |  END AS f_micro
+        |FROM core""".stripMargin,
+
+    // q315: the whole bloom replayed — the q305 hash chain twice
+    // (second seed via the '#b2' suffix, forced odd), double-hashed
+    // positions, bit_or words over 62-bit lanes, all-bits membership,
+    // then the q52 exact-verify tail on the candidates
+    "q315_bloom_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+5], ' ')
+        |     for i in generate_series(0, greatest(len(t)-5, 0))])) AS shingle
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+        |keys AS (
+        |  SELECT shingle FROM ev
+        |  UNION
+        |  SELECT DISTINCT shingle FROM tr),
+        |h0 AS (
+        |  SELECT shingle,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(shingle, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS r,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_split_to_array(shingle || '#b2', ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS r2
+        |  FROM keys),
+        |m1 AS (SELECT shingle,
+        |    (xor(r, r // 65536) * 73244475) % 4294967296 AS a,
+        |    (xor(r2, r2 // 65536) * 73244475) % 4294967296 AS b
+        |  FROM h0),
+        |m2 AS (SELECT shingle,
+        |    (xor(a, a // 65536) * 73244475) % 4294967296 AS a,
+        |    (xor(b, b // 65536) * 73244475) % 4294967296 AS b
+        |  FROM m1),
+        |hh AS (SELECT shingle, xor(a, a // 65536) AS h1,
+        |    xor(b, b // 65536) * 2 + 1 AS h2
+        |  FROM m2),
+        |pos AS (
+        |  SELECT shingle, (h1 + i * h2) % 262144 AS pos
+        |  FROM hh, unnest(generate_series(0, 3)) AS u(i)),
+        |bw AS (
+        |  SELECT pos // 62 AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INT)) AS bits
+        |  FROM pos JOIN ev USING (shingle) GROUP BY 1),
+        |hitbits AS (
+        |  SELECT p.shingle,
+        |    CASE WHEN w.bits IS NOT NULL AND
+        |      (w.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 62 AS INT)))
+        |        != 0 THEN 1 ELSE 0 END AS hit
+        |  FROM pos p
+        |  JOIN (SELECT DISTINCT shingle FROM tr) tk USING (shingle)
+        |  LEFT JOIN bw w ON w.word_idx = p.pos // 62),
+        |bh AS (
+        |  SELECT shingle FROM hitbits GROUP BY shingle
+        |  HAVING sum(hit) = 4),
+        |cand AS (SELECT tr.doc_id, tr.shingle FROM tr
+        |  JOIN bh USING (shingle)),
+        |co AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        |  FROM tr GROUP BY 1),
+        |cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cand GROUP BY 1),
+        |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM cand c JOIN ev USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(co.n_shingles, 0) AS n_shingles,
+        |  coalesce(cc.n_candidates, 0) AS n_candidates,
+        |  coalesce(hits.n_hits, 0) AS n_hits,
+        |  coalesce(hits.n_hits, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+        |LEFT JOIN co USING (doc_id)
+        |LEFT JOIN cc USING (doc_id)
+        |LEFT JOIN hits USING (doc_id)""".stripMargin,
+
+    // q314: doubled ranks from the value lattice (2c + t + 1 per tie
+    // group), per-group quotients and the tie-corrected H in HUGEINT
+    "q314_kruskal_wallis" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |vals AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS t
+        |  FROM base GROUP BY v),
+        |ranked AS (
+        |  SELECT v, t,
+        |    2 * coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r2
+        |  FROM vals),
+        |gv AS (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |rg AS (
+        |  SELECT g, CAST(sum(c * r2) AS BIGINT) AS r2g,
+        |    CAST(sum(c) AS BIGINT) AS ng
+        |  FROM gv JOIN ranked USING (v) GROUP BY g),
+        |terms AS (
+        |  SELECT sum((CAST(r2g AS HUGEINT) * r2g) // ng) AS sum_t,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM rg),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |tie AS (
+        |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS t3
+        |  FROM vals),
+        |core AS (
+        |  SELECT n, k, t3,
+        |    CASE WHEN k >= 2 THEN
+        |      CAST(greatest(CAST(0 AS HUGEINT),
+        |        (sum_t * 3000000) // (CAST(n AS HUGEINT) * (n + 1))
+        |          - CAST(3000000 AS HUGEINT) * (n + 1)) AS BIGINT)
+        |    END AS h_micro
+        |  FROM terms, tot, tie)
+        |SELECT n AS n_rows, k AS k_groups, t3 AS tie_t3, h_micro,
+        |  CASE WHEN h_micro IS NOT NULL
+        |        AND CAST(n AS HUGEINT) * n * n - n - t3 > 0 THEN
+        |    CAST((CAST(h_micro AS HUGEINT)
+        |        * (CAST(n AS HUGEINT) * n * n - n))
+        |      // (CAST(n AS HUGEINT) * n * n - n - t3) AS BIGINT)
+        |  END AS h_adj_micro
+        |FROM core""".stripMargin,
 
     // q275: the four paired cells + the integer continuity-corrected
     // chi2; mods are pmod-equivalent ((x%k+k)%k) like q272

@@ -68,4 +68,62 @@ object Decontaminate {
     flagContaminated(train, eval, idCol, textCol, n, minHits)
       .filter(!col("contaminated"))
       .drop("n_hits", "contaminated")
+
+  /** [[flagContaminated]] behind a BLOOM PRE-FILTER — the 100 TB
+    * shape of benchmark decontamination: the eval suite's shingles
+    * build a [[Sketches.bloomBuild]] relational filter once
+    * (model-size, broadcast), every training shingle probes it, and
+    * only the surviving CANDIDATES enter the exact verification join.
+    * At production FPR (~1% at 10 bits/key) the exact join's probe
+    * side shrinks by ~99% — the train shingle stream never shuffles,
+    * it dies at a broadcast bit test.
+    *
+    * Exactness is NOT approximated: a bloom filter has no false
+    * negatives, so `n_hits`/`contaminated` equal [[flagContaminated]]
+    * bit-for-bit (`BloomSpec` gates it); false positives only cost
+    * verification work, surfaced per doc as `n_candidates` (the gate
+    * pins the pre-filter's selectivity relationally). The filter uses
+    * the portable rollingHash→mix32 double-hash chain, so the WHOLE
+    * pipeline — bits included — replays in SQL.
+    *
+    * Output: (idCol, n_shingles, n_candidates, n_hits, contaminated),
+    * one row per training doc; shingles are per-doc DISTINCT (the
+    * [[Dedup.shingles]] contract).
+    */
+  def flagContaminatedBloom(train: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 8, minHits: Int = 1,
+                            numBits: Int = 1 << 20,
+                            numHashes: Int = 4): DataFrame = {
+    val evalShingles = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val bloom = Sketches.bloomBuild(evalShingles, col("shingle"),
+      numBits, numHashes)
+    val trainShingles = train
+      .select(col(idCol),
+        explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+    val hot = Sketches.bloomTest(
+        trainShingles.select("shingle").distinct(), col("shingle"),
+        bloom, numBits, numHashes)
+      .filter(col("bloom_hit"))
+      .select(col("bloom_key").as("shingle"))
+    val cand = trainShingles.join(hot, Seq("shingle"), "left_semi")
+    val perDoc = trainShingles.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"))
+    val candPerDoc = cand.groupBy(idCol)
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = cand.join(evalShingles, "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(candPerDoc, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits)
+          .as("contaminated"))
+  }
 }

@@ -624,6 +624,155 @@ object Eval {
     * finishes. Output per key: (n_a, n_b, u2_a = 2·U_A, z). Degenerate
     * keys (an empty arm, or every value tied) yield NULL z.
     */
+  /** One-way ANOVA — the k-group mean-difference test the experiment
+    * stack lacked between the two-arm z/t shapes (q223) and the
+    * rank-based Mann–Whitney: F = (SSB/(k−1)) / (SSW/(n−k)) over a
+    * BIGINT-quantized value column. EXACT-integer discipline
+    * throughout: with per-group (n_g, S_g = Σv) and global
+    * (n, S, Q = Σv²), the computational identities
+    *
+    *   SSB = Σ_g S_g²/n_g − S²/n,   SSW = Q − Σ_g S_g²/n_g
+    *
+    * need only the quotients S_g²·10⁴ DIV n_g — computed in
+    * DECIMAL(38,0) so the square never overflows (S_g² alone passes
+    * 2⁶³ at corpus scale), floored to the q4 (1e4) lattice per-TERM
+    * so the sums are order-free and replay exactly in SQL (the PSI
+    * discipline; DuckDB runs the same divisions in HUGEINT — the
+    * Spark side uses the exact (x − pmod(x, b))/b form so decimal
+    * rounding can never disagree with an integer DIV). Per-term
+    * flooring can push a true-zero SSB a few quanta negative —
+    * clamped to 0 on both sides. F itself is one final integer
+    * division on the floored quantities
+    * (ssb_q4·(n−k)·10⁶ DIV (ssw_q4·(k−1))).
+    *
+    * Plan: one map-side-combinable grouped agg (k rows) + one global
+    * agg + a broadcast cross — raw rows are read ONCE and never
+    * shuffle beyond the k-row partial-agg exchange; nothing here
+    * grows with anything but k.
+    *
+    * Output: one row — (n_rows, k_groups, ssb_q4, ssw_q4, df_between,
+    * df_within, f_micro); f_micro NULL when k < 2, n ≤ k, or
+    * SSW = 0 (all within-group values identical).
+    */
+  def anovaOneWay(df: DataFrame, groupCol: Column,
+                  valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+    val per = base.groupBy("g").agg(
+      count(lit(1)).as("ng"), sum("v").as("sg"))
+    // exact integer division in decimal: (x − pmod(x, b)) / b — the
+    // quotient is then a true integer, so the decimal division's
+    // scale-6 HALF_UP rounding can never disagree with DuckDB's //
+    // (a bare floor(x/b) could round x/b UP across the integer
+    // boundary once b exceeds ~2e6 rows)
+    val terms = per.select(
+      expr("""CAST((CAST(sg AS DECIMAL(38, 0)) * sg * 10000
+                - pmod(CAST(sg AS DECIMAL(38, 0)) * sg * 10000, ng))
+              / ng AS DECIMAL(38, 0))""").as("t"))
+      .agg(sum("t").as("sum_t"), count(lit(1)).as("k"))
+    val glob = base.agg(count(lit(1)).as("n"), sum("v").as("s"),
+      sum(expr("v * v")).as("q"))
+    terms.crossJoin(broadcast(glob))
+      .select(col("n").as("n_rows"), col("k").as("k_groups"),
+        expr("""CAST(greatest(CAST(0 AS DECIMAL(38, 0)), sum_t -
+                CAST((CAST(s AS DECIMAL(38, 0)) * s * 10000
+                    - pmod(CAST(s AS DECIMAL(38, 0)) * s * 10000, n))
+                  / n AS DECIMAL(38, 0))) AS BIGINT)""").as("ssb_q4"),
+        expr("""CAST(CAST(q AS DECIMAL(38, 0)) * 10000 - sum_t
+                AS BIGINT)""").as("ssw_q4"),
+        expr("k - 1").as("df_between"),
+        expr("n - k").as("df_within"))
+      .withColumn("f_micro", expr(
+        """CASE WHEN k_groups >= 2 AND n_rows > k_groups
+                 AND ssw_q4 > 0 THEN
+             CAST((CAST(ssb_q4 AS DECIMAL(38, 0)) * df_within * 1000000
+                 - pmod(CAST(ssb_q4 AS DECIMAL(38, 0)) * df_within
+                     * 1000000,
+                   CAST(ssw_q4 AS DECIMAL(38, 0)) * df_between))
+               / (CAST(ssw_q4 AS DECIMAL(38, 0)) * df_between)
+               AS BIGINT)
+           END"""))
+  }
+
+  /** Kruskal–Wallis H — the k-group RANK test beside [[anovaOneWay]]
+    * (the ≥3-arm generalization of [[mannWhitneyU]], robust to
+    * non-normal value distributions): H = 12/(n(n+1)) · Σ_g R_g²/n_g
+    * − 3(n+1), with the standard tie correction
+    * H* = H / (1 − Σ(t³−t)/(n³−n)).
+    *
+    * EXACT throughout via DOUBLED ranks: a tie group occupying sorted
+    * positions c+1..c+t has average rank (2c+t+1)/2, so 2·rank =
+    * 2c+t+1 is always an integer — R2_g = Σ 2·rank stays in BIGINT
+    * and Σ R_g²/n_g = Σ R2_g²/(4·n_g) folds the /4 into the final
+    * scaling: h_micro = (3·10⁶·Σ(R2_g² DIV n_g)) DIV (n(n+1)) −
+    * 3·10⁶·(n+1). Squares run in DECIMAL(38,0) (R2_g² passes 2⁶³),
+    * every division is the exact (x − pmod(x, b))/b form (the
+    * [[anovaOneWay]] rationale), and per-term flooring is order-free
+    * — the whole statistic replays bit-for-bit in SQL (DuckDB runs
+    * HUGEINT //). Flooring can push a true-zero H a few micro-quanta
+    * negative; clamped to 0 on both sides.
+    *
+    * Plan: ranks come from the VALUE LATTICE, not a global row sort —
+    * one grouped count per distinct value, one prefix-sum window over
+    * that (value-lattice-bounded single partition, the q142/q164
+    * discipline), and per-group rank sums via a (g, v)-count join.
+    * Raw rows never enter a window; everything row-scaled is a
+    * map-side-combinable grouped count.
+    *
+    * Output: one row — (n_rows, k_groups, tie_t3, h_micro,
+    * h_adj_micro); h_adj_micro NULL when every value is tied
+    * (correction denominator 0), h_micro NULL when k < 2.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: Column,
+                    valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+    val vals = base.groupBy("v").agg(count(lit(1)).as("t"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("cum", coalesce(sum("t").over(wv), lit(0L)))
+      .select(col("v"), col("t"),
+        (lit(2L) * col("cum") + col("t") + lit(1L)).as("r2"))
+    val gv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val rg = gv.join(ranked.select("v", "r2"), "v")
+      .groupBy("g").agg(sum(col("c") * col("r2")).as("r2g"),
+        sum("c").as("ng"))
+    val terms = rg.select(
+      expr("""CAST((CAST(r2g AS DECIMAL(38, 0)) * r2g
+                - pmod(CAST(r2g AS DECIMAL(38, 0)) * r2g, ng))
+              / ng AS DECIMAL(38, 0))""").as("tm"))
+      .agg(sum("tm").as("sum_t"), count(lit(1)).as("k"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val ties = ranked.agg(
+      coalesce(sum(expr("t * t * t - t")), lit(0L)).as("t3"))
+    terms.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_rows"), col("k").as("k_groups"),
+        col("t3").as("tie_t3"),
+        expr("""CASE WHEN k >= 2 THEN
+            CAST(greatest(CAST(0 AS DECIMAL(38, 0)),
+              (sum_t * 3000000
+                - pmod(sum_t * 3000000,
+                    CAST(n AS DECIMAL(38, 0)) * (n + 1)))
+              / (CAST(n AS DECIMAL(38, 0)) * (n + 1))
+              - CAST(3000000 AS DECIMAL(38, 0)) * (n + 1))
+            AS BIGINT) END""").as("h_micro"))
+      .withColumn("h_adj_micro", expr(
+        """CASE WHEN h_micro IS NOT NULL
+                 AND CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
+                   - n_rows - tie_t3 > 0 THEN
+             CAST((CAST(h_micro AS DECIMAL(38, 0))
+                 * (CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
+                    - n_rows)
+                 - pmod(CAST(h_micro AS DECIMAL(38, 0))
+                     * (CAST(n_rows AS DECIMAL(38, 0)) * n_rows
+                        * n_rows - n_rows),
+                   CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
+                     - n_rows - tie_t3))
+               / (CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
+                  - n_rows - tie_t3) AS BIGINT)
+           END"""))
+  }
+
   def mannWhitneyU(df: DataFrame, key: Column, arm: Column,
                    valueCents: Column, armA: String, armB: String): DataFrame = {
     val lat = df

@@ -63,6 +63,72 @@ object Sketches {
     * time (long for integral keys, string otherwise) — a silent
     * cast-to-long of a string key would null-drop every row.
     */
+  /** The `numHashes` double-hashed bit positions of a string key in a
+    * `numBits`-bit RELATIONAL bloom filter: pos_i = (h1 + i·h2) mod m
+    * with h1/h2 from the portable rollingHash→mix32 chain (two
+    * independent seeds via a suffix salt; h2 forced odd). The same
+    * chain every SQL oracle replays — unlike [[bloom]]'s
+    * driver-held Spark BloomFilter (xxhash-based, opaque to the
+    * oracle) and the manifest blooms in SnapshotTable, this filter is
+    * an ordinary DataFrame, so it builds DISTRIBUTED (map-side
+    * combinable bit_or), broadcasts explicitly, and its every bit
+    * replays bit-for-bit in DuckDB.
+    */
+  private def bloomPositions(key: Column, numBits: Int,
+                             numHashes: Int): Column = {
+    val h1 = mix32(TextAnalysis.rollingHash(key))
+    val h2 = mix32(TextAnalysis.rollingHash(concat(key, lit("#b2")))) *
+      lit(2L) + lit(1L)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => pmod(h1 + i.cast("long") * h2, lit(numBits.toLong)))
+  }
+
+  /** Build the relational bloom filter over (distinct) `key` values:
+    * one row per 62-bit word — (word_idx, bits). 62 bits per word
+    * keeps every shift strictly below the BIGINT sign bit in both
+    * engines. The build is one explode + one map-side-combinable
+    * bit_or aggregate; the result is model-size (≤ numBits/62 rows)
+    * by construction.
+    */
+  def bloomBuild(keys: DataFrame, key: Column, numBits: Int = 1 << 20,
+                 numHashes: Int = 4): DataFrame = {
+    require(numBits >= 62, "numBits must be >= 62")
+    require(numHashes >= 1 && numHashes <= 16,
+      "numHashes must be in [1, 16]")
+    keys.select(explode(bloomPositions(key, numBits, numHashes))
+        .as("pos"))
+      .select(expr("pos DIV 62").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 62) AS INT))")
+          .as("m"))
+      .groupBy("word_idx").agg(expr("bit_or(m)").as("bits"))
+  }
+
+  /** Membership probe against a [[bloomBuild]] filter: (bloom_key,
+    * bloom_hit) for each DISTINCT key — hit iff ALL `numHashes` bits
+    * are set (absent words count as unset). The filter side is
+    * broadcast (model-size by construction); the key side explodes to
+    * numHashes narrow rows and aggregates back — no data-sized
+    * shuffle beyond the key distinct. NO FALSE NEGATIVES: every key
+    * that was built in always hits, so an exact verification join on
+    * the survivors reproduces exact semantics (`BloomSpec`).
+    */
+  def bloomTest(keys: DataFrame, key: Column, bloom: DataFrame,
+                numBits: Int = 1 << 20, numHashes: Int = 4): DataFrame =
+    keys.select(key.as("bloom_key")).distinct()
+      .select(col("bloom_key"),
+        explode(bloomPositions(col("bloom_key"), numBits, numHashes))
+          .as("pos"))
+      .select(col("bloom_key"), expr("pos DIV 62").as("word_idx"),
+        expr("CAST(pmod(pos, 62) AS INT)").as("b"))
+      .join(broadcast(bloom), Seq("word_idx"), "left")
+      .withColumn("hit", coalesce(
+        col("bits").bitwiseAND(
+          expr("shiftleft(CAST(1 AS BIGINT), b)")) =!= 0L,
+        lit(false)))
+      .groupBy("bloom_key")
+      .agg((sum(when(col("hit"), lit(1L)).otherwise(lit(0L)))
+        === lit(numHashes.toLong)).as("bloom_hit"))
+
   def mightContain(df: DataFrame, column: String, bf: BloomFilter): DataFrame = {
     val bcast = df.sparkSession.sparkContext.broadcast(bf)
     import org.apache.spark.sql.types._

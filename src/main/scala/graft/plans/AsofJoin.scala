@@ -249,6 +249,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("krippendorff_alpha", 3, a =>
       graft.core.Eval.krippendorffAlpha(active.table(a(0)),
         ex(a(1)), ex(a(2)))))
+    e.injectTableFunction(tableFn("anova", 3, a =>
+      graft.core.Eval.anovaOneWay(active.table(a(0)),
+        ex(a(1)), ex(a(2)))))
+    e.injectTableFunction(tableFn("kruskal_wallis", 3, a =>
+      graft.core.Eval.kruskalWallis(active.table(a(0)),
+        ex(a(1)), ex(a(2)))))
+    e.injectTableFunction(tableFn("bloom_decontam", 6, a =>
+      graft.core.Decontaminate.flagContaminatedBloom(active.table(a(0)),
+        active.table(a(1)), a(2), a(3), n = a(4).toInt,
+        minHits = a(5).toInt)))
     e.injectTableFunction(tableFn("set_cover", 4, a =>
       graft.core.Sampling.greedySetCover(active.table(a(0)), a(1), a(2),
         k = a(3).toInt)))

@@ -564,4 +564,119 @@ class EvalSpec extends SparkSpec {
       .select("chi2_micro").as[Long].head()
     assert(one == many)
   }
+
+  /** Reference one-way ANOVA on the same q4/micro lattice. */
+  private def bruteAnova(rows: Seq[(String, Long)])
+      : (Long, Long, Long, Long, Option[Long]) = {
+    val n = rows.size.toLong
+    val per = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = per.size.toLong
+    def q(num: BigInt, den: BigInt): BigInt = num / den
+    val sumT = per.values.map { vs =>
+      val sg = BigInt(vs.sum); q(sg * sg * 10000, vs.size) }.sum
+    val s = BigInt(rows.map(_._2).sum)
+    val qq = BigInt(rows.map(v => v._2 * v._2).sum)
+    val ssb = (sumT - q(s * s * 10000, n)).max(BigInt(0))
+    val ssw = qq * 10000 - sumT
+    val f = if (k >= 2 && n > k && ssw > 0)
+      Some(((ssb * (n - k) * 1000000) / (ssw * (k - 1))).toLong)
+    else None
+    (n, k, ssb.toLong, ssw.toLong, f)
+  }
+
+  test("anovaOneWay: brute parity on generated groups; known-equal " +
+      "groups give F near 0; degenerate cases NULL out") {
+    val rows = (1L to 300L).map(i =>
+      (s"g${i % 4}", (i * 37 % 100) + (i % 4) * 25))
+    val got = Eval.anovaOneWay(rows.toDF("g", "v"), col("g"), col("v"))
+      .select("n_rows", "k_groups", "ssb_q4", "ssw_q4", "f_micro")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    val exp = bruteAnova(rows)
+    assert((got._1, got._2, got._3, got._4, got._5) == exp)
+    assert(got._5.exists(_ > 0L))
+    // identical group means (shift = 0): SSB collapses to ~0
+    val flat = (1L to 300L).map(i => (s"g${i % 4}", i * 37 % 100))
+    val gotF = Eval.anovaOneWay(flat.toDF("g", "v"), col("g"), col("v"))
+      .select("ssb_q4", "f_micro").as[(Long, Option[Long])].head()
+    assert(gotF == ((bruteAnova(flat)._3, bruteAnova(flat)._5)))
+    // one group -> no between df -> NULL F; constant values -> ssw=0
+    val one = Eval.anovaOneWay(Seq(("a", 1L), ("a", 2L))
+      .toDF("g", "v"), col("g"), col("v"))
+      .select("f_micro").as[Option[Long]].head()
+    assert(one.isEmpty)
+    val const = Eval.anovaOneWay(Seq(("a", 5L), ("a", 5L), ("b", 5L),
+        ("b", 5L)).toDF("g", "v"), col("g"), col("v"))
+      .select("ssw_q4", "f_micro").as[(Long, Option[Long])].head()
+    assert(const._1 == 0L && const._2.isEmpty)
+  }
+
+  /** Reference Kruskal-Wallis on the same doubled-rank lattice. */
+  private def bruteKw(rows: Seq[(String, Long)])
+      : (Long, Long, Long, Option[Long], Option[Long]) = {
+    val n = rows.size.toLong
+    val sorted = rows.map(_._2).sorted
+    // doubled average rank per value: 2c + t + 1
+    val byV = rows.map(_._2).groupBy(identity).view.mapValues(_.size)
+      .toMap
+    // doubled average rank: 2·|{x < v}| + t + 1 (indexWhere on the
+    // sorted pool IS the count of strictly-smaller values)
+    def r2(v: Long): Long =
+      2 * sorted.indexWhere(_ == v) + byV(v) + 1
+    val per = rows.groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong,
+        vs.map(x => BigInt(r2(x._2))).sum)).toMap
+    val k = per.size.toLong
+    val sumT = per.values.map { case (ng, r2g) => (r2g * r2g) / ng }.sum
+    val t3 = byV.values.map(t => BigInt(t) * t * t - t).sum
+    val h = if (k >= 2)
+      Some(((sumT * 3000000) / (BigInt(n) * (n + 1))
+        - BigInt(3000000) * (n + 1)).max(BigInt(0)))
+    else None
+    val denom = BigInt(n) * n * n - n - t3
+    val hAdj = h.flatMap(hv =>
+      if (denom > 0) Some(((hv * (BigInt(n) * n * n - n)) / denom)
+        .toLong)
+      else None)
+    (n, k, t3.toLong, h.map(_.toLong), hAdj)
+  }
+
+  test("kruskalWallis: brute parity incl. heavy ties; shifted groups " +
+      "give H > 0; all-tied NULLs the correction") {
+    val rows = (1L to 240L).map(i =>
+      (s"g${i % 3}", (i * 7 % 20) + (i % 3) * 8))
+    val got = Eval.kruskalWallis(rows.toDF("g", "v"), col("g"), col("v"))
+      .select("n_rows", "k_groups", "tie_t3", "h_micro", "h_adj_micro")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(got == bruteKw(rows))
+    assert(got._4.exists(_ > 0L) && got._5.exists(_ >= got._4.get))
+    // every value identical: t3 = n^3 - n, correction denominator 0
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+    val gt = Eval.kruskalWallis(tied.toDF("g", "v"), col("g"), col("v"))
+      .select("h_micro", "h_adj_micro")
+      .as[(Option[Long], Option[Long])].head()
+    assert(gt._1.contains(0L) && gt._2.isEmpty)
+    // one group: no H at all
+    val one = Eval.kruskalWallis(Seq(("a", 1L), ("a", 2L))
+      .toDF("g", "v"), col("g"), col("v"))
+      .select("h_micro").as[Option[Long]].head()
+    assert(one.isEmpty)
+  }
+
+  test("kruskalWallis: partition invariant") {
+    val rows = (1L to 300L).map(i => (s"t${i % 4}", i * 13 % 31))
+    val a = Eval.kruskalWallis(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().toSeq
+    val b = Eval.kruskalWallis(rows.toDF("g", "v").repartition(9),
+      col("g"), col("v")).collect().toSeq
+    assert(a == b)
+  }
+
+  test("anovaOneWay: partition invariant") {
+    val rows = (1L to 400L).map(i => (s"t${i % 5}", i * 13 % 97))
+    val a = Eval.anovaOneWay(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().toSeq
+    val b = Eval.anovaOneWay(rows.toDF("g", "v").repartition(11),
+      col("g"), col("v")).collect().toSeq
+    assert(a == b)
+  }
 }

@@ -252,6 +252,32 @@ class ExtensionsSpec extends SparkSpec {
       col("u"), col("lab")).collect()
     assert(kaSql.toSeq == kaApi.toSeq && kaSql.nonEmpty)
 
+    val avSql = spark.sql(
+      "SELECT * FROM anova('r13_ka', 'u', 'CAST(lab AS BIGINT)')")
+      .collect()
+    val avApi = graft.core.Eval.anovaOneWay(spark.table("r13_ka"),
+      col("u"), expr("CAST(lab AS BIGINT)")).collect()
+    assert(avSql.toSeq == avApi.toSeq && avSql.nonEmpty)
+
+    val kwSql = spark.sql(
+      "SELECT * FROM kruskal_wallis('r13_ka', 'u', " +
+        "'CAST(lab AS BIGINT)')").collect()
+    val kwApi = graft.core.Eval.kruskalWallis(spark.table("r13_ka"),
+      col("u"), expr("CAST(lab AS BIGINT)")).collect()
+    assert(kwSql.toSeq == kwApi.toSeq && kwSql.nonEmpty)
+
+    Seq((1L, "alpha beta gamma delta epsilon tail words here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r14_tr")
+    Seq((9L, "alpha beta gamma delta epsilon other suffix"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r14_ev")
+    val bdSql = spark.sql(
+      "SELECT * FROM bloom_decontam('r14_tr', 'r14_ev', " +
+        "'doc_id', 'text', 5, 1)").collect()
+    val bdApi = graft.core.Decontaminate.flagContaminatedBloom(
+      spark.table("r14_tr"), spark.table("r14_ev"),
+      "doc_id", "text", n = 5, minHits = 1).collect()
+    assert(bdSql.toSeq == bdApi.toSeq && bdSql.nonEmpty)
+
     spark.range(80).selectExpr("CAST(id % 6 AS STRING) AS s",
       "CAST((id * 17) % 25 AS STRING) AS e")
       .createOrReplaceTempView("r13_sc")
