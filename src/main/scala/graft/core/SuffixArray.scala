@@ -514,8 +514,17 @@ object SuffixArray {
   def writeGramIndex(df: DataFrame, idCol: String, textCol: String,
                      indexDir: String, minLen: Int = 20,
                      txnAppId: String = null,
-                     txnVersion: Long = -1L): Unit = {
-    val rows = gramRows(tokenized(df, idCol, textCol), minLen)
+                     txnVersion: Long = -1L,
+                     hashGrams: Boolean = false): Unit = {
+    // hashGrams shrinks the PERSISTED index ~an order of magnitude
+    // (16-byte two-seed keys instead of minLen-token strings) — at
+    // 100 TB the index size, not the batch, dominates storage; the
+    // [[keyed]] collision argument and the hashed == exact spec gate
+    // apply verbatim. An index is hashed or exact for its LIFETIME
+    // (the key column's type pins it — mixing appends fails loudly on
+    // schema).
+    val rows = keyed(gramRows(tokenized(df, idCol, textCol), minLen),
+      hashGrams)
     if (txnAppId == null)
       graft.sources.SnapshotTable.append(rows, indexDir)
     else
@@ -558,12 +567,17 @@ object SuffixArray {
                                   indexDir: String, idCol: String,
                                   textCol: String, minLen: Int = 20,
                                   txnAppId: String = null,
-                                  txnVersion: Long = -1L): DataFrame = {
+                                  txnVersion: Long = -1L,
+                                  hashGrams: Boolean = false): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     writeGramIndex(newDocs, idCol, textCol, indexDir, minLen,
-      txnAppId, txnVersion)
+      txnAppId, txnVersion, hashGrams)
     val idx = graft.sources.SnapshotTable.read(spark, indexDir)
-    val batchGrams = gramRows(tokenized(newDocs, idCol, textCol), minLen)
+    // every downstream step keys on "g" generically, so the hashed
+    // struct key rides the same joins/aggregations — only the
+    // persisted bytes change
+    val batchGrams = keyed(
+        gramRows(tokenized(newDocs, idCol, textCol), minLen), hashGrams)
       .groupBy("g").agg(count(lit(1)).as("bc"))
     // grams this batch pushed from unique to duplicated; idx already
     // contains the batch rows, so c is the NEW total

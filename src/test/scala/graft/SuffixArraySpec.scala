@@ -202,6 +202,30 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrDedupIncremental: hashGrams (16-byte persisted " +
+      "index keys) folds to the exact batch rewrite") {
+    val span = "lorem ipsum dolor sit amet consectetur"
+    val batch1 = Seq(1L -> s"first doc body $span more words",
+      2L -> "second doc totally unrelated content here")
+    val batch2 = Seq(10L -> s"late arrival copies $span exactly",
+      11L -> "fresh unique late document text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sa_inc_h").toString + "/idx"
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val d1 = asMap(SuffixArray.exactSubstrDedupIncremental(spark,
+      batch1.toDF("doc_id", "text"), batch1.toDF("doc_id", "text"),
+      dir, "doc_id", "text", minLen = 6, hashGrams = true))
+    val full = batch1 ++ batch2
+    val d2 = asMap(SuffixArray.exactSubstrDedupIncremental(spark,
+      batch2.toDF("doc_id", "text"), full.toDF("doc_id", "text"),
+      dir, "doc_id", "text", minLen = 6, hashGrams = true))
+    assert((d1 ++ d2) == asMap(SuffixArray.exactSubstrDedup(
+      full.toDF("doc_id", "text"), "doc_id", "text", 6)))
+    assert(d2(1L)._3 == 6L && d2(10L)._3 == 6L) // span gone BOTH sides
+  }
+
   test("exactSubstrDedupIncremental: streamed deltas folded over " +
       "previous output == batch rewrite of the full corpus; untouched " +
       "docs are NOT in the delta") {
