@@ -4398,6 +4398,23 @@ object SparkEntry {
       Eval.kruskalWallis(Tables.events(s, dir), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)"))),
 
+    // Friedman test: user cohorts (user_id % 40) as complete blocks,
+    // event types as treatments, per-cell revenue ranks WITHIN each
+    // block — the repeated-measures member (between-block variation
+    // cancels); doubled ranks + exact tie-corrected Q*
+    "q316_friedman" -> ((s, dir) =>
+      Eval.friedman(Tables.events(s, dir),
+        expr("user_id % 40"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"))),
+
+    // Cochran's Q: binary per-(cohort, event_type) outcome (any
+    // cent-value divisible by 3) on complete blocks — the McNemar
+    // generalization to k treatments, pure integer end to end
+    "q317_cochran_q" -> ((s, dir) =>
+      Eval.cochranQ(Tables.events(s, dir),
+        expr("user_id % 40"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) % 3 = 0"))),
+
     // McNemar's paired test comparing two value-derived classifiers
     // on the SAME events — only the discordant cells matter; the
     // continuity-corrected chi2 is pure integer arithmetic (q223's
@@ -12059,6 +12076,102 @@ object SparkEntry {
         |      // (CAST(n AS HUGEINT) * n * n - n - t3) AS BIGINT)
         |  END AS h_adj_micro
         |FROM core""".stripMargin,
+
+    // q316: within-block doubled ranks (min cum over the tie group),
+    // complete-block gating, HUGEINT Q and tie-corrected Q*
+    "q316_friedman" ->
+      """WITH cells AS (
+        |  SELECT user_id % 40 AS b, event_type AS tr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS v
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k
+        |  FROM cells),
+        |sized AS (SELECT b, CAST(count(*) AS BIGINT) AS m
+        |  FROM cells GROUP BY b),
+        |complete AS (
+        |  SELECT c.* FROM cells c JOIN sized s ON c.b = s.b, kk
+        |  WHERE s.m = kk.k),
+        |drp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS d
+        |  FROM sized, kk WHERE m <> kk.k),
+        |ranked AS (
+        |  SELECT b, tr, v,
+        |    count(*) OVER (PARTITION BY b ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    count(*) OVER (PARTITION BY b, v) AS t
+        |  FROM complete),
+        |r2s AS (
+        |  SELECT b, tr, v, t,
+        |    2 * (min(cum) OVER (PARTITION BY b, v) - 1) + t + 1 AS r2
+        |  FROM ranked),
+        |pt AS (SELECT tr, CAST(sum(r2) AS BIGINT) AS r2j
+        |  FROM r2s GROUP BY tr),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n
+        |  FROM complete),
+        |tie AS (
+        |  SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS t3
+        |  FROM (SELECT DISTINCT b, v, t FROM r2s)),
+        |ss AS (SELECT sum(CAST(r2j AS HUGEINT) * r2j) AS ss FROM pt),
+        |core AS (
+        |  SELECT nb.n, kk.k, drp.d, tie.t3,
+        |    CASE WHEN kk.k >= 2 AND nb.n >= 1 THEN
+        |      CAST(greatest(CAST(0 AS HUGEINT),
+        |        (ss.ss * 3000000)
+        |          // (CAST(4 AS HUGEINT) * nb.n * kk.k * (kk.k + 1))
+        |        - CAST(3000000 AS HUGEINT) * nb.n * (kk.k + 1))
+        |        AS BIGINT)
+        |    END AS q_micro
+        |  FROM nb, kk, drp, tie, ss)
+        |SELECT n AS n_blocks, k AS k_treatments,
+        |  d AS n_blocks_dropped, t3 AS tie_t3, q_micro,
+        |  CASE WHEN q_micro IS NOT NULL
+        |        AND CAST(n AS HUGEINT) * k * (k * k - 1) - t3 > 0 THEN
+        |    CAST((CAST(q_micro AS HUGEINT)
+        |        * (CAST(n AS HUGEINT) * k * (k * k - 1)))
+        |      // (CAST(n AS HUGEINT) * k * (k * k - 1) - t3)
+        |      AS BIGINT)
+        |  END AS q_adj_micro
+        |FROM core""".stripMargin,
+
+    // q317: column/row totals over complete blocks, one integer ratio
+    "q317_cochran_q" ->
+      """WITH cells AS (
+        |  SELECT user_id % 40 AS b, event_type AS tr,
+        |    max(CASE WHEN CAST(round(value * 100) AS BIGINT) % 3 = 0
+        |        THEN 1 ELSE 0 END) AS x
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k
+        |  FROM cells),
+        |sized AS (SELECT b, CAST(count(*) AS BIGINT) AS m
+        |  FROM cells GROUP BY b),
+        |complete AS (
+        |  SELECT c.* FROM cells c JOIN sized s ON c.b = s.b, kk
+        |  WHERE s.m = kk.k),
+        |drp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS d
+        |  FROM sized, kk WHERE m <> kk.k),
+        |ct AS (
+        |  SELECT CAST(sum(cj * cj) AS BIGINT) AS sum_cj2,
+        |    CAST(sum(cj) AS BIGINT) AS nn
+        |  FROM (SELECT tr, CAST(sum(x) AS BIGINT) AS cj
+        |        FROM complete GROUP BY tr)),
+        |rt AS (
+        |  SELECT CAST(coalesce(sum(rb * rb), 0) AS BIGINT) AS sum_rb2,
+        |    CAST(count(*) AS BIGINT) AS n_blocks
+        |  FROM (SELECT b, CAST(sum(x) AS BIGINT) AS rb
+        |        FROM complete GROUP BY b))
+        |SELECT rt.n_blocks, kk.k AS k_treatments,
+        |  drp.d AS n_blocks_dropped,
+        |  coalesce(ct.nn, 0) AS grand_n,
+        |  CASE WHEN kk.k >= 2
+        |        AND kk.k * coalesce(ct.nn, 0) - rt.sum_rb2 > 0 THEN
+        |    ((kk.k - 1) * (kk.k * coalesce(ct.sum_cj2, 0)
+        |       - coalesce(ct.nn, 0) * coalesce(ct.nn, 0)) * 1000000)
+        |      // (kk.k * coalesce(ct.nn, 0) - rt.sum_rb2)
+        |  END AS q_micro
+        |FROM ct, rt, kk, drp""".stripMargin,
 
     // q275: the four paired cells + the integer continuity-corrected
     // chi2; mods are pmod-equivalent ((x%k+k)%k) like q272

@@ -773,6 +773,147 @@ object Eval {
            END"""))
   }
 
+  /** Friedman test — the REPEATED-MEASURES k-treatment rank test
+    * completing the [[kruskalWallis]]/[[anovaOneWay]] family (same
+    * subjects measured under every treatment — an A/B/n where each
+    * block sees all arms, so between-block variation cancels):
+    * within each complete block the k treatment values are ranked,
+    * and Q = 12/(n·k(k+1)) · Σ_j R_j² − 3n(k+1) with the tie
+    * correction Q* = Q / (1 − Σ_b Σ(t³−t) / (n·k(k²−1))).
+    *
+    * Exactness: DOUBLED within-block ranks (2c+t+1 — the
+    * [[kruskalWallis]] device) keep tie-averaged ranks integer, so
+    * R2_j = Σ_b 2·r_bj is a BIGINT and Σ R_j² = Σ R2_j²/4 folds into
+    * the scaling: q_micro = (3·10⁶·Σ R2_j²) DIV (4·n·k(k+1)) −
+    * 3·10⁶·n·(k+1), every division the exact (x − pmod(x,b))/b
+    * decimal form. INCOMPLETE blocks (missing a treatment) are
+    * dropped loudly into the `n_blocks_dropped` column rather than
+    * silently biasing ranks — the Friedman statistic is only defined
+    * on complete blocks.
+    *
+    * Plan: one grouped agg to (block, treatment) cells, one
+    * block-partitioned rank window (block state = k rows — bounded by
+    * the TREATMENT count, never the corpus), grouped sums. Output:
+    * one row — (n_blocks, k_treatments, n_blocks_dropped, tie_t3,
+    * q_micro, q_adj_micro).
+    */
+  def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
+               valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(blockCol.as("b"), treatCol.as("tr"),
+        valueCol.cast("long").as("v"))
+      .groupBy("b", "tr").agg(sum("v").as("v"))
+    val k = cells.select("tr").distinct().count()
+    val sized = cells.withColumn("__m",
+      count(lit(1)).over(Window.partitionBy("b")))
+    val dropped = sized.filter(col("__m") =!= k)
+      .select("b").distinct().count()
+    val complete = sized.filter(col("__m") === k).drop("__m")
+    // doubled within-block rank 2·|{v' < v}| + t + 1 from one
+    // block-partitioned window pair (block state = k rows, bounded by
+    // the treatment count): cum at the tie group's FIRST row is
+    // |{v' < v}| + 1
+    val wOrd = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val we = Window.partitionBy("b", "v")
+    val ranked = complete
+      .withColumn("cum", count(lit(1)).over(wOrd))
+      .withColumn("t", count(lit(1)).over(we))
+      .withColumn("r2",
+        lit(2L) * (min("cum").over(we) - lit(1L)) + col("t") + lit(1L))
+    val perTreat = ranked.groupBy("tr")
+      .agg(sum("r2").as("r2j"))
+    val n = complete.select("b").distinct().count()
+    val ties = ranked.select(col("b"), col("v"), col("t"))
+      .distinct()
+      .agg(coalesce(sum(expr("t * t * t - t")), lit(0L)).as("t3"))
+    val sumSq = perTreat.agg(
+      sum(expr("CAST(r2j AS DECIMAL(38, 0)) * r2j")).as("ss"))
+    sumSq.crossJoin(broadcast(ties))
+      .select(lit(n).as("n_blocks"), lit(k).as("k_treatments"),
+        lit(dropped).as("n_blocks_dropped"), col("t3").as("tie_t3"),
+        col("ss"))
+      .withColumn("q_micro", expr(
+        s"""CASE WHEN k_treatments >= 2 AND n_blocks >= 1 THEN
+             CAST(greatest(CAST(0 AS DECIMAL(38, 0)),
+               (ss * 3000000 - pmod(ss * 3000000,
+                  CAST(4 AS DECIMAL(38, 0)) * n_blocks * k_treatments
+                    * (k_treatments + 1)))
+               / (CAST(4 AS DECIMAL(38, 0)) * n_blocks * k_treatments
+                  * (k_treatments + 1))
+               - CAST(3000000 AS DECIMAL(38, 0)) * n_blocks
+                 * (k_treatments + 1)) AS BIGINT)
+           END"""))
+      .withColumn("q_adj_micro", expr(
+        """CASE WHEN q_micro IS NOT NULL AND
+             CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
+               * (CAST(k_treatments AS DECIMAL(38, 0)) * k_treatments
+                  - 1) - tie_t3 > 0 THEN
+           CAST((CAST(q_micro AS DECIMAL(38, 0))
+               * (CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
+                  * (CAST(k_treatments AS DECIMAL(38, 0))
+                     * k_treatments - 1))
+               - pmod(CAST(q_micro AS DECIMAL(38, 0))
+                   * (CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
+                      * (CAST(k_treatments AS DECIMAL(38, 0))
+                         * k_treatments - 1)),
+                 CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
+                   * (CAST(k_treatments AS DECIMAL(38, 0))
+                      * k_treatments - 1) - tie_t3))
+             / (CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
+                * (CAST(k_treatments AS DECIMAL(38, 0))
+                   * k_treatments - 1) - tie_t3) AS BIGINT)
+           END"""))
+      .drop("ss")
+  }
+
+  /** Cochran's Q — the k-treatment test for BINARY outcomes on the
+    * same blocks (does conversion differ across k variants shown to
+    * the same users?): with column totals C_j, block totals R_b and
+    * grand total N over COMPLETE blocks,
+    *
+    *   Q = (k−1) · (k·ΣC_j² − N²) / (k·N − ΣR_b²)
+    *
+    * — PURE integers end to end (the McNemar generalization: k = 2
+    * reduces to McNemar without continuity correction). Blocks with
+    * all-0 or all-k outcomes contribute nothing to either side
+    * (standard). Incomplete blocks drop loudly into
+    * `n_blocks_dropped` ([[friedman]] discipline).
+    *
+    * Output: one row — (n_blocks, k_treatments, n_blocks_dropped,
+    * grand_n, q_micro); q_micro NULL when the denominator is 0
+    * (every block constant).
+    */
+  def cochranQ(df: DataFrame, blockCol: Column, treatCol: Column,
+               flagCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(blockCol.as("b"), treatCol.as("tr"),
+        flagCol.cast("boolean").as("x"))
+      .groupBy("b", "tr")
+      .agg(max(when(col("x"), lit(1L)).otherwise(lit(0L))).as("x"))
+    val k = cells.select("tr").distinct().count()
+    val sized = cells.withColumn("__m",
+      count(lit(1)).over(Window.partitionBy("b")))
+    val dropped = sized.filter(col("__m") =!= k)
+      .select("b").distinct().count()
+    val complete = sized.filter(col("__m") === k).drop("__m")
+    val colTot = complete.groupBy("tr").agg(sum("x").as("cj"))
+      .agg(sum(expr("cj * cj")).as("sum_cj2"), sum("cj").as("nn"))
+    val rowTot = complete.groupBy("b").agg(sum("x").as("rb"))
+      .agg(coalesce(sum(expr("rb * rb")), lit(0L)).as("sum_rb2"),
+        count(lit(1)).as("n_blocks"))
+    colTot.crossJoin(broadcast(rowTot))
+      .select(col("n_blocks"), lit(k).as("k_treatments"),
+        lit(dropped).as("n_blocks_dropped"),
+        coalesce(col("nn"), lit(0L)).as("grand_n"),
+        expr(s"""CASE WHEN $k >= 2
+              AND $k * coalesce(nn, 0) - sum_rb2 > 0 THEN
+            (($k - 1) * ($k * coalesce(sum_cj2, 0)
+               - coalesce(nn, 0) * coalesce(nn, 0)) * 1000000L)
+              DIV ($k * coalesce(nn, 0) - sum_rb2)
+          END""").as("q_micro"))
+  }
+
   def mannWhitneyU(df: DataFrame, key: Column, arm: Column,
                    valueCents: Column, armA: String, armB: String): DataFrame = {
     val lat = df

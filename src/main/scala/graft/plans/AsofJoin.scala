@@ -255,6 +255,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("kruskal_wallis", 3, a =>
       graft.core.Eval.kruskalWallis(active.table(a(0)),
         ex(a(1)), ex(a(2)))))
+    e.injectTableFunction(tableFn("friedman", 4, a =>
+      graft.core.Eval.friedman(active.table(a(0)),
+        ex(a(1)), ex(a(2)), ex(a(3)))))
+    e.injectTableFunction(tableFn("cochran_q", 4, a =>
+      graft.core.Eval.cochranQ(active.table(a(0)),
+        ex(a(1)), ex(a(2)), ex(a(3)))))
     e.injectTableFunction(tableFn("bloom_decontam", 6, a =>
       graft.core.Decontaminate.flagContaminatedBloom(active.table(a(0)),
         active.table(a(1)), a(2), a(3), n = a(4).toInt,

@@ -671,6 +671,117 @@ class EvalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  /** Reference Friedman on the doubled-rank micro lattice. */
+  private def bruteFriedman(cells: Seq[(Long, String, Long)])
+      : (Long, Long, Long, Long, Option[Long], Option[Long]) = {
+    val k = cells.map(_._2).distinct.size.toLong
+    val byB = cells.groupBy(_._1)
+    val complete = byB.filter(_._2.size == k)
+    val dropped = (byB.size - complete.size).toLong
+    val n = complete.size.toLong
+    def r2(vs: Seq[Long], v: Long): Long =
+      2L * vs.count(_ < v) + vs.count(_ == v) + 1
+    val r2j = complete.values.flatten.groupBy(_._2).view.mapValues { rs =>
+      rs.map { case (b, _, v) =>
+        BigInt(r2(complete(b).map(_._3), v)) }.sum
+    }.toMap
+    val ss = r2j.values.map(x => x * x).sum
+    val t3 = complete.values.flatMap { rows =>
+      rows.map(_._3).groupBy(identity).values.map(g =>
+        BigInt(g.size) * g.size * g.size - g.size)
+    }.sum
+    val q = if (k >= 2 && n >= 1)
+      Some(((ss * 3000000) / (BigInt(4) * n * k * (k + 1))
+        - BigInt(3000000) * n * (k + 1)).max(BigInt(0)))
+    else None
+    val den = BigInt(n) * k * (k * k - 1) - t3
+    val qa = q.flatMap(qv => if (den > 0)
+      Some(((qv * (BigInt(n) * k * (k * k - 1))) / den).toLong)
+      else None)
+    (n, k, dropped, t3.toLong, q.map(_.toLong), qa)
+  }
+
+  test("friedman: brute parity with ties and an incomplete block; " +
+      "identical treatments give Q = 0") {
+    val treats = Seq("A", "B", "C")
+    val cells = (1L to 20L).flatMap { b =>
+      treats.zipWithIndex.map { case (t, i) =>
+        (b, t, (b * 7 + i * i * 3) % 13) }
+    } ++ Seq((99L, "A", 5L)) // incomplete block: must drop, loudly
+    val got = Eval.friedman(
+        cells.toDF("b", "tr", "v"), col("b"), col("tr"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(got == bruteFriedman(cells))
+    assert(got._3 == 1L && got._5.nonEmpty)
+    // every treatment identical within each block -> all ranks tie
+    val flat = (1L to 10L).flatMap(b => treats.map(t => (b, t, b % 4)))
+    val gf = Eval.friedman(flat.toDF("b", "tr", "v"),
+        col("b"), col("tr"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(gf._5.contains(0L) && gf._6.isEmpty) // full ties: den = 0
+  }
+
+  /** Reference Cochran's Q. */
+  private def bruteCochran(cells: Seq[(Long, String, Boolean)])
+      : (Long, Long, Long, Long, Option[Long]) = {
+    val k = cells.map(_._2).distinct.size.toLong
+    val byB = cells.groupBy(_._1)
+    val complete = byB.filter(_._2.size == k)
+    val dropped = (byB.size - complete.size).toLong
+    val rows = complete.values.flatten.toSeq
+    val cj = rows.groupBy(_._2).view
+      .mapValues(_.count(_._3).toLong).toMap
+    val nn = cj.values.sum
+    val sumCj2 = cj.values.map(c => BigInt(c) * c).sum
+    val sumRb2 = complete.values.map { rs =>
+      val rb = rs.count(_._3).toLong; BigInt(rb) * rb }.sum
+    val den = BigInt(k) * nn - sumRb2
+    val q = if (k >= 2 && den > 0)
+      Some((((k - 1) * (k * sumCj2 - BigInt(nn) * nn) * 1000000)
+        / den).toLong)
+    else None
+    (complete.size.toLong, k, dropped, nn, q)
+  }
+
+  test("cochranQ: brute parity; k = 2 equals McNemar's uncorrected " +
+      "chi2 structure; constant blocks NULL the denominator") {
+    val treats = Seq("A", "B", "C")
+    val cells = (1L to 30L).flatMap { b =>
+      treats.zipWithIndex.map { case (t, i) =>
+        (b, t, (b * 3 + i * 7) % 5 < 2) }
+    } ++ Seq((99L, "A", true)) // incomplete -> dropped
+    val got = Eval.cochranQ(cells.toDF("b", "tr", "x"),
+        col("b"), col("tr"), col("x"))
+      .select("n_blocks", "k_treatments", "n_blocks_dropped",
+        "grand_n", "q_micro")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(got == bruteCochran(cells))
+    assert(got._3 == 1L && got._5.nonEmpty)
+    // all-true blocks: k*N == sum Rb^2 -> denominator 0 -> NULL
+    val const = (1L to 5L).flatMap(b => treats.map(t => (b, t, true)))
+    val gc = Eval.cochranQ(const.toDF("b", "tr", "x"),
+        col("b"), col("tr"), col("x"))
+      .select("q_micro").as[Option[Long]].head()
+    assert(gc.isEmpty)
+  }
+
+  test("friedman/cochranQ: partition invariant") {
+    val treats = Seq("A", "B", "C", "D")
+    val cells = (1L to 25L).flatMap { b =>
+      treats.zipWithIndex.map { case (t, i) =>
+        (b, t, (b * 11 + i * 5) % 9) } }
+    val f1 = Eval.friedman(cells.toDF("b", "tr", "v"), col("b"),
+      col("tr"), col("v")).collect().toSeq
+    val f2 = Eval.friedman(cells.toDF("b", "tr", "v").repartition(7),
+      col("b"), col("tr"), col("v")).collect().toSeq
+    assert(f1 == f2)
+    val q1 = Eval.cochranQ(cells.toDF("b", "tr", "v"), col("b"),
+      col("tr"), expr("v % 2 = 0")).collect().toSeq
+    val q2 = Eval.cochranQ(cells.toDF("b", "tr", "v").repartition(5),
+      col("b"), col("tr"), expr("v % 2 = 0")).collect().toSeq
+    assert(q1 == q2)
+  }
+
   test("anovaOneWay: partition invariant") {
     val rows = (1L to 400L).map(i => (s"t${i % 5}", i * 13 % 97))
     val a = Eval.anovaOneWay(rows.toDF("g", "v"), col("g"), col("v"))

@@ -266,6 +266,21 @@ class ExtensionsSpec extends SparkSpec {
       col("u"), expr("CAST(lab AS BIGINT)")).collect()
     assert(kwSql.toSeq == kwApi.toSeq && kwSql.nonEmpty)
 
+    spark.range(120).selectExpr("CAST(id % 20 AS BIGINT) AS b",
+      "CAST(id % 6 AS STRING) AS tr", "CAST((id * 13) % 9 AS BIGINT) AS v")
+      .createOrReplaceTempView("r14_fr")
+    val frSql = spark.sql(
+      "SELECT * FROM friedman('r14_fr', 'b', 'tr', 'v')").collect()
+    val frApi = graft.core.Eval.friedman(spark.table("r14_fr"),
+      col("b"), col("tr"), col("v")).collect()
+    assert(frSql.toSeq == frApi.toSeq && frSql.nonEmpty)
+    val cqSql = spark.sql(
+      "SELECT * FROM cochran_q('r14_fr', 'b', 'tr', 'v % 2 = 0')")
+      .collect()
+    val cqApi = graft.core.Eval.cochranQ(spark.table("r14_fr"),
+      col("b"), col("tr"), expr("v % 2 = 0")).collect()
+    assert(cqSql.toSeq == cqApi.toSeq && cqSql.nonEmpty)
+
     Seq((1L, "alpha beta gamma delta epsilon tail words here"))
       .toDF("doc_id", "text").createOrReplaceTempView("r14_tr")
     Seq((9L, "alpha beta gamma delta epsilon other suffix"))
