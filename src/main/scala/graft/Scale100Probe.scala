@@ -72,7 +72,14 @@ object Scale100Probe {
       // round-14 tail (VERDICT r13 #5): BLEU is ROUGE's staging with
       // a maxN x order fan-out (still one explode, grouped counts);
       // Hampel is per-(group, day) windows — both linear by design
-      "q308_bleu_components", "q306_hampel_despike")
+      "q308_bleu_components", "q306_hampel_despike",
+      // round-14 additions: ROUGE-L is a pure projection (per-pair
+      // O(c·r) DP, no join); incremental winnowing is two index
+      // appends + the delta join; bloom decontamination's exact join
+      // only sees bloom candidates; incremental Hampel is the q306
+      // lattice behind a persisted-partials table
+      "q309_rouge_l", "q311_winnow_incremental", "q315_bloom_decontam",
+      "q312_hampel_incremental")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>
