@@ -612,6 +612,19 @@ object SparkEntry {
         .select(col("doc_id"), col("n_hits"), col("contaminated"))
     }),
 
+    // SPAN-level decontamination: the q302 rewrite with the EVAL
+    // suite as the duplicate source — training tokens inside any
+    // eval-matching 5-gram window drop, the doc re-emits from its
+    // survivors (doc-level q52 discards whole documents; this
+    // salvages the clean remainder)
+    "q318_decontam_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.core.Decontaminate.scrubSpans(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5)
+    }),
+
     // bloom-prefiltered decontamination — the 100 TB shape of q52:
     // eval shingles build a relational bloom (portable double-hash,
     // bit_or words, model-size broadcast), train shingles die at the
@@ -11951,6 +11964,52 @@ object SparkEntry {
         |      // (CAST(ssw_q4 AS HUGEINT) * (k - 1)) AS BIGINT)
         |  END AS f_micro
         |FROM core""".stripMargin,
+
+    // q318: the q302 rewrite CTEs with eval grams as the mark source
+    // (cover window 4 PRECEDING for n = 5), emitted for train docs
+    "q318_decontam_scrub" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    array_to_string(toks[i+1:i+5], ' ') AS g
+        |  FROM docs, unnest(generate_series(0, len(toks) - 5)) AS u(i)),
+        |evg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        |starts AS (
+        |  SELECT DISTINCT doc_id, s FROM grams JOIN evg USING (g)
+        |  WHERE doc_id % 10 <> 0),
+        |pos AS (
+        |  SELECT doc_id, toks[CAST(p AS INT)] AS tok, p
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks)))::BIGINT AS p
+        |        FROM docs WHERE doc_id % 10 <> 0)),
+        |flag AS (
+        |  SELECT p.doc_id, p.p, p.tok,
+        |    CASE WHEN st.s IS NOT NULL THEN 1 END AS ds
+        |  FROM pos p LEFT JOIN starts st
+        |    ON st.doc_id = p.doc_id AND st.s = p.p - 1),
+        |cov AS (
+        |  SELECT doc_id, p, tok,
+        |    max(ds) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+        |  FROM flag),
+        |reb AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    coalesce(array_to_string(
+        |      list(tok ORDER BY p) FILTER (WHERE c IS NULL), ' '), '')
+        |      AS clean_text
+        |  FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM (SELECT doc_id FROM docs WHERE doc_id % 10 <> 0) d
+        |LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     // q315: the whole bloom replayed — the q305 hash chain twice
     // (second seed via the '#b2' suffix, forced odd), double-hashed

@@ -69,6 +69,43 @@ object Decontaminate {
       .filter(!col("contaminated"))
       .drop("n_hits", "contaminated")
 
+  /** SPAN-level decontamination — where [[flagContaminated]] flags
+    * whole documents and [[clean]] drops them, this REWRITES: every
+    * training token lying inside any `n`-token window that matches an
+    * eval-set n-gram is removed (all its occurrences), and each doc
+    * re-emits from its survivors — the Lee et al. 2022 ExactSubstr
+    * rewrite with the EVAL SUITE as the duplicate source instead of
+    * the corpus itself, salvaging the uncontaminated remainder of
+    * long documents a doc-level gate would discard whole.
+    *
+    * Mechanics are [[SuffixArray.exactSubstrDedup]]'s verbatim: mark
+    * duplicate window STARTS (here: train grams semi-joined against
+    * the distinct eval gram keys — broadcast-friendly, never a gram
+    * window), turn starts into covered-token marks with the per-doc
+    * rowsBetween(−(n−1), 0) max window, rebuild each doc from
+    * surviving tokens. Everything is doc- or gram-keyed; the eval
+    * side is model-size by contract.
+    *
+    * Output: one row per TRAINING document — (idCol, clean_text,
+    * n_tokens, n_removed); a fully-contaminated doc comes back with
+    * empty clean_text (downstream decides).
+    */
+  def scrubSpans(train: DataFrame, eval: DataFrame, idCol: String,
+                 textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    val docs = SuffixArray.tokenized(train, idCol, textCol).persist()
+    val evalKeys = SuffixArray.gramRows(
+        SuffixArray.tokenized(eval, idCol, textCol), n)
+      .select("g").distinct()
+    val dupStarts = SuffixArray.gramRows(docs, n)
+      .join(evalKeys, Seq("g"), "left_semi")
+      .select(col("sa_doc"), col("pos"), lit(1L).as("ds"))
+    val out = SuffixArray.rewriteMarked(docs, dupStarts, n, idCol)
+    val mat = out.localCheckpoint(true)
+    docs.unpersist()
+    mat
+  }
+
   /** [[flagContaminated]] behind a BLOOM PRE-FILTER — the 100 TB
     * shape of benchmark decontamination: the eval suite's shingles
     * build a [[Sketches.bloomBuild]] relational filter once

@@ -442,7 +442,7 @@ object SuffixArray {
         .as("g"))
 
   /** (sa_doc, toks) with blank/whitespace docs as empty arrays. */
-  private def tokenized(df: DataFrame, idCol: String,
+  private[core] def tokenized(df: DataFrame, idCol: String,
                         textCol: String): DataFrame =
     df.select(col(idCol).as("sa_doc"),
       when(length(trim(col(textCol))) === 0,
@@ -453,7 +453,7 @@ object SuffixArray {
     * tokens are whitespace-split so the single-space join is
     * collision-free.
     */
-  private def gramRows(docs: DataFrame, minLen: Int): DataFrame =
+  private[core] def gramRows(docs: DataFrame, minLen: Int): DataFrame =
     docs.filter(size(col("toks")) >= minLen)
       .select(col("sa_doc"), explode(expr(
         s"""transform(sequence(0L, CAST(size(toks) - $minLen AS LONG)),
@@ -469,7 +469,7 @@ object SuffixArray {
     * never overhang — grams exist only where the window fits), then
     * rebuild each doc from its surviving tokens.
     */
-  private def rewriteMarked(docs: DataFrame, dupStarts: DataFrame,
+  private[core] def rewriteMarked(docs: DataFrame, dupStarts: DataFrame,
                             minLen: Int, idCol: String): DataFrame = {
     val toks = docs.select(col("sa_doc"),
       posexplode(col("toks")).as(Seq("pos", "tok")))

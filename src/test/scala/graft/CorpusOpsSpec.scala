@@ -49,6 +49,51 @@ class CorpusOpsSpec extends SparkSpec {
       == train.columns.toSeq)
   }
 
+  /** Reference span scrub: mark train tokens covered by any window
+    * matching an eval n-gram, drop them, keep the rest in order.
+    */
+  private def bruteScrub(train: Seq[(Long, String)],
+                         eval: Seq[(Long, String)], n: Int)
+      : Map[Long, (String, Long, Long)] = {
+    def tk(t: String) = if (t.trim.isEmpty) Vector.empty[String]
+      else t.trim.split("\\s+").toVector
+    val evg = eval.flatMap { case (_, t) =>
+      tk(t).sliding(n).filter(_.size == n).map(_.mkString(" ")) }.toSet
+    train.map { case (id, t) =>
+      val ts = tk(t)
+      val starts = ts.indices.filter(s => s + n <= ts.size &&
+        evg(ts.slice(s, s + n).mkString(" "))).toSet
+      val covered = ts.indices.filter(p =>
+        (math.max(0, p - n + 1) to p).exists(starts)).toSet
+      val kept = ts.indices.filterNot(covered).map(ts)
+      id -> ((kept.mkString(" "), ts.size.toLong, covered.size.toLong))
+    }.toMap
+  }
+
+  test("scrubSpans: eval-matching windows vanish from train text, " +
+      "clean remainder survives in order; brute parity; partition " +
+      "invariance") {
+    val train = Seq(
+      1L -> "intro alpha beta gamma delta epsilon tail words",
+      2L -> "one two three four five six seven",
+      3L -> "alpha beta gamma delta epsilon", // fully covered
+      4L -> "  ")
+    val eval = Seq(
+      100L -> "alpha beta gamma delta epsilon final")
+    def run(parts: Int) = Decontaminate.scrubSpans(
+        train.toDF("doc_id", "text").repartition(parts),
+        eval.toDF("doc_id", "text"), "doc_id", "text", n = 5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = run(1)
+    assert(got == bruteScrub(train, eval, 5))
+    assert(got(1L)._1 == "intro tail words" && got(1L)._3 == 5L)
+    assert(got(2L) == (("one two three four five six seven", 7L, 0L)))
+    assert(got(3L) == (("", 5L, 5L)))
+    assert(got(4L) == (("", 0L, 0L)))
+    assert(run(7) == got)
+  }
+
   test("decontaminate: minHits threshold requires that many shared shingles") {
     val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val eval = Seq((9L, "a b c d e f")).toDF("doc_id", "text") // 4 shared 3-grams
