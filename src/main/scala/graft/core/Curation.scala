@@ -87,35 +87,6 @@ object Curation {
       () => { kept.unpersist(); () })))
   }
 
-  /** The full modern curation composition — what a C4/Gopher/LLaMA-era
-    * pipeline actually runs, stage-ordered so each gate shrinks the
-    * input of everything costlier after it:
-    *
-    *   1. quality + language ID + Gopher repetition gates
-    *      (per-doc scans; repetition adds its two keyed aggs)
-    *   2. exact-substring span gate ([[TextAnalysis.dupSpans]] over the
-    *      gate survivors — one hash exchange)
-    *   3. exact dedup (one exchange on the text hash)
-    *   4. bigram-LM perplexity gate: the LM TRAINS ON the surviving
-    *      corpus itself and drops docs whose per-bigram log-likelihood
-    *      falls under a FIXED threshold — an integer fixed-point
-    *      compare (`ll_scaled >= -maxNllMicro × n_bigrams`), never a
-    *      float quantile, so the decision is engine-exact
-    *   5. n-gram Jaccard near-dup resolution on what remains
-    *
-    * Output: one audit row per input doc — per-stage booleans, the LM
-    * evidence, survivor mapping. Downstream corpus =
-    * `.filter(col("is_survivor"))`. Every stage is individually
-    * oracle-checked (q22/q23/q53/q72/q17/q68/q19/q43); q73 pins this
-    * COMPOSITION end-to-end.
-    *
-    * Composition effect worth knowing: a tight span gate SUBSUMES much
-    * of the Jaccard stage — on the gate corpus, every heavy-overlap
-    * doc dies at stage 2 and the near-dup resolution is a no-op. At
-    * production thresholds (span gate at 0.9+, Jaccard at 0.8) the
-    * stages separate again; the audit columns make the attribution
-    * visible either way.
-    */
   /** Survivor ids only — the stage pipeline without the final audit
     * joins. The corpus-consuming path (q80's curate→tokenize→pack)
     * needs just the kept set; skipping the 4-way all-docs audit join
@@ -149,6 +120,35 @@ object Curation {
     (resolved.filter(col("is_survivor")).select(col(idCol)), caches)
   }
 
+  /** The full modern curation composition — what a C4/Gopher/LLaMA-era
+    * pipeline actually runs, stage-ordered so each gate shrinks the
+    * input of everything costlier after it:
+    *
+    *   1. quality + language ID + Gopher repetition gates
+    *      (per-doc scans; repetition adds its two keyed aggs)
+    *   2. exact-substring span gate ([[TextAnalysis.dupSpans]] over the
+    *      gate survivors — one hash exchange)
+    *   3. exact dedup (one exchange on the text hash)
+    *   4. bigram-LM perplexity gate: the LM TRAINS ON the surviving
+    *      corpus itself and drops docs whose per-bigram log-likelihood
+    *      falls under a FIXED threshold — an integer fixed-point
+    *      compare (`ll_scaled >= -maxNllMicro × n_bigrams`), never a
+    *      float quantile, so the decision is engine-exact
+    *   5. n-gram Jaccard near-dup resolution on what remains
+    *
+    * Output: one audit row per input doc — per-stage booleans, the LM
+    * evidence, survivor mapping. Downstream corpus =
+    * `.filter(col("is_survivor"))`. Every stage is individually
+    * oracle-checked (q22/q23/q53/q72/q17/q68/q19/q43); q73 pins this
+    * COMPOSITION end-to-end.
+    *
+    * Composition effect worth knowing: a tight span gate SUBSUMES much
+    * of the Jaccard stage — on the gate corpus, every heavy-overlap
+    * doc dies at stage 2 and the near-dup resolution is a no-op. At
+    * production thresholds (span gate at 0.9+, Jaccard at 0.8) the
+    * stages separate again; the audit columns make the attribution
+    * visible either way.
+    */
   def curateFull(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", minQuality: Double = 0.51,
                  maxDupTokenRatio: Double = 0.6,

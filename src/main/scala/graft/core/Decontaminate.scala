@@ -109,11 +109,15 @@ object Decontaminate {
   /** [[flagContaminated]] behind a BLOOM PRE-FILTER — the 100 TB
     * shape of benchmark decontamination: the eval suite's shingles
     * build a [[Sketches.bloomBuild]] relational filter once
-    * (model-size, broadcast), every training shingle probes it, and
-    * only the surviving CANDIDATES enter the exact verification join.
-    * At production FPR (~1% at 10 bits/key) the exact join's probe
-    * side shrinks by ~99% — the train shingle stream never shuffles,
-    * it dies at a broadcast bit test.
+    * (model-size; collected to a [[Sketches.bloomWords]] literal
+    * array), every training shingle probes it as a codegen'd bit
+    * test INSIDE its own projection ([[Sketches.bloomTestLit]] — no
+    * distinct, no probe join, no re-aggregation), and only the
+    * surviving CANDIDATES enter the exact verification join. At
+    * production FPR (~1% at 10 bits/key) the exact join's probe side
+    * shrinks by ~99% — the train shingle stream never shuffles, it
+    * genuinely dies at the bit test. Train parquet is read twice
+    * (totals pass + verify pass) — deliberate; see the body comment.
     *
     * Exactness is NOT approximated: a bloom filter has no false
     * negatives, so `n_hits`/`contaminated` equal [[flagContaminated]]
@@ -132,29 +136,40 @@ object Decontaminate {
                             n: Int = 8, minHits: Int = 1,
                             numBits: Int = 1 << 20,
                             numHashes: Int = 4): DataFrame = {
+    // eval shingles materialize ONCE (model-size by contract) and
+    // feed both the filter build and the exact verify join — the
+    // previous shape re-derived them per consumer (ADVICE r14)
     val evalShingles = eval
       .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
-      .distinct()
-    val bloom = Sketches.bloomBuild(evalShingles, col("shingle"),
-      numBits, numHashes)
+      .distinct().localCheckpoint(true)
+    val words = Sketches.bloomWords(
+      Sketches.bloomBuild(evalShingles, col("shingle"), numBits,
+        numHashes), numBits)
     val trainShingles = train
       .select(col(idCol),
         explode(Dedup.shingles(col(textCol), n)).as("shingle"))
-    val hot = Sketches.bloomTest(
-        trainShingles.select("shingle").distinct(), col("shingle"),
-        bloom, numBits, numHashes)
-      .filter(col("bloom_hit"))
-      .select(col("bloom_key").as("shingle"))
-    val cand = trainShingles.join(hot, Seq("shingle"), "left_semi")
-    val perDoc = trainShingles.groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"))
-    val candPerDoc = cand.groupBy(idCol)
-      .agg(count(lit(1)).as("n_candidates"))
-    val hits = cand.join(evalShingles, "shingle")
+    // the probe is a literal-array bit test INSIDE the projection
+    // ([[Sketches.bloomTestLit]]) — no distinct, no probe join, no
+    // re-aggregation of the train shingle stream
+    val marked = trainShingles.withColumn("__hit",
+      Sketches.bloomTestLit(col("shingle"), words, numBits, numHashes))
+    // pass 1: per-doc totals — nothing here shuffles except the
+    // map-side-combinable doc-keyed aggregation
+    val perDoc = marked.groupBy(idCol).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("__hit"), 1L).otherwise(0L)).as("n_candidates"))
+    // pass 2: only the bloom survivors (~1% at production FPR) enter
+    // the exact verify join. The train side is scanned TWICE on
+    // purpose: fusing the passes means either persisting the exploded
+    // shingle stream (≫ source bytes at 100 TB) or joining the
+    // UNFILTERED stream against eval (the full-stream shuffle the
+    // bloom exists to avoid once the eval side outgrows broadcast) —
+    // re-reading column-pruned parquet is the cheapest of the three.
+    val hits = marked.filter(col("__hit"))
+      .join(evalShingles, "shingle")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
     train.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
-      .join(candPerDoc, Seq(idCol), "left")
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),

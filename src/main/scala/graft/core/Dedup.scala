@@ -64,8 +64,8 @@ object Dedup {
     * shingle (id_a < id_b), count common shingles per pair, then
     * |A∩B| / (|A| + |B| − |A∩B|). The shingle join replaces the O(n²)
     * cross join with a shuffle keyed on shingle text.
-    */
-  /** `maxDf` drops stop-shingles (document frequency above the cap)
+    *
+    * `maxDf` drops stop-shingles (document frequency above the cap)
     * from candidate generation — at web scale a shingle appearing in
     * millions of docs contributes d^2/2 combos while carrying no
     * near-dup signal. Denominators still count all shingles, so capped
@@ -655,8 +655,8 @@ object Dedup {
     * majority vote of bit i across all token rolling-hashes. Built
     * entirely from higher-order array expressions — no UDF, no shuffle
     * beyond the final projection's parent plan.
-    */
-  /** Per-doc 32-bit SimHash as explode -> one grouped aggregation.
+    *
+    * Per-doc 32-bit SimHash as explode -> one grouped aggregation.
     *
     * Each token's rolling hash is computed exactly once on its own row
     * (an earlier array-lambda formulation re-evaluated every token

@@ -23,6 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Loud BIGINT narrowing (SQL-string form, for `expr(...)`): with
+    * ANSI off, Spark silently NULLs an overflowing DECIMAL→BIGINT
+    * cast — this raises instead, so a corpus that outgrows an int64
+    * output contract fails the job rather than shipping a silently
+    * wrong statistic. The DuckDB oracles' HUGEINT→BIGINT casts error
+    * loudly on the same input, so the two engines fail TOGETHER
+    * (the Krippendorff-oracle lesson: a guard that is loud on one
+    * engine and silent on the other is a latent divergence).
+    */
+  /** Max distinct values the rank-test lattice windows accept before
+    * failing loudly — the single-partition prefix sum over the value
+    * lattice is the deliberate trade of [[kruskalWallis]] (and the
+    * rocAuc family): bounded-lattice state, zero corpus sort. 10M
+    * distinct values ≈ a 160 MB single task — past that the input
+    * needs quantizing, not a bigger window.
+    */
+  private val LatticeMax = 10000000L
+
+  private def bigintLoud(x: String, what: String): String =
+    s"""CASE WHEN abs($x) >
+           CAST(9223372036854775807 AS DECIMAL(38, 0))
+         THEN CAST(assert_true(false, '$what exceeds BIGINT')
+           AS BIGINT)
+         ELSE CAST($x AS BIGINT) END"""
+
   /** Exact ROC-AUC of a BIGINT score against a boolean label, by
     * tied-pair counting: AUC = (#{pos > neg} + ½·#{pos = neg}) /
     * (n_pos·n_neg). One grouped aggregation collapses the corpus to
@@ -599,31 +624,6 @@ object Eval {
           .as("llr_final_micro"))
   }
 
-  /** Mann-Whitney U rank-sum test per key — the nonparametric two-
-    * sample test beside the mean-based z (q223) and F (q257): does one
-    * arm's VALUE DISTRIBUTION stochastically dominate the other's,
-    * without assuming normality (heavy-tailed revenue is exactly where
-    * the t/z family lies)?
-    *
-    * Rank arithmetic runs on the VALUE LATTICE, never per row: one
-    * aggregation collapses the corpus to (key, value) cells with
-    * per-arm counts, a key-partitioned cumulative window over each
-    * key's micro/cents lattice assigns every distinct value its
-    * DOUBLED midrank r2 = 2·(#below) + t + 1 (ties carry the exact
-    * average rank as an integer ×2 — no halves, no floats), and the
-    * rank sum / U statistic fold back as exact integer products.
-    * The normal approximation uses the tie-corrected variance
-    *   σ² = n_a·n_b/12 · [ (N+1) − Σ(t³−t)/(N(N−1)) ]
-    * with Σ(t³−t) accumulated in DECIMAL(38,0) (one corpus-sized tie
-    * group would overflow BIGINT's t³), and z is ONE fixed float tree
-    * over the exact sums — engine-replayable bit-for-bit.
-    *
-    * Scale shape: one (key, value) aggregation; the window runs over
-    * per-key value lattices (cents-rounded metrics live on a bounded
-    * lattice — the ROC-AUC contract), and one grouped aggregation
-    * finishes. Output per key: (n_a, n_b, u2_a = 2·U_A, z). Degenerate
-    * keys (an empty arm, or every value tied) yield NULL z.
-    */
   /** One-way ANOVA — the k-group mean-difference test the experiment
     * stack lacked between the two-arm z/t shapes (q223) and the
     * rank-based Mann–Whitney: F = (SSB/(k−1)) / (SSW/(n−k)) over a
@@ -643,7 +643,13 @@ object Eval {
     * flooring can push a true-zero SSB a few quanta negative —
     * clamped to 0 on both sides. F itself is one final integer
     * division on the floored quantities
-    * (ssb_q4·(n−k)·10⁶ DIV (ssw_q4·(k−1))).
+    * (ssb_q4·(n−k)·10⁶ DIV (ssw_q4·(k−1))). The raw accumulations
+    * Σv and Σv² ALSO run in DECIMAL(38,0) — at the same scale where
+    * S_g² passes 2⁶³ so does Q — and the BIGINT output columns
+    * (ssb_q4/ssw_q4) are loud-guarded casts: an input whose sums of
+    * squares genuinely exceed int64 raises on BOTH engines
+    * (assert_true here, HUGEINT→BIGINT cast error in DuckDB) instead
+    * of wrapping silently.
     *
     * Plan: one map-side-combinable grouped agg (k rows) + one global
     * agg + a broadcast cross — raw rows are read ONCE and never
@@ -658,7 +664,8 @@ object Eval {
                   valueCol: Column): DataFrame = {
     val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
     val per = base.groupBy("g").agg(
-      count(lit(1)).as("ng"), sum("v").as("sg"))
+      count(lit(1)).as("ng"),
+      sum(col("v").cast("decimal(38,0)")).as("sg"))
     // exact integer division in decimal: (x − pmod(x, b)) / b — the
     // quotient is then a true integer, so the decimal division's
     // scale-6 HALF_UP rounding can never disagree with DuckDB's //
@@ -669,16 +676,25 @@ object Eval {
                 - pmod(CAST(sg AS DECIMAL(38, 0)) * sg * 10000, ng))
               / ng AS DECIMAL(38, 0))""").as("t"))
       .agg(sum("t").as("sum_t"), count(lit(1)).as("k"))
-    val glob = base.agg(count(lit(1)).as("n"), sum("v").as("s"),
-      sum(expr("v * v")).as("q"))
+    // Σv and Σv² accumulate in DECIMAL(38,0), not BIGINT: at the
+    // corpus scale where S_g² passes 2⁶³ (the scaladoc's own
+    // envelope), Σv² does too — a BIGINT sum would wrap SILENTLY
+    // under ANSI-off while the DuckDB oracle sums in HUGEINT
+    // (ADVICE r14). The BIGINT output columns below are loud-guarded.
+    val glob = base.agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,0)")).as("s"),
+      sum(expr("CAST(v AS DECIMAL(38, 0)) * v")).as("q"))
     terms.crossJoin(broadcast(glob))
       .select(col("n").as("n_rows"), col("k").as("k_groups"),
-        expr("""CAST(greatest(CAST(0 AS DECIMAL(38, 0)), sum_t -
+        expr(bigintLoud(
+          """greatest(CAST(0 AS DECIMAL(38, 0)), sum_t -
                 CAST((CAST(s AS DECIMAL(38, 0)) * s * 10000
                     - pmod(CAST(s AS DECIMAL(38, 0)) * s * 10000, n))
-                  / n AS DECIMAL(38, 0))) AS BIGINT)""").as("ssb_q4"),
-        expr("""CAST(CAST(q AS DECIMAL(38, 0)) * 10000 - sum_t
-                AS BIGINT)""").as("ssw_q4"),
+                  / n AS DECIMAL(38, 0)))""",
+          "anovaOneWay: ssb_q4")).as("ssb_q4"),
+        expr(bigintLoud(
+          "CAST(q AS DECIMAL(38, 0)) * 10000 - sum_t",
+          "anovaOneWay: ssw_q4")).as("ssw_q4"),
         expr("k - 1").as("df_between"),
         expr("n - k").as("df_within"))
       .withColumn("f_micro", expr(
@@ -716,7 +732,12 @@ object Eval {
     * that (value-lattice-bounded single partition, the q142/q164
     * discipline), and per-group rank sums via a (g, v)-count join.
     * Raw rows never enter a window; everything row-scaled is a
-    * map-side-combinable grouped count.
+    * map-side-combinable grouped count. The single-task lattice pass
+    * is a CONTRACT, not an accident: a loud [[LatticeMax]] guard
+    * (riding the same all-to-one exchange, zero extra cost) fails the
+    * job when the value column is effectively continuous — quantize
+    * first rather than silently serializing the corpus through one
+    * task.
     *
     * Output: one row — (n_rows, k_groups, tie_t3, h_micro,
     * h_adj_micro); h_adj_micro NULL when every value is tied
@@ -729,8 +750,23 @@ object Eval {
     val vals = base.groupBy("v").agg(count(lit(1)).as("t"))
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // loud lattice guard (ADVICE r14): the prefix sum below funnels
+    // the DISTINCT-VALUE lattice through ONE task — fine for bounded
+    // cent/micro lattices (the rocAuc contract), a silent single-task
+    // bottleneck for a high-cardinality value column the API would
+    // otherwise happily accept. The guard count rides the SAME
+    // all-to-one exchange as the rank window (both single-partition
+    // specs), so it costs no extra pass over anything.
+    val wAll = Window.partitionBy()
     val ranked = vals
       .withColumn("cum", coalesce(sum("t").over(wv), lit(0L)))
+      .withColumn("__lat", count(lit(1)).over(wAll))
+      .withColumn("__ok", assert_true(col("__lat") <= lit(LatticeMax),
+        concat(lit("kruskalWallis: "), col("__lat"),
+          lit(s" distinct values (cap $LatticeMax) — the rank prefix " +
+            "sum is a single-task pass over the value lattice; " +
+            "quantize/bucket the value column first"))))
+      .filter(col("__ok").isNull)
       .select(col("v"), col("t"),
         (lit(2L) * col("cum") + col("t") + lit(1L)).as("r2"))
     val gv = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
@@ -793,19 +829,30 @@ object Eval {
     *
     * Plan: one grouped agg to (block, treatment) cells, one
     * block-partitioned rank window (block state = k rows — bounded by
-    * the TREATMENT count, never the corpus), grouped sums. Output:
+    * the TREATMENT count, never the corpus), grouped sums. Raw events
+    * are read ONCE: the sized-cells table is an eager localCheckpoint
+    * (blocks × k rows) feeding the k/dropped/n scalar actions and the
+    * returned plan alike. Output:
     * one row — (n_blocks, k_treatments, n_blocks_dropped, tie_t3,
     * q_micro, q_adj_micro).
     */
   def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
                valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = df.select(blockCol.as("b"), treatCol.as("tr"),
+    // ONE pass over the raw events (ADVICE r14): cells + the
+    // per-block size window materialize into an eager localCheckpoint
+    // — bounded by blocks × treatments rows, the test's own state,
+    // never raw rows — and every downstream consumer (the k/dropped/n
+    // driver actions, the rank windows, the returned plan) reads the
+    // checkpoint. The previous shape re-derived the cells aggregation
+    // from raw events for each action plus the final plan: 4 jobs
+    // over the input per call.
+    val sized = df.select(blockCol.as("b"), treatCol.as("tr"),
         valueCol.cast("long").as("v"))
       .groupBy("b", "tr").agg(sum("v").as("v"))
-    val k = cells.select("tr").distinct().count()
-    val sized = cells.withColumn("__m",
-      count(lit(1)).over(Window.partitionBy("b")))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("b")))
+      .localCheckpoint(true)
+    val k = sized.select("tr").distinct().count()
     val dropped = sized.filter(col("__m") =!= k)
       .select("b").distinct().count()
     val complete = sized.filter(col("__m") === k).drop("__m")
@@ -874,11 +921,16 @@ object Eval {
     *
     *   Q = (k−1) · (k·ΣC_j² − N²) / (k·N − ΣR_b²)
     *
-    * — PURE integers end to end (the McNemar generalization: k = 2
-    * reduces to McNemar without continuity correction). Blocks with
-    * all-0 or all-k outcomes contribute nothing to either side
-    * (standard). Incomplete blocks drop loudly into
-    * `n_blocks_dropped` ([[friedman]] discipline).
+    * — EXACT integers end to end, with every square and the final
+    * floor division routed through DECIMAL(38, 0) (ΣC_j²/ΣR_b²/N²
+    * pass 2⁶³ once grand_n reaches a few million; the BIGINT output
+    * is a loud-guarded narrowing, the [[anovaOneWay]] discipline).
+    * The McNemar generalization: k = 2 reduces to McNemar without
+    * continuity correction. Blocks with all-0 or all-k outcomes
+    * contribute nothing to either side (standard). Incomplete blocks
+    * drop loudly into `n_blocks_dropped` ([[friedman]] discipline);
+    * raw events are read ONCE (the sized-cells checkpoint feeds the
+    * scalar actions, both marginals and the returned plan).
     *
     * Output: one row — (n_blocks, k_treatments, n_blocks_dropped,
     * grand_n, q_micro); q_micro NULL when the denominator is 0
@@ -887,33 +939,78 @@ object Eval {
   def cochranQ(df: DataFrame, blockCol: Column, treatCol: Column,
                flagCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = df.select(blockCol.as("b"), treatCol.as("tr"),
+    // ONE pass over the raw events (the [[friedman]] checkpoint
+    // discipline, ADVICE r14): sized cells materialize eagerly and
+    // feed the k/dropped actions, both marginal aggregations and the
+    // returned plan — previously each re-derived the cells agg.
+    val sized = df.select(blockCol.as("b"), treatCol.as("tr"),
         flagCol.cast("boolean").as("x"))
       .groupBy("b", "tr")
       .agg(max(when(col("x"), lit(1L)).otherwise(lit(0L))).as("x"))
-    val k = cells.select("tr").distinct().count()
-    val sized = cells.withColumn("__m",
-      count(lit(1)).over(Window.partitionBy("b")))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("b")))
+      .localCheckpoint(true)
+    val k = sized.select("tr").distinct().count()
     val dropped = sized.filter(col("__m") =!= k)
       .select("b").distinct().count()
     val complete = sized.filter(col("__m") === k).drop("__m")
+    // squares route through DECIMAL(38, 0) (the anovaOneWay /
+    // kruskalWallis discipline, ADVICE r14): C_j and R_b are
+    // O(grand_n), so ΣC_j² / ΣR_b² / N² pass 2⁶³ at a few million
+    // observations — a BIGINT product would wrap SILENTLY (ANSI off)
+    // while the DuckDB oracle's BIGINT ops error loudly.
     val colTot = complete.groupBy("tr").agg(sum("x").as("cj"))
-      .agg(sum(expr("cj * cj")).as("sum_cj2"), sum("cj").as("nn"))
+      .agg(sum(expr("CAST(cj AS DECIMAL(38, 0)) * cj")).as("sum_cj2"),
+        sum("cj").as("nn"))
     val rowTot = complete.groupBy("b").agg(sum("x").as("rb"))
-      .agg(coalesce(sum(expr("rb * rb")), lit(0L)).as("sum_rb2"),
+      .agg(expr("""coalesce(sum(CAST(rb AS DECIMAL(38, 0)) * rb),
+          CAST(0 AS DECIMAL(38, 0)))""").as("sum_rb2"),
         count(lit(1)).as("n_blocks"))
     colTot.crossJoin(broadcast(rowTot))
       .select(col("n_blocks"), lit(k).as("k_treatments"),
         lit(dropped).as("n_blocks_dropped"),
         coalesce(col("nn"), lit(0L)).as("grand_n"),
-        expr(s"""CASE WHEN $k >= 2
-              AND $k * coalesce(nn, 0) - sum_rb2 > 0 THEN
-            (($k - 1) * ($k * coalesce(sum_cj2, 0)
-               - coalesce(nn, 0) * coalesce(nn, 0)) * 1000000L)
-              DIV ($k * coalesce(nn, 0) - sum_rb2)
+        expr(s"""CAST($k * coalesce(nn, 0) AS DECIMAL(38, 0))
+            - sum_rb2""").as("__den"),
+        expr(s"""($k - 1) * ($k * coalesce(sum_cj2,
+              CAST(0 AS DECIMAL(38, 0)))
+            - CAST(coalesce(nn, 0) AS DECIMAL(38, 0))
+              * coalesce(nn, 0)) * 1000000""").as("__num"))
+      .select(col("n_blocks"), col("k_treatments"),
+        col("n_blocks_dropped"), col("grand_n"),
+        // numerator ≥ 0 by Cauchy–Schwarz (k·ΣC_j² ≥ N²), so the
+        // exact (x − pmod(x, b))/b floor equals integer DIV; the
+        // BIGINT narrowing is loud-guarded
+        expr(s"""CASE WHEN $k >= 2 AND __den > 0 THEN
+            ${bigintLoud("(__num - pmod(__num, __den)) / __den",
+              "cochranQ: q_micro")}
           END""").as("q_micro"))
   }
 
+  /** Mann-Whitney U rank-sum test per key — the nonparametric two-
+    * sample test beside the mean-based z (q223) and F (q257): does one
+    * arm's VALUE DISTRIBUTION stochastically dominate the other's,
+    * without assuming normality (heavy-tailed revenue is exactly where
+    * the t/z family lies)?
+    *
+    * Rank arithmetic runs on the VALUE LATTICE, never per row: one
+    * aggregation collapses the corpus to (key, value) cells with
+    * per-arm counts, a key-partitioned cumulative window over each
+    * key's micro/cents lattice assigns every distinct value its
+    * DOUBLED midrank r2 = 2·(#below) + t + 1 (ties carry the exact
+    * average rank as an integer ×2 — no halves, no floats), and the
+    * rank sum / U statistic fold back as exact integer products.
+    * The normal approximation uses the tie-corrected variance
+    *   σ² = n_a·n_b/12 · [ (N+1) − Σ(t³−t)/(N(N−1)) ]
+    * with Σ(t³−t) accumulated in DECIMAL(38,0) (one corpus-sized tie
+    * group would overflow BIGINT's t³), and z is ONE fixed float tree
+    * over the exact sums — engine-replayable bit-for-bit.
+    *
+    * Scale shape: one (key, value) aggregation; the window runs over
+    * per-key value lattices (cents-rounded metrics live on a bounded
+    * lattice — the ROC-AUC contract), and one grouped aggregation
+    * finishes. Output per key: (n_a, n_b, u2_a = 2·U_A, z). Degenerate
+    * keys (an empty arm, or every value tied) yield NULL z.
+    */
   def mannWhitneyU(df: DataFrame, key: Column, arm: Column,
                    valueCents: Column, armA: String, armB: String): DataFrame = {
     val lat = df

@@ -212,13 +212,6 @@ object Packing {
           ";").as("bounds"))
       .select(col("seq_id"), col("n_docs"), col("n_tokens"), col("bounds"))
 
-  /** Assembled fixed-length sequences: joins the composition map back
-    * to the doc text (the map side carries offsets only until this
-    * final join), slices each doc's contribution, and concatenates in
-    * sequence order — one hash aggregation keyed on seq_id. The final
-    * sequence of the corpus may be shorter than `seqLen` (`n_tokens`
-    * makes that visible; padding policy belongs to the consumer).
-    */
   /** Materialize packed sequences as TRAINING SHARDS: range-cluster
     * on seq_id into `shards` contiguous slices and commit to a
     * transactional snapshot table. Because each file then carries a
@@ -344,6 +337,13 @@ object Packing {
       .withColumn("pad_waste",
         col("max_len") * col("n_docs") - col("sum_len"))
 
+  /** Assembled fixed-length sequences: joins the composition map back
+    * to the doc text (the map side carries offsets only until this
+    * final join), slices each doc's contribution, and concatenates in
+    * sequence order — one hash aggregation keyed on seq_id. The final
+    * sequence of the corpus may be shorter than `seqLen` (`n_tokens`
+    * makes that visible; padding policy belongs to the consumer).
+    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int): DataFrame = {
     val comp = packCompositions(df, idCol, textCol, seqLen)

@@ -121,8 +121,8 @@ object Retrieval {
     * file carries tight bucket stats and a probe read prunes at the
     * manifest — the [[Similarity.writeIvfIndexTable]] layout applied
     * to sparse retrieval.
-    */
-  /** @param clusterPartitions explicit range-partition count for the
+    *
+    * @param clusterPartitions explicit range-partition count for the
     *   clustered write (None = session/AQE-sized). Tiny corpora
     *   coalesce to one file per commit under AQE, which leaves nothing
     *   for the manifest to prune — tests and small backfills set this.

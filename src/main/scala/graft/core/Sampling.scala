@@ -494,6 +494,19 @@ object Sampling {
       signalCols.map(s => col(s"rank_$s")).reduce(_ + _))
   }
 
+  /** Drop the block-storage copy behind an eager `localCheckpoint`
+    * result that is no longer referenced. The checkpointed RDD is the
+    * `LogicalRDD` leaf of the returned Dataset's plan; unpersisting
+    * it deletes the blocks (the RDD becomes uncomputable — callers
+    * must have replaced every reference first).
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Greedy maximum-coverage source selection (the (1−1/e) greedy of
     * Nemhauser-Wolsey-Fisher for submodular maximization) — "which k
     * data sources should I license/ingest to cover the most
@@ -519,19 +532,6 @@ object Sampling {
     * Output: one row per step — (step 1.., picked set, new_elements
     * gained, covered_total after the pick).
     */
-  /** Drop the block-storage copy behind an eager `localCheckpoint`
-    * result that is no longer referenced. The checkpointed RDD is the
-    * `LogicalRDD` leaf of the returned Dataset's plan; unpersisting
-    * it deletes the blocks (the RDD becomes uncomputable — callers
-    * must have replaced every reference first).
-    */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-
   def greedySetCover(pairs: DataFrame, setCol: String, elemCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

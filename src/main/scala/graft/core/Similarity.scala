@@ -413,19 +413,6 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs
-    * with cosine >= threshold. O(n^2) scoring — the correctness
-    * baseline and oracle target; use [[lshNearDupPairs]] at scale.
-    *
-    * `maxRows` is a loud-failure guard (the JsonArraySink discipline):
-    * a mistaken call on a production corpus would otherwise silently
-    * plan an O(n²) cross join. The guard is part of the PLAN, not an
-    * eager builder action: a one-row count relation with `assert_true`
-    * is broadcast onto the build side, so the check fires at execution
-    * (broadcasts materialize before the probe streams) and building
-    * the DataFrame stays lazy. Raise the cap only for a deliberate
-    * exact-baseline run.
-    */
   /** Local Outlier Factor (Breunig et al., SIGMOD 2000) — the
     * density-RATIO outlier score that global distance cuts miss: a
     * point is anomalous when its neighborhood is much sparser than
@@ -837,6 +824,19 @@ object Similarity {
         col("d2").as("dc"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs
+    * with cosine >= threshold. O(n^2) scoring — the correctness
+    * baseline and oracle target; use [[lshNearDupPairs]] at scale.
+    *
+    * `maxRows` is a loud-failure guard (the JsonArraySink discipline):
+    * a mistaken call on a production corpus would otherwise silently
+    * plan an O(n²) cross join. The guard is part of the PLAN, not an
+    * eager builder action: a one-row count relation with `assert_true`
+    * is broadcast onto the build side, so the check fires at execution
+    * (broadcasts materialize before the probe streams) and building
+    * the DataFrame stays lazy. Raise the cap only for a deliberate
+    * exact-baseline run.
+    */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
@@ -868,8 +868,8 @@ object Similarity {
     * variant. Hyperplane components derive from rollingHash("bit:dim")
     * (materialized as literals — they're row-independent), so any
     * engine can reproduce the bucketing.
-    */
-  /** `bitsPerTable = 0` (default) sizes buckets to the corpus:
+    *
+    * `bitsPerTable = 0` (default) sizes buckets to the corpus:
     * ceil(log2(n / 64)) bits, min 4 — without this, bucket count is
     * CONSTANT while corpus grows, and within-bucket pair counts grow
     * quadratically (measured 64x on a 10x corpus before the fix).
@@ -885,8 +885,8 @@ object Similarity {
     * under-sized the buckets — measured 97x vs 46x on the 10x probe.
     * Underestimating n is quadratic blowup; an extra count() job is
     * noise next to that.
-    */
-  /** `multiProbe = P > 0` additionally probes, per table, the P buckets
+    *
+    * `multiProbe = P > 0` additionally probes, per table, the P buckets
     * obtained by flipping the P sign bits with the smallest |margin|
     * (query-directed multi-probe, Lv et al. VLDB'07): a vector near a
     * hyperplane is the one whose neighbors land on the other side, so

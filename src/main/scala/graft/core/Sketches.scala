@@ -56,13 +56,6 @@ object Sketches {
             expectedItems: Long, fpp: Double = 0.01): BloomFilter =
     df.stat.bloomFilter(col(column), expectedItems, fpp)
 
-  /** Filter `df` to rows whose `column` might be in the filter —
-    * broadcast-applied before any shuffle; false positives only, so
-    * follow with an exact join when exactness matters. Dispatches on
-    * the column's type the same way `bloomFilter` hashed it at build
-    * time (long for integral keys, string otherwise) — a silent
-    * cast-to-long of a string key would null-drop every row.
-    */
   /** The `numHashes` double-hashed bit positions of a string key in a
     * `numBits`-bit RELATIONAL bloom filter: pos_i = (h1 + i·h2) mod m
     * with h1/h2 from the portable rollingHash→mix32 chain (two
@@ -128,6 +121,57 @@ object Sketches {
       .groupBy("bloom_key")
       .agg((sum(when(col("hit"), lit(1L)).otherwise(lit(0L)))
         === lit(numHashes.toLong)).as("bloom_hit"))
+
+  /** Filter `df` to rows whose `column` might be in the filter —
+    * broadcast-applied before any shuffle; false positives only, so
+    * follow with an exact join when exactness matters. Dispatches on
+    * the column's type the same way `bloomFilter` hashed it at build
+    * time (long for integral keys, string otherwise) — a silent
+    * cast-to-long of a string key would null-drop every row.
+    */
+  /** Collect a [[bloomBuild]] filter into a dense driver-side word
+    * array (index = word_idx) — model-size by construction
+    * (numBits/62 longs; 2²⁰ bits ≈ 17K longs ≈ 135 KB), the same
+    * bound that lets [[bloomTest]] broadcast it. Feeds
+    * [[bloomTestLit]], which inlines the membership probe as a
+    * literal-array EXPRESSION so a corpus-sized key stream never
+    * shuffles or re-aggregates just to be tested.
+    */
+  def bloomWords(bloom: DataFrame, numBits: Int): Array[Long] = {
+    val words = new Array[Long](numBits / 62 + 1)
+    bloom.select(col("word_idx").cast("int"), col("bits").cast("long"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Membership probe as a PURE scalar expression over a literal word
+    * array from [[bloomWords]] — bit-identical to [[bloomTest]] (the
+    * same [[bloomPositions]] double-hash chain; absent words read as
+    * 0 = unset on both paths) but with no explode, no join and no
+    * re-aggregation: the probed stream dies at a codegen'd bit test
+    * inside its own projection. This is the 100 TB probe shape —
+    * [[bloomTest]]'s relational probe re-keys the stream per hash
+    * and aggregates it back; this costs `numHashes` literal-array
+    * reads per row and keeps the stream's partitioning untouched.
+    * Still SQL-replayable: the oracle inlines the same word list.
+    */
+  def bloomTestLit(key: Column, words: Array[Long], numBits: Int,
+                   numHashes: Int): Column = {
+    require(numBits >= 62, "numBits must be >= 62")
+    require(numHashes >= 1 && numHashes <= 16,
+      "numHashes must be in [1, 16]")
+    val arr = typedLit(words.toSeq)
+    val pos = bloomPositions(key, numBits, numHashes)
+    (0 until numHashes).map { i =>
+      // positions < numBits ≤ 2³⁰, so the double division is exact
+      // and floor = integer DIV; codegen CSE shares the repeated
+      // `pos` subtree across the numHashes conjuncts
+      val p = element_at(pos, i + 1)
+      val word = element_at(arr, floor(p / lit(62.0)).cast("int") + 1)
+      word.bitwiseAND(call_function("shiftleft", lit(1L),
+        pmod(p, lit(62L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
 
   def mightContain(df: DataFrame, column: String, bf: BloomFilter): DataFrame = {
     val bcast = df.sparkSession.sparkContext.broadcast(bf)

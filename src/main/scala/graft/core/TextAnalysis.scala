@@ -199,6 +199,15 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
 
+  /** 1 − distinct/total tokens as a composable Column — the Gopher
+    * duplicate-token gate signal. Exposed so compositions (Curation's
+    * stage 1) can fuse it into an existing projection instead of
+    * joining [[repetitionStats]]' output back on the doc key.
+    */
+  def dupTokenRatio(text: Column): Column =
+    round(lit(1.0) - size(array_distinct(tokens(text))).cast("double")
+      / size(tokens(text)), 6)
+
   /** Repetition statistics (Gopher-style quality rules, Rae et al.
     * 2021 §A1.1): natural text repeats itself far less than
     * boilerplate/spam, so the fraction of the doc covered by its most
@@ -215,15 +224,6 @@ object TextAnalysis {
     * n-gram), `top_ngram_ratio` (token share covered by it, ≈ n ×
     * count / n_tokens, capped at 1.0 for the short-doc edge).
     */
-  /** 1 − distinct/total tokens as a composable Column — the Gopher
-    * duplicate-token gate signal. Exposed so compositions (Curation's
-    * stage 1) can fuse it into an existing projection instead of
-    * joining [[repetitionStats]]' output back on the doc key.
-    */
-  def dupTokenRatio(text: Column): Column =
-    round(lit(1.0) - size(array_distinct(tokens(text))).cast("double")
-      / size(tokens(text)), 6)
-
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 2): DataFrame =
     // Every output is per-row arithmetic over the row's own text — the
@@ -314,11 +314,6 @@ object TextAnalysis {
     df.withColumn(outCol, trim(regexp_replace(decoded, "\\s+", " ")))
   }
 
-  /** Document fingerprint: rolling hash over the full text — a compact
-    * order-sensitive signature (exact-dup detection without storing
-    * text; the reference has no equivalent, this is the training-data
-    * pipeline extension).
-    */
   /** Hash-seeded span corruption (the T5/UL2 denoising objective's
     * data side): ~`startPermille`/1000 of positions seed a span of
     * `minSpan + (h DIV 1000) mod spanChoices` tokens, a token is
@@ -603,6 +598,11 @@ object TextAnalysis {
       .orderBy(desc("c"), asc("tok")).limit(size)
       .select("tok")
 
+  /** Document fingerprint: rolling hash over the full text — a compact
+    * order-sensitive signature (exact-dup detection without storing
+    * text; the reference has no equivalent, this is the training-data
+    * pipeline extension).
+    */
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
 

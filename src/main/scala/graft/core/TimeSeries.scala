@@ -287,24 +287,6 @@ object TimeSeries {
       .withColumn("dow", weekday(col("Date")).cast("double"))
   }
 
-  /** Exponentially-weighted moving average over per-key ordered
-    * series, integer-exact: s_1 = x_1, then
-    * s_t = (num·x_t + (den−num)·s_{t−1}) DIV den — the streaming-
-    * friendly smoother next to [[rollingMean7]] (O(1) state per key
-    * vs a 7-row buffer), in fixed-point so the recursion replays
-    * bit-for-bit in any engine (floats would compound ulp drift
-    * across the whole series).
-    *
-    * A recursion can't vectorize across rows, so each key's series is
-    * collected into ONE row (sort_array of (ord, x) structs) and
-    * folded row-locally with `aggregate` — bounded by the series
-    * length per key (days, not events: the daily pre-aggregation has
-    * already collapsed the corpus), the same per-key-bounded-state
-    * argument as the VAD islands and session paths. Input rows must
-    * be (keyCol, ordCol, xCol BIGINT) — one row per (key, ord).
-    *
-    * Output: (keyCol, ordCol, xCol, ewma) — the full smoothed series.
-    */
   /** Lag-k autocorrelation of per-key ordered series — the
     * seasonality detector (a weekly cycle shows as a lag-7 peak).
     * Definitionally float, but still exactly cross-engine replayable
@@ -348,6 +330,24 @@ object TimeSeries {
         round(col("num") / col("den"), 6).as("acf"))
   }
 
+  /** Exponentially-weighted moving average over per-key ordered
+    * series, integer-exact: s_1 = x_1, then
+    * s_t = (num·x_t + (den−num)·s_{t−1}) DIV den — the streaming-
+    * friendly smoother next to [[rollingMean7]] (O(1) state per key
+    * vs a 7-row buffer), in fixed-point so the recursion replays
+    * bit-for-bit in any engine (floats would compound ulp drift
+    * across the whole series).
+    *
+    * A recursion can't vectorize across rows, so each key's series is
+    * collected into ONE row (sort_array of (ord, x) structs) and
+    * folded row-locally with `aggregate` — bounded by the series
+    * length per key (days, not events: the daily pre-aggregation has
+    * already collapsed the corpus), the same per-key-bounded-state
+    * argument as the VAD islands and session paths. Input rows must
+    * be (keyCol, ordCol, xCol BIGINT) — one row per (key, ord).
+    *
+    * Output: (keyCol, ordCol, xCol, ewma) — the full smoothed series.
+    */
   def ewma(daily: DataFrame, keyCol: String, ordCol: String, xCol: String,
            num: Int, den: Int): DataFrame = {
     require(num >= 1 && den > num, s"need 1 <= num < den, got $num/$den")
@@ -628,28 +628,6 @@ object TimeSeries {
         when(col("gap") <= horizonDays, col("gap")).as("days_to_target"))
   }
 
-  /** Additive seasonal-trend decomposition of a keyed daily count
-    * series (the classical moving-average STL shape, one pass):
-    *   trend    = centered 7-day moving average (full windows only),
-    *   seasonal = the weekday mean of (cnt − trend), centered so the
-    *              seven components sum to ~0 (the classical-
-    *              decomposition normalization),
-    *   remainder = cnt − trend − seasonal.
-    * Full-window trend means a series' first/last 3 days carry NULL
-    * components — honest edges, no padding invention.
-    *
-    * Everything is exact-integer micro fixed point: the detrended
-    * value ×7 is the BIGINT `7·cnt − S` (no float ever aggregates —
-    * a float sum across partitions would be reduction-order-dependent
-    * and unreplayable); the only floats are per-row round(x·1e6/den)
-    * conversions of exact integers, each a single IEEE-correct
-    * division the oracle replays bit-for-bit.
-    *
-    * Shape: one scan → (key, day) counts; one per-key ±3-row window;
-    * one (key, weekday) aggregation (≤7 rows per key) + one per-key
-    * centering window over those ≤7 rows; one join back. Raw events
-    * shuffle once.
-    */
   /** Mann-Kendall trend test per key — the nonparametric significance
     * companion to the Theil-Sen slope ([[theilSenTrend]] says HOW
     * steep, this says WHETHER the monotone trend is real):
@@ -809,6 +787,28 @@ object TimeSeries {
         col("covered"), (col("span") - col("covered")).as("gap_total"))
   }
 
+  /** Additive seasonal-trend decomposition of a keyed daily count
+    * series (the classical moving-average STL shape, one pass):
+    *   trend    = centered 7-day moving average (full windows only),
+    *   seasonal = the weekday mean of (cnt − trend), centered so the
+    *              seven components sum to ~0 (the classical-
+    *              decomposition normalization),
+    *   remainder = cnt − trend − seasonal.
+    * Full-window trend means a series' first/last 3 days carry NULL
+    * components — honest edges, no padding invention.
+    *
+    * Everything is exact-integer micro fixed point: the detrended
+    * value ×7 is the BIGINT `7·cnt − S` (no float ever aggregates —
+    * a float sum across partitions would be reduction-order-dependent
+    * and unreplayable); the only floats are per-row round(x·1e6/den)
+    * conversions of exact integers, each a single IEEE-correct
+    * division the oracle replays bit-for-bit.
+    *
+    * Shape: one scan → (key, day) counts; one per-key ±3-row window;
+    * one (key, weekday) aggregation (≤7 rows per key) + one per-key
+    * centering window over those ≤7 rows; one join back. Raw events
+    * shuffle once.
+    */
   def stlDecompose(events: DataFrame, keyCol: String,
                    dayCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -394,13 +394,6 @@ object SnapshotTable {
     case other => o.put(k, other.toString)
   }
 
-  /** Publish v{N}.json with put-if-absent semantics. Returns false if
-    * version N was already committed by a concurrent writer (the tmp
-    * file is cleaned up either way). Files.createLink fails with
-    * FileAlreadyExistsException when the target exists — unlike
-    * ATOMIC_MOVE, which silently replaces on POSIX rename and would
-    * let a later committer clobber an earlier commit.
-    */
   /** Additive schema evolution (the Delta mergeSchema contract): new
     * columns append; existing columns must keep their exact type.
     * Readers project the UNION schema — files written before a column
@@ -445,6 +438,13 @@ object SnapshotTable {
         files.grouped(ChunkTargetEntries).map(writeChunkFile(table, _)).toSeq,
         Nil, schema, txns)
 
+  /** Publish v{N}.json with put-if-absent semantics. Returns false if
+    * version N was already committed by a concurrent writer (the tmp
+    * file is cleaned up either way). Files.createLink fails with
+    * FileAlreadyExistsException when the target exists — unlike
+    * ATOMIC_MOVE, which silently replaces on POSIX rename and would
+    * let a later committer clobber an earlier commit.
+    */
   private def publishManifestRefs(table: String, version: Int,
                                   chunks: Seq[ChunkRef],
                                   inline: Seq[FileEntry],
@@ -686,8 +686,8 @@ object SnapshotTable {
     * winner's manifest (blind-append auto-retry, as in Delta). The
     * snapshot schema EVOLVES additively: new columns join the union
     * schema; a type change on an existing column is rejected.
-    */
-  /** @param bloomColumns columns to index with parquet bloom filters
+    *
+    * @param bloomColumns columns to index with parquet bloom filters
     *                      in the new files (equality-probe row-group
     *                      skipping; orthogonal to the min/max manifest
     *                      stats)
@@ -1023,11 +1023,6 @@ object SnapshotTable {
     read(spark, table, Some(v.max), prune, probes)
   }
 
-  /** The snapshot's logical schema (manifest union schema when
-    * recorded; parquet inference over the snapshot's files otherwise).
-    * Metadata-only when the manifest carries a schema — the DSv2
-    * connector calls this at planning time.
-    */
   /** The CHECK constraints recorded at `version` (current when None).
     * Missing table/version reads as "no constraints".
     */
@@ -1299,6 +1294,11 @@ object SnapshotTable {
       s"lost the constraint commit race on $table $MaxCommitRetries times")
   }
 
+  /** The snapshot's logical schema (manifest union schema when
+    * recorded; parquet inference over the snapshot's files otherwise).
+    * Metadata-only when the manifest carries a schema — the DSv2
+    * connector calls this at planning time.
+    */
   def schemaOf(spark: SparkSession, table: String,
                version: Option[Int] = None): org.apache.spark.sql.types.StructType = {
     val v = version.orElse(currentVersion(table))
@@ -1673,8 +1673,8 @@ object SnapshotTable {
     *
     * @return the committed version, or None when nothing needed
     *         compacting (fewer than 2 sub-target files)
-    */
-  /** @param sortBy when non-empty, the packed output range-partitions
+    *
+    * @param sortBy when non-empty, the packed output range-partitions
     *                and sorts on these columns instead of hash
     *                bin-packing — compaction then RESTORES clustering
     *                (tight disjoint footer stats on the sort key) for

@@ -66,8 +66,8 @@ object PackStream {
     * intermediate inside [[Packing.offsetsByReleasable]]) is released
     * before returning — a long-running stream holds no cached blocks
     * between batches.
-    */
-  /** @param writerId idempotence scope (the Delta txnAppId contract).
+    *
+    * @param writerId idempotence scope (the Delta txnAppId contract).
     *                  A stream RESTARTED FROM A FRESH CHECKPOINT must
     *                  pass a new writer id — its batch ids restart at
     *                  0, and under the old id they would all be
