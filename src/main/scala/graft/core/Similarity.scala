@@ -540,19 +540,40 @@ object Similarity {
       centIdCol)
   }
 
+  /** (id, vm, n2) projection of a point table — the quantized-vector
+    * shape every probe body consumes. */
+  private def prepPoints(points: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    points.select(col(idCol).as("id"), quantMilli(vecCol).as("vm"))
+      .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
+
+  /** (cid, cm, cn2) projection of a centroid table. Callers that use
+    * a centroid pipeline more than once checkpoint THIS projection
+    * (model-size by contract) so the derivation never re-runs.
+    */
+  private def prepCents(centroids: DataFrame, centIdCol: String,
+                        vecCol: String): DataFrame =
+    centroids.select(col(centIdCol).as("cid"),
+        quantMilli(vecCol).as("cm"))
+      .withColumn("cn2", dot(col("cm"), col("cm")).cast("long"))
+
   private def probeBucketsL2Unguarded(points: DataFrame,
                                       centroids: DataFrame,
                                       nProbe: Int, idCol: String,
                                       vecCol: String,
-                                      centIdCol: String): DataFrame = {
+                                      centIdCol: String): DataFrame =
+    probeBucketsL2Prepped(prepPoints(points, idCol, vecCol),
+      prepCents(centroids, centIdCol, vecCol), nProbe)
+
+  /** The probe body over pre-projected sides ((id, vm, n2) points ×
+    * (cid, cm, cn2) centroids) — shared so the hierarchical path can
+    * feed CHECKPOINTED centroid frames instead of re-deriving the
+    * centroid pipeline per probe call (VERDICT r14 #3).
+    */
+  private def probeBucketsL2Prepped(pts: DataFrame, cents: DataFrame,
+                                    nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nProbe >= 1, "nProbe must be >= 1")
-    val pts = points.select(col(idCol).as("id"),
-        quantMilli(vecCol).as("vm"))
-      .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
-    val cents = centroids.select(col(centIdCol).as("cid"),
-        quantMilli(vecCol).as("cm"))
-      .withColumn("cn2", dot(col("cm"), col("cm")).cast("long"))
     val wa = Window.partitionBy("id").orderBy(col("dc"), col("cid"))
     // project NARROW before the rank window: the cross output is
     // n x B rows and the window pays one exchange — at 24 bytes/row
@@ -775,34 +796,40 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(wProbe >= 1, "wProbe must be >= 1")
     require(nProbe >= 1, "nProbe must be >= 1")
-    // loud guards: an empty fine table enters assignBucketsL2 as its
-    // POINTS side (probeBucketsL2's centroid guard can't see it) and
-    // would silently empty every assignment downstream. Guarded ONCE
-    // here — the two probe calls below take the unguarded body, so a
-    // derived centroid pipeline is not re-scanned per re-entry
-    // (ADVICE r13: the guard ran 3x on coarseCents before this)
-    require(!fineCents.isEmpty,
-      "assignBucketsHierarchical: fine centroid table is empty")
-    require(!coarseCents.isEmpty,
+    // centroid pipelines materialize ONCE into eager model-size
+    // checkpoints (VERDICT r14 #3): before this, coarseCents was
+    // re-evaluated 3x (emptiness guard + parents probe + points
+    // probe) and fineCents 3x (guard + parents' points side + the
+    // candidate table) — for centroids FILTERED/TRAINED from the
+    // corpus each re-evaluation was a repeated corpus scan. The
+    // checkpoints also make the loud emptiness guards free (an empty
+    // fine table would enter the fine argmin as a silent
+    // assign-nothing; the guard semantics are unchanged from r13).
+    val coarse = prepCents(coarseCents, centIdCol, vecCol)
+      .localCheckpoint(true)
+    require(!coarse.isEmpty,
       "assignBucketsHierarchical: coarse centroid table is empty")
+    val fineP = prepCents(fineCents, centIdCol, vecCol)
+      .localCheckpoint(true)
+    require(!fineP.isEmpty,
+      "assignBucketsHierarchical: fine centroid table is empty")
     // each fine centroid's coarse parent: model x model, broadcast
-    val parents = probeBucketsL2Unguarded(fineCents, coarseCents, 1,
-        centIdCol, vecCol, centIdCol)
+    val parents = probeBucketsL2Prepped(
+        fineP.select(col("cid").as("id"), col("cm").as("vm"),
+          col("cn2").as("n2")),
+        coarse, 1)
       .select(col("id").as("fine_cid"), col("cid").as("parent"))
     // stage 1: each point's wProbe nearest coarse cells (n x C)
-    val probed = probeBucketsL2Unguarded(points, coarseCents, wProbe,
-        idCol, vecCol, centIdCol)
+    val probed = probeBucketsL2Prepped(
+        prepPoints(points, idCol, vecCol), coarse, wProbe)
       .select(col("id"), col("cid").as("parent"))
     // stage 2: fine argmin over the probed cells' children only
     // (n x wProbe*B/C average). The candidate join is parent-keyed
     // against a broadcast model-size table; the point side carries
     // its quantized vector once.
-    val pts = points.select(col(idCol).as("id"),
-        quantMilli(vecCol).as("vm"))
-      .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
-    val fine = fineCents.select(col(centIdCol).as("fine_cid"),
-        quantMilli(vecCol).as("cm"))
-      .withColumn("cn2", dot(col("cm"), col("cm")).cast("long"))
+    val pts = prepPoints(points, idCol, vecCol)
+    val fine = fineP.select(col("cid").as("fine_cid"), col("cm"),
+      col("cn2"))
     val candCents = broadcast(
       parents.join(fine, "fine_cid")
         .select(col("parent"), col("fine_cid"), col("cm"), col("cn2")))
