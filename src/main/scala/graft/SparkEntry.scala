@@ -625,6 +625,54 @@ object SparkEntry {
         "doc_id", "text", n = 5)
     }),
 
+    // INCREMENTAL doc-level decontamination over the persisted
+    // eval-shingle index (the q311/q102 discipline for eval-suite
+    // state): the suite arrives as two versions (doc_id % 20 == 0,
+    // then % 20 == 10) — each append probes the training corpus
+    // against ONLY the keys it newly added, and the folded per-doc
+    // deltas must land exactly on the monolithic q52 result over the
+    // union suite (the oracle replays q52's SQL verbatim)
+    "q319_decontam_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val train = d.filter(col("doc_id") % 10 =!= 0)
+      val t = scratchDir("graft_q319") + "/idx"
+      val d1 = graft.core.Decontaminate.flagContaminatedIncremental(
+        s, train, d.filter(col("doc_id") % 20 === 0), t,
+        "doc_id", "text", n = 5)
+        .withColumnRenamed("n_hits_delta", "h1")
+      val d2 = graft.core.Decontaminate.flagContaminatedIncremental(
+        s, train, d.filter(col("doc_id") % 20 === 10), t,
+        "doc_id", "text", n = 5)
+        .withColumnRenamed("n_hits_delta", "h2")
+      train.select(col("doc_id"))
+        .join(d1, Seq("doc_id"), "left")
+        .join(d2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("h1"), lit(0L)) + coalesce(col("h2"), lit(0L)))
+            .as("n_hits"))
+        .withColumn("contaminated", col("n_hits") >= 1L)
+    }),
+
+    // INCREMENTAL span-level decontamination over the same persisted
+    // index: version 1 scrubs via the index (scrubSpansIndexed),
+    // version 2 re-scrubs ONLY the training docs holding a key the
+    // append newly added; folding (replace-by-id) must equal the
+    // monolithic q318 rewrite over the union suite
+    "q320_decontam_scrub_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val train = d.filter(col("doc_id") % 10 =!= 0)
+      val t = scratchDir("graft_q320") + "/idx"
+      graft.core.Decontaminate.writeEvalShingleIndex(
+        d.filter(col("doc_id") % 20 === 0), "doc_id", "text", t, n = 5)
+      val base = graft.core.Decontaminate.scrubSpansIndexed(
+        s, train, t, "doc_id", "text", n = 5)
+      val delta = graft.core.Decontaminate.scrubSpansIncremental(
+        s, train, d.filter(col("doc_id") % 20 === 10), t,
+        "doc_id", "text", n = 5)
+      base.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(delta)
+    }),
+
     // bloom-prefiltered decontamination — the 100 TB shape of q52:
     // eval shingles build a relational bloom (portable double-hash,
     // bit_or words, model-size broadcast), train shingles die at the
@@ -11968,6 +12016,78 @@ object SparkEntry {
     // q318: the q302 rewrite CTEs with eval grams as the mark source
     // (cover window 4 PRECEDING for n = 5), emitted for train docs
     "q318_decontam_scrub" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS s,
+        |    array_to_string(toks[i+1:i+5], ' ') AS g
+        |  FROM docs, unnest(generate_series(0, len(toks) - 5)) AS u(i)),
+        |evg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+        |starts AS (
+        |  SELECT DISTINCT doc_id, s FROM grams JOIN evg USING (g)
+        |  WHERE doc_id % 10 <> 0),
+        |pos AS (
+        |  SELECT doc_id, toks[CAST(p AS INT)] AS tok, p
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks)))::BIGINT AS p
+        |        FROM docs WHERE doc_id % 10 <> 0)),
+        |flag AS (
+        |  SELECT p.doc_id, p.p, p.tok,
+        |    CASE WHEN st.s IS NOT NULL THEN 1 END AS ds
+        |  FROM pos p LEFT JOIN starts st
+        |    ON st.doc_id = p.doc_id AND st.s = p.p - 1),
+        |cov AS (
+        |  SELECT doc_id, p, tok,
+        |    max(ds) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+        |  FROM flag),
+        |reb AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    coalesce(array_to_string(
+        |      list(tok ORDER BY p) FILTER (WHERE c IS NULL), ' '), '')
+        |      AS clean_text
+        |  FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM (SELECT doc_id FROM docs WHERE doc_id % 10 <> 0) d
+        |LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
+    // q319: the Spark side folds two eval-version deltas probed
+    // against the persisted index; the incremental==batch equivalence
+    // (each distinct key is fresh in exactly one version, hits count
+    // distinct shared keys) means the oracle IS the monolithic q52
+    // replay over the union suite (doc_id % 20 ∈ {0,10} == % 10 = 0)
+    "q319_decontam_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i+1:i+5], ' ')
+        |     for i in generate_series(0, greatest(len(t)-5, 0))])) AS shingle
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS n_hits
+        |  FROM sh s JOIN ev USING (shingle)
+        |  WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 10 <> 0""".stripMargin,
+
+    // q320: same equivalence for the span rewrite — an unaffected doc
+    // (no gram matching a v2-fresh key) keeps its v1 rewrite, affected
+    // docs re-scrub against the FULL key set, so the fold equals the
+    // monolithic q318 replay over the union suite
+    "q320_decontam_scrub_incremental" ->
       """WITH docs AS (
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

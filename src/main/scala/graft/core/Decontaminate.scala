@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share word
@@ -39,10 +39,19 @@ object Decontaminate {
     */
   def flagContaminated(train: DataFrame, eval: DataFrame,
                        idCol: String, textCol: String,
-                       n: Int = 8, minHits: Int = 1): DataFrame = {
-    val evalShingles = eval
-      .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+                       n: Int = 8, minHits: Int = 1): DataFrame =
+    flagAgainstKeys(train,
+      eval.select(explode(Dedup.shingles(col(textCol), n))
+        .as("shingle")).distinct(),
+      idCol, textCol, n, minHits)
+
+  /** The [[flagContaminated]] body over a prebuilt DISTINCT key set —
+    * shared with [[flagContaminatedIndexed]] so the batch and
+    * persisted-index faces run bit-identical plans.
+    */
+  private def flagAgainstKeys(train: DataFrame, evalShingles: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int, minHits: Int): DataFrame = {
     val trainShingles = train
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("shingle"))
     // inner join against the eval set = semi-join with a hit count;
@@ -93,10 +102,25 @@ object Decontaminate {
   def scrubSpans(train: DataFrame, eval: DataFrame, idCol: String,
                  textCol: String, n: Int = 8): DataFrame = {
     require(n >= 2, "n must be >= 2")
-    val docs = SuffixArray.tokenized(train, idCol, textCol).persist()
-    val evalKeys = SuffixArray.gramRows(
+    scrubAgainstKeys(train,
+      SuffixArray.gramRows(
         SuffixArray.tokenized(eval, idCol, textCol), n)
-      .select("g").distinct()
+        .select("g").distinct(),
+      idCol, textCol, n)
+  }
+
+  /** The [[scrubSpans]] rewrite tail over a prebuilt DISTINCT gram
+    * key set — shared with [[scrubSpansIndexed]] /
+    * [[scrubSpansIncremental]] so batch and persisted-index faces
+    * run identical plans. Keys that are not exactly n tokens wide
+    * (the index keeps short-doc shingles for the doc-level face) can
+    * never equal an n-token train gram, so passing the full index
+    * key set is exact.
+    */
+  private def scrubAgainstKeys(train: DataFrame, evalKeys: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int): DataFrame = {
+    val docs = SuffixArray.tokenized(train, idCol, textCol).persist()
     val dupStarts = SuffixArray.gramRows(docs, n)
       .join(evalKeys, Seq("g"), "left_semi")
       .select(col("sa_doc"), col("pos"), lit(1L).as("ds"))
@@ -177,5 +201,157 @@ object Decontaminate {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minHits)
           .as("contaminated"))
+  }
+
+  // --- persisted / incremental eval-suite index -------------------
+  //
+  // Eval suites GROW (new benchmark versions, new held-out sets) and
+  // training corpora GROW (new crawl batches) — the batch faces above
+  // re-shingle the eval suite per run and can only answer "the whole
+  // corpus vs the whole suite". The index below is the
+  // [[Dedup.writeFingerprintIndex]] / [[SuffixArray.writeGramIndex]]
+  // discipline applied to decontamination state: eval shingles
+  // persist ONCE into a transactional [[graft.sources.SnapshotTable]]
+  // keyed (eval_doc, shingle); each face then answers its delta —
+  //   • new TRAIN batch, stable suite → probe the index's distinct
+  //     keys ([[flagContaminatedIndexed]]/[[scrubSpansIndexed]]);
+  //     eval text is never re-shingled;
+  //   • new EVAL version, existing corpus → probe only the keys the
+  //     batch NEWLY added ([[flagContaminatedIncremental]]) or
+  //     re-scrub only the docs holding such a key
+  //     ([[scrubSpansIncremental]]).
+  // Appends are sound because a doc's shingle set is a pure function
+  // of its own text — suite growth only ADDS rows, nothing persisted
+  // ever rewrites (the property that made gram counts persistable
+  // where suffix-array ranks were not).
+
+  /** Create/extend the persisted eval-shingle index: every
+    * (eval_doc, shingle) of the batch appended transactionally. Rows
+    * persist PER EVAL DOC (not pre-distincted): provenance survives
+    * (WHICH benchmark doc a training doc collides with), and
+    * batch-vs-history key novelty stays decidable at probe time.
+    * Pass (`txnAppId`, `txnVersion`) for replay-safe appends. New
+    * batches must carry NEW eval doc ids (suite versions, not
+    * in-place edits — the append-only contract of every incremental
+    * face here).
+    */
+  def writeEvalShingleIndex(eval: DataFrame, idCol: String,
+                            textCol: String, indexDir: String,
+                            n: Int = 8, txnAppId: String = null,
+                            txnVersion: Long = -1L): Unit = {
+    val rows = eval.select(col(idCol).as("eval_doc"),
+      explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+    if (txnAppId == null)
+      graft.sources.SnapshotTable.append(rows, indexDir)
+    else
+      graft.sources.SnapshotTable.appendIdempotent(rows, indexDir,
+        txnAppId, txnVersion)
+  }
+
+  /** Shingle keys a just-appended eval batch NEWLY added: present
+    * among the batch docs' rows, absent from every pre-batch row.
+    * Both sides come from the INDEX (already appended), so the scan
+    * + distinct is shared and the eval text is never re-shingled.
+    */
+  private def freshKeys(spark: SparkSession, newEval: DataFrame,
+                        idCol: String, indexDir: String): DataFrame = {
+    val idx = graft.sources.SnapshotTable.read(spark, indexDir)
+    val newIds = newEval.select(col(idCol).as("eval_doc")).distinct()
+    val batchKeys = idx.join(newIds, Seq("eval_doc"), "left_semi")
+      .select("shingle").distinct()
+    val oldKeys = idx.join(newIds, Seq("eval_doc"), "left_anti")
+      .select("shingle").distinct()
+    batchKeys.join(oldKeys, Seq("shingle"), "left_anti")
+  }
+
+  /** [[flagContaminated]] against the PERSISTED index — the
+    * steady-state face for a NEW TRAINING BATCH under a stable
+    * suite: the batch probes the index's distinct keys; eval text is
+    * never re-shingled. Bit-identical to [[flagContaminated]] of the
+    * indexed eval union (`DecontamIndexSpec`).
+    */
+  def flagContaminatedIndexed(spark: SparkSession, train: DataFrame,
+                              indexDir: String, idCol: String,
+                              textCol: String, n: Int = 8,
+                              minHits: Int = 1): DataFrame =
+    flagAgainstKeys(train,
+      graft.sources.SnapshotTable.read(spark, indexDir)
+        .select("shingle").distinct(),
+      idCol, textCol, n, minHits)
+
+  /** NEW EVAL VERSION delta: append the batch's shingles, then probe
+    * the training corpus against ONLY the keys this batch newly
+    * added. Returns (idCol, n_hits_delta) for training docs gaining
+    * ≥ 1 new hit; folding deltas (per-doc sum over an initial zero
+    * state) reproduces [[flagContaminated]] of the full eval union
+    * EXACTLY, because hits count DISTINCT shared shingles and each
+    * distinct key is fresh in exactly one batch (`DecontamIndexSpec`
+    * gates folded == batch, plus a streaming foreachBatch case).
+    *
+    * Per-batch cost: one index scan (batch-vs-history key split) +
+    * one training probe restricted to the fresh keys — the corpus
+    * stream dies at a semi join against a (typically tiny) new-key
+    * set instead of re-proving every historical hit.
+    */
+  def flagContaminatedIncremental(spark: SparkSession, train: DataFrame,
+                                  newEval: DataFrame, indexDir: String,
+                                  idCol: String, textCol: String,
+                                  n: Int = 8, txnAppId: String = null,
+                                  txnVersion: Long = -1L): DataFrame = {
+    writeEvalShingleIndex(newEval, idCol, textCol, indexDir, n,
+      txnAppId, txnVersion)
+    val fresh = freshKeys(spark, newEval, idCol, indexDir)
+    train.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .join(fresh, Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits_delta"))
+  }
+
+  /** [[scrubSpans]] against the PERSISTED index — a new training
+    * batch is span-scrubbed against the accumulated suite without
+    * re-shingling eval text. Exact: index keys that are not n tokens
+    * wide can never match an n-token train gram (see
+    * [[scrubAgainstKeys]]).
+    */
+  def scrubSpansIndexed(spark: SparkSession, train: DataFrame,
+                        indexDir: String, idCol: String,
+                        textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    scrubAgainstKeys(train,
+      graft.sources.SnapshotTable.read(spark, indexDir)
+        .select(col("shingle").as("g")).distinct(),
+      idCol, textCol, n)
+  }
+
+  /** NEW EVAL VERSION delta for span scrubbing: append the batch,
+    * find the AFFECTED training docs (those holding ≥ 1 newly-added
+    * key), and re-scrub ONLY those against the FULL accumulated key
+    * set. Unaffected docs' rewrites are provably unchanged — a doc
+    * with no fresh-key gram has the same gram→key match set as
+    * before — so folding each delta over previous outputs (replace
+    * rows by id) reproduces [[scrubSpans]] of the eval union exactly
+    * (`DecontamIndexSpec`).
+    *
+    * @return rewritten rows for AFFECTED docs only (the delta)
+    */
+  def scrubSpansIncremental(spark: SparkSession, train: DataFrame,
+                            newEval: DataFrame, indexDir: String,
+                            idCol: String, textCol: String,
+                            n: Int = 8, txnAppId: String = null,
+                            txnVersion: Long = -1L): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    writeEvalShingleIndex(newEval, idCol, textCol, indexDir, n,
+      txnAppId, txnVersion)
+    val fresh = freshKeys(spark, newEval, idCol, indexDir)
+      .select(col("shingle").as("g"))
+    val affectedIds = SuffixArray.gramRows(
+        SuffixArray.tokenized(train, idCol, textCol), n)
+      .join(fresh, Seq("g"), "left_semi")
+      .select(col("sa_doc").as(idCol)).distinct()
+    val affected = train.join(affectedIds, Seq(idCol), "left_semi")
+    scrubAgainstKeys(affected,
+      graft.sources.SnapshotTable.read(spark, indexDir)
+        .select(col("shingle").as("g")).distinct(),
+      idCol, textCol, n)
   }
 }

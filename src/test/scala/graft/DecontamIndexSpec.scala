@@ -1,0 +1,138 @@
+package graft
+
+import graft.core.Decontaminate
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Persisted/incremental decontamination index (the q311/q102
+  * discipline applied to eval-suite state): indexed faces must equal
+  * the batch operators bit-for-bit, eval-version deltas must fold to
+  * the batch result, and the index append must be replay-safe.
+  */
+class DecontamIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // train doc 1 holds two eval-v1 shingles, doc 3 holds an eval-v2
+  // shingle, doc 4 holds one of each, doc 2 is clean
+  private val trainRows = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta",
+    2L -> "totally unrelated clean training document text",
+    3L -> "prefix iota kappa lambda mu suffix",
+    4L -> "alpha beta gamma then iota kappa lambda trailing")
+  // eval v2's first shingle (beta gamma delta) REPEATS an eval-v1 key:
+  // the freshness split must not recount it in the second delta
+  private val eval1 = Seq(100L -> "alpha beta gamma delta")
+  private val eval2 = Seq(200L -> "beta gamma delta iota kappa lambda")
+
+  private def train = trainRows.toDF("doc_id", "text")
+  private def ev(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+  private def evalUnion = ev(eval1 ++ eval2)
+
+  private def flagMap(df: DataFrame): Map[Long, (Long, Boolean)] =
+    df.select("doc_id", "n_hits", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def scrubMap(df: DataFrame): Map[Long, (String, Long, Long)] =
+    df.as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("indexed faces == batch operators over the indexed eval union") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("decontam_idx").toString + "/idx"
+    Decontaminate.writeEvalShingleIndex(ev(eval1), "doc_id", "text", idx, n = 3)
+    Decontaminate.writeEvalShingleIndex(ev(eval2), "doc_id", "text", idx, n = 3)
+
+    val gotFlag = flagMap(Decontaminate.flagContaminatedIndexed(
+      spark, train, idx, "doc_id", "text", n = 3))
+    val wantFlag = flagMap(Decontaminate.flagContaminated(
+      train, evalUnion, "doc_id", "text", n = 3))
+    assert(gotFlag == wantFlag)
+    assert(wantFlag(2L) == ((0L, false)) && wantFlag(1L)._2)
+
+    val gotScrub = scrubMap(Decontaminate.scrubSpansIndexed(
+      spark, train, idx, "doc_id", "text", n = 3))
+    val wantScrub = scrubMap(Decontaminate.scrubSpans(
+      train, evalUnion, "doc_id", "text", n = 3))
+    assert(gotScrub == wantScrub)
+    assert(gotScrub(2L)._3 == 0L) // clean doc untouched
+    assert(gotScrub(1L)._3 > 0L)  // contaminated span removed
+  }
+
+  test("eval-version flag deltas fold to the batch result; repeated " +
+      "keys are not recounted") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("decontam_inc").toString + "/idx"
+    val d1 = Decontaminate.flagContaminatedIncremental(spark, train,
+        ev(eval1), idx, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    val d2 = Decontaminate.flagContaminatedIncremental(spark, train,
+        ev(eval2), idx, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    val folded = trainRows.map(_._1).map { id =>
+      id -> (d1.getOrElse(id, 0L) + d2.getOrElse(id, 0L))
+    }.toMap
+    val want = flagMap(Decontaminate.flagContaminated(
+      train, evalUnion, "doc_id", "text", n = 3)).map {
+      case (id, (h, _)) => id -> h
+    }
+    assert(folded == want)
+    // doc 1 shares "beta gamma delta" with BOTH eval versions — it
+    // was counted in delta 1, so delta 2 must not touch doc 1 at all
+    assert(d1(1L) >= 2L)
+    assert(!d2.contains(1L))
+    assert(d2(3L) >= 1L) // the genuinely new eval-v2 span
+  }
+
+  test("eval-version scrub deltas fold (replace-by-id) to the batch " +
+      "rewrite; only affected docs re-emit") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("decontam_scr").toString + "/idx"
+    Decontaminate.writeEvalShingleIndex(ev(eval1), "doc_id", "text", idx, n = 3)
+    val base = scrubMap(Decontaminate.scrubSpansIndexed(
+      spark, train, idx, "doc_id", "text", n = 3))
+    val delta = scrubMap(Decontaminate.scrubSpansIncremental(spark,
+      train, ev(eval2), idx, "doc_id", "text", n = 3))
+    // the delta carries ONLY docs holding a key eval v2 newly added
+    assert(!delta.contains(2L))
+    assert(delta.contains(3L) && delta.contains(4L))
+    val folded = base ++ delta
+    val want = scrubMap(Decontaminate.scrubSpans(
+      train, evalUnion, "doc_id", "text", n = 3))
+    assert(folded == want)
+  }
+
+  test("streaming eval suite via foreachBatch: folded deltas == batch; " +
+      "txn appends survive batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files
+      .createTempDirectory("decontam_str").toString + "/idx"
+    val input = MemoryStream[(Long, String)]
+    var folded = Map.empty[Long, Long]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = Decontaminate.flagContaminatedIncremental(spark,
+          train, batch, idx, "doc_id", "text", n = 3,
+          txnAppId = "decontam_stream", txnVersion = id)
+        delta.as[(Long, Long)].collect().foreach { case (doc, h) =>
+          folded = folded.updated(doc, folded.getOrElse(doc, 0L) + h)
+        }
+      }
+      .start()
+    input.addData(eval1: _*); q.processAllAvailable()
+    input.addData(eval2: _*); q.processAllAvailable()
+    q.stop()
+    val want = flagMap(Decontaminate.flagContaminated(
+      train, evalUnion, "doc_id", "text", n = 3))
+      .collect { case (id, (h, _)) if h > 0 => id -> h }
+    assert(folded == want)
+    // exactly-once: replaying batch 0's append must not grow the index
+    val before = graft.sources.SnapshotTable.read(spark, idx).count()
+    Decontaminate.writeEvalShingleIndex(ev(eval1), "doc_id", "text",
+      idx, n = 3, txnAppId = "decontam_stream", txnVersion = 0L)
+    val after = graft.sources.SnapshotTable.read(spark, idx).count()
+    assert(after == before, "replayed append must be a no-op")
+  }
+}
