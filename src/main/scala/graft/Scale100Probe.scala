@@ -79,7 +79,17 @@ object Scale100Probe {
       // only sees bloom candidates; incremental Hampel is the q306
       // lattice behind a persisted-partials table
       "q309_rouge_l", "q311_winnow_incremental", "q315_bloom_decontam",
-      "q312_hampel_incremental")
+      "q312_hampel_incremental",
+      // round-15 additions (VERDICT r14 #6): the k-group tests are
+      // one or two map-side-combinable grouped aggs over the corpus
+      // (post-agg state = groups/blocks/lattice, never rows); span
+      // decontamination is a gram semi-join + per-doc cover windows
+      // (the q302 shape with the eval suite as the mark source); the
+      // incremental decontam faces are index appends + key-restricted
+      // probes (the q311 shape)
+      "q313_anova", "q314_kruskal_wallis", "q316_friedman",
+      "q317_cochran_q", "q318_decontam_scrub",
+      "q319_decontam_incremental", "q320_decontam_scrub_incremental")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>

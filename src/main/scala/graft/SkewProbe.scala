@@ -40,11 +40,11 @@ object SkewProbe {
     val spark = org.apache.spark.sql.GraftShim.cloneSession(root)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
+    val template = "the quick data table scans the fast hash join " +
+      "over the sorted merge window while the stream packs the batch " +
+      "rows into the vector group under the filter value column"
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
       println("[skew-probe] generating skewed corpus at " + out)
-      val template = "the quick data table scans the fast hash join " +
-        "over the sorted merge window while the stream packs the batch " +
-        "rows into the vector group under the filter value column"
       Tables.documents(spark, base)
         .withColumn("text",
           when(col("doc_id") % 100 === 0, lit(template))
@@ -122,6 +122,36 @@ object SkewProbe {
     probe("q95 jaccard maxDf") { dir =>
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id",
         "text", n = 3, threshold = 0.2, maxDf = 4).count()
+    }
+    // the UNCAPPED q19 inverted index on the same clique, for the
+    // record (VERDICT r14 #7): a true-dup clique's OUTPUT is m²/2
+    // pairs, so no lossless plan holds it flat — maxDf (above) is the
+    // documented scale path; this row pins what the cap is buying
+    probe("q19 jaccard UNCAPPED") { dir =>
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id",
+        "text", n = 3, threshold = 0.2).count()
+    }
+    // bloom decontamination under a boilerplate shingle on BOTH sides
+    // of the verify join (VERDICT r14 #7): the skew corpus's template
+    // docs (doc_id % 100 == 0) all live INSIDE the % 10 == 0 eval
+    // slice, so rewrite % 100 == 1 (train side, ~1% of the corpus) to
+    // the same template — on the skewed run every hot shingle is an
+    // eval key carried by ~1% x N train docs. The literal-array bloom
+    // probe is projection-only (no key exchange at all); the exact
+    // verify join gets the hot probe group and must hold the heavy
+    // stage's task max/median (grouped per-doc counts map-side
+    // combine; the semi-join probe rows stream and AQE can split)
+    probe("q315 bloom decontam") { dir =>
+      val d = Tables.documents(spark, dir)
+        .withColumn("text",
+          when(col("doc_id") % 100 === 1, lit(template))
+            .otherwise(col("text")))
+      graft.core.Decontaminate.flagContaminatedBloom(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 5, minHits = 1,
+        numBits = 1 << 18, numHashes = 4)
+        .agg(sum(col("n_hits")), sum(col("n_candidates"))).count()
     }
     // ExactSubstr rewrite under boilerplate (VERDICT r13 #1): the
     // hot template's grams each occur ~1% × N times. The old
