@@ -308,6 +308,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("bleu_components", 5, a =>
       graft.core.Eval.bleuComponents(active.table(a(0)), a(1),
         ex(a(2)), ex(a(3)), maxN = a(4).toInt)))
+    // round-15 stragglers (VERDICT r14 #10): the Hampel and
+    // span-decontamination operators had gates but no SQL face
+    e.injectTableFunction(tableFn("hampel_despike", 6, a =>
+      graft.core.TimeSeries.hampelDespike(active.table(a(0)), a(1),
+        ex(a(2)), ex(a(3)), window = a(4).toInt, nMad = a(5).toInt)))
+    e.injectTableFunction(tableFn("decontam_flag", 6, a =>
+      graft.core.Decontaminate.flagContaminated(active.table(a(0)),
+        active.table(a(1)), a(2), a(3), n = a(4).toInt,
+        minHits = a(5).toInt)))
+    e.injectTableFunction(tableFn("scrub_spans", 5, a =>
+      graft.core.Decontaminate.scrubSpans(active.table(a(0)),
+        active.table(a(1)), a(2), a(3), n = a(4).toInt)))
+    // persisted-index faces: arg 1 is the SnapshotTable index dir
+    e.injectTableFunction(tableFn("decontam_flag_indexed", 6, a =>
+      graft.core.Decontaminate.flagContaminatedIndexed(active,
+        active.table(a(0)), a(1), a(2), a(3), n = a(4).toInt,
+        minHits = a(5).toInt)))
+    e.injectTableFunction(tableFn("scrub_spans_indexed", 5, a =>
+      graft.core.Decontaminate.scrubSpansIndexed(active,
+        active.table(a(0)), a(1), a(2), a(3), n = a(4).toInt)))
     e.injectFunction(fn("char_grams",
       classOf[graft.expressions.CharGramArray], 2,
       args => {

@@ -410,6 +410,57 @@ class ExtensionsSpec extends SparkSpec {
     assert(bcSql.toSet == bcApi.toSet && bcSql.length == 4)
   }
 
+  test("round-15 stragglers: hampel/decontam/scrub (incl. indexed " +
+      "faces) from pure SQL == API (VERDICT r14 #10)") {
+    import org.apache.spark.sql.functions.col
+    Seq((1L, "d1", 100L), (1L, "d2", 105L), (1L, "d3", 990L),
+        (1L, "d4", 102L), (1L, "d5", 99L), (1L, "d6", 101L),
+        (1L, "d7", 103L), (2L, "d1", 50L), (2L, "d2", 51L),
+        (2L, "d3", 49L), (2L, "d4", 52L), (2L, "d5", 48L),
+        (2L, "d6", 50L), (2L, "d7", 51L))
+      .toDF("k", "day", "v").createOrReplaceTempView("r15_hd")
+    val hdSql = spark.sql(
+      "SELECT * FROM hampel_despike('r15_hd', 'k', 'day', 'v', 5, 3)")
+      .collect()
+    val hdApi = graft.core.TimeSeries.hampelDespike(spark.table("r15_hd"),
+      "k", col("day"), col("v"), window = 5, nMad = 3).collect()
+    assert(hdSql.toSet == hdApi.toSet && hdSql.nonEmpty)
+
+    Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "clean text with no overlap at all"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r15_train")
+    Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+      .createOrReplaceTempView("r15_eval")
+    val dfSql = spark.sql(
+      "SELECT * FROM decontam_flag('r15_train', 'r15_eval', " +
+        "'doc_id', 'text', 3, 1)").collect()
+    val dfApi = graft.core.Decontaminate.flagContaminated(
+      spark.table("r15_train"), spark.table("r15_eval"),
+      "doc_id", "text", n = 3, minHits = 1).collect()
+    assert(dfSql.toSet == dfApi.toSet && dfSql.length == 2)
+
+    val ssSql = spark.sql(
+      "SELECT * FROM scrub_spans('r15_train', 'r15_eval', " +
+        "'doc_id', 'text', 3)").collect()
+    val ssApi = graft.core.Decontaminate.scrubSpans(
+      spark.table("r15_train"), spark.table("r15_eval"),
+      "doc_id", "text", n = 3).collect()
+    assert(ssSql.toSet == ssApi.toSet && ssSql.length == 2)
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("r15_idx").toString + "/idx"
+    graft.core.Decontaminate.writeEvalShingleIndex(
+      spark.table("r15_eval"), "doc_id", "text", idx, n = 3)
+    val fiSql = spark.sql(
+      s"SELECT * FROM decontam_flag_indexed('r15_train', '$idx', " +
+        "'doc_id', 'text', 3, 1)").collect()
+    assert(fiSql.toSet == dfApi.toSet)
+    val siSql = spark.sql(
+      s"SELECT * FROM scrub_spans_indexed('r15_train', '$idx', " +
+        "'doc_id', 'text', 3)").collect()
+    assert(siSql.toSet == ssApi.toSet)
+  }
+
   test("lof table function and char_grams scalar from pure SQL") {
     import org.apache.spark.sql.functions.col
     Seq((1L, Array(0.0f)), (2L, Array(0.125f)), (3L, Array(0.25f)),
