@@ -4476,6 +4476,50 @@ object SparkEntry {
         expr("user_id % 40"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT) % 3 = 0"))),
 
+    // Brown-Forsythe W across event types — the VARIANCE-homogeneity
+    // test of q313's equal-spread assumption (and a dispersion drift
+    // detector in its own right): the anova F on |v − group median|,
+    // exact via DOUBLED deviations (med2 = the two middle order
+    // stats summed, always integer; F is invariant under 2x scaling)
+    // with medians from per-GROUP value lattices
+    "q321_brown_forsythe" -> ((s, dir) =>
+      Eval.brownForsythe(Tables.events(s, dir), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)"))),
+
+    // chrF over the q307/q309 staged candidates — the CHARACTER
+    // n-gram F-score (Popović 2015): per-order clipped matches over
+    // whitespace-stripped char windows, floored per-order micros,
+    // order-averaged P/R, chrF2 as one final integer division
+    "q322_chrf" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        col("text").as("ref"),
+        expr("""concat_ws(' ', slice(split(trim(text), '\\s+'),
+            CAST(doc_id % 4 + 1 AS INT), 1000000))""").as("cand"))
+      Eval.chrF(d, "doc_id", col("cand"), col("ref"), maxN = 4)
+    }),
+
+    // distinct-n corpus diversity per source — the CROSS-document
+    // repetition audit (a source can pass every per-doc gate and
+    // still be one template repeated): share of word-trigram
+    // occurrences that are distinct, one explode + grouped counts
+    "q323_distinct_n" -> ((s, dir) =>
+      graft.core.TextAnalysis.distinctN(Tables.documents(s, dir),
+        col("source"), col("text"), n = 3)),
+
+    // Moore-Lewis cross-entropy selection (ACL 2010): rank docs by
+    // the per-bigram log-likelihood difference between an in-domain
+    // LM (doc_id % 7 == 0 slice) and a general LM (% 7 == 3 slice);
+    // floor-division normalization so negative scores divide
+    // identically in Spark and DuckDB
+    "q324_moore_lewis" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val inLm = graft.core.LanguageModel.trainBigram(
+        d.filter(col("doc_id") % 7 === 0))
+      val genLm = graft.core.LanguageModel.trainBigram(
+        d.filter(col("doc_id") % 7 === 3))
+      graft.core.LanguageModel.mooreLewis(d, inLm, genLm)
+    }),
+
     // McNemar's paired test comparing two value-derived classifiers
     // on the SAME events — only the discordant cells matter; the
     // continuity-corrected chi2 is pure integer arithmetic (q223's
@@ -12012,6 +12056,200 @@ object SparkEntry {
         |      // (CAST(ssw_q4 AS HUGEINT) * (k - 1)) AS BIGINT)
         |  END AS f_micro
         |FROM core""".stripMargin,
+
+    // q321: per-group lattice medians (doubled: the two middle order
+    // stats summed), then the q313 ANOVA algebra verbatim on the
+    // doubled absolute deviations
+    "q321_brown_forsythe" ->
+      """WITH base0 AS (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |lat AS (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS t
+        |  FROM base0 GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, t,
+        |    CAST(sum(t) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(t) OVER (PARTITION BY g) AS BIGINT) AS ng
+        |  FROM lat),
+        |med AS (
+        |  SELECT g,
+        |    min(CASE WHEN cum >= (ng + 1) // 2 THEN v END)
+        |    + min(CASE WHEN cum >= ng // 2 + 1 THEN v END) AS m2
+        |  FROM cum GROUP BY g),
+        |base AS (
+        |  SELECT b.g, abs(2 * b.v - m.m2) AS v
+        |  FROM base0 b JOIN med m ON b.g = m.g),
+        |per AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(v) AS BIGINT) AS sg
+        |  FROM base GROUP BY g),
+        |terms AS (
+        |  SELECT sum((CAST(sg AS HUGEINT) * sg * 10000) // ng) AS sum_t,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS q
+        |  FROM base),
+        |core AS (
+        |  SELECT n, k,
+        |    CAST(greatest(CAST(0 AS HUGEINT),
+        |      sum_t - (CAST(s AS HUGEINT) * s * 10000) // n)
+        |      AS BIGINT) AS ssb_q4,
+        |    CAST(CAST(q AS HUGEINT) * 10000 - sum_t AS BIGINT)
+        |      AS ssw_q4
+        |  FROM terms, tot)
+        |SELECT n AS n_rows, k AS k_groups, ssb_q4, ssw_q4,
+        |  k - 1 AS df_between, n - k AS df_within,
+        |  CASE WHEN k >= 2 AND n > k AND ssw_q4 > 0 THEN
+        |    CAST((CAST(ssb_q4 AS HUGEINT) * (n - k) * 1000000)
+        |      // (CAST(ssw_q4 AS HUGEINT) * (k - 1)) AS BIGINT)
+        |  END AS w_micro
+        |FROM core""".stripMargin,
+
+    // q322: whitespace-stripped char windows per order 1..4, clipped
+    // matches, floored per-order micros, order-averaged P/R, chrF2 as
+    // one final integer division — all in // arithmetic
+    "q322_chrf" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk,
+        |    text
+        |  FROM documents),
+        |pair AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', '', 'g') AS r,
+        |    replace(array_to_string(
+        |      tk[CAST(doc_id % 4 + 1 AS INT):], ' '), ' ', '') AS c
+        |  FROM t),
+        |ord AS (
+        |  SELECT doc_id, c, r, CAST(n AS BIGINT) AS n
+        |  FROM pair, unnest(generate_series(1, 4)) AS u(n)),
+        |cg AS (
+        |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cc FROM (
+        |    SELECT doc_id, n, unnest([substr(c, CAST(i AS INT), CAST(n AS INT))
+        |      for i in generate_series(1, length(c) - n + 1)]) AS g
+        |    FROM ord)
+        |  GROUP BY 1, 2, 3),
+        |rg AS (
+        |  SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS rc FROM (
+        |    SELECT doc_id, n, unnest([substr(r, CAST(i AS INT), CAST(n AS INT))
+        |      for i in generate_series(1, length(r) - n + 1)]) AS g
+        |    FROM ord)
+        |  GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT doc_id, n, CAST(sum(least(cc, rc)) AS BIGINT) AS mn
+        |  FROM cg JOIN rg USING (doc_id, n, g) GROUP BY 1, 2),
+        |tots AS (
+        |  SELECT doc_id, n,
+        |    greatest(length(c) - n + 1, 0) AS cn,
+        |    greatest(length(r) - n + 1, 0) AS rn
+        |  FROM ord),
+        |per AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN cn > 0 THEN coalesce(mn, 0) * 1000000 // cn
+        |      ELSE 0 END AS pn,
+        |    CASE WHEN rn > 0 THEN coalesce(mn, 0) * 1000000 // rn
+        |      ELSE 0 END AS rrn
+        |  FROM tots t LEFT JOIN m USING (doc_id, n)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(pn) // 4 AS BIGINT) AS chrp_micro,
+        |    CAST(sum(rrn) // 4 AS BIGINT) AS chrr_micro
+        |  FROM per GROUP BY 1)
+        |SELECT doc_id, chrp_micro, chrr_micro,
+        |  CAST(CASE WHEN 4 * chrp_micro + chrr_micro > 0 THEN
+        |      5 * chrp_micro * chrr_micro
+        |        // (4 * chrp_micro + chrr_micro)
+        |    ELSE 0 END AS BIGINT) AS chrf_micro
+        |FROM agg""".stripMargin,
+
+    // q323: word trigrams per source, one grouped count + one
+    // per-source aggregation
+    "q323_distinct_n" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+        |  FROM toks, unnest(generate_series(0, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |c AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |      FROM g GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS distinct_micro
+        |FROM c GROUP BY source""".stripMargin,
+
+    // q324: the q68 add-one bigram scoring replayed TWICE (in-domain
+    // slice % 7 = 0, general slice % 7 = 3) and differenced; // and
+    // Spark's DIV share truncation-toward-zero on signed values
+    "q324_moore_lewis" ->
+      """WITH tr_in AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |lm_in AS (
+        |  SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c FROM (
+        |    SELECT unnest([{'w1': t[i+1], 'w2': t[i+2]}
+        |      for i in generate_series(0, len(t)-2)]) AS p
+        |    FROM tr_in WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |ctx_in AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_ctx
+        |           FROM lm_in GROUP BY 1),
+        |voc_in AS (SELECT count(DISTINCT tok) AS v
+        |           FROM (SELECT unnest(t) AS tok FROM tr_in)),
+        |tr_gen AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |lm_gen AS (
+        |  SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c FROM (
+        |    SELECT unnest([{'w1': t[i+1], 'w2': t[i+2]}
+        |      for i in generate_series(0, len(t)-2)]) AS p
+        |    FROM tr_gen WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |ctx_gen AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_ctx
+        |            FROM lm_gen GROUP BY 1),
+        |voc_gen AS (SELECT count(DISTINCT tok) AS v
+        |            FROM (SELECT unnest(t) AS tok FROM tr_gen)),
+        |sc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pr AS (
+        |  SELECT doc_id, unnest([{'w1': t[i+1], 'w2': t[i+2]}
+        |    for i in generate_series(0, len(t)-2)]) AS p
+        |  FROM sc WHERE len(t) >= 2),
+        |agg_in AS (
+        |  SELECT pr.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(floor(1e6 * ln(
+        |      CAST(coalesce(lm.c, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(ctx.c_ctx, 0) + (SELECT v FROM voc_in)
+        |        AS DOUBLE))) AS BIGINT)) AS BIGINT) AS ll
+        |  FROM pr
+        |  LEFT JOIN lm_in lm ON pr.p['w1'] = lm.w1 AND pr.p['w2'] = lm.w2
+        |  LEFT JOIN ctx_in ctx ON pr.p['w1'] = ctx.w1
+        |  GROUP BY 1),
+        |agg_gen AS (
+        |  SELECT pr.doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(CAST(floor(1e6 * ln(
+        |      CAST(coalesce(lm.c, 0) + 1 AS DOUBLE) /
+        |      CAST(coalesce(ctx.c_ctx, 0) + (SELECT v FROM voc_gen)
+        |        AS DOUBLE))) AS BIGINT)) AS BIGINT) AS ll
+        |  FROM pr
+        |  LEFT JOIN lm_gen lm ON pr.p['w1'] = lm.w1 AND pr.p['w2'] = lm.w2
+        |  LEFT JOIN ctx_gen ctx ON pr.p['w1'] = ctx.w1
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(a.ll, 0) AS BIGINT) AS ll_in_scaled,
+        |  CAST(coalesce(b.ll, 0) AS BIGINT) AS ll_gen_scaled,
+        |  CAST(CASE WHEN coalesce(a.n_bigrams, 0) > 0 THEN
+        |      (a.ll - b.ll) // a.n_bigrams
+        |    ELSE 0 END AS BIGINT) AS ml_score_scaled
+        |FROM documents d
+        |LEFT JOIN agg_in a ON d.doc_id = a.doc_id
+        |LEFT JOIN agg_gen b ON d.doc_id = b.doc_id""".stripMargin,
 
     // q318: the q302 rewrite CTEs with eval grams as the mark source
     // (cover window 4 PRECEDING for n = 5), emitted for train docs

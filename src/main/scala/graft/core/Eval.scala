@@ -709,6 +709,55 @@ object Eval {
            END"""))
   }
 
+  /** Brown–Forsythe test — the k-group VARIANCE-homogeneity test
+    * completing the family around [[anovaOneWay]] (whose F assumes
+    * equal within-group variances — this is the test of that
+    * assumption, and a dispersion comparison in its own right: did
+    * the new data mix change score SPREAD even where means held?):
+    * the Levene (1960) statistic with Brown & Forsythe's (1974)
+    * robust MEDIAN centering, W = the one-way ANOVA F computed on
+    * the absolute deviations z_ij = |v_ij − median(group j)|.
+    *
+    * EXACT throughout via DOUBLED deviations: the group median of an
+    * even-sized group is the average of two order statistics — a
+    * half-integer — so the deviations fed to the F are
+    * z2 = |2·v − med2_g| with med2_g = x_(⌈n/2⌉) + x_(⌊n/2⌋+1)
+    * (always an integer), and F is invariant under scaling all
+    * values by 2, so W on z2 IS W on z. The ssb_q4/ssw_q4 columns
+    * are therefore 4× the undoubled sums of squares (documented,
+    * consistent on both engines). Medians come from per-GROUP value
+    * lattices: grouped (g, v) counts, a g-partitioned cumulative
+    * window (per-partition state = the group's own lattice, never a
+    * global sort — the [[mannWhitneyU]] shape), and
+    * x_(i) = min { v : #{≤ v} ≥ i }. Everything downstream is
+    * [[anovaOneWay]] verbatim — same decimal discipline, same loud
+    * guards, bit-for-bit SQL replay.
+    *
+    * Output: one row — (n_rows, k_groups, ssb_q4, ssw_q4,
+    * df_between, df_within, w_micro); w_micro NULL under
+    * [[anovaOneWay]]'s degeneracies (k < 2, n ≤ k, or all
+    * within-group deviations identical).
+    */
+  def brownForsythe(df: DataFrame, groupCol: Column,
+                    valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+    val lat = base.groupBy("g", "v").agg(count(lit(1)).as("t"))
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = lat
+      .withColumn("cum", sum("t").over(wg))
+      .withColumn("ng", sum("t").over(Window.partitionBy("g")))
+    val med2 = cum.groupBy("g").agg(
+      (min(when(col("cum") >= expr("(ng + 1) DIV 2"), col("v")))
+        + min(when(col("cum") >= expr("ng DIV 2 + 1"), col("v"))))
+        .as("m2"))
+    val z = base.join(med2, "g")
+      .select(col("g"), abs(lit(2L) * col("v") - col("m2")).as("z2"))
+    anovaOneWay(z, col("g"), col("z2"))
+      .withColumnRenamed("f_micro", "w_micro")
+  }
+
   /** Kruskal–Wallis H — the k-group RANK test beside [[anovaOneWay]]
     * (the ≥3-arm generalization of [[mannWhitneyU]], robust to
     * non-normal value distributions): H = 12/(n(n+1)) · Σ_g R_g²/n_g
@@ -1841,5 +1890,71 @@ object Eval {
         expr("CASE WHEN n_cand + n_ref > 0 THEN " +
           "2L * n_lcs * 1000000L DIV (n_cand + n_ref) " +
           "ELSE 0L END").as("f_micro"))
+  }
+
+  /** chrF per (candidate, reference) pair (Popović, WMT 2015) — the
+    * CHARACTER n-gram F-score completing the generation-eval family
+    * beside the word-level [[rougeN]]/[[rougeL]]/[[bleuComponents]]:
+    * robust to tokenization and morphology (a stem match earns
+    * partial credit where word-level metrics score zero), the
+    * standard MT metric for morphologically rich targets.
+    *
+    * Definition implemented, stated precisely: whitespace is removed
+    * (the chrF convention — word boundaries carry no character
+    * signal); for each order n ∈ 1..maxN, clipped-count matches
+    * m_n = Σ_g min(count_cand, count_ref) over char n-grams and
+    * per-order P_n = m_n/c_n, R_n = m_n/r_n (an order with an empty
+    * gram set scores 0 — the zero back-off variant; sacrebleu's
+    * effective-order averaging is a documented divergence); chrP/chrR
+    * are the arithmetic means over orders and
+    * chrF_β = (1+β²)·P·R / (β²·P + R) with β = 2 by default (chrF2).
+    * EXACTLY rational end to end: per-order micros are floored BIGINT
+    * quotients (order-free — the [[bleuComponents]] discipline), the
+    * order average is one more floor, and the final F is one integer
+    * division on micro quantities ((1+β²)·P·R ≤ 5·10¹² — far inside
+    * int64). The whole pipeline replays bit-for-bit in SQL.
+    *
+    * Plan: a SHUFFLE-FREE scalar projection — the per-order clipped
+    * matches are a pure function of the row, computed by the native
+    * [[graft.expressions.ChrfMatches]] expression (one hash-count
+    * pass per order, per-row-bounded state), and the P/R/F
+    * composition is one `aggregate` fold over the maxN-length match
+    * array. The first, relational formulation exploded char n-grams
+    * through two grouped counts and a join — maxN × corpus-character
+    * shuffle rows, measured 12.8 s at sf0.1 vs ~1 s for this plan;
+    * the arithmetic is identical.
+    *
+    * Output per pair: (idCol, chrp_micro, chrr_micro, chrf_micro).
+    */
+  def chrF(df: DataFrame, idCol: String, candCol: Column,
+           refCol: Column, maxN: Int = 6, beta: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 16, "maxN must be in [1, 16]")
+    require(beta >= 1, "beta must be >= 1")
+    val b2 = beta.toLong * beta
+    val base = df.select(col(idCol).as("pid"),
+      regexp_replace(trim(candCol), "\\s+", "").as("c"),
+      regexp_replace(trim(refCol), "\\s+", "").as("r"))
+    base.select(col("pid"),
+        length(col("c")).cast("long").as("lc"),
+        length(col("r")).cast("long").as("lr"),
+        org.apache.spark.sql.GraftShim.column(
+          graft.expressions.ChrfMatches(
+            org.apache.spark.sql.GraftShim.expression(col("c")),
+            org.apache.spark.sql.GraftShim.expression(col("r")),
+            maxN)).as("ms"))
+      .select(col("pid"),
+        expr(s"""aggregate(sequence(1, $maxN), 0L, (acc, n) -> acc +
+            CASE WHEN lc - n + 1 > 0 THEN
+              element_at(ms, n) * 1000000L DIV (lc - n + 1)
+            ELSE 0L END) DIV $maxN""").as("chrp_micro"),
+        expr(s"""aggregate(sequence(1, $maxN), 0L, (acc, n) -> acc +
+            CASE WHEN lr - n + 1 > 0 THEN
+              element_at(ms, n) * 1000000L DIV (lr - n + 1)
+            ELSE 0L END) DIV $maxN""").as("chrr_micro"))
+      .select(col("pid").as(idCol), col("chrp_micro"), col("chrr_micro"),
+        expr(s"""CASE WHEN $b2 * chrp_micro + chrr_micro > 0 THEN
+            (1 + $b2) * chrp_micro * chrr_micro
+              DIV ($b2 * chrp_micro + chrr_micro)
+          ELSE 0L END""").as("chrf_micro"))
   }
 }

@@ -122,6 +122,49 @@ object LanguageModel {
         coalesce(col("ll_scaled"), lit(0L)).as("ll_scaled"))
   }
 
+  /** Moore–Lewis intelligent selection (Moore & Lewis, ACL 2010) —
+    * THE classic cross-entropy data-selection method beside DSIR:
+    * rank general-corpus documents by the per-bigram log-likelihood
+    * difference between an IN-DOMAIN LM and a GENERAL LM,
+    *
+    *   score(d) = (ll_in(d) − ll_gen(d)) / n_bigrams(d)
+    *
+    * (equivalently H_gen − H_in: positive = the in-domain model
+    * prefers the doc — select the top of the ranking, e.g. with
+    * [[graft.core.Sampling]]'s budget cuts). Both scores are
+    * [[scoreBigram]]'s fixed-point Σ floor(1e6·ln P) totals — exact
+    * BIGINT, order-free — and the per-bigram normalization is a
+    * plain integral DIV: for SIGNED quantities Spark's DIV and
+    * DuckDB's // agree (both truncate toward zero — measured
+    * −7//2 = −3 in DuckDB 1.0), where the (x − pmod(x, b))/b floor
+    * form the non-negative operators use would diverge by one on
+    * negative scores. Convention documented: scores truncate toward
+    * zero.
+    *
+    * Plan: two scoring passes (one per LM — each a broadcast-or-
+    * shuffled model join + per-doc sum) and one id-keyed join;
+    * nothing beyond [[scoreBigram]]'s own shapes. Docs with < 2
+    * tokens score (0, 0, 0, 0).
+    *
+    * Output per doc: (idCol, n_bigrams, ll_in_scaled, ll_gen_scaled,
+    * ml_score_scaled).
+    */
+  def mooreLewis(docs: DataFrame, inDomain: BigramLm, general: BigramLm,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val a = scoreBigram(docs, inDomain, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"),
+        col("ll_scaled").as("ll_in_scaled"))
+    val b = scoreBigram(docs, general, idCol, textCol)
+      .select(col(idCol), col("ll_scaled").as("ll_gen_scaled"))
+    a.join(b, Seq(idCol))
+      .select(col(idCol), col("n_bigrams"), col("ll_in_scaled"),
+        col("ll_gen_scaled"),
+        expr("""CASE WHEN n_bigrams > 0 THEN
+            (ll_in_scaled - ll_gen_scaled) DIV n_bigrams
+          ELSE 0L END""").as("ml_score_scaled"))
+  }
+
   // ---- DSIR (hashed n-gram importance resampling) --------------------
 
   /** A document's DSIR feature grams: unigrams plus space-joined

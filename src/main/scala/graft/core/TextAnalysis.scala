@@ -606,6 +606,41 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fingerprint", rollingHash(col(textCol)))
 
+  /** Distinct-n corpus diversity per source (Li et al., NAACL 2016's
+    * distinct-1/2, lifted from generation eval to the corpus audit):
+    * the share of a source's word n-gram OCCURRENCES that are
+    * distinct — 1.0 = every n-gram unique (maximal diversity), → 0
+    * under heavy cross-document templating. The CORPUS-level
+    * repetition companion to the per-doc [[repetitionStats]] gates:
+    * a source can pass every per-doc gate and still be 99% one
+    * template ACROSS documents — this catches it, and is the linear
+    * proxy for self-BLEU (which costs a quadratic pair sweep).
+    *
+    * Plan: one gram explode → one (source, gram) grouped count → one
+    * per-source aggregation — all map-side-combinable; post-agg
+    * state is the source's distinct-gram table, never raw rows.
+    * Exact integers, floored micro ratio (SQL-replayable). Docs with
+    * fewer than n tokens contribute nothing; a source with zero
+    * grams does not appear.
+    *
+    * Output per source: (source, n_grams, n_distinct, distinct_micro).
+    */
+  def distinctN(df: DataFrame, sourceCol: Column, textCol: Column,
+                n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val base = df.select(sourceCol.as("source"), tokens(textCol).as("tk"))
+    val g = base.select(col("source"), explode(expr(
+      s"""CASE WHEN size(tk) >= $n AND NOT (size(tk) = 1 AND tk[0] = '')
+          THEN transform(sequence(0, size(tk) - $n),
+            s -> concat_ws(' ', slice(tk, s + 1, $n)))
+          ELSE CAST(array() AS ARRAY<STRING>) END""")).as("g"))
+    g.groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n_grams"), col("n_distinct"),
+        expr("n_distinct * 1000000L DIV n_grams").as("distinct_micro"))
+  }
+
   /** Corpus-wide top-k n-grams by occurrence count (ties broken by the
     * gram itself, so the result is total-order deterministic). The
     * frequency head of a corpus is the working set for boilerplate

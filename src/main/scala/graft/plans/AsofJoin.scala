@@ -328,6 +328,34 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("scrub_spans_indexed", 5, a =>
       graft.core.Decontaminate.scrubSpansIndexed(active,
         active.table(a(0)), a(1), a(2), a(3), n = a(4).toInt)))
+    // round-15 operators
+    e.injectTableFunction(tableFn("brown_forsythe", 3, a =>
+      graft.core.Eval.brownForsythe(active.table(a(0)), ex(a(1)),
+        ex(a(2)))))
+    e.injectTableFunction(tableFn("chrf", 6, a =>
+      graft.core.Eval.chrF(active.table(a(0)), a(1), ex(a(2)),
+        ex(a(3)), maxN = a(4).toInt, beta = a(5).toInt)))
+    e.injectTableFunction(tableFn("distinct_n", 4, a =>
+      graft.core.TextAnalysis.distinctN(active.table(a(0)), ex(a(1)),
+        ex(a(2)), n = a(3).toInt)))
+    e.injectTableFunction(tableFn("moore_lewis", 5, a =>
+      graft.core.LanguageModel.mooreLewis(active.table(a(0)),
+        graft.core.LanguageModel.trainBigram(active.table(a(1)), a(4)),
+        graft.core.LanguageModel.trainBigram(active.table(a(2)), a(4)),
+        a(3), a(4))))
+    e.injectFunction(fn("chrf_matches",
+      classOf[graft.expressions.ChrfMatches], 3,
+      args => {
+        require(args(2).foldable,
+          "chrf_matches(cand, ref, maxN): maxN must be an integer literal")
+        val n = args(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"chrf_matches: bad maxN $other")
+        }
+        graft.expressions.ChrfMatches(args(0), args(1), n)
+      }))
     e.injectFunction(fn("char_grams",
       classOf[graft.expressions.CharGramArray], 2,
       args => {

@@ -774,4 +774,34 @@ class CorpusOpsSpec extends SparkSpec {
       .as[String].head()
     assert(got == "alpha soft")
   }
+
+  test("distinctN: hand-checked diversity ratios; templated source " +
+      "scores low; short docs contribute nothing") {
+    import graft.core.TextAnalysis
+    val docs = Seq(
+      // diverse source: every bigram unique across docs
+      ("div", "alpha beta gamma delta"),
+      ("div", "epsilon zeta eta theta"),
+      // templated source: one doc repeated 3x
+      ("tpl", "the same old template text"),
+      ("tpl", "the same old template text"),
+      ("tpl", "the same old template text"),
+      // short/blank docs: no bigrams
+      ("tpl", "one"),
+      ("empty", ""),
+      ("empty", "solo")).toDF("source", "text")
+    val got = TextAnalysis.distinctN(docs, col("source"), col("text"), n = 2)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // div: 2 docs x 3 bigrams, all distinct
+    assert(got("div") == (("div", 6L, 6L, 1000000L)))
+    // tpl: 3 x 4 = 12 occurrences of 4 distinct bigrams
+    assert(got("tpl") == (("tpl", 12L, 4L, 333333L)))
+    // empty source has zero grams -> absent
+    assert(!got.contains("empty"))
+    // partition invariance
+    val re = TextAnalysis.distinctN(docs.repartition(5), col("source"),
+        col("text"), n = 2)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(re == got)
+  }
 }

@@ -610,6 +610,92 @@ class EvalSpec extends SparkSpec {
     assert(const._1 == 0L && const._2.isEmpty)
   }
 
+  test("brownForsythe: equals anovaOneWay on brute doubled-median " +
+      "deviations; equal-spread shifted groups give W = 0; unequal " +
+      "spread detected") {
+    def med2(vs: Seq[Long]): Long = {
+      val s = vs.sorted; val n = s.size
+      s((n + 1) / 2 - 1) + s(n / 2)
+    }
+    def devs(rows: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val m = rows.groupBy(_._1).view
+        .mapValues(vs => med2(vs.map(_._2))).toMap
+      rows.map { case (g, v) => (g, math.abs(2 * v - m(g))) }
+    }
+    // spreads scale 1x/2x/3x by group — variance differs, means don't
+    // matter to the deviations
+    val rows = (1L to 300L).map(i =>
+      (s"g${i % 3}", (i * 37 % 100) * (1 + i % 3)))
+    val got = Eval.brownForsythe(rows.toDF("g", "v"), col("g"), col("v"))
+      .select("n_rows", "k_groups", "ssb_q4", "ssw_q4", "w_micro")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert((got._1, got._2, got._3, got._4, got._5) == bruteAnova(devs(rows)))
+    assert(got._5.exists(_ > 0L))
+    // same spread, shifted means: identical deviation multisets per
+    // group (equal sizes) -> SSB exactly 0, W = 0
+    val flat = (1L to 300L).map(i =>
+      (s"g${i % 3}", (i * 37 % 100) + (i % 3) * 1000))
+    val gotF = Eval.brownForsythe(flat.toDF("g", "v"), col("g"), col("v"))
+      .select("ssb_q4", "w_micro").as[(Long, Option[Long])].head()
+    assert(gotF._1 == 0L && gotF._2.contains(0L))
+    // even-sized group: the half-integer median is exercised exactly
+    val even = Seq(("a", 1L), ("a", 2L), ("a", 10L), ("a", 11L),
+      ("b", 5L), ("b", 5L), ("b", 5L), ("b", 5L))
+    val gotE = Eval.brownForsythe(even.toDF("g", "v"), col("g"), col("v"))
+      .select("n_rows", "k_groups", "ssb_q4", "ssw_q4", "w_micro")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert((gotE._1, gotE._2, gotE._3, gotE._4, gotE._5)
+      == bruteAnova(devs(even)))
+  }
+
+  test("chrF: brute parity incl. blank/short edges; identity pair " +
+      "scores exactly 1e6") {
+    def brute(c0: String, r0: String, maxN: Int,
+              beta: Int): (Long, Long, Long) = {
+      val c = c0.trim.replaceAll("\\s+", "")
+      val r = r0.trim.replaceAll("\\s+", "")
+      def grams(s: String, n: Int): Seq[String] =
+        if (s.length >= n) (0 to s.length - n).map(i => s.substring(i, i + n))
+        else Seq.empty
+      var sp = 0L; var sr = 0L
+      for (n <- 1 to maxN) {
+        val cc = grams(c, n).groupBy(identity).view.mapValues(_.size).toMap
+        val rc = grams(r, n).groupBy(identity).view.mapValues(_.size).toMap
+        // keys is a SET — map-then-sum over it would dedup equal
+        // mins; force a Seq first
+        val m = cc.keys.toSeq.filter(rc.contains)
+          .map(g => math.min(cc(g), rc(g)).toLong).sum
+        val cn = math.max(c.length - n + 1, 0)
+        val rn = math.max(r.length - n + 1, 0)
+        sp += (if (cn > 0) m * 1000000L / cn else 0L)
+        sr += (if (rn > 0) m * 1000000L / rn else 0L)
+      }
+      val p = sp / maxN; val rr = sr / maxN
+      val b2 = beta.toLong * beta
+      val f = if (b2 * p + rr > 0) (1 + b2) * p * rr / (b2 * p + rr)
+      else 0L
+      (p, rr, f)
+    }
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on a mat"),
+      (2L, "aaaa bbb aa", "zzz yyy zz"),
+      (3L, "same same words", "same same words"),
+      (4L, "", "nonblank here"),
+      (5L, "   ", ""),
+      (6L, "ab", "abcdefgh"),
+      (7L, "repeated repeated repeated", "repeated once"))
+    val got = Eval.chrF(pairs.toDF("id", "cand", "ref"), "id",
+        col("cand"), col("ref"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    pairs.foreach { case (id, c, r) =>
+      assert(got(id) == brute(c, r, 6, 2), s"pair $id")
+    }
+    assert(got(3L) == ((1000000L, 1000000L, 1000000L)))
+    assert(got(2L)._3 == 0L)
+    assert(got.size == pairs.size)
+  }
+
   /** Reference Kruskal-Wallis on the same doubled-rank lattice. */
   private def bruteKw(rows: Seq[(String, Long)])
       : (Long, Long, Long, Option[Long], Option[Long]) = {

@@ -461,6 +461,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(siSql.toSet == ssApi.toSet)
   }
 
+  test("round-15 operators: brown_forsythe/chrf/distinct_n/moore_lewis " +
+      "table fns and the chrf_matches scalar from pure SQL == API") {
+    import org.apache.spark.sql.functions.col
+    Seq(("a", 10L), ("a", 12L), ("a", 30L), ("b", 20L), ("b", 21L),
+        ("b", 22L), ("c", 5L), ("c", 50L), ("c", 51L))
+      .toDF("g", "v").createOrReplaceTempView("r15_bf")
+    val bfSql = spark.sql(
+      "SELECT * FROM brown_forsythe('r15_bf', 'g', 'v')").collect()
+    val bfApi = graft.core.Eval.brownForsythe(spark.table("r15_bf"),
+      col("g"), col("v")).collect()
+    assert(bfSql.toSet == bfApi.toSet && bfSql.nonEmpty)
+
+    Seq((1L, "the cat sat", "the cat sat on the mat"),
+        (2L, "completely different", "another reference"))
+      .toDF("id", "cand", "ref").createOrReplaceTempView("r15_ch")
+    val chSql = spark.sql(
+      "SELECT * FROM chrf('r15_ch', 'id', 'cand', 'ref', 6, 2)").collect()
+    val chApi = graft.core.Eval.chrF(spark.table("r15_ch"), "id",
+      col("cand"), col("ref")).collect()
+    assert(chSql.toSet == chApi.toSet && chSql.nonEmpty)
+    val cm = spark.sql(
+      "SELECT chrf_matches('abab', 'abba', 2) AS m")
+      .as[Seq[Long]].collect().head
+    assert(cm == Seq(4L, 2L)) // clipped: min over {ab,ba} counts
+
+    Seq(("s1", "x y x y"), ("s1", "x y z w"), ("s2", "a b c"))
+      .toDF("source", "text").createOrReplaceTempView("r15_dn")
+    val dnSql = spark.sql(
+      "SELECT * FROM distinct_n('r15_dn', 'source', 'text', 2)").collect()
+    val dnApi = graft.core.TextAnalysis.distinctN(spark.table("r15_dn"),
+      col("source"), col("text"), n = 2).collect()
+    assert(dnSql.toSet == dnApi.toSet && dnSql.nonEmpty)
+
+    Seq((1L, "cats and dogs play"), (2L, "stocks and bonds trade"),
+        (3L, "cats play a lot"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r15_ml")
+    spark.table("r15_ml").filter(col("doc_id") === 1L)
+      .createOrReplaceTempView("r15_ml_in")
+    spark.table("r15_ml").filter(col("doc_id") === 2L)
+      .createOrReplaceTempView("r15_ml_gen")
+    val mlSql = spark.sql(
+      "SELECT * FROM moore_lewis('r15_ml', 'r15_ml_in', 'r15_ml_gen', " +
+        "'doc_id', 'text')").collect()
+    val inLm = graft.core.LanguageModel.trainBigram(
+      spark.table("r15_ml_in"))
+    val genLm = graft.core.LanguageModel.trainBigram(
+      spark.table("r15_ml_gen"))
+    val mlApi = graft.core.LanguageModel.mooreLewis(
+      spark.table("r15_ml"), inLm, genLm).collect()
+    assert(mlSql.toSet == mlApi.toSet && mlSql.length == 3)
+    inLm.unpersist(); genLm.unpersist()
+  }
+
   test("lof table function and char_grams scalar from pure SQL") {
     import org.apache.spark.sql.functions.col
     Seq((1L, Array(0.0f)), (2L, Array(0.125f)), (3L, Array(0.25f)),
