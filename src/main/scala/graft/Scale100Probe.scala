@@ -89,7 +89,13 @@ object Scale100Probe {
       // probes (the q311 shape)
       "q313_anova", "q314_kruskal_wallis", "q316_friedman",
       "q317_cochran_q", "q318_decontam_scrub",
-      "q319_decontam_incremental", "q320_decontam_scrub_incremental")
+      "q319_decontam_incremental", "q320_decontam_scrub_incremental",
+      // Brown-Forsythe adds one lattice-median pass to the q313
+      // shape; chrF is a pure per-row projection (the ChrfMatches
+      // native expression); distinct-n is one explode + grouped
+      // counts; Moore-Lewis is two LM trainings + two scoring joins
+      "q321_brown_forsythe", "q322_chrf", "q323_distinct_n",
+      "q324_moore_lewis")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>
