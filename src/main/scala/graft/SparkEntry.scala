@@ -4520,6 +4520,27 @@ object SparkEntry {
       graft.core.LanguageModel.mooreLewis(d, inLm, genLm)
     }),
 
+    // Luhn card scrub — the PII class q54's digit-run heuristic
+    // cannot separate: staged valid test cards (every 5th doc, three
+    // formats) and an invalid near-miss (every 7th) land in the
+    // corpus; the mod-10 checksum (a pure expression fold) accepts
+    // exactly the real card shapes and the redaction fold replaces
+    // only those
+    "q325_luhn_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aug = concat(col("text"),
+        when(col("doc_id") % 5 === 0, concat(lit(" card "),
+          element_at(array(lit("4111 1111 1111 1111"),
+            lit("378282246310005"), lit("5500-0055-5555-5559")),
+            (col("doc_id") % 3 + 1).cast("int")))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" bogus 4111111111111112"))
+          .otherwise(lit("")))
+      graft.core.TextAnalysis.scrubCards(
+        d.select(col("doc_id"), aug.as("text")), "text")
+        .select("doc_id", "n_card_candidates", "n_cards_valid",
+          "scrubbed")
+    }),
+
     // McNemar's paired test comparing two value-derived classifiers
     // on the SAME events — only the discordant cells matter; the
     // continuity-corrected chi2 is pure integer arithmetic (q223's
@@ -12250,6 +12271,55 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg_in a ON d.doc_id = a.doc_id
         |LEFT JOIN agg_gen b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // q325: the same staging, the same Luhn fold (reverse digits,
+    // double odd positions, 9-subtract), the same longest-first
+    // redaction (lengths grouped descending, values ascending inside
+    // a length — matching Spark's comparator sort)
+    "q325_luhn_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' card ' ||
+        |      ['4111 1111 1111 1111', '378282246310005',
+        |       '5500-0055-5555-5559'][CAST(doc_id % 3 + 1 AS INT)]
+        |    ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' bogus 4111111111111112'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}') AS cs
+        |  FROM aug),
+        |v AS (
+        |  SELECT doc_id, text, cs,
+        |    [c for c in cs if list_sum([
+        |      CASE WHEN (i - 1) % 2 = 1 THEN
+        |        CASE WHEN (ascii(substr(reverse(
+        |            replace(replace(c, '-', ''), ' ', '')), i, 1)) - 48)
+        |            * 2 > 9
+        |          THEN (ascii(substr(reverse(
+        |            replace(replace(c, '-', ''), ' ', '')), i, 1)) - 48)
+        |            * 2 - 9
+        |          ELSE (ascii(substr(reverse(
+        |            replace(replace(c, '-', ''), ' ', '')), i, 1)) - 48)
+        |            * 2 END
+        |      ELSE ascii(substr(reverse(
+        |        replace(replace(c, '-', ''), ' ', '')), i, 1)) - 48 END
+        |      for i in generate_series(1,
+        |        length(replace(replace(c, '-', ''), ' ', '')))]) % 10 = 0]
+        |      AS valid
+        |  FROM cand),
+        |srt AS (
+        |  SELECT doc_id, text, cs, valid,
+        |    flatten([list_sort([c for c in valid if length(c) = L])
+        |      for L in generate_series(23, 13, -1)]) AS ordered
+        |  FROM v)
+        |SELECT doc_id,
+        |  CAST(len(cs) AS BIGINT) AS n_card_candidates,
+        |  CAST(len(valid) AS BIGINT) AS n_cards_valid,
+        |  list_reduce(list_prepend(text, ordered),
+        |    (acc, c) -> replace(acc, c, '<CARD>')) AS scrubbed
+        |FROM srt""".stripMargin,
 
     // q318: the q302 rewrite CTEs with eval grams as the mark source
     // (cover window 4 PRECEDING for n = 5), emitted for train docs

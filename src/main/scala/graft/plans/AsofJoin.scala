@@ -343,6 +343,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         graft.core.LanguageModel.trainBigram(active.table(a(1)), a(4)),
         graft.core.LanguageModel.trainBigram(active.table(a(2)), a(4)),
         a(3), a(4))))
+    e.injectTableFunction(tableFn("scrub_cards", 2, a =>
+      graft.core.TextAnalysis.scrubCards(active.table(a(0)), a(1))))
     e.injectFunction(fn("chrf_matches",
       classOf[graft.expressions.ChrfMatches], 3,
       args => {

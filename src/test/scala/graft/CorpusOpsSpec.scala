@@ -804,4 +804,29 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(re == got)
   }
+
+  test("scrubCards: Luhn separates valid cards from random digit runs; " +
+      "separator-tolerant; redaction replaces only valid candidates") {
+    import graft.core.TextAnalysis
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 now"),
+      (2L, "ref 4111111111111112 is not a card"),
+      (3L, "amex 378282246310005 and spaced 5500 0055 5555 5559"),
+      (4L, "dashed 5500-0055-5555-5559 works"),
+      (5L, "short 123456 and phone 555-123-4567 untouched"),
+      (6L, "no digits at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubCards(docs, "text")
+      .select("doc_id", "n_card_candidates", "n_cards_valid", "scrubbed")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1L && got(1L)._3 == 1L)
+    assert(got(1L)._4 == "pay with <CARD> now")
+    assert(got(2L)._2 == 1L && got(2L)._3 == 0L)
+    assert(got(2L)._4.contains("4111111111111112")) // invalid left intact
+    assert(got(3L)._3 == 2L)
+    assert(got(3L)._4 == "amex <CARD> and spaced <CARD>")
+    assert(got(4L)._3 == 1L && got(4L)._4 == "dashed <CARD> works")
+    assert(got(5L)._2 == 0L &&
+      got(5L)._4 == "short 123456 and phone 555-123-4567 untouched")
+    assert(got(6L) == ((6L, 0L, 0L, "no digits at all")))
+  }
 }

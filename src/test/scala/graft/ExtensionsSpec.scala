@@ -512,6 +512,14 @@ class ExtensionsSpec extends SparkSpec {
       spark.table("r15_ml"), inLm, genLm).collect()
     assert(mlSql.toSet == mlApi.toSet && mlSql.length == 3)
     inLm.unpersist(); genLm.unpersist()
+
+    Seq((1L, "card 4111111111111111 here"), (2L, "clean"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r15_cc")
+    val ccSql = spark.sql(
+      "SELECT * FROM scrub_cards('r15_cc', 'text')").collect()
+    val ccApi = graft.core.TextAnalysis.scrubCards(
+      spark.table("r15_cc"), "text").collect()
+    assert(ccSql.toSet == ccApi.toSet && ccSql.length == 2)
   }
 
   test("lof table function and char_grams scalar from pure SQL") {
