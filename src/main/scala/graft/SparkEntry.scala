@@ -4520,6 +4520,32 @@ object SparkEntry {
       graft.core.LanguageModel.mooreLewis(d, inLm, genLm)
     }),
 
+    // SEMANTIC decontamination — the n-gram faces' structural blind
+    // spot: a paraphrased eval item shares no 8-gram but sits next
+    // to its source in embedding space. One broadcast cross against
+    // the eval embeddings + a per-doc struct argmax; threshold
+    // compares the unrounded cosine
+    "q326_semantic_decontam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.core.Decontaminate.flagContaminatedEmbedding(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        threshold = 0.42)
+    }),
+
+    // degenerate-generation loop detector — every 6th doc gets a
+    // staged 3-token cycle repeated 4x at its tail; the detector must
+    // find the FUNDAMENTAL period (3, not 6) and clean prose must
+    // stay unflagged
+    "q327_loop_detect" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aug = concat(col("text"),
+        when(col("doc_id") % 6 === 0,
+          expr("repeat(' loop cycle end', 4)")).otherwise(lit("")))
+      graft.core.TextAnalysis.loopDetect(
+        d.select(col("doc_id"), aug.as("text")), "doc_id", "text")
+    }),
+
     // Luhn card scrub — the PII class q54's digit-run heuristic
     // cannot separate: staged valid test cards (every 5th doc, three
     // formats) and an invalid near-miss (every 7th) land in the
@@ -12271,6 +12297,71 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg_in a ON d.doc_id = a.doc_id
         |LEFT JOIN agg_gen b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // q326: the q25 cosine fold against the eval slice, per-train-doc
+    // argmax (max cosine, ties to the LOWEST eval id), threshold on
+    // the unrounded value
+    "q326_semantic_decontam" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT t.vec_id, ev.vec_id AS e_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [t.v[i+1] * ev.v[i+1]
+        |       for i in generate_series(0, len(t.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [t.v[i+1] * t.v[i+1]
+        |          for i in generate_series(0, len(t.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [ev.v[i+1] * ev.v[i+1]
+        |          for i in generate_series(0, len(ev.v)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM e t, e ev
+        |  WHERE t.vec_id % 10 <> 0 AND ev.vec_id % 10 = 0),
+        |best AS (
+        |  SELECT vec_id, cos, e_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, e_id ASC) AS rn
+        |  FROM scored)
+        |SELECT vec_id, round(cos, 6) AS max_cosine,
+        |  e_id AS nearest_eval_id, cos >= 0.42 AS contaminated
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    // q327: the same staging; per (doc, period) the first mismatch
+    // from the end via a list comprehension, repeats = s_p // p + 1,
+    // best period by (repeats DESC, period ASC)
+    "q327_loop_detect" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 6 = 0 THEN repeat(' loop cycle end', 4)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS L
+        |  FROM aug),
+        |per AS (
+        |  SELECT doc_id, L, p,
+        |    CASE WHEN L >= 2 * p THEN
+        |      (coalesce(list_min([CAST(i AS BIGINT)
+        |          for i in generate_series(1, L - p)
+        |          if t[CAST(L - i + 1 AS INT)]
+        |             <> t[CAST(L - i + 1 - p AS INT)]]) - 1,
+        |        L - p) // p) + 1
+        |    ELSE 1 END AS r
+        |  FROM tk, unnest(generate_series(1, 8)) AS u(p)),
+        |best AS (
+        |  SELECT doc_id, L, p, r,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY r DESC, p ASC) AS rn
+        |  FROM per)
+        |SELECT doc_id, L AS n_tokens, CAST(p AS BIGINT) AS best_period,
+        |  CAST(r AS BIGINT) AS best_repeats, r >= 3 AS loop_flag
+        |FROM best WHERE rn = 1""".stripMargin,
 
     // q325: the same staging, the same Luhn fold (reverse digits,
     // double odd positions, 9-subtract), the same longest-first

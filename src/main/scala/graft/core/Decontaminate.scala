@@ -203,6 +203,47 @@ object Decontaminate {
           .as("contaminated"))
   }
 
+  /** SEMANTIC (embedding-space) decontamination — the companion the
+    * n-gram faces structurally cannot replace: a PARAPHRASED eval
+    * item shares no 8-gram with its source but sits next to it in
+    * embedding space (the practice reported by recent model cards:
+    * cosine-similarity screening of training data against benchmark
+    * embeddings). Flags every training doc whose embedding reaches
+    * `threshold` cosine against ANY eval embedding, with the nearest
+    * eval doc as provenance.
+    *
+    * Plan: the eval suite is model-size by contract → one broadcast
+    * cross + one map-side-combinable per-doc argmax (a struct max —
+    * highest cosine, ties to the LOWEST eval id): the training side
+    * is scanned once and never shuffles payloads. Past broadcast
+    * size, the same flag composes from the IVF candidate machinery
+    * ([[Similarity]]'s probeBuckets/ivfTopK, the q27/q100 shapes) at
+    * the documented recall trade — this exact face is that path's
+    * oracle. The threshold compares the UNROUNDED cosine (the
+    * hardNegatives convention); rounding happens only in the output
+    * projection.
+    *
+    * Output: (idCol, max_cosine, nearest_eval_id, contaminated).
+    */
+  def flagContaminatedEmbedding(train: DataFrame, eval: DataFrame,
+                                threshold: Double,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val t = train.select(col(idCol).as("t_id"), col(vecCol).as("tv"),
+      Similarity.norm(col(vecCol)).as("tn"))
+    val e = eval.select(col(idCol).as("e_id"), col(vecCol).as("ev"),
+      Similarity.norm(col(vecCol)).as("en"))
+    t.crossJoin(broadcast(e))
+      .withColumn("cos",
+        Similarity.dot(col("tv"), col("ev")) / (col("tn") * col("en")))
+      .groupBy(col("t_id").as(idCol))
+      .agg(max(struct(col("cos").as("c"), (-col("e_id")).as("ne")))
+        .as("m"))
+      .select(col(idCol), round(col("m.c"), 6).as("max_cosine"),
+        (-col("m.ne")).as("nearest_eval_id"),
+        (col("m.c") >= threshold).as("contaminated"))
+  }
+
   // --- persisted / incremental eval-suite index -------------------
   //
   // Eval suites GROW (new benchmark versions, new held-out sets) and

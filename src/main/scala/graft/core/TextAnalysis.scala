@@ -294,6 +294,53 @@ object TextAnalysis {
             PhonePattern, "<PHONE>"),
           IdPattern, "<ID>"))
 
+  /** Degenerate-generation LOOP detector — the model-output QA
+    * signal (and a synthetic-data gate): a decoder stuck in a cycle
+    * emits a document whose TAIL is one token cycle repeated ("the
+    * the the", "is a good idea. is a good idea."). For each period
+    * p ∈ 1..maxPeriod the trailing match length s_p = the longest
+    * suffix where every token equals the token p positions earlier;
+    * the final p-cycle then appears ⌊s_p/p⌋ + 1 times consecutively.
+    * A doc flags when any period reaches `minRepeats` (ties to the
+    * SMALLEST period — the fundamental cycle, not its multiples).
+    *
+    * Pure per-row projection (no UDF, no shuffle): the tokens array
+    * materializes once in its own projection (multi-use keeps
+    * CollapseProject from re-inlining the split per lambda element —
+    * the bigramsOf lesson), each period is one
+    * transform→filter→array_min fold (first mismatch from the end),
+    * and the best period is an `array_max` over (repeats, −p)
+    * structs. O(maxPeriod · tokens) per row, row-bounded state.
+    *
+    * Output: (idCol, n_tokens, best_period, best_repeats, loop_flag).
+    */
+  def loopDetect(df: DataFrame, idCol: String, textCol: String,
+                 maxPeriod: Int = 8, minRepeats: Int = 3): DataFrame = {
+    require(maxPeriod >= 1 && maxPeriod <= 64,
+      "maxPeriod must be in [1, 64]")
+    require(minRepeats >= 2, "minRepeats must be >= 2")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("L", size(col("tk")).cast("long"))
+    val cands = (1 to maxPeriod).map { p =>
+      s"""struct(
+          CASE WHEN L >= ${2 * p} THEN
+            (coalesce(array_min(filter(
+              transform(sequence(1, CAST(L - $p AS INT)),
+                i -> CASE WHEN element_at(tk, CAST(L - i + 1 AS INT))
+                       != element_at(tk, CAST(L - i + 1 - $p AS INT))
+                     THEN CAST(i AS BIGINT) END),
+              x -> x IS NOT NULL)) - 1L, L - $p) DIV $p) + 1L
+          ELSE 1L END AS r,
+          ${-p}L AS np)"""
+    }.mkString("array(", ", ", ")")
+    base.select(col(idCol), col("L").as("n_tokens"),
+        expr(s"array_max($cands)").as("b"))
+      .select(col(idCol), col("n_tokens"),
+        (-col("b.np")).cast("long").as("best_period"),
+        col("b.r").cast("long").as("best_repeats"),
+        (col("b.r") >= minRepeats).as("loop_flag"))
+  }
+
   /** Separator-tolerant payment-card candidate: 13–19 digits with
     * optional single space/dash joints. Non-capturing group only —
     * Java regex (Spark) and RE2 (oracle) take the same maximal

@@ -345,6 +345,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         a(3), a(4))))
     e.injectTableFunction(tableFn("scrub_cards", 2, a =>
       graft.core.TextAnalysis.scrubCards(active.table(a(0)), a(1))))
+    e.injectTableFunction(tableFn("loop_detect", 5, a =>
+      graft.core.TextAnalysis.loopDetect(active.table(a(0)), a(1), a(2),
+        maxPeriod = a(3).toInt, minRepeats = a(4).toInt)))
+    e.injectTableFunction(tableFn("semantic_decontam", 4, a =>
+      graft.core.Decontaminate.flagContaminatedEmbedding(
+        active.table(a(0)), active.table(a(1)),
+        threshold = a(3).toDouble, idCol = a(2))))
     e.injectFunction(fn("chrf_matches",
       classOf[graft.expressions.ChrfMatches], 3,
       args => {

@@ -829,4 +829,26 @@ class CorpusOpsSpec extends SparkSpec {
       got(5L)._4 == "short 123456 and phone 555-123-4567 untouched")
     assert(got(6L) == ((6L, 0L, 0L, "no digits at all")))
   }
+
+  test("loopDetect: trailing cycles found at their fundamental period; " +
+      "clean prose and blank docs stay unflagged") {
+    import graft.core.TextAnalysis
+    val docs = Seq(
+      (1L, "normal start then end end end end"),          // p=1 x4
+      (2L, "prefix is a good idea is a good idea is a good idea"), // p=4 x3
+      (3L, "perfectly ordinary text with no repetition at all"),
+      (4L, "ab ab ab ab ab ab"),                           // p=1 x6 ("ab" token)
+      (5L, ""),
+      (6L, "one two one two one two"))                     // p=2 x3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.loopDetect(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 1L && got(1L)._4 == 4L && got(1L)._5)
+    assert(got(2L)._3 == 4L && got(2L)._4 == 3L && got(2L)._5)
+    assert(!got(3L)._5 && got(3L)._4 <= 2L)
+    assert(got(4L)._3 == 1L && got(4L)._4 == 6L && got(4L)._5)
+    assert(!got(5L)._5)
+    assert(got(6L)._3 == 2L && got(6L)._4 == 3L && got(6L)._5)
+  }
 }

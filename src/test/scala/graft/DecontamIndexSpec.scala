@@ -135,4 +135,25 @@ class DecontamIndexSpec extends SparkSpec {
     val after = graft.sources.SnapshotTable.read(spark, idx).count()
     assert(after == before, "replayed append must be a no-op")
   }
+
+  test("flagContaminatedEmbedding: identical vector flags, orthogonal " +
+      "stays clean, cosine ties resolve to the lowest eval id") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // == eval 10 -> cos 1.0
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to both evals
+      (3L, Array(0.6f, 0.0f, 0.8f)))   // cos 0.6 to BOTH evals (tie)
+      .toDF("vec_id", "embedding")
+    val eval = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (20L, Array(2.0f, 0.0f, 0.0f)))  // same direction, scaled
+      .toDF("vec_id", "embedding")
+    val got = Decontaminate.flagContaminatedEmbedding(train, eval, 0.9)
+      .as[(Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1.0 && got(1L)._4)
+    assert(got(2L)._2 == 0.0 && !got(2L)._4 && got(2L)._3 == 10L)
+    assert(got(3L)._2 == 0.6 && !got(3L)._4 && got(3L)._3 == 10L)
+    assert(got.size == 3)
+  }
 }

@@ -520,6 +520,29 @@ class ExtensionsSpec extends SparkSpec {
     val ccApi = graft.core.TextAnalysis.scrubCards(
       spark.table("r15_cc"), "text").collect()
     assert(ccSql.toSet == ccApi.toSet && ccSql.length == 2)
+
+    Seq((1L, "end end end end"), (2L, "ordinary text here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("r15_lp")
+    val lpSql = spark.sql(
+      "SELECT * FROM loop_detect('r15_lp', 'doc_id', 'text', 8, 3)")
+      .collect()
+    val lpApi = graft.core.TextAnalysis.loopDetect(
+      spark.table("r15_lp"), "doc_id", "text").collect()
+    assert(lpSql.toSet == lpApi.toSet && lpSql.length == 2)
+
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+        (10L, Array(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("r15_sd")
+    spark.table("r15_sd").filter($"vec_id" < 10)
+      .createOrReplaceTempView("r15_sd_tr")
+    spark.table("r15_sd").filter($"vec_id" >= 10)
+      .createOrReplaceTempView("r15_sd_ev")
+    val sdSql = spark.sql(
+      "SELECT * FROM semantic_decontam('r15_sd_tr', 'r15_sd_ev', " +
+        "'vec_id', '0.9')").collect()
+    val sdApi = graft.core.Decontaminate.flagContaminatedEmbedding(
+      spark.table("r15_sd_tr"), spark.table("r15_sd_ev"), 0.9).collect()
+    assert(sdSql.toSet == sdApi.toSet && sdSql.length == 2)
   }
 
   test("lof table function and char_grams scalar from pure SQL") {
