@@ -95,7 +95,12 @@ object Scale100Probe {
       // native expression); distinct-n is one explode + grouped
       // counts; Moore-Lewis is two LM trainings + two scoring joins
       "q321_brown_forsythe", "q322_chrf", "q323_distinct_n",
-      "q324_moore_lewis")
+      "q324_moore_lewis",
+      // Luhn scrub and the loop detector are pure per-row
+      // projections; q326 rides the `timed` probe below instead (its
+      // eval side is model-size BY CONTRACT — replicating it 100x
+      // would break the contract, not measure the plan)
+      "q325_luhn_scrub", "q327_loop_detect")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>
@@ -146,6 +151,18 @@ object Scale100Probe {
     // q281's exact path multiplies posting-list pairs quadratically on
     // a replicated corpus (documented exact-baseline curve); maxDf is
     // the linear scale path — the q95 contract
+    // semantic decontamination at its PRODUCTION shape: the training
+    // side scales 100x, the eval suite stays the sf0.1 slice
+    // (model-size by contract) — cost is one broadcast cross +
+    // map-side-combinable argmax, linear in train rows
+    timed("semantic decontam fixed-eval") { dir =>
+      graft.core.Decontaminate.flagContaminatedEmbedding(
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % 10 =!= 0),
+        Tables.embeddings(spark, "/root/testdata/sf0.1")
+          .filter(col("vec_id") % 10 === 0),
+        threshold = 0.42)
+    }
     timed("editdist maxDf=64") { dir =>
       val docs = Tables.documents(spark, dir).select(col("doc_id"),
         lower(substring(trim(col("text")), 1, 40)).as("key"))
