@@ -4520,6 +4520,17 @@ object SparkEntry {
       graft.core.LanguageModel.mooreLewis(d, inLm, genLm)
     }),
 
+    // Jonckheere-Terpstra ordered trend across user tiers — "do
+    // values INCREASE along the ordering" (the dose-response
+    // question Kruskal-Wallis cannot ask); a staged +500-cents-per-
+    // tier shift makes the trend real, so the gate exercises a
+    // strongly positive z, exact doubled-JT core, tie-corrected
+    // three-term variance
+    "q328_jonckheere" -> ((s, dir) =>
+      Eval.jonckheereTerpstra(Tables.events(s, dir),
+        expr("user_id % 4"),
+        expr("CAST(round(value * 100) AS BIGINT) + (user_id % 4) * 500"))),
+
     // SEMANTIC decontamination — the n-gram faces' structural blind
     // spot: a paraphrased eval item shares no 8-gram but sits next
     // to its source in embedding space. One broadcast cross against
@@ -12297,6 +12308,75 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg_in a ON d.doc_id = a.doc_id
         |LEFT JOIN agg_gen b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // q328: pair-tagged lattices, per-pair cumulative window, the
+    // doubled-JT sum in HUGEINT, the three-term tie-corrected
+    // variance as one float tree
+    "q328_jonckheere" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 4 AS BIGINT) AS g,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      + CAST(user_id % 4 AS BIGINT) * 500 AS v
+        |  FROM events),
+        |lat AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |        FROM base GROUP BY 1, 2),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+        |        FROM lat GROUP BY 1),
+        |pairs AS (SELECT a.g AS gi, b.g AS gj
+        |          FROM grp a, grp b WHERE a.g < b.g),
+        |m AS (
+        |  SELECT gi, gj, v, CAST(sum(ci) AS BIGINT) AS ci,
+        |    CAST(sum(cj) AS BIGINT) AS cj
+        |  FROM (
+        |    SELECT gi, gj, v, c AS ci, 0 AS cj
+        |    FROM lat JOIN pairs ON g = gi
+        |    UNION ALL
+        |    SELECT gi, gj, v, 0 AS ci, c AS cj
+        |    FROM lat JOIN pairs ON g = gj)
+        |  GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT gi, gj, v, ci, cj,
+        |    CAST(coalesce(sum(ci) OVER (PARTITION BY gi, gj ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM m),
+        |jt AS (SELECT coalesce(sum(CAST(cj AS HUGEINT)
+        |    * (2 * cum + ci)), CAST(0 AS HUGEINT)) AS jt2 FROM cum),
+        |gs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS nn,
+        |    sum(CAST(ng AS HUGEINT) * ng) AS sum_n2,
+        |    sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS a_n,
+        |    sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS b_n,
+        |    sum(CAST(ng AS HUGEINT) * (ng - 1)) AS c_n
+        |  FROM grp),
+        |tt AS (
+        |  SELECT
+        |    coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+        |      CAST(0 AS HUGEINT)) AS a_t,
+        |    coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)),
+        |      CAST(0 AS HUGEINT)) AS b_t,
+        |    coalesce(sum(CAST(t AS HUGEINT) * (t - 1)),
+        |      CAST(0 AS HUGEINT)) AS c_t
+        |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS t
+        |        FROM base GROUP BY 1)),
+        |core AS (
+        |  SELECT nn, k, CAST(jt2 AS BIGINT) AS jt2,
+        |    CAST((CAST(nn AS HUGEINT) * nn - sum_n2) // 2 AS BIGINT)
+        |      AS mean2,
+        |    (CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)
+        |       - CAST(a_n AS DOUBLE) - CAST(a_t AS DOUBLE)) / 72.0
+        |    + CAST(b_n AS DOUBLE) * CAST(b_t AS DOUBLE)
+        |      / (36.0 * nn * (nn - 1) * (nn - 2))
+        |    + CAST(c_n AS DOUBLE) * CAST(c_t AS DOUBLE)
+        |      / (8.0 * nn * (nn - 1)) AS vr
+        |  FROM jt, gs, tt)
+        |SELECT nn AS n_rows, k AS k_groups, jt2, mean2,
+        |  CASE WHEN k >= 2 AND nn >= 3 AND vr > 0 THEN
+        |    round(((CAST(jt2 AS DOUBLE) - CAST(mean2 AS DOUBLE)) / 2.0)
+        |      / sqrt(vr), 6)
+        |  END AS z
+        |FROM core""".stripMargin,
 
     // q326: the q25 cosine fold against the eval slice, per-train-doc
     // argmax (max cosine, ties to the LOWEST eval id), threshold on

@@ -41,6 +41,11 @@ object Eval {
     */
   private val LatticeMax = 10000000L
 
+  /** Max distinct groups the ordered-pair tests accept (pair count is
+    * k²/2 pair-tagged lattices) — past this, bucket the group key.
+    */
+  private val GroupsMax = 1000L
+
   private def bigintLoud(x: String, what: String): String =
     s"""CASE WHEN abs($x) >
            CAST(9223372036854775807 AS DECIMAL(38, 0))
@@ -856,6 +861,122 @@ object Eval {
                / (CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
                   - n_rows - tie_t3) AS BIGINT)
            END"""))
+  }
+
+  /** Jonckheere–Terpstra trend test — the ORDERED-alternative
+    * k-group test the family still lacked: [[kruskalWallis]] asks
+    * "do the groups differ AT ALL", this asks "do values INCREASE
+    * along a known group ordering" (dose-response: does quality rise
+    * with curation stage, does latency grow with payload tier) —
+    * strictly more powerful when the ordering is real. JT =
+    * Σ_{i<j} U_ij over ordered group pairs, U_ij the Mann–Whitney
+    * count #{x_i < y_j} + ½·#{x_i = y_j}.
+    *
+    * EXACT via DOUBLED statistics (the [[mannWhitneyU]] device):
+    * 2·U_ij = Σ_{v} c_j(v)·(2·#{i-side < v} + c_i(v)) is pure
+    * integer, accumulated in DECIMAL(38,0). The normal approximation
+    * uses the standard tie-corrected three-term null variance
+    * (Hollander & Wolfe §6.2):
+    *   Var = [N(N−1)(2N+5) − Σ_i n_i(n_i−1)(2n_i+5)
+    *            − Σ_v t_v(t_v−1)(2t_v+5)] / 72
+    *       + [Σ n_i(n_i−1)(n_i−2)·Σ t_v(t_v−1)(t_v−2)]
+    *            / [36·N(N−1)(N−2)]
+    *       + [Σ n_i(n_i−1)·Σ t_v(t_v−1)] / [8·N(N−1)]
+    * with every bracketed sum exact-integer; z is ONE fixed float
+    * tree over those sums (the [[mannWhitneyU]] z convention),
+    * rounded at the final projection.
+    *
+    * Plan: one (g, v) lattice aggregation; ordered group pairs come
+    * from the model-size distinct-group table (k groups ⇒ k²/2
+    * pairs — a loud guard caps k at [[GroupsMax]]); each pair's
+    * cumulative runs over its own union lattice in a pair-partitioned
+    * window (bounded state, never a global sort); raw rows never
+    * enter a window. Group order = the NUMERIC order of `groupCol`
+    * (cast to BIGINT — encode the intended ordering in the key).
+    *
+    * Output: one row — (n_rows, k_groups, jt2, mean2, z); z NULL
+    * when k < 2 or the variance degenerates (all values tied).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column,
+                         valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.cast("long").as("g"),
+      valueCol.cast("long").as("v"))
+    val lat = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val groups = lat.groupBy("g").agg(sum("c").as("ng"))
+    // loud pair guard: k²/2 pair-tagged lattices are the plan's own
+    // state — a group column with corpus-scaled cardinality needs
+    // bucketing first, not a silent quadratic
+    val gGuard = groups.agg(count(lit(1)).as("__k"))
+      .select(assert_true(col("__k") <= lit(GroupsMax), concat(
+        lit("jonckheereTerpstra: "), col("__k"),
+        lit(s" groups (cap $GroupsMax) — pair count is k^2/2; bucket " +
+          "the group column first"))).as("__ok"))
+    val pairs = groups.select(col("g").as("gi"))
+      .join(groups.select(col("g").as("gj")), col("gi") < col("gj"))
+      .crossJoin(broadcast(gGuard)).filter(col("__ok").isNull)
+      .drop("__ok")
+    val li = lat.join(pairs, col("g") === col("gi"))
+      .select(col("gi"), col("gj"), col("v"), col("c").as("ci"),
+        lit(0L).as("cj"))
+    val lj = lat.join(pairs, col("g") === col("gj"))
+      .select(col("gi"), col("gj"), col("v"), lit(0L).as("ci"),
+        col("c").as("cj"))
+    val merged = li.unionByName(lj)
+      .groupBy("gi", "gj", "v")
+      .agg(sum("ci").as("ci"), sum("cj").as("cj"))
+    val wp = Window.partitionBy("gi", "gj").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val jt = merged
+      .withColumn("cum", coalesce(sum("ci").over(wp), lit(0L)))
+      .agg(coalesce(sum(expr(
+        """CAST(cj AS DECIMAL(38, 0)) * (2 * cum + ci)""")),
+        expr("CAST(0 AS DECIMAL(38, 0))")).as("jt2"))
+    // null-distribution ingredients: group sizes + the POOLED tie
+    // lattice
+    val gstats = groups.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum("ng"), lit(0L)).as("nn"),
+      expr("""coalesce(sum(CAST(ng AS DECIMAL(38, 0)) * ng),
+          CAST(0 AS DECIMAL(38, 0)))""").as("sum_n2"),
+      expr("""coalesce(sum(CAST(ng AS DECIMAL(38, 0)) * (ng - 1)
+          * (2 * ng + 5)), CAST(0 AS DECIMAL(38, 0)))""").as("a_n"),
+      expr("""coalesce(sum(CAST(ng AS DECIMAL(38, 0)) * (ng - 1)
+          * (ng - 2)), CAST(0 AS DECIMAL(38, 0)))""").as("b_n"),
+      expr("""coalesce(sum(CAST(ng AS DECIMAL(38, 0)) * (ng - 1)),
+          CAST(0 AS DECIMAL(38, 0)))""").as("c_n"))
+    val ties = base.groupBy("v").agg(count(lit(1)).as("t"))
+      .agg(
+        expr("""coalesce(sum(CAST(t AS DECIMAL(38, 0)) * (t - 1)
+            * (2 * t + 5)), CAST(0 AS DECIMAL(38, 0)))""").as("a_t"),
+        expr("""coalesce(sum(CAST(t AS DECIMAL(38, 0)) * (t - 1)
+            * (t - 2)), CAST(0 AS DECIMAL(38, 0)))""").as("b_t"),
+        expr("""coalesce(sum(CAST(t AS DECIMAL(38, 0)) * (t - 1)),
+            CAST(0 AS DECIMAL(38, 0)))""").as("c_t"))
+    jt.crossJoin(broadcast(gstats)).crossJoin(broadcast(ties))
+      .select(col("nn").as("n_rows"), col("k").as("k_groups"),
+        expr(bigintLoud("jt2", "jonckheereTerpstra: jt2")).as("jt2"),
+        // 2·E[JT] = Σ_{i<j} n_i·n_j = (N² − Σn_i²)/2 · ... doubled:
+        // mean2 = Σ n_i n_j = (N² − Σ n_i²) / 2; as 2·U it doubles
+        // back out: E[jt2] = Σ n_i·n_j exactly
+        expr(bigintLoud(
+          """(CAST(nn AS DECIMAL(38, 0)) * nn - sum_n2) / 2""",
+          "jonckheereTerpstra: mean2")).as("mean2"),
+        col("a_t"), col("b_t"), col("c_t"), col("a_n"), col("b_n"),
+        col("c_n"))
+      .select(col("n_rows"), col("k_groups"), col("jt2"), col("mean2"),
+        expr("""CASE WHEN k_groups >= 2 AND n_rows >= 3 THEN
+            round(((CAST(jt2 AS DOUBLE) - CAST(mean2 AS DOUBLE)) / 2.0)
+              / sqrt(
+               (CAST(n_rows AS DOUBLE) * (n_rows - 1) * (2 * n_rows + 5)
+                  - CAST(a_n AS DOUBLE) - CAST(a_t AS DOUBLE)) / 72.0
+               + CAST(b_n AS DOUBLE) * CAST(b_t AS DOUBLE)
+                 / (36.0 * n_rows * (n_rows - 1) * (n_rows - 2))
+               + CAST(c_n AS DOUBLE) * CAST(c_t AS DOUBLE)
+                 / (8.0 * n_rows * (n_rows - 1))), 6)
+          END""").as("z"))
+      .withColumn("z", when(col("z").isNaN || col("z") === Double.PositiveInfinity
+        || col("z") === Double.NegativeInfinity, lit(null)).otherwise(col("z")))
   }
 
   /** Friedman test — the REPEATED-MEASURES k-treatment rank test

@@ -345,6 +345,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         a(3), a(4))))
     e.injectTableFunction(tableFn("scrub_cards", 2, a =>
       graft.core.TextAnalysis.scrubCards(active.table(a(0)), a(1))))
+    e.injectTableFunction(tableFn("jonckheere", 3, a =>
+      graft.core.Eval.jonckheereTerpstra(active.table(a(0)), ex(a(1)),
+        ex(a(2)))))
     e.injectTableFunction(tableFn("loop_detect", 5, a =>
       graft.core.TextAnalysis.loopDetect(active.table(a(0)), a(1), a(2),
         maxPeriod = a(3).toInt, minRepeats = a(4).toInt)))

@@ -876,4 +876,69 @@ class EvalSpec extends SparkSpec {
       col("g"), col("v")).collect().toSeq
     assert(a == b)
   }
+
+  test("jonckheereTerpstra: brute parity (doubled JT, exact mean, " +
+      "tie-corrected z); monotone trend positive, reversed negative; " +
+      "degenerate ties NULL z") {
+    def brute(rows: Seq[(Long, Long)]): (BigInt, BigInt, Option[Double]) = {
+      val n = rows.size
+      val gs = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val ks = gs.keys.toSeq.sorted
+      var jt2 = BigInt(0)
+      for {
+        i <- ks.indices; j <- (i + 1) until ks.size
+        x <- gs(ks(i)); y <- gs(ks(j))
+      } { if (x < y) jt2 += 2 else if (x == y) jt2 += 1 }
+      val mean2 = {
+        val nn = BigInt(n)
+        (nn * nn - gs.values.map(v => BigInt(v.size) * v.size).sum) / 2
+      }
+      def a3(m: BigInt) = m * (m - 1) * (2 * m + 5)
+      def b3(m: BigInt) = m * (m - 1) * (m - 2)
+      def c2(m: BigInt) = m * (m - 1)
+      val sizes = gs.values.map(v => BigInt(v.size)).toSeq
+      val tvs = rows.map(_._2).groupBy(identity).values
+        .map(v => BigInt(v.size)).toSeq
+      val nn = n.toDouble
+      val varJt =
+        (BigInt(n) * (n - 1) * (2 * n + 5) - sizes.map(a3).sum
+          - tvs.map(a3).sum).toDouble / 72.0 +
+        sizes.map(b3).sum.toDouble * tvs.map(b3).sum.toDouble /
+          (36.0 * nn * (nn - 1) * (nn - 2)) +
+        sizes.map(c2).sum.toDouble * tvs.map(c2).sum.toDouble /
+          (8.0 * nn * (nn - 1))
+      val z = if (varJt > 0)
+        Some((jt2 - mean2).toDouble / 2.0 / math.sqrt(varJt))
+      else None
+      (jt2, mean2, z)
+    }
+    // increasing trend with deliberate cross-group ties
+    val rows = (1L to 120L).map(i =>
+      (i % 3, (i * 37 % 50) + (i % 3) * 10))
+    val got = Eval.jonckheereTerpstra(rows.toDF("g", "v"),
+        col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    val (jt2, mean2, z) = brute(rows)
+    assert(got._1 == 120L && got._2 == 3L)
+    assert(BigInt(got._3) == jt2 && BigInt(got._4) == mean2)
+    assert(math.abs(got._5.get - z.get) < 1e-5)
+    assert(got._5.get > 2.0) // the staged trend is strongly positive
+    // reversed ordering flips the sign exactly
+    val rev = rows.map { case (g, v) => (2 - g, v) }
+    val gotR = Eval.jonckheereTerpstra(rev.toDF("g", "v"),
+        col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(math.abs(gotR._5.get + got._5.get) < 1e-5)
+    // all values tied -> variance 0 -> NULL z; jt2 = mean2 exactly
+    val tied = (1L to 30L).map(i => (i % 3, 7L))
+    val gotT = Eval.jonckheereTerpstra(tied.toDF("g", "v"),
+        col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(gotT._3 == gotT._4 && gotT._5.isEmpty)
+    // one group -> no pairs
+    val one = Eval.jonckheereTerpstra(Seq((1L, 5L), (1L, 6L))
+        .toDF("g", "v"), col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(one._3 == 0L && one._5.isEmpty)
+  }
 }

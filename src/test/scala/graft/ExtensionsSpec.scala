@@ -543,6 +543,14 @@ class ExtensionsSpec extends SparkSpec {
     val sdApi = graft.core.Decontaminate.flagContaminatedEmbedding(
       spark.table("r15_sd_tr"), spark.table("r15_sd_ev"), 0.9).collect()
     assert(sdSql.toSet == sdApi.toSet && sdSql.length == 2)
+
+    Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (2L, 6L))
+      .toDF("g", "v").createOrReplaceTempView("r15_jt")
+    val jtSql = spark.sql(
+      "SELECT * FROM jonckheere('r15_jt', 'g', 'v')").collect()
+    val jtApi = graft.core.Eval.jonckheereTerpstra(
+      spark.table("r15_jt"), $"g", $"v").collect()
+    assert(jtSql.toSet == jtApi.toSet && jtSql.length == 1)
   }
 
   test("lof table function and char_grams scalar from pure SQL") {
