@@ -100,7 +100,10 @@ object Scale100Probe {
       // projections; q326 rides the `timed` probe below instead (its
       // eval side is model-size BY CONTRACT — replicating it 100x
       // would break the contract, not measure the plan)
-      "q325_luhn_scrub", "q327_loop_detect")
+      "q325_luhn_scrub", "q327_loop_detect",
+      // JT is lattice aggregations + k^2/2 pair-tagged windows
+      // (bounded by the lattice, never rows)
+      "q328_jonckheere")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>
