@@ -4520,6 +4520,17 @@ object SparkEntry {
       graft.core.LanguageModel.mooreLewis(d, inLm, genLm)
     }),
 
+    // Page's trend test — the ordered-treatment counterpart of
+    // Friedman on the SAME blocks (q328 asks the ordered question
+    // for independent groups; this asks it within blocks): a staged
+    // +50-cents-per-tier shift inside each (cohort, tier) cell makes
+    // the within-block trend real; doubled ranks, exact E[L2],
+    // no-tie null variance (documented conservative under ties)
+    "q329_page_trend" -> ((s, dir) =>
+      Eval.pageTrend(Tables.events(s, dir),
+        expr("user_id % 40"), expr("event_id % 4"),
+        expr("CAST(round(value * 100) AS BIGINT) + (event_id % 4) * 50"))),
+
     // Jonckheere-Terpstra ordered trend across user tiers — "do
     // values INCREASE along the ordering" (the dose-response
     // question Kruskal-Wallis cannot ask); a staged +500-cents-per-
@@ -12308,6 +12319,63 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN agg_in a ON d.doc_id = a.doc_id
         |LEFT JOIN agg_gen b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // q329: the q316 rank CTEs + a treatment-order index + the
+    // weighted rank sum; E[L2] and the no-tie variance as the same
+    // float tree
+    "q329_page_trend" ->
+      """WITH cells AS (
+        |  SELECT user_id % 40 AS b, CAST(event_id % 4 AS BIGINT) AS tr,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |      + (event_id % 4) * 50) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k
+        |  FROM cells),
+        |sized AS (SELECT b, CAST(count(*) AS BIGINT) AS m
+        |  FROM cells GROUP BY b),
+        |complete AS (
+        |  SELECT c.* FROM cells c JOIN sized s ON c.b = s.b, kk
+        |  WHERE s.m = kk.k),
+        |drp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS d
+        |  FROM sized, kk WHERE m <> kk.k),
+        |ranked AS (
+        |  SELECT b, tr, v,
+        |    count(*) OVER (PARTITION BY b ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    count(*) OVER (PARTITION BY b, v) AS t
+        |  FROM complete),
+        |r2s AS (
+        |  SELECT b, tr, v, t,
+        |    2 * (min(cum) OVER (PARTITION BY b, v) - 1) + t + 1 AS r2
+        |  FROM ranked),
+        |ord AS (
+        |  SELECT tr, CAST(row_number() OVER (ORDER BY tr) AS BIGINT)
+        |    AS j
+        |  FROM (SELECT DISTINCT tr FROM complete)),
+        |pt AS (SELECT tr, CAST(sum(r2) AS BIGINT) AS r2j
+        |  FROM r2s GROUP BY tr),
+        |l AS (SELECT coalesce(sum(CAST(j AS HUGEINT) * r2j),
+        |    CAST(0 AS HUGEINT)) AS l2
+        |  FROM pt JOIN ord USING (tr)),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n
+        |  FROM complete),
+        |t3 AS (SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT)
+        |    AS t3
+        |  FROM (SELECT DISTINCT b, v, t FROM r2s))
+        |SELECT n AS n_blocks, k AS k_treatments, d AS n_blocks_dropped,
+        |  t3 AS tie_t3, CAST(l2 AS BIGINT) AS l2,
+        |  CAST(CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) // 2
+        |    AS BIGINT) AS el2,
+        |  CASE WHEN k >= 2 AND n >= 1 THEN
+        |    round(((CAST(l2 AS DOUBLE)
+        |      - CAST(CAST(CAST(n AS HUGEINT) * k * (k + 1) * (k + 1)
+        |          // 2 AS BIGINT) AS DOUBLE)) / 2.0)
+        |      / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1)
+        |          * (k - 1) / 144.0), 6)
+        |  END AS z
+        |FROM l, nb, kk, drp, t3""".stripMargin,
 
     // q328: pair-tagged lattices, per-pair cumulative window, the
     // doubled-JT sum in HUGEINT, the three-term tie-corrected

@@ -162,10 +162,18 @@ object Decontaminate {
                             numHashes: Int = 4): DataFrame = {
     // eval shingles materialize ONCE (model-size by contract) and
     // feed both the filter build and the exact verify join — the
-    // previous shape re-derived them per consumer (ADVICE r14)
+    // previous shape re-derived them per consumer (ADVICE r14). A
+    // LAZY persist, not an eager localCheckpoint: the bloomWords
+    // collect below materializes it as part of its own job, the
+    // verify join then reads the cache, and the whole operator stays
+    // at TWO jobs (collect + the main action) — the checkpoint
+    // variant paid a third eager job whose fixed overhead dominated
+    // at bench scale. The cached relation is eval-suite-sized and
+    // lives until the session drops it (the trainBigram model-table
+    // convention).
     val evalShingles = eval
       .select(explode(Dedup.shingles(col(textCol), n)).as("shingle"))
-      .distinct().localCheckpoint(true)
+      .distinct().persist()
     val words = Sketches.bloomWords(
       Sketches.bloomBuild(evalShingles, col("shingle"), numBits,
         numHashes), numBits)

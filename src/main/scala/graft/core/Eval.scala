@@ -23,15 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  /** Loud BIGINT narrowing (SQL-string form, for `expr(...)`): with
-    * ANSI off, Spark silently NULLs an overflowing DECIMAL→BIGINT
-    * cast — this raises instead, so a corpus that outgrows an int64
-    * output contract fails the job rather than shipping a silently
-    * wrong statistic. The DuckDB oracles' HUGEINT→BIGINT casts error
-    * loudly on the same input, so the two engines fail TOGETHER
-    * (the Krippendorff-oracle lesson: a guard that is loud on one
-    * engine and silent on the other is a latent divergence).
-    */
   /** Max distinct values the rank-test lattice windows accept before
     * failing loudly — the single-partition prefix sum over the value
     * lattice is the deliberate trade of [[kruskalWallis]] (and the
@@ -46,6 +37,15 @@ object Eval {
     */
   private val GroupsMax = 1000L
 
+  /** Loud BIGINT narrowing (SQL-string form, for `expr(...)`): with
+    * ANSI off, Spark silently NULLs an overflowing DECIMAL→BIGINT
+    * cast — this raises instead, so a corpus that outgrows an int64
+    * output contract fails the job rather than shipping a silently
+    * wrong statistic. The DuckDB oracles' HUGEINT→BIGINT casts error
+    * loudly on the same input, so the two engines fail TOGETHER
+    * (the Krippendorff-oracle lesson: a guard that is loud on one
+    * engine and silent on the other is a latent divergence).
+    */
   private def bigintLoud(x: String, what: String): String =
     s"""CASE WHEN abs($x) >
            CAST(9223372036854775807 AS DECIMAL(38, 0))
@@ -1082,6 +1082,83 @@ object Eval {
                    * k_treatments - 1) - tie_t3) AS BIGINT)
            END"""))
       .drop("ss")
+  }
+
+  /** Page's trend test — the ORDERED-treatment counterpart of
+    * [[friedman]], closing the pairing the ordered family started
+    * with [[jonckheereTerpstra]] (JT: ordered INDEPENDENT groups;
+    * Page: ordered treatments on the SAME blocks): with within-block
+    * ranks R and a hypothesized treatment order 1..k,
+    * L = Σ_j j·R_j — monotone agreement between the rank profile and
+    * the order, strictly more powerful than Friedman when the order
+    * is real (does quality rise across curation stages applied to
+    * the same documents?).
+    *
+    * Exactness: DOUBLED within-block ranks (the [[friedman]] device)
+    * keep tie-averaged ranks integer; L2 = Σ j·R2_j accumulates in
+    * DECIMAL(38,0) with a loud BIGINT narrowing, and
+    * E[L2] = n·k(k+1)²/2 is exact. The z uses Page's NO-TIE null
+    * variance Var(L) = n·k²(k+1)²(k−1)/144 — stated plainly: with
+    * within-block ties the true variance is slightly smaller, so
+    * this z is CONSERVATIVE in the presence of ties (the standard
+    * practice); `tie_t3` exposes the tie mass so a consumer can see
+    * how far from tie-free the input is. Treatment order = the
+    * NUMERIC ascending order of `treatCol` (the
+    * [[jonckheereTerpstra]] convention — encode the hypothesis in
+    * the key). Incomplete blocks drop loudly ([[friedman]]).
+    *
+    * Plan: the [[friedman]] machinery verbatim (one checkpointed
+    * cells pass, block-partitioned rank windows with k-row state)
+    * plus one model-size treatment-order table. Output: one row —
+    * (n_blocks, k_treatments, n_blocks_dropped, tie_t3, l2, el2, z).
+    */
+  def pageTrend(df: DataFrame, blockCol: Column, treatCol: Column,
+                valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = df.select(blockCol.as("b"), treatCol.cast("long").as("tr"),
+        valueCol.cast("long").as("v"))
+      .groupBy("b", "tr").agg(sum("v").as("v"))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("b")))
+      .localCheckpoint(true)
+    val k = sized.select("tr").distinct().count()
+    val dropped = sized.filter(col("__m") =!= k)
+      .select("b").distinct().count()
+    val complete = sized.filter(col("__m") === k).drop("__m")
+    val wOrd = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val we = Window.partitionBy("b", "v")
+    val ranked = complete
+      .withColumn("cum", count(lit(1)).over(wOrd))
+      .withColumn("t", count(lit(1)).over(we))
+      .withColumn("r2",
+        lit(2L) * (min("cum").over(we) - lit(1L)) + col("t") + lit(1L))
+    // treatment order 1..k by ascending numeric key — a k-row table,
+    // the single-partition window is model-size by construction
+    val ord = complete.select("tr").distinct()
+      .withColumn("j", row_number()
+        .over(Window.orderBy("tr")).cast("long"))
+    val perTreat = ranked.groupBy("tr").agg(sum("r2").as("r2j"))
+      .join(ord, "tr")
+    val n = complete.select("b").distinct().count()
+    val ties = ranked.select(col("b"), col("v"), col("t"))
+      .distinct()
+      .agg(coalesce(sum(expr("t * t * t - t")), lit(0L)).as("t3"))
+    val el2 = BigInt(n) * k * (k + 1) * (k + 1) / 2 // always even product
+    require(el2.isValidLong, "pageTrend: E[L2] exceeds BIGINT")
+    val varD = n.toDouble * k * k * (k + 1) * (k + 1) * (k - 1) / 144.0
+    perTreat
+      .agg(expr("""coalesce(sum(CAST(j AS DECIMAL(38, 0)) * r2j),
+          CAST(0 AS DECIMAL(38, 0)))""").as("l2d"))
+      .crossJoin(broadcast(ties))
+      .select(lit(n).as("n_blocks"), lit(k).as("k_treatments"),
+        lit(dropped).as("n_blocks_dropped"), col("t3").as("tie_t3"),
+        expr(bigintLoud("l2d", "pageTrend: l2")).as("l2"),
+        lit(el2.toLong).as("el2"))
+      .withColumn("z",
+        if (k >= 2 && n >= 1 && varD > 0)
+          expr(s"""round(((CAST(l2 AS DOUBLE) - CAST(el2 AS DOUBLE))
+              / 2.0) / sqrt($varD), 6)""")
+        else lit(null).cast("double"))
   }
 
   /** Cochran's Q — the k-treatment test for BINARY outcomes on the

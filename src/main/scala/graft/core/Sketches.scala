@@ -122,13 +122,6 @@ object Sketches {
       .agg((sum(when(col("hit"), lit(1L)).otherwise(lit(0L)))
         === lit(numHashes.toLong)).as("bloom_hit"))
 
-  /** Filter `df` to rows whose `column` might be in the filter —
-    * broadcast-applied before any shuffle; false positives only, so
-    * follow with an exact join when exactness matters. Dispatches on
-    * the column's type the same way `bloomFilter` hashed it at build
-    * time (long for integral keys, string otherwise) — a silent
-    * cast-to-long of a string key would null-drop every row.
-    */
   /** Collect a [[bloomBuild]] filter into a dense driver-side word
     * array (index = word_idx) — model-size by construction
     * (numBits/62 longs; 2²⁰ bits ≈ 17K longs ≈ 135 KB), the same
@@ -161,18 +154,34 @@ object Sketches {
     require(numHashes >= 1 && numHashes <= 16,
       "numHashes must be in [1, 16]")
     val arr = typedLit(words.toSeq)
-    val pos = bloomPositions(key, numBits, numHashes)
+    // NO higher-order function anywhere: HOF lambdas run interpreted
+    // with no common-subexpression elimination, and [[mix32]]'s
+    // xorshift tree references its input 8 times — through a
+    // transform/forall over [[bloomPositions]] that multiplied into
+    // ~64 rolling-hash evaluations per row (measured 5 s on 226K
+    // rows at the q315 gate). As PLAIN conjuncts in one projection,
+    // whole-stage codegen's subexpression elimination shares the two
+    // hash subtrees across all numHashes probes: 2 hashes per row,
+    // total. Positions < numBits ≤ 2³⁰, so the double division is
+    // exact and floor = integer DIV.
+    val h1 = mix32(TextAnalysis.rollingHash(key))
+    val h2 = mix32(TextAnalysis.rollingHash(concat(key, lit("#b2")))) *
+      lit(2L) + lit(1L)
     (0 until numHashes).map { i =>
-      // positions < numBits ≤ 2³⁰, so the double division is exact
-      // and floor = integer DIV; codegen CSE shares the repeated
-      // `pos` subtree across the numHashes conjuncts
-      val p = element_at(pos, i + 1)
-      val word = element_at(arr, floor(p / lit(62.0)).cast("int") + 1)
-      word.bitwiseAND(call_function("shiftleft", lit(1L),
-        pmod(p, lit(62L)).cast("int"))) =!= lit(0L)
+      val p = pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong))
+      element_at(arr, floor(p / lit(62.0)).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(62L)).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
   }
 
+  /** Filter `df` to rows whose `column` might be in the filter —
+    * broadcast-applied before any shuffle; false positives only, so
+    * follow with an exact join when exactness matters. Dispatches on
+    * the column's type the same way `bloomFilter` hashed it at build
+    * time (long for integral keys, string otherwise) — a silent
+    * cast-to-long of a string key would null-drop every row.
+    */
   def mightContain(df: DataFrame, column: String, bf: BloomFilter): DataFrame = {
     val bcast = df.sparkSession.sparkContext.broadcast(bf)
     import org.apache.spark.sql.types._
@@ -220,7 +229,23 @@ object Sketches {
     * the same expression replays under ANSI and in any SQL engine
     * with xor + integer div/mod.
     */
-  private[core] def mix32(h0: Column): Column = {
+  private[core] def mix32(h0: Column): Column =
+    org.apache.spark.sql.GraftShim.column(graft.expressions.Mix32(
+      org.apache.spark.sql.GraftShim.expression(h0)))
+
+  /** Test hooks: the expression pair is private[core] by design;
+    * the parity spec lives in package graft. */
+  private[graft] def mix32TestHook(h: Column): Column = mix32(h)
+  private[graft] def mix32ComposedTestHook(h: Column): Column =
+    mix32Composed(h)
+
+  /** The Column-composed formulation of [[mix32]] — kept as the
+    * semantic test oracle for the native expression (the composed
+    * tree references its input 8×, which FilterExec's conjunct
+    * splitting turns into repeated hash evaluation — the q315
+    * lesson; see [[graft.expressions.Mix32]]).
+    */
+  private[core] def mix32Composed(h0: Column): Column = {
     val M = lit(4294967296L)
     def xm(h: Column): Column =
       (h.bitwiseXOR(shiftright(h, 16)) * lit(73244475L)) % M

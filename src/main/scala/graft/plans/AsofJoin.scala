@@ -348,6 +348,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectTableFunction(tableFn("jonckheere", 3, a =>
       graft.core.Eval.jonckheereTerpstra(active.table(a(0)), ex(a(1)),
         ex(a(2)))))
+    e.injectTableFunction(tableFn("page_trend", 4, a =>
+      graft.core.Eval.pageTrend(active.table(a(0)), ex(a(1)), ex(a(2)),
+        ex(a(3)))))
     e.injectTableFunction(tableFn("loop_detect", 5, a =>
       graft.core.TextAnalysis.loopDetect(active.table(a(0)), a(1), a(2),
         maxPeriod = a(3).toInt, minRepeats = a(4).toInt)))

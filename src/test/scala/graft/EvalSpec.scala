@@ -941,4 +941,58 @@ class EvalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Option[Double])].head()
     assert(one._3 == 0L && one._5.isEmpty)
   }
+
+  test("pageTrend: brute parity (doubled L, exact E[L2], no-tie z); " +
+      "staged within-block trend positive, reversed negative; " +
+      "incomplete blocks dropped") {
+    def brute(rows: Seq[(Long, Long, Long)]): (BigInt, BigInt, Double) = {
+      val byB = rows.groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3))).toMap
+      val k = rows.map(_._2).distinct.size
+      val complete = byB.filter(_._2.map(_._1).distinct.size == k)
+      val n = complete.size
+      val ordIdx = rows.map(_._2).distinct.sorted.zipWithIndex
+        .map { case (t, i) => t -> (i + 1) }.toMap
+      var l2 = BigInt(0)
+      complete.values.foreach { cells =>
+        val vs = cells.map(_._2).sorted
+        def r2(v: Long): Long =
+          2 * vs.indexWhere(_ == v) + vs.count(_ == v) + 1
+        cells.foreach { case (t, v) => l2 += BigInt(ordIdx(t)) * r2(v) }
+      }
+      val el2 = BigInt(n) * k * (k + 1) * (k + 1) / 2
+      val varD = n.toDouble * k * k * (k + 1) * (k + 1) * (k - 1) / 144.0
+      val z = ((l2 - el2).toDouble / 2.0) / math.sqrt(varD)
+      (l2, el2, z)
+    }
+    // 40 blocks x 4 treatments, value grows with treatment index +
+    // noise; one deliberate within-block tie; block 99 incomplete
+    val rows = (for {
+      b <- 1L to 40L; t <- 0L to 3L
+    } yield (b, t, t * 10 + (b * 7 + t * 3) % 9)) ++
+      Seq((99L, 0L, 5L))
+    val got = Eval.pageTrend(rows.toDF("b", "t", "v"),
+        col("b"), col("t"), col("v"))
+      .select("n_blocks", "k_treatments", "n_blocks_dropped", "l2",
+        "el2", "z")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    val (l2, el2, z) = brute(rows)
+    assert(got._1 == 40L && got._2 == 4L && got._3 == 1L)
+    assert(BigInt(got._4) == l2 && BigInt(got._5) == el2)
+    assert(math.abs(got._6.get - z) < 1e-5)
+    assert(got._6.get > 2.0)
+    // reversing the treatment order flips the sign exactly
+    val rev = rows.map { case (b, t, v) => (b, 3L - t, v) }
+    val gotR = Eval.pageTrend(rev.toDF("b", "t", "v"),
+        col("b"), col("t"), col("v"))
+      .select("z").as[Option[Double]].head()
+    assert(math.abs(gotR.get + got._6.get) < 1e-5)
+    // all-tied blocks: L2 lands exactly on E[L2] (average ranks)
+    val tied = (for { b <- 1L to 10L; t <- 0L to 2L }
+      yield (b, t, 7L))
+    val gotT = Eval.pageTrend(tied.toDF("b", "t", "v"),
+        col("b"), col("t"), col("v"))
+      .select("l2", "el2").as[(Long, Long)].head()
+    assert(gotT._1 == gotT._2)
+  }
 }

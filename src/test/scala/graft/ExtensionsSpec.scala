@@ -551,6 +551,14 @@ class ExtensionsSpec extends SparkSpec {
     val jtApi = graft.core.Eval.jonckheereTerpstra(
       spark.table("r15_jt"), $"g", $"v").collect()
     assert(jtSql.toSet == jtApi.toSet && jtSql.length == 1)
+
+    Seq((1L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 3L), (2L, 1L, 5L))
+      .toDF("b", "t", "v").createOrReplaceTempView("r15_pg")
+    val pgSql = spark.sql(
+      "SELECT * FROM page_trend('r15_pg', 'b', 't', 'v')").collect()
+    val pgApi = graft.core.Eval.pageTrend(spark.table("r15_pg"),
+      $"b", $"t", $"v").collect()
+    assert(pgSql.toSet == pgApi.toSet && pgSql.length == 1)
   }
 
   test("lof table function and char_grams scalar from pure SQL") {

@@ -135,4 +135,18 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est._3 - 5000) < 1250, s"union estimate: $est")
     assert(math.abs(est._4 - 1000) < 500, s"intersection estimate: $est")
   }
+
+  test("native Mix32 == the composed xorshift formulation on a value " +
+      "sweep incl. negatives and nulls") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(-50000, 50000)
+      .select(col("id"), (col("id") * 104729L + 7L).as("h0"))
+      .select(when(col("id") % 997 === 0, lit(null))
+        .otherwise(col("h0")).as("h"))
+    val cmp = df.select(
+      graft.core.Sketches.mix32TestHook(col("h")).as("a"),
+      graft.core.Sketches.mix32ComposedTestHook(col("h")).as("b"))
+      .filter(not(col("a") <=> col("b")))
+    assert(cmp.count() == 0L)
+  }
 }
