@@ -103,7 +103,7 @@ object Scale100Probe {
       "q325_luhn_scrub", "q327_loop_detect",
       // JT is lattice aggregations + k^2/2 pair-tagged windows
       // (bounded by the lattice, never rows)
-      "q328_jonckheere")
+      "q328_jonckheere", "q329_page_trend")
       .filter(n => args.isEmpty || args.contains(n))
     val qs = SparkEntry.queries
     battery.foreach { name =>
