@@ -4568,6 +4568,34 @@ object SparkEntry {
         d.select(col("doc_id"), aug.as("text")), "doc_id", "text")
     }),
 
+    // INCREMENTAL semantic decontamination over the persisted
+    // eval-embedding index — all three decontamination modalities
+    // now share the q311-style lifecycle: two suite versions append
+    // (vec_id % 20 ∈ {0, 10} == the % 10 == 0 eval slice), each delta
+    // screens the corpus against its own vectors only, and the
+    // per-doc (rounded-cosine, lowest-id) max fold must equal the
+    // monolithic q326 result — max is associative, so the fold is
+    // exact by construction
+    "q330_semantic_decontam_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val train = emb.filter(col("vec_id") % 10 =!= 0)
+      val t = scratchDir("graft_q330") + "/idx"
+      val d1 = graft.core.Decontaminate
+        .flagContaminatedEmbeddingIncremental(s, train,
+          emb.filter(col("vec_id") % 20 === 0), t, threshold = 0.42)
+      val d2 = graft.core.Decontaminate
+        .flagContaminatedEmbeddingIncremental(s, train,
+          emb.filter(col("vec_id") % 20 === 10), t, threshold = 0.42)
+      d1.unionByName(d2)
+        .groupBy("vec_id")
+        .agg(max(struct(col("max_cosine").as("c"),
+            (-col("nearest_eval_id")).as("ne"))).as("m"),
+          max(when(col("contaminated"), 1).otherwise(0)).as("anyc"))
+        .select(col("vec_id"), col("m.c").as("max_cosine"),
+          (-col("m.ne")).as("nearest_eval_id"),
+          (col("anyc") === 1).as("contaminated"))
+    }),
+
     // Luhn card scrub — the PII class q54's digit-run heuristic
     // cannot separate: staged valid test cards (every 5th doc, three
     // formats) and an invalid near-miss (every 7th) land in the
@@ -12446,6 +12474,39 @@ object SparkEntry {
         |  END AS z
         |FROM core""".stripMargin,
 
+    // q330: the Spark side folds two per-version deltas over the
+    // persisted embedding index; max-associativity makes the fold
+    // exact, so the oracle IS the monolithic q326 replay verbatim
+"q330_semantic_decontam_incremental" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT t.vec_id, ev.vec_id AS e_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [t.v[i+1] * ev.v[i+1]
+        |       for i in generate_series(0, len(t.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [t.v[i+1] * t.v[i+1]
+        |          for i in generate_series(0, len(t.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [ev.v[i+1] * ev.v[i+1]
+        |          for i in generate_series(0, len(ev.v)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM e t, e ev
+        |  WHERE t.vec_id % 10 <> 0 AND ev.vec_id % 10 = 0),
+        |best AS (
+        |  SELECT vec_id, cos, e_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(cos, 6) DESC, e_id ASC) AS rn,
+        |    max(cos) OVER (PARTITION BY vec_id) AS mx
+        |  FROM scored)
+        |SELECT vec_id, round(cos, 6) AS max_cosine,
+        |  e_id AS nearest_eval_id, mx >= 0.42 AS contaminated
+        |FROM best WHERE rn = 1""".stripMargin,
+
     // q326: the q25 cosine fold against the eval slice, per-train-doc
     // argmax (max cosine, ties to the LOWEST eval id), threshold on
     // the unrounded value
@@ -12472,10 +12533,11 @@ object SparkEntry {
         |best AS (
         |  SELECT vec_id, cos, e_id,
         |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cos DESC, e_id ASC) AS rn
+        |      ORDER BY round(cos, 6) DESC, e_id ASC) AS rn,
+        |    max(cos) OVER (PARTITION BY vec_id) AS mx
         |  FROM scored)
         |SELECT vec_id, round(cos, 6) AS max_cosine,
-        |  e_id AS nearest_eval_id, cos >= 0.42 AS contaminated
+        |  e_id AS nearest_eval_id, mx >= 0.42 AS contaminated
         |FROM best WHERE rn = 1""".stripMargin,
 
     // q327: the same staging; per (doc, period) the first mismatch

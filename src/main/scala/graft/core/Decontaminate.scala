@@ -222,7 +222,9 @@ object Decontaminate {
     *
     * Plan: the eval suite is model-size by contract → one broadcast
     * cross + one map-side-combinable per-doc argmax (a struct max —
-    * highest cosine, ties to the LOWEST eval id): the training side
+    * highest ROUNDED cosine, ties to the LOWEST eval id; the rounded
+    * key is what makes per-version deltas fold exactly, see
+    * [[flagContaminatedEmbeddingIncremental]]): the training side
     * is scanned once and never shuffles payloads. Past broadcast
     * size, the same flag composes from the IVF candidate machinery
     * ([[Similarity]]'s probeBuckets/ivfTopK, the q27/q100 shapes) at
@@ -241,15 +243,89 @@ object Decontaminate {
       Similarity.norm(col(vecCol)).as("tn"))
     val e = eval.select(col(idCol).as("e_id"), col(vecCol).as("ev"),
       Similarity.norm(col(vecCol)).as("en"))
+    // argmax by the ROUNDED cosine (ties to the lowest eval id), so
+    // a per-version delta folds to the batch result EXACTLY
+    // (max ∘ round = round ∘ max — rounding is monotone — and the
+    // tie rule is deterministic on what the deltas carry); the
+    // contamination THRESHOLD still compares the unrounded maximum
+    // (the hardNegatives convention)
     t.crossJoin(broadcast(e))
       .withColumn("cos",
         Similarity.dot(col("tv"), col("ev")) / (col("tn") * col("en")))
       .groupBy(col("t_id").as(idCol))
-      .agg(max(struct(col("cos").as("c"), (-col("e_id")).as("ne")))
-        .as("m"))
-      .select(col(idCol), round(col("m.c"), 6).as("max_cosine"),
+      .agg(max(struct(round(col("cos"), 6).as("c"),
+          (-col("e_id")).as("ne"))).as("m"),
+        max(col("cos")).as("mx"))
+      .select(col(idCol), col("m.c").as("max_cosine"),
         (-col("m.ne")).as("nearest_eval_id"),
-        (col("m.c") >= threshold).as("contaminated"))
+        (col("mx") >= threshold).as("contaminated"))
+  }
+
+  /** Create/extend the persisted EVAL-EMBEDDING index behind
+    * [[flagContaminatedEmbeddingIndexed]] /
+    * [[flagContaminatedEmbeddingIncremental]] — the
+    * [[writeEvalShingleIndex]] discipline for the semantic face, so
+    * all three decontamination modalities (doc-level n-gram,
+    * span-level, embedding) share one persistence story. Rows are
+    * (eval_doc, embedding) verbatim; append-only because a doc's
+    * embedding is a pure function of the doc. Pass (`txnAppId`,
+    * `txnVersion`) for replay-safe appends.
+    */
+  def writeEvalEmbeddingIndex(eval: DataFrame, idCol: String,
+                              vecCol: String, indexDir: String,
+                              txnAppId: String = null,
+                              txnVersion: Long = -1L): Unit = {
+    val rows = eval.select(col(idCol).as("eval_doc"),
+      col(vecCol).as("embedding"))
+    if (txnAppId == null)
+      graft.sources.SnapshotTable.append(rows, indexDir)
+    else
+      graft.sources.SnapshotTable.appendIdempotent(rows, indexDir,
+        txnAppId, txnVersion)
+  }
+
+  /** [[flagContaminatedEmbedding]] against the persisted index — a
+    * new TRAINING batch screens against the accumulated suite
+    * without re-reading eval sources. Bit-identical to the batch
+    * face over the indexed union (`DecontamIndexSpec`).
+    */
+  def flagContaminatedEmbeddingIndexed(spark: SparkSession,
+                                       train: DataFrame,
+                                       indexDir: String,
+                                       threshold: Double,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding")
+      : DataFrame =
+    flagContaminatedEmbedding(train,
+      graft.sources.SnapshotTable.read(spark, indexDir)
+        .select(col("eval_doc").as(idCol),
+          col("embedding").as(vecCol)),
+      threshold, idCol, vecCol)
+
+  /** NEW EVAL VERSION delta for the semantic face: append the batch
+    * embeddings, then screen the training corpus against ONLY the
+    * batch's vectors. Folding is EXACT because max is associative:
+    * per-doc (max_cosine, nearest) folds by keeping the higher
+    * cosine (ties to the lower eval id — the same argmax rule as
+    * the batch face), and a new suite version can only RAISE a
+    * doc's max. `DecontamIndexSpec` gates folded == batch.
+    *
+    * @return (idCol, max_cosine, nearest_eval_id, contaminated) vs
+    *         the BATCH's vectors only (the delta to fold)
+    */
+  def flagContaminatedEmbeddingIncremental(spark: SparkSession,
+                                           train: DataFrame,
+                                           newEval: DataFrame,
+                                           indexDir: String,
+                                           threshold: Double,
+                                           idCol: String = "vec_id",
+                                           vecCol: String = "embedding",
+                                           txnAppId: String = null,
+                                           txnVersion: Long = -1L)
+      : DataFrame = {
+    writeEvalEmbeddingIndex(newEval, idCol, vecCol, indexDir,
+      txnAppId, txnVersion)
+    flagContaminatedEmbedding(train, newEval, threshold, idCol, vecCol)
   }
 
   // --- persisted / incremental eval-suite index -------------------

@@ -358,6 +358,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       graft.core.Decontaminate.flagContaminatedEmbedding(
         active.table(a(0)), active.table(a(1)),
         threshold = a(3).toDouble, idCol = a(2))))
+    e.injectTableFunction(tableFn("semantic_decontam_indexed", 4, a =>
+      graft.core.Decontaminate.flagContaminatedEmbeddingIndexed(active,
+        active.table(a(0)), a(1), threshold = a(3).toDouble,
+        idCol = a(2))))
     e.injectFunction(fn("chrf_matches",
       classOf[graft.expressions.ChrfMatches], 3,
       args => {

@@ -156,4 +156,40 @@ class DecontamIndexSpec extends SparkSpec {
     assert(got(3L)._2 == 0.6 && !got(3L)._4 && got(3L)._3 == 10L)
     assert(got.size == 3)
   }
+
+  test("semantic index faces: indexed == batch; version deltas fold " +
+      "by per-doc max (ties to lower eval id); replay-safe appends") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val ev1 = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ev2 = Seq((20L, Array(0.0f, 2.0f))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("decontam_emb").toString + "/idx"
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+    val d1 = m(Decontaminate.flagContaminatedEmbeddingIncremental(
+      spark, train, ev1, idx, 0.9, txnAppId = "emb", txnVersion = 0L))
+    val d2 = m(Decontaminate.flagContaminatedEmbeddingIncremental(
+      spark, train, ev2, idx, 0.9, txnAppId = "emb", txnVersion = 1L))
+    // fold: keep the higher cosine, ties to the LOWER eval id
+    val folded = (d1.keySet ++ d2.keySet).map { id =>
+      val a = d1(id); val b = d2(id)
+      id -> (if (a._2 > b._2 || (a._2 == b._2 && a._3 < b._3)) a else b)
+    }.toMap
+    val batch = m(Decontaminate.flagContaminatedEmbedding(
+      train, ev1.unionByName(ev2), 0.9))
+    assert(folded == batch)
+    val indexed = m(Decontaminate.flagContaminatedEmbeddingIndexed(
+      spark, train, idx, 0.9))
+    assert(indexed == batch)
+    assert(batch(1L)._4 && batch(2L)._4 && !batch(3L)._4)
+    // replayed append is a no-op
+    val before = graft.sources.SnapshotTable.read(spark, idx).count()
+    Decontaminate.writeEvalEmbeddingIndex(ev1, "vec_id", "embedding",
+      idx, txnAppId = "emb", txnVersion = 0L)
+    assert(graft.sources.SnapshotTable.read(spark, idx).count() == before)
+  }
 }

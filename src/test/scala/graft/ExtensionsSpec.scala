@@ -543,6 +543,14 @@ class ExtensionsSpec extends SparkSpec {
     val sdApi = graft.core.Decontaminate.flagContaminatedEmbedding(
       spark.table("r15_sd_tr"), spark.table("r15_sd_ev"), 0.9).collect()
     assert(sdSql.toSet == sdApi.toSet && sdSql.length == 2)
+    val sdIdx = java.nio.file.Files
+      .createTempDirectory("r15_sdidx").toString + "/idx"
+    graft.core.Decontaminate.writeEvalEmbeddingIndex(
+      spark.table("r15_sd_ev"), "vec_id", "embedding", sdIdx)
+    val siSql2 = spark.sql(
+      s"SELECT * FROM semantic_decontam_indexed('r15_sd_tr', '$sdIdx', " +
+        "'vec_id', '0.9')").collect()
+    assert(siSql2.toSet == sdApi.toSet)
 
     Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (2L, 6L))
       .toDF("g", "v").createOrReplaceTempView("r15_jt")
