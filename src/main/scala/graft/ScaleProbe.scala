@@ -498,7 +498,23 @@ object ScaleProbe {
       "q307_rouge",
       // round-13: BLEU components = the q307 shape x 4 orders in one
       // explode — linear with a 4x constant
-      "q308_bleu_components")
+      "q308_bleu_components",
+      // rounds 14-15, enforced here so the 10x curve gates them like
+      // the rest (the 100x battery records but does not gate):
+      // ROUGE-L/chrF/Luhn/loop-detect are pure projections; the
+      // k-group stats saturate lattice/block state; the winnowing/
+      // Hampel/decontam incremental faces are index appends +
+      // key-restricted probes; span decontam is the q302 marking
+      // shape. q310/q326/q330 ride parameterized probes instead
+      // (corpus-scaled centroids / model-size eval contracts).
+      "q309_rouge_l", "q311_winnow_incremental",
+      "q312_hampel_incremental", "q313_anova", "q314_kruskal_wallis",
+      "q315_bloom_decontam", "q316_friedman", "q317_cochran_q",
+      "q318_decontam_scrub", "q319_decontam_incremental",
+      "q320_decontam_scrub_incremental", "q321_brown_forsythe",
+      "q322_chrf", "q323_distinct_n", "q324_moore_lewis",
+      "q325_luhn_scrub", "q327_loop_detect", "q328_jonckheere",
+      "q329_page_trend")
     // q293_lof is deliberately NOT in the battery: it is the exact
     // O(n²) baseline (the q39 curve, ~100x on the 10x corpus) with
     // kdist windows on top — ~15 min per probe run for a shape
