@@ -12619,7 +12619,10 @@ object SparkEntry {
         |  CAST(len(cs) AS BIGINT) AS n_card_candidates,
         |  CAST(len(valid) AS BIGINT) AS n_cards_valid,
         |  list_reduce(list_prepend(text, ordered),
-        |    (acc, c) -> replace(acc, c, '<CARD>')) AS scrubbed
+        |    (acc, c) -> regexp_replace(regexp_replace(acc,
+        |      '(^|[^0-9])' || c || '([^0-9]|$)', '\1<CARD>\2', 'g'),
+        |      '(^|[^0-9])' || c || '([^0-9]|$)', '\1<CARD>\2', 'g'))
+        |    AS scrubbed
         |FROM srt""".stripMargin,
 
     // q318: the q302 rewrite CTEs with eval grams as the mark source

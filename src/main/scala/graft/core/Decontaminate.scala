@@ -239,10 +239,12 @@ object Decontaminate {
                                 threshold: Double,
                                 idCol: String = "vec_id",
                                 vecCol: String = "embedding"): DataFrame = {
-    val t = train.select(col(idCol).as("t_id"), col(vecCol).as("tv"),
-      Similarity.norm(col(vecCol)).as("tn"))
-    val e = eval.select(col(idCol).as("e_id"), col(vecCol).as("ev"),
-      Similarity.norm(col(vecCol)).as("en"))
+    val t = zeroNormGuard(train.select(col(idCol).as("t_id"),
+      col(vecCol).as("tv"), Similarity.norm(col(vecCol)).as("tn")),
+      "tn", "t_id", "train")
+    val e = zeroNormGuard(eval.select(col(idCol).as("e_id"),
+      col(vecCol).as("ev"), Similarity.norm(col(vecCol)).as("en")),
+      "en", "e_id", "eval")
     // argmax by the ROUNDED cosine (ties to the lowest eval id), so
     // a per-version delta folds to the batch result EXACTLY
     // (max ∘ round = round ∘ max — rounding is monotone — and the
@@ -260,6 +262,22 @@ object Decontaminate {
         (-col("m.ne")).as("nearest_eval_id"),
         (col("mx") >= threshold).as("contaminated"))
   }
+
+  /** Loud per-row zero-norm guard on an embedding side: a zero (or
+    * null) vector makes the cosine 0/0 = NaN, and under Spark's NaN
+    * ordering NaN wins the max — ONE degenerate vector would silently
+    * flag every crossed training doc. Raise instead, naming the
+    * offending row (the [[Similarity.lof]] loud-guard discipline,
+    * evaluated inside the scan — codegen'd, no extra pass; the
+    * always-NULL assert column is filtered, not projected).
+    */
+  private def zeroNormGuard(df: DataFrame, normCol: String,
+                            idColName: String, side: String): DataFrame =
+    df.withColumn("__ok", assert_true(col(normCol) > 0, concat(
+        lit(s"flagContaminatedEmbedding: zero-norm $side embedding " +
+          s"$idColName="), col(idColName),
+        lit(" — cosine is undefined; drop or re-embed degenerate rows"))))
+      .filter(col("__ok").isNull).drop("__ok")
 
   /** Create/extend the persisted EVAL-EMBEDDING index behind
     * [[flagContaminatedEmbeddingIndexed]] /

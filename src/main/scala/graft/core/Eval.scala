@@ -53,6 +53,21 @@ object Eval {
            AS BIGINT)
          ELSE CAST($x AS BIGINT) END"""
 
+  /** Loud BIGINT keying for an ordered-test key column: with ANSI off
+    * a non-numeric group/treatment key silently casts to NULL,
+    * collapsing every group into one NULL group and returning a
+    * degenerate k=1 row instead of failing. This raises instead —
+    * the [[GroupsMax]]/[[LatticeMax]] loud-guard discipline: the
+    * ordering hypothesis must be ENCODED in a numeric key, never
+    * inferred from a silent cast. Per-row, codegen'd, no extra pass.
+    */
+  private def loudLongKey(c: Column, op: String): Column =
+    when(c.isNotNull && c.cast("long").isNull,
+      raise_error(concat(lit(s"$op: non-numeric ordered key '"),
+        c.cast("string"),
+        lit("' — encode the intended order in a numeric key"))))
+      .otherwise(c.cast("long"))
+
   /** Exact ROC-AUC of a BIGINT score against a boolean label, by
     * tied-pair counting: AUC = (#{pos > neg} + ½·#{pos = neg}) /
     * (n_pos·n_neg). One grouped aggregation collapses the corpus to
@@ -900,7 +915,7 @@ object Eval {
   def jonckheereTerpstra(df: DataFrame, groupCol: Column,
                          valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(groupCol.cast("long").as("g"),
+    val base = df.select(loudLongKey(groupCol, "jonckheereTerpstra").as("g"),
       valueCol.cast("long").as("v"))
     val lat = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
     val groups = lat.groupBy("g").agg(sum("c").as("ng"))
@@ -1115,7 +1130,8 @@ object Eval {
   def pageTrend(df: DataFrame, blockCol: Column, treatCol: Column,
                 valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = df.select(blockCol.as("b"), treatCol.cast("long").as("tr"),
+    val sized = df.select(blockCol.as("b"),
+        loudLongKey(treatCol, "pageTrend").as("tr"),
         valueCol.cast("long").as("v"))
       .groupBy("b", "tr").agg(sum("v").as("v"))
       .withColumn("__m", count(lit(1)).over(Window.partitionBy("b")))

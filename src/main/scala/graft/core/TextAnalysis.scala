@@ -359,10 +359,14 @@ object TextAnalysis {
     * `regexp_extract_all`, normalization via `translate`, the
     * checksum as one `aggregate` fold over reversed digit positions
     * (double every second digit, subtract 9 on overflow), redaction
-    * as one fold replacing each VALID candidate's exact matched text
-    * with `<CARD>` — longest candidates first so a shorter valid
+    * as one fold replacing each VALID candidate's matched text with
+    * `<CARD>` — longest candidates first so a shorter valid
     * candidate that is a substring of a longer match cannot corrupt
-    * it. Counts are on the original text. One codegen'd projection;
+    * it, and each replace ANCHORED to non-digit boundaries so a
+    * candidate's digits occurring inside a longer (unmatched or
+    * invalid) digit run are never touched (capture-group anchors,
+    * not lookaround — Java regex and the oracle's RE2 agree).
+    * Counts are on the original text. One codegen'd projection;
     * at 100 TB this runs inside the scan's WholeStageCodegen span,
     * no shuffle.
     *
@@ -392,12 +396,22 @@ object TextAnalysis {
       .withColumn("n_card_candidates", size(col("__cands")).cast("long"))
       .withColumn("n_cards_valid", size(col("__valid")).cast("long"))
       .withColumn("scrubbed", expr(
+        // replacement is ANCHORED to non-digit (or string) boundaries,
+        // so a valid candidate's digit string occurring INSIDE a longer
+        // digit run (one regexp_extract_all matched as a different,
+        // invalid candidate) is left intact — a plain substring replace
+        // would mangle it. Two passes because a lone separator between
+        // adjacent occurrences is consumed by the first match; after
+        // pass 1 every survivor borders replaced (non-digit) text.
+        // Digits/space/hyphen only, so c embeds literally in the regex.
         s"""aggregate(
             array_sort(__valid, (a, b) -> CASE
               WHEN length(a) > length(b) THEN -1
               WHEN length(a) < length(b) THEN 1
               WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END),
-            $textCol, (acc, c) -> replace(acc, c, '<CARD>'))"""))
+            $textCol, (acc, c) -> regexp_replace(regexp_replace(acc,
+              concat('(^|[^0-9])', c, '([^0-9]|$$)'), '$$1<CARD>$$2'),
+              concat('(^|[^0-9])', c, '([^0-9]|$$)'), '$$1<CARD>$$2'))"""))
       .drop("__cands", "__valid")
   }
 

@@ -830,6 +830,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(6L) == ((6L, 0L, 0L, "no digits at all")))
   }
 
+  test("scrubCards: redaction is anchored to non-digit boundaries — a " +
+      "valid card's digits inside a longer unmatched run stay intact; " +
+      "adjacent occurrences all redact") {
+    import graft.core.TextAnalysis
+    val docs = Seq(
+      // the valid card ALSO occurs embedded in a 20-digit account id:
+      // the id's run was extracted as a different (invalid, 19-digit)
+      // candidate, so only the standalone occurrence may be redacted
+      (1L, "acct 94111111111111111123 card 4111111111111111 end"),
+      // three adjacent occurrences separated by single commas (a
+      // space would be eaten by the separator-tolerant candidate
+      // regex) — the first replace pass consumes each comma; the
+      // second pass must still catch the survivors
+      (2L, "4111111111111111,4111111111111111,4111111111111111"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scrubCards(docs, "text")
+      .select("doc_id", "n_card_candidates", "n_cards_valid", "scrubbed")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 2L && got(1L)._3 == 1L)
+    assert(got(1L)._4 == "acct 94111111111111111123 card <CARD> end")
+    assert(got(2L)._3 == 3L && got(2L)._4 == "<CARD>,<CARD>,<CARD>")
+  }
+
   test("loopDetect: trailing cycles found at their fundamental period; " +
       "clean prose and blank docs stay unflagged") {
     import graft.core.TextAnalysis

@@ -157,6 +157,28 @@ class DecontamIndexSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("flagContaminatedEmbedding: a zero-norm embedding on either " +
+      "side fails loudly instead of NaN-flagging every doc") {
+    import org.apache.spark.sql.functions.col
+    val good = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zero = Seq((9L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Decontaminate.flagContaminatedEmbedding(zero, good, 0.5).collect()
+    }
+    assert(e1.getMessage.contains("zero-norm train embedding"))
+    val e2 = intercept[Exception] {
+      Decontaminate.flagContaminatedEmbedding(good, zero, 0.5).collect()
+    }
+    assert(e2.getMessage.contains("zero-norm eval embedding"))
+    // null embedding is just as degenerate — same loud path
+    val nul = Seq((7L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      Decontaminate.flagContaminatedEmbedding(nul, good, 0.5).collect()
+    }
+    assert(e3.getMessage.contains("zero-norm train embedding"))
+  }
+
   test("semantic index faces: indexed == batch; version deltas fold " +
       "by per-doc max (ties to lower eval id); replay-safe appends") {
     import org.apache.spark.sql.functions.col

@@ -995,4 +995,27 @@ class EvalSpec extends SparkSpec {
       .select("l2", "el2").as[(Long, Long)].head()
     assert(gotT._1 == gotT._2)
   }
+
+  test("ordered-test keys fail loudly on a non-numeric group/treatment " +
+      "column instead of collapsing to one NULL group") {
+    val jt = intercept[Exception] {
+      Eval.jonckheereTerpstra(
+        Seq(("low", 1L), ("mid", 2L), ("high", 3L)).toDF("g", "v"),
+        col("g"), col("v")).collect()
+    }
+    assert(jt.getMessage.contains("non-numeric ordered key"))
+    val pt = intercept[Exception] {
+      Eval.pageTrend(
+        Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("b", "t", "v"),
+        col("b"), col("t"), col("v")).collect()
+    }
+    assert(pt.getMessage.contains("non-numeric ordered key"))
+    // numeric STRINGS are a legitimate key encoding — still accepted
+    val ok = Eval.jonckheereTerpstra(
+      (for { g <- 1 to 3; i <- 1 to 4 }
+        yield (g.toString, (g * 10 + i).toLong)).toDF("g", "v"),
+      col("g"), col("v"))
+      .select("k_groups").as[Long].head()
+    assert(ok == 3L)
+  }
 }
