@@ -4596,6 +4596,25 @@ object SparkEntry {
           (col("anyc") === 1).as("contaminated"))
     }),
 
+    // BEYOND-BROADCAST semantic decontamination: the q326 screen
+    // re-expressed over the PERSISTED eval-embedding index with IVF
+    // bucketing (q27's fixed vec_id % 97 = 3 centroids) at nProbe=0
+    // — every bucket probed, so each (train, eval) pair scores
+    // exactly once and the result is the broadcast face bit-for-bit
+    // (the oracle replays q326's SQL verbatim); per-task memory is
+    // one bucket of eval vectors, never the whole suite
+    "q331_semantic_decontam_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val t = scratchDir("graft_q331") + "/idx"
+      graft.core.Decontaminate.writeEvalEmbeddingIndex(
+        emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", t)
+      graft.core.Decontaminate.flagContaminatedEmbeddingIvf(s,
+        emb.filter(col("vec_id") % 10 =!= 0), t, cents,
+        threshold = 0.42, nProbe = 0)
+    }),
+
     // Luhn card scrub — the PII class q54's digit-run heuristic
     // cannot separate: staged valid test cards (every 5th doc, three
     // formats) and an invalid near-miss (every 7th) land in the
@@ -12478,6 +12497,41 @@ object SparkEntry {
     // persisted embedding index; max-associativity makes the fold
     // exact, so the oracle IS the monolithic q326 replay verbatim
 "q330_semantic_decontam_incremental" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT t.vec_id, ev.vec_id AS e_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      [t.v[i+1] * ev.v[i+1]
+        |       for i in generate_series(0, len(t.v)-1)]),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [t.v[i+1] * t.v[i+1]
+        |          for i in generate_series(0, len(t.v)-1)]),
+        |         (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         [ev.v[i+1] * ev.v[i+1]
+        |          for i in generate_series(0, len(ev.v)-1)]),
+        |         (acc, x) -> acc + x))) AS cos
+        |  FROM e t, e ev
+        |  WHERE t.vec_id % 10 <> 0 AND ev.vec_id % 10 = 0),
+        |best AS (
+        |  SELECT vec_id, cos, e_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(cos, 6) DESC, e_id ASC) AS rn,
+        |    max(cos) OVER (PARTITION BY vec_id) AS mx
+        |  FROM scored)
+        |SELECT vec_id, round(cos, 6) AS max_cosine,
+        |  e_id AS nearest_eval_id, mx >= 0.42 AS contaminated
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    // q331: the IVF exact face (nProbe=0) scores every (train, eval)
+    // pair exactly once — identical pair set, identical per-pair
+    // expression, identical fold — so its oracle IS q326's replayed
+    // verbatim; bucketing is a physical re-arrangement the relational
+    // semantics never see
+    "q331_semantic_decontam_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

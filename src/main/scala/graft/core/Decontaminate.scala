@@ -251,17 +251,29 @@ object Decontaminate {
     // tie rule is deterministic on what the deltas carry); the
     // contamination THRESHOLD still compares the unrounded maximum
     // (the hardNegatives convention)
-    t.crossJoin(broadcast(e))
+    screenFold(t.crossJoin(broadcast(e))
       .withColumn("cos",
-        Similarity.dot(col("tv"), col("ev")) / (col("tn") * col("en")))
-      .groupBy(col("t_id").as(idCol))
+        Similarity.dot(col("tv"), col("ev")) / (col("tn") * col("en"))),
+      threshold, idCol)
+  }
+
+  /** The semantic family's shared per-doc fold over scored
+    * (t_id, e_id, cos) pairs: argmax by the ROUNDED cosine (ties to
+    * the lowest eval id — what makes version deltas fold exactly),
+    * threshold against the UNROUNDED maximum. Map-side combinable;
+    * identical between the broadcast, indexed and IVF faces, so
+    * "exact face == batch face" is equality of the pair sets, not of
+    * two reimplementations.
+    */
+  private def screenFold(scored: DataFrame, threshold: Double,
+                         idCol: String): DataFrame =
+    scored.groupBy(col("t_id").as(idCol))
       .agg(max(struct(round(col("cos"), 6).as("c"),
           (-col("e_id")).as("ne"))).as("m"),
         max(col("cos")).as("mx"))
       .select(col(idCol), col("m.c").as("max_cosine"),
         (-col("m.ne")).as("nearest_eval_id"),
         (col("mx") >= threshold).as("contaminated"))
-  }
 
   /** Loud per-row zero-norm guard on an embedding side: a zero (or
     * null) vector makes the cosine 0/0 = NaN, and under Spark's NaN
@@ -306,19 +318,105 @@ object Decontaminate {
     * new TRAINING batch screens against the accumulated suite
     * without re-reading eval sources. Bit-identical to the batch
     * face over the indexed union (`DecontamIndexSpec`).
+    *
+    * `maxIndexRows` is a loud guard on the ONE monotonically-growing
+    * input this face broadcasts: the index only ever appends (new
+    * suite versions), so the day it outgrows the broadcast budget
+    * must fail with a named escape hatch, not an executor OOM.
+    * Evaluated as a one-row count relation crossed into the plan
+    * (the [[Similarity.lof]] discipline) — no eager driver action.
+    * Past the cap, screen with [[flagContaminatedEmbeddingIvf]]
+    * (same result at nProbe = 0) or raise the cap deliberately.
     */
   def flagContaminatedEmbeddingIndexed(spark: SparkSession,
                                        train: DataFrame,
                                        indexDir: String,
                                        threshold: Double,
                                        idCol: String = "vec_id",
-                                       vecCol: String = "embedding")
-      : DataFrame =
+                                       vecCol: String = "embedding",
+                                       maxIndexRows: Long = 1000000L)
+      : DataFrame = {
+    val idx = graft.sources.SnapshotTable.read(spark, indexDir)
+    val guard = idx.agg(count(lit(1)).as("__n"))
+      .select(assert_true(col("__n") <= lit(maxIndexRows), concat(
+        lit("flagContaminatedEmbeddingIndexed: eval-embedding index " +
+          "has "), col("__n"),
+        lit(s" rows (cap $maxIndexRows) — beyond broadcast; use " +
+          "flagContaminatedEmbeddingIvf, or raise maxIndexRows for " +
+          "a deliberate oversized broadcast"))).as("__ok"))
     flagContaminatedEmbedding(train,
-      graft.sources.SnapshotTable.read(spark, indexDir)
+      idx.crossJoin(broadcast(guard)).filter(col("__ok").isNull)
         .select(col("eval_doc").as(idCol),
           col("embedding").as(vecCol)),
       threshold, idCol, vecCol)
+  }
+
+  /** BEYOND-BROADCAST semantic screening: the persisted eval-embedding
+    * index is IVF-bucketed against `centroids` (a model-size artifact,
+    * the [[Similarity.ivfTopK]] regime) and the training side probes
+    * buckets instead of crossing a broadcast eval set — the eval side
+    * shuffles once on `bucket`, per-task state is one bucket of eval
+    * vectors (not the whole suite), and the per-doc fold is the same
+    * map-side-combinable [[screenFold]] as every other face.
+    *
+    *   - `nProbe <= 0` (default) probes EVERY bucket — the exact
+    *     face: each (train, eval) pair is scored exactly once, so the
+    *     result equals [[flagContaminatedEmbedding]] bit-for-bit
+    *     (same per-pair expression, same fold) with cross-product
+    *     work but bounded per-task memory. This face carries the
+    *     full oracle (q331 replays the broadcast oracle verbatim).
+    *   - `nProbe >= 1` probes each training doc's nProbe nearest
+    *     centroids — the production trade at suite scale: recall
+    *     < 1 by construction, gated against the exact face in
+    *     `DecontamIndexSpec`, never against the SQL oracle. A doc
+    *     whose probed buckets hold no eval vector emits no row.
+    *
+    * Flags and provenance match the batch face's contract:
+    * (idCol, max_cosine, nearest_eval_id, contaminated).
+    */
+  def flagContaminatedEmbeddingIvf(spark: SparkSession,
+                                   train: DataFrame, indexDir: String,
+                                   centroids: DataFrame,
+                                   threshold: Double, nProbe: Int = 0,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = graft.sources.SnapshotTable.read(spark, indexDir)
+      .select(col("eval_doc").as(idCol), col("embedding").as(vecCol))
+    val eb = zeroNormGuard(
+      Similarity.assignBuckets(e0, centroids, idCol, vecCol)
+        .select(col(idCol).as("e_id"), col(vecCol).as("ev"),
+          col("bucket"))
+        .withColumn("en", Similarity.norm(col("ev"))),
+      "en", "e_id", "eval")
+    val t = zeroNormGuard(train.select(col(idCol).as("t_id"),
+      col(vecCol).as("tv"), Similarity.norm(col(vecCol)).as("tn")),
+      "tn", "t_id", "train")
+    val probed =
+      if (nProbe <= 0)
+        // exact face: replicate each training row to every bucket —
+        // a broadcast of the model-size centroid-id list, no window
+        t.crossJoin(broadcast(
+          centroids.select(col("centroid_id").as("bucket"))))
+      else {
+        val c = centroids.select(col("centroid_id"),
+          col(vecCol).as("cent_vec"))
+        val w = Window.partitionBy("t_id")
+          .orderBy(desc("cos_c"), asc("centroid_id"))
+        t.crossJoin(broadcast(c))
+          .withColumn("cos_c",
+            Similarity.cosine(col("tv"), col("cent_vec")))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= nProbe)
+          .select(col("t_id"), col("tv"), col("tn"),
+            col("centroid_id").as("bucket"))
+      }
+    screenFold(probed.join(eb, "bucket")
+      .withColumn("cos",
+        Similarity.dot(col("tv"), col("ev")) / (col("tn") * col("en"))),
+      threshold, idCol)
+  }
 
   /** NEW EVAL VERSION delta for the semantic face: append the batch
     * embeddings, then screen the training corpus against ONLY the

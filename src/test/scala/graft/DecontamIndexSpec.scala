@@ -157,6 +157,118 @@ class DecontamIndexSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("flagContaminatedEmbeddingIndexed: an index past maxIndexRows " +
+      "fails loudly naming the IVF escape hatch; under the cap it " +
+      "broadcasts as before") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ev = (10L to 15L).map(i => (i, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("decontam_cap").toString + "/idx"
+    Decontaminate.writeEvalEmbeddingIndex(ev, "vec_id", "embedding", idx)
+    val e = intercept[Exception] {
+      Decontaminate.flagContaminatedEmbeddingIndexed(spark, train, idx,
+        0.5, maxIndexRows = 3L).collect()
+    }
+    assert(e.getMessage.contains("flagContaminatedEmbeddingIvf"))
+    assert(e.getMessage.contains("cap 3"))
+    val ok = Decontaminate.flagContaminatedEmbeddingIndexed(spark,
+      train, idx, 0.5, maxIndexRows = 6L).collect()
+    assert(ok.length == 1)
+  }
+
+  test("flagContaminatedEmbeddingIvf: nProbe=0 (every bucket) equals " +
+      "the broadcast face bit-for-bit; nProbe=1 is a recall trade " +
+      "whose hits are a subset with identical scores") {
+    import org.apache.spark.sql.functions.col
+    // 40 train vectors on a ring, 12 eval vectors, 3 centroids
+    def ring(i: Int, r: Float) = Array(
+      (r * math.cos(i * 0.31)).toFloat, (r * math.sin(i * 0.31)).toFloat)
+    val train = (0 until 40).map(i => (i.toLong, ring(i, 2f)))
+      .toDF("vec_id", "embedding")
+    val ev = (100 until 112).map(i => (i.toLong, ring(i * 3, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-0.5f, 0.9f)),
+      (2L, Array(-0.5f, -0.9f)))
+      .toDF("centroid_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("decontam_ivf").toString + "/idx"
+    Decontaminate.writeEvalEmbeddingIndex(ev, "vec_id", "embedding", idx)
+    def m(df: DataFrame) =
+      df.as[(Long, Double, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+    val batch = m(Decontaminate.flagContaminatedEmbedding(
+      train, ev, 0.8))
+    val exact = m(Decontaminate.flagContaminatedEmbeddingIvf(
+      spark, train, idx, cents, 0.8, nProbe = 0))
+    assert(exact == batch)
+    // probe face: every emitted row's (max_cosine, nearest) is the
+    // exact face's value or a dominated one; flagged set ⊆ exact's
+    val probed = m(Decontaminate.flagContaminatedEmbeddingIvf(
+      spark, train, idx, cents, 0.8, nProbe = 1))
+    assert(probed.nonEmpty && probed.keySet.subsetOf(batch.keySet))
+    probed.foreach { case (id, r) =>
+      assert(r._2 <= batch(id)._2)
+      if (r._4) assert(batch(id)._4)
+    }
+    // recall floor for this geometry: at least half the truly
+    // contaminated docs survive a single-probe screen
+    val truePos = batch.collect { case (id, r) if r._4 => id }.toSet
+    val gotPos = probed.collect { case (id, r) if r._4 => id }.toSet
+    assert(truePos.isEmpty || gotPos.size * 2 >= truePos.size)
+  }
+
+  test("streaming eval-EMBEDDING suite via foreachBatch: per-version " +
+      "deltas fold by max to the batch result; txn appends survive " +
+      "replay") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val ev1 = Seq((10L, Array(1.0f, 0.0f)))
+    val ev2 = Seq((20L, Array(0.0f, 2.0f)))
+    val idx = java.nio.file.Files
+      .createTempDirectory("decontam_estr").toString + "/idx"
+    val input = MemoryStream[(Long, Array[Float])]
+    var folded = Map.empty[Long, (Double, Long, Boolean)]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Decontaminate.flagContaminatedEmbeddingIncremental(spark,
+            train, batch, idx, 0.9, txnAppId = "emb_stream",
+            txnVersion = id)
+          .as[(Long, Double, Long, Boolean)].collect().foreach { r =>
+            // the q330 fold: keep the higher rounded cosine (ties to
+            // the lower eval id); contaminated ORs across deltas
+            val prev = folded.get(r._1)
+            val best = prev match {
+              case Some((pc, pn, _))
+                  if pc > r._2 || (pc == r._2 && pn < r._3) => (pc, pn)
+              case _ => (r._2, r._3)
+            }
+            folded = folded.updated(r._1,
+              (best._1, best._2, r._4 || prev.exists(_._3)))
+          }
+      }
+      .start()
+    input.addData(ev1: _*); q.processAllAvailable()
+    input.addData(ev2: _*); q.processAllAvailable()
+    q.stop()
+    val want = Decontaminate.flagContaminatedEmbedding(train,
+        (ev1 ++ ev2).toDF("vec_id", "embedding"), 0.9)
+      .as[(Long, Double, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(folded == want)
+    // exactly-once: replaying batch 0's append must not grow the index
+    val before = graft.sources.SnapshotTable.read(spark, idx).count()
+    Decontaminate.writeEvalEmbeddingIndex(
+      ev1.toDF("vec_id", "embedding"), "vec_id", "embedding", idx,
+      txnAppId = "emb_stream", txnVersion = 0L)
+    assert(graft.sources.SnapshotTable.read(spark, idx).count() == before)
+  }
+
   test("flagContaminatedEmbedding: a zero-norm embedding on either " +
       "side fails loudly instead of NaN-flagging every doc") {
     import org.apache.spark.sql.functions.col
