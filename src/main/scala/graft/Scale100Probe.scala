@@ -166,6 +166,40 @@ object Scale100Probe {
           .filter(col("vec_id") % 10 === 0),
         threshold = 0.42)
     }
+    // the PERSISTED-index faces at their production shape (the q330/
+    // q331 gates parameterize eval from the corpus; here the suite is
+    // the FIXED sf0.1 slice — model-size by contract — and only the
+    // training side scales 100x). Incremental = index appends + two
+    // per-version screens (q330); IVF exact = every bucket probed over
+    // the indexed suite, per-task state one bucket (q331). Index
+    // creation is part of the timed face on purpose: the append IS
+    // the incremental op's cost.
+    timed("semantic incr eval=const") { dir =>
+      val t = java.nio.file.Files
+        .createTempDirectory("probe_semincr").toString + "/idx"
+      val ev = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val train = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 10 =!= 0)
+      val d1 = graft.core.Decontaminate
+        .flagContaminatedEmbeddingIncremental(spark, train,
+          ev.filter(col("vec_id") % 20 === 0), t, threshold = 0.42)
+      val d2 = graft.core.Decontaminate
+        .flagContaminatedEmbeddingIncremental(spark, train,
+          ev.filter(col("vec_id") % 20 === 10), t, threshold = 0.42)
+      d1.unionByName(d2)
+    }
+    timed("semantic ivf eval=const") { dir =>
+      val t = java.nio.file.Files
+        .createTempDirectory("probe_semivf").toString + "/idx"
+      val ev01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      graft.core.Decontaminate.writeEvalEmbeddingIndex(
+        ev01.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", t)
+      val cents = ev01.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.core.Decontaminate.flagContaminatedEmbeddingIvf(spark,
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0),
+        t, cents, threshold = 0.42, nProbe = 0)
+    }
     timed("editdist maxDf=64") { dir =>
       val docs = Tables.documents(spark, dir).select(col("doc_id"),
         lower(substring(trim(col("text")), 1, 40)).as("key"))

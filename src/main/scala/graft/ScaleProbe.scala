@@ -546,7 +546,11 @@ object ScaleProbe {
     // (by design) quadratic on a duplicate-heavy corpus:
     def timed(label: String)(mk: String => org.apache.spark.sql.DataFrame): Unit = {
       if (snapOnly || (encOnly && !label.startsWith("q80 enc"))) return
-      if (nameArgs.nonEmpty && !nameArgs(label)) return
+      // substring match (the Scale100Probe convention): runMain splits
+      // args on whitespace, so a multi-word label is selectable by any
+      // of its words
+      if (nameArgs.nonEmpty && !nameArgs.exists(a => label.contains(a)))
+        return
       def run(dir: String): Double = {
         if (encOnly) spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
@@ -618,6 +622,37 @@ object ScaleProbe {
       graft.core.Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 5)
         .select(col("doc_id"), col("n_hits"), col("contaminated"))
     }
+    // persisted semantic-index faces at production shape: eval suite
+    // FIXED at the sf0.1 slice (model-size by contract), train side
+    // 10x — the q330 incremental fold and the q331 IVF exact face.
+    // Index creation is inside the timing: the append IS the
+    // incremental op's cost.
+    timed("semantic incr eval=const") { dir =>
+      val t = java.nio.file.Files
+        .createTempDirectory("probe_semincr").toString + "/idx"
+      val ev = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val train = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 10 =!= 0)
+      val d1 = graft.core.Decontaminate
+        .flagContaminatedEmbeddingIncremental(spark, train,
+          ev.filter(col("vec_id") % 20 === 0), t, threshold = 0.42)
+      val d2 = graft.core.Decontaminate
+        .flagContaminatedEmbeddingIncremental(spark, train,
+          ev.filter(col("vec_id") % 20 === 10), t, threshold = 0.42)
+      d1.unionByName(d2)
+    }
+    timed("semantic ivf eval=const") { dir =>
+      val t = java.nio.file.Files
+        .createTempDirectory("probe_semivf").toString + "/idx"
+      val ev01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      graft.core.Decontaminate.writeEvalEmbeddingIndex(
+        ev01.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", t)
+      val cents = ev01.filter(col("vec_id") % 97 === 3)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.core.Decontaminate.flagContaminatedEmbeddingIvf(spark,
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0),
+        t, cents, threshold = 0.42, nProbe = 0)
+    }
     // BM25 with a FIXED query set (copy-0 queries): the production
     // shape — retrieval query sets don't grow with the corpus. The
     // gate's q101 parameterization scales BOTH sides (doc_id%100), so
@@ -672,7 +707,8 @@ object ScaleProbe {
     // production shape — the index is built ONCE (outside the timing,
     // as in production), per-batch cost is the index scan + broadcast
     // probe, never a corpus-shingle recompute
-    if (!snapOnly && !encOnly) {
+    if (!snapOnly && !encOnly && (nameArgs.isEmpty ||
+        nameArgs.exists(a => "index dedup b=const".contains(a)))) {
       val bidx = scala.collection.mutable.Map.empty[String, String]
       Seq("/root/testdata/sf0.1", out).foreach { dir =>
         val t = java.nio.file.Files.createTempDirectory("probe_bidx").toString + "/idx"
@@ -697,6 +733,8 @@ object ScaleProbe {
     // stat-pruning path).
     def timedU(label: String)(work: String => Unit): Unit = {
       if (encOnly) return
+      if (nameArgs.nonEmpty && !nameArgs.exists(a => label.contains(a)))
+        return
       def run(dir: String): Double = {
         val t0 = System.nanoTime(); work(dir); (System.nanoTime() - t0) / 1e9
       }

@@ -68,6 +68,68 @@ object Eval {
         lit("' — encode the intended order in a numeric key"))))
       .otherwise(c.cast("long"))
 
+  /** SQL fragment: EXACT integer floor division num/den for num ≥ 0,
+    * den > 0 — (num − pmod(num, den)) / den. The quotient is a true
+    * integer, so DECIMAL division's scale-6 HALF_UP rounding can
+    * never disagree with DuckDB's `//` (a bare floor(num/den) could
+    * round num/den UP across the integer boundary once den exceeds
+    * ~2e6). The k-group family's single shared division discipline.
+    */
+  private def exactDivSql(num: String, den: String): String =
+    s"(($num) - pmod(($num), ($den))) / ($den)"
+
+  /** Shared complete-block preamble of the block-design family
+    * ([[friedman]]/[[pageTrend]]/[[cochranQ]]): cell aggregation +
+    * per-block size window materialized ONCE into an eager
+    * localCheckpoint (state = blocks × treatments rows — the test's
+    * own state, never raw rows; every downstream consumer, including
+    * the k/dropped driver actions, reads the checkpoint instead of
+    * re-deriving the cells aggregation — ADVICE r14). Incomplete
+    * blocks (a block missing ≥1 treatment) drop loudly into the
+    * returned count.
+    *
+    * @param base (b, tr, …) projection of the raw events
+    * @param cellAgg the per-(block, treatment) cell aggregate,
+    *                emitted as column `v`
+    * @return (complete cells (b, tr, v), k treatments, blocks dropped)
+    */
+  private def completeBlockCells(base: DataFrame, cellAgg: Column)
+      : (DataFrame, Long, Long) = {
+    val sized = base.groupBy("b", "tr").agg(cellAgg.as("v"))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("b")))
+      .localCheckpoint(true)
+    val k = sized.select("tr").distinct().count()
+    val dropped = sized.filter(col("__m") =!= k)
+      .select("b").distinct().count()
+    (sized.filter(col("__m") === k).drop("__m"), k, dropped)
+  }
+
+  /** DOUBLED within-block midranks over complete cells — the shared
+    * rank device of [[friedman]]/[[pageTrend]]: r2 = 2·|{v' < v}| +
+    * t + 1 from one block-partitioned window pair (per-block state =
+    * k rows, bounded by the treatment count; `cum` at a tie group's
+    * FIRST row is |{v' < v}| + 1). Ties carry the exact average rank
+    * as an integer ×2 — no halves, no floats.
+    */
+  private def doubledBlockRanks(complete: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val we = Window.partitionBy("b", "v")
+    complete
+      .withColumn("cum", count(lit(1)).over(wOrd))
+      .withColumn("t", count(lit(1)).over(we))
+      .withColumn("r2",
+        lit(2L) * (min("cum").over(we) - lit(1L)) + col("t") + lit(1L))
+  }
+
+  /** Pooled within-block tie mass Σ(t³−t) over the ranked cells —
+    * the correction ingredient [[friedman]]/[[pageTrend]] share.
+    */
+  private def blockTieMass(ranked: DataFrame): DataFrame =
+    ranked.select(col("b"), col("v"), col("t"))
+      .distinct()
+      .agg(coalesce(sum(expr("t * t * t - t")), lit(0L)).as("t3"))
+
   /** Exact ROC-AUC of a BIGINT score against a boolean label, by
     * tied-pair counting: AUC = (#{pos > neg} + ½·#{pos = neg}) /
     * (n_pos·n_neg). One grouped aggregation collapses the corpus to
@@ -686,15 +748,11 @@ object Eval {
     val per = base.groupBy("g").agg(
       count(lit(1)).as("ng"),
       sum(col("v").cast("decimal(38,0)")).as("sg"))
-    // exact integer division in decimal: (x − pmod(x, b)) / b — the
-    // quotient is then a true integer, so the decimal division's
-    // scale-6 HALF_UP rounding can never disagree with DuckDB's //
-    // (a bare floor(x/b) could round x/b UP across the integer
-    // boundary once b exceeds ~2e6 rows)
+    // every division is the [[exactDivSql]] exact-integer form
     val terms = per.select(
-      expr("""CAST((CAST(sg AS DECIMAL(38, 0)) * sg * 10000
-                - pmod(CAST(sg AS DECIMAL(38, 0)) * sg * 10000, ng))
-              / ng AS DECIMAL(38, 0))""").as("t"))
+      expr(s"""CAST(${exactDivSql(
+          "CAST(sg AS DECIMAL(38, 0)) * sg * 10000", "ng")}
+              AS DECIMAL(38, 0))""").as("t"))
       .agg(sum("t").as("sum_t"), count(lit(1)).as("k"))
     // Σv and Σv² accumulate in DECIMAL(38,0), not BIGINT: at the
     // corpus scale where S_g² passes 2⁶³ (the scaladoc's own
@@ -707,10 +765,10 @@ object Eval {
     terms.crossJoin(broadcast(glob))
       .select(col("n").as("n_rows"), col("k").as("k_groups"),
         expr(bigintLoud(
-          """greatest(CAST(0 AS DECIMAL(38, 0)), sum_t -
-                CAST((CAST(s AS DECIMAL(38, 0)) * s * 10000
-                    - pmod(CAST(s AS DECIMAL(38, 0)) * s * 10000, n))
-                  / n AS DECIMAL(38, 0)))""",
+          s"""greatest(CAST(0 AS DECIMAL(38, 0)), sum_t -
+                CAST(${exactDivSql(
+                  "CAST(s AS DECIMAL(38, 0)) * s * 10000", "n")}
+                  AS DECIMAL(38, 0)))""",
           "anovaOneWay: ssb_q4")).as("ssb_q4"),
         expr(bigintLoud(
           "CAST(q AS DECIMAL(38, 0)) * 10000 - sum_t",
@@ -718,13 +776,11 @@ object Eval {
         expr("k - 1").as("df_between"),
         expr("n - k").as("df_within"))
       .withColumn("f_micro", expr(
-        """CASE WHEN k_groups >= 2 AND n_rows > k_groups
+        s"""CASE WHEN k_groups >= 2 AND n_rows > k_groups
                  AND ssw_q4 > 0 THEN
-             CAST((CAST(ssb_q4 AS DECIMAL(38, 0)) * df_within * 1000000
-                 - pmod(CAST(ssb_q4 AS DECIMAL(38, 0)) * df_within
-                     * 1000000,
-                   CAST(ssw_q4 AS DECIMAL(38, 0)) * df_between))
-               / (CAST(ssw_q4 AS DECIMAL(38, 0)) * df_between)
+             CAST(${exactDivSql(
+               "CAST(ssb_q4 AS DECIMAL(38, 0)) * df_within * 1000000",
+               "CAST(ssw_q4 AS DECIMAL(38, 0)) * df_between")}
                AS BIGINT)
            END"""))
   }
@@ -843,9 +899,9 @@ object Eval {
       .groupBy("g").agg(sum(col("c") * col("r2")).as("r2g"),
         sum("c").as("ng"))
     val terms = rg.select(
-      expr("""CAST((CAST(r2g AS DECIMAL(38, 0)) * r2g
-                - pmod(CAST(r2g AS DECIMAL(38, 0)) * r2g, ng))
-              / ng AS DECIMAL(38, 0))""").as("tm"))
+      expr(s"""CAST(${exactDivSql(
+          "CAST(r2g AS DECIMAL(38, 0)) * r2g", "ng")}
+              AS DECIMAL(38, 0))""").as("tm"))
       .agg(sum("tm").as("sum_t"), count(lit(1)).as("k"))
     val tot = base.agg(count(lit(1)).as("n"))
     val ties = ranked.agg(
@@ -853,29 +909,23 @@ object Eval {
     terms.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
       .select(col("n").as("n_rows"), col("k").as("k_groups"),
         col("t3").as("tie_t3"),
-        expr("""CASE WHEN k >= 2 THEN
+        expr(s"""CASE WHEN k >= 2 THEN
             CAST(greatest(CAST(0 AS DECIMAL(38, 0)),
-              (sum_t * 3000000
-                - pmod(sum_t * 3000000,
-                    CAST(n AS DECIMAL(38, 0)) * (n + 1)))
-              / (CAST(n AS DECIMAL(38, 0)) * (n + 1))
+              ${exactDivSql("sum_t * 3000000",
+                "CAST(n AS DECIMAL(38, 0)) * (n + 1)")}
               - CAST(3000000 AS DECIMAL(38, 0)) * (n + 1))
             AS BIGINT) END""").as("h_micro"))
-      .withColumn("h_adj_micro", expr(
-        """CASE WHEN h_micro IS NOT NULL
-                 AND CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
-                   - n_rows - tie_t3 > 0 THEN
-             CAST((CAST(h_micro AS DECIMAL(38, 0))
-                 * (CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
-                    - n_rows)
-                 - pmod(CAST(h_micro AS DECIMAL(38, 0))
-                     * (CAST(n_rows AS DECIMAL(38, 0)) * n_rows
-                        * n_rows - n_rows),
-                   CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
-                     - n_rows - tie_t3))
-               / (CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
-                  - n_rows - tie_t3) AS BIGINT)
-           END"""))
+      .withColumn("h_adj_micro", {
+        val n3 = """CAST(n_rows AS DECIMAL(38, 0)) * n_rows * n_rows
+                   - n_rows"""
+        expr(
+          s"""CASE WHEN h_micro IS NOT NULL
+                 AND $n3 - tie_t3 > 0 THEN
+             CAST(${exactDivSql(
+               s"CAST(h_micro AS DECIMAL(38, 0)) * ($n3)",
+               s"$n3 - tie_t3")} AS BIGINT)
+           END""")
+      })
   }
 
   /** Jonckheere–Terpstra trend test — the ORDERED-alternative
@@ -1023,42 +1073,14 @@ object Eval {
     */
   def friedman(df: DataFrame, blockCol: Column, treatCol: Column,
                valueCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE pass over the raw events (ADVICE r14): cells + the
-    // per-block size window materialize into an eager localCheckpoint
-    // — bounded by blocks × treatments rows, the test's own state,
-    // never raw rows — and every downstream consumer (the k/dropped/n
-    // driver actions, the rank windows, the returned plan) reads the
-    // checkpoint. The previous shape re-derived the cells aggregation
-    // from raw events for each action plus the final plan: 4 jobs
-    // over the input per call.
-    val sized = df.select(blockCol.as("b"), treatCol.as("tr"),
-        valueCol.cast("long").as("v"))
-      .groupBy("b", "tr").agg(sum("v").as("v"))
-      .withColumn("__m", count(lit(1)).over(Window.partitionBy("b")))
-      .localCheckpoint(true)
-    val k = sized.select("tr").distinct().count()
-    val dropped = sized.filter(col("__m") =!= k)
-      .select("b").distinct().count()
-    val complete = sized.filter(col("__m") === k).drop("__m")
-    // doubled within-block rank 2·|{v' < v}| + t + 1 from one
-    // block-partitioned window pair (block state = k rows, bounded by
-    // the treatment count): cum at the tie group's FIRST row is
-    // |{v' < v}| + 1
-    val wOrd = Window.partitionBy("b").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val we = Window.partitionBy("b", "v")
-    val ranked = complete
-      .withColumn("cum", count(lit(1)).over(wOrd))
-      .withColumn("t", count(lit(1)).over(we))
-      .withColumn("r2",
-        lit(2L) * (min("cum").over(we) - lit(1L)) + col("t") + lit(1L))
+    val (complete, k, dropped) = completeBlockCells(
+      df.select(blockCol.as("b"), treatCol.as("tr"),
+        valueCol.cast("long").as("v")), sum("v"))
+    val ranked = doubledBlockRanks(complete)
     val perTreat = ranked.groupBy("tr")
       .agg(sum("r2").as("r2j"))
     val n = complete.select("b").distinct().count()
-    val ties = ranked.select(col("b"), col("v"), col("t"))
-      .distinct()
-      .agg(coalesce(sum(expr("t * t * t - t")), lit(0L)).as("t3"))
+    val ties = blockTieMass(ranked)
     val sumSq = perTreat.agg(
       sum(expr("CAST(r2j AS DECIMAL(38, 0)) * r2j")).as("ss"))
     sumSq.crossJoin(broadcast(ties))
@@ -1068,34 +1090,23 @@ object Eval {
       .withColumn("q_micro", expr(
         s"""CASE WHEN k_treatments >= 2 AND n_blocks >= 1 THEN
              CAST(greatest(CAST(0 AS DECIMAL(38, 0)),
-               (ss * 3000000 - pmod(ss * 3000000,
-                  CAST(4 AS DECIMAL(38, 0)) * n_blocks * k_treatments
-                    * (k_treatments + 1)))
-               / (CAST(4 AS DECIMAL(38, 0)) * n_blocks * k_treatments
-                  * (k_treatments + 1))
+               ${exactDivSql("ss * 3000000",
+                 """CAST(4 AS DECIMAL(38, 0)) * n_blocks * k_treatments
+                    * (k_treatments + 1)""")}
                - CAST(3000000 AS DECIMAL(38, 0)) * n_blocks
                  * (k_treatments + 1)) AS BIGINT)
            END"""))
-      .withColumn("q_adj_micro", expr(
-        """CASE WHEN q_micro IS NOT NULL AND
-             CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
+      .withColumn("q_adj_micro", {
+        val nk3 = """CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
                * (CAST(k_treatments AS DECIMAL(38, 0)) * k_treatments
-                  - 1) - tie_t3 > 0 THEN
-           CAST((CAST(q_micro AS DECIMAL(38, 0))
-               * (CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
-                  * (CAST(k_treatments AS DECIMAL(38, 0))
-                     * k_treatments - 1))
-               - pmod(CAST(q_micro AS DECIMAL(38, 0))
-                   * (CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
-                      * (CAST(k_treatments AS DECIMAL(38, 0))
-                         * k_treatments - 1)),
-                 CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
-                   * (CAST(k_treatments AS DECIMAL(38, 0))
-                      * k_treatments - 1) - tie_t3))
-             / (CAST(n_blocks AS DECIMAL(38, 0)) * k_treatments
-                * (CAST(k_treatments AS DECIMAL(38, 0))
-                   * k_treatments - 1) - tie_t3) AS BIGINT)
-           END"""))
+                  - 1)"""
+        expr(
+          s"""CASE WHEN q_micro IS NOT NULL AND $nk3 - tie_t3 > 0 THEN
+             CAST(${exactDivSql(
+               s"CAST(q_micro AS DECIMAL(38, 0)) * ($nk3)",
+               s"$nk3 - tie_t3")} AS BIGINT)
+           END""")
+      })
       .drop("ss")
   }
 
@@ -1129,25 +1140,11 @@ object Eval {
     */
   def pageTrend(df: DataFrame, blockCol: Column, treatCol: Column,
                 valueCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sized = df.select(blockCol.as("b"),
+    val (complete, k, dropped) = completeBlockCells(
+      df.select(blockCol.as("b"),
         loudLongKey(treatCol, "pageTrend").as("tr"),
-        valueCol.cast("long").as("v"))
-      .groupBy("b", "tr").agg(sum("v").as("v"))
-      .withColumn("__m", count(lit(1)).over(Window.partitionBy("b")))
-      .localCheckpoint(true)
-    val k = sized.select("tr").distinct().count()
-    val dropped = sized.filter(col("__m") =!= k)
-      .select("b").distinct().count()
-    val complete = sized.filter(col("__m") === k).drop("__m")
-    val wOrd = Window.partitionBy("b").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val we = Window.partitionBy("b", "v")
-    val ranked = complete
-      .withColumn("cum", count(lit(1)).over(wOrd))
-      .withColumn("t", count(lit(1)).over(we))
-      .withColumn("r2",
-        lit(2L) * (min("cum").over(we) - lit(1L)) + col("t") + lit(1L))
+        valueCol.cast("long").as("v")), sum("v"))
+    val ranked = doubledBlockRanks(complete)
     // treatment order 1..k by ascending numeric key — a k-row table,
     // the single-partition window is model-size by construction
     val ord = complete.select("tr").distinct()
@@ -1156,9 +1153,7 @@ object Eval {
     val perTreat = ranked.groupBy("tr").agg(sum("r2").as("r2j"))
       .join(ord, "tr")
     val n = complete.select("b").distinct().count()
-    val ties = ranked.select(col("b"), col("v"), col("t"))
-      .distinct()
-      .agg(coalesce(sum(expr("t * t * t - t")), lit(0L)).as("t3"))
+    val ties = blockTieMass(ranked)
     val el2 = BigInt(n) * k * (k + 1) * (k + 1) / 2 // always even product
     require(el2.isValidLong, "pageTrend: E[L2] exceeds BIGINT")
     val varD = n.toDouble * k * k * (k + 1) * (k + 1) * (k - 1) / 144.0
@@ -1201,30 +1196,19 @@ object Eval {
     */
   def cochranQ(df: DataFrame, blockCol: Column, treatCol: Column,
                flagCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE pass over the raw events (the [[friedman]] checkpoint
-    // discipline, ADVICE r14): sized cells materialize eagerly and
-    // feed the k/dropped actions, both marginal aggregations and the
-    // returned plan — previously each re-derived the cells agg.
-    val sized = df.select(blockCol.as("b"), treatCol.as("tr"),
-        flagCol.cast("boolean").as("x"))
-      .groupBy("b", "tr")
-      .agg(max(when(col("x"), lit(1L)).otherwise(lit(0L))).as("x"))
-      .withColumn("__m", count(lit(1)).over(Window.partitionBy("b")))
-      .localCheckpoint(true)
-    val k = sized.select("tr").distinct().count()
-    val dropped = sized.filter(col("__m") =!= k)
-      .select("b").distinct().count()
-    val complete = sized.filter(col("__m") === k).drop("__m")
+    val (complete, k, dropped) = completeBlockCells(
+      df.select(blockCol.as("b"), treatCol.as("tr"),
+        flagCol.cast("boolean").as("x")),
+      max(when(col("x"), lit(1L)).otherwise(lit(0L))))
     // squares route through DECIMAL(38, 0) (the anovaOneWay /
     // kruskalWallis discipline, ADVICE r14): C_j and R_b are
     // O(grand_n), so ΣC_j² / ΣR_b² / N² pass 2⁶³ at a few million
     // observations — a BIGINT product would wrap SILENTLY (ANSI off)
     // while the DuckDB oracle's BIGINT ops error loudly.
-    val colTot = complete.groupBy("tr").agg(sum("x").as("cj"))
+    val colTot = complete.groupBy("tr").agg(sum("v").as("cj"))
       .agg(sum(expr("CAST(cj AS DECIMAL(38, 0)) * cj")).as("sum_cj2"),
         sum("cj").as("nn"))
-    val rowTot = complete.groupBy("b").agg(sum("x").as("rb"))
+    val rowTot = complete.groupBy("b").agg(sum("v").as("rb"))
       .agg(expr("""coalesce(sum(CAST(rb AS DECIMAL(38, 0)) * rb),
           CAST(0 AS DECIMAL(38, 0)))""").as("sum_rb2"),
         count(lit(1)).as("n_blocks"))
@@ -1244,7 +1228,7 @@ object Eval {
         // exact (x − pmod(x, b))/b floor equals integer DIV; the
         // BIGINT narrowing is loud-guarded
         expr(s"""CASE WHEN $k >= 2 AND __den > 0 THEN
-            ${bigintLoud("(__num - pmod(__num, __den)) / __den",
+            ${bigintLoud(exactDivSql("__num", "__den"),
               "cochranQ: q_micro")}
           END""").as("q_micro"))
   }

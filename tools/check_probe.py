@@ -58,17 +58,25 @@ def main():
         sys.exit(2)
 
     if refresh:
+        # preserve provenance classes across refreshes — budgets are
+        # re-measured, WHY a path is super-linear does not change
+        try:
+            with open(budget_path) as f:
+                classes = json.load(f).get("classes", {})
+        except FileNotFoundError:
+            classes = {}
         budget = {label: round(max(1.8 * r, 6.0), 1)
                   for label, (_, _, r) in sorted(rows.items())}
         with open(budget_path, "w") as f:
-            json.dump({"abs_slack_sec": ABS_SLACK, "ratios": budget}, f,
-                      indent=1, sort_keys=True)
+            json.dump({"abs_slack_sec": ABS_SLACK, "ratios": budget,
+                       "classes": classes}, f, indent=1, sort_keys=True)
         print(f"check_probe: wrote {budget_path} with {len(budget)} labels")
         return
 
     with open(budget_path) as f:
         spec = json.load(f)
     budget = spec["ratios"]
+    classes = spec.get("classes", {})
     slack = spec.get("abs_slack_sec", ABS_SLACK)
     drift = []
     for label, (small, big, ratio) in sorted(rows.items()):
@@ -78,18 +86,30 @@ def main():
             continue
         over = ratio > b and big > b * small + slack
         flag = "DRIFT" if over else "ok"
+        cls = classes.get(label)
+        tag = f" [{cls}]" if cls else ""
         print(f"  {flag:5s} {label:28s} ratio {ratio:6.1f}x (max {b}x, "
-              f"{small:.2f}s -> {big:.2f}s)")
+              f"{small:.2f}s -> {big:.2f}s){tag}")
         if over:
             drift.append(label)
     missing = sorted(set(budget) - set(rows))
     for label in missing:
         print(f"  MISSING {label} — budgeted but not probed")
-    if drift or missing:
-        print(f"check_probe: FAIL ({len(drift)} drift, {len(missing)} missing)")
+    # every >10x budget must carry a provenance class (VERDICT r15 #3:
+    # the 10x gate stays honest as the suite grows — a big budget with
+    # no recorded WHY is a silent quadratic waiting to be grandfathered)
+    unclassified = sorted(l for l, b in budget.items()
+                          if b > 10.0 and l not in classes)
+    for label in unclassified:
+        print(f"  NOCLASS {label} — budget {budget[label]}x > 10 needs a "
+              f"provenance class (exact-face / by-design-product / "
+              f"linear-headroom / needs-fix)")
+    if drift or missing or unclassified:
+        print(f"check_probe: FAIL ({len(drift)} drift, {len(missing)} "
+              f"missing, {len(unclassified)} unclassified)")
         sys.exit(1)
     print(f"check_probe: OK ({len(rows)} labels, "
-          f"{len(budget)} budgeted)")
+          f"{len(budget)} budgeted, {len(classes)} classed)")
 
 
 if __name__ == "__main__":
