@@ -205,6 +205,34 @@ object SkewProbe {
         "text", n = 3, threshold = 0.6).count()
     }
 
+    // BM25 under a STOP-WORD-scale posting (VERDICT r15 #5): one term
+    // planted in HALF the training docs — the classic hot key of the
+    // postings join. `dir` only selects base vs hot (documents are
+    // read from sf0.1 both ways — the hot QUERY vocabulary is the
+    // variable): in the base run no query carries the term, so its
+    // postings die inside the scan against the broadcast query-term
+    // semi join (the pruning this plan exists for); in the hot run
+    // every query carries it, so ~N/2 postings of ONE term flow
+    // through tf/df and the term-keyed df join, and the heavy
+    // stage's task max/median must hold near the judge's ~4×
+    // criterion (tf groups by (doc, term) — the hot term spreads
+    // across docs; the df join's hot build row is model-size; the
+    // per-(query, doc) score aggregation spreads by doc).
+    probe("q101 bm25 hot term") { dir =>
+      val hot = dir == out
+      val d = Tables.documents(spark, base)
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0, concat(col("text"),
+            lit(" zzhotstop"))).otherwise(col("text")))
+      val queries = d.filter(col("doc_id") % 100 === 0)
+      graft.core.Retrieval.bm25TopK(
+        d.filter(col("doc_id") % 100 =!= 0),
+        if (hot) queries.withColumn("text",
+          concat(col("text"), lit(" zzhotstop")))
+        else queries,
+        k = 10).count()
+    }
+
     // item-item CF under a POWER USER (r9 verdict #4): interactions
     // from the sf0.1 basket tables, skewed variant assigns every
     // 5th-part row to ONE user (~20% of rows, a ~4,000-item basket) —
