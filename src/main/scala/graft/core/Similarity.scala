@@ -455,9 +455,19 @@ object Similarity {
     // d² = |a|² + |b|² − 2⟨a,b⟩ recovers the exact BIGINT squared
     // distance — one primitive loop per pair instead of the
     // interpreted zip_with HOF (which made the n² scan ~10x slower)
+    // spread the quantized points across the session's parallelism
+    // BEFORE the n² scan: the input is typically one scan split (a
+    // single parquet row group at gate scale; one unsplittable file in
+    // general — guide §2.5), and the cross join streams its LEFT side
+    // partition-by-partition, so a 1-partition input serializes the
+    // whole O(n²) dot pass on one core (measured: the q293 n²-dots
+    // stage ran as ONE 2.5 s task on local[32]). Cost: one exchange of
+    // the ≤ maxRows point table — model-size by the guard above.
+    val par = emb.sparkSession.sparkContext.defaultParallelism
     val pts = emb.select(col(idCol).as("id"),
         expr(s"transform($vecCol, v -> CAST(" +
           "floor(CAST(v AS DOUBLE) * 1000.0) AS DOUBLE))").as("vm"))
+      .repartition(par)
       .withColumn("n2", dot(col("vm"), col("vm")).cast("long"))
       .crossJoin(broadcast(guard)).filter(col("__ok").isNull).drop("__ok")
       .persist()
@@ -477,11 +487,29 @@ object Similarity {
     val pairs = half.unionByName(half.select(col("o").as("p"),
       col("p").as("o"), col("d2")))
     val w = Window.partitionBy("p").orderBy(col("d2"), col("o"))
-    val kdist = pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === k)
-      .select(col("p"), col("d2").as("kdist_sq"))
-    val nbrs = pairs.join(kdist, "p")
-      .filter(col("d2") <= col("kdist_sq"))
+    // ONE window pass yields both the k-distance and the neighbor set:
+    // kdist_sq rides every row of its partition via an unordered
+    // full-frame max over the SAME partitioning (no extra exchange, no
+    // sort — the partition is already ordered), replacing the previous
+    // separate kdist subtree + pairs⋈kdist shuffle join, which
+    // re-derived the n²-pair window sort per consumer (measured: q293
+    // 6.4 s warm → see OPTIMIZATION_r16.md). A group with < k rows
+    // gets kdist_sq = NULL and `d2 <= NULL` drops it — exactly the
+    // rows the previous inner join dropped.
+    //
+    // nbrs and kdist PERSIST: both are model-size (~n·k and n rows
+    // under the maxRows guard) and each is read by two downstream
+    // consumers (guide §5: cache what is reused AND expensive).
+    val ranked = pairs.withColumn("rn", row_number().over(w))
+      .withColumn("kdist_sq",
+        max(when(col("rn") === k, col("d2")))
+          .over(Window.partitionBy("p")))
+    val nbrs = ranked.filter(col("d2") <= col("kdist_sq"))
+      .select(col("p"), col("o"), col("d2"), col("rn"), col("kdist_sq"))
+      .persist()
+    val kdist = nbrs.filter(col("rn") === k)
+      .select(col("p"), col("kdist_sq"))
+      .persist()
     val reach = nbrs
       .join(kdist.select(col("p").as("o"), col("kdist_sq").as("ko")), "o")
       .select(col("p"), col("o"), col("kdist_sq"),
@@ -499,7 +527,7 @@ object Similarity {
         col("n_nb").as("n_neighbors"), col("lrd_q"),
         expr("sum_lrd_o * 1000000L DIV (n_nb * lrd_q)").as("lof_micro"))
     val mat = out.localCheckpoint(true)
-    half.unpersist(); pts.unpersist()
+    nbrs.unpersist(); kdist.unpersist(); half.unpersist(); pts.unpersist()
     mat
   }
 
