@@ -99,6 +99,16 @@ object Multimodal {
     */
   object ImageIoCodec {
 
+    // ImageIO wraps every stream read/write in an ImageInputStream /
+    // ImageOutputStream; with the default useCache=true that is a
+    // FileCache*Stream — a TEMP FILE created and deleted PER IMAGE.
+    // Payloads here are in-memory byte arrays of a few KB, so the disk
+    // cache is pure overhead, and under concurrent tasks the temp-file
+    // churn serializes the whole codec family (measured: q139 ran 3.9x
+    // SLOWER when its encode/decode went 32-way parallel, tracing to
+    // this). Memory-cached streams remove the files entirely.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Magic-byte sniff for the formats the JDK decodes natively. */
     def looksLikeImage(p: Array[Byte]): Boolean =
       p.length >= 8 && (
@@ -301,9 +311,15 @@ object Multimodal {
         param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
         writer.prepareWriteSequence(null)
         frames.foreach { f =>
-          val meta = writer.getDefaultImageMetadata(
-            new javax.imageio.ImageTypeSpecifier(f), param)
-          writer.writeToSequence(new javax.imageio.IIOImage(f, null, meta), param)
+          // null image metadata: the writer then builds its default
+          // metadata DIRECTLY (field writes), where a caller-passed
+          // metadata object — even this writer's own default — takes
+          // the convertImageMetadata path: getAsTree → a ~256-node DOM
+          // palette tree built and re-parsed PER FRAME (TaskSample on
+          // q90: getNativeTree + IIOMetadataNode.setAttribute owned
+          // the runnable samples). Identical default fields either
+          // way; pixel bytes untouched.
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), param)
         }
         writer.endWriteSequence()
       } finally {
@@ -419,6 +435,57 @@ object Multimodal {
     */
   object AudioIoCodec {
 
+    // `AudioSystem.getAudioInputStream`/`.write` resolve their SPI
+    // providers through com.sun.media.sound.JSSecurityManager PER
+    // CALL, under one lock, re-walking the classpath jars each time —
+    // measured with TaskSample on q129: 36.6k of 36.6k blocked
+    // executor samples sat in JSSecurityManager.getProviders once the
+    // codec went 32-way parallel (a lock convoy; serial it "only"
+    // costs the rescan). Resolve the public javax.sound.sampled.spi
+    // providers ONCE and dispatch directly — same providers, same
+    // try-each-reader semantics, no per-call registry walk.
+    private lazy val audioReaders
+        : Seq[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toSeq
+        // the JDK's MIDI-as-audio reader probes by calling back into
+        // MidiSystem — the SAME per-call JDK13Services registry lock
+        // the cache here exists to avoid (TaskSample round 2: the
+        // convoy moved from AudioSystem to the MIDI probe). Every
+        // sampled-audio reader rejects by header sniff; order them
+        // first. At most one reader accepts a given payload, so order
+        // never changes the result.
+        .sortBy(r => if (r.getClass.getName.toLowerCase.contains("midi")) 1
+                     else 0)
+    }
+    private lazy val audioWriters
+        : Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toSeq
+    }
+
+    /** AudioSystem.getAudioInputStream via the cached providers:
+      * first reader that accepts the stream wins (AudioSystem's own
+      * contract).
+      */
+    private def audioInputStream(p: Array[Byte])
+        : javax.sound.sampled.AudioInputStream = {
+      val it = audioReaders.iterator
+      while (it.hasNext) {
+        try return it.next()
+          .getAudioInputStream(new java.io.ByteArrayInputStream(p))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no cached provider accepts the payload")
+    }
+
     /** RIFF....WAVE magic. */
     def looksLikeWav(p: Array[Byte]): Boolean =
       p.length >= 12 &&
@@ -431,8 +498,7 @@ object Multimodal {
     def decode(p: Array[Byte]): Option[(Int, Array[Short])] =
       if (!looksLikeWav(p)) None
       else try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(p))
+        val in = audioInputStream(p)
         try {
           val fmt = in.getFormat
           if (fmt.getSampleSizeInBits != 16) None
@@ -506,8 +572,17 @@ object Multimodal {
       val stream = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
       val baos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(stream,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      // cached-provider dispatch (see audioReaders): pick the writer
+      // that supports WAVE for THIS stream — isFileTypeSupported
+      // instead of AudioSystem.write's try-and-catch over all writers
+      // (the float-WAV writer throws on PCM input, a per-call
+      // exception the sampler also measured)
+      audioWriters
+        .find(w => w.isFileTypeSupported(wave, stream))
+        .getOrElse(throw new IllegalStateException(
+          "no cached WAVE writer for PCM"))
+        .write(stream, wave, baos)
       baos.toByteArray
     }
   }
@@ -630,7 +705,10 @@ object Multimodal {
   def synthesizeGradientPngs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    // Fanout: the encode (and everything the caller chains before its
+    // first exchange) is per-row codec work — a single-row-group id
+    // scan would serialize the whole family on one core (guide §2.5)
+    Fanout.ensure(ids.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map(id => (id, "image", ImageIoCodec.gradientPng(id))))
       .toDF("media_id", "kind", "payload")
   }
@@ -668,7 +746,8 @@ object Multimodal {
   def synthesizeToneWavs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    // Fanout rationale: see synthesizeGradientPngs
+    Fanout.ensure(ids.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map(id => (id, "audio", AudioIoCodec.toneWav(id))))
       .toDF("media_id", "kind", "payload")
   }
@@ -879,7 +958,8 @@ object Multimodal {
   def synthesizeGradientGifs(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    // Fanout rationale: see synthesizeGradientPngs
+    Fanout.ensure(ids.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map(id => (id, "video",
         ImageIoCodec.encodeAnimatedGif(ImageIoCodec.gradientGifFrames(id)))))
       .toDF("media_id", "kind", "payload")
