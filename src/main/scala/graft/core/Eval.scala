@@ -1903,11 +1903,11 @@ object Eval {
     * irreducibly float, so it stays caller-side, keeping the gate
     * bit-exact (the [[rougeN]] rationale).
     *
-    * One gram explode covers ALL orders (each position emits its
-    * 1..maxN windows with an order tag), then per-side grouped
-    * counts, one (pair, n, gram) equi-join with least() clipping, and
-    * an order-level rollup. Empty/short sides contribute zero grams
-    * at the orders they can't fill — sacrebleu's convention.
+    * Clipped matches are computed ROW-LOCALLY per pair
+    * ([[graft.expressions.TokenGramMatches]] — one hash-count pass per
+    * order), then one global aggregate rolls the corpus up: no gram
+    * row ever shuffles. Empty/short sides contribute zero grams at
+    * the orders they can't fill — sacrebleu's convention.
     *
     * Output: one row per order — (n, n_matches, n_cand_ngrams,
     * cand_tokens, ref_tokens); the length columns repeat on every
@@ -1916,53 +1916,50 @@ object Eval {
   def bleuComponents(df: DataFrame, idCol: String, candCol: Column,
                      refCol: Column, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
-    val base = df.select(col(idCol).as("pid"),
+    // Fanout: the per-row gram hashing below is the whole operator —
+    // an unsplittable one-row-group scan would run it on one core
+    // (guide §2.5; no-op when the scan already has enough partitions)
+    val base = Fanout.ensure(df.select(col(idCol).as("pid"),
       TextAnalysis.tokens(candCol).as("ct"),
-      TextAnalysis.tokens(refCol).as("rt"))
+      TextAnalysis.tokens(refCol).as("rt")))
     // blank text tokenizes to [''] — count it as zero tokens
     def nTok(tc: String): Column = expr(
       s"CASE WHEN size($tc) = 1 AND $tc[0] = '' THEN 0L " +
         s"ELSE CAST(size($tc) AS BIGINT) END")
-    def gramsAll(tc: String): Column = expr(
-      s"""flatten(transform(sequence(1, $maxN), n ->
-            CASE WHEN size($tc) >= n AND NOT (size($tc) = 1
-                AND $tc[0] = '') THEN
-              transform(sequence(0, size($tc) - n),
-                s -> struct(n AS n,
-                  concat_ws(' ', slice($tc, s + 1, n)) AS g))
-            ELSE CAST(array()
-              AS ARRAY<STRUCT<n: INT, g: STRING>>) END))""")
-    // ONE side-tagged aggregation instead of two per-side grouped
-    // counts + a (pid, n, g) sort-merge join: the union shuffles once
-    // with map-side partial sums (each side's count is a conditional
-    // sum), and one-sided grams clip to least(cc, 0) = 0 exactly as
-    // the join's inner semantics dropped them (r14 q308 adjudication:
-    // two exchanges + two sorts became one exchange)
-    val tagged = base.select(col("pid"),
-        explode(gramsAll("ct")).as("x"), lit(1L).as("isc"))
-      .unionByName(base.select(col("pid"),
-        explode(gramsAll("rt")).as("x"), lit(0L).as("isc")))
-    val matches = tagged
-      .groupBy(col("pid"), col("x.n").as("n"), col("x.g").as("g"))
-      .agg(sum(col("isc")).as("cc"), sum(lit(1L) - col("isc")).as("rc"))
-      .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("n_matches"))
-    val orders = base.sparkSession.range(1, maxN + 1)
-      .select(col("id").cast("int").as("n"))
-    val candTotals = base
-      .select(col("pid"), nTok("ct").as("c"))
-      .crossJoin(broadcast(orders))
-      .groupBy("n")
-      .agg(sum(greatest(col("c") - col("n") + 1L, lit(0L)))
-        .as("n_cand_ngrams"))
-    val lens = base.agg(
-      coalesce(sum(nTok("ct")), lit(0L)).as("cand_tokens"),
-      coalesce(sum(nTok("rt")), lit(0L)).as("ref_tokens"))
-    candTotals
-      .join(matches, Seq("n"), "left")
-      .crossJoin(broadcast(lens))
-      .select(col("n").cast("long").as("n"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        col("n_cand_ngrams"), col("cand_tokens"), col("ref_tokens"))
+    // Row-local clipped matches ([[graft.expressions.TokenGramMatches]]
+    // — the ChrfMatches rationale applied to token grams): both sides
+    // of a pair live in the SAME row, so m_n is a pure row function.
+    // The previous side-tagged aggregation exploded maxN × corpus-token
+    // gram rows through one exchange + grouped counts (measured
+    // 3.6–5.2 s at sf0.1); this plan is one scalar projection + one
+    // global aggregate — zero gram rows ever shuffle, and the final
+    // reshape is a stack over ONE driver-visible row (r16).
+    val perRow = base.select(
+      org.apache.spark.sql.GraftShim.column(
+        graft.expressions.TokenGramMatches(
+          org.apache.spark.sql.GraftShim.expression(col("ct")),
+          org.apache.spark.sql.GraftShim.expression(col("rt")),
+          1, maxN)).as("ms"),
+      nTok("ct").as("c"), nTok("rt").as("r"))
+    val aggCols =
+      (1 to maxN).map(k => sum(element_at(col("ms"), k)).as(s"m_$k")) ++
+      (1 to maxN).map(k =>
+        sum(greatest(col("c") - lit(k.toLong) + 1L, lit(0L))).as(s"t_$k")) ++
+      Seq(coalesce(sum(col("c")), lit(0L)).as("cand_tokens"),
+        coalesce(sum(col("r")), lit(0L)).as("ref_tokens"),
+        count(lit(1)).as("n_rows"))
+    val onerow = perRow.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = (1 to maxN).map(k =>
+      s"${k}L, coalesce(m_$k, 0L), t_$k").mkString(", ")
+    // n_rows guard keeps the empty-input contract of the old
+    // orders-join shape: zero input rows -> zero output rows (a global
+    // agg alone would emit maxN all-null rows)
+    onerow.filter(col("n_rows") > 0)
+      .select(expr(s"stack($maxN, $stackArgs)" +
+          " AS (n, n_matches, n_cand_ngrams)"),
+        col("cand_tokens"), col("ref_tokens"))
+      .select(col("n"), col("n_matches"), col("n_cand_ngrams"),
+        col("cand_tokens"), col("ref_tokens"))
   }
 
   /** ROUGE-N per (candidate, reference) text pair — the n-gram
@@ -1981,8 +1978,11 @@ object Eval {
     *
     * Multiplicity matters and is honored: grams count with repeats on
     * both sides and the min() clips per distinct gram (the "modified
-    * precision" rule) — one grouped count per side, one equi-join on
-    * (pair, gram), never a cross join.
+    * precision" rule) — computed ROW-LOCALLY per pair
+    * ([[graft.expressions.TokenGramMatches]]: both sides live in the
+    * same row, so the former per-side grouped counts + (pair, gram)
+    * equi-join shuffled corpus-gram rows to derive a pure row
+    * function; this is a shuffle-free scalar projection, r16).
     *
     * Empty sides follow the reference implementations: a candidate or
     * reference shorter than n tokens has zero grams on that side —
@@ -1995,32 +1995,28 @@ object Eval {
   def rougeN(df: DataFrame, idCol: String, candCol: Column,
              refCol: Column, n: Int = 2): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val base = df.select(col(idCol).as("pid"),
+    // Fanout: the per-row gram hashing below is the whole operator —
+    // an unsplittable one-row-group scan would run it on one core
+    // (guide §2.5; no-op when the scan already has enough partitions)
+    val base = Fanout.ensure(df.select(col(idCol).as("pid"),
       TextAnalysis.tokens(candCol).as("ct"),
-      TextAnalysis.tokens(refCol).as("rt"))
-    def grams(tc: String): Column = expr(
-      s"""CASE WHEN size($tc) >= $n AND NOT (size($tc) = 1
-            AND $tc[0] = '') THEN
-            transform(sequence(0, size($tc) - $n),
-              s -> concat_ws(' ', slice($tc, s + 1, $n)))
-          ELSE CAST(array() AS ARRAY<STRING>) END""")
-    val cg = base.select(col("pid"), explode(grams("ct")).as("g"))
-      .groupBy("pid", "g").agg(count(lit(1)).as("cc"))
-    val rg = base.select(col("pid"), explode(grams("rt")).as("g"))
-      .groupBy("pid", "g").agg(count(lit(1)).as("rc"))
-    val m = cg.join(rg, Seq("pid", "g"))
-      .groupBy("pid")
-      .agg(sum(least(col("cc"), col("rc"))).as("n_matches"))
+      TextAnalysis.tokens(refCol).as("rt")))
     val totals = base.select(col("pid"),
+      coalesce(element_at(
+        org.apache.spark.sql.GraftShim.column(
+          graft.expressions.TokenGramMatches(
+            org.apache.spark.sql.GraftShim.expression(col("ct")),
+            org.apache.spark.sql.GraftShim.expression(col("rt")),
+            n, n)), 1), lit(0L)).as("n_matches"),
       expr(s"""CASE WHEN size(ct) >= $n AND NOT (size(ct) = 1
           AND ct[0] = '') THEN CAST(size(ct) - $n + 1 AS BIGINT)
         ELSE 0L END""").as("n_cand"),
       expr(s"""CASE WHEN size(rt) >= $n AND NOT (size(rt) = 1
           AND rt[0] = '') THEN CAST(size(rt) - $n + 1 AS BIGINT)
         ELSE 0L END""").as("n_ref"))
-    totals.join(m, Seq("pid"), "left")
+    totals
       .select(col("pid").as(idCol),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("n_matches"),
         col("n_cand"), col("n_ref"),
         expr("CASE WHEN n_cand > 0 THEN " +
           "coalesce(n_matches, 0L) * 1000000L DIV n_cand " +
@@ -2070,8 +2066,9 @@ object Eval {
       when(size(t) === 1 && t.getItem(0) === "",
         expr("CAST(array() AS ARRAY<STRING>)")).otherwise(t)
     }
-    val base = df.select(col(idCol).as("pid"),
-      toks(candCol).as("ct"), toks(refCol).as("rt"))
+    // Fanout: see bleuComponents — the per-pair O(c·r) DP dominates
+    val base = Fanout.ensure(df.select(col(idCol).as("pid"),
+      toks(candCol).as("ct"), toks(refCol).as("rt")))
     base.select(col("pid").as(idCol),
         org.apache.spark.sql.GraftShim.column(
           graft.expressions.LcsLength(
@@ -2129,9 +2126,10 @@ object Eval {
     require(maxN >= 1 && maxN <= 16, "maxN must be in [1, 16]")
     require(beta >= 1, "beta must be >= 1")
     val b2 = beta.toLong * beta
-    val base = df.select(col(idCol).as("pid"),
+    // Fanout: see bleuComponents — per-row char-gram hashing dominates
+    val base = Fanout.ensure(df.select(col(idCol).as("pid"),
       regexp_replace(trim(candCol), "\\s+", "").as("c"),
-      regexp_replace(trim(refCol), "\\s+", "").as("r"))
+      regexp_replace(trim(refCol), "\\s+", "").as("r")))
     base.select(col("pid"),
         length(col("c")).cast("long").as("lc"),
         length(col("r")).cast("long").as("lr"),

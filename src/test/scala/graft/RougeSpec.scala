@@ -206,4 +206,31 @@ class RougeSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
     assert(rep == got)
   }
+
+  test("row-local TokenGramMatches edges (r16 rewrite): NULL text " +
+      "keeps the relational null semantics; empty corpus emits zero " +
+      "bleu rows") {
+    // NULL cand/ref: the old explode path emitted no grams and the
+    // CASE totals fell to 0 — the rewrite must coalesce identically
+    val pairs = Seq(
+      (1L, null.asInstanceOf[String], "some reference text"),
+      (2L, "a candidate here", null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (4L, "both sides live", "both sides live"))
+    val got = run(pairs.map(p => (p._1, p._2, p._3)), 2)
+    assert(got(1L) == ((0L, 0L, 2L, 0L, 0L, 0L)))
+    assert(got(2L) == ((0L, 2L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((2L, 2L, 2L, 1000000L, 1000000L, 1000000L)))
+    val bc = Eval.bleuComponents(pairs.toDF("id", "cand", "ref"), "id",
+      col("cand"), col("ref"), maxN = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(bc.map(_._1).toSet == Set(1L, 2L))
+    // empty input: zero rows, not maxN null rows (the old orders-join
+    // contract)
+    val empty = Eval.bleuComponents(
+      Seq.empty[(Long, String, String)].toDF("id", "cand", "ref"), "id",
+      col("cand"), col("ref"), maxN = 4)
+    assert(empty.count() == 0L)
+  }
 }
