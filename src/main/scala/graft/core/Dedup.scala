@@ -76,7 +76,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    // Fanout rationale: see prefixJaccardPairs
+    val sh = Fanout.ensure(df).select(col(idCol).as("doc"),
+      shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
     // Single-pass inverted index instead of a self-join: group the
@@ -162,7 +164,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0,
       "prefix filtering needs 0 < threshold <= 1")
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    // Fanout: shingling runs BEFORE the first exchange — a one-row-
+    // group scan serializes it on one core (guide §2.5; no-op at scale)
+    val sh = Fanout.ensure(df).select(col(idCol).as("doc"),
+      shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("doc"), col("n_sh"),
       explode(col("sh")).as("shingle"))
@@ -226,7 +231,9 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, thresholdMicro: Long = 800000L,
                        maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+    // Fanout rationale: see prefixJaccardPairs
+    val sh = Fanout.ensure(df).select(col(idCol).as("doc"),
+      shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("doc"), col("n_sh"), explode(col("sh")).as("shingle"))
     val byShingle = inv.groupBy("shingle")
@@ -739,9 +746,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "edit-distance threshold must be >= 1")
     require(q >= 1, "gram size must be >= 1")
-    val base = df.select(col(idCol).as("doc"),
+    // Fanout rationale: see prefixJaccardPairs
+    val base = Fanout.ensure(df.select(col(idCol).as("doc"),
         coalesce(col(strCol), lit("")).as("s"))
-      .withColumn("slen", length(col("s")))
+        .withColumn("slen", length(col("s"))))
       .persist()
     val grams = base.select(col("doc"), col("slen"),
         charGrams(col("s"), q).as("g"))
