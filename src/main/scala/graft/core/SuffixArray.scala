@@ -19,27 +19,23 @@ import org.apache.spark.sql.functions._
   * fetched by a PER-DOCUMENT `lead(r, 2^j)` window (suffix positions
   * are dense 0..len−1 by construction, so the lead IS the shifted
   * lookup — no self-join, no extra exchange once the table is
-  * doc-partitioned), with rank 0 as the end-of-doc sentinel (strictly
-  * below every real rank, so a suffix that is a proper prefix of
-  * another sorts first — DuckDB's list-comparison order, which is
-  * what makes the oracle replayable). Rounds use two re-rank forms:
-  *  - ARITHMETIC: r' = r1·(m+1) + r2 where m is the ACTUAL max rank —
-  *    order- and equality-correct (r2 ≤ m), zero shuffles; valid
-  *    while (m+1)² fits a BIGINT.
-  *  - DENSE: distinct the pairs (map-side-combinable — the distinct
-  *    table is the group count, usually ≪ n), two-phase-rank the
-  *    distinct table, join back (broadcast when model-size) —
-  *    compacts values so the next arithmetic rounds fit again.
-  * On real text the group count stays small at small widths, so most
-  * rounds are arithmetic; an all-distinct adversarial corpus
-  * degenerates to densify-every-other-round, and at n ≥ 3e9 (the
-  * 100 TB regime) every round densifies — the shapes are unchanged.
-  * The loop runs at most ceil(log2(max doc tokens)) rounds (a bounded
-  * driver loop, the [[Bpe]] contract) and stops early when a dense
-  * round reports no rank-group split since the previous dense round:
-  * if no pair separates when the window doubles, induction on the
-  * pair decomposition shows no later width separates it either, so
-  * equal final ranks mean EXACTLY equal suffixes.
+  * doc-partitioned), with a typed all-zero sentinel past the doc end
+  * (strictly below every real rank, so a suffix that is a proper
+  * prefix of another sorts first — DuckDB's list-comparison order,
+  * which is what makes the oracle replayable). Re-ranking is
+  * STRUCTURAL (r16): level j+1's rank is struct(r_j, r_j@+2^j) and
+  * struct comparison IS the pair order — order-isomorphic to the
+  * suffix prefix order at every width with no value overflow, so the
+  * densify/arithmetic machinery of earlier rounds (distinct + range
+  * re-rank + join-back per overflow, measured 2–3.3 s per round at
+  * sf0.1) is gone. All rounds share one (sa_doc, pos) window spec, so
+  * the whole doubling chain plans as ONE exchange + sort with
+  * log2(max doc tokens) pipelined Window operators. Price: rank rows
+  * widen one struct layer per round (the classic prefix-doubling
+  * space — every level was retained anyway for the LCP descent), and
+  * the loop always runs the full Manber–Myers ceil(log2(max doc
+  * tokens)) rounds (a bounded driver loop, the [[Bpe]] contract; the
+  * old dense-round early stop is dropped with the dense rounds).
   *
   * Candidate discipline (the 100 TB argument): repeats are read off
   * SA-ADJACENT pairs only — never all-pairs — and adjacency is
@@ -50,11 +46,12 @@ import org.apache.spark.sql.functions._
   * prefix too). One partitioned window per bucket — the global
   * total-order pass the naive SA needs never happens.
   *
-  * Cost honestly stated: log(max doc len) rounds; arithmetic rounds
-  * are shuffle-free, dense rounds pay one range exchange over the
-  * position table — the known price of distributed SA construction.
-  * At 100 TB the per-round localCheckpoints become snapshot-table
-  * checkpoints and every round densifies; the shapes are unchanged.
+  * Cost honestly stated: log(max doc len) rounds, each one window
+  * over the position table (one fused stage for short-doc corpora;
+  * long-doc corpora checkpoint per level for the LCP descent) — the
+  * known price of distributed SA construction. At 100 TB the
+  * long-doc per-level localCheckpoints become snapshot-table
+  * checkpoints; the shapes are unchanged.
   */
 object SuffixArray {
 
@@ -70,31 +67,44 @@ object SuffixArray {
       r
     }
 
-  /** Distributed DENSE rank of (r1, r2) pairs: distinct the pairs
-    * (map-side-combinable hash aggregate — the distinct table is the
-    * GROUP count, ≤ n and usually far smaller), two-phase-rank the
-    * distinct table ([[Packing.rankAndCumOrderedReleasable]] — its
-    * range exchange runs over groups, not rows), then join the ranks
-    * back: broadcast when the group table is model-size, shuffled
-    * hash join otherwise (the 100 TB path — one exchange of the
-    * position table on the pair key).
+  /** Global DENSE rank of a level's `r` column (BIGINT result): range
+    * partitioning colocates EQUAL keys (a range partitioner assigns
+    * purely by key order), so a per-partition dense_rank plus the
+    * running offset of per-partition group counts IS the global dense
+    * rank — no distinct table, no rank join-back, and the group total
+    * (the caller's convergence test) rides the same bounded offsets
+    * collect (one row per shuffle partition) instead of a separate
+    * count action. Rank values are range-boundary-invariant, so the
+    * result never depends on the partitioner's sampling.
     */
-  private def densePairRank(paired: DataFrame, extraCols: Seq[String])
+  private def denseRankDirect(level: DataFrame, extraCols: Seq[String])
       : (DataFrame, Long) = {
-    val distinctPairs = paired.select("r1", "r2").distinct()
-      .withColumn("w", lit(1L))
-    val (pr, pRel) = Packing.rankAndCumOrderedReleasable(
-      distinctPairs, "w", Seq(col("r1"), col("r2")))
-    val prSlim = pr.select(col("r1"), col("r2"), col("rank").as("r"))
-    val nGroups = pr.count() // = the new max rank (dense) — reused by
-    // the caller's convergence test, no second action
-    val ranks = if (nGroups <= 5000000L) broadcast(prSlim) else prSlim
-    val out = paired.join(ranks, Seq("r1", "r2"))
-      .select((Seq(col("sa_doc"), col("pos")) ++ extraCols.map(col) :+
-        col("r")): _*)
+    val spark = level.sparkSession
+    import spark.implicits._
+    // persist the INPUT too: repartitionByRange SAMPLES its child to
+    // pick boundaries, so an unpersisted level would re-derive the
+    // whole upstream window chain twice (sampling pass + exchange)
+    val src = level.persist()
+    val ranged = src.repartitionByRange(col("r"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    val parts = ranged.groupBy("_pid")
+      .agg(countDistinct(col("r")).as("_ng"))
+      .orderBy("_pid").collect()
+    var acc = 0L
+    val offsets = parts.toSeq.map { row =>
+      val off = acc; acc += row.getLong(1); (row.getInt(0), off)
+    }
+    val out = ranged
+      .withColumn("_lr", dense_rank().over(
+        Window.partitionBy("_pid").orderBy("r")).cast("long"))
+      .join(broadcast(offsets.toDF("_pid", "_off")), Seq("_pid"))
+      .select(Seq(col("sa_doc"), col("pos")) ++ extraCols.map(col) :+
+        (col("_lr") + col("_off")).as("r"): _*)
       .localCheckpoint(true)
-    pRel()
-    (out, nGroups)
+    ranged.unpersist()
+    src.unpersist()
+    (out, acc)
   }
 
   /** The top-`topK` LONGEST exactly-repeated token substrings in the
@@ -111,12 +121,14 @@ object SuffixArray {
     * position table through a broadcast first-token probe + exact
     * slice equality — K-bounded work, one corpus pass.
     *
-    * NOT lazy: suffix ranking runs driver-loop actions at call time
+    * NOT lazy: the result materializes at call time
     * (the [[Curation.curateFullSurvivorIdsReleasable]] contract).
-    * Every level is localCheckpoint(true)-materialized: prefix
-    * doubling is iterative, and without truncation level j's LOGICAL
-    * plan embeds level j−1's twice — exponential plan growth that
-    * OOMs the optimizer long before the data does (the Bpe/Dedup
+    * Level lineage is LINEAR under the struct re-rank (each level
+    * reads its parent once through one shared-spec window), so
+    * short-doc corpora keep the whole doubling chain lazy in one
+    * fused stage; long-doc corpora (LCP-descent path) checkpoint
+    * every level — the descent joins each level, and re-deriving the
+    * nested windows per join would be quadratic (the Bpe/Dedup
     * lineage discipline).
     *
     * @return (repeat_len, n_docs, n_occurrences, repeat_text), longest
@@ -169,61 +181,82 @@ object SuffixArray {
     }
 
     // prefix doubling; levels accumulate newest-first (largest width
-    // at the head). Arithmetic rounds use the ACTUAL max rank m of
-    // the current level as the compositor — r' = r1·(m+1) + r2 is
-    // order- and equality-correct and needs (m+1)² ≤ 2^63, so rounds
-    // stay arithmetic (shuffle-free) while values fit and DENSIFY
-    // exactly when they would overflow: on real text the first
-    // densify compacts m back to the group count (≪ n at small
-    // widths), so most rounds are arithmetic; an adversarial corpus
-    // (every rank distinct) degenerates to densify-every-other-round,
-    // and at 100 TB scale (n ≥ 3e9) every round densifies. The bucket
-    // rank for adjacency (widest power of 2 <= minLen) is TAGGED onto
-    // the level that computes it and carried forward — no
-    // level-vs-level join later
-    val arithMax = 3037000498L // (m+1)^2 - 1 < 2^63
+    // at the head). Rank composition is STRUCTURAL (r16 rewrite):
+    // level j+1's rank is struct(r, lead(r, w)) with a typed all-zero
+    // sentinel past the doc end — struct comparison IS the pair order
+    // the old arithmetic composite (r1·(m+1) + r2) encoded, with no
+    // overflow bookkeeping and no per-round max action. Struct rounds
+    // all share ONE window spec (sa_doc, pos), so Catalyst pipelines
+    // consecutive rounds in one stage with no extra exchange. Because
+    // each struct layer DOUBLES the rank's leaf count, every
+    // `leafCap`-leaf level is compressed back to a dense BIGINT rank
+    // by [[denseRankDirect]] — range partitioning colocates equal
+    // keys, so one exchange + a per-partition dense_rank + a
+    // broadcast of per-partition group counts IS the global dense
+    // rank (the old dense round's distinct + two-phase rank + count
+    // action + join-back, measured 2–3.3 s each at sf0.1, is gone;
+    // the direct form measures ~0.6 s). Dense rounds also carry the
+    // convergence test: equal group counts across consecutive dense
+    // rounds mean no pair separated in between, and induction on the
+    // pair decomposition shows no later width separates it either —
+    // equal final ranks are EXACTLY equal suffixes. Long-doc corpora
+    // (the LCP-descent path) checkpoint each struct level exactly as
+    // before: the descent joins every level, and re-deriving nested
+    // windows per join would be quadratic. The bucket rank for
+    // adjacency (widest power of 2 <= minLen) is TAGGED onto the
+    // level that computes it and carried forward — no level-vs-level
+    // join later
     val j0wTarget = { var w = 1L; while (w * 2 <= minLen) w *= 2; w }
     val byDoc = Window.partitionBy("sa_doc").orderBy("pos")
     var levels: List[(Long, DataFrame)] =
       List((1L, if (j0wTarget == 1L) r0.withColumn("rb", col("r")) else r0))
     var width = 1L
-    var maxRank = nVocab // r0 is dense: its max IS the vocab size
-    var lastDenseRanks = -1L // vocab rank count not comparable: width 1
+    // typed zero sentinel of the CURRENT level's rank type (strictly
+    // below every real rank: vocab ranks start at 1)
+    var zero: Column = lit(0L)
+    var leaves = 1
+    val leafCap = 8 // compress when a round would exceed 8 rank leaves
+    var lastDenseRanks = -1L
     var converged = false
+    // short-doc regime (the directLcpMaxDocLen contract, same knob as
+    // the direct-LCP branch below): rank width is bounded by the doc
+    // length itself, so the WHOLE doubling chain stays struct-composed
+    // — zero dense rounds, zero actions, one fused window stage
+    // (measured: the dense compression rounds cost 1.5–3 s each at
+    // sf0.1 for a result the fused chain gets free). Long-doc corpora
+    // compress every leafCap leaves to keep rank rows O(leafCap·8 B).
+    val structOnly = maxDocLen <= directLcpMaxDocLen.toLong
+    val materializeLevels = !structOnly
     while (!converged && width < maxDocLen) {
-      val cur = levels.head._2
-      val extra = if (cur.columns.contains("rb")) Seq("rb") else Nil
-      val paired = cur
-        .withColumn("r2",
-          coalesce(lead(col("r"), width.toInt).over(byDoc), lit(0L)))
-        .select(Seq(col("sa_doc"), col("pos")) ++ extra.map(col) ++
-          Seq(col("r").as("r1"), col("r2")): _*)
-      val dense = maxRank > arithMax
-      val next0 = timed(f"round w=${width * 2} dense=$dense") {
-        if (dense) {
-          val (out, nGroups) = densePairRank(paired, extra)
-          // nGroups IS the new (dense) max rank; it also carries the
-          // convergence test — no extra action
+      val cur0 = levels.head._2
+      val extra = if (cur0.columns.contains("rb")) Seq("rb") else Nil
+      val cur =
+        if (structOnly || leaves < leafCap) cur0
+        else timed(f"dense re-rank at w=$width") {
+          val (compressed, nGroups) = denseRankDirect(cur0, extra)
           if (nGroups == nTotal || nGroups == lastDenseRanks)
-            converged = true // no split since the last dense round
+            converged = true
           lastDenseRanks = nGroups
-          maxRank = nGroups
-          out
-        } else {
-          val out = paired
-            .select(Seq(col("sa_doc"), col("pos")) ++ extra.map(col) :+
-              (col("r1") * (maxRank + 1L) + col("r2")).as("r"): _*)
-            .persist() // dense rounds checkpoint; arith lineage is shallow
-          // one tiny agg (materializes the persist): the actual max
-          // drives the next arith/densify decision
-          maxRank = out.agg(max("r")).head().getLong(0)
-          out
+          zero = lit(0L)
+          leaves = 1
+          compressed
         }
+      if (!converged) {
+        val next0 = timed(f"round w=${width * 2}") {
+          val stepped = cur.select(
+            Seq(col("sa_doc"), col("pos")) ++ extra.map(col) :+
+              struct(col("r").as("a"),
+                coalesce(lead(col("r"), width.toInt).over(byDoc), zero)
+                  .as("b")).as("r"): _*)
+          if (materializeLevels) stepped.localCheckpoint(true) else stepped
+        }
+        zero = struct(zero.as("a"), zero.as("b"))
+        leaves *= 2
+        width *= 2
+        val next =
+          if (width == j0wTarget) next0.withColumn("rb", col("r")) else next0
+        levels = (width, next) :: levels
       }
-      width *= 2
-      val next =
-        if (width == j0wTarget) next0.withColumn("rb", col("r")) else next0
-      levels = (width, next) :: levels
     }
 
     // adjacency WITHIN rank buckets at the widest level <= minLen: a
@@ -235,8 +268,11 @@ object SuffixArray {
     // itself is the bucket: any pair with LCP >= minLen is then a
     // clone pair sharing it
     val fin0 = levels.head._2
-    val fin = if (fin0.columns.contains("rb")) fin0
-              else fin0.withColumn("rb", col("r"))
+    // persist: fin is read by the adjacency window AND (twice) by the
+    // occurrence probe below; without the cache the whole fused
+    // doubling chain would re-derive per consumer
+    val fin = (if (fin0.columns.contains("rb")) fin0
+               else fin0.withColumn("rb", col("r"))).persist()
     val cand = timed("bucket adjacency") {
       fin
         .withColumn("nxt",
