@@ -58,8 +58,13 @@ object Curation {
                        textCol: String = "text", minQuality: Double = 0.51,
                        n: Int = 3, jaccardThreshold: Double = 0.2,
                        maxDf: Int = Int.MaxValue): (DataFrame, StageCaches) = {
+    // Fanout: stage 1 is a heavy per-doc scoring projection (tokenize,
+    // regex, distinct counts) materialized into the persist BEFORE any
+    // exchange — a one-row-group scan serializes it on one core and
+    // the cached table then stays 1-partition for every consumer
+    // (guide §2.5; no-op at scale)
     val scored = TextAnalysis.langId(
-      TextAnalysis.qualityScore(docs, textCol), textCol)
+      TextAnalysis.qualityScore(Fanout.ensure(docs), textCol), textCol)
       .withColumn("quality_ok", col("quality_score") >= minQuality)
       .persist()
     // `kept` feeds both the near-dup candidate action and the final
@@ -214,8 +219,11 @@ object Curation {
     // join-repetitionStats-back-on-doc_id shape paid a second scan
     // branch plus a join for columns the same scan could emit
     // (measured: q73 8.8 -> 7.6 s, q80 13.0 -> 11.3 s cold at sf0.1).
+    // Fanout: that fused projection runs BEFORE any exchange and its
+    // persist freezes the partitioning for every later stage — on the
+    // one-row-group driver scan it was one core (guide §2.5)
     val scored = TextAnalysis.langId(
-        TextAnalysis.qualityScore(docs, textCol), textCol)
+        TextAnalysis.qualityScore(Fanout.ensure(docs), textCol), textCol)
       .withColumn("quality_ok", col("quality_score") >= minQuality)
       .withColumn("dup_token_ratio",
         TextAnalysis.dupTokenRatio(col(textCol)))
