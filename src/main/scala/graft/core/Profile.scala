@@ -596,9 +596,14 @@ object Profile {
     val full = tri.unionByName(
       tri.filter(col("di") =!= col("dj"))
         .select(col("dj").as("di"), col("di").as("dj"), col("corr")))
+    // persist: every power iteration references the matrix rows, and
+    // each iteration's broadcast subtree would otherwise re-derive the
+    // WHOLE covariance aggregation (measured: q176 ≈ iters × q175's
+    // covariance cost). dim² cells — model-size (guide §5).
     val mm = full.groupBy(col("di").as("d"))
       .agg(expr("transform(sort_array(collect_list(struct(dj, corr))), " +
         "e -> e.corr)").as("mrow"))
+      .persist()
     var xs = spark.range(1).select(
       expr(s"transform(sequence(0, ${dim - 1}), i -> ${1.0 / dim}D)")
         .as("xs"), lit(0.0).as("nrm"))
