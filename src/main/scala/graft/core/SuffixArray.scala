@@ -268,11 +268,19 @@ object SuffixArray {
     // itself is the bucket: any pair with LCP >= minLen is then a
     // clone pair sharing it
     val fin0 = levels.head._2
-    // persist: fin is read by the adjacency window AND (twice) by the
-    // occurrence probe below; without the cache the whole fused
-    // doubling chain would re-derive per consumer
-    val fin = (if (fin0.columns.contains("rb")) fin0
-               else fin0.withColumn("rb", col("r"))).persist()
+    val fin = if (fin0.columns.contains("rb")) fin0
+              else fin0.withColumn("rb", col("r"))
+    // The occurrence probe below needs only (sa_doc, pos, rb) — rb is
+    // tagged at the SHALLOW j0w level, so the probe re-derives that
+    // narrow prefix of the chain instead of fin: persisting fin's
+    // full-width struct ranks (up to maxDocLen leaves per row) was the
+    // one memory-hungry cache in the rewrite and measured as an
+    // IN-SUITE hazard (q274 14.2 s under suite memory pressure vs
+    // ~6 s isolated). The narrow bucket rows persist instead.
+    val buckets = levels.find(_._1 == j0wTarget).map(_._2)
+      .getOrElse(fin)
+      .select(col("sa_doc"), col("pos"), col("rb"))
+      .persist()
     val cand = timed("bucket adjacency") {
       fin
         .withColumn("nxt",
@@ -363,12 +371,12 @@ object SuffixArray {
     // one broadcast probe on rb (selective by construction), then
     // exact slice equality against the doc's token array
     val probes = winners
-      .join(fin.select(col("sa_doc").as("wd"), col("pos").as("wp"),
+      .join(buckets.select(col("sa_doc").as("wd"), col("pos").as("wp"),
           col("rb")),
         col("wit.da") === col("wd") && col("wit.pa") === col("wp"))
       .select(col("rb"), col("repeat_text"), col("repeat_len"),
         split(col("repeat_text"), " ").as("rtoks"))
-    val occ = fin.select(col("sa_doc"), col("pos"), col("rb"))
+    val occ = buckets
       .join(broadcast(probes), "rb")
       .join(docs, "sa_doc")
       .filter(slice(col("toks"), (col("pos") + 1).cast("int"),
