@@ -3378,15 +3378,7 @@ object SparkEntry {
     // capped at O(sqrt E), every triangle counted once at its min-
     // degree vertex); wedges + global clustering coefficient beside
     "q207_triangle_census" -> ((s, dir) => {
-      val basket = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = basket.as("x").join(basket.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-      val edges = pairs.groupBy("a", "b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2).select("a", "b")
+      val edges = coPurchaseEdges(s, dir)
       GraphOps.triangleStats(edges, "a", "b")
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
           expr("3 * n_triangles * 1000000 DIV greatest(n_wedges, 1L)")
@@ -4651,16 +4643,7 @@ object SparkEntry {
     // degree table, pair scores are exact BIGINT sums. Top-20 by
     // score with the pair as the total tie-break
     "q276_adamic_adar" -> ((s, dir) => {
-      val basket = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = basket.as("x").join(basket.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-      val edges = pairs.groupBy("a", "b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2).select("a", "b")
-      GraphOps.adamicAdar(edges, "a", "b", maxDeg = 32)
+      GraphOps.adamicAdar(coPurchaseEdges(s, dir), "a", "b", maxDeg = 32)
         .orderBy(col("aa_micro").desc, col("a"), col("b"))
         .limit(20)
     }),
@@ -5090,16 +5073,8 @@ object SparkEntry {
     // in draw order kept — reproducible across engines/partitionings,
     // no RNG state anywhere
     "q242_negative_edges" -> ((s, dir) => {
-      val basket = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = basket.as("x").join(basket.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-      val edges = pairs.groupBy("a", "b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2).select("a", "b")
-      GraphOps.negativeEdges(edges, "a", "b", k = 2, candidates = 8)
+      GraphOps.negativeEdges(coPurchaseEdges(s, dir), "a", "b",
+        k = 2, candidates = 8)
     }),
 
     // funnel drop-off report (q137's aggregate face): per step the
@@ -5505,16 +5480,7 @@ object SparkEntry {
     // inside the oracle (the q157 unrolled-iteration discipline).
     // Output: surviving vertices with their within-core degree
     "q221_kcore" -> ((s, dir) => {
-      val basket = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val pairs = basket.as("x").join(basket.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b"))
-      val edges = pairs.groupBy("a", "b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2).select("a", "b")
-      GraphOps.kCore(edges, "a", "b", k = 2, rounds = 6)
+      GraphOps.kCore(coPurchaseEdges(s, dir), "a", "b", k = 2, rounds = 6)
     }),
 
     // 1-bit binary-quantized ANN (the faiss/usearch BQ serving
@@ -5568,6 +5534,36 @@ object SparkEntry {
       scratchDirs.forEach(del(_))
     }))
   }
+  /** The co-purchase edge table shared by q207/q221/q242/q276: parts
+    * sharing an order, support ≥ 2. Pair generation goes through
+    * collect-basket + the PairCombinations generator (the
+    * Dedup.ngramJaccardPairs inverted-index shape) instead of the
+    * previous self-equi-join on the order key — the self-join planned
+    * the scan→distinct lineage TWICE and paid two order-keyed
+    * exchanges before the pair exchange; this is one grouped
+    * aggregation + one generator pass (guide §2.4). sort_array on
+    * struct(p) orders each basket ascending and PairCombinations
+    * preserves input order, so pairs come out a < b exactly like the
+    * old x.p < y.p predicate (per-order parts are distinct, so
+    * strictness is preserved); the grouped support count is over the
+    * identical pair multiset — results are bit-identical (same four
+    * oracles).
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .groupBy("o")
+      .agg(sort_array(collect_list(struct(col("p")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(org.apache.spark.sql.GraftShim.column(
+        graft.expressions.PairCombinations(
+          org.apache.spark.sql.GraftShim.expression(col("ds"))))
+        .as(Seq("a", "b")))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2).select("a", "b")
+
   private def scratchDir(prefix: String): String = {
     scratchHook
     val d = java.nio.file.Files.createTempDirectory(prefix)

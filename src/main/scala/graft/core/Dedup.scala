@@ -166,17 +166,25 @@ object Dedup {
       "prefix filtering needs 0 < threshold <= 1")
     // Fanout: shingling runs BEFORE the first exchange — a one-row-
     // group scan serializes it on one core (guide §2.5; no-op at scale)
+    // The doc-level shingle SETS persist (one array row per doc): both
+    // verification sides read them, and candidate generation explodes
+    // them once — the posting-level persist this replaces carried one
+    // row per (doc, shingle).
     val sh = Fanout.ensure(df).select(col(idCol).as("doc"),
       shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .persist()
     val inv = sh.select(col("doc"), col("n_sh"),
       explode(col("sh")).as("shingle"))
-    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // the corpus is scanned by BOTH candidate generation and
-    // verification: persist the postings once (3 narrow columns/row)
-    val posted = inv.join(dfreq, "shingle").persist()
-    val ranked = posted.withColumn("__pos", row_number().over(
-      Window.partitionBy("doc").orderBy(col("df"), col("shingle"))))
+    // document frequency as a full-frame window count over the shingle
+    // partition — same value as the old groupBy("shingle") + join back,
+    // minus one exchange and the join (guide §2.4): the window's
+    // shingle-keyed exchange replaces the aggregation's, and the rank
+    // window below re-keys by doc either way.
+    val ranked = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("doc").orderBy(col("df"), col("shingle"))))
     // prefix length p = |d| − ⌈t·|d|⌉ + 1, with the ceil in EXACT
     // integer arithmetic on the micro-scaled threshold: double
     // ceil(0.2 * 10) = ceil(2.0000000000000004) = 3 would shorten the
@@ -196,24 +204,32 @@ object Dedup {
           org.apache.spark.sql.GraftShim.expression(col("ds"))))
         .as(Seq("doc_a", "n_a", "doc_b", "n_b")))
       .distinct() // a pair may share several prefix shingles
-    // verify candidates on the FULL shingle sets
-    val pa = posted.select(col("doc").as("doc_a"), col("shingle"))
-    val pb = posted.select(col("doc").as("doc_b"), col("shingle"))
+    // verify candidates on the FULL shingle sets, row-locally: attach
+    // each side's cached shingle ARRAY and count the intersection with
+    // array_intersect — shingle sets are distinct per doc, so the
+    // distinct-intersection size equals the old postings-join row
+    // count exactly. Replaces the doc_a join + (doc_b, shingle)
+    // postings join + pair-keyed aggregation (3 exchanges + the
+    // per-pair posting fan-out) with two doc-keyed joins and a scalar
+    // projection (guide §2.3/§2.4: fewer exchanges, pair-level rows
+    // instead of posting-level rows).
     val out = cand
-      .join(pa, "doc_a")
-      .join(pb, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double")
           / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
-    // materialize the (small) pair table so the postings cache can be
-    // released before returning (the liftTable lifecycle discipline)
+    // materialize the (small) pair table so the shingle-set cache can
+    // be released before returning (the liftTable lifecycle discipline)
     val mat = out.localCheckpoint(true)
-    posted.unpersist()
+    sh.unpersist()
     mat
   }
 
@@ -756,8 +772,11 @@ object Dedup {
       .withColumn("n_g", size(col("g")))
     val posted = grams.select(col("doc"), col("slen"),
       explode(col("g")).as("gram"))
-    val dfreq = posted.groupBy("gram").agg(count(lit(1)).as("gdf"))
-    val ranked = posted.join(dfreq, "gram")
+    // gram document frequency as a full-frame window count — same
+    // value as the old groupBy("gram") + join back, one exchange and
+    // one join fewer (guide §2.4; the prefixJaccardPairs r16 shape)
+    val ranked = posted
+      .withColumn("gdf", count(lit(1)).over(Window.partitionBy("gram")))
       .withColumn("__pos", row_number().over(
         Window.partitionBy("doc").orderBy(col("gdf"), col("gram"))))
     val sigLen = k * q + 1

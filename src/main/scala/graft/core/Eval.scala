@@ -319,8 +319,11 @@ object Eval {
   def bootstrapCi(df: DataFrame, id: Column, valueCents: Column,
                   b: Int = 200, seed: Long = 42L): DataFrame = {
     require(b >= 40, "need enough replicates for a 2.5% tail")
-    val rows = df.select(id.cast("string").as("__id"),
-      valueCents.cast("long").as("__v"))
+    // Fanout: the b-way explode + per-draw portable hash is the cost
+    // center and runs BEFORE the first exchange — on a one-row-group
+    // scan it would serialize on one core (guide §2.5; no-op at scale)
+    val rows = Fanout.ensure(df.select(id.cast("string").as("__id"),
+      valueCents.cast("long").as("__v")))
     val drawn = rows
       .select(col("__id"), col("__v"),
         explode(sequence(lit(0), lit(b - 1))).as("__r"))

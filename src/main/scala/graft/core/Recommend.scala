@@ -66,9 +66,26 @@ object Recommend {
         .filter(col("__r") <= maxItemsPerUser)
         .drop("__r")
     }
-    val pairs = inter.as("x").join(inter.as("y"),
-        col("x.u") === col("y.u") && col("x.it") < col("y.it"))
-      .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
+    // Pair generation via collect-basket + the PairCombinations
+    // generator (the inverted-index shape of Dedup.ngramJaccardPairs)
+    // instead of a self-equi-join on the user: the self-join planned
+    // the WHOLE `inter` lineage twice (scan→distinct→cap window per
+    // side) and paid two user-keyed exchanges plus the pair exchange;
+    // this groups once on `u` — on the capped path the SAME
+    // partitioning the cap window just established, so the basket
+    // aggregation adds NO exchange — and emits each basket's d(d−1)/2
+    // ordered pairs in one generator pass (guide §2.4: remove shuffles
+    // outright). sort_array on struct(it) sorts by item, so pairs come
+    // out item_a < item_b exactly like the old x.it < y.it predicate;
+    // per-user baskets are distinct items, so strictness is preserved.
+    val pairs = inter.groupBy("u")
+      .agg(sort_array(collect_list(struct(col("it")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(org.apache.spark.sql.GraftShim.column(
+        graft.expressions.PairCombinations(
+          org.apache.spark.sql.GraftShim.expression(col("ds"))))
+        .as(Seq("item_a", "item_b")))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minSupport)
     pairs

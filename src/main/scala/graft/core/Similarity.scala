@@ -731,13 +731,26 @@ object Similarity {
       .withColumn("d2", col("na") + col("nb")
         - lit(2L) * dot(col("va"), col("vb")).cast("long"))
       .select(col("p"), col("o"), col("d2"))
-      .persist()
+    // ONE window pass yields both the k-distance and the neighbor set
+    // (the [[lof]] r16 fuse applied to the bucketed family): kdist_sq
+    // rides every row of its partition via an unordered full-frame max
+    // over the SAME partitioning — no extra exchange, no sort — which
+    // deletes the separate kdist subtree and the cand⋈kdist shuffle
+    // join (guide §2.4). A group with < k rows gets kdist_sq = NULL
+    // and `d2 <= NULL` drops it, exactly like the old inner join.
+    // cand now has ONE consumer, so its persist is gone; nbrs/kdist
+    // persist instead (model-size: ~n·k and n rows — guide §5).
     val w = Window.partitionBy("p").orderBy(col("d2"), col("o"))
-    val kdist = cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === k)
-      .select(col("p"), col("d2").as("kdist_sq"))
-    val nbrs = cand.join(kdist, "p")
+    val nbrs = cand.withColumn("rn", row_number().over(w))
+      .withColumn("kdist_sq",
+        max(when(col("rn") === k, col("d2")))
+          .over(Window.partitionBy("p")))
       .filter(col("d2") <= col("kdist_sq"))
+      .select(col("p"), col("o"), col("d2"), col("rn"), col("kdist_sq"))
+      .persist()
+    val kdist = nbrs.filter(col("rn") === k)
+      .select(col("p"), col("kdist_sq"))
+      .persist()
     val reach = nbrs
       .join(kdist.select(col("p").as("o"), col("kdist_sq").as("ko")), "o")
       .select(col("p"), col("o"), col("kdist_sq"),
@@ -756,7 +769,7 @@ object Similarity {
         col("n_nb").as("n_neighbors"), col("lrd_q"),
         expr("sum_lrd_o * 1000000L DIV (n_nb * lrd_q)").as("lof_micro"))
     val mat = out.localCheckpoint(true)
-    cand.unpersist(); ranked.unpersist(); pts.unpersist()
+    nbrs.unpersist(); kdist.unpersist(); ranked.unpersist(); pts.unpersist()
     mat
   }
 
