@@ -104,14 +104,23 @@ object Recommend {
     */
   def recommendTopK(ui: DataFrame, sims: DataFrame, panel: DataFrame,
                     userCol: String, itemCol: String, k: Int): DataFrame = {
+    // owned is read twice (scoring join + ownership anti join) and
+    // sims twice (both directions of the undirected link view) — each
+    // reference re-plans its full upstream lineage (for sims, the
+    // whole pair generation). Both tables are small by construction
+    // (owned is panel-filtered; sims is support-thresholded), so
+    // materialize once and read the snapshot twice (guide §5;
+    // localCheckpoint as the cheap lineage cut).
     val owned = ui.select(col(userCol).as("u"), col(itemCol).as("it"))
       .distinct()
       .join(panel.select(col(userCol).as("u")).distinct(), Seq("u"),
         "left_semi")
+      .localCheckpoint(true)
+    val simsM = sims.localCheckpoint(true)
     // undirected links: each pair contributes in both directions
-    val links = sims.select(col("item_a").as("it"),
+    val links = simsM.select(col("item_a").as("it"),
         col("item_b").as("cand"), col("sim_micro"))
-      .unionAll(sims.select(col("item_b").as("it"),
+      .unionAll(simsM.select(col("item_b").as("it"),
         col("item_a").as("cand"), col("sim_micro")))
     val scored = owned.join(links, Seq("it"))
       .groupBy(col("u"), col("cand"))
