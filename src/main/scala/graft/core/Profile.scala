@@ -265,7 +265,12 @@ object Profile {
                              cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val triples = cols.flatMap(a => cols.filter(_ != a).map(a -> _))
-    val melted = df.select(explode(array(triples.map { case (a, b) =>
+    // Fanout: the k·(k−1)-way melt explode (with its per-cell string
+    // casts) runs BEFORE the first exchange — on a one-row-group scan
+    // it serializes on one core (guide §2.5; no-op at scale). Project
+    // to the audited columns first so the fan-out moves narrow rows.
+    val base = Fanout.ensure(df.select(cols.map(col): _*))
+    val melted = base.select(explode(array(triples.map { case (a, b) =>
       struct(lit(a).as("lhs"), lit(b).as("rhs"),
         col(a).cast("string").as("lv"), col(b).cast("string").as("rv"))
     }: _*)).as("t")).select(col("t.*"))
