@@ -48,11 +48,11 @@ object Retrieval {
                idCol: String = "doc_id", textCol: String = "text",
                k: Int = 10): DataFrame = {
     val live = corpus.filter(length(trim(col(textCol))) > 0)
-    // doc lengths and the corpus-wide stats are pure projections — no
-    // explode, no shuffle beyond the one-row stats aggregate
-    val dl = live.select(col(idCol).as("doc_id"),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
+    // corpus-wide stats are a pure projection — no explode, no shuffle
+    // beyond the one-row stats aggregate
+    val stats = live
+      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_len"))
     val qterms = queryDocs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("query_id"),
@@ -62,14 +62,21 @@ object Retrieval {
     // aggregation: the tf/df counts only ever aggregate matched
     // occurrences (df over matched tf rows equals the true document
     // frequency of those terms), so non-matching corpus tokens die
-    // inside the scan stage against the broadcast term set
+    // inside the scan stage against the broadcast term set.
+    // dl rides the SAME explode projection (size of the row's own
+    // token array) and stays in the tf group key — doc_id determines
+    // dl, so the grouped relation is identical to the previous
+    // separate dl projection joined back on doc_id, minus that
+    // corpus-keyed join and one full tokenize pass (guide §2.4).
     val matchedTok = live
       .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
         "leftsemi")
-    val tf = matchedTok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val withLen = tf.join(dl, Seq("doc_id"))
+    val withLen = matchedTok.groupBy("doc_id", "term", "dl")
+      .agg(count(lit(1)).as("tf"))
     scoreAndRank(withLen, qterms, stats, k)
   }
 
@@ -133,11 +140,17 @@ object Retrieval {
     val live = docs.filter(length(trim(col(textCol))) > 0)
     val dl = live.select(col(idCol).as("doc_id"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+    // dl rides the explode projection and the tf group key (doc_id
+    // determines dl) — same relation as the previous tf ⋈ dl join on
+    // doc_id, minus that corpus-keyed join and one tokenize pass
+    // (the bm25TopK r16 shape)
     val tf = live
       .select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val postings = tf.join(dl, Seq("doc_id")).select(
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val postings = tf.select(
       pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket"),
       col("term"), col("doc_id"), col("tf"), col("dl"))
     val lens = dl.select(lit(LenBucket).as("bucket"),
