@@ -3961,9 +3961,20 @@ object SparkEntry {
       val est = Sketches.kmvPairOverlap(merged, "event_type", k)
       val keys = ev.select(col("event_type").as("g"), col("key")).distinct()
       val exN = keys.groupBy("g").agg(count(lit(1)).as("n_ex"))
-      val exInt = keys.as("x").join(keys.as("y"),
-          col("x.key") === col("y.key") && col("x.g") < col("y.g"))
-        .groupBy(col("x.g").as("g_a"), col("y.g").as("g_b"))
+      // exact pairwise intersection via collect-groups-per-key + the
+      // PairCombinations generator (the coPurchaseEdges shape): the
+      // self-equi-join planned the distinct-keys lineage twice; group
+      // membership per key is alphabet-bounded, pairs come out
+      // g_a < g_b from the sorted struct array exactly like the old
+      // x.g < y.g predicate — identical counts, same oracle
+      val exInt = keys.groupBy("key")
+        .agg(sort_array(collect_list(struct(col("g")))).as("gs"))
+        .filter(size(col("gs")) > 1)
+        .select(org.apache.spark.sql.GraftShim.column(
+          graft.expressions.PairCombinations(
+            org.apache.spark.sql.GraftShim.expression(col("gs"))))
+          .as(Seq("g_a", "g_b")))
+        .groupBy("g_a", "g_b")
         .agg(count(lit(1)).as("exact_intersect"))
       est
         .join(exInt, Seq("g_a", "g_b"), "left")
