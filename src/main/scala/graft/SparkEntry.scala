@@ -3481,9 +3481,15 @@ object SparkEntry {
           .orderBy(col("ts"), col("event_id"))))
       val firstp = ordered.filter(col("st") === "CONV")
         .groupBy("user_id").agg(min("i").as("pi"))
+      // j is read three times (the START row filter and both lead
+      // branches of the transition union), and ordered twice more
+      // (firstp + the join), so the user-window subtree re-derived
+      // ~5x; materialize the narrow (user_id, st, i) pre-conversion
+      // path once (guide §5, the recommendTopK discipline)
       val j = ordered.join(firstp, Seq("user_id"), "left")
         .filter(col("pi").isNull || col("i") <= col("pi"))
         .select("user_id", "st", "i")
+        .localCheckpoint(true)
       val nx = j.withColumn("nxt",
         lead(col("st"), 1).over(Window.partitionBy("user_id").orderBy("i")))
       val trans = j.filter(col("i") === 1)
